@@ -1,0 +1,629 @@
+"""Relational core operators (SURVEY.md §2B, waves 2a–2d).
+
+Every function is a lazy DataFrame builder ``(spark, sf_dir) -> DataFrame``;
+the paired DuckDB oracle SQL sits next to it. Design rules (SURVEY.md §7
+risk #1):
+
+- every computed column aliased identically in Spark and SQL;
+- double aggregates go through the decimal-sum pattern
+  (:mod:`..functions.numeric`) so values are bitwise-stable;
+- every ``LIMIT`` is under a total order (tie-break on a key);
+- set operations use distinct (SQL) semantics on both sides.
+
+Scale notes are attached per-operator where the plan shape matters at
+100 TB (broadcast vs shuffle join, partial aggregation, TakeOrdered).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import davg, dsum
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+
+# --- scan / project / filter -------------------------------------------------
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain parquet scan (reference A3/A6 analogue on the fixture catalog)."""
+    return load_table(spark, sf_dir, "region")
+
+
+SQL_SCAN_PARQUET = "SELECT r_regionkey, r_name FROM region"
+
+
+def q_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate (reference A5 plus a filter).
+
+    Scale: both the 4-column projection and the quantity predicate reach
+    the parquet reader (ReadSchema / PushedFilters) — row groups whose
+    min/max exclude ``l_quantity > 45`` are never decoded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+SQL_PROJECT_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicates: AND/OR/NOT, IN, BETWEEN, LIKE, IS NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        (
+            F.col("o_orderstatus").isin("F", "P")
+            & F.col("o_totalprice").between(50_000, 150_000)
+        )
+        | (
+            F.col("o_orderpriority").like("1-%")
+            & ~F.col("o_orderstatus").isin("P")
+            & F.col("o_totalprice").isNotNull()
+        )
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+SQL_FILTER_COMPOUND = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE (o_orderstatus IN ('F', 'P') AND o_totalprice BETWEEN 50000 AND 150000)
+   OR (o_orderpriority LIKE '1-%' AND NOT o_orderstatus IN ('P')
+       AND o_totalprice IS NOT NULL)
+"""
+
+
+# --- aggregation -------------------------------------------------------------
+
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation (sum/avg/count per group).
+
+    Scale: groupBy on 6-ish distinct keys → near-total map-side partial
+    aggregation; the shuffle moves one row per (partition, group). The
+    decimal accumulators keep that property (partial sums are decimals).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_GROUP = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_quantity), 6) AS DOUBLE) AS avg_qty,
+  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS DOUBLE) AS avg_price,
+  CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_discount), 6) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT / COUNT(DISTINCT) — exact forms (approx variant is rows-only).
+
+    Scale: count-distinct expands to a two-phase aggregate (distinct on
+    (group, key) then count) — Spark plans this itself; no driver-side
+    ``.distinct().count()`` actions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_AGG_DISTINCT = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_suppkey) AS distinct_supps,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct (rows-only check: the
+    estimate is algorithm-specific so no engine-neutral oracle exists).
+
+    Scale: this is THE count-distinct at 100 TB — constant-size sketch
+    per group, mergeable, single shuffle of sketches instead of a
+    distinct-expand.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with grouping_id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+SQL_AGG_ROLLUP_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- joins -------------------------------------------------------------------
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: revenue by nation — lineitem ⋈ orders ⋈ customer ⋈ nation.
+
+    Scale: lineitem⋈orders and orders⋈customer are shuffle hash/SMJ on
+    their keys (AQE picks; both sides large). nation is broadcast — a
+    25-row dim must never shuffle the fact table. Filters on shipdate
+    push to the lineitem scan before the first join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+SQL_JOIN_INNER = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER customer→orders: order count per customer incl. zero."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200_000)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "total_spend"),
+        )
+    )
+
+
+SQL_JOIN_OUTER = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_big_orders,
+       CAST(ROUND(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_spend
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) AS o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two partially-overlapping aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    lo = (
+        o.where(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_open"))
+    )
+    hi = (
+        o.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_finished"))
+    )
+    return (
+        lo.withColumnRenamed("o_custkey", "ck_open")
+        .join(
+            hi.withColumnRenamed("o_custkey", "ck_fin"),
+            F.col("ck_open") == F.col("ck_fin"),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("ck_open"), F.col("ck_fin")).alias("custkey"),
+            F.coalesce(F.col("n_open"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("n_finished"), F.lit(0)).alias("n_finished"),
+        )
+    )
+
+
+SQL_JOIN_FULL_OUTER = """
+WITH lo AS (SELECT o_custkey AS ck_open, COUNT(*) AS n_open
+            FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+     hi AS (SELECT o_custkey AS ck_fin, COUNT(*) AS n_finished
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+SELECT COALESCE(ck_open, ck_fin) AS custkey,
+       COALESCE(n_open, 0) AS n_open,
+       COALESCE(n_finished, 0) AS n_finished
+FROM lo FULL OUTER JOIN hi ON ck_open = ck_fin
+"""
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI existence joins, tagged and unioned.
+
+    Scale: semi/anti never materialize the probe payload — only the key
+    set of ``orders`` crosses the shuffle (or broadcasts under AQE).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    has = c.join(urgent, cond, "left_semi").select(
+        "c_custkey", F.lit("has_urgent").alias("tag")
+    )
+    hasnt = c.join(urgent, cond, "left_anti").select(
+        "c_custkey", F.lit("no_urgent").alias("tag")
+    )
+    return has.unionByName(hasnt)
+
+
+SQL_JOIN_SEMI_ANTI = """
+SELECT c_custkey, 'has_urgent' AS tag FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, 'no_urgent' AS tag FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the region→nation dim chain onto customer.
+
+    Scale: ``F.broadcast`` pins a BroadcastHashJoin regardless of stats —
+    the right move for bounded dims; the customer fact never shuffles.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = F.broadcast(
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        c.join(dim, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            davg("c_acctbal", "avg_acctbal"),
+        )
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT r_name,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) / COUNT(c_acctbal), 6) AS DOUBLE) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + band (range) join: lineitem×part where quantity ≈ p_size.
+
+    Scale: the equi key keeps this a hash join with a residual band
+    filter — never a nested-loop. A *pure* band join at scale needs
+    binning both sides on the band width and joining on bin (see
+    ``q_join_asof`` for the event-time variant).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            p,
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("l_quantity") >= F.col("p_size") - 2)
+            & (F.col("l_quantity") <= F.col("p_size") + 2),
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_band_matches"))
+    )
+
+
+SQL_JOIN_RANGE = """
+SELECT p_brand, COUNT(*) AS n_band_matches
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+         AND l_quantity >= p_size - 2
+         AND l_quantity <= p_size + 2
+GROUP BY p_brand
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator Spark lacks natively): for each event,
+    the most recent order of the matching customer at event time.
+
+    Composition strategy (SURVEY.md §2B "custom operators" path (a)):
+    equi-join on the entity key + inequality on time, then keep rank 1
+    per event via a window — all built-ins, no UDF. Scale: the equi key
+    bounds the fan-out to orders-per-customer; for unbounded fan-out
+    you'd bucket both sides by time range first.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    o = load_table(spark, sf_dir, "orders")
+    j = ev.join(
+        o,
+        (F.col("user_id") == F.col("o_custkey")) & (F.col("o_orderdate") <= F.col("ts")),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+    )
+
+
+SQL_JOIN_ASOF = """
+SELECT event_id, user_id, asof_orderkey, asof_orderdate
+FROM (
+  SELECT e.event_id, e.user_id,
+         o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+  WHERE e.event_type = 'purchase'
+) WHERE rn = 1
+"""
+
+
+# --- sort / limit / set ops --------------------------------------------------
+
+def q_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT (top-k) under a total order.
+
+    Scale: Spark plans this as TakeOrderedAndProject — per-partition
+    top-k then a k-sized merge on the driver; no global sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+SQL_SORT_LIMIT_TOPK = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT with SQL (distinct) semantics, tagged."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = o.where(F.col("o_totalprice") > 300_000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        big.intersect(auto).withColumn("op", F.lit("intersect"))
+        .unionByName(big.subtract(auto).withColumn("op", F.lit("except")))
+        .unionByName(big.union(auto).distinct().withColumn("op", F.lit("union")))
+    )
+
+
+SQL_SET_OPS = """
+WITH big  AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000),
+     auto AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+SELECT custkey, 'intersect' AS op FROM (SELECT * FROM big INTERSECT SELECT * FROM auto)
+UNION ALL
+SELECT custkey, 'except' AS op FROM (SELECT * FROM big EXCEPT SELECT * FROM auto)
+UNION ALL
+SELECT custkey, 'union' AS op FROM (SELECT * FROM big UNION SELECT * FROM auto)
+"""
+
+
+# --- windows -----------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per partition; top-3 with ties.
+
+    Determinism: rank orders on a coarse bucket (1000-wide price bins) so
+    ties genuinely occur; ``rank() <= 3`` keeps whole tie groups (a
+    deterministic SET); row_number gets a full tie-break key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 1000).alias("price_bucket")
+    ranked = o.select("o_orderkey", "o_orderpriority", "o_totalprice", bucket)
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(F.col("price_bucket").desc())
+    w_rn = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("price_bucket").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        ranked.withColumn("rnk", F.rank().over(w_rank))
+        .withColumn("drnk", F.dense_rank().over(w_rank))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "price_bucket", "rnk", "drnk", "rn")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_orderpriority, o_orderkey, price_bucket, rnk, drnk, rn
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+         RANK()       OVER (PARTITION BY o_orderpriority ORDER BY FLOOR(o_totalprice / 1000) DESC) AS rnk,
+         DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY FLOOR(o_totalprice / 1000) DESC) AS drnk,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY FLOOR(o_totalprice / 1000) DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / running-sum frame per customer over order time.
+
+    Running sums evaluate sequentially in frame order (identical on both
+    engines given the same total order), so plain double addition is
+    already bitwise-stable; decimal cast retained for uniformity.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)")).over(frame), 2
+        ).cast("double").alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+SQL_WINDOW_ANALYTIC = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       LAG(o_totalprice, 1)  OVER w AS prev_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
+       ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# --- scalar functions ---------------------------------------------------------
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math / conditional scalar functions (whole-stage
+    codegen territory — zero Python in the row path)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.concat_ws("#", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
+        F.round(F.col("o_totalprice") / 1000.0, 1).alias("price_k"),
+        F.abs(F.col("o_totalprice") - 250_000.0).alias("dist_from_250k"),
+        F.when(F.col("o_totalprice") > 250_000, F.lit("big"))
+        .when(F.col("o_totalprice") > 100_000, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+        F.length("o_orderpriority").alias("prio_len"),
+    )
+
+
+SQL_SCALAR_FUNCS = """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       CAST(MONTH(o_orderdate) AS INT) AS order_month,
+       CAST(DAY(o_orderdate) AS INT) AS order_day,
+       SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+       UPPER(o_orderstatus) AS status_uc,
+       CONCAT_WS('#', o_orderstatus, o_orderpriority) AS status_prio,
+       ROUND(o_totalprice / 1000.0, 1) AS price_k,
+       ABS(o_totalprice - 250000.0) AS dist_from_250k,
+       CASE WHEN o_totalprice > 250000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS size_class,
+       CAST(LENGTH(o_orderpriority) AS INT) AS prio_len
+FROM orders
+"""
+
+
+QUERIES = [
+    Query("scan_parquet", q_scan_parquet, SQL_SCAN_PARQUET, ("relational", "source")),
+    Query("project_filter", q_project_filter, SQL_PROJECT_FILTER, ("relational",)),
+    Query("filter_compound", q_filter_compound, SQL_FILTER_COMPOUND, ("relational",)),
+    Query("agg_group", q_agg_group, SQL_AGG_GROUP, ("relational", "agg"), bench=True),
+    Query("agg_distinct", q_agg_distinct, SQL_AGG_DISTINCT, ("relational", "agg")),
+    Query("agg_approx", q_agg_approx, None, ("relational", "agg", "approx")),
+    Query("agg_rollup_cube", q_agg_rollup_cube, SQL_AGG_ROLLUP_CUBE, ("relational", "agg")),
+    Query("join_inner", q_join_inner, SQL_JOIN_INNER, ("relational", "join"), bench=True),
+    Query("join_outer", q_join_outer, SQL_JOIN_OUTER, ("relational", "join")),
+    Query("join_full_outer", q_join_full_outer, SQL_JOIN_FULL_OUTER, ("relational", "join")),
+    Query("join_semi_anti", q_join_semi_anti, SQL_JOIN_SEMI_ANTI, ("relational", "join")),
+    Query("join_broadcast", q_join_broadcast, SQL_JOIN_BROADCAST, ("relational", "join")),
+    Query("join_range", q_join_range, SQL_JOIN_RANGE, ("relational", "join"), bench=True),
+    Query("join_asof", q_join_asof, SQL_JOIN_ASOF, ("relational", "join", "custom")),
+    Query("sort_limit_topk", q_sort_limit_topk, SQL_SORT_LIMIT_TOPK, ("relational",)),
+    Query("set_ops", q_set_ops, SQL_SET_OPS, ("relational",)),
+    Query("window_rank", q_window_rank, SQL_WINDOW_RANK, ("relational", "window")),
+    Query("window_analytic", q_window_analytic, SQL_WINDOW_ANALYTIC, ("relational", "window"), bench=True),
+    Query("scalar_funcs", q_scalar_funcs, SQL_SCALAR_FUNCS, ("relational",)),
+]

@@ -1,0 +1,87 @@
+"""SparkSession construction and runtime tuning.
+
+Two entry points:
+
+- :func:`get_spark` — build a session for standalone use (tests, bench).
+- :func:`tune` — apply the engine's *runtime-settable* confs to an
+  existing session. The verify driver constructs its own SparkSession,
+  so every query function calls ``tune(spark)`` defensively; all confs
+  set there are dynamic SQLConf entries (safe post-startup).
+
+Scale notes (100 TB design point)
+---------------------------------
+The local test harness runs ``local[32]``, but every conf below is
+chosen to be correct on a 1000-executor cluster:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast-demotion are exactly the knobs that keep a fixed-SF-tuned
+  plan working at 1000× the data.
+- ``shuffle.partitions`` is only the *initial* number under AQE; at
+  cluster scale you'd raise it (or set
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``) and
+  let AQE coalesce down.
+- Arrow execution on: any pandas-UDF operator pays per-batch Arrow
+  transfer, not per-row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are dynamic (plain SQLConf) — safe to set on a running
+# session, including the verify driver's.
+RUNTIME_CONFS: dict[str, str] = {
+    # Fixtures are tz-naive; pin the session so TimestampType renders
+    # identically to DuckDB's naive timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects outright; read the raw nanos and convert ourselves
+    # (sources.catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: coalesce post-shuffle partitions, split skewed
+    # joins, demote/promote broadcast at runtime.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: fixtures are clean, and non-ANSI matches DuckDB's
+    # permissive casts more closely for oracle parity.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply the engine's dynamic confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in exotic builds
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "data_ingestion_s3_to_parquet_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession for standalone/test/bench use."""
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

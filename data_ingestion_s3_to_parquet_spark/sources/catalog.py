@@ -1,0 +1,64 @@
+"""Table catalog over the driver-generated parquet fixtures.
+
+Tables (``TESTDATA.md``): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file each under
+``{sf_dir}/{name}.parquet``.
+
+Normalization applied at load:
+
+- ``events.ts`` is stored as parquet ``INT64 TIMESTAMP(NANOS)``, which
+  Spark's vectorized reader rejects. With
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as raw
+  nanosecond ``bigint``; we convert to ``timestamp_ntz`` at microsecond
+  precision (truncating, which matches DuckDB's ns→us cast truncation).
+  All other timestamp columns already read natively as ``timestamp_ntz``.
+
+Scale note: loads are plain ``spark.read.parquet`` — lazy scan nodes that
+keep Catalyst free to push filters/projections into the parquet reader
+(verify with ``.explain``: ``PushedFilters`` / ``ReadSchema``). No
+``.cache()`` here; callers decide on materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# region/nation are constant-size; supplier/part grow but stay dimension
+# -sized relative to the facts).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a lazy DataFrame, normalizing event time."""
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → micros (integral floor-div; ts values are positive) →
+        # tz-naive timestamp, matching the other tables and DuckDB.
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

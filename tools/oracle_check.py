@@ -1,0 +1,130 @@
+"""Local replica of the driver's DuckDB-oracle differential check.
+
+Runs every registry query through Spark AND its oracle SQL through
+DuckDB on the same parquet fixtures, then compares:
+
+- row count,
+- sorted column-name list,
+- an order-insensitive multiset of normalized row values (floats via
+  ``repr`` after float64 coercion — i.e. *bitwise* equality, the
+  strictest plausible driver hash).
+
+Usage::
+
+    python tools/oracle_check.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import decimal
+import math
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from data_ingestion_s3_to_parquet_spark.plans.registry import REGISTRY  # noqa: E402
+from data_ingestion_s3_to_parquet_spark.session import get_spark  # noqa: E402
+from data_ingestion_s3_to_parquet_spark.sources.catalog import TABLES  # noqa: E402
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(float(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def to_multiset(cols: list[str], rows) -> Counter:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter("\x1f".join(norm_cell(row[i]) for i in order) for row in rows)
+
+
+def run_duckdb(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("oracle-check")
+    names = args.names or list(REGISTRY)
+    failures = []
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name:24s} spark error: {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            print(f"rows  {name:24s} rows={len(srows)} (rows-only, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(srows) == 0:
+                print(f"      WARNING: {name} returned 0 rows")
+            continue
+        try:
+            dcols, drows = run_duckdb(q.oracle, args.sf)
+        except Exception as e:
+            print(f"FAIL  {name:24s} duckdb error: {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        ok = True
+        if len(srows) != len(drows):
+            print(f"FAIL  {name:24s} rowcount spark={len(srows)} duckdb={len(drows)}")
+            ok = False
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL  {name:24s} columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+            ok = False
+        if ok:
+            ms, md = to_multiset(scols, srows), to_multiset(dcols, drows)
+            if ms != md:
+                only_s = list((ms - md).items())[:3]
+                only_d = list((md - ms).items())[:3]
+                print(f"FAIL  {name:24s} value-hash mismatch; "
+                      f"spark-only={only_s} duckdb-only={only_d}")
+                ok = False
+        if ok:
+            print(f"PASS  {name:24s} rows={len(srows)} [{time.time()-t0:.1f}s]")
+        else:
+            failures.append(name)
+    print(f"\n{len(names)-len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
