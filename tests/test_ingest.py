@@ -1,0 +1,145 @@
+"""Layer-A ingestion-parity tests (SURVEY.md §5.4).
+
+Synthesizes the reference's 19-column air-quality CSV (FIXTURES.md §1),
+zips it, runs the pipeline end-to-end, and asserts the reference's
+observable behaviors: 8-column projection, row-count preservation, the
+verifier's warn/info/never-abort semantics, zip-slip skip, and the
+warm-path short-circuit.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import logging
+import os
+import zipfile
+
+import pytest
+
+from data_ingestion_s3_to_parquet_spark.ingest import (
+    EXPECTED_COLUMNS,
+    SELECTED_COLUMNS,
+    airquality_schema,
+    ingest_csv,
+    read_csv,
+    run_pipeline,
+    verify_columns,
+)
+from data_ingestion_s3_to_parquet_spark.sources.zipsource import (
+    extract_zip,
+    read_zipped_csvs,
+)
+
+N_ROWS = 120
+
+
+def make_csv(path: str, columns=EXPECTED_COLUMNS, n=N_ROWS) -> None:
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(columns)
+        for i in range(n):
+            row = []
+            for c in columns:
+                if c == "Date":
+                    row.append(f"2023-04-{(i % 28) + 1:02d}")
+                elif c == "station_name":
+                    row.append(f"station_{i % 7:03d}")
+                elif c == "code":
+                    row.append(f"GB{i % 50:04d}A")
+                elif c == "id":
+                    row.append(100000 + i)
+                elif c == "extra_col":
+                    row.append("x")
+                else:
+                    row.append(round(10.0 + (i * 37 % 191) / 7.0, 3))
+            w.writerow(row)
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "data.csv"
+    make_csv(str(p))
+    return str(p)
+
+
+def test_ingest_projects_8_columns_same_rowcount(spark, csv_file, tmp_path):
+    out = str(tmp_path / "out.parquet")
+    report = ingest_csv(spark, csv_file, out)
+    assert report.all_present and not report.unexpected
+    got = spark.read.parquet(out)
+    assert got.columns == list(SELECTED_COLUMNS)
+    assert got.count() == N_ROWS
+
+
+def test_verifier_warns_on_missing_never_aborts(spark, tmp_path, caplog):
+    cols = tuple(c for c in EXPECTED_COLUMNS if c != "NO2")
+    p = tmp_path / "missing.csv"
+    make_csv(str(p), columns=cols)
+    df = read_csv(spark, str(p), schema=airquality_schema(cols))
+    with caplog.at_level(logging.WARNING):
+        report = verify_columns(df)
+    assert report.missing == ["NO2"]
+    assert any("NO2" in r.message for r in caplog.records)
+
+
+def test_verifier_notes_unexpected_column(spark, tmp_path, caplog):
+    cols = EXPECTED_COLUMNS + ("extra_col",)
+    p = tmp_path / "extra.csv"
+    make_csv(str(p), columns=cols)
+    df = read_csv(spark, str(p), schema=airquality_schema(cols))
+    with caplog.at_level(logging.INFO):
+        report = verify_columns(df)
+    assert report.unexpected == ["extra_col"]
+    assert report.all_present
+
+
+def test_zip_extract_skips_unsafe_entries(tmp_path):
+    zpath = tmp_path / "evil.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("good.csv", "a,b\n1,2\n")
+        zf.writestr("../evil.csv", "a,b\n3,4\n")
+        zf.writestr("/abs/evil2.csv", "a,b\n5,6\n")
+    out = tmp_path / "unzipped"
+    extracted = extract_zip(str(zpath), str(out))
+    assert [os.path.basename(p) for p in extracted] == ["good.csv"]
+    assert not (tmp_path / "evil.csv").exists()
+
+
+def test_warm_path_pipeline_end_to_end(spark, csv_file, tmp_path):
+    out = str(tmp_path / "warm.parquet")
+    report = run_pipeline(spark, unzipped_data=csv_file, out_path=out)
+    assert report.all_present
+    assert spark.read.parquet(out).count() == N_ROWS
+
+
+def test_cold_path_without_s3_uses_local_zip(spark, csv_file, tmp_path, monkeypatch):
+    # The S3 fetch short-circuits when the destination zip already exists
+    # (reference A7 semantics applied at the fetch level).
+    zpath = tmp_path / "data.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(csv_file, "data.csv")
+    out = str(tmp_path / "cold.parquet")
+    monkeypatch.setenv("BUCKET", "unused")
+    monkeypatch.setenv("OBJECT", "unused")
+    report = run_pipeline(
+        spark,
+        unzipped_data=str(tmp_path / "does-not-exist.csv"),
+        destination=str(zpath),
+        unzip_dir=str(tmp_path / "unzipped"),
+        out_path=out,
+    )
+    assert report.all_present
+    assert spark.read.parquet(out).count() == N_ROWS
+
+
+def test_distributed_zip_csv_scan(spark, csv_file, tmp_path):
+    # The 100 TB path: binaryFile + mapInPandas decompression.
+    for i in range(3):
+        with zipfile.ZipFile(tmp_path / f"part{i}.zip", "w") as zf:
+            zf.write(csv_file, f"data{i}.csv")
+    df = read_zipped_csvs(
+        spark, str(tmp_path / "part*.zip"), airquality_schema()
+    )
+    assert df.count() == 3 * N_ROWS
+    assert df.columns == list(EXPECTED_COLUMNS)
