@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at the bench scale factor.
+
+Runs every ``bench=True`` registry query against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized through the ``noop`` sink (forces
+end-to-end execution including shuffles, without paying sink I/O or
+driver collection). One warm-up run of the cheapest query absorbs
+session/JIT startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_ingestion_s3_to_parquet_spark.plans.registry import REGISTRY
+from data_ingestion_s3_to_parquet_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
+
+    # warm-up: JVM/codegen/parquet-footer caches
+    materialize(REGISTRY["scan_parquet"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        materialize(q.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,2 +1,194 @@
-"""Placeholder — filled in this round."""
-QUERIES = []
+"""Deduplication operators over the ``documents`` table (SURVEY.md §2B).
+
+Four strategies, exact → approximate:
+
+- ``dedup_exact``          hash-groupBy on the text (oracle)
+- ``dedup_ngram_jaccard``  exact n-gram-shingle Jaccard join (oracle)
+- ``dedup_minhash_lsh``    MinHash + LSH banding candidates, exact
+                           Jaccard verification (rows-only: LSH recall
+                           is probabilistic so no SQL ground truth)
+- ``dedup_simhash``        64-bit SimHash + Hamming-distance pairs
+                           (rows-only: engine-specific hash function)
+
+Scale: all shuffles key on shingle/band hashes, which are uniformly
+distributed — no skew. The exact-Jaccard join is bounded by shingle
+selectivity (high-cardinality 3-gram keys); the LSH path is the one
+that survives 100 TB, with candidate count ∝ true-duplicate count
+rather than |D|².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    hamming64,
+    lsh_bands,
+    minhash_signature,
+    simhash_signature,
+)
+from ..functions.text import with_shingles
+from ..plans.spec import Query
+from ..sources.catalog import load_table, spread
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) + multiplicity per text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread(): the fixture table is one parquet file = one partition;
+    # shingling is expression-heavy, so buy parallelism up front.
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return with_shingles(d, "text", "sh", 3).select("doc_id", "sh")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity join (threshold 0.5).
+
+    Plan: explode distinct shingles → self-equi-join on shingle →
+    per-pair intersection count → Jaccard from set sizes. The join key
+    (a 3-gram string) is selective, so the pair blow-up is bounded by
+    genuinely-overlapping docs, not |D|².
+    """
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id", F.col("sh"), F.size("sh").alias("n_sh")
+    )
+    # join on the 64-bit shingle hash, not the string: smaller shuffle,
+    # faster probes; and keep BOTH sides the textually-identical plan so
+    # Spark's ReuseExchange shuffles the exploded table once.
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("g")).select(
+        "doc_id", "n_sh", F.xxhash64("g").alias("gh")
+    )
+    pairs = (
+        ex.alias("x")
+        .join(ex.alias("y"), "gh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_sh").alias("na"),
+            F.col("y.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidates, verified with
+    exact Jaccard ≥ 0.35. Deterministic (seeded xxhash64) but
+    LSH recall has no SQL ground truth → rows-only check.
+
+    The banding threshold ≈ (1/4)^(1/4) ≈ 0.71 single-band hit
+    probability at j=0.71; with 4 bands, pairs at j≥0.5 are caught with
+    good probability while |D|² never materializes.
+    """
+    sh = _shingled(spark, sf_dir)
+    sig = minhash_signature(sh, "doc_id", "sh", k=16)
+    bands = lsh_bands(sig, "doc_id", bands=4, rows_per_band=4)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.35)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signatures, Hamming ≤ 12.
+
+    Blocked on the top-16 bits (docs agreeing on a prefix block) to
+    avoid the |D|² comparison; rows-only (hash-function specific).
+    At scale you'd block on 4 rotated prefixes to guarantee recall at
+    distance ≤ 3 (pigeonhole over 4 blocks of 16 bits).
+    """
+    sh = _shingled(spark, sf_dir)
+    sig = simhash_signature(sh, "doc_id", "sh")
+    blocked = sig.withColumn("blk", F.shiftrightunsigned("sim", 48))
+    x = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "blk"
+    )
+    y = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "blk"
+    )
+    return (
+        x.join(y, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .where(F.col("hamming") <= 12)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+QUERIES = [
+    Query("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("llm", "dedup"), bench=True),
+    Query(
+        "dedup_ngram_jaccard",
+        q_dedup_ngram_jaccard,
+        SQL_DEDUP_NGRAM_JACCARD,
+        ("llm", "dedup"),
+        bench=True,
+    ),
+    Query("dedup_minhash_lsh", q_dedup_minhash_lsh, None, ("llm", "dedup", "approx")),
+    Query("dedup_simhash", q_dedup_simhash, None, ("llm", "dedup", "approx")),
+]

@@ -1,2 +1,232 @@
-"""Placeholder — filled in this round."""
-QUERIES = []
+"""Multimodal / nested-column operators (SURVEY.md §2B).
+
+Fixture-backed oracle queries:
+
+- ``multimodal_cols``    array-column handling over embeddings:
+                         size / element_at / transform / L2 norm
+- ``multimodal_binary``  opaque-binary handling: byte length + sha2
+                         digest of a binary column
+- ``array_map_json``     JSON extraction over events.props +
+                         map_from / element_at plumbing
+- ``udf_scalar``         the vetted pandas-UDF example (Arrow-batched
+                         line-charge computation; SQL-re-expressible so
+                         it carries a full oracle)
+
+Plus the image/audio/video plumbing (:func:`media_features`): binary
+payload + typed metadata → ``mapInPandas`` feature extraction. The
+actual codec step is STUBBED (no image/audio libs in this container —
+clearly marked), but the Spark-side contract — schema, batch shape,
+partitioning — is real and unit-tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.vectors import dot
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested array<float> column ops, all JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(e).alias("dim"),
+        F.round(F.element_at(e, 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.element_at(F.transform(e, lambda x: x.cast("double") * 2.0), 2), 6
+        ).alias("scaled_second"),
+        F.round(F.sqrt(dot(e, e)), 6).alias("l2_norm"),
+    )
+
+
+SQL_MULTIMODAL_COLS = """
+SELECT vec_id, label,
+       CAST(len(embedding) AS INT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       ROUND(list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)[2], 6) AS scaled_second,
+       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload handling: treat the document text's bytes
+    as a blob — byte length + sha256, the canonical content-address ops
+    for image/audio payloads."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("sha256_hex"),
+    )
+
+
+SQL_MULTIMODAL_BINARY = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS sha256_hex
+FROM documents
+"""
+
+
+def q_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON / map plumbing over events.props (a JSON string column)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        "event_type",
+        k.alias("prop_k"),
+        (k % 10).alias("k_mod10"),
+        F.when(k >= 50, F.lit("hi")).otherwise(F.lit("lo")).alias("k_band"),
+    )
+
+
+SQL_ARRAY_MAP_JSON = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+            THEN 'hi' ELSE 'lo' END AS k_band
+FROM events
+"""
+
+
+@pandas_udf(DoubleType())
+def _charge_udf(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    # identical IEEE op order to the SQL mirror: p*(1-d)*(1+t)
+    return price * (1 - disc) * (1 + tax)
+
+
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vetted scalar pandas UDF (Arrow-batched, vectorized numpy ops
+    — never a row-at-a-time Python UDF). Kept SQL-re-expressible so the
+    Arrow round-trip itself is oracle-verified bitwise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _charge_udf(
+            F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+        ).alias("charge"),
+    )
+
+
+SQL_UDF_SCALAR = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Opaque-media plumbing (image/audio/video as binary + typed metadata)
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), False),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),  # images/video
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),  # audio
+    ]
+)
+
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_entropy", StringType(), False),  # hex-rounded, stable
+        StructField("header_hex", StringType(), False),
+    ]
+)
+
+
+def _decode_stub(kind: str, payload: bytes) -> None:
+    """REAL CODECS NOT AVAILABLE IN THIS CONTAINER.
+
+    This is the seam where Pillow / torchaudio / pyav would decode the
+    payload. Deliberately unimplemented; callers use the deterministic
+    byte-level features below instead.
+    """
+    raise NotImplementedError(
+        f"media decode for kind={kind!r} requires codec libraries "
+        "(PIL/pyav/torchaudio) not present in this environment"
+    )
+
+
+def media_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Distributed media feature extraction over binary payloads.
+
+    ``mapInPandas``: each Arrow batch of (media_id, kind, payload, …)
+    rows yields one feature frame — the exact shape a real
+    decode/resize/frame-sample stage has. Features computed here are
+    deterministic byte-level stand-ins (length, entropy, header bytes);
+    swapping in a real codec touches only ``_features_batch``.
+
+    Scale: payloads stay in Arrow buffers end-to-end (no pickling);
+    partition count should track payload bytes, not row count — resize
+    upstream with ``spark.sql.files.maxPartitionBytes`` or
+    ``repartition`` before calling.
+    """
+
+    def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                counts: dict[int, int] = {}
+                for byte in payload:
+                    counts[byte] = counts.get(byte, 0) + 1
+                n = max(len(payload), 1)
+                entropy = -sum(
+                    (c / n) * math.log2(c / n) for c in counts.values()
+                )
+                feats.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "n_bytes": len(payload),
+                        "byte_entropy": f"{entropy:.6f}",
+                        "header_hex": payload[:8].hex(),
+                    }
+                )
+            yield pd.DataFrame(feats, columns=[f.name for f in MEDIA_FEATURES_SCHEMA])
+
+    cols = [f.name for f in MEDIA_SCHEMA.fields[:3]]
+    return media.select(*cols).mapInPandas(_features_batch, MEDIA_FEATURES_SCHEMA)
+
+
+QUERIES = [
+    Query("multimodal_cols", q_multimodal_cols, SQL_MULTIMODAL_COLS, ("llm", "multimodal")),
+    Query("multimodal_binary", q_multimodal_binary, SQL_MULTIMODAL_BINARY, ("llm", "multimodal")),
+    Query("array_map_json", q_array_map_json, SQL_ARRAY_MAP_JSON, ("relational", "json")),
+    Query("udf_scalar", q_udf_scalar, SQL_UDF_SCALAR, ("relational", "udf"), bench=True),
+]

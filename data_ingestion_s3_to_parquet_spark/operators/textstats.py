@@ -1,2 +1,188 @@
-"""Placeholder — filled in this round."""
-QUERIES = []
+"""Text-analysis operators over ``documents`` (SURVEY.md §2B).
+
+- ``text_stats``       per-doc token counts / lengths (oracle)
+- ``text_quality``     quality-scoring ratios: stopword, alpha, distinct
+                       (oracle)
+- ``token_count``      whitespace + regex ("BPE-ish") + chars/4 token
+                       estimators (oracle)
+- ``doc_fingerprint``  md5 raw + whitespace-normalized fingerprints
+                       (oracle)
+- ``lang_id``          marker-word language ID — CASE chain (oracle)
+- ``lang_id_ngram``    char-trigram-profile language ID via pandas UDF
+                       (rows-only: profile tables are engine-side)
+
+All oracle queries are pure Catalyst expressions (regexp/array/string
+built-ins) — the only Python-in-the-loop operator is the trigram
+scorer, which is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    alpha_ratio,
+    lang_by_markers,
+    lang_by_ngrams,
+    stopword_ratio,
+    tokens,
+)
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("len_chars"),
+        F.size(t).alias("n_words"),
+        F.size(F.array_distinct(t)).alias("n_distinct_words"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(t),
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id, lang,
+       CAST(LENGTH(text) AS INT) AS len_chars,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words,
+       ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS avg_word_len
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score: weighted mix of stopword ratio (fluency proxy),
+    alpha ratio (noise proxy) and distinct-token ratio (repetition
+    proxy) — the standard cheap pre-LLM corpus filters."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    sw = stopword_ratio(F.col("text"))
+    al = alpha_ratio(F.col("text"))
+    dr = F.size(F.array_distinct(t)).cast("double") / F.size(t)
+    return d.select(
+        "doc_id",
+        F.round(sw, 6).alias("stopword_ratio"),
+        F.round(al, 6).alias("alpha_ratio"),
+        F.round(dr, 6).alias("distinct_ratio"),
+        F.round(0.4 * sw + 0.3 * al + 0.3 * dr, 6).alias("quality_score"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH x AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ({_STOPLIST_SQL}))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS sw,
+         CAST(LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+           / LENGTH(text) AS al,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS dr
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(sw, 6) AS stopword_ratio,
+       ROUND(al, 6) AS alpha_ratio,
+       ROUND(dr, 6) AS distinct_ratio,
+       ROUND(0.4 * sw + 0.3 * al + 0.3 * dr, 6) AS quality_score
+FROM x
+"""
+
+
+TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three token-count estimators: whitespace split, a BPE-ish regex
+    (runs of alphanumerics or single other chars), and the chars/4
+    rule-of-thumb."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)).alias(
+            "n_re_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_est_bpe"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_re_tokens,
+       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_est_bpe
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: raw md5 + whitespace-normalized md5.
+    (The rolling-hash variant lives in functions.hashing and is covered
+    by unit tests; md5 is the cross-engine-checkable form.)"""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_raw"),
+        F.md5(norm).alias("fp_norm"),
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(text) AS fp_raw,
+       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_norm
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_by_markers(F.col("text")).alias("pred_lang"),
+    )
+
+
+SQL_LANG_ID = """
+SELECT doc_id, lang,
+       CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en'
+            WHEN ' ' || text || ' ' LIKE '% el %'  THEN 'es'
+            WHEN ' ' || text || ' ' LIKE '% le %'  THEN 'fr'
+            WHEN ' ' || text || ' ' LIKE '% der %' THEN 'de'
+            WHEN ' ' || text || ' ' LIKE '%的%'    THEN 'zh'
+            ELSE 'und' END AS pred_lang
+FROM documents
+"""
+
+
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", lang_by_ngrams(F.col("text")).alias("pred_lang")
+    )
+
+
+QUERIES = [
+    Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
+    Query("text_quality", q_text_quality, SQL_TEXT_QUALITY, ("llm", "text")),
+    Query("token_count", q_token_count, SQL_TOKEN_COUNT, ("llm", "text")),
+    Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),
+    Query("lang_id", q_lang_id, SQL_LANG_ID, ("llm", "text")),
+    Query("lang_id_ngram", q_lang_id_ngram, None, ("llm", "text", "udf")),
+]

@@ -45,8 +45,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Arrow for any pandas-UDF / toPandas path.
+    # Arrow for any pandas-UDF / toPandas path; bigger batches amortize
+    # the per-batch Python/Arrow round-trip on wide scans.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # ANSI off: fixtures are clean, and non-ANSI matches DuckDB's
     # permissive casts more closely for oracle parity.
     "spark.sql.ansi.enabled": "false",

@@ -58,6 +58,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for compute-heavy downstream operators.
+
+    Small fixture tables arrive as ONE parquet file → one partition →
+    serial execution no matter how many cores exist. Expression-heavy
+    operators (shingling, vector math, sketches) repartition first; the
+    round-robin shuffle of a few MB is noise next to 32× parallelism.
+    At real scale the input already has many splits and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql() use."""
     for name in TABLES:

@@ -1,0 +1,87 @@
+"""True Structured Streaming entry points (readStream / writeStream).
+
+The batch-checkable window queries live in ``streaming.windows`` — the
+expressions there run unchanged under these streaming harnesses. Here:
+
+- :func:`events_file_stream` — file-source stream over an events-shaped
+  parquet directory (the fixture layout), for end-to-end smoke tests.
+- :func:`windowed_counts_stream` — watermarked tumbling-window agg, the
+  canonical late-data-tolerant streaming aggregation.
+- :func:`run_stream_once` — drive a streaming query to completion over
+  the currently-available input (availableNow trigger) into a memory
+  sink and return the collected rows.
+
+Scale: watermark + window state lives in the state store, partitioned
+by group key; ``availableNow`` gives deterministic batch-boundary
+semantics for tests while the same code deploys against a real
+continuous source (kafka/kinesis) untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..session import tune
+
+# events-shaped schema with a microsecond ts (streams can't use the
+# nanosAsLong legacy read path; tests write their own parquet input)
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    tune(spark)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+
+
+def windowed_counts_stream(
+    events: DataFrame, *, watermark: str = "10 minutes", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window count/sum with a watermark: rows later than the
+    watermark past their window close are dropped; the same F.window
+    expression as the batch oracle query ``stream_tumbling``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_once(df: DataFrame, *, name: str = "stream_smoke") -> list:
+    """Run a streaming DataFrame to completion on available input via a
+    memory sink; returns the materialized rows."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {name}").collect()

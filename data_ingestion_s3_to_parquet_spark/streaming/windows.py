@@ -1,2 +1,153 @@
-"""Placeholder — filled in this round."""
-QUERIES = []
+"""Event-time window operators over the ``events`` stream table.
+
+Batch-checkable forms (SURVEY.md §2B streaming): the *same* window
+expressions work unchanged under Structured Streaming — these run them
+in batch mode so the DuckDB oracle can grade them; the readStream
+variants live in ``streaming.stream``.
+
+Timestamp discipline: events.ts is nanosecond-precision in parquet;
+Spark reads micros (via the nanosAsLong conversion) while DuckDB keeps
+ns. Every query here truncates ts to whole seconds FIRST on both sides,
+so emitted boundaries/extrema agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+
+def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.date_trunc("second", F.col("ts")))
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + exact value sum.
+
+    Streaming-identical: ``F.window`` is the same operator under
+    readStream + watermark. Scale: tumbling agg is a single shuffle on
+    (window, key); partial aggregation applies as usual.
+    """
+    ev = _events_sec(spark, sf_dir)
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_STREAM_TUMBLING = """
+SELECT CAST(time_bucket(INTERVAL '1 hour', date_trunc('second', ts)) AS TIMESTAMP) AS window_start,
+       CAST(time_bucket(INTERVAL '1 hour', date_trunc('second', ts)) + INTERVAL '1 hour' AS TIMESTAMP) AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour long, every 15 minutes (4 windows/event).
+
+    Oracle mirrors Spark's epoch-aligned window set by cross-joining
+    each event to its 4 candidate window starts.
+    """
+    ev = _events_sec(spark, sf_dir)
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_STREAM_SLIDING = """
+WITH shifted AS (
+  SELECT CAST(time_bucket(INTERVAL '15 minutes', date_trunc('second', ts))
+              - k * INTERVAL '15 minutes' AS TIMESTAMP) AS window_start,
+         value
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offsets(k)
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_value
+FROM shifted
+GROUP BY 1, 2
+"""
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user: 30-minute inactivity gap.
+
+    Spark semantics: a session's end is last-event-time + gap; an event
+    extends the session iff it lands strictly before the current end.
+    The oracle reproduces this with the classic gaps-and-islands SQL.
+    Scale: session_window shuffles once on the user key; state size is
+    bounded by open sessions — the same operator runs under
+    applyInPandasWithState for custom state logic (streaming.stateful).
+    """
+    ev = _events_sec(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_STREAM_SESSION = """
+WITH marked AS (
+  SELECT user_id, date_trunc('second', ts) AS ts, value,
+         CASE WHEN date_trunc('second', ts)
+                   >= LAG(date_trunc('second', ts))
+                      OVER (PARTITION BY user_id ORDER BY ts)
+                      + INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+QUERIES = [
+    Query("stream_tumbling", q_stream_tumbling, SQL_STREAM_TUMBLING, ("streaming",), bench=True),
+    Query("stream_sliding", q_stream_sliding, SQL_STREAM_SLIDING, ("streaming",)),
+    Query("stream_session", q_stream_session, SQL_STREAM_SESSION, ("streaming",)),
+]

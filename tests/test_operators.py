@@ -1,0 +1,108 @@
+"""Operator-level unit tests on tiny literal frames + fixture edge cases.
+
+The oracle differential (tools/oracle_check.py, driver CORRECTNESS)
+covers value-level parity; these tests pin down *semantics* on edge
+rows: nulls in join keys, empty groups, duplicate rows, late/short
+inputs, media-stub plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    _decode_stub,
+    media_features,
+)
+from data_ingestion_s3_to_parquet_spark.plans.registry import REGISTRY
+
+
+def test_registry_names_unique_and_callable():
+    assert len(REGISTRY) >= 35
+    for name, q in REGISTRY.items():
+        assert q.name == name
+        assert callable(q.fn)
+
+
+def test_null_join_keys_excluded_from_inner_join(spark):
+    left = spark.createDataFrame([(1, "a"), (None, "b")], "k int, v string")
+    right = spark.createDataFrame([(1, "x"), (None, "y")], "k int, w string")
+    assert left.join(right, "k").count() == 1  # SQL semantics: null ≠ null
+
+
+def test_dedup_exact_keeps_min_id(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import q_dedup_exact
+
+    df = q_dedup_exact(spark, sf_dir)
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # representative id is the min per text group; row count = distinct texts
+    assert df.count() == base.select("text").distinct().count()
+    assert df.agg(F.min("doc_id")).first()[0] == base.agg(F.min("doc_id")).first()[0]
+
+
+def test_sim_topk_is_sorted_desc(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import q_sim_topk
+
+    rows = q_sim_topk(spark, sf_dir).collect()
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert len(rows) == 10
+
+
+def test_ann_ivf_hits_overlap_brute_force(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        q_ann_ivf_topk,
+        q_sim_topk,
+    )
+
+    exact = {r.vec_id for r in q_sim_topk(spark, sf_dir).collect()}
+    approx = {r.vec_id for r in q_ann_ivf_topk(spark, sf_dir).collect()}
+    # IVF with 4/16 probes should still recall a reasonable share of top-10
+    assert len(exact & approx) >= 3
+
+
+def test_media_features_plumbing(spark):
+    rows = [
+        (1, "image", b"\x89PNG\r\n\x1a\nxxxx", "image/png", 8, 8, None),
+        (2, "audio", b"RIFFxxxxWAVE", "audio/wav", None, None, 44100),
+        (3, "video", b"\x00\x00\x00\x18ftypmp42", "video/mp4", 640, 480, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in media_features(media).collect()}
+    assert feats[1].header_hex.startswith("89504e47")  # PNG magic preserved
+    assert feats[2].n_bytes == 12
+    assert float(feats[3].byte_entropy) > 0.0
+
+
+def test_decode_stub_is_explicitly_unimplemented():
+    with pytest.raises(NotImplementedError):
+        _decode_stub("image", b"bytes")
+
+
+def test_lang_id_ngram_runs_and_is_deterministic(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import q_lang_id_ngram
+
+    a = q_lang_id_ngram(spark, sf_dir).orderBy("doc_id").collect()
+    b = q_lang_id_ngram(spark, sf_dir).orderBy("doc_id").collect()
+    assert a == b
+    assert all(r.pred_lang for r in a)
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark, tmp_path, monkeypatch):
+    # plant exact + near duplicates in a documents-shaped table
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),  # near dup
+        (4, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import q_dedup_minhash_lsh
+
+    pairs = {
+        (r.doc_a, r.doc_b) for r in q_dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs
