@@ -195,6 +195,10 @@ def media_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
     ``repartition`` before calling.
     """
 
+    from ..session import tune
+
+    tune(media.sparkSession)  # ships this package to the executors
+
     def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 

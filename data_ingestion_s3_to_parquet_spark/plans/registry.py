@@ -17,6 +17,7 @@ from .spec import Query
 # Operator modules contributing QUERIES lists (extended as waves land).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.relational",
+    "data_ingestion_s3_to_parquet_spark.operators.relational2",
     "data_ingestion_s3_to_parquet_spark.operators.dedup",
     "data_ingestion_s3_to_parquet_spark.operators.similarity",
     "data_ingestion_s3_to_parquet_spark.operators.textstats",

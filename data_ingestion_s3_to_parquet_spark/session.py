@@ -59,6 +59,44 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors (addPyFile a zip of it).
+
+    cloudpickle serializes module-level functions (pandas UDFs,
+    applyInPandasWithState state machines) BY REFERENCE — the Python
+    worker must import the defining module. A foreign session (the
+    verify driver's) has no reason to carry this repo on its workers'
+    sys.path, so every tune() ships the package once per application.
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"dis2p_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith((".pyc", ".pyo")):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:  # pragma: no cover - e.g. same file re-added
+        pass
+    _SHIPPED_APPS.add(app_id)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply the engine's dynamic confs to an existing session (idempotent)."""
     for k, v in RUNTIME_CONFS.items():
@@ -66,6 +104,7 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in exotic builds
             pass
+    _ship_package(spark)
     return spark
 
 
@@ -73,8 +112,13 @@ def get_spark(
     app_name: str = "data_ingestion_s3_to_parquet_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a tuned SparkSession for standalone/test/bench use."""
+    """Build (or fetch) a tuned SparkSession for standalone/test/bench use.
+
+    ``extra_confs`` is for *static* confs (e.g. spark.sql.warehouse.dir)
+    that must be set before the session exists.
+    """
     cpus = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
@@ -84,6 +128,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**RUNTIME_CONFS, **(extra_confs or {})}.items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())

@@ -1,0 +1,138 @@
+"""Custom stateful streaming operator: applyInPandasWithState.
+
+Where ``F.session_window`` covers the standard gap-session semantics,
+real pipelines need *custom* per-key state machines (e.g. sessions that
+also close on a terminal event type). This module implements exactly
+that with ``applyInPandasWithState`` — the PySpark arbitrary-stateful
+operator (Arrow-batched per key-group, GroupState for persistence,
+event-time timeout driven by the watermark).
+
+Scale: state is partitioned by user key in the state store; the
+pandas function sees one key's accumulated rows per invocation. Timeout
+handling closes idle sessions without waiting for a new event.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP_SECONDS = 30 * 60
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start", TimestampType(), False),
+        StructField("session_end", TimestampType(), False),
+        StructField("n_events", IntegerType(), False),
+        StructField("sum_value", DoubleType(), False),
+        StructField("closed_by", StringType(), False),  # gap | terminal | timeout
+    ]
+)
+
+# state: (start_epoch_us, last_epoch_us, n_events, sum_value)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+        StructField("n", IntegerType(), True),
+        StructField("total", DoubleType(), True),
+    ]
+)
+
+
+def _us(ts: pd.Timestamp) -> int:
+    return int(ts.value // 1000)
+
+
+def _emit(user_id, start_us, last_us, n, total, closed_by) -> pd.DataFrame:
+    # pd.Timestamp takes NANOSECONDS; state carries microseconds
+    end_us = last_us + SESSION_GAP_SECONDS * 1_000_000
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_us * 1000)],
+            "session_end": [pd.Timestamp(end_us * 1000)],
+            "n_events": [n],
+            "sum_value": [total],
+            "closed_by": [closed_by],
+        }
+    )
+
+
+def sessionize_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session state machine.
+
+    Sessions close on (a) a 30-min event-time gap, (b) a terminal
+    'error' event, (c) state timeout at the watermark.
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n, total = state.get
+        state.remove()
+        yield _emit(user_id, start_us, last_us, n, total, "timeout")
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    if state.exists:
+        start_us, last_us, n, total = state.get
+    else:
+        start_us, last_us, n, total = None, None, 0, 0.0
+
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    for ts, etype, value in zip(rows["ts"], rows["event_type"], rows["value"]):
+        t = _us(ts)
+        if start_us is None:
+            start_us, last_us, n, total = t, t, 0, 0.0
+        elif t - last_us >= gap_us:
+            yield _emit(user_id, start_us, last_us, n, total, "gap")
+            start_us, last_us, n, total = t, t, 0, 0.0
+        n += 1
+        total += float(value)
+        last_us = max(last_us, t)
+        if etype == "error":  # terminal event closes the session NOW
+            yield _emit(user_id, start_us, last_us, n, total, "terminal")
+            start_us, last_us, n, total = None, None, 0, 0.0
+
+    if start_us is None:
+        if state.exists:
+            state.remove()
+        return
+    state.update((start_us, last_us, n, total))
+    # close the session once the watermark passes its gap boundary
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_SECONDS * 1000)
+
+
+def sessionize_stateful(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """Custom sessionization over a *streaming* events frame.
+
+    ``events`` needs columns (user_id, ts, event_type, value).
+    """
+    from ..session import tune
+
+    tune(events.sparkSession)  # ships this package to the executors
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -15,8 +15,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    spark = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_confs={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
     spark.stop()
 

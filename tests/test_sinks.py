@@ -1,0 +1,68 @@
+"""Sink round-trip tests: partitioned parquet, bucketed table, CSV, JSON."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_ingestion_s3_to_parquet_spark.sources.sinks import (
+    write_bucketed_table,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    # hive layout on disk
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("o_orderstatus=")
+    ) == ["o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"]
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition pruning: filtering one status must scan only that dir
+    plan = (
+        back.where(F.col("o_orderstatus") == "F")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "o_orderstatus=O" not in plan
+
+
+def test_bucketed_table_join_skips_exchange(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed_table(
+        orders, "orders_b", bucket_cols=["o_custkey"], n_buckets=4
+    )
+    write_bucketed_table(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b",
+        bucket_cols=["o_custkey"],
+        n_buckets=4,
+    )
+    j = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # co-bucketed join: no shuffle exchange in the physical plan
+    assert "Exchange hashpartitioning" not in plan
+    assert j.count() > 0
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_csv(nation, str(tmp_path / "nation_csv"))
+    write_json(nation, str(tmp_path / "nation_json"))
+    csv_back = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(str(tmp_path / "nation_csv"))
+    )
+    json_back = spark.read.json(str(tmp_path / "nation_json"))
+    assert csv_back.count() == 25
+    assert json_back.count() == 25
+    assert set(json_back.columns) == set(nation.columns)
