@@ -106,3 +106,27 @@ def test_minhash_lsh_finds_exact_duplicates(spark, tmp_path, monkeypatch):
         (r.doc_a, r.doc_b) for r in q_dedup_minhash_lsh(spark, str(tmp_path)).collect()
     }
     assert (1, 2) in pairs
+
+
+def test_sim_join_lsh_finds_high_cos_pairs(spark, tmp_path):
+    # plant two nearly-identical vectors among noise: LSH at the
+    # near-dup operating range (cos ~1) must recover the planted pair
+    import math
+    import random
+
+    rng = random.Random(11)
+    dim = 64
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v], i % 4))
+    base = rows[0][1]
+    rows.append((900, [x + rng.gauss(0, 0.001) for x in base], 0))  # near-dup of 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import q_sim_join_lsh
+
+    pairs = {(r.vec_a, r.vec_b) for r in q_sim_join_lsh(spark, str(tmp_path)).collect()}
+    assert (0, 900) in pairs
