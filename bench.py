@@ -50,6 +50,23 @@ def main() -> None:
         materialize(q.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # the reference's canonical workload: scan -> project -> parquet write
+    # (real sink I/O, not noop), per SURVEY.md §2A A3+A5+A6
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select(
+                "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount", "l_returnflag", "l_linestatus", "l_shipdate",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/out")
+        )
+        timings["etl_scan_project_write"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -37,6 +37,7 @@ from pyspark.sql.types import DoubleType, LongType, StringType, StructField, Str
 
 from .session import tune
 from .sources.s3 import fetch_s3
+from .sources.sinks import write_parquet
 from .sources.zipsource import extract_zip
 
 logger = logging.getLogger(__name__)
@@ -112,15 +113,18 @@ class VerifyReport:
 
 
 def verify_columns(
-    df: DataFrame, expected: tuple[str, ...] = EXPECTED_COLUMNS
+    source: DataFrame | list[str], expected: tuple[str, ...] = EXPECTED_COLUMNS
 ) -> VerifyReport:
     """Diff actual vs expected column names; log, never abort.
 
     warn per missing (main.rs:115), info per unexpected (main.rs:122),
     success line when complete (main.rs:126). Types are not checked —
-    faithful to the reference.
+    faithful to the reference. ``source`` is the ACTUAL column list
+    (from :func:`csv_header_columns`) or a DataFrame whose columns came
+    from the file itself — never a schema-forced read, whose columns
+    are the schema's by construction.
     """
-    actual = set(df.columns)
+    actual = set(source.columns if isinstance(source, DataFrame) else source)
     report = VerifyReport(
         missing=[c for c in expected if c not in actual],
         unexpected=sorted(actual - set(expected)),
@@ -143,8 +147,11 @@ def read_csv(
 ) -> DataFrame:
     """A3: CSV scan. Explicit schema by default; inference is opt-in
     (it costs an extra pass over the data — the reference paid that
-    price twice per run)."""
+    price twice per run). Declining both is an error, never a silent
+    fallback to inference."""
     tune(spark)
+    if schema is None and not infer:
+        raise ValueError("read_csv needs an explicit schema or infer=True")
     reader = spark.read.option("header", True)
     if schema is not None and not infer:
         reader = reader.schema(schema)
@@ -153,14 +160,23 @@ def read_csv(
     return reader.csv(csv_path)
 
 
+def csv_header_columns(spark: SparkSession, csv_path: str) -> list[str]:
+    """The ACTUAL header row of the CSV (one-line read, no full scan).
+
+    Needed because reading with an explicit schema ignores the file
+    header entirely (enforceSchema) — a name check against such a
+    DataFrame would be vacuous and, worse, a missing column would
+    positionally misalign every later value.
+    """
+    first = spark.read.text(csv_path).first()
+    if first is None:
+        return []
+    return [c.strip().strip('"') for c in first.value.split(",")]
+
+
 def project_selected(df: DataFrame) -> DataFrame:
     """A5: select the 8 target columns (backticks handle 'PM2.5')."""
     return df.select(*[F.col(f"`{c}`") for c in SELECTED_COLUMNS])
-
-
-def write_parquet(df: DataFrame, out_path: str, mode: str = "overwrite") -> None:
-    """A6: parquet sink (directory-of-parts; never coalesce(1) at scale)."""
-    df.write.mode(mode).parquet(out_path)
 
 
 def ingest_csv(
@@ -168,11 +184,19 @@ def ingest_csv(
     csv_path: str,
     out_path: str,
     *,
-    schema: StructType | None = None,
+    expected: tuple[str, ...] = EXPECTED_COLUMNS,
 ) -> VerifyReport:
-    """verify → project → write, reading the CSV exactly once."""
-    df = read_csv(spark, csv_path, schema=schema or airquality_schema())
-    report = verify_columns(df)
+    """header-check → verify → typed scan → project → write.
+
+    The explicit scan schema is built from the file's ACTUAL header
+    (types assigned by name), so a missing column can never positionally
+    misalign the others; the verifier warns (never aborts), and — as in
+    the reference — it is the projection that fails hard when a selected
+    column is absent.
+    """
+    actual = csv_header_columns(spark, csv_path)
+    report = verify_columns(actual, expected)
+    df = read_csv(spark, csv_path, schema=airquality_schema(tuple(actual)))
     write_parquet(project_selected(df), out_path)
     return report
 
@@ -199,10 +223,15 @@ def run_pipeline(
         logger.info("warm path: %s exists, skipping fetch+unzip", unzipped_data)
         return ingest_csv(spark, unzipped_data, out_path)
 
-    bucket = bucket or os.environ["BUCKET"]
-    object_key = object_key or os.environ["OBJECT"]
     destination = destination or os.environ.get("DESTINATION", zip_path)
-    fetch_s3(bucket, object_key, destination)
+    if os.path.exists(destination):
+        # zip already local: no S3 creds/env needed (A7 short-circuit
+        # applies BEFORE the env reads, not after)
+        logger.info("destination %s exists; skipping S3 fetch", destination)
+    else:
+        bucket = bucket or os.environ["BUCKET"]
+        object_key = object_key or os.environ["OBJECT"]
+        fetch_s3(bucket, object_key, destination)
     extracted = extract_zip(destination, unzip_dir)
     csvs = [p for p in extracted if p.lower().endswith(".csv")]
     if not csvs:

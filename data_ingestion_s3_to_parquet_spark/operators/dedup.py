@@ -128,7 +128,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability at j=0.71; with 4 bands, pairs at j≥0.5 are caught with
     good probability while |D|² never materializes.
     """
-    sh = _shingled(spark, sf_dir)
+    # cache: the expression-heavy shingling feeds three consumers (the
+    # signature path and both sides of the verification join) — without
+    # it the n-gram build runs 3×
+    sh = _shingled(spark, sf_dir).cache()
     sig = minhash_signature(sh, "doc_id", "sh", k=16)
     # merge hint for the same explode-underestimate reason as the
     # jaccard join — never broadcast a banded signature table.
@@ -169,7 +172,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance ≤ 3 (pigeonhole over 4 blocks of 16 bits).
     """
     sh = _shingled(spark, sf_dir)
-    sig = simhash_signature(sh, "doc_id", "sh")
+    # cache the tiny signature table: both join sides derive from it
+    sig = simhash_signature(sh, "doc_id", "sh").cache()
     blocked = sig.withColumn("blk", F.shiftrightunsigned("sim", 48))
     x = blocked.select(
         F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "blk"

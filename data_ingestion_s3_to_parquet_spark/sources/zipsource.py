@@ -98,9 +98,11 @@ def read_zipped_csvs(
                                 header=0 if header else None,
                                 names=None if header else names,
                             )
-                        if header:
-                            out = out[[c for c in names if c in out.columns]]
-                        yield out
+                        # reindex, don't subset: a CSV missing a schema
+                        # column yields nulls there (warn-missing/never-
+                        # abort contract), and extra columns are dropped
+                        # — the Arrow batch must match the schema exactly
+                        yield out.reindex(columns=names)
 
     binaries = spark.read.format("binaryFile").load(zip_glob)
     return binaries.select("content").mapInPandas(parse, schema=schema)

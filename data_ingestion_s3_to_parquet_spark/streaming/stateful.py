@@ -58,8 +58,15 @@ def _us(ts: pd.Timestamp) -> int:
 
 
 def _emit(user_id, start_us, last_us, n, total, closed_by) -> pd.DataFrame:
-    # pd.Timestamp takes NANOSECONDS; state carries microseconds
-    end_us = last_us + SESSION_GAP_SECONDS * 1_000_000
+    # pd.Timestamp takes NANOSECONDS; state carries microseconds.
+    # gap/timeout closes extend to last_event + gap (standard session
+    # semantics); a terminal event closes the session AT the event —
+    # extending it would overlap the user's next session.
+    end_us = (
+        last_us
+        if closed_by == "terminal"
+        else last_us + SESSION_GAP_SECONDS * 1_000_000
+    )
     return pd.DataFrame(
         {
             "user_id": [user_id],
@@ -104,6 +111,9 @@ def sessionize_fn(
         n += 1
         total += float(value)
         last_us = max(last_us, t)
+        # a late-but-within-watermark event can precede the persisted
+        # session start; the session span must cover it
+        start_us = min(start_us, t)
         if etype == "error":  # terminal event closes the session NOW
             yield _emit(user_id, start_us, last_us, n, total, "terminal")
             start_us, last_us, n, total = None, None, 0, 0.0

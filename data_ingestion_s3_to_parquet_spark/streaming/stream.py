@@ -73,13 +73,21 @@ def windowed_counts_stream(
     )
 
 
-def run_stream_once(df: DataFrame, *, name: str = "stream_smoke") -> list:
+def run_stream_once(
+    df: DataFrame, *, name: str = "stream_smoke", output_mode: str = "complete"
+) -> list:
     """Run a streaming DataFrame to completion on available input via a
-    memory sink; returns the materialized rows."""
+    memory sink; returns the materialized rows.
+
+    ``output_mode``: "complete" fits aggregated streams (the default
+    pairing with :func:`windowed_counts_stream`); pass "append" for
+    non-aggregated streams — Spark rejects complete mode without a
+    streaming aggregation.
+    """
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

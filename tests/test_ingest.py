@@ -73,25 +73,47 @@ def test_ingest_projects_8_columns_same_rowcount(spark, csv_file, tmp_path):
 
 
 def test_verifier_warns_on_missing_never_aborts(spark, tmp_path, caplog):
-    cols = tuple(c for c in EXPECTED_COLUMNS if c != "NO2")
+    # drop a NON-projected column: the verifier warns from the real file
+    # header and ingestion still completes (reference semantics)
+    cols = tuple(c for c in EXPECTED_COLUMNS if c != "Temp")
     p = tmp_path / "missing.csv"
     make_csv(str(p), columns=cols)
-    df = read_csv(spark, str(p), schema=airquality_schema(cols))
+    out = str(tmp_path / "missing.parquet")
     with caplog.at_level(logging.WARNING):
-        report = verify_columns(df)
-    assert report.missing == ["NO2"]
-    assert any("NO2" in r.message for r in caplog.records)
+        report = ingest_csv(spark, str(p), out)
+    assert report.missing == ["Temp"]
+    assert any("Temp" in r.message for r in caplog.records)
+    assert spark.read.parquet(out).count() == N_ROWS
+
+
+def test_missing_column_does_not_misalign_values(spark, tmp_path):
+    # regression: the scan schema is built from the ACTUAL header, so a
+    # missing column must not shift later columns' values positionally
+    cols = tuple(c for c in EXPECTED_COLUMNS if c != "NO2")
+    p = tmp_path / "shifted.csv"
+    make_csv(str(p), columns=cols)
+    out = str(tmp_path / "shifted.parquet")
+    with pytest.raises(Exception):
+        # NO2 is a projected column: projection fails hard, like the
+        # reference's .expect() after its warn-only verifier
+        ingest_csv(spark, str(p), out)
+    # and the non-projected columns stay aligned under the same scan
+    df = read_csv(spark, str(p), schema=airquality_schema(cols))
+    row = df.select("station_name", "`PM2.5`").first()
+    assert row.station_name.startswith("station_")  # not a shifted number
 
 
 def test_verifier_notes_unexpected_column(spark, tmp_path, caplog):
     cols = EXPECTED_COLUMNS + ("extra_col",)
     p = tmp_path / "extra.csv"
     make_csv(str(p), columns=cols)
-    df = read_csv(spark, str(p), schema=airquality_schema(cols))
+    out = str(tmp_path / "extra.parquet")
     with caplog.at_level(logging.INFO):
-        report = verify_columns(df)
+        report = ingest_csv(spark, str(p), out)
     assert report.unexpected == ["extra_col"]
     assert report.all_present
+    got = spark.read.parquet(out)
+    assert got.columns == list(SELECTED_COLUMNS)
 
 
 def test_zip_extract_skips_unsafe_entries(tmp_path):
@@ -120,8 +142,10 @@ def test_cold_path_without_s3_uses_local_zip(spark, csv_file, tmp_path, monkeypa
     with zipfile.ZipFile(zpath, "w") as zf:
         zf.write(csv_file, "data.csv")
     out = str(tmp_path / "cold.parquet")
-    monkeypatch.setenv("BUCKET", "unused")
-    monkeypatch.setenv("OBJECT", "unused")
+    # no AWS env at all: the exists short-circuit must fire BEFORE the
+    # BUCKET/OBJECT env reads
+    monkeypatch.delenv("BUCKET", raising=False)
+    monkeypatch.delenv("OBJECT", raising=False)
     report = run_pipeline(
         spark,
         unzipped_data=str(tmp_path / "does-not-exist.csv"),
@@ -143,3 +167,16 @@ def test_distributed_zip_csv_scan(spark, csv_file, tmp_path):
     )
     assert df.count() == 3 * N_ROWS
     assert df.columns == list(EXPECTED_COLUMNS)
+
+
+def test_distributed_zip_scan_fills_missing_columns(spark, tmp_path):
+    # regression: an archive whose CSV lacks a schema column must yield
+    # nulls there, not kill the job with an Arrow schema mismatch
+    cols = tuple(c for c in EXPECTED_COLUMNS if c != "Temp")
+    csv_p = tmp_path / "short.csv"
+    make_csv(str(csv_p), columns=cols)
+    with zipfile.ZipFile(tmp_path / "short.zip", "w") as zf:
+        zf.write(str(csv_p), "short.csv")
+    df = read_zipped_csvs(spark, str(tmp_path / "short.zip"), airquality_schema())
+    assert df.count() == N_ROWS
+    assert df.where("Temp IS NULL").count() == N_ROWS
