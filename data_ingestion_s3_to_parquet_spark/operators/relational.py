@@ -111,13 +111,13 @@ SQL_AGG_GROUP = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_qty,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_base_price,
-  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
-  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_charge,
-  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_quantity), 6) AS DOUBLE) AS avg_qty,
-  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS DOUBLE) AS avg_price,
-  CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_discount), 6) AS DOUBLE) AS avg_disc,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) / COUNT(l_quantity), 6) AS DOUBLE) AS avg_qty,
+  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS DOUBLE) AS avg_price,
+  CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,8))) AS DOUBLE) / COUNT(l_discount), 6) AS DOUBLE) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -181,7 +181,7 @@ SQL_AGG_ROLLUP_CUBE = """
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag, l_linestatus) AS gid,
        COUNT(*) AS n_rows,
-       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_qty
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -217,7 +217,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JOIN_INNER = """
 SELECT n_name,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -245,7 +245,7 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JOIN_OUTER = """
 SELECT c_custkey, c_name,
        COUNT(o_orderkey) AS n_big_orders,
-       CAST(ROUND(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_spend
+       CAST(ROUND(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,8))), 2) AS DOUBLE) AS total_spend
 FROM customer
 LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) AS o
   ON c_custkey = o_custkey
@@ -349,7 +349,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JOIN_BROADCAST = """
 SELECT r_name,
        COUNT(*) AS n_customers,
-       CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) / COUNT(c_acctbal), 6) AS DOUBLE) AS avg_acctbal
+       CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,8))) AS DOUBLE) / COUNT(c_acctbal), 6) AS DOUBLE) AS avg_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -545,7 +545,7 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_totalprice", 1).over(w).alias("prev_price"),
         F.lead("o_totalprice", 1).over(w).alias("next_price"),
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(28,8)")).over(frame), 2
+            F.sum(F.col("o_totalprice").cast("decimal(18,8)")).over(frame), 2
         ).cast("double").alias("running_spend"),
         F.row_number().over(w).alias("order_seq"),
     )
@@ -555,7 +555,7 @@ SQL_WINDOW_ANALYTIC = """
 SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
        LAG(o_totalprice, 1)  OVER w AS prev_price,
        LEAD(o_totalprice, 1) OVER w AS next_price,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,8)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
        ROW_NUMBER() OVER w AS order_seq

@@ -37,7 +37,7 @@ SQL_SUBQUERY_SCALAR = """
 SELECT o_orderkey, o_totalprice
 FROM orders
 WHERE o_totalprice > (
-  SELECT CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+  SELECT CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE)
               / COUNT(o_totalprice), 6) AS DOUBLE)
   FROM orders
 )
@@ -174,7 +174,7 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JOIN_SKEW_SALTED = """
 SELECT p_brand, COUNT(*) AS n_items,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS brand_revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,8))), 2) AS DOUBLE) AS brand_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
@@ -203,7 +203,7 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q3 = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -240,7 +240,7 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q5 = """
 SELECT r_name, n_name,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -272,7 +272,7 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q10 = """
 SELECT c_custkey, c_name, n_name,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS lost_revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))), 2) AS DOUBLE) AS lost_revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -298,7 +298,7 @@ def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SQL_FRONTEND = """
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,8))), 2) AS DOUBLE) AS total
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
 GROUP BY o_orderpriority

@@ -53,7 +53,7 @@ SELECT CAST(time_bucket(INTERVAL '1 hour', date_trunc('second', ts)) AS TIMESTAM
        CAST(time_bucket(INTERVAL '1 hour', date_trunc('second', ts)) + INTERVAL '1 hour' AS TIMESTAMP) AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -89,7 +89,7 @@ WITH shifted AS (
 SELECT window_start,
        window_start + INTERVAL '1 hour' AS window_end,
        COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_value
 FROM shifted
 GROUP BY 1, 2
 """
@@ -140,7 +140,7 @@ SELECT user_id,
        CAST(MIN(ts) AS TIMESTAMP) AS session_start,
        CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
        COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_value
 FROM sessions
 GROUP BY user_id, sid
 """
