@@ -228,9 +228,32 @@ def media_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
     return media.select(*cols).mapInPandas(_features_batch, MEDIA_FEATURES_SCHEMA)
 
 
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the JSON props into a real
+    ``map<string,int>`` and exercise map_keys / element_at / size."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+SQL_MAP_FUNCS = """
+SELECT event_id,
+       json_keys(props)[1] AS first_key,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+"""
+
+
 QUERIES = [
     Query("multimodal_cols", q_multimodal_cols, SQL_MULTIMODAL_COLS, ("llm", "multimodal")),
     Query("multimodal_binary", q_multimodal_binary, SQL_MULTIMODAL_BINARY, ("llm", "multimodal")),
     Query("array_map_json", q_array_map_json, SQL_ARRAY_MAP_JSON, ("relational", "json")),
+    Query("map_funcs", q_map_funcs, SQL_MAP_FUNCS, ("relational", "json")),
     Query("udf_scalar", q_udf_scalar, SQL_UDF_SCALAR, ("relational", "udf"), bench=True),
 ]

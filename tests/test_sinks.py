@@ -66,3 +66,20 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     assert csv_back.count() == 25
     assert json_back.count() == 25
     assert set(json_back.columns) == set(nation.columns)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    # ORC: the other columnar format Spark ships natively
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == 25
+    assert back.schema == nation.schema
+
+
+def test_text_format_roundtrip(spark, tmp_path):
+    lines = spark.createDataFrame([("alpha",), ("beta",)], "value string")
+    out = str(tmp_path / "lines_txt")
+    lines.write.mode("overwrite").text(out)
+    assert {r.value for r in spark.read.text(out).collect()} == {"alpha", "beta"}
