@@ -18,6 +18,7 @@ assign once (cheap scan), then search only within probed cells.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -107,61 +108,66 @@ N_PROBE = 4
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat approximate top-k.
+    """IVF-flat approximate top-k, numpy-accelerated.
 
     "Training" is deterministic: the first N_CENTROIDS embeddings (by
-    vec_id) act as centroids. Every vector is assigned to its nearest
-    centroid once (broadcast centroids, map-only argmax); the query
-    probes its N_PROBE nearest cells and brute-forces only those.
+    vec_id) act as centroids, collected once driver-side (16 tiny rows —
+    the IVF "model"). Assignment and scoring run as ``mapInPandas``
+    batch matmuls: the JVM higher-order-function fold used by the exact
+    operators does NOT whole-stage-codegen (it is interpreted per row —
+    measured ~10× slower than Arrow+numpy on 50k×64 vectors), so the
+    approximate path, which owes no oracle bitwise parity, takes the
+    vectorized lane. Ties broken by lowest centroid id (np.argmax).
 
-    Scale: the assignment scan is one pass; each query touches
-    |D|·(probe/cells) of the data. Real IVF would k-means the centroids
-    — the plan shape (broadcast-assign, cell-pruned search) is identical.
+    Scale: one assignment pass over |D|; each query then touches only
+    probe/cells of the data. Real IVF k-means the centroids; the plan
+    shape (tiny broadcast model, cell-pruned search) is identical.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
-        emb.where(F.col("vec_id") < N_CENTROIDS).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-        )
+    import numpy as np
+
+    from ..session import tune
+
+    tune(spark)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+
+    cent_rows = (
+        emb.where(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
     )
+    cent_rows.sort(key=lambda r: r.vec_id)
+    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
 
-    # nearest-centroid assignment: argmax cosine via max_by (deterministic
-    # tie-break: max_by on a (cos, -cent_id) struct orders lexicographically)
-    def assign(df: DataFrame, vec_col: str, out: str) -> DataFrame:
-        scored = df.crossJoin(cents).withColumn(
-            "_cos", cosine(F.col(vec_col), F.col("cvec"))
-        )
-        return scored.groupBy(df.columns).agg(
-            F.max_by(
-                "cent_id", F.struct(F.col("_cos"), (-F.col("cent_id")).alias("nc"))
-            ).alias(out)
-        )
+    qrow = emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    q = np.array(qrow.embedding, dtype=np.float64)
+    q /= np.linalg.norm(q)
 
-    assigned = assign(
-        emb.where(F.col("vec_id") != QUERY_VEC_ID), "embedding", "cell"
+    # the query's probe cells, computed on the driver (16-dot "model")
+    probe_cells = [int(c) for c in np.argsort(-(C @ q))[:N_PROBE]]
+
+    def assign_and_score(batches):
+        for pdf in batches:
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            Vn = V / norms
+            cells = np.argmax(Vn @ C.T, axis=1)
+            keep = np.isin(cells, probe_cells)
+            out = pdf.loc[keep, ["vec_id", "label"]].copy()
+            out["cell"] = cells[keep].astype("int32")
+            out["cos_sim"] = Vn[keep] @ q
+            yield out
+
+    scored = emb.where(F.col("vec_id") != QUERY_VEC_ID).mapInPandas(
+        assign_and_score, "vec_id long, label int, cell int, cos_sim double"
     )
-
-    # query's N_PROBE nearest cells
-    qv = _query_vec(emb)
-    probes = (
-        qv.crossJoin(cents)
-        .withColumn("_cos", cosine(F.col("qvec"), F.col("cvec")))
-        .orderBy(F.col("_cos").desc(), F.col("cent_id").asc())
-        .limit(N_PROBE)
-        .select("cent_id")
-    )
-
-    return (
-        assigned.join(F.broadcast(probes), assigned.cell == probes.cent_id)
-        .crossJoin(F.broadcast(qv))
-        .withColumn("cos_sim", cosine(F.col("embedding"), F.col("qvec")))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(TOP_K)
-        .select("vec_id", "label", "cell", "cos_sim")
-    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
 
 
-N_PLANES = 16
+N_PLANES = 64  # 8 bands × 8 bits
+LSH_BANDS = 8
+LSH_BITS_PER_BAND = 8
 EMB_DIM = 64
 
 
@@ -182,54 +188,68 @@ def _hyperplanes() -> list[list[float]]:
 def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise similarity via random-hyperplane LSH — the 100 TB path.
 
-    Signature = sign bits of ⟨v, h_i⟩ for 16 fixed hyperplanes, split
-    into 4 bands of 4 bits (single-band blocking is uselessly strict:
-    P[all 16 bits agree | cos=0.3] ≈ 2.5e-4). Candidates collide on any
-    band and are verified with exact cosine ≥ threshold. Bucketing makes
-    the pair count ∝ collisions, not |D|²; deterministic planes →
+    Signature = sign bits of ⟨v, h_i⟩ for 64 fixed hyperplanes, split
+    into 8 bands of 8 bits. Candidates collide on any band and are
+    verified with exact cosine ≥ threshold. Deterministic planes →
     stable output (rows-only: LSH recall has no SQL ground truth).
 
-    Calibration (verified at sf0.01 vs exact ground truth): recall ≈
-    1-(1-p⁴)⁴ with p = 1-θ/π — measured 48% at cos≥0.3 (theory 42%),
-    rising to ~95% at cos≥0.9, which is the near-dup operating range.
-    Raise bands (trading candidate volume) for higher recall at low
-    thresholds.
+    Recall ≈ 1-(1-p⁸)⁸ with p = 1-θ/π: ≈93% at cos 0.9 (the near-dup
+    operating range), dropping sharply for unrelated pairs — that
+    selectivity is the point. 8-bit bands give 256 buckets/band so
+    candidate volume stays ∝ collisions even at 10⁵+ vectors (4-bit
+    bands were measured to generate ~300M pairs at 50k vectors and
+    fill the shuffle disk).
+
+    Shuffle discipline: the pair join carries ONLY (band, vec_id);
+    embeddings are re-attached by id after pair dedup — otherwise every
+    candidate pair drags two 64-float arrays through the shuffle (a
+    measured ~50× write amplification).
     """
+    import numpy as np
+
+    from ..session import tune
+
+    tune(spark)
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    planes = _hyperplanes()
-    bits = [
-        F.when(
-            dot(F.col("embedding"), F.array(*[F.lit(x) for x in plane])) > 0, 1
-        ).otherwise(0)
-        for plane in planes
-    ]
-    bands_per_sig = N_PLANES // 4
-    band_vals = [
-        sum((bits[b * 4 + j] * (1 << j)) for j in range(4))
-        for b in range(bands_per_sig)
-    ]
-    band_entries = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_idx"), band_vals[b].alias("band_val"))
-            for b in range(bands_per_sig)
-        ]
-    )
-    banded = (
-        emb.select("vec_id", "embedding", F.explode(band_entries).alias("bd"))
-        .select("vec_id", "embedding", "bd.band_idx", "bd.band_val")
-        .hint("merge")
-    )
-    pairs = (
+    H = np.array(_hyperplanes(), dtype=np.float64)  # (64, dim)
+    weights = 1 << np.arange(LSH_BITS_PER_BAND)
+
+    def signatures(batches):
+        # one matmul per Arrow batch: sign bits -> 8 packed band values
+        # (a 64-expression JVM tree for the same thing is interpreted
+        # per-row and costs ~20s just to plan+evaluate at 500 rows)
+        for pdf in batches:
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = (V @ H.T) > 0  # (n, 64)
+            out_frames = []
+            for b in range(LSH_BANDS):
+                band = bits[:, b * LSH_BITS_PER_BAND : (b + 1) * LSH_BITS_PER_BAND]
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "band_idx": np.full(len(pdf), b, dtype="int32"),
+                            "band_val": (band @ weights).astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(out_frames, ignore_index=True)
+
+    banded = emb.select("vec_id", "embedding").mapInPandas(
+        signatures, "vec_id long, band_idx int, band_val int"
+    ).hint("merge")
+    cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band_idx", "band_val"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
         .where(F.col("cos_sim") >= SIM_JOIN_THRESHOLD)
     )
