@@ -69,13 +69,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join on the 64-bit shingle hash, not the string: smaller shuffle,
     # faster probes; and keep BOTH sides the textually-identical plan so
     # Spark's ReuseExchange shuffles the exploded table once.
-    # merge hint: Catalyst's size estimate ignores explode fan-out (it
+    # shuffle_hash hint: Catalyst's size estimate ignores explode fan-out (it
     # carries the pre-Generate stat), so it happily BROADCASTS the
     # exploded table — measured at 100k docs it tried to broadcast 8M
-    # rows. Pin a shuffle join; AQE may still localize small cases.
+    # rows. Pin a shuffle-hash join (no sort, spill-capable); AQE still handles skew.
     ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("g")).select(
         "doc_id", "n_sh", F.xxhash64("g").alias("gh")
-    ).hint("merge")
+    ).hint("shuffle_hash")
     pairs = (
         ex.alias("x")
         .join(ex.alias("y"), "gh")
@@ -133,9 +133,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it the n-gram build runs 3×
     sh = _shingled(spark, sf_dir).cache()
     sig = minhash_signature(sh, "doc_id", "sh", k=16)
-    # merge hint for the same explode-underestimate reason as the
+    # shuffle-hash hint for the same explode-underestimate reason as the
     # jaccard join — never broadcast a banded signature table.
-    bands = lsh_bands(sig, "doc_id", bands=4, rows_per_band=4).hint("merge")
+    bands = lsh_bands(sig, "doc_id", bands=4, rows_per_band=4).hint("shuffle_hash")
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band_idx", "band_hash"])

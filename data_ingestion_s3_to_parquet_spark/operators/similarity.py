@@ -237,7 +237,7 @@ def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     banded = emb.select("vec_id", "embedding").mapInPandas(
         signatures, "vec_id long, band_idx int, band_val int"
-    ).hint("merge")
+    ).hint("shuffle_hash")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band_idx", "band_val"])
