@@ -209,6 +209,57 @@ GROUP BY doc_id, u.word
 """
 
 
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface over event time: epoch seconds, parts, formatted
+    strings (Spark ``date_format`` pattern vs DuckDB ``strftime`` —
+    different pattern languages, same rendered values)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.date_trunc("second", F.col("ts"))
+    return ev.select(
+        "event_id",
+        F.unix_timestamp(ts).alias("epoch_s"),
+        F.hour(ts).alias("ev_hour"),
+        F.minute(ts).alias("ev_minute"),
+        F.dayofweek(ts).alias("ev_dow"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm").alias("ts_fmt"),
+        F.to_date(ts).alias("ev_date"),
+    )
+
+
+SQL_DATETIME_FUNCS = """
+SELECT event_id,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+       CAST(hour(ts) AS INT) AS ev_hour,
+       CAST(minute(ts) AS INT) AS ev_minute,
+       CAST(dayofweek(ts) + 1 AS INT) AS ev_dow,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M') AS ts_fmt,
+       CAST(ts AS DATE) AS ev_date
+FROM events
+"""
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: schema-evolution-tolerant
+    append (late files missing a new column fill with nulls)."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+SQL_UNION_BY_NAME = """
+SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
 QUERIES = [
     Query("window_range_frame", q_window_range_frame, SQL_WINDOW_RANGE_FRAME, ("relational", "window")),
     Query("agg_argminmax", q_agg_argminmax, SQL_AGG_ARGMINMAX, ("relational", "agg")),
@@ -217,4 +268,6 @@ QUERIES = [
     Query("null_handling", q_null_handling, SQL_NULL_HANDLING, ("relational",)),
     Query("udaf_grouped", q_udaf_grouped, SQL_UDAF_GROUPED, ("relational", "udf")),
     Query("map_in_pandas_tokens", q_map_in_pandas_tokens, SQL_MAP_IN_PANDAS_TOKENS, ("llm", "udf")),
+    Query("datetime_funcs", q_datetime_funcs, SQL_DATETIME_FUNCS, ("relational",)),
+    Query("union_by_name", q_union_by_name, SQL_UNION_BY_NAME, ("relational",)),
 ]

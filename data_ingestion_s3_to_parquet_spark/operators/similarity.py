@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine
 from ..plans.spec import Query
 from ..sources.catalog import load_table, spread
 

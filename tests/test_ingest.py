@@ -10,7 +10,6 @@ warm-path short-circuit.
 from __future__ import annotations
 
 import csv
-import io
 import logging
 import os
 import zipfile
