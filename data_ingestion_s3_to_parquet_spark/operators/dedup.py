@@ -9,6 +9,8 @@ Four strategies, exact → approximate:
                            is probabilistic so no SQL ground truth)
 - ``dedup_simhash``        64-bit SimHash + Hamming-distance pairs
                            (rows-only: engine-specific hash function)
+- ``dedup_embedding``      embedding-cosine near-dup filter over the
+                           ``embeddings`` table (oracle)
 
 Scale: all shuffles key on shingle/band hashes, which are uniformly
 distributed — no skew. The exact-Jaccard join is bounded by shingle
@@ -29,6 +31,7 @@ from ..functions.hashing import (
     simhash_signature,
 )
 from ..functions.text import with_shingles
+from ..functions.vectors import cosine
 from ..plans.spec import Query
 from ..sources.catalog import load_table, spread
 
@@ -190,8 +193,55 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DEDUP_THRESHOLD = 0.3
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup filter: a vector is dropped when ANY
+    lower-id vector in its label block has cosine ≥ 0.3 with it.
+
+    "Any lower-id neighbor" (rather than greedy keep-first) makes the
+    semantics join-expressible — one pair join + one anti-join, no
+    iteration — and hence exactly oracle-checkable; true transitive
+    clustering needs iterative connected components (see SCALE.md).
+    The output carries only (vec_id, label) ints, so no float-boundary
+    hash risk beyond the threshold comparison itself, which uses the
+    same bitwise-DuckDB-equal cosine fold as ``sim_join``.
+
+    Scale: blocking on ``label`` stands in for any coarse partitioner;
+    at 100 TB the candidate pairs come from ``sim_join_lsh``'s
+    hyperplane bands instead and the anti-join is unchanged.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    lo = emb.select(
+        F.col("vec_id").alias("lo_id"), F.col("embedding").alias("e_lo"), "label"
+    )
+    hi = emb.select("vec_id", F.col("embedding").alias("e_hi"), "label")
+    drop = (
+        lo.join(hi, "label")
+        .where(F.col("lo_id") < F.col("vec_id"))
+        .where(cosine(F.col("e_lo"), F.col("e_hi")) >= EMB_DEDUP_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+    )
+    return emb.join(drop, "vec_id", "left_anti").select("vec_id", "label")
+
+
+SQL_DEDUP_EMBEDDING = f"""
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings u
+  WHERE u.label = e.label AND u.vec_id < e.vec_id
+    AND list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) >= {EMB_DEDUP_THRESHOLD}
+)
+"""
+
+
 QUERIES = [
     Query("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("llm", "dedup"), bench=True),
+    Query("dedup_embedding", q_dedup_embedding, SQL_DEDUP_EMBEDDING, ("llm", "dedup")),
     Query(
         "dedup_ngram_jaccard",
         q_dedup_ngram_jaccard,

@@ -130,3 +130,24 @@ def test_sim_join_lsh_finds_high_cos_pairs(spark, tmp_path):
 
     pairs = {(r.vec_a, r.vec_b) for r in q_sim_join_lsh(spark, str(tmp_path)).collect()}
     assert (0, 900) in pairs
+
+
+def test_dedup_embedding_drops_planted_near_dup(spark, tmp_path):
+    # orthogonal basis vectors never collide; a copy of vec 0 with a
+    # higher id and the same label must be the only casualty
+    dim = 64
+    rows = []
+    for i in range(8):
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v, 0))
+    rows.append((900, [1.0] + [0.0] * (dim - 1), 0))  # exact dup of vec 0
+    rows.append((901, [1.0] + [0.0] * (dim - 1), 1))  # dup but other label
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import q_dedup_embedding
+
+    kept = {r.vec_id for r in q_dedup_embedding(spark, str(tmp_path)).collect()}
+    assert 900 not in kept
+    assert kept == {0, 1, 2, 3, 4, 5, 6, 7, 901}
