@@ -239,9 +239,111 @@ WHERE NOT EXISTS (
 """
 
 
+MAX_CC_ITERS = 25
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components of the
+    embedding-similarity graph via iterative hash-min propagation.
+
+    Completes what ``dedup_embedding`` approximates: there "any
+    lower-id neighbor" drops a vector even when chains A~B~C never put
+    A and C above the threshold; here every vector gets
+    ``component`` = min vec_id reachable through cos ≥ 0.3 edges, the
+    canonical cluster representative.
+
+    Iterative algorithms have no single-query DataFrame form, so this
+    is a driver-side fixpoint loop (the standard Spark shape, cf.
+    GraphFrames/GraphX): each round joins labels to edges, takes the
+    min neighbor label, and stops when no label changed. Two scale
+    rules applied: ``localCheckpoint`` every round truncates the
+    exponentially-growing lineage (without it round k replans rounds
+    1..k-1), and convergence needs ≤ graph-diameter rounds — near-dup
+    clusters are shallow (diameter ~2-3), not |V|. At 100 TB the edge
+    list comes from LSH candidates (``sim_join_lsh``) and the same
+    loop runs with the large-star/small-star optimization (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") to bound the
+    per-round shuffle.
+
+    Oracle: exact transitive closure via DuckDB's recursive CTE —
+    feasible because sf-fixture components are small; the Spark side
+    scales, the oracle side only has to be right.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("u"), F.col("embedding").alias("ea"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v"), F.col("embedding").alias("eb"), "label"
+    )
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("u") < F.col("v"))
+        .where(cosine(F.col("ea"), F.col("eb")) >= EMB_DEDUP_THRESHOLD)
+        .select("u", "v")
+    )
+    # undirected: propagate both ways
+    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.localCheckpoint()
+
+    labels = emb.select("vec_id", F.col("vec_id").alias("component"))
+    labels = labels.localCheckpoint()
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.vec_id)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.vec_id == nbr_min.u, "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vec_id")
+            .where(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE edges AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= {EMB_DEDUP_THRESHOLD}
+),
+reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+)
+SELECT src AS vec_id, MIN(dst) AS component
+FROM reach GROUP BY src
+"""
+
+
 QUERIES = [
     Query("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("llm", "dedup"), bench=True),
     Query("dedup_embedding", q_dedup_embedding, SQL_DEDUP_EMBEDDING, ("llm", "dedup")),
+    Query(
+        "dedup_components",
+        q_dedup_components,
+        SQL_DEDUP_COMPONENTS,
+        ("llm", "dedup", "iterative"),
+    ),
     Query(
         "dedup_ngram_jaccard",
         q_dedup_ngram_jaccard,

@@ -151,3 +151,21 @@ def test_dedup_embedding_drops_planted_near_dup(spark, tmp_path):
     kept = {r.vec_id for r in q_dedup_embedding(spark, str(tmp_path)).collect()}
     assert 900 not in kept
     assert kept == {0, 1, 2, 3, 4, 5, 6, 7, 901}
+
+
+def test_dedup_components_merges_transitive_chain(spark, tmp_path):
+    # chain 0~1~2 where cos(0,2)=0: only transitive closure puts all
+    # three in one component; vec 3 is orthogonal to everything
+    import math
+
+    dim = 64
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(dim)]
+    mid = [x / math.sqrt(2) for x in (1.0, 1.0)] + [0.0] * (dim - 2)
+    rows = [(0, e(0), 0), (1, mid, 0), (2, e(1), 0), (3, e(2), 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import q_dedup_components
+
+    comp = {r.vec_id: r.component for r in q_dedup_components(spark, str(tmp_path)).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3}
