@@ -169,3 +169,29 @@ def test_dedup_components_merges_transitive_chain(spark, tmp_path):
 
     comp = {r.vec_id: r.component for r in q_dedup_components(spark, str(tmp_path)).collect()}
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_sample_split_is_stable_and_roughly_ten_percent(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import q_sample_split
+
+    a = {(r.doc_id, r.split) for r in q_sample_split(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.split) for r in q_sample_split(spark, sf_dir).collect()}
+    assert a == b  # deterministic across runs
+    n_test = sum(1 for _, s in a if s == "test")
+    assert 0.03 <= n_test / len(a) <= 0.2
+
+
+def test_emb_centroids_elementwise_mean(spark, tmp_path):
+    rows = [
+        (0, [1.0, 0.0, 3.0], 7),
+        (1, [3.0, 2.0, 0.0], 7),
+        (2, [8.0, 8.0, 8.0], 9),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import q_emb_centroids
+
+    cent = {r.label: r.centroid for r in q_emb_centroids(spark, str(tmp_path)).collect()}
+    assert cent[7] == [2.0, 1.0, 1.5]
+    assert cent[9] == [8.0, 8.0, 8.0]

@@ -85,3 +85,14 @@ def test_flagship_broadcasts_small_dims(spark):
 
     plan = plan_of(entrymod.entry(spark))
     assert "BroadcastHashJoin" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    # rn <= k must become WindowGroupLimit (per-group k-row heap), not a
+    # full per-group sort followed by a filter
+    from data_ingestion_s3_to_parquet_spark.operators.relational4 import (
+        q_topk_per_group,
+    )
+
+    plan = plan_of(q_topk_per_group(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
