@@ -10,8 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.numeric import davg
+from ..functions.text import STOPWORDS, alpha_ratio, stopword_ratio, tokens
 from ..plans.spec import Query
 from ..sources.catalog import load_table
 
@@ -105,8 +107,86 @@ FROM cent GROUP BY label
 """
 
 
+KEEP_LANGS = ("en", "fr", "es", "de")
+QUALITY_MIN = 0.38
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline, end to end: language
+    filter → quality-score filter → exact dedup (keep the lowest
+    doc_id per text) → deterministic train/test split. Output is the
+    corpus manifest a downstream tokenizer run would consume.
+
+    Stage order is chosen for scale: the per-row filters (lang,
+    quality) run first inside the scan's codegen stage so the only
+    shuffle — the dedup window on ``text`` — sees the already-thinned
+    corpus. The split column is again a pure map. So the whole
+    pipeline is one shuffle regardless of input size, and that shuffle
+    would switch to a ``sha2(text)`` groupBy at 100 TB to avoid moving
+    full document bodies (here the window keeps the representative
+    row's payload columns without a self-join).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    sw = stopword_ratio(F.col("text"))
+    al = alpha_ratio(F.col("text"))
+    dr = F.size(F.array_distinct(t)).cast("double") / F.size(t)
+    quality = F.round(0.4 * sw + 0.3 * al + 0.3 * dr, 6)
+    kept = (
+        d.where(F.col("lang").isin(*KEEP_LANGS))
+        .withColumn("quality_score", quality)
+        .where(F.col("quality_score") >= QUALITY_MIN)
+    )
+    uniq = kept.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy("text"))
+    ).where(F.col("doc_id") == F.col("rep"))
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return uniq.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.when(bucket < SPLIT_BOUND, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+_STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+SQL_CORPUS_PREP = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         ROUND(0.4 * (CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ({_STOPLIST}))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+             + 0.3 * (CAST(LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                      / LENGTH(text))
+             + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' '))), 6) AS quality_score
+  FROM documents
+  WHERE lang IN ({", ".join(f"'{lg}'" for lg in KEEP_LANGS)})
+),
+uniq AS (
+  SELECT * FROM scored
+  WHERE quality_score >= {QUALITY_MIN}
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
+)
+SELECT doc_id, lang, quality_score,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{SPLIT_BOUND}'
+            THEN 'test' ELSE 'train' END AS split
+FROM uniq
+"""
+
+
 QUERIES = [
     Query("sample_split", q_sample_split, SQL_SAMPLE_SPLIT, ("llm", "sampling")),
+    Query(
+        "corpus_prep",
+        q_corpus_prep,
+        SQL_CORPUS_PREP,
+        ("llm", "pipeline"),
+        bench=True,
+    ),
     Query(
         "emb_centroids",
         q_emb_centroids,
