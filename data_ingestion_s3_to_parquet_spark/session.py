@@ -52,6 +52,18 @@ RUNTIME_CONFS: dict[str, str] = {
     # ANSI off: fixtures are clean, and non-ANSI matches DuckDB's
     # permissive casts more closely for oracle parity.
     "spark.sql.ansi.enabled": "false",
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0` above every
+    # explode; PushDownPredicates then pushes it through the projections
+    # that define the array, INLINING the array expression into the
+    # filter. For computed arrays (shingles, token n-grams) that re-runs
+    # the whole expression per row — and re-binds `split(text)` inside
+    # the transform lambda, the O(len²) re-tokenization CSE can't fix.
+    # Every explode in this engine is over a computed array, so the
+    # inferred filter only ever hurts (explode skips empty arrays
+    # natively; the filter saves nothing).
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
