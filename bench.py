@@ -9,8 +9,9 @@ Runs every ``bench=True`` registry query against
 
 Each query is fully materialized through the ``noop`` sink (forces
 end-to-end execution including shuffles, without paying sink I/O or
-driver collection). One warm-up run of the cheapest query absorbs
-session/JIT startup so per-query numbers reflect steady state.
+driver collection). Each query gets one untimed warm-up run before its
+timed run, so numbers reflect steady state rather than per-plan
+codegen compilation (a fixed cost that vanishes at scale).
 """
 
 from __future__ import annotations
@@ -44,8 +45,14 @@ def main() -> None:
     # warm-up: JVM/codegen/parquet-footer caches
     materialize(REGISTRY["scan_parquet"].fn(spark, sf_dir))
 
+    # Per-query: one untimed warm-up run, then the timed run. Warm
+    # steady-state is the honest 100 TB proxy — whole-stage-codegen
+    # compilation (1-3s per distinct plan) is a fixed cost amortized
+    # over minutes of execution at scale, but at sf0.1 it would be
+    # 3-5x the actual query time and would drown real regressions.
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
+        materialize(q.fn(spark, sf_dir))
         t0 = time.perf_counter()
         materialize(q.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
