@@ -116,6 +116,120 @@ QUALIFY rn <= {TOPK_PER_GROUP}
 """
 
 
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute
+    group, with a NOT IN anti-subquery excluding flagged suppliers.
+
+    The anti-join side (supplier) is dimension-sized, so Catalyst plans
+    it as a broadcast null-aware anti join; the count-distinct expands
+    to a two-phase aggregate (distinct shuffle then count) — both of
+    which stay scale-safe because the group count is bounded by the
+    attribute domain, not row count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    flagged = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .where(F.col("p_brand") != "Brand#13")
+        .where(F.col("p_size").isin(5, 10, 15, 20, 24, 30, 35, 40))
+        .join(
+            flagged,
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (5, 10, 15, 20, 24, 30, 35, 40)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface over the embedding column:
+    filter / exists / fold / min-max / slice — all Catalyst
+    expressions, no UDFs, so they run inside whole-stage codegen.
+
+    The fold accumulates left-to-right in array order in double
+    precision, the same order DuckDB's ``list_sum`` uses on DOUBLE[],
+    so even the float reduction carries an exact oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    as_double = F.transform(e, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.exists(e, lambda x: x > 0.5).alias("any_big"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("esum"),
+        F.array_max(as_double).alias("emax"),
+        F.array_min(as_double).alias("emin"),
+        F.slice(as_double, 1, 4).alias("head4"),
+    )
+
+
+SQL_HIGHER_ORDER_FUNCS = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big,
+       ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS esum,
+       list_max(CAST(embedding AS DOUBLE[])) AS emax,
+       list_min(CAST(embedding AS DOUBLE[])) AS emin,
+       list_slice(CAST(embedding AS DOUBLE[]), 1, 4) AS head4
+FROM embeddings
+"""
+
+
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag with ignoreNulls: carry the last non-null observation
+    forward per user — the gap-filling idiom for sparse sensor/event
+    values. Nulls are planted deterministically (every 3rd event)."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_id") % 3 != 0, F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    # the DataFrame lag() API has no ignoreNulls parameter; the SQL
+    # expression form compiles to the same Lag(_, _, ignoreNulls=true)
+    return ev.withColumn("sparse_value", sparse).select(
+        "event_id",
+        "user_id",
+        "sparse_value",
+        F.expr(
+            "lag(sparse_value, 1) IGNORE NULLS OVER "
+            "(PARTITION BY user_id ORDER BY event_id)"
+        ).alias("prev_obs"),
+        F.last("sparse_value", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("filled"),
+    )
+
+
+SQL_WINDOW_IGNORE_NULLS = """
+SELECT event_id, user_id,
+       CASE WHEN event_id % 3 <> 0 THEN value END AS sparse_value,
+       lag(CASE WHEN event_id % 3 <> 0 THEN value END, 1 IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY event_id
+       ) AS prev_obs,
+       last_value(CASE WHEN event_id % 3 <> 0 THEN value END IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled
+FROM events
+"""
+
+
 QUERIES = [
     Query(
         "tpch_q18_large_orders",
@@ -127,6 +241,24 @@ QUERIES = [
         "topk_per_group",
         q_topk_per_group,
         SQL_TOPK_PER_GROUP,
+        ("relational", "window"),
+    ),
+    Query(
+        "tpch_q16_supplier_cnt",
+        q_tpch_q16_supplier_cnt,
+        SQL_TPCH_Q16,
+        ("relational", "tpch"),
+    ),
+    Query(
+        "higher_order_funcs",
+        q_higher_order_funcs,
+        SQL_HIGHER_ORDER_FUNCS,
+        ("relational", "array"),
+    ),
+    Query(
+        "window_ignore_nulls",
+        q_window_ignore_nulls,
+        SQL_WINDOW_IGNORE_NULLS,
         ("relational", "window"),
     ),
 ]
