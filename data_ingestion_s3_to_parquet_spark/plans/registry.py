@@ -20,6 +20,7 @@ _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.relational2",
     "data_ingestion_s3_to_parquet_spark.operators.relational3",
     "data_ingestion_s3_to_parquet_spark.operators.relational4",
+    "data_ingestion_s3_to_parquet_spark.operators.relational5",
     "data_ingestion_s3_to_parquet_spark.operators.dedup",
     "data_ingestion_s3_to_parquet_spark.operators.trainprep",
     "data_ingestion_s3_to_parquet_spark.operators.similarity",
