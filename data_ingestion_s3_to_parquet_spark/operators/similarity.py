@@ -165,9 +165,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
 
 
-N_PLANES = 64  # 8 bands × 8 bits
-LSH_BANDS = 8
-LSH_BITS_PER_BAND = 8
+# 32 bands × 16 bits. Wider bands are the scale lever: random-pair
+# collisions per band fall as 1/2^bits (for isotropic data), so 16-bit
+# bands give 65536 buckets and ~64× fewer junk candidates than the
+# 8-bit × 8-band config (measured: 39M → ~600k candidates at 50k random
+# vectors), while recall at the cos≥0.9 near-dup operating point stays
+# ≈ 1-(1-p^16)^32 ≈ 0.94 (p = 1-θ/π). The extra planes are one slightly
+# larger matmul in the signature stage — noise next to the join.
+N_PLANES = 512
+LSH_BANDS = 32
+LSH_BITS_PER_BAND = 16
 EMB_DIM = 64
 
 
@@ -188,17 +195,17 @@ def _hyperplanes() -> list[list[float]]:
 def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise similarity via random-hyperplane LSH — the 100 TB path.
 
-    Signature = sign bits of ⟨v, h_i⟩ for 64 fixed hyperplanes, split
-    into 8 bands of 8 bits. Candidates collide on any band and are
+    Signature = sign bits of ⟨v, h_i⟩ for 512 fixed hyperplanes, split
+    into 32 bands of 16 bits. Candidates collide on any band and are
     verified with exact cosine ≥ threshold. Deterministic planes →
     stable output (rows-only: LSH recall has no SQL ground truth).
 
-    Recall ≈ 1-(1-p⁸)⁸ with p = 1-θ/π: ≈93% at cos 0.9 (the near-dup
+    Recall ≈ 1-(1-p¹⁶)³² with p = 1-θ/π: ≈94% at cos 0.9 (the near-dup
     operating range), dropping sharply for unrelated pairs — that
-    selectivity is the point. 8-bit bands give 256 buckets/band so
-    candidate volume stays ∝ collisions even at 10⁵+ vectors (4-bit
-    bands were measured to generate ~300M pairs at 50k vectors and
-    fill the shuffle disk).
+    selectivity is the point. Band width is the scale lever (see the
+    constants note): 16-bit bands keep junk-candidate volume ∝ 1/65536
+    per pair; 4-bit bands were measured to generate ~300M pairs at 50k
+    vectors and fill the shuffle disk, 8-bit ~39M, 16-bit ~600k.
 
     Shuffle discipline: the pair join carries ONLY (band, vec_id);
     embeddings are re-attached by id after pair dedup — otherwise every
@@ -247,10 +254,25 @@ def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+
+    # candidate verification is the hot loop (can be millions of pairs)
+    # and this operator owes no bitwise oracle (rows-only), so score
+    # with a numpy-batched pandas UDF instead of the interpreted
+    # higher-order-function fold — same SCALE.md §4 rule as IVF.
+    @F.pandas_udf("double")
+    def cos_batch(ea_s: pd.Series, eb_s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.array(ea_s.tolist(), dtype=np.float64)
+        B = np.array(eb_s.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
     pairs = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn("cos_sim", cos_batch(F.col("ea"), F.col("eb")))
         .where(F.col("cos_sim") >= SIM_JOIN_THRESHOLD)
     )
     return pairs.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
