@@ -93,8 +93,75 @@ FROM documents
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``DataFrame.unpivot`` / melt): lineitem's four
+    numeric measures become (measure, value) rows. The inverse of
+    ``pivot``; runs as a Generate (row expansion), no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, name AS measure, value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_tax FROM lineitem)
+UNPIVOT (value FOR name IN (l_quantity, l_extendedprice, l_discount, l_tax))
+"""
+
+
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): rows with
+    null keys match each other instead of disappearing — the behavior
+    audits and SCD merges usually want. Planted nulls (every 7th
+    event's type) make the difference visible against a plain join."""
+    ev = load_table(spark, sf_dir, "events")
+    typed = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 != 0, F.col("event_type")).alias("et"),
+    )
+    counts = (
+        typed.groupBy("et")
+        .agg(F.count("*").alias("n_of_type"))
+        .withColumnRenamed("et", "cet")
+    )
+    return typed.join(
+        counts, F.col("et").eqNullSafe(F.col("cet")), "inner"
+    ).select("event_id", F.col("et").alias("event_type"), "n_of_type")
+
+
+SQL_JOIN_NULL_SAFE = """
+WITH typed AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 <> 0 THEN event_type END AS et
+  FROM events
+),
+counts AS (SELECT et, COUNT(*) AS n_of_type FROM typed GROUP BY et)
+SELECT t.event_id, t.et AS event_type, c.n_of_type
+FROM typed t JOIN counts c ON t.et IS NOT DISTINCT FROM c.et
+"""
+
+
 QUERIES = [
     Query("agg_bitwise", q_agg_bitwise, SQL_AGG_BITWISE, ("relational", "agg")),
+    Query("unpivot", q_unpivot, SQL_UNPIVOT, ("relational",)),
+    Query(
+        "join_null_safe",
+        q_join_null_safe,
+        SQL_JOIN_NULL_SAFE,
+        ("relational", "join"),
+    ),
     Query(
         "event_dedup_first",
         q_event_dedup_first,
