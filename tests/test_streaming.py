@@ -97,3 +97,21 @@ def test_stream_watermark_drops_late_rows(spark, tmp_path):
     on_time_windows = {ws for ws in got if ws >= base}
     assert len(on_time_windows) >= 3
     assert all(got[ws] > 0 for ws in on_time_windows)
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    # stream-static join: the canonical dim-enrichment pattern — the
+    # static side is re-read per micro-batch (picks up dim updates),
+    # needs no watermark, and plans as a broadcast against each batch
+    src = str(tmp_path / "events_stream")
+    _write_events(spark, src)
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(5)], "user_id long, segment string"
+    )
+    stream = events_file_stream(spark, src)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").groupBy(
+        "segment"
+    ).agg(F.count("*").alias("n"))
+    rows = run_stream_once(enriched, name="smoke_enrich")
+    assert sum(r.n for r in rows) == 40
+    assert {r.segment for r in rows} == {"segment_0", "segment_1", "segment_2"}
