@@ -336,11 +336,30 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cosine(F.col("ea"), F.col("eb")) >= EMB_DEDUP_THRESHOLD)
         .select("u", "v")
     )
+    return connected_components(pairs, emb.select("vec_id"))
+
+
+def connected_components(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Hash-min connected components over an undirected edge list.
+
+    ``pairs``: columns (u, v), one row per edge (either direction);
+    ``vertices``: a ``vec_id`` column (isolated vertices keep their own
+    id as component). Returns (vec_id, component = min reachable id).
+
+    The edge source is pluggable by design: ``q_dedup_components``
+    feeds exact label-blocked cosine edges (oracle-checkable), while at
+    scale the same loop runs on LSH candidate pairs
+    (``similarity.q_sim_join_lsh`` output) — candidates ∝ true
+    near-dups instead of |V|²; see tests/test_operators.py for that
+    wiring. localCheckpoint per round truncates the otherwise
+    exponentially-growing lineage; rounds ≤ component diameter
+    (~2-3 for near-dup clusters).
+    """
     # undirected: propagate both ways
     edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.localCheckpoint()
 
-    labels = emb.select("vec_id", F.col("vec_id").alias("component"))
+    labels = vertices.select("vec_id", F.col("vec_id").alias("component"))
     labels = labels.localCheckpoint()
     for _ in range(MAX_CC_ITERS):
         nbr_min = (

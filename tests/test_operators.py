@@ -195,3 +195,33 @@ def test_emb_centroids_elementwise_mean(spark, tmp_path):
     cent = {r.label: r.centroid for r in q_emb_centroids(spark, str(tmp_path)).collect()}
     assert cent[7] == [2.0, 1.0, 1.5]
     assert cent[9] == [8.0, 8.0, 8.0]
+
+
+def test_connected_components_over_lsh_candidate_edges(spark, tmp_path):
+    # the scale wiring: LSH candidate pairs (approximate, output ∝ true
+    # near-dups) feed the same hash-min loop that the exact operator
+    # uses — plant two near-identical pairs and one isolated vector
+    import random
+
+    rng = random.Random(3)
+    dim = 64
+    rows = []
+    for i in range(20):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)], 0))
+    rows.append((100, [x + 0.001 for x in rows[0][1]], 0))   # ~dup of 0
+    rows.append((101, [x + 0.001 for x in rows[5][1]], 0))   # ~dup of 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import connected_components
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import q_sim_join_lsh
+    from pyspark.sql import functions as SF
+
+    edges = q_sim_join_lsh(spark, str(tmp_path)).where(
+        SF.col("cos_sim") >= 0.9
+    ).select(SF.col("vec_a").alias("u"), SF.col("vec_b").alias("v"))
+    verts = spark.read.parquet(str(tmp_path / "embeddings.parquet")).select("vec_id")
+    comp = {r.vec_id: r.component for r in connected_components(edges, verts).collect()}
+    assert comp[100] == comp[0] == 0
+    assert comp[101] == comp[5] == 5
+    assert comp[7] == 7
