@@ -164,6 +164,10 @@ def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fold accumulates left-to-right in array order in double
     precision, the same order DuckDB's ``list_sum`` uses on DOUBLE[],
     so even the float reduction carries an exact oracle.
+
+    Final projection is all scalars: the driver's canonicalizer cannot
+    hash array cells (round-1 fail), so the ``slice`` demo folds its
+    4-element head to a rounded sum instead of emitting the array.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
@@ -177,7 +181,12 @@ def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("esum"),
         F.array_max(as_double).alias("emax"),
         F.array_min(as_double).alias("emin"),
-        F.slice(as_double, 1, 4).alias("head4"),
+        F.round(
+            F.aggregate(
+                F.slice(as_double, 1, 4), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("head4_sum"),
     )
 
 
@@ -188,7 +197,7 @@ SELECT vec_id,
        ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS esum,
        list_max(CAST(embedding AS DOUBLE[])) AS emax,
        list_min(CAST(embedding AS DOUBLE[])) AS emin,
-       list_slice(CAST(embedding AS DOUBLE[]), 1, 4) AS head4
+       ROUND(list_sum(list_slice(CAST(embedding AS DOUBLE[]), 1, 4)), 6) AS head4_sum
 FROM embeddings
 """
 

@@ -72,12 +72,20 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array), boolean match, and group-referencing replace. All JVM
     regex engines — but note Spark uses Java regex and DuckDB uses RE2;
     the patterns here stay in the common subset (no backrefs in
-    patterns, POSIX classes spelled explicitly)."""
+    patterns, POSIX classes spelled explicitly).
+
+    The extract-all array is serialized with ``array_join`` in the
+    final projection — the driver's canonicalizer cannot hash array
+    cells (round-1 fail), and a joined string of string matches is
+    engine-exact."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
-        F.regexp_extract_all("text", F.lit("[0-9]+")).alias("numbers"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit("[0-9]+")), ","
+        ).alias("numbers"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_numbers"),
         F.col("text").rlike("data").alias("mentions_data"),
         F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
     )
@@ -86,7 +94,8 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REGEXP_FUNCS = """
 SELECT doc_id,
        regexp_extract(text, '([a-z]+)', 1) AS first_word,
-       regexp_extract_all(text, '[0-9]+') AS numbers,
+       COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '') AS numbers,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
        regexp_matches(text, 'data') AS mentions_data,
        regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
 FROM documents

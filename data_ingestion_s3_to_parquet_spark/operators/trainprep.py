@@ -73,7 +73,16 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Positions are emitted 1-based to match DuckDB's
     ``generate_subscripts``; floats widen to double before the decimal
     cast so both engines round the same value.
+
+    The registry query returns the long ``(label, pos, c)`` form — all
+    scalar columns, since the driver's canonicalizer cannot hash array
+    cells (round-1 fail). :func:`emb_centroids_vec` rebuilds the dense
+    ``array<double>`` centroid for API consumers (pytest-covered).
     """
+    return _centroids_long(spark, sf_dir)
+
+
+def _centroids_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     flat = emb.select(
         "label", F.posexplode("embedding").alias("pos0", "val")
@@ -82,7 +91,13 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.col("val").cast("double").alias("val"),
     )
-    cent = flat.groupBy("label", "pos").agg(davg("val", "c", scale=6))
+    return flat.groupBy("label", "pos").agg(davg("val", "c", scale=6))
+
+
+def emb_centroids_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-label centroid vectors: the long form re-assembled
+    with a position-sorted ``collect_list`` (bounded: labels × dim)."""
+    cent = _centroids_long(spark, sf_dir)
     return cent.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
@@ -96,14 +111,10 @@ WITH flat AS (
          generate_subscripts(embedding, 1) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS val
   FROM embeddings
-),
-cent AS (
-  SELECT label, pos,
-         CAST(ROUND(CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / COUNT(val), 6) AS DOUBLE) AS c
-  FROM flat GROUP BY label, pos
 )
-SELECT label, list(c ORDER BY pos) AS centroid
-FROM cent GROUP BY label
+SELECT label, pos,
+       CAST(ROUND(CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / COUNT(val), 6) AS DOUBLE) AS c
+FROM flat GROUP BY label, pos
 """
 
 

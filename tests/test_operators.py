@@ -190,11 +190,19 @@ def test_emb_centroids_elementwise_mean(spark, tmp_path):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
 
-    from data_ingestion_s3_to_parquet_spark.operators.trainprep import q_emb_centroids
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        emb_centroids_vec,
+        q_emb_centroids,
+    )
 
-    cent = {r.label: r.centroid for r in q_emb_centroids(spark, str(tmp_path)).collect()}
+    cent = {r.label: r.centroid for r in emb_centroids_vec(spark, str(tmp_path)).collect()}
     assert cent[7] == [2.0, 1.0, 1.5]
     assert cent[9] == [8.0, 8.0, 8.0]
+    # the registry query emits the long scalar form (driver-hashable)
+    long_rows = {
+        (r.label, r.pos): r.c for r in q_emb_centroids(spark, str(tmp_path)).collect()
+    }
+    assert long_rows[(7, 1)] == 2.0 and long_rows[(7, 3)] == 1.5
 
 
 def test_connected_components_over_lsh_candidate_edges(spark, tmp_path):

@@ -25,6 +25,7 @@ import time
 from collections import Counter
 
 import duckdb
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 sys.path.insert(0, ".")
 
@@ -86,6 +87,19 @@ def main() -> int:
         try:
             sdf = q.fn(spark, args.sf)
             scols = sdf.columns
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad:
+                # The driver's canonicalizer crashes on array/map cells
+                # (round-1 TypeError: unhashable numpy.ndarray) — reject
+                # here so the local replica can't pass what the driver
+                # would fail.
+                print(f"FAIL  {name:24s} non-scalar output columns: {bad}")
+                failures.append(name)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name:24s} spark error: {type(e).__name__}: {e}")
