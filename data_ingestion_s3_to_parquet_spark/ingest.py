@@ -152,8 +152,13 @@ def read_csv(
     tune(spark)
     if schema is None and not infer:
         raise ValueError("read_csv needs an explicit schema or infer=True")
+    if schema is not None and infer:
+        raise ValueError(
+            "read_csv: schema and infer are mutually exclusive — an "
+            "explicit schema would be silently discarded by inference"
+        )
     reader = spark.read.option("header", True)
-    if schema is not None and not infer:
+    if schema is not None:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", True)

@@ -361,6 +361,7 @@ def connected_components(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
 
     labels = vertices.select("vec_id", F.col("vec_id").alias("component"))
     labels = labels.localCheckpoint()
+    changed = 0
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
             edges.join(labels, edges.v == labels.vec_id)
@@ -387,6 +388,15 @@ def connected_components(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Partially-propagated labels are indistinguishable from real
+        # components to a caller — fail loudly rather than return them.
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_CC_ITERS} "
+            f"rounds ({changed} labels still changing); component "
+            "diameter exceeds the iteration cap — raise MAX_CC_ITERS or "
+            "pre-contract the graph (large-star/small-star)"
+        )
     return labels
 
 

@@ -200,29 +200,32 @@ def media_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
     tune(media.sparkSession)  # ships this package to the executors
 
     def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
+        import numpy as np
+
+        def _entropy(payload: bytes) -> float:
+            # numpy per payload: O(n) C-speed histogram, no Python
+            # per-byte loop (the byte loop was ~100x slower).
+            if not payload:
+                return 0.0
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            counts = np.bincount(arr, minlength=256)
+            p = counts[counts > 0] / arr.size
+            return float(-(p * np.log2(p)).sum())
 
         for pdf in batches:
-            feats = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                counts: dict[int, int] = {}
-                for byte in payload:
-                    counts[byte] = counts.get(byte, 0) + 1
-                n = max(len(payload), 1)
-                entropy = -sum(
-                    (c / n) * math.log2(c / n) for c in counts.values()
-                )
-                feats.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "n_bytes": len(payload),
-                        "byte_entropy": f"{entropy:.6f}",
-                        "header_hex": payload[:8].hex(),
-                    }
-                )
-            yield pd.DataFrame(feats, columns=[f.name for f in MEDIA_FEATURES_SCHEMA])
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": np.fromiter(
+                        (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+                    ),
+                    "byte_entropy": [f"{_entropy(p):.6f}" for p in payloads],
+                    "header_hex": [p[:8].hex() for p in payloads],
+                },
+                columns=[f.name for f in MEDIA_FEATURES_SCHEMA],
+            )
 
     cols = [f.name for f in MEDIA_SCHEMA.fields[:3]]
     return media.select(*cols).mapInPandas(_features_batch, MEDIA_FEATURES_SCHEMA)
