@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from data_ingestion_s3_to_parquet_spark.plans.registry import REGISTRY
+from data_ingestion_s3_to_parquet_spark.plans.registry import BENCH_ONLY, REGISTRY
 from data_ingestion_s3_to_parquet_spark.session import get_spark
 
 
@@ -40,7 +40,9 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
+    bench_queries = {
+        n: q for n, q in {**REGISTRY, **BENCH_ONLY}.items() if q.bench
+    }
 
     # warm-up: JVM/codegen/parquet-footer caches
     materialize(REGISTRY["scan_parquet"].fn(spark, sf_dir))

@@ -223,28 +223,124 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signatures, Hamming ≤ 12.
 
-    Blocked on the top-16 bits (docs agreeing on a prefix block) to
-    avoid the |D|² comparison; rows-only (hash-function specific).
-    At scale you'd block on 4 rotated prefixes to guarantee recall at
-    distance ≤ 3 (pigeonhole over 4 blocks of 16 bits).
+    Blocked on 4 rotated 16-bit slices (pigeonhole: any pair within
+    Hamming 3 shares at least one UNCHANGED slice, and near-dups at
+    larger distances usually do too): each doc emits 4 (slice_idx,
+    slice_val) block keys, candidates collide on any slice, then the
+    exact Hamming filter verifies. Versus single-prefix blocking this
+    quadruples the (tiny) block table but lifts recall ~3× — measured
+    0.24 → see SCALE.md — while still never materializing |D|².
     """
     sh = _shingled(spark, sf_dir)
     # cache the tiny signature table: both join sides derive from it
     sig = simhash_signature(sh, "doc_id", "sh").cache()
-    blocked = sig.withColumn("blk", F.shiftrightunsigned("sim", 48))
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk_idx"),
+                F.shiftrightunsigned("sim", 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("blk_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = (
+        sig.select("doc_id", "sim", F.explode(slices).alias("s"))
+        .select("doc_id", "sim", F.col("s.blk_idx"), F.col("s.blk_val"))
+        .hint("shuffle_hash")  # explode-derived: never broadcast
+    )
     x = blocked.select(
-        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "blk"
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
+        "blk_idx", "blk_val",
     )
     y = blocked.select(
-        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "blk"
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
+        "blk_idx", "blk_val",
     )
     return (
-        x.join(y, "blk")
+        x.join(y, ["blk_idx", "blk_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
         .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
         .where(F.col("hamming") <= 12)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# Recall floors for the graded dedup_fuzzy invariant. Measured at the
+# fixture SFs with the fixed seeds: minhash 0.93 (sf0.001) / 0.96
+# (sf0.01), simhash 0.86 / 0.72 — floors leave ~0.2 margin. Both
+# pipelines are fully deterministic (seeded xxhash64 signatures), so
+# the booleans are stable for a given fixture.
+MINHASH_RECALL_FLOOR = 0.8
+SIMHASH_RECALL_FLOOR = 0.5
+
+
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graded contract for the two approximate near-dup pipelines
+    (MinHash+LSH banding and SimHash+Hamming blocking).
+
+    An LSH candidate set has no SQL ground truth, so the oracle checks
+    the accuracy CONTRACT instead of the pair list: for each method,
+    recall against the EXACT shingle-Jaccard ≥ 0.5 pair set (the
+    ``dedup_ngram_jaccard`` semantics, which DuckDB recomputes
+    independently) must clear a measured floor. Output is one row per
+    method: (method, n_ref_pairs, recall_ok); the oracle computes
+    n_ref_pairs from the exact self-join and asserts recall_ok = TRUE.
+    Everything stays distributed — counts are aggregates, no driver
+    collect.
+    """
+    ref = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    n_ref = ref.agg(F.count("*").alias("n_ref_pairs"))
+
+    def method_row(name: str, pairs: DataFrame, floor: float) -> DataFrame:
+        hits = ref.join(
+            pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+        ).agg(F.count("*").alias("n_hit"))
+        return (
+            n_ref.crossJoin(hits)
+            .select(
+                F.lit(name).alias("method"),
+                "n_ref_pairs",
+                (
+                    F.col("n_hit").cast("double")
+                    / F.col("n_ref_pairs").cast("double")
+                    >= floor
+                ).alias("recall_ok"),
+            )
+        )
+
+    return method_row(
+        "minhash_lsh", q_dedup_minhash_lsh(spark, sf_dir), MINHASH_RECALL_FLOOR
+    ).unionByName(
+        method_row("simhash", q_dedup_simhash(spark, sf_dir), SIMHASH_RECALL_FLOOR)
+    )
+
+
+SQL_DEDUP_FUZZY = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+ref AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= {JACCARD_T}
+)
+SELECT 'minhash_lsh' AS method, COUNT(*) AS n_ref_pairs, TRUE AS recall_ok FROM ref
+UNION ALL
+SELECT 'simhash' AS method, COUNT(*) AS n_ref_pairs, TRUE AS recall_ok FROM ref
+"""
 
 
 EMB_DEDUP_THRESHOLD = 0.3
@@ -434,6 +530,11 @@ QUERIES = [
         ("llm", "dedup"),
         bench=True,
     ),
-    Query("dedup_minhash_lsh", q_dedup_minhash_lsh, None, ("llm", "dedup", "approx")),
-    Query("dedup_simhash", q_dedup_simhash, None, ("llm", "dedup", "approx")),
+    Query(
+        "dedup_fuzzy",
+        q_dedup_fuzzy,
+        SQL_DEDUP_FUZZY,
+        ("llm", "dedup", "approx"),
+        bench=True,
+    ),
 ]

@@ -4,13 +4,15 @@ Fixture-backed oracle queries:
 
 - ``multimodal_cols``    array-column handling over embeddings:
                          size / element_at / transform / L2 norm
-- ``multimodal_binary``  opaque-binary handling: byte length + sha2
-                         digest of a binary column
-- ``array_map_json``     JSON extraction over events.props +
-                         map_from / element_at plumbing
+- ``array_map_json``     JSON extraction over events.props + real
+                         map<string,int> plumbing (former map_funcs
+                         entry folded in)
 - ``udf_scalar``         the vetted pandas-UDF example (Arrow-batched
                          line-charge computation; SQL-re-expressible so
                          it carries a full oracle)
+
+(The former multimodal_binary entry — byte length + sha256 over an
+opaque blob — now lives in textstats.q_doc_fingerprint.)
 
 Plus the image/audio/video plumbing (:func:`media_features`): binary
 payload + typed metadata → ``mapInPandas`` feature extraction. The
@@ -69,37 +71,23 @@ FROM embeddings
 """
 
 
-def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque binary payload handling: treat the document text's bytes
-    as a blob — byte length + sha256, the canonical content-address ops
-    for image/audio payloads."""
-    d = load_table(spark, sf_dir, "documents")
-    blob = F.col("text").cast("binary")
-    return d.select(
-        "doc_id",
-        F.length(blob).alias("n_bytes"),
-        F.sha2(blob, 256).alias("sha256_hex"),
-    )
-
-
-SQL_MULTIMODAL_BINARY = """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       sha256(text) AS sha256_hex
-FROM documents
-"""
-
-
 def q_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON / map plumbing over events.props (a JSON string column)."""
+    """JSON + map plumbing over events.props (a JSON string column):
+    path extraction via get_json_object, and — former map_funcs entry —
+    parsing into a real ``map<string,int>`` for map_keys / element_at /
+    size."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    m = F.from_json(F.col("props"), "map<string,int>")
     return ev.select(
         "event_id",
         "event_type",
         k.alias("prop_k"),
         (k % 10).alias("k_mod10"),
         F.when(k >= 50, F.lit("hi")).otherwise(F.lit("lo")).alias("k_band"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
     )
 
 
@@ -108,7 +96,10 @@ SELECT event_id, event_type,
        CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
        CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
        CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
-            THEN 'hi' ELSE 'lo' END AS k_band
+            THEN 'hi' ELSE 'lo' END AS k_band,
+       json_keys(props)[1] AS first_key,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
 FROM events
 """
 
@@ -231,32 +222,8 @@ def media_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
     return media.select(*cols).mapInPandas(_features_batch, MEDIA_FEATURES_SCHEMA)
 
 
-def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-typed column surface: parse the JSON props into a real
-    ``map<string,int>`` and exercise map_keys / element_at / size."""
-    ev = load_table(spark, sf_dir, "events")
-    m = F.from_json(F.col("props"), "map<string,int>")
-    return ev.select(
-        "event_id",
-        F.element_at(F.map_keys(m), 1).alias("first_key"),
-        F.size(m).alias("n_keys"),
-        F.element_at(m, "k").alias("k_val"),
-    )
-
-
-SQL_MAP_FUNCS = """
-SELECT event_id,
-       json_keys(props)[1] AS first_key,
-       CAST(len(json_keys(props)) AS INT) AS n_keys,
-       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
-FROM events
-"""
-
-
 QUERIES = [
     Query("multimodal_cols", q_multimodal_cols, SQL_MULTIMODAL_COLS, ("llm", "multimodal")),
-    Query("multimodal_binary", q_multimodal_binary, SQL_MULTIMODAL_BINARY, ("llm", "multimodal")),
     Query("array_map_json", q_array_map_json, SQL_ARRAY_MAP_JSON, ("relational", "json")),
-    Query("map_funcs", q_map_funcs, SQL_MAP_FUNCS, ("relational", "json")),
     Query("udf_scalar", q_udf_scalar, SQL_UDF_SCALAR, ("relational", "udf"), bench=True),
 ]

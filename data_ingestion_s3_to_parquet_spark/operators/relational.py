@@ -103,6 +103,11 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),
             F.count("*").alias("count_order"),
+            # conditional aggregation (count_if / FILTER), folded in from
+            # the former agg_conditional entry — one pass, same shuffle
+            F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.count_if(F.col("l_quantity") >= 40).alias("n_bulk"),
         )
     )
 
@@ -118,7 +123,10 @@ SELECT
   CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) / COUNT(l_quantity), 6) AS DOUBLE) AS avg_qty,
   CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS DOUBLE) AS avg_price,
   CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,8))) AS DOUBLE) / COUNT(l_discount), 6) AS DOUBLE) AS avg_disc,
-  COUNT(*) AS count_order
+  COUNT(*) AS count_order,
+  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+  COUNT(*) FILTER (WHERE l_quantity >= 40) AS n_bulk
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -126,17 +134,31 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT / COUNT(DISTINCT) — exact forms (approx variant is rows-only).
+    """DISTINCT / COUNT(DISTINCT) exact forms, plus the HyperLogLog++
+    approximate variant graded as a tolerance invariant.
 
     Scale: count-distinct expands to a two-phase aggregate (distinct on
     (group, key) then count) — Spark plans this itself; no driver-side
-    ``.distinct().count()`` actions.
+    ``.distinct().count()`` actions. The approx sketch is THE
+    count-distinct at 100 TB — constant-size, mergeable, one shuffle of
+    sketches instead of a distinct-expand. Its estimate is
+    algorithm-specific, so the oracle checks the accuracy CONTRACT
+    instead of the value: ``approx_parts_ok`` asserts the deterministic
+    HLL++ estimate lands within 5% of the exact count (rsd is 0.01);
+    the oracle's side of that boolean is literal TRUE.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", 0.01)
     return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("distinct_parts"),
+        exact.alias("distinct_parts"),
         F.countDistinct("l_suppkey").alias("distinct_supps"),
         F.count("*").alias("n_rows"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= 0.05
+        ).alias("approx_parts_ok"),
     )
 
 
@@ -144,24 +166,10 @@ SQL_AGG_DISTINCT = """
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS distinct_parts,
        COUNT(DISTINCT l_suppkey) AS distinct_supps,
-       COUNT(*) AS n_rows
+       COUNT(*) AS n_rows,
+       TRUE AS approx_parts_ok
 FROM lineitem GROUP BY l_returnflag
 """
-
-
-def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate count-distinct (rows-only check: the
-    estimate is algorithm-specific so no engine-neutral oracle exists).
-
-    Scale: this is THE count-distinct at 100 TB — constant-size sketch
-    per group, mergeable, single shuffle of sketches instead of a
-    distinct-expand.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.count("*").alias("n_events"),
-    )
 
 
 def q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,67 +237,62 @@ GROUP BY n_name
 
 
 def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER customer→orders: order count per customer incl. zero."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200_000)
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+    """LEFT OUTER + FULL OUTER in one pipeline (former join_outer and
+    join_full_outer entries, merged for the graded-registry budget).
+
+    Stage 1 (left): positive-balance customers keep their big-order
+    aggregate even with zero matches. Stage 2 (full): that left-hand
+    result full-outer-joins the finished-order aggregate — customers
+    filtered out of stage 1 but present in stage 2 surface as
+    right-only rows (null c_name), left-only customers keep
+    n_finished = 0, so both outer directions genuinely occur.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") >= 0)
+    o = load_table(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 200_000)
+    left = (
+        c.join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_big_orders"),
             dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "total_spend"),
         )
     )
-
-
-SQL_JOIN_OUTER = """
-SELECT c_custkey, c_name,
-       COUNT(o_orderkey) AS n_big_orders,
-       CAST(ROUND(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,8))), 2) AS DOUBLE) AS total_spend
-FROM customer
-LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) AS o
-  ON c_custkey = o_custkey
-GROUP BY c_custkey, c_name
-"""
-
-
-def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL OUTER join of two partially-overlapping aggregates."""
-    o = load_table(spark, sf_dir, "orders")
-    lo = (
-        o.where(F.col("o_orderstatus") == "O")
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_open"))
-    )
-    hi = (
+    fin = (
         o.where(F.col("o_orderstatus") == "F")
         .groupBy("o_custkey")
         .agg(F.count("*").alias("n_finished"))
     )
     return (
-        lo.withColumnRenamed("o_custkey", "ck_open")
-        .join(
-            hi.withColumnRenamed("o_custkey", "ck_fin"),
-            F.col("ck_open") == F.col("ck_fin"),
-            "full",
-        )
+        left.join(fin, F.col("c_custkey") == F.col("o_custkey"), "full")
         .select(
-            F.coalesce(F.col("ck_open"), F.col("ck_fin")).alias("custkey"),
-            F.coalesce(F.col("n_open"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+            "c_name",
+            "n_big_orders",
+            "total_spend",
             F.coalesce(F.col("n_finished"), F.lit(0)).alias("n_finished"),
         )
     )
 
 
-SQL_JOIN_FULL_OUTER = """
-WITH lo AS (SELECT o_custkey AS ck_open, COUNT(*) AS n_open
-            FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
-     hi AS (SELECT o_custkey AS ck_fin, COUNT(*) AS n_finished
-            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
-SELECT COALESCE(ck_open, ck_fin) AS custkey,
-       COALESCE(n_open, 0) AS n_open,
+SQL_JOIN_OUTER = """
+WITH lhs AS (
+  SELECT c_custkey, c_name,
+         COUNT(o_orderkey) AS n_big_orders,
+         CAST(ROUND(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,8))), 2) AS DOUBLE) AS total_spend
+  FROM (SELECT * FROM customer WHERE c_acctbal >= 0) c
+  LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_name
+),
+fin AS (
+  SELECT o_custkey, COUNT(*) AS n_finished
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+)
+SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+       c_name, n_big_orders, total_spend,
        COALESCE(n_finished, 0) AS n_finished
-FROM lo FULL OUTER JOIN hi ON ck_open = ck_fin
+FROM lhs FULL OUTER JOIN fin ON c_custkey = o_custkey
 """
 
 
@@ -329,6 +332,11 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ``F.broadcast`` pins a BroadcastHashJoin regardless of stats —
     the right move for bounded dims; the customer fact never shuffles.
+
+    The ``nations`` column folds in the former agg_string_collect entry
+    (ordered string aggregation): collect_set is order-nondeterministic
+    under shuffle, so array_sort restores a canonical order before the
+    join — never rely on collect order at any scale.
     """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -342,6 +350,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_customers"),
             davg("c_acctbal", "avg_acctbal"),
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
         )
     )
 
@@ -349,7 +358,8 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JOIN_BROADCAST = """
 SELECT r_name,
        COUNT(*) AS n_customers,
-       CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,8))) AS DOUBLE) / COUNT(c_acctbal), 6) AS DOUBLE) AS avg_acctbal
+       CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,8))) AS DOUBLE) / COUNT(c_acctbal), 6) AS DOUBLE) AS avg_acctbal,
+       array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -460,7 +470,10 @@ LIMIT 100
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT with SQL (distinct) semantics, tagged."""
+    """UNION / INTERSECT / EXCEPT with SQL (distinct) semantics, tagged;
+    the final branch appends through ``unionByName(allowMissingColumns)``
+    (former union_by_name entry) — the schema-evolution-tolerant append,
+    where earlier branches fill the late ``segment`` column with nulls."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = o.where(F.col("o_totalprice") > 300_000).select(
@@ -469,21 +482,30 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
         F.col("c_custkey").alias("custkey")
     )
-    return (
+    tagged = (
         big.intersect(auto).withColumn("op", F.lit("intersect"))
         .unionByName(big.subtract(auto).withColumn("op", F.lit("except")))
         .unionByName(big.union(auto).distinct().withColumn("op", F.lit("union")))
     )
+    evolved = c.where(F.col("c_mktsegment") == "FURNITURE").select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("furniture").alias("op"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return tagged.unionByName(evolved, allowMissingColumns=True)
 
 
 SQL_SET_OPS = """
 WITH big  AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000),
      auto AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
-SELECT custkey, 'intersect' AS op FROM (SELECT * FROM big INTERSECT SELECT * FROM auto)
+SELECT custkey, 'intersect' AS op, NULL AS segment FROM (SELECT * FROM big INTERSECT SELECT * FROM auto)
 UNION ALL
-SELECT custkey, 'except' AS op FROM (SELECT * FROM big EXCEPT SELECT * FROM auto)
+SELECT custkey, 'except' AS op, NULL AS segment FROM (SELECT * FROM big EXCEPT SELECT * FROM auto)
 UNION ALL
-SELECT custkey, 'union' AS op FROM (SELECT * FROM big UNION SELECT * FROM auto)
+SELECT custkey, 'union' AS op, NULL AS segment FROM (SELECT * FROM big UNION SELECT * FROM auto)
+UNION ALL
+SELECT c_custkey AS custkey, 'furniture' AS op, c_mktsegment AS segment
+FROM customer WHERE c_mktsegment = 'FURNITURE'
 """
 
 
@@ -495,6 +517,13 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: rank orders on a coarse bucket (1000-wide price bins) so
     ties genuinely occur; ``rank() <= 3`` keeps whole tie groups (a
     deterministic SET); row_number gets a full tie-break key.
+
+    The row_number window (different spec) is computed BEFORE the rank
+    window on purpose: the ``rnk <= 3`` filter then sits directly above
+    the rank Window node and Catalyst rewrites it to WindowGroupLimit —
+    a per-group k-row heap instead of a full per-group sort, the
+    O(n log k) top-k-per-group shape that matters at 100 TB (guarded by
+    tests/test_plans.py).
     """
     o = load_table(spark, sf_dir, "orders")
     bucket = F.floor(F.col("o_totalprice") / 1000).alias("price_bucket")
@@ -504,9 +533,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_bucket").desc(), F.col("o_orderkey").asc()
     )
     return (
-        ranked.withColumn("rnk", F.rank().over(w_rank))
+        ranked.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("rnk", F.rank().over(w_rank))
         .withColumn("drnk", F.dense_rank().over(w_rank))
-        .withColumn("rn", F.row_number().over(w_rn))
         .where(F.col("rnk") <= 3)
         .select("o_orderpriority", "o_orderkey", "price_bucket", "rnk", "drnk", "rn")
     )
@@ -526,18 +555,31 @@ FROM (
 
 
 def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag / lead / running-sum frame per customer over order time.
+    """The analytic-window surface in one pass: lag / lead / running-sum
+    ROWS frame per customer, a value-based RANGE frame (±5000 price
+    neighbors per priority — former window_range_frame entry), and
+    IGNORE NULLS gap-filling over a planted-sparse price (former
+    window_ignore_nulls entry).
 
     Running sums evaluate sequentially in frame order (identical on both
     engines given the same total order), so plain double addition is
-    already bitwise-stable; decimal cast retained for uniformity.
+    already bitwise-stable; decimal cast retained for uniformity. The
+    DataFrame ``lag()`` API lacks an ignoreNulls parameter, so the SQL
+    expression form is used — it compiles to the same
+    ``Lag(_, _, ignoreNulls=true)`` plan node.
     """
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return o.select(
+    w_range = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").asc())
+        .rangeBetween(-5000, 5000)
+    )
+    sparse = F.when(F.col("o_orderkey") % 3 != 0, F.col("o_totalprice"))
+    return o.withColumn("sparse_price", sparse).select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
@@ -548,6 +590,13 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,8)")).over(frame), 2
         ).cast("double").alias("running_spend"),
         F.row_number().over(w).alias("order_seq"),
+        F.count("*").over(w_range).alias("n_price_neighbors"),
+        "sparse_price",
+        F.expr(
+            "lag(sparse_price, 1) IGNORE NULLS OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"
+        ).alias("prev_obs"),
+        F.last("sparse_price", ignorenulls=True).over(frame).alias("filled"),
     )
 
 
@@ -558,7 +607,14 @@ SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,8)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
-       ROW_NUMBER() OVER w AS order_seq
+       ROW_NUMBER() OVER w AS order_seq,
+       COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC
+                      RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS n_price_neighbors,
+       CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END AS sparse_price,
+       lag(CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END, 1 IGNORE NULLS) OVER w AS prev_obs,
+       last_value(CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END IGNORE NULLS) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
@@ -567,9 +623,15 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 # --- scalar functions ---------------------------------------------------------
 
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String / date / math / conditional scalar functions (whole-stage
-    codegen territory — zero Python in the row path)."""
+    """The scalar-function surface in one projection (whole-stage codegen
+    territory — zero Python in the row path): string / date / math /
+    conditional, plus regexp / pad / translate / split / date-arithmetic
+    (former scalar_funcs2 entry) and the NULL surface —
+    nullif / coalesce / null-safe equality (former null_handling entry;
+    the fixtures are null-free, so nulls are *manufactured* with nullif,
+    which also keeps the null paths oracle-checkable)."""
     o = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").alias("order_year"),
@@ -585,6 +647,22 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("small"))
         .alias("size_class"),
         F.length("o_orderpriority").alias("prio_len"),
+        # former scalar_funcs2 columns
+        F.regexp_extract("o_orderpriority", "^(\\d+)-", 1).alias("prio_num"),
+        F.lpad("o_orderstatus", 3, "_").alias("status_pad"),
+        F.translate("o_orderpriority", "-", "_").alias("prio_us"),
+        F.element_at(F.split("o_orderpriority", "-"), 2).alias("prio_word"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("age_days"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        # former null_handling columns
+        status_or_null.alias("status_np"),
+        F.coalesce(status_or_null, F.lit("PENDING")).alias("status_filled"),
+        status_or_null.eqNullSafe(F.lit(None).cast("string")).alias("is_pending"),
+        F.when(status_or_null.isNull(), 0).otherwise(1).alias("has_status"),
     )
 
 
@@ -601,7 +679,19 @@ SELECT o_orderkey,
        CASE WHEN o_totalprice > 250000 THEN 'big'
             WHEN o_totalprice > 100000 THEN 'mid'
             ELSE 'small' END AS size_class,
-       CAST(LENGTH(o_orderpriority) AS INT) AS prio_len
+       CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
+       regexp_extract(o_orderpriority, '^(\\d+)-', 1) AS prio_num,
+       lpad(o_orderstatus, 3, '_') AS status_pad,
+       translate(o_orderpriority, '-', '_') AS prio_us,
+       string_split(o_orderpriority, '-')[2] AS prio_word,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+       nullif(o_orderstatus, 'P') AS status_np,
+       COALESCE(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+       nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL AS is_pending,
+       CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 0 ELSE 1 END AS has_status
 FROM orders
 """
 
@@ -610,13 +700,12 @@ QUERIES = [
     Query("scan_parquet", q_scan_parquet, SQL_SCAN_PARQUET, ("relational", "source")),
     Query("project_filter", q_project_filter, SQL_PROJECT_FILTER, ("relational",)),
     Query("filter_compound", q_filter_compound, SQL_FILTER_COMPOUND, ("relational",)),
+    Query("scalar_funcs", q_scalar_funcs, SQL_SCALAR_FUNCS, ("relational",)),
     Query("agg_group", q_agg_group, SQL_AGG_GROUP, ("relational", "agg"), bench=True),
     Query("agg_distinct", q_agg_distinct, SQL_AGG_DISTINCT, ("relational", "agg")),
-    Query("agg_approx", q_agg_approx, None, ("relational", "agg", "approx")),
     Query("agg_rollup_cube", q_agg_rollup_cube, SQL_AGG_ROLLUP_CUBE, ("relational", "agg")),
     Query("join_inner", q_join_inner, SQL_JOIN_INNER, ("relational", "join"), bench=True),
     Query("join_outer", q_join_outer, SQL_JOIN_OUTER, ("relational", "join")),
-    Query("join_full_outer", q_join_full_outer, SQL_JOIN_FULL_OUTER, ("relational", "join")),
     Query("join_semi_anti", q_join_semi_anti, SQL_JOIN_SEMI_ANTI, ("relational", "join")),
     Query("join_broadcast", q_join_broadcast, SQL_JOIN_BROADCAST, ("relational", "join")),
     Query("join_range", q_join_range, SQL_JOIN_RANGE, ("relational", "join"), bench=True),
@@ -625,5 +714,4 @@ QUERIES = [
     Query("set_ops", q_set_ops, SQL_SET_OPS, ("relational",)),
     Query("window_rank", q_window_rank, SQL_WINDOW_RANK, ("relational", "window")),
     Query("window_analytic", q_window_analytic, SQL_WINDOW_ANALYTIC, ("relational", "window"), bench=True),
-    Query("scalar_funcs", q_scalar_funcs, SQL_SCALAR_FUNCS, ("relational",)),
 ]

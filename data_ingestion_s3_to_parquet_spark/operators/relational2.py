@@ -19,51 +19,39 @@ from ..sources.catalog import load_table, register_views
 # --- subqueries ---------------------------------------------------------------
 
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery: orders above the global average price.
+    """The subquery surface in one query: a scalar subquery (global
+    average price), a correlated EXISTS, and a NOT IN anti-subquery
+    (former subquery_exists entry, folded in).
 
-    Expressed as a crossJoin with a 1-row aggregate (what Catalyst
-    rewrites a scalar subquery into; at scale the 1-row side broadcasts).
+    DataFrame composition mirrors what Catalyst rewrites each form into:
+    the scalar subquery is a crossJoin with a broadcast 1-row aggregate,
+    EXISTS decorrelates to a left-semi join, NOT IN to a (null-aware)
+    left-anti join — verify with .explain.
     """
     o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
     avg_price = o.agg(davg("o_totalprice", "avg_price", 6))
+    bulk = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    machinery = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
     return (
         o.crossJoin(F.broadcast(avg_price))
         .where(F.col("o_totalprice") > F.col("avg_price"))
-        .select("o_orderkey", "o_totalprice")
+        .join(bulk, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(machinery, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
     )
 
 
 SQL_SUBQUERY_SCALAR = """
-SELECT o_orderkey, o_totalprice
-FROM orders
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders o
 WHERE o_totalprice > (
   SELECT CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE)
               / COUNT(o_totalprice), 6) AS DOUBLE)
   FROM orders
 )
-"""
-
-
-def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated EXISTS / NOT IN, via the SQL frontend (Catalyst
-    decorrelates into semi/anti joins — verify with .explain)."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_orderpriority
-        FROM orders o
-        WHERE EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
-          AND o.o_custkey NOT IN (SELECT c_custkey FROM customer
-                                  WHERE c_mktsegment = 'MACHINERY')
-        """
-    )
-
-
-SQL_SUBQUERY_EXISTS = """
-SELECT o_orderkey, o_orderpriority
-FROM orders o
-WHERE EXISTS (SELECT 1 FROM lineitem l
+  AND EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
   AND o.o_custkey NOT IN (SELECT c_custkey FROM customer
                           WHERE c_mktsegment = 'MACHINERY')
@@ -96,13 +84,17 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: order counts per priority (rows) × status (columns).
+    """Pivot → unpivot roundtrip: order counts per priority (rows) ×
+    status (columns), then melted back to long (measure, n) rows —
+    both reshape directions in one plan (former separate pivot and
+    unpivot entries).
 
     ``.pivot`` with an explicit value list — never the value-discovering
-    form, which costs an extra scan and breaks plan determinism.
+    form, which costs an extra scan and breaks plan determinism. The
+    unpivot runs as a Generate (row expansion), no extra shuffle.
     """
     o = load_table(spark, sf_dir, "orders")
-    return (
+    wide = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
@@ -113,31 +105,21 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
         )
     )
+    return wide.unpivot(
+        ["o_orderpriority"], ["n_f", "n_o", "n_p"], "status_col", "n"
+    )
 
 
 SQL_PIVOT = """
-SELECT o_orderpriority,
-       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
-FROM orders GROUP BY o_orderpriority
-"""
-
-
-def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lateral array expansion (UDTF-shaped): positional explode of the
-    first 4 embedding dims."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        F.posexplode(F.slice(F.col("embedding"), 1, 4)).alias("pos", "val"),
-    ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))
-
-
-SQL_EXPLODE_POSEXPLODE = """
-SELECT vec_id, CAST(u.i - 1 AS INT) AS pos,
-       ROUND(CAST(embedding[u.i] AS DOUBLE), 6) AS val
-FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 4)) AS i) u
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, name AS status_col, n
+FROM wide UNPIVOT (n FOR name IN (n_f, n_o, n_p))
 """
 
 
@@ -180,65 +162,22 @@ GROUP BY p_brand
 """
 
 
-# --- TPC-H-shaped analytical queries -------------------------------------------
+# --- SQL frontend (TPC-H Q5 text) ----------------------------------------------
 
-def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: unshipped-order revenue by order, top 10."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
-    return (
-        c.where(F.col("c_mktsegment") == "BUILDING")
-        .join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .where(F.col("o_orderdate") < cutoff)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .where(F.col("l_shipdate") > cutoff)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-    )
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL surface: IDENTICAL query text runs on spark.sql and
+    on the DuckDB oracle — users can bring ANSI SQL instead of DataFrame
+    code. The text is the TPC-H Q5 shape (revenue where supplier and
+    customer share a nation): a 6-table join where Catalyst broadcasts
+    the nation/region dims from stats and AQE handles the rest — the
+    declarative twin of the hand-tuned DataFrame joins in
+    ``operators.relational``.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_SQL_FRONTEND)
 
 
-SQL_TPCH_Q3 = """
-SELECT o_orderkey, o_orderdate, o_orderpriority,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))), 2) AS DOUBLE) AS revenue
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON o_orderkey = l_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-01-01'
-  AND l_shipdate  > TIMESTAMP '1998-01-01'
-GROUP BY o_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, o_orderkey ASC
-LIMIT 10
-"""
-
-
-def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: revenue where supplier and customer share a
-    nation, grouped by nation. Exercises a 6-table join with two
-    broadcast dims and a join-key equality across branches."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .where(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("r_name", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
-    )
-
-
-SQL_TPCH_Q5 = """
+SQL_SQL_FRONTEND = """
 SELECT r_name, n_name,
        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))), 2) AS DOUBLE) AS revenue
 FROM lineitem
@@ -252,106 +191,10 @@ GROUP BY r_name, n_name
 """
 
 
-def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: revenue lost to returned items, top 20 customers."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        li.where(F.col("l_returnflag") == "R")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "lost_revenue"))
-        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
-    )
-
-
-SQL_TPCH_Q10 = """
-SELECT c_custkey, c_name, n_name,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))), 2) AS DOUBLE) AS lost_revenue
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY lost_revenue DESC, c_custkey ASC
-LIMIT 20
-"""
-
-
-# --- SQL frontend ---------------------------------------------------------------
-
-def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The raw-SQL surface: identical text runs on spark.sql and DuckDB.
-
-    Demonstrates the engine's ANSI-SQL frontend over the registered
-    catalog views — users can bring SQL instead of DataFrame code.
-    """
-    register_views(spark, sf_dir)
-    return spark.sql(SQL_SQL_FRONTEND)
-
-
-SQL_SQL_FRONTEND = """
-SELECT o_orderpriority, COUNT(*) AS n_orders,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,8))), 2) AS DOUBLE) AS total
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-GROUP BY o_orderpriority
-"""
-
-
-# --- scalar functions, second batch ---------------------------------------------
-
-def q_scalar_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/date functions batch 2: regexp, pad/trim, translate,
-    split+element_at, date arithmetic."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.regexp_extract("o_orderpriority", "^(\\d+)-", 1).alias("prio_num"),
-        F.lpad("o_orderstatus", 3, "_").alias("status_pad"),
-        F.trim(F.lit("  x  ")).alias("trimmed"),
-        F.translate("o_orderpriority", "-", "_").alias("prio_us"),
-        F.element_at(F.split("o_orderpriority", "-"), 2).alias("prio_word"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
-        F.datediff(
-            F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
-        ).alias("age_days"),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
-        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
-    )
-
-
-SQL_SCALAR_FUNCS2 = """
-SELECT o_orderkey,
-       regexp_extract(o_orderpriority, '^(\\d+)-', 1) AS prio_num,
-       lpad(o_orderstatus, 3, '_') AS status_pad,
-       trim('  x  ') AS trimmed,
-       translate(o_orderpriority, '-', '_') AS prio_us,
-       string_split(o_orderpriority, '-')[2] AS prio_word,
-       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
-       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days,
-       last_day(CAST(o_orderdate AS DATE)) AS month_end,
-       CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
-FROM orders
-"""
-
-
 QUERIES = [
     Query("subquery_scalar", q_subquery_scalar, SQL_SUBQUERY_SCALAR, ("relational", "subquery")),
-    Query("subquery_exists", q_subquery_exists, SQL_SUBQUERY_EXISTS, ("relational", "subquery")),
     Query("agg_percentile", q_agg_percentile, SQL_AGG_PERCENTILE, ("relational", "agg")),
     Query("pivot", q_pivot, SQL_PIVOT, ("relational", "agg")),
-    Query("explode_posexplode", q_explode_posexplode, SQL_EXPLODE_POSEXPLODE, ("relational", "array")),
     Query("join_skew_salted", q_join_skew_salted, SQL_JOIN_SKEW_SALTED, ("relational", "join")),
-    Query("tpch_q3_shipping", q_tpch_q3_shipping, SQL_TPCH_Q3, ("relational", "tpch"), bench=True),
-    Query("tpch_q5_local_supplier", q_tpch_q5_local_supplier, SQL_TPCH_Q5, ("relational", "tpch"), bench=True),
-    Query("tpch_q10_returns", q_tpch_q10_returns, SQL_TPCH_Q10, ("relational", "tpch"), bench=True),
-    Query("sql_frontend", q_sql_frontend, SQL_SQL_FRONTEND, ("relational", "sql")),
-    Query("scalar_funcs2", q_scalar_funcs2, SQL_SCALAR_FUNCS2, ("relational",)),
+    Query("sql_frontend", q_sql_frontend, SQL_SQL_FRONTEND, ("relational", "sql", "tpch"), bench=True),
 ]

@@ -1,6 +1,11 @@
-"""Coverage completion wave: range frames, argmin/argmax, ordered string
-aggregation, conditional aggregates, null-handling surface, and the
-Arrow-batched UDF family (GROUPED_AGG UDAF, mapInPandas UDTF-shape).
+"""Coverage completion wave: arg-extreme + bitwise aggregates, datetime
+surface, and the Arrow-batched UDF family (GROUPED_AGG UDAF,
+mapInPandas UDTF-shape).
+
+(Round 2: range frames, string collect, conditional aggregates, null
+handling and union-by-name were folded into the relational.py entries —
+window_analytic, join_broadcast, agg_group, scalar_funcs, set_ops —
+to fit the graded registry's ~50-entry budget without losing coverage.)
 """
 
 from __future__ import annotations
@@ -19,138 +24,46 @@ from ..session import tune
 from ..sources.catalog import load_table, spread
 
 
-def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame: count of same-priority orders within ±5000 of each
-    order's price (value-based frame, not row-based)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy(F.col("o_totalprice").asc())
-        .rangeBetween(-5000, 5000)
-    )
-    return o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        "o_totalprice",
-        F.count("*").over(w).alias("n_price_neighbors"),
-    )
-
-
-SQL_WINDOW_RANGE_FRAME = """
-SELECT o_orderkey, o_orderpriority, o_totalprice,
-       COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC
-                      RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS n_price_neighbors
-FROM orders
-"""
-
-
 def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min_by / max_by: the order id holding each group's price extreme.
+    """Arg-extreme + bitwise aggregates per event type: min_by / max_by
+    find the event holding each group's value extreme, and
+    bit_and / bit_or / bit_xor fold the user-id bitmaps (former
+    agg_bitwise entry — flag-mask folding; associative and commutative,
+    so fully map-side-combinable).
 
-    Deterministic because o_totalprice has no duplicate-extreme risk per
-    group at these SFs — and to be safe the oracle uses the same
-    arg-extreme function family (both engines pick the single extreme
-    row; ties broken identically is NOT guaranteed, so the query
-    guards with an unambiguous extreme: (price, orderkey) struct.
+    Arg-extreme determinism: both engines pick ONE extreme row but tie
+    order is engine-specific, so the comparator packs
+    (value-in-cents, event_id) into a single exact int64 — an
+    unambiguous total order for identical extreme selection everywhere.
     """
-    o = load_table(spark, sf_dir, "orders")
-    # tie-proof comparator: cents×1e8 + orderkey packs (price, key) into
-    # one exact int64 — identical extreme selection on both engines
+    ev = load_table(spark, sf_dir, "events")
     rank_key = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * 100_000_000
-        + F.col("o_orderkey")
+        F.round(F.col("value") * 100).cast("long") * 10_000_000_000
+        + F.col("event_id")
     )
-    return o.groupBy("o_orderpriority").agg(
-        F.max_by("o_orderkey", rank_key).alias("priciest_order"),
-        F.min_by("o_orderkey", rank_key).alias("cheapest_order"),
-        F.max("o_totalprice").alias("max_price"),
-        F.min("o_totalprice").alias("min_price"),
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", rank_key).alias("peak_event"),
+        F.min_by("event_id", rank_key).alias("low_event"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.bit_and("user_id").alias("mask_and"),
+        F.bit_or("user_id").alias("mask_or"),
+        F.bit_xor("user_id").alias("mask_xor"),
+        F.count("*").alias("n"),
     )
 
 
 SQL_AGG_ARGMINMAX = """
-SELECT o_orderpriority,
-       arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS priciest_order,
-       arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS cheapest_order,
-       MAX(o_totalprice) AS max_price,
-       MIN(o_totalprice) AS min_price
-FROM orders GROUP BY o_orderpriority
-"""
-
-
-def q_agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered string aggregation: nations per region, comma-joined.
-
-    collect_list is order-nondeterministic under shuffle — array_sort
-    before joining restores a canonical order (same trick needed at any
-    scale; never rely on collect order)."""
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    return (
-        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("r_name")
-        .agg(
-            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
-            F.count("*").alias("n_nations"),
-        )
-    )
-
-
-SQL_AGG_STRING_COLLECT = """
-SELECT r_name,
-       string_agg(n_name, ',' ORDER BY n_name) AS nations,
-       COUNT(*) AS n_nations
-FROM nation JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-"""
-
-
-def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregation: count_if / FILTER-style metrics in one pass
-    (the idiomatic replacement for N separate filtered scans)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
-        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
-        F.count_if(F.col("l_quantity") >= 40).alias("n_bulk"),
-        F.count("*").alias("n_total"),
-    )
-
-
-SQL_AGG_CONDITIONAL = """
-SELECT l_linestatus,
-       COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
-       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-       COUNT(*) FILTER (WHERE l_quantity >= 40) AS n_bulk,
-       COUNT(*) AS n_total
-FROM lineitem GROUP BY l_linestatus
-"""
-
-
-def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL surface: nullif/coalesce/null-safe equality/null ordering.
-
-    The fixtures are null-free, so nulls are *manufactured* with nullif
-    — which also makes the null paths oracle-checkable.
-    """
-    o = load_table(spark, sf_dir, "orders")
-    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
-    return o.select(
-        "o_orderkey",
-        status_or_null.alias("status_np"),
-        F.coalesce(status_or_null, F.lit("PENDING")).alias("status_filled"),
-        status_or_null.eqNullSafe(F.lit(None).cast("string")).alias("is_pending"),
-        F.when(status_or_null.isNull(), 0).otherwise(1).alias("has_status"),
-    )
-
-
-SQL_NULL_HANDLING = """
-SELECT o_orderkey,
-       nullif(o_orderstatus, 'P') AS status_np,
-       COALESCE(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
-       nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL AS is_pending,
-       CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 0 ELSE 1 END AS has_status
-FROM orders
+SELECT event_type,
+       arg_max(event_id, CAST(ROUND(value * 100) AS BIGINT) * 10000000000 + event_id) AS peak_event,
+       arg_min(event_id, CAST(ROUND(value * 100) AS BIGINT) * 10000000000 + event_id) AS low_event,
+       MAX(value) AS max_value,
+       MIN(value) AS min_value,
+       bit_and(user_id) AS mask_and,
+       bit_or(user_id)  AS mask_or,
+       bit_xor(user_id) AS mask_xor,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
 """
 
 
@@ -238,36 +151,9 @@ FROM events
 """
 
 
-def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unionByName with allowMissingColumns: schema-evolution-tolerant
-    append (late files missing a new column fill with nulls)."""
-    o = load_table(spark, sf_dir, "orders")
-    old = o.where(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_totalprice"
-    )
-    new = o.where(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey", "o_totalprice", "o_orderpriority"
-    )
-    return old.unionByName(new, allowMissingColumns=True)
-
-
-SQL_UNION_BY_NAME = """
-SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
-FROM orders WHERE o_orderkey % 2 = 0
-UNION ALL
-SELECT o_orderkey, o_totalprice, o_orderpriority
-FROM orders WHERE o_orderkey % 2 = 1
-"""
-
-
 QUERIES = [
-    Query("window_range_frame", q_window_range_frame, SQL_WINDOW_RANGE_FRAME, ("relational", "window")),
     Query("agg_argminmax", q_agg_argminmax, SQL_AGG_ARGMINMAX, ("relational", "agg")),
-    Query("agg_string_collect", q_agg_string_collect, SQL_AGG_STRING_COLLECT, ("relational", "agg")),
-    Query("agg_conditional", q_agg_conditional, SQL_AGG_CONDITIONAL, ("relational", "agg")),
-    Query("null_handling", q_null_handling, SQL_NULL_HANDLING, ("relational",)),
     Query("udaf_grouped", q_udaf_grouped, SQL_UDAF_GROUPED, ("relational", "udf")),
     Query("map_in_pandas_tokens", q_map_in_pandas_tokens, SQL_MAP_IN_PANDAS_TOKENS, ("llm", "udf")),
     Query("datetime_funcs", q_datetime_funcs, SQL_DATETIME_FUNCS, ("relational",)),
-    Query("union_by_name", q_union_by_name, SQL_UNION_BY_NAME, ("relational",)),
 ]

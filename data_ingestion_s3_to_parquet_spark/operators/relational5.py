@@ -1,70 +1,21 @@
-"""Relational wave 5: bitwise aggregates, dedup-keep-first over event
-streams, regexp function surface.
+"""Relational wave 5: null-safe joins and the regexp function surface.
 
 Reference scope note: absent from the reference (SURVEY.md §2A is its
 whole surface); §2B [EXT] operators per the driver contract.
+
+(Round 2: agg_bitwise folded into agg_argminmax, unpivot into pivot's
+roundtrip, and event_dedup_first retired — its keep-first window
+pattern is covered by join_asof/window_rank and the true streaming
+dropDuplicates tests — to fit the graded registry's ~50-entry budget.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..plans.spec import Query
 from ..sources.catalog import load_table
-
-
-def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitwise AND/OR/XOR aggregates per group — flag-mask folding
-    (e.g. collapsing per-event feature bitmaps to a per-type mask).
-    Associative and commutative, so fully map-side-combinable."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.bit_and("user_id").alias("mask_and"),
-        F.bit_or("user_id").alias("mask_or"),
-        F.bit_xor("user_id").alias("mask_xor"),
-        F.count("*").alias("n"),
-    )
-
-
-SQL_AGG_BITWISE = """
-SELECT event_type,
-       bit_and(user_id) AS mask_and,
-       bit_or(user_id)  AS mask_or,
-       bit_xor(user_id) AS mask_xor,
-       COUNT(*) AS n
-FROM events GROUP BY event_type
-"""
-
-
-def q_event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep the FIRST event per (user_id, event_type) by event time —
-    the batch expression of streaming deduplication
-    (``dropDuplicatesWithinWatermark`` keyed on user+type). A total
-    ordering (ts, then event_id) makes the winner deterministic even
-    for same-timestamp duplicates; the window runs as one shuffle on
-    the dedup key, identical to the streaming state layout where the
-    key partitions the state store.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", "value")
-    )
-
-
-SQL_EVENT_DEDUP_FIRST = """
-SELECT user_id, event_type, event_id, ts, value
-FROM events
-QUALIFY row_number() OVER (
-  PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC
-) = 1
-"""
 
 
 def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,34 +53,6 @@ FROM documents
 """
 
 
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide→long reshape (``DataFrame.unpivot`` / melt): lineitem's four
-    numeric measures become (measure, value) rows. The inverse of
-    ``pivot``; runs as a Generate (row expansion), no shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-        "l_extendedprice",
-        "l_discount",
-        "l_tax",
-    ).unpivot(
-        ["l_orderkey", "l_linenumber"],
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        "measure",
-        "value",
-    )
-
-
-SQL_UNPIVOT = """
-SELECT l_orderkey, l_linenumber, name AS measure, value
-FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-             l_discount, l_tax FROM lineitem)
-UNPIVOT (value FOR name IN (l_quantity, l_extendedprice, l_discount, l_tax))
-"""
-
-
 def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): rows with
     null keys match each other instead of disappearing — the behavior
@@ -163,19 +86,11 @@ FROM typed t JOIN counts c ON t.et IS NOT DISTINCT FROM c.et
 
 
 QUERIES = [
-    Query("agg_bitwise", q_agg_bitwise, SQL_AGG_BITWISE, ("relational", "agg")),
-    Query("unpivot", q_unpivot, SQL_UNPIVOT, ("relational",)),
     Query(
         "join_null_safe",
         q_join_null_safe,
         SQL_JOIN_NULL_SAFE,
         ("relational", "join"),
-    ),
-    Query(
-        "event_dedup_first",
-        q_event_dedup_first,
-        SQL_EVENT_DEDUP_FIRST,
-        ("relational", "dedup", "streaming"),
     ),
     Query(
         "regexp_funcs",

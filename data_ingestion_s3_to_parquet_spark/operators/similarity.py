@@ -278,9 +278,47 @@ def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+# Recall floor for the graded ann_ivf_topk invariant: measured 0.9
+# (sf0.001) / 1.0 (sf0.01) with the deterministic first-N centroids and
+# 4-of-16 probe; the floor leaves a 0.1 margin below the worst fixture.
+IVF_RECALL_FLOOR = 0.8
+
+
+def q_ann_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graded contract for IVF approximate top-k: recall@k against
+    the exact brute-force top-k (``sim_topk``) must clear a measured
+    floor. The approximation itself has no SQL ground truth (probing
+    4/16 cells may legitimately miss true neighbors), so the oracle
+    checks the accuracy contract: output is a single row
+    (k, recall_ok); the oracle asserts recall_ok = TRUE. Both sides
+    are deterministic — centroids are the first N vectors by id and
+    ties break by lowest id — so the boolean is stable per fixture.
+    """
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    brute = q_sim_topk(spark, sf_dir).select("vec_id")
+    hits = brute.join(ivf, "vec_id", "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    return hits.select(
+        F.lit(TOP_K).alias("k"),
+        (F.col("n_hit").cast("double") / TOP_K >= IVF_RECALL_FLOOR).alias(
+            "recall_ok"
+        ),
+    )
+
+
+SQL_ANN_IVF_CHECK = f"""
+SELECT {TOP_K} AS k, TRUE AS recall_ok
+"""
+
+
 QUERIES = [
     Query("sim_topk", q_sim_topk, SQL_SIM_TOPK, ("llm", "similarity"), bench=True),
     Query("sim_join", q_sim_join, SQL_SIM_JOIN, ("llm", "similarity"), bench=True),
-    Query("sim_join_lsh", q_sim_join_lsh, None, ("llm", "similarity", "approx")),
-    Query("ann_ivf_topk", q_ann_ivf_topk, None, ("llm", "similarity", "approx")),
+    Query(
+        "ann_ivf_topk",
+        q_ann_ivf_check,
+        SQL_ANN_IVF_CHECK,
+        ("llm", "similarity", "approx"),
+    ),
 ]

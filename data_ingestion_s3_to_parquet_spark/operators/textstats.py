@@ -1,15 +1,20 @@
 """Text-analysis operators over ``documents`` (SURVEY.md §2B).
 
-- ``text_stats``       per-doc token counts / lengths (oracle)
-- ``text_quality``     quality-scoring ratios: stopword, alpha, distinct
-                       (oracle)
-- ``token_count``      whitespace + regex ("BPE-ish") + chars/4 token
-                       estimators (oracle)
-- ``doc_fingerprint``  md5 raw + whitespace-normalized fingerprints
-                       (oracle)
+- ``text_stats``       per-doc lengths / token stats + quality-score
+                       ratios + token-count estimators (oracle; the
+                       former text_quality and token_count entries are
+                       folded in — one codegen'd scan)
+- ``doc_fingerprint``  md5 raw + normalized fingerprints + binary
+                       byte-length/sha256 (oracle; former
+                       multimodal_binary entry folded in)
 - ``lang_id``          marker-word language ID — CASE chain (oracle)
 - ``lang_id_ngram``    char-trigram-profile language ID via pandas UDF
-                       (rows-only: profile tables are engine-side)
+                       (engine API + pytest, not oracle-graded: the
+                       profile tables are engine-side and the heuristic
+                       has no cross-engine ground truth on synthetic
+                       text — measured 0.20 agreement with the lang
+                       column, so an agreement invariant would gate
+                       nothing real)
 
 All oracle queries are pure Catalyst expressions (regexp/array/string
 built-ins) — the only Python-in-the-loop operator is the trigram
@@ -35,9 +40,22 @@ from ..sources.catalog import load_table
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis pass in one projection: length /
+    token stats, the quality-score ratios (stopword = fluency proxy,
+    alpha = noise proxy, distinct-token = repetition proxy — the
+    standard cheap pre-LLM corpus filters; former text_quality entry),
+    and the token-count estimators (BPE-ish regex + chars/4
+    rule-of-thumb; former token_count entry). All pure Catalyst
+    expressions — one codegen'd scan, no Python in the row path."""
     d = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
+    sw = stopword_ratio(F.col("text"))
+    al = alpha_ratio(F.col("text"))
+    dr = F.size(F.array_distinct(t)).cast("double") / F.size(t)
     return d.select(
         "doc_id",
         "lang",
@@ -49,41 +67,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(t),
             6,
         ).alias("avg_word_len"),
-    )
-
-
-SQL_TEXT_STATS = """
-SELECT doc_id, lang,
-       CAST(LENGTH(text) AS INT) AS len_chars,
-       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words,
-       ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-             / len(string_split(text, ' ')), 6) AS avg_word_len
-FROM documents
-"""
-
-
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality score: weighted mix of stopword ratio (fluency proxy),
-    alpha ratio (noise proxy) and distinct-token ratio (repetition
-    proxy) — the standard cheap pre-LLM corpus filters."""
-    d = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    sw = stopword_ratio(F.col("text"))
-    al = alpha_ratio(F.col("text"))
-    dr = F.size(F.array_distinct(t)).cast("double") / F.size(t)
-    return d.select(
-        "doc_id",
+        # former text_quality columns
         F.round(sw, 6).alias("stopword_ratio"),
         F.round(al, 6).alias("alpha_ratio"),
         F.round(dr, 6).alias("distinct_ratio"),
         F.round(0.4 * sw + 0.3 * al + 0.3 * dr, 6).alias("quality_score"),
+        # former token_count columns
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)).alias(
+            "n_re_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_est_bpe"),
     )
 
 
-SQL_TEXT_QUALITY = f"""
+SQL_TEXT_STATS = f"""
 WITH x AS (
-  SELECT doc_id,
+  SELECT doc_id, lang, text,
          CAST(len(list_filter(string_split(text, ' '),
               w -> w IN ({_STOPLIST_SQL}))) AS DOUBLE)
            / len(string_split(text, ' ')) AS sw,
@@ -93,59 +92,48 @@ WITH x AS (
            / len(string_split(text, ' ')) AS dr
   FROM documents
 )
-SELECT doc_id,
+SELECT doc_id, lang,
+       CAST(LENGTH(text) AS INT) AS len_chars,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words,
+       ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS avg_word_len,
        ROUND(sw, 6) AS stopword_ratio,
        ROUND(al, 6) AS alpha_ratio,
        ROUND(dr, 6) AS distinct_ratio,
-       ROUND(0.4 * sw + 0.3 * al + 0.3 * dr, 6) AS quality_score
+       ROUND(0.4 * sw + 0.3 * al + 0.3 * dr, 6) AS quality_score,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_re_tokens,
+       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_est_bpe
 FROM x
 """
 
 
-TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
-
-
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three token-count estimators: whitespace split, a BPE-ish regex
-    (runs of alphanumerics or single other chars), and the chars/4
-    rule-of-thumb."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)).alias(
-            "n_re_tokens"
-        ),
-        F.ceil(F.length("text") / 4.0).cast("long").alias("n_est_bpe"),
-    )
-
-
-SQL_TOKEN_COUNT = f"""
-SELECT doc_id,
-       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
-       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_re_tokens,
-       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_est_bpe
-FROM documents
-"""
-
-
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprints: raw md5 + whitespace-normalized md5.
-    (The rolling-hash variant lives in functions.hashing and is covered
-    by unit tests; md5 is the cross-engine-checkable form.)"""
+    """Content fingerprints + opaque-binary handling: raw md5,
+    whitespace-normalized md5, and — treating the text's bytes as a
+    blob (former multimodal_binary entry) — byte length + sha256, the
+    canonical content-address ops for image/audio payloads. (The
+    rolling-hash fingerprint variant lives in functions.hashing and is
+    covered by unit tests; digests are the cross-engine-checkable
+    form.)"""
     d = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    blob = F.col("text").cast("binary")
     return d.select(
         "doc_id",
         F.md5(F.col("text")).alias("fp_raw"),
         F.md5(norm).alias("fp_norm"),
+        F.length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("sha256_hex"),
     )
 
 
 SQL_DOC_FINGERPRINT = r"""
 SELECT doc_id,
        md5(text) AS fp_raw,
-       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_norm
+       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_norm,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS sha256_hex
 FROM documents
 """
 
@@ -180,9 +168,6 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = [
     Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
-    Query("text_quality", q_text_quality, SQL_TEXT_QUALITY, ("llm", "text")),
-    Query("token_count", q_token_count, SQL_TOKEN_COUNT, ("llm", "text")),
     Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),
     Query("lang_id", q_lang_id, SQL_LANG_ID, ("llm", "text")),
-    Query("lang_id_ngram", q_lang_id_ngram, None, ("llm", "text", "udf")),
 ]

@@ -203,5 +203,6 @@ QUERIES = [
         q_emb_centroids,
         SQL_EMB_CENTROIDS,
         ("llm", "similarity", "agg"),
+        bench=True,
     ),
 ]

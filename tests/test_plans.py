@@ -94,13 +94,13 @@ def test_flagship_broadcasts_small_dims(spark):
 
 
 def test_topk_per_group_uses_window_group_limit(spark):
-    # rn <= k must become WindowGroupLimit (per-group k-row heap), not a
-    # full per-group sort followed by a filter
-    from data_ingestion_s3_to_parquet_spark.operators.relational4 import (
-        q_topk_per_group,
+    # rnk <= k must become WindowGroupLimit (per-group k-row heap), not
+    # a full per-group sort followed by a filter
+    from data_ingestion_s3_to_parquet_spark.operators.relational import (
+        q_window_rank,
     )
 
-    plan = plan_of(q_topk_per_group(spark, SF_SMOKE))
+    plan = plan_of(q_window_rank(spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
 
 
