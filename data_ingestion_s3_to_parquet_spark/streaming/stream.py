@@ -73,6 +73,28 @@ def windowed_counts_stream(
     )
 
 
+def idempotent_parquet_sink(out_dir: str):
+    """A ``foreachBatch`` sink with exactly-once OUTPUT semantics.
+
+    foreachBatch itself is at-least-once: after a crash between "sink
+    ran" and "offsets committed", the SAME (batch_df, batch_id) is
+    re-delivered on restart. Exactly-once therefore has to come from
+    the sink being idempotent per batch_id — here each batch overwrites
+    its own deterministic ``batch_id=N`` directory, so re-delivery
+    rewrites identical bytes instead of appending duplicates. (The
+    built-in file sink gets the same guarantee from its _spark_metadata
+    transaction log; use this pattern for sinks that lack one, e.g.
+    JDBC upserts keyed on (batch_id, pk).)
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return sink
+
+
 def run_stream_once(
     df: DataFrame, *, name: str = "stream_smoke", output_mode: str = "complete"
 ) -> list:

@@ -99,6 +99,126 @@ def test_stream_watermark_drops_late_rows(spark, tmp_path):
     assert all(got[ws] > 0 for ws in on_time_windows)
 
 
+def test_stream_out_of_order_across_watermark_boundary(spark, tmp_path):
+    # The precise late-data contract, not just the happy path: rows that
+    # arrive out of order but AHEAD of the watermark are aggregated into
+    # their (still-open) window; rows BEHIND the watermark are dropped;
+    # each window is emitted exactly once even across three separate
+    # availableNow runs sharing one checkpoint.
+    src = tmp_path / "ooo_events"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(src))
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+        # append mode: each closed window appears exactly once
+        assert len(rows) == len({r.ws for r in rows})
+        return {r.ws: r.n for r in rows}
+
+    import glob as globmod
+    import shutil
+
+    def add_file(rows, name):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = globmod.glob(f"{staging}/part-*.parquet")[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    # run 1: 00:00..02:00 every 10 min -> watermark 01:30; only the
+    # [00:00,01:00) window (6 rows) is closed and emitted
+    add_file(
+        [(i, base + dt.timedelta(minutes=10 * i), 1, "click", 1.0) for i in range(13)],
+        "p1",
+    )
+    got = run_once()
+    assert got == {base: 6}
+
+    # run 2, out of order. Spark's drop rule is per WINDOW, not per row:
+    # a straggler is lost only once its window's end <= watermark (state
+    # evicted). So: 01:40 AND 01:10 both land in the still-open
+    # [01:00,02:00) window and must be aggregated despite 01:10 being
+    # behind the 01:30 watermark; 00:50 targets the closed-and-emitted
+    # [00:00,01:00) window and must be dropped; 03:00 advances the
+    # watermark to 02:30, closing [01:00,02:00) and [02:00,03:00)
+    add_file(
+        [
+            (100, base + dt.timedelta(hours=1, minutes=40), 1, "click", 1.0),
+            (101, base + dt.timedelta(hours=1, minutes=10), 1, "click", 1.0),
+            (102, base + dt.timedelta(minutes=50), 1, "click", 1.0),
+            (103, base + dt.timedelta(hours=3), 1, "click", 1.0),
+        ],
+        "p2",
+    )
+    got = run_once()
+    # 6 on-time rows (01:00..01:50) + both open-window stragglers
+    assert got[base + dt.timedelta(hours=1)] == 8
+    # [02:00,03:00) is NOT yet emitted: its end (03:00) is still ahead
+    # of the 02:30 watermark
+    assert base + dt.timedelta(hours=2) not in got
+    # run 1's emission is untouched: the 00:50 straggler was dropped and
+    # the closed window is never re-emitted (exactly-once per window)
+    assert got[base] == 6
+
+    # run 3: 04:00 -> watermark 03:30 closes [02:00,03:00) (its end
+    # 03:00 <= 03:30); [03:00,04:00) stays open (end 04:00 > 03:30)
+    add_file([(200, base + dt.timedelta(hours=4), 1, "click", 1.0)], "p3")
+    got = run_once()
+    assert got[base + dt.timedelta(hours=2)] == 1
+    assert base + dt.timedelta(hours=3) not in got
+    assert got[base + dt.timedelta(hours=1)] == 8 and got[base] == 6
+
+
+def test_foreach_batch_idempotent_redelivery(spark, tmp_path):
+    # foreachBatch is at-least-once: a crash between sink-write and
+    # offset-commit re-delivers the same (batch_df, batch_id). The
+    # per-batch-overwrite sink must absorb that replay without
+    # duplicating output.
+    from data_ingestion_s3_to_parquet_spark.streaming.stream import (
+        idempotent_parquet_sink,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), 1, "click", float(i)) for i in range(20)]
+    src = str(tmp_path / "idem_events")
+    _write_events_rows(spark, src, rows)
+    out = str(tmp_path / "idem_out")
+    sink = idempotent_parquet_sink(out)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    first = spark.read.parquet(out).count()
+    assert first == 20
+
+    # simulate the post-crash replay of batch 0: same data, same id
+    sink(spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA), 0)
+    assert spark.read.parquet(out).count() == 20  # no duplicates
+
+
+def _write_events_rows(spark, path: str, rows) -> None:
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).repartition(2).write.parquet(path)
+
+
 def test_stream_static_enrichment_join(spark, tmp_path):
     # stream-static join: the canonical dim-enrichment pattern — the
     # static side is re-read per micro-batch (picks up dim updates),
