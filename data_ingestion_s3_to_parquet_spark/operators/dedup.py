@@ -490,10 +490,107 @@ def connected_components(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
         raise RuntimeError(
             f"connected_components did not converge in {MAX_CC_ITERS} "
             f"rounds ({changed} labels still changing); component "
-            "diameter exceeds the iteration cap — raise MAX_CC_ITERS or "
-            "pre-contract the graph (large-star/small-star)"
+            "diameter exceeds the iteration cap — use "
+            "connected_components_star (large-star/small-star, "
+            "O(log n) rounds) for high-diameter graphs"
         )
     return labels
+
+
+MAX_STAR_ITERS = 40
+
+
+def connected_components_star(
+    pairs: DataFrame, vertices: DataFrame
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    100 TB lane for HIGH-DIAMETER graphs.
+
+    Hash-min propagation (:func:`connected_components`) needs
+    component-diameter rounds: fine for shallow near-dup clusters
+    (diameter 2-3), fatal for chain-shaped candidate graphs (an
+    n-node chain = n rounds, each a full shuffle). The star
+    alternation instead CONTRACTS the graph — large-star hangs every
+    larger neighbor under the neighborhood minimum, small-star
+    re-hangs the small neighborhood — converging in O(log n) rounds
+    to per-component stars rooted at the component minimum.
+
+    Same contract as :func:`connected_components`: ``pairs`` (u, v)
+    undirected edges, ``vertices`` one ``vec_id`` column; returns
+    (vec_id, component = min reachable id). Convergence is detected by
+    an edge-multiset signature (count + hash-sum) staying fixed —
+    one tiny aggregate per round. ``localCheckpoint`` truncates
+    lineage every round, as in the hash-min loop.
+    """
+    e = (
+        pairs.select("u", "v")
+        .union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) ∪ {u}); hang every v > u under m(u).
+        # Neighborhoods must be UNDIRECTED every round — small_star
+        # emits directed (larger → smaller) edges, so re-symmetrize
+        # here or later rounds see partial neighborhoods.
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # orient to the larger endpoint, hang u and its small
+        # neighborhood under its minimum
+        o = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+        )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def signature(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count("*").alias("c"), F.sum(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        return (row.c, row.h)
+
+    sig = signature(e)
+    converged = False
+    for _ in range(MAX_STAR_ITERS):
+        e = small_star(large_star(e)).localCheckpoint()
+        new_sig = signature(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{MAX_STAR_ITERS} rounds — edge signature still moving"
+        )
+    # converged: every edge is (node, component-root)
+    parent = e.groupBy("u").agg(F.min("v").alias("component"))
+    return vertices.join(
+        parent, vertices["vec_id"] == parent["u"], "left"
+    ).select(
+        "vec_id", F.coalesce(F.col("component"), F.col("vec_id")).alias("component")
+    )
 
 
 SQL_DEDUP_COMPONENTS = f"""

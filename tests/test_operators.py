@@ -233,3 +233,66 @@ def test_connected_components_over_lsh_candidate_edges(spark, tmp_path):
     assert comp[100] == comp[0] == 0
     assert comp[101] == comp[5] == 5
     assert comp[7] == 7
+
+
+def test_connected_components_star_chain_beyond_hashmin_cap(spark):
+    # a 60-node chain has diameter 59 > MAX_CC_ITERS: hash-min must
+    # refuse (loudly), the star alternation must converge in O(log n)
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    verts = spark.range(n).withColumnRenamed("id", "vec_id")
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, verts)
+
+    comp = {
+        r.vec_id: r.component
+        for r in connected_components_star(edges, verts).collect()
+    }
+    assert len(comp) == n
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_star_matches_hashmin(spark):
+    # multi-component random graph (shallow) + isolated vertices:
+    # both lanes must produce identical labelings
+    import random
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    edges = []
+    # three clusters with random internal edges, ids interleaved so
+    # component minima aren't trivially contiguous
+    clusters = [list(range(k, 90, 3)) for k in range(3)]
+    for members in clusters:
+        for _ in range(40):
+            edges.append((rng.choice(members), rng.choice(members)))
+    e = spark.createDataFrame(
+        [p for p in edges if p[0] != p[1]], "u long, v long"
+    )
+    verts = spark.range(100).withColumnRenamed("id", "vec_id")  # 90..99 isolated
+
+    hashmin = {
+        r.vec_id: r.component for r in connected_components(e, verts).collect()
+    }
+    star = {
+        r.vec_id: r.component
+        for r in connected_components_star(e, verts).collect()
+    }
+    assert star == hashmin
+    assert star[0] == 0 and star[1] == 1 and star[2] == 2
+    for iso in range(90, 100):
+        assert star[iso] == iso
