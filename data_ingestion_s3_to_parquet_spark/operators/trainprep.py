@@ -13,7 +13,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.numeric import davg
-from ..functions.text import STOPWORDS, alpha_ratio, stopword_ratio, tokens
+from ..functions.text import (
+    STOPWORDS,
+    alpha_ratio,
+    stopword_ratio,
+    tokens,
+    with_hashed_shingles,
+)
 from ..plans.spec import Query
 from ..sources.catalog import load_table
 
@@ -189,8 +195,95 @@ FROM uniq
 """
 
 
+DECON_N = 5           # shingle length: random n-gram collisions ~0 at n=5
+DECON_BENCH_MOD = 10  # doc_id % 10 == 0 plays the held-out benchmark set
+DECON_MIN_HITS = 1    # any shared n-gram → contaminated (GPT-3-style)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training documents that share any
+    word n-gram with a held-out benchmark set (here: the ``doc_id %
+    {mod} == 0`` decile of ``documents`` stands in for the benchmark).
+
+    This is the GPT-3/PaLM-style n-gram overlap filter: with n = 5,
+    accidental collisions are ~zero on natural text, so a hit means a
+    verbatim phrase leaked from an eval set into training data. On the
+    fixtures only the planted near-duplicate pairs whose twin landed in
+    the benchmark decile get flagged — exactly the intended semantics.
+
+    Scale shape (the 100 TB story): benchmark corpora are tiny (MBs)
+    next to the training corpus, so the distinct benchmark-shingle set
+    is explicitly ``broadcast`` — the whole operator is then a map-side
+    semi-join over the corpus scan with one count aggregation; no
+    corpus-sized shuffle at any point. Shingles are ``xxhash64`` hashes
+    (``functions/text.py::with_hashed_shingles``), not strings, so the
+    broadcast table is fixed-width longs. The oracle recomputes overlap
+    with string shingles — hashing is equality-preserving, so the
+    (doc_id, n_hits, contaminated) output matches bitwise.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = with_hashed_shingles(d, n=DECON_N)
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench_grams = (
+        sh.where(is_bench).select(F.explode("sh").alias("g")).distinct()
+    )
+    train = sh.where(~is_bench)
+    hits = (
+        train.select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_hits = F.coalesce("n_hits", F.lit(0))
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_hits.alias("n_hits"),
+            (n_hits >= DECON_MIN_HITS).alias("contaminated"),
+        )
+    )
+
+
+def _sql_gram(n: int) -> str:
+    joined = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    return (
+        f"[{joined} for i in generate_series(1, len(t)-{n - 1})]"
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_sql_gram(DECON_N)}) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+train AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % {DECON_BENCH_MOD} <> 0
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits FROM train
+  WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+)
+SELECT s.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= {DECON_MIN_HITS} AS contaminated
+FROM sh s LEFT JOIN hits h USING (doc_id)
+WHERE s.doc_id % {DECON_BENCH_MOD} <> 0
+"""
+
+
 QUERIES = [
     Query("sample_split", q_sample_split, SQL_SAMPLE_SPLIT, ("llm", "sampling")),
+    Query(
+        "decontaminate",
+        q_decontaminate,
+        SQL_DECONTAMINATE,
+        ("llm", "dedup", "pipeline"),
+        bench=True,
+    ),
     Query(
         "corpus_prep",
         q_corpus_prep,

@@ -296,3 +296,38 @@ def test_connected_components_star_matches_hashmin(spark):
     assert star[0] == 0 and star[1] == 1 and star[2] == 2
     for iso in range(90, 100):
         assert star[iso] == iso
+
+
+def test_decontaminate_flags_planted_overlap(spark, tmp_path):
+    # doc 10 (benchmark decile) shares a verbatim 5-gram with doc 3;
+    # docs 1 and 2 are clean — only doc 3 may be flagged
+    leak = "alpha bravo charlie delta echo"
+    rows = [
+        (1, "one two three four five six seven"),
+        (2, "red green blue yellow purple orange"),
+        (3, f"intro words {leak} trailing tail"),
+        (10, f"benchmark prompt {leak} answer choices"),
+        (20, "another benchmark question entirely different"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "syn", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import q_decontaminate
+
+    out = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in q_decontaminate(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}          # benchmark docs excluded
+    assert out[3][1] is True and out[3][0] >= 1
+    assert out[1] == (0, False) and out[2] == (0, False)
+
+
+def test_registry_extra_lane_has_oracles():
+    from data_ingestion_s3_to_parquet_spark.plans.registry import EXTRA, REGISTRY
+
+    assert len(REGISTRY) == 50            # graded budget, exactly
+    assert not (REGISTRY.keys() & EXTRA.keys())
+    for q in EXTRA.values():
+        assert q.oracle is not None

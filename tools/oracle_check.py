@@ -29,9 +29,16 @@ from pyspark.sql.types import ArrayType, MapType, StructType
 
 sys.path.insert(0, ".")
 
-from data_ingestion_s3_to_parquet_spark.plans.registry import REGISTRY  # noqa: E402
+from data_ingestion_s3_to_parquet_spark.plans.registry import (  # noqa: E402
+    EXTRA,
+    REGISTRY,
+)
 from data_ingestion_s3_to_parquet_spark.session import get_spark  # noqa: E402
 from data_ingestion_s3_to_parquet_spark.sources.catalog import TABLES  # noqa: E402
+
+# Graded lane + oracle-carrying ungraded extras: the local replica
+# checks BOTH so a query moved out of the graded 50 keeps its evidence.
+ALL_QUERIES = {**REGISTRY, **EXTRA}
 
 
 def norm_cell(v) -> str:
@@ -79,10 +86,10 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_spark("oracle-check")
-    names = args.names or list(REGISTRY)
+    names = args.names or list(ALL_QUERIES)
     failures = []
     for name in names:
-        q = REGISTRY[name]
+        q = ALL_QUERIES[name]
         t0 = time.time()
         try:
             sdf = q.fn(spark, args.sf)
