@@ -289,33 +289,49 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently) must clear a measured floor. Output is one row per
     method: (method, n_ref_pairs, recall_ok); the oracle computes
     n_ref_pairs from the exact self-join and asserts recall_ok = TRUE.
-    Everything stays distributed — counts are aggregates, no driver
-    collect.
+
+    The exact reference pair set is by far the dominant cost, and the
+    plan needs it twice (the count plus the probe) — both consumers sit
+    in ONE job, so Catalyst's ReusedExchange dedupes the PPJoin's
+    shuffles rather than recomputing them (an explicit localCheckpoint
+    was measured SLOWER: it serializes the whole DAG behind a
+    materialization barrier). The candidate pairs of both approximate
+    methods are tagged and probed in one semi-join. Counts stay
+    distributed aggregates — nothing is collected to the driver.
     """
-    ref = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    ref = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
     n_ref = ref.agg(F.count("*").alias("n_ref_pairs"))
 
-    def method_row(name: str, pairs: DataFrame, floor: float) -> DataFrame:
-        hits = ref.join(
-            pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
-        ).agg(F.count("*").alias("n_hit"))
-        return (
-            n_ref.crossJoin(hits)
-            .select(
-                F.lit(name).alias("method"),
-                "n_ref_pairs",
-                (
-                    F.col("n_hit").cast("double")
-                    / F.col("n_ref_pairs").cast("double")
-                    >= floor
-                ).alias("recall_ok"),
+    cand = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit("minhash_lsh").alias("method"))
+        .unionByName(
+            q_dedup_simhash(spark, sf_dir).select(
+                "doc_a", "doc_b", F.lit("simhash").alias("method")
             )
         )
-
-    return method_row(
-        "minhash_lsh", q_dedup_minhash_lsh(spark, sf_dir), MINHASH_RECALL_FLOOR
-    ).unionByName(
-        method_row("simhash", q_dedup_simhash(spark, sf_dir), SIMHASH_RECALL_FLOOR)
+    )
+    hits = (
+        cand.join(ref, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    methods = spark.createDataFrame(
+        [("minhash_lsh", MINHASH_RECALL_FLOOR), ("simhash", SIMHASH_RECALL_FLOOR)],
+        "method string, floor double",
+    )
+    return (
+        methods.join(hits, "method", "left")
+        .crossJoin(n_ref)
+        .select(
+            "method",
+            "n_ref_pairs",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_ref_pairs").cast("double")
+                >= F.col("floor")
+            ).alias("recall_ok"),
+        )
     )
 
 
