@@ -166,8 +166,157 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality rules in the style of the Gopher /
+    MassiveText filters (Rae et al., 2021 §A1.1): word-count bounds,
+    top-word-frequency ratio (a single token dominating the document),
+    and duplicate-bigram ratio (local repetition), combined into one
+    ``keep`` verdict.
+
+    Shape for scale: the top-word frequency needs a per-(doc, word)
+    count — there is no ``mode`` builtin — so the plan is one scan →
+    explode → two aggregations, BOTH keyed on ``doc_id`` (uniformly
+    distributed, no skew); the bigram ratio is a pure Catalyst
+    expression computed before the explode and carried through the
+    aggregation keys, so the document table is scanned exactly once.
+    A per-row higher-order-function count (O(distinct × n_words) per
+    document) was rejected: interpreted and quadratic on long docs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens(F.col("text")).alias("tk")).withColumn(
+        "bg",
+        F.expr(
+            "transform(slice(tk, 1, size(tk) - 1),"
+            " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
+        ),
+    )
+    dbr = F.when(F.size("bg") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("bg")).cast("double") / F.size("bg"),
+    ).otherwise(F.lit(0.0))
+    ex = base.select("doc_id", dbr.alias("dbr"), F.explode("tk").alias("w"))
+    wc = ex.groupBy("doc_id", "dbr", "w").agg(F.count("*").alias("c"))
+    tf = wc.groupBy("doc_id", "dbr").agg(
+        F.sum("c").alias("n_words"), F.max("c").alias("max_tf")
+    )
+    twr = F.round(F.col("max_tf").cast("double") / F.col("n_words").cast("double"), 6)
+    dbr6 = F.round(F.col("dbr"), 6)
+    return tf.select(
+        "doc_id",
+        "n_words",
+        twr.alias("top_word_ratio"),
+        dbr6.alias("dup_bigram_ratio"),
+        (
+            F.col("n_words").between(20, 350)
+            & (twr <= 0.12)
+            & (dbr6 <= 0.10)
+        ).alias("keep"),
+    )
+
+
+SQL_QUALITY_GOPHER = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+b AS (
+  SELECT doc_id, t,
+         [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)] AS bg
+  FROM tk
+),
+base AS (
+  SELECT doc_id, t,
+         CASE WHEN len(bg) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         END AS dbr
+  FROM b
+),
+wc AS (
+  SELECT doc_id, dbr, g, COUNT(*) AS c
+  FROM (SELECT doc_id, dbr, unnest(t) AS g FROM base)
+  GROUP BY 1, 2, 3
+),
+tf AS (
+  SELECT doc_id, dbr, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS max_tf
+  FROM wc GROUP BY 1, 2
+)
+SELECT doc_id, n_words,
+       ROUND(CAST(max_tf AS DOUBLE) / n_words, 6) AS top_word_ratio,
+       ROUND(dbr, 6) AS dup_bigram_ratio,
+       (n_words BETWEEN 20 AND 350
+        AND ROUND(CAST(max_tf AS DOUBLE) / n_words, 6) <= 0.12
+        AND ROUND(dbr, 6) <= 0.10) AS keep
+FROM tf
+"""
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: regexp-redact emails and phone numbers to
+    typed placeholders, with per-doc match counts for audit.
+
+    The fixture corpus contains no real PII, so both engines first
+    synthesize a deterministic contact header from fixture columns
+    (source-derived email always; a phone on every third doc), then
+    redact it — the redacted text is value-hashed, so the replacement
+    semantics themselves are what the oracle verifies. Single
+    projection, whole-stage codegen'd, trivially scale-safe; the
+    patterns are RE2-and-Java-compatible by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    phone = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+        ),
+    ).otherwise(F.lit(""))
+    synth = F.concat(
+        F.lit("contact "), F.col("source"), F.lit("@example.com "), phone,
+        F.col("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(synth, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(synth, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(synth, F.lit(PII_PHONE_RE), 0)).alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+SQL_PII_REDACT = rf"""
+WITH s AS (
+  SELECT doc_id,
+         'contact ' || source || '@example.com ' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN 'call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+              ELSE '' END ||
+         text AS synth
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(synth, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(synth, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+       regexp_replace(regexp_replace(synth, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM s
+"""
+
+
 QUERIES = [
     Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
     Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),
     Query("lang_id", q_lang_id, SQL_LANG_ID, ("llm", "text")),
+]
+
+# Oracle-carrying additions beyond the 50-entry graded budget: verified
+# by tools/oracle_check.py + pytest; their graded slots went to the
+# SURVEY §2B mandated keys.
+EXTRA_QUERIES = [
+    Query("quality_gopher", q_quality_gopher, SQL_QUALITY_GOPHER, ("llm", "text")),
+    Query("pii_redact", q_pii_redact, SQL_PII_REDACT, ("llm", "text")),
 ]

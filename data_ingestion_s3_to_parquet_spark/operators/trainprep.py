@@ -275,6 +275,71 @@ WHERE s.doc_id % {DECON_BENCH_MOD} <> 0
 """
 
 
+PACK_BUDGET = 2048  # target tokens per training sequence
+PACK_SHARDS = 16
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedily concatenate documents into
+    fixed-token-budget training sequences (the standard pre-training
+    batching step — pack short docs together so every sequence is
+    ~budget tokens).
+
+    Distributed semantics: a GLOBAL greedy pack would serialize the
+    corpus through one task, so documents are sharded by
+    ``doc_id % PACK_SHARDS`` and packed within shards in doc_id order —
+    a document belongs to the pack where its running token offset
+    starts (``offset div budget``), so a pack overruns its budget by at
+    most one document, exactly like streaming packers. The per-shard
+    window is the only non-map stage; shards are uniform (modular
+    hashing), so at scale you raise PACK_SHARDS to O(cores) and every
+    window partition stays bounded. Token counts use the same chars/4
+    BPE estimator as ``text_stats``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = base.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "pack_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_SEQ_PACK = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM base
+)
+SELECT shard, (cum - n_tokens) // {PACK_BUDGET} AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     Query("sample_split", q_sample_split, SQL_SAMPLE_SPLIT, ("llm", "sampling")),
     Query(
@@ -298,4 +363,10 @@ QUERIES = [
         ("llm", "similarity", "agg"),
         bench=True,
     ),
+]
+
+# Oracle-carrying additions beyond the 50-entry graded budget
+# (tools/oracle_check.py + pytest evidence; see plans.registry).
+EXTRA_QUERIES = [
+    Query("seq_pack", q_seq_pack, SQL_SEQ_PACK, ("llm", "pipeline", "window")),
 ]

@@ -331,3 +331,57 @@ def test_registry_extra_lane_has_oracles():
     assert not (REGISTRY.keys() & EXTRA.keys())
     for q in EXTRA.values():
         assert q.oracle is not None
+
+
+def test_quality_gopher_rules_split_and_agree_with_text_stats(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_quality_gopher,
+        q_text_stats,
+    )
+
+    rows = q_quality_gopher(spark, sf_dir).collect()
+    kept = {r.keep for r in rows}
+    assert kept == {True, False}          # thresholds split the corpus
+    for r in rows:
+        assert 0.0 < r.top_word_ratio <= 1.0
+        assert 0.0 <= r.dup_bigram_ratio < 1.0
+    # n_words (sum of per-word counts) must equal text_stats' size(split)
+    stats = {r.doc_id: r.n_words for r in q_text_stats(spark, sf_dir).collect()}
+    for r in rows:
+        assert r.n_words == stats[r.doc_id]
+
+
+def test_seq_pack_budget_and_contiguity(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        PACK_BUDGET,
+        q_seq_pack,
+    )
+
+    by_shard = defaultdict(list)
+    for r in q_seq_pack(spark, sf_dir).collect():
+        by_shard[r.shard].append(r)
+    assert by_shard
+    for shard, packs in by_shard.items():
+        packs.sort(key=lambda r: r.pack_id)
+        assert [p.pack_id for p in packs] == list(range(len(packs)))
+        cum = 0
+        for p in packs:
+            cum += p.pack_tokens
+            if p.pack_id < packs[-1].pack_id:
+                # every non-final pack ends at or past its budget boundary
+                assert cum >= (p.pack_id + 1) * PACK_BUDGET
+            assert p.first_doc <= p.last_doc
+            assert p.first_doc % 16 == shard
+
+
+def test_pii_redact_scrubs_all_planted_pii(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import q_pii_redact
+
+    for r in q_pii_redact(spark, sf_dir).collect():
+        assert r.n_emails == 1
+        assert r.n_phones == (1 if r.doc_id % 3 == 0 else 0)
+        assert "<EMAIL>" in r.redacted
+        assert "example.com" not in r.redacted
+        assert ("<PHONE>" in r.redacted) == (r.doc_id % 3 == 0)
