@@ -73,6 +73,42 @@ def windowed_counts_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    watermark: str = "10 minutes",
+    within: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound: a
+    right-side row matches a left-side row with the same ``key`` when
+    ``r.ts ∈ [l.ts, l.ts + within]`` (the attribution pattern — e.g.
+    clicks joined to the impression they follow).
+
+    The time bound is what makes this run at scale: with watermarks on
+    BOTH inputs plus the interval condition, Spark can prove when a
+    buffered row can never match again and evict it, so join state is
+    bounded by (watermark + within) of traffic per key instead of the
+    whole history. Without the bound, stream-stream join state grows
+    forever. State is hash-partitioned by the join key — same skew
+    story as any keyed shuffle.
+    """
+    l_ = left.withWatermark("ts", watermark).alias("l")
+    r_ = right.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.ts >= l.ts AND r.ts <= l.ts + interval {within}"
+    )
+    return l_.join(r_, cond).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+        (F.unix_timestamp("r.ts") - F.unix_timestamp("l.ts")).alias("lag_sec"),
+    )
+
+
 def idempotent_parquet_sink(out_dir: str):
     """A ``foreachBatch`` sink with exactly-once OUTPUT semantics.
 

@@ -235,3 +235,36 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     rows = run_stream_once(enriched, name="smoke_enrich")
     assert sum(r.n for r in rows) == 40
     assert {r.segment for r in rows} == {"segment_0", "segment_1", "segment_2"}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    # stream-stream join with event-time bounds: clicks attribute to the
+    # view they follow within 15 minutes; a click outside the interval
+    # must not match. Both sides are real file streams.
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.streaming.stream import (
+        interval_join_streams,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    views = [
+        (100, base, 1, "view", 0.0),
+        (101, base + dt.timedelta(minutes=30), 2, "view", 0.0),
+    ]
+    clicks = [
+        (200, base + dt.timedelta(minutes=5), 1, "click", 1.0),   # in window
+        (201, base + dt.timedelta(minutes=40), 1, "click", 1.0),  # too late
+        (202, base + dt.timedelta(minutes=31), 2, "click", 1.0),  # in window
+        (203, base + dt.timedelta(minutes=29), 2, "click", 1.0),  # before view
+    ]
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    spark.createDataFrame(views, EVENTS_STREAM_SCHEMA).write.parquet(vdir)
+    spark.createDataFrame(clicks, EVENTS_STREAM_SCHEMA).write.parquet(cdir)
+
+    joined = interval_join_streams(
+        events_file_stream(spark, vdir), events_file_stream(spark, cdir)
+    )
+    rows = run_stream_once(joined, name="smoke_interval_join", output_mode="append")
+    got = {(r.left_id, r.right_id, r.lag_sec) for r in rows}
+    assert got == {(100, 200, 300), (101, 202, 60)}
