@@ -116,3 +116,29 @@ def test_jaccard_scan_filter_has_no_inlined_shingling(spark):
     plan = plan_of(q_dedup_ngram_jaccard(spark, SF_SMOKE))
     scan_region = plan.split("Generate")[0]
     assert "array_distinct(transform" not in scan_region
+
+
+def test_quality_gopher_scans_documents_once(spark):
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_quality_gopher,
+    )
+
+    plan = plan_of(q_quality_gopher(spark, SF_SMOKE))
+    # the bigram ratio is carried through the aggregation keys instead of
+    # joined back, so exactly one parquet scan (and no join) may appear
+    # (formatted output names each node once in the tree and once in the
+    # detail section — count the numbered detail headers)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_seq_pack_window_is_shard_partitioned(spark):
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import q_seq_pack
+
+    plan = plan_of(q_seq_pack(spark, SF_SMOKE))
+    # the running-offset window must partition by shard — a global-order
+    # window (single partition) would serialize the corpus at scale
+    assert "Window" in plan
+    assert "hashpartitioning(shard" in plan, plan
