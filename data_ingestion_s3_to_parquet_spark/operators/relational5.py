@@ -99,3 +99,65 @@ QUERIES = [
         ("relational", "text"),
     ),
 ]
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from an event
+    log: per user, order value observations by event time, collapse
+    runs of unchanged values, and emit versioned rows with
+    ``valid_from`` / ``valid_to`` / ``is_current`` — the batch
+    equivalent of a warehouse MERGE pipeline.
+
+    Two windows over the same (user_id → ts, event_id) partitioning:
+    the change filter (null-safe lag compare) and the validity range
+    (lead). Catalyst plans ONE sort+shuffle and runs both window
+    functions over it. Keys are user_id — uniform, no skew; state per
+    partition is one user's history, so the plan survives any corpus
+    where single-key history fits an executor (the same bound every
+    SCD2 build has).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev_value", F.lag("value").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) | ~F.col("value").eqNullSafe(F.col("prev_value")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changed.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        "value",
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         lag(value) OVER w AS prev_value,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, ts, event_id, value
+  FROM ordered
+  WHERE rn = 1 OR value IS DISTINCT FROM prev_value
+)
+SELECT user_id, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       value,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+EXTRA_QUERIES = [
+    Query("scd2_history", q_scd2_history, SQL_SCD2_HISTORY, ("relational", "window")),
+]

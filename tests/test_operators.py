@@ -385,3 +385,23 @@ def test_pii_redact_scrubs_all_planted_pii(spark, sf_dir):
         assert "<EMAIL>" in r.redacted
         assert "example.com" not in r.redacted
         assert ("<PHONE>" in r.redacted) == (r.doc_id % 3 == 0)
+
+
+def test_scd2_history_ranges_chain_per_user(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational5 import (
+        q_scd2_history,
+    )
+
+    by_user = defaultdict(list)
+    for r in q_scd2_history(spark, sf_dir).collect():
+        by_user[r.user_id].append(r)
+    assert by_user
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in rows) == 1
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from      # ranges chain, no gaps
+            assert not a.is_current
