@@ -23,7 +23,7 @@ scorer, which is Arrow-batched.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -307,6 +307,66 @@ FROM s
 """
 
 
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: the top-k highest-scoring terms per
+    document, ``score = tf * ln((N+1)/(df+1))`` (smoothed idf).
+
+    Shape for scale: one scan → explode → (doc_id, term) partial+final
+    count (the TF table), then a term-keyed count over THAT table (the
+    DF table — one row per distinct (doc, term), far smaller than the
+    token stream, and map-side combine absorbs stop-word skew). N is a
+    1-row aggregate broadcast into the join, never a driver collect.
+    The final per-doc top-k goes through a rank window; Spark's
+    WindowGroupLimit pushes the k-filter below the shuffle so each
+    task ships only its local top-k per doc. Ordering is by the
+    *rounded* score with a term tie-break, so rank assignment does not
+    depend on sub-ulp float differences between engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+        6,
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfq.df + 1)), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, CAST(rk AS INT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rk
+  FROM s
+) WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = [
     Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
     Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),
@@ -319,4 +379,10 @@ QUERIES = [
 EXTRA_QUERIES = [
     Query("quality_gopher", q_quality_gopher, SQL_QUALITY_GOPHER, ("llm", "text")),
     Query("pii_redact", q_pii_redact, SQL_PII_REDACT, ("llm", "text")),
+    Query(
+        "tfidf_top_terms",
+        q_tfidf_top_terms,
+        SQL_TFIDF_TOP_TERMS,
+        ("llm", "text", "window"),
+    ),
 ]

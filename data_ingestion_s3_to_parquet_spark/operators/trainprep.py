@@ -340,6 +340,47 @@ GROUP BY 1, 2
 """
 
 
+STRAT_CAP = 40
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: an equal-allocation cap of
+    ``STRAT_CAP`` documents per language, chosen by md5-hash order —
+    the training-mix balancing step (cap the head languages, keep the
+    tail whole) of a corpus pipeline.
+
+    Ordering by ``md5(doc_id)`` is a seedless pseudo-random permutation
+    that both engines compute bitwise-identically, so the sample is
+    stable across runs, cluster sizes, and row order — unlike
+    ``df.sampleBy``, whose per-stratum Bernoulli draw depends on
+    partition layout and gives only an *expected* count. At scale the
+    rank window is per-stratum top-k: Spark's WindowGroupLimit inserts
+    a per-partition local limit below the exchange, so each task ships
+    at most ``STRAT_CAP`` rows per language instead of the full
+    stratum.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= STRAT_CAP)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {STRAT_CAP}
+"""
+
+
 QUERIES = [
     Query("sample_split", q_sample_split, SQL_SAMPLE_SPLIT, ("llm", "sampling")),
     Query(
@@ -369,4 +410,10 @@ QUERIES = [
 # (tools/oracle_check.py + pytest evidence; see plans.registry).
 EXTRA_QUERIES = [
     Query("seq_pack", q_seq_pack, SQL_SEQ_PACK, ("llm", "pipeline", "window")),
+    Query(
+        "sample_stratified",
+        q_sample_stratified,
+        SQL_SAMPLE_STRATIFIED,
+        ("llm", "sampling", "window"),
+    ),
 ]

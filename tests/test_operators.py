@@ -376,6 +376,54 @@ def test_seq_pack_budget_and_contiguity(spark, sf_dir):
             assert p.first_doc % 16 == shard
 
 
+def test_tfidf_top_terms_ranking_properties(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        TFIDF_TOP_K,
+        q_tfidf_top_terms,
+    )
+
+    by_doc = defaultdict(list)
+    for r in q_tfidf_top_terms(spark, sf_dir).collect():
+        by_doc[r.doc_id].append(r)
+    assert by_doc
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= TFIDF_TOP_K
+        # scores non-increasing in rank; every constituent count sane
+        assert all(a.score >= b.score for a, b in zip(rows, rows[1:]))
+        for r in rows:
+            assert r.tf >= 1 and r.df >= 1 and r.score >= 0.0
+
+
+def test_sample_stratified_caps_each_stratum_deterministically(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        STRAT_CAP,
+        q_sample_stratified,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    sizes = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    picked = q_sample_stratified(spark, sf_dir).collect()
+    by_lang = {}
+    for r in picked:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert by_lang.keys() == sizes.keys()
+    for lang, ids in by_lang.items():
+        assert len(ids) == min(sizes[lang], STRAT_CAP)
+    # hash ordering => same sample on a re-run regardless of layout
+    again = {(r.lang, r.doc_id) for r in q_sample_stratified(spark, sf_dir).collect()}
+    assert again == {(r.lang, r.doc_id) for r in picked}
+
+
 def test_pii_redact_scrubs_all_planted_pii(spark, sf_dir):
     from data_ingestion_s3_to_parquet_spark.operators.textstats import q_pii_redact
 

@@ -134,6 +134,21 @@ def test_quality_gopher_scans_documents_once(spark):
     assert "Join" not in plan, plan
 
 
+def test_topk_windows_get_group_limit_pushdown(spark):
+    # both per-group top-k operators must plan a WindowGroupLimit so the
+    # k-filter runs per-partition below the exchange — without it every
+    # task ships its whole stratum/doc group through the shuffle
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_tfidf_top_terms,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_sample_stratified,
+    )
+
+    assert "WindowGroupLimit" in plan_of(q_sample_stratified(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan_of(q_tfidf_top_terms(spark, SF_SMOKE))
+
+
 def test_seq_pack_window_is_shard_partitioned(spark):
     from data_ingestion_s3_to_parquet_spark.operators.trainprep import q_seq_pack
 
