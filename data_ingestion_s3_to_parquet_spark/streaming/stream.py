@@ -109,6 +109,60 @@ def interval_join_streams(
     )
 
 
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+def documents_file_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    tune(spark)
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def corpus_ingest_stream(
+    docs: DataFrame,
+    *,
+    watermark: str = "30 minutes",
+    min_words: int = 5,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The streaming twin of the batch ``corpus_prep`` pipeline: a
+    continuously-arriving document stream → quality gate → exact
+    content dedup, ready for an idempotent sink.
+
+    The dedup is ``dropDuplicatesWithinWatermark`` on a sha256 content
+    fingerprint: duplicates arriving within the watermark horizon are
+    dropped no matter which micro-batch they land in, and — unlike
+    plain ``dropDuplicates``, whose streaming state grows forever —
+    fingerprint state older than the watermark is evicted, so state is
+    bounded by one horizon of traffic. That is the right contract for
+    crawl ingestion, where re-fetches cluster in time; cross-horizon
+    dedup belongs to the periodic batch compaction (``dedup_exact``)
+    over the landed corpus. Quality gating happens BEFORE the dedup so
+    rejected docs never enter the state store.
+    """
+    n_words = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.withWatermark("ts", watermark)
+        .where(n_words.between(min_words, max_words))
+        .withColumn("fp", F.sha2(F.col("text"), 256))
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("doc_id", "ts", "lang", "source", "fp", n_words.alias("n_words"))
+    )
+
+
 def idempotent_parquet_sink(out_dir: str):
     """A ``foreachBatch`` sink with exactly-once OUTPUT semantics.
 

@@ -268,3 +268,50 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = run_stream_once(joined, name="smoke_interval_join", output_mode="append")
     got = {(r.left_id, r.right_id, r.lag_sec) for r in rows}
     assert got == {(100, 200, 300), (101, 202, 60)}
+
+
+def test_corpus_ingest_stream_quality_gate_and_cross_batch_dedup(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from data_ingestion_s3_to_parquet_spark.streaming.stream import (
+        DOCS_STREAM_SCHEMA,
+        corpus_ingest_stream,
+        documents_file_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    good = "the quick brown fox jumps over the lazy dog tonight"
+    dupe = "a duplicate crawl fetch of the same page body text here"
+    short = "too short"
+    src = str(tmp_path / "docs_stream")
+    # file 1 and file 2 land in DIFFERENT micro-batches
+    # (maxFilesPerTrigger=1); the duplicate spans the batch boundary
+    spark.createDataFrame(
+        [
+            (1, base, good, "en", "web"),
+            (2, base + dt.timedelta(minutes=1), dupe, "en", "web"),
+            (3, base + dt.timedelta(minutes=2), short, "en", "web"),
+        ],
+        DOCS_STREAM_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [
+            (4, base + dt.timedelta(minutes=3), dupe, "en", "mirror"),
+            (5, base + dt.timedelta(minutes=4), good + " again", "en", "web"),
+        ],
+        DOCS_STREAM_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = corpus_ingest_stream(
+        documents_file_stream(spark, src), watermark="30 minutes", min_words=5
+    )
+    rows = run_stream_once(out, name="corpus_ingest", output_mode="append")
+
+    kept = {r.doc_id for r in rows}
+    assert 3 not in kept                      # quality gate (too few words)
+    assert len({r.fp for r in rows}) == len(rows)   # no duplicate content
+    # the cross-batch duplicate kept exactly one of doc 2 / doc 4
+    assert len(kept & {2, 4}) == 1
+    assert {1, 5} <= kept
+    for r in rows:
+        assert r.n_words >= 5
