@@ -83,6 +83,40 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch) graded as an
+    accuracy contract, the same pattern as ``agg_distinct``'s HLL++.
+
+    ``percentile_approx`` is THE quantile at 100 TB: constant-size
+    mergeable sketch, one shuffle of sketches, versus the exact
+    aggregate's per-group sort. Its value is sketch- and layout-
+    specific, so the oracle checks the GK guarantee instead: with
+    accuracy=1000 the rank error is ≤ 0.1%, so the approximate median
+    must land within the exact [p49, p51] value band (a 10× safety
+    margin). ``approx_median_ok`` is that boolean; the oracle's side is
+    literal TRUE next to exact medians it recomputes with
+    ``quantile_cont``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000))
+    lo = F.percentile("l_extendedprice", F.lit(0.49))
+    hi = F.percentile("l_extendedprice", F.lit(0.51))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_exact"),
+        ((approx >= lo) & (approx <= hi)).alias("approx_median_ok"),
+    )
+
+
+SQL_AGG_APPROX_QUANTILE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_exact,
+       TRUE AS approx_median_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot → unpivot roundtrip: order counts per priority (rows) ×
     status (columns), then melted back to long (measure, n) rows —
@@ -197,4 +231,13 @@ QUERIES = [
     Query("pivot", q_pivot, SQL_PIVOT, ("relational", "agg")),
     Query("join_skew_salted", q_join_skew_salted, SQL_JOIN_SKEW_SALTED, ("relational", "join")),
     Query("sql_frontend", q_sql_frontend, SQL_SQL_FRONTEND, ("relational", "sql", "tpch"), bench=True),
+]
+
+EXTRA_QUERIES = [
+    Query(
+        "agg_approx_quantile",
+        q_agg_approx_quantile,
+        SQL_AGG_APPROX_QUANTILE,
+        ("relational", "agg", "approx"),
+    ),
 ]

@@ -16,7 +16,11 @@ Rules encoded here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_parquet(
@@ -57,6 +61,48 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files and atomically swap
+    it in. Returns the new file count.
+
+    Streaming ingestion (one file per micro-batch per partition) and
+    over-parallel writers both leave directories of tiny files whose
+    per-file open/footer cost dominates 100 TB scans. The compactor
+    sizes the rewrite from the directory's actual bytes — a
+    ``repartition(n)`` round-robin shuffle, which (unlike
+    ``coalesce(n)``) rebalances skewed inputs and keeps the write
+    parallel. The swap is write-to-side-dir + two renames, so a crash
+    leaves either the old or the new layout, never a mix; on an object
+    store the same pattern runs against a manifest/table format (Delta
+    ``OPTIMIZE``, Iceberg rewrite) instead of directory renames.
+    """
+    total = sum(
+        os.path.getsize(os.path.join(dirp, f))
+        for dirp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
 
 
 def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:

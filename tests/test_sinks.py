@@ -83,3 +83,31 @@ def test_text_format_roundtrip(spark, tmp_path):
     out = str(tmp_path / "lines_txt")
     lines.write.mode("overwrite").text(out)
     assert {r.value for r in spark.read.text(out).collect()} == {"alpha", "beta"}
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import compact_parquet
+
+    out = str(tmp_path / "fragmented")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(50).write.parquet(out)          # simulate tiny-file debris
+
+    def parquet_files(p):
+        return [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    assert len(parquet_files(out)) == 50
+    before = li.count()
+    n = compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
+    files = parquet_files(out)
+    assert len(files) == n < 50
+    after = spark.read.parquet(out)
+    assert after.count() == before
+    # same multiset of rows (spot-check an aggregate invariant)
+    a = after.agg(F.sum("l_quantity"), F.count("*")).collect()[0]
+    b = li.agg(F.sum("l_quantity"), F.count("*")).collect()[0]
+    assert a == b
