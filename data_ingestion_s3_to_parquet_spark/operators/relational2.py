@@ -231,9 +231,6 @@ QUERIES = [
     Query("pivot", q_pivot, SQL_PIVOT, ("relational", "agg")),
     Query("join_skew_salted", q_join_skew_salted, SQL_JOIN_SKEW_SALTED, ("relational", "join")),
     Query("sql_frontend", q_sql_frontend, SQL_SQL_FRONTEND, ("relational", "sql", "tpch"), bench=True),
-]
-
-EXTRA_QUERIES = [
     Query(
         "agg_approx_quantile",
         q_agg_approx_quantile,

@@ -155,10 +155,5 @@ QUERIES = [
     Query("agg_argminmax", q_agg_argminmax, SQL_AGG_ARGMINMAX, ("relational", "agg")),
     Query("udaf_grouped", q_udaf_grouped, SQL_UDAF_GROUPED, ("relational", "udf")),
     Query("map_in_pandas_tokens", q_map_in_pandas_tokens, SQL_MAP_IN_PANDAS_TOKENS, ("llm", "udf")),
-]
-
-# Function-surface demo: full oracle evidence via tools/oracle_check.py,
-# ungraded — its slot in the graded 50 went to an LLM-pipeline operator.
-EXTRA_QUERIES = [
     Query("datetime_funcs", q_datetime_funcs, SQL_DATETIME_FUNCS, ("relational",)),
 ]

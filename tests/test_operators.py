@@ -333,6 +333,21 @@ def test_registry_extra_lane_has_oracles():
         assert q.oracle is not None
 
 
+def test_survey_2c_table_matches_registry():
+    # SURVEY.md §2C's graded-inventory table is the grading contract; it
+    # must list exactly the registry keys in registry order (VERDICT r2
+    # flagged drift here — this pins it).
+    import re
+    from pathlib import Path
+
+    from data_ingestion_s3_to_parquet_spark.plans.registry import REGISTRY
+
+    text = Path(__file__).resolve().parent.parent.joinpath("SURVEY.md").read_text()
+    rows = re.findall(r"^\| (\d+) \| `([a-z0-9_]+)` \|", text, flags=re.M)
+    assert [int(n) for n, _ in rows] == list(range(1, 51))
+    assert [k for _, k in rows] == list(REGISTRY)
+
+
 def test_quality_gopher_rules_split_and_agree_with_text_stats(spark, sf_dir):
     from data_ingestion_s3_to_parquet_spark.operators.textstats import (
         q_quality_gopher,
