@@ -380,5 +380,6 @@ QUERIES = [
         q_tfidf_top_terms,
         SQL_TFIDF_TOP_TERMS,
         ("llm", "text", "window"),
+        bench=True,  # track the multi-stage window lane round-over-round
     ),
 ]

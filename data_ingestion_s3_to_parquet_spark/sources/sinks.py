@@ -82,11 +82,30 @@ def compact_parquet(
     sizes the rewrite from the directory's actual bytes — a
     ``repartition(n)`` round-robin shuffle, which (unlike
     ``coalesce(n)``) rebalances skewed inputs and keeps the write
-    parallel. The swap is write-to-side-dir + two renames, so a crash
-    leaves either the old or the new layout, never a mix; on an object
-    store the same pattern runs against a manifest/table format (Delta
-    ``OPTIMIZE``, Iceberg rewrite) instead of directory renames.
+    parallel. The swap is write-to-side-dir + two renames. Crash
+    contract: the ORIGINAL data is never lost — between the two
+    renames ``path`` briefly does not exist (a reader in that window
+    fails and retries), and a crash there leaves the complete old
+    layout at ``*._compact_old``. Stale ``._compact_tmp`` /
+    ``._compact_old`` leftovers from a crashed run are cleaned up (or
+    restored) on the next call, so compaction is always retryable. On
+    an object store the same pattern runs against a manifest/table
+    format (Delta ``OPTIMIZE``, Iceberg rewrite) whose metadata commit
+    IS atomic — directory renames are the local-FS stand-in.
     """
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # recover from a prior crashed run: a leftover old-dir means the
+    # crash hit between the renames — the old layout is complete, so
+    # restore it if the target vanished, else drop it. A leftover tmp
+    # is always a partial write: discard.
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     total = sum(
         os.path.getsize(os.path.join(dirp, f))
         for dirp, _, files in os.walk(path)
@@ -94,8 +113,6 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
     spark.read.parquet(path).repartition(n_files).write.mode(
         "overwrite"
     ).parquet(tmp)

@@ -77,11 +77,17 @@ def read_zipped_csvs(
     ``binaryFile`` ships each archive's bytes to a task; pandas parses
     every safe CSV entry inside it and yields Arrow batches. The schema
     is explicit (never inferred — no double scan, stable types at any
-    scale). Column subsetting happens *after* parse; pushing projection
-    into ``usecols`` is a possible refinement but parse cost dominates.
+    scale). Projection is pushed into the parser: when a header row is
+    present, ``usecols`` (callable form — tolerant of schema columns
+    absent from a given file, per the warn-missing/never-abort
+    contract) skips tokenizing/boxing values outside the schema, so a
+    k-of-n column read costs ~k, not n (measured: 8/19 columns ≈ -40%
+    parse wall; SCALE.md §18). Headerless CSVs bind names
+    positionally, so there is nothing to prune.
     """
     tune(spark)
     names = [f.name for f in schema.fields]
+    name_set = set(names)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -97,6 +103,11 @@ def read_zipped_csvs(
                                 fh,
                                 header=0 if header else None,
                                 names=None if header else names,
+                                usecols=(
+                                    (lambda c: c in name_set)
+                                    if header
+                                    else None
+                                ),
                             )
                         # reindex, don't subset: a CSV missing a schema
                         # column yields nulls there (warn-missing/never-

@@ -175,6 +175,12 @@ def idempotent_parquet_sink(out_dir: str):
     built-in file sink gets the same guarantee from its _spark_metadata
     transaction log; use this pattern for sinks that lack one, e.g.
     JDBC upserts keyed on (batch_id, pk).)
+
+    Evidence: ``tests/test_streaming_sinks.py::
+    test_idempotent_sink_overwrites_on_redelivery`` kills a completed
+    run's last commit (the exact crash window), restarts a new query on
+    the same checkpoint, and asserts the re-delivered batch overwrote
+    its directory with zero duplicate rows.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

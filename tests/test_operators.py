@@ -262,6 +262,40 @@ def test_connected_components_star_chain_beyond_hashmin_cap(spark):
     assert set(comp.values()) == {0}
 
 
+def test_connected_components_auto_escalates_on_chain(spark):
+    # the dispatcher must solve a deep chain (hash-min probe budget
+    # exhausted -> star fallback) AND a shallow graph (hash-min wins)
+    # through the same entry point
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        HASHMIN_PROBE_ROUNDS,
+        connected_components_auto,
+    )
+
+    n = 60
+    assert n - 1 > HASHMIN_PROBE_ROUNDS
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    verts = spark.range(n).withColumnRenamed("id", "vec_id")
+    comp = {
+        r.vec_id: r.component
+        for r in connected_components_auto(chain, verts).collect()
+    }
+    assert len(comp) == n and set(comp.values()) == {0}
+
+    shallow = spark.createDataFrame(
+        [(5, 9), (9, 7), (20, 22)], "u long, v long"
+    )
+    verts = spark.range(30).withColumnRenamed("id", "vec_id")
+    comp = {
+        r.vec_id: r.component
+        for r in connected_components_auto(shallow, verts).collect()
+    }
+    assert comp[5] == comp[9] == comp[7] == 5
+    assert comp[20] == comp[22] == 20
+    assert comp[0] == 0
+
+
 def test_connected_components_star_matches_hashmin(spark):
     # multi-component random graph (shallow) + isolated vertices:
     # both lanes must produce identical labelings
@@ -333,6 +367,22 @@ def test_registry_extra_lane_has_oracles():
         assert q.oracle is not None
 
 
+def test_sha2_keyed_dedup_matches_text_keyed_output(spark, sf_dir):
+    # the sha2-fingerprint shuffle key is a pure plan optimization —
+    # output must be row-identical to the naive groupBy(text)
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import q_dedup_exact
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    naive = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+    got = q_dedup_exact(spark, sf_dir)
+    assert got.columns == ["text", "doc_id", "n_copies"]
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
 def test_survey_2c_table_matches_registry():
     # SURVEY.md §2C's graded-inventory table is the grading contract; it
     # must list exactly the registry keys in registry order (VERDICT r2
@@ -371,6 +421,7 @@ def test_seq_pack_budget_and_contiguity(spark, sf_dir):
 
     from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
         PACK_BUDGET,
+        PACK_SHARDS,
         q_seq_pack,
     )
 
@@ -388,7 +439,7 @@ def test_seq_pack_budget_and_contiguity(spark, sf_dir):
                 # every non-final pack ends at or past its budget boundary
                 assert cum >= (p.pack_id + 1) * PACK_BUDGET
             assert p.first_doc <= p.last_doc
-            assert p.first_doc % 16 == shard
+            assert p.first_doc % PACK_SHARDS == shard
 
 
 def test_tfidf_top_terms_ranking_properties(spark, sf_dir):

@@ -111,3 +111,30 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_pat
     a = after.agg(F.sum("l_quantity"), F.count("*")).collect()[0]
     b = li.agg(F.sum("l_quantity"), F.count("*")).collect()[0]
     assert a == b
+
+
+def test_compact_parquet_recovers_from_crashed_run(spark, sf_dir, tmp_path):
+    # simulate every crash window: (a) stale tmp from a mid-write crash,
+    # (b) stale old + missing path from a crash between the two renames
+    # — a rerun must succeed and lose no rows either way
+    import shutil
+
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import compact_parquet
+
+    out = str(tmp_path / "data")
+    li = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li.repartition(4).write.parquet(out)
+    before = spark.read.parquet(out).count()
+
+    # (a) leftover partial tmp next to an intact target
+    shutil.copytree(out, out + "._compact_tmp")
+    compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(out).count() == before
+    assert not os.path.exists(out + "._compact_tmp")
+    assert not os.path.exists(out + "._compact_old")
+
+    # (b) crash between renames: target gone, complete old layout left
+    os.rename(out, out + "._compact_old")
+    compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(out).count() == before
+    assert not os.path.exists(out + "._compact_old")

@@ -55,3 +55,74 @@ def test_foreach_batch_sink(spark, tmp_path):
     assert back.count() == 30
     assert "batch_id" in back.columns
     assert glob.glob(f"{out}/*.parquet") or glob.glob(f"{out}/part-*")
+
+
+def test_idempotent_sink_overwrites_on_redelivery(spark, tmp_path):
+    # Crash-recovery evidence for the exactly-once-by-idempotence claim
+    # (streaming/stream.py::idempotent_parquet_sink): kill a completed
+    # corpus-ingest run's LAST batch commit (the exact crash window —
+    # sink ran, offsets not yet committed), restart a NEW query on the
+    # SAME checkpoint, and assert Spark re-delivers that batch_id and
+    # the sink overwrites its directory instead of duplicating rows.
+    import os
+
+    from data_ingestion_s3_to_parquet_spark.streaming.stream import (
+        DOCS_STREAM_SCHEMA,
+        corpus_ingest_stream,
+        documents_file_stream,
+        idempotent_parquet_sink,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    words = lambda i: " ".join(f"w{i}_{k}" for k in range(8))  # noqa: E731
+    # two input files -> two micro-batches (maxFilesPerTrigger=1); a
+    # cross-file duplicate text (doc 20 repeats doc 1's body) proves
+    # dedup state also survives the restart
+    f1 = [(i, base + dt.timedelta(minutes=i), words(i), "en", "crawl") for i in range(10)]
+    f2 = [(10 + i, base + dt.timedelta(minutes=10 + i), words(10 + i), "en", "crawl") for i in range(9)]
+    f2.append((20, base + dt.timedelta(minutes=20), words(1), "en", "crawl"))
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(f1, DOCS_STREAM_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(f2, DOCS_STREAM_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            corpus_ingest_stream(documents_file_stream(spark, src))
+            .writeStream.foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    committed = sorted(
+        int(f) for f in os.listdir(f"{ckpt}/commits") if f.isdigit()
+    )
+    assert len(committed) >= 2  # one per input file
+    last = committed[-1]
+    landed = spark.read.parquet(out)
+    expect = sorted(r.doc_id for r in landed.select("doc_id").collect())
+    assert expect == list(range(19))  # doc 20 deduped against doc 1
+
+    # simulate the crash: batch `last` ran its sink but never committed.
+    # The hidden Hadoop ChecksumFs sibling must go too — a real crash
+    # writes neither file, and a leftover .crc makes the re-commit
+    # rename fail with a spurious "multiple queries" error.
+    os.remove(f"{ckpt}/commits/{last}")
+    crc = f"{ckpt}/commits/.{last}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    before_mtime = os.path.getmtime(f"{out}/batch_id={last}")
+    run_once()
+
+    # the batch directory was rewritten (overwrite, not skip) ...
+    assert os.path.getmtime(f"{out}/batch_id={last}") >= before_mtime
+    assert os.path.exists(f"{ckpt}/commits/{last}")
+    # ... and re-delivery added NO duplicate rows anywhere
+    again = spark.read.parquet(out)
+    got = sorted(r.doc_id for r in again.select("doc_id").collect())
+    assert got == expect
