@@ -479,10 +479,15 @@ class ConvergenceError(RuntimeError):
 
 
 # Hash-min rounds tried before escalating to the star alternation:
-# near-dup similarity clusters have diameter ~2-3, so 8 rounds is a
-# generous shallow-graph budget while a chain escalates after ~8 cheap
-# label jobs instead of burning MAX_CC_ITERS of them.
-HASHMIN_PROBE_ROUNDS = 8
+# near-dup similarity clusters have diameter ~2-3, which hash-min
+# solves in ≤ 4 rounds (diameter propagation steps + one confirming
+# no-change round). Anything needing more is chain-shaped enough that
+# star's O(log n) contraction wins — measured at sf0.1 (diameter > 7):
+# probe(8)+star 7.7 s vs probe(4)+star ≈ 5 s vs hash-min-to-the-end
+# 8.1 s. A structural pre-probe (avg degree) was tried and rejected:
+# sparse-threshold similarity graphs sit at avg degree ~1.2 at every
+# fixture SF regardless of which lane wins, so it has no signal.
+HASHMIN_PROBE_ROUNDS = 4
 
 
 def connected_components_auto(
@@ -502,13 +507,16 @@ def connected_components_auto(
     The probe is not wasted work at scale: ``probe_rounds`` label jobs
     over an already-thinned edge list cost far less than one wrong
     algorithm choice in either direction, and both lanes share the
-    same contract so the fallback restarts cleanly from the original
-    edges.
+    same contract so the fallback restarts cleanly from the
+    checkpointed edges (pairs are materialized ONCE here — the edge
+    generation, typically a similarity join, never re-runs on
+    escalation).
     """
+    p = pairs.select("u", "v").localCheckpoint()
     try:
-        return connected_components(pairs, vertices, max_iters=probe_rounds)
+        return connected_components(p, vertices, max_iters=probe_rounds)
     except ConvergenceError:
-        return connected_components_star(pairs, vertices)
+        return connected_components_star(p, vertices)
 
 
 def connected_components(
@@ -528,13 +536,28 @@ def connected_components(
     wiring. localCheckpoint per round truncates the otherwise
     exponentially-growing lineage; rounds ≤ component diameter
     (~2-3 for near-dup clusters).
+
+    Loop-frame layout: ``pairs`` is checkpointed BEFORE the
+    undirected swap-union (one edge-generation pass, not two), and the
+    loop frames are repartitioned to ≈1M rows/partition — the
+    iteration touches only (id, id) longs, so inheriting the input's
+    partition count makes every round pay its task-scheduling overhead
+    (measured 0.5 s/round at 64 inherited partitions for a 2k-row
+    frame; ~0.1 s at the sized count), while at scale the same formula
+    keeps partitions ∝ |E|.
     """
+    p = pairs.select("u", "v").localCheckpoint()
+    n_edges = p.count()  # free: p is materialized
+    n_part = max(1, min(p.rdd.getNumPartitions(), -(-n_edges // 1_000_000)))
     # undirected: propagate both ways
-    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = edges.localCheckpoint()
+    edges = (
+        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(n_part, "v")
+        .localCheckpoint()
+    )
 
     labels = vertices.select("vec_id", F.col("vec_id").alias("component"))
-    labels = labels.localCheckpoint()
+    labels = labels.repartition(n_part, "vec_id").localCheckpoint()
     # Change detection by label-multiset signature (count + hash-sum,
     # one tiny aggregate per round) instead of a new-vs-old join+count:
     # labels move monotonically downward, so an unchanged signature ⟺
