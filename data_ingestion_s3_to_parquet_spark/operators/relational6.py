@@ -1,0 +1,257 @@
+"""Round-3 additions: bloom-prefiltered join, CDC latest-wins apply,
+and deterministic weighted sampling.
+
+Three patterns a 100 TB pipeline leans on that the registry did not yet
+demonstrate as first-class operators:
+
+- ``join_bloom_prefilter`` — scan-side semi-join pruning with a
+  hand-rolled distributed Bloom filter (Spark's internal
+  ``bloom_filter_agg`` is not SQL-registered in 4.1, and the built-in
+  runtime bloom only kicks in for selective shuffle joins it can see
+  through). The bloom is built WITH an aggregation (bit_or over long
+  words), collected to the driver at a fixed, tiny size (256 longs),
+  and probed as a constant-folded literal array inside the fact scan's
+  codegen stage — false positives are then removed by the exact join,
+  so the result is bit-identical to the plain semi-join oracle.
+- ``cdc_apply`` — changelog → snapshot: latest-wins upsert with
+  tombstone deletes, the batch MERGE/compaction pattern behind every
+  incremental ingest (Delta/Iceberg MERGE, Kafka compacted topics).
+- ``sample_weighted`` — Efraimidis-Spirakis weighted sampling
+  (key = u^(1/w)) with the uniform u derived from md5 bits, so the
+  draw is seedless, layout-independent, and bitwise-reproducible on
+  both engines — the weighted companion to ``sample_split`` /
+  ``sample_stratified`` (quality- or length-weighted training mixes).
+
+Reference: /root/reference/src/main.rs has none of these (its surface
+is the 9 §2A ingestion stages); these extend SURVEY.md §2B per the
+BASELINE north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+# Bloom geometry: 16384 bits / 3 hashes ≈ 1.6% false positives at 1k
+# keys — prune rate is all that matters (correctness comes from the
+# exact join behind it). 256 longs ≈ 2 KB: constant-foldable and far
+# below any broadcast/driver concern at ANY corpus size, because the
+# array size is fixed up front, not data-dependent.
+BLOOM_BITS = 16_384
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_HASHES = 3
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_test(key_sql: str, i: int) -> str:
+    pos = f"pmod(xxhash64({key_sql}, {i}), {BLOOM_BITS})"
+    return (
+        f"(element_at(bf, cast({pos} div 64 as int) + 1)"
+        f" & shiftleft(1L, cast({pos} % 64 as int))) != 0"
+    )
+
+
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of BUILDING-segment customers, pre-pruned by a Bloom
+    filter on the scan side before the exact semi-join settles it.
+
+    At 100 TB the semi-join's small side (here: one segment's customer
+    keys) often still exceeds broadcast limits, while a fixed-size
+    Bloom of those keys does not: the probe runs inside the fact
+    scan's WholeStageCodegen as pure bit arithmetic on a 2 KB literal
+    array, dropping ~98% of non-matching rows before the shuffle; the
+    exact semi-join then only sees survivors, so false positives
+    cannot reach the output. Build is fully distributed (explode k
+    positions → bit_or per word); the driver materializes exactly
+    BLOOM_WORDS longs — bounded by construction, like the 16-row IVF
+    model (``similarity.py``). Oracle: the plain semi-join, which must
+    match bit-for-bit.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    keys = c.where(F.col("c_mktsegment") == BLOOM_SEGMENT).select("c_custkey")
+
+    positions = F.array(
+        *[
+            F.expr(f"pmod(xxhash64(c_custkey, {i}), {BLOOM_BITS})")
+            for i in range(BLOOM_HASHES)
+        ]
+    )
+    words = (
+        keys.select(F.explode(positions).alias("pos"))
+        .select(
+            F.expr("cast(pos div 64 as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    by_word = {r.w: r.bits for r in words.collect()}  # ≤ BLOOM_WORDS rows
+    bloom = F.array(
+        *[F.lit(by_word.get(i, 0)).cast("long") for i in range(BLOOM_WORDS)]
+    )
+
+    probe = F.expr(
+        " AND ".join(_bloom_test("o_custkey", i) for i in range(BLOOM_HASHES))
+    )
+    pruned = o.withColumn("bf", bloom).where(probe).drop("bf")
+    return (
+        pruned.join(keys, pruned.o_custkey == keys.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price", 2),
+        )
+    )
+
+
+SQL_JOIN_BLOOM_PREFILTER = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,8))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+)
+GROUP BY o_orderpriority
+"""
+
+
+CDC_TOMBSTONE = "error"  # the event type that plays the delete marker
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → snapshot: apply the events stream as a latest-wins
+    upsert per ``user_id``, with ``{tombstone}`` events acting as
+    deletes — the batch form of Delta/Iceberg MERGE or a Kafka
+    compacted topic, and the compaction step behind every incremental
+    ingest.
+
+    One window over (user_id → ts desc, event_id desc) ranks each
+    user's history; rank 1 is the current state, and a tombstone at
+    rank 1 removes the key from the snapshot entirely. Catalyst plans
+    a single sort+shuffle keyed on user_id (uniform — no skew), and
+    WindowGroupLimit keeps per-task state at one row per key below the
+    exchange. The non-key payload passes through un-arithmetic'd, so
+    it hash-matches the oracle bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.col("event_type") != CDC_TOMBSTONE)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+
+
+q_cdc_apply.__doc__ = q_cdc_apply.__doc__.format(tombstone=CDC_TOMBSTONE)
+
+SQL_CDC_APPLY = f"""
+WITH latest AS (
+  SELECT user_id, event_id, event_type, value, ts
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_type,
+       value AS last_value,
+       ts AS valid_from
+FROM latest
+WHERE event_type <> '{CDC_TOMBSTONE}'
+"""
+
+
+WEIGHTED_K = 50
+# 6 hex digits = 24 bits: the integer is exact in a double on both
+# engines, so u and every downstream value are bitwise engine-neutral.
+_HEX_DENOM = 16**6 + 1
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement: top-{k} documents by the
+    Efraimidis-Spirakis key u^(1/w), weight = ``n_chars`` — longer
+    documents proportionally likelier, the standard trick for
+    quality- or length-weighted training mixes.
+
+    Determinism rules (same as ``sample_split`` / ``sample_stratified``,
+    SCALE.md §20): u comes from the first 6 hex digits of
+    ``md5(doc_id)`` — a pure function of row values, so the draw is
+    seedless, partition-layout-independent, and identical on any
+    cluster size or engine. The E-S key makes "top-k by key" EQUAL in
+    distribution to sampling without replacement ∝ w, so the whole
+    operator is one map + TakeOrderedAndProject (no shuffle beyond the
+    top-k reduction; per-task state O(k)). The key is rounded before
+    ranking so cross-engine pow/division ulp noise cannot flip an
+    order the oracle can still see (SCALE.md §19 rule).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+    u = (v.cast("double") + F.lit(1.0)) / F.lit(float(_HEX_DENOM))
+    wkey = F.round(
+        F.pow(u, F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")),
+        10,
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", wkey.alias("wkey"))
+        .orderBy(F.desc("wkey"), "doc_id")
+        .limit(WEIGHTED_K)
+    )
+
+
+q_sample_weighted.__doc__ = q_sample_weighted.__doc__.format(k=WEIGHTED_K)
+
+SQL_SAMPLE_WEIGHTED = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(POW(
+           (list_sum(list_transform(range(1, 7),
+              i -> (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                   * 16 ^ (6 - i))) + 1) / {_HEX_DENOM}.0,
+           1.0 / GREATEST(n_chars, 1)), 10) AS wkey
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, wkey
+FROM keyed
+ORDER BY wkey DESC, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
+QUERIES: list[Query] = []
+
+# EXTRA lane: oracle-carrying, verified by tools/oracle_check.py +
+# pytest; outside the 50-entry graded budget (see plans.registry).
+EXTRA_QUERIES = [
+    Query(
+        "join_bloom_prefilter",
+        q_join_bloom_prefilter,
+        SQL_JOIN_BLOOM_PREFILTER,
+        ("relational", "join", "approx"),
+    ),
+    Query("cdc_apply", q_cdc_apply, SQL_CDC_APPLY, ("relational", "window", "pipeline")),
+    Query(
+        "sample_weighted",
+        q_sample_weighted,
+        SQL_SAMPLE_WEIGHTED,
+        ("llm", "sampling"),
+    ),
+]

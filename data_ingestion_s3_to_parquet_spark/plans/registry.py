@@ -41,6 +41,7 @@ _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.relational3",
     "data_ingestion_s3_to_parquet_spark.operators.relational4",
     "data_ingestion_s3_to_parquet_spark.operators.relational5",
+    "data_ingestion_s3_to_parquet_spark.operators.relational6",
 )
 
 # The graded registry must fit the harness's observed per-round budget.

@@ -383,6 +383,79 @@ def test_sha2_keyed_dedup_matches_text_keyed_output(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
 
 
+def test_bloom_prefilter_prunes_but_never_drops_matches(spark, sf_dir):
+    # the bloom probe is a superset filter: every true match survives
+    # (oracle proves output equality; this pins the pruning mechanics)
+    from data_ingestion_s3_to_parquet_spark.operators.relational6 import (
+        BLOOM_SEGMENT,
+        q_join_bloom_prefilter,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    keys = c.where(F.col("c_mktsegment") == BLOOM_SEGMENT).select("c_custkey")
+    exact = o.join(keys, o.o_custkey == keys.c_custkey, "left_semi").count()
+    got = q_join_bloom_prefilter(spark, sf_dir)
+    assert got.agg(F.sum("n_orders")).collect()[0][0] == exact
+
+
+def test_cdc_apply_latest_wins_and_tombstones(spark, tmp_path):
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational6 import q_cdc_apply
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: upsert then newer upsert -> latest value wins
+        (1, base, 1, "view", 1.0),
+        (2, base + dt.timedelta(hours=1), 1, "purchase", 2.5),
+        # user 2: latest event is a tombstone -> dropped from snapshot
+        (3, base, 2, "view", 9.0),
+        (4, base + dt.timedelta(hours=1), 2, "error", 0.0),
+        # user 3: tombstone then a LATER upsert -> resurrected
+        (5, base, 3, "error", 0.0),
+        (6, base + dt.timedelta(hours=1), 3, "signup", 7.0),
+        # user 4: ts tie broken by event_id (higher wins)
+        (7, base, 4, "view", 1.0),
+        (8, base, 4, "click", 2.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    snap = {r.user_id: r for r in q_cdc_apply(spark, str(tmp_path)).collect()}
+    assert set(snap) == {1, 3, 4}          # user 2 deleted
+    assert snap[1].last_type == "purchase" and snap[1].last_value == 2.5
+    assert snap[3].last_type == "signup"   # later upsert beats tombstone
+    assert snap[4].last_event_id == 8      # event_id tie-break
+
+
+def test_sample_weighted_is_exact_topk_of_es_keys(spark, sf_dir):
+    # independently recompute every E-S key in python and assert the
+    # operator returns exactly the global top-k (with tie-break order)
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational6 import (
+        _HEX_DENOM,
+        WEIGHTED_K,
+        q_sample_weighted,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    keyed = []
+    for r in docs:
+        v = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:6], 16)
+        u = (v + 1) / _HEX_DENOM
+        keyed.append((round(u ** (1.0 / max(r.n_chars, 1)), 10), -r.doc_id))
+    keyed.sort(reverse=True)
+    want = [-d for _, d in keyed[:WEIGHTED_K]]
+
+    got = [r.doc_id for r in q_sample_weighted(spark, sf_dir).collect()]
+    assert got == want
+
+
 def test_survey_2c_table_matches_registry():
     # SURVEY.md §2C's graded-inventory table is the grading contract; it
     # must list exactly the registry keys in registry order (VERDICT r2

@@ -175,6 +175,41 @@ def test_dedup_shuffle_keys_are_fingerprints_not_text(spark):
     assert "text#" not in exch_input, exch_input
 
 
+def test_bloom_probe_runs_in_fact_scan_stage(spark):
+    # the bloom membership test must filter the orders scan BEFORE the
+    # semi-join's exchange — if it sits above the join it prunes nothing
+    from data_ingestion_s3_to_parquet_spark.operators.relational6 import (
+        q_join_bloom_prefilter,
+    )
+
+    import re
+
+    plan = plan_of(q_join_bloom_prefilter(spark, SF_SMOKE))
+    probe_nodes = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Filter\n(?:.*\n)*?Condition :.*shiftleft", plan)
+    ]
+    join_nodes = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) \w*Join", plan)]
+    assert probe_nodes and join_nodes, plan
+    # the probe Filter must execute below (= smaller node id than) the join
+    assert min(probe_nodes) < min(join_nodes), plan
+
+
+def test_cdc_apply_gets_window_group_limit(spark):
+    # rn = 1 must push a per-key one-row limit below the exchange
+    from data_ingestion_s3_to_parquet_spark.operators.relational6 import q_cdc_apply
+
+    assert "WindowGroupLimit" in plan_of(q_cdc_apply(spark, SF_SMOKE))
+
+
+def test_sample_weighted_is_take_ordered(spark):
+    from data_ingestion_s3_to_parquet_spark.operators.relational6 import (
+        q_sample_weighted,
+    )
+
+    assert "TakeOrderedAndProject" in plan_of(q_sample_weighted(spark, SF_SMOKE))
+
+
 def test_seq_pack_window_is_shard_partitioned(spark):
     from data_ingestion_s3_to_parquet_spark.operators.trainprep import q_seq_pack
 
