@@ -236,6 +236,63 @@ LIMIT {WEIGHTED_K}
 """
 
 
+UDTF_MIN_WORD_LEN = 7
+UDTF_DOC_CAP = 100
+
+
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) + LATERAL join — the real UDTF
+    surface, not the ``explode``/``mapInPandas`` shape the registry
+    already covers: a user-defined generator expands each document
+    into (pos, word) rows for words of length ≥ {minlen}, consumed via
+    SQL ``LATERAL``.
+
+    The UDTF runs Arrow-batched (``useArrow=True``) inside
+    ``BatchEvalPythonUDTF`` — one python worker pass over the scan,
+    no shuffle; the doc_id cap keeps the fixture output bounded and
+    pushes down to the parquet scan. Semantics are deliberately also
+    expressible as pure SQL (DuckDB's indexed list_transform +
+    unnest) so the operator earns a FULL oracle — the point is the
+    API surface and its plan shape, proven equivalent, not new
+    semantics.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string", useArrow=True)
+    class LongWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                if len(w) >= UDTF_MIN_WORD_LEN:
+                    yield i, w
+
+    spark.udtf.register("long_words", LongWords)
+    d = load_table(spark, sf_dir, "documents")
+    d.where(F.col("doc_id") < UDTF_DOC_CAP).select("doc_id", "text").createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, pos, word FROM udtf_docs, LATERAL long_words(text)"
+    )
+
+
+q_udtf_lateral.__doc__ = q_udtf_lateral.__doc__.format(minlen=UDTF_MIN_WORD_LEN)
+
+SQL_UDTF_LATERAL = f"""
+SELECT doc_id, w.pos, w.word
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(string_split(text, ' '),
+                          (s, i) -> struct_pack(pos := i - 1, word := s)),
+           x -> length(x.word) >= {UDTF_MIN_WORD_LEN})) AS w
+  FROM documents
+  WHERE doc_id < {UDTF_DOC_CAP}
+)
+"""
+
+
 QUERIES: list[Query] = []
 
 # EXTRA lane: oracle-carrying, verified by tools/oracle_check.py +
@@ -254,4 +311,5 @@ EXTRA_QUERIES = [
         SQL_SAMPLE_WEIGHTED,
         ("llm", "sampling"),
     ),
+    Query("udtf_lateral", q_udtf_lateral, SQL_UDTF_LATERAL, ("relational", "udf")),
 ]

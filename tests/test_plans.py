@@ -195,6 +195,17 @@ def test_bloom_probe_runs_in_fact_scan_stage(spark):
     assert min(probe_nodes) < min(join_nodes), plan
 
 
+def test_udtf_runs_arrow_batched(spark):
+    # the table function must evaluate through the Arrow UDTF node
+    # (one vectorized python pass), not row-pickling BatchEvalPython
+    from data_ingestion_s3_to_parquet_spark.operators.relational6 import (
+        q_udtf_lateral,
+    )
+
+    plan = plan_of(q_udtf_lateral(spark, SF_SMOKE))
+    assert "ArrowEvalPythonUDTF" in plan, plan
+
+
 def test_cdc_apply_gets_window_group_limit(spark):
     # rn = 1 must push a per-key one-row limit below the exchange
     from data_ingestion_s3_to_parquet_spark.operators.relational6 import q_cdc_apply
