@@ -71,3 +71,56 @@ def test_dsum_permutation_invariant(spark, vals, seed):
         .s
     )
     assert a == b
+
+
+event_logs = st.lists(
+    st.tuples(
+        st.integers(0, 5),                      # user_id
+        st.integers(0, 20),                     # ts offset (hours)
+        st.sampled_from(["view", "purchase", "signup", "error"]),
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(log=event_logs)
+@slow_ok
+def test_cdc_apply_matches_sequential_replay(spark, log, tmp_path_factory):
+    """cdc_apply (window latest-wins + tombstones) must equal replaying
+    the changelog sequentially in python: for each user, state = the
+    last event by (ts, event_id); tombstone at the end => absent."""
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational6 import (
+        CDC_TOMBSTONE,
+        q_cdc_apply,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=h), u, t, v)
+        for i, (u, h, t, v) in enumerate(log)
+    ]
+    path = tmp_path_factory.mktemp("cdc")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+    # sequential replay: apply events in (ts, event_id) order per user
+    state: dict = {}
+    for eid, ts, u, t, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        if t == CDC_TOMBSTONE:
+            state.pop(u, None)
+            state[u] = None          # tombstone holds until a later upsert
+        else:
+            state[u] = (eid, t, v, ts)
+    want = {u: s for u, s in state.items() if s is not None}
+
+    got = {
+        r.user_id: (r.last_event_id, r.last_type, r.last_value, r.valid_from)
+        for r in q_cdc_apply(spark, str(path)).collect()
+    }
+    assert got == want

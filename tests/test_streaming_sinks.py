@@ -126,3 +126,62 @@ def test_idempotent_sink_overwrites_on_redelivery(spark, tmp_path):
     again = spark.read.parquet(out)
     got = sorted(r.doc_id for r in again.select("doc_id").collect())
     assert got == expect
+
+
+def test_stream_ingest_then_compact_end_to_end(spark, tmp_path):
+    # the full landing-zone lifecycle: micro-batched stream ingest
+    # (one tiny file per batch) -> batch compaction over the landed
+    # directory -> same rows, fewer files
+    import os
+
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import compact_parquet
+    from data_ingestion_s3_to_parquet_spark.streaming.stream import (
+        DOCS_STREAM_SCHEMA,
+        corpus_ingest_stream,
+        documents_file_stream,
+        idempotent_parquet_sink,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    words = lambda i: " ".join(f"w{i}_{k}" for k in range(8))  # noqa: E731
+    src = str(tmp_path / "src")
+    for f in range(5):   # five input files -> five micro-batches
+        rows = [
+            (f * 10 + i, base + dt.timedelta(minutes=f * 10 + i), words(f * 10 + i), "en", "crawl")
+            for i in range(10)
+        ]
+        spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "landed")
+    q = (
+        corpus_ingest_stream(documents_file_stream(spark, src))
+        .writeStream.foreachBatch(idempotent_parquet_sink(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def parquet_files(p):
+        return [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    n_before_files = len(parquet_files(out))
+    assert n_before_files >= 5          # at least one file per micro-batch
+    before = spark.read.parquet(out)
+    n_rows = before.count()
+    assert n_rows == 50
+    fps = {r.fp for r in before.select("fp").collect()}
+
+    n_after = compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
+    files = parquet_files(out)
+    assert len(files) == n_after < n_before_files
+    after = spark.read.parquet(out)
+    assert after.count() == n_rows
+    assert {r.fp for r in after.select("fp").collect()} == fps
