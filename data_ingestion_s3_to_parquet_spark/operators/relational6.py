@@ -293,6 +293,69 @@ FROM (
 """
 
 
+HLL_TOLERANCE = 0.05
+
+
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-distinct via explicit HLL sketches:
+    ``hll_sketch_agg`` per language plus an ``hll_union_agg`` re-merge
+    of those per-group sketches into the corpus-wide estimate.
+
+    Why this exists next to ``agg_distinct``'s
+    ``approx_count_distinct``: the EXPLICIT sketch objects are the
+    100 TB incremental pattern — per-partition/per-day sketches are
+    tiny, storable, and re-aggregatable, so a corpus-wide distinct
+    count never rescans history (the same property the union row
+    exercises here by merging the per-lang sketches instead of
+    re-reading documents). Graded as an accuracy contract (SCALE.md
+    §13): exact distinct counts computed on both engines bit-for-bit,
+    plus a ``sketch_ok`` boolean asserting the HLL estimate lands
+    within {tol}% of exact — TRUE on every row, deterministic because
+    the sketch is seed-fixed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.countDistinct("text").alias("n_exact"),
+        F.hll_sketch_agg("text").alias("sk"),
+    )
+    lang_rows = per_lang.select(
+        "lang",
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= F.col("n_exact") * HLL_TOLERANCE
+        ).alias("sketch_ok"),
+    )
+    all_row = (
+        per_lang.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .crossJoin(d.agg(F.countDistinct("text").alias("n_exact")))
+        .select(
+            F.lit("*all*").alias("lang"),
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                <= F.col("n_exact") * HLL_TOLERANCE
+            ).alias("sketch_ok"),
+        )
+    )
+    return lang_rows.unionByName(all_row)
+
+
+q_agg_hll_sketch.__doc__ = q_agg_hll_sketch.__doc__.format(
+    tol=int(HLL_TOLERANCE * 100)
+)
+
+SQL_AGG_HLL_SKETCH = """
+SELECT lang, COUNT(DISTINCT text) AS n_exact, TRUE AS sketch_ok
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '*all*' AS lang, COUNT(DISTINCT text) AS n_exact, TRUE AS sketch_ok
+FROM documents
+"""
+
+
 QUERIES: list[Query] = []
 
 # EXTRA lane: oracle-carrying, verified by tools/oracle_check.py +
@@ -312,4 +375,10 @@ EXTRA_QUERIES = [
         ("llm", "sampling"),
     ),
     Query("udtf_lateral", q_udtf_lateral, SQL_UDTF_LATERAL, ("relational", "udf")),
+    Query(
+        "agg_hll_sketch",
+        q_agg_hll_sketch,
+        SQL_AGG_HLL_SKETCH,
+        ("relational", "agg", "approx"),
+    ),
 ]

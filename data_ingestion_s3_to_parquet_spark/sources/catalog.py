@@ -77,3 +77,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql() use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_evolving_parquet(
+    spark: SparkSession, *paths: str, strict: bool = False
+) -> DataFrame:
+    """Read parquet batches whose schemas drifted over time (landed
+    micro-batches gain or drop columns as upstream producers evolve).
+
+    ``mergeSchema`` unions all footer schemas: columns absent from a
+    batch surface as nulls, so downstream plans see one stable wide
+    schema — the warn-missing/never-abort contract (reference A4,
+    main.rs:113-124) applied to parquet instead of CSV headers.
+
+    Scale note: schema merging reads every file FOOTER up front
+    (distributed, but it is real work on millions of files). Production
+    tables should pin the contract schema in a catalog and pass
+    ``strict=True`` paths through a plain read instead; mergeSchema is
+    for exploration and backfill over drifted history.
+    """
+    tune(spark)
+    reader = spark.read
+    if not strict:
+        reader = reader.option("mergeSchema", True)
+    return reader.parquet(*paths)

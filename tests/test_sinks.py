@@ -138,3 +138,21 @@ def test_compact_parquet_recovers_from_crashed_run(spark, sf_dir, tmp_path):
     compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
     assert spark.read.parquet(out).count() == before
     assert not os.path.exists(out + "._compact_old")
+
+
+def test_read_evolving_parquet_unions_drifted_schemas(spark, tmp_path):
+    # batch 1 has (id, a); batch 2 gains b and drops a — the merged
+    # read exposes the union schema with nulls where a batch lacks a col
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import (
+        read_evolving_parquet,
+    )
+
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.range(3).selectExpr("id", "id * 2 as a").write.parquet(p1)
+    spark.range(3, 6).selectExpr("id", "id * 3 as b").write.parquet(p2)
+
+    df = read_evolving_parquet(spark, p1, p2)
+    assert sorted(df.columns) == ["a", "b", "id"]
+    rows = {r.id: (r.a, r.b) for r in df.collect()}
+    assert rows[0] == (0, None) and rows[4] == (None, 12)
+    assert len(rows) == 6
