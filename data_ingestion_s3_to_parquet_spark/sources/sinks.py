@@ -21,6 +21,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -120,6 +121,38 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    *,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out for min/max scan pruning on
+    ``cluster_cols``: range-partition rows across files by the cluster
+    key, then sort within each file.
+
+    Parquet readers skip row groups (and whole files) whose footer
+    min/max stats exclude the predicate — but only if the writer made
+    those ranges narrow. A hash-partitioned write scatters every key
+    range across every file (stats span everything, nothing prunes);
+    ``repartitionByRange`` + ``sortWithinPartitions`` gives each file a
+    tight, near-disjoint key range, so a point or range predicate
+    touches O(1) files instead of all of them. This is the single-key
+    form of Delta's OPTIMIZE ZORDER / Iceberg's sort order rewrite —
+    at 100 TB, layout is the cheapest query accelerator there is
+    (written once, pays on every scan). Disjointness is asserted in
+    ``tests/test_sinks.py`` from the files' actual footer ranges.
+    """
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:

@@ -156,3 +156,43 @@ def test_read_evolving_parquet_unions_drifted_schemas(spark, tmp_path):
     rows = {r.id: (r.a, r.b) for r in df.collect()}
     assert rows[0] == (0, None) and rows[4] == (None, 12)
     assert len(rows) == 6
+
+
+def test_clustered_parquet_files_have_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    # range layout: per-file (min, max) of the cluster key must be
+    # near-disjoint so parquet footer stats can prune scans; a hash
+    # layout would give every file the full key range
+    import pyarrow.parquet as pq
+
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import (
+        write_clustered_parquet,
+    )
+
+    out = str(tmp_path / "clustered")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_clustered_parquet(orders, out, ["o_custkey"], n_files=6)
+
+    ranges = []
+    for d, _, fs in os.walk(out):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(d, f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "o_custkey"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # ranges sorted and non-overlapping
+
+    # row preservation
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
