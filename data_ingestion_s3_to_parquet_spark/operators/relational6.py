@@ -356,6 +356,77 @@ FROM documents
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample the event stream to an
+    hourly grid per event type, materializing EMPTY buckets from a
+    generated time spine, and forward-fill the last observed hourly
+    sum across gaps — the gap-fill shape behind dashboards, feature
+    windows, and any model that needs an observation per tick.
+
+    Plan shape: the hourly aggregation is one groupBy over the scan;
+    the spine is `sequence(min, max, 1 hour)` exploded from the tiny
+    per-type bounds row (no driver-side range generation); the
+    fill is `last(value, ignorenulls=True)` over an unbounded-
+    preceding window per type — one extra shuffle on the already-
+    bucket-sized frame, never on raw events. Buckets per key = time
+    range / granularity regardless of event volume, so output and
+    window state are bounded by the calendar, not the data.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy(F.col("event_type"), bucket.alias("bucket")).agg(
+        dsum(F.col("value"), "sum_value", 2),
+        F.count("*").alias("n_events"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_ffill"),
+    )
+
+
+SQL_RESAMPLE_FFILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,8))), 2) AS DOUBLE)
+           AS sum_value,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+  FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT s.event_type, s.bucket,
+       COALESCE(h.n_events, 0) AS n_events,
+       LAST_VALUE(h.sum_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.bucket) AS sum_ffill
+FROM spine s
+LEFT JOIN hourly h ON s.event_type = h.event_type AND s.bucket = h.bucket
+"""
+
+
 QUERIES: list[Query] = []
 
 # EXTRA lane: oracle-carrying, verified by tools/oracle_check.py +
@@ -380,5 +451,11 @@ EXTRA_QUERIES = [
         q_agg_hll_sketch,
         SQL_AGG_HLL_SKETCH,
         ("relational", "agg", "approx"),
+    ),
+    Query(
+        "resample_ffill",
+        q_resample_ffill,
+        SQL_RESAMPLE_FFILL,
+        ("relational", "window", "streaming"),
     ),
 ]

@@ -456,6 +456,30 @@ def test_sample_weighted_is_exact_topk_of_es_keys(spark, sf_dir):
     assert got == want
 
 
+def test_resample_ffill_fills_gaps_with_carried_values(spark, tmp_path):
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational6 import (
+        q_resample_ffill,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        # clicks at hours 0 and 3 -> hours 1 and 2 are generated gaps
+        (1, base, 1, "click", 10.0),
+        (2, base + dt.timedelta(hours=3), 1, "click", 4.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = {r.bucket.hour: r for r in q_resample_ffill(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [0, 1, 2, 3]          # spine covers the gap hours
+    assert out[1].n_events == 0 and out[2].n_events == 0
+    assert out[1].sum_ffill == 10.0 and out[2].sum_ffill == 10.0  # carried
+    assert out[3].sum_ffill == 4.0
+
+
 def test_survey_2c_table_matches_registry():
     # SURVEY.md §2C's graded-inventory table is the grading contract; it
     # must list exactly the registry keys in registry order (VERDICT r2
