@@ -427,6 +427,50 @@ LEFT JOIN hourly h ON s.event_type = h.event_type AND s.bucket = h.bucket
 """
 
 
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` converts the props JSON string to the binary
+    variant encoding once, then ``variant_get`` extracts typed fields
+    and ``try_variant_get`` probes an absent path without erroring.
+
+    Versus ``array_map_json``'s ``get_json_object`` (string re-parse
+    per path), VARIANT is THE 100 TB semi-structured story: parse
+    once into a binary tree, then every extraction is a cheap typed
+    walk — and parquet can store the variant column so downstream
+    scans never re-parse at all. The aggregation keeps output scalar
+    and engine-neutral (long sums are exact); the oracle mirrors with
+    DuckDB's JSON extraction, proving the VARIANT path changes the
+    encoding, not the answers.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    miss = F.expr("try_variant_get(parse_json(props), '$.absent.path', 'string')")
+    return (
+        e.select("event_type", k.alias("k"), miss.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("m").alias("n_absent_hits"),
+        )
+    )
+
+
+SQL_JSON_VARIANT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(json_extract_string(props, '$.absent.path')) AS n_absent_hits
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: list[Query] = []
 
 # EXTRA lane: oracle-carrying, verified by tools/oracle_check.py +
@@ -458,4 +502,5 @@ EXTRA_QUERIES = [
         SQL_RESAMPLE_FFILL,
         ("relational", "window", "streaming"),
     ),
+    Query("json_variant", q_json_variant, SQL_JSON_VARIANT, ("relational", "json")),
 ]
