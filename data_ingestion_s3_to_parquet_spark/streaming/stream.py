@@ -211,3 +211,64 @@ def run_stream_once(
     )
     q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+
+
+def with_ingest_metrics(df: DataFrame, *, name: str = "ingest_metrics") -> DataFrame:
+    """Attach named observed metrics to a (batch or streaming) frame:
+    row count, distinct-source count sketch, and total word volume.
+
+    ``observe`` computes the aggregates ON THE EXISTING PASS over the
+    data — no extra job, no second scan — and surfaces them per
+    micro-batch through ``StreamingQueryProgress.observedMetrics`` (or
+    via a ``QueryExecutionListener`` in batch). This is the production
+    monitoring seam: ingestion rate, per-batch volume, and data-quality
+    counters come from the pipeline itself rather than a parallel
+    metrics query that can drift from what was actually written.
+    """
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("source").alias("n_sources"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_words"),
+    )
+
+
+class CollectingProgressListener:
+    """Minimal ``StreamingQueryListener`` that records per-batch
+    progress (rows/sec, batch id, observed metrics) — the hook a real
+    deployment points at its metrics backend (StatsD/Prometheus).
+
+    Implemented lazily against ``pyspark.sql.streaming.listener`` so
+    importing this module costs nothing when streaming is unused.
+    """
+
+    def __new__(cls):
+        from pyspark.sql.streaming.listener import StreamingQueryListener
+
+        class _Listener(StreamingQueryListener):
+            def __init__(self) -> None:
+                self.progress: list[dict] = []
+
+            def onQueryStarted(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event) -> None:  # noqa: N802
+                p = event.progress
+                self.progress.append(
+                    {
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "observed": {
+                            k: v.asDict() if hasattr(v, "asDict") else dict(v)
+                            for k, v in (p.observedMetrics or {}).items()
+                        },
+                    }
+                )
+
+            def onQueryIdle(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event) -> None:  # noqa: N802
+                pass
+
+        return _Listener()

@@ -315,3 +315,55 @@ def test_corpus_ingest_stream_quality_gate_and_cross_batch_dedup(spark, tmp_path
     assert {1, 5} <= kept
     for r in rows:
         assert r.n_words >= 5
+
+
+def test_observed_metrics_reach_the_progress_listener(spark, tmp_path):
+    # observe() metrics must ride the existing pass and surface per
+    # micro-batch in StreamingQueryProgress.observedMetrics via the
+    # listener — the production monitoring seam, no second scan
+    import datetime as dt
+    import time
+
+    from data_ingestion_s3_to_parquet_spark.streaming.stream import (
+        DOCS_STREAM_SCHEMA,
+        CollectingProgressListener,
+        corpus_ingest_stream,
+        documents_file_stream,
+        with_ingest_metrics,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), " ".join(f"w{i}_{k}" for k in range(8)), "en", f"src{i % 3}")
+        for i in range(12)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).coalesce(1).write.parquet(src)
+
+    listener = CollectingProgressListener()
+    spark.streams.addListener(listener)
+    try:
+        metered = with_ingest_metrics(documents_file_stream(spark, src))
+        q = (
+            corpus_ingest_stream(metered)
+            .writeStream.format("memory")
+            .queryName("metered_ingest")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            observed = [p for p in listener.progress if p["observed"]]
+            if observed:
+                break
+            time.sleep(0.5)
+        assert observed, listener.progress
+        m = observed[0]["observed"]["ingest_metrics"]
+        assert m["n_rows"] == 12
+        assert m["n_words"] == 12 * 8
+        assert 1 <= m["n_sources"] <= 4   # HLL estimate of 3
+    finally:
+        spark.streams.removeListener(listener)
