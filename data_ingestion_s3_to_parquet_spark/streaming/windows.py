@@ -99,8 +99,10 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user: 30-minute inactivity gap.
 
     Spark semantics: a session's end is last-event-time + gap; an event
-    extends the session iff it lands strictly before the current end.
-    The oracle reproduces this with the classic gaps-and-islands SQL.
+    extends the session iff it lands AT or before the current end — the
+    boundary is inclusive (verified against a real tie at sf0.1: two
+    events exactly 30:00 apart merge into one session), so the oracle's
+    gaps-and-islands break predicate must be strict ``>``, not ``>=``.
     Scale: session_window shuffles once on the user key; state size is
     bounded by open sessions — the same operator runs under
     applyInPandasWithState for custom state logic (streaming.stateful).
@@ -123,7 +125,7 @@ SQL_STREAM_SESSION = """
 WITH marked AS (
   SELECT user_id, date_trunc('second', ts) AS ts, value,
          CASE WHEN date_trunc('second', ts)
-                   >= LAG(date_trunc('second', ts))
+                   > LAG(date_trunc('second', ts))
                       OVER (PARTITION BY user_id ORDER BY ts)
                       + INTERVAL '30 minutes'
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -367,3 +367,25 @@ def test_observed_metrics_reach_the_progress_listener(spark, tmp_path):
         assert 1 <= m["n_sources"] <= 4   # HLL estimate of 3
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_session_window_boundary_is_inclusive(spark):
+    # two events exactly gap-length apart merge into ONE session in
+    # Spark (merge condition start <= current end) — found via a real
+    # tie at sf0.1; the DuckDB oracle's break must therefore be strict
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 6, 22, 16, 14)
+    df = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(minutes=30))], "user_id long, ts timestamp"
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .count()
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0]["count"] == 2
+    assert out[0].sw.end == base + dt.timedelta(minutes=60)
