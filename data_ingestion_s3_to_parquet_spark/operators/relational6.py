@@ -1,8 +1,5 @@
-"""Round-3 additions: bloom-prefiltered join, CDC latest-wins apply,
-and deterministic weighted sampling.
-
-Three patterns a 100 TB pipeline leans on that the registry did not yet
-demonstrate as first-class operators:
+"""Round-3 additions: seven patterns a 100 TB pipeline leans on that
+the registry did not yet demonstrate as first-class operators.
 
 - ``join_bloom_prefilter`` — scan-side semi-join pruning with a
   hand-rolled distributed Bloom filter (Spark's internal
@@ -21,6 +18,15 @@ demonstrate as first-class operators:
   draw is seedless, layout-independent, and bitwise-reproducible on
   both engines — the weighted companion to ``sample_split`` /
   ``sample_stratified`` (quality- or length-weighted training mixes).
+- ``udtf_lateral`` — a real Python UDTF (``@udtf(useArrow=True)``)
+  consumed via SQL ``LATERAL``, planned as ``ArrowEvalPythonUDTF``.
+- ``agg_hll_sketch`` — explicit mergeable HLL sketches
+  (``hll_sketch_agg`` / ``hll_union_agg``), the store-and-reaggregate
+  shape behind incremental distinct counts.
+- ``resample_ffill`` — time-series regularization: generated hourly
+  spine, empty buckets, ignore-nulls forward-fill window.
+- ``json_variant`` — Spark 4 VARIANT semi-structured access:
+  parse once to the binary encoding, typed ``variant_get`` walks.
 
 Reference: /root/reference/src/main.rs has none of these (its surface
 is the 9 §2A ingestion stages); these extend SURVEY.md §2B per the
