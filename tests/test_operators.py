@@ -367,6 +367,27 @@ def test_registry_extra_lane_has_oracles():
         assert q.oracle is not None
 
 
+def test_extra_lane_doc_counts_match_registry():
+    # ADVICE r3: the EXTRA-lane size drifted in prose twice ("sixteen"
+    # vs 17). Pin the spelled-out count in both docstrings to len(EXTRA).
+    import inspect
+
+    import __spark_entry__ as entry_mod
+    from data_ingestion_s3_to_parquet_spark.plans import registry
+
+    words = {
+        14: "fourteen", 15: "fifteen", 16: "sixteen", 17: "seventeen",
+        18: "eighteen", 19: "nineteen", 20: "twenty",
+    }
+    expected = words[len(registry.EXTRA)]
+    stale = set(words.values()) - {expected}
+    assert expected in entry_mod.__doc__
+    assert not any(w in entry_mod.__doc__ for w in stale)
+    src = inspect.getsource(registry)
+    assert expected in src
+    assert not any(w in src for w in stale)
+
+
 def test_sha2_keyed_dedup_matches_text_keyed_output(spark, sf_dir):
     # the sha2-fingerprint shuffle key is a pure plan optimization —
     # output must be row-identical to the naive groupBy(text)
