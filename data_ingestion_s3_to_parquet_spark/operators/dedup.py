@@ -450,7 +450,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graphs produce), escalating to the O(log n)
     large-star/small-star alternation (Kiveris et al., "Connected
     Components in MapReduce and Beyond") if the budget is exhausted —
-    i.e. the graph turned out chain-shaped. ``localCheckpoint`` every
+    i.e. the graph turned out chain-shaped — with the star phase
+    seeded from the probe's partially-propagated labels (the probe's
+    work is kept, not discarded). ``localCheckpoint`` every
     round truncates the exponentially-growing lineage (without it
     round k replans rounds 1..k-1). At 100 TB the edge list comes from
     LSH candidates (``sim_join_lsh``) and the same dispatcher runs
@@ -506,19 +508,43 @@ def connected_components_auto(
     otherwise high-diameter graphs that would need diameter rounds of
     full shuffles under hash-min.
 
-    The probe is not wasted work at scale: ``probe_rounds`` label jobs
-    over an already-thinned edge list cost far less than one wrong
-    algorithm choice in either direction, and both lanes share the
-    same contract so the fallback restarts cleanly from the
-    checkpointed edges (pairs are materialized ONCE here — the edge
-    generation, typically a similarity join, never re-runs on
-    escalation).
+    The probe is not wasted work at scale — and not discarded on
+    escalation either (SURVEY §8 #2): the star phase is SEEDED from
+    the probe's partially-propagated labels by contracting every edge
+    to its endpoints' current labels. The probe has already collapsed
+    every shallow cluster (the overwhelming majority of a near-dup
+    graph), so star runs on the contracted remainder — |distinct
+    labels| nodes, not |V| — and only has to finish the chain-shaped
+    tail. Correctness: vertices sharing a partial label are already
+    proven connected (labels only travel along edges), contraction
+    preserves connectivity between label-groups, and the component
+    minimum survives contraction because the minimum vertex always
+    keeps its own id as its label. ``pairs`` is materialized ONCE here
+    — the edge generation, typically a similarity join, never re-runs
+    on escalation.
     """
     p = pairs.select("u", "v").localCheckpoint()
-    try:
-        return connected_components(p, vertices, max_iters=probe_rounds)
-    except ConvergenceError:
-        return connected_components_star(p, vertices)
+    labels, converged = _hashmin_labels(p, vertices, probe_rounds)
+    if converged:
+        return labels
+    lu = labels.select(F.col("vec_id").alias("u"), F.col("component").alias("cu"))
+    lv = labels.select(F.col("vec_id").alias("v"), F.col("component").alias("cv"))
+    contracted = (
+        p.join(lu, "u")
+        .join(lv, "v")
+        .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    reps = labels.select(F.col("component").alias("vec_id")).distinct()
+    roots = (
+        connected_components_star(contracted, reps)
+        .withColumnRenamed("vec_id", "rep")
+        .withColumnRenamed("component", "root")
+    )
+    return labels.join(roots, labels.component == roots.rep).select(
+        "vec_id", F.col("root").alias("component")
+    )
 
 
 def connected_components(
@@ -538,17 +564,38 @@ def connected_components(
     wiring. localCheckpoint per round truncates the otherwise
     exponentially-growing lineage; rounds ≤ component diameter
     (~2-3 for near-dup clusters).
-
-    Loop-frame layout: ``pairs`` is checkpointed BEFORE the
-    undirected swap-union (one edge-generation pass, not two), and the
-    loop frames are repartitioned to ≈1M rows/partition — the
-    iteration touches only (id, id) longs, so inheriting the input's
-    partition count makes every round pay its task-scheduling overhead
-    (measured 0.5 s/round at 64 inherited partitions for a 2k-row
-    frame; ~0.1 s at the sized count), while at scale the same formula
-    keeps partitions ∝ |E|.
     """
     p = pairs.select("u", "v").localCheckpoint()
+    labels, converged = _hashmin_labels(p, vertices, max_iters)
+    if not converged:
+        # Partially-propagated labels are indistinguishable from real
+        # components to a caller — fail loudly rather than return them.
+        raise ConvergenceError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds (labels still moving); component "
+            "diameter exceeds the iteration cap — use "
+            "connected_components_star (large-star/small-star, "
+            "O(log n) rounds) for high-diameter graphs"
+        )
+    return labels
+
+
+def _hashmin_labels(
+    p: DataFrame, vertices: DataFrame, max_iters: int
+) -> tuple[DataFrame, bool]:
+    """The hash-min propagation loop body. ``p`` must already be
+    checkpointed (callers checkpoint once; ADVICE r3 removed the
+    double materialization). Returns (labels, converged) — partial
+    labels are returned on budget exhaustion so
+    :func:`connected_components_auto` can seed the star phase.
+
+    Loop-frame layout: loop frames are repartitioned to ≈1M
+    rows/partition — the iteration touches only (id, id) longs, so
+    inheriting the input's partition count makes every round pay its
+    task-scheduling overhead (measured 0.5 s/round at 64 inherited
+    partitions for a 2k-row frame; ~0.1 s at the sized count), while
+    at scale the same formula keeps partitions ∝ |E|.
+    """
     n_edges = p.count()  # free: p is materialized
     n_part = max(1, min(p.rdd.getNumPartitions(), -(-n_edges // 1_000_000)))
     # undirected: propagate both ways
@@ -564,10 +611,13 @@ def connected_components(
     # one tiny aggregate per round) instead of a new-vs-old join+count:
     # labels move monotonically downward, so an unchanged signature ⟺
     # a fixpoint — same trick as the star loop's edge signature, and
-    # half the per-round job count (VERDICT r2 #6).
+    # half the per-round job count (VERDICT r2 #6). A signature match
+    # is then CONFIRMED by one exact changed-row join (ADVICE r3: a
+    # ~2^-64 hash-sum collision would otherwise silently return
+    # partial labels) — one extra job at convergence, not per round.
     sig = _label_signature(labels)
-    converged = False
     for _ in range(max_iters):
+        prev = labels
         nbr_min = (
             edges.join(labels, edges.v == labels.vec_id)
             .groupBy("u")
@@ -586,20 +636,16 @@ def connected_components(
         )
         new_sig = _label_signature(labels)
         if new_sig == sig:
-            converged = True
-            break
+            changed = (
+                labels.alias("n")
+                .join(prev.alias("o"), "vec_id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            if changed == 0:
+                return labels, True
         sig = new_sig
-    if not converged:
-        # Partially-propagated labels are indistinguishable from real
-        # components to a caller — fail loudly rather than return them.
-        raise ConvergenceError(
-            f"connected_components did not converge in {max_iters} "
-            "rounds (label signature still moving); component "
-            "diameter exceeds the iteration cap — use "
-            "connected_components_star (large-star/small-star, "
-            "O(log n) rounds) for high-diameter graphs"
-        )
-    return labels
+    return labels, False
 
 
 def _label_signature(labels: DataFrame) -> tuple:
