@@ -95,11 +95,19 @@ if _overlap:
 
 
 def _bench_only() -> dict[str, Query]:
+    from ..operators.dedup import q_dedup_components_lsh
     from ..operators.similarity import q_sim_join_lsh
     from ..operators.textstats import q_lang_id_ngram
 
     qs = [
         Query("sim_join_lsh", q_sim_join_lsh, None, ("llm", "similarity", "approx"), bench=True),
+        Query(
+            "dedup_components_lsh",
+            q_dedup_components_lsh,
+            None,
+            ("llm", "dedup", "approx", "iterative"),
+            bench=True,  # the 100 TB fuzzy-clustering pipeline (VERDICT r3 #2)
+        ),
         Query("lang_id_ngram", q_lang_id_ngram, None, ("llm", "text", "udf")),
     ]
     return {q.name: q for q in qs}

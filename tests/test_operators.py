@@ -235,6 +235,83 @@ def test_connected_components_over_lsh_candidate_edges(spark, tmp_path):
     assert comp[7] == 7
 
 
+def test_ref_pairs_cache_matches_rebuild(spark, sf_dir):
+    # the persisted dedup_fuzzy reference set must equal a fresh PPJoin
+    # rebuild, and a corrupted checksum must force a rebuild (never
+    # grade against a torn cache)
+    import json
+    import os
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        _fixture_fingerprint,
+        _ref_pairs,
+        q_dedup_ngram_jaccard,
+        JACCARD_T,
+    )
+
+    fresh = {
+        (r.doc_a, r.doc_b)
+        for r in q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").collect()
+    }
+    # first call builds the cache, second loads it — both must match
+    assert {(r.doc_a, r.doc_b) for r in _ref_pairs(spark, sf_dir).collect()} == fresh
+    assert {(r.doc_a, r.doc_b) for r in _ref_pairs(spark, sf_dir).collect()} == fresh
+
+    import tempfile
+
+    meta = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_refpairs",
+        f"jaccard-{JACCARD_T}-{_fixture_fingerprint(sf_dir)}",
+        "checksum.json",
+    )
+    assert os.path.exists(meta)
+    with open(meta, "w") as fh:
+        json.dump({"count": -1, "hashsum": 0}, fh)   # corrupt it
+    assert {(r.doc_a, r.doc_b) for r in _ref_pairs(spark, sf_dir).collect()} == fresh
+    with open(meta) as fh:
+        repaired = json.load(fh)
+    assert repaired["count"] == len(fresh)            # rebuild re-stamped it
+
+
+def test_dedup_components_lsh_planted_clusters(spark, tmp_path):
+    # the benched scale pipeline (LSH candidates → component dispatcher)
+    # must recover planted near-dup clusters end-to-end: a 3-vector
+    # chain (consecutive cosines ≈ 1) and a 2-vector pair, amid random
+    # gaussian vectors whose pairwise cosines sit far below the 0.9
+    # operating point.
+    import random
+
+    rng = random.Random(7)
+    dim = 64
+    rows = []
+    for i in range(30):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)], 0))
+    base = rows[2][1]
+    rows.append((200, [x + 0.002 for x in base], 0))          # chain: 2~200
+    rows.append((201, [x + 0.004 for x in base], 0))          # chain: 200~201
+    rows.append((210, [x - 0.003 for x in rows[9][1]], 0))    # pair: 9~210
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        q_dedup_components_lsh,
+    )
+
+    comp = {
+        r.vec_id: r.component
+        for r in q_dedup_components_lsh(spark, str(tmp_path)).collect()
+    }
+    assert len(comp) == len(rows)                 # every vertex labeled
+    assert comp[2] == comp[200] == comp[201] == 2  # chain recovered
+    assert comp[9] == comp[210] == 9               # pair recovered
+    # distinct planted clusters stay distinct, and a sample of the
+    # random vectors keep their own id (no spurious merges)
+    assert comp[2] != comp[9]
+    for iso in (0, 1, 3, 4, 5):
+        assert comp[iso] == iso
+
+
 def test_connected_components_star_chain_beyond_hashmin_cap(spark):
     # a 60-node chain has diameter 59 > MAX_CC_ITERS: hash-min must
     # refuse (loudly), the star alternation must converge in O(log n)
