@@ -66,6 +66,99 @@ def write_bucketed_table(
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
+# ---------------------------------------------------------------------------
+# Manifest tables: the object-store-safe commit lane (VERDICT r3 #6).
+#
+# Layout:  root/_MANIFEST            (JSON: {"current": "gen-00000003"})
+#          root/gen-00000003/*.parquet
+#
+# Every rewrite lands in a FRESH generation directory; the commit is one
+# atomic replace of the manifest pointer. Readers resolve the manifest
+# first, so there is NO window where the table does not exist — the
+# reader sees the old generation right up to the commit instant and the
+# new one after. On a real object store the manifest replace maps to a
+# single-object PUT (S3 PUTs of one key are atomic and last-writer-wins)
+# — exactly the commit primitive Delta/Iceberg build on; directory
+# renames are never required, which is the property rename-based swaps
+# lack on S3 (no atomic rename; "rename" = copy+delete per object).
+# A crash at ANY point leaves either (a) an orphan generation the next
+# run deletes, or (b) a committed manifest whose old generation is
+# garbage-collected next run — never a broken or missing table.
+# ---------------------------------------------------------------------------
+
+MANIFEST_NAME = "_MANIFEST"
+
+
+def _manifest_file(root: str) -> str:
+    return os.path.join(root, MANIFEST_NAME)
+
+
+def is_manifest_table(root: str) -> bool:
+    return os.path.exists(_manifest_file(root))
+
+
+def _read_manifest(root: str) -> str:
+    import json
+
+    with open(_manifest_file(root)) as fh:
+        return json.load(fh)["current"]
+
+
+def _commit_manifest(root: str, gen: str) -> None:
+    """The atomic commit: write aside, then one ``os.replace`` — the
+    local-FS twin of an object store's single-key PUT."""
+    import json
+
+    tmp = _manifest_file(root) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"current": gen}, fh)
+    os.replace(tmp, _manifest_file(root))
+
+
+def manifest_table_data_path(root: str) -> str:
+    """Resolve the current generation's data directory."""
+    return os.path.join(root, _read_manifest(root))
+
+
+def manifest_table_read(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(manifest_table_data_path(root))
+
+
+def manifest_table_write(df: DataFrame, root: str) -> None:
+    """Create or overwrite a manifest table: write a new generation,
+    then commit the pointer. An existing current generation stays
+    readable until the commit instant and is GC'd on the next write or
+    compaction."""
+    os.makedirs(root, exist_ok=True)
+    cur = _read_manifest(root) if is_manifest_table(root) else None
+    nxt = f"gen-{(int(cur.split('-')[1]) + 1) if cur else 1:08d}"
+    df.write.mode("overwrite").parquet(os.path.join(root, nxt))
+    _commit_manifest(root, nxt)
+    _gc_generations(root)
+
+
+def _gc_generations(root: str) -> None:
+    """Remove every generation except the committed one — orphans from
+    crashed writes and superseded generations alike. Safe at any time:
+    the manifest is the single source of truth."""
+    keep = _read_manifest(root)
+    for name in os.listdir(root):
+        if name.startswith("gen-") and name != keep:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    stale = _manifest_file(root) + ".tmp"
+    if os.path.exists(stale):
+        os.remove(stale)
+
+
+def _sized_file_count(data_dir: str, target_file_bytes: int) -> int:
+    total = sum(
+        os.path.getsize(os.path.join(dirp, f))
+        for dirp, _, files in os.walk(data_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return max(1, math.ceil(total / target_file_bytes))
+
 
 def compact_parquet(
     spark: SparkSession,
@@ -73,9 +166,9 @@ def compact_parquet(
     *,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
 ) -> int:
-    """Small-files compaction: rewrite a parquet directory into
-    ``ceil(total_bytes / target_file_bytes)`` files and atomically swap
-    it in. Returns the new file count.
+    """Small-files compaction: rewrite the table into
+    ``ceil(total_bytes / target_file_bytes)`` files and commit the new
+    layout. Returns the new file count.
 
     Streaming ingestion (one file per micro-batch per partition) and
     over-parallel writers both leave directories of tiny files whose
@@ -83,17 +176,37 @@ def compact_parquet(
     sizes the rewrite from the directory's actual bytes — a
     ``repartition(n)`` round-robin shuffle, which (unlike
     ``coalesce(n)``) rebalances skewed inputs and keeps the write
-    parallel. The swap is write-to-side-dir + two renames. Crash
-    contract: the ORIGINAL data is never lost — between the two
-    renames ``path`` briefly does not exist (a reader in that window
-    fails and retries), and a crash there leaves the complete old
-    layout at ``*._compact_old``. Stale ``._compact_tmp`` /
-    ``._compact_old`` leftovers from a crashed run are cleaned up (or
-    restored) on the next call, so compaction is always retryable. On
-    an object store the same pattern runs against a manifest/table
-    format (Delta ``OPTIMIZE``, Iceberg rewrite) whose metadata commit
-    IS atomic — directory renames are the local-FS stand-in.
+    parallel.
+
+    One interface, two committers, chosen by table layout:
+
+    - **Manifest table** (``_MANIFEST`` present): write a fresh
+      generation, atomically swap the manifest pointer, GC the old
+      generation. No rename of data, no window where the table is
+      unreadable — the object-store-safe lane (see the manifest-table
+      note above).
+    - **Plain parquet directory**: write-to-side-dir + two renames —
+      the local-FS lane. Between the renames ``path`` briefly does not
+      exist (a reader in that window fails and retries); a crash there
+      leaves the complete old layout at ``*._compact_old``, and stale
+      ``._compact_tmp`` / ``._compact_old`` leftovers are cleaned up
+      (or restored) on the next call, so compaction is always
+      retryable. To remove the existence window entirely, migrate the
+      directory once with :func:`manifest_table_write`.
     """
+    if is_manifest_table(path):
+        _gc_generations(path)  # orphans from any crashed prior run
+        cur = _read_manifest(path)
+        data = os.path.join(path, cur)
+        n_files = _sized_file_count(data, target_file_bytes)
+        nxt = f"gen-{int(cur.split('-')[1]) + 1:08d}"
+        spark.read.parquet(data).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, nxt))
+        _commit_manifest(path, nxt)
+        _gc_generations(path)
+        return n_files
+
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"
     # recover from a prior crashed run: a leftover old-dir means the
@@ -107,13 +220,7 @@ def compact_parquet(
             os.rename(old, path)
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    total = sum(
-        os.path.getsize(os.path.join(dirp, f))
-        for dirp, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    n_files = max(1, math.ceil(total / target_file_bytes))
+    n_files = _sized_file_count(path, target_file_bytes)
     spark.read.parquet(path).repartition(n_files).write.mode(
         "overwrite"
     ).parquet(tmp)

@@ -105,7 +105,11 @@ def sessionize_fn(
         t = _us(ts)
         if start_us is None:
             start_us, last_us, n, total = t, t, 0, 0.0
-        elif t - last_us >= gap_us:
+        elif t - last_us > gap_us:
+            # STRICTLY greater: an event at exactly last+gap MERGES,
+            # matching batch ``F.session_window``'s inclusive extend
+            # boundary (the r3 oracle fix pinned Spark's behavior; the
+            # batch/streaming parity test pins this lane to it).
             yield _emit(user_id, start_us, last_us, n, total, "gap")
             start_us, last_us, n, total = t, t, 0, 0.0
         n += 1

@@ -140,6 +140,75 @@ def test_compact_parquet_recovers_from_crashed_run(spark, sf_dir, tmp_path):
     assert not os.path.exists(out + "._compact_old")
 
 
+def test_manifest_table_compaction_has_no_existence_window(spark, sf_dir, tmp_path):
+    # the object-store-safe lane: data is committed by an atomic
+    # manifest-pointer swap, so the table resolves to a COMPLETE
+    # generation at every instant — unlike the rename lane, there is
+    # never a missing-path window
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import (
+        compact_parquet,
+        is_manifest_table,
+        manifest_table_data_path,
+        manifest_table_read,
+        manifest_table_write,
+    )
+
+    root = str(tmp_path / "mtable")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(50)
+    manifest_table_write(li, root)
+    assert is_manifest_table(root)
+    before = manifest_table_read(spark, root).count()
+    assert before == li.count()
+    gen1 = manifest_table_data_path(root)
+
+    n = compact_parquet(spark, root, target_file_bytes=64 * 1024 * 1024)
+    gen2 = manifest_table_data_path(root)
+    assert gen2 != gen1 and not os.path.exists(gen1)   # old gen GC'd
+    files = [
+        f for _, _, fs in os.walk(gen2) for f in fs if f.endswith(".parquet")
+    ]
+    assert len(files) == n < 50
+    after = manifest_table_read(spark, root)
+    assert after.count() == before
+    a = after.agg(F.sum("l_quantity"), F.count("*")).collect()[0]
+    b = li.agg(F.sum("l_quantity"), F.count("*")).collect()[0]
+    assert a == b
+
+
+def test_manifest_table_recovers_from_crash_windows(spark, sf_dir, tmp_path):
+    # every crash point leaves a readable table: (a) orphan generation
+    # written but manifest not swapped -> readers still see the old
+    # generation, next compact GCs the orphan; (b) stale manifest .tmp
+    # from a crashed commit -> ignored and removed
+    import shutil as sh
+
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import (
+        compact_parquet,
+        manifest_table_data_path,
+        manifest_table_read,
+        manifest_table_write,
+    )
+
+    root = str(tmp_path / "mtable")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    manifest_table_write(region.repartition(4), root)
+    before = manifest_table_read(spark, root).count()
+
+    # (a) crashed rewrite: orphan next-gen dir exists, manifest untouched
+    cur = manifest_table_data_path(root)
+    sh.copytree(cur, os.path.join(root, "gen-99999999"))
+    # (b) crashed commit: stale manifest tmp
+    with open(os.path.join(root, "_MANIFEST.tmp"), "w") as fh:
+        fh.write("{\"current\": \"gen-99999999\"}")
+
+    assert manifest_table_read(spark, root).count() == before  # old gen intact
+    compact_parquet(spark, root, target_file_bytes=64 * 1024 * 1024)
+    assert manifest_table_read(spark, root).count() == before
+    leftovers = [n for n in os.listdir(root) if n.startswith("gen-")]
+    assert len(leftovers) == 1                         # orphans GC'd
+    assert not os.path.exists(os.path.join(root, "_MANIFEST.tmp"))
+
+
 def test_read_evolving_parquet_unions_drifted_schemas(spark, tmp_path):
     # batch 1 has (id, a); batch 2 gains b and drops a — the merged
     # read exposes the union schema with nulls where a batch lacks a col

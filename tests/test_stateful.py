@@ -54,3 +54,70 @@ def test_stateful_sessionize_gap_and_terminal(spark, tmp_path):
     assert u2[0].n_events == 2
     assert u2[0].sum_value == 9.0
     assert u2[0].closed_by == "terminal"
+
+
+def test_stateful_sessionize_merges_at_exactly_gap_like_batch(spark, tmp_path):
+    # the r3 oracle fix pinned batch F.session_window's INCLUSIVE
+    # boundary: an event at exactly last+gap merges. The stateful lane
+    # must agree, including for out-of-order arrival — this runs the
+    # same events through BOTH modes and compares session boundaries.
+    import pyspark.sql.functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(seconds=30 * 60)
+    flush = base + dt.timedelta(hours=10)  # advances the session past any gap
+    rows = [
+        # user 1, OUT OF ORDER within the batch: base+60m arrives before
+        # base+30m; the 30m event is exactly gap after base AND exactly
+        # gap before the 60m event -> all three must merge into ONE session
+        (1, base, 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=60), 1, "view", 4.0),
+        (3, base + gap, 1, "click", 2.0),
+        (4, flush, 1, "click", 0.0),
+        # user 2: one second BEYOND the gap -> must split
+        (5, base, 2, "click", 1.0),
+        (6, base + gap + dt.timedelta(seconds=1), 2, "view", 2.0),
+        (7, flush, 2, "click", 0.0),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("boundary_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streaming = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM boundary_sessions").collect()
+        if r.session_start < flush
+    }
+
+    # user 1: ONE merged 3-event session, end = last event + gap
+    assert (1, base, base + dt.timedelta(minutes=90), 3) in streaming
+    # user 2: split into two 1-event sessions
+    assert (2, base, base + gap, 1) in streaming
+    u2_second = base + gap + dt.timedelta(seconds=1)
+    assert (2, u2_second, u2_second + gap, 1) in streaming
+    assert len(streaming) == 3
+
+    # batch twin: F.session_window over the same rows must yield the
+    # same (user, start, end, count) set for the non-flusher sessions
+    batch = {
+        (r.user_id, r.start, r.end, r.n)
+        for r in (
+            spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select("user_id", F.col("w.start").alias("start"),
+                    F.col("w.end").alias("end"), "n")
+            .collect()
+        )
+        if r.start < flush
+    }
+    assert batch == streaming
