@@ -1,0 +1,204 @@
+"""Round-4 additions: three more patterns a training-data pipeline
+leans on, exposed as oracle-gated EXTRA-lane operators (they lead the
+lane so a larger harness budget grades the never-graded entries first).
+
+- ``window_distribution`` — the distribution window family
+  (``ntile`` / ``percent_rank`` / ``cume_dist``): quota assignment and
+  score calibration over ranked groups — the window shapes behind
+  per-source quality-quantile bucketing of a corpus.
+- ``interleave_mix`` — deterministic weighted dataset interleaving
+  (stride scheduling): given per-language integer weights, emit the
+  exact training-mix order a data loader should read, as a pure
+  function of row values — reproducible across engines, partitionings,
+  and cluster sizes (same rule as ``sample_split``: no seeded rand).
+- ``text_normalize`` — canonical text normalization (lowercase, trim,
+  whitespace collapse) with audit metrics and a content fingerprint:
+  the first map-only pass of every corpus pipeline, and the
+  normalization step exact dedup keys on.
+
+Reference: /root/reference/src/main.rs has none of these (its surface
+is the 9 §2A ingestion stages); these extend SURVEY.md §2B per the
+BASELINE north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows over orders: quartile (ntile), percent rank,
+    cumulative distribution per order-priority group.
+
+    One sort+shuffle serves all three functions (same window spec), and
+    ``WindowExec`` streams each partition — per-task state is O(frame),
+    not O(partition). Total order (o_totalprice, o_orderkey) makes
+    ntile boundaries engine-deterministic; percent_rank/cume_dist are
+    exact rational arithmetic on identical ranks, so the doubles match
+    bitwise across engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+SQL_WINDOW_DISTRIBUTION = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cum_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# Integer stride weights per language (higher = denser in the mix).
+# LCM-based integer strides keep the interleave key exact — float
+# strides would risk cross-engine rounding flips on ties.
+MIX_WEIGHTS = {"en": 5, "fr": 4, "de": 3, "es": 2, "zh": 1}
+_MIX_LCM = 60  # lcm(1..5)
+
+
+def _stride_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {_MIX_LCM // w}" for lang, w in MIX_WEIGHTS.items()
+    )
+    return f"CASE lang {whens} ELSE {_MIX_LCM} END"
+
+
+def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus interleave (stride scheduling).
+
+    Each language is an input "source" with an integer weight; the k-th
+    document of source s (in md5(doc_id) order — value-derived, layout-
+    independent) is scheduled at virtual time (2k-1)·(LCM/w_s), and the
+    global mix order is that key ascending. The result is the classic
+    stride/WFQ schedule: over any window of the output, source s
+    contributes ≈ w_s/Σw of the rows — the exact composition control a
+    training data loader needs, with no RNG anywhere.
+
+    Scale: the per-language row_number is an ordinary partitioned
+    window; ``mix_key`` is a pure function of row values, so
+    re-running on any cluster size or appending a shard yields the
+    same schedule (same invariance argument as ``sample_split``,
+    SCALE.md §20). The final GLOBAL ``row_number`` exists only to
+    materialize an explicit position for the oracle's hash — it is a
+    single-partition window by definition. A production loader does
+    NOT need it: ``mix_key`` is already the total order, so consumers
+    range-sort by it (``repartitionByRange`` — fully distributed) and
+    read partitions in key order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_src = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    stride = F.expr(_stride_case())
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(per_src).alias("rn"),
+    ).withColumn("mix_key", (2 * F.col("rn") - 1) * stride)
+    return keyed.select(
+        F.row_number()
+        .over(Window.orderBy("mix_key", "lang", "doc_id"))
+        .alias("mix_pos"),
+        "doc_id",
+        "lang",
+        "rn",
+        "mix_key",
+    )
+
+
+SQL_INTERLEAVE_MIX = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+),
+strided AS (
+  SELECT doc_id, lang, rn,
+         (2 * rn - 1) * ({_stride_case()}) AS mix_key
+  FROM keyed
+)
+SELECT row_number() OVER (ORDER BY mix_key, lang, doc_id) AS mix_pos,
+       doc_id, lang, rn, mix_key
+FROM strided
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization with audit metrics: lowercase, trim,
+    collapse runs of whitespace to single spaces; emit before/after
+    sizes, a changed flag, and an md5 fingerprint of the normalized
+    text (the key exact dedup should run on — byte-noise variants of
+    the same content collapse to one fingerprint).
+
+    Map-only: pure string expressions inside whole-stage codegen, no
+    shuffle, no UDF — at 100 TB this pass is scan-bound, exactly as a
+    first-pass normalizer must be.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        F.size(F.split(norm, " ")).alias("n_tokens_norm"),
+        (norm != F.col("text")).alias("changed"),
+        F.md5(norm).alias("norm_fingerprint"),
+    )
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH n AS (
+  SELECT doc_id, lang, text,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, lang,
+       length(text) AS n_chars_raw,
+       length(norm) AS n_chars_norm,
+       length(string_split(norm, ' ')) AS n_tokens_norm,
+       norm != text AS changed,
+       md5(norm) AS norm_fingerprint
+FROM n
+"""
+
+
+QUERIES: list[Query] = []
+
+# EXTRA lane (leading it: never driver-graded — see plans.registry).
+EXTRA_QUERIES = [
+    Query(
+        "window_distribution",
+        q_window_distribution,
+        SQL_WINDOW_DISTRIBUTION,
+        ("relational", "window"),
+    ),
+    Query(
+        "interleave_mix",
+        q_interleave_mix,
+        SQL_INTERLEAVE_MIX,
+        ("llm", "sampling", "window"),
+    ),
+    Query(
+        "text_normalize",
+        q_text_normalize,
+        SQL_TEXT_NORMALIZE,
+        ("llm", "text"),
+    ),
+]
