@@ -599,16 +599,30 @@ class ConvergenceError(RuntimeError):
     """An iterative fixpoint loop exhausted its round budget."""
 
 
-# Hash-min rounds tried before escalating to the star alternation:
-# near-dup similarity clusters have diameter ~2-3, which hash-min
-# solves in ≤ 4 rounds (diameter propagation steps + one confirming
-# no-change round). Anything needing more is chain-shaped enough that
-# star's O(log n) contraction wins — measured at sf0.1 (diameter > 7):
-# probe(8)+star 7.7 s vs probe(4)+star ≈ 5 s vs hash-min-to-the-end
-# 8.1 s. A structural pre-probe (avg degree) was tried and rejected:
-# sparse-threshold similarity graphs sit at avg degree ~1.2 at every
-# fixture SF regardless of which lane wins, so it has no signal.
-HASHMIN_PROBE_ROUNDS = 4
+# Propagation rounds tried per level before contracting (and, at the
+# level cap, escalating to the star alternation). With pointer
+# jumping (see _hashmin_labels) reach grows ~2^rounds, so 6 rounds
+# cover distance ~63 — every realistic near-dup graph (cluster
+# diameter 2-3, chain tails ≤ tens) converges inside one probe; the
+# budget only burns in full on adversarial shapes before the fallback
+# takes over. A structural pre-probe (avg degree) was tried and
+# rejected in r3: sparse-threshold similarity graphs sit at avg
+# degree ~1.2 at every fixture SF regardless of which lane wins, so
+# it has no signal.
+HASHMIN_PROBE_ROUNDS = 6
+
+# Levels of probe-and-contract before handing the residual graph to
+# the star alternation. Contraction's shrink rate is DATA-DEPENDENT:
+# hash-min collapses the ≤r-hop in-tree of every local minimum, so
+# cluster-shaped graphs collapse by orders of magnitude per level
+# (measured at sf0.1: 2k edges → 210 after one level, converged on the
+# next), but a monotone chain degenerates to singleton parts (label(v)
+# = v-r is distinct per v) and only SHIFTS by r per level — which is
+# exactly why the star alternation, with its true O(log n) bound,
+# stays as the fallback. The level cap bounds how long we bet on the
+# cluster case before switching; the no-progress guard (edge count
+# must strictly shrink) catches pathologies earlier.
+MAX_CONTRACT_LEVELS = 3
 
 
 def connected_components_auto(
@@ -617,51 +631,68 @@ def connected_components_auto(
     probe_rounds: int = HASHMIN_PROBE_ROUNDS,
 ) -> DataFrame:
     """One entry point that picks the right component algorithm per
-    graph (VERDICT r2 #6): try hash-min propagation within a small
-    round budget — optimal for the shallow clusters near-dup graphs
-    actually produce (rounds = diameter, tiny per-round plans) — and
-    on budget exhaustion fall back to the large-star/small-star
-    alternation, whose O(log n) rounds handle chain-shaped or
-    otherwise high-diameter graphs that would need diameter rounds of
-    full shuffles under hash-min.
+    graph: iterated probe-and-contract (VERDICT r2 #6, deepened in
+    round 4), with the large-star/small-star alternation as the
+    guaranteed-termination fallback.
 
-    The probe is not wasted work at scale — and not discarded on
-    escalation either (SURVEY §8 #2): the star phase is SEEDED from
-    the probe's partially-propagated labels by contracting every edge
-    to its endpoints' current labels. The probe has already collapsed
-    every shallow cluster (the overwhelming majority of a near-dup
-    graph), so star runs on the contracted remainder — |distinct
-    labels| nodes, not |V| — and only has to finish the chain-shaped
-    tail. Correctness: vertices sharing a partial label are already
-    proven connected (labels only travel along edges), contraction
-    preserves connectivity between label-groups, and the component
-    minimum survives contraction because the minimum vertex always
-    keeps its own id as its label. ``pairs`` is materialized ONCE here
-    — the edge generation, typically a similarity join, never re-runs
-    on escalation.
+    Each level runs ``probe_rounds`` hash-min rounds — optimal for the
+    shallow clusters near-dup graphs actually produce (rounds =
+    diameter, 3-shuffle rounds on loop frames sized to the edge count)
+    — then, if not converged, CONTRACTS every edge to its endpoints'
+    current node labels and repeats on the residual graph. On
+    cluster-shaped graphs the residual is orders of magnitude smaller
+    (measured at sf0.1: ~2k exact cosine edges → 210 after one level,
+    converged on the next; star on that same residual cost 7.3 s vs
+    <1 s for the extra hash-min level — per-round fixed overhead, not
+    data volume). The star lane takes over when the level budget
+    (:data:`MAX_CONTRACT_LEVELS`) is exhausted or a level stops
+    shrinking the edge set — chains and other high-diameter shapes
+    degrade contraction to a shift (see the constant's note), and
+    star's O(log n) bound is the fail-safe that handles them.
+
+    Two mappings are maintained: ``node_map`` labels the CURRENT
+    graph's nodes (drives the next contraction — contracting by the
+    composed vertex map instead is wrong: a part name's own vertex
+    label usually differs from its identity as a part), and
+    ``vertex_map`` composes the levels back to original vertices.
+    Correctness of each contraction: co-labeled nodes are already
+    proven connected (labels travel only along edges), every part is
+    within one true component, and the component minimum survives as a
+    part name because the minimum vertex always keeps its own id — so
+    the composition yields exactly min-reachable-id. Edges materialize
+    once per level; the edge GENERATION (typically a similarity join)
+    never re-runs.
     """
     p = pairs.select("u", "v").localCheckpoint()
-    labels, converged = _hashmin_labels(p, vertices, probe_rounds)
-    if converged:
-        return labels
-    lu = labels.select(F.col("vec_id").alias("u"), F.col("component").alias("cu"))
-    lv = labels.select(F.col("vec_id").alias("v"), F.col("component").alias("cv"))
-    contracted = (
-        p.join(lu, "u")
-        .join(lv, "v")
-        .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    reps = labels.select(F.col("component").alias("vec_id")).distinct()
-    roots = (
-        connected_components_star(contracted, reps)
-        .withColumnRenamed("vec_id", "rep")
-        .withColumnRenamed("component", "root")
-    )
-    return labels.join(roots, labels.component == roots.rep).select(
-        "vec_id", F.col("root").alias("component")
-    )
+    node_map, converged = _hashmin_labels(p, vertices, probe_rounds)
+    vertex_map = node_map
+    for level in range(1, MAX_CONTRACT_LEVELS + 1):
+        if converged:
+            return vertex_map
+        lu = node_map.select(F.col("vec_id").alias("u"), F.col("component").alias("cu"))
+        lv = node_map.select(F.col("vec_id").alias("v"), F.col("component").alias("cv"))
+        contracted = (
+            p.join(lu, "u")
+            .join(lv, "v")
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        reps = node_map.select(F.col("component").alias("vec_id")).distinct()
+        if level == MAX_CONTRACT_LEVELS or contracted.count() >= p.count():
+            roots, converged = connected_components_star(contracted, reps), True
+        else:
+            roots, converged = _hashmin_labels(contracted, reps, probe_rounds)
+        vertex_map = vertex_map.join(
+            roots.select(
+                F.col("vec_id").alias("rep"), F.col("component").alias("root")
+            ),
+            vertex_map.component == F.col("rep"),
+        ).select("vec_id", F.col("root").alias("component"))
+        node_map = roots
+        p = contracted
+    return vertex_map
 
 
 def connected_components(
@@ -679,8 +710,8 @@ def connected_components(
     (``similarity.q_sim_join_lsh`` output) — candidates ∝ true
     near-dups instead of |V|²; see tests/test_operators.py for that
     wiring. localCheckpoint per round truncates the otherwise
-    exponentially-growing lineage; rounds ≤ component diameter
-    (~2-3 for near-dup clusters).
+    exponentially-growing lineage; with pointer jumping rounds are
+    O(log diameter) — 1-2 for near-dup clusters, ~6 for a 60-chain.
     """
     p = pairs.select("u", "v").localCheckpoint()
     labels, converged = _hashmin_labels(p, vertices, max_iters)
@@ -700,11 +731,26 @@ def connected_components(
 def _hashmin_labels(
     p: DataFrame, vertices: DataFrame, max_iters: int
 ) -> tuple[DataFrame, bool]:
-    """The hash-min propagation loop body. ``p`` must already be
-    checkpointed (callers checkpoint once; ADVICE r3 removed the
-    double materialization). Returns (labels, converged) — partial
+    """The hash-min + pointer-jumping propagation loop body. ``p`` must
+    already be checkpointed (callers checkpoint once; ADVICE r3 removed
+    the double materialization). Returns (labels, converged) — partial
     labels are returned on budget exhaustion so
-    :func:`connected_components_auto` can seed the star phase.
+    :func:`connected_components_auto` can contract and continue.
+
+    Each round takes, per vertex, the least of (its label, the min
+    label among neighbors, its LABEL'S label). The last term is
+    pointer jumping (Shiloach-Vishkin style): label chains halve every
+    round, so reach grows ~2^r instead of r and convergence needs
+    O(log D) rounds, not O(D) — on a path graph, 4 plain hash-min
+    rounds reach distance 4; with jumping they reach ~15 (measured on
+    the sf0.1 similarity graph: 12 plain rounds across 3 contraction
+    levels → 5 jumped rounds, one level, ~-40% wall time). The jump
+    lookup is a labels⋈labels self-join on ``component == vec_id``;
+    every component value IS a vertex id, so the inner join is total.
+    Skew note for 100 TB: the jump join's build side keys on current
+    component values, whose multiplicity is the in-progress cluster
+    size — AQE's skew-join split handles a giant component, and the
+    frame carries two longs per row, nothing else.
 
     Loop-frame layout: loop frames are repartitioned to ≈1M
     rows/partition — the iteration touches only (id, id) longs, so
@@ -740,13 +786,18 @@ def _hashmin_labels(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_component"))
         )
+        jump = labels.select(
+            F.col("vec_id").alias("_jv"), F.col("component").alias("_jc")
+        )
         labels = (
             labels.join(nbr_min, labels.vec_id == nbr_min.u, "left")
+            .join(jump, labels.component == F.col("_jv"))
             .select(
                 "vec_id",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
+                    F.col("_jc"),
                 ).alias("component"),
             )
             .localCheckpoint()

@@ -379,8 +379,10 @@ def test_dedup_components_lsh_planted_clusters(spark, tmp_path):
 
 
 def test_connected_components_star_chain_beyond_hashmin_cap(spark):
-    # a 60-node chain has diameter 59 > MAX_CC_ITERS: hash-min must
-    # refuse (loudly), the star alternation must converge in O(log n)
+    # with pointer jumping, reach grows ~2^rounds — a 60-node chain
+    # needs ~6 rounds, so (a) it converges within the default budget,
+    # (b) an explicitly tiny budget must still refuse LOUDLY rather
+    # than return partial labels, and (c) star must agree
     import pytest
 
     from data_ingestion_s3_to_parquet_spark.operators.dedup import (
@@ -395,14 +397,19 @@ def test_connected_components_star_chain_beyond_hashmin_cap(spark):
     verts = spark.range(n).withColumnRenamed("id", "vec_id")
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, verts)
+        connected_components(edges, verts, max_iters=3)  # reach ~7 < 59
 
     comp = {
         r.vec_id: r.component
+        for r in connected_components(edges, verts).collect()
+    }
+    assert len(comp) == n and set(comp.values()) == {0}
+
+    star = {
+        r.vec_id: r.component
         for r in connected_components_star(edges, verts).collect()
     }
-    assert len(comp) == n
-    assert set(comp.values()) == {0}
+    assert star == comp
 
 
 def test_connected_components_auto_escalates_on_chain(spark):
@@ -437,6 +444,44 @@ def test_connected_components_auto_escalates_on_chain(spark):
     assert comp[5] == comp[9] == comp[7] == 5
     assert comp[20] == comp[22] == 20
     assert comp[0] == 0
+
+
+def test_connected_components_auto_multilevel_contraction(spark):
+    # caterpillar graphs: two disjoint "paths of hubs with leaves" whose
+    # diameters exceed the probe budget — exercises ≥2 probe-and-
+    # contract levels (the r4 recursion), where contracting by the
+    # composed vertex map instead of the per-level node map would
+    # mislabel (regression for the r4 composition bug)
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        HASHMIN_PROBE_ROUNDS,
+        connected_components_auto,
+    )
+
+    edges = []
+    def caterpillar(hub0, n_hubs, leaf0):
+        for i in range(n_hubs - 1):
+            edges.append((hub0 + i, hub0 + i + 1))       # spine
+        for i in range(n_hubs):
+            for j in range(3):                            # leaves
+                edges.append((hub0 + i, leaf0 + 3 * i + j))
+
+    caterpillar(0, 12, 1000)      # diameter 11+2 > 4 probe rounds
+    caterpillar(500, 10, 2000)    # second component
+    e = spark.createDataFrame(edges, "u long, v long")
+    verts = (
+        spark.createDataFrame(
+            [(x,) for pair in edges for x in pair], "vec_id long"
+        ).distinct()
+    )
+    assert 12 + 2 > HASHMIN_PROBE_ROUNDS
+    comp = {
+        r.vec_id: r.component
+        for r in connected_components_auto(e, verts).collect()
+    }
+    c1 = {v for v, c in comp.items() if c == 0}
+    c2 = {v for v, c in comp.items() if c == 500}
+    assert len(c1) == 12 + 36 and len(c2) == 10 + 30
+    assert c1 | c2 == set(comp)
 
 
 def test_connected_components_star_matches_hashmin(spark):
