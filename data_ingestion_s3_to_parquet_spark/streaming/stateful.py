@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -146,6 +147,133 @@ def sessionize_stateful(events: DataFrame, *, watermark: str = "10 minutes") -> 
             sessionize_fn,
             outputStructType=SESSION_OUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# --- custom stateful tumbling windows ---------------------------------------
+# F.window covers the standard tumbling aggregation; this twin exists
+# for the cases it can't express (per-window custom close policies,
+# side outputs, early emission) and to pin the custom-stateful lane's
+# window semantics to the batch operator (see the parity test).
+
+TUMBLING_WINDOW_SECONDS = 3600
+# Per-key allowed lateness before an event-time close — mirrors the
+# stream's watermark delay so both closing paths agree.
+TUMBLING_LATENESS_SECONDS = 600
+
+TUMBLING_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("window_start", TimestampType(), False),
+        StructField("window_end", TimestampType(), False),
+        StructField("n_events", IntegerType(), False),
+        StructField("sum_value", DoubleType(), False),
+    ]
+)
+
+# open windows as parallel arrays: starts (epoch us), counts, sums
+TUMBLING_STATE_SCHEMA = StructType(
+    [
+        StructField("starts", ArrayType(LongType()), True),
+        StructField("ns", ArrayType(IntegerType()), True),
+        StructField("totals", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _tumble_rows(etype, buckets, starts_to_close):
+    win_us = TUMBLING_WINDOW_SECONDS * 1_000_000
+    out = {
+        "event_type": [],
+        "window_start": [],
+        "window_end": [],
+        "n_events": [],
+        "sum_value": [],
+    }
+    for s in starts_to_close:
+        n, total = buckets.pop(s)
+        out["event_type"].append(etype)
+        out["window_start"].append(pd.Timestamp(s * 1000))
+        out["window_end"].append(pd.Timestamp((s + win_us) * 1000))
+        out["n_events"].append(n)
+        out["sum_value"].append(total)
+    return pd.DataFrame(out)
+
+
+def tumbling_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type tumbling count/sum with floor(ts/window)
+    bucketing — identical window assignment to ``F.window(ts, w)``
+    ([start, end) half-open intervals). Windows close when event time
+    for the key moves ``TUMBLING_LATENESS_SECONDS`` past their end
+    (in-batch, same contract as the watermark) or when the state
+    times out at the watermark (idle key).
+    """
+    (etype,) = key
+    win_us = TUMBLING_WINDOW_SECONDS * 1_000_000
+    late_us = TUMBLING_LATENESS_SECONDS * 1_000_000
+
+    if state.hasTimedOut:
+        starts, ns, totals = state.get
+        buckets = {s: (n, t) for s, n, t in zip(starts, ns, totals)}
+        state.remove()
+        yield _tumble_rows(etype, buckets, sorted(buckets))
+        return
+
+    if state.exists:
+        starts, ns, totals = state.get
+        buckets = {s: [n, t] for s, n, t in zip(starts, ns, totals)}
+    else:
+        buckets = {}
+
+    max_ts = 0
+    for pdf in pdfs:
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            t = _us(ts)
+            s = t // win_us * win_us
+            if s in buckets:
+                buckets[s][0] += 1
+                buckets[s][1] += float(value)
+            else:
+                buckets[s] = [1, float(value)]
+            max_ts = max(max_ts, t)
+
+    closable = sorted(s for s in buckets if s + win_us + late_us <= max_ts)
+    if closable:
+        yield _tumble_rows(etype, buckets, closable)
+
+    if not buckets:
+        state.remove()
+        return
+    state.update(
+        (
+            list(buckets),
+            [buckets[s][0] for s in buckets],
+            [buckets[s][1] for s in buckets],
+        )
+    )
+    # idle-key close once the watermark passes the newest open window
+    latest_end_ms = (max(buckets) + win_us + late_us) // 1000
+    state.setTimeoutTimestamp(latest_end_ms)
+
+
+def tumbling_stateful(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """Custom tumbling-window aggregation over a *streaming* events
+    frame; ``events`` needs columns (event_type, ts, value)."""
+    from ..session import tune
+
+    tune(events.sparkSession)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            tumbling_fn,
+            outputStructType=TUMBLING_OUT_SCHEMA,
+            stateStructType=TUMBLING_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

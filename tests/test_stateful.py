@@ -56,6 +56,69 @@ def test_stateful_sessionize_gap_and_terminal(spark, tmp_path):
     assert u2[0].closed_by == "terminal"
 
 
+def test_stateful_tumbling_matches_batch_window(spark, tmp_path):
+    # the custom-stateful tumbling twin must assign and aggregate
+    # windows exactly like batch F.window — including an event at
+    # exactly a window boundary (belongs to the NEXT window: [start,
+    # end) half-open) and out-of-order arrival within the batch
+    import pyspark.sql.functions as F
+
+    from data_ingestion_s3_to_parquet_spark.streaming.stateful import (
+        tumbling_stateful,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    flush = base + dt.timedelta(days=2)  # closes every real window
+    rows = [
+        # type "click": two windows, out-of-order, boundary event at
+        # exactly 01:00:00 (second window), plus in-window spread
+        (1, base + dt.timedelta(minutes=50), 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=5), 1, "click", 2.0),
+        (3, base + dt.timedelta(hours=1), 1, "click", 4.0),      # boundary
+        (4, base + dt.timedelta(minutes=90), 1, "click", 8.0),
+        (5, flush, 1, "click", 0.0),
+        # type "view": one window
+        (6, base + dt.timedelta(minutes=10), 2, "view", 16.0),
+        (7, base + dt.timedelta(minutes=20), 2, "view", 32.0),
+        (8, flush, 2, "view", 0.0),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    q = (
+        tumbling_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_tumbling")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streaming = {
+        (r.event_type, r.window_start, r.window_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM stateful_tumbling").collect()
+        if r.window_start < flush
+    }
+
+    batch = {
+        (r.event_type, r.start, r.end, r.n, r.s)
+        for r in (
+            spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+            .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .select("event_type", F.col("w.start").alias("start"),
+                    F.col("w.end").alias("end"), "n", "s")
+            .collect()
+        )
+        if r.start < flush
+    }
+    assert streaming == batch
+    # sanity on the shape itself: boundary event landed in hour 2
+    assert ("click", base + dt.timedelta(hours=1),
+            base + dt.timedelta(hours=2), 2, 12.0) in streaming
+
+
 def test_stateful_sessionize_merges_at_exactly_gap_like_batch(spark, tmp_path):
     # the r3 oracle fix pinned batch F.session_window's INCLUSIVE
     # boundary: an event at exactly last+gap merges. The stateful lane
