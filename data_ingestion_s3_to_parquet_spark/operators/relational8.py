@@ -1,0 +1,377 @@
+"""Round-4 additions, second wave: four more operator families a
+complete analytics + training-data engine needs, exposed as
+oracle-gated EXTRA-lane entries (never driver-graded yet, so they lead
+the lane with the first-wave round-4 trio).
+
+- ``unpivot_stack`` — wide→long reshaping (the inverse of ``pivot``):
+  melt a set of measure columns into (measure, value) rows. Feature
+  matrices, metric tables, and sensor panels all pass through this
+  shape on the way into long-format aggregation.
+- ``window_range_interval`` — time-based RANGE window frames (rolling
+  one-hour sum/count per user). Every other window in the repo is
+  ROWS- or partition-framed; RANGE-by-value frames are the shape
+  behind rate limiting, rolling features, and trailing-window metrics.
+- ``sample_span_mask`` — T5-style span corruption: deterministically
+  mask ~15% of tokens, merge adjacent masked tokens into numbered
+  sentinel spans, and emit (input_text, target_text) pairs — the
+  denoising-objective sampler for encoder-decoder pretraining.
+- ``anomaly_zscore`` — per-group z-score outlier flagging over the
+  event stream: the data-cleaning pass that drops metric glitches
+  before they reach a training set or a dashboard.
+
+Reference: /root/reference/src/main.rs has none of these (its surface
+is the 9 §2A ingestion stages); these extend SURVEY.md §2B per the
+BASELINE north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# unpivot_stack
+
+
+UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the lineitem measure columns.
+
+    ``DataFrame.unpivot`` compiles to Catalyst's ``Expand`` node — each
+    input row is emitted k times with a constant measure label, entirely
+    inside whole-stage codegen: no shuffle, no UDF, output rows = k ×
+    input rows with perfect pipelining. At 100 TB the melt is
+    scan-bound, and because ``Expand`` sits above the parquet scan the
+    untouched 11 columns are pruned away (ReadSchema keeps only ids +
+    measures). The l_linenumber = 1 filter is pushed into the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=list(UNPIVOT_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# UNION ALL mirror: dialect-portable and exactly the same multiset
+# (values pass through unchanged from parquet, so doubles match bitwise).
+SQL_UNPIVOT_STACK = "\nUNION ALL\n".join(
+    f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, {m} AS value\n"
+    f"FROM lineitem WHERE l_linenumber = 1"
+    for m in UNPIVOT_MEASURES
+)
+
+
+# ---------------------------------------------------------------------------
+# window_range_interval
+
+
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour RANGE frame per user over the event stream:
+    rolling event count and rolling sum(value).
+
+    The frame is defined by the ORDER-BY *value* (epoch seconds), not
+    row offsets — rows whose timestamps fall within [t-3600, t] are
+    aggregated regardless of how many there are. ``WindowExec``
+    maintains a sliding frame buffer per partition: each row enters and
+    leaves the buffer exactly once, so the pass is O(rows) with state
+    bounded by the densest hour, not the partition. One shuffle on
+    user_id (hash-partitioned, ~|users| keys, no skew) and one
+    in-partition sort — the minimum any time-windowed feature needs.
+
+    Rows sharing an epoch second are RANGE-frame peers in both engines,
+    and the rolling sum uses the exact decimal accumulator
+    (functions/numeric.py), so results are bitwise cross-engine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("epoch_s", F.unix_timestamp("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        "value",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum(F.col("value").cast("decimal(18,8)")).over(w), 2)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+SQL_WINDOW_RANGE_INTERVAL = """
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       value,
+       COUNT(*) OVER w AS n_1h,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,8))) OVER w, 2) AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample_span_mask
+
+# Mask a token when the first md5 byte of (doc_id:pos) is < 0x28 —
+# 40/256 ≈ 15.6%, the T5 corruption rate. Hex-prefix thresholding is
+# the repo's standard engine-portable hash gate (same construction as
+# sample_split's split bound: md5 is standardized, string compare on
+# fixed-width hex is a byte compare).
+SPAN_MASK_BOUND = "28"
+
+
+def q_sample_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption sampler: mask ≈15% of tokens chosen by
+    a per-(doc, position) hash gate, merge runs of masked tokens into
+    one numbered sentinel each, and emit the (input_text, target_text)
+    pair an encoder-decoder denoising objective trains on::
+
+        text   = "a b c d e f"   masked = {c, d, f}
+        input  = "a b <extra_id_0> e <extra_id_1>"
+        target = "<extra_id_0> c d <extra_id_1> f"
+
+    Determinism: the mask is a pure function of (doc_id, pos) — no RNG,
+    so the sample is identical across engines, partitionings, cluster
+    sizes, and reruns (the same invariance contract as sample_split).
+
+    Scale shape: posexplode multiplies rows by tokens-per-doc, but the
+    three window passes (lag → run-start flag → running span counter)
+    and the ordered re-aggregation all share ONE partitioning by
+    doc_id, so the whole pipeline is a single shuffle of the token
+    stream followed by map-side work; per-task window state is O(1)
+    (lag 1 + running sum). Token rows carry (int, int, short string) —
+    the shuffled bytes ≈ the corpus itself, the floor for any
+    token-level transform.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based, matching the oracle
+        "tok",
+    )
+    gate = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("pos").cast("string"),
+            )
+        ),
+        1,
+        2,
+    )
+    tok = tok.withColumn("m", gate < SPAN_MASK_BOUND)
+
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    tok = tok.withColumn(
+        "span_start", F.col("m") & ~F.lag("m", 1, False).over(wo)
+    ).withColumn(
+        "span_id",
+        F.sum(F.col("span_start").cast("int")).over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("span_id") - 1).cast("string"), F.lit(">")
+    )
+    piece_in = F.when(~F.col("m"), F.col("tok")).when(
+        F.col("span_start"), sentinel
+    )  # masked non-start tokens -> NULL (dropped)
+    piece_tgt = F.when(
+        F.col("span_start"), F.concat(sentinel, F.lit(" "), F.col("tok"))
+    ).when(F.col("m"), F.col("tok"))
+
+    def _joined(piece, alias):
+        # collect_list skips the NULL structs when() leaves behind;
+        # array_sort orders struct arrays by their first field (pos),
+        # giving an ordered, engine-stable concatenation.
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(piece.isNotNull(), F.struct("pos", piece.alias("p")))
+                    )
+                ),
+                lambda x: x["p"],
+            ),
+            " ",
+        ).alias(alias)
+
+    return tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("m").cast("int")).alias("n_masked"),
+        F.max("span_id").alias("n_spans"),
+        _joined(piece_in, "input_text"),
+        _joined(piece_tgt, "target_text"),
+    )
+
+
+SQL_SAMPLE_SPAN_MASK = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'tok': t[i]}}
+                 for i in generate_series(1, len(t))],
+                recursive := true)
+  FROM tk
+),
+gated AS (
+  SELECT doc_id, pos, tok,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)),
+                1, 2) < '{SPAN_MASK_BOUND}' AS m
+  FROM tok
+),
+runs AS (
+  SELECT *,
+         m AND NOT lag(m, 1, false)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS span_start
+  FROM gated
+),
+spans AS (
+  SELECT *,
+         SUM(CASE WHEN span_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM runs
+),
+pieces AS (
+  SELECT doc_id, pos, m, span_id,
+         '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>' AS sentinel,
+         CASE WHEN NOT m THEN tok
+              WHEN span_start THEN
+                   '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>'
+         END AS piece_in,
+         CASE WHEN span_start THEN
+                   '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>' || ' ' || tok
+              WHEN m THEN tok
+         END AS piece_tgt
+  FROM spans
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(CASE WHEN m THEN 1 ELSE 0 END) AS n_masked,
+       MAX(span_id) AS n_spans,
+       COALESCE(string_agg(piece_in, ' ' ORDER BY pos)
+                FILTER (WHERE piece_in IS NOT NULL), '') AS input_text,
+       COALESCE(string_agg(piece_tgt, ' ' ORDER BY pos)
+                FILTER (WHERE piece_tgt IS NOT NULL), '') AS target_text
+FROM pieces
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# anomaly_zscore
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flagging: the glitch filter a
+    metrics pipeline runs before events feed features or dashboards.
+
+    Moments are computed with the exact decimal accumulator (sum and
+    sum-of-squares are order-independent decimals, cast to double once
+    at the end), so mean/variance — and therefore every z — match the
+    oracle bitwise. Plan: one map-side-combinable groupBy over the scan
+    (|event_type| ≈ 6 rows out), then a broadcast join back — the raw
+    event stream is scanned twice-logically but AQE broadcasts the
+    6-row stats side, so no wide shuffle ever touches the events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,8)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,8)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    stats = stats.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) ** 2).alias(
+            "std"
+        ),
+    )
+    z = F.round(
+        (F.col("value") - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0)), 6
+    )
+    return e.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("mean", 6).alias("mean_v"),
+        F.round("std", 6).alias("std_v"),
+        z.alias("z"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(18,8))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, s1 / n AS mean,
+         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+  FROM stats
+)
+SELECT event_id, e.event_type, value,
+       ROUND(mean, 6) AS mean_v,
+       ROUND(std, 6)  AS std_v,
+       ROUND((value - mean) / nullif(std, 0), 6) AS z,
+       (abs(ROUND((value - mean) / nullif(std, 0), 6)) > 3.0) AS is_anomaly
+FROM events e JOIN m USING (event_type)
+"""
+
+
+QUERIES: list[Query] = []
+
+# EXTRA lane (leading it with the other never-graded round-4 entries —
+# see plans.registry for the rotation policy).
+EXTRA_QUERIES = [
+    Query(
+        "unpivot_stack",
+        q_unpivot_stack,
+        SQL_UNPIVOT_STACK,
+        ("relational", "reshape"),
+    ),
+    Query(
+        "window_range_interval",
+        q_window_range_interval,
+        SQL_WINDOW_RANGE_INTERVAL,
+        ("relational", "window", "timeseries"),
+    ),
+    Query(
+        "sample_span_mask",
+        q_sample_span_mask,
+        SQL_SAMPLE_SPAN_MASK,
+        ("llm", "sampling", "text"),
+    ),
+    Query(
+        "anomaly_zscore",
+        q_anomaly_zscore,
+        SQL_ANOMALY_ZSCORE,
+        ("relational", "quality", "timeseries"),
+    ),
+]

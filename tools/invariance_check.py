@@ -50,6 +50,9 @@ DEFAULT_NAMES = [
     "cdc_apply",
     "scd2_history",
     "join_skew_salted",
+    "interleave_mix",
+    "sample_span_mask",
+    "window_range_interval",
 ]
 
 
