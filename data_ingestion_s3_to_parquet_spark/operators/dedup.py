@@ -779,29 +779,55 @@ def _hashmin_labels(
     # ~2^-64 hash-sum collision would otherwise silently return
     # partial labels) — one extra job at convergence, not per round.
     sig = _label_signature(labels)
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         prev = labels
-        nbr_min = (
-            edges.join(labels, edges.v == labels.vec_id)
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        jump = labels.select(
-            F.col("vec_id").alias("_jv"), F.col("component").alias("_jc")
-        )
-        labels = (
-            labels.join(nbr_min, labels.vec_id == nbr_min.u, "left")
-            .join(jump, labels.component == F.col("_jv"))
-            .select(
-                "vec_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                    F.col("_jc"),
-                ).alias("component"),
+        if rnd == 0:
+            # Round 1 runs on IDENTITY labels, so both joins collapse:
+            # component(v) = v makes the neighbor lookup a plain
+            # groupBy(u).min(v), and label-of-label = label makes the
+            # jump a no-op — a zero-join first round (one combinable
+            # aggregate + one left join onto the label frame), saving
+            # two shuffles per call (SURVEY §8 round-4 watchlist).
+            # The explicit repartition before the checkpoint is
+            # REQUIRED, not cosmetic: without it the round-1 output
+            # inherits the join's layout and every later round pays
+            # ~0.8 s of task scheduling instead of ~0.1 s (measured —
+            # the sized-loop-frame policy from the module docstring).
+            nbr_min = edges.groupBy("u").agg(F.min("v").alias("nbr_component"))
+            labels = (
+                labels.join(nbr_min, labels.vec_id == nbr_min.u, "left")
+                .select(
+                    "vec_id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                )
+                .repartition(n_part, "vec_id")
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
+        else:
+            nbr_min = (
+                edges.join(labels, edges.v == labels.vec_id)
+                .groupBy("u")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            jump = labels.select(
+                F.col("vec_id").alias("_jv"), F.col("component").alias("_jc")
+            )
+            labels = (
+                labels.join(nbr_min, labels.vec_id == nbr_min.u, "left")
+                .join(jump, labels.component == F.col("_jv"))
+                .select(
+                    "vec_id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                        F.col("_jc"),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
         new_sig = _label_signature(labels)
         if new_sig == sig:
             changed = (
