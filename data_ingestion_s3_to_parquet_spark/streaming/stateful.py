@@ -184,8 +184,10 @@ TUMBLING_STATE_SCHEMA = StructType(
 )
 
 
-def _tumble_rows(etype, buckets, starts_to_close):
-    win_us = TUMBLING_WINDOW_SECONDS * 1_000_000
+def _window_rows(etype, buckets, starts_to_close, win_us):
+    """Close the given window starts: pop them from ``buckets`` and
+    emit one output row each (shared by the tumbling and sliding
+    twins — only ``win_us`` differs)."""
     out = {
         "event_type": [],
         "window_start": [],
@@ -221,7 +223,7 @@ def tumbling_fn(
         starts, ns, totals = state.get
         buckets = {s: (n, t) for s, n, t in zip(starts, ns, totals)}
         state.remove()
-        yield _tumble_rows(etype, buckets, sorted(buckets))
+        yield _window_rows(etype, buckets, sorted(buckets), win_us)
         return
 
     if state.exists:
@@ -244,7 +246,7 @@ def tumbling_fn(
 
     closable = sorted(s for s in buckets if s + win_us + late_us <= max_ts)
     if closable:
-        yield _tumble_rows(etype, buckets, closable)
+        yield _window_rows(etype, buckets, closable, win_us)
 
     if not buckets:
         state.remove()
@@ -272,6 +274,105 @@ def tumbling_stateful(events: DataFrame, *, watermark: str = "10 minutes") -> Da
         .groupBy("event_type")
         .applyInPandasWithState(
             tumbling_fn,
+            outputStructType=TUMBLING_OUT_SCHEMA,
+            stateStructType=TUMBLING_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# --- custom stateful sliding windows ----------------------------------------
+# F.window(ts, win, slide) covers standard sliding aggregation; this
+# twin exists for what it can't express (per-window close policies,
+# early/partial emission) and to pin the custom-stateful lane's
+# multi-assignment semantics to the batch operator (see the parity
+# test). Reuses the tumbling state layout — open windows as parallel
+# arrays keyed by start — the only difference is that every event
+# lands in window/slide buckets.
+
+SLIDING_WINDOW_SECONDS = 3600
+SLIDING_SLIDE_SECONDS = 900
+SLIDING_LATENESS_SECONDS = 600
+
+
+def sliding_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type sliding count/sum with epoch-aligned starts —
+    identical window assignment to ``F.window(ts, '1 hour', '15
+    minutes')``: an event at time t belongs to the window/slide = 4
+    half-open [start, start+window) intervals whose starts are the
+    4 slide-multiples in (t - window, t]. Windows close when the
+    key's event time moves ``SLIDING_LATENESS_SECONDS`` past their
+    end, or at the event-time timeout for idle keys.
+
+    State is O(open windows) = O(window/slide + lateness/slide) per
+    key regardless of event volume — the same bound Spark's built-in
+    sliding aggregation carries per (key, window) pair.
+    """
+    (etype,) = key
+    win_us = SLIDING_WINDOW_SECONDS * 1_000_000
+    slide_us = SLIDING_SLIDE_SECONDS * 1_000_000
+    late_us = SLIDING_LATENESS_SECONDS * 1_000_000
+    k_windows = SLIDING_WINDOW_SECONDS // SLIDING_SLIDE_SECONDS
+
+    if state.hasTimedOut:
+        starts, ns, totals = state.get
+        buckets = {s: (n, t) for s, n, t in zip(starts, ns, totals)}
+        state.remove()
+        yield _window_rows(etype, buckets, sorted(buckets), win_us)
+        return
+
+    if state.exists:
+        starts, ns, totals = state.get
+        buckets = {s: [n, t] for s, n, t in zip(starts, ns, totals)}
+    else:
+        buckets = {}
+
+    max_ts = 0
+    for pdf in pdfs:
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            t = _us(ts)
+            top = t // slide_us * slide_us
+            for k in range(k_windows):
+                s = top - k * slide_us
+                if s in buckets:
+                    buckets[s][0] += 1
+                    buckets[s][1] += float(value)
+                else:
+                    buckets[s] = [1, float(value)]
+            max_ts = max(max_ts, t)
+
+    closable = sorted(s for s in buckets if s + win_us + late_us <= max_ts)
+    if closable:
+        yield _window_rows(etype, buckets, closable, win_us)
+
+    if not buckets:
+        state.remove()
+        return
+    state.update(
+        (
+            list(buckets),
+            [buckets[s][0] for s in buckets],
+            [buckets[s][1] for s in buckets],
+        )
+    )
+    latest_end_ms = (max(buckets) + win_us + late_us) // 1000
+    state.setTimeoutTimestamp(latest_end_ms)
+
+
+def sliding_stateful(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """Custom sliding-window aggregation over a *streaming* events
+    frame; ``events`` needs columns (event_type, ts, value)."""
+    from ..session import tune
+
+    tune(events.sparkSession)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            sliding_fn,
             outputStructType=TUMBLING_OUT_SCHEMA,
             stateStructType=TUMBLING_STATE_SCHEMA,
             outputMode="append",

@@ -184,3 +184,67 @@ def test_stateful_sessionize_merges_at_exactly_gap_like_batch(spark, tmp_path):
         if r.start < flush
     }
     assert batch == streaming
+
+
+def test_stateful_sliding_matches_batch_window(spark, tmp_path):
+    # the custom-stateful sliding twin must multi-assign events to the
+    # same 4 epoch-aligned windows as batch F.window(ts, 1h, 15m),
+    # including boundary events (half-open [start, end)) and
+    # out-of-order arrival within the batch
+    import pyspark.sql.functions as F
+
+    from data_ingestion_s3_to_parquet_spark.streaming.stateful import (
+        sliding_stateful,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    flush = base + dt.timedelta(days=2)  # closes every real window
+    rows = [
+        # "click": spread across slide boundaries, out-of-order, one
+        # event exactly ON a slide boundary (00:15) and one exactly on
+        # a window boundary (01:00)
+        (1, base + dt.timedelta(minutes=50), 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=15), 1, "click", 2.0),   # slide boundary
+        (3, base + dt.timedelta(hours=1), 1, "click", 4.0),      # window boundary
+        (4, base + dt.timedelta(minutes=7), 1, "click", 8.0),
+        (5, flush, 1, "click", 0.0),
+        # "view": one event -> exactly 4 windows of 1 event each
+        (6, base + dt.timedelta(minutes=40), 2, "view", 16.0),
+        (7, flush, 2, "view", 0.0),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    q = (
+        sliding_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_sliding")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streaming = {
+        (r.event_type, r.window_start, r.window_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM stateful_sliding").collect()
+        if r.window_start < flush - dt.timedelta(hours=1)
+    }
+
+    batch = {
+        (r.event_type, r.start, r.end, r.n, r.s)
+        for r in (
+            spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+            .groupBy(
+                "event_type", F.window("ts", "1 hour", "15 minutes").alias("w")
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .select("event_type", F.col("w.start").alias("start"),
+                    F.col("w.end").alias("end"), "n", "s")
+            .collect()
+        )
+        if r.start < flush - dt.timedelta(hours=1)
+    }
+    assert streaming == batch
+    # shape sanity: the single "view" event appears in exactly 4 windows
+    assert sum(1 for t in streaming if t[0] == "view") == 4
