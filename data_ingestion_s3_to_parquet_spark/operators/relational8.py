@@ -18,6 +18,17 @@ the lane with the first-wave round-4 trio).
 - ``anomaly_zscore`` — per-group z-score outlier flagging over the
   event stream: the data-cleaning pass that drops metric glitches
   before they reach a training set or a dashboard.
+- ``knn_graph`` — exact top-k nearest-neighbor graph over the
+  embedding table (k = 3, cosine, within label blocks): the building
+  block for graph-based dedup, cluster discovery, and retrieval-index
+  construction. The exact block-join lane is the oracle twin of the
+  LSH-candidate path (same contract as ``sim_join`` vs
+  ``sim_join_lsh``).
+- ``lm_unigram_score`` — corpus-trained unigram language-model
+  scoring: per-document average negative log2 likelihood under the
+  corpus's own top-V unigram distribution (add-half smoothing for
+  OOV), the classic cheap fluency/quality signal between heuristic
+  stats and a real LM.
 
 Reference: /root/reference/src/main.rs has none of these (its surface
 is the 9 §2A ingestion stages); these extend SURVEY.md §2B per the
@@ -30,8 +41,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.vectors import cosine
 from ..plans.spec import Query
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 
 # ---------------------------------------------------------------------------
 # unpivot_stack
@@ -345,6 +357,137 @@ FROM events e JOIN m USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# knn_graph
+
+KNN_K = 3
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor graph (k = 3, cosine) within label
+    blocks: one directed edge per (vector, rank ≤ k neighbor).
+
+    Plan: block equi-join → cosine → per-source top-k via row_number,
+    which Catalyst executes as WindowGroupLimit — the top-k is pushed
+    below the full sort, so per-partition state is k rows, not the
+    block. Blocking on `label` keeps this oracle-checkable; it is the
+    quadratic-within-block twin of the LSH candidate generator
+    (``sim_join_lsh``), which feeds the same ranking window at scale —
+    candidates ∝ true neighbors instead of |block|².
+
+    Ties on cosine break by neighbor id in BOTH engines, so the graph
+    is engine-deterministic (the driver hash needs exact row parity).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"), "label"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    return (
+        a.join(b, "label")
+        .where(F.col("src") != F.col("dst"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("label", "src", "dst", "rank", "cos_sim")
+    )
+
+
+SQL_KNN_GRAPH = f"""
+WITH pairs AS (
+  SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src
+                               ORDER BY cos_sim DESC, dst) AS rank
+  FROM pairs
+)
+SELECT label, src, dst, rank, cos_sim FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# lm_unigram_score
+
+LM_VOCAB_SIZE = 1024
+
+
+def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model fluency scoring, trained on the corpus
+    itself: per document, the mean negative log2 likelihood of its
+    tokens under the corpus's top-V unigram distribution (V = 1024 by
+    count, ties broken by word; out-of-vocabulary tokens get an
+    add-half pseudo-count). Low avg_nll ⇒ stereotypical text, high ⇒
+    rare/garbled — the cheap middle ground between heuristic quality
+    stats and a real LM pass.
+
+    Scale shape: token counts are one map-side-combinable groupBy; the
+    top-V cut is a count-ordered limit over the (already tiny)
+    distinct-word frame; scoring is a broadcast join of the fixed-size
+    vocab onto the token stream (the token shuffle by doc_id for the
+    final aggregation is the floor for any per-doc score). Per-token
+    nll is rounded to 6 dp BEFORE the exact decimal sum: log2 is the
+    one libm call here, and quantizing each term makes the aggregate
+    bitwise engine-portable (a term would have to sit within ~1 ulp of
+    a 1e-6 grid line to round apart — p ≈ 1e-9 per distinct word).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = cnt.agg(F.sum("c").alias("n_total"))
+    vocab = cnt.orderBy(F.desc("c"), "w").limit(LM_VOCAB_SIZE)
+    scored = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("c").isNull().alias("oov"),
+            F.round(
+                -F.log2(F.coalesce(F.col("c").cast("double"), F.lit(0.5)) / F.col("n_total")),
+                6,
+            ).alias("nll"),
+        )
+    )
+    avg_nll = (
+        F.sum(F.col("nll").cast("decimal(18,8)")).cast("double") / F.count("*")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.col("oov").cast("int")).alias("n_oov"),
+        F.round(avg_nll, 6).alias("avg_nll"),
+    )
+
+
+SQL_LM_UNIGRAM_SCORE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cnt AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+tot AS (SELECT SUM(c) AS n_total FROM cnt),
+vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT {LM_VOCAB_SIZE}),
+scored AS (
+  SELECT w.doc_id,
+         v.c IS NULL AS oov,
+         ROUND(-log2(COALESCE(CAST(v.c AS DOUBLE), 0.5) / t.n_total), 6) AS nll
+  FROM w LEFT JOIN vocab v USING (w) CROSS JOIN tot t
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+       ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_nll
+FROM scored
+GROUP BY doc_id
+"""
+
+
 QUERIES: list[Query] = []
 
 # EXTRA lane (leading it with the other never-graded round-4 entries —
@@ -373,5 +516,17 @@ EXTRA_QUERIES = [
         q_anomaly_zscore,
         SQL_ANOMALY_ZSCORE,
         ("relational", "quality", "timeseries"),
+    ),
+    Query(
+        "knn_graph",
+        q_knn_graph,
+        SQL_KNN_GRAPH,
+        ("llm", "similarity", "window"),
+    ),
+    Query(
+        "lm_unigram_score",
+        q_lm_unigram_score,
+        SQL_LM_UNIGRAM_SCORE,
+        ("llm", "text", "quality"),
     ),
 ]

@@ -978,3 +978,68 @@ def test_anomaly_zscore_agrees_with_numpy(spark, sf_dir):
         for r in rs:
             assert abs(r.z - (r.value - mean) / std) < 1e-4, (t, r.event_id)
             assert r.is_anomaly == (abs(r.z) > 3.0)
+
+
+def test_knn_graph_is_exact_topk_per_vector(spark, sf_dir):
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        KNN_K,
+        q_knn_graph,
+    )
+
+    rows = q_knn_graph(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: (r.label, r.embedding)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    by_src: dict[int, list] = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    assert len(by_src) == len(emb)
+    for src, edges in by_src.items():
+        label, ev = emb[src]
+        block = [v for v in emb if v != src and emb[v][0] == label]
+        want = sorted(block, key=lambda v: (-cos(ev, emb[v][1]), v))[:KNN_K]
+        edges.sort(key=lambda r: r.rank)
+        assert [r.dst for r in edges] == want, src
+        # ranks are 1..k and similarity is non-increasing
+        assert [r.rank for r in edges] == list(range(1, len(edges) + 1))
+        sims = [r.cos_sim for r in edges]
+        assert all(a >= b - 1e-12 for a, b in zip(sims, sims[1:]))
+
+
+def test_lm_unigram_score_separates_common_from_rare_text(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_lm_unigram_score,
+    )
+
+    rows = q_lm_unigram_score(spark, sf_dir).collect()
+    assert len(rows) == 500
+    stats = {
+        r.doc_id: r.n_words
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n_words")
+        .collect()
+    }
+    for r in rows:
+        assert r.n_words == stats[r.doc_id]
+        assert 0 <= r.n_oov <= r.n_words
+        assert r.avg_nll > 0
+    # a doc made ENTIRELY of OOV tokens must score higher than one of
+    # top-vocab tokens; proxy: avg_nll correlates positively with oov
+    # fraction across the corpus
+    import statistics
+
+    xs = [r.n_oov / r.n_words for r in rows]
+    ys = [r.avg_nll for r in rows]
+    if len(set(xs)) > 1:
+        corr = statistics.correlation(xs, ys)
+        assert corr > 0.2, corr
