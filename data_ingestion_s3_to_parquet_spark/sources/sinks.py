@@ -115,35 +115,72 @@ def _commit_manifest(root: str, gen: str) -> None:
     os.replace(tmp, _manifest_file(root))
 
 
-def manifest_table_data_path(root: str) -> str:
-    """Resolve the current generation's data directory."""
-    return os.path.join(root, _read_manifest(root))
+def manifest_table_data_path(root: str, *, generation: int | None = None) -> str:
+    """Resolve a generation's data directory (current by default)."""
+    if generation is None:
+        return os.path.join(root, _read_manifest(root))
+    gen = f"gen-{generation:08d}"
+    path = os.path.join(root, gen)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"{root}: generation {generation} is not retained "
+            f"(current = {_read_manifest(root)}; raise `retain` on write)"
+        )
+    return path
 
 
-def manifest_table_read(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(manifest_table_data_path(root))
+def manifest_table_generations(root: str) -> list[int]:
+    """Retained generation numbers, oldest first (last = current)."""
+    cur = int(_read_manifest(root).split("-")[1])
+    gens = [
+        int(name.split("-")[1])
+        for name in os.listdir(root)
+        if name.startswith("gen-")
+    ]
+    return sorted(g for g in gens if g <= cur)
 
 
-def manifest_table_write(df: DataFrame, root: str) -> None:
+def manifest_table_read(
+    spark: SparkSession, root: str, *, generation: int | None = None
+) -> DataFrame:
+    """Read the table — or TIME-TRAVEL to a retained older generation.
+
+    A generation is an immutable snapshot, so ``generation=`` gives
+    reproducible dataset versioning for free: pin the generation a
+    training run read, and reruns see byte-identical inputs no matter
+    how many rewrites landed since (the property Delta/Iceberg call
+    time travel, from the same commit primitive).
+    """
+    return spark.read.parquet(
+        manifest_table_data_path(root, generation=generation)
+    )
+
+
+def manifest_table_write(df: DataFrame, root: str, *, retain: int = 1) -> None:
     """Create or overwrite a manifest table: write a new generation,
     then commit the pointer. An existing current generation stays
-    readable until the commit instant and is GC'd on the next write or
-    compaction."""
+    readable until the commit instant; ``retain`` is how many committed
+    generations survive GC (1 = just the new current; >1 keeps history
+    readable via ``manifest_table_read(generation=...)``)."""
     os.makedirs(root, exist_ok=True)
     cur = _read_manifest(root) if is_manifest_table(root) else None
     nxt = f"gen-{(int(cur.split('-')[1]) + 1) if cur else 1:08d}"
     df.write.mode("overwrite").parquet(os.path.join(root, nxt))
     _commit_manifest(root, nxt)
-    _gc_generations(root)
+    _gc_generations(root, retain=retain)
 
 
-def _gc_generations(root: str) -> None:
-    """Remove every generation except the committed one — orphans from
-    crashed writes and superseded generations alike. Safe at any time:
-    the manifest is the single source of truth."""
-    keep = _read_manifest(root)
+def _gc_generations(root: str, *, retain: int = 1) -> None:
+    """Remove orphan generations (numbered past the committed pointer:
+    crashed writes) and all but the ``retain`` newest committed ones.
+    Safe at any time: the manifest is the single source of truth."""
+    cur = int(_read_manifest(root).split("-")[1])
+    keep = {cur - i for i in range(max(1, retain))}
     for name in os.listdir(root):
-        if name.startswith("gen-") and name != keep:
+        if not name.startswith("gen-"):
+            continue
+        gen = int(name.split("-")[1])
+        if gen > cur or gen not in keep:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     stale = _manifest_file(root) + ".tmp"
     if os.path.exists(stale):
@@ -257,6 +294,71 @@ def write_clustered_parquet(
     (
         df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
         .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+ZORDER_BITS = 8
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    *,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out for min/max pruning on SEVERAL columns at
+    once: interleave the bits of each column's normalized bucket into a
+    Morton (Z-order) key, then range-partition + sort files by it.
+
+    Single-key range clustering (``write_clustered_parquet``) makes one
+    column's per-file ranges tight and leaves every other column's
+    spanning the whole domain. The Z-curve trades a little tightness on
+    the first column for partial locality on ALL of them: with b bits
+    per column, a file covering a contiguous key range spans ~2^-(b')
+    of each column's domain (b' = bits consumed at that depth), so a
+    predicate on ANY clustered column skips most files — the same
+    layout Delta's OPTIMIZE ZORDER BY computes. Cost at 100 TB: one
+    tiny min/max aggregate (broadcast), a map-side key computation,
+    and the range write's single shuffle — identical shape to the
+    single-key lane.
+
+    Buckets here are linear min/max normalizations (one broadcast agg;
+    pure map arithmetic). Heavily skewed columns would want
+    quantile-rank bucketing instead (one approxQuantile pass) — same
+    key construction, noted rather than implemented because the
+    pruning assertion in tests/test_sinks.py covers the layout
+    property itself.
+    """
+    mm = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in zorder_cols],
+        *[F.max(c).alias(f"mx_{c}") for c in zorder_cols],
+    )
+    top = (1 << ZORDER_BITS) - 1
+    keyed = df.crossJoin(F.broadcast(mm))
+    bucket_cols = []
+    for c in zorder_cols:
+        span = F.col(f"mx_{c}").cast("double") - F.col(f"mn_{c}").cast("double")
+        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"mn_{c}").cast("double")) / span).otherwise(F.lit(0.0))
+        bucket_cols.append(
+            F.least(F.floor(frac * (top + 1)), F.lit(top)).cast("long").alias(f"_zb_{c}")
+        )
+    keyed = keyed.select(*df.columns, *bucket_cols)
+    # interleave: bit i of column j lands at position i*ncols + j
+    ncols = len(zorder_cols)
+    zkey = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        for j, c in enumerate(zorder_cols):
+            bit = F.shiftright(F.col(f"_zb_{c}"), i).bitwiseAND(F.lit(1))
+            zkey = zkey.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    (
+        keyed.withColumn("_zkey", zkey)
+        .repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *[f"_zb_{c}" for c in zorder_cols])
         .write.mode(mode)
         .parquet(path)
     )
