@@ -1043,3 +1043,29 @@ def test_lm_unigram_score_separates_common_from_rare_text(spark, sf_dir):
     if len(set(xs)) > 1:
         corr = statistics.correlation(xs, ys)
         assert corr > 0.2, corr
+
+
+def test_cogrouped_asof_twin_matches_join_lane(spark, sf_dir):
+    # the cogroup+merge_asof path must reproduce the graded join_asof
+    # (equi-join + inequality + rank-1 window) exactly — same inner
+    # semantics and the same (latest date, highest orderkey) tie-break
+    from data_ingestion_s3_to_parquet_spark.operators.cogrouped import (
+        asof_join_cogrouped,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational import (
+        q_join_asof,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    twin = {
+        (r.event_id, r.user_id, r.asof_orderkey, r.asof_orderdate)
+        for r in asof_join_cogrouped(events, orders).collect()
+    }
+    graded = {
+        (r.event_id, r.user_id, r.asof_orderkey, r.asof_orderdate)
+        for r in q_join_asof(spark, sf_dir).collect()
+    }
+    assert twin == graded
+    assert twin  # non-vacuous
