@@ -1,0 +1,166 @@
+"""Graph analytics over derived edge tables: PageRank.
+
+``dedup_components`` covers undirected reachability; this module adds
+the other canonical iterative graph kernel — power-iteration PageRank
+— over the directed k-NN graph ``knn_graph`` builds from the
+embedding table (operators/relational8.py). Centrality over a
+similarity graph is a real training-data signal: high-rank documents
+are corpus-central (prototypical), low-rank ones are outliers —
+usable for curriculum ordering and coverage-weighted sampling.
+
+Determinism contract — what makes an ITERATIVE numeric computation
+oracle-checkable bitwise: the loop runs in FIXED-POINT INTEGER
+arithmetic. Ranks are int64 multiples of 1e-9; per-edge contributions
+and the damped update round half-up via pure integer division
+(``round(p/q) = (2p + q) div 2q`` for positives), and mass sums are
+exact int64 aggregations. No float appears anywhere in the iteration,
+so there is nothing for two engines to disagree on; doubles exist
+only in the final output projection (int/1e9 — a single exact IEEE
+operation).
+
+Why not quantized doubles (the first attempt, measured): rounding
+``0.85 * (k·1e-9)`` at 9 dp lands EXACTLY on a decimal midpoint
+whenever k ≡ 10 (mod 20) — a 1-in-20 event per node-iteration, and
+engines resolve a midpoint-adjacent double differently (Spark rounds
+the shortest decimal repr, DuckDB the binary value). One flip then
+cascades through every later iteration. Quantize-then-scale schemes
+manufacture midpoints; integer fixed-point has none.
+
+The oracle mirrors the iterations as UNROLLED chained CTEs (recursive
+aggregation support differs across engines; unrolling is dialect-free
+and the iteration count is a fixed hyperparameter anyway).
+
+Scale shape: one iteration = join(ranks, edges on src) → per-dst
+combinable int sum → broadcast-joinable update. Ranks and edges are
+key-partitioned pairs of longs; at 100 TB the loop inherits the sized
+loop-frame policy from the CC loop (SCALE.md §28/§32) —
+localCheckpoint per iteration, partitions ∝ |E|. Dangling nodes
+(outdeg 0) keep teleport mass only; both engines apply the same rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.spec import Query
+from .relational8 import SQL_KNN_GRAPH, q_knn_graph
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING_NUM = 85  # d = 85/100; kept as integers for the loop
+PAGERANK_SCALE = 10**9  # ranks are int64 multiples of 1e-9
+
+
+def _r(p: int, q: int) -> int:
+    """round(p / q) half-up in pure integer arithmetic (p, q > 0)."""
+    return (2 * p + q) // (2 * q)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped power iterations) over the directed k-NN
+    similarity graph; returns (node, pr) for every embedding row.
+
+    Nodes = all vec_ids (isolated nodes keep teleport mass); edges =
+    ``knn_graph``'s (src → dst). The edge table is computed once,
+    checkpointed, and reused across iterations.
+    """
+    edges = q_knn_graph(spark, sf_dir).select("src", "dst").localCheckpoint()
+    from ..sources.catalog import load_table
+
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node")
+    )
+    n = nodes.count()
+    # integer constants, computed once: initial rank 1/n and teleport
+    # (1-d)/n, both scaled by 1e9 and rounded half-up
+    r0 = _r(PAGERANK_SCALE, n)
+    teleport = _r((100 - PAGERANK_DAMPING_NUM) * PAGERANK_SCALE, 100 * n)
+
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    deg = nodes.join(outdeg, nodes.node == outdeg.src, "left").select(
+        "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+    )
+
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("prs"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(edges, ranks.node == edges.src)
+            .select(
+                "dst",
+                # round(prs / outdeg) half-up, integer-exact
+                F.expr("(2 * prs + outdeg) div (2 * outdeg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"(2 * {PAGERANK_DAMPING_NUM} * coalesce(mass, 0L) + 100) "
+                        "div 200"
+                    )
+                ).alias("prs"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", (F.col("prs").cast("double") / F.lit(float(PAGERANK_SCALE))).alias("pr")
+    )
+
+
+def _sql_pagerank() -> str:
+    dn = PAGERANK_DAMPING_NUM
+    cte = [
+        f"knn AS ({SQL_KNN_GRAPH})",
+        "edges AS (SELECT src, dst FROM knn)",
+        "nodes AS (SELECT vec_id AS node FROM embeddings)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT node, COALESCE(o.outdeg, 0) AS outdeg FROM nodes "
+        "LEFT JOIN (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src) o "
+        "ON node = o.src)",
+        # integer half-up rounding throughout: round(p/q) = (2p+q)//(2q);
+        # constant products are precomputed in Python and inlined so
+        # they parse as INT64 literals (DuckDB folds 30*1e9 in INT32
+        # and overflows otherwise — measured)
+        f"r0 AS (SELECT node, "
+        f"({2 * PAGERANK_SCALE} + n) // (2 * n) AS prs "
+        "FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(PAGERANK_ITERS):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        cte.append(
+            f"{cur} AS (SELECT node, "
+            f"(({2 * (100 - dn) * PAGERANK_SCALE} + 100 * n) // (200 * n)) "
+            f"+ (({2 * dn} * COALESCE(m.mass, 0) + 100) // 200) AS prs "
+            f"FROM nodes CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst, SUM((2 * p.prs + deg.outdeg) // (2 * deg.outdeg)) AS mass "
+            f"FROM {prev} p JOIN deg USING (node) "
+            f"JOIN edges e ON p.node = e.src GROUP BY e.dst"
+            f") m ON node = m.dst)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT node, CAST(prs AS DOUBLE) / {float(PAGERANK_SCALE)} AS pr "
+        f"FROM r{PAGERANK_ITERS}"
+    )
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
+QUERIES: list[Query] = []
+
+EXTRA_QUERIES = [
+    Query(
+        "pagerank",
+        q_pagerank,
+        SQL_PAGERANK,
+        ("llm", "graph", "iterative"),
+    ),
+]

@@ -38,8 +38,10 @@ _MODULES = (
     # a larger harness budget grades never-graded entries first.
     "data_ingestion_s3_to_parquet_spark.operators.relational7",
     # relational8 likewise contributes only EXTRA-lane entries (the
-    # four second-wave round-4 operators, also never graded).
+    # second-wave round-4 operators, also never graded), as does graph
+    # (pagerank over the knn_graph edge table).
     "data_ingestion_s3_to_parquet_spark.operators.relational8",
+    "data_ingestion_s3_to_parquet_spark.operators.graph",
     "data_ingestion_s3_to_parquet_spark.operators.dedup",
     "data_ingestion_s3_to_parquet_spark.operators.trainprep",
     "data_ingestion_s3_to_parquet_spark.operators.similarity",
@@ -88,11 +90,12 @@ REGISTRY: dict[str, Query] = _collect()
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
 # pytest, but not submitted for driver grading. As of round 4 this lane
-# holds twenty-six entries: nine NEW round-4 operators leading the
+# holds twenty-seven entries: ten NEW round-4 operators leading the
 # lane (window_distribution, interleave_mix, text_normalize, then
 # relational8's unpivot_stack, window_range_interval, sample_span_mask,
-# anomaly_zscore, knn_graph, lm_unigram_score — never graded, so a
-# larger budget grades them first), then the seven round-3
+# anomaly_zscore, knn_graph, lm_unigram_score, and graph's pagerank —
+# never graded, so a larger budget grades them first), then the seven
+# round-3
 # promotees demoted this round (seq_pack, embedding_quantize,
 # quality_gopher, pii_redact, media_frame_sample, agg_approx_quantile,
 # datetime_funcs — green in r3), then the ten relational entries green

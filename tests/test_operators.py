@@ -1069,3 +1069,45 @@ def test_cogrouped_asof_twin_matches_join_lane(spark, sf_dir):
     }
     assert twin == graded
     assert twin  # non-vacuous
+
+
+def test_pagerank_matches_hand_iteration(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        PAGERANK_DAMPING_NUM,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        _r,
+        q_pagerank,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_knn_graph,
+    )
+
+    got = {r.node: r.pr for r in q_pagerank(spark, sf_dir).collect()}
+    edges = [(r.src, r.dst) for r in q_knn_graph(spark, sf_dir).collect()]
+    nodes = {
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert got.keys() == nodes
+
+    n = len(nodes)
+    dn = PAGERANK_DAMPING_NUM
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    teleport = _r((100 - dn) * PAGERANK_SCALE, 100 * n)
+    prs = {v: _r(PAGERANK_SCALE, n) for v in nodes}
+    for _ in range(PAGERANK_ITERS):
+        mass = defaultdict(int)
+        for s, t in edges:
+            mass[t] += _r(prs[s], outdeg[s])
+        prs = {v: teleport + (2 * dn * mass[v] + 100) // 200 for v in nodes}
+    # the integer loop is EXACT: outputs must match bitwise
+    for v in nodes:
+        assert got[v] == prs[v] / PAGERANK_SCALE, v
+    # rank mass is conserved up to dangling leakage: sum in (0.9, 1.001]
+    total = sum(got.values())
+    assert 0.9 < total <= 1.001, total

@@ -53,6 +53,7 @@ DEFAULT_NAMES = [
     "interleave_mix",
     "sample_span_mask",
     "window_range_interval",
+    "pagerank",
 ]
 
 
