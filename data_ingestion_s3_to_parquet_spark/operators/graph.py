@@ -162,5 +162,6 @@ EXTRA_QUERIES = [
         q_pagerank,
         SQL_PAGERANK,
         ("llm", "graph", "iterative"),
+        bench=True,  # the iterative int64 kernel, timed end-to-end
     ),
 ]
