@@ -488,6 +488,89 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# profile_table
+
+# (column, kind) in profile order; kind picks the min/max projection
+_PROFILE_COLS = (
+    ("event_id", "num"),
+    ("ts", "time"),
+    ("user_id", "num"),
+    ("event_type", "str"),
+    ("value", "num"),
+    ("props", "str"),
+)
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the events table: null count, exact
+    distinct count, and a typed min/max (numerics as doubles,
+    timestamps as epoch seconds, strings skipped) — the first pass of
+    every data-quality / ingestion-validation pipeline, in long format
+    (one row per column) so downstream checks are data, not code.
+
+    Plan: ONE aggregation over one scan — Catalyst rewrites the
+    multi-distinct aggregate with Expand (one extra map-side row per
+    distinct column), so the cost is a single shuffle regardless of
+    column count. Scale note: COUNT(DISTINCT) is exact here because
+    the oracle demands it; at 100 TB the same profile runs with the
+    mergeable HLL sketches (``agg_hll_sketch``) at a fraction of the
+    shuffle, trading exactness for a documented ±2% bound.
+    """
+    e = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("_n")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
+        elif kind == "time":
+            aggs.append(
+                F.unix_timestamp(F.min(c)).cast("double").alias(f"{c}__mn")
+            )
+            aggs.append(
+                F.unix_timestamp(F.max(c)).cast("double").alias(f"{c}__mx")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mx"))
+    wide = e.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                (F.col("_n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_value"),
+                F.col(f"{c}__mx").alias("max_value"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def _sql_profile_col(c: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+    elif kind == "time":
+        mn = f"CAST(floor(epoch(MIN({c}))) AS DOUBLE)"
+        mx = f"CAST(floor(epoch(MAX({c}))) AS DOUBLE)"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+    return (
+        f"SELECT '{c}' AS column, COUNT(*) - COUNT({c}) AS n_nulls, "
+        f"COUNT(DISTINCT {c}) AS n_distinct, {mn} AS min_value, "
+        f"{mx} AS max_value FROM events"
+    )
+
+
+SQL_PROFILE_TABLE = "\nUNION ALL\n".join(
+    _sql_profile_col(c, kind) for c, kind in _PROFILE_COLS
+)
+
+
 QUERIES: list[Query] = []
 
 # EXTRA lane (leading it with the other never-graded round-4 entries —
@@ -528,5 +611,11 @@ EXTRA_QUERIES = [
         q_lm_unigram_score,
         SQL_LM_UNIGRAM_SCORE,
         ("llm", "text", "quality"),
+    ),
+    Query(
+        "profile_table",
+        q_profile_table,
+        SQL_PROFILE_TABLE,
+        ("relational", "quality", "profiling"),
     ),
 ]

@@ -1111,3 +1111,19 @@ def test_pagerank_matches_hand_iteration(spark, sf_dir):
     # rank mass is conserved up to dangling leakage: sum in (0.9, 1.001]
     total = sum(got.values())
     assert 0.9 < total <= 1.001, total
+
+
+def test_profile_table_matches_direct_queries(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_profile_table,
+    )
+
+    prof = {r.column: r for r in q_profile_table(spark, sf_dir).collect()}
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = e.count()
+    for c in ("event_id", "user_id", "value", "event_type", "props", "ts"):
+        assert prof[c].n_nulls == n - e.where(F.col(c).isNotNull()).count()
+        assert prof[c].n_distinct == e.select(c).na.drop().distinct().count()
+    assert prof["value"].min_value == e.agg(F.min("value")).first()[0]
+    assert prof["value"].max_value == e.agg(F.max("value")).first()[0]
+    assert prof["event_type"].min_value is None  # strings: typed skip
