@@ -1,0 +1,105 @@
+"""Arbitrary stateful streaming, v2 API: ``transformWithStateInPandas``.
+
+``applyInPandasWithState`` (streaming/stateful.py) is the v1 arbitrary-
+state operator: one opaque state tuple per key, one timeout. Spark 4's
+``transformWithState[InPandas]`` generalizes it — TYPED state
+primitives (ValueState / ListState / MapState), multiple named states
+per key, per-state TTL, and first-class timers — and is the API new
+custom operators should target. This module exercises it with the
+canonical incremental-aggregation shape:
+
+``running_totals_stateful`` — per-user lifetime event count and exact
+value sum, updated per micro-batch (output mode Update), state = one
+ValueState holding (count, decimal-scaled sum). This is the streaming
+half of the engine's incremental-aggregation story: the same totals a
+batch groupBy produces, maintained continuously with O(1) state per
+key, emitted only for keys that changed in the batch.
+
+Parity contract (tests/test_stateful.py): after draining a bounded
+stream, the LAST emitted row per user must equal the batch
+``groupBy(user_id).agg(count, sum)`` over the same data — pinning the
+v2-API lane to the batch operator exactly like the v1 twins
+(SCALE.md §31). The sum is carried as an int64 of 0.01-units
+(fixed-point, SCALE.md §34) so streaming accumulation order cannot
+drift from the batch decimal sum.
+
+Environment gate: the v2 runner's state server speaks protobuf;
+containers without ``google.protobuf`` can BUILD the plan (schema and
+wiring are covered everywhere) but the execution parity test
+``pytest.importorskip``s — the same documented-stub policy as media
+decode (operators/multimodal.py).
+
+Scale: state is (int64, int64) per user in the state store; updates
+are per-key Arrow batches. TTL and timers are available on the same
+handle when eviction policies matter (the v1 twins demonstrate
+timeout-driven closes; here lifetime totals deliberately never
+expire).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+RUNNING_TOTALS_OUT_SCHEMA = (
+    "user_id long, n_events long, sum_value_cents long"
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-key lifetime (count, sum) with a typed ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n BIGINT, cents BIGINT"
+        )
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        prev = self._totals.get() if self._totals.exists() else (0, 0)
+        n, cents = int(prev[0]), int(prev[1])
+        for pdf in rows:
+            n += len(pdf)
+            # fixed-point: round each value to cents, sum exactly in
+            # int64 — order-independent, matching the batch decimal sum
+            cents += int(
+                (pdf["value"] * 100).round().astype("int64").sum()
+            )
+        self._totals.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [n],
+                "sum_value_cents": [cents],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Continuous per-user totals over a *streaming* events frame;
+    ``events`` needs columns (user_id, value)."""
+    from ..session import tune
+
+    tune(events.sparkSession)
+    # transformWithState requires the RocksDB state store (the HDFS-
+    # backed default cannot host its multi-column-family state layout)
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotalsProcessor(),
+        outputStructType=RUNNING_TOTALS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -248,3 +248,91 @@ def test_stateful_sliding_matches_batch_window(spark, tmp_path):
     assert streaming == batch
     # shape sanity: the single "view" event appears in exactly 4 windows
     assert sum(1 for t in streaming if t[0] == "view") == 4
+
+
+def test_transform_with_state_totals_match_batch_agg(spark, tmp_path):
+    # the v2-API (transformWithStateInPandas) incremental totals must
+    # land exactly on the batch groupBy over the same data, count and
+    # fixed-point sum alike — across MULTIPLE micro-batches so state
+    # restore and update both execute.
+    # The v2 runner speaks protobuf to its state server; this container
+    # does not ship google.protobuf (and installs are barred), so the
+    # test runs wherever the dependency exists and SKIPS loudly here.
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state server requires protobuf",
+    )
+    import pyspark.sql.functions as F
+
+    from data_ingestion_s3_to_parquet_spark.streaming.statev2 import (
+        running_totals_stateful,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1 + i % 3, "click", 1.25 * i)
+        for i in range(30)
+    ]
+    src = str(tmp_path / "events")
+    # two parquet files + maxFilesPerTrigger=1 -> at least two batches
+    df = spark.createDataFrame(rows[:15], EVENTS_STREAM_SCHEMA)
+    df.repartition(1).write.parquet(src)
+    spark.createDataFrame(rows[15:], EVENTS_STREAM_SCHEMA).repartition(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per (user, batch); the LAST row per
+    # user is the lifetime total
+    got = {}
+    for r in spark.sql("SELECT * FROM running_totals").collect():
+        got[r.user_id] = (r.n_events, r.sum_value_cents)
+
+    batch = {
+        r.user_id: (r.n, r.cents)
+        for r in (
+            spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            .collect()
+        )
+    }
+    assert got == batch
+    assert len(got) == 3
+
+
+def test_transform_with_state_plan_builds_everywhere(spark):
+    # plan construction + output schema don't need the protobuf runner:
+    # this wiring check runs even where the execution test skips
+    from data_ingestion_s3_to_parquet_spark.streaming.statev2 import (
+        running_totals_stateful,
+    )
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(
+        "/root/testdata/sf0.001"  # never started; path just needs to exist
+    )
+    out = running_totals_stateful(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n_events",
+        "sum_value_cents",
+    ]
