@@ -571,6 +571,65 @@ SQL_PROFILE_TABLE = "\nUNION ALL\n".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# agg_skew_salted
+
+AGG_SALTS = 8
+
+
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation, explicitly two-phase: per event_type
+    (6 values — EVERY key is hot at 100 TB) count, exact decimal sum,
+    and exact distinct users, with identical semantics to the plain
+    groupBy the oracle runs.
+
+    Two patterns in one plan, for the two aggregate classes:
+
+    - ALGEBRAIC (count/sum): pre-aggregate by (key, salt) — salt =
+      hash % 8 — then merge by key. Spark's map-side partial
+      aggregation already does this implicitly for algebraic
+      aggregates; the explicit form is the template for when it
+      can't (UDAFs, collect-based intermediates), and costs one extra
+      tiny shuffle of 6×8 rows.
+    - HOLISTIC (exact distinct): dedup on the FULL (key, user) pair
+      first — the shuffle key carries the user, so a hot event_type
+      spreads over every partition instead of pinning one task — then
+      a map-combinable count per key. This is the scalable exact-
+      distinct shape; the HLL lane (``agg_hll_sketch``) is its
+      approximate sibling.
+    """
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "_salt", (F.xxhash64("event_id") % AGG_SALTS + AGG_SALTS) % AGG_SALTS
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,8)")).alias("ps"),
+    )
+    merged = partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("ps"), 2).cast("double").alias("sum_value"),
+    )
+    users = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+    return merged.join(users, "event_type").select(
+        "event_type", "n_events", "sum_value", "n_users"
+    )
+
+
+SQL_AGG_SKEW_SALTED = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: list[Query] = []
 
 # EXTRA lane (leading it with the other never-graded round-4 entries —
@@ -617,5 +676,11 @@ EXTRA_QUERIES = [
         q_profile_table,
         SQL_PROFILE_TABLE,
         ("relational", "quality", "profiling"),
+    ),
+    Query(
+        "agg_skew_salted",
+        q_agg_skew_salted,
+        SQL_AGG_SKEW_SALTED,
+        ("relational", "agg", "skew"),
     ),
 ]

@@ -569,7 +569,8 @@ def test_extra_lane_doc_counts_match_registry():
         18: "eighteen", 19: "nineteen", 20: "twenty",
         21: "twenty-one", 22: "twenty-two", 23: "twenty-three",
         24: "twenty-four", 25: "twenty-five", 26: "twenty-six",
-        27: "twenty-seven", 28: "twenty-eight",
+        27: "twenty-seven", 28: "twenty-eight", 29: "twenty-nine",
+        30: "thirty", 31: "thirty-one", 32: "thirty-two",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
