@@ -368,5 +368,15 @@ def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_xml(
+    df: DataFrame, path: str, *, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (native in Spark 4): one element per row under
+    ``row_tag``. Interchange-format parity with the CSV/JSON lanes —
+    useful for feeds that still speak XML; same directory-of-parts
+    layout as every other sink."""
+    df.write.mode(mode).option("rowTag", row_tag).format("xml").save(path)
+
+
 def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)

@@ -179,3 +179,34 @@ def test_distributed_zip_scan_fills_missing_columns(spark, tmp_path):
     df = read_zipped_csvs(spark, str(tmp_path / "short.zip"), airquality_schema())
     assert df.count() == N_ROWS
     assert df.where("Temp IS NULL").count() == N_ROWS
+
+
+def test_zipcsv_python_datasource_partitions_per_entry(spark, tmp_path):
+    # the Spark-4 Python DataSource lane: one partition per CSV entry,
+    # zip-slip and non-CSV entries excluded at PLANNING time, rows
+    # identical to reading the extracted files directly
+    from data_ingestion_s3_to_parquet_spark.sources.pyds import register_zipcsv
+
+    zpath = str(tmp_path / "multi.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("a.csv", "id,name\n1,alpha\n2,beta\n")
+        zf.writestr("sub/b.csv", "id,name\n3,gamma\n")
+        zf.writestr("../evil.csv", "id,name\n9,evil\n")  # zip-slip: skipped
+        zf.writestr("notes.txt", "not a csv")
+
+    register_zipcsv(spark)
+    df = spark.read.format("zipcsv").load(zpath)
+    assert df.columns == ["id", "name"]
+    assert df.rdd.getNumPartitions() == 2  # one per safe CSV entry
+    rows = {(r.id, r.name) for r in df.collect()}
+    assert rows == {("1", "alpha"), ("2", "beta"), ("3", "gamma")}
+
+    # header mismatch in a later entry fails loudly, not misaligned
+    zpath2 = str(tmp_path / "bad.zip")
+    with zipfile.ZipFile(zpath2, "w") as zf:
+        zf.writestr("a.csv", "id,name\n1,alpha\n")
+        zf.writestr("z.csv", "other,cols\n2,beta\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="does not match planned schema"):
+        spark.read.format("zipcsv").load(zpath2).collect()

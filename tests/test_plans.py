@@ -234,3 +234,28 @@ def test_seq_pack_window_is_shard_partitioned(spark):
     # window (single partition) would serialize the corpus at scale
     assert "Window" in plan
     assert "hashpartitioning(shard" in plan, plan
+
+
+def test_knn_graph_topk_uses_window_group_limit(spark):
+    # the rank <= k filter must execute as WindowGroupLimit (k-row
+    # per-group state) — a full per-source sort of the block pairs
+    # would make per-task state O(block), not O(k)
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_knn_graph,
+    )
+
+    plan = plan_of(q_knn_graph(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+
+
+def test_unpivot_is_expand_with_pushed_filter_and_no_shuffle(spark):
+    # the melt must stay map-side: Expand above a pruned scan with the
+    # row filter pushed down, and zero exchanges anywhere
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_unpivot_stack,
+    )
+
+    plan = plan_of(q_unpivot_stack(spark, SF_SMOKE))
+    assert "Expand" in plan
+    assert "EqualTo(l_linenumber,1)" in plan
+    assert "Exchange" not in plan

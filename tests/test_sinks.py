@@ -337,3 +337,19 @@ def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
         probe_hi = glo_min + width * 0.45  # a 5%-of-domain range scan
         hit = sum(1 for lo, hi in ranges[col] if hi >= probe_lo and lo <= probe_hi)
         assert hit < len(files), col
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    # XML is a native format in Spark 4 — the engine covers it like
+    # CSV/JSON/ORC for interchange parity
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import write_xml
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_xml")
+    write_xml(nation, out, row_tag="nation")
+    back = spark.read.option("rowTag", "nation").format("xml").load(out)
+    assert back.count() == 25
+    assert set(back.columns) == set(nation.columns)
+    a = {r.n_nationkey: r.n_name for r in nation.collect()}
+    b = {r.n_nationkey: r.n_name for r in back.collect()}
+    assert a == b
