@@ -154,6 +154,94 @@ def _sql_pagerank() -> str:
 SQL_PAGERANK = _sql_pagerank()
 
 
+LPA_ITERS = 4
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (4 synchronous rounds)
+    over the symmetrized k-NN graph: each node adopts the most common
+    label among its neighbors, ties broken by the smallest label, and
+    keeps its own label when isolated. Returns (node, community).
+
+    Where connected components merges everything reachable, LPA finds
+    DENSE neighborhoods inside one component — the granularity that
+    matters for near-duplicate *clusters* vs merely-linked chains.
+
+    Determinism: labels are node ids (int64) end to end; the per-round
+    choice is an integer argmax (count DESC, label ASC) — no floats,
+    so cross-engine parity is structural (same rule as pagerank's
+    fixed-point loop, SCALE.md §34). Synchronous update with a fixed
+    round count (asynchronous/convergent LPA is order-dependent by
+    construction and could never be oracle-checked).
+
+    Plan per round: one shuffle to count (dst, label) pairs — map-side
+    combinable — one WindowGroupLimit'd argmax, one broadcast-joinable
+    update; loop frames localCheckpoint like the CC/pagerank loops.
+    """
+    from pyspark.sql.window import Window
+
+    from ..sources.catalog import load_table
+
+    e = q_knn_graph(spark, sf_dir).select("src", "dst")
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node")
+    )
+
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
+    for _ in range(LPA_ITERS):
+        counts = (
+            labels.join(sym, labels.node == sym.src)
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        mode = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(mode, "node", "left")
+            .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lab").alias("community"))
+
+
+def _sql_label_propagation() -> str:
+    cte = [
+        f"knn AS ({SQL_KNN_GRAPH})",
+        "e AS (SELECT src, dst FROM knn)",
+        "sym AS (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e))",
+        "nodes AS (SELECT vec_id AS node FROM embeddings)",
+        "l0 AS (SELECT node, node AS lab FROM nodes)",
+    ]
+    for i in range(LPA_ITERS):
+        prev, cur = f"l{i}", f"l{i + 1}"
+        cte.append(
+            f"{cur} AS (SELECT n.node, COALESCE(m.new_lab, p.lab) AS lab "
+            f"FROM nodes n JOIN {prev} p USING (node) LEFT JOIN ("
+            f"SELECT node, lab AS new_lab FROM ("
+            f"SELECT s.dst AS node, q.lab, COUNT(*) AS c, "
+            f"row_number() OVER (PARTITION BY s.dst "
+            f"ORDER BY COUNT(*) DESC, q.lab) AS rn "
+            f"FROM {prev} q JOIN sym s ON q.node = s.src GROUP BY s.dst, q.lab"
+            f") WHERE rn = 1) m USING (node))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT node, lab AS community FROM l{LPA_ITERS}"
+    )
+
+
+SQL_LABEL_PROPAGATION = _sql_label_propagation()
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
@@ -163,5 +251,11 @@ EXTRA_QUERIES = [
         SQL_PAGERANK,
         ("llm", "graph", "iterative"),
         bench=True,  # the iterative int64 kernel, timed end-to-end
+    ),
+    Query(
+        "label_propagation",
+        q_label_propagation,
+        SQL_LABEL_PROPAGATION,
+        ("llm", "graph", "iterative"),
     ),
 ]

@@ -1128,3 +1128,41 @@ def test_profile_table_matches_direct_queries(spark, sf_dir):
     assert prof["value"].min_value == e.agg(F.min("value")).first()[0]
     assert prof["value"].max_value == e.agg(F.max("value")).first()[0]
     assert prof["event_type"].min_value is None  # strings: typed skip
+
+
+def test_label_propagation_respects_components_and_is_deterministic(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        q_label_propagation,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_knn_graph,
+    )
+
+    got = {r.node: r.community for r in q_label_propagation(spark, sf_dir).collect()}
+    again = {r.node: r.community for r in q_label_propagation(spark, sf_dir).collect()}
+    assert got == again  # synchronous fixed rounds -> deterministic
+
+    # labels only travel along edges, so every community id must lie in
+    # the same connected component (union-find over symmetrized edges)
+    edges = [(r.src, r.dst) for r in q_knn_graph(spark, sf_dir).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for s, t in edges:
+        union(s, t)
+    for node, community in got.items():
+        if node in parent or community in parent:
+            assert find(node) == find(community), (node, community)
+        else:
+            assert node == community  # isolated: keeps own label
+    # LPA coarsens: strictly fewer communities than nodes on this graph
+    assert len(set(got.values())) < len(got)
