@@ -389,3 +389,42 @@ def test_session_window_boundary_is_inclusive(spark):
     assert len(out) == 1
     assert out[0]["count"] == 2
     assert out[0].sw.end == base + dt.timedelta(minutes=60)
+
+
+def test_replay_datasource_streams_table_in_bounded_batches(spark):
+    # the custom streaming Python DataSource replays a static parquet
+    # table as a deterministic micro-batched stream: full row parity
+    # with the batch read, several batches, per-batch row cap honored
+    from data_ingestion_s3_to_parquet_spark.sources.pyds_stream import (
+        register_replay,
+    )
+
+    src = "/root/testdata/sf0.001/nation.parquet"
+    batch_rows = {
+        (r.n_nationkey, r.n_name) for r in spark.read.parquet(src).collect()
+    }
+    schema = spark.read.parquet(src).schema
+    register_replay(spark)
+    stream = (
+        spark.readStream.format("replay")
+        .schema(schema)
+        .option("rowsPerBatch", 10)
+        .option("orderBy", "n_nationkey")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("replay_parity")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM replay_parity").collect()
+    assert {(r.n_nationkey, r.n_name) for r in got} == batch_rows
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_batches >= 3  # 25 rows / 10-row cap -> backpressure held
