@@ -1,0 +1,251 @@
+"""Round-4 additions, third wave: the product/telemetry analytics
+staples — time-weighted averaging over irregular samples, funnel
+conversion, and cohort retention. These are the queries an analytics
+engine is USED for daily; each is a distinct plan shape the registry
+didn't yet cover (LOCF segment integration, ordered conditional
+minima, self-derived cohort matrix).
+
+- ``time_weighted_avg`` — per-user time-weighted mean of an
+  irregularly sampled value: weight each observation by its
+  last-observation-carried-forward duration (lead(ts) - ts) instead
+  of pretending samples are equally spaced. THE correct average for
+  telemetry/pricing series with gaps.
+- ``funnel_conversion`` — ordered funnel signup → view → purchase:
+  each stage's timestamp must be ≥ the previous stage's (per user,
+  earliest qualifying event), emitted as a long-format stage/count
+  table.
+- ``retention_cohort`` — the classic cohort matrix: users grouped by
+  first-activity week, counted as retained in week k if they have any
+  event k weeks after their cohort week.
+
+Reference: /root/reference/src/main.rs has none of these (its surface
+is the 9 §2A ingestion stages); these extend SURVEY.md §2B per the
+BASELINE north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value`` across the user's
+    event history: each observation holds until the next one (LOCF),
+    so its weight is the segment duration in seconds; the final
+    observation (no successor) carries no weight.
+
+    Plan: one window pass (lead over the user partition — same single
+    shuffle any per-user feature pays) and one map-side-combinable
+    aggregation. Determinism: durations are integer seconds; each
+    ``value × dur`` term is rounded to 6 dp then exactly decimal-
+    summed (the one-shot quantize-before-aggregate rule — iterative
+    kernels use fixed-point instead, SCALE.md §34); equal-timestamp
+    ties carry zero duration so tie order cannot matter.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e = e.select(
+        "user_id", "event_id", "value", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seg = e.withColumn("dur", F.lead("sec").over(w) - F.col("sec")).where(
+        F.col("dur").isNotNull()
+    )
+    term = F.round(F.col("value") * F.col("dur"), 6)
+    return seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("dur").alias("span_sec"),
+        F.round(
+            F.sum(term.cast("decimal(28,8)")).cast("double") / F.sum("dur"),
+            6,
+        ).alias("twa_value"),
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH seg AS (
+  SELECT user_id, value,
+         lead(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_segments,
+       SUM(dur) AS span_sec,
+       ROUND(CAST(SUM(CAST(ROUND(value * dur, 6) AS DECIMAL(28,8))) AS DOUBLE)
+             / SUM(dur), 6) AS twa_value
+FROM seg
+WHERE dur IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel_conversion
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → purchase: a user converts at
+    stage k only via an event at or after their stage-k-1 timestamp
+    (earliest qualifying event each time). Output is long-format
+    (step, n_users) — the shape dashboards and significance tests
+    consume.
+
+    Plan: three per-user min-aggregations chained by broadcast-
+    joinable (user, ts) frames — each stage is one combinable agg
+    over a filtered scan, never a per-user sort. At 100 TB the stage
+    frames carry one row per converted user, monotonically shrinking.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = [s1, s2, s3]
+    out = None
+    for i, (name, frame) in enumerate(zip(FUNNEL_STEPS, steps), start=1):
+        row = frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(f"{i}_{name}").alias("step"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts >= s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts >= s2.t2
+  GROUP BY e.user_id
+)
+SELECT '1_{FUNNEL_STEPS[0]}' AS step, COUNT(*) AS n_users FROM s1
+UNION ALL
+SELECT '2_{FUNNEL_STEPS[1]}' AS step, COUNT(*) AS n_users FROM s2
+UNION ALL
+SELECT '3_{FUNNEL_STEPS[2]}' AS step, COUNT(*) AS n_users FROM s3
+"""
+
+
+# ---------------------------------------------------------------------------
+# retention_cohort
+
+_WEEK_SEC = 7 * 86400
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = ISO week of the user's
+    first event; a cohort member counts as retained at offset k if
+    they have ANY event in cohort_week + k weeks. Long format
+    (cohort_week, week_offset, n_users) — the matrix every growth
+    dashboard pivots.
+
+    Plan: first-event agg (combinable) + distinct (user, week) pairs
+    (the dedup shuffle carries the user key, hot weeks spread — same
+    argument as agg_skew_salted's distinct lane) + one final count.
+    Week arithmetic is integer epoch math on week-truncated
+    timestamps (differences are exact multiples of 604800 s in UTC),
+    so offsets are engine-exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp("week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / _WEEK_SEC
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+SQL_RETENTION_COHORT = f"""
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST((CAST(floor(epoch(week)) AS BIGINT)
+             - CAST(floor(epoch(cohort_week)) AS BIGINT)) / {_WEEK_SEC}
+            AS BIGINT) AS week_offset,
+       COUNT(*) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+QUERIES: list[Query] = []
+
+EXTRA_QUERIES = [
+    Query(
+        "time_weighted_avg",
+        q_time_weighted_avg,
+        SQL_TIME_WEIGHTED_AVG,
+        ("relational", "timeseries", "window"),
+    ),
+    Query(
+        "funnel_conversion",
+        q_funnel_conversion,
+        SQL_FUNNEL_CONVERSION,
+        ("relational", "analytics"),
+    ),
+    Query(
+        "retention_cohort",
+        q_retention_cohort,
+        SQL_RETENTION_COHORT,
+        ("relational", "analytics"),
+    ),
+]

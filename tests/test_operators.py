@@ -571,6 +571,8 @@ def test_extra_lane_doc_counts_match_registry():
         24: "twenty-four", 25: "twenty-five", 26: "twenty-six",
         27: "twenty-seven", 28: "twenty-eight", 29: "twenty-nine",
         30: "thirty", 31: "thirty-one", 32: "thirty-two",
+        33: "thirty-three", 34: "thirty-four", 35: "thirty-five",
+        36: "thirty-six",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -1166,3 +1168,80 @@ def test_label_propagation_respects_components_and_is_deterministic(spark, sf_di
             assert node == community  # isolated: keeps own label
     # LPA coarsens: strictly fewer communities than nodes on this graph
     assert len(set(got.values())) < len(got)
+
+
+def test_time_weighted_avg_matches_hand_integration(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_time_weighted_avg,
+    )
+
+    got = {r.user_id: r for r in q_time_weighted_avg(spark, sf_dir).collect()}
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user: dict[int, list] = {}
+    for r in events:
+        by_user.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp()), r.event_id, r.value)
+        )
+    for user, obs in by_user.items():
+        obs.sort()
+        if len(obs) < 2:
+            assert user not in got
+            continue
+        total = wsum = 0
+        for (s0, _, v0), (s1, _, _) in zip(obs, obs[1:]):
+            dur = s1 - s0
+            total += dur
+            wsum += round(v0 * dur, 6)
+        r = got[user]
+        assert r.n_segments == len(obs) - 1
+        assert r.span_sec == total
+        assert abs(r.twa_value - wsum / total) < 1e-5, user
+
+
+def test_funnel_conversion_counts_are_ordered_and_exact(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_funnel_conversion,
+    )
+
+    got = {r.step: r.n_users for r in q_funnel_conversion(spark, sf_dir).collect()}
+    assert set(got) == {"1_signup", "2_view", "3_purchase"}
+    assert got["1_signup"] >= got["2_view"] >= got["3_purchase"]  # funnel shape
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user: dict[int, list] = {}
+    for r in events:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    n1 = n2 = n3 = 0
+    for obs in by_user.values():
+        t1 = min((t for t, e in obs if e == "signup"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min((t for t, e in obs if e == "view" and t >= t1), default=None)
+        if t2 is None:
+            continue
+        n2 += 1
+        if any(t >= t2 for t, e in obs if e == "purchase"):
+            n3 += 1
+    assert (got["1_signup"], got["2_view"], got["3_purchase"]) == (n1, n2, n3)
+
+
+def test_retention_cohort_offset_zero_covers_every_user(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_retention_cohort,
+    )
+
+    rows = q_retention_cohort(spark, sf_dir).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # offset 0: every user is active in their own cohort week
+    assert sum(r.n_users for r in rows if r.week_offset == 0) == n_users
+    # retention never exceeds the cohort's size
+    size = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.n_users <= size[r.cohort_week], r
