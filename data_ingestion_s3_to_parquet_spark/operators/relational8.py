@@ -652,6 +652,7 @@ EXTRA_QUERIES = [
         q_sample_span_mask,
         SQL_SAMPLE_SPAN_MASK,
         ("llm", "sampling", "text"),
+        bench=True,  # the token-stream-shuffle representative
     ),
     Query(
         "anomaly_zscore",

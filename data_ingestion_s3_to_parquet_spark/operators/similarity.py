@@ -322,3 +322,38 @@ QUERIES = [
         ("llm", "similarity", "approx"),
     ),
 ]
+
+
+def q_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph from LSH candidates — the 100 TB lane of
+    ``relational8.q_knn_graph`` (which ranks exact label-block pairs).
+
+    Candidates come from the banded hyperplane join
+    (:func:`q_sim_join_lsh`), symmetrized so both endpoints rank their
+    neighbors; the SAME top-k window then keeps each source's best
+    k = 3 by (cosine DESC, neighbor id). Candidate volume ∝ true
+    near-neighbors, never |block|² — only sources with at least one
+    collision appear, which is the operating point: a retrieval /
+    dedup graph over the near-dup range, not an all-pairs ranking.
+    No SQL oracle (LSH recall has no engine-neutral ground truth on
+    these fixtures); the planted-neighbor pytest pins accuracy and
+    the bench entry pins wall-clock.
+    """
+    from pyspark.sql.window import Window
+
+    from .relational8 import KNN_K
+
+    pairs = q_sim_join_lsh(spark, sf_dir).select("vec_a", "vec_b", "cos_sim")
+    sym = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
+    ).union(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "dst", "rank", "cos_sim")
+    )

@@ -113,11 +113,18 @@ if _overlap:
 
 def _bench_only() -> dict[str, Query]:
     from ..operators.dedup import q_dedup_components_lsh
-    from ..operators.similarity import q_sim_join_lsh
+    from ..operators.similarity import q_knn_graph_lsh, q_sim_join_lsh
     from ..operators.textstats import q_lang_id_ngram
 
     qs = [
         Query("sim_join_lsh", q_sim_join_lsh, None, ("llm", "similarity", "approx"), bench=True),
+        Query(
+            "knn_graph_lsh",
+            q_knn_graph_lsh,
+            None,
+            ("llm", "similarity", "approx", "graph"),
+            bench=True,  # the 100 TB twin of the exact knn_graph
+        ),
         Query(
             "dedup_components_lsh",
             q_dedup_components_lsh,

@@ -1245,3 +1245,37 @@ def test_retention_cohort_offset_zero_covers_every_user(spark, sf_dir):
     size = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
     for r in rows:
         assert r.n_users <= size[r.cohort_week], r
+
+
+def test_knn_graph_lsh_ranks_planted_neighbor_first(spark, tmp_path):
+    # a near-identical copy of vector 0 must be vector 0's rank-1
+    # neighbor in the LSH-candidate graph (both directions)
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 64
+    rows = []
+    for i in range(150):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v], i % 4))
+    base = rows[0][1]
+    rows.append((700, [x + rng.gauss(0, 0.001) for x in base], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        q_knn_graph_lsh,
+    )
+
+    edges = q_knn_graph_lsh(spark, str(tmp_path)).collect()
+    top = {r.src: r.dst for r in edges if r.rank == 1}
+    assert top.get(0) == 700
+    assert top.get(700) == 0
+    # per-source ranks are 1..k without gaps
+    by_src = {}
+    for r in edges:
+        by_src.setdefault(r.src, []).append(r.rank)
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src

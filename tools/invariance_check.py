@@ -54,6 +54,10 @@ DEFAULT_NAMES = [
     "sample_span_mask",
     "window_range_interval",
     "pagerank",
+    "label_propagation",
+    "knn_graph",
+    "lm_unigram_score",
+    "time_weighted_avg",
 ]
 
 
