@@ -227,6 +227,53 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# recursive_cte (new in Spark 4: WITH RECURSIVE)
+
+# IDENTICAL SQL text runs on spark.sql and the DuckDB oracle (the
+# sql_frontend pattern): ancestor walk over the implicit binary-heap
+# hierarchy parent(k) = floor(k / 2) on supplier keys — a
+# deterministic parent-child relation derived from fixture data, no
+# synthetic table needed. Integer division is spelled
+# CAST(FLOOR(x / 2.0) AS BIGINT) because that exact phrase parses and
+# means the same thing in both dialects (DuckDB has no DIV, Spark no //).
+SQL_RECURSIVE_HIERARCHY = """
+WITH RECURSIVE walk(s_suppkey, node, depth) AS (
+  SELECT s_suppkey, CAST(s_suppkey AS BIGINT) AS node, 0 AS depth
+  FROM supplier
+  UNION ALL
+  SELECT s_suppkey, CAST(FLOOR(node / 2.0) AS BIGINT) AS node, depth + 1
+  FROM walk WHERE node > 1
+)
+SELECT s_suppkey,
+       MAX(depth) AS depth_to_root,
+       COUNT(*) AS chain_len,
+       CAST(SUM(node) AS BIGINT) AS path_key_sum
+FROM walk
+GROUP BY s_suppkey
+"""
+
+
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy traversal (``WITH RECURSIVE``, new in
+    Spark 4): walk every supplier's ancestor chain in the implicit
+    parent(k) = floor(k/2) tree and aggregate per-node path facts
+    (depth to root, chain length, path key sum).
+
+    This is the iterative-fixpoint pattern expressed DECLARATIVELY —
+    the engine owns the loop (each recursion level is one self-join
+    the planner schedules), where dedup_components/pagerank hand-roll
+    their loops for convergence control and custom state. Depth is
+    O(log max_key), so the recursion terminates in ~15 levels
+    regardless of table size; per-level frames carry (key, node,
+    depth) longs only.
+    """
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_RECURSIVE_HIERARCHY)
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
@@ -247,5 +294,11 @@ EXTRA_QUERIES = [
         q_retention_cohort,
         SQL_RETENTION_COHORT,
         ("relational", "analytics"),
+    ),
+    Query(
+        "recursive_cte",
+        q_recursive_hierarchy,
+        SQL_RECURSIVE_HIERARCHY,
+        ("relational", "sql", "iterative"),
     ),
 ]

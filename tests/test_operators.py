@@ -1279,3 +1279,29 @@ def test_knn_graph_lsh_ranks_planted_neighbor_first(spark, tmp_path):
         by_src.setdefault(r.src, []).append(r.rank)
     for src, ranks in by_src.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+
+
+def test_recursive_cte_depths_match_bit_length(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_recursive_hierarchy,
+    )
+
+    rows = q_recursive_hierarchy(spark, sf_dir).collect()
+    keys = {
+        r.s_suppkey
+        for r in spark.read.parquet(f"{sf_dir}/supplier.parquet").collect()
+    }
+    assert {r.s_suppkey for r in rows} == keys
+    for r in rows:
+        # walking k -> floor(k/2) -> ... -> root takes bit_length(k)-1
+        # steps (key 0 is its own root: the recursion never fires)
+        assert r.depth_to_root == max(r.s_suppkey.bit_length() - 1, 0), r
+        assert r.chain_len == r.depth_to_root + 1
+        # path sum: k + k//2 + ... + 1 (or just 0 for key 0)
+        k, total = r.s_suppkey, 0
+        while True:
+            total += k
+            if k <= 1:
+                break
+            k //= 2
+        assert r.path_key_sum == total, r
