@@ -124,3 +124,57 @@ def test_cdc_apply_matches_sequential_replay(spark, log, tmp_path_factory):
         for r in q_cdc_apply(spark, str(path)).collect()
     }
     assert got == want
+
+
+# words without spaces (the span-mask tokenizer splits on single space)
+_words = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=40,
+)
+_docs = st.lists(_words, min_size=1, max_size=8)
+
+
+@given(docs=_docs)
+@slow_ok
+def test_span_mask_round_trips_any_corpus(spark, docs, tmp_path_factory):
+    """Splicing the target spans back into the input at their numbered
+    sentinels reconstructs the original text, for ARBITRARY corpora —
+    the algebraic inverse property behind the fixture test."""
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_sample_span_mask,
+    )
+
+    tmp = tmp_path_factory.mktemp("spanmask")
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    out = {r.doc_id: r for r in q_sample_span_mask(spark, str(tmp)).collect()}
+    sent = re.compile(r"^<extra_id_(\d+)>$")
+    for doc_id, text in rows:
+        r = out[doc_id]
+        spans: dict[int, list[str]] = {}
+        cur = None
+        for tok in r.target_text.split(" ") if r.target_text else []:
+            m = sent.match(tok)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        rebuilt = []
+        for tok in r.input_text.split(" ") if r.input_text else []:
+            m = sent.match(tok)
+            if m:
+                rebuilt.extend(spans[int(m.group(1))])
+            else:
+                rebuilt.append(tok)
+        assert " ".join(rebuilt) == text, doc_id
