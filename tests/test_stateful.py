@@ -336,3 +336,72 @@ def test_transform_with_state_plan_builds_everywhere(spark):
         "n_events",
         "sum_value_cents",
     ]
+
+
+def test_stateful_sliding_state_survives_query_restart(spark, tmp_path):
+    # two availableNow runs over ONE checkpoint: run 1 ingests early
+    # events (windows stay open in the state store), run 2 starts a
+    # NEW query on the same checkpoint, ingests the flush event, and
+    # must close the run-1 windows from RESTORED state — counts and
+    # sums spanning both runs prove the GroupState round-tripped
+    import pyspark.sql.functions as F
+
+    from data_ingestion_s3_to_parquet_spark.streaming.stateful import (
+        sliding_stateful,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    flush = base + dt.timedelta(days=2)
+    batch1 = [
+        (1, base + dt.timedelta(minutes=5), 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=20), 1, "click", 2.0),
+    ]
+    batch2 = [
+        (3, base + dt.timedelta(minutes=35), 1, "click", 4.0),
+        (4, flush, 1, "click", 0.0),
+    ]
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        q = (
+            sliding_stateful(stream)
+            .writeStream.format("parquet")  # memory sink can't recover
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(batch1, EVENTS_STREAM_SCHEMA).repartition(1).write.parquet(src)
+    run_once()  # windows opened, nothing closable yet
+    spark.createDataFrame(batch2, EVENTS_STREAM_SCHEMA).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()  # restored state + new events -> windows close
+
+    streaming = {
+        (r.window_start, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+        if r.window_start < flush - dt.timedelta(hours=1)
+    }
+    batch = {
+        (r.start, r.n, r.s)
+        for r in (
+            spark.createDataFrame(batch1 + batch2, EVENTS_STREAM_SCHEMA)
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .select(F.col("w.start").alias("start"), F.col("w.end").alias("end"), "n", "s")
+            .collect()
+        )
+        if r.start < flush - dt.timedelta(hours=1)
+    }
+    assert streaming == batch
+    # cross-run windows really did combine: some window must hold
+    # events from BOTH runs (e.g. the 00:00 window has all three)
+    assert any(n == 3 for _, n, _ in streaming)
