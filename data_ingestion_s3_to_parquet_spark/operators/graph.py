@@ -64,12 +64,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_graph``'s (src → dst). The edge table is computed once,
     checkpointed, and reused across iterations.
     """
-    edges = q_knn_graph(spark, sf_dir).select("src", "dst").localCheckpoint()
+    edges = q_knn_graph(spark, sf_dir).select("src", "dst")
     from ..sources.catalog import load_table
 
     nodes = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("node")
     )
+    return pagerank_edges(edges, nodes)
+
+
+def pagerank_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """The edge-source-pluggable PageRank loop: ``edges`` (src, dst)
+    and ``nodes`` (node) in, (node, pr) out. The graded query feeds
+    exact label-block k-NN edges (oracle-checkable); at 100 TB the
+    SAME loop runs on LSH candidate edges
+    (``similarity.q_knn_graph_lsh``) — candidates ∝ true neighbors,
+    never |block|² — exactly the pluggable-edge contract the
+    components dispatcher has (tests wire both).
+    """
+    edges = edges.select("src", "dst").localCheckpoint()
     n = nodes.count()
     # integer constants, computed once: initial rank 1/n and teleport
     # (1-d)/n, both scaled by 1e9 and rounded half-up

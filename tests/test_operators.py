@@ -1305,3 +1305,40 @@ def test_recursive_cte_depths_match_bit_length(spark, sf_dir):
                 break
             k //= 2
         assert r.path_key_sum == total, r
+
+
+def test_pagerank_loop_accepts_lsh_candidate_edges(spark, tmp_path):
+    # the 100 TB wiring: LSH candidate edges feed the SAME fixed-point
+    # loop the graded query runs on exact edges; the planted near-dup
+    # pair must out-rank the noise vectors (each pulls teleport mass
+    # from the other every round)
+    import math
+    import random
+
+    rng = random.Random(13)
+    dim = 64
+    rows = []
+    for i in range(120):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v], i % 4))
+    base = rows[0][1]
+    rows.append((500, [x + rng.gauss(0, 0.001) for x in base], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    import pyspark.sql.functions as SF
+
+    from data_ingestion_s3_to_parquet_spark.operators.graph import pagerank_edges
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        q_knn_graph_lsh,
+    )
+
+    edges = q_knn_graph_lsh(spark, str(tmp_path)).select("src", "dst")
+    nodes = spark.read.parquet(str(tmp_path / "embeddings.parquet")).select(
+        SF.col("vec_id").alias("node")
+    )
+    pr = {r.node: r.pr for r in pagerank_edges(edges, nodes).collect()}
+    assert len(pr) == 121
+    floor = min(pr.values())  # isolated nodes sit at pure teleport mass
+    assert pr[0] > floor and pr[500] > floor  # the planted pair gained rank
