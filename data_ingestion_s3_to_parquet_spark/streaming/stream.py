@@ -80,8 +80,9 @@ def interval_join_streams(
     key: str = "user_id",
     watermark: str = "10 minutes",
     within: str = "15 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval bound: a
+    """Stream-stream join with an event-time interval bound: a
     right-side row matches a left-side row with the same ``key`` when
     ``r.ts ∈ [l.ts, l.ts + within]`` (the attribution pattern — e.g.
     clicks joined to the impression they follow).
@@ -93,13 +94,21 @@ def interval_join_streams(
     whole history. Without the bound, stream-stream join state grows
     forever. State is hash-partitioned by the join key — same skew
     story as any keyed shuffle.
+
+    ``how="leftOuter"`` adds the unmatched-left lane: a left row with
+    no match emits null-padded ONLY when the watermark proves no
+    future right row can still match it — i.e. outer results are
+    EVICTION-DRIVEN and arrive one watermark delay late (tested in
+    tests/test_streaming.py); an outer join without the interval
+    bound would be rejected, since "never matches again" would be
+    unprovable.
     """
     l_ = left.withWatermark("ts", watermark).alias("l")
     r_ = right.withWatermark("ts", watermark).alias("r")
     cond = F.expr(
         f"l.{key} = r.{key} AND r.ts >= l.ts AND r.ts <= l.ts + interval {within}"
     )
-    return l_.join(r_, cond).select(
+    return l_.join(r_, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col("l.event_id").alias("left_id"),
         F.col("r.event_id").alias("right_id"),

@@ -428,3 +428,40 @@ def test_replay_datasource_streams_table_in_bounded_batches(spark):
         1 for p in q.recentProgress if p["numInputRows"] > 0
     )
     assert n_batches >= 3  # 25 rows / 10-row cap -> backpressure held
+
+
+def test_stream_stream_interval_join_left_outer_emits_on_eviction(spark, tmp_path):
+    # leftOuter: an unmatched view emits null-padded only once the
+    # watermark proves no future click can still land in its interval;
+    # far-future flush events on BOTH streams advance the watermark
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.streaming.stream import (
+        interval_join_streams,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    flush = base + dt.timedelta(days=1)
+    views = [
+        (100, base, 1, "view", 0.0),                       # will match
+        (101, base + dt.timedelta(minutes=1), 2, "view", 0.0),  # never matches
+        (190, flush, 9, "view", 0.0),
+    ]
+    clicks = [
+        (200, base + dt.timedelta(minutes=5), 1, "click", 1.0),
+        (290, flush, 9, "click", 1.0),
+    ]
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    spark.createDataFrame(views, EVENTS_STREAM_SCHEMA).write.parquet(vdir)
+    spark.createDataFrame(clicks, EVENTS_STREAM_SCHEMA).write.parquet(cdir)
+
+    joined = interval_join_streams(
+        events_file_stream(spark, vdir),
+        events_file_stream(spark, cdir),
+        how="leftOuter",
+    )
+    rows = run_stream_once(joined, name="smoke_outer_join", output_mode="append")
+    got = {(r.left_id, r.right_id) for r in rows if r.left_id < 190}
+    assert got == {(100, 200), (101, None)}
+    lag = {r.left_id: r.lag_sec for r in rows if r.left_id < 190}
+    assert lag[100] == 300 and lag[101] is None
