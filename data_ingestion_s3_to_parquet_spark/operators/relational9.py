@@ -274,6 +274,101 @@ def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_RECURSIVE_HIERARCHY)
 
 
+# ---------------------------------------------------------------------------
+# data_expectations
+
+EXPECTED_EVENT_TYPES = ("click", "view", "purchase", "signup")
+
+
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the events table — the
+    Deequ/Great-Expectations pattern: each expectation is evaluated to
+    a (rule, n_checked, n_violations, passed) row, so the CONTRACT is
+    data a pipeline can branch on (quarantine, alert, block publish),
+    not an exception. `profile_table` measures; this judges. One rule
+    (allowed event types) fails on this corpus by design — the
+    'error' rows — because a validator whose fixtures can't fail
+    proves nothing.
+
+    Plan: the five scan-level rules fold into ONE aggregation over one
+    scan (conditional counts + a distinct count); the referential rule
+    is a broadcast-able left-anti count against the dimension keys.
+    At 100 TB both shapes hold: conditional counts are combinable,
+    and the anti join carries only the key column.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    allowed = list(EXPECTED_EVENT_TYPES)
+    agg = e.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_uniq"),
+        F.sum(F.col("value").isNull().cast("long")).alias("v_null"),
+        F.sum((F.col("value") < 0).cast("long")).alias("v_neg"),
+        F.sum((~F.col("event_type").isin(allowed)).cast("long")).alias("v_type"),
+        F.sum(
+            (
+                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp"))
+            ).cast("long")
+        ).alias("v_ts"),
+    )
+    ri = e.select("user_id").join(c, "user_id", "left_anti").agg(
+        F.count("*").alias("v_ri")
+    )
+    wide = agg.crossJoin(ri)
+
+    def rule(name, violations):
+        return wide.select(
+            F.lit(name).alias("rule"),
+            F.col("n").alias("n_checked"),
+            violations.cast("long").alias("n_violations"),
+            (violations == 0).alias("passed"),
+        )
+
+    out = rule("event_id_unique", F.col("n") - F.col("n_uniq"))
+    for name, col in (
+        ("value_not_null", F.col("v_null")),
+        ("value_non_negative", F.col("v_neg")),
+        ("event_type_allowed", F.col("v_type")),
+        ("ts_in_2024", F.col("v_ts")),
+        ("user_id_references_customer", F.col("v_ri")),
+    ):
+        out = out.unionByName(rule(name, col))
+    return out
+
+
+_ALLOWED_SQL = ", ".join(f"'{t}'" for t in EXPECTED_EVENT_TYPES)
+
+SQL_DATA_EXPECTATIONS = f"""
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT event_id) AS n_uniq,
+         COUNT(*) FILTER (WHERE value IS NULL) AS v_null,
+         COUNT(*) FILTER (WHERE value < 0) AS v_neg,
+         COUNT(*) FILTER (WHERE event_type NOT IN ({_ALLOWED_SQL})) AS v_type,
+         COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01'
+                             OR ts >= TIMESTAMP '2025-01-01') AS v_ts
+  FROM events
+),
+ri AS (
+  SELECT COUNT(*) AS v_ri FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+),
+wide AS (SELECT * FROM agg CROSS JOIN ri)
+SELECT 'event_id_unique' AS rule, n AS n_checked,
+       CAST(n - n_uniq AS BIGINT) AS n_violations, (n - n_uniq) = 0 AS passed
+FROM wide
+UNION ALL SELECT 'value_not_null', n, CAST(v_null AS BIGINT), v_null = 0 FROM wide
+UNION ALL SELECT 'value_non_negative', n, CAST(v_neg AS BIGINT), v_neg = 0 FROM wide
+UNION ALL SELECT 'event_type_allowed', n, CAST(v_type AS BIGINT), v_type = 0 FROM wide
+UNION ALL SELECT 'ts_in_2024', n, CAST(v_ts AS BIGINT), v_ts = 0 FROM wide
+UNION ALL SELECT 'user_id_references_customer', n, CAST(v_ri AS BIGINT), v_ri = 0 FROM wide
+"""
+
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
@@ -300,5 +395,11 @@ EXTRA_QUERIES = [
         q_recursive_hierarchy,
         SQL_RECURSIVE_HIERARCHY,
         ("relational", "sql", "iterative"),
+    ),
+    Query(
+        "data_expectations",
+        q_data_expectations,
+        SQL_DATA_EXPECTATIONS,
+        ("relational", "quality", "validation"),
     ),
 ]

@@ -1342,3 +1342,28 @@ def test_pagerank_loop_accepts_lsh_candidate_edges(spark, tmp_path):
     assert len(pr) == 121
     floor = min(pr.values())  # isolated nodes sit at pure teleport mass
     assert pr[0] > floor and pr[500] > floor  # the planted pair gained rank
+
+
+def test_data_expectations_gate_shape_and_failing_rule(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_data_expectations,
+    )
+
+    rows = {r.rule: r for r in q_data_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    for r in rows.values():
+        assert r.n_checked == n
+        assert r.passed == (r.n_violations == 0)
+    # the corpus contains 'error' events: the allowed-set rule must
+    # FAIL with exactly that count, everything else must pass
+    n_err = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("event_type = 'error'")
+        .count()
+    )
+    assert not rows["event_type_allowed"].passed
+    assert rows["event_type_allowed"].n_violations == n_err
+    for rule, r in rows.items():
+        if rule != "event_type_allowed":
+            assert r.passed, rule
