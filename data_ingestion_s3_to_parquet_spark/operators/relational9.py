@@ -106,12 +106,19 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     joinable (user, ts) frames — each stage is one combinable agg
     over a filtered scan, never a per-user sort. At 100 TB the stage
     frames carry one row per converted user, monotonically shrinking.
+    Stage frames are localCheckpointed so each events scan happens
+    ONCE: without the cut, every later stage (and the final count)
+    re-derives its whole prefix chain — measured as 8 exchanges and
+    ~6 logical scans for the naive per-stage-count union, vs 3 scans
+    here; the counts themselves come from one left-join row over the
+    tiny per-user frames, exploded to long format.
     """
     e = load_table(spark, sf_dir, "events")
     s1 = (
         e.where(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     s2 = (
         e.where(F.col("event_type") == FUNNEL_STEPS[1])
@@ -119,6 +126,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
     )
     s3 = (
         e.where(F.col("event_type") == FUNNEL_STEPS[2])
@@ -127,14 +135,25 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    steps = [s1, s2, s3]
-    out = None
-    for i, (name, frame) in enumerate(zip(FUNNEL_STEPS, steps), start=1):
-        row = frame.agg(F.count("*").alias("n_users")).select(
-            F.lit(f"{i}_{name}").alias("step"), "n_users"
+    wide = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count("*").alias("n1"),
+            F.count("t2").alias("n2"),
+            F.count("t3").alias("n3"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f"{i}_{name}").alias("step"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, name in enumerate(FUNNEL_STEPS, start=1)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
 
 
 SQL_FUNNEL_CONVERSION = f"""
