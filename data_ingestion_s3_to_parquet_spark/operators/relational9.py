@@ -391,6 +391,59 @@ UNION ALL SELECT 'user_id_references_customer', n, CAST(v_ri AS BIGINT), v_ri = 
 
 
 
+# ---------------------------------------------------------------------------
+# fuzzy_match_strings
+
+FUZZY_PREFIX_LEN = 24
+FUZZY_MAX_EDITS = 8
+
+
+def q_fuzzy_match_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage: document pairs whose normalized
+    24-char prefixes are within 8 Levenshtein edits, within language
+    blocks — the string-similarity primitive behind entity resolution
+    and near-duplicate title/URL matching, on the built-in exact DP
+    (``F.levenshtein`` — JVM-side, no UDF; DuckDB's ``levenshtein``
+    computes the identical unit-cost distance, so the pairs match
+    exactly).
+
+    The lang-block pair join is quadratic within block — the standard
+    oracle-twin formulation (same contract as ``sim_join`` /
+    ``knn_graph``): at 100 TB the SAME verify step runs on banded
+    q-gram/MinHash candidates (``dedup_fuzzy``'s machinery) instead of
+    block pairs; Levenshtein-verify-after-candidate is the linkage
+    pipeline shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        "lang",
+        F.substring(F.lower("text"), 1, FUZZY_PREFIX_LEN).alias("pre"),
+    )
+    a = p.select(F.col("doc_id").alias("doc_a"), "lang", F.col("pre").alias("pre_a"))
+    b = p.select(F.col("doc_id").alias("doc_b"), "lang", F.col("pre").alias("pre_b"))
+    return (
+        a.join(b, "lang")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edits", F.levenshtein("pre_a", "pre_b"))
+        .where(F.col("edits") <= FUZZY_MAX_EDITS)
+        .select("lang", "doc_a", "doc_b", "edits")
+    )
+
+
+SQL_FUZZY_MATCH_STRINGS = f"""
+WITH p AS (
+  SELECT doc_id, lang, substr(lower(text), 1, {FUZZY_PREFIX_LEN}) AS pre
+  FROM documents
+)
+SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.pre, b.pre) AS edits
+FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= {FUZZY_MAX_EDITS}
+"""
+
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
@@ -423,5 +476,11 @@ EXTRA_QUERIES = [
         q_data_expectations,
         SQL_DATA_EXPECTATIONS,
         ("relational", "quality", "validation"),
+    ),
+    Query(
+        "fuzzy_match_strings",
+        q_fuzzy_match_strings,
+        SQL_FUZZY_MATCH_STRINGS,
+        ("llm", "text", "linkage"),
     ),
 ]

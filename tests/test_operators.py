@@ -1367,3 +1367,44 @@ def test_data_expectations_gate_shape_and_failing_rule(spark, sf_dir):
     for rule, r in rows.items():
         if rule != "event_type_allowed":
             assert r.passed, rule
+
+
+def test_fuzzy_match_strings_agrees_with_python_levenshtein(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        FUZZY_MAX_EDITS,
+        FUZZY_PREFIX_LEN,
+        q_fuzzy_match_strings,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.edits
+        for r in q_fuzzy_match_strings(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(
+            (r.doc_id, r.text.lower()[:FUZZY_PREFIX_LEN])
+        )
+    want = {}
+    for rows in by_lang.values():
+        for i, (ida, pa) in enumerate(rows):
+            for idb, pb in rows[i + 1 :]:
+                lo, hi = min(ida, idb), max(ida, idb)
+                d = lev(pa, pb)
+                if d <= FUZZY_MAX_EDITS:
+                    want[(lo, hi)] = d
+    assert got == want
+    assert got  # non-vacuous on the fixture
