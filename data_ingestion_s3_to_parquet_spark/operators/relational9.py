@@ -444,6 +444,76 @@ WHERE levenshtein(a.pre, b.pre) <= {FUZZY_MAX_EDITS}
 
 
 
+# ---------------------------------------------------------------------------
+# chunk_text
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/embedding
+    ingestion shape: split each document into 64-token chunks with a
+    16-token overlap so no sentence is stranded on a boundary, and
+    emit (doc_id, chunk_id, start_pos, n_chunk_tokens, chunk_text).
+
+    Entirely Catalyst array algebra: split → ``sequence`` of chunk
+    starts → explode → ``slice`` + ``array_join``. Map-only (the
+    explode multiplies rows but introduces no shuffle); at 100 TB
+    chunking is scan-bound, exactly as the first pass of an embedding
+    pipeline must be. The trailing chunk keeps whatever remains (may
+    be short) — chunk starts advance by step = tokens − overlap from
+    position 1, so every token lands in ≥ 1 chunk and interior tokens
+    in exactly 1 + overlap/step on average.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("n") - CHUNK_OVERLAP, F.lit(1)),
+        F.lit(_CHUNK_STEP),
+    )
+    return (
+        toks.select("doc_id", "n", "t", F.explode(starts).alias("start_pos"))
+        .withColumn("chunk", F.slice("t", F.col("start_pos"), CHUNK_TOKENS))
+        .select(
+            "doc_id",
+            ((F.col("start_pos") - 1) / _CHUNK_STEP + 1)
+            .cast("long")
+            .alias("chunk_id"),
+            "start_pos",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+SQL_CHUNK_TEXT = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+st AS (
+  SELECT doc_id, n, t,
+         unnest(generate_series(1, greatest(n - {CHUNK_OVERLAP}, 1),
+                                {_CHUNK_STEP})) AS start_pos
+  FROM tk
+)
+SELECT doc_id,
+       CAST((start_pos - 1) / {_CHUNK_STEP} + 1 AS BIGINT) AS chunk_id,
+       start_pos,
+       len(t[start_pos : start_pos + {CHUNK_TOKENS - 1}]) AS n_chunk_tokens,
+       array_to_string(t[start_pos : start_pos + {CHUNK_TOKENS - 1}], ' ')
+         AS chunk_text
+FROM st
+"""
+
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
@@ -482,5 +552,11 @@ EXTRA_QUERIES = [
         q_fuzzy_match_strings,
         SQL_FUZZY_MATCH_STRINGS,
         ("llm", "text", "linkage"),
+    ),
+    Query(
+        "chunk_text",
+        q_chunk_text,
+        SQL_CHUNK_TEXT,
+        ("llm", "text", "rag"),
     ),
 ]

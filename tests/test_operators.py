@@ -572,7 +572,8 @@ def test_extra_lane_doc_counts_match_registry():
         27: "twenty-seven", 28: "twenty-eight", 29: "twenty-nine",
         30: "thirty", 31: "thirty-one", 32: "thirty-two",
         33: "thirty-three", 34: "thirty-four", 35: "thirty-five",
-        36: "thirty-six",
+        36: "thirty-six", 37: "thirty-seven", 38: "thirty-eight",
+        39: "thirty-nine", 40: "forty",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -1408,3 +1409,33 @@ def test_fuzzy_match_strings_agrees_with_python_levenshtein(spark, sf_dir):
                     want[(lo, hi)] = d
     assert got == want
     assert got  # non-vacuous on the fixture
+
+
+def test_chunk_text_covers_every_token_with_exact_overlap(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        q_chunk_text,
+    )
+
+    step = CHUNK_TOKENS - CHUNK_OVERLAP
+    chunks: dict[int, list] = {}
+    for r in q_chunk_text(spark, sf_dir).collect():
+        chunks.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert chunks.keys() == docs.keys()
+    for doc_id, toks in docs.items():
+        rs = sorted(chunks[doc_id], key=lambda r: r.chunk_id)
+        # chunk starts advance by step from 1, ids are 1..k
+        assert [r.chunk_id for r in rs] == list(range(1, len(rs) + 1))
+        assert [r.start_pos for r in rs] == [1 + step * i for i in range(len(rs))]
+        covered = set()
+        for r in rs:
+            want = toks[r.start_pos - 1 : r.start_pos - 1 + CHUNK_TOKENS]
+            assert r.chunk_text == " ".join(want), (doc_id, r.chunk_id)
+            assert r.n_chunk_tokens == len(want)
+            covered.update(range(r.start_pos - 1, r.start_pos - 1 + len(want)))
+        assert covered == set(range(len(toks))), doc_id  # full coverage
