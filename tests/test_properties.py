@@ -178,3 +178,53 @@ def test_span_mask_round_trips_any_corpus(spark, docs, tmp_path_factory):
             else:
                 rebuilt.append(tok)
         assert " ".join(rebuilt) == text, doc_id
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(edges=_edges)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_match_union_find(spark, edges):
+    """The auto-dispatched CC loop (hash-min probe → star fallback)
+    must agree with a plain union-find on ARBITRARY small graphs —
+    self-loops, duplicates, isolated vertices, and chain shapes
+    included (the fixtures only exercise shallow near-dup clusters)."""
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        connected_components_auto,
+    )
+
+    vertices = spark.range(25).selectExpr("id AS vec_id")
+    pairs = spark.createDataFrame(
+        [(u, v) for u, v in edges] or [(0, 0)], "u long, v long"
+    )
+    got = {
+        r.vec_id: r.component
+        for r in connected_components_auto(pairs, vertices).collect()
+    }
+
+    parent = list(range(25))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    want = {}
+    roots: dict[int, int] = {}
+    for x in range(25):
+        r = find(x)
+        roots.setdefault(r, x)  # min member = first seen ascending
+        want[x] = roots[r]
+    assert got == want
