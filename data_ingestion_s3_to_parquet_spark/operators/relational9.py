@@ -514,6 +514,86 @@ FROM st
 
 
 
+# ---------------------------------------------------------------------------
+# corpus_report
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card row: one-line corpus summary a data release
+    ships with — document and token volume, language spread, the
+    exact-duplicate rate (by normalized-content fingerprint), and the
+    quality-gate keep rate (Gopher rules) — composed from the same
+    building blocks the individual operators grade.
+
+    Plan: one scan computes the volume/fingerprint aggregates
+    (map-side combinable; the distinct fingerprint count shuffles
+    md5 hashes, not text); the keep rate re-aggregates the
+    quality_gopher output (its own single scan); a cross join of two
+    one-row frames stitches the report. Rates use the exact decimal
+    mean pattern rounded to 6 dp.
+    """
+    from .textstats import q_quality_gopher
+
+    d = load_table(spark, sf_dir, "documents")
+    norm_fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    vol = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.countDistinct(norm_fp).alias("n_unique"),
+    )
+    keep = q_quality_gopher(spark, sf_dir).agg(
+        F.sum(F.col("keep").cast("long")).alias("n_keep")
+    )
+    return vol.crossJoin(keep).select(
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 6).alias(
+            "avg_doc_tokens"
+        ),
+        (F.col("n_docs") - F.col("n_unique")).alias("n_exact_dups"),
+        F.round(
+            (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
+    )
+
+
+
+# oracle: the volume aggregates inline; the keep count reuses the
+# quality_gopher oracle verbatim as a subquery (one source of truth
+# for the gate's SQL semantics)
+def _sql_corpus_report() -> str:
+    from .textstats import SQL_QUALITY_GOPHER
+
+    return f"""
+WITH vol AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         SUM(len(string_split(text, ' '))) AS total_tokens,
+         COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+           AS n_unique
+  FROM documents
+),
+keep AS (
+  SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep
+  FROM ({SQL_QUALITY_GOPHER}) g
+)
+SELECT n_docs, n_langs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS avg_doc_tokens,
+       CAST(n_docs - n_unique AS BIGINT) AS n_exact_dups,
+       ROUND(CAST(n_docs - n_unique AS DOUBLE) / n_docs, 6) AS dup_rate,
+       ROUND(CAST(n_keep AS DOUBLE) / n_docs, 6) AS keep_rate
+FROM vol CROSS JOIN keep
+"""
+
+
+SQL_CORPUS_REPORT = _sql_corpus_report()
+
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
@@ -558,5 +638,11 @@ EXTRA_QUERIES = [
         q_chunk_text,
         SQL_CHUNK_TEXT,
         ("llm", "text", "rag"),
+    ),
+    Query(
+        "corpus_report",
+        q_corpus_report,
+        SQL_CORPUS_REPORT,
+        ("llm", "text", "report"),
     ),
 ]

@@ -1439,3 +1439,25 @@ def test_chunk_text_covers_every_token_with_exact_overlap(spark, sf_dir):
             assert r.n_chunk_tokens == len(want)
             covered.update(range(r.start_pos - 1, r.start_pos - 1 + len(want)))
         assert covered == set(range(len(toks))), doc_id  # full coverage
+
+
+def test_corpus_report_composes_its_building_blocks(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_corpus_report,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_quality_gopher,
+    )
+
+    r = q_corpus_report(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert r.n_docs == len(docs)
+    assert r.n_langs == len({d.lang for d in docs})
+    assert r.total_tokens == sum(len(d.text.split(" ")) for d in docs)
+    import re
+
+    fps = {re.sub(r"\s+", " ", d.text.lower()).strip() for d in docs}
+    assert r.n_exact_dups == len(docs) - len(fps)
+    keep = sum(1 for g in q_quality_gopher(spark, sf_dir).collect() if g.keep)
+    assert abs(r.keep_rate - keep / len(docs)) < 1e-6
+    assert 0 <= r.dup_rate <= 1 and 0 <= r.keep_rate <= 1
