@@ -185,3 +185,71 @@ def test_stream_ingest_then_compact_end_to_end(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == n_rows
     assert {r.fp for r in after.select("fp").collect()} == fps
+
+
+def test_cdc_materialize_stream_versions_latest_snapshots(spark, tmp_path):
+    # streaming upsert into a manifest table: after each availableNow
+    # run the table holds latest-per-user; retained generations give
+    # time travel to the pre-batch snapshot; a re-merge is idempotent
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import (
+        manifest_table_generations,
+        manifest_table_read,
+    )
+    from data_ingestion_s3_to_parquet_spark.streaming.stream import (
+        EVENTS_STREAM_SCHEMA,
+        cdc_materialize_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    b1 = [
+        (1, base, 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=1), 2, "view", 2.0),
+    ]
+    b2 = [
+        (3, base + dt.timedelta(minutes=5), 1, "purchase", 9.0),  # supersedes 1
+        (4, base + dt.timedelta(minutes=6), 3, "signup", 4.0),    # new key
+    ]
+    src = str(tmp_path / "events")
+    root = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        q = (
+            cdc_materialize_stream(stream, root)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, EVENTS_STREAM_SCHEMA).repartition(1).write.parquet(src)
+    run_once()
+    snap1 = {
+        (r.user_id, r.event_id)
+        for r in manifest_table_read(spark, root).collect()
+    }
+    assert snap1 == {(1, 1), (2, 2)}
+
+    spark.createDataFrame(b2, EVENTS_STREAM_SCHEMA).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    snap2 = {
+        (r.user_id, r.event_id)
+        for r in manifest_table_read(spark, root).collect()
+    }
+    assert snap2 == {(1, 3), (2, 2), (3, 4)}  # latest-wins upsert
+
+    # time travel: the previous retained generation is the b1 snapshot
+    gens = manifest_table_generations(root)
+    assert len(gens) == 2
+    old = {
+        (r.user_id, r.event_id)
+        for r in manifest_table_read(spark, root, generation=gens[0]).collect()
+    }
+    assert old == snap1
