@@ -671,6 +671,7 @@ EXTRA_QUERIES = [
         q_lm_unigram_score,
         SQL_LM_UNIGRAM_SCORE,
         ("llm", "text", "quality"),
+        bench=True,  # broadcast-vocab scoring over the token stream
     ),
     Query(
         "profile_table",

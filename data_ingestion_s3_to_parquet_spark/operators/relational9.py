@@ -638,6 +638,7 @@ EXTRA_QUERIES = [
         q_chunk_text,
         SQL_CHUNK_TEXT,
         ("llm", "text", "rag"),
+        bench=True,  # the explode-heavy map-only representative
     ),
     Query(
         "corpus_report",
