@@ -433,10 +433,14 @@ def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-word frame; scoring is a broadcast join of the fixed-size
     vocab onto the token stream (the token shuffle by doc_id for the
     final aggregation is the floor for any per-doc score). Per-token
-    nll is rounded to 6 dp BEFORE the exact decimal sum: log2 is the
-    one libm call here, and quantizing each term makes the aggregate
-    bitwise engine-portable (a term would have to sit within ~1 ulp of
-    a 1e-6 grid line to round apart — p ≈ 1e-9 per distinct word).
+    nll is quantized to integer MICRO-nll (round(nll·1e6), where only
+    a ~1e-9-per-word ulp coincidence could round apart), summed
+    exactly in int64, and the per-doc mean divides half-up in integer
+    arithmetic — the fixed-point rule (SCALE.md §34): a double mean of
+    a quantized sum lands exactly on rounding midpoints whenever
+    n_words divides the sum suitably, and the sf0.1 sweep caught
+    precisely that (one doc flipping 4.910475/4.910476 across
+    engines).
     """
     d = load_table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -450,18 +454,34 @@ def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("c").isNull().alias("oov"),
             F.round(
-                -F.log2(F.coalesce(F.col("c").cast("double"), F.lit(0.5)) / F.col("n_total")),
-                6,
-            ).alias("nll"),
+                -F.log2(
+                    F.coalesce(F.col("c").cast("double"), F.lit(0.5))
+                    / F.col("n_total")
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("micro_nll"),
         )
     )
-    avg_nll = (
-        F.sum(F.col("nll").cast("decimal(18,8)")).cast("double") / F.count("*")
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_words"),
-        F.sum(F.col("oov").cast("int")).alias("n_oov"),
-        F.round(avg_nll, 6).alias("avg_nll"),
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.col("oov").cast("int")).alias("n_oov"),
+            F.sum("micro_nll").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_oov",
+            # half-up integer mean, then one exact int->double projection
+            (
+                F.expr("(2 * s + n_words) div (2 * n_words)").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("avg_nll"),
+        )
     )
 
 
@@ -475,16 +495,20 @@ vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT {LM_VOCAB_SIZE}),
 scored AS (
   SELECT w.doc_id,
          v.c IS NULL AS oov,
-         ROUND(-log2(COALESCE(CAST(v.c AS DOUBLE), 0.5) / t.n_total), 6) AS nll
+         CAST(ROUND(-log2(COALESCE(CAST(v.c AS DOUBLE), 0.5) / t.n_total)
+                    * 1000000, 0) AS BIGINT) AS micro_nll
   FROM w LEFT JOIN vocab v USING (w) CROSS JOIN tot t
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_words,
+         SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+         SUM(micro_nll) AS s
+  FROM scored GROUP BY doc_id
 )
-SELECT doc_id,
-       COUNT(*) AS n_words,
-       SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
-       ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+SELECT doc_id, n_words, n_oov,
+       CAST((2 * s + n_words) // (2 * n_words) AS DOUBLE) / 1000000.0
          AS avg_nll
-FROM scored
-GROUP BY doc_id
+FROM agg
 """
 
 
