@@ -46,11 +46,52 @@ def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
 
 
 def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
-    """Order-independent mean: exact decimal sum / count, rounded.
+    """Order-independent mean in FIXED POINT: exact decimal sum,
+    scaled to integer 1e-8 units, divided half-away-from-zero by the
+    count in exact integer arithmetic, projected to double once.
 
-    SQL mirror: ``CAST(ROUND(SUM(CAST(c AS DECIMAL(18,8))) / COUNT(c), s)
-    AS DOUBLE)`` — division done in double space on both engines.
+    Why not ``round(sum/count, s)`` (the original): a mean of a
+    QUANTIZED sum lands exactly on an s-dp rounding midpoint whenever
+    the count divides the scaled sum suitably (k ≡ 50m mod 100m for
+    s = 6) — ~1/(100·count) per group, a real per-fixture-reroll
+    red-row risk; the sf0.1 sweep caught this exact class in
+    lm_unigram_score (SCALE.md §34 postscript). Integer division has
+    no midpoints.
+
+    Mechanics: half-up division round(p/q) = (2p+q) // (2q) on the
+    ABSOLUTE value, re-signed afterwards (away-from-zero, matching
+    both engines' ROUND). The integral division is
+    ``round((n - pmod(n, d)) / d)``: pmod makes the numerator exactly
+    divisible, and the double division of that pair errs by
+    ≤ quotient·1e-16 ≪ 0.5, so the final round snaps to the exact
+    quotient (int64 magnitudes exceed double's 2^53 exact range, so a
+    bare truncating cast could land one low).
+
+    Range: |sum|·1e8 must fit int64 ⇒ |sum| < 9.2e10 per group —
+    ample at bench scales; a 128-bit (decimal-backed) lane is the
+    documented step beyond. SQL mirror: :func:`davg_sql`.
     """
     c = F.col(col) if isinstance(col, str) else col
-    mean = F.sum(c.cast(ACC)).cast("double") / F.count(c)
-    return F.round(mean, scale).cast("double").alias(alias)
+    s_int = (F.sum(c.cast(ACC)) * 100_000_000).cast("long")
+    q = F.count(c) * (10 ** (8 - scale))
+    num = 2 * F.abs(s_int) + q
+    den = 2 * q
+    units_abs = F.round((num - F.pmod(num, den)) / den, 0).cast("long")
+    units = F.when(s_int < 0, -units_abs).otherwise(units_abs)
+    return (units.cast("double") / float(10**scale)).alias(alias)
+
+
+def davg_sql(col: str, alias: str, scale: int = 6) -> str:
+    """The DuckDB mirror of :func:`davg` — generated here so every
+    oracle string shares one source of truth for the fixed-point mean
+    (DuckDB's ``//`` floors, but the operands are non-negative, where
+    floor = truncate = half-up after the +q offset)."""
+    unit = 10 ** (8 - scale)
+    ssum = f"SUM(CAST({col} AS DECIMAL(18,8)))"
+    return (
+        f"CAST((CASE WHEN {ssum} < 0 THEN -1 ELSE 1 END) * "
+        f"((2 * abs(CAST({ssum} * 100000000 AS BIGINT)) "
+        f"+ COUNT({col}) * {unit}) "
+        f"// (2 * COUNT({col}) * {unit})) AS DOUBLE) / {float(10**scale)} "
+        f"AS {alias}"
+    )

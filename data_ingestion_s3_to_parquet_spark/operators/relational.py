@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import davg, dsum
+from ..functions.numeric import davg, davg_sql, dsum
 from ..plans.spec import Query
 from ..sources.catalog import load_table
 
@@ -112,7 +112,7 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_AGG_GROUP = """
+SQL_AGG_GROUP = f"""
 SELECT
   l_returnflag,
   l_linestatus,
@@ -120,9 +120,9 @@ SELECT
   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_base_price,
   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_disc_price,
   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_charge,
-  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) / COUNT(l_quantity), 6) AS DOUBLE) AS avg_qty,
-  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS DOUBLE) AS avg_price,
-  CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,8))) AS DOUBLE) / COUNT(l_discount), 6) AS DOUBLE) AS avg_disc,
+  {davg_sql("l_quantity", "avg_qty")},
+  {davg_sql("l_extendedprice", "avg_price")},
+  {davg_sql("l_discount", "avg_disc")},
   COUNT(*) AS count_order,
   COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
   COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
@@ -355,10 +355,10 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_JOIN_BROADCAST = """
+SQL_JOIN_BROADCAST = f"""
 SELECT r_name,
        COUNT(*) AS n_customers,
-       CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,8))) AS DOUBLE) / COUNT(c_acctbal), 6) AS DOUBLE) AS avg_acctbal,
+       {davg_sql("c_acctbal", "avg_acctbal")},
        array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey

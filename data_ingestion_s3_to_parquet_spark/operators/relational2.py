@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg, dsum
+from ..functions.numeric import davg, davg_sql, dsum
 from ..plans.spec import Query
 from ..sources.catalog import load_table, register_views
 
@@ -43,12 +43,11 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SUBQUERY_SCALAR = """
+SQL_SUBQUERY_SCALAR = f"""
 SELECT o_orderkey, o_orderpriority, o_totalprice
 FROM orders o
 WHERE o_totalprice > (
-  SELECT CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE)
-              / COUNT(o_totalprice), 6) AS DOUBLE)
+  SELECT {davg_sql("o_totalprice", "avg_price")}
   FROM orders
 )
   AND EXISTS (SELECT 1 FROM lineitem l

@@ -38,29 +38,62 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     One sort+shuffle serves all three functions (same window spec), and
     ``WindowExec`` streams each partition — per-task state is O(frame),
     not O(partition). Total order (o_totalprice, o_orderkey) makes
-    ntile boundaries engine-deterministic; percent_rank/cume_dist are
-    exact rational arithmetic on identical ranks, so the doubles match
-    bitwise across engines.
+    ntile boundaries engine-deterministic. percent_rank/cume_dist are
+    rebuilt from their integer ingredients (rank, peer count, n) and
+    quantized by HALF-UP INTEGER DIVISION at 6 dp — rounding the
+    engines' double ratios instead sits exactly on grid midpoints for
+    unlucky (rank, n) pairs, the midpoint class of SCALE.md §34's
+    postscript. All intermediates stay ≤ ~2e10, far inside exact
+    int64/double range.
     """
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wp = Window.partitionBy("o_orderpriority")
+    n = F.count("*").over(wp)
+    # rank() yields INT; the micro-scaling below would overflow int32
+    # for groups past ~1000 rows (measured: negative pct_rank at
+    # sf0.01) — everything enters the arithmetic as long
+    rk = F.rank().over(w).cast("long")
+    # peers-inclusive running count == cume_dist numerator
+    le = F.count("*").over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def micro_div(num, den):
+        # round(num/den * 1e6) half-up, exact: operands < 2^53
+        scaled = num * 1_000_000 * 2 + den
+        return F.floor(scaled / (2 * den)).cast("long")
+
+    pct = F.when(n == 1, F.lit(0)).otherwise(micro_div(rk - 1, n - 1))
     return o.select(
         "o_orderpriority",
         "o_orderkey",
         "o_totalprice",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        (pct.cast("double") / 1e6).alias("pct_rank"),
+        (micro_div(le, n).cast("double") / 1e6).alias("cum_dist"),
     )
 
 
 SQL_WINDOW_DISTRIBUTION = """
-SELECT o_orderpriority, o_orderkey, o_totalprice,
-       ntile(4)       OVER w AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist()    OVER w, 6) AS cum_dist
-FROM orders
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+WITH b AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ntile(4) OVER w AS quartile,
+         rank()   OVER w AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+         COUNT(*) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS le
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice, quartile,
+       CAST(CASE WHEN n = 1 THEN 0
+                 ELSE ((rk - 1) * 2000000 + (n - 1)) // (2 * (n - 1))
+            END AS DOUBLE) / 1000000.0 AS pct_rank,
+       CAST((le * 2000000 + n) // (2 * n) AS DOUBLE) / 1000000.0 AS cum_dist
+FROM b
 """
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import davg
+from ..functions.numeric import davg, davg_sql
 from ..functions.text import (
     STOPWORDS,
     alpha_ratio,
@@ -111,7 +111,7 @@ def emb_centroids_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMB_CENTROIDS = """
+SQL_EMB_CENTROIDS = f"""
 WITH flat AS (
   SELECT label,
          generate_subscripts(embedding, 1) AS pos,
@@ -119,7 +119,7 @@ WITH flat AS (
   FROM embeddings
 )
 SELECT label, pos,
-       CAST(ROUND(CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / COUNT(val), 6) AS DOUBLE) AS c
+       {davg_sql("val", "c")}
 FROM flat GROUP BY label, pos
 """
 
