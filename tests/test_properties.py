@@ -228,3 +228,41 @@ def test_connected_components_match_union_find(spark, edges):
         roots.setdefault(r, x)  # min member = first seen ascending
         want[x] = roots[r]
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value="-99999.99", max_value="99999.99", places=2
+        ).map(float),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_davg_matches_exact_rational_half_up(spark, vals):
+    """The fixed-point mean must equal round-half-away-from-zero of
+    the EXACT rational mean at 6 dp, for arbitrary signed inputs —
+    pinning the integer-division construction (and its pmod trick)
+    against Fraction arithmetic."""
+    from fractions import Fraction
+
+    from data_ingestion_s3_to_parquet_spark.functions.numeric import davg
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(davg("v", "m")).first().m
+
+    # exact: quantize each value at 1e-8 (the decimal(18,8) cast),
+    # mean as a Fraction, half-away-from-zero at 1e-6
+    q = [Fraction(round(Fraction(v).limit_denominator(10**12) * 10**8), 10**8) for v in vals]
+    mean = sum(q, Fraction(0)) / len(q)
+    units = mean * 10**6
+    n, d = units.numerator, units.denominator
+    sign = -1 if n < 0 else 1
+    n = abs(n)
+    want = sign * ((2 * n + d) // (2 * d)) / 1e6
+    assert got == want, (vals, got, want)
