@@ -45,10 +45,13 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one window pass (lead over the user partition — same single
     shuffle any per-user feature pays) and one map-side-combinable
     aggregation. Determinism: durations are integer seconds; each
-    ``value × dur`` term is rounded to 6 dp then exactly decimal-
-    summed (the one-shot quantize-before-aggregate rule — iterative
-    kernels use fixed-point instead, SCALE.md §34); equal-timestamp
-    ties carry zero duration so tie order cannot matter.
+    ``value × dur`` term is rounded to 6 dp (identical doubles both
+    engines), quantized exactly through the decimal cast, and the
+    MEAN runs in fixed point — integer-scaled sum, half-up integer
+    division by the total duration — because a decimal→double cast
+    before a rounded division is the midpoint class of SCALE.md §34's
+    postscript. Equal-timestamp ties carry zero duration so tie order
+    cannot matter.
     """
     e = load_table(spark, sf_dir, "events")
     e = e.select(
@@ -59,13 +62,26 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dur").isNotNull()
     )
     term = F.round(F.col("value") * F.col("dur"), 6)
-    return seg.groupBy("user_id").agg(
+    agg = seg.groupBy("user_id").agg(
         F.count("*").alias("n_segments"),
         F.sum("dur").alias("span_sec"),
-        F.round(
-            F.sum(term.cast("decimal(28,8)")).cast("double") / F.sum("dur"),
-            6,
-        ).alias("twa_value"),
+        (F.sum(term.cast("decimal(28,8)")) * 100_000_000)
+        .cast("long")
+        .alias("s_int"),
+    )
+    # half-up integer division at 6 dp (davg's construction: pmod
+    # makes the numerator exactly divisible, round snaps the double
+    # quotient to the exact integer)
+    q = F.col("span_sec") * 100
+    num = 2 * F.abs(F.col("s_int")) + q
+    den = 2 * q
+    units_abs = F.round((num - F.pmod(num, den)) / den, 0).cast("long")
+    units = F.when(F.col("s_int") < 0, -units_abs).otherwise(units_abs)
+    return agg.select(
+        "user_id",
+        "n_segments",
+        "span_sec",
+        (units.cast("double") / 1e6).alias("twa_value"),
     )
 
 
@@ -78,14 +94,21 @@ WITH seg AS (
            - CAST(floor(epoch(ts)) AS BIGINT) AS dur
   FROM events
 )
-SELECT user_id,
-       COUNT(*) AS n_segments,
-       SUM(dur) AS span_sec,
-       ROUND(CAST(SUM(CAST(ROUND(value * dur, 6) AS DECIMAL(28,8))) AS DOUBLE)
-             / SUM(dur), 6) AS twa_value
-FROM seg
-WHERE dur IS NOT NULL
-GROUP BY user_id
+, agg AS (
+  SELECT user_id,
+         COUNT(*) AS n_segments,
+         SUM(dur) AS span_sec,
+         CAST(SUM(CAST(ROUND(value * dur, 6) AS DECIMAL(28,8))) * 100000000
+              AS BIGINT) AS s_int
+  FROM seg
+  WHERE dur IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_segments, span_sec,
+       CAST((CASE WHEN s_int < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(s_int) + span_sec * 100)
+               // (2 * span_sec * 100)) AS DOUBLE) / 1000000.0 AS twa_value
+FROM agg
 """
 
 
