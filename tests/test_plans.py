@@ -259,3 +259,43 @@ def test_unpivot_is_expand_with_pushed_filter_and_no_shuffle(spark):
     assert "Expand" in plan
     assert "EqualTo(l_linenumber,1)" in plan
     assert "Exchange" not in plan
+
+
+def test_anomaly_zscore_broadcasts_the_stats_side(spark):
+    # the 6-row per-type stats frame must broadcast back onto the
+    # events scan — a shuffle join here would move the fact table twice
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_anomaly_zscore,
+    )
+
+    plan = plan_of(q_anomaly_zscore(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+
+
+def test_range_window_pays_exactly_one_shuffle(spark):
+    # the trailing-hour RANGE frame needs one hash exchange on user_id
+    # and nothing else
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_window_range_interval,
+    )
+
+    plan = plan_of(q_window_range_interval(spark, SF_SMOKE))
+    # formatted explain lists exchanges as numbered "(n) Exchange" nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_profile_table_is_one_expanded_aggregation(spark):
+    # the multi-distinct profile must compile to Expand (one scan),
+    # not one aggregation per column
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_profile_table,
+    )
+
+    import re
+
+    plan = plan_of(q_profile_table(spark, SF_SMOKE))
+    assert "Expand" in plan
+    # exactly one numbered scan NODE (details sections repeat the text)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
