@@ -617,6 +617,85 @@ SQL_CORPUS_REPORT = _sql_corpus_report()
 
 
 
+# ---------------------------------------------------------------------------
+# value_histogram
+
+HIST_BINS = 20
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of the event values: 20 equal-width bins
+    between the global min and max, with explicit bounds per bin — the
+    distribution half of the profiling family (`profile_table` gives
+    moments and extremes; this gives shape).
+
+    Plan: one tiny min/max aggregate broadcast onto the scan, then a
+    map-side-combinable count by bin id — two scans total, shuffle
+    carries 20 rows. Bin assignment is the same double arithmetic on
+    identical inputs in both engines (floor((v - min) / width · n),
+    clamped), so bins match exactly; bounds are emitted from the same
+    broadcast row. Empty bins are materialized from a sequence so the
+    histogram is always dense (dashboards assume it).
+    """
+    e = load_table(spark, sf_dir, "events")
+    mm = e.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = (
+        e.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / ((F.col("vmax") - F.col("vmin")) / HIST_BINS)
+                ),
+                F.lit(HIST_BINS - 1),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    dense = mm.select(
+        F.explode(F.sequence(F.lit(0), F.lit(HIST_BINS - 1))).alias("bin"),
+        "vmin",
+        "vmax",
+    )
+    w = (F.col("vmax") - F.col("vmin")) / HIST_BINS
+    return (
+        dense.join(binned, "bin", "left")
+        .select(
+            "bin",
+            F.round(F.col("vmin") + F.col("bin") * w, 6).alias("lo"),
+            F.round(F.col("vmin") + (F.col("bin") + 1) * w, 6).alias("hi"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH mm AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+binned AS (
+  SELECT CAST(least(floor((value - vmin) / ((vmax - vmin) / {HIST_BINS})),
+                    {HIST_BINS - 1}) AS BIGINT) AS bin,
+         COUNT(*) AS n
+  FROM events CROSS JOIN mm
+  GROUP BY 1
+),
+dense AS (
+  SELECT unnest(generate_series(0, {HIST_BINS - 1})) AS bin, vmin, vmax
+  FROM mm
+)
+SELECT d.bin,
+       ROUND(vmin + d.bin * ((vmax - vmin) / {HIST_BINS}), 6) AS lo,
+       ROUND(vmin + (d.bin + 1) * ((vmax - vmin) / {HIST_BINS}), 6) AS hi,
+       COALESCE(b.n, 0) AS n
+FROM dense d LEFT JOIN binned b ON d.bin = b.bin
+"""
+
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
@@ -668,5 +747,11 @@ EXTRA_QUERIES = [
         q_corpus_report,
         SQL_CORPUS_REPORT,
         ("llm", "text", "report"),
+    ),
+    Query(
+        "value_histogram",
+        q_value_histogram,
+        SQL_VALUE_HISTOGRAM,
+        ("relational", "profiling"),
     ),
 ]

@@ -1461,3 +1461,32 @@ def test_corpus_report_composes_its_building_blocks(spark, sf_dir):
     keep = sum(1 for g in q_quality_gopher(spark, sf_dir).collect() if g.keep)
     assert abs(r.keep_rate - keep / len(docs)) < 1e-6
     assert 0 <= r.dup_rate <= 1 and 0 <= r.keep_rate <= 1
+
+
+def test_value_histogram_is_dense_and_conserves_mass(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        HIST_BINS,
+        q_value_histogram,
+    )
+
+    rows = sorted(q_value_histogram(spark, sf_dir).collect(), key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(range(HIST_BINS))  # dense
+    vals = [
+        r.value
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    ]
+    assert sum(r.n for r in rows) == len(vals)  # mass conserved
+    vmin, vmax = min(vals), max(vals)
+    width = (vmax - vmin) / HIST_BINS
+    import math
+
+    for r in rows:
+        want = sum(
+            1
+            for v in vals
+            if min(math.floor((v - vmin) / width), HIST_BINS - 1) == r.bin
+        )
+        assert r.n == want, r.bin
+        assert abs(r.hi - r.lo - width) < 1e-5
+    # boundary rows: global max lands in the LAST bin (clamped)
+    assert rows[-1].n >= 1
