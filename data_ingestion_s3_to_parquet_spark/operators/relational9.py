@@ -696,6 +696,95 @@ FROM dense d LEFT JOIN binned b ON d.bin = b.bin
 
 
 
+# ---------------------------------------------------------------------------
+# skyline_frontier
+
+
+def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders: keep every order not
+    dominated by another that is BOTH no-later and no-cheaper (with at
+    least one strict) — "the earliest order at every price level worth
+    mentioning", the shape behind best-offer views and trade-off
+    frontiers.
+
+    Algorithm: under the total order (date ASC, price DESC, key ASC),
+    a row is on the frontier iff its price strictly exceeds the
+    running maximum of everything before it (equal-date-higher-price
+    rows dominate; equal-(date, price) duplicates keep the lowest key
+    — a documented convention that both engines share, making the
+    frontier engine-exact).
+
+    Scale shape — the interesting part: a naive global running max is
+    a single-partition window. Here it is TWO-PHASE: a running max
+    within each month partition (parallel), plus a broadcast-size
+    table of per-month maxima whose own running max (a window over
+    ~tens of rows) supplies the carry-in from all earlier months —
+    the classic scan-local + carry decomposition that turns any
+    prefix-extremum into a partitioned pass at 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("d"),
+        F.date_trunc("month", "o_orderdate").alias("m"),
+    )
+    w_in = Window.partitionBy("m").orderBy(
+        "d", F.desc("o_totalprice"), "o_orderkey"
+    )
+    prev_in = F.max("o_totalprice").over(
+        w_in.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    month_max = o.groupBy("m").agg(F.max("o_totalprice").alias("mx"))
+    w_m = Window.orderBy("m")  # ~months rows: tiny by construction
+    carry = month_max.select(
+        "m",
+        F.max("mx")
+        .over(w_m.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("carry_max"),
+    )
+    return (
+        o.withColumn("prev_in", prev_in)
+        .join(F.broadcast(carry), "m")
+        .where(
+            F.col("o_totalprice")
+            > F.greatest(
+                F.coalesce("prev_in", F.lit(-1.0)),
+                F.coalesce("carry_max", F.lit(-1.0)),
+            )
+        )
+        .select("o_orderkey", F.col("d").alias("o_date"), "o_totalprice")
+    )
+
+
+SQL_SKYLINE_FRONTIER = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(o_orderdate AS DATE) AS d,
+         date_trunc('month', o_orderdate) AS m
+  FROM orders
+),
+w AS (
+  SELECT *,
+         MAX(o_totalprice) OVER (PARTITION BY m
+                                 ORDER BY d, o_totalprice DESC, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_in
+  FROM o
+),
+mm AS (SELECT m, MAX(o_totalprice) AS mx FROM o GROUP BY m),
+carry AS (
+  SELECT m,
+         MAX(mx) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS carry_max
+  FROM mm
+)
+SELECT o_orderkey, d AS o_date, o_totalprice
+FROM w JOIN carry USING (m)
+WHERE o_totalprice > greatest(COALESCE(prev_in, -1), COALESCE(carry_max, -1))
+"""
+
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
@@ -753,5 +842,11 @@ EXTRA_QUERIES = [
         q_value_histogram,
         SQL_VALUE_HISTOGRAM,
         ("relational", "profiling"),
+    ),
+    Query(
+        "skyline_frontier",
+        q_skyline_frontier,
+        SQL_SKYLINE_FRONTIER,
+        ("relational", "analytics", "window"),
     ),
 ]

@@ -1490,3 +1490,30 @@ def test_value_histogram_is_dense_and_conserves_mass(spark, sf_dir):
         assert abs(r.hi - r.lo - width) < 1e-5
     # boundary rows: global max lands in the LAST bin (clamped)
     assert rows[-1].n >= 1
+
+
+def test_skyline_frontier_is_exactly_the_pareto_set(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_skyline_frontier,
+    )
+
+    got = {
+        r.o_orderkey for r in q_skyline_frontier(spark, sf_dir).collect()
+    }
+    orders = [
+        (r.o_orderkey, r.o_orderdate.date(), r.o_totalprice)
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    ]
+    # brute-force strict Pareto with the keep-lowest-key tie convention
+    want = set()
+    for k, d, p in orders:
+        dominated = any(
+            (d2 <= d and p2 >= p and (d2 < d or p2 > p))
+            or (d2 == d and p2 == p and k2 < k)
+            for k2, d2, p2 in orders
+            if k2 != k
+        )
+        if not dominated:
+            want.add(k)
+    assert got == want
+    assert got  # non-vacuous
