@@ -785,6 +785,87 @@ WHERE o_totalprice > greatest(COALESCE(prev_in, -1), COALESCE(carry_max, -1))
 
 
 
+# ---------------------------------------------------------------------------
+# basket_pairs
+
+BASKET_MIN_SUPPORT = 2
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs ordered together in at
+    least 2 orders, with the lift statistic (how much more often than
+    independence would predict) — the association-rule primitive
+    behind recommenders and cross-sell analytics.
+
+    Plan: order-level presence first (distinct (order, part) — a part
+    repeated across lineitems of one order counts once), then the
+    within-order pair join keyed on the order (fan-out bounded by
+    items-per-order², ~6 pairs for 4-item baskets — linear in orders,
+    never |parts|²), a combinable pair count, and two joins onto the
+    per-part order counts. Lift is a ratio of exact integer products
+    (n_ab·N / (n_a·n_b)) — identical doubles both engines, the safe
+    int/int class (SCALE.md §34 mechanism note).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pres = li.select("l_orderkey", "l_partkey").distinct()
+    a = pres.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = pres.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    part_n = pres.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    total = pres.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            part_n.select(F.col("l_partkey").alias("pa"), F.col("n_part").alias("n_a")),
+            "pa",
+        )
+        .join(
+            part_n.select(F.col("l_partkey").alias("pb"), F.col("n_part").alias("n_b")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_BASKET_PAIRS = f"""
+WITH pres AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM pres a JOIN pres b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+),
+pn AS (SELECT l_partkey, COUNT(*) AS n_part FROM pres GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM pres)
+SELECT pa, pb, n_ab,
+       ROUND(CAST(n_ab * n_orders AS DOUBLE) / (na.n_part * nb.n_part), 6)
+         AS lift
+FROM pairs
+JOIN pn na ON pa = na.l_partkey
+JOIN pn nb ON pb = nb.l_partkey
+CROSS JOIN tot
+"""
+
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
@@ -848,5 +929,11 @@ EXTRA_QUERIES = [
         q_skyline_frontier,
         SQL_SKYLINE_FRONTIER,
         ("relational", "analytics", "window"),
+    ),
+    Query(
+        "basket_pairs",
+        q_basket_pairs,
+        SQL_BASKET_PAIRS,
+        ("relational", "analytics", "association"),
     ),
 ]

@@ -573,7 +573,8 @@ def test_extra_lane_doc_counts_match_registry():
         30: "thirty", 31: "thirty-one", 32: "thirty-two",
         33: "thirty-three", 34: "thirty-four", 35: "thirty-five",
         36: "thirty-six", 37: "thirty-seven", 38: "thirty-eight",
-        39: "thirty-nine", 40: "forty",
+        39: "thirty-nine", 40: "forty", 41: "forty-one",
+        42: "forty-two", 43: "forty-three", 44: "forty-four",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -1517,3 +1518,43 @@ def test_skyline_frontier_is_exactly_the_pareto_set(spark, sf_dir):
             want.add(k)
     assert got == want
     assert got  # non-vacuous
+
+
+def test_basket_pairs_match_hand_counted_cooccurrence(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        BASKET_MIN_SUPPORT,
+        q_basket_pairs,
+    )
+
+    got = {
+        (r.pa, r.pb): (r.n_ab, r.lift)
+        for r in q_basket_pairs(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    pair_n = Counter()
+    part_n = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for p in ps:
+            part_n[p] += 1
+        for i, pa in enumerate(ps):
+            for pb in ps[i + 1 :]:
+                pair_n[(pa, pb)] += 1
+    n_orders = len(baskets)
+    want = {
+        pair: (n, round(n * n_orders / (part_n[pair[0]] * part_n[pair[1]]), 6))
+        for pair, n in pair_n.items()
+        if n >= BASKET_MIN_SUPPORT
+    }
+    assert got.keys() == want.keys()
+    for pair in want:
+        assert got[pair][0] == want[pair][0]
+        assert abs(got[pair][1] - want[pair][1]) < 1e-9, pair
+    # lift sanity: repeated pairs in a sparse basket matrix are
+    # positively associated
+    assert all(lift > 1 for _, lift in got.values())
