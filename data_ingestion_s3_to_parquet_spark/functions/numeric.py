@@ -74,11 +74,23 @@ def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     s_int = (F.sum(c.cast(ACC)) * 100_000_000).cast("long")
     q = F.count(c) * (10 ** (8 - scale))
-    num = 2 * F.abs(s_int) + q
-    den = 2 * q
-    units_abs = F.round((num - F.pmod(num, den)) / den, 0).cast("long")
-    units = F.when(s_int < 0, -units_abs).otherwise(units_abs)
-    return (units.cast("double") / float(10**scale)).alias(alias)
+    return fp_ratio(s_int, q, scale).alias(alias)
+
+
+def fp_ratio(num: Column, den: Column, scale: int = 6) -> Column:
+    """Midpoint-free quotient of two int64 columns, quantized at
+    ``scale`` dp: half-away-from-zero integer division, one
+    int→double projection. ``num`` may be signed; ``den`` must be
+    positive. This is the shared primitive behind davg, the
+    time-weighted mean, and every ratio whose operands passed through
+    a decimal→double cast (SCALE.md §34 mechanism note). The pmod
+    trick keeps the division exact past double's 2^53 integer range.
+    """
+    n2 = 2 * F.abs(num) + den
+    d2 = 2 * den
+    units_abs = F.round((n2 - F.pmod(n2, d2)) / d2, 0).cast("long")
+    units = F.when(num < 0, -units_abs).otherwise(units_abs)
+    return units.cast("double") / float(10**scale)
 
 
 def davg_sql(col: str, alias: str, scale: int = 6) -> str:

@@ -866,6 +866,62 @@ CROSS JOIN tot
 
 
 
+# ---------------------------------------------------------------------------
+# period_growth
+
+
+def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly order totals and the
+    percentage change versus the previous month — the
+    period-over-period shape behind every finance dashboard.
+
+    Revenue is summed exactly (decimal accumulator → integer cents),
+    and the growth ratio is the midpoint-free fixed-point quotient
+    (``fp_ratio``: (cur − prev)·1e6 / prev, half-up integer division)
+    because both operands pass through exact sums — the decimal→double
+    divergence class of SCALE.md §34's mechanism note. The lag window
+    runs on the ~months-sized aggregate frame, not on orders.
+    """
+    from ..functions.numeric import fp_ratio
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,8)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("month")  # months-sized frame: tiny by design
+    prev = F.lag("cents").over(w)
+    growth = fp_ratio((F.col("cents") - prev) * 1_000_000, prev, 6)
+    return monthly.select(
+        "month",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.when(prev.isNotNull(), growth).alias("mom_growth"),
+    )
+
+
+SQL_PERIOD_GROWTH = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+l AS (SELECT *, lag(cents) OVER (ORDER BY month) AS prev FROM m)
+SELECT CAST(month AS TIMESTAMP) AS month,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CASE WHEN prev IS NULL THEN NULL
+            ELSE CAST((CASE WHEN cents - prev < 0 THEN -1 ELSE 1 END)
+                      * ((2 * abs((cents - prev) * 1000000) + prev)
+                         // (2 * prev)) AS DOUBLE) / 1000000.0
+       END AS mom_growth
+FROM l
+"""
+
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
@@ -935,5 +991,11 @@ EXTRA_QUERIES = [
         q_basket_pairs,
         SQL_BASKET_PAIRS,
         ("relational", "analytics", "association"),
+    ),
+    Query(
+        "period_growth",
+        q_period_growth,
+        SQL_PERIOD_GROWTH,
+        ("relational", "analytics", "timeseries"),
     ),
 ]

@@ -1558,3 +1558,42 @@ def test_basket_pairs_match_hand_counted_cooccurrence(spark, sf_dir):
     # lift sanity: repeated pairs in a sparse basket matrix are
     # positively associated
     assert all(lift > 1 for _, lift in got.values())
+
+
+def test_period_growth_matches_fraction_arithmetic(spark, sf_dir):
+    from fractions import Fraction
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_period_growth,
+    )
+
+    rows = sorted(
+        q_period_growth(spark, sf_dir).collect(), key=lambda r: r.month
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    from collections import defaultdict
+
+    cents = defaultdict(int)
+    for o in orders:
+        m = o.o_orderdate.replace(
+            day=1, hour=0, minute=0, second=0, microsecond=0
+        )
+        cents[m] += round(
+            Fraction(o.o_totalprice).limit_denominator(10**10) * 100
+        )
+    months = sorted(cents)
+    assert [r.month for r in rows] == months
+    for i, r in enumerate(rows):
+        assert r.revenue == cents[months[i]] / 100.0
+        if i == 0:
+            assert r.mom_growth is None
+        else:
+            cur, prev = cents[months[i]], cents[months[i - 1]]
+            units = Fraction((cur - prev) * 10**6, prev)
+            n, d = units.numerator, units.denominator
+            sign = -1 if n < 0 else 1
+            want = sign * ((2 * abs(n) + d) // (2 * d)) / 1e6
+            assert r.mom_growth == want, r.month
+    # growth must take both signs across 80 months of noisy revenue
+    signs = {r.mom_growth > 0 for r in rows if r.mom_growth is not None}
+    assert signs == {True, False}
