@@ -298,33 +298,37 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score outlier flagging: the glitch filter a
     metrics pipeline runs before events feed features or dashboards.
 
-    Moments are computed with the exact decimal accumulator (sum and
-    sum-of-squares are order-independent decimals, cast to double once
-    at the end), so mean/variance — and therefore every z — match the
-    oracle bitwise. Plan: one map-side-combinable groupBy over the scan
+    Moments come from EXACT INTEGER sums: each value quantizes to
+    int64 cents through the decimal cast (and its square to cents²),
+    the sums are exact, and every double that follows (mean, variance,
+    sqrt, z) is IEEE arithmetic on identical integer inputs — so both
+    engines compute bit-identical doubles with no decimal→double cast
+    anywhere (the 1-ulp divergence class of SCALE.md §34's mechanism
+    note; the original decimal-sum-cast-to-double formulation carried
+    it). Plan: one map-side-combinable groupBy over the scan
     (|event_type| ≈ 6 rows out), then a broadcast join back — the raw
     event stream is scanned twice-logically but AQE broadcasts the
     6-row stats side, so no wide shuffle ever touches the events.
     """
     e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,8)") * 100).cast("long")
+    e = e.withColumn("_c", cents)
     stats = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,8)")).cast("double").alias("s1"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(18,8)"))
-        .cast("double")
-        .alias("s2"),
+        F.sum("_c").alias("s1c"),
+        F.sum(F.col("_c") * F.col("_c")).alias("s2c"),
     )
+    mean = F.col("s1c").cast("double") / (F.col("n") * 100.0)
+    ex2 = F.col("s2c").cast("double") / (F.col("n") * 10_000.0)
     stats = stats.select(
         "event_type",
-        (F.col("s1") / F.col("n")).alias("mean"),
-        F.sqrt(F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) ** 2).alias(
-            "std"
-        ),
+        mean.alias("mean"),
+        F.sqrt(ex2 - mean * mean).alias("std"),
     )
     z = F.round(
         (F.col("value") - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0)), 6
     )
-    return e.join(F.broadcast(stats), "event_type").select(
+    return e.drop("_c").join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
         "value",
@@ -336,16 +340,23 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ANOMALY_ZSCORE = """
-WITH stats AS (
+WITH c AS (
+  SELECT *, CAST(CAST(value AS DECIMAL(18,8)) * 100 AS BIGINT) AS _c
+  FROM events
+),
+stats AS (
   SELECT event_type,
          COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(value * value AS DECIMAL(18,8))) AS DOUBLE) AS s2
-  FROM events GROUP BY event_type
+         SUM(_c) AS s1c,
+         SUM(_c * _c) AS s2c
+  FROM c GROUP BY event_type
 ),
 m AS (
-  SELECT event_type, s1 / n AS mean,
-         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+  SELECT event_type,
+         CAST(s1c AS DOUBLE) / (n * 100.0) AS mean,
+         sqrt(CAST(s2c AS DOUBLE) / (n * 10000.0)
+              - (CAST(s1c AS DOUBLE) / (n * 100.0))
+                * (CAST(s1c AS DOUBLE) / (n * 100.0))) AS std
   FROM stats
 )
 SELECT event_id, e.event_type, value,
