@@ -12,7 +12,7 @@ for the full inventory and rotation history). Round 4 rotates the
 seven never-driver-graded round-3 operators (bloom-prefilter join,
 CDC apply, weighted sampling, Python UDTF, HLL sketches,
 resample+ffill, VARIANT JSON) into the graded 50; the EXTRA lane now
-holds forty-two oracle-gated entries — 25 new round-4
+holds forty-three oracle-gated entries — 26 new round-4
 operators leading it (window_distribution, interleave_mix,
 text_normalize, unpivot_stack, window_range_interval,
 sample_span_mask, anomaly_zscore, knn_graph, lm_unigram_score,
@@ -20,7 +20,7 @@ pagerank, label_propagation, profile_table, agg_skew_salted,
 time_weighted_avg, funnel_conversion, retention_cohort,
 recursive_cte, data_expectations, fuzzy_match_strings, chunk_text,
 corpus_report, value_histogram, skyline_frontier, basket_pairs,
-period_growth: never
+period_growth, ab_test_metrics: never
 graded, so a larger budget grades them first), then the seven
 round-3 promotees demoted this round (green in r3), then the ten
 relational entries green in both rounds 1 and 2 (all verified locally

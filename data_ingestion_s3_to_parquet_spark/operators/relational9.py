@@ -922,6 +922,94 @@ FROM l
 
 
 
+# ---------------------------------------------------------------------------
+# ab_test_metrics
+
+AB_SPLIT_BOUND = "8000"  # md5 hex prefix < '8000' -> arm A (50/50)
+
+
+def q_ab_test_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: deterministically assign every user to arm
+    A or B (md5 hash gate — the same layout-invariant construction as
+    sample_split, so assignment survives reruns and appends), then
+    report per-arm event counts, mean value, and the relative effect
+    (B vs A) — the one-row summary an A/B dashboard renders.
+
+    All arithmetic is the fixed-point lane end to end: cent-quantized
+    integer sums, half-up integer division for the 6-dp means
+    (micro-units), and the relative effect as a fixed-point ratio OF
+    those integer means — no decimal→double cast anywhere (SCALE.md
+    §34 mechanism note). One conditional aggregation over one scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm_a = (
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 4)
+        < AB_SPLIT_BOUND
+    )
+    cents = (F.col("value").cast("decimal(18,8)") * 100).cast("long")
+    agg = e.select(arm_a.alias("a"), cents.alias("c")).agg(
+        F.sum(F.col("a").cast("long")).alias("n_a"),
+        F.sum((~F.col("a")).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("a"), F.col("c")).otherwise(0)).alias("s_a"),
+        F.sum(F.when(~F.col("a"), F.col("c")).otherwise(0)).alias("s_b"),
+    )
+
+    def units(s_cents, n):
+        # mean in 1e-6 units: round(cents * 1e4 / n) half-up (sums
+        # are non-negative here; values in the fixture are >= 0)
+        num = 2 * s_cents * 10_000 + n
+        den = 2 * n
+        return F.round((num - F.pmod(num, den)) / den, 0).cast("long")
+
+    agg = agg.select(
+        "n_a",
+        "n_b",
+        units(F.col("s_a"), F.col("n_a")).alias("u_a"),
+        units(F.col("s_b"), F.col("n_b")).alias("u_b"),
+    )
+    from ..functions.numeric import fp_ratio
+
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.col("u_a").cast("double") / 1e6).alias("mean_a"),
+        (F.col("u_b").cast("double") / 1e6).alias("mean_b"),
+        fp_ratio((F.col("u_b") - F.col("u_a")) * 1_000_000, F.col("u_a"), 6).alias(
+            "rel_effect"
+        ),
+    )
+
+
+SQL_AB_TEST_METRICS = f"""
+WITH t AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '{AB_SPLIT_BOUND}' AS a,
+         CAST(CAST(value AS DECIMAL(18,8)) * 100 AS BIGINT) AS c
+  FROM events
+),
+agg AS (
+  SELECT SUM(CASE WHEN a THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN a THEN 0 ELSE 1 END) AS n_b,
+         SUM(CASE WHEN a THEN c ELSE 0 END) AS s_a,
+         SUM(CASE WHEN a THEN 0 ELSE c END) AS s_b
+  FROM t
+),
+u AS (
+  SELECT n_a, n_b,
+         (2 * s_a * 10000 + n_a) // (2 * n_a) AS u_a,
+         (2 * s_b * 10000 + n_b) // (2 * n_b) AS u_b
+  FROM agg
+)
+SELECT n_a, n_b,
+       CAST(u_a AS DOUBLE) / 1000000.0 AS mean_a,
+       CAST(u_b AS DOUBLE) / 1000000.0 AS mean_b,
+       CAST((CASE WHEN u_b - u_a < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs((u_b - u_a) * 1000000) + u_a) // (2 * u_a))
+            AS DOUBLE) / 1000000.0 AS rel_effect
+FROM u
+"""
+
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
@@ -997,5 +1085,11 @@ EXTRA_QUERIES = [
         q_period_growth,
         SQL_PERIOD_GROWTH,
         ("relational", "analytics", "timeseries"),
+    ),
+    Query(
+        "ab_test_metrics",
+        q_ab_test_metrics,
+        SQL_AB_TEST_METRICS,
+        ("relational", "analytics", "experimentation"),
     ),
 ]

@@ -91,7 +91,7 @@ REGISTRY: dict[str, Query] = _collect()
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
 # pytest, but not submitted for driver grading. As of round 4 this lane
-# holds forty-two entries: 25 NEW round-4 operators leading
+# holds forty-three entries: 26 NEW round-4 operators leading
 # the lane (window_distribution, interleave_mix, text_normalize, then
 # relational8's unpivot_stack, window_range_interval, sample_span_mask,
 # anomaly_zscore, knn_graph, lm_unigram_score, profile_table,
@@ -99,7 +99,7 @@ REGISTRY: dict[str, Query] = _collect()
 # funnel_conversion + retention_cohort + recursive_cte +
 # data_expectations + fuzzy_match_strings + chunk_text +
 # corpus_report + value_histogram + skyline_frontier + basket_pairs
-# + period_growth, and graph's pagerank +
+# + period_growth + ab_test_metrics, and graph's pagerank +
 # label_propagation — never graded, so a larger
 # budget grades them first), then the seven round-3
 # promotees demoted this round (seq_pack, embedding_quantize,
