@@ -58,6 +58,9 @@ DEFAULT_NAMES = [
     "knn_graph",
     "lm_unigram_score",
     "time_weighted_avg",
+    "skyline_frontier",
+    "period_growth",
+    "ab_test_metrics",
 ]
 
 
