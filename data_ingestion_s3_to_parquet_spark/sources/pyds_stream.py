@@ -20,6 +20,21 @@ Contract:
   committed position: backpressure by construction, never "the whole
   table in one batch" (availableNow still drains everything, one
   bounded batch at a time).
+- The high-water mark that drives that throttle must SURVIVE a
+  restart: Spark's checkpoint stores the committed offset, but it
+  asks the source for ``latestOffset`` BEFORE ever telling it where
+  the last run stopped, so a reader that forgot its position would
+  answer below the checkpointed offset and the engine would plan a
+  batch whose end REGRESSES the offset log — re-emitting every row
+  between the regressed position and the true committed position.
+  Pass ``progressDir`` (any driver-visible directory; co-locate it
+  with the checkpoint) and ``commit(end)`` persists the mark there
+  atomically (tmp + rename), keyed by the replay path, and reader
+  init reads it back. Without ``progressDir`` the mark is clamped
+  monotonically in memory (``partitions`` never lets it move
+  backwards), which is exact for any single run — including crash
+  recovery of an un-committed planned batch — but a cold restart
+  from a checkpoint whose last batch DID commit needs the sidecar.
 - ``read(partition)`` runs on executors: scan the parquet, sort,
   slice [start, end) — correctness-first. At 100 TB the slice path
   would push down to row-group ranges over a presorted layout
@@ -57,7 +72,10 @@ class ReplayDataSource(DataSource):
     """``spark.readStream.format("replay").schema(s).load(path)``.
 
     Options: ``rowsPerBatch`` (int), ``orderBy`` (column name; the
-    replay order — must be a unique key for a total order).
+    replay order — must be a unique key for a total order), and
+    ``progressDir`` (directory for the durable high-water sidecar —
+    co-locate with the checkpoint; required for exact resume across a
+    cold restart, see module docstring).
     A schema is required (the stream reader cannot infer one lazily);
     pass the table's parquet schema.
     """
@@ -86,6 +104,36 @@ class _ReplayStreamReader(DataSourceStreamReader):
             options.get("rowsPerBatch", DEFAULT_ROWS_PER_BATCH)
         )
         self._total = self._count_rows()
+        self._progress_file = self._resolve_progress_file(
+            options.get("progressDir")
+        )
+        # High-water mark: the largest position the engine has ever
+        # shown us (planned or committed). latestOffset never answers
+        # below it, so the offset log can never regress (ADVICE r4).
+        self._committed = self._read_progress()
+
+    def _resolve_progress_file(self, progress_dir: str | None) -> str | None:
+        if not progress_dir:
+            return None
+        os.makedirs(progress_dir, exist_ok=True)
+        import hashlib
+
+        key = hashlib.sha256(self._path.encode()).hexdigest()[:16]
+        return os.path.join(progress_dir, f"replay-hwm-{key}.txt")
+
+    def _read_progress(self) -> int:
+        if not self._progress_file or not os.path.exists(self._progress_file):
+            return 0
+        with open(self._progress_file) as f:
+            return int(f.read().strip() or 0)
+
+    def _write_progress(self, pos: int) -> None:
+        if not self._progress_file or pos <= self._read_progress():
+            return
+        tmp = self._progress_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(pos))
+        os.replace(tmp, self._progress_file)  # atomic on POSIX
 
     def _count_rows(self) -> int:
         import pyarrow.parquet as pq
@@ -105,13 +153,19 @@ class _ReplayStreamReader(DataSourceStreamReader):
         return {"pos": 0}
 
     def latestOffset(self) -> dict:
-        # advance one bounded chunk per micro-batch (backpressure);
-        # the engine persists the committed position in its checkpoint
-        cur = getattr(self, "_committed", 0)
-        return {"pos": min(cur + self._rows_per_batch, self._total)}
+        # advance one bounded chunk past the high-water mark
+        # (backpressure); the mark is monotone (see partitions) and,
+        # with progressDir, durable across restarts — never below the
+        # engine's checkpointed committed offset
+        return {
+            "pos": min(self._committed + self._rows_per_batch, self._total)
+        }
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        self._committed = end["pos"]
+        # monotone clamp: the engine's start IS its committed offset,
+        # so the mark absorbs both and never moves backwards even if a
+        # restarted reader began with a stale (or zero) sidecar value
+        self._committed = max(self._committed, start["pos"], end["pos"])
         if start["pos"] >= end["pos"]:
             return []
         return [
@@ -132,7 +186,11 @@ class _ReplayStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass
+        # durably record the committed position so a restarted reader
+        # (fresh instance, checkpointed offsets) resumes at the exact
+        # row instead of regressing the offset log
+        self._committed = max(self._committed, end["pos"])
+        self._write_progress(end["pos"])
 
 
 def register_replay(spark) -> None:

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
@@ -50,6 +51,18 @@ from pyspark.sql.streaming.stateful_processor import (
 RUNNING_TOTALS_OUT_SCHEMA = (
     "user_id long, n_events long, sum_value_cents long"
 )
+
+
+def to_cents_sum(values) -> int:
+    """Exact int64 cent-sum of a float series, rounding half AWAY FROM
+    ZERO — the same quantization a ``cast(value * 100 as decimal(18,0))``
+    performs on the batch side (Spark decimal casts round HALF_UP).
+    numpy/pandas ``.round()`` is half-to-even and would diverge on any
+    true half-cent value (ADVICE r4), so this is the one shared
+    quantizer for every stream/batch parity pair.
+    """
+    v = np.asarray(values, dtype="float64") * 100
+    return int((np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum())
 
 
 class RunningTotalsProcessor(StatefulProcessor):
@@ -67,11 +80,10 @@ class RunningTotalsProcessor(StatefulProcessor):
         n, cents = int(prev[0]), int(prev[1])
         for pdf in rows:
             n += len(pdf)
-            # fixed-point: round each value to cents, sum exactly in
-            # int64 — order-independent, matching the batch decimal sum
-            cents += int(
-                (pdf["value"] * 100).round().astype("int64").sum()
-            )
+            # fixed-point: quantize to cents half-away-from-zero (the
+            # decimal-cast semantics of the batch twin; see
+            # to_cents_sum), sum exactly in int64 — order-independent
+            cents += to_cents_sum(pdf["value"])
         self._totals.update((n, cents))
         yield pd.DataFrame(
             {

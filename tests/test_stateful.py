@@ -319,6 +319,28 @@ def test_transform_with_state_totals_match_batch_agg(spark, tmp_path):
     assert len(got) == 3
 
 
+def test_to_cents_sum_matches_batch_round_on_half_cents(spark):
+    # ADVICE r4: pandas .round() is half-to-even, but the batch twin
+    # quantizes with Spark round() — HALF_UP, away from zero. The
+    # shared quantizer must agree on TRUE half-cent values (x.xx5),
+    # where the two modes diverge, and on negatives.
+    import pyspark.sql.functions as F
+
+    from data_ingestion_s3_to_parquet_spark.streaming.statev2 import (
+        to_cents_sum,
+    )
+
+    # 0.125*100 = 12.5 and 0.135*100 = 13.5: half-even gives 12 + 14,
+    # half-up gives 13 + 14 — a real divergence, not a rounding quirk
+    values = [0.125, 0.135, -0.125, -0.135, 1.005, 2.675, -3.335, 0.0]
+    batch = (
+        spark.createDataFrame([(v,) for v in values], "value double")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .collect()[0]["cents"]
+    )
+    assert to_cents_sum(values) == batch
+
+
 def test_transform_with_state_plan_builds_everywhere(spark):
     # plan construction + output schema don't need the protobuf runner:
     # this wiring check runs even where the execution test skips

@@ -430,6 +430,60 @@ def test_replay_datasource_streams_table_in_bounded_batches(spark):
     assert n_batches >= 3  # 25 rows / 10-row cap -> backpressure held
 
 
+def test_replay_datasource_restart_from_checkpoint_emits_no_duplicates(
+    spark, tmp_path
+):
+    # ADVICE r4: a restarted reader is a FRESH instance, and Spark asks
+    # it for latestOffset before ever telling it the checkpointed
+    # committed position — a reader that forgot its high-water mark
+    # answers below it, the offset log regresses, and rows re-emit.
+    # With progressDir the mark survives: a restart after a fully
+    # committed run must plan NO new data and re-emit NOTHING.
+    from data_ingestion_s3_to_parquet_spark.sources.pyds_stream import (
+        register_replay,
+    )
+
+    src = "/root/testdata/sf0.001/nation.parquet"
+    schema = spark.read.parquet(src).schema
+    total = spark.read.parquet(src).count()
+    register_replay(spark)
+    ckpt = str(tmp_path / "ckpt")
+    progress = str(tmp_path / "progress")
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = (
+            spark.readStream.format("replay")
+            .schema(schema)
+            .option("rowsPerBatch", 10)
+            .option("orderBy", "n_nationkey")
+            .option("progressDir", progress)
+            .load(src)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return q
+
+    run()
+    assert spark.read.parquet(out).count() == total
+
+    # cold restart: fresh reader instance, same checkpoint + sidecar
+    q2 = run()
+    assert all(p["numInputRows"] == 0 for p in q2.recentProgress)
+    got = spark.read.parquet(out)
+    assert got.count() == total  # zero duplicate re-emissions
+    assert got.select("n_nationkey").distinct().count() == total
+
+
 def test_stream_stream_interval_join_left_outer_emits_on_eviction(spark, tmp_path):
     # leftOuter: an unmatched view emits null-padded only once the
     # watermark proves no future click can still land in its interval;
