@@ -8,24 +8,25 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The graded registry is EXACTLY 50 entries, every one oracle-gated,
 ordered parity → LLM → streaming → relational (the harness grades only
 the first 50 entries — confirmed in rounds 1 AND 2; see SURVEY.md §2C
-for the full inventory and rotation history). Round 4 rotates the
-seven never-driver-graded round-3 operators (bloom-prefilter join,
-CDC apply, weighted sampling, Python UDTF, HLL sketches,
-resample+ffill, VARIANT JSON) into the graded 50; the EXTRA lane now
-holds forty-three oracle-gated entries — 26 new round-4
-operators leading it (window_distribution, interleave_mix,
-text_normalize, unpivot_stack, window_range_interval,
-sample_span_mask, anomaly_zscore, knn_graph, lm_unigram_score,
-pagerank, label_propagation, profile_table, agg_skew_salted,
-time_weighted_avg, funnel_conversion, retention_cohort,
-recursive_cte, data_expectations, fuzzy_match_strings, chunk_text,
-corpus_report, value_histogram, skyline_frontier, basket_pairs,
-period_growth, ab_test_metrics: never
-graded, so a larger budget grades them first), then the seven
-round-3 promotees demoted this round (green in r3), then the ten
-relational entries green in both rounds 1 and 2 (all verified locally
-each round). EXTRA is appended AFTER position 50: a 50-entry count
-cap ignores the tail harmlessly; a larger budget grades it for free.
+for the full inventory and rotation history). Round 5 rotates
+fifteen never-driver-graded round-4 operators into the graded 50
+(window_distribution, interleave_mix, text_normalize,
+window_range_interval, sample_span_mask, knn_graph,
+lm_unigram_score, profile_table, agg_skew_salted, recursive_cte,
+data_expectations, fuzzy_match_strings, skyline_frontier, pagerank,
+label_propagation) plus the NEW quality_classifier (the composed
+three-signal quality gate); sixteen entries with four straight green
+driver rows each demote to the EXTRA lane. The EXTRA lane now holds
+forty-four oracle-gated entries — the 11 still-never-graded round-4
+operators leading it (unpivot_stack, anomaly_zscore,
+time_weighted_avg, funnel_conversion, retention_cohort, chunk_text,
+corpus_report, value_histogram, basket_pairs, period_growth,
+ab_test_metrics: queued for the round-6 rotation, and a larger
+budget grades them first), then the earlier demotees (all verified
+locally each round). EXTRA is appended AFTER position 50: a 50-entry
+count cap ignores the tail harmlessly; a larger budget grades it for
+free. Lane counts (50 graded / 44 EXTRA / 4 BENCH_ONLY) are pinned by
+``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded
 through accuracy-contract oracles — a deterministic ``*_ok`` boolean
 (recall / tolerance ≥ a measured floor) next to counts the oracle
@@ -38,11 +39,14 @@ recomputes exactly; the oracle asserts TRUE (SCALE.md §13):
   (floor 0.8); exact twins: ``dedup_ngram_jaccard``, ``sim_topk``,
   ``sim_join``
 
-Two operators are deliberately OUTSIDE the graded registry
+Four operators are deliberately OUTSIDE the graded registry
 (``plans.registry.BENCH_ONLY``; benched + pytest-gated):
-``sim_join_lsh`` (no high-cosine pairs exist in the fixtures, so a
-recall gate would be vacuous) and ``lang_id_ngram`` (no ground truth —
-0.20 agreement with the synthetic lang labels).
+``sim_join_lsh`` and ``knn_graph_lsh`` (no high-cosine pairs exist in
+the fixtures, so a recall gate would be vacuous),
+``dedup_components_lsh`` (the LSH→connected-components scale
+pipeline, accuracy via planted-cluster recall pytest), and
+``lang_id_ngram`` (no ground truth — 0.20 agreement with the
+synthetic lang labels).
 
 All real logic lives in ``data_ingestion_s3_to_parquet_spark``; this
 module only adapts the query registry

@@ -257,7 +257,9 @@ SQL_LABEL_PROPAGATION = _sql_label_propagation()
 
 QUERIES: list[Query] = []
 
-EXTRA_QUERIES = [
+# Promoted to the graded lane in round 5 (never driver-graded before;
+# VERDICT r4 #1 — rotation round three).
+QUERIES = [
     Query(
         "pagerank",
         q_pagerank,
@@ -272,3 +274,5 @@ EXTRA_QUERIES = [
         ("llm", "graph", "iterative"),
     ),
 ]
+
+EXTRA_QUERIES: list[Query] = []

@@ -696,7 +696,14 @@ FROM orders
 """
 
 
-QUERIES = [
+QUERIES: list[Query] = []
+
+# Rotation history: the first nine moved to the EXTRA lane in round 3
+# (green driver rows in r1+r2 — VERDICT r2 #1); the rest in round 5
+# after FOUR consecutive green driver rows each (VERDICT r4 #1 —
+# their graded slots went to the never-graded round-4 cohort). All
+# keep full local-replica evidence (tools/oracle_check.py + pytest).
+EXTRA_QUERIES = [
     Query("agg_group", q_agg_group, SQL_AGG_GROUP, ("relational", "agg"), bench=True),
     Query("agg_distinct", q_agg_distinct, SQL_AGG_DISTINCT, ("relational", "agg")),
     Query("join_inner", q_join_inner, SQL_JOIN_INNER, ("relational", "join"), bench=True),
@@ -705,13 +712,6 @@ QUERIES = [
     Query("join_asof", q_join_asof, SQL_JOIN_ASOF, ("relational", "join", "custom")),
     Query("window_rank", q_window_rank, SQL_WINDOW_RANK, ("relational", "window")),
     Query("window_analytic", q_window_analytic, SQL_WINDOW_ANALYTIC, ("relational", "window"), bench=True),
-]
-
-# Round-3 rotation (VERDICT r2 #1): these carry green driver rows from
-# BOTH round 1 and round 2, so their graded slots went to the ten
-# formerly-EXTRA operators that had never earned a driver row. They keep
-# full local-replica evidence (tools/oracle_check.py + pytest) here.
-EXTRA_QUERIES = [
     Query("scan_parquet", q_scan_parquet, SQL_SCAN_PARQUET, ("relational", "source")),
     Query("project_filter", q_project_filter, SQL_PROJECT_FILTER, ("relational",)),
     Query("filter_compound", q_filter_compound, SQL_FILTER_COMPOUND, ("relational",)),

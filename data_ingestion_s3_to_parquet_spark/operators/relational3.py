@@ -152,13 +152,14 @@ FROM events
 
 
 QUERIES = [
-    Query("agg_argminmax", q_agg_argminmax, SQL_AGG_ARGMINMAX, ("relational", "agg")),
-    Query("udaf_grouped", q_udaf_grouped, SQL_UDAF_GROUPED, ("relational", "udf")),
     Query("map_in_pandas_tokens", q_map_in_pandas_tokens, SQL_MAP_IN_PANDAS_TOKENS, ("llm", "udf")),
 ]
 
-# Rotated to the EXTRA lane in round 4 (green driver row in r3; its
-# graded slot went to a never-graded round-3 operator — VERDICT r3 #1).
+# Rotation history: datetime_funcs moved to the EXTRA lane in round 4
+# (green driver row in r3); agg_argminmax + udaf_grouped in round 5
+# after four consecutive green driver rows each (VERDICT r4 #1).
 EXTRA_QUERIES = [
+    Query("agg_argminmax", q_agg_argminmax, SQL_AGG_ARGMINMAX, ("relational", "agg")),
+    Query("udaf_grouped", q_udaf_grouped, SQL_UDAF_GROUPED, ("relational", "udf")),
     Query("datetime_funcs", q_datetime_funcs, SQL_DATETIME_FUNCS, ("relational",)),
 ]

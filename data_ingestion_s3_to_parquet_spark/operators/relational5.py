@@ -85,14 +85,7 @@ FROM typed t JOIN counts c ON t.et IS NOT DISTINCT FROM c.et
 """
 
 
-QUERIES = [
-    Query(
-        "join_null_safe",
-        q_join_null_safe,
-        SQL_JOIN_NULL_SAFE,
-        ("relational", "join"),
-    ),
-]
+QUERIES: list[Query] = []
 
 
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,8 +149,16 @@ QUERIES.append(
     Query("scd2_history", q_scd2_history, SQL_SCD2_HISTORY, ("relational", "window"))
 )
 
-# Rotated out in round 3 (two green driver rows already; see VERDICT r2 #1).
+# Rotation history: regexp_funcs moved out in round 3 (two green
+# driver rows — VERDICT r2 #1); join_null_safe in round 5 after four
+# consecutive green driver rows (VERDICT r4 #1).
 EXTRA_QUERIES = [
+    Query(
+        "join_null_safe",
+        q_join_null_safe,
+        SQL_JOIN_NULL_SAFE,
+        ("relational", "join"),
+    ),
     Query(
         "regexp_funcs",
         q_regexp_funcs,

@@ -215,7 +215,9 @@ FROM n
 QUERIES: list[Query] = []
 
 # EXTRA lane (leading it: never driver-graded — see plans.registry).
-EXTRA_QUERIES = [
+# Promoted to the graded lane in round 5 (never driver-graded before;
+# VERDICT r4 #1 — rotation round three).
+QUERIES = [
     Query(
         "window_distribution",
         q_window_distribution,
@@ -235,3 +237,5 @@ EXTRA_QUERIES = [
         ("llm", "text"),
     ),
 ]
+
+EXTRA_QUERIES: list[Query] = []

@@ -669,13 +669,10 @@ QUERIES: list[Query] = []
 
 # EXTRA lane (leading it with the other never-graded round-4 entries —
 # see plans.registry for the rotation policy).
-EXTRA_QUERIES = [
-    Query(
-        "unpivot_stack",
-        q_unpivot_stack,
-        SQL_UNPIVOT_STACK,
-        ("relational", "reshape"),
-    ),
+# Promoted to the graded lane in round 5 (never driver-graded before;
+# VERDICT r4 #1 — rotation round three). unpivot_stack and
+# anomaly_zscore stay in the EXTRA lane for the round-6 rotation.
+QUERIES = [
     Query(
         "window_range_interval",
         q_window_range_interval,
@@ -688,12 +685,6 @@ EXTRA_QUERIES = [
         SQL_SAMPLE_SPAN_MASK,
         ("llm", "sampling", "text"),
         bench=True,  # the token-stream-shuffle representative
-    ),
-    Query(
-        "anomaly_zscore",
-        q_anomaly_zscore,
-        SQL_ANOMALY_ZSCORE,
-        ("relational", "quality", "timeseries"),
     ),
     Query(
         "knn_graph",
@@ -719,5 +710,20 @@ EXTRA_QUERIES = [
         q_agg_skew_salted,
         SQL_AGG_SKEW_SALTED,
         ("relational", "agg", "skew"),
+    ),
+]
+
+EXTRA_QUERIES = [
+    Query(
+        "unpivot_stack",
+        q_unpivot_stack,
+        SQL_UNPIVOT_STACK,
+        ("relational", "reshape"),
+    ),
+    Query(
+        "anomaly_zscore",
+        q_anomaly_zscore,
+        SQL_ANOMALY_ZSCORE,
+        ("relational", "quality", "timeseries"),
     ),
 ]

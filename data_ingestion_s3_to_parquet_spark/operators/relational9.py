@@ -1012,6 +1012,37 @@ FROM u
 
 QUERIES: list[Query] = []
 
+# Promoted to the graded lane in round 5 (never driver-graded before;
+# VERDICT r4 #1 — rotation round three, the four novel plan shapes the
+# verdict named). The rest of the round-4 cohort stays in the EXTRA
+# lane for the round-6 rotation.
+QUERIES = [
+    Query(
+        "recursive_cte",
+        q_recursive_hierarchy,
+        SQL_RECURSIVE_HIERARCHY,
+        ("relational", "sql", "iterative"),
+    ),
+    Query(
+        "data_expectations",
+        q_data_expectations,
+        SQL_DATA_EXPECTATIONS,
+        ("relational", "quality", "validation"),
+    ),
+    Query(
+        "fuzzy_match_strings",
+        q_fuzzy_match_strings,
+        SQL_FUZZY_MATCH_STRINGS,
+        ("llm", "text", "linkage"),
+    ),
+    Query(
+        "skyline_frontier",
+        q_skyline_frontier,
+        SQL_SKYLINE_FRONTIER,
+        ("relational", "analytics", "window"),
+    ),
+]
+
 EXTRA_QUERIES = [
     Query(
         "time_weighted_avg",
@@ -1032,24 +1063,6 @@ EXTRA_QUERIES = [
         ("relational", "analytics"),
     ),
     Query(
-        "recursive_cte",
-        q_recursive_hierarchy,
-        SQL_RECURSIVE_HIERARCHY,
-        ("relational", "sql", "iterative"),
-    ),
-    Query(
-        "data_expectations",
-        q_data_expectations,
-        SQL_DATA_EXPECTATIONS,
-        ("relational", "quality", "validation"),
-    ),
-    Query(
-        "fuzzy_match_strings",
-        q_fuzzy_match_strings,
-        SQL_FUZZY_MATCH_STRINGS,
-        ("llm", "text", "linkage"),
-    ),
-    Query(
         "chunk_text",
         q_chunk_text,
         SQL_CHUNK_TEXT,
@@ -1067,12 +1080,6 @@ EXTRA_QUERIES = [
         q_value_histogram,
         SQL_VALUE_HISTOGRAM,
         ("relational", "profiling"),
-    ),
-    Query(
-        "skyline_frontier",
-        q_skyline_frontier,
-        SQL_SKYLINE_FRONTIER,
-        ("relational", "analytics", "window"),
     ),
     Query(
         "basket_pairs",

@@ -367,6 +367,118 @@ SELECT doc_id, term, tf, df, score, CAST(rk AS INT) AS rk FROM (
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed document-quality GATE (SURVEY §8 #5): one
+    calibrated keep/bucket decision per document, combining the three
+    signal families a production LLM-data pipeline computes anyway —
+    ``text_stats``'s heuristic ratios (stopword/alpha/distinct →
+    quality_score), ``quality_gopher``'s repetition verdicts
+    (top-word + duplicate-bigram ratios), and ``lm_unigram_score``'s
+    corpus-LM fluency (avg negative log-likelihood). This is the
+    fastText-classifier-shaped filter (cf. CCNet / Gopher / FineWeb
+    pipelines) expressed over signals that are each oracle-checkable,
+    so the fused score is too.
+
+    Scoring is pure int64 fixed point (SCALE.md §34): each 6-dp signal
+    is lifted to integer micro-units, fluency and repetition are
+    clamped linear ramps (nll 4→12 maps 1e6→0; twr saturates at the
+    Gopher bound 0.12, dbr at 0.10), and the fused score is the
+    integer-weighted mean (40% heuristics, 30% fluency, 30%
+    repetition) — every division has a non-negative numerator so
+    truncating (Spark ``div``) and flooring (DuckDB ``//``) integer
+    division agree bitwise. Buckets: high ≥ 0.55, medium ≥ 0.45 (calibrated so all three buckets are populated on the fixture corpus, pinned by pytest);
+    ``keep`` = medium-or-better AND the Gopher verdict.
+
+    Scale shape: the three signal frames each end keyed on ``doc_id``
+    (two end in a doc_id groupBy, so they arrive pre-partitioned); the
+    fusion is two doc_id equi-joins on a uniform key plus a map-only
+    projection. In production the signal tables are materialized once
+    and re-scored for free when only the weights/thresholds change.
+    """
+    from .relational8 import q_lm_unigram_score
+
+    ts = q_text_stats(spark, sf_dir).select("doc_id", "quality_score")
+    qg = q_quality_gopher(spark, sf_dir).select(
+        "doc_id",
+        "top_word_ratio",
+        "dup_bigram_ratio",
+        F.col("keep").alias("gopher_keep"),
+    )
+    lm = q_lm_unigram_score(spark, sf_dir).select("doc_id", "avg_nll")
+    feat = (
+        ts.join(qg, "doc_id")
+        .join(lm, "doc_id")
+        .withColumn("sq", F.round(F.col("quality_score") * 1e6, 0).cast("long"))
+        .withColumn("mnll", F.round(F.col("avg_nll") * 1e6, 0).cast("long"))
+        .withColumn("mtwr", F.round(F.col("top_word_ratio") * 1e6, 0).cast("long"))
+        .withColumn("mdbr", F.round(F.col("dup_bigram_ratio") * 1e6, 0).cast("long"))
+        .withColumn(
+            "s_flu",
+            F.expr("least(1000000, greatest(0, 12000000 - mnll) div 8)"),
+        )
+        .withColumn(
+            "s_rep",
+            F.expr(
+                "greatest(0, 1000000 - greatest("
+                "mtwr * 1000000 div 120000, mdbr * 1000000 div 100000))"
+            ),
+        )
+        .withColumn("score_u", F.expr("(40 * sq + 30 * s_flu + 30 * s_rep) div 100"))
+    )
+    return feat.select(
+        "doc_id",
+        "quality_score",
+        "avg_nll",
+        "top_word_ratio",
+        "dup_bigram_ratio",
+        (F.col("score_u").cast("double") / 1e6).alias("score"),
+        F.when(F.col("score_u") >= 550_000, "high")
+        .when(F.col("score_u") >= 450_000, "medium")
+        .otherwise("low")
+        .alias("bucket"),
+        (F.col("gopher_keep") & (F.col("score_u") >= 450_000)).alias("keep"),
+    )
+
+
+def _sql_quality_classifier() -> str:
+    from .relational8 import SQL_LM_UNIGRAM_SCORE
+
+    return f"""
+WITH ts AS (SELECT * FROM ({SQL_TEXT_STATS}) t),
+qg AS (SELECT * FROM ({SQL_QUALITY_GOPHER}) g),
+lm AS (SELECT * FROM ({SQL_LM_UNIGRAM_SCORE}) l),
+feat AS (
+  SELECT ts.doc_id, ts.quality_score, lm.avg_nll,
+         qg.top_word_ratio, qg.dup_bigram_ratio, qg.keep AS gopher_keep,
+         CAST(ROUND(ts.quality_score * 1000000, 0) AS BIGINT) AS sq,
+         CAST(ROUND(lm.avg_nll * 1000000, 0) AS BIGINT) AS mnll,
+         CAST(ROUND(qg.top_word_ratio * 1000000, 0) AS BIGINT) AS mtwr,
+         CAST(ROUND(qg.dup_bigram_ratio * 1000000, 0) AS BIGINT) AS mdbr
+  FROM ts JOIN qg USING (doc_id) JOIN lm USING (doc_id)
+),
+sc AS (
+  SELECT *,
+         LEAST(1000000, GREATEST(0, 12000000 - mnll) // 8) AS s_flu,
+         GREATEST(0, 1000000 - GREATEST(mtwr * 1000000 // 120000,
+                                        mdbr * 1000000 // 100000)) AS s_rep
+  FROM feat
+),
+fused AS (
+  SELECT *, (40 * sq + 30 * s_flu + 30 * s_rep) // 100 AS score_u FROM sc
+)
+SELECT doc_id, quality_score, avg_nll, top_word_ratio, dup_bigram_ratio,
+       CAST(score_u AS DOUBLE) / 1000000.0 AS score,
+       CASE WHEN score_u >= 550000 THEN 'high'
+            WHEN score_u >= 450000 THEN 'medium'
+            ELSE 'low' END AS bucket,
+       gopher_keep AND score_u >= 450000 AS keep
+FROM fused
+"""
+
+
+SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
+
+
 QUERIES = [
     Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
     Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),
@@ -377,6 +489,13 @@ QUERIES = [
         SQL_TFIDF_TOP_TERMS,
         ("llm", "text", "window"),
         bench=True,  # track the multi-stage window lane round-over-round
+    ),
+    Query(
+        "quality_classifier",
+        q_quality_classifier,
+        SQL_QUALITY_CLASSIFIER,
+        ("llm", "text", "quality", "pipeline"),
+        bench=True,  # the composed three-signal gate, timed end-to-end
     ),
 ]
 

