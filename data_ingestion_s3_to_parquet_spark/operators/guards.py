@@ -1,0 +1,57 @@
+"""Scale guards for the label-block-quadratic exact lanes (VERDICT r4 #5).
+
+``dedup_embedding``, ``sim_join``, and the exact ``knn_graph`` generate
+candidate pairs by joining within coarse label blocks. The block key
+has ~8 values on these fixtures, so block size is LINEAR in corpus
+size and pair generation is O(n²/8): exactly right as bitwise oracle
+twins at fixture scale, fatally wrong if someone points them at a
+production corpus. Each of those operators therefore counts its input
+once (a column-pruned metadata-cheap scan) and REFUSES above
+:data:`QUADRATIC_BLOCK_BOUND` rows with an error that names its
+scale-safe LSH twin — failing loudly at plan time beats an executor
+OOM three shuffles later. The bound is generous for every fixture SF
+(2 000 embedding rows at sf0.1) and two orders of magnitude below
+where the pair join would become a cluster-wide incident.
+
+Override: callers that have ALREADY bounded block sizes upstream (for
+example, feeding pre-bucketed candidates) can raise the bound via the
+``SPARK_GRAFT_QUADRATIC_BOUND`` environment variable — an explicit,
+greppable opt-in rather than a silent default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+QUADRATIC_BLOCK_BOUND = 250_000
+
+
+def _bound() -> int:
+    return int(
+        os.environ.get("SPARK_GRAFT_QUADRATIC_BOUND", QUADRATIC_BLOCK_BOUND)
+    )
+
+
+def check_quadratic_rows(n_rows: int, op_name: str, twin: str) -> None:
+    """Raise if ``n_rows`` is past the quadratic-lane bound, naming the
+    scale-safe twin the caller should use instead."""
+    bound = _bound()
+    if n_rows > bound:
+        raise ValueError(
+            f"{op_name}: input has {n_rows} rows, above the "
+            f"{bound}-row bound for label-block-quadratic exact pair "
+            f"generation (O(n²/blocks) candidates). This lane exists as "
+            f"the bitwise oracle twin at fixture scale — at this size, "
+            f"use the scale-safe LSH lane `{twin}` instead, or raise "
+            f"SPARK_GRAFT_QUADRATIC_BOUND if block sizes are already "
+            f"bounded upstream."
+        )
+
+
+def guard_quadratic(df: DataFrame, op_name: str, twin: str) -> DataFrame:
+    """Count ``df`` (column-pruned, metadata-cheap) and refuse past the
+    bound; returns ``df`` unchanged so it nests in a plan expression."""
+    check_quadratic_rows(df.count(), op_name, twin)
+    return df

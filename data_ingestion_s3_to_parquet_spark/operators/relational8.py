@@ -388,8 +388,16 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ties on cosine break by neighbor id in BOTH engines, so the graph
     is engine-deterministic (the driver hash needs exact row parity).
+    A size guard refuses oversized inputs and points at the LSH lane
+    (:mod:`.guards`, VERDICT r4 #5).
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    from .guards import guard_quadratic
+
+    emb = guard_quadratic(
+        spread(load_table(spark, sf_dir, "embeddings")),
+        "knn_graph",
+        "knn_graph_lsh",
+    )
     a = emb.select(
         F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), "label"
     )

@@ -74,9 +74,17 @@ def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Blocking on an equi key turns the quadratic crossJoin into a hash
     join + per-block pair expansion — the same shape LSH bucketing
-    produces, but exact (hence oracle-checkable).
+    produces, but exact (hence oracle-checkable). A size guard refuses
+    oversized inputs and points at the LSH lane (:mod:`.guards`,
+    VERDICT r4 #5).
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    from .guards import guard_quadratic
+
+    emb = guard_quadratic(
+        spread(load_table(spark, sf_dir, "embeddings")),
+        "sim_join",
+        "sim_join_lsh",
+    )
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "label"
     )

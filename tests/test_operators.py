@@ -340,6 +340,78 @@ def test_ref_pairs_cache_matches_rebuild(spark, sf_dir):
     assert repaired["count"] == len(fresh)            # rebuild re-stamped it
 
 
+def test_quadratic_lane_guard_names_scale_safe_twin(spark, sf_dir, monkeypatch):
+    # VERDICT r4 #5: the label-block-quadratic exact lanes must refuse
+    # oversized inputs with an error that names their LSH twin, and
+    # must keep working (guard passes) at fixture scale.
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.operators.guards import (
+        check_quadratic_rows,
+    )
+
+    for op, twin in (
+        ("dedup_embedding", "dedup_components_lsh"),
+        ("sim_join", "sim_join_lsh"),
+        ("knn_graph", "knn_graph_lsh"),
+    ):
+        with pytest.raises(ValueError) as exc:
+            check_quadratic_rows(10**9, op, twin)
+        msg = str(exc.value)
+        assert twin in msg and op in msg and "quadratic" in msg
+
+    # the env override raises the bound (explicit opt-in)
+    monkeypatch.setenv("SPARK_GRAFT_QUADRATIC_BOUND", str(10**9 + 1))
+    check_quadratic_rows(10**9, "sim_join", "sim_join_lsh")  # no raise
+
+    # fixture-scale inputs pass the guard end-to-end
+    monkeypatch.delenv("SPARK_GRAFT_QUADRATIC_BOUND", raising=False)
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        q_sim_join,
+    )
+
+    assert q_sim_join(spark, sf_dir).count() > 0
+
+
+def test_knn_edge_artifact_matches_rebuild(spark, sf_dir):
+    # the persisted k-NN edge table feeding pagerank/label_propagation
+    # must equal a fresh knn_graph build, and a corrupted checksum must
+    # force a rebuild (same contract as the dedup_fuzzy pair artifact)
+    import json
+    import os
+    import tempfile
+
+    from data_ingestion_s3_to_parquet_spark.artifacts import (
+        fixture_fingerprint,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.graph import _knn_edges
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        KNN_K,
+        q_knn_graph,
+    )
+
+    fresh = {
+        (r.src, r.dst)
+        for r in q_knn_graph(spark, sf_dir).select("src", "dst").collect()
+    }
+    assert {(r.src, r.dst) for r in _knn_edges(spark, sf_dir).collect()} == fresh
+    assert {(r.src, r.dst) for r in _knn_edges(spark, sf_dir).collect()} == fresh
+
+    meta = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_knn_edges",
+        f"k{KNN_K}-{fixture_fingerprint(sf_dir, 'embeddings')}",
+        "checksum.json",
+    )
+    assert os.path.exists(meta)
+    with open(meta, "w") as fh:
+        json.dump({"count": -1, "hashsum": 0}, fh)  # corrupt it
+    assert {(r.src, r.dst) for r in _knn_edges(spark, sf_dir).collect()} == fresh
+    with open(meta) as fh:
+        repaired = json.load(fh)
+    assert repaired["count"] == len(fresh)  # rebuild re-stamped it
+
+
 def test_dedup_components_lsh_planted_clusters(spark, tmp_path):
     # the benched scale pipeline (LSH candidates → component dispatcher)
     # must recover planted near-dup clusters end-to-end: a 3-vector
