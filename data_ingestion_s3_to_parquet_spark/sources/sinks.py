@@ -187,6 +187,58 @@ def _gc_generations(root: str, *, retain: int = 1) -> None:
         os.remove(stale)
 
 
+def table_read(spark: SparkSession, path: str) -> DataFrame:
+    """Layout-dispatching read: manifest tables resolve through the
+    committed pointer (consistent snapshot), plain parquet directories
+    read directly. The one read entrypoint that keeps working across a
+    table's migration onto the manifest commit."""
+    if is_manifest_table(path):
+        return manifest_table_read(spark, path)
+    return spark.read.parquet(path)
+
+
+def manifest_table_migrate(spark: SparkSession, path: str) -> None:
+    """Migrate a plain parquet directory IN PLACE onto the manifest
+    commit: rewrite the loose files as generation 1, atomically commit
+    the pointer, then remove the loose files. Idempotent and
+    crash-retryable at every step:
+
+    - crash mid-rewrite: no ``_MANIFEST`` yet, loose files untouched —
+      a retry removes the partial ``gen-*`` dir and rewrites;
+    - crash between commit and cleanup: the manifest is authoritative
+      and loose files are dead weight — a retry (or any later
+      :func:`compact_parquet`) finishes the removal.
+
+    After migration, reads go through :func:`table_read` /
+    :func:`manifest_table_read` (a bare ``spark.read.parquet(path)``
+    no longer resolves the nested layout — the same protocol shift
+    Delta/Iceberg impose, and the price of removing the rename
+    existence window the plain layout forced on every rewrite).
+    """
+
+    def _loose_entries() -> list[str]:
+        return [
+            os.path.join(path, name)
+            for name in os.listdir(path)
+            if not name.startswith(("gen-", "_MANIFEST"))
+        ]
+
+    if is_manifest_table(path):
+        for p in _loose_entries():  # finish a crashed cleanup step
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+        return
+    for name in os.listdir(path):  # partial gen dir from a crashed run
+        if name.startswith("gen-"):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    gen = "gen-00000001"
+    spark.read.parquet(path).write.mode("overwrite").parquet(
+        os.path.join(path, gen)
+    )
+    _commit_manifest(path, gen)
+    for p in _loose_entries():
+        (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+
+
 def _sized_file_count(data_dir: str, target_file_bytes: int) -> int:
     total = sum(
         os.path.getsize(os.path.join(dirp, f))
