@@ -8,24 +8,25 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The graded registry is EXACTLY 50 entries, every one oracle-gated,
 ordered parity → LLM → streaming → relational (the harness grades only
 the first 50 entries — confirmed in rounds 1 AND 2; see SURVEY.md §2C
-for the full inventory and rotation history). Round 5 rotates
-fifteen never-driver-graded round-4 operators into the graded 50
-(window_distribution, interleave_mix, text_normalize,
-window_range_interval, sample_span_mask, knn_graph,
-lm_unigram_score, profile_table, agg_skew_salted, recursive_cte,
-data_expectations, fuzzy_match_strings, skyline_frontier, pagerank,
-label_propagation) plus the NEW quality_classifier (the composed
-three-signal quality gate); sixteen entries with four straight green
-driver rows each demote to the EXTRA lane. The EXTRA lane now holds
-forty-four oracle-gated entries — the 11 still-never-graded round-4
-operators leading it (unpivot_stack, anomaly_zscore,
+for the full inventory and rotation history). Round 6 completes the
+rotation programme (VERDICT r5 #4): the 11 last never-driver-graded
+operators move into the graded 50 (unpivot_stack, anomaly_zscore,
 time_weighted_avg, funnel_conversion, retention_cohort, chunk_text,
 corpus_report, value_histogram, basket_pairs, period_growth,
-ab_test_metrics: queued for the round-6 rotation, and a larger
-budget grades them first), then the earlier demotees (all verified
-locally each round). EXTRA is appended AFTER position 50: a 50-entry
-count cap ignores the tail harmlessly; a larger budget grades it for
-free. Lane counts (50 graded / 44 EXTRA / 4 BENCH_ONLY) are pinned by
+ab_test_metrics), and 11 entries with 4-5 straight green driver rows
+each demote to the EXTRA lane (dedup_exact, dedup_embedding,
+dedup_components, dedup_ngram_jaccard, dedup_fuzzy, sample_split,
+decontaminate, corpus_prep, emb_centroids, sim_topk,
+map_in_pandas_tokens). sample_span_mask and lm_unigram_score stay
+graded to re-earn green rows after the round-5 HUGEINT oracle fix
+(CAST the integer SUM output columns to BIGINT — VERDICT r5 #1).
+After this round grades, every oracle-gated operator in the repo has
+a driver row in some round. The EXTRA lane holds forty-four
+oracle-gated entries, all with prior green driver rows, all verified
+locally each round by tools/oracle_check.py. EXTRA is appended AFTER
+position 50: a 50-entry count cap ignores the tail harmlessly; a
+larger budget grades it for free. Lane counts (50 graded / 44 EXTRA /
+4 BENCH_ONLY) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded
 through accuracy-contract oracles — a deterministic ``*_ok`` boolean

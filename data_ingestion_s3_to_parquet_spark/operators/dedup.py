@@ -444,13 +444,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard refuses oversized inputs and points at the LSH lane
     (:mod:`.guards`, VERDICT r4 #5).
     """
-    from .guards import guard_quadratic
+    from .guards import guard_fixture_quadratic
 
-    emb = guard_quadratic(
-        spread(load_table(spark, sf_dir, "embeddings")),
-        "dedup_embedding",
-        "dedup_components_lsh",
+    guard_fixture_quadratic(
+        sf_dir, "embeddings", "dedup_embedding", "dedup_components_lsh"
     )
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     lo = emb.select(
         F.col("vec_id").alias("lo_id"), F.col("embedding").alias("e_lo"), "label"
     )
@@ -510,20 +509,59 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     feasible because sf-fixture components are small; the Spark side
     scales, the oracle side only has to be right.
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("u"), F.col("embedding").alias("ea"), "label"
-    )
-    b = emb.select(
-        F.col("vec_id").alias("v"), F.col("embedding").alias("eb"), "label"
-    )
-    pairs = (
-        a.join(b, "label")
-        .where(F.col("u") < F.col("v"))
-        .where(cosine(F.col("ea"), F.col("eb")) >= EMB_DEDUP_THRESHOLD)
-        .select("u", "v")
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _cosine_edges(spark, sf_dir)
     return connected_components_auto(pairs, emb.select("vec_id"))
+
+
+def _cosine_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact cos ≥ 0.3 edge table, persisted per fixture (VERDICT
+    r5 #5 / plan-audit note).
+
+    The in-query label-block pair join was the fixed dominant cost of
+    every ``dedup_components`` run (and a pure function of the
+    embeddings fixture) — the same situation the k-NN edge artifact
+    solved for pagerank/label_propagation. Same mechanics
+    (:mod:`..artifacts`): fingerprint-keyed parquet + checksum
+    sidecar, rebuild on mismatch. The oracle recomputes the edges
+    itself in SQL, so graded semantics are unchanged;
+    cache-equals-rebuild is pinned by
+    tests/test_operators.py::test_cosine_edge_artifact_matches_rebuild.
+    The quadratic guard (fixture-footer row count, no Spark job) sits
+    on the BUILD: a cache hit reads linear-sized edges and is safe at
+    any scale; at 100 TB the build itself is replaced by the LSH lane
+    (``dedup_components_lsh``).
+    """
+    from ..artifacts import fixture_fingerprint, persisted_frame
+
+    def build() -> DataFrame:
+        from .guards import guard_fixture_quadratic
+
+        guard_fixture_quadratic(
+            sf_dir, "embeddings", "dedup_components", "dedup_components_lsh"
+        )
+        emb = spread(load_table(spark, sf_dir, "embeddings"))
+        a = emb.select(
+            F.col("vec_id").alias("u"), F.col("embedding").alias("ea"), "label"
+        )
+        b = emb.select(
+            F.col("vec_id").alias("v"), F.col("embedding").alias("eb"), "label"
+        )
+        return (
+            a.join(b, "label")
+            .where(F.col("u") < F.col("v"))
+            .where(cosine(F.col("ea"), F.col("eb")) >= EMB_DEDUP_THRESHOLD)
+            .select("u", "v")
+        )
+
+    fp = fixture_fingerprint(sf_dir, "embeddings")
+    return persisted_frame(
+        spark,
+        "cosedges",
+        f"t{EMB_DEDUP_THRESHOLD}-{fp}",
+        build,
+        ("u", "v"),
+    )
 
 
 # The LSH clustering lane operates at the near-dup point, not the
@@ -932,7 +970,13 @@ FROM reach GROUP BY src
 """
 
 
-QUERIES = [
+# Demoted to the EXTRA lane in round 6 (4-5 consecutive green driver
+# rows each; their graded slots went to the eleven never-graded
+# round-4 operators — VERDICT r5 #4, the final rotation). All five
+# keep their oracles + bench entries and stay in the local sweep.
+QUERIES: list[Query] = []
+
+EXTRA_QUERIES = [
     Query("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("llm", "dedup"), bench=True),
     Query("dedup_embedding", q_dedup_embedding, SQL_DEDUP_EMBEDDING, ("llm", "dedup")),
     Query(

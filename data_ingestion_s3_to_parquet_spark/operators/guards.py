@@ -34,6 +34,51 @@ def _bound() -> int:
     )
 
 
+# (sf_dir, table) → exact row count from parquet footers. The fixture
+# files are immutable within a run, so the memo never invalidates; it
+# exists so repeated invocations (bench warm-up + two timed runs) pay
+# the footer read once.
+_FIXTURE_ROWS: dict[tuple[str, str], int] = {}
+
+
+def fixture_rows(sf_dir: str, table: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata.
+
+    VERDICT r5 #5: the guard used to ``df.count()`` the widened
+    (post-``spread``) frame — a full scan + shuffle job per invocation
+    that doubled ``sim_join``'s bench time. The row count is a property
+    of the INPUT, not of the plan, and parquet footers carry it exactly:
+    read them driver-side with pyarrow (microseconds, zero Spark jobs).
+    Handles both a single ``.parquet`` file and a directory of part
+    files (the layout a real cluster writes).
+    """
+    key = (sf_dir, table)
+    if key not in _FIXTURE_ROWS:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isdir(path):
+            n = sum(
+                pq.read_metadata(os.path.join(root, f)).num_rows
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.read_metadata(path).num_rows
+        _FIXTURE_ROWS[key] = n
+    return _FIXTURE_ROWS[key]
+
+
+def guard_fixture_quadratic(
+    sf_dir: str, table: str, op_name: str, twin: str
+) -> None:
+    """Refuse to run a label-block-quadratic lane on an oversized
+    fixture table, naming the scale-safe twin. Metadata-cheap: reads
+    parquet footers, runs no Spark job."""
+    check_quadratic_rows(fixture_rows(sf_dir, table), op_name, twin)
+
+
 def check_quadratic_rows(n_rows: int, op_name: str, twin: str) -> None:
     """Raise if ``n_rows`` is past the quadratic-lane bound, naming the
     scale-safe twin the caller should use instead."""
@@ -51,7 +96,13 @@ def check_quadratic_rows(n_rows: int, op_name: str, twin: str) -> None:
 
 
 def guard_quadratic(df: DataFrame, op_name: str, twin: str) -> DataFrame:
-    """Count ``df`` (column-pruned, metadata-cheap) and refuse past the
-    bound; returns ``df`` unchanged so it nests in a plan expression."""
+    """Count ``df`` and refuse past the bound; returns ``df`` unchanged
+    so it nests in a plan expression.
+
+    NOTE: this runs a Spark count job over ``df``'s actual plan — use
+    it only when the input is not a raw fixture table (e.g. already
+    filtered/derived). For fixture-table inputs prefer
+    :func:`guard_fixture_quadratic`, which reads parquet footers
+    driver-side and costs no job (VERDICT r5 #5)."""
     check_quadratic_rows(df.count(), op_name, twin)
     return df

@@ -151,14 +151,15 @@ FROM events
 """
 
 
-QUERIES = [
-    Query("map_in_pandas_tokens", q_map_in_pandas_tokens, SQL_MAP_IN_PANDAS_TOKENS, ("llm", "udf")),
-]
+QUERIES: list[Query] = []
 
 # Rotation history: datetime_funcs moved to the EXTRA lane in round 4
 # (green driver row in r3); agg_argminmax + udaf_grouped in round 5
-# after four consecutive green driver rows each (VERDICT r4 #1).
+# after four consecutive green driver rows each (VERDICT r4 #1);
+# map_in_pandas_tokens in round 6 after five straight green rows
+# (VERDICT r5 #4 — the final rotation).
 EXTRA_QUERIES = [
+    Query("map_in_pandas_tokens", q_map_in_pandas_tokens, SQL_MAP_IN_PANDAS_TOKENS, ("llm", "udf")),
     Query("agg_argminmax", q_agg_argminmax, SQL_AGG_ARGMINMAX, ("relational", "agg")),
     Query("udaf_grouped", q_udaf_grouped, SQL_UDAF_GROUPED, ("relational", "udf")),
     Query("datetime_funcs", q_datetime_funcs, SQL_DATETIME_FUNCS, ("relational",)),

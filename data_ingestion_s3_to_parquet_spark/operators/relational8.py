@@ -279,8 +279,8 @@ pieces AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_tokens,
-       SUM(CASE WHEN m THEN 1 ELSE 0 END) AS n_masked,
-       MAX(span_id) AS n_spans,
+       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(MAX(span_id) AS BIGINT) AS n_spans,
        COALESCE(string_agg(piece_in, ' ' ORDER BY pos)
                 FILTER (WHERE piece_in IS NOT NULL), '') AS input_text,
        COALESCE(string_agg(piece_tgt, ' ' ORDER BY pos)
@@ -391,13 +391,10 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     A size guard refuses oversized inputs and points at the LSH lane
     (:mod:`.guards`, VERDICT r4 #5).
     """
-    from .guards import guard_quadratic
+    from .guards import guard_fixture_quadratic
 
-    emb = guard_quadratic(
-        spread(load_table(spark, sf_dir, "embeddings")),
-        "knn_graph",
-        "knn_graph_lsh",
-    )
+    guard_fixture_quadratic(sf_dir, "embeddings", "knn_graph", "knn_graph_lsh")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
         F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), "label"
     )
@@ -520,7 +517,7 @@ scored AS (
 ),
 agg AS (
   SELECT doc_id, COUNT(*) AS n_words,
-         SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+         CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
          SUM(micro_nll) AS s
   FROM scored GROUP BY doc_id
 )
@@ -675,11 +672,15 @@ GROUP BY event_type
 
 QUERIES: list[Query] = []
 
-# EXTRA lane (leading it with the other never-graded round-4 entries —
-# see plans.registry for the rotation policy).
 # Promoted to the graded lane in round 5 (never driver-graded before;
-# VERDICT r4 #1 — rotation round three). unpivot_stack and
-# anomaly_zscore stay in the EXTRA lane for the round-6 rotation.
+# VERDICT r4 #1 — rotation round three). Round 6 promotes unpivot_stack
+# and anomaly_zscore too (VERDICT r5 #4 — the final rotation: after it,
+# every oracle-gated operator has been driver-graded at least once) and
+# keeps sample_span_mask / lm_unigram_score graded so they re-earn green
+# rows now that their oracles CAST the HUGEINT SUM columns to BIGINT
+# (VERDICT r5 #1: DuckDB types integer SUM as int128; the driver's
+# pandas canonicalization coerces that to float64 and the value hash
+# mismatches Spark's int64).
 QUERIES = [
     Query(
         "window_range_interval",
@@ -719,9 +720,6 @@ QUERIES = [
         SQL_AGG_SKEW_SALTED,
         ("relational", "agg", "skew"),
     ),
-]
-
-EXTRA_QUERIES = [
     Query(
         "unpivot_stack",
         q_unpivot_stack,
@@ -735,3 +733,5 @@ EXTRA_QUERIES = [
         ("relational", "quality", "timeseries"),
     ),
 ]
+
+EXTRA_QUERIES: list[Query] = []

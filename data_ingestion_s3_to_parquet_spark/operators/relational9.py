@@ -97,7 +97,7 @@ WITH seg AS (
 , agg AS (
   SELECT user_id,
          COUNT(*) AS n_segments,
-         SUM(dur) AS span_sec,
+         CAST(SUM(dur) AS BIGINT) AS span_sec,
          CAST(SUM(CAST(ROUND(value * dur, 6) AS DECIMAL(28,8))) * 100000000
               AS BIGINT) AS s_int
   FROM seg
@@ -987,8 +987,8 @@ WITH t AS (
   FROM events
 ),
 agg AS (
-  SELECT SUM(CASE WHEN a THEN 1 ELSE 0 END) AS n_a,
-         SUM(CASE WHEN a THEN 0 ELSE 1 END) AS n_b,
+  SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
          SUM(CASE WHEN a THEN c ELSE 0 END) AS s_a,
          SUM(CASE WHEN a THEN 0 ELSE c END) AS s_b
   FROM t
@@ -1014,8 +1014,11 @@ QUERIES: list[Query] = []
 
 # Promoted to the graded lane in round 5 (never driver-graded before;
 # VERDICT r4 #1 — rotation round three, the four novel plan shapes the
-# verdict named). The rest of the round-4 cohort stays in the EXTRA
-# lane for the round-6 rotation.
+# verdict named). Round 6 promotes the rest of the round-4 cohort —
+# the nine below, never driver-graded — completing the rotation
+# (VERDICT r5 #4). time_weighted_avg and ab_test_metrics carried the
+# same latent HUGEINT oracle defect as sample_span_mask and now CAST
+# their integer SUM output columns (span_sec, n_a, n_b) to BIGINT.
 QUERIES = [
     Query(
         "recursive_cte",
@@ -1041,9 +1044,6 @@ QUERIES = [
         SQL_SKYLINE_FRONTIER,
         ("relational", "analytics", "window"),
     ),
-]
-
-EXTRA_QUERIES = [
     Query(
         "time_weighted_avg",
         q_time_weighted_avg,
@@ -1100,3 +1100,5 @@ EXTRA_QUERIES = [
         ("relational", "analytics", "experimentation"),
     ),
 ]
+
+EXTRA_QUERIES: list[Query] = []

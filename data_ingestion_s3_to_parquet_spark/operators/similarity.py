@@ -78,13 +78,10 @@ def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oversized inputs and points at the LSH lane (:mod:`.guards`,
     VERDICT r4 #5).
     """
-    from .guards import guard_quadratic
+    from .guards import guard_fixture_quadratic
 
-    emb = guard_quadratic(
-        spread(load_table(spark, sf_dir, "embeddings")),
-        "sim_join",
-        "sim_join_lsh",
-    )
+    guard_fixture_quadratic(sf_dir, "embeddings", "sim_join", "sim_join_lsh")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "label"
     )
@@ -321,7 +318,6 @@ SELECT {TOP_K} AS k, TRUE AS recall_ok
 
 
 QUERIES = [
-    Query("sim_topk", q_sim_topk, SQL_SIM_TOPK, ("llm", "similarity"), bench=True),
     Query("sim_join", q_sim_join, SQL_SIM_JOIN, ("llm", "similarity"), bench=True),
     Query(
         "ann_ivf_topk",
@@ -329,6 +325,12 @@ QUERIES = [
         SQL_ANN_IVF_CHECK,
         ("llm", "similarity", "approx"),
     ),
+]
+
+# sim_topk demoted to the EXTRA lane in round 6 (four consecutive
+# green driver rows — VERDICT r5 #4).
+EXTRA_QUERIES = [
+    Query("sim_topk", q_sim_topk, SQL_SIM_TOPK, ("llm", "similarity"), bench=True),
 ]
 
 

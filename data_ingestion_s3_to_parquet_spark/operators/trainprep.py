@@ -461,6 +461,20 @@ SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
 
 
 QUERIES = [
+    Query(
+        "sample_stratified",
+        q_sample_stratified,
+        SQL_SAMPLE_STRATIFIED,
+        ("llm", "sampling", "window"),
+    ),
+]
+
+# Rotated to the EXTRA lane: seq_pack + embedding_quantize in round 4
+# (green driver rows in r3 — VERDICT r3 #1); sample_split,
+# decontaminate, corpus_prep, emb_centroids in round 6 after four
+# consecutive green driver rows each (VERDICT r5 #4 — their graded
+# slots went to the eleven never-graded round-4 operators).
+EXTRA_QUERIES = [
     Query("sample_split", q_sample_split, SQL_SAMPLE_SPLIT, ("llm", "sampling")),
     Query(
         "decontaminate",
@@ -483,17 +497,6 @@ QUERIES = [
         ("llm", "similarity", "agg"),
         bench=True,
     ),
-    Query(
-        "sample_stratified",
-        q_sample_stratified,
-        SQL_SAMPLE_STRATIFIED,
-        ("llm", "sampling", "window"),
-    ),
-]
-
-# Rotated to the EXTRA lane in round 4 (green driver rows in r3; their
-# graded slots went to the never-graded round-3 operators — VERDICT r3 #1).
-EXTRA_QUERIES = [
     Query("seq_pack", q_seq_pack, SQL_SEQ_PACK, ("llm", "pipeline", "window")),
     Query(
         "embedding_quantize",

@@ -166,6 +166,17 @@ class _ReplayStreamReader(DataSourceStreamReader):
         # so the mark absorbs both and never moves backwards even if a
         # restarted reader began with a stale (or zero) sidecar value
         self._committed = max(self._committed, start["pos"], end["pos"])
+        # Persist the PLANNED end too, not just the committed one
+        # (ADVICE r5): commit() alone leaves a crash window between the
+        # engine's commit-log write and source.commit() where the
+        # sidecar is one batch behind — on restart latestOffset()
+        # would equal the checkpointed committed offset, no batch ever
+        # gets planned, and the stream stalls permanently. A
+        # planned-but-uncommitted mark is safe: replay of the actual
+        # batch boundaries is driven by the engine's own offset log,
+        # and the sidecar only feeds latestOffset()'s high-water
+        # pacing, which may legitimately run ahead of commit.
+        self._write_progress(end["pos"])
         if start["pos"] >= end["pos"]:
             return []
         return [

@@ -651,11 +651,21 @@ def test_extra_lane_doc_counts_match_registry():
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
     for text in (entry_mod.__doc__, inspect.getsource(registry)):
-        assert re.search(rf"\b{expected}\b", text)
-        for w in stale:
-            # \b…\b(?!-) so bare "twenty" doesn't false-match inside
-            # the hyphenated compounds ("twenty-four")
-            assert not re.search(rf"\b{w}\b(?!-)", text), w
+        # Scope the stale-word scan to the sentences that state the
+        # EXTRA-lane size (they all name the lane): round-5 shipped
+        # red because the scan matched "fifteen" in an unrelated
+        # rotation-history sentence (VERDICT r5 #3). Rotation-history
+        # counts are digits by convention; only the lane-size sentence
+        # spells its count, and only there can it go stale.
+        lane_sentences = [s for s in text.split(".") if "lane" in s.lower()]
+        assert any(re.search(rf"\b{expected}\b", s) for s in lane_sentences), (
+            f"no EXTRA-lane sentence spells out the lane size '{expected}'"
+        )
+        for s in lane_sentences:
+            for w in stale:
+                # \b…\b(?!-) so bare "twenty" doesn't false-match inside
+                # the hyphenated compounds ("twenty-four")
+                assert not re.search(rf"\b{w}\b(?!-)", s), (w, s)
 
 
 def test_sha2_keyed_dedup_matches_text_keyed_output(spark, sf_dir):
@@ -806,9 +816,10 @@ def test_lane_counts_match_docs():
         "dedup_components_lsh",
         "lang_id_ngram",
     }
-    # the never-driver-graded round-4 cohort leads the EXTRA lane so a
-    # larger harness budget grades them first
-    never_graded = [
+    # round 6 completed the rotation programme: the last 11 never-
+    # driver-graded operators are IN the graded lane, and the EXTRA
+    # lane holds only entries with prior green driver rows
+    promoted_r6 = [
         "unpivot_stack",
         "anomaly_zscore",
         "time_weighted_avg",
@@ -821,7 +832,24 @@ def test_lane_counts_match_docs():
         "period_growth",
         "ab_test_metrics",
     ]
-    assert list(EXTRA)[: len(never_graded)] == never_graded
+    assert all(k in REGISTRY for k in promoted_r6)
+    demoted_r6 = [
+        "dedup_exact",
+        "dedup_embedding",
+        "dedup_components",
+        "dedup_ngram_jaccard",
+        "dedup_fuzzy",
+        "sample_split",
+        "decontaminate",
+        "corpus_prep",
+        "emb_centroids",
+        "sim_topk",
+        "map_in_pandas_tokens",
+    ]
+    assert all(k in EXTRA for k in demoted_r6)
+    # the two round-5 hash-fail entries stay graded to re-earn green
+    # rows after the HUGEINT oracle CAST fix
+    assert "sample_span_mask" in REGISTRY and "lm_unigram_score" in REGISTRY
 
 
 def test_quality_classifier_buckets_split_and_agree_with_signals(spark, sf_dir):
@@ -1767,3 +1795,184 @@ def test_ab_test_metrics_replay_with_fractions(spark, sf_dir):
     d = ub - ua
     sign = -1 if d < 0 else 1
     assert r.rel_effect == sign * ((2 * abs(d) * 10**6 + ua) // (2 * ua)) / 1e6
+
+
+def test_oracle_replica_rejects_hugeint_columns(sf_dir):
+    # VERDICT r5 #1/#2: DuckDB types integer SUM as HUGEINT (int128);
+    # the driver canonicalizes through pandas, which has no int128, so
+    # HUGEINT coerces to float64 and the value hash mismatches Spark's
+    # int64 even when every value agrees. The old replica fetched rows
+    # via fetchall() (native ints, lossless) and was blind to this —
+    # it passed the exact two queries the round-5 driver failed. The
+    # replica must now reject HUGEINT result columns outright.
+    import sys as _sys
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from tools.oracle_check import run_duckdb
+
+    with pytest.raises(TypeError, match="HUGEINT"):
+        run_duckdb("SELECT SUM(r_regionkey) AS s FROM region", sf_dir)
+    # the repo-convention fix passes, and the cells stay integral
+    cols, rows = run_duckdb(
+        "SELECT CAST(SUM(r_regionkey) AS BIGINT) AS s FROM region", sf_dir
+    )
+    assert cols == ["s"]
+    assert all(float(r[0]).is_integer() for r in rows)
+
+
+def test_no_registry_oracle_emits_hugeint(sf_dir):
+    # Repo-wide gate (VERDICT r5 #1 "Done =" criterion): every oracle
+    # in every lane must type its result columns pandas-safely. LIMIT 0
+    # wrapping keeps the sweep cheap — DuckDB still resolves the full
+    # output schema without materializing results.
+    import sys as _sys
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import duckdb
+
+    from data_ingestion_s3_to_parquet_spark.plans.registry import EXTRA
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = {}
+    for name, q in {**REGISTRY, **EXTRA}.items():
+        if q.oracle is None:
+            continue
+        # relation API: resolves the full output schema with REAL
+        # DuckDB types (DB-API description collapses every numeric to
+        # 'NUMBER' and cannot see HUGEINT) without materializing rows
+        rel = con.sql(f"SELECT * FROM ({q.oracle}) LIMIT 0")
+        huge = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() in ("HUGEINT", "UHUGEINT", "INT128", "UINT128")
+        ]
+        if huge:
+            offenders[name] = huge
+    con.close()
+    assert not offenders, f"HUGEINT oracle output columns: {offenders}"
+
+
+def test_cosine_edge_artifact_matches_rebuild(spark, sf_dir):
+    # the persisted exact-cosine edge table feeding dedup_components
+    # must equal a fresh in-query pair build, and a corrupted checksum
+    # must force a rebuild (same contract as the knn-edge artifact)
+    import json
+    import os
+    import tempfile
+
+    from data_ingestion_s3_to_parquet_spark.artifacts import (
+        fixture_fingerprint,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        EMB_DEDUP_THRESHOLD,
+        _cosine_edges,
+        cosine,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("ea"), "label")
+    b = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"), "label")
+    fresh = {
+        (r.u, r.v)
+        for r in a.join(b, "label")
+        .where(F.col("u") < F.col("v"))
+        .where(cosine(F.col("ea"), F.col("eb")) >= EMB_DEDUP_THRESHOLD)
+        .select("u", "v")
+        .collect()
+    }
+    assert {(r.u, r.v) for r in _cosine_edges(spark, sf_dir).collect()} == fresh
+    # warm read (cache hit) must agree too
+    assert {(r.u, r.v) for r in _cosine_edges(spark, sf_dir).collect()} == fresh
+
+    meta = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_cosedges",
+        f"t{EMB_DEDUP_THRESHOLD}-{fixture_fingerprint(sf_dir, 'embeddings')}",
+        "checksum.json",
+    )
+    assert os.path.exists(meta)
+    with open(meta, "w") as fh:
+        json.dump({"count": -1, "hashsum": 0}, fh)  # corrupt it
+    assert {(r.u, r.v) for r in _cosine_edges(spark, sf_dir).collect()} == fresh
+    with open(meta) as fh:
+        repaired = json.load(fh)
+    assert repaired["count"] == len(fresh)  # rebuild re-stamped it
+
+
+def test_quality_signals_artifact_matches_rebuild(spark, sf_dir):
+    # the persisted signal frame feeding quality_classifier must equal
+    # a fresh three-pipeline build, and a corrupted checksum must force
+    # a rebuild (same contract as the knn-edge / cosine-edge artifacts)
+    import json
+    import os
+    import tempfile
+
+    from data_ingestion_s3_to_parquet_spark.artifacts import (
+        fixture_fingerprint,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_lm_unigram_score,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        _quality_signals,
+        q_quality_gopher,
+        q_text_stats,
+    )
+
+    ts = q_text_stats(spark, sf_dir).select("doc_id", "quality_score")
+    qg = q_quality_gopher(spark, sf_dir).select(
+        "doc_id", "top_word_ratio", "dup_bigram_ratio",
+        F.col("keep").alias("gopher_keep"),
+    )
+    lm = q_lm_unigram_score(spark, sf_dir).select("doc_id", "avg_nll")
+    fresh = {tuple(r) for r in ts.join(qg, "doc_id").join(lm, "doc_id").collect()}
+
+    cols = ["doc_id", "quality_score", "top_word_ratio",
+            "dup_bigram_ratio", "gopher_keep", "avg_nll"]
+    got = {tuple(r) for r in _quality_signals(spark, sf_dir).select(*cols).collect()}
+    fresh = {
+        tuple(r)
+        for r in ts.join(qg, "doc_id").join(lm, "doc_id").select(*cols).collect()
+    }
+    assert got == fresh
+    # warm read (cache hit) must agree too
+    assert {
+        tuple(r) for r in _quality_signals(spark, sf_dir).select(*cols).collect()
+    } == fresh
+
+    meta = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_qsignals",
+        f"v1-{fixture_fingerprint(sf_dir, 'documents')}",
+        "checksum.json",
+    )
+    assert os.path.exists(meta)
+    with open(meta, "w") as fh:
+        json.dump({"count": -1, "hashsum": 0}, fh)  # corrupt it
+    assert {
+        tuple(r) for r in _quality_signals(spark, sf_dir).select(*cols).collect()
+    } == fresh
+    with open(meta) as fh:
+        assert json.load(fh)["count"] == len(fresh)  # rebuild re-stamped it
+
+
+def test_interleave_mix_distributed_matches_graded(spark, sf_dir):
+    # the production materialization (range shuffle + per-partition
+    # offsets, no single-partition sort) must reproduce the graded
+    # single-partition ranking bitwise — VERDICT r5 plan-audit item
+    from data_ingestion_s3_to_parquet_spark.operators.relational7 import (
+        interleave_mix_distributed,
+        q_interleave_mix,
+    )
+
+    graded = {tuple(r) for r in q_interleave_mix(spark, sf_dir).collect()}
+    for n in (3, 8):  # partition count must not affect the schedule
+        got = {
+            tuple(r)
+            for r in interleave_mix_distributed(spark, sf_dir, n).collect()
+        }
+        assert got == graded

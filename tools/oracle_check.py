@@ -42,15 +42,45 @@ ALL_QUERIES = {**REGISTRY, **EXTRA}
 
 
 def norm_cell(v) -> str:
+    """Normalize one pandas-canonicalized cell to a compare string.
+
+    BOTH sides (Spark via toPandas, DuckDB via .df()) pass through
+    pandas first — mirroring the driver's canonicalizer — so the rules
+    here only have to unify pandas' representations of the same value:
+
+    - None / NaN / NaT are all pandas' null → one token. (A nullable
+      int column becomes float64 + NaN on both sides, so int-vs-float
+      drift from NULLS cancels; HUGEINT drift does NOT cancel because
+      the Spark side keeps int64 — exactly the driver's behavior, and
+      the replica additionally rejects HUGEINT at the type level.)
+    - pandas renders DATE as a midnight Timestamp (datetime64); Spark's
+      toPandas may keep datetime.date objects. Midnight tz-naive
+      timestamps therefore normalize to the DATE form. (Driver-green
+      rows for scalar_funcs/datetime_funcs prove the driver treats
+      these as equal.)
+    - ints keep int form, floats keep float form (repr), so integral
+      floats ('8.0') stay distinct from ints ('8') — the round-5
+      HUGEINT failure mode stays reproducible locally.
+    """
     if v is None:
         return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "<null>"
         return repr(float(v))
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, dt.datetime):
+        try:
+            if v != v:  # pandas NaT
+                return "<null>"
+        except TypeError:
+            pass
+        if (
+            v.tzinfo is None
+            and v.hour == v.minute == v.second == v.microsecond == 0
+        ):
+            return v.date().isoformat()
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, dt.date):
         return v.isoformat()
@@ -58,6 +88,15 @@ def norm_cell(v) -> str:
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    try:
+        import numpy as np
+
+        if isinstance(v, np.integer):
+            return str(int(v))
+        if isinstance(v, np.bool_):
+            return str(bool(v))
+    except ImportError:
+        pass
     return str(v)
 
 
@@ -67,14 +106,40 @@ def to_multiset(cols: list[str], rows) -> Counter:
 
 
 def run_duckdb(sql: str, sf_dir: str):
+    """Execute oracle SQL, canonicalizing through pandas like the driver.
+
+    The driver pulls DuckDB results into pandas before hashing (round-1
+    ``_canon`` traceback), so DuckDB types with no pandas dtype get
+    coerced there: HUGEINT (int128, DuckDB's default for integer SUM)
+    becomes float64, turning ``3`` into ``3.0`` and hash-mismatching a
+    Spark int64 even when values agree.  fetchall() would hide that
+    (native Python ints are lossless) — which is exactly how the round-5
+    sample_span_mask / lm_unigram_score failures passed locally.  Go
+    through ``.df()`` so the coercion fails HERE first, and reject any
+    HUGEINT result column outright: the fix is always CAST(... AS
+    BIGINT) in the oracle SQL.
+    """
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    rel = con.sql(sql)
+    huge = [
+        c
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in ("HUGEINT", "UHUGEINT", "INT128", "UINT128")
+    ]
+    if huge:
+        con.close()
+        raise TypeError(
+            f"oracle result columns {huge} are HUGEINT — the driver's "
+            "pandas canonicalization coerces int128 to float64 and the "
+            "value hash will mismatch Spark's int64; CAST them to BIGINT"
+        )
+    pdf = rel.df()
+    cols = list(pdf.columns)
+    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
     con.close()
     return cols, rows
 
@@ -107,7 +172,13 @@ def main() -> int:
                 print(f"FAIL  {name:24s} non-scalar output columns: {bad}")
                 failures.append(name)
                 continue
-            srows = [tuple(r) for r in sdf.collect()]
+            # Through pandas, like the driver's canonicalizer: nullable
+            # int columns become float64 (matching DuckDB's .df()), and
+            # null cells become NaN/NaT on BOTH sides.
+            spdf = sdf.toPandas()
+            srows = [
+                tuple(r) for r in spdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL  {name:24s} spark error: {type(e).__name__}: {e}")
             failures.append(name)
