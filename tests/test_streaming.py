@@ -519,3 +519,42 @@ def test_stream_stream_interval_join_left_outer_emits_on_eviction(spark, tmp_pat
     assert got == {(100, 200), (101, None)}
     lag = {r.left_id: r.lag_sec for r in rows if r.left_id < 190}
     assert lag[100] == 300 and lag[101] is None
+
+
+def test_replay_sidecar_advances_at_plan_time_not_just_commit(tmp_path):
+    # ADVICE r5: commit() alone leaves a crash window — engine writes
+    # its commit log, crashes before source.commit(), and the sidecar
+    # is one batch behind. On restart latestOffset() would equal the
+    # checkpointed committed offset, no batch gets planned, and the
+    # stream stalls forever. partitions() must therefore persist the
+    # PLANNED end too (safe: batch replay is driven by the engine's
+    # own offset log; the sidecar only paces latestOffset).
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from data_ingestion_s3_to_parquet_spark.sources.pyds_stream import (
+        _ReplayStreamReader,
+    )
+
+    src = "/root/testdata/sf0.001/nation.parquet"
+    progress = str(tmp_path / "progress")
+    schema = StructType([StructField("n_nationkey", LongType())])
+
+    r1 = _ReplayStreamReader(
+        {"path": src, "rowsPerBatch": "10", "orderBy": "n_nationkey",
+         "progressDir": progress},
+        schema,
+    )
+    end = r1.latestOffset()
+    assert end == {"pos": 10}
+    r1.partitions({"pos": 0}, end)
+    # crash HERE: engine commit log has [0,10) but source.commit never
+    # ran. The sidecar must already carry the planned end...
+    del r1
+    r2 = _ReplayStreamReader(
+        {"path": src, "rowsPerBatch": "10", "orderBy": "n_nationkey",
+         "progressDir": progress},
+        schema,
+    )
+    # ...so the restarted reader's latest moves PAST the checkpointed
+    # committed offset (10) instead of stalling at it
+    assert r2.latestOffset()["pos"] > 10
