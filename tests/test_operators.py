@@ -1976,3 +1976,20 @@ def test_interleave_mix_distributed_matches_graded(spark, sf_dir):
             for r in interleave_mix_distributed(spark, sf_dir, n).collect()
         }
         assert got == graded
+
+
+def test_fixture_rows_reads_footers_exactly(spark, sf_dir):
+    # the metadata-cheap guard input (VERDICT r5 #5) must agree with a
+    # real count, memoize, and feed the same refusal path as before
+    from data_ingestion_s3_to_parquet_spark.operators import guards
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    for t in ("embeddings", "documents"):
+        assert guards.fixture_rows(sf_dir, t) == load_table(spark, sf_dir, t).count()
+        assert (sf_dir, t) in guards._FIXTURE_ROWS  # memoized
+
+    # the guarded entry point refuses via the same error contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dedup_components_lsh"):
+        guards.check_quadratic_rows(10**9, "dedup_components", "dedup_components_lsh")
