@@ -20,12 +20,15 @@ decontaminate, corpus_prep, emb_centroids, sim_topk,
 map_in_pandas_tokens). sample_span_mask and lm_unigram_score stay
 graded to re-earn green rows after the round-5 HUGEINT oracle fix
 (CAST the integer SUM output columns to BIGINT — VERDICT r5 #1).
-After this round grades, every oracle-gated operator in the repo has
-a driver row in some round. The EXTRA lane holds forty-four
-oracle-gated entries, all with prior green driver rows, all verified
-locally each round by tools/oracle_check.py. EXTRA is appended AFTER
+After this round grades, every operator that existed at the start of
+round 6 has a driver row in some round. The EXTRA lane holds
+forty-five oracle-gated entries — the NEW dedup_passages
+(cross-document repeated-passage scrubbing, never graded) leads it so
+the next rotation or a larger budget grades it first; the other 44
+all carry prior green driver rows. Everything is verified locally
+each round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 44 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 45 EXTRA /
 4 BENCH_ONLY) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

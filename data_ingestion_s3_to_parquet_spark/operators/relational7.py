@@ -297,4 +297,22 @@ QUERIES = [
     ),
 ]
 
-EXTRA_QUERIES: list[Query] = []
+# The NEW round-6 dedup_passages (defined in trainprep.py) registers
+# HERE — the first EXTRA-contributing module in registry order — so
+# the lane's one never-graded entry leads it and a larger harness
+# budget (or the next rotation) grades it first.
+def _extra_queries() -> list[Query]:
+    from .trainprep import SQL_DEDUP_PASSAGES, q_dedup_passages
+
+    return [
+        Query(
+            "dedup_passages",
+            q_dedup_passages,
+            SQL_DEDUP_PASSAGES,
+            ("llm", "dedup", "text"),
+            bench=True,  # the substring-dedup representative
+        ),
+    ]
+
+
+EXTRA_QUERIES: list[Query] = _extra_queries()

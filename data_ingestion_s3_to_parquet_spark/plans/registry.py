@@ -95,8 +95,11 @@ REGISTRY: dict[str, Query] = _collect()
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
 # pytest, but not submitted for driver grading. As of round 6 this lane
-# holds forty-four entries, every one with at least one prior green
-# driver row: the 11 round-6 demotees (dedup_exact, dedup_embedding,
+# holds forty-five entries: the NEW dedup_passages (round-6
+# repeated-passage scrub, never graded) leads the lane so a larger
+# budget or the next rotation grades it first; every other entry has
+# at least one prior green driver row: the 11 round-6 demotees
+# (dedup_exact, dedup_embedding,
 # dedup_components, dedup_ngram_jaccard, dedup_fuzzy, sample_split,
 # decontaminate, corpus_prep, emb_centroids, sim_topk,
 # map_in_pandas_tokens — 4-5 consecutive green rows each), the 16

@@ -647,6 +647,7 @@ def test_extra_lane_doc_counts_match_registry():
         36: "thirty-six", 37: "thirty-seven", 38: "thirty-eight",
         39: "thirty-nine", 40: "forty", 41: "forty-one",
         42: "forty-two", 43: "forty-three", 44: "forty-four",
+        45: "forty-five", 46: "forty-six", 47: "forty-seven",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -808,8 +809,10 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 44
+    assert len(EXTRA) == 45
     assert len(BENCH_ONLY) == 4
+    # the one never-graded entry (new in round 6) leads the EXTRA lane
+    assert next(iter(EXTRA)) == "dedup_passages"
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
         "knn_graph_lsh",
@@ -1993,3 +1996,44 @@ def test_fixture_rows_reads_footers_exactly(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="dedup_components_lsh"):
         guards.check_quadratic_rows(10**9, "dedup_components", "dedup_components_lsh")
+
+
+def test_dedup_passages_matches_pure_python_recompute(spark, sf_dir):
+    # independent (non-SQL) ground truth: recompute repeated-passage
+    # coverage in pure Python over the same fixture and compare every
+    # row — pins the n-gram window arithmetic, the distinct-doc
+    # threshold, and the text rebuild
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        SCRUB_MIN_DOCS,
+        SCRUB_NGRAM_N,
+        q_dedup_passages,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    gram_docs = defaultdict(set)
+    for did, tk in docs.items():
+        for i in range(len(tk) - SCRUB_NGRAM_N + 1):
+            gram_docs[" ".join(tk[i : i + SCRUB_NGRAM_N])].add(did)
+    hot = {g for g, ds in gram_docs.items() if len(ds) >= SCRUB_MIN_DOCS}
+    expected = {}
+    for did, tk in docs.items():
+        covered = set()
+        for i in range(len(tk) - SCRUB_NGRAM_N + 1):
+            if " ".join(tk[i : i + SCRUB_NGRAM_N]) in hot:
+                covered.update(range(i, i + SCRUB_NGRAM_N))
+        kept = [w for p, w in enumerate(tk) if p not in covered]
+        expected[did] = (len(tk), len(tk) - len(kept), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_scrubbed, r.scrubbed_text)
+        for r in q_dedup_passages(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the fixture corpus must actually exercise the scrub (non-vacuous)
+    assert any(v[1] > 0 for v in got.values())
