@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -159,15 +160,148 @@ MEDIA_FEATURES_SCHEMA = StructType(
 
 
 def _decode_stub(kind: str, payload: bytes) -> None:
-    """REAL CODECS NOT AVAILABLE IN THIS CONTAINER.
+    """CODEC-REQUIRING FORMATS ONLY (JPEG/PNG/H.264/AAC/...).
 
-    This is the seam where Pillow / torchaudio / pyav would decode the
-    payload. Deliberately unimplemented; callers use the deterministic
-    byte-level features below instead.
+    This is the seam where Pillow / torchaudio / pyav would decode
+    compressed payloads; those libraries are not in this container, so
+    it stays deliberately unimplemented. Formats decodable WITHOUT
+    external codecs — PCM WAV (stdlib ``wave``) and uncompressed
+    24-bit BMP (header ``struct`` + numpy) — have REAL decoders:
+    :func:`decode_wav`, :func:`decode_bmp`, dispatched by
+    :func:`decode_media` and run distributed by :func:`media_decode`.
     """
     raise NotImplementedError(
         f"media decode for kind={kind!r} requires codec libraries "
         "(PIL/pyav/torchaudio) not present in this environment"
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for PCM WAV — stdlib ``wave`` parses the RIFF
+    container, numpy turns the frames into samples. Returned features
+    are EXACT integers (sample counts, int64 energy = Σ sample²), so
+    downstream results are bitwise-stable across layouts and reruns —
+    the same determinism contract every operator here carries."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    elif width == 1:  # unsigned 8-bit PCM, centered at 128
+        arr = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "n_samples": int(arr.size),
+        "energy": int((arr * arr).sum()),
+    }
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL image decode for uncompressed 24-bit BMP — pure header
+    parsing (``struct``) + one numpy reshape; no codec library. Exact
+    integer per-channel sums make the features engine/layout-stable."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h = abs(height)
+    row = (width * 3 + 3) // 4 * 4  # rows padded to 4 bytes
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row * h, offset=data_off)
+    px = raw.reshape(h, row)[:, : width * 3].reshape(h, width, 3)  # BGR
+    s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    return {
+        "width": width,
+        "height": h,
+        "sum_r": int(s[2]),
+        "sum_g": int(s[1]),
+        "sum_b": int(s[0]),
+    }
+
+
+def decode_media(kind: str, payload: bytes) -> dict:
+    """Dispatch on the payload's MAGIC BYTES (not the claimed kind —
+    corpora lie about mime types): RIFF/WAVE → :func:`decode_wav`,
+    BM → :func:`decode_bmp`, anything else falls through to the codec
+    seam (:func:`_decode_stub`) and raises."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    _decode_stub(kind, payload)
+
+
+MEDIA_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("ok", BooleanType(), False),
+        StructField("err", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("energy", LongType(), True),
+    ]
+)
+
+
+def media_decode(media: DataFrame) -> DataFrame:
+    """Distributed REAL media decoding over binary payloads
+    (``mapInPandas``, Arrow batches end-to-end — same plumbing as
+    :func:`media_features`). Rows whose format needs an absent codec
+    come back ``ok=false`` with the error message instead of failing
+    the job — at 100 TB a corpus ALWAYS contains undecodable members,
+    and a poison payload must cost one row, not a stage retry storm.
+    """
+    from ..session import tune
+
+    tune(media.sparkSession)
+
+    cols = [f.name for f in MEDIA_DECODE_SCHEMA.fields]
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                row = {c: None for c in cols}
+                row["media_id"], row["kind"] = mid, kind
+                try:
+                    row.update(decode_media(kind, bytes(payload)))
+                    row["ok"], row["err"] = True, None
+                except Exception as e:  # undecodable member ≠ failed job
+                    row["ok"], row["err"] = False, f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _decode_batch, MEDIA_DECODE_SCHEMA
     )
 
 

@@ -2037,3 +2037,74 @@ def test_dedup_passages_matches_pure_python_recompute(spark, sf_dir):
     assert got == expected
     # the fixture corpus must actually exercise the scrub (non-vacuous)
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_media_decode_real_wav_and_bmp_end_to_end(spark):
+    # REAL decode for codec-free formats (closes the "decode stays
+    # stubbed" gap for everything that doesn't need PIL/pyav): a PCM
+    # WAV written by stdlib `wave` and a 24-bit BMP composed by hand,
+    # decoded distributed through mapInPandas, features checked against
+    # values computed directly from the source arrays. A codec-needing
+    # payload must surface as ok=false on ITS row, not fail the job.
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_decode,
+    )
+
+    # -- real WAV: 16-bit mono PCM, 8 kHz, a known ramp
+    samples = np.arange(-100, 100, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    wav_bytes = buf.getvalue()
+
+    # -- real BMP: 3x2 uncompressed 24-bit, known BGR pixels
+    width, height = 3, 2
+    px = np.array(
+        [[[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+         [[1, 2, 3], [4, 5, 6], [7, 8, 9]]],
+        dtype=np.uint8,
+    )  # [row][col][B,G,R]
+    row_size = (width * 3 + 3) // 4 * 4
+    body = b"".join(
+        px[r].tobytes() + b"\x00" * (row_size - width * 3)
+        for r in range(height)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    )
+    bmp_bytes = header + body
+
+    rows = [
+        (1, "audio", bytearray(wav_bytes), "audio/wav", None, None, 8000),
+        (2, "image", bytearray(bmp_bytes), "image/bmp", width, height, None),
+        (3, "video", bytearray(b"\x00\x00\x00\x18ftypmp42 fake"), "video/mp4",
+         None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in media_decode(media).collect()}
+
+    a = got[1]
+    assert a.ok and a.err is None
+    assert (a.sample_rate, a.n_channels, a.n_samples) == (8000, 1, len(samples))
+    assert a.energy == int((samples.astype(np.int64) ** 2).sum())
+
+    i = got[2]
+    assert i.ok and (i.width, i.height) == (width, height)
+    flat = px.reshape(-1, 3).astype(np.int64)
+    assert (i.sum_b, i.sum_g, i.sum_r) == tuple(flat.sum(axis=0))
+
+    v = got[3]
+    assert not v.ok and "NotImplementedError" in v.err  # codec seam intact
