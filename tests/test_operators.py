@@ -2108,3 +2108,33 @@ def test_media_decode_real_wav_and_bmp_end_to_end(spark):
 
     v = got[3]
     assert not v.ok and "NotImplementedError" in v.err  # codec seam intact
+
+
+def test_oracle_replica_norm_cell_mirrors_driver_coercions():
+    # the comparator rules the round-5 failure taught us (SCALE.md
+    # §37): pandas nulls unify, DATE == midnight Timestamp, but int
+    # vs float-int stays DISTINCT (the HUGEINT failure signature)
+    import datetime as dt
+    import sys as _sys
+
+    import numpy as np
+    import pandas as pd
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from tools.oracle_check import norm_cell
+
+    # null unification across pandas representations
+    assert norm_cell(None) == norm_cell(float("nan")) == norm_cell(pd.NaT)
+    # date == midnight timestamp (both engines' pandas forms)
+    assert norm_cell(dt.date(1997, 2, 14)) == norm_cell(
+        pd.Timestamp("1997-02-14 00:00:00")
+    )
+    # non-midnight timestamps keep full precision
+    assert norm_cell(pd.Timestamp("1997-02-14 01:02:03")) != norm_cell(
+        dt.date(1997, 2, 14)
+    )
+    # int vs integral float MUST differ — the driver hash does too
+    assert norm_cell(3) != norm_cell(3.0)
+    assert norm_cell(np.int64(3)) == norm_cell(3)
+    assert norm_cell(np.float64(3.0)) == norm_cell(3.0)
+    assert norm_cell(np.bool_(True)) == norm_cell(True)
