@@ -22,13 +22,14 @@ graded to re-earn green rows after the round-5 HUGEINT oracle fix
 (CAST the integer SUM output columns to BIGINT — VERDICT r5 #1).
 After this round grades, every operator that existed at the start of
 round 6 has a driver row in some round. The EXTRA lane holds
-forty-five oracle-gated entries — the NEW dedup_passages
-(cross-document repeated-passage scrubbing, never graded) leads it so
-the next rotation or a larger budget grades it first; the other 44
-all carry prior green driver rows. Everything is verified locally
+forty-six oracle-gated entries — the two NEW round-6 operators
+(dedup_passages, cross-document repeated-passage scrubbing; emb_gram,
+the exact decimal Gram-matrix reduction), both never graded, lead it
+so the next rotation or a larger budget grades them first; the other
+44 all carry prior green driver rows. Everything is verified locally
 each round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 45 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 46 EXTRA /
 4 BENCH_ONLY) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -302,6 +302,7 @@ QUERIES = [
 # the lane's one never-graded entry leads it and a larger harness
 # budget (or the next rotation) grades it first.
 def _extra_queries() -> list[Query]:
+    from .similarity import SQL_EMB_GRAM, q_emb_gram
     from .trainprep import SQL_DEDUP_PASSAGES, q_dedup_passages
 
     return [
@@ -311,6 +312,13 @@ def _extra_queries() -> list[Query]:
             SQL_DEDUP_PASSAGES,
             ("llm", "dedup", "text"),
             bench=True,  # the substring-dedup representative
+        ),
+        Query(
+            "emb_gram",
+            q_emb_gram,
+            SQL_EMB_GRAM,
+            ("llm", "similarity", "linalg"),
+            bench=True,  # the huge-N x small-d reduction representative
         ),
     ]
 

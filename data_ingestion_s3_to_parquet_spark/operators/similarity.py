@@ -317,6 +317,110 @@ SELECT {TOP_K} AS k, TRUE AS recall_ok
 """
 
 
+def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix of the embedding corpus: G[i,j] = Σ_v v_i·v_j
+    over all vectors, upper triangle (i ≤ j, 1-based) — the d×d
+    sufficient statistic behind whitening, PCA, and ridge regression,
+    and the canonical huge-N × small-d reduction: at 100 TB the ONLY
+    thing that crosses the wire is d(d+1)/2 partial sums per task.
+
+    Determinism: each float32 component widens exactly to double and
+    the per-pair product is exact in double (24+24 ≤ 53 mantissa
+    bits); the product then enters the repo's decimal-sum pattern
+    (``functions/numeric.dsum``) so the aggregation is
+    order/layout/engine-invariant and bitwise-hashable against DuckDB.
+
+    Plan shape: two nested posexplodes (the second over the i-suffix
+    slice, so only the upper triangle is generated: N·d(d+1)/2 rows),
+    then ONE groupBy(i,j) with map-side-combinable decimal sums —
+    2080 groups at d = 64, a trivial shuffle. The float64
+    ``mapInPandas`` partial-Gram lane (:func:`emb_gram_fast`) is the
+    production fast path — same output shape, last-bit drift allowed,
+    equivalence-within-1e-6 pinned by pytest.
+    """
+    from ..functions.numeric import dsum
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(
+        "embedding", F.posexplode("embedding").alias("i0", "vi")
+    )
+    b = a.select(
+        (F.col("i0") + 1).alias("i"),
+        "vi",
+        F.posexplode(
+            F.expr("slice(embedding, i0 + 1, size(embedding) - i0)")
+        ).alias("dj", "vj"),
+    )
+    prod = F.col("vi").cast("double") * F.col("vj").cast("double")
+    return (
+        b.groupBy(
+            F.col("i").cast("long").alias("i"),
+            (F.col("i") + F.col("dj")).cast("long").alias("j"),
+        )
+        .agg(dsum(prod, "gram", 6))
+    )
+
+
+SQL_EMB_GRAM = """
+WITH a AS (
+  SELECT embedding,
+         unnest(generate_series(1, len(embedding))) AS i,
+         unnest(embedding) AS vi
+  FROM embeddings
+),
+b AS (
+  SELECT i,
+         i - 1 + unnest(generate_series(1, len(embedding) - i + 1)) AS j,
+         vi,
+         unnest(embedding[i:len(embedding)]) AS vj
+  FROM a
+)
+SELECT i, j,
+       CAST(ROUND(SUM(CAST(CAST(vi AS DOUBLE) * CAST(vj AS DOUBLE)
+                           AS DECIMAL(18,8))), 6) AS DOUBLE) AS gram
+FROM b
+GROUP BY i, j
+"""
+
+
+def emb_gram_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The float64 production lane of :func:`q_emb_gram`: each Arrow
+    batch computes its partial Gram with one numpy ``X.T @ X`` (BLAS,
+    no per-element Python), emits d(d+1)/2 (i, j, partial) rows, and
+    one tiny groupBy(i,j) sums the partials — at any corpus size the
+    shuffle is d(d+1)/2 rows per task, never data-sized. Last-bit
+    float drift across layouts is the documented trade (the exact
+    decimal lane exists for oracle-grade reproducibility);
+    equivalence within 1e-6 is pinned by
+    tests/test_operators.py::test_emb_gram_fast_matches_exact_lane.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from ..session import tune
+
+    tune(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "partial": g[iu, ju]}
+            )
+
+    parts = e.select("embedding").mapInPandas(
+        _partial, "i long, j long, partial double"
+    )
+    return parts.groupBy("i", "j").agg(F.sum("partial").alias("gram"))
+
+
 QUERIES = [
     Query("sim_join", q_sim_join, SQL_SIM_JOIN, ("llm", "similarity"), bench=True),
     Query(

@@ -809,10 +809,10 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 45
+    assert len(EXTRA) == 46
     assert len(BENCH_ONLY) == 4
-    # the one never-graded entry (new in round 6) leads the EXTRA lane
-    assert next(iter(EXTRA)) == "dedup_passages"
+    # the two never-graded entries (new in round 6) lead the EXTRA lane
+    assert list(EXTRA)[:2] == ["dedup_passages", "emb_gram"]
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
         "knn_graph_lsh",
@@ -2138,3 +2138,36 @@ def test_oracle_replica_norm_cell_mirrors_driver_coercions():
     assert norm_cell(np.int64(3)) == norm_cell(3)
     assert norm_cell(np.float64(3.0)) == norm_cell(3.0)
     assert norm_cell(np.bool_(True)) == norm_cell(True)
+
+
+def test_emb_gram_fast_matches_exact_lane(spark, sf_dir):
+    # the float64 BLAS partial-Gram production lane must agree with the
+    # exact decimal lane within float tolerance, cell for cell
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        emb_gram_fast,
+        q_emb_gram,
+    )
+
+    exact = {(r.i, r.j): r.gram for r in q_emb_gram(spark, sf_dir).collect()}
+    fast = {(r.i, r.j): r.gram for r in emb_gram_fast(spark, sf_dir).collect()}
+    assert set(exact) == set(fast)
+    assert len(exact) > 0
+    assert all(abs(exact[k] - fast[k]) < 1e-6 for k in exact)
+
+
+def test_emb_gram_diagonal_is_squared_norms(spark, sf_dir):
+    # independent invariant: G[i,i] summed over i equals the summed
+    # squared L2 norms of all vectors (trace identity)
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import q_emb_gram
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    trace = sum(
+        r.gram for r in q_emb_gram(spark, sf_dir).collect() if r.i == r.j
+    )
+    norms = sum(
+        sum(x * x for x in r.embedding)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    )
+    assert math.isclose(trace, norms, rel_tol=1e-6)
