@@ -61,6 +61,8 @@ DEFAULT_NAMES = [
     "skyline_frontier",
     "period_growth",
     "ab_test_metrics",
+    "dedup_passages",
+    "emb_gram",
 ]
 
 
