@@ -2171,3 +2171,44 @@ def test_emb_gram_diagonal_is_squared_norms(spark, sf_dir):
         for r in load_table(spark, sf_dir, "embeddings").collect()
     )
     assert math.isclose(trace, norms, rel_tol=1e-6)
+
+
+def test_dedup_passages_edge_cases_planted_corpus(spark, tmp_path):
+    # the fixture corpus has no short docs, so the slice-guard for
+    # docs shorter than the n-gram never fires there — plant a corpus
+    # that exercises: doc shorter than n (no grams), empty-ish doc,
+    # two identical docs (fully scrubbed), and a unique doc (untouched)
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_dedup_passages,
+    )
+
+    rows = [
+        (1, "a b c d e", "en", "s", 9),      # identical to doc 2
+        (2, "a b c d e", "en", "s", 9),      # identical to doc 1
+        (3, "x y", "en", "s", 3),            # shorter than n=3: no grams
+        (4, "q w e r t", "en", "s", 9),      # unique: no hot grams
+        (5, "z", "en", "s", 1),              # single token
+        (6, "c d e f g", "en", "s", 9),      # shares the 'c d e' gram
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "planted")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_scrubbed, r.scrubbed_text)
+        for r in q_dedup_passages(spark, sf).collect()
+    }
+    # identical docs: every position covered by shared 3-grams
+    assert got[1] == (5, 5, "") and got[2] == (5, 5, "")
+    # shorter than n: no grams, nothing scrubbed
+    assert got[3] == (2, 0, "x y")
+    assert got[5] == (1, 0, "z")
+    # unique doc: untouched
+    assert got[4] == (5, 0, "q w e r t")
+    # doc 6 shares exactly the gram "c d e" (positions 1-3) with 1/2
+    assert got[6] == (5, 3, "f g")
