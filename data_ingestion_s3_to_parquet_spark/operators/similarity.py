@@ -421,6 +421,77 @@ def emb_gram_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.groupBy("i", "j").agg(F.sum("partial").alias("gram"))
 
 
+def emb_whiten(
+    spark: SparkSession, sf_dir: str, eps: float = 1e-6
+) -> DataFrame:
+    """ZCA-whiten the embedding corpus — the full huge-N × small-d
+    pattern end-to-end (SCALE.md §42): reduce the corpus to its
+    sufficient statistics (n, Σv, Σvvᵀ — one distributed pass, d²+d
+    doubles per task on the wire), solve the d×d eigenproblem on the
+    DRIVER (O(d³) ≪ any data cost; numpy/LAPACK), broadcast the
+    whitening matrix, and apply it in one map-only ``mapInPandas``
+    batch-matmul pass. Nothing data-sized ever converges on one node,
+    and the transform stage shuffles nothing.
+
+    Output: (vec_id, white: array<double>) with empirical covariance
+    ≈ I on non-degenerate directions (pinned within tolerance by
+    tests/test_operators.py::test_emb_whiten_covariance_is_identity).
+    Float64 partials carry last-bit layout drift — this is the
+    production lane of the family whose exact member is
+    :func:`q_emb_gram`.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from ..session import tune
+
+    tune(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = e.select("embedding").mapInPandas(
+        _stats, "n long, s array<double>, g array<double>"
+    ).collect()  # ≤ one row per task: d²+d doubles each, never data-sized
+    n = sum(r.n for r in parts)
+    s = np.sum([r.s for r in parts], axis=0)
+    g = np.sum([r.g for r in parts], axis=0)
+    d = s.shape[0]
+    mu = s / n
+    cov = (g.reshape(d, d) - n * np.outer(mu, mu)) / (n - 1)
+    lam, v = np.linalg.eigh(cov)
+    w = v @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0) + eps)) @ v.T  # ZCA
+
+    bc = spark.sparkContext.broadcast((mu, w))
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mu_b, w_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            y = (x - mu_b) @ w_b.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "white": list(y)}
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        _apply, "vec_id long, white array<double>"
+    )
+
+
 QUERIES = [
     Query("sim_join", q_sim_join, SQL_SIM_JOIN, ("llm", "similarity"), bench=True),
     Query(

@@ -2212,3 +2212,29 @@ def test_dedup_passages_edge_cases_planted_corpus(spark, tmp_path):
     assert got[4] == (5, 0, "q w e r t")
     # doc 6 shares exactly the gram "c d e" (positions 1-3) with 1/2
     assert got[6] == (5, 3, "f g")
+
+
+def test_emb_whiten_covariance_is_identity(spark, sf_dir):
+    # the whitened corpus must have (near-)identity empirical
+    # covariance — the defining property of ZCA — and preserve row
+    # identity (vec_id bijection with the input)
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        emb_whiten,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = emb_whiten(spark, sf_dir).collect()
+    n_in = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_in
+    assert len({r.vec_id for r in rows}) == n_in
+
+    y = np.array([r.white for r in rows])
+    cov = np.cov(y, rowvar=False)
+    d = cov.shape[0]
+    # eps regularization + near-degenerate directions allow small
+    # deviation; everything must still be close to I
+    assert np.abs(np.diag(cov) - 1.0).max() < 0.05
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 0.05
