@@ -72,26 +72,66 @@ def persisted_frame(
     """Load the cached artifact ``namespace/key`` if its signature
     verifies; otherwise run ``build()``, persist it, and return the
     re-read frame. ``cols`` (the artifact's full column list) feed both
-    the projection and the integrity hash."""
+    the projection and the integrity hash.
+
+    Commit protocol (r6): the same pointer-swap the manifest tables
+    use (``sources/sinks.py``). Each build writes an immutable
+    ``data-<token>.parquet`` under a fresh token, then atomically
+    replaces ``checksum.json`` = {token, count, hashsum}. Readers
+    resolve the pointer, load THAT directory, and verify the
+    signature — so a concurrent builder can never tear a reader's
+    view (the old data dir stays intact until its pointer is
+    replaced), and racing builders just last-write-wins the pointer
+    with both data dirs valid. Orphaned generations from lost races
+    or crashes are swept opportunistically at the next build; any
+    validation failure (corrupt pointer, missing dir, signature
+    mismatch) falls through to a rebuild rather than serving wrong
+    rows.
+    """
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_{namespace}", key)
-    data = os.path.join(base, "data.parquet")
     meta = os.path.join(base, "checksum.json")
 
     if os.path.exists(meta):
         try:
             with open(meta) as fh:
                 want = json.load(fh)
+            data = os.path.join(base, f"data-{want['token']}.parquet")
             cached = spark.read.parquet(data).select(*cols)
             if _signature(cached, cols) == (want["count"], want["hashsum"]):
                 return cached
         except Exception:
-            pass  # unreadable/corrupt cache → rebuild below
+            pass  # unreadable/corrupt/torn cache → rebuild below
 
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    # sweep orphans (crashed or lost-race builds) that are neither the
+    # committed generation nor ours; a stale pointer read here at worst
+    # deletes a generation whose commit loses anyway — readers then
+    # fail its signature check and rebuild, never read torn data
+    current = None
+    try:
+        with open(meta) as fh:
+            current = json.load(fh).get("token")
+    except Exception:
+        pass
+    if os.path.isdir(base):
+        import shutil
+
+        for name in os.listdir(base):
+            if (
+                name.startswith("data-")
+                and name != f"data-{current}.parquet"
+                and name != f"data-{token}.parquet"
+            ):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+
+    data = os.path.join(base, f"data-{token}.parquet")
     build().select(*cols).write.mode("overwrite").parquet(data)
     cached = spark.read.parquet(data).select(*cols)
     c, h = _signature(cached, cols)
-    tmp = meta + ".tmp"
+    tmp = meta + f".tmp-{token}"
     with open(tmp, "w") as fh:
-        json.dump({"count": c, "hashsum": h}, fh)
-    os.replace(tmp, meta)  # checksum lands last: no torn-cache window
+        json.dump({"token": token, "count": c, "hashsum": h}, fh)
+    os.replace(tmp, meta)  # pointer lands last: no torn-cache window
     return cached

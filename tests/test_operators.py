@@ -2238,3 +2238,57 @@ def test_emb_whiten_covariance_is_identity(spark, sf_dir):
     assert np.abs(np.diag(cov) - 1.0).max() < 0.05
     off = cov - np.diag(np.diag(cov))
     assert np.abs(off).max() < 0.05
+
+
+def test_artifact_pointer_swap_keeps_old_generation_valid(spark, tmp_path, monkeypatch):
+    # the r6 commit protocol: a new build must land under a NEW token
+    # and swap the pointer atomically, leaving the previous generation
+    # intact until the swap — so a reader holding the old pointer can
+    # never see a torn directory; orphans sweep on the next build
+    import json
+    import os
+
+    import tempfile as _tempfile
+
+    from data_ingestion_s3_to_parquet_spark.artifacts import persisted_frame
+
+    monkeypatch.setattr(_tempfile, "gettempdir", lambda: str(tmp_path))
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).withColumnRenamed("id", "x")
+
+    got1 = {r.x for r in persisted_frame(spark, "t", "k", build, ("x",)).collect()}
+    assert got1 == set(range(5)) and len(calls) == 1
+    base = str(tmp_path / "spark_graft_t" / "k")
+    with open(os.path.join(base, "checksum.json")) as fh:
+        meta1 = json.load(fh)
+    gen1 = f"data-{meta1['token']}.parquet"
+    assert os.path.isdir(os.path.join(base, gen1))
+
+    # warm read: no rebuild, same pointer
+    persisted_frame(spark, "t", "k", build, ("x",)).collect()
+    assert len(calls) == 1
+
+    # corrupt the pointer → rebuild lands under a NEW token and the
+    # orphaned old generation is swept
+    with open(os.path.join(base, "checksum.json"), "w") as fh:
+        json.dump({"token": meta1["token"], "count": -1, "hashsum": 0}, fh)
+    got2 = {r.x for r in persisted_frame(spark, "t", "k", build, ("x",)).collect()}
+    assert got2 == got1 and len(calls) == 2
+    with open(os.path.join(base, "checksum.json")) as fh:
+        meta2 = json.load(fh)
+    assert meta2["token"] != meta1["token"]
+    gens = set(n for n in os.listdir(base) if n.startswith("data-"))
+    # the superseded generation survives ITS OWN replacement build (the
+    # sweep runs pre-commit, while the old pointer is still live — a
+    # reader holding it must stay whole); it is swept by the NEXT build
+    assert f"data-{meta2['token']}.parquet" in gens and len(gens) <= 2
+    with open(os.path.join(base, "checksum.json"), "w") as fh:
+        json.dump({"token": meta2["token"], "count": -1, "hashsum": 0}, fh)
+    persisted_frame(spark, "t", "k", build, ("x",)).collect()
+    assert len(calls) == 3
+    gens = set(n for n in os.listdir(base) if n.startswith("data-"))
+    assert gen1 not in gens and len(gens) <= 2
