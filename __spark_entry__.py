@@ -22,14 +22,15 @@ graded to re-earn green rows after the round-5 HUGEINT oracle fix
 (CAST the integer SUM output columns to BIGINT — VERDICT r5 #1).
 After this round grades, every operator that existed at the start of
 round 6 has a driver row in some round. The EXTRA lane holds
-forty-six oracle-gated entries — the two NEW round-6 operators
+forty-seven oracle-gated entries — the three NEW round-6 operators
 (dedup_passages, cross-document repeated-passage scrubbing; emb_gram,
-the exact decimal Gram-matrix reduction), both never graded, lead it
-so the next rotation or a larger budget grades them first; the other
-44 all carry prior green driver rows. Everything is verified locally
+the exact decimal Gram-matrix reduction; dedup_keep_best,
+quality-aware canonical selection over duplicate clusters), all never
+graded, lead it so the next rotation or a larger budget grades them
+first; the other 44 all carry prior green driver rows. Everything is verified locally
 each round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 46 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 47 EXTRA /
 4 BENCH_ONLY) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -970,6 +970,64 @@ FROM reach GROUP BY src
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over exact-duplicate clusters:
+    keep the HIGHEST-QUALITY member of each duplicate group instead of
+    an arbitrary (min-id) one — the production refinement of
+    ``dedup_exact`` that corpus pipelines actually ship (pick the copy
+    with the best classifier score; cf. the FineWeb/CCNet keep-best
+    convention). Ties break by doc_id, so the pick is total and
+    engine-deterministic; the score itself is the int64 fixed-point
+    ``quality_classifier`` output, bitwise-identical across engines.
+
+    Scale shape: the cluster key is the sha2-256 fingerprint (64-char
+    constant-width shuffle key, never the document body — same
+    rationale as ``dedup_exact``); ONE window partitioning serves both
+    the rank and the cluster size, so the whole selection is a single
+    shuffle over (fp, doc_id, score) rows. The classifier signals read
+    from the per-fixture artifact, making this a thin composition at
+    bench time and a join of two materialized tables in production.
+    """
+    from .textstats import q_quality_classifier
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.sha2(F.col("text"), 256).alias("fp"), "doc_id"
+    )
+    qc = q_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    j = d.join(qc, "doc_id")
+    w = Window.partitionBy("fp").orderBy(F.desc("score"), F.col("doc_id").asc())
+    wc = Window.partitionBy("fp")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(wc))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("score").alias("best_score"), "n_copies")
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    from .textstats import SQL_QUALITY_CLASSIFIER
+
+    return f"""
+WITH qc AS (SELECT * FROM ({SQL_QUALITY_CLASSIFIER}) q),
+j AS (
+  SELECT d.doc_id, sha256(d.text) AS fp, qc.score
+  FROM documents d JOIN qc ON d.doc_id = qc.doc_id
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (PARTITION BY fp ORDER BY score DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fp) AS n_copies
+  FROM j
+)
+SELECT doc_id, score AS best_score, CAST(n_copies AS BIGINT) AS n_copies
+FROM r WHERE rn = 1
+"""
+
+
+SQL_DEDUP_KEEP_BEST = _sql_dedup_keep_best()
+
+
 # Demoted to the EXTRA lane in round 6 (4-5 consecutive green driver
 # rows each; their graded slots went to the eleven never-graded
 # round-4 operators — VERDICT r5 #4, the final rotation). All five

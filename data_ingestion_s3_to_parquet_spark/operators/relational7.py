@@ -302,6 +302,7 @@ QUERIES = [
 # the lane's one never-graded entry leads it and a larger harness
 # budget (or the next rotation) grades it first.
 def _extra_queries() -> list[Query]:
+    from .dedup import SQL_DEDUP_KEEP_BEST, q_dedup_keep_best
     from .similarity import SQL_EMB_GRAM, q_emb_gram
     from .trainprep import SQL_DEDUP_PASSAGES, q_dedup_passages
 
@@ -319,6 +320,12 @@ def _extra_queries() -> list[Query]:
             SQL_EMB_GRAM,
             ("llm", "similarity", "linalg"),
             bench=True,  # the huge-N x small-d reduction representative
+        ),
+        Query(
+            "dedup_keep_best",
+            q_dedup_keep_best,
+            SQL_DEDUP_KEEP_BEST,
+            ("llm", "dedup", "quality"),
         ),
     ]
 

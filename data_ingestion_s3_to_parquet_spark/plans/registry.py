@@ -95,10 +95,11 @@ REGISTRY: dict[str, Query] = _collect()
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
 # pytest, but not submitted for driver grading. As of round 6 this lane
-# holds forty-six entries: the two NEW round-6 operators
+# holds forty-seven entries: the three NEW round-6 operators
 # (dedup_passages, the repeated-passage scrub; emb_gram, the exact
-# Gram-matrix reduction), never graded, lead the lane so a larger
-# budget or the next rotation grades them first; every other entry has
+# Gram-matrix reduction; dedup_keep_best, quality-aware canonical
+# selection), never graded, lead the lane so a larger budget or the
+# next rotation grades them first; every other entry has
 # at least one prior green driver row: the 11 round-6 demotees
 # (dedup_exact, dedup_embedding,
 # dedup_components, dedup_ngram_jaccard, dedup_fuzzy, sample_split,

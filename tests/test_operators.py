@@ -809,10 +809,10 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 46
+    assert len(EXTRA) == 47
     assert len(BENCH_ONLY) == 4
-    # the two never-graded entries (new in round 6) lead the EXTRA lane
-    assert list(EXTRA)[:2] == ["dedup_passages", "emb_gram"]
+    # the three never-graded entries (new in round 6) lead the EXTRA lane
+    assert list(EXTRA)[:3] == ["dedup_passages", "emb_gram", "dedup_keep_best"]
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
         "knn_graph_lsh",
@@ -2292,3 +2292,35 @@ def test_artifact_pointer_swap_keeps_old_generation_valid(spark, tmp_path, monke
     assert len(calls) == 3
     gens = set(n for n in os.listdir(base) if n.startswith("data-"))
     assert gen1 not in gens and len(gens) <= 2
+
+
+def test_dedup_keep_best_picks_max_score_per_duplicate_group(spark, sf_dir):
+    # every kept doc must be the (score DESC, doc_id ASC)-first member
+    # of its exact-text duplicate group, with n_copies = group size —
+    # recomputed independently from the raw tables + classifier output
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        q_dedup_keep_best,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_quality_classifier,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    scores = {
+        r.doc_id: r.score for r in q_quality_classifier(spark, sf_dir).collect()
+    }
+    groups = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        groups[r.text].append(r.doc_id)
+    expected = {}
+    for ids in groups.values():
+        best = min(ids, key=lambda i: (-scores[i], i))
+        expected[best] = (scores[best], len(ids))
+
+    got = {
+        r.doc_id: (r.best_score, r.n_copies)
+        for r in q_dedup_keep_best(spark, sf_dir).collect()
+    }
+    assert got == expected
