@@ -266,3 +266,58 @@ def test_davg_matches_exact_rational_half_up(spark, vals):
     n = abs(n)
     want = sign * ((2 * n + d) // (2 * d)) / 1e6
     assert got == want, (vals, got, want)
+
+
+# small-vocabulary corpora so cross-document 3-gram repeats actually
+# occur (hypothesis then also shrinks to short docs < n, exercising
+# the no-gram guard)
+_scrub_words = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e"]),
+    min_size=0,
+    max_size=12,
+)
+_scrub_docs = st.lists(_scrub_words, min_size=1, max_size=6)
+
+
+@given(docs=_scrub_docs)
+@slow_ok
+def test_dedup_passages_matches_python_on_any_corpus(
+    spark, docs, tmp_path_factory
+):
+    """The repeated-passage scrub equals a direct Python recompute for
+    ARBITRARY corpora — including docs shorter than the n-gram, empty
+    token lists, and corpora where every gram is hot."""
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        SCRUB_MIN_DOCS,
+        SCRUB_NGRAM_N,
+        q_dedup_passages,
+    )
+
+    tmp = tmp_path_factory.mktemp("scrub")
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    toks = {i: t.split(" ") for i, t in rows}  # split(" ") matches Spark
+    gram_docs = defaultdict(set)
+    for did, tk in toks.items():
+        for i in range(len(tk) - SCRUB_NGRAM_N + 1):
+            gram_docs[" ".join(tk[i : i + SCRUB_NGRAM_N])].add(did)
+    hot = {g for g, ds in gram_docs.items() if len(ds) >= SCRUB_MIN_DOCS}
+    expected = {}
+    for did, tk in toks.items():
+        covered = set()
+        for i in range(len(tk) - SCRUB_NGRAM_N + 1):
+            if " ".join(tk[i : i + SCRUB_NGRAM_N]) in hot:
+                covered.update(range(i, i + SCRUB_NGRAM_N))
+        kept = [w for p, w in enumerate(tk) if p not in covered]
+        expected[did] = (len(tk), len(tk) - len(kept), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_scrubbed, r.scrubbed_text)
+        for r in q_dedup_passages(spark, str(tmp)).collect()
+    }
+    assert got == expected
