@@ -321,3 +321,60 @@ def test_dedup_passages_matches_python_on_any_corpus(
         for r in q_dedup_passages(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+_vecs = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-1.0, max_value=1.0, width=32, allow_nan=False
+        ),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(vecs=_vecs)
+@slow_ok
+def test_emb_gram_matches_decimal_recompute_on_any_table(
+    spark, vecs, tmp_path_factory
+):
+    """The exact Gram lane equals a direct Python HALF_UP-decimal
+    recompute for ARBITRARY embedding tables — fuzzes the two-explode
+    position arithmetic (1-based i ≤ j), the float32→double widening,
+    and the decimal-sum rounding contract end-to-end."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        q_emb_gram,
+    )
+
+    tmp = tmp_path_factory.mktemp("gram")
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+
+    import numpy as np
+
+    x = np.array([v for _, v, _ in rows], dtype=np.float32).astype(np.float64)
+    d = x.shape[1]
+    q8, q6 = Decimal("1e-8"), Decimal("1e-6")
+    expected = {}
+    for i in range(d):
+        for j in range(i, d):
+            s = sum(
+                (
+                    Decimal(float(x[r, i] * x[r, j])).quantize(
+                        q8, ROUND_HALF_UP
+                    )
+                    for r in range(x.shape[0])
+                ),
+                Decimal(0),
+            )
+            expected[(i + 1, j + 1)] = float(s.quantize(q6, ROUND_HALF_UP))
+
+    got = {(r.i, r.j): r.gram for r in q_emb_gram(spark, str(tmp)).collect()}
+    assert got == expected
