@@ -378,3 +378,40 @@ def test_emb_gram_matches_decimal_recompute_on_any_table(
 
     got = {(r.i, r.j): r.gram for r in q_emb_gram(spark, str(tmp)).collect()}
     assert got == expected
+
+
+@given(
+    n_ch=st.integers(1, 2),
+    width=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    frames=st.lists(st.integers(-120, 120), min_size=1, max_size=64),
+)
+@slow_ok
+def test_decode_wav_any_pcm_layout(n_ch, width, rate, frames):
+    """decode_wav parses ANY stdlib-writable PCM layout (mono/stereo,
+    8/16-bit, any rate) with exact integer features."""
+    import io
+    import wave
+
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    samples = frames * n_ch  # interleave: n_ch samples per frame
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            import struct
+
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        else:  # 8-bit PCM is unsigned, centered at 128
+            w.writeframes(bytes((s + 128) & 0xFF for s in samples))
+
+    got = decode_wav(buf.getvalue())
+    assert got["sample_rate"] == rate
+    assert got["n_channels"] == n_ch
+    assert got["n_samples"] == len(samples)
+    assert got["energy"] == sum(s * s for s in samples)
