@@ -37,6 +37,9 @@ class S3NotAvailable(RuntimeError):
     """boto3 (or credentials) missing — S3 fetch cannot run here."""
 
 
+FETCH_ATTEMPTS = 3
+
+
 def fetch_s3(
     bucket: str,
     key: str,
@@ -44,31 +47,74 @@ def fetch_s3(
     *,
     chunk_size: int = 8 * 1024 * 1024,
     skip_if_exists: bool = True,
+    attempts: int = FETCH_ATTEMPTS,
+    client=None,
 ) -> int:
     """Stream ``s3://bucket/key`` to ``destination``; return bytes written.
 
     Mirrors the reference's chunked get (main.rs:189-205) including the
-    exists short-circuit (main.rs:36-42). fsync-per-chunk is *not*
-    reproduced: one fsync at close gives the same durability point at a
-    fraction of the syscall cost.
+    exists short-circuit (main.rs:36-42), with two production
+    hardenings the reference lacks:
+
+    - **Atomic commit.** The stream lands in ``destination.part-<pid>``
+      and a single ``os.replace`` publishes it after fsync. Without
+      this, a crash mid-download leaves a TRUNCATED ``destination``
+      that the warm-path exists short-circuit then trusts FOREVER —
+      the one failure mode that silently corrupts every downstream
+      run. With it, the short-circuit can only ever see complete
+      files, so skip-if-exists stays sound.
+    - **Bounded retry.** boto3 retries per-request, but a connection
+      dropped mid-``iter_chunks`` surfaces as a stream error; the whole
+      GET is retried up to ``attempts`` times with exponential backoff
+      (1s, 2s, ...) before giving up. Each attempt restarts into a
+      fresh part file, so a failed attempt never contaminates the next.
+
+    fsync-per-chunk is *not* reproduced: one fsync before the rename
+    gives the same durability point at a fraction of the syscall cost.
+    ``client`` is injectable for tests; defaults to ``boto3.client``.
     """
     if skip_if_exists and os.path.exists(destination):
         logger.info("destination %s exists; skipping S3 fetch", destination)
         return 0
-    if not HAVE_BOTO3:
-        raise S3NotAvailable("boto3 not installed in this environment")
+    if client is None:
+        if not HAVE_BOTO3:
+            raise S3NotAvailable("boto3 not installed in this environment")
+        client = boto3.client("s3")
     os.makedirs(os.path.dirname(destination) or ".", exist_ok=True)
-    client = boto3.client("s3")
-    total = 0
-    obj = client.get_object(Bucket=bucket, Key=key)
-    with open(destination, "wb") as fh:
-        for chunk in obj["Body"].iter_chunks(chunk_size=chunk_size):
-            fh.write(chunk)
-            total += len(chunk)
-        fh.flush()
-        os.fsync(fh.fileno())
-    logger.info("fetched s3://%s/%s -> %s (%d bytes)", bucket, key, destination, total)
-    return total
+    part = f"{destination}.part-{os.getpid()}"
+    last_err: Exception | None = None
+    for attempt in range(attempts):
+        if attempt:
+            import time
+
+            delay = 2 ** (attempt - 1)
+            logger.warning(
+                "retrying s3://%s/%s after %s (attempt %d/%d, backoff %ds)",
+                bucket, key, last_err, attempt + 1, attempts, delay,
+            )
+            time.sleep(delay)
+        total = 0
+        try:
+            obj = client.get_object(Bucket=bucket, Key=key)
+            with open(part, "wb") as fh:
+                for chunk in obj["Body"].iter_chunks(chunk_size=chunk_size):
+                    fh.write(chunk)
+                    total += len(chunk)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(part, destination)  # publish only complete bytes
+            logger.info(
+                "fetched s3://%s/%s -> %s (%d bytes)",
+                bucket, key, destination, total,
+            )
+            return total
+        except Exception as e:  # stream/API error: scrap the part, retry
+            last_err = e
+            try:
+                os.remove(part)
+            except OSError:
+                pass
+    raise last_err  # type: ignore[misc]
 
 
 def s3a_uri(bucket: str, key: str) -> str:

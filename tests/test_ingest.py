@@ -210,3 +210,65 @@ def test_zipcsv_python_datasource_partitions_per_entry(spark, tmp_path):
 
     with _pytest.raises(Exception, match="does not match planned schema"):
         spark.read.format("zipcsv").load(zpath2).collect()
+
+
+def test_fetch_s3_commits_atomically_and_retries_stream_errors(tmp_path, monkeypatch):
+    # ADVICE-class hardening: a crash mid-download must never leave a
+    # truncated destination for the warm-path short-circuit to trust,
+    # and a stream error must retry the whole GET with backoff
+    import os
+
+    from data_ingestion_s3_to_parquet_spark.sources import s3 as s3mod
+
+    monkeypatch.setattr(s3mod, "HAVE_BOTO3", True)
+    monkeypatch.setattr("time.sleep", lambda s: None)  # no real backoff waits
+    payload = b"x" * 1000
+
+    class Body:
+        def __init__(self, fail_after=None):
+            self.fail_after = fail_after
+
+        def iter_chunks(self, chunk_size):
+            for i in range(0, len(payload), 100):
+                if self.fail_after is not None and i >= self.fail_after:
+                    raise ConnectionError("stream dropped")
+                yield payload[i : i + 100]
+
+    class FlakyClient:
+        def __init__(self, failures):
+            self.failures = failures
+            self.calls = 0
+
+        def get_object(self, Bucket, Key):
+            self.calls += 1
+            if self.calls <= self.failures:
+                return {"Body": Body(fail_after=300)}  # dies mid-stream
+            return {"Body": Body()}
+
+    dst = str(tmp_path / "obj.zip")
+
+    # two mid-stream failures, third attempt succeeds: full bytes land,
+    # no .part litter, destination appears only once complete
+    c = FlakyClient(failures=2)
+    n = s3mod.fetch_s3("b", "k", dst, client=c)
+    assert n == len(payload) and c.calls == 3
+    with open(dst, "rb") as fh:
+        assert fh.read() == payload
+    assert [f for f in os.listdir(tmp_path) if ".part" in f] == []
+
+    # warm path: short-circuit fires, no client call
+    c2 = FlakyClient(failures=0)
+    assert s3mod.fetch_s3("b", "k", dst, client=c2) == 0
+    assert c2.calls == 0
+
+    # permanent failure: raises after bounded attempts, destination
+    # never created, no torn file left behind
+    dst2 = str(tmp_path / "obj2.zip")
+    c3 = FlakyClient(failures=99)
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        s3mod.fetch_s3("b", "k", dst2, client=c3)
+    assert c3.calls == s3mod.FETCH_ATTEMPTS
+    assert not os.path.exists(dst2)
+    assert [f for f in os.listdir(tmp_path) if ".part" in f] == []
