@@ -46,6 +46,12 @@ def extract_zip(zip_path: str, output_dir: str) -> list[str]:
 
     Returns the list of extracted file paths. Unsafe entry names are
     skipped (logged), matching main.rs:158-163's ``continue``.
+
+    Each entry is written to a ``.part-<pid>`` sibling and published
+    with one ``os.replace`` — the warm path (A7) short-circuits on the
+    extracted CSV's EXISTENCE, so a crash mid-extract must never leave
+    a truncated file under the final name for every later run to trust
+    (same atomic-commit rule as ``fetch_s3`` and the artifact store).
     """
     os.makedirs(output_dir, exist_ok=True)
     extracted: list[str] = []
@@ -58,8 +64,17 @@ def extract_zip(zip_path: str, output_dir: str) -> list[str]:
                 continue
             target = os.path.join(output_dir, info.filename)
             os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
-            with zf.open(info) as src, open(target, "wb") as dst:
-                dst.write(src.read())
+            part = f"{target}.part-{os.getpid()}"
+            try:
+                with zf.open(info) as src, open(part, "wb") as dst:
+                    dst.write(src.read())
+                os.replace(part, target)  # publish only complete bytes
+            except BaseException:
+                try:
+                    os.remove(part)
+                except OSError:
+                    pass
+                raise
             extracted.append(target)
     logger.info("extracted %d entries from %s", len(extracted), zip_path)
     return extracted

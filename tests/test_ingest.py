@@ -272,3 +272,45 @@ def test_fetch_s3_commits_atomically_and_retries_stream_errors(tmp_path, monkeyp
     assert c3.calls == s3mod.FETCH_ATTEMPTS
     assert not os.path.exists(dst2)
     assert [f for f in os.listdir(tmp_path) if ".part" in f] == []
+
+
+def test_extract_zip_publishes_entries_atomically(tmp_path, monkeypatch):
+    # same torn-file rule as fetch_s3: the warm path trusts the
+    # extracted CSV's existence, so a crash mid-entry must leave NO
+    # file under the final name (and no .part litter after cleanup)
+    import io
+    import os
+
+    from data_ingestion_s3_to_parquet_spark.sources.zipsource import extract_zip
+
+    zpath = tmp_path / "a.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("one.csv", "h\n1\n")
+        zf.writestr("two.csv", "h\n2\n")
+
+    # normal path: both entries published, no part files
+    outdir = tmp_path / "out"
+    got = extract_zip(str(zpath), str(outdir))
+    assert sorted(os.path.basename(p) for p in got) == ["one.csv", "two.csv"]
+    assert [f for f in os.listdir(outdir) if ".part" in f] == []
+
+    # crash while writing the SECOND entry: first entry published,
+    # second absent entirely (not truncated), no part litter
+    outdir2 = tmp_path / "out2"
+    real_replace = os.replace
+    calls = []
+
+    def exploding_replace(src, dst):
+        calls.append(dst)
+        if len(calls) == 2:
+            raise OSError("simulated crash at publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", exploding_replace)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated crash"):
+        extract_zip(str(zpath), str(outdir2))
+    names = set(os.listdir(outdir2))
+    assert len(names & {"one.csv", "two.csv"}) == 1  # only the first landed
+    assert [f for f in names if ".part" in f] == []
