@@ -993,8 +993,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         F.sha2(F.col("text"), 256).alias("fp"), "doc_id"
     )
+    # shuffle_hash: the classifier output is corpus-sized (one row per
+    # document) — Catalyst's estimate would broadcast it and OOM the
+    # driver at scale; AQE still localizes small cases
     qc = q_quality_classifier(spark, sf_dir).select("doc_id", "score")
-    j = d.join(qc, "doc_id")
+    j = d.join(qc.hint("shuffle_hash"), "doc_id")
     w = Window.partitionBy("fp").orderBy(F.desc("score"), F.col("doc_id").asc())
     wc = Window.partitionBy("fp")
     return (

@@ -508,11 +508,19 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = base.select("doc_id", F.explode(grams).alias("o")).select(
         "doc_id", F.col("o.p").alias("p"), F.col("o.g").alias("g")
     )
+    # shuffle_hash hints on every explode-descended / corpus-sized
+    # join side: Catalyst's size estimates ignore explode fan-out (they
+    # carry the pre-Generate stat), so it would BROADCAST the hot-gram
+    # table, the coverage set, and the per-doc aggregate — all of which
+    # grow with the corpus (billions of grams at 100 TB: a driver OOM).
+    # Same rule and rationale as dedup_ngram_jaccard's prefix join;
+    # AQE still localizes genuinely small cases at runtime.
     hot = (
         occ.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") >= SCRUB_MIN_DOCS)
         .select("g")
+        .hint("shuffle_hash")
     )
     cov = (
         occ.join(hot, "g", "left_semi")
@@ -523,6 +531,7 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos"),
         )
         .distinct()
+        .hint("shuffle_hash")
     )
     toks = base.select(
         "doc_id", F.posexplode("tk").alias("pos0", "w")
@@ -542,7 +551,7 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.select("doc_id", F.size("tk").alias("n_tok"))
-        .join(agg, "doc_id", "left")
+        .join(agg.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_tok").cast("long").alias("n_tokens"),
