@@ -435,8 +435,15 @@ def q_fuzzy_match_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_graph``): at 100 TB the SAME verify step runs on banded
     q-gram/MinHash candidates (``dedup_fuzzy``'s machinery) instead of
     block pairs; Levenshtein-verify-after-candidate is the linkage
-    pipeline shape.
+    pipeline shape. The family's quadratic guard applies (fixture
+    footer row count, no Spark job — :mod:`.guards`): past the bound
+    this lane refuses and points at the candidate-based pipeline.
     """
+    from .guards import guard_fixture_quadratic
+
+    guard_fixture_quadratic(
+        sf_dir, "documents", "fuzzy_match_strings", "dedup_fuzzy"
+    )
     d = load_table(spark, sf_dir, "documents")
     p = d.select(
         "doc_id",
@@ -808,8 +815,15 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     pres = li.select("l_orderkey", "l_partkey").distinct()
+    # shuffle_hash on every fact-derived join side: pres (order-part
+    # presence) and part_n (per-part counts) both grow with the corpus,
+    # and Catalyst's post-aggregate size estimates would broadcast them
+    # — a driver OOM at scale. Only the genuinely 1-row total keeps its
+    # explicit broadcast. AQE still localizes small cases.
     a = pres.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = pres.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    b = pres.select("l_orderkey", F.col("l_partkey").alias("pb")).hint(
+        "shuffle_hash"
+    )
     pairs = (
         a.join(b, "l_orderkey")
         .where(F.col("pa") < F.col("pb"))
@@ -817,7 +831,9 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_ab"))
         .where(F.col("n_ab") >= BASKET_MIN_SUPPORT)
     )
-    part_n = pres.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    part_n = pres.groupBy("l_partkey").agg(F.count("*").alias("n_part")).hint(
+        "shuffle_hash"
+    )
     total = pres.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )

@@ -354,6 +354,8 @@ def test_quadratic_lane_guard_names_scale_safe_twin(spark, sf_dir, monkeypatch):
         ("dedup_embedding", "dedup_components_lsh"),
         ("sim_join", "sim_join_lsh"),
         ("knn_graph", "knn_graph_lsh"),
+        ("dedup_components", "dedup_components_lsh"),
+        ("fuzzy_match_strings", "dedup_fuzzy"),
     ):
         with pytest.raises(ValueError) as exc:
             check_quadratic_rows(10**9, op, twin)
