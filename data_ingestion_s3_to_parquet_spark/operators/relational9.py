@@ -125,10 +125,14 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (step, n_users) — the shape dashboards and significance tests
     consume.
 
-    Plan: three per-user min-aggregations chained by broadcast-
-    joinable (user, ts) frames — each stage is one combinable agg
-    over a filtered scan, never a per-user sort. At 100 TB the stage
-    frames carry one row per converted user, monotonically shrinking.
+    Plan: three per-user min-aggregations chained by (user, ts)
+    frames — each stage is one combinable agg over a filtered scan,
+    never a per-user sort. At 100 TB the stage frames carry one row
+    per converted user, monotonically shrinking but still
+    |users|-sized — so the stage joins are PINNED shuffle-hash
+    (Catalyst's post-aggregate estimate would broadcast them; a
+    billion-user frame on the driver is an OOM, and the user_id keys
+    hash uniformly so the shuffle is skew-free).
     Stage frames are localCheckpointed so each events scan happens
     ONCE: without the cut, every later stage (and the final count)
     re-derives its whole prefix chain — measured as 8 exchanges and
@@ -145,7 +149,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         e.where(F.col("event_type") == FUNNEL_STEPS[1])
-        .join(s1, "user_id")
+        .join(s1.hint("shuffle_hash"), "user_id")
         .where(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
@@ -153,14 +157,14 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s3 = (
         e.where(F.col("event_type") == FUNNEL_STEPS[2])
-        .join(s2, "user_id")
+        .join(s2.hint("shuffle_hash"), "user_id")
         .where(F.col("ts") >= F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
     wide = (
-        s1.join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
+        s1.join(s2.hint("shuffle_hash"), "user_id", "left")
+        .join(s3.hint("shuffle_hash"), "user_id", "left")
         .agg(
             F.count("*").alias("n1"),
             F.count("t2").alias("n2"),
@@ -231,8 +235,11 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = e.select(
         "user_id", F.date_trunc("week", "ts").alias("week")
     ).distinct()
+    # first is |users|-sized (per-user first week): pin shuffle-hash —
+    # Catalyst's post-aggregate estimate would broadcast it (driver OOM
+    # at real user counts); user_id hashes uniformly, no skew
     return (
-        active.join(first, "user_id")
+        active.join(first.hint("shuffle_hash"), "user_id")
         .select(
             "user_id",
             "cohort_week",
@@ -334,9 +341,12 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the five scan-level rules fold into ONE aggregation over one
     scan (conditional counts + a distinct count); the referential rule
-    is a broadcast-able left-anti count against the dimension keys.
-    At 100 TB both shapes hold: conditional counts are combinable,
-    and the anti join carries only the key column.
+    is a left-anti count against the parent key set, PINNED
+    shuffle-hash — the key set is |customers|-sized and grows with the
+    corpus, so Catalyst's broadcast choice would put the whole parent
+    dimension on the driver at scale. At 100 TB both shapes hold:
+    conditional counts are combinable, and the anti join carries only
+    the key column through a uniform-key shuffle.
     """
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer").select(
@@ -356,7 +366,9 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("v_ts"),
     )
-    ri = e.select("user_id").join(c, "user_id", "left_anti").agg(
+    ri = e.select("user_id").join(
+        c.hint("shuffle_hash"), "user_id", "left_anti"
+    ).agg(
         F.count("*").alias("v_ri")
     )
     wide = agg.crossJoin(ri)

@@ -317,7 +317,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape for scale: one scan → explode → (doc_id, term) partial+final
     count (the TF table), then a term-keyed count over THAT table (the
     DF table — one row per distinct (doc, term), far smaller than the
-    token stream, and map-side combine absorbs stop-word skew). N is a
+    token stream, and map-side combine absorbs stop-word skew; the
+    DF⋈TF join is PINNED shuffle-hash because the DF table is
+    vocabulary-sized and grows with the corpus — Catalyst's
+    post-aggregate estimate would broadcast it, the same
+    explode-underestimate class dedup_ngram_jaccard pins). N is a
     1-row aggregate broadcast into the join, never a driver collect.
     The final per-doc top-k goes through a rank window; Spark's
     WindowGroupLimit pushes the k-filter below the shuffle so each
@@ -336,7 +340,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(dfreq.hint("shuffle_hash"), "term")
         .join(F.broadcast(n))
         .select("doc_id", "term", "tf", "df", score.alias("score"))
     )

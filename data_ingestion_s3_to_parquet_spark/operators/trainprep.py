@@ -250,9 +250,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_hits"))
     )
     n_hits = F.coalesce("n_hits", F.lit(0))
+    # hits is per-flagged-doc (corpus-proportional in the worst case):
+    # pin shuffle-hash so Catalyst's post-aggregate estimate can't
+    # broadcast a corpus-sized frame at scale
     return (
         train.select("doc_id")
-        .join(hits, "doc_id", "left")
+        .join(hits.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             n_hits.alias("n_hits"),
