@@ -160,15 +160,17 @@ MEDIA_FEATURES_SCHEMA = StructType(
 
 
 def _decode_stub(kind: str, payload: bytes) -> None:
-    """CODEC-REQUIRING FORMATS ONLY (JPEG/PNG/H.264/AAC/...).
+    """CODEC-REQUIRING FORMATS ONLY (JPEG/H.264/AAC/...).
 
     This is the seam where Pillow / torchaudio / pyav would decode
     compressed payloads; those libraries are not in this container, so
     it stays deliberately unimplemented. Formats decodable WITHOUT
-    external codecs — PCM WAV (stdlib ``wave``) and uncompressed
-    24-bit BMP (header ``struct`` + numpy) — have REAL decoders:
-    :func:`decode_wav`, :func:`decode_bmp`, dispatched by
-    :func:`decode_media` and run distributed by :func:`media_decode`.
+    external codecs — PCM WAV (stdlib ``wave``), uncompressed 24-bit
+    BMP (header ``struct`` + numpy), and 8-bit PNG (stdlib ``zlib`` +
+    the five-filter scanline spec) — have REAL decoders:
+    :func:`decode_wav`, :func:`decode_bmp`, :func:`decode_png`,
+    dispatched by :func:`decode_media` and run distributed by
+    :func:`media_decode`.
     """
     raise NotImplementedError(
         f"media decode for kind={kind!r} requires codec libraries "
@@ -239,15 +241,115 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL image decode for 8-bit non-interlaced PNG — chunk parsing
+    (``struct``), zlib inflate (stdlib), and the full scanline
+    un-filtering spec (None/Sub/Up/Average/Paeth), no codec library.
+    Gray / RGB / gray+alpha / RGBA color types; alpha is excluded from
+    the channel sums, gray maps to all three. Exact integer features,
+    like the other decoders.
+
+    The un-filter walks rows (Sub/Paeth carry a per-pixel left
+    dependency, so full vectorization isn't possible); row interiors
+    use numpy. Decode runs executor-side over Arrow batches, so the
+    per-row Python cost parallelizes with the corpus.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/GA/RGBA PNG supported "
+            f"(depth={depth}, color_type={color}, interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload has wrong length")
+
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:  # Paeth predictor
+                    c = prev[x - bpp] if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+
+    px = out.reshape(height, width, channels).astype(np.int64)
+    if color == 2 or color == 6:  # RGB / RGBA
+        s = px[:, :, :3].reshape(-1, 3).sum(axis=0)
+        sum_r, sum_g, sum_b = int(s[0]), int(s[1]), int(s[2])
+    else:  # gray / gray+alpha: one luminance channel
+        g = int(px[:, :, 0].sum())
+        sum_r = sum_g = sum_b = g
+    return {
+        "width": width,
+        "height": height,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
 def decode_media(kind: str, payload: bytes) -> dict:
     """Dispatch on the payload's MAGIC BYTES (not the claimed kind —
     corpora lie about mime types): RIFF/WAVE → :func:`decode_wav`,
-    BM → :func:`decode_bmp`, anything else falls through to the codec
-    seam (:func:`_decode_stub`) and raises."""
+    BM → :func:`decode_bmp`, PNG signature → :func:`decode_png`;
+    anything else falls through to the codec seam
+    (:func:`_decode_stub`) and raises."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     _decode_stub(kind, payload)
 
 

@@ -2326,3 +2326,95 @@ def test_dedup_keep_best_picks_max_score_per_duplicate_group(spark, sf_dir):
         for r in q_dedup_keep_best(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_decode_png_all_filters_and_color_types():
+    # hand-built PNGs (stdlib struct+zlib only) with every scanline
+    # filter type and three color types; the encoder computes filtered
+    # bytes from known raw pixels, so the decoder must invert exactly
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def encode(px, color_type, filters):
+        # px: (h, w, ch) uint8; filters: per-row filter type
+        h, w, ch = px.shape
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            cur = px[y].reshape(-1).astype(np.int32)
+            f = filters[y % len(filters)]
+            raw.append(f)
+            for x in range(w * ch):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 0:
+                    v = cur[x]
+                elif f == 1:
+                    v = cur[x] - a
+                elif f == 2:
+                    v = cur[x] - b
+                elif f == 3:
+                    v = cur[x] - (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = cur[x] - pred
+                raw.append(v & 0xFF)
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(7)
+    # RGB, every filter type across rows
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    got = decode_png(encode(px, 2, [0, 1, 2, 3, 4]))
+    s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert (got["width"], got["height"]) == (4, 5)
+    assert (got["sum_r"], got["sum_g"], got["sum_b"]) == tuple(s)
+
+    # RGBA: alpha excluded from sums; Paeth-only filtering
+    px4 = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    got4 = decode_png(encode(px4, 6, [4]))
+    s4 = px4[:, :, :3].reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert (got4["sum_r"], got4["sum_g"], got4["sum_b"]) == tuple(s4)
+
+    # grayscale: one channel maps to all three sums; Sub filtering
+    pxg = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    gotg = decode_png(encode(pxg, 0, [1]))
+    g = int(pxg.astype(np.int64).sum())
+    assert (gotg["sum_r"], gotg["sum_g"], gotg["sum_b"]) == (g, g, g)
+
+    # dispatch by magic; unsupported depth stays behind the seam
+    assert decode_media("image", encode(px, 2, [0]))["width"] == 4
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", bad_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="16"):
+        decode_png(bad)
