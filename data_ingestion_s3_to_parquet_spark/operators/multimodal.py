@@ -14,11 +14,15 @@ Fixture-backed oracle queries:
 (The former multimodal_binary entry — byte length + sha256 over an
 opaque blob — now lives in textstats.q_doc_fingerprint.)
 
-Plus the image/audio/video plumbing (:func:`media_features`): binary
-payload + typed metadata → ``mapInPandas`` feature extraction. The
-actual codec step is STUBBED (no image/audio libs in this container —
-clearly marked), but the Spark-side contract — schema, batch shape,
-partitioning — is real and unit-tested.
+Plus the image/audio/video plumbing: binary payload + typed metadata →
+``mapInPandas`` byte features (:func:`media_features`) and REAL
+decoding (:func:`media_decode`) for every format the container can
+decode without codec libraries — PCM WAV (stdlib ``wave``), 24-bit BMP
+(``struct`` + numpy), 8-bit PNG (stdlib ``zlib`` + full scanline
+un-filtering). Only true-codec formats (JPEG/H.264/AAC) remain behind
+the clearly-marked :func:`_decode_stub` seam; the Spark-side contract —
+schema, batch shape, partitioning, per-row error capture — is real and
+unit-tested throughout.
 """
 
 from __future__ import annotations
