@@ -415,3 +415,41 @@ def test_decode_wav_any_pcm_layout(n_ch, width, rate, frames):
     assert got["n_channels"] == n_ch
     assert got["n_samples"] == len(samples)
     assert got["energy"] == sum(s * s for s in samples)
+
+
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 5),
+    seed=st.integers(0, 1000),
+)
+@slow_ok
+def test_decode_bmp_any_dimensions(w, h, seed):
+    """decode_bmp inverts a hand-built 24-bit BMP for ANY dimensions —
+    fuzzes the 4-byte row-padding arithmetic (pad = 0..3 depending on
+    width) and bottom-up row order, neither of which affects sums but
+    both of which affect buffer offsets."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        decode_bmp,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)  # BGR rows
+    row_size = (w * 3 + 3) // 4 * 4
+    body = b"".join(
+        px[r].tobytes() + b"\x00" * (row_size - w * 3) for r in range(h)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+    )
+    got = decode_bmp(header + body)
+    flat = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert (got["width"], got["height"]) == (w, h)
+    assert (got["sum_b"], got["sum_g"], got["sum_r"]) == tuple(flat)
