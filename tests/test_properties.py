@@ -453,3 +453,78 @@ def test_decode_bmp_any_dimensions(w, h, seed):
     flat = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
     assert (got["width"], got["height"]) == (w, h)
     assert (got["sum_b"], got["sum_g"], got["sum_r"]) == tuple(flat)
+
+
+@given(
+    w=st.integers(1, 5),
+    h=st.integers(1, 5),
+    color=st.sampled_from([0, 2, 4, 6]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    seed=st.integers(0, 1000),
+)
+@slow_ok
+def test_decode_png_inverts_any_filter_sequence(w, h, color, filters, seed):
+    """decode_png inverts hand-filtered scanlines for ANY dimension,
+    color type, and per-row filter sequence — the per-pixel
+    Sub/Average/Paeth arithmetic is exactly the code a fixed test
+    undersamples."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(w * ch):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - a
+            elif f == 2:
+                v = cur[x] - b
+            elif f == 3:
+                v = cur[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = cur[x] - pred
+            raw.append(v & 0xFF)
+        prev = cur
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    if ch >= 3:
+        s = px[:, :, :3].reshape(-1, 3).astype(np.int64).sum(axis=0)
+        assert (got["sum_r"], got["sum_g"], got["sum_b"]) == tuple(s)
+    else:
+        g = int(px[:, :, 0].astype(np.int64).sum())
+        assert (got["sum_r"], got["sum_g"], got["sum_b"]) == (g, g, g)
+    assert (got["width"], got["height"]) == (w, h)
