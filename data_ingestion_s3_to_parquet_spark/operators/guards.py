@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
-
 QUADRATIC_BLOCK_BOUND = 250_000
 
 
@@ -95,14 +93,3 @@ def check_quadratic_rows(n_rows: int, op_name: str, twin: str) -> None:
         )
 
 
-def guard_quadratic(df: DataFrame, op_name: str, twin: str) -> DataFrame:
-    """Count ``df`` and refuse past the bound; returns ``df`` unchanged
-    so it nests in a plan expression.
-
-    NOTE: this runs a Spark count job over ``df``'s actual plan — use
-    it only when the input is not a raw fixture table (e.g. already
-    filtered/derived). For fixture-table inputs prefer
-    :func:`guard_fixture_quadratic`, which reads parquet footers
-    driver-side and costs no job (VERDICT r5 #5)."""
-    check_quadratic_rows(df.count(), op_name, twin)
-    return df
