@@ -35,6 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Minimum age before a non-current, non-own generation is swept: long
+# enough that no in-flight build can still be heading for its commit,
+# short enough that crashed orphans don't accumulate across a session.
+SWEEP_GRACE_SECONDS = 600
+
+
 def fixture_fingerprint(sf_dir: str, table: str) -> str:
     """Identity of one fixture table: path + per-file sizes + mtimes,
     hashed. Any rewrite of the fixture invalidates dependent caches."""
@@ -102,13 +108,18 @@ def persisted_frame(
         except Exception:
             pass  # unreadable/corrupt/torn cache → rebuild below
 
+    import time
     import uuid
 
     token = uuid.uuid4().hex[:12]
-    # sweep orphans (crashed or lost-race builds) that are neither the
-    # committed generation nor ours; a stale pointer read here at worst
-    # deletes a generation whose commit loses anyway — readers then
-    # fail its signature check and rebuild, never read torn data
+    # Sweep orphans (crashed or lost-race builds) that are neither the
+    # committed generation nor ours — but ONLY past a grace period:
+    # without it, builder B sweeping inside builder A's
+    # write-to-commit window deletes A's brand-new generation, and A
+    # then commits a pointer to missing files (caught by the
+    # interleaved-writers test). An in-flight build finishes orders of
+    # magnitude inside the grace; genuinely crashed orphans age past
+    # it and get collected on a later build.
     current = None
     try:
         with open(meta) as fh:
@@ -118,13 +129,20 @@ def persisted_frame(
     if os.path.isdir(base):
         import shutil
 
+        now = time.time()
         for name in os.listdir(base):
             if (
                 name.startswith("data-")
                 and name != f"data-{current}.parquet"
                 and name != f"data-{token}.parquet"
             ):
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+                p = os.path.join(base, name)
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue
+                if age >= SWEEP_GRACE_SECONDS:
+                    shutil.rmtree(p, ignore_errors=True)
 
     data = os.path.join(base, f"data-{token}.parquet")
     build().select(*cols).write.mode("overwrite").parquet(data)

@@ -2252,9 +2252,13 @@ def test_artifact_pointer_swap_keeps_old_generation_valid(spark, tmp_path, monke
 
     import tempfile as _tempfile
 
+    from data_ingestion_s3_to_parquet_spark import artifacts
     from data_ingestion_s3_to_parquet_spark.artifacts import persisted_frame
 
     monkeypatch.setattr(_tempfile, "gettempdir", lambda: str(tmp_path))
+    # grace=0 so THIS test can observe the sweep itself; the
+    # interleaved-writers test covers the grace period's purpose
+    monkeypatch.setattr(artifacts, "SWEEP_GRACE_SECONDS", 0)
 
     calls = []
 
@@ -2418,3 +2422,63 @@ def test_decode_png_all_filters_and_color_types():
     )
     with _pytest.raises(NotImplementedError, match="16"):
         decode_png(bad)
+
+
+def test_artifact_pointer_swap_interleaved_writers(spark, tmp_path, monkeypatch):
+    # deterministic two-writer interleaving: writer A stalls between
+    # writing its generation and committing its pointer; writer B runs
+    # a complete build+commit in that window; A then commits. Readers
+    # must see a CONSISTENT committed generation at every step (B's in
+    # the window, A's after its late commit — last-write-wins), and
+    # both generations must exist until a later build sweeps the loser.
+    import json
+    import os
+
+    import tempfile as _tempfile
+
+    from data_ingestion_s3_to_parquet_spark import artifacts
+    from data_ingestion_s3_to_parquet_spark.artifacts import persisted_frame
+
+    monkeypatch.setattr(_tempfile, "gettempdir", lambda: str(tmp_path))
+    base = str(tmp_path / "spark_graft_iv" / "k")
+    meta = os.path.join(base, "checksum.json")
+
+    def build():
+        return spark.range(4).withColumnRenamed("id", "x")
+
+    # Writer A: run persisted_frame but PAUSE before its pointer commit
+    # by intercepting os.replace once to first let writer B finish.
+    state = {"b_done": False}
+    real_replace = os.replace
+
+    def interleaving_replace(src, dst):
+        if dst == meta and not state["b_done"]:
+            state["b_done"] = True
+            # writer B completes a FULL build + commit inside A's window
+            got_b = {
+                r.x for r in persisted_frame(spark, "iv", "k", build, ("x",)).collect()
+            }
+            assert got_b == set(range(4))
+            with open(meta) as fh:
+                state["b_token"] = json.load(fh)["token"]
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(artifacts.os, "replace", interleaving_replace)
+    got_a = {
+        r.x for r in persisted_frame(spark, "iv", "k", build, ("x",)).collect()
+    }
+    monkeypatch.setattr(artifacts.os, "replace", real_replace)
+    assert got_a == set(range(4))
+
+    # A committed last → A's pointer won; B's generation dir still
+    # exists (never deleted under a live pointer window)
+    with open(meta) as fh:
+        final = json.load(fh)
+    assert final["token"] != state["b_token"]
+    gens = {n for n in os.listdir(base) if n.startswith("data-")}
+    assert f"data-{final['token']}.parquet" in gens
+    assert f"data-{state['b_token']}.parquet" in gens
+
+    # a reader resolving the final pointer verifies cleanly
+    got = {r.x for r in persisted_frame(spark, "iv", "k", build, ("x",)).collect()}
+    assert got == set(range(4))
