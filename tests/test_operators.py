@@ -2413,6 +2413,25 @@ def test_decode_png_all_filters_and_color_types():
 
     # dispatch by magic; unsupported depth stays behind the seam
     assert decode_media("image", encode(px, 2, [0]))["width"] == 4
+
+    # real encoders split the compressed stream across multiple IDAT
+    # chunks — the parser must concatenate before inflating
+    z = zlib.compress(
+        bytes(
+            b"".join(
+                bytes([0]) + px[y].tobytes() for y in range(px.shape[0])
+            )
+        )
+    )
+    multi = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", z[: len(z) // 2])
+        + chunk(b"IDAT", z[len(z) // 2 :])
+        + chunk(b"IEND", b"")
+    )
+    gm = decode_png(multi)
+    assert (gm["sum_r"], gm["sum_g"], gm["sum_b"]) == tuple(s)
     bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     bad = (
         b"\x89PNG\r\n\x1a\n"
