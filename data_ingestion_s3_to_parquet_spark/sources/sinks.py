@@ -46,6 +46,46 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_parquet_tuned(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    bloom_columns: tuple[str, ...] = (),
+    bloom_expected_ndv: int | None = None,
+) -> None:
+    """Parquet sink with the two storage knobs that matter at 100 TB.
+
+    - ``compression="zstd"``: ~2-3x better ratio than the snappy
+      default at comparable decode speed — at petabyte footprints the
+      storage and scan-I/O savings dominate the extra encode CPU, and
+      Spark's bundled parquet writes it natively (no extra jars;
+      verified by footer codec metadata in tests).
+    - ``bloom_columns``: per-column parquet BLOOM FILTERS
+      (``parquet.bloom.filter.enabled#col``). Min/max row-group stats
+      prune RANGE predicates but are useless for point lookups on
+      high-cardinality unsorted keys (every row group spans the whole
+      key space); a bloom filter answers "key definitely absent" per
+      row group, so needle-in-haystack reads skip row groups wholesale.
+      Size the bitset with ``bloom_expected_ndv`` (per-row-group
+      distinct estimate) — unsized blooms default large. The bitsets
+      cost write-side bytes; enable them on lookup keys, not on every
+      column (the same selectivity judgment as any index).
+    """
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    for col in bloom_columns:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        if bloom_expected_ndv:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{col}",
+                str(bloom_expected_ndv),
+            )
+    writer.parquet(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

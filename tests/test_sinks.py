@@ -434,3 +434,40 @@ def test_manifest_table_migrate_crash_retry_paths(spark, tmp_path):
         n for n in os.listdir(path_b) if not n.startswith(("gen-", "_MANIFEST"))
     ] == []
     assert {(r.id, r.v) for r in table_read(spark, path_b).collect()} == rows
+
+
+def test_write_parquet_tuned_zstd_and_bloom(spark, tmp_path):
+    # zstd: footer codec metadata must say ZSTD and the data must
+    # round-trip; bloom: enabling the filter on a key column must write
+    # strictly more bytes than the identical no-bloom layout (the
+    # bitsets live in the file) while reading back identically
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import (
+        write_parquet_tuned,
+    )
+
+    df = spark.range(2000).withColumn("k", F.col("id") * 7).coalesce(1)
+    rows = {(r.id, r.k) for r in df.collect()}
+
+    zpath = str(tmp_path / "z")
+    write_parquet_tuned(df, zpath, compression="zstd")
+    f = glob.glob(f"{zpath}/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    assert md.row_group(0).column(0).compression == "ZSTD"
+    assert {(r.id, r.k) for r in spark.read.parquet(zpath).collect()} == rows
+
+    plain = str(tmp_path / "plain")
+    bloom = str(tmp_path / "bloom")
+    write_parquet_tuned(df, plain, compression="snappy")
+    write_parquet_tuned(
+        df, bloom, compression="snappy",
+        bloom_columns=("k",), bloom_expected_ndv=2000,
+    )
+    size = lambda p: sum(
+        __import__("os").path.getsize(x) for x in glob.glob(f"{p}/*.parquet")
+    )
+    assert size(bloom) > size(plain)  # the bitset is actually in the file
+    assert {(r.id, r.k) for r in spark.read.parquet(bloom).collect()} == rows
