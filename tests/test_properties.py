@@ -528,3 +528,24 @@ def test_decode_png_inverts_any_filter_sequence(w, h, color, filters, seed):
         g = int(px[:, :, 0].astype(np.int64).sum())
         assert (got["sum_r"], got["sum_g"], got["sum_b"]) == (g, g, g)
     assert (got["width"], got["height"]) == (w, h)
+
+
+@given(payload=st.binary(min_size=0, max_size=200))
+@slow_ok
+def test_decode_media_never_returns_garbage_on_arbitrary_bytes(payload):
+    """Arbitrary bytes either decode to a well-formed feature dict (if
+    they happen to form a valid container) or raise a normal exception
+    the per-row capture turns into ok=false — never a hang, never a
+    half-populated dict. This is the poison-payload contract of
+    media_decode at the pure-function level."""
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    try:
+        out = decode_media("unknown", payload)
+    except Exception:
+        return  # captured per-row by media_decode: the expected path
+    # a successful decode must be a complete feature dict
+    assert isinstance(out, dict) and out
+    assert all(v is not None for v in out.values())
