@@ -549,3 +549,24 @@ def test_decode_media_never_returns_garbage_on_arbitrary_bytes(payload):
     # a successful decode must be a complete feature dict
     assert isinstance(out, dict) and out
     assert all(v is not None for v in out.values())
+
+
+@given(n_ranges=st.integers(1, 16))
+@slow_ok
+def test_interleave_mix_distributed_any_partition_count(spark, n_ranges):
+    """The distributed interleave materialization equals the graded
+    single-partition ranking for ANY range-partition count — including
+    1 (degenerate: one range) and counts above the corpus's language
+    count."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational7 import (
+        interleave_mix_distributed,
+        q_interleave_mix,
+    )
+    from tests.conftest import SF_SMOKE
+
+    graded = {tuple(r) for r in q_interleave_mix(spark, SF_SMOKE).collect()}
+    got = {
+        tuple(r)
+        for r in interleave_mix_distributed(spark, SF_SMOKE, n_ranges).collect()
+    }
+    assert got == graded
