@@ -2501,3 +2501,13 @@ def test_artifact_pointer_swap_interleaved_writers(spark, tmp_path, monkeypatch)
     # a reader resolving the final pointer verifies cleanly
     got = {r.x for r in persisted_frame(spark, "iv", "k", build, ("x",)).collect()}
     assert got == set(range(4))
+
+
+def test_fixture_rows_sums_directory_part_files(spark, tmp_path):
+    # the 100 TB layout: a table is a DIRECTORY of part files; the
+    # footer count must sum every member, not just read one file
+    from data_ingestion_s3_to_parquet_spark.operators import guards
+
+    sf = str(tmp_path)
+    spark.range(1234).repartition(5).write.parquet(f"{sf}/events.parquet")
+    assert guards.fixture_rows(sf, "events") == 1234
