@@ -5,12 +5,21 @@ Runs every ``bench=True`` registry query against
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+     "queries": {"q": min_sec, ...},
+     "spread": {"q": {"min": sec, "med": sec}, ...}, "sf": 0.1}
+
+``queries`` keeps the driver's name→seconds contract (min of the
+timed runs); ``spread`` adds the median of the same runs so
+round-over-round comparisons can separate ambient-load drift from
+real plan damage (VERDICT r6 #3: five untouched queries drifted
++20-30% in lockstep in round 6 — and indeed round 7's first run
+measured the "regressed" ``dedup_components_lsh`` back at its round-5
+time with no code change; min-vs-med gap is the noise signature).
 
 Each query is fully materialized through the ``noop`` sink (forces
 end-to-end execution including shuffles, without paying sink I/O or
-driver collection). Each query gets one untimed warm-up run before two
-timed runs (min taken), so numbers reflect steady state rather than
+driver collection). Each query gets one untimed warm-up run before
+three timed runs, so numbers reflect steady state rather than
 per-plan codegen compilation or a stray GC pause (fixed costs that
 vanish at scale). ``spark.catalog.clearCache()`` runs before EVERY run
 (warm-up and timed): some operators ``.cache()`` shared subtrees
@@ -61,27 +70,31 @@ def main() -> None:
     # warm-up survives graded/EXTRA rotations of scan_parquet)
     materialize({**REGISTRY, **EXTRA}["scan_parquet"].fn(spark, sf_dir))
 
-    # Per-query: one untimed warm-up run, then the timed run. Warm
+    # Per-query: one untimed warm-up run, then three timed runs. Warm
     # steady-state is the honest 100 TB proxy — whole-stage-codegen
     # compilation (1-3s per distinct plan) is a fixed cost amortized
     # over minutes of execution at scale, but at sf0.1 it would be
     # 3-5x the actual query time and would drown real regressions.
-    # Min of two timed runs: single timed runs showed rare 5-10x
-    # outliers from JIT/GC pauses in the shared local JVM; min-of-2 is
-    # the steady-state estimator robust to those while staying honest
-    # (no run is ever faster than the real plan — see module docstring
-    # on clearCache).
+    # Min of the timed runs is the headline (single runs showed rare
+    # 5-10x outliers from JIT/GC pauses in the shared local JVM; min
+    # is the steady-state estimator robust to those while staying
+    # honest — no run is ever faster than the real plan, see module
+    # docstring on clearCache); the median rides along in ``spread``
+    # so a wide min-med gap flags ambient noise (VERDICT r6 #3).
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, q in bench_queries.items():
         spark.catalog.clearCache()
         materialize(q.fn(spark, sf_dir))
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             materialize(q.fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        spread[name] = {"min": round(runs[0], 3), "med": round(runs[1], 3)}
 
     # the reference's canonical workload: scan -> project -> parquet
     # write (real sink I/O, not noop), per SURVEY.md §2A A3+A5+A6.
@@ -103,12 +116,17 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as tmp:
         etl_run(f"{tmp}/warmup")
-        best = float("inf")
-        for i in range(2):
+        runs = []
+        for i in range(3):
             t0 = time.perf_counter()
             etl_run(f"{tmp}/out{i}")
-            best = min(best, time.perf_counter() - t0)
-        timings["etl_scan_project_write"] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings["etl_scan_project_write"] = round(runs[0], 3)
+        spread["etl_scan_project_write"] = {
+            "min": round(runs[0], 3),
+            "med": round(runs[1], 3),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -118,6 +136,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
             }
         )
