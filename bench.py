@@ -22,12 +22,14 @@ driver collection). Each query gets one untimed warm-up run before
 three timed runs, so numbers reflect steady state rather than
 per-plan codegen compilation or a stray GC pause (fixed costs that
 vanish at scale). ``spark.catalog.clearCache()`` runs before EVERY run
-(warm-up and timed): some operators ``.cache()`` shared subtrees
-(dedup_fuzzy's exact reference set, the minhash/simhash shingle
-tables), and Spark's CacheManager matches canonicalized plans — so
-without the clear, the warm-up would populate a cache the timed runs
-silently read, and the timing would exclude the dominant build. With
-it, "no run is ever faster than the real plan" holds again.
+(warm-up and timed): any operator may ``.cache()`` a shared subtree,
+and Spark's CacheManager matches canonicalized plans — so without the
+clear, the warm-up would populate a cache the timed runs silently
+read, and the timing would exclude the dominant build. With it, "no
+run is ever faster than the real plan" holds. (Round 7 removed the
+dedup-family caches outright after the stage profile showed each one
+a net loss — see ``operators/dedup.py`` — but the clear stays as a
+guard for the rest of the registry.)
 """
 
 from __future__ import annotations

@@ -205,10 +205,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability at j=0.71; with 4 bands, pairs at j≥0.5 are caught with
     good probability while |D|² never materializes.
     """
-    # cache: the expression-heavy shingling feeds three consumers (the
-    # signature path and both sides of the verification join) — without
-    # it the n-gram build runs 3×
-    sh = _shingled(spark, sf_dir).cache()
+    # NO .cache() on the shingle frame, although three consumers derive
+    # from it (the signature path and both sides of the verification
+    # join): measured at sf0.1, the cached pipeline is ~25% SLOWER
+    # (1.22 s vs 0.98 s min-of-3) — InMemoryRelation materialization
+    # serializes the DAG into build-then-consume, while the uncached
+    # plan recomputes the cheap map-side shingling inside each
+    # consumer's stage and lets them run concurrently; identical
+    # shuffle subtrees are further deduplicated by exchange reuse. At
+    # 100 TB the same logic holds per-job; a signature table REUSED
+    # across jobs belongs in a persisted artifact (the _ref_pairs
+    # pattern), not an in-session cache.
+    sh = _shingled(spark, sf_dir)
     sig = minhash_signature(sh, "doc_id", "sh", k=16)
     # shuffle-hash hint for the same explode-underestimate reason as the
     # jaccard join — never broadcast a banded signature table.
@@ -252,8 +260,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.24 → see SCALE.md — while still never materializing |D|².
     """
     sh = _shingled(spark, sf_dir)
-    # cache the tiny signature table: both join sides derive from it
-    sig = simhash_signature(sh, "doc_id", "sh").cache()
+    # NO .cache() on the signature table even though both join sides
+    # derive from it — same measured result as the minhash shingle
+    # frame above (2.28 s cached vs 1.81 s uncached at sf0.1): the
+    # double signature build runs both sides in parallel and costs
+    # less than serializing the DAG through a cache materialization.
+    sig = simhash_signature(sh, "doc_id", "sh")
     slices = F.array(
         *[
             F.struct(
@@ -356,14 +368,18 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_ref_pairs`): built once per fixture content, persisted
     with a checksum, and loaded as a plain parquet scan thereafter —
     so this graded query times the approximate lanes it exists to
-    gate, not a reference rebuild (VERDICT r3 #5). The plan still
-    needs the set twice (the count plus the probe); ``.cache()``
-    shares one InMemoryRelation between both consumers. The candidate
-    pairs of both approximate methods are tagged and probed in one
-    semi-join. Counts stay distributed aggregates — nothing is
+    gate, not a reference rebuild (VERDICT r3 #5). The plan needs the
+    set twice (the count plus the probe) — both read the persisted
+    parquet directly, NOT through ``.cache()``: the round-7 stage
+    profile measured every cache in this family as a net loss at
+    sf0.1 (here 3.38 s cached vs 2.85 s uncached min-of-3; cache
+    materialization serializes the DAG while a second scan of a small
+    columnar artifact is nearly free and runs concurrently). The
+    candidate pairs of both approximate methods are tagged and probed
+    in one semi-join. Counts stay distributed aggregates — nothing is
     collected to the driver.
     """
-    ref = _ref_pairs(spark, sf_dir).cache()
+    ref = _ref_pairs(spark, sf_dir)
     n_ref = ref.agg(F.count("*").alias("n_ref_pairs"))
 
     cand = (
