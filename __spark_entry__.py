@@ -22,7 +22,7 @@ oracle-gated entries, all with prior green driver rows, verified
 locally each round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
 larger budget grades it for free. Lane counts (50 graded / 47 EXTRA /
-4 BENCH_ONLY) are pinned by
+5 BENCH_ONLY) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded
 through accuracy-contract oracles — a deterministic ``*_ok`` boolean
@@ -36,12 +36,15 @@ recomputes exactly; the oracle asserts TRUE (SCALE.md §13):
   (floor 0.8); exact twins: ``dedup_ngram_jaccard``, ``sim_topk``,
   ``sim_join``
 
-Four operators are deliberately OUTSIDE the graded registry
+Five operators are deliberately OUTSIDE the graded registry
 (``plans.registry.BENCH_ONLY``; benched + pytest-gated):
 ``sim_join_lsh`` and ``knn_graph_lsh`` (no high-cosine pairs exist in
 the fixtures, so a recall gate would be vacuous),
 ``dedup_components_lsh`` (the LSH→connected-components scale
-pipeline, accuracy via planted-cluster recall pytest), and
+pipeline, accuracy via planted-cluster recall pytest),
+``dedup_semantic`` (the round-7 SemDeDup composition — whiten → LSH →
+components → keep-best; whitening's driver-side eigensolve has no SQL
+twin, accuracy via planted-cluster recall pytest), and
 ``lang_id_ngram`` (no ground truth — 0.20 agreement with the
 synthetic lang labels).
 

@@ -197,41 +197,43 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise similarity via random-hyperplane LSH — the 100 TB path.
+def lsh_candidate_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = SIM_JOIN_THRESHOLD,
+) -> DataFrame:
+    """Hyperplane-LSH similarity pairs over ANY (id, vector) frame —
+    the shared kernel of :func:`q_sim_join_lsh` (raw embeddings) and
+    ``dedup.q_dedup_semantic`` (whitened embeddings).
 
     Signature = sign bits of ⟨v, h_i⟩ for 512 fixed hyperplanes, split
     into 32 bands of 16 bits. Candidates collide on any band and are
-    verified with exact cosine ≥ threshold. Deterministic planes →
+    verified with exact cosine ≥ ``threshold``. Deterministic planes →
     stable output (rows-only: LSH recall has no SQL ground truth).
 
-    Recall ≈ 1-(1-p¹⁶)³² with p = 1-θ/π: ≈94% at cos 0.9 (the near-dup
-    operating range), dropping sharply for unrelated pairs — that
-    selectivity is the point. Band width is the scale lever (see the
-    constants note): 16-bit bands keep junk-candidate volume ∝ 1/65536
-    per pair; 4-bit bands were measured to generate ~300M pairs at 50k
-    vectors and fill the shuffle disk, 8-bit ~39M, 16-bit ~600k.
-
-    Shuffle discipline: the pair join carries ONLY (band, vec_id);
-    embeddings are re-attached by id after pair dedup — otherwise every
+    Shuffle discipline: the pair join carries ONLY (band, id);
+    vectors are re-attached by id after pair dedup — otherwise every
     candidate pair drags two 64-float arrays through the shuffle (a
     measured ~50× write amplification).
+
+    Returns ``(vec_a, vec_b, cos_sim)`` with ``vec_a < vec_b``.
     """
     import numpy as np
 
-    from ..session import tune
-
-    tune(spark)
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
     H = np.array(_hyperplanes(), dtype=np.float64)  # (64, dim)
     weights = 1 << np.arange(LSH_BITS_PER_BAND)
 
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
+    )
+
     def signatures(batches):
-        # one matmul per Arrow batch: sign bits -> 8 packed band values
+        # one matmul per Arrow batch: sign bits -> packed band values
         # (a 64-expression JVM tree for the same thing is interpreted
         # per-row and costs ~20s just to plan+evaluate at 500 rows)
         for pdf in batches:
-            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            V = np.array(pdf["_vec"].tolist(), dtype=np.float64)
             bits = (V @ H.T) > 0  # (n, 64)
             out_frames = []
             for b in range(LSH_BANDS):
@@ -247,7 +249,7 @@ def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(out_frames, ignore_index=True)
 
-    banded = emb.select("vec_id", "embedding").mapInPandas(
+    banded = base.mapInPandas(
         signatures, "vec_id long, band_idx int, band_val int"
     ).hint("shuffle_hash")
     cand = (
@@ -257,11 +259,11 @@ def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    ea = base.select(F.col("vec_id").alias("vec_a"), F.col("_vec").alias("ea"))
+    eb = base.select(F.col("vec_id").alias("vec_b"), F.col("_vec").alias("eb"))
 
     # candidate verification is the hot loop (can be millions of pairs)
-    # and this operator owes no bitwise oracle (rows-only), so score
+    # and this kernel owes no bitwise oracle (rows-only), so score
     # with a numpy-batched pandas UDF instead of the interpreted
     # higher-order-function fold — same SCALE.md §4 rule as IVF.
     @F.pandas_udf("double")
@@ -278,9 +280,28 @@ def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .withColumn("cos_sim", cos_batch(F.col("ea"), F.col("eb")))
-        .where(F.col("cos_sim") >= SIM_JOIN_THRESHOLD)
+        .where(F.col("cos_sim") >= threshold)
     )
     return pairs.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise similarity via random-hyperplane LSH — the 100 TB path
+    (the shared kernel is :func:`lsh_candidate_pairs`; this operator
+    binds it to the raw embeddings fixture).
+
+    Recall ≈ 1-(1-p¹⁶)³² with p = 1-θ/π: ≈94% at cos 0.9 (the near-dup
+    operating range), dropping sharply for unrelated pairs — that
+    selectivity is the point. Band width is the scale lever (see the
+    constants note): 16-bit bands keep junk-candidate volume ∝ 1/65536
+    per pair; 4-bit bands were measured to generate ~300M pairs at 50k
+    vectors and fill the shuffle disk, 8-bit ~39M, 16-bit ~600k.
+    """
+    from ..session import tune
+
+    tune(spark)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return lsh_candidate_pairs(emb, "vec_id", "embedding", SIM_JOIN_THRESHOLD)
 
 
 # Recall floor for the graded ann_ivf_topk invariant: measured 0.9

@@ -18,9 +18,9 @@ git history and module docstrings); round 7 promotes the final three
 a driver row in some round. Operators whose semantics have no
 engine-neutral
 ground truth on these fixtures (``sim_join_lsh``, ``knn_graph_lsh``,
-``dedup_components_lsh``, ``lang_id_ngram``) are exposed as
-:data:`BENCH_ONLY` instead: benched and pytest-covered, not graded
-(four entries, pinned by tests/test_operators.py).
+``dedup_components_lsh``, ``dedup_semantic``, ``lang_id_ngram``) are
+exposed as :data:`BENCH_ONLY` instead: benched and pytest-covered, not
+graded (five entries, pinned by tests/test_operators.py).
 """
 
 from __future__ import annotations
@@ -111,7 +111,7 @@ if _overlap:
 
 
 def _bench_only() -> dict[str, Query]:
-    from ..operators.dedup import q_dedup_components_lsh
+    from ..operators.dedup import q_dedup_components_lsh, q_dedup_semantic
     from ..operators.similarity import q_knn_graph_lsh, q_sim_join_lsh
     from ..operators.textstats import q_lang_id_ngram
 
@@ -130,6 +130,13 @@ def _bench_only() -> dict[str, Query]:
             None,
             ("llm", "dedup", "approx", "iterative"),
             bench=True,  # the 100 TB fuzzy-clustering pipeline (VERDICT r3 #2)
+        ),
+        Query(
+            "dedup_semantic",
+            q_dedup_semantic,
+            None,
+            ("llm", "dedup", "similarity", "approx", "iterative"),
+            bench=True,  # SemDeDup composition, new in round 7 (VERDICT r6 #5)
         ),
         Query("lang_id_ngram", q_lang_id_ngram, None, ("llm", "text", "udf")),
     ]
