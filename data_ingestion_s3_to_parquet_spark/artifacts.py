@@ -131,18 +131,29 @@ def persisted_frame(
 
         now = time.time()
         for name in os.listdir(base):
-            if (
+            is_gen = (
                 name.startswith("data-")
                 and name != f"data-{current}.parquet"
                 and name != f"data-{token}.parquet"
-            ):
-                p = os.path.join(base, name)
-                try:
-                    age = now - os.path.getmtime(p)
-                except OSError:
-                    continue
-                if age >= SWEEP_GRACE_SECONDS:
+            )
+            # orphaned pointer temp files from a crash between write
+            # and os.replace age out on the same schedule (ADVICE r6)
+            is_tmp = name.startswith("checksum.json.tmp-")
+            if not (is_gen or is_tmp):
+                continue
+            p = os.path.join(base, name)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age >= SWEEP_GRACE_SECONDS:
+                if is_gen:
                     shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
 
     data = os.path.join(base, f"data-{token}.parquet")
     build().select(*cols).write.mode("overwrite").parquet(data)
@@ -152,4 +163,17 @@ def persisted_frame(
     with open(tmp, "w") as fh:
         json.dump({"token": token, "count": c, "hashsum": h}, fh)
     os.replace(tmp, meta)  # pointer lands last: no torn-cache window
+    # Restart the superseded generation's sweep clock AT DECOMMIT
+    # (ADVICE r6): its mtime is its WRITE time, so a generation that
+    # stayed committed past the grace period would otherwise be swept
+    # by the very next build while another session's lazy DataFrame
+    # may still resolve the old pointer into it. Touching it gives
+    # late readers a full grace period from the moment it stopped
+    # being current.
+    if current and current != token:
+        old = os.path.join(base, f"data-{current}.parquet")
+        try:
+            os.utime(old, None)
+        except OSError:
+            pass  # already swept or never landed — nothing to protect
     return cached

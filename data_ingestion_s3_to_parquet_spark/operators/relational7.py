@@ -176,6 +176,16 @@ def interleave_mix_distributed(
     one integer per range partition. Equivalence to the graded
     single-partition materialization is pinned by
     tests/test_operators.py::test_interleave_mix_distributed_matches_graded.
+
+    Storage lifetime (ADVICE r6): the eager ``localCheckpoint`` that
+    pins partition ids across the two passes keeps one copy of the
+    ranged frame in executor storage until released — it CANNOT be
+    unpersisted here because the returned frame is lazy and its
+    lineage is truncated at the checkpoint. The checkpointed frame is
+    exposed as ``result.checkpoint_frame``; callers that invoke this
+    repeatedly in one session should call
+    ``result.checkpoint_frame.unpersist()`` after materializing the
+    result.
     """
     d = load_table(spark, sf_dir, "documents")
     per_src = Window.partitionBy("lang").orderBy(
@@ -204,13 +214,15 @@ def interleave_mix_distributed(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     intra = Window.partitionBy("pid").orderBy("mix_key", "lang", "doc_id")
-    return ranged.select(
+    out = ranged.select(
         (off[F.col("pid")] + F.row_number().over(intra)).alias("mix_pos"),
         "doc_id",
         "lang",
         "rn",
         "mix_key",
     )
+    out.checkpoint_frame = ranged  # release handle — see docstring
+    return out
 
 
 SQL_INTERLEAVE_MIX = f"""

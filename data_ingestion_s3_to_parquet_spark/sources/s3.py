@@ -73,6 +73,10 @@ def fetch_s3(
     gives the same durability point at a fraction of the syscall cost.
     ``client`` is injectable for tests; defaults to ``boto3.client``.
     """
+    if attempts < 1:
+        # without this, the retry loop never runs and `raise last_err`
+        # raises None — a TypeError instead of a real error (ADVICE r6)
+        raise ValueError(f"attempts must be >= 1, got {attempts}")
     if skip_if_exists and os.path.exists(destination):
         logger.info("destination %s exists; skipping S3 fetch", destination)
         return 0
@@ -81,7 +85,11 @@ def fetch_s3(
             raise S3NotAvailable("boto3 not installed in this environment")
         client = boto3.client("s3")
     os.makedirs(os.path.dirname(destination) or ".", exist_ok=True)
-    part = f"{destination}.part-{os.getpid()}"
+    # pid alone is not unique within a process: two THREADS fetching
+    # the same destination would interleave one part file (ADVICE r6)
+    import uuid
+
+    part = f"{destination}.part-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     last_err: Exception | None = None
     for attempt in range(attempts):
         if attempt:

@@ -47,12 +47,16 @@ def extract_zip(zip_path: str, output_dir: str) -> list[str]:
     Returns the list of extracted file paths. Unsafe entry names are
     skipped (logged), matching main.rs:158-163's ``continue``.
 
-    Each entry is written to a ``.part-<pid>`` sibling and published
-    with one ``os.replace`` — the warm path (A7) short-circuits on the
-    extracted CSV's EXISTENCE, so a crash mid-extract must never leave
-    a truncated file under the final name for every later run to trust
-    (same atomic-commit rule as ``fetch_s3`` and the artifact store).
+    Each entry is written to a ``.part-<pid>-<uuid>`` sibling and
+    published with one ``os.replace`` — the warm path (A7)
+    short-circuits on the extracted CSV's EXISTENCE, so a crash
+    mid-extract must never leave a truncated file under the final name
+    for every later run to trust (same atomic-commit rule as
+    ``fetch_s3`` and the artifact store; the uuid keeps two THREADS of
+    one process off each other's part file — ADVICE r6).
     """
+    import uuid
+
     os.makedirs(output_dir, exist_ok=True)
     extracted: list[str] = []
     with zipfile.ZipFile(zip_path) as zf:
@@ -64,7 +68,7 @@ def extract_zip(zip_path: str, output_dir: str) -> list[str]:
                 continue
             target = os.path.join(output_dir, info.filename)
             os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
-            part = f"{target}.part-{os.getpid()}"
+            part = f"{target}.part-{os.getpid()}-{uuid.uuid4().hex[:8]}"
             try:
                 with zf.open(info) as src, open(part, "wb") as dst:
                     dst.write(src.read())

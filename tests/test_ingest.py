@@ -273,6 +273,13 @@ def test_fetch_s3_commits_atomically_and_retries_stream_errors(tmp_path, monkeyp
     assert not os.path.exists(dst2)
     assert [f for f in os.listdir(tmp_path) if ".part" in f] == []
 
+    # ADVICE r6: attempts < 1 must fail loudly at entry, not reach
+    # `raise last_err` with last_err = None (a bare TypeError)
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="attempts"):
+            s3mod.fetch_s3("b", "k", str(tmp_path / "never"), attempts=bad,
+                           client=FlakyClient(failures=0))
+
 
 def test_extract_zip_publishes_entries_atomically(tmp_path, monkeypatch):
     # same torn-file rule as fetch_s3: the warm path trusts the

@@ -2327,6 +2327,88 @@ def test_artifact_pointer_swap_keeps_old_generation_valid(spark, tmp_path, monke
     assert gen1 not in gens and len(gens) <= 2
 
 
+def test_artifact_sweep_grace_restarts_at_decommit(spark, tmp_path, monkeypatch):
+    # ADVICE r6 (medium): sweep age used to run from the generation
+    # directory's WRITE time, so a generation that stayed committed
+    # longer than the grace period was swept by the very next build
+    # after being superseded — while another session's lazy DataFrame
+    # could still resolve the old pointer into it. The pointer swap now
+    # touches the superseded generation, restarting its clock at
+    # DECOMMIT time.
+    import json
+    import os
+    import time
+
+    import tempfile as _tempfile
+
+    from data_ingestion_s3_to_parquet_spark.artifacts import persisted_frame
+
+    monkeypatch.setattr(_tempfile, "gettempdir", lambda: str(tmp_path))
+    # default grace stays: this test relies on it being much larger
+    # than the test's own runtime
+
+    def build():
+        return spark.range(3).withColumnRenamed("id", "x")
+
+    def corrupt_pointer(base):
+        with open(os.path.join(base, "checksum.json")) as fh:
+            meta = json.load(fh)
+        with open(os.path.join(base, "checksum.json"), "w") as fh:
+            json.dump({**meta, "count": -1}, fh)
+        return meta["token"]
+
+    persisted_frame(spark, "g", "k", build, ("x",)).collect()
+    base = str(tmp_path / "spark_graft_g" / "k")
+    tok1 = corrupt_pointer(base)
+    gen1 = os.path.join(base, f"data-{tok1}.parquet")
+    # simulate a generation that was live far longer than the grace
+    old = time.time() - 100_000
+    os.utime(gen1, (old, old))
+
+    persisted_frame(spark, "g", "k", build, ("x",)).collect()  # swap → gen2
+    assert os.path.getmtime(gen1) > old + 50_000  # decommit touch landed
+    corrupt_pointer(base)
+    persisted_frame(spark, "g", "k", build, ("x",)).collect()  # gen3 sweeps
+    # gen1 is non-current now but its clock restarted at decommit, so
+    # the sweep must have left it alone
+    assert os.path.isdir(gen1)
+
+
+def test_artifact_sweep_collects_orphan_pointer_tmp(spark, tmp_path, monkeypatch):
+    # ADVICE r6: checksum.json.tmp-<token> files left by a crash
+    # between write and os.replace must age out with the generations
+    import os
+
+    import tempfile as _tempfile
+
+    from data_ingestion_s3_to_parquet_spark import artifacts
+    from data_ingestion_s3_to_parquet_spark.artifacts import persisted_frame
+
+    monkeypatch.setattr(_tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(artifacts, "SWEEP_GRACE_SECONDS", 0)
+
+    def build():
+        return spark.range(3).withColumnRenamed("id", "x")
+
+    persisted_frame(spark, "o", "k", build, ("x",)).collect()
+    base = str(tmp_path / "spark_graft_o" / "k")
+    orphan = os.path.join(base, "checksum.json.tmp-deadbeef")
+    with open(orphan, "w") as fh:
+        fh.write("{torn")
+    persisted_frame(spark, "o", "k", build, ("x",)).collect()  # warm read: no sweep
+    assert os.path.exists(orphan)  # sweeps only run on builds
+    import json
+
+    with open(os.path.join(base, "checksum.json")) as fh:
+        meta = json.load(fh)
+    with open(os.path.join(base, "checksum.json"), "w") as fh:
+        json.dump({**meta, "count": -1}, fh)
+    persisted_frame(spark, "o", "k", build, ("x",)).collect()  # rebuild sweeps
+    assert not os.path.exists(orphan)
+    with open(os.path.join(base, "checksum.json")) as fh:
+        assert json.load(fh)["count"] == 3  # live pointer intact
+
+
 def test_dedup_keep_best_picks_max_score_per_duplicate_group(spark, sf_dir):
     # every kept doc must be the (score DESC, doc_id ASC)-first member
     # of its exact-text duplicate group, with n_copies = group size —
