@@ -345,7 +345,36 @@ QUERIES = _promoted_r7() + [
 
 # New never-graded operators register HERE — the first
 # EXTRA-contributing module in registry order — so they lead the lane
-# and a larger harness budget (or the next rotation) grades them
-# first. The three round-6 entries that used to sit here promoted to
-# the graded lane in round 7 (VERDICT r6 #1).
-EXTRA_QUERIES: list[Query] = []
+# and a larger harness budget (or the next swap) grades them first.
+# The three round-6 entries that used to sit here promoted to the
+# graded lane in round 7 (VERDICT r6 #1); the three NEW round-7
+# operators below take their place at the head of the lane.
+def _extra_queries() -> list[Query]:
+    from .relational9 import SQL_MERGE_INTERVALS, q_merge_intervals
+    from .textstats import SQL_NGRAM_COUNTS, q_ngram_counts
+    from .trainprep import SQL_MIX_WEIGHTS, q_mix_weights
+
+    return [
+        Query(
+            "mix_weights",
+            q_mix_weights,
+            SQL_MIX_WEIGHTS,
+            ("llm", "sampling", "agg"),
+        ),
+        Query(
+            "ngram_counts",
+            q_ngram_counts,
+            SQL_NGRAM_COUNTS,
+            ("llm", "text", "agg"),
+            bench=True,  # corpus-frequency representative (scan + one shuffle + top-k)
+        ),
+        Query(
+            "merge_intervals",
+            q_merge_intervals,
+            SQL_MERGE_INTERVALS,
+            ("relational", "window", "timeseries"),
+        ),
+    ]
+
+
+EXTRA_QUERIES: list[Query] = _extra_queries()

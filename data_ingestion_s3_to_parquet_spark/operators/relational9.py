@@ -1038,6 +1038,93 @@ FROM u
 
 
 
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesce overlapping per-user activity intervals — the
+    gaps-and-islands staple behind uptime/coverage reports, ad-session
+    stitching, and validity-range compaction (the interval twin of the
+    point-event sessionization in ``stream_session``).
+
+    Each event opens an interval [s, s + 600 + 60·len(event_type)]
+    (a deterministic integer duration derived from row values, same
+    rule-from-values discipline as every sampling operator);
+    overlapping or touching intervals per user merge into one row.
+
+    Plan: ONE user-keyed window shuffle serves both passes — an
+    island starts where its start exceeds the running max end of all
+    preceding intervals (rows-frame max), islands are numbered by a
+    running sum of those breaks, and a map-side-combinable groupBy
+    collapses each island. Per-task window state is O(1) (running max
+    + counter, streamed); all arithmetic is integer seconds, so the
+    oracle matches bitwise.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts") + 600 + 60 * F.length("event_type")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.withColumn(
+        "brk",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("start_sec"),
+            F.max("e").alias("end_sec"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("island").cast("long").alias("interval_id"),
+            "start_sec",
+            "end_sec",
+            "n_events",
+        )
+    )
+
+
+SQL_MERGE_INTERVALS = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 600 + 60 * length(event_type) AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+              OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+i AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+)
+SELECT user_id, CAST(island AS BIGINT) AS interval_id,
+       MIN(s) AS start_sec, MAX(e) AS end_sec,
+       COUNT(*) AS n_events
+FROM i GROUP BY user_id, island
+"""
+
+
 QUERIES: list[Query] = []
 
 # Promoted to the graded lane in round 5 (never driver-graded before;

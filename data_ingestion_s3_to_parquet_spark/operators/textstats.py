@@ -523,6 +523,62 @@ FROM fused
 SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
 
 
+NGRAM_TOP = 100
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word-bigram frequency table, top-100 — the n-gram
+    statistic behind boilerplate discovery, hot-gram blocking
+    (``dedup_passages`` semi-joins on exactly this kind of table), and
+    dataset cards. Counts ALL occurrences (a frequency table), unlike
+    the dedup lanes' per-document-distinct shingles.
+
+    Plan: tokenize once into a bound column (Catalyst does not CSE a
+    split through lambda bindings — ``functions.text`` note), build
+    bigrams with one ``transform`` over a ``sequence`` of start
+    indices, explode, ONE map-side-combinable count, and a
+    TakeOrderedAndProject top-100 on the total order (n DESC, gram
+    ASC) — the tie at the cut is deterministic on both engines. At
+    100 TB the only data-sized stages are the scan and the gram
+    shuffle; the result is bounded at 100 rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    idx = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("t"), i.cast("int")),
+            F.element_at(F.col("t"), (i + 1).cast("int")),
+        ),
+    )
+    ex = d.select(F.explode(grams).alias("gram"))
+    return (
+        ex.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(NGRAM_TOP)
+    )
+
+
+SQL_NGRAM_COUNTS = f"""
+WITH tt AS (SELECT string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT unnest([t[i] || ' ' || t[i+1]
+                 for i in generate_series(1, len(t) - 1)]) AS gram
+  FROM tt
+)
+SELECT gram, COUNT(*) AS n
+FROM g GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT {NGRAM_TOP}
+"""
+
+
 QUERIES = [
     Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
     Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),

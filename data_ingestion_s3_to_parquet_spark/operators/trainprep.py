@@ -607,6 +607,69 @@ FROM t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-mix weights per language — the
+    number a multilingual data loader actually consumes: sampling
+    probability w_l ∝ n_l^α over per-language token counts, here with
+    α = 1/2 (temperature T = 2, the up-sample-the-tail convention of
+    multilingual LM training; cf. the exponent-smoothed sampling in
+    mBERT/XLM-R-style recipes). ``interleave_mix`` SCHEDULES a mix
+    this operator COMPUTES.
+
+    Determinism (the reason α is 1/2 and not 0.3): IEEE 754 requires
+    sqrt to be correctly rounded, so sqrt(n_l) is the SAME double on
+    every engine — a transcendental pow(x, 0.3) is not and would
+    drift cross-engine by an ulp. The sqrt is quantized to integer
+    micro-units half-up (its double is irrational-valued except for
+    perfect squares, so it never sits on a rounding midpoint), summed
+    exactly in int64, and the final ratio runs through the
+    fixed-point quotient (``functions.numeric.fp_ratio``) — no
+    decimal→double midpoint class anywhere (SCALE.md §34).
+
+    Scale: one map-side-combinable groupBy(lang) over the corpus scan
+    (the ONLY data-sized stage), then arithmetic on a
+    languages-sized frame with a broadcast 1-row total.
+    """
+    from ..functions.numeric import fp_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    s = n.withColumn(
+        "su",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000, 0).cast(
+            "long"
+        ),
+    )
+    tot = s.agg(F.sum("su").alias("tot"))
+    return s.crossJoin(tot).select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        fp_ratio(F.col("su") * F.lit(1_000_000), F.col("tot"), 6).alias(
+            "weight"
+        ),
+    )
+
+
+SQL_MIX_WEIGHTS = """
+WITH n AS (
+  SELECT lang, SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY lang
+),
+s AS (
+  SELECT lang, n_tokens,
+         CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS su
+  FROM n
+),
+t AS (SELECT SUM(su) AS tot FROM s)
+SELECT s.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST((2 * (su * 1000000) + tot) // (2 * tot) AS DOUBLE) / 1000000.0
+         AS weight
+FROM s, t
+"""
+
+
 QUERIES = [
     Query(
         "sample_stratified",

@@ -703,6 +703,9 @@ def test_extra_lane_doc_counts_match_registry():
         39: "thirty-nine", 40: "forty", 41: "forty-one",
         42: "forty-two", 43: "forty-three", 44: "forty-four",
         45: "forty-five", 46: "forty-six", 47: "forty-seven",
+        48: "forty-eight", 49: "forty-nine", 50: "fifty",
+        51: "fifty-one", 52: "fifty-two", 53: "fifty-three",
+        54: "fifty-four", 55: "fifty-five", 56: "fifty-six",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -864,8 +867,11 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 47
+    assert len(EXTRA) == 50
     assert len(BENCH_ONLY) == 5
+    # the three NEW round-7 operators lead the EXTRA lane (never
+    # graded → first in line for the next swap or a larger budget)
+    assert list(EXTRA)[:3] == ["mix_weights", "ngram_counts", "merge_intervals"]
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
         "knn_graph_lsh",
@@ -2407,6 +2413,82 @@ def test_artifact_sweep_collects_orphan_pointer_tmp(spark, tmp_path, monkeypatch
     assert not os.path.exists(orphan)
     with open(os.path.join(base, "checksum.json")) as fh:
         assert json.load(fh)["count"] == 3  # live pointer intact
+
+
+def test_mix_weights_sum_to_one_and_order_by_sqrt(spark, sf_dir):
+    # weights must (a) sum to 1 within quantization slack, (b) order
+    # like sqrt(token count) — the temperature flattens but never
+    # reorders — and (c) reproduce from an independent recompute
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_mix_weights,
+    )
+
+    rows = q_mix_weights(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    total = sum(r.weight for r in rows)
+    assert abs(total - 1.0) <= len(rows) * 1e-6  # per-lang half-up slack
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    by_weight = sorted(rows, key=lambda r: r.weight)
+    assert [r.lang for r in by_tokens] == [r.lang for r in by_weight]
+    su = {r.lang: int(round(math.sqrt(r.n_tokens) * 1_000_000)) for r in rows}
+    tot = sum(su.values())
+    for r in rows:
+        expect = ((2 * su[r.lang] * 1_000_000 + tot) // (2 * tot)) / 1e6
+        assert r.weight == expect
+
+
+def test_ngram_counts_matches_python_recount(spark, tmp_path):
+    # exact recompute on a tiny corpus, including the deterministic
+    # tie-break at the cut
+    from collections import Counter
+
+    import data_ingestion_s3_to_parquet_spark.operators.textstats as ts
+
+    docs = [
+        (0, "a b a b c", "en"),
+        (1, "a b x", "en"),
+        (2, "z", "de"),          # single token: no bigram
+        (3, "x y x y", "de"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.gram, r.n) for r in ts.q_ngram_counts(spark, str(tmp_path)).collect()}
+    c = Counter()
+    for _, text, _ in docs:
+        t = text.split(" ")
+        c.update(f"{t[i]} {t[i+1]}" for i in range(len(t) - 1))
+    assert got == {(g, n) for g, n in c.items()}
+
+
+def test_merge_intervals_disjoint_and_cover(spark, sf_dir):
+    # merged intervals per user must be disjoint (gap > 0 between
+    # consecutive islands), ordered island ids, and event counts must
+    # partition the events table
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_merge_intervals,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = q_merge_intervals(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    per_user = defaultdict(list)
+    for r in rows:
+        assert r.start_sec < r.end_sec
+        per_user[r.user_id].append(r)
+    merged_away = False
+    for ivs in per_user.values():
+        ivs.sort(key=lambda r: r.start_sec)
+        assert [r.interval_id for r in ivs] == list(range(1, len(ivs) + 1))
+        for a, b in zip(ivs, ivs[1:]):
+            assert b.start_sec > a.end_sec  # disjoint, strictly
+        merged_away |= any(r.n_events > 1 for r in ivs)
+    assert merged_away  # the fixture actually exercises merging
 
 
 def test_dedup_keep_best_picks_max_score_per_duplicate_group(spark, sf_dir):
