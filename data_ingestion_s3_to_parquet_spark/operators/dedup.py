@@ -782,6 +782,18 @@ def _hashmin_labels(
     at scale the same formula keeps partitions ∝ |E|.
     """
     n_edges = p.count()  # free: p is materialized
+    if n_edges == 0:
+        # no edges → every vertex is its own component. Worth a real
+        # branch: the loop below would still pay the edge
+        # union/repartition/checkpoint, the label init, a zero-join
+        # round, and two signature jobs (~1 s of fixed cost at sf0.1)
+        # to conclude the same — and sparse batches where LSH finds no
+        # candidates are a common real operating point, not just a
+        # fixture artifact.
+        return (
+            vertices.select("vec_id", F.col("vec_id").alias("component")),
+            True,
+        )
     n_part = max(1, min(p.rdd.getNumPartitions(), -(-n_edges // 1_000_000)))
     # undirected: propagate both ways
     edges = (

@@ -570,3 +570,59 @@ def test_interleave_mix_distributed_any_partition_count(spark, n_ranges):
         for r in interleave_mix_distributed(spark, SF_SMOKE, n_ranges).collect()
     }
     assert got == graded
+
+
+_iv_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),                    # user_id
+        st.integers(0, 4000),                 # epoch second
+        st.sampled_from(["a", "click", "purchase"]),  # duration driver
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events=_iv_events)
+@slow_ok
+def test_merge_intervals_matches_python_sweep(spark, events, tmp_path_factory):
+    """merge_intervals equals a direct Python sweep-line merge for
+    ARBITRARY event sets — including duplicate timestamps, fully
+    nested intervals, and chains that merge through transitivity."""
+    from collections import defaultdict
+    from datetime import datetime, timezone
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_merge_intervals,
+    )
+
+    tmp = tmp_path_factory.mktemp("iv")
+    rows = [
+        (i, u, datetime.fromtimestamp(s, tz=timezone.utc), et, 0.0)
+        for i, (u, s, et) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    per_user = defaultdict(list)
+    for i, (u, s, et) in enumerate(events):
+        per_user[u].append((s, s + 600 + 60 * len(et)))
+    expected = set()
+    for u, ivs in per_user.items():
+        ivs.sort()
+        merged: list[list] = []  # [start, end, n]
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:  # overlap or touch
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += 1
+            else:
+                merged.append([s, e, 1])
+        for k, (s, e, n) in enumerate(merged, start=1):
+            expected.add((u, k, s, e, n))
+
+    got = {
+        (r.user_id, r.interval_id, r.start_sec, r.end_sec, r.n_events)
+        for r in q_merge_intervals(spark, str(tmp)).collect()
+    }
+    assert got == expected
