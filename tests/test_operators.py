@@ -2415,6 +2415,48 @@ def test_artifact_sweep_collects_orphan_pointer_tmp(spark, tmp_path, monkeypatch
         assert json.load(fh)["count"] == 3  # live pointer intact
 
 
+def test_whitened_artifact_matches_rebuild(spark, sf_dir):
+    # the persisted whitened-embedding table feeding dedup_semantic
+    # must match a fresh emb_whiten pass within float tolerance (the
+    # whitening family's documented layout drift), and a corrupted
+    # checksum must force a rebuild
+    import json
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.artifacts import (
+        fixture_fingerprint,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import _whitened
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        emb_whiten,
+    )
+
+    fresh = {r.vec_id: np.array(r.white) for r in emb_whiten(spark, sf_dir).collect()}
+    for pass_no in range(2):  # cold build, then warm cache hit
+        got = {r.vec_id: np.array(r.white) for r in _whitened(spark, sf_dir).collect()}
+        assert got.keys() == fresh.keys()
+        for k in fresh:
+            assert np.allclose(got[k], fresh[k], atol=1e-9), (pass_no, k)
+
+    meta = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_whitened",
+        f"zca-{fixture_fingerprint(sf_dir, 'embeddings')}",
+        "checksum.json",
+    )
+    assert os.path.exists(meta)
+    with open(meta, "w") as fh:
+        json.dump({"count": -1, "hashsum": 0}, fh)  # corrupt it
+    got = {r.vec_id: np.array(r.white) for r in _whitened(spark, sf_dir).collect()}
+    for k in fresh:
+        assert np.allclose(got[k], fresh[k], atol=1e-9)
+    with open(meta) as fh:
+        assert json.load(fh)["count"] == len(fresh)  # pointer repaired
+
+
 def test_mix_weights_sum_to_one_and_order_by_sqrt(spark, sf_dir):
     # weights must (a) sum to 1 within quantization slack, (b) order
     # like sqrt(token count) — the temperature flattens but never
