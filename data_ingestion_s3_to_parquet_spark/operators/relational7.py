@@ -351,7 +351,12 @@ QUERIES = _promoted_r7() + [
 # operators below take their place at the head of the lane.
 def _extra_queries() -> list[Query]:
     from .relational9 import SQL_MERGE_INTERVALS, q_merge_intervals
-    from .textstats import SQL_NGRAM_COUNTS, q_ngram_counts
+    from .textstats import (
+        SQL_NGRAM_COUNTS,
+        SQL_STRIP_MARKUP,
+        q_ngram_counts,
+        q_strip_markup,
+    )
     from .trainprep import SQL_MIX_WEIGHTS, q_mix_weights
 
     return [
@@ -360,6 +365,12 @@ def _extra_queries() -> list[Query]:
             q_mix_weights,
             SQL_MIX_WEIGHTS,
             ("llm", "sampling", "agg"),
+        ),
+        Query(
+            "strip_markup",
+            q_strip_markup,
+            SQL_STRIP_MARKUP,
+            ("llm", "text"),
         ),
         Query(
             "ngram_counts",

@@ -523,6 +523,74 @@ FROM fused
 SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
 
 
+MARKUP_TAG_RE = r"<[^>]*>"
+
+
+def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping — the C4/CCNet first pass over crawled HTML:
+    remove tags, unescape entities, collapse the whitespace the
+    removals leave behind, with per-doc audit counts.
+
+    The fixture corpus is plain text, so both engines first synthesize
+    a deterministic HTML wrapper from fixture columns (block tags
+    around the document, an inline ``<b>`` on every second doc, an
+    ``&amp;`` entity on every third — same convention as
+    ``pii_redact``'s contact headers), then strip it; the cleaned text
+    is value-hashed, so the strip semantics themselves are what the
+    oracle verifies, and the round-trip back to the original text is
+    pinned by pytest. Single projection, whole-stage codegen'd,
+    trivially scale-safe; the tag pattern is RE2-and-Java-compatible
+    by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    inline = F.when(F.col("doc_id") % 2 == 0, F.lit("<b>bold</b> ")).otherwise(
+        F.lit("")
+    )
+    entity = F.when(F.col("doc_id") % 3 == 0, F.lit("&amp; ")).otherwise(
+        F.lit("")
+    )
+    marked = F.concat(
+        F.lit('<div class="doc"><p>'),
+        inline,
+        entity,
+        F.col("text"),
+        F.lit("</p></div>"),
+    )
+    stripped = F.regexp_replace(marked, MARKUP_TAG_RE, " ")
+    unescaped = F.replace(stripped, F.lit("&amp;"), F.lit("&"))
+    clean = F.trim(F.regexp_replace(unescaped, r" +", " "))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(marked, F.lit(MARKUP_TAG_RE), 0)).alias(
+            "n_tags"
+        ),
+        F.size(F.regexp_extract_all(marked, F.lit("&amp;"), 0)).alias(
+            "n_entities"
+        ),
+        clean.alias("clean_text"),
+    )
+
+
+SQL_STRIP_MARKUP = rf"""
+WITH s AS (
+  SELECT doc_id,
+         '<div class="doc"><p>' ||
+         CASE WHEN doc_id % 2 = 0 THEN '<b>bold</b> ' ELSE '' END ||
+         CASE WHEN doc_id % 3 = 0 THEN '&amp; ' ELSE '' END ||
+         text || '</p></div>' AS marked
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(marked, '{MARKUP_TAG_RE}')) AS INT) AS n_tags,
+       CAST(len(regexp_extract_all(marked, '&amp;')) AS INT) AS n_entities,
+       trim(regexp_replace(
+           replace(regexp_replace(marked, '{MARKUP_TAG_RE}', ' ', 'g'),
+                   '&amp;', '&'),
+           ' +', ' ', 'g')) AS clean_text
+FROM s
+"""
+
+
 NGRAM_TOP = 100
 
 

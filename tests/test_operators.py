@@ -867,11 +867,16 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 50
+    assert len(EXTRA) == 51
     assert len(BENCH_ONLY) == 5
-    # the three NEW round-7 operators lead the EXTRA lane (never
+    # the four NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:3] == ["mix_weights", "ngram_counts", "merge_intervals"]
+    assert list(EXTRA)[:4] == [
+        "mix_weights",
+        "strip_markup",
+        "ngram_counts",
+        "merge_intervals",
+    ]
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
         "knn_graph_lsh",
@@ -2455,6 +2460,30 @@ def test_whitened_artifact_matches_rebuild(spark, sf_dir):
         assert np.allclose(got[k], fresh[k], atol=1e-9)
     with open(meta) as fh:
         assert json.load(fh)["count"] == len(fresh)  # pointer repaired
+
+
+def test_strip_markup_round_trips_original_text(spark, sf_dir):
+    # stripping must exactly invert the synthesized wrapper: clean
+    # text == original text with the injected tokens restored, and
+    # the audit counts must match the injection rule
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_strip_markup,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    orig = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    for r in q_strip_markup(spark, sf_dir).collect():
+        expect = orig[r.doc_id]
+        if r.doc_id % 3 == 0:
+            expect = "& " + expect
+        if r.doc_id % 2 == 0:
+            expect = "bold " + expect
+        assert r.clean_text == expect
+        assert r.n_tags == 4 + (2 if r.doc_id % 2 == 0 else 0)
+        assert r.n_entities == (1 if r.doc_id % 3 == 0 else 0)
 
 
 def test_mix_weights_sum_to_one_and_order_by_sqrt(spark, sf_dir):
