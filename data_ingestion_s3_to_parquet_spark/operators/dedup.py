@@ -1059,6 +1059,74 @@ FROM r WHERE rn = 1
 SQL_DEDUP_KEEP_BEST = _sql_dedup_keep_best()
 
 
+# Soft-dedup weight scale: weights are computed half-up at 6 dp in
+# exact integer arithmetic (functions/numeric.fp_ratio), so both
+# engines project the identical double.
+SOFT_WEIGHT_SCALE = 1_000_000
+
+
+def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, downweight
+    them — every copy of a document duplicated n times gets sampling
+    weight 1/n, so the duplicate *cluster* contributes one document's
+    worth of probability mass to the training mix while the corpus
+    keeps its size and ordering (the reweighting alternative to hard
+    dedup used when removal would distort the source distribution; cf.
+    the D4/SoftDeDup line of work — weight, don't delete).
+
+    Output is per-document: the cluster multiplicity, the fixed-point
+    1/n weight, and whether this row is the cluster's canonical
+    (min-id) member — enough for a downstream sampler to either weight
+    (use ``weight``) or hard-dedup (filter ``is_canonical``) without
+    recomputing anything.
+
+    Scale shape: same defenses as ``dedup_exact`` — the shuffle keys
+    on the sha2-256 fingerprint (constant-width, collision-safe), the
+    multiplicity comes from a map-side-combinable ``groupBy`` (a viral
+    document collapses to one row per task BEFORE the exchange, where
+    a window over fp would ship every copy to one partition), and the
+    join back to the per-document rows is shuffle_hash-pinned: the
+    counts side is corpus-proportional (one row per distinct text), so
+    Catalyst must never elect to broadcast it. The weight is the
+    midpoint-free half-up quotient ``round(10^6 / n) / 10^6``
+    (functions/numeric.fp_ratio), bitwise-identical across engines.
+    """
+    from ..functions.numeric import fp_ratio
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.sha2(F.col("text"), 256).alias("fp"), "doc_id"
+    )
+    counts = d.groupBy("fp").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("canon_id"),
+    )
+    return (
+        d.join(counts.hint("shuffle_hash"), "fp")
+        .select(
+            "doc_id",
+            "n_copies",
+            (F.col("doc_id") == F.col("canon_id")).alias("is_canonical"),
+            fp_ratio(
+                F.lit(SOFT_WEIGHT_SCALE).cast("long"), F.col("n_copies"), 6
+            ).alias("weight"),
+        )
+    )
+
+
+SQL_DEDUP_SOFT = f"""
+WITH c AS (
+  SELECT text, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         MIN(doc_id) AS canon_id
+  FROM documents GROUP BY text
+)
+SELECT d.doc_id, c.n_copies,
+       d.doc_id = c.canon_id AS is_canonical,
+       CAST((2 * {SOFT_WEIGHT_SCALE} + c.n_copies) // (2 * c.n_copies)
+            AS DOUBLE) / {float(SOFT_WEIGHT_SCALE)} AS weight
+FROM documents d JOIN c ON d.text = c.text
+"""
+
+
 # Whitened-space clustering threshold: the SemDeDup operating point.
 # Hyperplane LSH is selective exactly in this regime (≈94% band recall
 # at cos 0.9 — see similarity.q_sim_join_lsh), and whitening pushes

@@ -350,16 +350,39 @@ QUERIES = _promoted_r7() + [
 # graded lane in round 7 (VERDICT r6 #1); the three NEW round-7
 # operators below take their place at the head of the lane.
 def _extra_queries() -> list[Query]:
+    from .dedup import SQL_DEDUP_SOFT, q_dedup_soft
     from .relational9 import SQL_MERGE_INTERVALS, q_merge_intervals
+    from .similarity import SQL_KMEANS_EMBEDDINGS, q_kmeans_embeddings
     from .textstats import (
+        SQL_FREQ_ITEMS_TOPK,
         SQL_NGRAM_COUNTS,
         SQL_STRIP_MARKUP,
+        q_freq_items_topk,
         q_ngram_counts,
         q_strip_markup,
     )
     from .trainprep import SQL_MIX_WEIGHTS, q_mix_weights
 
     return [
+        Query(
+            "kmeans_embeddings",
+            q_kmeans_embeddings,
+            SQL_KMEANS_EMBEDDINGS,
+            ("llm", "similarity", "iterative", "agg"),
+            bench=True,  # the broadcast-model iteration, timed end-to-end
+        ),
+        Query(
+            "freq_items_topk",
+            q_freq_items_topk,
+            SQL_FREQ_ITEMS_TOPK,
+            ("llm", "text", "agg", "approx"),
+        ),
+        Query(
+            "dedup_soft",
+            q_dedup_soft,
+            SQL_DEDUP_SOFT,
+            ("llm", "dedup", "agg"),
+        ),
         Query(
             "mix_weights",
             q_mix_weights,

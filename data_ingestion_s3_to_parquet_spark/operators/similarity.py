@@ -513,6 +513,228 @@ def emb_whiten(
     )
 
 
+# --- distributed Lloyd's k-means over the embedding corpus -----------
+#
+# Everything is lifted to fixed point at ingestion (components
+# quantized to integer micro-units — exact per numeric.py's
+# no-midpoint argument, and round-half-away-from-zero agrees between
+# Spark and DuckDB, verified empirically), so every distance, argmin,
+# and centroid mean is EXACT integer arithmetic: associative,
+# layout-independent, engine-neutral, bitwise-hashable. Squared L2 in
+# µ²-units stays far inside int64 (64 dims × (1.2e6)² ≈ 9e13).
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 1_000_000
+
+
+def _kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT spread(): the per-round passes are vectorized
+    # numpy over Arrow batches (per-row cost ~ns), so at fixture scale
+    # the 32-way fan-out would only multiply per-task scheduling and
+    # Python-worker round-trips by 5 jobs; at production scale the
+    # source's own partitioning provides the parallelism
+    e = load_table(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * KMEANS_SCALE, 0).cast("long"),
+    )
+    return e.select("vec_id", qe.alias("qe"))
+
+
+def _kmeans_pass(q: DataFrame, centroids: list[list[int]], emit: str) -> DataFrame:
+    """One corpus pass against the broadcast k×d model, Arrow-batched.
+
+    The vectorized numpy int64 lane — not a JVM higher-order fold —
+    because the fold is interpreted per row (the ``ann_ivf_topk``
+    measurement) while this stays exact: ‖v−c‖² expands to
+    v·v − 2 v·c + c·c in int64 (identical value to the summed squares,
+    no rounding anywhere), and ``np.argmin``'s first-min-index rule IS
+    the lowest-cluster-id tie break. ``emit='assign'`` yields one row
+    per vector (map-only, no shuffle); ``emit='stats'`` yields ≤ k×d
+    partial-sum rows per batch (sum + count per cluster×dimension),
+    so the downstream groupBy ships model-sized partials only —
+    exactly the ``emb_gram_fast`` sufficient-statistics shape.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["qe"].tolist(), dtype=np.int64)
+            vv = (V * V).sum(axis=1)
+            dist = vv[:, None] - 2 * (V @ C.T) + cc[None, :]
+            cl = np.argmin(dist, axis=1)
+            if emit == "assign":
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cluster": cl.astype(np.int64),
+                        "dist_sq": dist[np.arange(len(cl)), cl],
+                    }
+                )
+            else:
+                d = V.shape[1]
+                frames = []
+                for j in np.unique(cl):
+                    mask = cl == j
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "cluster": np.full(d, j, dtype=np.int64),
+                                "dim": np.arange(d, dtype=np.int64),
+                                "s": V[mask].sum(axis=0),
+                                "n": np.full(d, mask.sum(), dtype=np.int64),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+    schema = (
+        "vec_id long, cluster long, dist_sq long"
+        if emit == "assign"
+        else "cluster long, dim long, s long, n long"
+    )
+    return q.mapInPandas(_run, schema)
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k = {k}, {iters} update rounds) —
+    the clustering kernel behind semantic dedup (SemDeDup clusters
+    before comparing), IVF index training, and diversity-balanced data
+    selection. Init is deterministic: the embeddings of
+    vec_id 0..{km1} are the starting centroids (the ``ann_ivf_topk``
+    convention).
+
+    Execution model is the canonical broadcast-model iteration: each
+    round makes ONE Arrow-batched pass over the corpus (assignment
+    against the closure-shipped k×d model — no data-sized shuffle),
+    emitting ≤ k×d partial-sum rows per batch (per-cluster
+    per-dimension sum + count), merges them with one tiny groupBy,
+    collects ONLY that k×d model to the driver, and re-broadcasts the
+    updated centroids into the next round's closure. Driver traffic is
+    k·d rows per round at ANY corpus size; lineage stays flat because
+    each round is a fresh plan over the quantized base frame. Empty
+    clusters keep their previous centroid (both engines COALESCE the
+    same way).
+
+    Determinism: all arithmetic is fixed-point int64 (see the constants
+    note above); the centroid mean is the midpoint-free half-up
+    integer division shared with ``functions/numeric.fp_ratio``. The
+    final output is the post-training assignment: (vec_id, cluster,
+    dist_sq in µ²-units), bitwise-comparable to the oracle's CTE-chain
+    replication of the same rounds.
+    """
+    from ..session import tune
+
+    tune(spark)
+    q = _kmeans_quantized(spark, sf_dir)
+
+    init = (
+        q.where(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "qe")
+        .collect()
+    )
+    init.sort(key=lambda r: r.vec_id)
+    centroids = [list(r.qe) for r in init]
+
+    for _ in range(KMEANS_ITERS):
+        stats = (
+            _kmeans_pass(q, centroids, "stats")
+            .groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()  # ≤ k×d rows — the model, never data-sized
+        )
+        new = [list(c) for c in centroids]  # empty clusters carry over
+        for r in stats:
+            # half-away-from-zero integer mean, exact (fp_ratio's rule)
+            mean = (2 * abs(r.s) + r.n) // (2 * r.n)
+            new[r.cluster][r.dim] = mean if r.s >= 0 else -mean
+        centroids = new
+
+    return _kmeans_pass(q, centroids, "assign")
+
+
+q_kmeans_embeddings.__doc__ = q_kmeans_embeddings.__doc__.format(
+    k=KMEANS_K, iters=KMEANS_ITERS, km1=KMEANS_K - 1
+)
+
+
+def _sql_kmeans() -> str:
+    """Generate the oracle's CTE chain: the same quantization, the same
+    {iters} assignment+update rounds, the same final assignment —
+    plain ANSI-ish SQL over unnested (vec_id, dim, v) rows so every
+    step is exact integer relational algebra."""
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)
+          for x in embedding] AS qe
+  FROM embeddings
+),
+qd AS (
+  SELECT vec_id, unnest(generate_series(1, len(qe))) AS dim,
+         unnest(qe) AS v
+  FROM q
+),
+c0 AS (
+  SELECT vec_id AS cl, dim, v AS cv FROM qd WHERE vec_id < {KMEANS_K}
+)"""
+    ]
+    for i in range(1, KMEANS_ITERS + 2):
+        prev = f"c{i - 1}"
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT qd.vec_id, c.cl,
+         CAST(SUM((qd.v - c.cv) * (qd.v - c.cv)) AS BIGINT) AS dist
+  FROM qd JOIN {prev} c USING (dim)
+  GROUP BY qd.vec_id, c.cl
+),
+m{i} AS (
+  SELECT vec_id, cl, dist FROM (
+    SELECT vec_id, cl, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cl) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)"""
+        )
+        if i <= KMEANS_ITERS:  # the final assignment has no update step
+            parts.append(
+                f""",
+u{i} AS (
+  SELECT m.cl, qd.dim,
+         CAST((CASE WHEN SUM(qd.v) < 0 THEN -1 ELSE 1 END) *
+              ((2 * abs(CAST(SUM(qd.v) AS BIGINT)) + COUNT(*))
+               // (2 * COUNT(*))) AS BIGINT) AS cv
+  FROM m{i} m JOIN qd ON m.vec_id = qd.vec_id
+  GROUP BY m.cl, qd.dim
+),
+c{i} AS (
+  SELECT p.cl, p.dim, COALESCE(u.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN u{i} u ON p.cl = u.cl AND p.dim = u.dim
+)"""
+            )
+    parts.append(
+        f"""
+SELECT vec_id, cl AS cluster, dist AS dist_sq FROM m{KMEANS_ITERS + 1}
+"""
+    )
+    return "".join(parts)
+
+
+SQL_KMEANS_EMBEDDINGS = _sql_kmeans()
+
+_sql_kmeans.__doc__ = _sql_kmeans.__doc__.format(iters=KMEANS_ITERS)
+
+
 QUERIES = [
     Query("sim_join", q_sim_join, SQL_SIM_JOIN, ("llm", "similarity"), bench=True),
     Query(

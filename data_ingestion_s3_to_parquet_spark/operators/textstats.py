@@ -647,6 +647,107 @@ LIMIT {NGRAM_TOP}
 """
 
 
+# Misra-Gries capacity: each per-partition summary keeps at most this
+# many counters, so the merged undercount is bounded by
+# N_tokens / (capacity + 1) regardless of how the corpus is laid out.
+MG_CAPACITY = 128
+FREQ_TOP = 20
+
+
+def _mg_summaries(batches):
+    """Per-partition Misra-Gries heavy-hitter summary (Arrow-batched).
+
+    Runs once per partition (mapInPandas hands this generator ALL of
+    the partition's batches), folding each batch's token counts into a
+    bounded dict via the mergeable-summaries combine step (Agarwal et
+    al., PODS'12): add the counts, then subtract the (capacity+1)-th
+    largest counter from every entry and drop the non-positives. The
+    result underestimates every true count by at most
+    N_partition/(capacity+1) — and summing summaries across partitions
+    keeps the bound additive, so the global undercount stays within
+    N_total/(capacity+1).
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    mg: dict[str, int] = {}
+    for pdf in batches:
+        batch = Counter()
+        for t in pdf["text"]:
+            batch.update((t or "").split(" "))
+        for w, c in batch.items():
+            mg[w] = mg.get(w, 0) + c
+        if len(mg) > MG_CAPACITY:
+            cut = sorted(mg.values(), reverse=True)[MG_CAPACITY]
+            mg = {w: c - cut for w, c in mg.items() if c > cut}
+    if mg:
+        yield pd.DataFrame({"w": list(mg.keys()), "est": list(mg.values())})
+
+
+def q_freq_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a mergeable Misra-Gries sketch, graded as an
+    accuracy contract (the ``agg_hll_sketch`` convention): the exact
+    top-{FREQ_TOP} token counts are computed bit-for-bit on both
+    engines, and ``sketch_ok`` asserts the sketch's estimate for each
+    top token undershoots by at most N/(capacity+1) — TRUE on every
+    row by the Misra-Gries theorem, for ANY data layout (the estimate
+    itself is layout-dependent, so only the guaranteed invariant is
+    exposed, never the raw estimate).
+
+    Why this exists next to the exact count: at 100 TB the per-task
+    summaries are ≤ capacity rows each — storable, re-mergeable
+    per-day/per-shard artifacts — so a corpus-wide heavy-hitter query
+    never rescans history; the exact lane here is both the oracle and
+    the quality gate. Plan shape: one token scan feeds the exact
+    count (map-side combinable) and the total; the sketch lane is a
+    ``mapInPandas`` pass emitting ≤ capacity rows per task, merged by
+    one tiny groupBy and broadcast against the {FREQ_TOP}-row top-k
+    frame (the merged summary is partition-bounded — ≤ capacity rows
+    per task — never corpus-proportional, so the broadcast is safe at
+    any data size). Top-k cut is the (count DESC, token ASC) total
+    order — deterministic on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    exact_top = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "w")
+        .limit(FREQ_TOP)
+    )
+    merged = (
+        d.select("text")
+        .mapInPandas(_mg_summaries, "w string, est long")
+        .groupBy("w")
+        .agg(F.sum("est").alias("est"))
+    )
+    total = words.agg(F.count("*").alias("n_tok"))
+    err = F.col("n_exact") - F.coalesce(F.col("est"), F.lit(0))
+    bound = F.floor(F.col("n_tok") / (MG_CAPACITY + 1)).cast("long")
+    return (
+        exact_top.join(F.broadcast(merged), "w", "left_outer")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            "n_exact",
+            ((err >= 0) & (err <= bound)).alias("sketch_ok"),
+        )
+    )
+
+
+q_freq_items_topk.__doc__ = q_freq_items_topk.__doc__.format(FREQ_TOP=FREQ_TOP)
+
+
+SQL_FREQ_ITEMS_TOPK = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT w, COUNT(*) AS n_exact, TRUE AS sketch_ok
+FROM w GROUP BY w
+ORDER BY n_exact DESC, w
+LIMIT {FREQ_TOP}
+"""
+
+
 QUERIES = [
     Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
     Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),

@@ -8,6 +8,8 @@ inputs, media-stub plumbing.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -867,11 +869,14 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 51
+    assert len(EXTRA) == 54
     assert len(BENCH_ONLY) == 5
-    # the four NEW round-7 operators lead the EXTRA lane (never
+    # the seven NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:4] == [
+    assert list(EXTRA)[:7] == [
+        "kmeans_embeddings",
+        "freq_items_topk",
+        "dedup_soft",
         "mix_weights",
         "strip_markup",
         "ngram_counts",
@@ -2484,6 +2489,160 @@ def test_strip_markup_round_trips_original_text(spark, sf_dir):
         assert r.clean_text == expect
         assert r.n_tags == 4 + (2 if r.doc_id % 2 == 0 else 0)
         assert r.n_entities == (1 if r.doc_id % 3 == 0 else 0)
+
+
+def test_kmeans_matches_pure_python_recompute(spark, sf_dir):
+    # the fixed-point Lloyd's iteration must be exactly reproducible
+    # by a pure-Python integer recompute: same quantization, same
+    # argmin tie rule (lowest cluster id), same half-away-from-zero
+    # integer mean, same empty-cluster carry-over
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_SCALE,
+        q_kmeans_embeddings,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {}
+    for r in rows:
+        q = []
+        for x in r.embedding:
+            p = float(x) * KMEANS_SCALE  # exact in double (24+20 bits)
+            f = math.floor(p)
+            frac = p - f
+            if frac > 0.5 or (frac == 0.5 and p >= 0):
+                q.append(f + 1)
+            elif frac == 0.5:  # negative midpoint: away from zero
+                q.append(f)
+            else:
+                q.append(f if frac < 0.5 else f + 1)
+        vecs[r.vec_id] = q
+
+    cent = [list(vecs[j]) for j in range(KMEANS_K)]
+
+    def assign():
+        out = {}
+        for vid, v in vecs.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), j)
+                for j, c in enumerate(cent)
+            )
+            out[vid] = best  # (dist, cluster)
+        return out
+
+    for _ in range(KMEANS_ITERS):
+        a = assign()
+        sums = {}
+        for vid, (_, cl) in a.items():
+            s, n = sums.setdefault(cl, ([0] * len(cent[0]), 0))
+            for i, x in enumerate(vecs[vid]):
+                s[i] += x
+            sums[cl] = (s, n + 1)
+        for cl, (s, n) in sums.items():
+            cent[cl] = [
+                (1 if si >= 0 else -1) * ((2 * abs(si) + n) // (2 * n))
+                for si in s
+            ]
+    expect = assign()
+
+    got = {
+        r.vec_id: (r.dist_sq, r.cluster)
+        for r in q_kmeans_embeddings(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_freq_items_sketch_contract_and_exact_counts(spark, sf_dir):
+    # n_exact must equal a pure-Python Counter over the same token
+    # stream (top-20 on the (count DESC, token ASC) order), and the
+    # Misra-Gries contract boolean must hold on every row
+    from collections import Counter
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        FREQ_TOP,
+        q_freq_items_topk,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    c = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        c.update((r.text or "").split(" "))
+    expect = dict(
+        sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:FREQ_TOP]
+    )
+
+    rows = q_freq_items_topk(spark, sf_dir).collect()
+    assert len(rows) == FREQ_TOP
+    assert {r.w: r.n_exact for r in rows} == expect
+    assert all(r.sketch_ok for r in rows)
+
+
+def test_mg_summary_never_overcounts():
+    # the per-partition Misra-Gries generator must underestimate every
+    # true count, and undershoot by at most N/(capacity+1) — exercised
+    # on a skewed synthetic stream larger than the capacity
+    from collections import Counter
+
+    import pandas as pd
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        MG_CAPACITY,
+        _mg_summaries,
+    )
+
+    docs = []
+    for i in range(600):
+        # 600 distinct rare words + heavy hitters woven through
+        docs.append(f"w{i} hot" if i % 2 == 0 else f"w{i} warm hot")
+    truth = Counter()
+    for d in docs:
+        truth.update(d.split(" "))
+    n_tok = sum(truth.values())
+
+    out = list(_mg_summaries(iter([pd.DataFrame({"text": docs})])))
+    assert len(out) == 1 and len(out[0]) <= MG_CAPACITY + 1
+    est = dict(zip(out[0]["w"], out[0]["est"]))
+    for w, e in est.items():
+        assert 0 < e <= truth[w]
+    for w, t in truth.items():
+        assert t - est.get(w, 0) <= n_tok // (MG_CAPACITY + 1)
+
+
+def test_dedup_soft_weights_match_recompute(spark, sf_dir):
+    # per-document weight must be the half-up fixed-point 1/n of the
+    # exact duplicate-cluster size, and is_canonical must mark exactly
+    # the min-doc_id member of each cluster
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        SOFT_WEIGHT_SCALE,
+        q_dedup_soft,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    groups = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        groups[r.text].append(r.doc_id)
+
+    expect = {}
+    for ids in groups.values():
+        n = len(ids)
+        w = ((2 * SOFT_WEIGHT_SCALE + n) // (2 * n)) / SOFT_WEIGHT_SCALE
+        canon = min(ids)
+        for i in ids:
+            expect[i] = (n, i == canon, w)
+
+    got = {
+        r.doc_id: (r.n_copies, r.is_canonical, r.weight)
+        for r in q_dedup_soft(spark, sf_dir).collect()
+    }
+    assert got == expect
 
 
 def test_mix_weights_sum_to_one_and_order_by_sqrt(spark, sf_dir):
