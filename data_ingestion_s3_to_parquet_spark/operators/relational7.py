@@ -362,8 +362,18 @@ def _extra_queries() -> list[Query]:
         q_strip_markup,
     )
     from .trainprep import SQL_MIX_WEIGHTS, q_mix_weights
+    from ..streaming.windows import (
+        SQL_STREAM_JOIN_INTERVAL,
+        q_stream_join_interval,
+    )
 
     return [
+        Query(
+            "stream_join_interval",
+            q_stream_join_interval,
+            SQL_STREAM_JOIN_INTERVAL,
+            ("streaming", "join"),
+        ),
         Query(
             "kmeans_embeddings",
             q_kmeans_embeddings,

@@ -148,6 +148,59 @@ GROUP BY user_id, sid
 """
 
 
+ATTRIBUTION_WITHIN = "6 hours"
+
+
+def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, graded through its batch twin: the
+    attribution pattern — each 'view' joined to the same user's
+    'click' events with ``r.ts ∈ [l.ts, l.ts + {within}]``. This calls
+    the PRODUCTION streaming function (``stream.interval_join_streams``
+    — watermarks, eviction reasoning, outer-lane docs) on batch
+    inputs, where ``withWatermark`` is a no-op, so the oracle grades
+    the exact join expression the readStream lane executes; the
+    streaming-specific semantics (state eviction, watermark-late
+    drops, eviction-driven outer rows) are pinned separately in
+    tests/test_streaming.py.
+
+    Scale: the interval bound is the whole story — with watermarks on
+    both inputs Spark can evict buffered rows once they can never
+    match again, so join state is bounded by (watermark + interval)
+    of per-key traffic rather than the full history. The batch form
+    is one hash-partitioned shuffle on user_id with the time predicate
+    applied post-match.
+    """
+    from .stream import interval_join_streams
+
+    ev = _events_sec(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view")
+    clicks = ev.where(F.col("event_type") == "click")
+    return interval_join_streams(views, clicks, within=ATTRIBUTION_WITHIN)
+
+
+q_stream_join_interval.__doc__ = q_stream_join_interval.__doc__.format(
+    within=ATTRIBUTION_WITHIN
+)
+
+
+SQL_STREAM_JOIN_INTERVAL = """
+WITH e AS (
+  SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+         user_id, event_type
+  FROM events
+)
+SELECT l.user_id,
+       l.event_id AS left_id,
+       r.event_id AS right_id,
+       l.ts AS left_ts,
+       r.ts AS right_ts,
+       CAST(epoch(r.ts) - epoch(l.ts) AS BIGINT) AS lag_sec
+FROM e l JOIN e r ON l.user_id = r.user_id
+WHERE l.event_type = 'view' AND r.event_type = 'click'
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+"""
+
+
 QUERIES = [
     Query("stream_tumbling", q_stream_tumbling, SQL_STREAM_TUMBLING, ("streaming",), bench=True),
     Query("stream_sliding", q_stream_sliding, SQL_STREAM_SLIDING, ("streaming",)),

@@ -869,11 +869,12 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 54
+    assert len(EXTRA) == 55
     assert len(BENCH_ONLY) == 5
-    # the seven NEW round-7 operators lead the EXTRA lane (never
+    # the eight NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:7] == [
+    assert list(EXTRA)[:8] == [
+        "stream_join_interval",
         "kmeans_embeddings",
         "freq_items_topk",
         "dedup_soft",
