@@ -357,17 +357,36 @@ def _extra_queries() -> list[Query]:
         SQL_FREQ_ITEMS_TOPK,
         SQL_NGRAM_COUNTS,
         SQL_STRIP_MARKUP,
+        SQL_VOCAB_COVERAGE,
         q_freq_items_topk,
         q_ngram_counts,
         q_strip_markup,
+        q_vocab_coverage,
     )
-    from .trainprep import SQL_MIX_WEIGHTS, q_mix_weights
+    from .trainprep import (
+        SQL_BPE_MERGES,
+        SQL_MIX_WEIGHTS,
+        q_bpe_merges,
+        q_mix_weights,
+    )
     from ..streaming.windows import (
         SQL_STREAM_JOIN_INTERVAL,
         q_stream_join_interval,
     )
 
     return [
+        Query(
+            "bpe_merges",
+            q_bpe_merges,
+            SQL_BPE_MERGES,
+            ("llm", "text", "iterative"),
+        ),
+        Query(
+            "vocab_coverage",
+            q_vocab_coverage,
+            SQL_VOCAB_COVERAGE,
+            ("llm", "text", "agg"),
+        ),
         Query(
             "stream_join_interval",
             q_stream_join_interval,

@@ -748,6 +748,83 @@ LIMIT {FREQ_TOP}
 """
 
 
+VOCAB_N = 1000
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-language token totals, OOV
+    counts, and the fixed-point OOV rate against the corpus top-{n}
+    word vocabulary — the coverage report run before committing to a
+    tokenizer (a vocab trained on the majority language starves the
+    rest; this is the table that shows it).
+
+    Scale shape: the vocabulary is top-N on the (count DESC, word ASC)
+    total order — BOUNDED at {n} rows by construction, so the
+    membership side of the coverage join is a constant-size broadcast
+    at any corpus scale (the §45 classification: proportional to a
+    constant, not to the corpus). Two token-stream passes (one count
+    shuffle to elect the vocab, one broadcast-join scan to grade
+    coverage), both map-side combinable; the OOV rate goes through the
+    midpoint-free fixed-point quotient so both engines project the
+    identical double.
+    """
+    from ..functions.numeric import fp_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(VOCAB_N)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "w", "left_outer")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.cast("long").alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            fp_ratio(
+                F.col("n_oov") * 1_000_000, F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+q_vocab_coverage.__doc__ = q_vocab_coverage.__doc__.format(n=VOCAB_N)
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+v AS (
+  SELECT w, TRUE AS in_vocab FROM (
+    SELECT w, COUNT(*) AS n FROM t GROUP BY w
+    ORDER BY n DESC, w LIMIT {VOCAB_N}
+  )
+),
+g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_oov
+  FROM t LEFT JOIN v ON t.w = v.w
+  GROUP BY lang
+)
+SELECT lang, n_tokens, n_oov,
+       CAST((2 * n_oov * 1000000 + n_tokens) // (2 * n_tokens)
+            AS DOUBLE) / 1000000.0 AS oov_rate
+FROM g
+"""
+
+
 QUERIES = [
     Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
     Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),

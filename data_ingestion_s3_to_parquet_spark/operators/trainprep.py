@@ -670,6 +670,131 @@ FROM s, t
 """
 
 
+BPE_ROUNDS = 5
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style tokenizer-vocabulary induction: the first {rounds}
+    pair-merge rules learned from the corpus (Sennrich et al., ACL'16
+    — the training loop behind BPE/wordpiece vocabularies). Each round
+    elects the most frequent adjacent symbol pair (occurrence-weighted,
+    ties broken on the pair string so the choice is total) and fuses
+    it into one symbol before the next count.
+
+    Execution shape is the textbook scale trick: training runs on the
+    WORD HISTOGRAM, not the corpus — one corpus-sized count shuffle up
+    front, then every round touches only the distinct-word table
+    (vocabulary-sized, cached for the loop and released after) with
+    pair counts weighted by word frequency. The per-round "model" that
+    reaches the driver is ONE row (the winning pair). Symbols are kept
+    space-delimited; the merge is a literal leftmost-non-overlapping
+    replace, identical on both engines (an immediately-repeated pair
+    keeps its second occurrence for a later round — deterministic, and
+    the same rule on both sides). Char splitting is per code point on
+    the ASCII fixture corpus (the UTF-16 vs codepoint indexing caveat
+    is out of scope and documented).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
+    )
+    base = words.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")
+        ).alias("s"),
+        "wn",
+    ).persist()
+    try:
+        merges = []
+        s_col = F.col("s")
+        for rank in range(1, BPE_ROUNDS + 1):
+            sym = F.split(F.trim(s_col), " ")
+            idx = F.when(
+                F.size(sym) >= 2, F.sequence(F.lit(1), F.size(sym) - 1)
+            ).otherwise(F.array().cast("array<int>"))
+            grams = F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(sym, i.cast("int")),
+                    F.element_at(sym, (i + 1).cast("int")),
+                ),
+            )
+            top = (
+                base.select(F.explode(grams).alias("gram"), "wn")
+                .groupBy("gram")
+                .agg(F.sum("wn").alias("n"))
+                .orderBy(F.desc("n"), "gram")
+                .limit(1)
+                .collect()  # the round's model: ONE row
+            )
+            if not top:
+                break
+            pair, n = top[0].gram, top[0].n
+            merges.append((rank, pair, pair.replace(" ", ""), n))
+            s_col = F.replace(
+                s_col,
+                F.lit(f" {pair} "),
+                F.lit(f" {pair.replace(' ', '')} "),
+            )
+        return spark.createDataFrame(
+            merges, "merge_rank long, pair string, merged string, n long"
+        )
+    finally:
+        base.unpersist()
+
+
+q_bpe_merges.__doc__ = q_bpe_merges.__doc__.format(rounds=BPE_ROUNDS)
+
+
+def _sql_bpe_merges() -> str:
+    """The oracle's CTE-chain replication: same word histogram, same
+    per-round weighted pair election on the (n DESC, pair ASC) total
+    order, same literal space-delimited merge."""
+    parts = [
+        r"""
+WITH w AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+s0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, wn FROM w
+)"""
+    ]
+    for i in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT gram, CAST(SUM(wn) AS BIGINT) AS n FROM (
+    SELECT unnest([sym[i] || ' ' || sym[i + 1]
+                   for i in generate_series(1, len(sym) - 1)]) AS gram,
+           wn
+    FROM (SELECT string_split(trim(s), ' ') AS sym, wn FROM s{i - 1})
+  ) GROUP BY gram
+),
+t{i} AS (SELECT gram, n FROM p{i} ORDER BY n DESC, gram LIMIT 1),
+s{i} AS (
+  SELECT replace(s.s, ' ' || t.gram || ' ',
+                 ' ' || replace(t.gram, ' ', '') || ' ') AS s, s.wn
+  FROM s{i - 1} s CROSS JOIN t{i} t
+)"""
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, gram AS pair, "
+        f"replace(gram, ' ', '') AS merged, n FROM t{i}"
+        for i in range(1, BPE_ROUNDS + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
+
+
 QUERIES = [
     Query(
         "sample_stratified",

@@ -708,6 +708,8 @@ def test_extra_lane_doc_counts_match_registry():
         48: "forty-eight", 49: "forty-nine", 50: "fifty",
         51: "fifty-one", 52: "fifty-two", 53: "fifty-three",
         54: "fifty-four", 55: "fifty-five", 56: "fifty-six",
+        57: "fifty-seven", 58: "fifty-eight", 59: "fifty-nine",
+        60: "sixty", 61: "sixty-one", 62: "sixty-two",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -869,11 +871,13 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 55
+    assert len(EXTRA) == 57
     assert len(BENCH_ONLY) == 5
-    # the eight NEW round-7 operators lead the EXTRA lane (never
+    # the ten NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:8] == [
+    assert list(EXTRA)[:10] == [
+        "bpe_merges",
+        "vocab_coverage",
         "stream_join_interval",
         "kmeans_embeddings",
         "freq_items_topk",
@@ -2611,6 +2615,87 @@ def test_mg_summary_never_overcounts():
         assert 0 < e <= truth[w]
     for w, t in truth.items():
         assert t - est.get(w, 0) <= n_tok // (MG_CAPACITY + 1)
+
+
+def test_bpe_merges_match_pure_python_recompute(spark, sf_dir):
+    # the 5 learned merge rules must equal a pure-Python BPE trainer
+    # over the same word histogram: same weighted pair counts, same
+    # (n DESC, pair ASC) election, same leftmost-non-overlapping
+    # space-delimited merge
+    from collections import Counter
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        BPE_ROUNDS,
+        q_bpe_merges,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    hist = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                hist[w] += 1
+
+    forms = {" " + " ".join(w) + " ": n for w, n in hist.items()}
+    expect = []
+    for rank in range(1, BPE_ROUNDS + 1):
+        pairs = Counter()
+        for s, n in forms.items():
+            sym = s.strip().split(" ")
+            for a, b in zip(sym, sym[1:]):
+                pairs[f"{a} {b}"] += n
+        pair, n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, pair, pair.replace(" ", ""), n))
+        merged = Counter()
+        for s, cnt in forms.items():
+            merged[
+                s.replace(f" {pair} ", f" {pair.replace(' ', '')} ")
+            ] += cnt
+        forms = merged
+
+    got = [
+        (r.merge_rank, r.pair, r.merged, r.n)
+        for r in q_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert got == expect
+
+
+def test_vocab_coverage_matches_recompute(spark, sf_dir):
+    # OOV totals must equal a Counter recompute against the top-1000
+    # vocab on the same total order, and rates must be the half-up
+    # fixed-point quotient
+    from collections import Counter, defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        VOCAB_N,
+        q_vocab_coverage,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    per_lang = defaultdict(Counter)
+    allc = Counter()
+    for r in load_table(spark, sf_dir, "documents").select(
+        "lang", "text"
+    ).collect():
+        toks = r.text.split(" ")
+        per_lang[r.lang].update(toks)
+        allc.update(toks)
+    vocab = {
+        w for w, _ in sorted(allc.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_N]
+    }
+
+    expect = {}
+    for lang, c in per_lang.items():
+        n_tok = sum(c.values())
+        n_oov = sum(n for w, n in c.items() if w not in vocab)
+        rate = ((2 * n_oov * 1_000_000 + n_tok) // (2 * n_tok)) / 1_000_000
+        expect[lang] = (n_tok, n_oov, rate)
+
+    got = {
+        r.lang: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in q_vocab_coverage(spark, sf_dir).collect()
+    }
+    assert got == expect
 
 
 def test_dedup_soft_weights_match_recompute(spark, sf_dir):
