@@ -285,6 +285,78 @@ def _sql_label_propagation() -> str:
 SQL_LABEL_PROPAGATION = _sql_label_propagation()
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the undirected k-NN similarity
+    graph — the local-clustering signal (a document whose neighbors
+    are also mutual neighbors sits inside a tight semantic cluster;
+    one with many neighbors but no triangles is a hub between
+    clusters). Completes the graph-kernel family next to PageRank
+    (centrality), label propagation (communities), and connected
+    components (reachability).
+
+    Algorithm: canonicalize each edge to (a < b), dedupe, then the
+    standard two-join triangle enumeration — every triangle is
+    produced exactly once as (x < y < z) because both joined edges
+    carry the canonical order. Per-vertex counts come from exploding
+    the three corners into one combinable count shuffle.
+
+    Scale: both joins are key-partitioned on vertex ids and
+    shuffle_hash-pinned (the edge table is corpus-proportional —
+    Catalyst must never elect to broadcast a side, §45). The
+    degree-ordering refinement (orient edges from low- to high-degree
+    endpoints so no high-degree vertex ever anchors the enumeration)
+    is the documented step beyond when degree skew appears; the k-NN
+    graph is degree-bounded by construction (outdegree ≤ k), which is
+    what makes the plain canonical orientation safe here.
+    """
+    e = _knn_edges(spark, sf_dir).select("src", "dst")
+    und = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3.hint("shuffle_hash"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH k AS ({SQL_KNN_GRAPH}),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM k WHERE src <> dst
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+v AS (SELECT unnest([x, y, z]) AS vec_id FROM t)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM v GROUP BY vec_id
+"""
+
+
 # Promoted to the graded lane in round 5 (never driver-graded before;
 # VERDICT r4 #1 — rotation round three).
 QUERIES = [

@@ -374,7 +374,15 @@ def _extra_queries() -> list[Query]:
         q_stream_join_interval,
     )
 
+    from .graph import SQL_GRAPH_TRIANGLES, q_graph_triangles
+
     return [
+        Query(
+            "graph_triangles",
+            q_graph_triangles,
+            SQL_GRAPH_TRIANGLES,
+            ("llm", "graph", "join"),
+        ),
         Query(
             "bpe_merges",
             q_bpe_merges,

@@ -871,11 +871,12 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 57
+    assert len(EXTRA) == 58
     assert len(BENCH_ONLY) == 5
-    # the ten NEW round-7 operators lead the EXTRA lane (never
+    # the eleven NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:10] == [
+    assert list(EXTRA)[:11] == [
+        "graph_triangles",
         "bpe_merges",
         "vocab_coverage",
         "stream_join_interval",
@@ -2615,6 +2616,41 @@ def test_mg_summary_never_overcounts():
         assert 0 < e <= truth[w]
     for w, t in truth.items():
         assert t - est.get(w, 0) <= n_tok // (MG_CAPACITY + 1)
+
+
+def test_graph_triangles_match_pure_python_recompute(spark, sf_dir):
+    # per-vertex triangle counts must equal a brute-force recompute
+    # over the same canonicalized undirected k-NN edge set
+    from collections import Counter
+    from itertools import combinations
+
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        _knn_edges,
+        q_graph_triangles,
+    )
+
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in _knn_edges(spark, sf_dir).select("src", "dst").collect()
+        if r.src != r.dst
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = Counter()
+    for v, nbrs in adj.items():
+        for x, y in combinations(sorted(nbrs), 2):
+            if (min(x, y), max(x, y)) in edges:
+                counts[v] += 1
+    # each triangle was counted once per corner above
+    expect = {v: n for v, n in counts.items() if n}
+
+    got = {
+        r.vec_id: r.n_triangles
+        for r in q_graph_triangles(spark, sf_dir).collect()
+    }
+    assert got == expect
 
 
 def test_bpe_merges_match_pure_python_recompute(spark, sf_dir):
