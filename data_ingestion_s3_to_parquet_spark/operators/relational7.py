@@ -352,7 +352,12 @@ QUERIES = _promoted_r7() + [
 def _extra_queries() -> list[Query]:
     from .dedup import SQL_DEDUP_SOFT, q_dedup_soft
     from .relational9 import SQL_MERGE_INTERVALS, q_merge_intervals
-    from .similarity import SQL_KMEANS_EMBEDDINGS, q_kmeans_embeddings
+    from .similarity import (
+        SQL_KMEANS_EMBEDDINGS,
+        SQL_SIM_JOIN_KMEANS,
+        q_kmeans_embeddings,
+        q_sim_join_kmeans,
+    )
     from .textstats import (
         SQL_FREQ_ITEMS_TOPK,
         SQL_NGRAM_COUNTS,
@@ -407,6 +412,12 @@ def _extra_queries() -> list[Query]:
             SQL_KMEANS_EMBEDDINGS,
             ("llm", "similarity", "iterative", "agg"),
             bench=True,  # the broadcast-model iteration, timed end-to-end
+        ),
+        Query(
+            "sim_join_kmeans",
+            q_sim_join_kmeans,
+            SQL_SIM_JOIN_KMEANS,
+            ("llm", "similarity", "dedup", "pipeline"),
         ),
         Query(
             "freq_items_topk",

@@ -735,6 +735,59 @@ SQL_KMEANS_EMBEDDINGS = _sql_kmeans()
 _sql_kmeans.__doc__ = _sql_kmeans.__doc__.format(iters=KMEANS_ITERS)
 
 
+def q_sim_join_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity join blocked by LEARNED k-means cells instead of a
+    given key — the SemDeDup blocking discipline (cluster first,
+    compare only within cells), exact and oracle-checkable because the
+    fixed-point k-means assignment is itself bitwise-deterministic.
+    ``sim_join`` blocks on the ``label`` column the fixture happens to
+    carry; real corpora carry no such key, and this operator is the
+    answer: the blocking key is TRAINED from the data, then the same
+    hash-join + within-cell pair expansion applies. Quadratic only
+    within a cell (guarded, with the LSH lane as the scale pointer —
+    at 100 TB you raise k so cells stay bounded, which is exactly the
+    IVF/SemDeDup recipe).
+    """
+    from .guards import guard_fixture_quadratic
+
+    guard_fixture_quadratic(
+        sf_dir, "embeddings", "sim_join_kmeans", "sim_join_lsh"
+    )
+    assigns = q_kmeans_embeddings(spark, sf_dir).select("vec_id", "cluster")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # shuffle_hash: the assignment table is corpus-sized (one row per
+    # vector) — never a broadcast candidate at scale
+    base = emb.join(assigns.hint("shuffle_hash"), "vec_id")
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "cluster"
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "cluster"
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .where(F.col("cos_sim") >= SIM_JOIN_THRESHOLD)
+        .select("cluster", "vec_a", "vec_b", "cos_sim")
+    )
+
+
+SQL_SIM_JOIN_KMEANS = f"""
+WITH asg AS ({SQL_KMEANS_EMBEDDINGS})
+SELECT a2.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS cos_sim
+FROM embeddings a
+JOIN asg a2 ON a.vec_id = a2.vec_id
+JOIN asg b2 ON b2.cluster = a2.cluster
+JOIN embeddings b ON b.vec_id = b2.vec_id
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {SIM_JOIN_THRESHOLD}
+"""
+
+
 QUERIES = [
     Query("sim_join", q_sim_join, SQL_SIM_JOIN, ("llm", "similarity"), bench=True),
     Query(

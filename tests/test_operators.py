@@ -871,16 +871,17 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 58
+    assert len(EXTRA) == 59
     assert len(BENCH_ONLY) == 5
-    # the eleven NEW round-7 operators lead the EXTRA lane (never
+    # the twelve NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:11] == [
+    assert list(EXTRA)[:12] == [
         "graph_triangles",
         "bpe_merges",
         "vocab_coverage",
         "stream_join_interval",
         "kmeans_embeddings",
+        "sim_join_kmeans",
         "freq_items_topk",
         "dedup_soft",
         "mix_weights",
@@ -2560,6 +2561,52 @@ def test_kmeans_matches_pure_python_recompute(spark, sf_dir):
         for r in q_kmeans_embeddings(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_sim_join_kmeans_pairs_are_within_cell_and_thresholded(spark, sf_dir):
+    # every returned pair must (a) share a k-means cell per the
+    # assignment operator, (b) clear the cosine threshold, and (c) be
+    # exactly the subset of the all-pairs join that shares a cell
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        SIM_JOIN_THRESHOLD,
+        q_kmeans_embeddings,
+        q_sim_join_kmeans,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    cell = {
+        r.vec_id: r.cluster
+        for r in q_kmeans_embeddings(spark, sf_dir).collect()
+    }
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return num / (na * nb)
+
+    expect = set()
+    ids = sorted(vecs)
+    for i, va in enumerate(ids):
+        for vb in ids[i + 1 :]:
+            if cell[va] == cell[vb] and cos(vecs[va], vecs[vb]) >= (
+                SIM_JOIN_THRESHOLD - 1e-9
+            ):
+                expect.add((va, vb))
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in q_sim_join_kmeans(spark, sf_dir).collect()
+    }
+    # float recompute can disagree with the engine at the threshold
+    # boundary by an ulp; allow only boundary-adjacent asymmetry
+    assert got <= expect
+    for va, vb in expect - got:
+        assert abs(cos(vecs[va], vecs[vb]) - SIM_JOIN_THRESHOLD) < 1e-6
 
 
 def test_freq_items_sketch_contract_and_exact_counts(spark, sf_dir):
