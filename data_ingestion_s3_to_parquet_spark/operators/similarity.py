@@ -634,16 +634,19 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     q = _kmeans_quantized(spark, sf_dir)
+    return kmeans_train(q, KMEANS_K, KMEANS_ITERS)
 
-    init = (
-        q.where(F.col("vec_id") < KMEANS_K)
-        .select("vec_id", "qe")
-        .collect()
-    )
+
+def kmeans_train(q: DataFrame, k: int, iters: int) -> DataFrame:
+    """The Lloyd loop over any (vec_id, qe: array<long>) frame —
+    factored out of :func:`q_kmeans_embeddings` so the empty-cluster
+    carry-over and tie rules are unit-testable on engineered literal
+    frames (the fixture never produces an empty cluster)."""
+    init = q.where(F.col("vec_id") < k).select("vec_id", "qe").collect()
     init.sort(key=lambda r: r.vec_id)
     centroids = [list(r.qe) for r in init]
 
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         stats = (
             _kmeans_pass(q, centroids, "stats")
             .groupBy("cluster", "dim")

@@ -2609,6 +2609,32 @@ def test_sim_join_kmeans_pairs_are_within_cell_and_thresholded(spark, sf_dir):
         assert abs(cos(vecs[va], vecs[vb]) - SIM_JOIN_THRESHOLD) < 1e-6
 
 
+def test_kmeans_empty_cluster_carries_previous_centroid(spark):
+    # a cluster can only go empty when seeds are duplicated (every
+    # seed otherwise captures at least itself): with seeds [0],[0],
+    # every round-1 point ties or loses to cluster 0, so cluster 1 is
+    # EMPTY and must carry its previous centroid — and that carried
+    # value must still compete in later rounds (here it wins back the
+    # origin points in round 2 after cluster 0's mean drifts to 5).
+    # This is the Spark side of the SQL oracle's COALESCE rule.
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        kmeans_train,
+    )
+
+    rows = [(0, [0]), (1, [0]), (2, [8]), (3, [8]), (4, [8])]
+    q = spark.createDataFrame(rows, "vec_id long, qe array<long>")
+    out = {
+        r.vec_id: (r.cluster, r.dist_sq)
+        for r in kmeans_train(q, 2, 2).collect()
+    }
+    # round 1: all -> c0 (ties break low); c0 mean = round(24/5) = 5,
+    #          c1 carries [0]
+    # round 2: origin points -> carried c1 (d 0 beats d 25); eights
+    #          -> c0 (d 9 beats d 64); c0 mean 8, c1 mean 0
+    # final:   exact fit on both centroids
+    assert out == {0: (1, 0), 1: (1, 0), 2: (0, 0), 3: (0, 0), 4: (0, 0)}
+
+
 def test_freq_items_sketch_contract_and_exact_counts(spark, sf_dir):
     # n_exact must equal a pure-Python Counter over the same token
     # stream (top-20 on the (count DESC, token ASC) order), and the

@@ -626,3 +626,52 @@ def test_merge_intervals_matches_python_sweep(spark, events, tmp_path_factory):
         for r in q_merge_intervals(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "hot", "warm", "x1", "y2"]),
+            min_size=0,
+            max_size=20,
+        ).map(" ".join),
+        min_size=1,
+        max_size=40,
+    ),
+    n_batches=st.integers(1, 4),
+)
+@slow_ok
+def test_mg_summary_bound_holds_on_any_stream(docs, n_batches):
+    """Misra-Gries invariants on arbitrary streams and batch splits:
+    est ≤ true per item, and true − est ≤ N // (capacity + 1) — the
+    theorem the freq_items_topk contract boolean rests on, here
+    exercised at stream shapes the fixture never produces (empty
+    docs, single-token batches, adversarial batch boundaries)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        MG_CAPACITY,
+        _mg_summaries,
+    )
+
+    truth = Counter()
+    for d in docs:
+        truth.update(d.split(" "))
+    n_tok = sum(truth.values())
+
+    size = max(1, len(docs) // n_batches)
+    batches = [
+        pd.DataFrame({"text": docs[i : i + size]})
+        for i in range(0, len(docs), size)
+    ]
+    out = list(_mg_summaries(iter(batches)))
+    est = Counter()
+    for pdf in out:
+        est.update(dict(zip(pdf["w"], pdf["est"])))
+
+    for w, e in est.items():
+        assert 0 < e <= truth[w]
+    for w, t in truth.items():
+        assert t - est.get(w, 0) <= n_tok // (MG_CAPACITY + 1)
