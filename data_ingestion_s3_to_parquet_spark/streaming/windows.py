@@ -174,7 +174,11 @@ def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events_sec(spark, sf_dir)
     views = ev.where(F.col("event_type") == "view")
-    clicks = ev.where(F.col("event_type") == "click")
+    # shuffle_hash on the click side: both inputs are event-stream-
+    # proportional, so neither may broadcast at scale (§45); the
+    # streaming lane has no broadcast path at all (state-store join),
+    # and the hint rides through the production function untouched
+    clicks = ev.where(F.col("event_type") == "click").hint("shuffle_hash")
     return interval_join_streams(views, clicks, within=ATTRIBUTION_WITHIN)
 
 
