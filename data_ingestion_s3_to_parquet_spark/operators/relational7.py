@@ -369,8 +369,10 @@ def _extra_queries() -> list[Query]:
         q_vocab_coverage,
     )
     from .trainprep import (
+        SQL_BPE_APPLY,
         SQL_BPE_MERGES,
         SQL_MIX_WEIGHTS,
+        q_bpe_apply,
         q_bpe_merges,
         q_mix_weights,
     )
@@ -393,6 +395,12 @@ def _extra_queries() -> list[Query]:
             q_bpe_merges,
             SQL_BPE_MERGES,
             ("llm", "text", "iterative"),
+        ),
+        Query(
+            "bpe_apply",
+            q_bpe_apply,
+            SQL_BPE_APPLY,
+            ("llm", "text", "iterative", "pipeline"),
         ),
         Query(
             "vocab_coverage",

@@ -694,6 +694,22 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ASCII fixture corpus (the UTF-16 vs codepoint indexing caveat
     is out of scope and documented).
     """
+    merges, base, _ = _bpe_learn(spark, sf_dir)
+    base.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank long, pair string, merged string, n long"
+    )
+
+
+q_bpe_merges.__doc__ = q_bpe_merges.__doc__.format(rounds=BPE_ROUNDS)
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """The shared training loop: returns (merge rules, the persisted
+    (w, s, wn) word-form frame, the fully-merged symbol-string column
+    over it). The CALLER owns the returned frame's persist — unpersist
+    once the derived result is materialized (or immediately, if only
+    the rules are needed; lineage stays valid either way)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -702,52 +718,100 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("wn"))
     )
     base = words.select(
+        "w",
         F.concat(
             F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")
         ).alias("s"),
         "wn",
     ).persist()
-    try:
-        merges = []
-        s_col = F.col("s")
-        for rank in range(1, BPE_ROUNDS + 1):
-            sym = F.split(F.trim(s_col), " ")
-            idx = F.when(
-                F.size(sym) >= 2, F.sequence(F.lit(1), F.size(sym) - 1)
-            ).otherwise(F.array().cast("array<int>"))
-            grams = F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(sym, i.cast("int")),
-                    F.element_at(sym, (i + 1).cast("int")),
-                ),
-            )
-            top = (
-                base.select(F.explode(grams).alias("gram"), "wn")
-                .groupBy("gram")
-                .agg(F.sum("wn").alias("n"))
-                .orderBy(F.desc("n"), "gram")
-                .limit(1)
-                .collect()  # the round's model: ONE row
-            )
-            if not top:
-                break
-            pair, n = top[0].gram, top[0].n
-            merges.append((rank, pair, pair.replace(" ", ""), n))
-            s_col = F.replace(
-                s_col,
-                F.lit(f" {pair} "),
-                F.lit(f" {pair.replace(' ', '')} "),
-            )
-        return spark.createDataFrame(
-            merges, "merge_rank long, pair string, merged string, n long"
+    merges = []
+    s_col = F.col("s")
+    for rank in range(1, BPE_ROUNDS + 1):
+        sym = F.split(F.trim(s_col), " ")
+        idx = F.when(
+            F.size(sym) >= 2, F.sequence(F.lit(1), F.size(sym) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(sym, i.cast("int")),
+                F.element_at(sym, (i + 1).cast("int")),
+            ),
         )
-    finally:
-        base.unpersist()
+        top = (
+            base.select(F.explode(grams).alias("gram"), "wn")
+            .groupBy("gram")
+            .agg(F.sum("wn").alias("n"))
+            .orderBy(F.desc("n"), "gram")
+            .limit(1)
+            .collect()  # the round's model: ONE row
+        )
+        if not top:
+            break
+        pair, n = top[0].gram, top[0].n
+        merges.append((rank, pair, pair.replace(" ", ""), n))
+        s_col = F.replace(
+            s_col,
+            F.lit(f" {pair} "),
+            F.lit(f" {pair.replace(' ', '')} "),
+        )
+    return merges, base, s_col
 
 
-q_bpe_merges.__doc__ = q_bpe_merges.__doc__.format(rounds=BPE_ROUNDS)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize with the learned tokenizer — the inference half of
+    :func:`q_bpe_merges`, and the op every training pipeline runs to
+    budget a corpus in tokens: per document, the word count, the
+    pre-merge symbol (character) count, and the post-merge BPE token
+    count under the {rounds} learned rules, plus the fixed-point
+    chars-per-token compression ratio.
+
+    Scale shape: the merged symbol form is computed ONCE per DISTINCT
+    word (the same vocabulary-sized frame the trainer used — at 100 TB
+    this is the difference between re-segmenting every occurrence and
+    a vocabulary-table lookup); the corpus-sized work is one token
+    explode joined to that word table (shuffle_hash-pinned — the word
+    table is vocabulary-proportional, not broadcastable) and one
+    per-document combinable aggregation.
+    """
+    from ..functions.numeric import fp_ratio
+
+    _, base, s_col = _bpe_learn(spark, sf_dir)
+    word_sym = base.select(
+        "w",
+        F.length(F.replace(F.trim(s_col), F.lit(" "), F.lit(""))).cast(
+            "long"
+        ).alias("n_chars_w"),
+        F.size(F.split(F.trim(s_col), " ")).cast("long").alias("n_sym_w"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    out = (
+        toks.join(word_sym.hint("shuffle_hash"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_chars_w").alias("n_chars"),
+            F.sum("n_sym_w").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            fp_ratio(
+                F.col("n_chars") * 1_000_000, F.col("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+    base.unpersist()  # lineage stays valid; cache only served the loop
+    return out
+
+
+q_bpe_apply.__doc__ = q_bpe_apply.__doc__.format(rounds=BPE_ROUNDS)
 
 
 def _sql_bpe_merges() -> str:
@@ -762,7 +826,7 @@ WITH w AS (
   ) WHERE w <> '' GROUP BY w
 ),
 s0 AS (
-  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, wn FROM w
+  SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, wn FROM w
 )"""
     ]
     for i in range(1, BPE_ROUNDS + 1):
@@ -778,7 +842,7 @@ p{i} AS (
 ),
 t{i} AS (SELECT gram, n FROM p{i} ORDER BY n DESC, gram LIMIT 1),
 s{i} AS (
-  SELECT replace(s.s, ' ' || t.gram || ' ',
+  SELECT s.w, replace(s.s, ' ' || t.gram || ' ',
                  ' ' || replace(t.gram, ' ', '') || ' ') AS s, s.wn
   FROM s{i - 1} s CROSS JOIN t{i} t
 )"""
@@ -793,6 +857,41 @@ s{i} AS (
 
 
 SQL_BPE_MERGES = _sql_bpe_merges()
+
+
+def _sql_bpe_apply() -> str:
+    """Oracle for :func:`q_bpe_apply`: the same learned chain (shared
+    generator up to the final SELECT), then per-word symbol counts on
+    the fully-merged form joined back to the per-document token
+    stream."""
+    chain = SQL_BPE_MERGES[: SQL_BPE_MERGES.rindex("\nSELECT CAST(1 AS")]
+    return f"""{chain},
+ws AS (
+  SELECT w,
+         CAST(length(replace(trim(s), ' ', '')) AS BIGINT) AS n_chars_w,
+         CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym_w
+  FROM s{BPE_ROUNDS}
+),
+toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+g AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(ws.n_chars_w) AS BIGINT) AS n_chars,
+         CAST(SUM(ws.n_sym_w) AS BIGINT) AS n_bpe_tokens
+  FROM toks JOIN ws ON toks.w = ws.w
+  GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+       CAST((2 * n_chars * 1000000 + n_bpe_tokens)
+            // (2 * n_bpe_tokens) AS DOUBLE) / 1000000.0 AS chars_per_token
+FROM g
+"""
+
+
+SQL_BPE_APPLY = _sql_bpe_apply()
 
 
 QUERIES = [

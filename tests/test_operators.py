@@ -871,13 +871,14 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 59
+    assert len(EXTRA) == 60
     assert len(BENCH_ONLY) == 5
-    # the twelve NEW round-7 operators lead the EXTRA lane (never
+    # the thirteen NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:12] == [
+    assert list(EXTRA)[:13] == [
         "graph_triangles",
         "bpe_merges",
+        "bpe_apply",
         "vocab_coverage",
         "stream_join_interval",
         "kmeans_embeddings",
@@ -2766,6 +2767,61 @@ def test_bpe_merges_match_pure_python_recompute(spark, sf_dir):
         (r.merge_rank, r.pair, r.merged, r.n)
         for r in q_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
     ]
+    assert got == expect
+
+
+def test_bpe_apply_matches_pure_python_recompute(spark, sf_dir):
+    # per-document BPE token counts must equal applying the learned
+    # rules (recomputed in pure Python, same replace semantics) to
+    # every word and summing per document
+    from collections import Counter
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        BPE_ROUNDS,
+        q_bpe_apply,
+        q_bpe_merges,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rules = [
+        r.pair
+        for r in q_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert len(rules) == BPE_ROUNDS
+
+    def segment(word):
+        s = " " + " ".join(word) + " "
+        for pair in rules:
+            s = s.replace(f" {pair} ", f" {pair.replace(' ', '')} ")
+        sym = s.strip().split(" ")
+        return len(word), len(sym)
+
+    seg_cache = {}
+    expect = {}
+    docs = Counter()
+    for r in load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        n_words = n_chars = n_sym = 0
+        for w in r.text.split(" "):
+            if not w:
+                continue
+            if w not in seg_cache:
+                seg_cache[w] = segment(w)
+            c, s = seg_cache[w]
+            n_words += 1
+            n_chars += c
+            n_sym += s
+        rate = (
+            (2 * n_chars * 1_000_000 + n_sym) // (2 * n_sym)
+        ) / 1_000_000
+        expect[r.doc_id] = (n_words, n_chars, n_sym, rate)
+        docs[r.doc_id] += 1
+
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens, r.chars_per_token)
+        for r in q_bpe_apply(spark, sf_dir).collect()
+    }
     assert got == expect
 
 
