@@ -354,8 +354,10 @@ def _extra_queries() -> list[Query]:
     from .relational9 import SQL_MERGE_INTERVALS, q_merge_intervals
     from .similarity import (
         SQL_KMEANS_EMBEDDINGS,
+        SQL_PQ_ENCODE,
         SQL_SIM_JOIN_KMEANS,
         q_kmeans_embeddings,
+        q_pq_encode,
         q_sim_join_kmeans,
     )
     from .textstats import (
@@ -426,6 +428,12 @@ def _extra_queries() -> list[Query]:
             q_sim_join_kmeans,
             SQL_SIM_JOIN_KMEANS,
             ("llm", "similarity", "dedup", "pipeline"),
+        ),
+        Query(
+            "pq_encode",
+            q_pq_encode,
+            SQL_PQ_ENCODE,
+            ("llm", "similarity", "iterative", "approx"),
         ),
         Query(
             "freq_items_topk",

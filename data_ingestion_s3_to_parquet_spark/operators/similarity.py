@@ -668,74 +668,167 @@ q_kmeans_embeddings.__doc__ = q_kmeans_embeddings.__doc__.format(
 )
 
 
-def _sql_kmeans() -> str:
-    """Generate the oracle's CTE chain: the same quantization, the same
-    {iters} assignment+update rounds, the same final assignment —
-    plain ANSI-ish SQL over unnested (vec_id, dim, v) rows so every
-    step is exact integer relational algebra."""
+def _sql_kmeans_chain(p: str, k: int, iters: int, vec: str) -> str:
+    """Generate one Lloyd-loop CTE chain (no leading WITH): the same
+    quantization, assignment+update rounds, and final assignment as
+    :func:`kmeans_train`, as plain SQL over unnested (vec_id, dim, v)
+    rows so every step is exact integer relational algebra. ``p``
+    prefixes every CTE name (so multiple chains compose — product
+    quantization runs one per subspace); the final-assignment CTE is
+    ``{p}m{iters + 1}`` with columns (vec_id, cl, dist)."""
     parts = [
         f"""
-WITH q AS (
+{p}q AS (
   SELECT vec_id,
          [CAST(round(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)
-          for x in embedding] AS qe
+          for x in {vec}] AS qe
   FROM embeddings
 ),
-qd AS (
+{p}qd AS (
   SELECT vec_id, unnest(generate_series(1, len(qe))) AS dim,
          unnest(qe) AS v
-  FROM q
+  FROM {p}q
 ),
-c0 AS (
-  SELECT vec_id AS cl, dim, v AS cv FROM qd WHERE vec_id < {KMEANS_K}
+{p}c0 AS (
+  SELECT vec_id AS cl, dim, v AS cv FROM {p}qd WHERE vec_id < {k}
 )"""
     ]
-    for i in range(1, KMEANS_ITERS + 2):
-        prev = f"c{i - 1}"
+    for i in range(1, iters + 2):
+        prev = f"{p}c{i - 1}"
         parts.append(
             f""",
-d{i} AS (
+{p}d{i} AS (
   SELECT qd.vec_id, c.cl,
          CAST(SUM((qd.v - c.cv) * (qd.v - c.cv)) AS BIGINT) AS dist
-  FROM qd JOIN {prev} c USING (dim)
+  FROM {p}qd qd JOIN {prev} c USING (dim)
   GROUP BY qd.vec_id, c.cl
 ),
-m{i} AS (
+{p}m{i} AS (
   SELECT vec_id, cl, dist FROM (
     SELECT vec_id, cl, dist,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY dist, cl) AS rn
-    FROM d{i}
+    FROM {p}d{i}
   ) WHERE rn = 1
 )"""
         )
-        if i <= KMEANS_ITERS:  # the final assignment has no update step
+        if i <= iters:  # the final assignment has no update step
             parts.append(
                 f""",
-u{i} AS (
+{p}u{i} AS (
   SELECT m.cl, qd.dim,
          CAST((CASE WHEN SUM(qd.v) < 0 THEN -1 ELSE 1 END) *
               ((2 * abs(CAST(SUM(qd.v) AS BIGINT)) + COUNT(*))
                // (2 * COUNT(*))) AS BIGINT) AS cv
-  FROM m{i} m JOIN qd ON m.vec_id = qd.vec_id
+  FROM {p}m{i} m JOIN {p}qd qd ON m.vec_id = qd.vec_id
   GROUP BY m.cl, qd.dim
 ),
-c{i} AS (
+{p}c{i} AS (
   SELECT p.cl, p.dim, COALESCE(u.cv, p.cv) AS cv
-  FROM {prev} p LEFT JOIN u{i} u ON p.cl = u.cl AND p.dim = u.dim
+  FROM {prev} p LEFT JOIN {p}u{i} u ON p.cl = u.cl AND p.dim = u.dim
 )"""
             )
-    parts.append(
-        f"""
-SELECT vec_id, cl AS cluster, dist AS dist_sq FROM m{KMEANS_ITERS + 1}
-"""
-    )
     return "".join(parts)
 
 
-SQL_KMEANS_EMBEDDINGS = _sql_kmeans()
+SQL_KMEANS_EMBEDDINGS = (
+    "WITH "
+    + _sql_kmeans_chain("", KMEANS_K, KMEANS_ITERS, "embedding")
+    + f"""
+SELECT vec_id, cl AS cluster, dist AS dist_sq FROM m{KMEANS_ITERS + 1}
+"""
+)
 
-_sql_kmeans.__doc__ = _sql_kmeans.__doc__.format(iters=KMEANS_ITERS)
+
+# Product quantization: M subspaces × K codes. 4×16 compresses the
+# 64-dim float32 vector (256 bytes) to 4 nibbles + shared codebooks —
+# the memory trick behind billion-scale ANN indexes (IVF-PQ).
+PQ_SUBSPACES = 4
+PQ_K = 16
+PQ_ITERS = 2
+PQ_SUB_DIM = EMB_DIM // PQ_SUBSPACES
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., TPAMI'11 — the
+    IVF-PQ compression stage): split each embedding into {m}
+    subspaces, train a {k}-centroid fixed-point k-means codebook per
+    subspace, and encode every vector as {m} code ids plus its exact
+    total quantization error in µ²-units. At billion scale this is
+    what makes the index fit in RAM: {m} small codes replace the raw
+    vector, and distance queries decompose into per-subspace lookup
+    tables.
+
+    Execution: {m} independent Lloyd loops (:func:`kmeans_train` — the
+    §49 broadcast-model iteration, k×d_sub driver model per round per
+    subspace) over sliced quantized sub-vectors, then the per-vector
+    codes join on vec_id (shuffle_hash-pinned — each side is
+    corpus-sized). All arithmetic is fixed-point int64, so the oracle
+    — {m} composed CTE chains from the shared generator — matches
+    bitwise.
+    """
+    from ..session import tune
+
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    out = None
+    for m in range(PQ_SUBSPACES):
+        sub = F.slice("embedding", m * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+        qm = e.select(
+            "vec_id",
+            F.transform(
+                sub,
+                lambda x: F.round(x.cast("double") * KMEANS_SCALE, 0).cast(
+                    "long"
+                ),
+            ).alias("qe"),
+        )
+        am = kmeans_train(qm, PQ_K, PQ_ITERS).select(
+            "vec_id",
+            F.col("cluster").alias(f"code_{m}"),
+            F.col("dist_sq").alias(f"_e{m}"),
+        )
+        if out is None:
+            out = am
+        else:
+            out = out.join(am.hint("shuffle_hash"), "vec_id")
+    err = sum(F.col(f"_e{m}") for m in range(PQ_SUBSPACES))
+    return out.select(
+        "vec_id",
+        *[f"code_{m}" for m in range(PQ_SUBSPACES)],
+        err.alias("err_sq"),
+    )
+
+
+q_pq_encode.__doc__ = q_pq_encode.__doc__.format(m=PQ_SUBSPACES, k=PQ_K)
+
+
+def _sql_pq_encode() -> str:
+    chains = ",".join(
+        _sql_kmeans_chain(
+            f"s{m}_",
+            PQ_K,
+            PQ_ITERS,
+            f"embedding[{m * PQ_SUB_DIM + 1}:{(m + 1) * PQ_SUB_DIM}]",
+        )
+        for m in range(PQ_SUBSPACES)
+    )
+    final = f"m{PQ_ITERS + 1}"
+    codes = ", ".join(f"s{m}.cl AS code_{m}" for m in range(PQ_SUBSPACES))
+    err = " + ".join(f"s{m}.dist" for m in range(PQ_SUBSPACES))
+    joins = "\n".join(
+        f"JOIN s{m}_{final} s{m} ON s{m}.vec_id = s0.vec_id"
+        for m in range(1, PQ_SUBSPACES)
+    )
+    return f"""
+WITH {chains}
+SELECT s0.vec_id, {codes}, CAST({err} AS BIGINT) AS err_sq
+FROM s0_{final} s0
+{joins}
+"""
+
+
+SQL_PQ_ENCODE = _sql_pq_encode()
 
 
 def q_sim_join_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

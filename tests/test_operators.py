@@ -871,11 +871,11 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 60
+    assert len(EXTRA) == 61
     assert len(BENCH_ONLY) == 5
-    # the thirteen NEW round-7 operators lead the EXTRA lane (never
+    # the fourteen NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:13] == [
+    assert list(EXTRA)[:14] == [
         "graph_triangles",
         "bpe_merges",
         "bpe_apply",
@@ -883,6 +883,7 @@ def test_lane_counts_match_docs():
         "stream_join_interval",
         "kmeans_embeddings",
         "sim_join_kmeans",
+        "pq_encode",
         "freq_items_topk",
         "dedup_soft",
         "mix_weights",
@@ -2499,50 +2500,40 @@ def test_strip_markup_round_trips_original_text(spark, sf_dir):
         assert r.n_entities == (1 if r.doc_id % 3 == 0 else 0)
 
 
-def test_kmeans_matches_pure_python_recompute(spark, sf_dir):
-    # the fixed-point Lloyd's iteration must be exactly reproducible
-    # by a pure-Python integer recompute: same quantization, same
-    # argmin tie rule (lowest cluster id), same half-away-from-zero
-    # integer mean, same empty-cluster carry-over
-    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
-        KMEANS_ITERS,
-        KMEANS_K,
-        KMEANS_SCALE,
-        q_kmeans_embeddings,
-    )
-    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+def _py_quantize(embedding, scale):
+    # round-half-away-from-zero of the EXACT double product (24+20
+    # mantissa bits), mirroring Spark/DuckDB round()
+    q = []
+    for x in embedding:
+        p = float(x) * scale
+        f = math.floor(p)
+        frac = p - f
+        if frac > 0.5 or (frac == 0.5 and p >= 0):
+            q.append(f + 1)
+        elif frac == 0.5:  # negative midpoint: away from zero
+            q.append(f)
+        else:
+            q.append(f)
+    return q
 
-    rows = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    ).collect()
-    vecs = {}
-    for r in rows:
-        q = []
-        for x in r.embedding:
-            p = float(x) * KMEANS_SCALE  # exact in double (24+20 bits)
-            f = math.floor(p)
-            frac = p - f
-            if frac > 0.5 or (frac == 0.5 and p >= 0):
-                q.append(f + 1)
-            elif frac == 0.5:  # negative midpoint: away from zero
-                q.append(f)
-            else:
-                q.append(f if frac < 0.5 else f + 1)
-        vecs[r.vec_id] = q
 
-    cent = [list(vecs[j]) for j in range(KMEANS_K)]
+def _py_kmeans(vecs, k, iters):
+    """Reference fixed-point Lloyd trainer: same argmin tie rule
+    (lowest cluster id), same half-away-from-zero integer mean, same
+    empty-cluster carry-over as operators.similarity.kmeans_train.
+    Returns vec_id -> (dist_sq, cluster) of the final assignment."""
+    cent = [list(vecs[j]) for j in range(k)]
 
     def assign():
-        out = {}
-        for vid, v in vecs.items():
-            best = min(
+        return {
+            vid: min(
                 (sum((a - b) ** 2 for a, b in zip(v, c)), j)
                 for j, c in enumerate(cent)
             )
-            out[vid] = best  # (dist, cluster)
-        return out
+            for vid, v in vecs.items()
+        }
 
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         a = assign()
         sums = {}
         for vid, (_, cl) in a.items():
@@ -2555,7 +2546,25 @@ def test_kmeans_matches_pure_python_recompute(spark, sf_dir):
                 (1 if si >= 0 else -1) * ((2 * abs(si) + n) // (2 * n))
                 for si in s
             ]
-    expect = assign()
+    return assign()
+
+
+def test_kmeans_matches_pure_python_recompute(spark, sf_dir):
+    # the fixed-point Lloyd's iteration must be exactly reproducible
+    # by a pure-Python integer recompute
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_SCALE,
+        q_kmeans_embeddings,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: _py_quantize(r.embedding, KMEANS_SCALE) for r in rows}
+    expect = _py_kmeans(vecs, KMEANS_K, KMEANS_ITERS)
 
     got = {
         r.vec_id: (r.dist_sq, r.cluster)
@@ -2608,6 +2617,43 @@ def test_sim_join_kmeans_pairs_are_within_cell_and_thresholded(spark, sf_dir):
     assert got <= expect
     for va, vb in expect - got:
         assert abs(cos(vecs[va], vecs[vb]) - SIM_JOIN_THRESHOLD) < 1e-6
+
+
+def test_pq_encode_matches_pure_python_recompute(spark, sf_dir):
+    # each subspace must reproduce the reference trainer on its slice,
+    # and err_sq must be the exact sum of per-subspace distances
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        KMEANS_SCALE,
+        PQ_ITERS,
+        PQ_K,
+        PQ_SUB_DIM,
+        PQ_SUBSPACES,
+        q_pq_encode,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+
+    expect = {}
+    for m in range(PQ_SUBSPACES):
+        vecs = {
+            r.vec_id: _py_quantize(
+                r.embedding[m * PQ_SUB_DIM : (m + 1) * PQ_SUB_DIM],
+                KMEANS_SCALE,
+            )
+            for r in rows
+        }
+        for vid, (dist, cl) in _py_kmeans(vecs, PQ_K, PQ_ITERS).items():
+            codes, err = expect.setdefault(vid, ([], 0))
+            expect[vid] = (codes + [cl], err + dist)
+
+    got = {
+        r.vec_id: ([r.code_0, r.code_1, r.code_2, r.code_3], r.err_sq)
+        for r in q_pq_encode(spark, sf_dir).collect()
+    }
+    assert got == {v: (c, e) for v, (c, e) in expect.items()}
 
 
 def test_kmeans_empty_cluster_carries_previous_centroid(spark):
