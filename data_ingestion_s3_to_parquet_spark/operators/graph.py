@@ -1,12 +1,15 @@
-"""Graph analytics over derived edge tables: PageRank.
+"""Graph analytics over derived edge tables: PageRank, label
+propagation, triangle counting.
 
 ``dedup_components`` covers undirected reachability; this module adds
-the other canonical iterative graph kernel — power-iteration PageRank
-— over the directed k-NN graph ``knn_graph`` builds from the
-embedding table (operators/relational8.py). Centrality over a
-similarity graph is a real training-data signal: high-rank documents
-are corpus-central (prototypical), low-rank ones are outliers —
-usable for curriculum ordering and coverage-weighted sampling.
+the other canonical graph kernels over the k-NN graph ``knn_graph``
+builds from the embedding table (operators/relational8.py):
+power-iteration PageRank (centrality), label propagation
+(communities), and per-vertex triangle counts (local clustering).
+Each is a real training-data signal: high-rank documents are
+corpus-central (prototypical), low-rank ones are outliers, and
+high-triangle vertices sit inside tight semantic clusters — usable
+for curriculum ordering and coverage-weighted sampling.
 
 Determinism contract — what makes an ITERATIVE numeric computation
 oracle-checkable bitwise: the loop runs in FIXED-POINT INTEGER

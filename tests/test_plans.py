@@ -299,3 +299,85 @@ def test_profile_table_is_one_expanded_aggregation(spark):
     assert "Expand" in plan
     # exactly one numbered scan NODE (details sections repeat the text)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_graph_triangles_joins_never_broadcast(spark):
+    # both triangle-enumeration joins run over the corpus-proportional
+    # edge table; the shuffle_hash pins must survive refactors (a
+    # broadcast edge table OOMs the driver at scale)
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        q_graph_triangles,
+    )
+
+    plan = plan_of(q_graph_triangles(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_vocab_coverage_broadcasts_only_the_bounded_vocab(spark):
+    # the top-N vocab is bounded by construction (the one provably
+    # safe broadcast); the coverage join must use it, and the vocab
+    # election must be a TakeOrderedAndProject, not a global sort
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_vocab_coverage,
+    )
+
+    plan = plan_of(q_vocab_coverage(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_freq_items_broadcasts_topk_and_total_only(spark):
+    # two broadcasts: the 20-row top-k frame and the 1-row total; the
+    # merged sketch side arrives per-partition-bounded, the exact lane
+    # stays a combinable count
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_freq_items_topk,
+    )
+
+    plan = plan_of(q_freq_items_topk(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_soft_join_is_shuffle_hash_on_fingerprints(spark):
+    # the counts side is corpus-proportional (one row per distinct
+    # text): must never broadcast; the shuffle keys are sha2
+    # fingerprints, never the document body
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        q_dedup_soft,
+    )
+
+    plan = plan_of(q_dedup_soft(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_stream_join_interval_batch_twin_never_broadcasts(spark):
+    # both attribution sides are event-stream-proportional; the batch
+    # grading twin must keep the shuffle_hash pin (the streaming lane
+    # has no broadcast path at all)
+    from data_ingestion_s3_to_parquet_spark.streaming.windows import (
+        q_stream_join_interval,
+    )
+
+    plan = plan_of(q_stream_join_interval(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_kmeans_assignment_is_map_only_arrow(spark):
+    # the returned frame is the final assignment pass: one Arrow
+    # (mapInPandas) stage over the scan with NO exchange — the model
+    # travels in the closure, nothing data-sized shuffles
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        q_kmeans_embeddings,
+    )
+
+    plan = plan_of(q_kmeans_embeddings(spark, SF_SMOKE))
+    assert "MapInPandas" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
