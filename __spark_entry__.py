@@ -17,8 +17,8 @@ duplicate clusters) — and three entries with green driver rows demote
 to the EXTRA lane (sample_span_mask and lm_unigram_score, green in r6
 on the CAST-fixed oracles; udf_scalar, five straight greens). Once
 this round grades, every oracle-gated operator in the repo has a
-green driver row in some round. The EXTRA lane holds sixty-one
-oracle-gated entries: the 14 NEW round-7 operators lead it
+green driver row in some round. The EXTRA lane holds sixty-two
+oracle-gated entries: the 15 NEW round-7 operators lead it
 (graph_triangles, per-vertex triangle counts over the undirected
 k-NN graph; bpe_merges + bpe_apply, BPE-style tokenizer training and
 per-document token counting over the word
@@ -26,8 +26,10 @@ histogram; vocab_coverage, per-language OOV rates against the
 bounded top-N vocabulary; stream_join_interval, the stream-stream
 attribution join graded through its batch twin; kmeans_embeddings,
 distributed fixed-point Lloyd's k-means; sim_join_kmeans, the
-similarity join blocked by the learned k-means cells; pq_encode,
-product-quantization codes from per-subspace fixed-point codebooks;
+similarity join blocked by the learned k-means cells; pq_encode +
+ann_pq_topk, product-quantization codes from per-subspace fixed-point
+codebooks and the ADC lookup-table search over them — both graded by
+full bitwise oracles;
 freq_items_topk, the mergeable Misra-Gries heavy-hitter sketch;
 dedup_soft, duplication-count downweighting; mix_weights,
 temperature-scaled training-mix weights; strip_markup,
@@ -38,7 +40,7 @@ or a larger budget), and the other 47 all carry prior green
 driver rows. Everything is verified locally each round by
 tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 61 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 62 EXTRA /
 5 BENCH_ONLY) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

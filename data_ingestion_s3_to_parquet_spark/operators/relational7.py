@@ -353,9 +353,11 @@ def _extra_queries() -> list[Query]:
     from .dedup import SQL_DEDUP_SOFT, q_dedup_soft
     from .relational9 import SQL_MERGE_INTERVALS, q_merge_intervals
     from .similarity import (
+        SQL_ANN_PQ_TOPK,
         SQL_KMEANS_EMBEDDINGS,
         SQL_PQ_ENCODE,
         SQL_SIM_JOIN_KMEANS,
+        q_ann_pq_topk,
         q_kmeans_embeddings,
         q_pq_encode,
         q_sim_join_kmeans,
@@ -434,6 +436,12 @@ def _extra_queries() -> list[Query]:
             q_pq_encode,
             SQL_PQ_ENCODE,
             ("llm", "similarity", "iterative", "approx"),
+        ),
+        Query(
+            "ann_pq_topk",
+            q_ann_pq_topk,
+            SQL_ANN_PQ_TOPK,
+            ("llm", "similarity", "approx", "topk"),
         ),
         Query(
             "freq_items_topk",

@@ -637,11 +637,13 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(q, KMEANS_K, KMEANS_ITERS)
 
 
-def kmeans_train(q: DataFrame, k: int, iters: int) -> DataFrame:
-    """The Lloyd loop over any (vec_id, qe: array<long>) frame —
-    factored out of :func:`q_kmeans_embeddings` so the empty-cluster
-    carry-over and tie rules are unit-testable on engineered literal
-    frames (the fixture never produces an empty cluster)."""
+def kmeans_fit(q: DataFrame, k: int, iters: int) -> list[list[int]]:
+    """The Lloyd loop over any (vec_id, qe: array<long>) frame,
+    returning the fitted k×d codebook — factored out so the
+    empty-cluster carry-over and tie rules are unit-testable on
+    engineered literal frames (the fixture never produces an empty
+    cluster), and so ADC search (:func:`q_ann_pq_topk`) can build its
+    lookup tables from the same centroids the encoder used."""
     init = q.where(F.col("vec_id") < k).select("vec_id", "qe").collect()
     init.sort(key=lambda r: r.vec_id)
     centroids = [list(r.qe) for r in init]
@@ -659,8 +661,12 @@ def kmeans_train(q: DataFrame, k: int, iters: int) -> DataFrame:
             mean = (2 * abs(r.s) + r.n) // (2 * r.n)
             new[r.cluster][r.dim] = mean if r.s >= 0 else -mean
         centroids = new
+    return centroids
 
-    return _kmeans_pass(q, centroids, "assign")
+
+def kmeans_train(q: DataFrame, k: int, iters: int) -> DataFrame:
+    """Fit + final assignment: (vec_id, cluster, dist_sq)."""
+    return _kmeans_pass(q, kmeans_fit(q, k, iters), "assign")
 
 
 q_kmeans_embeddings.__doc__ = q_kmeans_embeddings.__doc__.format(
@@ -767,37 +773,150 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     — {m} composed CTE chains from the shared generator — matches
     bitwise.
     """
-    from ..session import tune
-
-    tune(spark)
-    e = load_table(spark, sf_dir, "embeddings")
-    out = None
-    for m in range(PQ_SUBSPACES):
-        sub = F.slice("embedding", m * PQ_SUB_DIM + 1, PQ_SUB_DIM)
-        qm = e.select(
-            "vec_id",
-            F.transform(
-                sub,
-                lambda x: F.round(x.cast("double") * KMEANS_SCALE, 0).cast(
-                    "long"
-                ),
-            ).alias("qe"),
-        )
-        am = kmeans_train(qm, PQ_K, PQ_ITERS).select(
-            "vec_id",
-            F.col("cluster").alias(f"code_{m}"),
-            F.col("dist_sq").alias(f"_e{m}"),
-        )
-        if out is None:
-            out = am
-        else:
-            out = out.join(am.hint("shuffle_hash"), "vec_id")
+    _, codes = _pq_fit(spark, sf_dir)
     err = sum(F.col(f"_e{m}") for m in range(PQ_SUBSPACES))
-    return out.select(
+    return codes.select(
         "vec_id",
         *[f"code_{m}" for m in range(PQ_SUBSPACES)],
         err.alias("err_sq"),
     )
+
+
+def _pq_fit(spark: SparkSession, sf_dir: str):
+    """Train the per-subspace codebooks and encode the corpus: returns
+    (codebooks, codes frame with code_m + per-subspace error columns).
+    Shared by the encoder and the ADC search so both use the SAME
+    fitted centroids."""
+    from ..session import tune
+
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    books, codes = [], None
+    for m in range(PQ_SUBSPACES):
+        qm = _pq_sub_quantized(e, m)
+        cb = kmeans_fit(qm, PQ_K, PQ_ITERS)
+        books.append(cb)
+        am = _kmeans_pass(qm, cb, "assign").select(
+            "vec_id",
+            F.col("cluster").alias(f"code_{m}"),
+            F.col("dist_sq").alias(f"_e{m}"),
+        )
+        if codes is None:
+            codes = am
+        else:
+            codes = codes.join(am.hint("shuffle_hash"), "vec_id")
+    return books, codes
+
+
+def _pq_sub_quantized(e: DataFrame, m: int) -> DataFrame:
+    sub = F.slice("embedding", m * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+    return e.select(
+        "vec_id",
+        F.transform(
+            sub,
+            lambda x: F.round(x.cast("double") * KMEANS_SCALE, 0).cast(
+                "long"
+            ),
+        ).alias("qe"),
+    )
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over the PQ codes —
+    the query stage of IVF-PQ: the query's exact squared distance to
+    each of the {m}×{k} codebook centroids becomes a tiny lookup
+    table, and every database vector is scored by summing {m} table
+    lookups on its codes instead of touching its raw floats. At
+    billion scale this is why PQ search is memory-bandwidth-cheap:
+    the scan reads {m} small codes per vector, the LUT lives in
+    cache/closure.
+
+    Everything is fixed-point int64 — the codebooks, the codes, the
+    LUT, the summed score — so even this APPROXIMATE search is graded
+    by a full bitwise oracle (the SQL replicates the chains, the LUT,
+    and the lookup join exactly; no recall-contract indirection
+    needed). Top-k on the (adc_dist ASC, vec_id ASC) total order →
+    TakeOrderedAndProject.
+    """
+    books, codes = _pq_fit(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # the query's quantized sub-vectors, via the SAME Spark expression
+    # that quantized the corpus (engine-parity by construction)
+    luts = []
+    for m in range(PQ_SUBSPACES):
+        qrow = (
+            _pq_sub_quantized(e, m)
+            .where(F.col("vec_id") == QUERY_VEC_ID)
+            .first()
+        )
+        qv = list(qrow.qe)
+        luts.append(
+            [
+                sum((a - b) * (a - b) for a, b in zip(qv, c))
+                for c in books[m]
+            ]
+        )
+
+    score = sum(
+        F.element_at(
+            F.array(*[F.lit(int(d)).cast("long") for d in luts[m]]),
+            (F.col(f"code_{m}") + 1).cast("int"),
+        )
+        for m in range(PQ_SUBSPACES)
+    )
+    return (
+        codes.where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", score.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+q_ann_pq_topk.__doc__ = q_ann_pq_topk.__doc__.format(m=PQ_SUBSPACES, k=PQ_K)
+
+
+def _sql_ann_pq_topk() -> str:
+    chains = ",".join(
+        _sql_kmeans_chain(
+            f"s{m}_",
+            PQ_K,
+            PQ_ITERS,
+            f"embedding[{m * PQ_SUB_DIM + 1}:{(m + 1) * PQ_SUB_DIM}]",
+        )
+        for m in range(PQ_SUBSPACES)
+    )
+    final = f"m{PQ_ITERS + 1}"
+    luts = ",".join(
+        f"""
+lut{m} AS (
+  SELECT c.cl, CAST(SUM((qv.v - c.cv) * (qv.v - c.cv)) AS BIGINT) AS d
+  FROM s{m}_qd qv JOIN s{m}_c{PQ_ITERS} c USING (dim)
+  WHERE qv.vec_id = {QUERY_VEC_ID}
+  GROUP BY c.cl
+)"""
+        for m in range(PQ_SUBSPACES)
+    )
+    joins = "\n".join(
+        f"JOIN s{m}_{final} s{m} ON s{m}.vec_id = s0.vec_id"
+        for m in range(1, PQ_SUBSPACES)
+    ) + "\n" + "\n".join(
+        f"JOIN lut{m} l{m} ON l{m}.cl = s{m}.cl"
+        for m in range(PQ_SUBSPACES)
+    )
+    dist = " + ".join(f"l{m}.d" for m in range(PQ_SUBSPACES))
+    return f"""
+WITH {chains},{luts}
+SELECT s0.vec_id, CAST({dist} AS BIGINT) AS adc_dist
+FROM s0_{final} s0
+{joins}
+WHERE s0.vec_id != {QUERY_VEC_ID}
+ORDER BY adc_dist ASC, s0.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+SQL_ANN_PQ_TOPK = _sql_ann_pq_topk()
 
 
 q_pq_encode.__doc__ = q_pq_encode.__doc__.format(m=PQ_SUBSPACES, k=PQ_K)

@@ -871,11 +871,11 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 61
+    assert len(EXTRA) == 62
     assert len(BENCH_ONLY) == 5
-    # the fourteen NEW round-7 operators lead the EXTRA lane (never
+    # the fifteen NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:14] == [
+    assert list(EXTRA)[:15] == [
         "graph_triangles",
         "bpe_merges",
         "bpe_apply",
@@ -884,6 +884,7 @@ def test_lane_counts_match_docs():
         "kmeans_embeddings",
         "sim_join_kmeans",
         "pq_encode",
+        "ann_pq_topk",
         "freq_items_topk",
         "dedup_soft",
         "mix_weights",
@@ -2654,6 +2655,74 @@ def test_pq_encode_matches_pure_python_recompute(spark, sf_dir):
         for r in q_pq_encode(spark, sf_dir).collect()
     }
     assert got == {v: (c, e) for v, (c, e) in expect.items()}
+
+
+def test_ann_pq_topk_matches_pure_python_adc(spark, sf_dir):
+    # the ADC ranking must equal a pure-Python replay: fit codebooks
+    # with the reference trainer, build the query LUTs, score every
+    # vector by table lookup, take top-k on (dist ASC, vec_id ASC)
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        KMEANS_SCALE,
+        PQ_ITERS,
+        PQ_K,
+        PQ_SUB_DIM,
+        PQ_SUBSPACES,
+        QUERY_VEC_ID,
+        TOP_K,
+        q_ann_pq_topk,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+
+    scores = {r.vec_id: 0 for r in rows if r.vec_id != QUERY_VEC_ID}
+    for m in range(PQ_SUBSPACES):
+        vecs = {
+            r.vec_id: _py_quantize(
+                r.embedding[m * PQ_SUB_DIM : (m + 1) * PQ_SUB_DIM],
+                KMEANS_SCALE,
+            )
+            for r in rows
+        }
+        # reference trainer: re-fit the codebook, not just assignments
+        cent = [list(vecs[j]) for j in range(PQ_K)]
+        for _ in range(PQ_ITERS):
+            sums = {}
+            for vid, v in vecs.items():
+                _, cl = min(
+                    (sum((a - b) ** 2 for a, b in zip(v, c)), j)
+                    for j, c in enumerate(cent)
+                )
+                s, n = sums.setdefault(cl, ([0] * PQ_SUB_DIM, 0))
+                for i, x in enumerate(v):
+                    s[i] += x
+                sums[cl] = (s, n + 1)
+            for cl, (s, n) in sums.items():
+                cent[cl] = [
+                    (1 if si >= 0 else -1) * ((2 * abs(si) + n) // (2 * n))
+                    for si in s
+                ]
+        qv = vecs[QUERY_VEC_ID]
+        lut = [
+            sum((a - b) ** 2 for a, b in zip(qv, c)) for c in cent
+        ]
+        for vid, v in vecs.items():
+            if vid == QUERY_VEC_ID:
+                continue
+            _, code = min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), j)
+                for j, c in enumerate(cent)
+            )
+            scores[vid] += lut[code]
+
+    expect = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:TOP_K]
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in q_ann_pq_topk(spark, sf_dir).collect()
+    ]
+    assert got == expect
 
 
 def test_kmeans_empty_cluster_carries_previous_centroid(spark):
