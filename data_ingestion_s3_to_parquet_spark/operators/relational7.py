@@ -351,7 +351,14 @@ QUERIES = _promoted_r7() + [
 # operators below take their place at the head of the lane.
 def _extra_queries() -> list[Query]:
     from .dedup import SQL_DEDUP_SOFT, q_dedup_soft
-    from .relational9 import SQL_MERGE_INTERVALS, q_merge_intervals
+    from .relational9 import (
+        SQL_MARKOV_TRANSITIONS,
+        SQL_MERGE_INTERVALS,
+        SQL_ROBUST_STATS,
+        q_markov_transitions,
+        q_merge_intervals,
+        q_robust_stats,
+    )
     from .similarity import (
         SQL_ANN_PQ_TOPK,
         SQL_KMEANS_EMBEDDINGS,
@@ -479,6 +486,18 @@ def _extra_queries() -> list[Query]:
             q_merge_intervals,
             SQL_MERGE_INTERVALS,
             ("relational", "window", "timeseries"),
+        ),
+        Query(
+            "markov_transitions",
+            q_markov_transitions,
+            SQL_MARKOV_TRANSITIONS,
+            ("relational", "analytics", "window"),
+        ),
+        Query(
+            "robust_stats",
+            q_robust_stats,
+            SQL_ROBUST_STATS,
+            ("relational", "profiling", "window"),
         ),
     ]
 

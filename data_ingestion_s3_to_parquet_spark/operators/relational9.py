@@ -1125,6 +1125,175 @@ FROM i GROUP BY user_id, island
 """
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each (prev_type → next_type) pair, the transition count and the
+    fixed-point conditional probability P(next | prev) — the behavioral
+    fingerprint behind session modeling, bot detection, and synthetic
+    event generation.
+
+    Plan shape: ONE per-user window shuffle (lag on the (ts, event_id)
+    total order — user_id is the high-cardinality key, so the sort is
+    fully parallel) feeds a map-side-combinable count whose key space
+    is |event_types|² — BOUNDED at 25 rows here and constant in corpus
+    size, so both the per-source totals side and the join back are
+    broadcast-safe at any scale (the §45 classification: proportional
+    to a constant). The probability goes through the midpoint-free
+    fixed-point quotient (``functions/numeric.fp_ratio``) so both
+    engines project the identical double.
+    """
+    from ..functions.numeric import fp_ratio
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    trans = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        "n_from",
+        fp_ratio(F.col("n_trans") * 1_000_000, F.col("n_from"), 6).alias(
+            "p_trans"
+        ),
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_trans
+  FROM p WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+tot AS (
+  SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+  FROM t GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type, t.n_trans, tot.n_from,
+       CAST((2 * t.n_trans * 1000000 + tot.n_from)
+            // (2 * tot.n_from) AS DOUBLE) / 1000000.0 AS p_trans
+FROM t JOIN tot USING (prev_type)
+"""
+
+
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group distribution statistics of document length:
+    discrete quartiles (q1/median/q3 at rank ceil(p·n) on the
+    (n_chars, doc_id) total order — PERCENTILE_DISC semantics, so the
+    output is always an actual data value, never an interpolated
+    midpoint), IQR, and the median absolute deviation — the
+    outlier-resistant spread profile quality filters threshold on
+    (mean/stddev versions of the same gates are one weird crawl dump
+    away from useless).
+
+    Two rank-window passes (values, then absolute deviations around
+    the broadcast per-group median — MAD is inherently two-pass) plus
+    conditional-max aggregations; everything stays int64, so the
+    oracle matches bitwise. Scale note: rank windows partition by
+    ``lang`` (cardinality 5), so per-group sort is the cost — this is
+    the EXACT/audit twin; at 100 TB the same report runs on
+    ``percentile_approx`` sketches (``agg_approx_quantile`` is that
+    graded lane) and this exact lane runs on per-shard samples.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wl = Window.partitionBy("lang")
+    wr = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wl).alias("n"),
+    )
+    base = ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("n_chars"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("n_chars"))
+        ).alias("median"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("n_chars"))
+        ).alias("q3"),
+    )
+    devs = d.join(F.broadcast(base.select("lang", "median")), "lang").select(
+        "lang",
+        "doc_id",
+        F.abs(F.col("n_chars") - F.col("median")).alias("dev"),
+    )
+    wd = Window.partitionBy("lang").orderBy("dev", "doc_id")
+    mad = (
+        devs.select(
+            "lang",
+            "dev",
+            F.row_number().over(wd).cast("long").alias("rn"),
+            F.count("*").over(wl).alias("n"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dev"))
+            ).alias("mad")
+        )
+    )
+    return base.join(F.broadcast(mad), "lang").select(
+        "lang",
+        "n_docs",
+        "q1",
+        "median",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        "mad",
+    )
+
+
+SQL_ROBUST_STATS = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+b AS (
+  SELECT lang, MAX(n) AS n_docs,
+         MAX(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS q1,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS median,
+         MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END) AS q3
+  FROM r GROUP BY lang
+),
+dv AS (
+  SELECT d.lang, abs(d.n_chars - b.median) AS dev, d.doc_id
+  FROM documents d JOIN b USING (lang)
+),
+dr AS (
+  SELECT lang, dev,
+         row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM dv
+),
+m AS (
+  SELECT lang, MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+  FROM dr GROUP BY lang
+)
+SELECT b.lang, b.n_docs, b.q1, b.median, b.q3,
+       b.q3 - b.q1 AS iqr, m.mad
+FROM b JOIN m USING (lang)
+"""
+
+
 QUERIES: list[Query] = []
 
 # Promoted to the graded lane in round 5 (never driver-graded before;

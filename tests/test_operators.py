@@ -710,6 +710,10 @@ def test_extra_lane_doc_counts_match_registry():
         54: "fifty-four", 55: "fifty-five", 56: "fifty-six",
         57: "fifty-seven", 58: "fifty-eight", 59: "fifty-nine",
         60: "sixty", 61: "sixty-one", 62: "sixty-two",
+        63: "sixty-three", 64: "sixty-four", 65: "sixty-five",
+        66: "sixty-six", 67: "sixty-seven", 68: "sixty-eight",
+        69: "sixty-nine", 70: "seventy", 71: "seventy-one",
+        72: "seventy-two",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -871,11 +875,11 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 62
+    assert len(EXTRA) == 64
     assert len(BENCH_ONLY) == 5
-    # the fifteen NEW round-7 operators lead the EXTRA lane (never
+    # the seventeen NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:15] == [
+    assert list(EXTRA)[:17] == [
         "graph_triangles",
         "bpe_merges",
         "bpe_apply",
@@ -891,6 +895,8 @@ def test_lane_counts_match_docs():
         "strip_markup",
         "ngram_counts",
         "merge_intervals",
+        "markov_transitions",
+        "robust_stats",
     ]
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -3298,3 +3304,75 @@ def test_fixture_rows_sums_directory_part_files(spark, tmp_path):
     sf = str(tmp_path)
     spark.range(1234).repartition(5).write.parquet(f"{sf}/events.parquet")
     assert guards.fixture_rows(sf, "events") == 1234
+
+
+def test_markov_transitions_matches_python_recompute(spark, sf_dir):
+    # independent recompute of the transition matrix from the raw
+    # events: counts, per-source totals, and the half-up fixed-point
+    # conditional probability must all match exactly
+    from collections import Counter, defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_markov_transitions,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, prev_t), (_, _, next_t) in zip(evs, evs[1:]):
+            trans[(prev_t, next_t)] += 1
+    totals = Counter()
+    for (p, _), n in trans.items():
+        totals[p] += n
+
+    got = {
+        (r.prev_type, r.next_type): r
+        for r in q_markov_transitions(spark, sf_dir).collect()
+    }
+    assert set(got) == set(trans)
+    for key, n in trans.items():
+        r = got[key]
+        n_from = totals[key[0]]
+        assert r.n_trans == n and r.n_from == n_from
+        assert r.p_trans == ((2 * n * 1_000_000 + n_from) // (2 * n_from)) / 1e6
+
+
+def test_robust_stats_matches_python_recompute(spark, sf_dir):
+    # PERCENTILE_DISC-at-ceil(p*n) semantics recomputed directly: every
+    # emitted statistic is an actual data value at the pinned rank
+    import math
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_robust_stats,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "lang", "n_chars", "doc_id"
+    ).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append((r.n_chars, r.doc_id))
+
+    got = {r.lang: r for r in q_robust_stats(spark, sf_dir).collect()}
+    assert set(got) == set(by_lang)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        q1 = vals[math.ceil(n / 4) - 1][0]
+        med = vals[math.ceil(n / 2) - 1][0]
+        q3 = vals[math.ceil(3 * n / 4) - 1][0]
+        devs = sorted((abs(c - med), d) for c, d in vals)
+        mad = devs[math.ceil(n / 2) - 1][0]
+        r = got[lang]
+        assert (r.n_docs, r.q1, r.median, r.q3, r.iqr, r.mad) == (
+            n, q1, med, q3, q3 - q1, mad,
+        )
