@@ -380,12 +380,16 @@ def _extra_queries() -> list[Query]:
         q_vocab_coverage,
     )
     from .trainprep import (
+        SQL_BATCH_BY_LENGTH,
         SQL_BPE_APPLY,
         SQL_BPE_MERGES,
         SQL_MIX_WEIGHTS,
+        SQL_SHARD_MANIFEST,
+        q_batch_by_length,
         q_bpe_apply,
         q_bpe_merges,
         q_mix_weights,
+        q_shard_manifest,
     )
     from ..streaming.windows import (
         SQL_STREAM_JOIN_INTERVAL,
@@ -498,6 +502,18 @@ def _extra_queries() -> list[Query]:
             q_robust_stats,
             SQL_ROBUST_STATS,
             ("relational", "profiling", "window"),
+        ),
+        Query(
+            "shard_manifest",
+            q_shard_manifest,
+            SQL_SHARD_MANIFEST,
+            ("llm", "pipeline", "agg"),
+        ),
+        Query(
+            "batch_by_length",
+            q_batch_by_length,
+            SQL_BATCH_BY_LENGTH,
+            ("llm", "pipeline", "window"),
         ),
     ]
 

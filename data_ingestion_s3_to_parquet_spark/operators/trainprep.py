@@ -894,6 +894,199 @@ FROM g
 SQL_BPE_APPLY = _sql_bpe_apply()
 
 
+NUM_SHARDS = 16
+# 12 hex digits = 48 bits: the per-doc fingerprint integer is exact in
+# a double on both engines (< 2^53), so the DuckDB mirror can rebuild
+# it with double powers and CAST once — same reasoning as
+# relational6._HEX_DENOM, widened from 24 to 48 bits because the XOR
+# below wants collision-resistant content checksums, not sample keys.
+_FP_HEX_DIGITS = 12
+
+
+def _fp48(col) -> "F.Column":
+    """48-bit content fingerprint: first 12 hex digits of md5 as int64."""
+    return F.conv(F.substring(F.md5(col), 1, _FP_HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
+def _sql_fp48(expr: str) -> str:
+    """DuckDB mirror of :func:`_fp48` — digit-by-digit hex decode with
+    double powers (exact below 2^53), CAST to BIGINT once."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 13), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1) "
+        "* 16 ^ (12 - i))) AS BIGINT)"
+    )
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + per-shard manifest —
+    the artifact a data loader (and a resumable exporter) keys on:
+    shard = md5(doc_id) mod {shards} (a pure function of row values, so
+    the layout is identical on any cluster size, engine, or re-run —
+    the SCALE.md §20 rule), and per shard the doc count, char/token
+    volume, id range, and an ORDER-INDEPENDENT content checksum (XOR of
+    48-bit md5 fingerprints — XOR is commutative/associative, so the
+    checksum is stable under any partial-aggregation order, the same
+    property the decimal sums buy for ``dsum``).
+
+    At 100 TB this is the export manifest: writers stream each shard
+    independently, the XOR checksum verifies a re-export bitwise
+    without re-reading peers, and appending a shard leaves the other
+    manifests untouched. One map-side-combinable groupBy on a
+    {shards}-row key space — the scan is the whole cost.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+            ).cast("long"),
+            F.lit(NUM_SHARDS),
+        ).alias("shard"),
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        _fp48(F.col("text")).alias("fp"),
+    )
+    return keyed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.expr("bit_xor(fp)").alias("xor_fp"),
+    )
+
+
+q_shard_manifest.__doc__ = q_shard_manifest.__doc__.format(shards=NUM_SHARDS)
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH keyed AS (
+  SELECT CAST(list_sum(list_transform(range(1, 7), i ->
+           (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+           * 16 ^ (6 - i))) AS BIGINT) % {NUM_SHARDS} AS shard,
+         doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_sql_fp48('text')} AS fp
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id,
+       bit_xor(fp) AS xor_fp
+FROM keyed GROUP BY shard
+"""
+
+
+LEN_BUCKET_WIDTH = 16  # tokens per length bucket
+LEN_BATCH_SIZE = 16    # documents per batch
+LEN_MAX_BUCKET = 7     # buckets 0..7; the tail bucket is open-ended
+
+
+def q_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch composition with padding-efficiency
+    accounting — the dynamic-batching step between a tokenized corpus
+    and a trainer: documents are bucketed by token count (width
+    {width}, tail open past bucket {maxb}), ordered WITHIN each bucket
+    by the value-derived md5 shuffle key (seedless, layout-independent
+    — the ``sample_split`` rule), and cut into batches of {bsz}. Each
+    output row is one batch's manifest: size, token min/max/sum, and
+    the fixed-point padding fraction 1 - sum/(n·max) — the fraction of
+    a padded batch tensor that is waste, the number length-bucketing
+    exists to minimize (``seq_pack`` is the concat-packing alternative;
+    this is the padded-batch one).
+
+    Scale shape: one window shuffle partitioned by bucket (bounded key
+    space, but each partition streams — per-task state is O(1) for
+    row_number), one map-side-combinable groupBy on (bucket, batch).
+    The padding fraction goes through the midpoint-free fixed-point
+    quotient.
+    """
+    from ..functions.numeric import fp_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    bucket = F.least(
+        F.floor(F.col("n_tokens") / LEN_BUCKET_WIDTH), F.lit(LEN_MAX_BUCKET)
+    ).cast("long")
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    batched = (
+        toks.withColumn("bucket", bucket)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("batch_id", F.expr(f"(rn - 1) div {LEN_BATCH_SIZE}"))
+    )
+    cap = F.col("n_in_batch") * F.col("max_tokens")
+    return (
+        batched.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").alias("n_in_batch"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_in_batch",
+            "min_tokens",
+            "max_tokens",
+            "sum_tokens",
+            fp_ratio(
+                (cap - F.col("sum_tokens")) * 1_000_000, cap, 6
+            ).alias("padding_frac"),
+        )
+    )
+
+
+q_batch_by_length.__doc__ = q_batch_by_length.__doc__.format(
+    width=LEN_BUCKET_WIDTH, maxb=LEN_MAX_BUCKET, bsz=LEN_BATCH_SIZE
+)
+
+
+SQL_BATCH_BY_LENGTH = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         LEAST(n_tokens // {LEN_BUCKET_WIDTH}, {LEN_MAX_BUCKET}) AS bucket
+  FROM t
+),
+r AS (
+  SELECT bucket, n_tokens,
+         (row_number() OVER (PARTITION BY bucket
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          - 1) // {LEN_BATCH_SIZE} AS batch_id
+  FROM b
+),
+g AS (
+  SELECT bucket, batch_id, COUNT(*) AS n_in_batch,
+         MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+  FROM r GROUP BY bucket, batch_id
+)
+SELECT bucket, batch_id, n_in_batch, min_tokens, max_tokens, sum_tokens,
+       CAST((2 * (n_in_batch * max_tokens - sum_tokens) * 1000000
+             + n_in_batch * max_tokens)
+            // (2 * n_in_batch * max_tokens) AS DOUBLE) / 1000000.0
+         AS padding_frac
+FROM g
+"""
+
+
 QUERIES = [
     Query(
         "sample_stratified",

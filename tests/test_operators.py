@@ -875,11 +875,11 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 64
+    assert len(EXTRA) == 66
     assert len(BENCH_ONLY) == 5
-    # the seventeen NEW round-7 operators lead the EXTRA lane (never
+    # the nineteen NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:17] == [
+    assert list(EXTRA)[:19] == [
         "graph_triangles",
         "bpe_merges",
         "bpe_apply",
@@ -897,6 +897,8 @@ def test_lane_counts_match_docs():
         "merge_intervals",
         "markov_transitions",
         "robust_stats",
+        "shard_manifest",
+        "batch_by_length",
     ]
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -3376,3 +3378,76 @@ def test_robust_stats_matches_python_recompute(spark, sf_dir):
         assert (r.n_docs, r.q1, r.median, r.q3, r.iqr, r.mad) == (
             n, q1, med, q3, q3 - q1, mad,
         )
+
+
+def test_shard_manifest_matches_python_recompute(spark, sf_dir):
+    # recompute shard keys, volumes, and XOR checksums directly from
+    # the raw table; shards must partition the corpus exactly
+    import hashlib
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        NUM_SHARDS,
+        q_shard_manifest,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    shards = defaultdict(list)
+    for r in rows:
+        k = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:6], 16)
+        shards[k % NUM_SHARDS].append(r)
+
+    got = {r.shard: r for r in q_shard_manifest(spark, sf_dir).collect()}
+    assert set(got) == set(shards)
+    assert sum(r.n_docs for r in got.values()) == len(rows)
+    for s, members in shards.items():
+        r = got[s]
+        xor = 0
+        for m in members:
+            xor ^= int(hashlib.md5(m.text.encode()).hexdigest()[:12], 16)
+        assert r.n_docs == len(members)
+        assert r.sum_chars == sum(m.n_chars for m in members)
+        assert r.sum_tokens == sum(len(m.text.split(" ")) for m in members)
+        assert r.min_doc_id == min(m.doc_id for m in members)
+        assert r.max_doc_id == max(m.doc_id for m in members)
+        assert r.xor_fp == xor
+
+
+def test_batch_by_length_batches_are_full_and_waste_is_consistent(spark, sf_dir):
+    # every batch except possibly the last per bucket is exactly
+    # BATCH_SIZE docs; token bounds honor the bucket edges; padding
+    # fraction matches its own ingredients under the half-up rule
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        LEN_BATCH_SIZE,
+        LEN_BUCKET_WIDTH,
+        LEN_MAX_BUCKET,
+        q_batch_by_length,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = q_batch_by_length(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_in_batch for r in rows) == n_docs
+    per_bucket = defaultdict(list)
+    for r in rows:
+        per_bucket[r.bucket].append(r)
+    for b, batches in per_bucket.items():
+        batches.sort(key=lambda r: r.batch_id)
+        assert [r.batch_id for r in batches] == list(range(len(batches)))
+        for r in batches[:-1]:
+            assert r.n_in_batch == LEN_BATCH_SIZE
+        for r in batches:
+            assert r.min_tokens >= b * LEN_BUCKET_WIDTH
+            if b < LEN_MAX_BUCKET:
+                assert r.max_tokens < (b + 1) * LEN_BUCKET_WIDTH
+            assert r.min_tokens <= r.max_tokens
+            cap = r.n_in_batch * r.max_tokens
+            waste = cap - r.sum_tokens
+            assert r.padding_frac == (
+                (2 * waste * 1_000_000 + cap) // (2 * cap)
+            ) / 1e6
