@@ -17,8 +17,8 @@ duplicate clusters) — and three entries with green driver rows demote
 to the EXTRA lane (sample_span_mask and lm_unigram_score, green in r6
 on the CAST-fixed oracles; udf_scalar, five straight greens). Once
 this round grades, every oracle-gated operator in the repo has a
-green driver row in some round. The EXTRA lane holds sixty-six
-oracle-gated entries: the 19 NEW round-7 operators lead it
+green driver row in some round. The EXTRA lane holds sixty-eight
+oracle-gated entries: the 21 NEW round-7 operators lead it
 (graph_triangles, per-vertex triangle counts over the undirected
 k-NN graph; bpe_merges + bpe_apply, BPE-style tokenizer training and
 per-document token counting over the word
@@ -41,13 +41,16 @@ robust_stats, discrete per-group quartiles/IQR/MAD, the exact twin
 of the approx-quantile scale lane; shard_manifest, deterministic
 shard assignment with XOR content checksums; batch_by_length,
 length-bucketed batch composition with padding-efficiency
-accounting — never graded, first in line for
+accounting; url_canonicalize, tracking-param/www/trailing-slash URL
+canonicalization with duplicate-URL keeper election; cms_counts,
+count-min-sketch frequency estimation under a guaranteed-true
+never-undercount contract — never graded, first in line for
 the next swap
 or a larger budget), and the other 47 all carry prior green
 driver rows. Everything is verified locally each round by
 tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 66 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 68 EXTRA /
 5 BENCH_ONLY) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

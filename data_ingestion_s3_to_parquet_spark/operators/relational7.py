@@ -370,13 +370,17 @@ def _extra_queries() -> list[Query]:
         q_sim_join_kmeans,
     )
     from .textstats import (
+        SQL_CMS_COUNTS,
         SQL_FREQ_ITEMS_TOPK,
         SQL_NGRAM_COUNTS,
         SQL_STRIP_MARKUP,
+        SQL_URL_CANONICALIZE,
         SQL_VOCAB_COVERAGE,
+        q_cms_counts,
         q_freq_items_topk,
         q_ngram_counts,
         q_strip_markup,
+        q_url_canonicalize,
         q_vocab_coverage,
     )
     from .trainprep import (
@@ -514,6 +518,18 @@ def _extra_queries() -> list[Query]:
             q_batch_by_length,
             SQL_BATCH_BY_LENGTH,
             ("llm", "pipeline", "window"),
+        ),
+        Query(
+            "url_canonicalize",
+            q_url_canonicalize,
+            SQL_URL_CANONICALIZE,
+            ("llm", "text", "dedup"),
+        ),
+        Query(
+            "cms_counts",
+            q_cms_counts,
+            SQL_CMS_COUNTS,
+            ("llm", "text", "agg", "approx"),
         ),
     ]
 

@@ -825,6 +825,237 @@ FROM g
 """
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + duplicate-URL detection — the first
+    dedup key a crawl pipeline applies (before any content hash):
+    strip tracking query strings and fragments, lowercase, drop the
+    ``www.`` prefix and trailing slash, then group by the canonical
+    form and elect one keeper per group.
+
+    The fixture has no URL column, so both engines first synthesize a
+    deterministic raw URL from fixture columns (the ``pii_redact``
+    convention — uppercase noise on every 3rd doc, a ``www.`` prefix
+    on every 4th, a trailing slash on every 5th, and a path key of
+    ``doc_id mod 25`` so canonical collisions actually occur), then
+    canonicalize it with generic regexp string ops — the
+    canonicalization rules are what the oracle verifies, not the
+    synthesis. Map-only until the one canonical-key window (keeper
+    election on the (canon, doc_id) total order — the ``cdc_apply``
+    keep-first shape); at 100 TB the window key is the canonical URL,
+    high-cardinality and hash-partitionable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    noisy_host = F.when(
+        F.col("doc_id") % 3 == 0, F.upper(F.col("source"))
+    ).otherwise(F.col("source"))
+    www = F.when(F.col("doc_id") % 4 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    slash = F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    raw = F.concat(
+        F.lit("https://"),
+        www,
+        noisy_host,
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/article-"),
+        (F.col("doc_id") % 25).cast("string"),
+        slash,
+        F.lit("?utm_source=feed&sid="),
+        F.col("doc_id").cast("string"),
+        F.lit("#sec"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), r"[?#].*$", ""),
+            r"^https://www\.",
+            "https://",
+        ),
+        r"/$",
+        "",
+    )
+    w = Window.partitionBy("url_canon")
+    wk = Window.partitionBy("url_canon").orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            raw.alias("url_raw"),
+            canon.alias("url_canon"),
+        )
+        .withColumn(
+            "host", F.regexp_extract("url_canon", r"^https://([^/]+)", 1)
+        )
+        .withColumn("tld", F.regexp_extract("host", r"\.([a-z]+)$", 1))
+        .withColumn(
+            "path_depth",
+            (
+                F.size(
+                    F.split(
+                        F.regexp_extract("url_canon", r"^https://[^/]+(/.*)$", 1),
+                        "/",
+                    )
+                )
+                - 1
+            ).cast("long"),
+        )
+        .withColumn("n_dups", F.count("*").over(w))
+        .withColumn("keep", F.row_number().over(wk) == 1)
+    )
+
+
+SQL_URL_CANONICALIZE = r"""
+WITH raw AS (
+  SELECT doc_id,
+         'https://'
+         || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+         || '.example.com/' || lang || '/article-'
+         || CAST(doc_id % 25 AS VARCHAR)
+         || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+         || '?utm_source=feed&sid=' || CAST(doc_id AS VARCHAR)
+         || '#sec' AS url_raw
+  FROM documents
+),
+c AS (
+  SELECT doc_id, url_raw,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(url_raw), '[?#].*$', ''),
+             '^https://www\.', 'https://'),
+           '/$', '') AS url_canon
+  FROM raw
+)
+SELECT doc_id, url_raw, url_canon,
+       regexp_extract(url_canon, '^https://([^/]+)', 1) AS host,
+       regexp_extract(regexp_extract(url_canon, '^https://([^/]+)', 1),
+                      '\.([a-z]+)$', 1) AS tld,
+       CAST(len(string_split(
+              regexp_extract(url_canon, '^https://[^/]+(/.*)$', 1), '/'))
+            - 1 AS BIGINT) AS path_depth,
+       COUNT(*) OVER (PARTITION BY url_canon) AS n_dups,
+       row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) = 1 AS keep
+FROM c
+"""
+
+
+# CMS geometry: depth 4 rows × width 256 columns = 1024 cells — the
+# merged sketch is CONSTANT-SIZE (≤ 1024 rows) at any corpus scale.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP = 20
+
+
+def _cms_cells(batches):
+    """Per-partition count-min sketch (Arrow-batched): hash every token
+    into CMS_DEPTH row-seeded md5 buckets and emit the partition's
+    non-zero cells. Cell counts are pure sums, so the groupBy-merge of
+    per-partition sketches equals the global sketch for ANY layout."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    cells: Counter = Counter()
+    for pdf in batches:
+        for t in pdf["text"]:
+            for w in (t or "").split(" "):
+                for r in range(CMS_DEPTH):
+                    h = hashlib.md5(f"{r}:{w}".encode()).hexdigest()[:6]
+                    cells[(r, int(h, 16) % CMS_WIDTH)] += 1
+    if cells:
+        yield pd.DataFrame(
+            {
+                "r": [k[0] for k in cells],
+                "c": [k[1] for k in cells],
+                "cnt": list(cells.values()),
+            }
+        )
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation, graded as an accuracy
+    contract (the ``freq_items_topk`` / ``agg_hll_sketch`` convention):
+    exact top-{top} token counts bitwise on both engines, plus
+    ``cms_ok`` asserting the sketch estimate NEVER undercounts and
+    never exceeds the corpus token total — both guaranteed-true by
+    construction (cells only ever add counts), for any data layout.
+
+    CMS complements Misra-Gries (``freq_items_topk``): MG answers
+    "what are the heavy hitters" in bounded space; CMS answers "how
+    often does THIS item occur" for any queried item, and its cells
+    are pure sums — per-shard sketches merge by cell-wise addition,
+    the ideal store-and-reaggregate artifact. Plan shape: the sketch
+    lane is one ``mapInPandas`` pass emitting ≤ {cells} cells per
+    task, merged by a tiny groupBy (constant-size key space); the
+    probe side is {top}×{depth} rows joined against the broadcast
+    merged sketch. The exact lane (oracle twin) is one map-side
+    combinable count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    exact_top = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "w")
+        .limit(CMS_TOP)
+    )
+    merged = (
+        d.select("text")
+        .mapInPandas(_cms_cells, "r int, c int, cnt long")
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    probes = exact_top.select(
+        "w",
+        "n_exact",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+        ).alias("r"),
+    ).withColumn(
+        "c",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("w"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(CMS_WIDTH),
+        ).cast("int"),
+    )
+    total = words.agg(F.count("*").alias("n_tok"))
+    est = F.min("cnt").alias("est")
+    return (
+        probes.join(F.broadcast(merged), ["r", "c"])
+        .groupBy("w", "n_exact")
+        .agg(est)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            "n_exact",
+            (
+                (F.col("est") >= F.col("n_exact"))
+                & (F.col("est") <= F.col("n_tok"))
+            ).alias("cms_ok"),
+        )
+    )
+
+
+q_cms_counts.__doc__ = q_cms_counts.__doc__.format(
+    top=CMS_TOP, cells=CMS_DEPTH * CMS_WIDTH, depth=CMS_DEPTH
+)
+
+
+SQL_CMS_COUNTS = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT w, COUNT(*) AS n_exact, TRUE AS cms_ok
+FROM w GROUP BY w
+ORDER BY n_exact DESC, w
+LIMIT {CMS_TOP}
+"""
+
+
 QUERIES = [
     Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
     Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),

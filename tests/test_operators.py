@@ -875,11 +875,11 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 66
+    assert len(EXTRA) == 68
     assert len(BENCH_ONLY) == 5
-    # the nineteen NEW round-7 operators lead the EXTRA lane (never
+    # the twenty-one NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:19] == [
+    assert list(EXTRA)[:21] == [
         "graph_triangles",
         "bpe_merges",
         "bpe_apply",
@@ -899,6 +899,8 @@ def test_lane_counts_match_docs():
         "robust_stats",
         "shard_manifest",
         "batch_by_length",
+        "url_canonicalize",
+        "cms_counts",
     ]
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -3451,3 +3453,94 @@ def test_batch_by_length_batches_are_full_and_waste_is_consistent(spark, sf_dir)
             assert r.padding_frac == (
                 (2 * waste * 1_000_000 + cap) // (2 * cap)
             ) / 1e6
+
+
+def test_url_canonicalize_matches_python_recompute(spark, sf_dir):
+    # canonicalization rules recomputed independently; dup groups must
+    # actually occur on the fixture and keeper election must be the
+    # min-doc_id member of each canonical group
+    import re
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_url_canonicalize,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).collect()
+    exp = {}
+    groups = defaultdict(list)
+    for r in docs:
+        host = r.source.upper() if r.doc_id % 3 == 0 else r.source
+        www = "WWW." if r.doc_id % 4 == 0 else ""
+        slash = "/" if r.doc_id % 5 == 0 else ""
+        raw = (
+            f"https://{www}{host}.example.com/{r.lang}/article-"
+            f"{r.doc_id % 25}{slash}?utm_source=feed&sid={r.doc_id}#sec"
+        )
+        canon = re.sub(r"[?#].*$", "", raw.lower())
+        canon = re.sub(r"^https://www\.", "https://", canon)
+        canon = re.sub(r"/$", "", canon)
+        exp[r.doc_id] = (raw, canon)
+        groups[canon].append(r.doc_id)
+
+    got = {r.doc_id: r for r in q_url_canonicalize(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    assert any(len(g) > 1 for g in groups.values())  # dups exist
+    for doc_id, (raw, canon) in exp.items():
+        r = got[doc_id]
+        assert r.url_raw == raw and r.url_canon == canon
+        m = re.match(r"^https://([^/]+)(/.*)$", canon)
+        assert r.host == m.group(1)
+        assert r.tld == m.group(1).rsplit(".", 1)[1]
+        assert r.path_depth == len(m.group(2).split("/")) - 1
+        assert r.n_dups == len(groups[canon])
+        assert r.keep == (doc_id == min(groups[canon]))
+
+
+def test_cms_counts_estimates_match_global_sketch(spark, sf_dir):
+    # the merged CMS is a pure cell-wise sum, so it is recomputable
+    # exactly in Python for any layout: rebuild the global sketch,
+    # verify the min-over-rows estimate for each top token, and the
+    # contract flags
+    import hashlib
+    from collections import Counter
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        CMS_DEPTH,
+        CMS_TOP,
+        CMS_WIDTH,
+        q_cms_counts,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    exact = Counter()
+    cells = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            exact[w] += 1
+            for r in range(CMS_DEPTH):
+                h = hashlib.md5(f"{r}:{w}".encode()).hexdigest()[:6]
+                cells[(r, int(h, 16) % CMS_WIDTH)] += 1
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOP]
+    n_total = sum(exact.values())
+
+    got = {r.w: r for r in q_cms_counts(spark, sf_dir).collect()}
+    assert set(got) == {w for w, _ in top}
+    for w, n in top:
+        r = got[w]
+        est = min(
+            cells[(
+                d,
+                int(hashlib.md5(f"{d}:{w}".encode()).hexdigest()[:6], 16)
+                % CMS_WIDTH,
+            )]
+            for d in range(CMS_DEPTH)
+        )
+        assert r.n_exact == n
+        assert r.cms_ok and n <= est <= n_total
