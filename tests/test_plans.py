@@ -381,3 +381,90 @@ def test_kmeans_assignment_is_map_only_arrow(spark):
     plan = plan_of(q_kmeans_embeddings(spark, SF_SMOKE))
     assert "MapInPandas" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_markov_totals_join_is_broadcast_bounded(spark):
+    # the totals side is |event_types|-bounded (constant in corpus
+    # size) — broadcast by classification; nothing sort-merges
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_markov_transitions,
+    )
+
+    plan = plan_of(q_markov_transitions(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_robust_stats_joins_stay_broadcast(spark):
+    # both join sides (per-lang medians / MADs) are group-cardinality
+    # frames — broadcast; the rank windows are the only big shuffles
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_robust_stats,
+    )
+
+    plan = plan_of(q_robust_stats(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert ") Window" in plan
+
+
+def test_shard_manifest_is_one_combinable_aggregation(spark):
+    # no joins anywhere; partial+final HashAggregate around exactly one
+    # shuffle on the 16-row shard key space
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_shard_manifest,
+    )
+
+    plan = plan_of(q_shard_manifest(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count(") HashAggregate") >= 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_batch_by_length_reuses_the_bucket_partitioning(spark):
+    # ONE shuffle total: the window partitions by bucket, and the
+    # (bucket, batch_id) groupBy is satisfied by that same hash
+    # partitioning (subset-of-keys clustering) — a second exchange
+    # here would be the scale regression
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_batch_by_length,
+    )
+
+    plan = plan_of(q_batch_by_length(spark, SF_SMOKE))
+    assert ") Window" in plan
+    assert plan.count(") HashAggregate") >= 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_url_canonicalize_pays_one_canonical_key_shuffle(spark):
+    # map-only regexp algebra plus both windows (dup count + keeper
+    # election) sharing a single url_canon exchange; no joins
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_url_canonicalize,
+    )
+
+    plan = plan_of(q_url_canonicalize(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_cms_counts_broadcasts_sketch_and_total_only(spark):
+    # the Arrow sketch pass feeds a constant-size (≤1024-cell) merge;
+    # exactly two broadcasts (merged sketch, 1-row total); the exact
+    # top-k lane stays TakeOrderedAndProject
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_cms_counts,
+    )
+
+    plan = plan_of(q_cms_counts(spark, SF_SMOKE))
+    assert "MapInPandas" in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert "TakeOrderedAndProject" in plan
