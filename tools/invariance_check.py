@@ -63,6 +63,15 @@ DEFAULT_NAMES = [
     "ab_test_metrics",
     "dedup_passages",
     "emb_gram",
+    # round-7 second wave: windowed/bucketed ops whose naive forms
+    # would be layout-dependent, plus the XOR-checksum and CMS lanes
+    # whose layout-independence is algebraic (verify it empirically)
+    "markov_transitions",
+    "robust_stats",
+    "shard_manifest",
+    "batch_by_length",
+    "url_canonicalize",
+    "cms_counts",
 ]
 
 
