@@ -352,12 +352,16 @@ QUERIES = _promoted_r7() + [
 def _extra_queries() -> list[Query]:
     from .dedup import SQL_DEDUP_SOFT, q_dedup_soft
     from .relational9 import (
+        SQL_CHI2_CONTINGENCY,
         SQL_MARKOV_TRANSITIONS,
         SQL_MERGE_INTERVALS,
         SQL_ROBUST_STATS,
+        SQL_SESSION_PATHS,
+        q_chi2_contingency,
         q_markov_transitions,
         q_merge_intervals,
         q_robust_stats,
+        q_session_paths,
     )
     from .similarity import (
         SQL_ANN_PQ_TOPK,
@@ -373,12 +377,14 @@ def _extra_queries() -> list[Query]:
         SQL_CMS_COUNTS,
         SQL_FREQ_ITEMS_TOPK,
         SQL_NGRAM_COUNTS,
+        SQL_PMI_COOCCUR,
         SQL_STRIP_MARKUP,
         SQL_URL_CANONICALIZE,
         SQL_VOCAB_COVERAGE,
         q_cms_counts,
         q_freq_items_topk,
         q_ngram_counts,
+        q_pmi_cooccur,
         q_strip_markup,
         q_url_canonicalize,
         q_vocab_coverage,
@@ -530,6 +536,24 @@ def _extra_queries() -> list[Query]:
             q_cms_counts,
             SQL_CMS_COUNTS,
             ("llm", "text", "agg", "approx"),
+        ),
+        Query(
+            "pmi_cooccur",
+            q_pmi_cooccur,
+            SQL_PMI_COOCCUR,
+            ("llm", "text", "agg"),
+        ),
+        Query(
+            "session_paths",
+            q_session_paths,
+            SQL_SESSION_PATHS,
+            ("relational", "analytics", "window"),
+        ),
+        Query(
+            "chi2_contingency",
+            q_chi2_contingency,
+            SQL_CHI2_CONTINGENCY,
+            ("relational", "analytics", "statistics"),
         ),
     ]
 

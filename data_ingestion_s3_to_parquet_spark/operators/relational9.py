@@ -1294,6 +1294,189 @@ FROM b JOIN m USING (lang)
 """
 
 
+SESSION_PATH_LEN = 3
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journey paths: each user's first {k} event types (in
+    (ts, event_id) order) concatenated into a path string, counted
+    across users, with the fixed-point share of users per path — the
+    entry-funnel fingerprint product analytics asks for first
+    (``funnel_conversion`` checks ONE prescribed ordering; this
+    discovers the empirical orderings).
+
+    One per-user window shuffle (rank on the total order, keep rank ≤
+    {k}), a per-user slot aggregation (map-side combinable), then a
+    count on the path key space — bounded by |event_types|^{k}, so
+    everything after the first shuffle is constant-sized at any
+    corpus scale. Users with fewer than {k} events keep a shorter
+    path (``concat_ws`` skips the null slots on both engines — the
+    cross-engine contract the test pins).
+    """
+    from ..functions.numeric import fp_ratio
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= SESSION_PATH_LEN)
+    slots = r.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("rn") == i, F.col("event_type"))
+            ).alias(f"s{i}")
+            for i in range(1, SESSION_PATH_LEN + 1)
+        ]
+    )
+    paths = slots.select(
+        F.concat_ws(
+            ">", *[F.col(f"s{i}") for i in range(1, SESSION_PATH_LEN + 1)]
+        ).alias("path")
+    )
+    total = paths.agg(F.count("*").alias("n_total"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n_users",
+            fp_ratio(F.col("n_users") * 1_000_000, F.col("n_total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+q_session_paths.__doc__ = q_session_paths.__doc__.format(k=SESSION_PATH_LEN)
+
+
+SQL_SESSION_PATHS = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+slots AS (
+  SELECT user_id,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS s1,
+         MAX(CASE WHEN rn = 2 THEN event_type END) AS s2,
+         MAX(CASE WHEN rn = 3 THEN event_type END) AS s3
+  FROM r WHERE rn <= {SESSION_PATH_LEN} GROUP BY user_id
+),
+p AS (SELECT concat_ws('>', s1, s2, s3) AS path FROM slots),
+t AS (SELECT COUNT(*) AS n_total FROM p)
+SELECT p.path, COUNT(*) AS n_users,
+       CAST((2 * COUNT(*) * 1000000 + ANY_VALUE(t.n_total))
+            // (2 * ANY_VALUE(t.n_total)) AS DOUBLE) / 1000000.0 AS share
+FROM p CROSS JOIN t
+GROUP BY p.path
+"""
+
+
+CHI2_HOUR_BUCKETS = 4  # 6-hour quadrants of the day
+
+
+def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the event_type × time-of-day
+    contingency table — the feature-association screen (is behavior
+    time-dependent?) run before trusting a categorical feature split.
+
+    Exactness discipline: observed/row/column/grand totals are exact
+    int64 (marginals via window sums over the CELL frame, which is
+    |types|×|buckets|-bounded — constant at any corpus scale, so the
+    unpartitioned total window is a bounded-frame operation, not a
+    single-partition data pass). The per-cell statistic
+    (O·N − R·C)²/(N·R·C) is evaluated as a FIXED sequence of IEEE
+    double ops on exactly-representable integers (d ≤ ~1e10 < 2^53;
+    each multiply/divide correctly rounded ⇒ engine-identical), then
+    micro-quantized and summed exactly — the ``lm_unigram_score``
+    rule. Expected counts go through the midpoint-free fixed-point
+    quotient. One data-sized shuffle total (the cell count).
+    """
+    from ..functions.numeric import fp_ratio
+
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.hour("ts") / (24 // CHI2_HOUR_BUCKETS)).cast("long").alias(
+            "hour_bucket"
+        ),
+    ).agg(F.count("*").alias("n_obs"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("hour_bucket")
+    wa = Window.partitionBy()
+    m = cells.select(
+        "event_type",
+        "hour_bucket",
+        "n_obs",
+        F.sum("n_obs").over(wr).alias("r_tot"),
+        F.sum("n_obs").over(wc).alias("c_tot"),
+        F.sum("n_obs").over(wa).alias("n_tot"),
+    )
+    d = (F.col("n_obs") * F.col("n_tot") - F.col("r_tot") * F.col("c_tot")).cast(
+        "double"
+    )
+    den = (F.col("n_tot") * F.col("r_tot") * F.col("c_tot")).cast("double")
+    term_micro = F.round(d * d / den * 1_000_000, 0).cast("long")
+    out = m.select(
+        "event_type",
+        "hour_bucket",
+        "n_obs",
+        fp_ratio(
+            F.col("r_tot") * F.col("c_tot") * 1_000_000, F.col("n_tot"), 6
+        ).alias("expected"),
+        (term_micro.cast("double") / 1e6).alias("chi2_term"),
+        term_micro.alias("_tm"),
+    )
+    return out.select(
+        "event_type",
+        "hour_bucket",
+        "n_obs",
+        "expected",
+        "chi2_term",
+        (
+            F.sum("_tm").over(Window.partitionBy()).cast("double") / 1e6
+        ).alias("chi2_total"),
+    )
+
+
+SQL_CHI2_CONTINGENCY = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(hour(ts) // {24 // CHI2_HOUR_BUCKETS} AS BIGINT) AS hour_bucket,
+         COUNT(*) AS n_obs
+  FROM events GROUP BY event_type, hour_bucket
+),
+m AS (
+  SELECT event_type, hour_bucket, n_obs,
+         CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS r_tot,
+         CAST(SUM(n_obs) OVER (PARTITION BY hour_bucket) AS BIGINT) AS c_tot,
+         CAST(SUM(n_obs) OVER () AS BIGINT) AS n_tot
+  FROM cells
+),
+t AS (
+  SELECT event_type, hour_bucket, n_obs,
+         CAST((2 * r_tot * c_tot * 1000000 + n_tot)
+              // (2 * n_tot) AS DOUBLE) / 1000000.0 AS expected,
+         CAST(ROUND(
+           CAST(n_obs * n_tot - r_tot * c_tot AS DOUBLE)
+           * CAST(n_obs * n_tot - r_tot * c_tot AS DOUBLE)
+           / CAST(n_tot * r_tot * c_tot AS DOUBLE) * 1000000, 0)
+         AS BIGINT) AS tm
+  FROM m
+)
+SELECT event_type, hour_bucket, n_obs, expected,
+       CAST(tm AS DOUBLE) / 1000000.0 AS chi2_term,
+       CAST(CAST(SUM(tm) OVER () AS BIGINT) AS DOUBLE) / 1000000.0
+         AS chi2_total
+FROM t
+"""
+
+
 QUERIES: list[Query] = []
 
 # Promoted to the graded lane in round 5 (never driver-graded before;

@@ -647,6 +647,136 @@ LIMIT {NGRAM_TOP}
 """
 
 
+PMI_TOP = 50
+PMI_MIN_COUNT = 5
+
+
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for the top word bigrams —
+    collocation strength, the statistic behind phrase mining and
+    tokenizer-merge diagnostics (a high-count bigram with LOW PMI is
+    two independently-frequent words; high PMI marks a true
+    collocation worth a vocabulary slot).
+
+    PMI = log2(p(x,y) / (p(x)·p(y))) evaluated on exact integer
+    counts: the argument is assembled as one double expression with a
+    FIXED operation order on both engines (each IEEE step correctly
+    rounded ⇒ bitwise-identical), then the single log2 is quantized to
+    integer micro-units (the ``lm_unigram_score`` rule — one
+    transcendental per row, micro-rounded, ulp-coincidence risk
+    ~1e-9/row). Scale shape: the bigram and unigram counts are
+    map-side-combinable shuffles; the pair frame is cut to the
+    top-{top} (count DESC, gram ASC) total order BEFORE the unigram
+    joins, so the joined side is {top}-row bounded and broadcast-safe
+    at any corpus size; totals ride along as broadcast 1-row frames.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    idx = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("t"), i.cast("int")),
+            F.element_at(F.col("t"), (i + 1).cast("int")),
+        ),
+    )
+    ex = d.select(F.explode(grams).alias("gram"))
+    pair_top = (
+        ex.groupBy("gram")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .orderBy(F.desc("c_xy"), "gram")
+        .limit(PMI_TOP)
+        .select(
+            "gram",
+            F.split("gram", " ").getItem(0).alias("x"),
+            F.split("gram", " ").getItem(1).alias("y"),
+            "c_xy",
+        )
+    )
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    uni = words.groupBy("w").agg(F.count("*").alias("c"))
+    n_uni = words.agg(F.count("*").alias("n_uni"))
+    n_pairs = ex.agg(F.count("*").alias("n_pairs"))
+    joined = (
+        uni.join(F.broadcast(pair_top), uni.w == pair_top.x)
+        .select("gram", "x", "y", "c_xy", F.col("c").alias("c_x"))
+        .join(F.broadcast(n_uni))  # 1-row
+        .join(F.broadcast(n_pairs))  # 1-row
+    )
+    joined = (
+        uni.withColumnRenamed("w", "wy")
+        .withColumnRenamed("c", "c_y")
+        .join(F.broadcast(joined), F.col("wy") == F.col("y"))
+    )
+    ratio = (
+        F.col("c_xy").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+        / (
+            F.col("n_pairs").cast("double")
+            * F.col("c_x").cast("double")
+            * F.col("c_y").cast("double")
+        )
+    )
+    micro = F.round(F.log2(ratio) * 1_000_000, 0).cast("long")
+    return joined.select(
+        "gram",
+        "x",
+        "y",
+        "c_xy",
+        "c_x",
+        "c_y",
+        (micro.cast("double") / 1e6).alias("pmi"),
+    )
+
+
+q_pmi_cooccur.__doc__ = q_pmi_cooccur.__doc__.format(top=PMI_TOP)
+
+
+SQL_PMI_COOCCUR = f"""
+WITH tt AS (SELECT string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT unnest([t[i] || ' ' || t[i+1]
+                 for i in generate_series(1, len(t) - 1)]) AS gram
+  FROM tt
+),
+pt AS (
+  SELECT gram,
+         string_split(gram, ' ')[1] AS x,
+         string_split(gram, ' ')[2] AS y,
+         c_xy
+  FROM (
+    SELECT gram, COUNT(*) AS c_xy FROM g GROUP BY gram
+    HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ORDER BY c_xy DESC, gram LIMIT {PMI_TOP}
+  )
+),
+w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+uni AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+nu AS (SELECT COUNT(*) AS n_uni FROM w),
+np AS (SELECT COUNT(*) AS n_pairs FROM g)
+SELECT pt.gram, pt.x, pt.y, pt.c_xy,
+       ux.c AS c_x, uy.c AS c_y,
+       CAST(CAST(ROUND(log2(
+         CAST(pt.c_xy AS DOUBLE) * CAST(nu.n_uni AS DOUBLE)
+           * CAST(nu.n_uni AS DOUBLE)
+         / (CAST(np.n_pairs AS DOUBLE) * CAST(ux.c AS DOUBLE)
+            * CAST(uy.c AS DOUBLE))
+       ) * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0 AS pmi
+FROM pt
+JOIN uni ux ON ux.w = pt.x
+JOIN uni uy ON uy.w = pt.y
+CROSS JOIN nu CROSS JOIN np
+"""
+
+
 # Misra-Gries capacity: each per-partition summary keeps at most this
 # many counters, so the merged undercount is bounded by
 # N_tokens / (capacity + 1) regardless of how the corpus is laid out.

@@ -875,11 +875,11 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 68
+    assert len(EXTRA) == 71
     assert len(BENCH_ONLY) == 5
-    # the twenty-one NEW round-7 operators lead the EXTRA lane (never
+    # the twenty-four NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:21] == [
+    assert list(EXTRA)[:24] == [
         "graph_triangles",
         "bpe_merges",
         "bpe_apply",
@@ -901,6 +901,9 @@ def test_lane_counts_match_docs():
         "batch_by_length",
         "url_canonicalize",
         "cms_counts",
+        "pmi_cooccur",
+        "session_paths",
+        "chi2_contingency",
     ]
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -3544,3 +3547,116 @@ def test_cms_counts_estimates_match_global_sketch(spark, sf_dir):
         )
         assert r.n_exact == n
         assert r.cms_ok and n <= est <= n_total
+
+
+def test_pmi_cooccur_matches_python_recompute(spark, sf_dir):
+    # recompute counts and the micro-quantized PMI from raw text; the
+    # top-k cut must follow the (count DESC, gram ASC) total order
+    import math
+    from collections import Counter
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        PMI_MIN_COUNT,
+        PMI_TOP,
+        q_pmi_cooccur,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    uni, pairs = Counter(), Counter()
+    for t in texts:
+        toks = t.split(" ")
+        uni.update(toks)
+        pairs.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    n_uni, n_pairs = sum(uni.values()), sum(pairs.values())
+    top = sorted(
+        ((g, c) for g, c in pairs.items() if c >= PMI_MIN_COUNT),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:PMI_TOP]
+
+    got = {r.gram: r for r in q_pmi_cooccur(spark, sf_dir).collect()}
+    assert set(got) == {g for g, _ in top}
+    for g, c_xy in top:
+        x, y = g.split(" ")
+        r = got[g]
+        assert (r.x, r.y, r.c_xy, r.c_x, r.c_y) == (x, y, c_xy, uni[x], uni[y])
+        ratio = (
+            float(c_xy) * float(n_uni) * float(n_uni)
+            / (float(n_pairs) * float(uni[x]) * float(uni[y]))
+        )
+        assert r.pmi == round(math.log2(ratio) * 1_000_000) / 1e6
+
+
+def test_session_paths_matches_python_recompute(spark, sf_dir):
+    # rebuild every user's first-3 path (including short-path users,
+    # where concat_ws must skip the missing slots) and the shares
+    from collections import Counter, defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        SESSION_PATH_LEN,
+        q_session_paths,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    paths = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        paths[">".join(t for _, _, t in evs[:SESSION_PATH_LEN])] += 1
+    n_total = len(by_user)
+
+    got = {r.path: r for r in q_session_paths(spark, sf_dir).collect()}
+    assert set(got) == set(paths)
+    for p, n in paths.items():
+        r = got[p]
+        assert r.n_users == n
+        assert r.share == ((2 * n * 1_000_000 + n_total) // (2 * n_total)) / 1e6
+
+
+def test_chi2_contingency_matches_python_recompute(spark, sf_dir):
+    # exact marginals and the fixed-op-order IEEE statistic recomputed
+    # from the raw events; chi2_total must equal the sum of the
+    # micro-quantized terms
+    from collections import Counter
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        CHI2_HOUR_BUCKETS,
+        q_chi2_contingency,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    cells = Counter(
+        (r.event_type, r.ts.hour // (24 // CHI2_HOUR_BUCKETS)) for r in rows
+    )
+    r_tot, c_tot = Counter(), Counter()
+    for (t, b), n in cells.items():
+        r_tot[t] += n
+        c_tot[b] += n
+    n_tot = sum(cells.values())
+
+    got = {(r.event_type, r.hour_bucket): r for r in q_chi2_contingency(spark, sf_dir).collect()}
+    assert set(got) == set(cells)
+    total_micro = 0
+    terms = {}
+    for (t, b), o in cells.items():
+        d = float(o * n_tot - r_tot[t] * c_tot[b])
+        den = float(n_tot * r_tot[t] * c_tot[b])
+        tm = round(d * d / den * 1_000_000)
+        terms[(t, b)] = tm
+        total_micro += tm
+    for key, o in cells.items():
+        r = got[key]
+        t, b = key
+        rc = r_tot[t] * c_tot[b]
+        assert r.n_obs == o
+        assert r.expected == ((2 * rc * 1_000_000 + n_tot) // (2 * n_tot)) / 1e6
+        assert r.chi2_term == terms[key] / 1e6
+        assert r.chi2_total == total_micro / 1e6
