@@ -365,16 +365,19 @@ def _extra_queries() -> list[Query]:
     )
     from .similarity import (
         SQL_ANN_PQ_TOPK,
+        SQL_ANN_TWO_STAGE,
         SQL_KMEANS_EMBEDDINGS,
         SQL_PQ_ENCODE,
         SQL_SIM_JOIN_KMEANS,
         q_ann_pq_topk,
+        q_ann_two_stage,
         q_kmeans_embeddings,
         q_pq_encode,
         q_sim_join_kmeans,
     )
     from .textstats import (
         SQL_CMS_COUNTS,
+        SQL_ENTROPY_SCORE,
         SQL_FREQ_ITEMS_TOPK,
         SQL_NGRAM_COUNTS,
         SQL_PMI_COOCCUR,
@@ -382,6 +385,7 @@ def _extra_queries() -> list[Query]:
         SQL_URL_CANONICALIZE,
         SQL_VOCAB_COVERAGE,
         q_cms_counts,
+        q_entropy_score,
         q_freq_items_topk,
         q_ngram_counts,
         q_pmi_cooccur,
@@ -554,6 +558,18 @@ def _extra_queries() -> list[Query]:
             q_chi2_contingency,
             SQL_CHI2_CONTINGENCY,
             ("relational", "analytics", "statistics"),
+        ),
+        Query(
+            "ann_two_stage",
+            q_ann_two_stage,
+            SQL_ANN_TWO_STAGE,
+            ("llm", "similarity", "approx", "topk", "pipeline"),
+        ),
+        Query(
+            "entropy_score",
+            q_entropy_score,
+            SQL_ENTROPY_SCORE,
+            ("llm", "text", "quality"),
         ),
     ]
 

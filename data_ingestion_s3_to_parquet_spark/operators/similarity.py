@@ -950,6 +950,123 @@ FROM s0_{final} s0
 SQL_PQ_ENCODE = _sql_pq_encode()
 
 
+ANN_SHORTLIST = 50
+
+
+def q_ann_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production ANN query shape (shortlist
+    with the cheap index, re-rank the shortlist exactly): ADC over the
+    PQ codes cuts the corpus to a {short}-candidate shortlist, then
+    ONLY those candidates are re-scored with the exact (quantized)
+    squared distance on the full vectors and cut to the top-{k}. At
+    billion scale stage 1 reads {m} bytes of codes per vector and
+    stage 2 touches {short} raw vectors total — the recall of exact
+    search at a sliver of its bandwidth wherever the shortlist covers
+    the true neighbors.
+
+    Everything stays fixed-point int64 (the codebooks, the ADC lookup
+    sums, the exact re-rank distances), so this approximate pipeline
+    carries a FULL bitwise oracle end-to-end — the SQL reuses the ADC
+    query text verbatim as its shortlist CTE (one source of truth)
+    and re-ranks with the same quantization expression. Both cuts sit
+    on total orders ((adc ASC, vec_id), then (exact ASC, vec_id)).
+    Plan: the shortlist is {short}-row bounded ⇒ broadcast to the
+    re-rank join by classification; the exact pass is one map-side
+    array-fold over the joined rows.
+    """
+    books, codes = _pq_fit(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    luts = []
+    for m in range(PQ_SUBSPACES):
+        qrow = (
+            _pq_sub_quantized(e, m)
+            .where(F.col("vec_id") == QUERY_VEC_ID)
+            .first()
+        )
+        qv = list(qrow.qe)
+        luts.append(
+            [
+                sum((a - b) * (a - b) for a, b in zip(qv, c))
+                for c in books[m]
+            ]
+        )
+    score = sum(
+        F.element_at(
+            F.array(*[F.lit(int(d)).cast("long") for d in luts[m]]),
+            (F.col(f"code_{m}") + 1).cast("int"),
+        )
+        for m in range(PQ_SUBSPACES)
+    )
+    shortlist = (
+        codes.where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", score.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(ANN_SHORTLIST)
+    )
+    full = _kmeans_quantized(spark, sf_dir)
+    qfull = list(
+        full.where(F.col("vec_id") == QUERY_VEC_ID).first().qe
+    )
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qfull])
+    exact = F.aggregate(
+        F.zip_with(F.col("qe"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        full.join(F.broadcast(shortlist), "vec_id")
+        .select("vec_id", "adc_dist", exact.alias("exact_dist"))
+        .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+q_ann_two_stage.__doc__ = q_ann_two_stage.__doc__.format(
+    short=ANN_SHORTLIST, k=TOP_K, m=PQ_SUBSPACES
+)
+
+
+def _sql_ann_two_stage() -> str:
+    """Oracle for :func:`q_ann_two_stage`: the ADC query text becomes
+    the shortlist CTE verbatim (only its LIMIT widens to the shortlist
+    size), then the exact re-rank runs on the same full-vector
+    quantization the Spark side uses."""
+    head, tail = SQL_ANN_PQ_TOPK.split("\nSELECT s0.vec_id", 1)
+    inner = ("SELECT s0.vec_id" + tail).replace(
+        f"LIMIT {TOP_K}", f"LIMIT {ANN_SHORTLIST}"
+    )
+    return f"""{head},
+sl AS ({inner}),
+fq AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)
+          for x in embedding] AS qe
+  FROM embeddings
+),
+fqd AS (
+  SELECT vec_id, unnest(generate_series(1, len(qe))) AS dim,
+         unnest(qe) AS v
+  FROM fq
+),
+qv AS (SELECT dim, v FROM fqd WHERE vec_id = {QUERY_VEC_ID}),
+rr AS (
+  SELECT f.vec_id,
+         CAST(SUM((f.v - qv.v) * (f.v - qv.v)) AS BIGINT) AS exact_dist
+  FROM fqd f
+  JOIN qv USING (dim)
+  JOIN sl ON sl.vec_id = f.vec_id
+  GROUP BY f.vec_id
+)
+SELECT sl.vec_id, sl.adc_dist, rr.exact_dist
+FROM sl JOIN rr USING (vec_id)
+ORDER BY exact_dist ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+SQL_ANN_TWO_STAGE = _sql_ann_two_stage()
+
+
 def q_sim_join_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity join blocked by LEARNED k-means cells instead of a
     given key — the SemDeDup blocking discipline (cluster first,

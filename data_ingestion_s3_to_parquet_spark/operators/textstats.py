@@ -647,6 +647,85 @@ LIMIT {NGRAM_TOP}
 """
 
 
+def q_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy — the
+    information-theoretic quality signal: template/boilerplate text
+    reuses a few words (low H), natural prose spreads mass (higher H),
+    and H complements the Gopher repetition ratios with a single
+    scalar. H = Σ cᵢ·log2(n/cᵢ) / n over the document's word counts.
+
+    Determinism is the ``lm_unigram_score`` rule applied per (doc,
+    word): n/cᵢ is a quotient of exact int64-in-double values, one
+    log2 per distinct word, the term cᵢ·log2(n/cᵢ) is a fixed IEEE op
+    sequence micro-quantized to int64, the per-doc sum is exact, and
+    the final /n goes through the midpoint-free fixed-point quotient.
+    Scale shape: one (doc_id, word) count shuffle, one doc_id window
+    for the doc totals, one combinable per-doc aggregation — all keyed
+    on high-cardinality doc ids.
+    """
+    from ..functions.numeric import fp_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    wd = Window.partitionBy("doc_id")
+    m = cnt.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(wd).alias("n"),
+    )
+    tm = F.round(
+        F.col("c").cast("double")
+        * F.log2(F.col("n").cast("double") / F.col("c").cast("double"))
+        * 1_000_000,
+        0,
+    ).cast("long")
+    return (
+        m.select("doc_id", "c", "n", tm.alias("tm"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.sum("tm").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            fp_ratio(F.col("s"), F.col("n_words"), 6).alias("entropy"),
+        )
+    )
+
+
+SQL_ENTROPY_SCORE = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+m AS (
+  SELECT doc_id, c,
+         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM cnt
+),
+t AS (
+  SELECT doc_id, c, n,
+         CAST(ROUND(CAST(c AS DOUBLE)
+                    * log2(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS tm
+  FROM m
+),
+g AS (
+  SELECT doc_id, MAX(n) AS n_words, COUNT(*) AS n_distinct,
+         CAST(SUM(tm) AS BIGINT) AS s
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_distinct,
+       CAST((2 * s + n_words) // (2 * n_words) AS DOUBLE) / 1000000.0
+         AS entropy
+FROM g
+"""
+
+
 PMI_TOP = 50
 PMI_MIN_COUNT = 5
 
