@@ -17,8 +17,8 @@ duplicate clusters) — and three entries with green driver rows demote
 to the EXTRA lane (sample_span_mask and lm_unigram_score, green in r6
 on the CAST-fixed oracles; udf_scalar, five straight greens). Once
 this round grades, every oracle-gated operator in the repo has a
-green driver row in some round. The EXTRA lane holds seventy-three
-oracle-gated entries: the 26 NEW round-7 operators lead it
+green driver row in some round. The EXTRA lane holds seventy-five
+oracle-gated entries: the 28 NEW round-7 operators lead it
 (graph_triangles, per-vertex triangle counts over the undirected
 k-NN graph; bpe_merges + bpe_apply, BPE-style tokenizer training and
 per-document token counting over the word
@@ -50,14 +50,16 @@ journeys with fixed-point user shares; chi2_contingency, the
 chi-square independence test on exact marginals; ann_two_stage, the
 ADC-shortlist + exact-re-rank retrieval pipeline under a full
 bitwise oracle; entropy_score, per-document word-distribution
-Shannon entropy — never graded,
+Shannon entropy; content_chunks, content-defined (FastCDC-style)
+chunking with cross-corpus fingerprint copy counts; word_filter,
+the C4 blocklist gate with fixed-point hit rates — never graded,
 first in line for
 the next swap
 or a larger budget), and the other 47 all carry prior green
 driver rows. Everything is verified locally each round by
 tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 73 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 75 EXTRA /
 5 BENCH_ONLY) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

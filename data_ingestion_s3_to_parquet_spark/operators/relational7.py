@@ -377,6 +377,7 @@ def _extra_queries() -> list[Query]:
     )
     from .textstats import (
         SQL_CMS_COUNTS,
+        SQL_CONTENT_CHUNKS,
         SQL_ENTROPY_SCORE,
         SQL_FREQ_ITEMS_TOPK,
         SQL_NGRAM_COUNTS,
@@ -384,7 +385,9 @@ def _extra_queries() -> list[Query]:
         SQL_STRIP_MARKUP,
         SQL_URL_CANONICALIZE,
         SQL_VOCAB_COVERAGE,
+        SQL_WORD_FILTER,
         q_cms_counts,
+        q_content_chunks,
         q_entropy_score,
         q_freq_items_topk,
         q_ngram_counts,
@@ -392,6 +395,7 @@ def _extra_queries() -> list[Query]:
         q_strip_markup,
         q_url_canonicalize,
         q_vocab_coverage,
+        q_word_filter,
     )
     from .trainprep import (
         SQL_BATCH_BY_LENGTH,
@@ -569,6 +573,18 @@ def _extra_queries() -> list[Query]:
             "entropy_score",
             q_entropy_score,
             SQL_ENTROPY_SCORE,
+            ("llm", "text", "quality"),
+        ),
+        Query(
+            "content_chunks",
+            q_content_chunks,
+            SQL_CONTENT_CHUNKS,
+            ("llm", "text", "dedup", "rag"),
+        ),
+        Query(
+            "word_filter",
+            q_word_filter,
+            SQL_WORD_FILTER,
             ("llm", "text", "quality"),
         ),
     ]

@@ -726,6 +726,158 @@ FROM g
 """
 
 
+# content-defined chunk boundary: md5 first-nibble % 8 == 0 → a token
+# closes a chunk with probability 2/16, i.e. ~8-token expected chunks
+CDC_DIVISOR = 8
+
+
+def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC idea applied to token
+    streams): chunk boundaries are placed where a rolling content hash
+    crosses a threshold — a pure function of the TOKEN, not of
+    position — so an insertion early in a document shifts only the
+    chunk it lands in, and every other chunk keeps its identity (and
+    its fingerprint) for cross-document dedup. Fixed-width chunking
+    (``chunk_text``) re-fingerprints everything downstream of an edit;
+    this is the chunking that makes substring-level dedup incremental.
+
+    Per chunk: ordered token reassembly (sort_array over (pos, token)
+    structs — deterministic on both engines), token count, md5
+    fingerprint, and the cross-corpus copy count of that fingerprint.
+    Shapes: one posexplode scan, the per-doc boundary window
+    (high-cardinality doc key), one (doc, chunk) aggregation, one
+    fingerprint-keyed window for copy counts — every shuffle keys on
+    doc ids or content hashes, never on text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    brk = (
+        F.conv(F.substring(F.md5("tok"), 1, 1), 16, 10).cast("long")
+        % CDC_DIVISOR
+        == 0
+    ).cast("long")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(brk).over(w), F.lit(0)).alias("chunk_id"),
+    )
+    asm = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s.tok,
+        ),
+        " ",
+    )
+    per_chunk = chunks.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_tokens"),
+        asm.alias("chunk_text"),
+    )
+    wf = Window.partitionBy("fingerprint")
+    return (
+        per_chunk.withColumn("fingerprint", F.md5("chunk_text"))
+        .withColumn("n_copies", F.count("*").over(wf))
+        .select(
+            "doc_id", "chunk_id", "n_tokens", "fingerprint", "n_copies"
+        )
+    )
+
+
+SQL_CONTENT_CHUNKS = f"""
+WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ti AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM tt
+),
+t AS (SELECT doc_id, pos, t[pos] AS tok FROM ti),
+b AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+                   % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+c AS (
+  SELECT doc_id, pos, tok,
+         CAST(COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS BIGINT)
+           AS chunk_id
+  FROM b
+),
+g AS (
+  SELECT doc_id, chunk_id, COUNT(*) AS n_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+  FROM c GROUP BY doc_id, chunk_id
+)
+SELECT doc_id, chunk_id, n_tokens,
+       md5(chunk_text) AS fingerprint,
+       COUNT(*) OVER (PARTITION BY md5(chunk_text)) AS n_copies
+FROM g
+"""
+
+
+# C4-style blocklist (fixture-vocabulary words standing in for a real
+# bad-words list — the GATE mechanics are what the oracle verifies)
+WORD_BLOCKLIST = ("slow", "big", "error")
+
+
+def q_word_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist word gate — the C4 "bad words" filter: per document,
+    the total and distinct blocklist hits, the fixed-point hit rate,
+    and the keep verdict (C4 semantics: ANY hit drops the document).
+    Map-only array algebra inside whole-stage codegen — at 100 TB this
+    gate is scan-bound, exactly as a first-pass filter must be; the
+    blocklist itself is a compile-time constant folded into the plan
+    (a runtime blocklist table would be the one provably-safe
+    broadcast, the ``vocab_coverage`` shape).
+    """
+    from ..functions.numeric import fp_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    flagged = F.filter(toks, lambda x: x.isin(*WORD_BLOCKLIST))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(flagged).cast("long").alias("n_flagged"),
+        F.size(F.array_distinct(flagged)).cast("long").alias("n_distinct_flagged"),
+        fp_ratio(
+            F.size(flagged).cast("long") * 1_000_000,
+            F.size(toks).cast("long"),
+            6,
+        ).alias("flag_rate"),
+        (F.size(flagged) == 0).alias("keep"),
+    )
+
+
+_BL = ", ".join(f"'{w}'" for w in WORD_BLOCKLIST)
+
+SQL_WORD_FILTER = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ({_BL}))) AS BIGINT) AS n_flagged,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                              x -> x IN ({_BL})))) AS BIGINT)
+           AS n_distinct_flagged
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_flagged, n_distinct_flagged,
+       CAST((2 * n_flagged * 1000000 + n_tokens)
+            // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS flag_rate,
+       n_flagged = 0 AS keep
+FROM b
+"""
+
+
 PMI_TOP = 50
 PMI_MIN_COUNT = 5
 

@@ -94,14 +94,14 @@ REGISTRY: dict[str, Query] = _collect()
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
 # pytest, but not submitted for driver grading. As of round 7 this
-# lane holds seventy-three entries: the 26 NEW round-7 operators
+# lane holds seventy-five entries: the 28 NEW round-7 operators
 # lead it (graph_triangles, bpe_merges, bpe_apply, vocab_coverage,
 # stream_join_interval, kmeans_embeddings, sim_join_kmeans,
 # pq_encode, ann_pq_topk, freq_items_topk, dedup_soft, mix_weights,
 # strip_markup, ngram_counts, merge_intervals, markov_transitions,
 # robust_stats, shard_manifest, batch_by_length, url_canonicalize,
 # cms_counts, pmi_cooccur, session_paths, chi2_contingency,
-# ann_two_stage, entropy_score — never
+# ann_two_stage, entropy_score, content_chunks, word_filter — never
 # graded, first
 # in line for the next swap or a larger budget, registered via
 # relational7's EXTRA_QUERIES, the first EXTRA-contributing module);

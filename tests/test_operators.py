@@ -875,11 +875,11 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 73
+    assert len(EXTRA) == 75
     assert len(BENCH_ONLY) == 5
-    # the twenty-six NEW round-7 operators lead the EXTRA lane (never
+    # the twenty-eight NEW round-7 operators lead the EXTRA lane (never
     # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:26] == [
+    assert list(EXTRA)[:28] == [
         "graph_triangles",
         "bpe_merges",
         "bpe_apply",
@@ -906,6 +906,8 @@ def test_lane_counts_match_docs():
         "chi2_contingency",
         "ann_two_stage",
         "entropy_score",
+        "content_chunks",
+        "word_filter",
     ]
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -3726,3 +3728,111 @@ def test_entropy_score_matches_python_recompute(spark, sf_dir):
         r = got[doc_id]
         assert (r.n_words, r.n_distinct) == (n, len(c))
         assert r.entropy == ((2 * s + n) // (2 * n)) / 1e6
+
+
+def test_content_chunks_matches_python_recompute(spark, sf_dir):
+    # boundary placement, chunk reassembly, and the edit-stability
+    # property recomputed in pure python; chunks must partition every
+    # document's token stream in order
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        CDC_DIVISOR,
+        q_content_chunks,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    exp = defaultdict(dict)  # doc_id -> chunk_id -> text
+    fp_count = Counter()
+    for doc_id, text in docs.items():
+        cid = 0
+        cur = []
+        for tok in text.split(" "):
+            cur.append(tok)
+            h = int(hashlib.md5(tok.encode()).hexdigest()[0], 16)
+            if h % CDC_DIVISOR == 0:  # this token closes the chunk
+                exp[doc_id][cid] = " ".join(cur)
+                cid += 1
+                cur = []
+        if cur:
+            exp[doc_id][cid] = " ".join(cur)
+        for t in exp[doc_id].values():
+            fp_count[hashlib.md5(t.encode()).hexdigest()] += 1
+
+    rows = q_content_chunks(spark, sf_dir).collect()
+    got = defaultdict(dict)
+    for r in rows:
+        got[r.doc_id][r.chunk_id] = r
+    assert {d: set(c) for d, c in got.items()} == {
+        d: set(c) for d, c in exp.items()
+    }
+    for doc_id, chunks in exp.items():
+        for cid, text in chunks.items():
+            r = got[doc_id][cid]
+            fp = hashlib.md5(text.encode()).hexdigest()
+            assert r.n_tokens == len(text.split(" "))
+            assert r.fingerprint == fp
+            assert r.n_copies == fp_count[fp]
+
+
+def test_content_chunks_are_edit_stable(spark, tmp_path):
+    # the content-defined property itself: prepending tokens to a
+    # document changes ONLY the first chunk's fingerprint lineage —
+    # all chunks after the first boundary keep their fingerprints
+    # (fixed-width chunking would shift every one)
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_content_chunks,
+    )
+
+    base = "key agg row scan slow fast table value part hash merge batch " \
+           "spark order data column join small line customer query big"
+    edited = "zzz " + base
+    spark.createDataFrame(
+        [(0, base, "en"), (1, edited, "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = q_content_chunks(spark, str(tmp_path)).collect()
+    fps = {0: set(), 1: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fingerprint)
+    shared = fps[0] & fps[1]
+    # everything after the first boundary is identical content ->
+    # shared fingerprints; only the head chunk differs
+    assert len(shared) >= len(fps[0]) - 1
+    assert any(r.n_copies == 2 for r in rows)
+
+
+def test_word_filter_matches_python_recompute(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        WORD_BLOCKLIST,
+        q_word_filter,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got = {r.doc_id: r for r in q_word_filter(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    kept = dropped = 0
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        flagged = [t for t in toks if t in WORD_BLOCKLIST]
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_flagged == len(flagged)
+        assert r.n_distinct_flagged == len(set(flagged))
+        assert r.flag_rate == (
+            (2 * len(flagged) * 1_000_000 + len(toks)) // (2 * len(toks))
+        ) / 1e6
+        assert r.keep == (not flagged)
+        kept += r.keep
+        dropped += not r.keep
+    assert kept and dropped  # the gate's both lanes are exercised
