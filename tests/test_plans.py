@@ -468,3 +468,97 @@ def test_cms_counts_broadcasts_sketch_and_total_only(spark):
     assert "MapInPandas" in plan
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_joins_are_all_broadcast_after_the_topk_cut(spark):
+    # the pair frame is cut to a bounded top-k BEFORE the unigram
+    # joins, so every join side is constant-sized — nothing may
+    # sort-merge or shuffle-hash a vocabulary-sized side
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_pmi_cooccur,
+    )
+
+    plan = plan_of(q_pmi_cooccur(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_session_paths_broadcasts_only_the_total(spark):
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_session_paths,
+    )
+
+    plan = plan_of(q_session_paths(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert ") Window" in plan
+
+
+def test_chi2_is_cell_frame_algebra_after_one_count(spark):
+    # marginal windows run over the bounded cell frame; the one
+    # combinable count is the only data-sized stage, and no joins
+    # appear anywhere
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_chi2_contingency,
+    )
+
+    plan = plan_of(q_chi2_contingency(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count(") HashAggregate") >= 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_ann_two_stage_broadcasts_the_shortlist(spark):
+    # the PQ code joins keep their shuffle_hash pins (corpus-sized
+    # sides); the bounded shortlist side broadcasts into the re-rank
+    from data_ingestion_s3_to_parquet_spark.operators.similarity import (
+        q_ann_two_stage,
+    )
+
+    plan = plan_of(q_ann_two_stage(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_entropy_score_pays_two_keyed_shuffles(spark):
+    # (doc, word) count + doc window — both on high-cardinality doc
+    # keys; no joins, no broadcast of anything data-sized
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_entropy_score,
+    )
+
+    plan = plan_of(q_entropy_score(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_content_chunks_shuffles_on_docs_and_fingerprints_only(spark):
+    # two exchanges (doc-keyed boundary window, fingerprint-keyed copy
+    # count); document text never becomes a shuffle key and no joins
+    # appear
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_content_chunks,
+    )
+
+    plan = plan_of(q_content_chunks(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_word_filter_is_map_only(spark):
+    # the C4 gate must be scan-bound: zero exchanges of any kind
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_word_filter,
+    )
+
+    plan = plan_of(q_word_filter(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)) == 0

@@ -72,6 +72,12 @@ DEFAULT_NAMES = [
     "batch_by_length",
     "url_canonicalize",
     "cms_counts",
+    "pmi_cooccur",
+    "session_paths",
+    "chi2_contingency",
+    "ann_two_stage",
+    "entropy_score",
+    "content_chunks",
 ]
 
 
