@@ -514,6 +514,7 @@ def _extra_queries() -> list[Query]:
             q_markov_transitions,
             SQL_MARKOV_TRANSITIONS,
             ("relational", "analytics", "window"),
+            bench=True,  # the bounded-key sequence-statistic representative
         ),
         Query(
             "robust_stats",
@@ -580,6 +581,7 @@ def _extra_queries() -> list[Query]:
             q_content_chunks,
             SQL_CONTENT_CHUNKS,
             ("llm", "text", "dedup", "rag"),
+            bench=True,  # the token-window + fingerprint-window representative
         ),
         Query(
             "word_filter",

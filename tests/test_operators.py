@@ -713,7 +713,9 @@ def test_extra_lane_doc_counts_match_registry():
         63: "sixty-three", 64: "sixty-four", 65: "sixty-five",
         66: "sixty-six", 67: "sixty-seven", 68: "sixty-eight",
         69: "sixty-nine", 70: "seventy", 71: "seventy-one",
-        72: "seventy-two",
+        72: "seventy-two", 73: "seventy-three", 74: "seventy-four",
+        75: "seventy-five", 76: "seventy-six", 77: "seventy-seven",
+        78: "seventy-eight", 79: "seventy-nine", 80: "eighty",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
