@@ -1136,9 +1136,10 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order — user_id is the high-cardinality key, so the sort is
     fully parallel) feeds a map-side-combinable count whose key space
     is |event_types|² — BOUNDED at 25 rows here and constant in corpus
-    size, so both the per-source totals side and the join back are
-    broadcast-safe at any scale (the §45 classification: proportional
-    to a constant). The probability goes through the midpoint-free
+    size, so the per-source totals are a window sum over that bounded
+    cell frame (the ``chi2_contingency`` marginal trick — no join, no
+    recomputed subtree; the §45 classification: proportional to a
+    constant). The probability goes through the midpoint-free
     fixed-point quotient (``functions/numeric.fp_ratio``) so both
     engines project the identical double.
     """
@@ -1153,8 +1154,14 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = pairs.groupBy("prev_type", "next_type").agg(
         F.count("*").alias("n_trans")
     )
-    totals = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
-    return trans.join(F.broadcast(totals), "prev_type").select(
+    wp = Window.partitionBy("prev_type")
+    m = trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.sum("n_trans").over(wp).alias("n_from"),
+    )
+    return m.select(
         "prev_type",
         "next_type",
         "n_trans",
@@ -1177,14 +1184,16 @@ t AS (
   FROM p WHERE prev_type IS NOT NULL
   GROUP BY prev_type, next_type
 ),
-tot AS (
-  SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
-  FROM t GROUP BY prev_type
+m AS (
+  SELECT prev_type, next_type, n_trans,
+         CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS n_from
+  FROM t
 )
-SELECT t.prev_type, t.next_type, t.n_trans, tot.n_from,
-       CAST((2 * t.n_trans * 1000000 + tot.n_from)
-            // (2 * tot.n_from) AS DOUBLE) / 1000000.0 AS p_trans
-FROM t JOIN tot USING (prev_type)
+SELECT prev_type, next_type, n_trans, n_from,
+       CAST((2 * n_trans * 1000000 + n_from)
+            // (2 * n_from) AS DOUBLE) / 1000000.0 AS p_trans
+FROM m
 """
 
 

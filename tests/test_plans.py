@@ -383,16 +383,20 @@ def test_kmeans_assignment_is_map_only_arrow(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
 
 
-def test_markov_totals_join_is_broadcast_bounded(spark):
-    # the totals side is |event_types|-bounded (constant in corpus
-    # size) — broadcast by classification; nothing sort-merges
+def test_markov_totals_are_a_bounded_window_not_a_join(spark):
+    # per-source totals come from a window sum over the 25-row pair
+    # frame (the chi2 marginal trick) — no join anywhere, and exactly
+    # three exchanges (per-user window, pair count, bounded-frame
+    # window), no recomputed subtree
+    import re
+
     from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
         q_markov_transitions,
     )
 
     plan = plan_of(q_markov_transitions(spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
 
 
 def test_robust_stats_joins_stay_broadcast(spark):
