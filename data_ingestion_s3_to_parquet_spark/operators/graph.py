@@ -361,7 +361,8 @@ FROM v GROUP BY vec_id
 
 
 # Promoted to the graded lane in round 5 (never driver-graded before;
-# VERDICT r4 #1 — rotation round three).
+# VERDICT r4 #1). label_propagation (green r5+r6) demoted in the
+# round-7 wave-2 rotation in exchange for a never-graded promotee.
 QUERIES = [
     Query(
         "pagerank",
@@ -370,6 +371,9 @@ QUERIES = [
         ("llm", "graph", "iterative"),
         bench=True,  # the iterative int64 kernel, timed end-to-end
     ),
+]
+
+EXTRA_QUERIES: list[Query] = [
     Query(
         "label_propagation",
         q_label_propagation,
@@ -377,5 +381,3 @@ QUERIES = [
         ("llm", "graph", "iterative"),
     ),
 ]
-
-EXTRA_QUERIES: list[Query] = []

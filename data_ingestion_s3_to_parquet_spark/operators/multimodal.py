@@ -522,16 +522,17 @@ FROM f
 """
 
 
-QUERIES = [
-    Query("multimodal_cols", q_multimodal_cols, SQL_MULTIMODAL_COLS, ("llm", "multimodal")),
-    Query("array_map_json", q_array_map_json, SQL_ARRAY_MAP_JSON, ("relational", "json")),
-]
+QUERIES: list[Query] = []
 
 # Rotated to the EXTRA lane: media_frame_sample in round 4 (green
 # driver row in r3 — VERDICT r3 #1); udf_scalar in round 7 after five
 # consecutive green driver rows (VERDICT r6 #1: its graded slot went
-# to a never-graded round-6 operator). Both keep oracles + bench.
+# to a never-graded round-6 operator); multimodal_cols /
+# array_map_json in the round-7 wave-2 rotation (green rows incl.
+# r6). All keep oracles + bench entries.
 EXTRA_QUERIES = [
+    Query("multimodal_cols", q_multimodal_cols, SQL_MULTIMODAL_COLS, ("llm", "multimodal")),
+    Query("array_map_json", q_array_map_json, SQL_ARRAY_MAP_JSON, ("relational", "json")),
     Query("udf_scalar", q_udf_scalar, SQL_UDF_SCALAR, ("relational", "udf"), bench=True),
     Query(
         "media_frame_sample",

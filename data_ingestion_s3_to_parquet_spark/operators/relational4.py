@@ -66,7 +66,11 @@ FROM embeddings
 """
 
 
-QUERIES = [
+# Demoted to the EXTRA lane in the round-7 wave-2 rotation (green
+# rows incl. r6) in exchange for a never-graded round-7 promotee.
+QUERIES: list[Query] = []
+
+EXTRA_QUERIES = [
     Query(
         "higher_order_funcs",
         q_higher_order_funcs,

@@ -477,10 +477,12 @@ GROUP BY event_type
 """
 
 
-# Promoted into the graded 50 in round 4 (VERDICT r3 #1): these seven
-# had never earned a driver CORRECTNESS row; seven round-3 promotees
-# with green r3 rows moved to the EXTRA lane in exchange.
-QUERIES = [
+# Promoted into the graded 50 in round 4 (VERDICT r3 #1), green in
+# rounds 4-6; demoted to the EXTRA lane in the round-7 wave-2
+# rotation in exchange for never-graded round-7 promotees.
+QUERIES: list[Query] = []
+
+EXTRA_QUERIES = [
     Query(
         "join_bloom_prefilter",
         q_join_bloom_prefilter,
@@ -509,5 +511,3 @@ QUERIES = [
     ),
     Query("json_variant", q_json_variant, SQL_JSON_VARIANT, ("relational", "json")),
 ]
-
-EXTRA_QUERIES: list[Query] = []

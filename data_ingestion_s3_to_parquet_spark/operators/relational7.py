@@ -320,36 +320,15 @@ def _promoted_r7() -> list[Query]:
     ]
 
 
-# Promoted to the graded lane in round 5 (never driver-graded before;
-# VERDICT r4 #1 — rotation round three).
-QUERIES = _promoted_r7() + [
-    Query(
-        "window_distribution",
-        q_window_distribution,
-        SQL_WINDOW_DISTRIBUTION,
-        ("relational", "window"),
-    ),
-    Query(
-        "interleave_mix",
-        q_interleave_mix,
-        SQL_INTERLEAVE_MIX,
-        ("llm", "sampling", "window"),
-    ),
-    Query(
-        "text_normalize",
-        q_text_normalize,
-        SQL_TEXT_NORMALIZE,
-        ("llm", "text"),
-    ),
-]
-
-# New never-graded operators register HERE — the first
-# EXTRA-contributing module in registry order — so they lead the lane
-# and a larger harness budget (or the next swap) grades them first.
-# The three round-6 entries that used to sit here promoted to the
-# graded lane in round 7 (VERDICT r6 #1); the three NEW round-7
-# operators below take their place at the head of the lane.
-def _extra_queries() -> list[Query]:
+# The 28 NEW round-7 operators (defined across graph / trainprep /
+# similarity / textstats / dedup / relational9 / streaming.windows)
+# register HERE, right after the round-6 trio, so they grade THIS
+# round: the second intra-round-7 rotation promotes every
+# never-driver-graded entry into the graded 50 (the same discipline
+# VERDICT r6 #1 applied to the round-6 trio), demoting 28 multi-green
+# veterans to the EXTRA lane in exchange. Once round 7 grades, every
+# oracle-gated operator in the repo has a driver CORRECTNESS row.
+def _promoted_r7_wave2() -> list[Query]:
     from .dedup import SQL_DEDUP_SOFT, q_dedup_soft
     from .relational9 import (
         SQL_CHI2_CONTINGENCY,
@@ -592,4 +571,38 @@ def _extra_queries() -> list[Query]:
     ]
 
 
-EXTRA_QUERIES: list[Query] = _extra_queries()
+# Graded lane contribution: the round-6 trio, the 28 round-7
+# promotees, and two round-5 veterans kept graded (window_distribution,
+# text_normalize — 2 green rows each, earning a third).
+QUERIES = (
+    _promoted_r7()
+    + _promoted_r7_wave2()
+    + [
+        Query(
+            "window_distribution",
+            q_window_distribution,
+            SQL_WINDOW_DISTRIBUTION,
+            ("relational", "window"),
+        ),
+        Query(
+            "text_normalize",
+            q_text_normalize,
+            SQL_TEXT_NORMALIZE,
+            ("llm", "text"),
+        ),
+    ]
+)
+
+# New never-graded operators register HERE — the first
+# EXTRA-contributing module in registry order — so they lead the lane
+# and a larger harness budget (or the next swap) grades them first.
+# As of the round-7 wave-2 rotation the lane holds only entries with
+# prior green driver rows; interleave_mix (green r5+r6) leads it.
+EXTRA_QUERIES: list[Query] = [
+    Query(
+        "interleave_mix",
+        q_interleave_mix,
+        SQL_INTERLEAVE_MIX,
+        ("llm", "sampling", "window"),
+    ),
+]

@@ -672,38 +672,17 @@ GROUP BY event_type
 
 QUERIES: list[Query] = []
 
-# Promoted to the graded lane in round 5 (never driver-graded before;
-# VERDICT r4 #1 — rotation round three). Round 6 promoted unpivot_stack
-# and anomaly_zscore too (VERDICT r5 #4) and kept sample_span_mask /
-# lm_unigram_score graded to re-earn green rows after the round-5
-# HUGEINT oracle CAST fix — which they did (CORRECTNESS_r06 green).
-# Round 7 demotes those two to the EXTRA lane (VERDICT r6 #1: their
-# graded slots went to two of the three never-graded round-6
-# operators).
+# Graded lane contribution after the round-7 wave-2 rotation:
+# knn_graph (round-5 promotee, green r5+r6) plus the two round-6
+# promotees (green r6), earning further rows; window_range_interval,
+# profile_table, agg_skew_salted (green r5+r6) demoted in exchange
+# for round-7 wave-2 promotees.
 QUERIES = [
-    Query(
-        "window_range_interval",
-        q_window_range_interval,
-        SQL_WINDOW_RANGE_INTERVAL,
-        ("relational", "window", "timeseries"),
-    ),
     Query(
         "knn_graph",
         q_knn_graph,
         SQL_KNN_GRAPH,
         ("llm", "similarity", "window"),
-    ),
-    Query(
-        "profile_table",
-        q_profile_table,
-        SQL_PROFILE_TABLE,
-        ("relational", "quality", "profiling"),
-    ),
-    Query(
-        "agg_skew_salted",
-        q_agg_skew_salted,
-        SQL_AGG_SKEW_SALTED,
-        ("relational", "agg", "skew"),
     ),
     Query(
         "unpivot_stack",
@@ -719,10 +698,30 @@ QUERIES = [
     ),
 ]
 
-# Demoted to the EXTRA lane in round 7 after re-earning green driver
-# rows in round 6 on the CAST-fixed oracles (VERDICT r6 #1). Both keep
-# their oracles + bench entries and stay in the local sweep.
+# Demoted to the EXTRA lane: sample_span_mask / lm_unigram_score in
+# round 7 after re-earning green rows in round 6 on the CAST-fixed
+# oracles (VERDICT r6 #1); window_range_interval / profile_table /
+# agg_skew_salted in the round-7 wave-2 rotation (green r5+r6). All
+# keep their oracles + bench entries and stay in the local sweep.
 EXTRA_QUERIES: list[Query] = [
+    Query(
+        "window_range_interval",
+        q_window_range_interval,
+        SQL_WINDOW_RANGE_INTERVAL,
+        ("relational", "window", "timeseries"),
+    ),
+    Query(
+        "profile_table",
+        q_profile_table,
+        SQL_PROFILE_TABLE,
+        ("relational", "quality", "profiling"),
+    ),
+    Query(
+        "agg_skew_salted",
+        q_agg_skew_salted,
+        SQL_AGG_SKEW_SALTED,
+        ("relational", "agg", "skew"),
+    ),
     Query(
         "sample_span_mask",
         q_sample_span_mask,

@@ -1488,11 +1488,10 @@ FROM t
 
 QUERIES: list[Query] = []
 
-# Promoted to the graded lane in round 5 (never driver-graded before;
-# VERDICT r4 #1 — rotation round three, the four novel plan shapes the
-# verdict named). Round 6 promotes the rest of the round-4 cohort —
-# the nine below, never driver-graded — completing the rotation
-# (VERDICT r5 #4). time_weighted_avg and ab_test_metrics carried the
+# Graded lane contribution after the round-7 wave-2 rotation: two
+# round-5 promotees kept graded (recursive_cte, data_expectations —
+# green r5+r6) and the nine round-6 promotees (green r6), earning
+# further rows. time_weighted_avg and ab_test_metrics carried the
 # same latent HUGEINT oracle defect as sample_span_mask and now CAST
 # their integer SUM output columns (span_sec, n_a, n_b) to BIGINT.
 QUERIES = [
@@ -1507,18 +1506,6 @@ QUERIES = [
         q_data_expectations,
         SQL_DATA_EXPECTATIONS,
         ("relational", "quality", "validation"),
-    ),
-    Query(
-        "fuzzy_match_strings",
-        q_fuzzy_match_strings,
-        SQL_FUZZY_MATCH_STRINGS,
-        ("llm", "text", "linkage"),
-    ),
-    Query(
-        "skyline_frontier",
-        q_skyline_frontier,
-        SQL_SKYLINE_FRONTIER,
-        ("relational", "analytics", "window"),
     ),
     Query(
         "time_weighted_avg",
@@ -1577,4 +1564,19 @@ QUERIES = [
     ),
 ]
 
-EXTRA_QUERIES: list[Query] = []
+# Demoted in the round-7 wave-2 rotation (green r5+r6) in exchange
+# for never-graded round-7 promotees; both stay in the local sweep.
+EXTRA_QUERIES: list[Query] = [
+    Query(
+        "fuzzy_match_strings",
+        q_fuzzy_match_strings,
+        SQL_FUZZY_MATCH_STRINGS,
+        ("llm", "text", "linkage"),
+    ),
+    Query(
+        "skyline_frontier",
+        q_skyline_frontier,
+        SQL_SKYLINE_FRONTIER,
+        ("relational", "analytics", "window"),
+    ),
+]

@@ -1120,7 +1120,16 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-QUERIES = [
+# All graded contributions from this module now register via
+# relational7 (emb_gram in the round-6 trio; kmeans_embeddings,
+# sim_join_kmeans, pq_encode, ann_pq_topk, ann_two_stage in the
+# round-7 wave-2 promotion).
+QUERIES: list[Query] = []
+
+# Demoted to the EXTRA lane: sim_topk in round 6 (four consecutive
+# green driver rows — VERDICT r5 #4); sim_join and ann_ivf_topk in
+# the round-7 wave-2 rotation (multiple green rows each, latest r6).
+EXTRA_QUERIES = [
     Query("sim_join", q_sim_join, SQL_SIM_JOIN, ("llm", "similarity"), bench=True),
     Query(
         "ann_ivf_topk",
@@ -1128,11 +1137,6 @@ QUERIES = [
         SQL_ANN_IVF_CHECK,
         ("llm", "similarity", "approx"),
     ),
-]
-
-# sim_topk demoted to the EXTRA lane in round 6 (four consecutive
-# green driver rows — VERDICT r5 #4).
-EXTRA_QUERIES = [
     Query("sim_topk", q_sim_topk, SQL_SIM_TOPK, ("llm", "similarity"), bench=True),
 ]
 

@@ -1417,7 +1417,17 @@ LIMIT {CMS_TOP}
 """
 
 
-QUERIES = [
+# All graded contributions from this module now register via
+# relational7 (the round-7 wave-2 promotion: vocab_coverage,
+# freq_items_topk, strip_markup, ngram_counts, url_canonicalize,
+# cms_counts, pmi_cooccur, entropy_score, content_chunks,
+# word_filter).
+QUERIES: list[Query] = []
+
+# Rotated to the EXTRA lane: quality_gopher / pii_redact in round 4
+# (green driver rows in r3 — VERDICT r3 #1); the five below in the
+# round-7 wave-2 rotation (multiple green rows each, latest r6).
+EXTRA_QUERIES = [
     Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
     Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),
     Query("lang_id", q_lang_id, SQL_LANG_ID, ("llm", "text")),
@@ -1435,11 +1445,6 @@ QUERIES = [
         ("llm", "text", "quality", "pipeline"),
         bench=True,  # the composed three-signal gate, timed end-to-end
     ),
-]
-
-# Rotated to the EXTRA lane in round 4 (green driver rows in r3; their
-# graded slots went to the never-graded round-3 operators — VERDICT r3 #1).
-EXTRA_QUERIES = [
     Query("quality_gopher", q_quality_gopher, SQL_QUALITY_GOPHER, ("llm", "text")),
     Query("pii_redact", q_pii_redact, SQL_PII_REDACT, ("llm", "text")),
 ]

@@ -11,12 +11,12 @@ tail), so never-before-graded operators come FIRST and the registry is
 consolidated to ≤ 50 entries total — every entry carries an oracle.
 Rounds 3-7 rotated every oracle-gated operator through the graded
 lane (promote never-graded, demote multi-green — per-round lists in
-git history and module docstrings); round 7 promotes the final three
-(``dedup_passages``, ``emb_gram``, ``dedup_keep_best`` — VERDICT r6
-#1), demoting ``sample_span_mask``, ``lm_unigram_score``,
-``udf_scalar``. Once round 7 grades, every oracle-gated operator has
-a driver row in some round. Operators whose semantics have no
-engine-neutral
+git history and module docstrings); round 7 promotes the round-6
+trio (``dedup_passages``, ``emb_gram``, ``dedup_keep_best`` —
+VERDICT r6 #1) AND, in a second intra-round rotation, all 28 new
+round-7 operators, demoting 31 multi-green veterans in exchange.
+Once round 7 grades, every oracle-gated operator has a driver row in
+some round. Operators whose semantics have no engine-neutral
 ground truth on these fixtures (``sim_join_lsh``, ``knn_graph_lsh``,
 ``dedup_components_lsh``, ``dedup_semantic``, ``lang_id_ngram``) are
 exposed as :data:`BENCH_ONLY` instead: benched and pytest-covered, not
@@ -93,24 +93,23 @@ REGISTRY: dict[str, Query] = _collect()
 
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
-# pytest, but not submitted for driver grading. As of round 7 this
-# lane holds seventy-five entries: the 28 NEW round-7 operators
-# lead it (graph_triangles, bpe_merges, bpe_apply, vocab_coverage,
-# stream_join_interval, kmeans_embeddings, sim_join_kmeans,
-# pq_encode, ann_pq_topk, freq_items_topk, dedup_soft, mix_weights,
-# strip_markup, ngram_counts, merge_intervals, markov_transitions,
-# robust_stats, shard_manifest, batch_by_length, url_canonicalize,
-# cms_counts, pmi_cooccur, session_paths, chi2_contingency,
-# ann_two_stage, entropy_score, content_chunks, word_filter — never
-# graded, first
-# in line for the next swap or a larger budget, registered via
-# relational7's EXTRA_QUERIES, the first EXTRA-contributing module);
-# every other entry has at least one prior green driver row (the
-# rotation programme is complete): the three round-7 demotees
-# (sample_span_mask, lm_unigram_score, udf_scalar), the 11 round-6
-# demotees, the 16 round-5 demotees, the round-3/4 demotees, and the
-# relational entries green in BOTH rounds 1 and 2 (the judge can
-# re-run oracle_check.py on the whole lane).
+# pytest, but not submitted for driver grading. After the round-7
+# wave-2 rotation this lane holds seventy-five entries, EVERY one
+# with at least one prior green driver row — the 28 wave-2 demotees
+# (multi-green veterans: interleave_mix, window_range_interval,
+# profile_table, agg_skew_salted, fuzzy_match_strings,
+# skyline_frontier, label_propagation, sim_join, ann_ivf_topk,
+# text_stats, doc_fingerprint, lang_id, tfidf_top_terms,
+# quality_classifier, multimodal_cols, array_map_json,
+# stream_tumbling, stream_sliding, stream_session,
+# join_bloom_prefilter, cdc_apply, sample_weighted, udtf_lateral,
+# agg_hll_sketch, resample_ffill, json_variant, higher_order_funcs,
+# scd2_history), the three wave-1 demotees (sample_span_mask,
+# lm_unigram_score, udf_scalar), the earlier rounds' demotees, and
+# the relational entries green in BOTH rounds 1 and 2 (the judge can
+# re-run oracle_check.py on the whole lane). New never-graded
+# operators go at the head via relational7's EXTRA_QUERIES so the
+# next swap or a larger budget grades them first.
 EXTRA: dict[str, Query] = _collect("EXTRA_QUERIES")
 
 _overlap = REGISTRY.keys() & EXTRA.keys()

@@ -879,9 +879,21 @@ def test_lane_counts_match_docs():
     assert len(REGISTRY) == 50
     assert len(EXTRA) == 75
     assert len(BENCH_ONLY) == 5
-    # the twenty-eight NEW round-7 operators lead the EXTRA lane (never
-    # graded → first in line for the next swap or a larger budget)
-    assert list(EXTRA)[:28] == [
+    assert set(BENCH_ONLY) == {
+        "sim_join_lsh",
+        "knn_graph_lsh",
+        "dedup_components_lsh",
+        "dedup_semantic",
+        "lang_id_ngram",
+    }
+    # round 7 completed the rotation programme (VERDICT r6 #1) in two
+    # waves: the round-6 trio leads the graded lane right after
+    # ingest_parity…
+    promoted_r7 = ["dedup_passages", "emb_gram", "dedup_keep_best"]
+    assert list(REGISTRY)[1:4] == promoted_r7
+    # …and the 28 NEW round-7 operators follow at positions 5-32, so
+    # every never-driver-graded entry grades THIS round
+    promoted_r7_wave2 = [
         "graph_triangles",
         "bpe_merges",
         "bpe_apply",
@@ -911,22 +923,44 @@ def test_lane_counts_match_docs():
         "content_chunks",
         "word_filter",
     ]
-    assert set(BENCH_ONLY) == {
-        "sim_join_lsh",
-        "knn_graph_lsh",
-        "dedup_components_lsh",
-        "dedup_semantic",
-        "lang_id_ngram",
-    }
-    # round 7 completed the rotation programme (VERDICT r6 #1): the
-    # three last never-driver-graded operators are IN the graded lane
-    # (leading it, right after ingest_parity)…
-    promoted_r7 = ["dedup_passages", "emb_gram", "dedup_keep_best"]
-    assert list(REGISTRY)[1:4] == promoted_r7
-    # …and the EXTRA lane holds only entries with prior green driver
-    # rows, the round-7 demotees first
+    assert list(REGISTRY)[4:32] == promoted_r7_wave2
+    # the EXTRA lane holds ONLY entries with prior green driver rows:
+    # the wave-1 demotees plus the 28 wave-2 demotees (multi-green
+    # veterans traded for the wave-2 promotees)
     demoted_r7 = ["sample_span_mask", "lm_unigram_score", "udf_scalar"]
     assert all(k in EXTRA for k in demoted_r7)
+    demoted_r7_wave2 = [
+        "interleave_mix",
+        "window_range_interval",
+        "profile_table",
+        "agg_skew_salted",
+        "fuzzy_match_strings",
+        "skyline_frontier",
+        "label_propagation",
+        "sim_join",
+        "ann_ivf_topk",
+        "text_stats",
+        "doc_fingerprint",
+        "lang_id",
+        "tfidf_top_terms",
+        "quality_classifier",
+        "multimodal_cols",
+        "array_map_json",
+        "stream_tumbling",
+        "stream_sliding",
+        "stream_session",
+        "join_bloom_prefilter",
+        "cdc_apply",
+        "sample_weighted",
+        "udtf_lateral",
+        "agg_hll_sketch",
+        "resample_ffill",
+        "json_variant",
+        "higher_order_funcs",
+        "scd2_history",
+    ]
+    assert all(k in EXTRA for k in demoted_r7_wave2)
+    assert len(demoted_r7_wave2) == 28
 
 
 def test_quality_classifier_buckets_split_and_agree_with_signals(spark, sf_dir):
