@@ -572,18 +572,13 @@ def _promoted_r7_wave2() -> list[Query]:
 
 
 # Graded lane contribution: the round-6 trio, the 28 round-7
-# promotees, and two round-5 veterans kept graded (window_distribution,
-# text_normalize — 2 green rows each, earning a third).
+# promotees, and text_normalize (round-5 veteran, 2 green rows,
+# earning a third). window_distribution demoted post-wave-2 in
+# exchange for the new dsir_weights (registered in trainprep).
 QUERIES = (
     _promoted_r7()
     + _promoted_r7_wave2()
     + [
-        Query(
-            "window_distribution",
-            q_window_distribution,
-            SQL_WINDOW_DISTRIBUTION,
-            ("relational", "window"),
-        ),
         Query(
             "text_normalize",
             q_text_normalize,
@@ -597,12 +592,19 @@ QUERIES = (
 # EXTRA-contributing module in registry order — so they lead the lane
 # and a larger harness budget (or the next swap) grades them first.
 # As of the round-7 wave-2 rotation the lane holds only entries with
-# prior green driver rows; interleave_mix (green r5+r6) leads it.
+# prior green driver rows; interleave_mix / window_distribution
+# (green r5+r6) lead it.
 EXTRA_QUERIES: list[Query] = [
     Query(
         "interleave_mix",
         q_interleave_mix,
         SQL_INTERLEAVE_MIX,
         ("llm", "sampling", "window"),
+    ),
+    Query(
+        "window_distribution",
+        q_window_distribution,
+        SQL_WINDOW_DISTRIBUTION,
+        ("relational", "window"),
     ),
 ]

@@ -670,6 +670,143 @@ FROM s, t
 """
 
 
+DSIR_BUCKETS = 64  # hashed-feature dimensionality (Xie et al. use 10^4; 64 keeps the fixture's buckets dense)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.,
+    NeurIPS'23 — Data Selection via Importance Resampling): score every
+    document by how target-like its hashed-token distribution is,
+    log w(doc) = Σ_tokens [log2 p_target(bucket) − log2 p_raw(bucket)],
+    where the target distribution is trained on the English slice (the
+    classic formal-text-vs-crawl setup) and the raw distribution on the
+    whole corpus. ``keep`` = the doc looks more target- than raw-like
+    (positive total log-ratio); ``mix_weights`` balances a corpus BY
+    GROUP, this selects WITHIN one by content.
+
+    Determinism: tokens hash to {buckets} buckets via the md5-mod rule
+    (``shard_manifest``'s engine-neutral hash — a pure function of the
+    token, so layout-independent); each bucket's log-ratio collapses to
+    ONE log2 of one exact int64→double ratio
+    ((t_b+1)·(R+{buckets})) / ((r_b+1)·(T+{buckets})) — add-one
+    smoothing, products < 2^53 — micro-quantized under the
+    ``lm_unigram_score`` rule, then summed exactly in int64 per doc.
+    The final avg is a single unrounded double division of two exact
+    int64s (correctly rounded IEEE, bitwise cross-engine — no ROUND
+    step, so no midpoint class to defend).
+
+    Scale shape: the token scan feeds (a) one map-side-combinable
+    groupBy on the {buckets}-row bucket space (twice: raw + target — a
+    conditional count, same shuffle) and (b) the per-doc aggregation
+    (the floor for any per-doc score). The λ table is {buckets} rows —
+    broadcast by construction at ANY corpus size, the
+    ``vocab_coverage`` bounded-side rule. No corpus-proportional
+    broadcast, no quadratic stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("w"), 1, 6), 16, 10).cast("long"),
+            F.lit(DSIR_BUCKETS),
+        ).alias("bucket"),
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.count("*").alias("r"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("t"),
+    )
+    tot = toks.agg(
+        F.count("*").alias("n_raw"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_tgt"),
+    )
+    lam = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log2(
+                ((F.col("t") + 1) * (F.col("n_raw") + DSIR_BUCKETS)).cast(
+                    "double"
+                )
+                / ((F.col("r") + 1) * (F.col("n_tgt") + DSIR_BUCKETS)).cast(
+                    "double"
+                )
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("micro_lam"),
+    )
+    return (
+        toks.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("micro_lam").alias("micro_logratio"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "micro_logratio",
+            (
+                F.col("micro_logratio").cast("double")
+                / F.col("n_tokens").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("avg_logratio"),
+            (F.col("micro_logratio") > 0).alias("keep"),
+        )
+    )
+
+
+q_dsir_weights.__doc__ = q_dsir_weights.__doc__.format(buckets=DSIR_BUCKETS)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(list_sum(list_transform(range(1, 7), i ->
+           (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)
+           * 16 ^ (6 - i))) AS BIGINT) % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+),
+counts AS (
+  SELECT bucket, COUNT(*) AS r,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t
+  FROM toks GROUP BY bucket
+),
+tot AS (
+  SELECT COUNT(*) AS n_raw,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tgt
+  FROM toks
+),
+lam AS (
+  SELECT bucket,
+         CAST(ROUND(log2(
+                CAST((t + 1) * (n_raw + {DSIR_BUCKETS}) AS DOUBLE)
+              / CAST((r + 1) * (n_tgt + {DSIR_BUCKETS}) AS DOUBLE))
+              * 1000000, 0) AS BIGINT) AS micro_lam
+  FROM counts CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(micro_lam) AS BIGINT) AS micro_logratio
+  FROM toks JOIN lam USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, micro_logratio,
+       CAST(micro_logratio AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+         AS avg_logratio,
+       micro_logratio > 0 AS keep
+FROM agg
+"""
+
+
 BPE_ROUNDS = 5
 
 
@@ -1088,6 +1225,15 @@ FROM g
 
 
 QUERIES = [
+    # NEW in round 7 (post-wave-2): graded immediately so it earns a
+    # driver row this round; window_distribution (green r5+r6) demoted
+    # from relational7 in exchange.
+    Query(
+        "dsir_weights",
+        q_dsir_weights,
+        SQL_DSIR_WEIGHTS,
+        ("llm", "sampling", "quality", "text"),
+    ),
     Query(
         "sample_stratified",
         q_sample_stratified,

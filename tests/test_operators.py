@@ -877,7 +877,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 75
+    assert len(EXTRA) == 76
     assert len(BENCH_ONLY) == 5
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -961,6 +961,10 @@ def test_lane_counts_match_docs():
     ]
     assert all(k in EXTRA for k in demoted_r7_wave2)
     assert len(demoted_r7_wave2) == 28
+    # the post-wave-2 addition grades immediately (position 49),
+    # demoting window_distribution
+    assert list(REGISTRY)[48] == "dsir_weights"
+    assert "window_distribution" in EXTRA
 
 
 def test_quality_classifier_buckets_split_and_agree_with_signals(spark, sf_dir):
@@ -3872,3 +3876,62 @@ def test_word_filter_matches_python_recompute(spark, sf_dir):
         kept += r.keep
         dropped += not r.keep
     assert kept and dropped  # the gate's both lanes are exercised
+
+
+def test_dsir_weights_match_pure_python_recompute(spark, sf_dir):
+    # independent (non-SQL) ground truth: recompute the hashed-bucket
+    # target/raw log-ratios and every per-doc weight in pure Python —
+    # pins the md5-mod bucket hash, the add-one smoothing, the single
+    # collapsed log2, and the exact int64 per-doc sums
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        DSIR_BUCKETS,
+        q_dsir_weights,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    docs = {
+        r.doc_id: (r.lang, r.text.split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def bucket(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:6], 16) % DSIR_BUCKETS
+
+    raw, tgt = Counter(), Counter()
+    doc_buckets = defaultdict(list)
+    for doc_id, (lang, toks) in docs.items():
+        for w in toks:
+            b = bucket(w)
+            doc_buckets[doc_id].append(b)
+            raw[b] += 1
+            if lang == "en":
+                tgt[b] += 1
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+    lam = {
+        b: round(
+            math.log2(
+                ((tgt[b] + 1) * (n_raw + DSIR_BUCKETS))
+                / ((raw[b] + 1) * (n_tgt + DSIR_BUCKETS))
+            )
+            * 1_000_000
+        )
+        for b in raw
+    }
+
+    got = {r.doc_id: r for r in q_dsir_weights(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    any_keep = any_drop = False
+    for doc_id, buckets in doc_buckets.items():
+        s = sum(lam[b] for b in buckets)
+        r = got[doc_id]
+        assert r.n_tokens == len(buckets)
+        assert r.micro_logratio == s
+        assert r.avg_logratio == s / len(buckets) / 1_000_000.0
+        assert r.keep == (s > 0)
+        any_keep |= r.keep
+        any_drop |= not r.keep
+    assert any_keep and any_drop  # both selection lanes exercised

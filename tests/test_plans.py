@@ -566,3 +566,21 @@ def test_word_filter_is_map_only(spark):
 
     plan = plan_of(q_word_filter(spark, SF_SMOKE))
     assert len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)) == 0
+
+
+def test_dsir_weights_broadcasts_only_bounded_frames(spark):
+    # the λ table (64 buckets) and the 1-row total are the only
+    # broadcast sides — both bounded by construction at any corpus
+    # size; the token-stream stages stay shuffle-based. Two
+    # BroadcastExchange nodes exactly: more means a corpus-sized side
+    # slipped in, fewer means the bounded join degraded to a shuffle.
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_dsir_weights,
+    )
+
+    plan = plan_of(q_dsir_weights(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    # per-doc scoring ends in a partial+final aggregation, not a sort
+    assert "HashAggregate" in plan

@@ -78,6 +78,9 @@ DEFAULT_NAMES = [
     "ann_two_stage",
     "entropy_score",
     "content_chunks",
+    # post-wave-2: exact int64 per-doc sums over the hashed buckets —
+    # layout-independent by construction, verified empirically
+    "dsir_weights",
 ]
 
 
