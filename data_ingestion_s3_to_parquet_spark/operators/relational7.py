@@ -571,29 +571,19 @@ def _promoted_r7_wave2() -> list[Query]:
     ]
 
 
-# Graded lane contribution: the round-6 trio, the 28 round-7
-# promotees, and text_normalize (round-5 veteran, 2 green rows,
-# earning a third). window_distribution demoted post-wave-2 in
-# exchange for the new dsir_weights (registered in trainprep).
-QUERIES = (
-    _promoted_r7()
-    + _promoted_r7_wave2()
-    + [
-        Query(
-            "text_normalize",
-            q_text_normalize,
-            SQL_TEXT_NORMALIZE,
-            ("llm", "text"),
-        ),
-    ]
-)
+# Graded lane contribution: the round-6 trio and the 28 round-7
+# promotees. The round-5 veterans that used to sit here
+# (window_distribution, interleave_mix, text_normalize — green r5+r6)
+# all demoted in round 7: the first two post-wave-2 in exchange for
+# the new dsir_weights / token_budget_select (registered in
+# trainprep), interleave_mix in wave 2.
+QUERIES = _promoted_r7() + _promoted_r7_wave2()
 
 # New never-graded operators register HERE — the first
 # EXTRA-contributing module in registry order — so they lead the lane
 # and a larger harness budget (or the next swap) grades them first.
 # As of the round-7 wave-2 rotation the lane holds only entries with
-# prior green driver rows; interleave_mix / window_distribution
-# (green r5+r6) lead it.
+# prior green driver rows; the three round-5 veterans above lead it.
 EXTRA_QUERIES: list[Query] = [
     Query(
         "interleave_mix",
@@ -606,5 +596,11 @@ EXTRA_QUERIES: list[Query] = [
         q_window_distribution,
         SQL_WINDOW_DISTRIBUTION,
         ("relational", "window"),
+    ),
+    Query(
+        "text_normalize",
+        q_text_normalize,
+        SQL_TEXT_NORMALIZE,
+        ("llm", "text"),
     ),
 ]

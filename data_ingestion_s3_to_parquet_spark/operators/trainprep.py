@@ -807,6 +807,116 @@ FROM agg
 """
 
 
+BUDGET_DENOM = 4       # select into a 25%-of-corpus token budget
+BUDGET_BUCKET = 100_000  # micro-score units per prefix-sum bucket
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection — the cut every training-data
+    pipeline runs last: rank documents by a quality score and keep the
+    best prefix whose cumulative token count fits the budget (here
+    {denom_inv} of the corpus; the score is the distinct-word ratio, a
+    self-contained repetition-quality proxy — swap in
+    ``quality_classifier`` or ``dsir_weights`` scores unchanged).
+
+    The naive form is a single-partition running sum over the global
+    (score DESC, doc_id) order — a one-task stage at any scale. This
+    runs the ``skyline_frontier`` two-phase decomposition instead: the
+    fixed-point score quantizes into ≤ 11 coarse buckets (micro-score
+    div {bucket} — a BOUNDED key space since the ratio lives in
+    [0, 1e6]), the running sum is per-bucket (parallel, each task
+    streams), and a broadcast ≤ 11-row carry table adds the strictly-
+    higher buckets' token totals. cum_tokens is identical to the
+    global-window answer (the oracle computes it THAT way — one plain
+    SQL window — so the equivalence is hash-checked, not argued).
+
+    Determinism: the score is the midpoint-free fixed-point quotient
+    (half-up int division of exact int64s), the order
+    (micro_score DESC, doc_id) is total, and cum/budget are exact
+    int64 — no float anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("t"),
+        F.size(F.array_distinct(toks)).cast("long").alias("dw"),
+    ).select(
+        "doc_id",
+        "t",
+        F.expr("(2 * dw * 1000000 + t) div (2 * t)").alias("micro_score"),
+    )
+    tot = scored.agg(F.sum("t").alias("n_total"))
+    b = scored.withColumn(
+        "bucket", F.expr(f"micro_score div {BUDGET_BUCKET}")
+    )
+    # carry: token totals of strictly higher buckets (≤ 11 rows, so
+    # the ordered window over it is bounded, not corpus-sized)
+    wb = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        b.groupBy("bucket")
+        .agg(F.sum("t").alias("bt"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("carry"),
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("micro_score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.withColumn("running", F.sum("t").over(w))
+        .join(F.broadcast(carry), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("t").alias("n_tokens"),
+            "micro_score",
+            (F.col("carry") + F.col("running")).alias("cum_tokens"),
+            (
+                F.col("carry") + F.col("running")
+                <= F.expr(f"n_total div {BUDGET_DENOM}")
+            ).alias("selected"),
+        )
+    )
+
+
+q_token_budget_select.__doc__ = q_token_budget_select.__doc__.format(
+    denom_inv=f"1/{BUDGET_DENOM}", bucket=BUDGET_BUCKET
+)
+
+
+SQL_TOKEN_BUDGET_SELECT = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dw
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, t, (2 * dw * 1000000 + t) // (2 * t) AS micro_score
+  FROM s
+),
+tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n_total FROM sc),
+c AS (
+  SELECT doc_id, t, micro_score,
+         CAST(SUM(t) OVER (ORDER BY micro_score DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM sc
+)
+SELECT doc_id, t AS n_tokens,
+       CAST(micro_score AS BIGINT) AS micro_score,
+       cum_tokens,
+       cum_tokens <= n_total // {BUDGET_DENOM} AS selected
+FROM c CROSS JOIN tot
+"""
+
+
 BPE_ROUNDS = 5
 
 
@@ -1225,14 +1335,20 @@ FROM g
 
 
 QUERIES = [
-    # NEW in round 7 (post-wave-2): graded immediately so it earns a
-    # driver row this round; window_distribution (green r5+r6) demoted
-    # from relational7 in exchange.
+    # NEW in round 7 (post-wave-2): graded immediately so they earn
+    # driver rows this round; window_distribution and text_normalize
+    # (green r5+r6) demoted from relational7 in exchange.
     Query(
         "dsir_weights",
         q_dsir_weights,
         SQL_DSIR_WEIGHTS,
         ("llm", "sampling", "quality", "text"),
+    ),
+    Query(
+        "token_budget_select",
+        q_token_budget_select,
+        SQL_TOKEN_BUDGET_SELECT,
+        ("llm", "sampling", "quality", "window"),
     ),
     Query(
         "sample_stratified",

@@ -877,7 +877,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 76
+    assert len(EXTRA) == 77
     assert len(BENCH_ONLY) == 5
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -961,10 +961,11 @@ def test_lane_counts_match_docs():
     ]
     assert all(k in EXTRA for k in demoted_r7_wave2)
     assert len(demoted_r7_wave2) == 28
-    # the post-wave-2 addition grades immediately (position 49),
-    # demoting window_distribution
-    assert list(REGISTRY)[48] == "dsir_weights"
+    # the post-wave-2 additions grade immediately (positions 48-49),
+    # demoting window_distribution and text_normalize
+    assert list(REGISTRY)[47:49] == ["dsir_weights", "token_budget_select"]
     assert "window_distribution" in EXTRA
+    assert "text_normalize" in EXTRA
 
 
 def test_quality_classifier_buckets_split_and_agree_with_signals(spark, sf_dir):
@@ -3935,3 +3936,41 @@ def test_dsir_weights_match_pure_python_recompute(spark, sf_dir):
         any_keep |= r.keep
         any_drop |= not r.keep
     assert any_keep and any_drop  # both selection lanes exercised
+
+
+def test_token_budget_select_matches_pure_python_recompute(spark, sf_dir):
+    # the two-phase bucket+carry prefix sum must equal a pure-Python
+    # single-pass cumsum over the global (score DESC, doc_id) order —
+    # pins the fixed-point score, the bucket decomposition, and the
+    # budget cut
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        BUDGET_DENOM,
+        q_token_budget_select,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    docs = []
+    for r in load_table(spark, sf_dir, "documents").collect():
+        toks = r.text.split(" ")
+        t, dw = len(toks), len(set(toks))
+        docs.append((r.doc_id, t, (2 * dw * 1_000_000 + t) // (2 * t)))
+    docs.sort(key=lambda x: (-x[2], x[0]))
+    n_total = sum(t for _, t, _ in docs)
+    budget = n_total // BUDGET_DENOM
+    expected, cum = {}, 0
+    for doc_id, t, micro in docs:
+        cum += t
+        expected[doc_id] = (t, micro, cum, cum <= budget)
+
+    got = {r.doc_id: r for r in q_token_budget_select(spark, sf_dir).collect()}
+    assert set(got) == set(expected)
+    for doc_id, (t, micro, cum, sel) in expected.items():
+        r = got[doc_id]
+        assert (r.n_tokens, r.micro_score, r.cum_tokens, r.selected) == (
+            t,
+            micro,
+            cum,
+            sel,
+        )
+    n_sel = sum(1 for *_, s in expected.values() if s)
+    assert 0 < n_sel < len(expected)  # the budget cut lands mid-corpus

@@ -584,3 +584,24 @@ def test_dsir_weights_broadcasts_only_bounded_frames(spark):
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
     # per-doc scoring ends in a partial+final aggregation, not a sort
     assert "HashAggregate" in plan
+
+
+def test_token_budget_select_prefix_sum_is_bucket_parallel(spark):
+    # the corpus-sized running sum must be partitioned by the bounded
+    # score bucket (parallel tasks), NOT a single global-order window;
+    # the only unpartitioned window is over the ≤ 11-row carry frame.
+    # Detect it structurally: every Window node that sorts by the
+    # per-doc (micro_score, doc_id) order must carry a partition key.
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_token_budget_select,
+    )
+
+    plan = plan_of(q_token_budget_select(spark, SF_SMOKE))
+    windows = re.findall(r"Arguments: \[.*?windowspecdefinition\(.*?\)", plan)
+    doc_order = [w for w in windows if "doc_id" in w]
+    assert doc_order, "per-doc running-sum window missing from the plan"
+    assert all("bucket" in w for w in doc_order)
+    # carry + total are broadcast (bounded frames)
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2

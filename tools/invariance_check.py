@@ -78,9 +78,10 @@ DEFAULT_NAMES = [
     "ann_two_stage",
     "entropy_score",
     "content_chunks",
-    # post-wave-2: exact int64 per-doc sums over the hashed buckets —
-    # layout-independent by construction, verified empirically
+    # post-wave-2: exact int64 sums (hashed buckets / bucketed prefix
+    # sums) — layout-independent by construction, verified empirically
     "dsir_weights",
+    "token_budget_select",
 ]
 
 
