@@ -50,20 +50,22 @@ chunking with cross-corpus fingerprint copy counts; word_filter,
 the C4 blocklist gate with fixed-point hit rates). The post-wave-2
 additions dsir_weights (DSIR importance weighting for data
 selection, Xie et al. NeurIPS'23 — hashed-token target/raw log-ratio
-scoring) and token_budget_select (the greedy quality-ranked token-
+scoring), token_budget_select (the greedy quality-ranked token-
 budget cut, run as a two-phase bucket+carry prefix sum instead of a
-one-task global window) grade immediately too, at positions 48-49.
-In exchange, 33 multi-green veterans demote (sample_span_mask /
-lm_unigram_score / udf_scalar in wave 1, then 28 more plus
-window_distribution and text_normalize — see plans/registry.py for
-the list). Once this round grades, every
+one-task global window), and corr_pearson (per-group Pearson
+correlation from exact integer sufficient statistics — the
+layout-proof replacement for float-accumulator corr()) grade
+immediately too. In exchange, 34 multi-green veterans demote
+(sample_span_mask / lm_unigram_score / udf_scalar in wave 1, then 28
+more plus window_distribution, text_normalize, and knn_graph — see
+plans/registry.py for the list). Once this round grades, every
 oracle-gated operator in the repo has a green driver row in some
 round. The EXTRA lane holds
-seventy-seven oracle-gated entries, every one with at least one prior
+seventy-eight oracle-gated entries, every one with at least one prior
 green driver row, verified locally each round by
 tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 77 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 78 EXTRA /
 5 BENCH_ONLY) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

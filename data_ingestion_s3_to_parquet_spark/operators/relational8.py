@@ -679,12 +679,6 @@ QUERIES: list[Query] = []
 # for round-7 wave-2 promotees.
 QUERIES = [
     Query(
-        "knn_graph",
-        q_knn_graph,
-        SQL_KNN_GRAPH,
-        ("llm", "similarity", "window"),
-    ),
-    Query(
         "unpivot_stack",
         q_unpivot_stack,
         SQL_UNPIVOT_STACK,
@@ -704,6 +698,12 @@ QUERIES = [
 # agg_skew_salted in the round-7 wave-2 rotation (green r5+r6). All
 # keep their oracles + bench entries and stay in the local sweep.
 EXTRA_QUERIES: list[Query] = [
+    Query(
+        "knn_graph",
+        q_knn_graph,
+        SQL_KNN_GRAPH,
+        ("llm", "similarity", "window"),
+    ),
     Query(
         "window_range_interval",
         q_window_range_interval,

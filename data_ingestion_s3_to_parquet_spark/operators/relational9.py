@@ -898,6 +898,94 @@ CROSS JOIN tot
 # period_growth
 
 
+def q_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (quantity vs price per return
+    flag) from EXACT integer sufficient statistics — the analytics
+    staple Spark's ``corr()`` computes with an order-dependent float
+    accumulator (Welford merges whose rounding depends on partition
+    layout, so its raw output can't hash-match any oracle).
+
+    The engine shape every distributed corr/covar should use: one
+    map-side-combinable groupBy ships six exact statistics (n, Σx, Σy
+    in int64; Σxy, Σx², Σy² summed as DECIMAL(38,0) — cents² × rows
+    exceeds int64 headroom at large SFs, and decimal/int128 sums are
+    exact and associative on both engines). The statistic itself is
+    then a PURE function of exact integers — the ``chi2_contingency``
+    rule: cast each of the three combinations (nΣxy−ΣxΣy,
+    nΣx²−(Σx)², nΣy²−(Σy)²) to double once (correctly rounded IEEE),
+    run a pinned op sequence (multiply, sqrt, divide), micro-quantize.
+    Prices become exact integer cents via DECIMAL(18,2) — a 2-dp
+    price double is never an exact 3-dp midpoint, so both engines
+    round it to the same cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    stats = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    cov_num = F.expr(
+        f"CAST({dec.format('n')} * sxy - {dec.format('sx')} * {dec.format('sy')} AS DOUBLE)"
+    )
+    var_x = F.expr(
+        f"CAST({dec.format('n')} * sxx - {dec.format('sx')} * {dec.format('sx')} AS DOUBLE)"
+    )
+    var_y = F.expr(
+        f"CAST({dec.format('n')} * syy - {dec.format('sy')} * {dec.format('sy')} AS DOUBLE)"
+    )
+    micro = F.round(
+        cov_num / F.sqrt(var_x * var_y) * 1_000_000, 0
+    ).cast("long")
+    return stats.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        F.col("sxy").cast("long").alias("sxy"),
+        (micro.cast("double") / 1e6).alias("corr_qty_price"),
+    )
+
+
+SQL_CORR_PEARSON = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+stats AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx,
+         SUM(y * y) AS syy
+  FROM base GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sx, sy,
+       CAST(sxy AS BIGINT) AS sxy,
+       CAST(CAST(ROUND(
+            CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                 * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+            * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS corr_qty_price
+FROM stats
+"""
+
+
 def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth: monthly order totals and the
     percentage change versus the previous month — the
@@ -1495,6 +1583,15 @@ QUERIES: list[Query] = []
 # same latent HUGEINT oracle defect as sample_span_mask and now CAST
 # their integer SUM output columns (span_sec, n_a, n_b) to BIGINT.
 QUERIES = [
+    # NEW in round 7 (post-wave-2): graded immediately so it earns a
+    # driver row this round; knn_graph (green r5+r6, LSH twin benched)
+    # demoted from relational8 in exchange.
+    Query(
+        "corr_pearson",
+        q_corr_pearson,
+        SQL_CORR_PEARSON,
+        ("relational", "analytics", "statistics"),
+    ),
     Query(
         "recursive_cte",
         q_recursive_hierarchy,

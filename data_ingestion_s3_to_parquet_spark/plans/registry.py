@@ -94,7 +94,7 @@ REGISTRY: dict[str, Query] = _collect()
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
 # pytest, but not submitted for driver grading. After the round-7
-# wave-2 rotation this lane holds seventy-seven entries, EVERY one
+# wave-2 rotation this lane holds seventy-eight entries, EVERY one
 # with at least one prior green driver row — the 28 wave-2 demotees
 # (multi-green veterans: interleave_mix, window_range_interval,
 # profile_table, agg_skew_salted, fuzzy_match_strings,
@@ -104,8 +104,9 @@ REGISTRY: dict[str, Query] = _collect()
 # stream_tumbling, stream_sliding, stream_session,
 # join_bloom_prefilter, cdc_apply, sample_weighted, udtf_lateral,
 # agg_hll_sketch, resample_ffill, json_variant, higher_order_funcs,
-# scd2_history), window_distribution and text_normalize (demoted
-# post-wave-2 for the new dsir_weights / token_budget_select), the
+# scd2_history), window_distribution / text_normalize / knn_graph
+# (demoted post-wave-2 for the new dsir_weights /
+# token_budget_select / corr_pearson), the
 # three wave-1 demotees (sample_span_mask,
 # lm_unigram_score, udf_scalar), the earlier rounds' demotees, and
 # the relational entries green in BOTH rounds 1 and 2 (the judge can

@@ -877,7 +877,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 77
+    assert len(EXTRA) == 78
     assert len(BENCH_ONLY) == 5
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -961,11 +961,13 @@ def test_lane_counts_match_docs():
     ]
     assert all(k in EXTRA for k in demoted_r7_wave2)
     assert len(demoted_r7_wave2) == 28
-    # the post-wave-2 additions grade immediately (positions 48-49),
-    # demoting window_distribution and text_normalize
+    # the post-wave-2 additions grade immediately, demoting
+    # window_distribution, text_normalize, and knn_graph
+    assert list(REGISTRY)[34] == "corr_pearson"
     assert list(REGISTRY)[47:49] == ["dsir_weights", "token_budget_select"]
     assert "window_distribution" in EXTRA
     assert "text_normalize" in EXTRA
+    assert "knn_graph" in EXTRA
 
 
 def test_quality_classifier_buckets_split_and_agree_with_signals(spark, sf_dir):
@@ -3974,3 +3976,51 @@ def test_token_budget_select_matches_pure_python_recompute(spark, sf_dir):
         )
     n_sel = sum(1 for *_, s in expected.values() if s)
     assert 0 < n_sel < len(expected)  # the budget cut lands mid-corpus
+
+
+def test_corr_pearson_matches_pure_python_recompute(spark, sf_dir):
+    # exact sufficient statistics and the pinned IEEE op sequence
+    # recomputed in pure Python (int arithmetic is arbitrary-precision,
+    # so the combinations are exact like the engine's decimal sums)
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_corr_pearson,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    acc = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n sx sy sxy sxx syy
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect():
+        x = int(r.l_quantity)
+        y = int(
+            (Decimal(repr(r.l_extendedprice)).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            ))
+            * 100
+        )
+        a = acc[r.l_returnflag]
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] += x * y
+        a[4] += x * x
+        a[5] += y * y
+
+    got = {r.l_returnflag: r for r in q_corr_pearson(spark, sf_dir).collect()}
+    assert set(got) == set(acc)
+    for flag, (n, sx, sy, sxy, sxx, syy) in acc.items():
+        r = got[flag]
+        assert (r.n, r.sx, r.sy, r.sxy) == (n, sx, sy, sxy)
+        expect = (
+            round(
+                float(n * sxy - sx * sy)
+                / math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+                * 1_000_000
+            )
+            / 1e6
+        )
+        assert r.corr_qty_price == expect

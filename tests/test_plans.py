@@ -605,3 +605,19 @@ def test_token_budget_select_prefix_sum_is_bucket_parallel(spark):
     assert all("bucket" in w for w in doc_order)
     # carry + total are broadcast (bounded frames)
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+
+
+def test_corr_pearson_is_one_combinable_aggregation(spark):
+    # six sufficient statistics in ONE partial+final aggregation — a
+    # single exchange on the group key, no join, no window, no second
+    # scan; the statistic itself is driver-free column algebra
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_corr_pearson,
+    )
+
+    plan = plan_of(q_corr_pearson(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -82,6 +82,7 @@ DEFAULT_NAMES = [
     # sums) — layout-independent by construction, verified empirically
     "dsir_weights",
     "token_budget_select",
+    "corr_pearson",
 ]
 
 
