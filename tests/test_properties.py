@@ -675,3 +675,111 @@ def test_mg_summary_bound_holds_on_any_stream(docs, n_batches):
         assert 0 < e <= truth[w]
     for w, t in truth.items():
         assert t - est.get(w, 0) <= n_tok // (MG_CAPACITY + 1)
+
+
+_dsir_docs = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(["a", "b", "cc", "dd", "e"]), min_size=0, max_size=8),
+        st.sampled_from(["en", "fr"]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_dsir_docs)
+@slow_ok
+def test_dsir_weights_matches_python_on_any_corpus(
+    spark, docs, tmp_path_factory
+):
+    """DSIR weights equal a direct Python recompute for ARBITRARY
+    corpora — including all-target, zero-target (the add-one smoothing
+    floor), and empty-text docs (split(' ') yields [''])."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        DSIR_BUCKETS,
+        q_dsir_weights,
+    )
+
+    tmp = tmp_path_factory.mktemp("dsir")
+    rows = [(i, " ".join(w), lang) for i, (w, lang) in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:6], 16) % DSIR_BUCKETS
+
+    raw, tgt, per_doc = Counter(), Counter(), {}
+    for i, text, lang in rows:
+        bs = [bucket(w) for w in text.split(" ")]
+        per_doc[i] = bs
+        raw.update(bs)
+        if lang == "en":
+            tgt.update(bs)
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+    lam = {
+        b: round(
+            math.log2(
+                ((tgt[b] + 1) * (n_raw + DSIR_BUCKETS))
+                / ((raw[b] + 1) * (n_tgt + DSIR_BUCKETS))
+            )
+            * 1_000_000
+        )
+        for b in raw
+    }
+
+    got = {
+        r.doc_id: (r.n_tokens, r.micro_logratio, r.keep)
+        for r in q_dsir_weights(spark, str(tmp)).collect()
+    }
+    expected = {
+        i: (len(bs), sum(lam[b] for b in bs), sum(lam[b] for b in bs) > 0)
+        for i, bs in per_doc.items()
+    }
+    assert got == expected
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=8,
+))
+@slow_ok
+def test_token_budget_select_matches_python_on_any_corpus(
+    spark, docs, tmp_path_factory
+):
+    """The bucket+carry prefix sum equals a single-pass Python cumsum
+    over the global order for ARBITRARY corpora — including all-equal
+    scores (everything lands in one bucket) and single-token docs."""
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        BUDGET_DENOM,
+        q_token_budget_select,
+    )
+
+    tmp = tmp_path_factory.mktemp("tbs")
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    scored = []
+    for i, text in rows:
+        toks = text.split(" ")
+        t, dw = len(toks), len(set(toks))
+        scored.append((i, t, (2 * dw * 1_000_000 + t) // (2 * t)))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    budget = sum(t for _, t, _ in scored) // BUDGET_DENOM
+    expected, cum = {}, 0
+    for i, t, micro in scored:
+        cum += t
+        expected[i] = (t, micro, cum, cum <= budget)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.micro_score, r.cum_tokens, r.selected)
+        for r in q_token_budget_select(spark, str(tmp)).collect()
+    }
+    assert got == expected
