@@ -621,3 +621,33 @@ def test_corr_pearson_is_one_combinable_aggregation(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "Join" not in plan and "Window" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_scale_probe_inflation_preserves_the_join_graph(spark):
+    # the probe's evidence is only valid if K-x inflation preserves
+    # join semantics: every join key offset by the same stride on both
+    # sides → the scaled join yields exactly K x the base join rows
+    # (no cross-copy pairs), facts inflate exactly K x, and the fixed
+    # dimensions stay 1 x. Built into the probe's /tmp cache (keyed by
+    # base dir + factor), so re-runs are cheap.
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.scale_probe import _build_scaled
+
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    base = "/root/testdata/sf0.001"
+    k = 3
+    d = _build_scaled(spark, base, k)
+    li_b = load_table(spark, base, "lineitem")
+    od_b = load_table(spark, base, "orders")
+    li_s = load_table(spark, d, "lineitem")
+    od_s = load_table(spark, d, "orders")
+    n_base = li_b.join(od_b, li_b.l_orderkey == od_b.o_orderkey).count()
+    n_scaled = li_s.join(od_s, li_s.l_orderkey == od_s.o_orderkey).count()
+    assert n_scaled == k * n_base
+    assert li_s.count() == k * li_b.count()
+    assert load_table(spark, d, "nation").count() == load_table(
+        spark, base, "nation"
+    ).count()
