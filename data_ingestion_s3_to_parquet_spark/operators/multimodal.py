@@ -19,7 +19,10 @@ Plus the image/audio/video plumbing: binary payload + typed metadata →
 decoding (:func:`media_decode`) for every format the container can
 decode without codec libraries — PCM WAV (stdlib ``wave``), 24-bit BMP
 (``struct`` + numpy), 8-bit PNG (stdlib ``zlib`` + full scanline
-un-filtering). Only true-codec formats (JPEG/H.264/AAC) remain behind
+un-filtering), and baseline JPEG (``functions/jpeg.py``: a complete
+from-spec Huffman + IDCT + chroma-upsample decoder plus the matching
+encoder that builds the test vectors). Only video/audio codec formats
+(H.264/AAC) remain behind
 the clearly-marked :func:`_decode_stub` seam; the Spark-side contract —
 schema, batch shape, partitioning, per-row error capture — is real and
 unit-tested throughout.
@@ -164,21 +167,24 @@ MEDIA_FEATURES_SCHEMA = StructType(
 
 
 def _decode_stub(kind: str, payload: bytes) -> None:
-    """CODEC-REQUIRING FORMATS ONLY (JPEG/H.264/AAC/...).
+    """CODEC-REQUIRING FORMATS ONLY (H.264/AAC/WebP/...).
 
-    This is the seam where Pillow / torchaudio / pyav would decode
-    compressed payloads; those libraries are not in this container, so
-    it stays deliberately unimplemented. Formats decodable WITHOUT
-    external codecs — PCM WAV (stdlib ``wave``), uncompressed 24-bit
-    BMP (header ``struct`` + numpy), and 8-bit PNG (stdlib ``zlib`` +
-    the five-filter scanline spec) — have REAL decoders:
-    :func:`decode_wav`, :func:`decode_bmp`, :func:`decode_png`,
+    This is the seam where pyav / torchaudio would decode compressed
+    video/audio payloads; those libraries are not in this container,
+    so it stays deliberately unimplemented. Formats decodable WITHOUT
+    external codecs have REAL decoders — PCM WAV (stdlib ``wave``),
+    uncompressed 24-bit BMP (header ``struct`` + numpy), 8-bit PNG
+    (stdlib ``zlib`` + the five-filter scanline spec), and since
+    round 7 baseline JPEG (``functions/jpeg.py``: a full from-spec
+    Huffman + IDCT + chroma-upsample implementation, plus the matching
+    encoder used to build test vectors) — :func:`decode_wav`,
+    :func:`decode_bmp`, :func:`decode_png`, :func:`decode_jpeg`,
     dispatched by :func:`decode_media` and run distributed by
     :func:`media_decode`.
     """
     raise NotImplementedError(
         f"media decode for kind={kind!r} requires codec libraries "
-        "(PIL/pyav/torchaudio) not present in this environment"
+        "(pyav/torchaudio) not present in this environment"
     )
 
 
@@ -342,18 +348,39 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL image decode for baseline JPEG — the from-spec codec in
+    ``functions/jpeg.py`` (marker parse, canonical Huffman, dequant +
+    de-zigzag, 8x8 IDCT, chroma upsample, YCbCr→RGB; restart markers
+    and byte stuffing handled; progressive/12-bit raise). Same exact
+    integer per-channel sums as the other image decoders."""
+    from ..functions.jpeg import decode_jpeg as _dec
+
+    rgb = _dec(payload)
+    s = rgb.reshape(-1, 3).astype("int64").sum(axis=0)
+    return {
+        "width": int(rgb.shape[1]),
+        "height": int(rgb.shape[0]),
+        "sum_r": int(s[0]),
+        "sum_g": int(s[1]),
+        "sum_b": int(s[2]),
+    }
+
+
 def decode_media(kind: str, payload: bytes) -> dict:
     """Dispatch on the payload's MAGIC BYTES (not the claimed kind —
     corpora lie about mime types): RIFF/WAVE → :func:`decode_wav`,
-    BM → :func:`decode_bmp`, PNG signature → :func:`decode_png`;
-    anything else falls through to the codec seam
-    (:func:`_decode_stub`) and raises."""
+    BM → :func:`decode_bmp`, PNG signature → :func:`decode_png`,
+    SOI+marker → :func:`decode_jpeg`; anything else falls through to
+    the codec seam (:func:`_decode_stub`) and raises."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(payload)
     _decode_stub(kind, payload)
 
 

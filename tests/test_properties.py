@@ -783,3 +783,175 @@ def test_token_budget_select_matches_python_on_any_corpus(
         for r in q_token_budget_select(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+# --- baseline JPEG codec (functions/jpeg.py) ---------------------------------
+
+
+def test_jpeg_zigzag_and_idct_match_spec():
+    # zigzag generated from the anti-diagonal walk must match the
+    # spec's known head/tail; the matrix IDCT must match a literal
+    # four-loop cosine-sum recompute
+    import math
+
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import (
+        dct2,
+        idct2,
+        zigzag_order,
+    )
+
+    zz = zigzag_order()
+    assert len(zz) == 64 and len(set(zz)) == 64
+    assert zz[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert zz[-2:] == [(7, 6), (7, 7)]
+
+    rng = np.random.default_rng(11)
+    F = rng.uniform(-500, 500, (8, 8))
+
+    def a(u):
+        return math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+
+    naive = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            naive[x, y] = sum(
+                a(u) * a(v) * F[u, v]
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * math.cos((2 * y + 1) * v * math.pi / 16)
+                for u in range(8)
+                for v in range(8)
+            )
+    assert np.abs(idct2(F) - naive).max() < 1e-9
+    blk = rng.uniform(-128, 127, (4, 8, 8))
+    assert np.abs(idct2(dct2(blk)) - blk).max() < 1e-9
+
+
+@given(
+    h=st.integers(1, 21),
+    w=st.integers(1, 21),
+    quality=st.integers(85, 100),
+    seed=st.integers(0, 10**6),
+)
+@slow_ok
+def test_jpeg_roundtrip_any_image(h, w, quality, seed):
+    # encode→decode round-trip on arbitrary (noisy, worst-case) images
+    # stays within quantization error at high quality, for gray and
+    # RGB at both subsamplings, including non-multiple-of-8/16 sizes
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=quality))
+    assert out.shape == (h, w, 3)
+    assert np.abs(out[:, :, 0].astype(int) - gray.astype(int)).mean() < 8
+
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(rgb, quality=quality, subsampling=sub))
+        assert out.shape == (h, w, 3)
+        # chroma subsampling loses color detail on noise; luminance is
+        # the stable invariant
+        y_in = rgb.astype(float) @ [0.299, 0.587, 0.114]
+        y_out = out.astype(float) @ [0.299, 0.587, 0.114]
+        assert np.abs(y_in - y_out).mean() < 10
+
+
+@given(seed=st.integers(0, 10**6), every=st.integers(1, 4))
+@slow_ok
+def test_jpeg_restart_markers_change_nothing(seed, every):
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (19, 26, 3)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=93, subsampling="420"))
+    rst = decode_jpeg(
+        encode_jpeg(img, quality=93, subsampling="420", restart_every=every)
+    )
+    assert np.array_equal(plain, rst)
+
+
+def test_jpeg_flat_image_decodes_near_exact():
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for v in (0, 63, 128, 130, 255):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert np.abs(out.astype(int) - v).max() <= 2, (v, np.unique(out))
+
+
+def test_jpeg_progressive_and_12bit_rejected():
+    import numpy as np
+    import pytest as _pytest
+
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    data = bytearray(encode_jpeg(img))
+    i = bytes(data).find(b"\xff\xc0")
+    assert i > 0
+    data[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+@given(tail=st.binary(min_size=0, max_size=300))
+@slow_ok
+def test_jpeg_poison_payloads_fail_cleanly(tail):
+    # arbitrary bytes behind a JPEG magic must raise (any exception —
+    # media_decode turns it into an ok=false row), never hang; valid
+    # prefixes spliced with garbage are the realistic corruption case
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    payload = b"\xff\xd8\xff" + tail
+    try:
+        out = decode_media("image", payload)
+        assert isinstance(out, dict)  # a parseable accident is fine
+    except Exception:
+        pass
+
+
+def test_jpeg_dispatch_and_sums_agree_with_array():
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import (
+        decode_jpeg as jpeg_to_array,
+        encode_jpeg,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (12, 17, 3)).astype(np.uint8)
+    payload = encode_jpeg(img, quality=95)
+    feat = decode_media("whatever", payload)
+    arr = jpeg_to_array(payload).reshape(-1, 3).astype(np.int64)
+    assert feat["width"] == 17 and feat["height"] == 12
+    assert (feat["sum_r"], feat["sum_g"], feat["sum_b"]) == tuple(
+        arr.sum(axis=0)
+    )
