@@ -2202,14 +2202,30 @@ def test_media_decode_real_wav_and_bmp_end_to_end(spark):
     )
     bmp_bytes = header + body
 
+    # -- real JPEG: encoded by the from-spec codec, decoded distributed
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import (
+        decode_jpeg as jpeg_to_array,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    jpg_img = rng.integers(0, 256, (10, 13, 3)).astype(np.uint8)
+    jpg_bytes = encode_jpeg(jpg_img, quality=95, subsampling="420")
+    jpg_sums = jpeg_to_array(jpg_bytes).reshape(-1, 3).astype(np.int64).sum(axis=0)
+
     rows = [
         (1, "audio", bytearray(wav_bytes), "audio/wav", None, None, 8000),
         (2, "image", bytearray(bmp_bytes), "image/bmp", width, height, None),
         (3, "video", bytearray(b"\x00\x00\x00\x18ftypmp42 fake"), "video/mp4",
          None, None, None),
+        (4, "image", bytearray(jpg_bytes), "image/jpeg", 13, 10, None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: r for r in media_decode(media).collect()}
+
+    j = got[4]
+    assert j.ok and (j.width, j.height) == (13, 10)
+    assert (j.sum_r, j.sum_g, j.sum_b) == tuple(jpg_sums)
 
     a = got[1]
     assert a.ok and a.err is None
