@@ -19,10 +19,13 @@ Plus the image/audio/video plumbing: binary payload + typed metadata →
 decoding (:func:`media_decode`) for every format the container can
 decode without codec libraries — PCM WAV (stdlib ``wave``), 24-bit BMP
 (``struct`` + numpy), 8-bit PNG (stdlib ``zlib`` + full scanline
-un-filtering), and baseline JPEG (``functions/jpeg.py``: a complete
+un-filtering), baseline JPEG (``functions/jpeg.py``: a complete
 from-spec Huffman + IDCT + chroma-upsample decoder plus the matching
-encoder that builds the test vectors). Only video/audio codec formats
-(H.264/AAC) remain behind
+encoder that builds the test vectors), and GIF87a/89a
+(``functions/gif.py``: variable-width LZW, interlace, multi-frame
+compositing with disposal + transparency — the real ANIMATION decode
+lane, lossless so round-trips test exact equality). Only true
+video/audio codec formats (H.264/AAC) remain behind
 the clearly-marked :func:`_decode_stub` seam; the Spark-side contract —
 schema, batch shape, partitioning, per-row error capture — is real and
 unit-tested throughout.
@@ -175,12 +178,12 @@ def _decode_stub(kind: str, payload: bytes) -> None:
     external codecs have REAL decoders — PCM WAV (stdlib ``wave``),
     uncompressed 24-bit BMP (header ``struct`` + numpy), 8-bit PNG
     (stdlib ``zlib`` + the five-filter scanline spec), and since
-    round 7 baseline JPEG (``functions/jpeg.py``: a full from-spec
-    Huffman + IDCT + chroma-upsample implementation, plus the matching
-    encoder used to build test vectors) — :func:`decode_wav`,
-    :func:`decode_bmp`, :func:`decode_png`, :func:`decode_jpeg`,
-    dispatched by :func:`decode_media` and run distributed by
-    :func:`media_decode`.
+    round 7 baseline JPEG and animated GIF (``functions/jpeg.py`` /
+    ``functions/gif.py``, full from-spec implementations plus the
+    matching encoders used to build test vectors) —
+    :func:`decode_wav`, :func:`decode_bmp`, :func:`decode_png`,
+    :func:`decode_jpeg`, :func:`decode_gif`, dispatched by
+    :func:`decode_media` and run distributed by :func:`media_decode`.
     """
     raise NotImplementedError(
         f"media decode for kind={kind!r} requires codec libraries "
@@ -367,12 +370,36 @@ def decode_jpeg(payload: bytes) -> dict:
     }
 
 
+def decode_gif(payload: bytes) -> dict:
+    """REAL animation decode for GIF87a/89a — the from-spec codec in
+    ``functions/gif.py`` (variable-width LZW, interlace, local color
+    tables, multi-frame compositing with disposal + transparency).
+    Image features come from the FIRST composited frame so GIF rows
+    align with the other image decoders; ``n_frames`` carries the
+    animation length — the real multi-frame lane behind the
+    ``media_frame_sample`` pattern."""
+    from ..functions.gif import decode_gif as _dec
+
+    out = _dec(payload)
+    first = out["frames"][0].reshape(-1, 3).astype("int64")
+    s = first.sum(axis=0)
+    return {
+        "width": int(out["width"]),
+        "height": int(out["height"]),
+        "sum_r": int(s[0]),
+        "sum_g": int(s[1]),
+        "sum_b": int(s[2]),
+        "n_frames": len(out["frames"]),
+    }
+
+
 def decode_media(kind: str, payload: bytes) -> dict:
     """Dispatch on the payload's MAGIC BYTES (not the claimed kind —
     corpora lie about mime types): RIFF/WAVE → :func:`decode_wav`,
     BM → :func:`decode_bmp`, PNG signature → :func:`decode_png`,
-    SOI+marker → :func:`decode_jpeg`; anything else falls through to
-    the codec seam (:func:`_decode_stub`) and raises."""
+    SOI+marker → :func:`decode_jpeg`, GIF8 → :func:`decode_gif`;
+    anything else falls through to the codec seam
+    (:func:`_decode_stub`) and raises."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:2] == b"BM":
@@ -381,6 +408,8 @@ def decode_media(kind: str, payload: bytes) -> dict:
         return decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     _decode_stub(kind, payload)
 
 
@@ -399,6 +428,7 @@ MEDIA_DECODE_SCHEMA = StructType(
         StructField("n_channels", IntegerType(), True),
         StructField("n_samples", LongType(), True),
         StructField("energy", LongType(), True),
+        StructField("n_frames", IntegerType(), True),  # animations (GIF)
     ]
 )
 

@@ -2213,12 +2213,21 @@ def test_media_decode_real_wav_and_bmp_end_to_end(spark):
     jpg_bytes = encode_jpeg(jpg_img, quality=95, subsampling="420")
     jpg_sums = jpeg_to_array(jpg_bytes).reshape(-1, 3).astype(np.int64).sum(axis=0)
 
+    # -- real animated GIF: lossless, so exact first-frame sums
+    from data_ingestion_s3_to_parquet_spark.functions.gif import encode_gif
+
+    pal = rng.integers(0, 256, (5, 3)).astype(np.uint8)
+    gif_frames = [pal[rng.integers(0, 5, (6, 7))] for _ in range(3)]
+    gif_bytes = encode_gif(gif_frames, delays_cs=[4, 4, 4])
+    gif_sums = gif_frames[0].reshape(-1, 3).astype(np.int64).sum(axis=0)
+
     rows = [
         (1, "audio", bytearray(wav_bytes), "audio/wav", None, None, 8000),
         (2, "image", bytearray(bmp_bytes), "image/bmp", width, height, None),
         (3, "video", bytearray(b"\x00\x00\x00\x18ftypmp42 fake"), "video/mp4",
          None, None, None),
         (4, "image", bytearray(jpg_bytes), "image/jpeg", 13, 10, None),
+        (5, "video", bytearray(gif_bytes), "image/gif", 7, 6, None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: r for r in media_decode(media).collect()}
@@ -2226,6 +2235,10 @@ def test_media_decode_real_wav_and_bmp_end_to_end(spark):
     j = got[4]
     assert j.ok and (j.width, j.height) == (13, 10)
     assert (j.sum_r, j.sum_g, j.sum_b) == tuple(jpg_sums)
+
+    g = got[5]
+    assert g.ok and (g.width, g.height, g.n_frames) == (7, 6, 3)
+    assert (g.sum_r, g.sum_g, g.sum_b) == tuple(gif_sums)
 
     a = got[1]
     assert a.ok and a.err is None

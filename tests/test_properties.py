@@ -955,3 +955,107 @@ def test_jpeg_dispatch_and_sums_agree_with_array():
     assert (feat["sum_r"], feat["sum_g"], feat["sum_b"]) == tuple(
         arr.sum(axis=0)
     )
+
+
+# --- GIF codec (functions/gif.py) --------------------------------------------
+
+
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    n_colors=st.integers(2, 12),
+    n_frames=st.integers(1, 4),
+    seed=st.integers(0, 10**6),
+    mode=st.sampled_from(["real", "literal"]),
+)
+@slow_ok
+def test_gif_roundtrip_is_lossless_on_any_animation(
+    h, w, n_colors, n_frames, seed, mode
+):
+    # GIF is lossless: encode→decode must reproduce every frame
+    # EXACTLY, for both the compressing LZW (dictionary growth, width
+    # changes, KwKwK) and the literal/clear stream (repeated resets)
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+    frames = [pal[rng.integers(0, n_colors, (h, w))] for _ in range(n_frames)]
+    delays = list(rng.integers(0, 500, n_frames))
+    out = decode_gif(encode_gif(frames, delays_cs=delays, lzw=mode))
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["delays_cs"] == delays
+    assert len(out["frames"]) == n_frames
+    for a, b in zip(frames, out["frames"]):
+        assert np.array_equal(a, b)
+
+
+def test_gif_lzw_dictionary_full_path_roundtrips():
+    # > 4096 distinct phrases forces the clear-and-reset lane
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.arange(256 * 3, dtype=np.uint8).reshape(256, 3)
+    img = pal[(np.add.outer(np.arange(150), np.arange(160)) * 7) % 256]
+    out = decode_gif(encode_gif([img]))
+    assert np.array_equal(out["frames"][0], img)
+
+
+def test_gif_deinterlace_is_the_four_pass_order():
+    # the spec's pass structure: rows 0,8,16.. then 4,12.. then 2,6..
+    # then 1,3,5.. — _deinterlace must invert a stream stored in that
+    # order back to natural order
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.gif import _deinterlace
+
+    h, w = 11, 3
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    assert sorted(order) == list(range(h))
+    natural = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    stored = natural[order].reshape(-1)  # what an interlaced GIF stores
+    assert np.array_equal(_deinterlace(stored, h, w), natural)
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    # patch frame 2's graphic-control extension to mark one palette
+    # index transparent: the decoder must keep frame 1's pixels there
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    f1 = pal[np.zeros((4, 5), dtype=int)]            # all red
+    f2 = pal[np.tile([1, 2, 1, 2, 1], (4, 1))]       # green/blue stripes
+    data = bytearray(encode_gif([f1, f2]))
+
+    # palette is sorted by np.unique: [0,0,255]=0, [0,255,0]=1, [255,0,0]=2
+    # mark index 1 ([0,255,0], green) transparent on the SECOND frame
+    gce = b"\x21\xf9\x04\x04"
+    first = bytes(data).find(gce)
+    second = bytes(data).find(gce, first + 1)
+    assert second > 0
+    data[second + 3] = 0x05          # transparent flag on, disposal 1
+    data[second + 6] = 1             # transparent index: green
+
+    out = decode_gif(bytes(data))
+    composite = out["frames"][1]
+    green = (f2 == [0, 255, 0]).all(axis=-1)
+    assert np.array_equal(composite[green], f1[green])      # shows through
+    assert np.array_equal(composite[~green], f2[~green])    # drawn normally
