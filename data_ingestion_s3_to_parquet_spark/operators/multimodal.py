@@ -598,3 +598,157 @@ EXTRA_QUERIES = [
         ("llm", "multimodal"),
     ),
 ]
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("frame_md5", StringType(), False),
+        StructField("ok", BooleanType(), False),
+        StructField("err", StringType(), True),
+    ]
+)
+
+
+def media_sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL distributed frame sampling over animated payloads: decode
+    each GIF (``functions/gif.py``), keep every ``every_k``-th
+    composited frame, and emit one row per kept frame with exact
+    integer channel sums and a content md5 — the keyframe-extraction
+    stage of a video/animation ingest pipeline, running on actual
+    decoded pixels (``q_media_frame_sample`` is the oracle-graded twin
+    over deterministic text stand-ins; this is the binary lane).
+
+    Scale shape: one ``mapInPandas`` pass, payload bytes stay in Arrow
+    buffers, per-payload decode cost parallelizes with the corpus, and
+    an undecodable payload yields a single ok=false row (poison
+    contract, like :func:`media_decode`). Fan-out is
+    frames/``every_k`` rows per payload — bounded by the input's own
+    frame count, never corpus-squared.
+    """
+    import hashlib
+
+    from ..functions.gif import decode_gif as _gif
+    from ..session import tune
+
+    tune(media.sparkSession)
+    cols = [f.name for f in FRAME_SAMPLE_SCHEMA.fields]
+
+    def _sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    dec = _gif(bytes(payload))
+                    for i in range(0, len(dec["frames"]), every_k):
+                        fr = dec["frames"][i]
+                        s = fr.reshape(-1, 3).astype("int64").sum(axis=0)
+                        out.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": i,
+                                "width": dec["width"],
+                                "height": dec["height"],
+                                "sum_r": int(s[0]),
+                                "sum_g": int(s[1]),
+                                "sum_b": int(s[2]),
+                                "frame_md5": hashlib.md5(
+                                    fr.tobytes()
+                                ).hexdigest(),
+                                "ok": True,
+                                "err": None,
+                            }
+                        )
+                except Exception as e:  # poison payload → one row
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": -1,
+                            "width": 0,
+                            "height": 0,
+                            "sum_r": 0,
+                            "sum_g": 0,
+                            "sum_b": 0,
+                            "frame_md5": "",
+                            "ok": False,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _sample_batch, FRAME_SAMPLE_SCHEMA
+    )
+
+
+MEDIA_PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ok", BooleanType(), False),
+        StructField("err", StringType(), True),
+        StructField("container", StringType(), True),
+        StructField("duration_sec", DoubleType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("video_codec", StringType(), True),
+        StructField("audio_codec", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def media_probe(media: DataFrame) -> DataFrame:
+    """Distributed CONTAINER metadata probe for video payloads
+    (ISO-BMFF/MP4/MOV via ``functions/mp4.py``) — the stage a 100 TB
+    video corpus runs FIRST: duration / resolution / codec filters
+    need only box structures, no codec library, so the expensive
+    pixel decode (still behind :func:`_decode_stub` for H.264/AAC)
+    is reserved for the rows that survive. Same mapInPandas / Arrow /
+    one-poison-row-per-payload contract as :func:`media_decode`.
+    """
+    from ..functions.mp4 import probe_mp4
+    from ..session import tune
+
+    tune(media.sparkSession)
+    cols = [f.name for f in MEDIA_PROBE_SCHEMA.fields]
+
+    def _probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {c: None for c in cols}
+                row["media_id"] = mid
+                try:
+                    meta = probe_mp4(bytes(payload))
+                    vid = next(
+                        (t for t in meta["tracks"] if t["handler"] == "vide"),
+                        None,
+                    )
+                    aud = next(
+                        (t for t in meta["tracks"] if t["handler"] == "soun"),
+                        None,
+                    )
+                    row.update(
+                        ok=True,
+                        container=meta["brand"],
+                        duration_sec=meta["duration_sec"],
+                        n_tracks=meta["n_tracks"],
+                        video_codec=vid["codec"] if vid else None,
+                        audio_codec=aud["codec"] if aud else None,
+                        width=vid["width"] if vid else None,
+                        height=vid["height"] if vid else None,
+                    )
+                except Exception as e:
+                    row.update(ok=False, err=f"{type(e).__name__}: {e}")
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _probe_batch, MEDIA_PROBE_SCHEMA
+    )

@@ -4053,3 +4053,88 @@ def test_corr_pearson_matches_pure_python_recompute(spark, sf_dir):
             / 1e6
         )
         assert r.corr_qty_price == expect
+
+
+def test_media_sample_frames_decodes_real_animation(spark):
+    # the binary frame-sampling lane: a codec-built 5-frame GIF,
+    # sampled every 2nd frame distributed, must yield frames 0/2/4
+    # with EXACT channel sums and md5s computed from the same decode
+    # locally; a poison payload costs one ok=false row
+    import hashlib
+
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_sample_frames,
+    )
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (6, 3)).astype(np.uint8)
+    frames = [pal[rng.integers(0, 6, (9, 12))] for _ in range(5)]
+    payload = encode_gif(frames)
+    rows = [
+        (1, "video", bytearray(payload), "image/gif", 12, 9, None),
+        (2, "video", bytearray(b"GIF89a garbage"), "image/gif", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = media_sample_frames(media, every_k=2).collect()
+
+    good = sorted(
+        (r for r in got if r.media_id == 1), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in good] == [0, 2, 4]
+    composited = decode_gif(payload)["frames"]
+    for r in good:
+        fr = composited[r.frame_idx]
+        s = fr.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(s)
+        assert r.frame_md5 == hashlib.md5(fr.tobytes()).hexdigest()
+        assert r.ok and (r.width, r.height) == (12, 9)
+
+    bad = [r for r in got if r.media_id == 2]
+    assert len(bad) == 1 and not bad[0].ok and bad[0].err
+
+
+def test_media_probe_extracts_container_metadata_distributed(spark):
+    # the no-codec half of video handling: ISO-BMFF box metadata
+    # (duration, resolution, codecs) probed distributed so corpus
+    # filters run long before any H.264 decode; poison → one row
+    from data_ingestion_s3_to_parquet_spark.functions.mp4 import (
+        build_minimal_mp4,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_probe,
+    )
+
+    clip = build_minimal_mp4(
+        brand=b"mp42",
+        timescale=600,
+        duration=1500,
+        tracks=[
+            {"handler": b"vide", "width": 1280, "height": 720, "codec": b"avc1"},
+            {"handler": b"soun", "codec": b"mp4a"},
+        ],
+    )
+    rows = [
+        (1, "video", bytearray(clip), "video/mp4", 1280, 720, None),
+        (2, "video", bytearray(b"\x00\x00\x00\x08ftyp"), "video/mp4",
+         None, None, None),
+    ]
+    got = {
+        r.media_id: r
+        for r in media_probe(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    c = got[1]
+    assert c.ok and c.container == "mp42"
+    assert c.duration_sec == 2.5
+    assert (c.video_codec, c.audio_codec) == ("avc1", "mp4a")
+    assert (c.width, c.height, c.n_tracks) == (1280, 720, 2)
+    assert not got[2].ok and got[2].err
