@@ -712,11 +712,46 @@ def media_probe(media: DataFrame) -> DataFrame:
     is reserved for the rows that survive. Same mapInPandas / Arrow /
     one-poison-row-per-payload contract as :func:`media_decode`.
     """
+    from ..functions.mp3 import probe_mp3
     from ..functions.mp4 import probe_mp4
     from ..session import tune
 
     tune(media.sparkSession)
     cols = [f.name for f in MEDIA_PROBE_SCHEMA.fields]
+
+    def _probe_one(payload: bytes) -> dict:
+        if payload[4:8] == b"ftyp":
+            meta = probe_mp4(payload)
+            vid = next(
+                (t for t in meta["tracks"] if t["handler"] == "vide"), None
+            )
+            aud = next(
+                (t for t in meta["tracks"] if t["handler"] == "soun"), None
+            )
+            return dict(
+                ok=True,
+                container=meta["brand"],
+                duration_sec=meta["duration_sec"],
+                n_tracks=meta["n_tracks"],
+                video_codec=vid["codec"] if vid else None,
+                audio_codec=aud["codec"] if aud else None,
+                width=vid["width"] if vid else None,
+                height=vid["height"] if vid else None,
+            )
+        if payload[:3] == b"ID3" or (
+            len(payload) >= 2
+            and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0
+        ):
+            meta = probe_mp3(payload)
+            return dict(
+                ok=True,
+                container="mp3",
+                duration_sec=meta["duration_sec"],
+                n_tracks=1,
+                audio_codec="mp3",
+            )
+        raise ValueError("unrecognized container (not ISO-BMFF or MP3)")
 
     def _probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -725,25 +760,7 @@ def media_probe(media: DataFrame) -> DataFrame:
                 row = {c: None for c in cols}
                 row["media_id"] = mid
                 try:
-                    meta = probe_mp4(bytes(payload))
-                    vid = next(
-                        (t for t in meta["tracks"] if t["handler"] == "vide"),
-                        None,
-                    )
-                    aud = next(
-                        (t for t in meta["tracks"] if t["handler"] == "soun"),
-                        None,
-                    )
-                    row.update(
-                        ok=True,
-                        container=meta["brand"],
-                        duration_sec=meta["duration_sec"],
-                        n_tracks=meta["n_tracks"],
-                        video_codec=vid["codec"] if vid else None,
-                        audio_codec=aud["codec"] if aud else None,
-                        width=vid["width"] if vid else None,
-                        height=vid["height"] if vid else None,
-                    )
+                    row.update(_probe_one(bytes(payload)))
                 except Exception as e:
                     row.update(ok=False, err=f"{type(e).__name__}: {e}")
                 out.append(row)

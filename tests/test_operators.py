@@ -4121,10 +4121,16 @@ def test_media_probe_extracts_container_metadata_distributed(spark):
             {"handler": b"soun", "codec": b"mp4a"},
         ],
     )
+    from data_ingestion_s3_to_parquet_spark.functions.mp3 import (
+        build_mp3_frames,
+    )
+
+    song = build_mp3_frames(n_frames=38, kbps_pattern=(128, 192), sr=44100)
     rows = [
         (1, "video", bytearray(clip), "video/mp4", 1280, 720, None),
         (2, "video", bytearray(b"\x00\x00\x00\x08ftyp"), "video/mp4",
          None, None, None),
+        (3, "audio", bytearray(song), "audio/mpeg", None, None, 44100),
     ]
     got = {
         r.media_id: r
@@ -4138,3 +4144,6 @@ def test_media_probe_extracts_container_metadata_distributed(spark):
     assert (c.video_codec, c.audio_codec) == ("avc1", "mp4a")
     assert (c.width, c.height, c.n_tracks) == (1280, 720, 2)
     assert not got[2].ok and got[2].err
+    a = got[3]
+    assert a.ok and a.container == "mp3" and a.audio_codec == "mp3"
+    assert a.duration_sec == round(38 * 1152 / 44100, 3)

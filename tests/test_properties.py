@@ -1059,3 +1059,55 @@ def test_gif_transparency_composites_over_previous_frame():
     green = (f2 == [0, 255, 0]).all(axis=-1)
     assert np.array_equal(composite[green], f1[green])      # shows through
     assert np.array_equal(composite[~green], f2[~green])    # drawn normally
+
+
+@given(
+    n_frames=st.integers(1, 60),
+    kbps_pattern=st.lists(
+        st.sampled_from([32, 64, 96, 128, 192, 320]), min_size=1, max_size=4
+    ).map(tuple),
+    sr=st.sampled_from([44100, 48000, 32000]),
+    id3_len=st.integers(0, 300),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp3_probe_matches_built_stream(n_frames, kbps_pattern, sr, id3_len):
+    """probe_mp3 on any build_mp3_frames stream (optionally behind an
+    ID3v2 tag) recovers the exact frame count, VBR-correct duration,
+    and mean bitrate — per-frame length math, not first-frame guess."""
+    from data_ingestion_s3_to_parquet_spark.functions.mp3 import (
+        build_mp3_frames,
+        probe_mp3,
+    )
+
+    body = build_mp3_frames(
+        n_frames=n_frames, kbps_pattern=kbps_pattern, sr=sr
+    )
+    tag = b""
+    if id3_len:
+        sz = bytes(
+            [(id3_len >> 21) & 0x7F, (id3_len >> 14) & 0x7F,
+             (id3_len >> 7) & 0x7F, id3_len & 0x7F]
+        )
+        tag = b"ID3\x04\x00\x00" + sz + b"\x00" * id3_len
+    meta = probe_mp3(tag + body)
+    assert meta["n_frames"] == n_frames
+    assert meta["sample_rate"] == sr
+    assert meta["duration_sec"] == round(n_frames * 1152 / sr, 3)
+    kbps = [kbps_pattern[i % len(kbps_pattern)] for i in range(n_frames)]
+    assert meta["mean_kbps"] == round(sum(kbps) / n_frames, 1)
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_mp3_probe_rejects_arbitrary_bytes_cleanly(payload):
+    """Fuzz: arbitrary bytes either parse (rare, with sane fields) or
+    raise a typed error — never an IndexError/garbage dict."""
+    from data_ingestion_s3_to_parquet_spark.functions.mp3 import probe_mp3
+
+    try:
+        meta = probe_mp3(payload)
+    except (ValueError, NotImplementedError):
+        return
+    assert meta["n_frames"] >= 1 and meta["sample_rate"] in (
+        44100, 48000, 32000,
+    )
