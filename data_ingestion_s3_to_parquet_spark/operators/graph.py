@@ -360,10 +360,254 @@ FROM v GROUP BY vec_id
 """
 
 
-# Promoted to the graded lane in round 5 (never driver-graded before;
-# VERDICT r4 #1). label_propagation (green r5+r6) demoted in the
-# round-7 wave-2 rotation in exchange for a never-graded promotee.
+LP_TOP = 100  # link-prediction candidates returned
+
+
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the symmetrized k-NN
+    similarity graph: for every NON-edge pair (a < b), count shared
+    neighbors (cn) and the neighborhood-union size, and return the top
+    ``LP_TOP`` candidates by (cn DESC, a, b). The missing-edge
+    recommender — in a corpus graph these are document pairs the k-NN
+    build didn't connect but whose neighborhoods say it should have
+    (near-dup candidates one hop out, retrieval expansion seeds).
+
+    Jaccard = cn / union is reported as its two EXACT integer parts
+    (cn, union_deg) rather than a float ratio — ordering by (cn, a, b)
+    is already total, and integer columns hash identically across
+    engines (the repo's num/den rule, e.g. word_filter's hit rates).
+
+    Scale shape: candidate pairs come from WEDGE enumeration (join the
+    adjacency list with itself on the shared middle vertex), never
+    from node × node — output is Σ_x deg(x)², degree-bounded by
+    construction on a k-NN graph (deg ≤ 2k). Every join side here is
+    corpus-proportional (adjacency, degrees, wedge counts), so all
+    are shuffle_hash-pinned (§45); the only driver-sized object is
+    the final top-100 TakeOrderedAndProject.
+    """
+    e = _knn_edges(spark, sf_dir).select("src", "dst")
+    sym = (
+        e.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = (
+        s1.join(s2.hint("shuffle_hash"), F.col("s1.dst") == F.col("s2.src"))
+        .where(F.col("s1.src") < F.col("s2.dst"))
+        .groupBy(
+            F.col("s1.src").alias("a"), F.col("s2.dst").alias("b")
+        )
+        .agg(F.count("*").alias("cn"))
+    )
+    und = sym.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    cand = wedges.join(und.hint("shuffle_hash"), ["a", "b"], "left_anti")
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            (F.col("deg_a") + F.col("deg_b") - F.col("cn")).alias("union_deg"),
+        )
+        .orderBy(F.desc("cn"), "a", "b")
+        .limit(LP_TOP)
+    )
+
+
+SQL_LINK_PREDICT = f"""
+WITH k AS ({SQL_KNN_GRAPH}),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM k WHERE src <> dst
+    UNION ALL SELECT dst AS src, src AS dst FROM k WHERE src <> dst
+  )
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+wedges AS (
+  SELECT s1.src AS a, s2.dst AS b, COUNT(*) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.dst = s2.src
+  WHERE s1.src < s2.dst
+  GROUP BY s1.src, s2.dst
+),
+und AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+cand AS (
+  SELECT w.* FROM wedges w ANTI JOIN und USING (a, b)
+)
+SELECT a, b, cn, da.deg + db.deg - cn AS union_deg
+FROM cand
+JOIN deg da ON da.src = a
+JOIN deg db ON db.src = b
+ORDER BY cn DESC, a, b
+LIMIT {LP_TOP}
+"""
+
+
+KCORE_K = 3  # minimum degree retained
+KCORE_SUPPORT = 2  # co-purchase edges need ≥ this many common orders
+KCORE_ROUNDS = 16  # unrolled peel rounds (sf0.01 converges in 11)
+
+
+def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k = ``KCORE_K``) of the support-filtered
+    co-purchase graph: parts are vertices, parts sharing at least
+    ``KCORE_SUPPORT`` common orders are edges (the k-NN graph is
+    degree-regular by construction — everything or nothing survives —
+    so the graph family's density probe runs on the one fixture graph
+    with real degree skew). Peel vertices of degree < k until the
+    remainder — the maximal subgraph where every vertex keeps ≥ k
+    neighbors — is stable; return (node, deg) for the survivors with
+    their in-core degree. Where ``graph_triangles`` scores local
+    closure and ``label_propagation`` names communities, the k-core is
+    the standard "dense enough to trust" cut, and peeling it is the
+    cascade the one-shot degree filter misses (at sf0.01 the fixture
+    needs ELEVEN rounds: each removal re-exposes neighbors).
+
+    The loop is pure set arithmetic — degrees are integer counts,
+    membership is boolean — so the oracle mirrors it exactly as
+    ``KCORE_ROUNDS`` unrolled CTE rounds (the pagerank/kmeans
+    pattern); peeling is monotone, so once converged further rounds
+    are no-ops and Spark may stop early (same fixed point, checked
+    against the survivor count per round) while the oracle always
+    runs the full unroll.
+
+    Scale: the edge build is per-order pair enumeration (bounded by
+    basket size squared, the ``basket_pairs`` shape — never part ×
+    part); each peel round is one endpoint-explode count over the
+    still-alive edge set plus two semi-joins, all keyed on vertex ids
+    and shuffle_hash-pinned; localCheckpoint truncates lineage per
+    round (the CC-loop policy, SCALE.md §28). Rounds needed grow with
+    peel depth, not graph size — degenerate chains peel O(diameter)
+    rounds, which is when you switch to bucketed core-number
+    algorithms; support-filtered co-occurrence graphs peel in tens.
+    """
+    from ..sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.alias("x")
+    y = li.alias("y")
+    und = (
+        x.join(y.hint("shuffle_hash"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_orderkey").alias("okey"),
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("s"))
+        .where(F.col("s") >= KCORE_SUPPORT)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    alive = und.select(F.col("a").alias("node")).union(
+        und.select("b")
+    ).distinct()
+    n_alive = alive.count()
+    for _ in range(KCORE_ROUNDS):
+        live_edges = und.join(
+            alive.hint("shuffle_hash"), und.a == alive.node, "left_semi"
+        ).join(alive.hint("shuffle_hash"), und.b == F.col("node"), "left_semi")
+        deg = (
+            live_edges.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = (
+            deg.where(F.col("deg") >= KCORE_K).select("node").localCheckpoint()
+        )
+        n_next = alive.count()
+        if n_next == n_alive:  # monotone ⇒ fixed point; extra rounds no-op
+            break
+        n_alive = n_next
+    final_edges = und.join(
+        alive.hint("shuffle_hash"), und.a == alive.node, "left_semi"
+    ).join(alive.hint("shuffle_hash"), und.b == F.col("node"), "left_semi")
+    return (
+        final_edges.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def _sql_kcore() -> str:
+    # every alive-set CTE is referenced TWICE by the next round (both
+    # endpoint membership tests), so an inlining planner would expand
+    # the chain 2^rounds times — AS MATERIALIZED forces each round to
+    # evaluate once (and keeps the parquet-scanning edge CTE to one
+    # open file, not one per round)
+    cte = [
+        "e AS MATERIALIZED ("
+        "SELECT a, b FROM ("
+        "  SELECT a, b, COUNT(*) AS s FROM ("
+        "    SELECT DISTINCT x.l_orderkey AS okey, x.l_partkey AS a, "
+        "y.l_partkey AS b "
+        "    FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+        "    WHERE x.l_partkey < y.l_partkey"
+        "  ) GROUP BY a, b"
+        f") WHERE s >= {KCORE_SUPPORT})",
+        "a0 AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b FROM e)",
+    ]
+    for i in range(KCORE_ROUNDS):
+        prev, cur = f"a{i}", f"a{i + 1}"
+        cte.append(
+            f"d{i} AS MATERIALIZED (SELECT v AS node, COUNT(*) AS c FROM ("
+            f"SELECT unnest([a, b]) AS v FROM e "
+            f"WHERE a IN (SELECT node FROM {prev}) "
+            f"AND b IN (SELECT node FROM {prev})"
+            f") GROUP BY v)"
+        )
+        cte.append(
+            f"{cur} AS MATERIALIZED "
+            f"(SELECT node FROM d{i} WHERE c >= {KCORE_K})"
+        )
+    last = f"a{KCORE_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT v AS node, COUNT(*) AS deg FROM (
+  SELECT unnest([a, b]) AS v FROM e
+  WHERE a IN (SELECT node FROM {last})
+  AND b IN (SELECT node FROM {last})
+) GROUP BY v
+"""
+    )
+
+
+SQL_KCORE_DECOMPOSE = _sql_kcore()
+
+
+# link_predict / kcore_decompose are NEW in round 7 (third wave) and
+# grade immediately; pagerank (green r5+r6, promoted round 5 per
+# VERDICT r4 #1) demotes in exchange. label_propagation (green r5+r6)
+# demoted in the round-7 wave-2 rotation.
 QUERIES = [
+    Query(
+        "link_predict",
+        q_link_predict,
+        SQL_LINK_PREDICT,
+        ("llm", "graph", "similarity"),
+    ),
+    Query(
+        "kcore_decompose",
+        q_kcore_decompose,
+        SQL_KCORE_DECOMPOSE,
+        ("llm", "graph", "iterative"),
+        bench=True,  # the new peel loop, timed end-to-end
+    ),
+]
+
+EXTRA_QUERIES: list[Query] = [
     Query(
         "pagerank",
         q_pagerank,
@@ -371,9 +615,6 @@ QUERIES = [
         ("llm", "graph", "iterative"),
         bench=True,  # the iterative int64 kernel, timed end-to-end
     ),
-]
-
-EXTRA_QUERIES: list[Query] = [
     Query(
         "label_propagation",
         q_label_propagation,

@@ -1593,18 +1593,6 @@ QUERIES = [
         ("relational", "analytics", "statistics"),
     ),
     Query(
-        "recursive_cte",
-        q_recursive_hierarchy,
-        SQL_RECURSIVE_HIERARCHY,
-        ("relational", "sql", "iterative"),
-    ),
-    Query(
-        "data_expectations",
-        q_data_expectations,
-        SQL_DATA_EXPECTATIONS,
-        ("relational", "quality", "validation"),
-    ),
-    Query(
         "time_weighted_avg",
         q_time_weighted_avg,
         SQL_TIME_WEIGHTED_AVG,
@@ -1636,12 +1624,6 @@ QUERIES = [
         ("llm", "text", "report"),
     ),
     Query(
-        "value_histogram",
-        q_value_histogram,
-        SQL_VALUE_HISTOGRAM,
-        ("relational", "profiling"),
-    ),
-    Query(
         "basket_pairs",
         q_basket_pairs,
         SQL_BASKET_PAIRS,
@@ -1662,8 +1644,29 @@ QUERIES = [
 ]
 
 # Demoted in the round-7 wave-2 rotation (green r5+r6) in exchange
-# for never-graded round-7 promotees; both stay in the local sweep.
+# for never-graded round-7 promotees; all stay in the local sweep.
+# recursive_cte / data_expectations (green r5+r6) and value_histogram
+# (green r6) demoted in the round-7 THIRD-wave rotation for the new
+# doc_winnow / inverted_index / changepoint_cusum (relational10.py).
 EXTRA_QUERIES: list[Query] = [
+    Query(
+        "recursive_cte",
+        q_recursive_hierarchy,
+        SQL_RECURSIVE_HIERARCHY,
+        ("relational", "sql", "iterative"),
+    ),
+    Query(
+        "data_expectations",
+        q_data_expectations,
+        SQL_DATA_EXPECTATIONS,
+        ("relational", "quality", "validation"),
+    ),
+    Query(
+        "value_histogram",
+        q_value_histogram,
+        SQL_VALUE_HISTOGRAM,
+        ("relational", "profiling"),
+    ),
     Query(
         "fuzzy_match_strings",
         q_fuzzy_match_strings,

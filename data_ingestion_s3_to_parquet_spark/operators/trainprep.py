@@ -1350,12 +1350,6 @@ QUERIES = [
         SQL_TOKEN_BUDGET_SELECT,
         ("llm", "sampling", "quality", "window"),
     ),
-    Query(
-        "sample_stratified",
-        q_sample_stratified,
-        SQL_SAMPLE_STRATIFIED,
-        ("llm", "sampling", "window"),
-    ),
 ]
 
 # Rotated to the EXTRA lane: seq_pack + embedding_quantize in round 4
@@ -1368,6 +1362,14 @@ QUERIES = [
 # never-graded entry LEADS the lane and a larger harness budget — or
 # the next rotation — grades it first.
 EXTRA_QUERIES = [
+    # demoted in the round-7 THIRD-wave rotation (green rows through
+    # r6) in exchange for the never-graded graph promotees
+    Query(
+        "sample_stratified",
+        q_sample_stratified,
+        SQL_SAMPLE_STRATIFIED,
+        ("llm", "sampling", "window"),
+    ),
     Query("sample_split", q_sample_split, SQL_SAMPLE_SPLIT, ("llm", "sampling")),
     Query(
         "decontaminate",

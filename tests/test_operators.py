@@ -877,7 +877,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 78
+    assert len(EXTRA) == 83
     assert len(BENCH_ONLY) == 5
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -886,13 +886,28 @@ def test_lane_counts_match_docs():
         "dedup_semantic",
         "lang_id_ngram",
     }
-    # round 7 completed the rotation programme (VERDICT r6 #1) in two
-    # waves: the round-6 trio leads the graded lane right after
-    # ingest_parity…
+    # round 7 completed the rotation programme (VERDICT r6 #1) in
+    # waves. The THIRD wave (relational10) is newest and leads right
+    # after ingest_parity; recursive_cte / data_expectations /
+    # value_histogram demoted in exchange (green rows r5/r6)…
+    promoted_r7_wave3 = ["doc_winnow", "inverted_index", "changepoint_cusum"]
+    assert list(REGISTRY)[1:4] == promoted_r7_wave3
+    assert {"link_predict", "kcore_decompose"} <= set(REGISTRY)
+    assert all(
+        k in EXTRA
+        for k in (
+            "recursive_cte",
+            "data_expectations",
+            "value_histogram",
+            "pagerank",
+            "sample_stratified",
+        )
+    )
+    # …then the round-6 trio…
     promoted_r7 = ["dedup_passages", "emb_gram", "dedup_keep_best"]
-    assert list(REGISTRY)[1:4] == promoted_r7
-    # …and the 28 NEW round-7 operators follow at positions 5-32, so
-    # every never-driver-graded entry grades THIS round
+    assert list(REGISTRY)[4:7] == promoted_r7
+    # …and the 28 wave-2 round-7 operators, so every
+    # never-driver-graded entry grades THIS round
     promoted_r7_wave2 = [
         "graph_triangles",
         "bpe_merges",
@@ -923,7 +938,7 @@ def test_lane_counts_match_docs():
         "content_chunks",
         "word_filter",
     ]
-    assert list(REGISTRY)[4:32] == promoted_r7_wave2
+    assert list(REGISTRY)[7:35] == promoted_r7_wave2
     # the EXTRA lane holds ONLY entries with prior green driver rows:
     # the wave-1 demotees plus the 28 wave-2 demotees (multi-green
     # veterans traded for the wave-2 promotees)
@@ -963,8 +978,8 @@ def test_lane_counts_match_docs():
     assert len(demoted_r7_wave2) == 28
     # the post-wave-2 additions grade immediately, demoting
     # window_distribution, text_normalize, and knn_graph
-    assert list(REGISTRY)[34] == "corr_pearson"
-    assert list(REGISTRY)[47:49] == ["dsir_weights", "token_budget_select"]
+    assert list(REGISTRY)[37] == "corr_pearson"
+    assert list(REGISTRY)[48:50] == ["dsir_weights", "token_budget_select"]
     assert "window_distribution" in EXTRA
     assert "text_normalize" in EXTRA
     assert "knn_graph" in EXTRA
@@ -4147,3 +4162,236 @@ def test_media_probe_extracts_container_metadata_distributed(spark):
     a = got[3]
     assert a.ok and a.container == "mp3" and a.audio_codec == "mp3"
     assert a.duration_sec == round(38 * 1152 / 44100, 3)
+
+
+def _py_winnow(text: str):
+    """Reference winnowing (Schleimer et al. §4, robust variant off):
+    every complete window's rightmost-minimum k-gram hash."""
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        WINNOW_GRAM_N,
+        WINNOW_W,
+        _FP_HEX,
+    )
+
+    t = text.split(" ")
+    grams = [
+        " ".join(t[i : i + WINNOW_GRAM_N])
+        for i in range(len(t) - WINNOW_GRAM_N + 1)
+    ]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:_FP_HEX], 16) for g in grams
+    ]
+    m = len(hs)
+    sel = set()
+    if not m:
+        return sel
+    w = min(WINNOW_W, m)
+    for t0 in range(m - w + 1):
+        win = hs[t0 : t0 + w]
+        mn = min(win)
+        # rightmost occurrence of the min in this window
+        pos = t0 + max(j for j, h in enumerate(win) if h == mn)
+        sel.add((pos + 1, hs[pos]))
+    return sel
+
+
+def test_doc_winnow_matches_python_reference(spark, sf_dir):
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        q_doc_winnow,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    want = {
+        (r.doc_id, p, h)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+        for (p, h) in _py_winnow(r.text)
+    }
+    got = {
+        (r.doc_id, r.fp_pos, r.fp)
+        for r in q_doc_winnow(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_winnow_guarantee_shared_span_always_collides(spark):
+    # winnowing's point: ANY shared run of >= W + N - 1 words yields at
+    # least one identical selected fingerprint in both documents —
+    # plant a 6-word span inside otherwise-disjoint text and check the
+    # fingerprint join finds it
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        winnow_fingerprints,
+    )
+
+    span = "the quick brown fox jumps high"
+    rows = [
+        (1, "alpha beta gamma " + span + " delta epsilon"),
+        (2, "one two three four " + span + " five six seven"),
+        (3, "totally unrelated words only here nothing shared at all"),
+    ]
+    fps = winnow_fingerprints(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-word span must collide"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_inverted_index_matches_python_recompute(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        POSTINGS_CAP,
+        q_inverted_index,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    tf = Counter()
+    docs = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ):
+        for w in r.text.split(" "):
+            tf[w] += 1
+            docs[w].add(r.doc_id)
+    want = {
+        (
+            t,
+            len(docs[t]),
+            tf[t],
+            ",".join(str(d) for d in sorted(docs[t])[:POSTINGS_CAP]),
+        )
+        for t in tf
+    }
+    got = {
+        (r.term, r.df, r.tf, r.postings)
+        for r in q_inverted_index(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_changepoint_cusum_finds_planted_level_shift(spark):
+    # 9 orders at ~$100, then 6 at ~$900: the max scaled CUSUM
+    # deviation must land exactly on the boundary (split after i=9);
+    # a flat customer still reports its (tiny) max with earliest-tie
+    from datetime import datetime
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        cusum_changepoints,
+    )
+
+    rows = [
+        (1, k, datetime(2024, 1, k), 10_000 + (k % 3))
+        for k in range(1, 10)
+    ] + [
+        (1, k, datetime(2024, 1, k), 90_000 + (k % 3))
+        for k in range(10, 16)
+    ] + [
+        (2, k, datetime(2024, 2, k), 5_000) for k in range(1, 5)
+    ]
+    out = {
+        r.o_custkey: r
+        for r in cusum_changepoints(
+            spark.createDataFrame(
+                rows,
+                "o_custkey long, o_orderkey long, o_orderdate timestamp, cents long",
+            )
+        ).collect()
+    }
+    assert out[1].split_pos == 9 and out[1].n_orders == 15
+    # flat series: every deviation is the same tiny residue pattern;
+    # the tie rule picks the earliest split deterministically
+    assert out[2].n_orders == 4 and out[2].split_pos >= 1
+    # exactness: dev for the planted customer equals the closed form
+    s = [10_000 + (k % 3) for k in range(1, 10)] + [
+        90_000 + (k % 3) for k in range(10, 16)
+    ]
+    tot = sum(s)
+    best = max(
+        abs(len(s) * sum(s[:i]) - i * tot) for i in range(1, len(s))
+    )
+    assert out[1].dev == best
+
+
+def test_link_predict_matches_python_recompute(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        LP_TOP,
+        q_link_predict,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_knn_graph,
+    )
+
+    adj = defaultdict(set)
+    for r in q_knn_graph(spark, sf_dir).select("src", "dst").collect():
+        if r.src != r.dst:
+            adj[r.src].add(r.dst)
+            adj[r.dst].add(r.src)
+    cand = {}
+    for x, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i, a in enumerate(ns):
+            for b in ns[i + 1 :]:
+                if b not in adj[a]:
+                    cand[(a, b)] = cand.get((a, b), 0) + 1
+    ranked = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:LP_TOP]
+    want = [
+        (a, b, cn, len(adj[a]) + len(adj[b]) - cn)
+        for (a, b), cn in ranked
+    ]
+    got = [
+        (r.a, r.b, r.cn, r.union_deg)
+        for r in q_link_predict(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_kcore_matches_python_peel_to_convergence(spark, sf_dir):
+    # the Python reference peels to TRUE convergence (no round cap),
+    # so this also proves KCORE_ROUNDS is a converged unroll on the
+    # fixture, not a truncation
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        KCORE_K,
+        KCORE_SUPPORT,
+        q_kcore_decompose,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    per_order = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        per_order[r.l_orderkey].add(r.l_partkey)
+    support = defaultdict(int)
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                support[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), s in support.items():
+        if s >= KCORE_SUPPORT:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(adj)
+    while True:
+        nxt = {v for v in alive if sum(1 for u in adj[v] if u in alive) >= KCORE_K}
+        if nxt == alive:
+            break
+        alive = nxt
+    want = {
+        (v, sum(1 for u in adj[v] if u in alive)) for v in alive
+    }
+    got = {(r.node, r.deg) for r in q_kcore_decompose(spark, sf_dir).collect()}
+    assert got == want

@@ -651,3 +651,57 @@ def test_scale_probe_inflation_preserves_the_join_graph(spark):
     assert load_table(spark, d, "nation").count() == load_table(
         spark, base, "nation"
     ).count()
+
+
+def test_doc_winnow_is_one_doc_keyed_window_pass(spark):
+    # the packed-argmin trick collapses winnowing into a single
+    # window pass: one doc-keyed exchange (the distinct reuses the
+    # doc_id clustering — its keys are a superset), no joins, no UDF
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        q_doc_winnow,
+    )
+
+    plan = plan_of(q_doc_winnow(spark, SF_SMOKE))
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_inverted_index_never_broadcasts_vocabulary(spark):
+    # all three aggregates and both joins are term-keyed; vocabulary
+    # grows with the corpus, so no side may be broadcast-elected
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        q_inverted_index,
+    )
+
+    plan = plan_of(q_inverted_index(spark, SF_SMOKE))
+    assert "Broadcast" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_changepoint_cusum_shares_one_customer_exchange(spark):
+    # prefix-sum window, whole-partition totals, and the argmax rank
+    # all partition on o_custkey: one exchange, zero joins
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        q_changepoint_cusum,
+    )
+
+    plan = plan_of(q_changepoint_cusum(spark, SF_SMOKE))
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_link_predict_never_broadcasts_graph_sides(spark):
+    # adjacency, degree, and wedge-count frames all grow with the
+    # corpus: every join must stay shuffle-side, and the only global
+    # ordering is the bounded top-100 TakeOrdered
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        q_link_predict,
+    )
+
+    plan = plan_of(q_link_predict(spark, SF_SMOKE))
+    assert "BroadcastExchange" not in plan
+    assert "TakeOrderedAndProject" in plan
