@@ -75,7 +75,7 @@ green driver row, verified locally each round by
 tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
 larger budget grades it for free. Lane counts (50 graded / 83 EXTRA /
-5 BENCH_ONLY) are pinned by
+6 BENCH_ONLY) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded
 through accuracy-contract oracles — a deterministic ``*_ok`` boolean
@@ -89,7 +89,7 @@ recomputes exactly; the oracle asserts TRUE (SCALE.md §13):
   (floor 0.8); exact twins: ``dedup_ngram_jaccard``, ``sim_topk``,
   ``sim_join``
 
-Five operators are deliberately OUTSIDE the graded registry
+Six operators are deliberately OUTSIDE the graded registry
 (``plans.registry.BENCH_ONLY``; benched + pytest-gated):
 ``sim_join_lsh`` and ``knn_graph_lsh`` (no high-cosine pairs exist in
 the fixtures, so a recall gate would be vacuous),
@@ -97,9 +97,11 @@ the fixtures, so a recall gate would be vacuous),
 pipeline, accuracy via planted-cluster recall pytest),
 ``dedup_semantic`` (the round-7 SemDeDup composition — whiten → LSH →
 components → keep-best; whitening's driver-side eigensolve has no SQL
-twin, accuracy via planted-cluster recall pytest), and
+twin, accuracy via planted-cluster recall pytest),
 ``lang_id_ngram`` (no ground truth — 0.20 agreement with the
-synthetic lang labels).
+synthetic lang labels), and ``media_phash`` (the image-dedup lane:
+from-spec decode + perceptual dHash + exact-group-then-band-join;
+pixels are not SQL-reachable, accuracy via planted-pair pytest).
 
 All real logic lives in ``data_ingestion_s3_to_parquet_spark``; this
 module only adapts the query registry

