@@ -4449,3 +4449,33 @@ def test_media_phash_query_links_exactly_the_planted_near_dups(spark, sf_dir):
     # one pair (variants are 1-2 bits away — far under the threshold)
     linked_seeds = {r.canon_a % PHASH_SEEDS for r in rows}
     assert len(linked_seeds) >= PHASH_SEEDS // 2
+
+
+def test_copurchase_edge_artifact_matches_rebuild(spark, sf_dir):
+    # the persisted support-filtered co-purchase edge table feeding
+    # kcore_decompose must equal a fresh in-query build (same
+    # cache-equals-rebuild contract as the knn/cosine edge artifacts)
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        KCORE_SUPPORT,
+        _copurchase_edges,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    per_order = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        per_order[r.l_orderkey].add(r.l_partkey)
+    support = defaultdict(int)
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                support[(a, b)] += 1
+    fresh = {p for p, s in support.items() if s >= KCORE_SUPPORT}
+    cached = {(r.a, r.b) for r in _copurchase_edges(spark, sf_dir).collect()}
+    assert cached == fresh
