@@ -936,3 +936,69 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= PHASH_HAMMING_T)
         .select("canon_a", "canon_b", "hamming", "n_a", "n_b")
     )
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("has_exif", BooleanType(), True),
+        StructField("orientation", IntegerType(), True),
+        StructField("taken_at", StringType(), True),
+        StructField("make", StringType(), True),
+        StructField("model", StringType(), True),
+        StructField("has_gps", BooleanType(), True),
+        StructField("gps_lat_udeg", LongType(), True),
+        StructField("gps_lon_udeg", LongType(), True),
+        StructField("scrubbed", BinaryType(), True),
+        StructField("ok", BooleanType(), False),
+        StructField("err", StringType(), True),
+    ]
+)
+
+
+def media_exif(media: DataFrame) -> DataFrame:
+    """EXIF probe + GPS scrub per JPEG row, distributed: read
+    orientation / timestamp / device / GPS from the APP1 TIFF
+    structure (``functions/exif.py``, pure byte math) and return the
+    payload REBUILT without location PII (whitelist re-emit — the GPS
+    rationals leave the bytes entirely, they are not merely
+    unlinked). The image twin of ``pii_redact``: run it before an
+    image corpus ships. GPS coordinates surface as exact integer
+    micro-degrees (for audit joins/filters); pixels are untouched —
+    the entropy-coded stream is copied byte-identical, so downstream
+    decode/phash results are unchanged. Same mapInPandas / Arrow /
+    one-poison-row-per-payload contract as :func:`media_decode`.
+    """
+    from ..functions.exif import probe_exif, scrub_gps
+    from ..session import tune
+
+    tune(media.sparkSession)
+    cols = [f.name for f in EXIF_SCHEMA.fields]
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {c: None for c in cols}
+                row.update(media_id=mid, ok=False)
+                try:
+                    p = bytes(payload)
+                    meta = probe_exif(p)
+                    row.update(
+                        has_exif=meta["has_exif"],
+                        orientation=meta["orientation"],
+                        taken_at=meta["datetime"],
+                        make=meta["make"],
+                        model=meta["model"],
+                        has_gps=meta["has_gps"],
+                        gps_lat_udeg=meta["gps_lat_udeg"],
+                        gps_lon_udeg=meta["gps_lon_udeg"],
+                        scrubbed=bytearray(scrub_gps(p)),
+                        ok=True,
+                    )
+                except Exception as e:
+                    row.update(err=f"{type(e).__name__}: {e}")
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(_batch, EXIF_SCHEMA)

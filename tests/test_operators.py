@@ -4479,3 +4479,50 @@ def test_copurchase_edge_artifact_matches_rebuild(spark, sf_dir):
     fresh = {p for p, s in support.items() if s >= KCORE_SUPPORT}
     cached = {(r.a, r.b) for r in _copurchase_edges(spark, sf_dir).collect()}
     assert cached == fresh
+
+
+def test_media_exif_probe_and_scrub_distributed(spark):
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.exif import (
+        attach_app1,
+        build_exif_app1,
+        probe_exif,
+    )
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from data_ingestion_s3_to_parquet_spark.functions.phash import (
+        seeded_test_image,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_exif,
+    )
+
+    jp = encode_jpeg(seeded_test_image(5, 0, 16, 16), quality=85)
+    tagged = attach_app1(jp, build_exif_app1())
+    rows = [
+        (1, "image", bytearray(tagged), "image/jpeg", 16, 16, None),
+        (2, "image", bytearray(jp), "image/jpeg", 16, 16, None),
+        (3, "image", bytearray(b"nope"), None, None, None, None),
+    ]
+    got = {
+        r.media_id: r
+        for r in media_exif(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    r1 = got[1]
+    assert r1.ok and r1.has_exif and r1.has_gps
+    assert r1.gps_lat_udeg == 37774899 and r1.gps_lon_udeg == -122419399
+    assert (r1.make, r1.model, r1.orientation) == ("CamCo", "X100", 6)
+    clean = probe_exif(bytes(r1.scrubbed))
+    assert not clean["has_gps"] and clean["orientation"] == 6
+    # pixels identical through the scrub
+    assert np.array_equal(decode_jpeg(bytes(r1.scrubbed)), decode_jpeg(tagged))
+    # EXIF-less JPEG: ok, nothing reported, payload unchanged
+    assert got[2].ok and not got[2].has_exif and bytes(got[2].scrubbed) == jp
+    # poison row
+    assert not got[3].ok and got[3].err

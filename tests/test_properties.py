@@ -1171,3 +1171,65 @@ def test_phash_degenerate_dimensions_never_crash(h, w, seed):
     a, b = dhash64(px), dhash64(px.copy())
     assert a == b
     assert -(1 << 63) <= a < (1 << 63)
+
+
+@given(
+    lat=st.floats(-89.9, 89.9), lon=st.floats(-179.9, 179.9),
+    orientation=st.integers(1, 8),
+    order=st.sampled_from(["<", ">"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_exif_probe_and_scrub_roundtrip_any_coordinates(
+    lat, lon, orientation, order
+):
+    """probe_exif recovers the planted coordinates within 1 micro-
+    degree-second of builder quantization in either byte order;
+    scrub_gps removes GPS (and its raw rational bytes) while keeping
+    the whitelist and the exact compressed stream."""
+    import struct as _s
+
+    from data_ingestion_s3_to_parquet_spark.functions.exif import (
+        attach_app1,
+        build_exif_app1,
+        probe_exif,
+        scrub_gps,
+    )
+
+    jpeg = b"\xff\xd8" + b"\xff\xdb\x00\x04\x00\x00" + b"\xff\xd9"
+    tagged = attach_app1(
+        jpeg,
+        build_exif_app1(
+            orientation=orientation, gps=(lat, lon), byte_order=order
+        ),
+    )
+    m = probe_exif(tagged)
+    assert m["has_exif"] and m["has_gps"]
+    assert abs(m["gps_lat_udeg"] - int(lat * 1e6)) <= 60
+    assert abs(m["gps_lon_udeg"] - int(lon * 1e6)) <= 60
+    assert m["orientation"] == orientation
+    clean = scrub_gps(tagged)
+    mc = probe_exif(clean)
+    assert not mc["has_gps"] and mc["gps_lat_udeg"] is None
+    assert mc["orientation"] == orientation
+    assert mc["make"] == "CamCo" and mc["datetime"] == "2024:05:01 12:00:00"
+    # the coordinate rationals are REMOVED from the bytes, not unlinked
+    x = abs(lat)
+    d = int(x); mnt = int((x - d) * 60)
+    s_num = int(round(((x - d) * 60 - mnt) * 60 * 10000))
+    rational = _s.pack(("<" if order == "<" else ">") + "II", s_num, 10000)
+    if s_num > 256:  # tiny numerators collide with header bytes
+        assert rational in tagged and rational not in clean
+    # entropy-coded stream intact
+    assert clean.endswith(b"\xff\xd9")
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(max_examples=50, deadline=None)
+def test_exif_probe_rejects_arbitrary_bytes_cleanly(payload):
+    from data_ingestion_s3_to_parquet_spark.functions.exif import probe_exif
+
+    try:
+        m = probe_exif(payload)
+    except (ValueError, NotImplementedError, IndexError, Exception):
+        return
+    assert isinstance(m, dict) and "has_gps" in m
