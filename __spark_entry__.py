@@ -55,26 +55,28 @@ budget cut, run as a two-phase bucket+carry prefix sum instead of a
 one-task global window), and corr_pearson (per-group Pearson
 correlation from exact integer sufficient statistics — the
 layout-proof replacement for float-accumulator corr()) grade
-immediately too. A THIRD wave adds five more never-graded operators —
+immediately too. A THIRD wave adds six more never-graded operators —
 doc_winnow (winnowing fingerprint selection, the MOSS local-argmin
 algorithm as one packed-key window pass), inverted_index (term → df /
 tf / capped posting list), changepoint_cusum (per-customer integer
 CUSUM level-shift detection), link_predict (common-neighbor link
-prediction over the k-NN graph with exact integer Jaccard parts), and
+prediction over the k-NN graph with exact integer Jaccard parts),
 kcore_decompose (k-core peeling of the support-filtered co-purchase
-graph, unrolled-CTE oracle) — which also grade immediately. In
-exchange, 39 multi-green veterans demote (sample_span_mask /
+graph, unrolled-CTE oracle), and winnow_overlap (the MOSS-style
+fingerprint-equality overlap join over doc_winnow's selections) —
+which also grade immediately. In exchange, 40 multi-green veterans
+demote (sample_span_mask /
 lm_unigram_score / udf_scalar in wave 1, then 28 more plus
 window_distribution, text_normalize, and knn_graph, then
 recursive_cte / data_expectations / value_histogram / pagerank /
-sample_stratified for wave 3 — see plans/registry.py). Once this
+sample_stratified / unpivot_stack for wave 3 — see plans/registry.py). Once this
 round grades, every oracle-gated operator in the repo has a green
 driver row in some round. The EXTRA lane holds
-eighty-three oracle-gated entries, every one with at least one prior
+eighty-four oracle-gated entries, every one with at least one prior
 green driver row, verified locally each round by
 tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 83 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 84 EXTRA /
 6 BENCH_ONLY) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -345,7 +345,89 @@ FROM (
 """
 
 
-# Graded lane contribution: all three are NEW in round 7 (third wave)
+# --------------------------------------------------------------------
+# winnow_overlap
+# --------------------------------------------------------------------
+
+OVERLAP_MIN_SHARED = 2  # fingerprints two docs must share to pair
+OVERLAP_FP_MAX_DF = 16  # fingerprints in more docs than this are boilerplate
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The application of ``doc_winnow``: document pairs sharing at
+    least ``OVERLAP_MIN_SHARED`` selected fingerprints — the
+    MOSS-style plagiarism/quotation detector. By the winnowing
+    guarantee every shared span of ≥ WINNOW_W + WINNOW_GRAM_N − 1
+    words contributes an identical selected fingerprint to both
+    documents, so overlap detection is an EQUALITY join on
+    fingerprints, never an all-pairs comparison. Returns
+    (doc_a, doc_b, n_shared, n_a, n_b) — the shared count plus each
+    side's total distinct fingerprints, the exact integer parts of
+    the containment ratios (num/den rule; no float ratio column).
+
+    Skew control, the standard two-sided split: fingerprints present
+    in more than ``OVERLAP_FP_MAX_DF`` documents are BOILERPLATE
+    (templates, licence headers) — they would pair everything with
+    everything (df² growth) while carrying no pairwise signal, and
+    corpus-wide repetition is ``dedup_passages``'s job. The df cap
+    bounds the pair fan-out per fingerprint at df² ≤ 256; every join
+    side is corpus-proportional and shuffle_hash-pinned (§45).
+    """
+    from ..sources.catalog import load_table
+
+    sel = (
+        winnow_fingerprints(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    df_ok = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= OVERLAP_FP_MAX_DF)
+        .select("fp")
+    )
+    live = sel.join(df_ok.hint("shuffle_hash"), "fp", "left_semi")
+    totals = sel.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = live.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = live.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= OVERLAP_MIN_SHARED)
+    )
+    ta = totals.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    tb = totals.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(ta.hint("shuffle_hash"), "doc_a")
+        .join(tb.hint("shuffle_hash"), "doc_b")
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b")
+    )
+
+
+SQL_WINNOW_OVERLAP = f"""
+WITH w AS MATERIALIZED ({SQL_DOC_WINNOW}),
+sel AS (SELECT DISTINCT doc_id, fp FROM w),
+ok AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= {OVERLAP_FP_MAX_DF}),
+live AS (SELECT sel.doc_id, sel.fp FROM sel SEMI JOIN ok USING (fp)),
+totals AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM live a JOIN live b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {OVERLAP_MIN_SHARED}
+)
+SELECT doc_a, doc_b, n_shared, ta.n_fp AS n_a, tb.n_fp AS n_b
+FROM pairs
+JOIN totals ta ON ta.doc_id = doc_a
+JOIN totals tb ON tb.doc_id = doc_b
+"""
+
+
+# Graded lane contribution: all four are NEW in round 7 (third wave)
 # and grade immediately — never-graded-first, the rotation rule.
 QUERIES = [
     Query(
@@ -366,6 +448,12 @@ QUERIES = [
         q_changepoint_cusum,
         SQL_CHANGEPOINT_CUSUM,
         ("relational", "timeseries", "window"),
+    ),
+    Query(
+        "winnow_overlap",
+        q_winnow_overlap,
+        SQL_WINNOW_OVERLAP,
+        ("llm", "text", "fingerprint", "dedup"),
     ),
 ]
 

@@ -679,12 +679,6 @@ QUERIES: list[Query] = []
 # for round-7 wave-2 promotees.
 QUERIES = [
     Query(
-        "unpivot_stack",
-        q_unpivot_stack,
-        SQL_UNPIVOT_STACK,
-        ("relational", "reshape"),
-    ),
-    Query(
         "anomaly_zscore",
         q_anomaly_zscore,
         SQL_ANOMALY_ZSCORE,
@@ -698,6 +692,14 @@ QUERIES = [
 # agg_skew_salted in the round-7 wave-2 rotation (green r5+r6). All
 # keep their oracles + bench entries and stay in the local sweep.
 EXTRA_QUERIES: list[Query] = [
+    # demoted in the round-7 THIRD-wave rotation (green r6) in
+    # exchange for the never-graded winnow_overlap
+    Query(
+        "unpivot_stack",
+        q_unpivot_stack,
+        SQL_UNPIVOT_STACK,
+        ("relational", "reshape"),
+    ),
     Query(
         "knn_graph",
         q_knn_graph,

@@ -37,7 +37,7 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational10's three round-7 third-wave operators are never
+    # relational10's four round-7 third-wave operators are never
     # graded — they lead so they earn driver rows this round.
     "data_ingestion_s3_to_parquet_spark.operators.relational10",
     # relational7 contributes ONLY EXTRA-lane entries (QUERIES is
@@ -98,11 +98,12 @@ REGISTRY: dict[str, Query] = _collect()
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
 # pytest, but not submitted for driver grading. After the round-7
-# wave-3 rotation this lane holds eighty-three entries, EVERY one
-# with at least one prior green driver row — the five wave-3 demotees
+# wave-3 rotation this lane holds eighty-four entries, EVERY one
+# with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
-# sample_stratified — traded for doc_winnow / inverted_index /
-# changepoint_cusum / link_predict / kcore_decompose), the 28 wave-2
+# sample_stratified, unpivot_stack — traded for doc_winnow /
+# inverted_index / changepoint_cusum / winnow_overlap / link_predict
+# / kcore_decompose), the 28 wave-2
 # demotees
 # (multi-green veterans: interleave_mix, window_range_interval,
 # profile_table, agg_skew_salted, fuzzy_match_strings,

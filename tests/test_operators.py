@@ -881,7 +881,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 83
+    assert len(EXTRA) == 84
     assert len(BENCH_ONLY) == 6
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -895,8 +895,13 @@ def test_lane_counts_match_docs():
     # waves. The THIRD wave (relational10) is newest and leads right
     # after ingest_parity; recursive_cte / data_expectations /
     # value_histogram demoted in exchange (green rows r5/r6)…
-    promoted_r7_wave3 = ["doc_winnow", "inverted_index", "changepoint_cusum"]
-    assert list(REGISTRY)[1:4] == promoted_r7_wave3
+    promoted_r7_wave3 = [
+        "doc_winnow",
+        "inverted_index",
+        "changepoint_cusum",
+        "winnow_overlap",
+    ]
+    assert list(REGISTRY)[1:5] == promoted_r7_wave3
     assert {"link_predict", "kcore_decompose"} <= set(REGISTRY)
     assert all(
         k in EXTRA
@@ -906,11 +911,12 @@ def test_lane_counts_match_docs():
             "value_histogram",
             "pagerank",
             "sample_stratified",
+            "unpivot_stack",
         )
     )
     # …then the round-6 trio…
     promoted_r7 = ["dedup_passages", "emb_gram", "dedup_keep_best"]
-    assert list(REGISTRY)[4:7] == promoted_r7
+    assert list(REGISTRY)[5:8] == promoted_r7
     # …and the 28 wave-2 round-7 operators, so every
     # never-driver-graded entry grades THIS round
     promoted_r7_wave2 = [
@@ -943,7 +949,7 @@ def test_lane_counts_match_docs():
         "content_chunks",
         "word_filter",
     ]
-    assert list(REGISTRY)[7:35] == promoted_r7_wave2
+    assert list(REGISTRY)[8:36] == promoted_r7_wave2
     # the EXTRA lane holds ONLY entries with prior green driver rows:
     # the wave-1 demotees plus the 28 wave-2 demotees (multi-green
     # veterans traded for the wave-2 promotees)
@@ -985,6 +991,7 @@ def test_lane_counts_match_docs():
     # window_distribution, text_normalize, and knn_graph
     assert list(REGISTRY)[37] == "corr_pearson"
     assert list(REGISTRY)[48:50] == ["dsir_weights", "token_budget_select"]
+    assert "winnow_overlap" in REGISTRY
     assert "window_distribution" in EXTRA
     assert "text_normalize" in EXTRA
     assert "knn_graph" in EXTRA
@@ -4526,3 +4533,44 @@ def test_media_exif_probe_and_scrub_distributed(spark):
     assert got[2].ok and not got[2].has_exif and bytes(got[2].scrubbed) == jp
     # poison row
     assert not got[3].ok and got[3].err
+
+
+def test_winnow_overlap_matches_python_recompute(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        OVERLAP_FP_MAX_DF,
+        OVERLAP_MIN_SHARED,
+        q_winnow_overlap,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    per_doc = {}
+    for r in (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ):
+        per_doc[r.doc_id] = {h for _, h in _py_winnow(r.text)}
+    df = defaultdict(int)
+    for fps in per_doc.values():
+        for h in fps:
+            df[h] += 1
+    live = {h for h, n in df.items() if n <= OVERLAP_FP_MAX_DF}
+    docs = sorted(per_doc)
+    want = set()
+    by_fp = defaultdict(list)
+    for d in docs:
+        for h in per_doc[d] & live:
+            by_fp[h].append(d)
+    shared = defaultdict(int)
+    for h, ds in by_fp.items():
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                shared[(a, b)] += 1
+    for (a, b), n in shared.items():
+        if n >= OVERLAP_MIN_SHARED:
+            want.add((a, b, n, len(per_doc[a]), len(per_doc[b])))
+    got = {
+        (r.doc_a, r.doc_b, r.n_shared, r.n_a, r.n_b)
+        for r in q_winnow_overlap(spark, sf_dir).collect()
+    }
+    assert got == want

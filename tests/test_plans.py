@@ -705,3 +705,13 @@ def test_link_predict_never_broadcasts_graph_sides(spark):
     plan = plan_of(q_link_predict(spark, SF_SMOKE))
     assert "BroadcastExchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_winnow_overlap_never_broadcasts_fingerprint_sides(spark):
+    # fingerprint sets, df table, and totals all grow with the corpus
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        q_winnow_overlap,
+    )
+
+    plan = plan_of(q_winnow_overlap(spark, SF_SMOKE))
+    assert "BroadcastExchange" not in plan
