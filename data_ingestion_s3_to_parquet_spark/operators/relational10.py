@@ -375,12 +375,16 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.catalog import load_table
 
+    # localCheckpoint: four consumers (df table, both join sides,
+    # totals) would otherwise each recompute the whole winnowing
+    # window pass — the loop-frame rule, not a cache
     sel = (
         winnow_fingerprints(
             load_table(spark, sf_dir, "documents").select("doc_id", "text")
         )
         .select("doc_id", "fp")
         .distinct()
+        .localCheckpoint()
     )
     df_ok = (
         sel.groupBy("fp")
