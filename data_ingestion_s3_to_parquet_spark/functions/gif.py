@@ -335,3 +335,51 @@ def encode_gif(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def probe_gif(payload: bytes) -> dict:
+    """Metadata-only GIF probe: dimensions, frame count, and total
+    animation duration from the block structure — sub-blocks are
+    SKIPPED by their length prefixes, no LZW decode (the cheap
+    corpus-filter path; :func:`decode_gif` is the pixel path)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    total_cs = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                (delay,) = struct.unpack_from("<H", payload, pos + 2)
+                total_cs += delay
+            while payload[pos]:  # skip sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            n_frames += 1
+            lpacked = payload[pos + 9]
+            pos += 10
+            if lpacked & 0x80:  # local color table
+                pos += 3 * (2 << (lpacked & 0x07))
+            pos += 1  # LZW min code size
+            while payload[pos]:  # skip data sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x} at {pos}")
+    if not n_frames:
+        raise ValueError("GIF has no image frames")
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "duration_sec": round(total_cs / 100.0, 3),
+    }

@@ -789,7 +789,54 @@ def media_probe(media: DataFrame) -> DataFrame:
                 n_tracks=1,
                 audio_codec="mp3",
             )
-        raise ValueError("unrecognized container (not ISO-BMFF or MP3)")
+        # header-only probes for the formats the repo can also fully
+        # decode — dims/duration WITHOUT pixel/sample work (the cheap
+        # corpus-filter path; decode_media is the expensive path)
+        import struct as _s
+
+        if payload[:2] == b"BM":
+            w, h = _s.unpack_from("<ii", payload, 18)
+            return dict(ok=True, container="bmp", n_tracks=1, width=w, height=abs(h))
+        if payload[:8] == _PNG_SIG:
+            w, h = _s.unpack_from(">II", payload, 16)
+            return dict(ok=True, container="png", n_tracks=1, width=w, height=h)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from ..functions.gif import probe_gif
+
+            m = probe_gif(payload)
+            return dict(
+                ok=True,
+                container="gif",
+                duration_sec=m["duration_sec"],
+                n_tracks=m["n_frames"],
+                width=m["width"],
+                height=m["height"],
+            )
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(payload)) as wf:
+                return dict(
+                    ok=True,
+                    container="wav",
+                    duration_sec=round(wf.getnframes() / wf.getframerate(), 3),
+                    n_tracks=wf.getnchannels(),
+                    audio_codec="pcm",
+                )
+        if payload[:3] == b"\xff\xd8\xff":
+            from ..functions.exif import _iter_jpeg_segments
+
+            for marker, start, _len in _iter_jpeg_segments(payload):
+                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                    h, w = _s.unpack_from(">HH", payload, start + 5)
+                    return dict(
+                        ok=True, container="jpeg", n_tracks=1, width=w, height=h
+                    )
+            raise ValueError("JPEG without SOF header")
+        raise ValueError(
+            "unrecognized container (ISO-BMFF/MP3/BMP/PNG/GIF/WAV/JPEG)"
+        )
 
     def _probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -4574,3 +4574,60 @@ def test_winnow_overlap_matches_python_recompute(spark, sf_dir):
         for r in q_winnow_overlap(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_media_probe_covers_all_header_only_formats(spark):
+    # the cheap corpus-filter path: dims/duration for every container
+    # the repo knows, from HEADERS only (no pixel/sample decode)
+    import struct
+
+    from data_ingestion_s3_to_parquet_spark.functions.gif import encode_gif
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import encode_jpeg
+    from data_ingestion_s3_to_parquet_spark.functions.phash import (
+        build_test_bmp,
+        seeded_test_image,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_probe,
+    )
+
+    img = seeded_test_image(9, 0, 10, 12)
+    gif = encode_gif([img, seeded_test_image(8, 0, 10, 12)], delays_cs=[10, 25])
+    # minimal PCM WAV: stdlib round-trip
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00" * 2 * 4000)  # 0.5 s stereo
+    wav = buf.getvalue()
+    png_sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">II", 12, 10) + bytes([8, 2, 0, 0, 0])
+    png = png_sig + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+
+    rows = [
+        (1, "image", bytearray(build_test_bmp(img)), None, None, None, None),
+        (2, "image", bytearray(png), None, None, None, None),
+        (3, "image", bytearray(gif), None, None, None, None),
+        (4, "audio", bytearray(wav), None, None, None, None),
+        (5, "image", bytearray(encode_jpeg(img)), None, None, None, None),
+    ]
+    got = {
+        r.media_id: r
+        for r in media_probe(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert (got[1].container, got[1].width, got[1].height) == ("bmp", 12, 10)
+    assert (got[2].container, got[2].width, got[2].height) == ("png", 12, 10)
+    g = got[3]
+    assert (g.container, g.width, g.height, g.n_tracks) == ("gif", 12, 10, 2)
+    assert g.duration_sec == 0.35
+    w = got[4]
+    assert (w.container, w.audio_codec, w.n_tracks) == ("wav", "pcm", 2)
+    assert w.duration_sec == 0.5
+    assert (got[5].container, got[5].width, got[5].height) == ("jpeg", 12, 10)

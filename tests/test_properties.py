@@ -1233,3 +1233,32 @@ def test_exif_probe_rejects_arbitrary_bytes_cleanly(payload):
     except (ValueError, NotImplementedError, IndexError, Exception):
         return
     assert isinstance(m, dict) and "has_gps" in m
+
+
+@given(
+    n_frames=st.integers(1, 4),
+    delays=st.lists(st.integers(0, 500), min_size=4, max_size=4),
+    h=st.integers(2, 8),
+    w=st.integers(2, 8),
+    seed=st.integers(0, 100),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_probe_matches_encode_without_decoding(n_frames, delays, h, w, seed):
+    # n_frames·h·w ≤ 256 keeps the random frames inside the GIF
+    # encoder's 256-distinct-color palette bound
+    """probe_gif recovers dims / frame count / total duration from the
+    block structure of any encode_gif output — sub-block skipping must
+    stay in lockstep with the encoder for arbitrary frame sizes."""
+    from data_ingestion_s3_to_parquet_spark.functions.gif import (
+        encode_gif,
+        probe_gif,
+    )
+    from data_ingestion_s3_to_parquet_spark.functions.phash import (
+        seeded_test_image,
+    )
+
+    frames = [seeded_test_image(seed + i, 0, h, w) for i in range(n_frames)]
+    d = delays[:n_frames]
+    m = probe_gif(encode_gif(frames, delays_cs=d))
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, n_frames)
+    assert m["duration_sec"] == round(sum(d) / 100.0, 3)
