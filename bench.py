@@ -5,11 +5,14 @@ Runs every ``bench=True`` registry query against
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q": min_sec, ...},
-     "spread": {"q": {"min": sec, "med": sec}, ...}, "sf": 0.1}
+     "queries": {"q": min_sec, ...}, "sf": 0.1}
 
 ``queries`` keeps the driver's name→seconds contract (min of the
-timed runs); ``spread`` adds the median of the same runs so
+timed runs); the min/median spread of the same runs is written to a
+sidecar file ``BENCH_SPREAD.json`` next to this script — NOT onto the
+stdout line, because the driver captures only a bounded tail of stdout
+and round 7's inline spread pushed ``"value"`` out of the window
+(``BENCH_r07.json`` ``"parsed": null``). The spread exists so
 round-over-round comparisons can separate ambient-load drift from
 real plan damage (VERDICT r6 #3: five untouched queries drifted
 +20-30% in lockstep in round 6 — and indeed round 7's first run
@@ -131,6 +134,17 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
+    # The spread dict goes to a sidecar file, NOT the stdout JSON line:
+    # round 7 put it on the same line, the line outgrew the driver's
+    # tail-capture window, and the head (including "value") was cut off
+    # — BENCH_r07.json recorded "parsed": null (VERDICT r7 defect #1).
+    # The driver-facing contract is ONE compact line as the LAST stdout
+    # line: {metric, value, unit, queries, sf} only.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump({"spread": spread, "sf": sf}, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
@@ -138,7 +152,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
                 "sf": sf,
             }
         )

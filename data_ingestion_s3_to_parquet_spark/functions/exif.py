@@ -11,11 +11,13 @@ Everything here is ``struct`` over the published TIFF 6.0 / EXIF 2.x
 layout — byte-order marker (II/MM), magic 42, 12-byte IFD entries of
 (tag, type, count, value-or-offset) — no imaging library.
 
-:func:`probe_exif` walks IFD0 (+ the GPS sub-IFD pointer) and returns
-orientation / datetime / make / model / GPS presence + coordinates.
-:func:`scrub_gps` REBUILDS the APP1 payload with a whitelist of
-benign IFD0 entries (orientation, datetime, make, model), dropping
-the GPS IFD bytes entirely — rebuilding is the only honest scrub:
+:func:`probe_exif` walks IFD0 (+ the GPS sub-IFD pointer) of EVERY
+APP1 Exif segment and returns merged orientation / datetime / make /
+model / GPS presence + coordinates. :func:`scrub_gps` REBUILDS one
+APP1 payload with a whitelist of benign IFD0 entries (orientation,
+datetime, make, model) and DROPS every other APP1 (second Exif, XMP)
+and APP13 (IPTC) segment, so location PII can't ride out the scrub
+in a sibling segment — rebuilding is the only honest scrub:
 surgically unlinking the GPS pointer would leave the coordinate
 rationals in the file for anyone reading raw bytes. The compressed
 image stream is untouched, so pixels decode bit-identically.
@@ -41,7 +43,10 @@ _EXIF_HEADER = b"Exif\x00\x00"
 
 def _iter_jpeg_segments(payload: bytes):
     """Yield (marker, start, length_incl_header) for each JPEG segment
-    up to SOS (after which entropy-coded data follows)."""
+    up to SOS (after which entropy-coded data follows). ``start`` is
+    the position of the 0xFF marker prefix; spec-valid 0xFF fill bytes
+    between segments are skipped (mirroring ``jpeg.decode_jpeg``), so
+    padded camera files don't become poison rows (ADVICE r7)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -49,6 +54,9 @@ def _iter_jpeg_segments(payload: bytes):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte — the next 0xFF is the prefix
+            pos += 1
+            continue
         if marker == 0xDA:  # SOS — stop walking
             return
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
@@ -56,13 +64,25 @@ def _iter_jpeg_segments(payload: bytes):
         pos += 2 + seg_len
 
 
+def _is_app1_exif(payload: bytes, marker: int, start: int) -> bool:
+    return marker == 0xE1 and payload[start + 4 : start + 10] == _EXIF_HEADER
+
+
+def _app1_exif_segments(payload: bytes) -> list[tuple[int, int]]:
+    """(start, length) of EVERY APP1 Exif segment, in file order.
+    Spec-valid files carry one, but real camera/editor output can
+    carry several (ADVICE r7: GPS hiding in a second APP1 must not
+    survive a scrub or dodge the probe)."""
+    return [
+        (start, length)
+        for marker, start, length in _iter_jpeg_segments(payload)
+        if _is_app1_exif(payload, marker, start)
+    ]
+
+
 def _find_app1_exif(payload: bytes):
-    for marker, start, length in _iter_jpeg_segments(payload):
-        if marker == 0xE1 and payload[
-            start + 4 : start + 10
-        ] == _EXIF_HEADER:
-            return start, length
-    return None
+    segs = _app1_exif_segments(payload)
+    return segs[0] if segs else None
 
 
 def _read_ifd(tiff: bytes, off: int, end: str) -> dict[int, tuple]:
@@ -100,15 +120,10 @@ def _rationals(tiff, end, typ, cnt, val):
     return out
 
 
-def probe_exif(payload: bytes) -> dict:
-    """EXIF metadata of a JPEG: orientation, datetime, make, model,
-    GPS presence and (if present) latitude/longitude in micro-degrees
-    (exact integers: deg·1e6 + min·1e6/60 + sec·1e6/3600, floor —
-    no float leaves this function). JPEGs without an EXIF APP1 return
-    the all-absent dict; non-JPEGs raise."""
-    found = _find_app1_exif(payload)
+def _probe_tiff(tiff: bytes) -> dict:
+    """Parse ONE TIFF buffer (the body of one APP1 Exif segment)."""
     out = {
-        "has_exif": False,
+        "has_exif": True,
         "orientation": None,
         "datetime": None,
         "make": None,
@@ -117,10 +132,6 @@ def probe_exif(payload: bytes) -> dict:
         "gps_lat_udeg": None,
         "gps_lon_udeg": None,
     }
-    if found is None:
-        return out
-    start, length = found
-    tiff = payload[start + 10 : start + 2 + length]
     if tiff[:2] not in (b"II", b"MM"):
         raise ValueError("bad TIFF byte-order marker in EXIF")
     end = "<" if tiff[:2] == b"II" else ">"
@@ -128,7 +139,6 @@ def probe_exif(payload: bytes) -> dict:
     if magic != 42:
         raise ValueError("bad TIFF magic in EXIF")
     ifd0 = _read_ifd(tiff, ifd0_off, end)
-    out["has_exif"] = True
     if _TAG_ORIENTATION in ifd0:
         typ, cnt, val = ifd0[_TAG_ORIENTATION]
         out["orientation"] = struct.unpack(end + "H", val[:2])[0]
@@ -161,6 +171,45 @@ def probe_exif(payload: bytes) -> dict:
     return out
 
 
+def probe_exif(payload: bytes) -> dict:
+    """EXIF metadata of a JPEG: orientation, datetime, make, model,
+    GPS presence and (if present) latitude/longitude in micro-degrees
+    (exact integers: deg·1e6 + min·1e6/60 + sec·1e6/3600, floor —
+    no float leaves this function). JPEGs without an EXIF APP1 return
+    the all-absent dict; non-JPEGs raise.
+
+    EVERY APP1 Exif segment is parsed, not just the first (ADVICE r7:
+    GPS in a second APP1 must not read as has_gps=false): scalar
+    fields take the first non-absent value in file order, ``has_gps``
+    is true if ANY segment carries a GPS IFD, and coordinates come
+    from the first segment that has them."""
+    out = {
+        "has_exif": False,
+        "orientation": None,
+        "datetime": None,
+        "make": None,
+        "model": None,
+        "has_gps": False,
+        "gps_lat_udeg": None,
+        "gps_lon_udeg": None,
+    }
+    for start, length in _app1_exif_segments(payload):
+        # the segment spans [start, start+length): 2-byte marker +
+        # 2-byte size + 6-byte "Exif\0\0" + TIFF. (r7 sliced to
+        # start+2+length, appending 2 bytes of the next marker —
+        # ADVICE r7 off-by-two.)
+        seg = _probe_tiff(payload[start + 10 : start + length])
+        out["has_exif"] = True
+        for k in ("orientation", "datetime", "make", "model"):
+            if out[k] is None:
+                out[k] = seg[k]
+        out["has_gps"] = out["has_gps"] or seg["has_gps"]
+        for k in ("gps_lat_udeg", "gps_lon_udeg"):
+            if out[k] is None:
+                out[k] = seg[k]
+    return out
+
+
 def _coord_udeg(dms, ref: str, neg_ref: str) -> int:
     """(deg, min, sec) rationals → signed integer micro-degrees."""
     scaled = 0
@@ -171,44 +220,72 @@ def _coord_udeg(dms, ref: str, neg_ref: str) -> int:
 
 
 def scrub_gps(payload: bytes) -> bytes:
-    """Return the JPEG with its EXIF APP1 REBUILT from a whitelist
-    (orientation / datetime / make / model — little-endian, value
-    data re-packed) and every other entry, including the whole GPS
-    IFD, dropped. No EXIF → returned unchanged. The compressed image
-    stream is byte-identical either way."""
-    found = _find_app1_exif(payload)
-    if found is None:
+    """Return the JPEG with location/identity metadata removed:
+
+    - ONE EXIF APP1 is REBUILT from a whitelist (orientation /
+      datetime / make / model — little-endian, value data re-packed),
+      merged across however many Exif APP1 segments the file carried;
+      every other entry, including the whole GPS IFD, is dropped.
+    - EVERY other APP1 (second Exif, XMP — which can carry
+      ``exif:GPSLatitude``) and every APP13 (Photoshop IPTC, which
+      can carry location) segment is DROPPED outright (ADVICE r7:
+      GPS must not survive a "scrubbed" payload via a sibling
+      metadata segment).
+
+    No APP1/APP13 at all → returned unchanged. Rebuilding is the only
+    honest scrub: surgically unlinking pointers would leave the
+    coordinate rationals in the file for anyone reading raw bytes.
+    The compressed image stream is byte-identical either way."""
+    drop = [
+        (start, length)
+        for marker, start, length in _iter_jpeg_segments(payload)
+        if marker in (0xE1, 0xED)  # every APP1 (Exif/XMP/…) + APP13
+    ]
+    if not drop:
         return payload
-    start, length = found
     meta = probe_exif(payload)
-    entries = []  # (tag, type, count, data bytes)
-    if meta["orientation"] is not None:
-        entries.append((_TAG_ORIENTATION, 3, 1, struct.pack("<H", meta["orientation"])))
-    for tag, key in (
-        (_TAG_MAKE, "make"),
-        (_TAG_MODEL, "model"),
-        (_TAG_DATETIME, "datetime"),
-    ):
-        if meta[key] is not None:
-            entries.append((tag, 2, len(meta[key]) + 1, meta[key].encode() + b"\x00"))
-    entries.sort()
-    # little-endian TIFF: header(8) + count(2) + 12n + next-ptr(4)
-    data_off = 8 + 2 + 12 * len(entries) + 4
-    body = bytearray()
-    ifd = struct.pack("<H", len(entries))
-    for tag, typ, cnt, data in entries:
-        size = len(data)
-        if size <= 4:
-            val = data + b"\x00" * (4 - size)
-        else:
-            val = struct.pack("<I", data_off + len(body))
-            body += data
-        ifd += struct.pack("<HHI", tag, typ, cnt) + val
-    ifd += struct.pack("<I", 0)  # no next IFD
-    tiff = b"II" + struct.pack("<HI", 42, 8) + ifd + bytes(body)
-    app1_payload = _EXIF_HEADER + tiff
-    seg = b"\xff\xe1" + struct.pack(">H", len(app1_payload) + 2) + app1_payload
-    return payload[:start] + seg + payload[start + length :]
+    seg = b""
+    if meta["has_exif"]:
+        entries = []  # (tag, type, count, data bytes)
+        if meta["orientation"] is not None:
+            entries.append(
+                (_TAG_ORIENTATION, 3, 1, struct.pack("<H", meta["orientation"]))
+            )
+        for tag, key in (
+            (_TAG_MAKE, "make"),
+            (_TAG_MODEL, "model"),
+            (_TAG_DATETIME, "datetime"),
+        ):
+            if meta[key] is not None:
+                entries.append(
+                    (tag, 2, len(meta[key]) + 1, meta[key].encode() + b"\x00")
+                )
+        entries.sort()
+        # little-endian TIFF: header(8) + count(2) + 12n + next-ptr(4)
+        data_off = 8 + 2 + 12 * len(entries) + 4
+        body = bytearray()
+        ifd = struct.pack("<H", len(entries))
+        for tag, typ, cnt, data in entries:
+            size = len(data)
+            if size <= 4:
+                val = data + b"\x00" * (4 - size)
+            else:
+                val = struct.pack("<I", data_off + len(body))
+                body += data
+            ifd += struct.pack("<HHI", tag, typ, cnt) + val
+        ifd += struct.pack("<I", 0)  # no next IFD
+        tiff = b"II" + struct.pack("<HI", 42, 8) + ifd + bytes(body)
+        app1_payload = _EXIF_HEADER + tiff
+        seg = (
+            b"\xff\xe1" + struct.pack(">H", len(app1_payload) + 2) + app1_payload
+        )
+    # splice: rebuilt segment replaces the FIRST dropped segment;
+    # the rest vanish (iterate back-to-front so offsets stay valid)
+    out = payload
+    for i, (start, length) in enumerate(reversed(drop)):
+        keep = seg if i == len(drop) - 1 else b""
+        out = out[:start] + keep + out[start + length :]
+    return out
 
 
 def build_exif_app1(

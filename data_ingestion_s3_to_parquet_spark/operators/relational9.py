@@ -944,9 +944,17 @@ def q_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_y = F.expr(
         f"CAST({dec.format('n')} * syy - {dec.format('sy')} * {dec.format('sy')} AS DOUBLE)"
     )
-    micro = F.round(
-        cov_num / F.sqrt(var_x * var_y) * 1_000_000, 0
-    ).cast("long")
+    # zero-variance guard (ADVICE r7): an all-equal group makes
+    # var_x*var_y = 0, and cov/sqrt(0) is Inf/NaN — Spark's round+cast
+    # nulls it while DuckDB's CAST(ROUND(inf) AS BIGINT) RAISES,
+    # crashing the whole oracle run instead of mismatching one row.
+    # Correlation is mathematically undefined there; both engines now
+    # return NULL explicitly.
+    micro = F.when(
+        (var_x == 0) | (var_y == 0), F.lit(None).cast("long")
+    ).otherwise(
+        F.round(cov_num / F.sqrt(var_x * var_y) * 1_000_000, 0).cast("long")
+    )
     return stats.select(
         "l_returnflag",
         "n",
@@ -976,12 +984,15 @@ stats AS (
 )
 SELECT l_returnflag, n, sx, sy,
        CAST(sxy AS BIGINT) AS sxy,
-       CAST(CAST(ROUND(
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+             OR n * syy - CAST(sy AS HUGEINT) * sy = 0
+            THEN NULL  -- zero-variance group: corr undefined (ADVICE r7)
+            ELSE CAST(CAST(ROUND(
             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
             / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
                  * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
             * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0
-         AS corr_qty_price
+       END AS corr_qty_price
 FROM stats
 """
 

@@ -997,6 +997,51 @@ def test_lane_counts_match_docs():
     assert "knn_graph" in EXTRA
 
 
+def test_bench_stdout_line_fits_driver_tail_window():
+    # The driver captures only the last ~2000 chars of bench.py stdout
+    # and parses the final line. Round 7 put the per-query spread dict
+    # on that line, it outgrew the window, and the driver recorded
+    # "parsed": null (VERDICT r7 defect #1) — no official bench number
+    # for the round. bench.py now writes spread to BENCH_SPREAD.json
+    # and prints only {metric, value, unit, queries, sf}; this test
+    # reconstructs that line at worst-case numeric width for the
+    # CURRENT bench lane and pins it well inside the window, so adding
+    # headline queries can't silently re-break the contract.
+    import json
+
+    from data_ingestion_s3_to_parquet_spark.plans.registry import (
+        BENCH_ONLY,
+        EXTRA,
+        REGISTRY,
+    )
+
+    names = [
+        n
+        for n, q in {**REGISTRY, **EXTRA, **BENCH_ONLY}.items()
+        if q.bench
+    ] + ["etl_scan_project_write"]
+    line = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {n: 9999.999 for n in names},
+            "sf": 0.1,
+        }
+    )
+    assert len(line) < 1800, (
+        f"bench stdout line would be {len(line)} chars; driver tail "
+        "window is ~2000 — trim the bench lane or shorten query names"
+    )
+    # and the spread must NOT be on the line (it lives in the sidecar)
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert "BENCH_SPREAD.json" in src
+
+
 def test_quality_classifier_buckets_split_and_agree_with_signals(spark, sf_dir):
     # the composed gate must (a) populate all three buckets on the
     # fixture corpus (the "calibrated" requirement), (b) keep only
@@ -4080,6 +4125,56 @@ def test_corr_pearson_matches_pure_python_recompute(spark, sf_dir):
             / 1e6
         )
         assert r.corr_qty_price == expect
+
+
+def test_corr_pearson_zero_variance_group_is_null_on_both_engines(
+    spark, tmp_path
+):
+    # ADVICE r7: an all-equal group makes var_x*var_y = 0; before the
+    # guard, Spark nulled the Inf via round+cast while DuckDB's
+    # CAST(ROUND(inf) AS BIGINT) RAISED, crashing the oracle run.
+    # Both engines must return NULL for the degenerate group and the
+    # exact statistic for the healthy one.
+    import duckdb
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        SQL_CORR_PEARSON,
+        q_corr_pearson,
+    )
+
+    rows = [
+        # zero-variance group: constant quantity AND constant price
+        ("Z", 5.0, 100.00),
+        ("Z", 5.0, 100.00),
+        ("Z", 5.0, 100.00),
+        # healthy group: perfectly correlated → corr 1.0
+        ("A", 1.0, 10.00),
+        ("A", 2.0, 20.00),
+        ("A", 3.0, 30.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r.l_returnflag: r.corr_qty_price
+        for r in q_corr_pearson(spark, str(tmp_path)).collect()
+    }
+    assert got["Z"] is None
+    assert got["A"] == 1.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"parquet_scan('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    oracle = {
+        flag: corr
+        for flag, *_mid, corr in con.execute(SQL_CORR_PEARSON).fetchall()
+    }
+    assert oracle["Z"] is None  # raised before the CASE guard
+    assert oracle["A"] == 1.0
 
 
 def test_media_sample_frames_decodes_real_animation(spark):

@@ -1146,12 +1146,14 @@ def test_phash_is_encoding_invariant_and_locality_sensitive(seed, h, w):
 def test_phash_pixels_of_rejects_arbitrary_bytes_cleanly(payload):
     from data_ingestion_s3_to_parquet_spark.functions.phash import pixels_of
 
+    import struct as _s
+
     try:
         px = pixels_of(payload)
-    except Exception as e:
-        assert isinstance(e, (ValueError, NotImplementedError)) or isinstance(
-            e, Exception
-        )  # typed decode errors only — never a hang or a garbage array
+    except (ValueError, NotImplementedError, _s.error, IndexError):
+        # typed decode errors only — anything else (TypeError,
+        # KeyError, a hang, a garbage array) fails the test. (ADVICE
+        # r7: the old `or isinstance(e, Exception)` form was vacuous.)
         return
     assert px.ndim == 3 and px.shape[2] == 3
 
@@ -1223,14 +1225,94 @@ def test_exif_probe_and_scrub_roundtrip_any_coordinates(
     assert clean.endswith(b"\xff\xd9")
 
 
+def test_exif_gps_in_second_app1_is_probed_and_scrubbed():
+    """ADVICE r7 (medium): GPS sitting in a SECOND APP1 Exif segment
+    must be visible to probe_exif and must not survive scrub_gps; XMP
+    APP1 and APP13 IPTC segments are dropped outright."""
+    import struct as _s
+
+    from data_ingestion_s3_to_parquet_spark.functions.exif import (
+        attach_app1,
+        build_exif_app1,
+        probe_exif,
+        scrub_gps,
+    )
+
+    jpeg = b"\xff\xd8" + b"\xff\xdb\x00\x04\x00\x00" + b"\xff\xd9"
+    # first APP1: benign Exif (no GPS); second APP1: Exif WITH GPS
+    tagged = attach_app1(jpeg, build_exif_app1(gps=None))
+    gps_app1 = build_exif_app1(
+        orientation=None, datetime=None, make=None, model=None,
+        gps=(51.5074, -0.1278),
+    )
+    # append the GPS segment AFTER the first one (cameras prepend, so
+    # splice by hand right before the DQT)
+    seg2 = b"\xff\xe1" + _s.pack(">H", len(gps_app1) + 2) + gps_app1
+    dqt_at = tagged.index(b"\xff\xdb")
+    tagged = tagged[:dqt_at] + seg2 + tagged[dqt_at:]
+    # an XMP APP1 and an APP13 IPTC, both carrying "coordinates"
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<exif:GPSLatitude>51</exif:GPSLatitude>"
+    seg_xmp = b"\xff\xe1" + _s.pack(">H", len(xmp) + 2) + xmp
+    iptc = b"Photoshop 3.0\x00loc=51.5074,-0.1278"
+    seg13 = b"\xff\xed" + _s.pack(">H", len(iptc) + 2) + iptc
+    dqt_at = tagged.index(b"\xff\xdb")
+    tagged = tagged[:dqt_at] + seg_xmp + seg13 + tagged[dqt_at:]
+
+    m = probe_exif(tagged)
+    assert m["has_gps"], "GPS in a second APP1 must be reported"
+    assert abs(m["gps_lat_udeg"] - 51_507_400) <= 60
+    assert m["make"] == "CamCo"  # merged from the first segment
+
+    clean = scrub_gps(tagged)
+    mc = probe_exif(clean)
+    assert not mc["has_gps"] and mc["gps_lat_udeg"] is None
+    assert mc["make"] == "CamCo" and mc["orientation"] == 6
+    # the sibling metadata segments are gone wholesale
+    assert b"GPSLatitude" not in clean
+    assert b"Photoshop 3.0" not in clean
+    assert clean.count(b"Exif\x00\x00") == 1
+    assert clean.endswith(b"\xff\xd9")
+    # idempotent: scrubbing a scrubbed payload is a no-op
+    assert scrub_gps(clean) == clean
+
+
+def test_exif_segment_walker_skips_fill_bytes():
+    """ADVICE r7 (low): spec-valid 0xFF fill/padding bytes between
+    segments must not raise (decode_jpeg already skips them)."""
+    import struct as _s
+
+    from data_ingestion_s3_to_parquet_spark.functions.exif import (
+        build_exif_app1,
+        probe_exif,
+        scrub_gps,
+    )
+
+    app1 = build_exif_app1(gps=(10.0, 20.0))
+    seg = b"\xff\xe1" + _s.pack(">H", len(app1) + 2) + app1
+    # SOI, fill bytes, APP1, more fill, DQT, EOI
+    padded = (
+        b"\xff\xd8" + b"\xff\xff" + seg + b"\xff\xff\xff"
+        + b"\xff\xdb\x00\x04\x00\x00" + b"\xff\xd9"
+    )
+    m = probe_exif(padded)
+    assert m["has_gps"] and m["gps_lat_udeg"] is not None
+    clean = scrub_gps(padded)
+    assert not probe_exif(clean)["has_gps"]
+    assert clean.endswith(b"\xff\xd9")
+
+
 @given(payload=st.binary(min_size=0, max_size=64))
 @settings(max_examples=50, deadline=None)
 def test_exif_probe_rejects_arbitrary_bytes_cleanly(payload):
     from data_ingestion_s3_to_parquet_spark.functions.exif import probe_exif
 
+    import struct as _s
+
     try:
         m = probe_exif(payload)
-    except (ValueError, NotImplementedError, IndexError, Exception):
+    except (ValueError, NotImplementedError, _s.error, IndexError):
+        # typed decode errors only (ADVICE r7: Exception in the tuple
+        # made this vacuous) — a TypeError/KeyError now fails
         return
     assert isinstance(m, dict) and "has_gps" in m
 
