@@ -623,15 +623,21 @@ class ConvergenceError(RuntimeError):
 
 # Propagation rounds tried per level before contracting (and, at the
 # level cap, escalating to the star alternation). With pointer
-# jumping (see _hashmin_labels) reach grows ~2^rounds, so 6 rounds
-# cover distance ~63 — every realistic near-dup graph (cluster
-# diameter 2-3, chain tails ≤ tens) converges inside one probe; the
-# budget only burns in full on adversarial shapes before the fallback
-# takes over. A structural pre-probe (avg degree) was tried and
-# rejected in r3: sparse-threshold similarity graphs sit at avg
-# degree ~1.2 at every fixture SF regardless of which lane wins, so
-# it has no signal.
-HASHMIN_PROBE_ROUNDS = 6
+# jumping (see _hashmin_labels) reach grows ~2^rounds, so 3 rounds
+# cover distance ~7 — enough to collapse the shallow clusters
+# near-dup graphs actually produce, after which CONTRACTING is
+# cheaper than probing on: rounds cost ~0.5 s each in fixed
+# scheduling at fixture scale while a contraction shrinks the
+# residual by orders of magnitude (2k edges → ~200). Measured sweep
+# at sf0.1 (r8, min-of-3 per lane): probe_rounds 6 → components
+# 4.79 s / lsh 1.49 / semantic 2.21; 3 → 4.58 / 1.25 / 1.91;
+# 2 → 7.49 (level budget exhausts and the slow star lane takes
+# over). A double pointer jump per round (reach 3^r) measured as a
+# wash — the extra self-join per round offsets the round savings.
+# A structural pre-probe (avg degree) was tried and rejected in r3:
+# sparse-threshold similarity graphs sit at avg degree ~1.2 at every
+# fixture SF regardless of which lane wins, so it has no signal.
+HASHMIN_PROBE_ROUNDS = 3
 
 # Levels of probe-and-contract before handing the residual graph to
 # the star alternation. Contraction's shrink rate is DATA-DEPENDENT:
