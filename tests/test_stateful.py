@@ -250,73 +250,54 @@ def test_stateful_sliding_matches_batch_window(spark, tmp_path):
     assert sum(1 for t in streaming if t[0] == "view") == 4
 
 
-def test_transform_with_state_totals_match_batch_agg(spark, tmp_path):
+def test_transform_with_state_totals_match_batch_agg():
     # the v2-API (transformWithStateInPandas) incremental totals must
     # land exactly on the batch groupBy over the same data, count and
     # fixed-point sum alike — across MULTIPLE micro-batches so state
     # restore and update both execute.
-    # The v2 runner speaks protobuf to its state server; this container
-    # does not ship google.protobuf (and installs are barred), so the
-    # test runs wherever the dependency exists and SKIPS loudly here.
+    # The v2 runner speaks protobuf to its state server and this
+    # container ships no installable google.protobuf — but the Google
+    # Cloud SDK bundles a pure-Python 6.32 runtime, exposed via
+    # tools/pbshim (VERDICT r7 #6). The shim must be live in the Spark
+    # WORKERS from JVM launch, so the pipeline runs in a subprocess
+    # with PYTHONPATH pointing at the shim (never the shared session,
+    # which would leak the shim into every other test). Skips only if
+    # the bundled runtime is absent.
+    import json
+    import os
+    import subprocess
+    import sys
+
     import pytest
 
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState's state server requires protobuf",
-    )
-    import pyspark.sql.functions as F
-
-    from data_ingestion_s3_to_parquet_spark.streaming.statev2 import (
-        running_totals_stateful,
-    )
-
-    base = dt.datetime(2024, 1, 1)
-    rows = [
-        (i, base + dt.timedelta(minutes=i), 1 + i % 3, "click", 1.25 * i)
-        for i in range(30)
-    ]
-    src = str(tmp_path / "events")
-    # two parquet files + maxFilesPerTrigger=1 -> at least two batches
-    df = spark.createDataFrame(rows[:15], EVENTS_STREAM_SCHEMA)
-    df.repartition(1).write.parquet(src)
-    spark.createDataFrame(rows[15:], EVENTS_STREAM_SCHEMA).repartition(
-        1
-    ).write.mode("append").parquet(src)
-
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = (
-        running_totals_stateful(stream)
-        .writeStream.format("memory")
-        .queryName("running_totals")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # update mode emits one row per (user, batch); the LAST row per
-    # user is the lifetime total
-    got = {}
-    for r in spark.sql("SELECT * FROM running_totals").collect():
-        got[r.user_id] = (r.n_events, r.sum_value_cents)
-
-    batch = {
-        r.user_id: (r.n, r.cents)
-        for r in (
-            spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
-            .groupBy("user_id")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
-            )
-            .collect()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim = os.path.join(repo, "tools", "pbshim")
+    if not os.path.isdir(
+        "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
+    ):
+        pytest.skip(
+            "no protobuf runtime: not installable here and no "
+            "Cloud-SDK-bundled copy to shim in"
         )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [shim, repo] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tests", "statev2_subprocess_driver.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["streaming"] == out["batch"]
+    assert len(out["streaming"]) == 3
+    # exact expected totals: users 1..3 each see 10 of the 30 events
+    assert {k: v[0] for k, v in out["streaming"].items()} == {
+        "1": 10, "2": 10, "3": 10,
     }
-    assert got == batch
-    assert len(got) == 3
 
 
 def test_to_cents_sum_matches_batch_round_on_half_cents(spark):
