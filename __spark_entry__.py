@@ -77,7 +77,7 @@ green driver row, verified locally each round by
 tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
 larger budget grades it for free. Lane counts (50 graded / 84 EXTRA /
-6 BENCH_ONLY) are pinned by
+7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded
 through accuracy-contract oracles — a deterministic ``*_ok`` boolean

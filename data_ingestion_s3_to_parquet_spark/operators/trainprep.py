@@ -507,8 +507,17 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     document per task — the same budget as every other token-level
     transform here.
     """
-    d = spread(load_table(spark, sf_dir, "documents"))
-    base = d.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+    return passage_scrub(spread(load_table(spark, sf_dir, "documents")))
+
+
+def passage_scrub(docs: DataFrame) -> DataFrame:
+    """The scrub core behind :func:`q_dedup_passages` (docstring and
+    scale notes there): ``docs`` needs columns (doc_id, text); returns
+    (doc_id, n_tokens, n_scrubbed, scrubbed_text). Factored out so the
+    planted-boilerplate recall test and the inflated-corpus bench lane
+    (:func:`q_dedup_passages_scale`) run the EXACT production pipeline
+    on their own corpora."""
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
     # positional n-gram occurrences, 1-based start positions; the
     # slice(transform(...)) guard yields an EMPTY list for docs
     # shorter than n (Spark's sequence(1, 0) would count DOWN)
@@ -607,6 +616,47 @@ SELECT t.doc_id,
        COALESCE(a.scrubbed_text, '') AS scrubbed_text
 FROM t LEFT JOIN agg a USING (doc_id)
 """
+
+
+# doc_id stride between inflated copies — far above any fixture's id
+# range (int64 headroom: 4 copies × 2^40 ≪ 2^63), so copies never
+# collide without paying a max(doc_id) job.
+_PASSAGE_SCALE_COPIES = 4
+_PASSAGE_SCALE_STRIDE = 1 << 40
+
+
+def q_dedup_passages_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH_ONLY (VERDICT r7 #7): the substring-dedup pipeline over a
+    4×-inflated corpus — the one Lee-et-al lane with no LSH twin
+    benched. Inflation = union of doc_id-offset copies of the
+    documents fixture, which multiplies every gram's document
+    frequency by 4: the WORST case for the hot-gram table (every gram
+    in every doc becomes corpus-hot, so the semi-join passes ~100% of
+    occurrences and every per-doc covered-start set is maximal). The
+    bench number tracks how the §76 document-local shape behaves when
+    coverage saturates; correctness of the underlying operator is
+    graded by ``dedup_passages``' full oracle, and recall on planted
+    boilerplate is pinned by
+    tests/test_operators.py::test_passage_scrub_planted_boilerplate_recall.
+    """
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    # one scan + a 4-way explode beats a 4-branch union (which re-scans
+    # the fixture per copy: measured 5.1 s vs ~3 s min-of-3 at sf0.1)
+    big = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(i * _PASSAGE_SCALE_STRIDE)
+                    for i in range(_PASSAGE_SCALE_COPIES)
+                ]
+            )
+        ).alias("_off"),
+    ).select((F.col("doc_id") + F.col("_off")).alias("doc_id"), "text")
+    return passage_scrub(big)
 
 
 def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

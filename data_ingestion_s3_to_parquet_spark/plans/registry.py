@@ -134,6 +134,7 @@ def _bench_only() -> dict[str, Query]:
     from ..operators.multimodal import q_media_phash
     from ..operators.similarity import q_knn_graph_lsh, q_sim_join_lsh
     from ..operators.textstats import q_lang_id_ngram
+    from ..operators.trainprep import q_dedup_passages_scale
 
     qs = [
         Query("sim_join_lsh", q_sim_join_lsh, None, ("llm", "similarity", "approx"), bench=True),
@@ -165,6 +166,15 @@ def _bench_only() -> dict[str, Query]:
             None,
             ("llm", "multimodal", "dedup", "approx"),
             bench=True,  # image perceptual-hash dedup, new in round 7
+        ),
+        Query(
+            "dedup_passages_scale",
+            q_dedup_passages_scale,
+            None,
+            ("llm", "dedup", "text"),
+            bench=True,  # substring dedup over a 4x-inflated corpus
+            # (VERDICT r7 #7) — coverage-saturation stress; the base
+            # operator's full oracle grades correctness
         ),
     ]
     return {q.name: q for q in qs}

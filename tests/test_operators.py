@@ -882,7 +882,7 @@ def test_lane_counts_match_docs():
 
     assert len(REGISTRY) == 50
     assert len(EXTRA) == 84
-    assert len(BENCH_ONLY) == 6
+    assert len(BENCH_ONLY) == 7
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
         "knn_graph_lsh",
@@ -890,6 +890,7 @@ def test_lane_counts_match_docs():
         "dedup_semantic",
         "lang_id_ngram",
         "media_phash",
+        "dedup_passages_scale",  # r8: VERDICT r7 #7
     }
     # round 7 completed the rotation programme (VERDICT r6 #1) in
     # waves. The THIRD wave (relational10) is newest and leads right
@@ -2428,6 +2429,65 @@ def test_dedup_passages_edge_cases_planted_corpus(spark, tmp_path):
     assert got[4] == (5, 0, "q w e r t")
     # doc 6 shares exactly the gram "c d e" (positions 1-3) with 1/2
     assert got[6] == (5, 3, "f g")
+
+
+def test_passage_scrub_planted_boilerplate_recall(spark):
+    # VERDICT r7 #7: the Lee-et-al boilerplate-removal claim, pinned
+    # directly — a fixed boilerplate sentence planted into half the
+    # corpus must be scrubbed from EVERY planted doc (100% recall on
+    # ≥n-token repeats), while each doc's unique remainder survives
+    # verbatim and unplanted docs are untouched.
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        passage_scrub,
+    )
+
+    boiler = "subscribe to our newsletter for daily updates"  # 7 tokens
+    rows = []
+    for i in range(10):
+        unique = " ".join(f"u{i}w{j}" for j in range(8))  # 8 unique tokens
+        if i < 5:
+            # plant at alternating ends so coverage spans positions
+            text = f"{boiler} {unique}" if i % 2 == 0 else f"{unique} {boiler}"
+        else:
+            text = unique
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_scrubbed, r.scrubbed_text)
+        for r in passage_scrub(docs).collect()
+    }
+    for i in range(10):
+        unique = " ".join(f"u{i}w{j}" for j in range(8))
+        if i < 5:
+            # the full 7-token boilerplate is gone, the unique text
+            # survives in order
+            assert got[i] == (15, 7, unique), got[i]
+        else:
+            assert got[i] == (8, 0, unique), got[i]
+    # and the scale lane composes the same core: the inflated corpus
+    # must saturate coverage (every doc duplicated 4x -> fully hot)
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        _PASSAGE_SCALE_COPIES,
+        _PASSAGE_SCALE_STRIDE,
+    )
+
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(
+        [(0, "p q r s t")], "doc_id long, text string"
+    )
+    big = base
+    for k in range(1, _PASSAGE_SCALE_COPIES):
+        big = big.unionByName(
+            base.select(
+                (F.col("doc_id") + k * _PASSAGE_SCALE_STRIDE).alias("doc_id"),
+                "text",
+            )
+        )
+    out = passage_scrub(big).collect()
+    assert len(out) == _PASSAGE_SCALE_COPIES
+    assert all(r.n_scrubbed == 5 and r.scrubbed_text == "" for r in out)
 
 
 def test_emb_whiten_covariance_is_identity(spark, sf_dir):

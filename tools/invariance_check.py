@@ -30,6 +30,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import SparkSession  # noqa: E402
 
 from data_ingestion_s3_to_parquet_spark.plans.registry import (  # noqa: E402
+    BENCH_ONLY,
     EXTRA,
     REGISTRY,
 )
@@ -62,6 +63,7 @@ DEFAULT_NAMES = [
     "period_growth",
     "ab_test_metrics",
     "dedup_passages",
+    "dedup_passages_scale",  # r8 bench lane: saturated-coverage twin
     "emb_gram",
     # round-7 second wave: windowed/bucketed ops whose naive forms
     # would be layout-dependent, plus the XOR-checksum and CMS lanes
@@ -88,7 +90,7 @@ DEFAULT_NAMES = [
 
 def _values(spark: SparkSession, names: list[str], sf_dir: str, parts: int):
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    merged = {**REGISTRY, **EXTRA}
+    merged = {**REGISTRY, **EXTRA, **BENCH_ONLY}
     out = {}
     for n in names:
         rows = merged[n].fn(spark, sf_dir).collect()
