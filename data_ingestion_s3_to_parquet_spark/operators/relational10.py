@@ -431,9 +431,292 @@ JOIN totals tb ON tb.doc_id = doc_b
 """
 
 
-# Graded lane contribution: all four are NEW in round 7 (third wave)
-# and grade immediately — never-graded-first, the rotation rule.
+# --------------------------------------------------------------------
+# rank_bm25
+# --------------------------------------------------------------------
+
+# Fixed query terms over the fixture vocabulary, chosen for an IDF
+# spread: "dup" is rare (df 25/500 at sf0.01 — high IDF, dominates the
+# ranking) while the others are near-ubiquitous (df ~380-400/500 — low
+# IDF, tf/length tie-breakers). Okapi constants k1 = 1.2, b = 0.75
+# (Robertson & Zaragoza, "The Probabilistic Relevance Framework:
+# BM25 and Beyond").
+BM25_TERMS = ("dup", "vector", "join", "scan")
+BM25_TOPK = 20
+
+# The per-(doc, term) BM25 contribution in MICRO units, as ONE shared
+# expression string evaluated verbatim by BOTH engines (the
+# corr_pearson rule: exact integer inputs — tf, df, dl, n_docs,
+# total_len — cast to double once, a pinned IEEE op sequence, then
+# micro-quantize; identical text ⇒ identical double ops ⇒ identical
+# bits on one libm). avgdl never materializes: dl/avgdl is computed
+# as dl * n_docs / total_len to keep the operand order pinned.
+_BM25_MICRO_EXPR = (
+    "CAST(ROUND("
+    "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    " * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
+    " + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)"
+    " / CAST(total_len AS DOUBLE)))))"
+    " * 1000000, 0) AS BIGINT)"
+)
+
+
+def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scoring: the top-``BM25_TOPK`` documents
+    for a fixed multi-term query, scored from exact corpus statistics
+    — the ranking half of the retrieval story whose artifact half is
+    ``inverted_index`` (its postings are exactly the (term → doc, tf)
+    pairs this query joins).
+
+    Scale shape: the token explode is filtered to the query terms
+    MAP-SIDE (a 4-literal isin before any exchange, so only matching
+    tokens ever shuffle); per-doc tf is one combinable groupBy; the
+    df table is bounded by |query| (a provably safe broadcast, the
+    ``vocab_coverage`` rule); corpus stats (n_docs, total_len) are a
+    one-row aggregate cross-joined as a broadcast; doc lengths join
+    the tf pairs with a shuffle_hash pin (both sides are
+    corpus-proportional — df of a common term is O(corpus) — so
+    letting Catalyst broadcast the post-explode side would be the
+    driver-OOM trap, SCALE.md §3). The final top-k is
+    TakeOrderedAndProject — never a single-task global sort — with a
+    row_number window only over the ≤ ``BM25_TOPK`` survivors.
+
+    Exactness: per-(doc, term) scores are micro-quantized through one
+    shared expression string (see ``_BM25_MICRO_EXPR``) and summed as
+    int64; ranking ties break on doc_id. The reported score is the
+    one exact int→double projection.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = (
+        toks.where(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("w").agg(F.count("*").alias("df"))
+    doclen = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    stats = d.select(F.size(F.split("text", " ")).alias("dl0")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl0").alias("total_len"),
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "w")
+        .join(doclen.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", F.expr(_BM25_MICRO_EXPR).alias("micro")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.sum("micro").alias("micro_score"),
+        )
+    )
+    topk = scored.orderBy(
+        F.desc("micro_score"), F.col("doc_id")
+    ).limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("micro_score"), F.col("doc_id"))
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        "n_hit_terms",
+        (F.col("micro_score").cast("double") / 1e6).alias("score"),
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+SQL_RANK_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks
+  WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, w
+),
+df_tbl AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+doclen AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_len
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         CAST(SUM({_BM25_MICRO_EXPR}) AS BIGINT) AS micro_score
+  FROM tf JOIN df_tbl USING (w) JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY micro_score DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, n_hit_terms,
+       CAST(micro_score AS DOUBLE) / 1000000.0 AS score
+FROM scored
+ORDER BY micro_score DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+# --------------------------------------------------------------------
+# ewma_smooth
+# --------------------------------------------------------------------
+
+# Truncated exponential smoothing: α = 1/4, depth K = 8. The weight of
+# lag j is α(1−α)^j = 3^j/4^(j+1); scaling by 4^K makes every
+# coefficient an exact integer c_j = 3^j · 4^(K−1−j) — the entire
+# statistic is int64 arithmetic until one final projection, so the
+# oracle is bitwise despite "exponential" in the name. Truncation at
+# K lags is the distributed-systems operating point anyway: an
+# unbounded EWMA is a sequential scan per key, while a K-lag window is
+# one shuffle on the key and K in-frame lags.
+EWMA_ALPHA_DEN = 4  # α = 1/EWMA_ALPHA_DEN
+EWMA_DEPTH = 8
+EWMA_COEFS = tuple(
+    3**j * 4 ** (EWMA_DEPTH - 1 - j) for j in range(EWMA_DEPTH)
+)  # (16384, 12288, 9216, 6912, 5184, 3888, 2916, 2187), sum 58975
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    — the time-series smoothing primitive (anomaly baselines, rate
+    estimators) next to ``time_weighted_avg``'s duration weighting and
+    ``changepoint_cusum``'s level shifts.
+
+    Each event's EWMA is the c-weighted mean of its own and its
+    ≤ ``EWMA_DEPTH − 1`` preceding values within the user's stream
+    (ordered by ts, event_id), with the weight vector renormalized
+    over however much history exists (so early events are unbiased
+    rather than damped toward zero). Values are quantized to exact
+    cents first (the statev2/fixed-point rule); weights are the exact
+    integers ``EWMA_COEFS``; the division is one half-up integer
+    division to micro-cents at the end.
+
+    Scale shape: ONE exchange (hash by user_id), then everything is
+    in-frame: K−1 lags over one window spec share a single sort, and
+    the arithmetic is row-local. State per task is the window frame —
+    K longs per key — not the stream.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    lags = [
+        F.col("cents") if j == 0 else F.lag("cents", j).over(w)
+        for j in range(EWMA_DEPTH)
+    ]
+    s = sum(
+        (
+            F.coalesce(lag, F.lit(0)) * F.lit(c)
+            for lag, c in zip(lags, EWMA_COEFS)
+        ),
+        start=F.lit(0),
+    )
+    wsum = sum(
+        (
+            F.when(lag.isNotNull(), F.lit(c)).otherwise(F.lit(0))
+            for lag, c in zip(lags, EWMA_COEFS)
+        ),
+        start=F.lit(0),
+    )
+    n_hist = sum(
+        (
+            F.when(lag.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            for lag in lags
+        ),
+        start=F.lit(0),
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "cents",
+        n_hist.cast("int").alias("n_hist"),
+        s.cast("long").alias("s"),
+        wsum.cast("long").alias("wsum"),
+    ).select(
+        "event_id",
+        "user_id",
+        "cents",
+        "n_hist",
+        # half-up INTEGER division (div, never `/` — long `/` is float
+        # division and loses bits above 2^53) to micro-cents, one
+        # exact int→double projection (values are non-negative across
+        # the fixtures; a NULL-cents row contributes nothing and a key
+        # whose whole frame is NULL yields NULL, not a crash)
+        F.expr(
+            "CASE WHEN wsum > 0 THEN"
+            " CAST((2 * s * 1000000 + wsum) div (2 * wsum) AS DOUBLE)"
+            " / 1000000.0 END"
+        ).alias("ewma"),
+    )
+
+
+SQL_EWMA_SMOOTH = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+lagged AS (
+  SELECT event_id, user_id, cents,
+         {", ".join(
+             f"LAG(cents, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l{j}"
+             for j in range(1, EWMA_DEPTH)
+         )}
+  FROM base
+),
+summed AS (
+  SELECT event_id, user_id, cents,
+         {" + ".join(
+             f"COALESCE({'cents' if j == 0 else f'l{j}'}, 0) * {c}"
+             for j, c in enumerate(EWMA_COEFS)
+         )} AS s,
+         {" + ".join(
+             f"CASE WHEN {'cents' if j == 0 else f'l{j}'} IS NOT NULL THEN {c} ELSE 0 END"
+             for j, c in enumerate(EWMA_COEFS)
+         )} AS wsum,
+         {" + ".join(
+             f"CASE WHEN {'cents' if j == 0 else f'l{j}'} IS NOT NULL THEN 1 ELSE 0 END"
+             for j in range(EWMA_DEPTH)
+         )} AS n_hist
+  FROM lagged
+)
+SELECT event_id, user_id, cents,
+       CAST(n_hist AS INT) AS n_hist,
+       CASE WHEN wsum > 0
+            THEN CAST((2 * s * 1000000 + wsum) // (2 * wsum) AS DOUBLE)
+                 / 1000000.0
+       END AS ewma
+FROM summed
+"""
+
+
+# Graded lane contribution: the round-7 third wave (four entries,
+# green r7) plus the two NEW round-8 operators, which grade
+# immediately — never-graded-first, the rotation rule.
+# anomaly_zscore (relational8) and time_weighted_avg (relational9),
+# both green r6+r7, demoted to their modules' EXTRA_QUERIES in
+# exchange.
 QUERIES = [
+    Query(
+        "rank_bm25",
+        q_rank_bm25,
+        SQL_RANK_BM25,
+        ("llm", "text", "retrieval", "ranking"),
+    ),
+    Query(
+        "ewma_smooth",
+        q_ewma_smooth,
+        SQL_EWMA_SMOOTH,
+        ("relational", "timeseries", "window"),
+    ),
     Query(
         "doc_winnow",
         q_doc_winnow,

@@ -672,26 +672,24 @@ GROUP BY event_type
 
 QUERIES: list[Query] = []
 
-# Graded lane contribution after the round-7 wave-2 rotation:
-# knn_graph (round-5 promotee, green r5+r6) plus the two round-6
-# promotees (green r6), earning further rows; window_range_interval,
-# profile_table, agg_skew_salted (green r5+r6) demoted in exchange
-# for round-7 wave-2 promotees.
-QUERIES = [
+# Graded lane contribution: none since round 8 — anomaly_zscore
+# (green r6+r7) demoted below in exchange for the never-graded
+# rank_bm25 (relational10), per the one-for-one rotation rule.
+QUERIES = []
+
+# Demoted to the EXTRA lane: sample_span_mask / lm_unigram_score in
+# round 7 after re-earning green rows in round 6 on the CAST-fixed
+# oracles (VERDICT r6 #1); window_range_interval / profile_table /
+# agg_skew_salted in the round-7 wave-2 rotation (green r5+r6);
+# anomaly_zscore in round 8 (green r6+r7) for rank_bm25. All keep
+# their oracles + bench entries and stay in the local sweep.
+EXTRA_QUERIES: list[Query] = [
     Query(
         "anomaly_zscore",
         q_anomaly_zscore,
         SQL_ANOMALY_ZSCORE,
         ("relational", "quality", "timeseries"),
     ),
-]
-
-# Demoted to the EXTRA lane: sample_span_mask / lm_unigram_score in
-# round 7 after re-earning green rows in round 6 on the CAST-fixed
-# oracles (VERDICT r6 #1); window_range_interval / profile_table /
-# agg_skew_salted in the round-7 wave-2 rotation (green r5+r6). All
-# keep their oracles + bench entries and stay in the local sweep.
-EXTRA_QUERIES: list[Query] = [
     # demoted in the round-7 THIRD-wave rotation (green r6) in
     # exchange for the never-graded winnow_overlap
     Query(

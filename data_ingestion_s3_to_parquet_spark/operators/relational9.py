@@ -1604,12 +1604,6 @@ QUERIES = [
         ("relational", "analytics", "statistics"),
     ),
     Query(
-        "time_weighted_avg",
-        q_time_weighted_avg,
-        SQL_TIME_WEIGHTED_AVG,
-        ("relational", "timeseries", "window"),
-    ),
-    Query(
         "funnel_conversion",
         q_funnel_conversion,
         SQL_FUNNEL_CONVERSION,
@@ -1660,6 +1654,14 @@ QUERIES = [
 # (green r6) demoted in the round-7 THIRD-wave rotation for the new
 # doc_winnow / inverted_index / changepoint_cusum (relational10.py).
 EXTRA_QUERIES: list[Query] = [
+    # demoted in round 8 (green r6+r7) in exchange for the
+    # never-graded ewma_smooth (relational10)
+    Query(
+        "time_weighted_avg",
+        q_time_weighted_avg,
+        SQL_TIME_WEIGHTED_AVG,
+        ("relational", "timeseries", "window"),
+    ),
     Query(
         "recursive_cte",
         q_recursive_hierarchy,

@@ -15,13 +15,16 @@ git history and module docstrings); round 7 promotes the round-6
 trio (``dedup_passages``, ``emb_gram``, ``dedup_keep_best`` —
 VERDICT r6 #1) AND, in a second intra-round rotation, all 28 new
 round-7 operators, demoting 31 multi-green veterans in exchange.
-Once round 7 grades, every oracle-gated operator has a driver row in
-some round. Operators whose semantics have no engine-neutral
-ground truth on these fixtures (``sim_join_lsh``, ``knn_graph_lsh``,
-``dedup_components_lsh``, ``dedup_semantic``, ``lang_id_ngram``) are
-exposed as :data:`BENCH_ONLY` instead: benched and pytest-covered, not
-graded (six entries with round 7's ``media_phash`` image-dedup lane,
-pinned by tests/test_operators.py).
+Once round 7 graded, every oracle-gated operator had a driver row in
+some round; round 8 adds ``rank_bm25`` and ``ewma_smooth`` at the
+head (demoting the double-green ``anomaly_zscore`` and
+``time_weighted_avg`` one-for-one). Operators whose semantics have no
+engine-neutral ground truth on these fixtures (``sim_join_lsh``,
+``knn_graph_lsh``, ``dedup_components_lsh``, ``dedup_semantic``,
+``lang_id_ngram``) are exposed as :data:`BENCH_ONLY` instead: benched
+and pytest-covered, not graded (seven entries with round 7's
+``media_phash`` image-dedup lane and round 8's
+``dedup_passages_scale``, pinned by tests/test_operators.py).
 """
 
 from __future__ import annotations
@@ -37,8 +40,9 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational10's four round-7 third-wave operators are never
-    # graded — they lead so they earn driver rows this round.
+    # relational10 holds the newest graded operators (round 8's
+    # rank_bm25 / ewma_smooth lead, then the round-7 third wave) — it
+    # sits first so never-graded entries earn driver rows immediately.
     "data_ingestion_s3_to_parquet_spark.operators.relational10",
     # relational7 contributes ONLY EXTRA-lane entries (QUERIES is
     # empty) — the three new round-4 operators lead the EXTRA lane so
@@ -98,7 +102,9 @@ REGISTRY: dict[str, Query] = _collect()
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
 # pytest, but not submitted for driver grading. After the round-7
-# wave-3 rotation this lane holds eighty-four entries, EVERY one
+# wave-3 rotation (plus round 8's anomaly_zscore / time_weighted_avg
+# demotions for rank_bm25 / ewma_smooth) this lane holds eighty-six
+# entries, EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

@@ -881,7 +881,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 84
+    assert len(EXTRA) == 86
     assert len(BENCH_ONLY) == 7
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -892,17 +892,23 @@ def test_lane_counts_match_docs():
         "media_phash",
         "dedup_passages_scale",  # r8: VERDICT r7 #7
     }
+    # round 8: two NEW operators lead right after ingest_parity
+    # (never-graded-first); anomaly_zscore and time_weighted_avg
+    # (green r6+r7) demoted one-for-one
+    assert list(REGISTRY)[1:3] == ["rank_bm25", "ewma_smooth"]
+    assert {"anomaly_zscore", "time_weighted_avg"} <= set(EXTRA)
+    assert not {"anomaly_zscore", "time_weighted_avg"} & set(REGISTRY)
     # round 7 completed the rotation programme (VERDICT r6 #1) in
-    # waves. The THIRD wave (relational10) is newest and leads right
-    # after ingest_parity; recursive_cte / data_expectations /
-    # value_histogram demoted in exchange (green rows r5/r6)…
+    # waves. The THIRD wave (relational10) follows; recursive_cte /
+    # data_expectations / value_histogram demoted in exchange (green
+    # rows r5/r6)…
     promoted_r7_wave3 = [
         "doc_winnow",
         "inverted_index",
         "changepoint_cusum",
         "winnow_overlap",
     ]
-    assert list(REGISTRY)[1:5] == promoted_r7_wave3
+    assert list(REGISTRY)[3:7] == promoted_r7_wave3
     assert {"link_predict", "kcore_decompose"} <= set(REGISTRY)
     assert all(
         k in EXTRA
@@ -917,7 +923,7 @@ def test_lane_counts_match_docs():
     )
     # …then the round-6 trio…
     promoted_r7 = ["dedup_passages", "emb_gram", "dedup_keep_best"]
-    assert list(REGISTRY)[5:8] == promoted_r7
+    assert list(REGISTRY)[7:10] == promoted_r7
     # …and the 28 wave-2 round-7 operators, so every
     # never-driver-graded entry grades THIS round
     promoted_r7_wave2 = [
@@ -950,7 +956,7 @@ def test_lane_counts_match_docs():
         "content_chunks",
         "word_filter",
     ]
-    assert list(REGISTRY)[8:36] == promoted_r7_wave2
+    assert list(REGISTRY)[10:38] == promoted_r7_wave2
     # the EXTRA lane holds ONLY entries with prior green driver rows:
     # the wave-1 demotees plus the 28 wave-2 demotees (multi-green
     # veterans traded for the wave-2 promotees)
@@ -990,7 +996,7 @@ def test_lane_counts_match_docs():
     assert len(demoted_r7_wave2) == 28
     # the post-wave-2 additions grade immediately, demoting
     # window_distribution, text_normalize, and knn_graph
-    assert list(REGISTRY)[37] == "corr_pearson"
+    assert list(REGISTRY)[38] == "corr_pearson"
     assert list(REGISTRY)[48:50] == ["dsir_weights", "token_budget_select"]
     assert "winnow_overlap" in REGISTRY
     assert "window_distribution" in EXTRA
@@ -4786,3 +4792,125 @@ def test_media_probe_covers_all_header_only_formats(spark):
     assert (w.container, w.audio_codec, w.n_tracks) == ("wav", "pcm", 2)
     assert w.duration_sec == 0.5
     assert (got[5].container, got[5].width, got[5].height) == ("jpeg", 12, 10)
+
+
+def test_rank_bm25_matches_pure_python_recompute(spark, sf_dir):
+    # exact sufficient statistics (tf, df, dl, N, total_len) and the
+    # pinned IEEE op sequence recomputed in pure Python — arbitrary-
+    # precision ints for the stats, the same double formula for the
+    # score, including the micro-quantization and the tie-break order
+    import math
+    from collections import Counter, defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        BM25_TERMS,
+        BM25_TOPK,
+        q_rank_bm25,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n_docs = len(docs)
+    total_len = sum(len(t) for t in docs.values())
+    tf = defaultdict(Counter)
+    for d, toks in docs.items():
+        for w in toks:
+            if w in BM25_TERMS:
+                tf[d][w] += 1
+    df = Counter(w for d in tf for w in tf[d])
+
+    scored = {}
+    for d, terms in tf.items():
+        dl = len(docs[d])
+        micro = 0
+        for w, f in terms.items():
+            idf = math.log(
+                1.0 + (float(n_docs - df[w]) + 0.5) / (float(df[w]) + 0.5)
+            )
+            tfn = (float(f) * 2.2) / (
+                float(f)
+                + 1.2
+                * (0.25 + 0.75 * (float(dl) * float(n_docs) / float(total_len)))
+            )
+            v = idf * tfn * 1_000_000
+            # round-half-up like both engines' ROUND(x, 0) on positives
+            micro += int(math.floor(v + 0.5))
+        scored[d] = (len(terms), micro)
+    expect = sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))[
+        :BM25_TOPK
+    ]
+
+    got = q_rank_bm25(spark, sf_dir).collect()
+    assert [r.rank for r in got] == list(range(1, len(expect) + 1))
+    for r, (d, (nh, micro)) in zip(got, expect):
+        assert (r.doc_id, r.n_hit_terms) == (d, nh)
+        assert r.score == micro / 1e6
+    # the rare term must dominate: every doc containing it outranks
+    # every doc that only hits common terms (IDF spread sanity)
+    rare_docs = {d for d in tf if "dup" in tf[d]}
+    if rare_docs and len(rare_docs) < BM25_TOPK:
+        top_rare = [r.doc_id for r in got[: len(rare_docs)]]
+        assert set(top_rare) <= rare_docs
+
+
+def test_ewma_smooth_matches_pure_python_recompute(spark, sf_dir):
+    # the truncated-EWMA weights, the cents quantization, and the
+    # half-up integer division recomputed per event in pure Python
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        EWMA_COEFS,
+        EWMA_DEPTH,
+        q_ewma_smooth,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .collect()
+    )
+    streams = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        v = r.value * 100
+        cents = None if r.value is None else int(
+            v + 0.5 if v >= 0 else -(int(-v + 0.5))
+        )
+        streams[r.user_id].append((r.event_id, cents))
+
+    expect = {}
+    for u, evs in streams.items():
+        hist = []
+        for eid, cents in evs:
+            hist.append(cents)
+            window = hist[-EWMA_DEPTH:][::-1]  # lag 0 first
+            s = wsum = n = 0
+            for lagv, c in zip(window, EWMA_COEFS):
+                if lagv is not None:
+                    s += lagv * c
+                    wsum += c
+                    n += 1
+            ewma = (
+                ((2 * s * 1_000_000 + wsum) // (2 * wsum)) / 1e6
+                if wsum > 0
+                else None
+            )
+            expect[eid] = (u, cents, n, ewma)
+
+    got = q_ewma_smooth(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        u, cents, n, ewma = expect[r.event_id]
+        assert (r.user_id, r.cents, r.n_hist) == (u, cents, n)
+        assert r.ewma == ewma
+    # early-history sanity: a user's first event has n_hist == 1 and
+    # ewma == its own cents (renormalization, not zero-damping)
+    first = {evs[0][0]: evs[0][1] for evs in streams.values()}
+    for r in got:
+        if r.event_id in first and r.n_hist == 1:
+            assert r.ewma == float(r.cents)

@@ -715,3 +715,40 @@ def test_winnow_overlap_never_broadcasts_fingerprint_sides(spark):
 
     plan = plan_of(q_winnow_overlap(spark, SF_SMOKE))
     assert "BroadcastExchange" not in plan
+
+
+def test_rank_bm25_broadcasts_are_bounded_and_topk_is_take_ordered(spark):
+    # the df table (≤ |query terms| rows) and the one-row corpus stats
+    # are the ONLY broadcasts; the doc-length join is pinned
+    # shuffle_hash (both sides corpus-proportional); the final top-k
+    # is TakeOrderedAndProject, never a single-task global sort
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        q_rank_bm25,
+    )
+
+    plan = plan_of(q_rank_bm25(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert "ShuffledHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    # the term filter reaches the token stream before any exchange:
+    # the isin shows up as an In predicate on the exploded column
+    assert re.search(r"w#\d+ IN \(", plan) or "dup" in plan
+
+
+def test_ewma_smooth_is_one_exchange_one_window_sort(spark):
+    # one hash exchange on user_id, K-1 lags sharing ONE window sort,
+    # no join, no second scan — the whole statistic is in-frame
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        q_ewma_smooth,
+    )
+
+    plan = plan_of(q_ewma_smooth(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
