@@ -71,17 +71,19 @@ window_distribution, text_normalize, and knn_graph, then
 recursive_cte / data_expectations / value_histogram / pagerank /
 sample_stratified / unpivot_stack for wave 3 — see plans/registry.py). Round 7
 graded all of the above green, so every pre-round-8 operator has a
-green driver row. Round 8 adds TWO new operators at the head —
+green driver row. Round 8 adds THREE new operators at the head —
 rank_bm25 (Okapi BM25 retrieval scoring from exact corpus statistics,
-the ranking twin of inverted_index) and ewma_smooth (truncated
+the ranking twin of inverted_index), ewma_smooth (truncated
 fixed-point exponential smoothing per user, one exchange + one window
-sort) — demoting the double-green anomaly_zscore and
-time_weighted_avg one-for-one. The EXTRA lane holds
-eighty-six oracle-gated entries, every one with at least one prior
+sort), and rank_fusion_rrf (reciprocal-rank fusion of the BM25 and
+LM-fluency rankings — the training-free hybrid-retrieval combiner) —
+demoting the double-green anomaly_zscore, time_weighted_avg, and
+funnel_conversion one-for-one. The EXTRA lane holds
+eighty-seven oracle-gated entries, every one with at least one prior
 green driver row, verified locally each round by
 tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 86 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 87 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -461,6 +461,42 @@ _BM25_MICRO_EXPR = (
 )
 
 
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_hit_terms, micro_score) for every document matching
+    ≥ 1 query term — the shared core of :func:`q_rank_bm25` (top-k)
+    and :func:`q_rank_fusion_rrf` (hybrid fusion)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = (
+        toks.where(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("w").agg(F.count("*").alias("df"))
+    doclen = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    stats = d.select(F.size(F.split("text", " ")).alias("dl0")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl0").alias("total_len"),
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "w")
+        .join(doclen.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", F.expr(_BM25_MICRO_EXPR).alias("micro")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.sum("micro").alias("micro_score"),
+        )
+    )
+
+
 def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval scoring: the top-``BM25_TOPK`` documents
     for a fixed multi-term query, scored from exact corpus statistics
@@ -486,36 +522,7 @@ def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64; ranking ties break on doc_id. The reported score is the
     one exact int→double projection.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    )
-    tf = (
-        toks.where(F.col("w").isin(*BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_tbl = tf.groupBy("w").agg(F.count("*").alias("df"))
-    doclen = d.select(
-        "doc_id", F.size(F.split("text", " ")).alias("dl")
-    )
-    stats = d.select(F.size(F.split("text", " ")).alias("dl0")).agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl0").alias("total_len"),
-    )
-    scored = (
-        tf.join(F.broadcast(df_tbl), "w")
-        .join(doclen.hint("shuffle_hash"), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id", F.expr(_BM25_MICRO_EXPR).alias("micro")
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_hit_terms"),
-            F.sum("micro").alias("micro_score"),
-        )
-    )
+    scored = _bm25_scored(spark, sf_dir)
     topk = scored.orderBy(
         F.desc("micro_score"), F.col("doc_id")
     ).limit(BM25_TOPK)
@@ -529,7 +536,10 @@ def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
-SQL_RANK_BM25 = f"""
+# The scored-docs CTE chain, factored so the RRF fusion oracle embeds
+# the IDENTICAL text (oracle drift between the standalone and fused
+# BM25 would be a silent correctness hole).
+_SQL_BM25_SCORED = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ),
@@ -551,13 +561,124 @@ scored AS (
   CROSS JOIN stats
   GROUP BY doc_id
 )
+SELECT doc_id, n_hit_terms, micro_score FROM scored
+"""
+
+SQL_RANK_BM25 = f"""
+WITH bm_scored AS ({_SQL_BM25_SCORED})
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY micro_score DESC, doc_id) AS INT)
          AS rank,
        doc_id, n_hit_terms,
        CAST(micro_score AS DOUBLE) / 1000000.0 AS score
-FROM scored
+FROM bm_scored
 ORDER BY micro_score DESC, doc_id
 LIMIT {BM25_TOPK}
+"""
+
+
+# --------------------------------------------------------------------
+# rank_fusion_rrf
+# --------------------------------------------------------------------
+
+# Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+# score(d) = sum over rankings of 1/(k + rank_d), k = 60 — the
+# training-free hybrid-retrieval combiner. Lists are truncated to the
+# top RRF_LIST_N before fusing, which is both the standard practice
+# and the scale story: everything after the two TakeOrdered heads is
+# constant-size.
+RRF_K = 60
+RRF_LIST_N = 50
+RRF_TOPK = 20
+
+# one shared expression (the _BM25_MICRO_EXPR rule): CAST(1 AS DOUBLE)
+# forces double division in BOTH engines — a bare 1.0 literal is
+# DECIMAL in Spark SQL and its division rounds differently
+_RRF_MICRO_EXPR = (
+    f"CAST(ROUND((COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + ra), CAST(0 AS DOUBLE))"
+    f" + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + rb), CAST(0 AS DOUBLE)))"
+    f" * 1000000, 0) AS BIGINT)"
+)
+
+
+def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical BM25 ranking
+    (:func:`_bm25_scored`) with the LM-fluency ranking
+    (``lm_unigram_score``'s avg_nll, ascending — a quality prior) by
+    reciprocal-rank fusion. RRF is the production hybrid-search
+    combiner (lexical + semantic/quality lists) precisely because it
+    needs no score calibration — only ranks — so two incomparable
+    scoring scales compose without tuning.
+
+    Scale shape: each list is a TakeOrderedAndProject head (never a
+    global sort); ranks come from row_number windows over the ≤
+    ``RRF_LIST_N`` survivors; the full-outer join and final top-k run
+    on constant-size frames. Exactness: ranks are exact ints, the
+    1/(k+r) terms are the same pinned double expression in both
+    engines, micro-quantized once.
+    """
+    from .relational8 import q_lm_unigram_score
+
+    bm = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("micro_score"), F.col("doc_id"))
+        .limit(RRF_LIST_N)
+    )
+    wa = Window.orderBy(F.desc("micro_score"), F.col("doc_id"))
+    bm_top = bm.select(
+        "doc_id", F.row_number().over(wa).alias("ra")
+    )
+    lm = (
+        q_lm_unigram_score(spark, sf_dir)
+        .orderBy(F.asc("avg_nll"), F.col("doc_id"))
+        .limit(RRF_LIST_N)
+    )
+    wb = Window.orderBy(F.asc("avg_nll"), F.col("doc_id"))
+    lm_top = lm.select(
+        "doc_id", F.row_number().over(wb).alias("rb")
+    )
+    fused = bm_top.join(lm_top, "doc_id", "full_outer").select(
+        "doc_id", "ra", "rb", F.expr(_RRF_MICRO_EXPR).alias("micro")
+    )
+    top = fused.orderBy(F.desc("micro"), F.col("doc_id")).limit(RRF_TOPK)
+    wr = Window.orderBy(F.desc("micro"), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(wr).alias("rank"),
+        "doc_id",
+        F.col("ra").alias("bm25_rank"),
+        F.col("rb").alias("lm_rank"),
+        (F.col("micro").cast("double") / 1e6).alias("rrf_score"),
+    )
+
+
+def _sql_rank_fusion_rrf() -> str:
+    # late import would be circular at module load; the lm oracle text
+    # is embedded verbatim as a nested-WITH subquery so the fused and
+    # standalone lm rankings can never drift
+    from .relational8 import SQL_LM_UNIGRAM_SCORE
+
+    return f"""
+WITH bm_scored AS ({_SQL_BM25_SCORED}),
+lm AS ({SQL_LM_UNIGRAM_SCORE}),
+bm_top AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY micro_score DESC, doc_id) AS INT)
+           AS ra
+  FROM bm_scored ORDER BY micro_score DESC, doc_id LIMIT {RRF_LIST_N}
+),
+lm_top AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY avg_nll ASC, doc_id) AS INT) AS rb
+  FROM lm ORDER BY avg_nll ASC, doc_id LIMIT {RRF_LIST_N}
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id, ra, rb,
+         {_RRF_MICRO_EXPR} AS micro
+  FROM bm_top b FULL OUTER JOIN lm_top l ON b.doc_id = l.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY micro DESC, doc_id) AS INT) AS rank,
+       doc_id, ra AS bm25_rank, rb AS lm_rank,
+       CAST(micro AS DOUBLE) / 1000000.0 AS rrf_score
+FROM fused ORDER BY micro DESC, doc_id LIMIT {RRF_TOPK}
 """
 
 
@@ -716,6 +837,12 @@ QUERIES = [
         q_ewma_smooth,
         SQL_EWMA_SMOOTH,
         ("relational", "timeseries", "window"),
+    ),
+    Query(
+        "rank_fusion_rrf",
+        q_rank_fusion_rrf,
+        _sql_rank_fusion_rrf(),
+        ("llm", "text", "retrieval", "ranking"),
     ),
     Query(
         "doc_winnow",

@@ -1604,12 +1604,6 @@ QUERIES = [
         ("relational", "analytics", "statistics"),
     ),
     Query(
-        "funnel_conversion",
-        q_funnel_conversion,
-        SQL_FUNNEL_CONVERSION,
-        ("relational", "analytics"),
-    ),
-    Query(
         "retention_cohort",
         q_retention_cohort,
         SQL_RETENTION_COHORT,
@@ -1655,12 +1649,18 @@ QUERIES = [
 # doc_winnow / inverted_index / changepoint_cusum (relational10.py).
 EXTRA_QUERIES: list[Query] = [
     # demoted in round 8 (green r6+r7) in exchange for the
-    # never-graded ewma_smooth (relational10)
+    # never-graded ewma_smooth and rank_fusion_rrf (relational10)
     Query(
         "time_weighted_avg",
         q_time_weighted_avg,
         SQL_TIME_WEIGHTED_AVG,
         ("relational", "timeseries", "window"),
+    ),
+    Query(
+        "funnel_conversion",
+        q_funnel_conversion,
+        SQL_FUNNEL_CONVERSION,
+        ("relational", "analytics"),
     ),
     Query(
         "recursive_cte",

@@ -881,7 +881,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 86
+    assert len(EXTRA) == 87
     assert len(BENCH_ONLY) == 7
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -892,12 +892,15 @@ def test_lane_counts_match_docs():
         "media_phash",
         "dedup_passages_scale",  # r8: VERDICT r7 #7
     }
-    # round 8: two NEW operators lead right after ingest_parity
-    # (never-graded-first); anomaly_zscore and time_weighted_avg
-    # (green r6+r7) demoted one-for-one
-    assert list(REGISTRY)[1:3] == ["rank_bm25", "ewma_smooth"]
-    assert {"anomaly_zscore", "time_weighted_avg"} <= set(EXTRA)
-    assert not {"anomaly_zscore", "time_weighted_avg"} & set(REGISTRY)
+    # round 8: three NEW operators lead right after ingest_parity
+    # (never-graded-first); anomaly_zscore, time_weighted_avg, and
+    # funnel_conversion (all green r6+r7) demoted one-for-one
+    assert list(REGISTRY)[1:4] == [
+        "rank_bm25", "ewma_smooth", "rank_fusion_rrf"
+    ]
+    demoted_r8 = {"anomaly_zscore", "time_weighted_avg", "funnel_conversion"}
+    assert demoted_r8 <= set(EXTRA)
+    assert not demoted_r8 & set(REGISTRY)
     # round 7 completed the rotation programme (VERDICT r6 #1) in
     # waves. The THIRD wave (relational10) follows; recursive_cte /
     # data_expectations / value_histogram demoted in exchange (green
@@ -908,7 +911,7 @@ def test_lane_counts_match_docs():
         "changepoint_cusum",
         "winnow_overlap",
     ]
-    assert list(REGISTRY)[3:7] == promoted_r7_wave3
+    assert list(REGISTRY)[4:8] == promoted_r7_wave3
     assert {"link_predict", "kcore_decompose"} <= set(REGISTRY)
     assert all(
         k in EXTRA
@@ -923,7 +926,7 @@ def test_lane_counts_match_docs():
     )
     # …then the round-6 trio…
     promoted_r7 = ["dedup_passages", "emb_gram", "dedup_keep_best"]
-    assert list(REGISTRY)[7:10] == promoted_r7
+    assert list(REGISTRY)[8:11] == promoted_r7
     # …and the 28 wave-2 round-7 operators, so every
     # never-driver-graded entry grades THIS round
     promoted_r7_wave2 = [
@@ -956,7 +959,7 @@ def test_lane_counts_match_docs():
         "content_chunks",
         "word_filter",
     ]
-    assert list(REGISTRY)[10:38] == promoted_r7_wave2
+    assert list(REGISTRY)[11:39] == promoted_r7_wave2
     # the EXTRA lane holds ONLY entries with prior green driver rows:
     # the wave-1 demotees plus the 28 wave-2 demotees (multi-green
     # veterans traded for the wave-2 promotees)
@@ -996,7 +999,7 @@ def test_lane_counts_match_docs():
     assert len(demoted_r7_wave2) == 28
     # the post-wave-2 additions grade immediately, demoting
     # window_distribution, text_normalize, and knn_graph
-    assert list(REGISTRY)[38] == "corr_pearson"
+    assert list(REGISTRY)[39] == "corr_pearson"
     assert list(REGISTRY)[48:50] == ["dsir_weights", "token_budget_select"]
     assert "winnow_overlap" in REGISTRY
     assert "window_distribution" in EXTRA
@@ -4914,3 +4917,62 @@ def test_ewma_smooth_matches_pure_python_recompute(spark, sf_dir):
     for r in got:
         if r.event_id in first and r.n_hist == 1:
             assert r.ewma == float(r.cents)
+
+
+def test_rank_fusion_rrf_matches_composition_of_its_two_rankings(
+    spark, sf_dir
+):
+    # the fusion must be exactly RRF over the two production rankings
+    # it claims to fuse: recompute ranks from _bm25_scored and
+    # q_lm_unigram_score (each pinned by its own recompute test), fuse
+    # in pure Python with the same k=60 micro-quantization, and demand
+    # the identical top list — ranks, ids, and scores
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        RRF_K,
+        RRF_LIST_N,
+        RRF_TOPK,
+        _bm25_scored,
+        q_rank_fusion_rrf,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_lm_unigram_score,
+    )
+
+    bm = sorted(
+        (
+            (r.doc_id, r.micro_score)
+            for r in _bm25_scored(spark, sf_dir).collect()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:RRF_LIST_N]
+    ra = {d: i + 1 for i, (d, _) in enumerate(bm)}
+    lm = sorted(
+        (
+            (r.doc_id, r.avg_nll)
+            for r in q_lm_unigram_score(spark, sf_dir).collect()
+        ),
+        key=lambda t: (t[1], t[0]),
+    )[:RRF_LIST_N]
+    rb = {d: i + 1 for i, (d, _) in enumerate(lm)}
+
+    import math
+
+    fused = {}
+    for d in set(ra) | set(rb):
+        v = (1.0 / (RRF_K + ra[d]) if d in ra else 0.0) + (
+            1.0 / (RRF_K + rb[d]) if d in rb else 0.0
+        )
+        fused[d] = int(math.floor(v * 1_000_000 + 0.5))
+    expect = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:RRF_TOPK]
+
+    got = q_rank_fusion_rrf(spark, sf_dir).collect()
+    assert [r.rank for r in got] == list(range(1, len(expect) + 1))
+    for r, (d, micro) in zip(got, expect):
+        assert r.doc_id == d
+        assert r.rrf_score == micro / 1e6
+        assert r.bm25_rank == ra.get(d)
+        assert r.lm_rank == rb.get(d)
+    # the fusion must actually mix: at least one top doc from each
+    # single ranking's head, else the test corpus degenerated
+    assert any(r.bm25_rank and r.bm25_rank <= 5 for r in got)
+    assert any(r.lm_rank and r.lm_rank <= 5 for r in got)

@@ -752,3 +752,23 @@ def test_ewma_smooth_is_one_exchange_one_window_sort(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_rank_fusion_rrf_heads_are_take_ordered(spark):
+    # both input lists and the final cut must be
+    # TakeOrderedAndProject heads — a global row_number over the full
+    # scored corpus would be a one-task sort at 100 TB
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        q_rank_fusion_rrf,
+    )
+
+    plan = plan_of(q_rank_fusion_rrf(spark, SF_SMOKE))
+    assert len(re.findall(r"TakeOrderedAndProject", plan)) >= 3
+    # windows only on the post-limit constant-size frames: every
+    # row_number window sits above a limit in this plan shape, so no
+    # window may consume a raw corpus-sized exchange; cheap proxy —
+    # the plan has no Window with a partition-less sort over more
+    # than the limited frames (structural pin via window count)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3
