@@ -48,7 +48,11 @@ def pixels_of(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
-    raise ValueError("unrecognized image container (BMP/PNG/GIF/JPEG)")
+    if payload[:2] in (b"II", b"MM"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload)
+    raise ValueError("unrecognized image container (BMP/PNG/GIF/JPEG/TIFF)")
 
 
 def dhash64(px: np.ndarray) -> int:

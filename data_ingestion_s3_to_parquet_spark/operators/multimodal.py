@@ -21,11 +21,13 @@ decode without codec libraries — PCM WAV (stdlib ``wave``), 24-bit BMP
 (``struct`` + numpy), 8-bit PNG (stdlib ``zlib`` + full scanline
 un-filtering), baseline JPEG (``functions/jpeg.py``: a complete
 from-spec Huffman + IDCT + chroma-upsample decoder plus the matching
-encoder that builds the test vectors), and GIF87a/89a
+encoder that builds the test vectors), GIF87a/89a
 (``functions/gif.py``: variable-width LZW, interlace, multi-frame
 compositing with disposal + transparency — the real ANIMATION decode
-lane, lossless so round-trips test exact equality). Only true
-video/audio codec formats (H.264/AAC) remain behind
+lane, lossless so round-trips test exact equality), and baseline TIFF
+(``functions/tiff.py``, r8: IFD walk, strips, PackBits RLE, gray/RGB,
+both byte orders — the scanned-document lane, also lossless). Only
+true video/audio codec formats (H.264/AAC) remain behind
 the clearly-marked :func:`_decode_stub` seam; the Spark-side contract —
 schema, batch shape, partitioning, per-row error capture — is real and
 unit-tested throughout.
@@ -435,7 +437,8 @@ def decode_media(kind: str, payload: bytes) -> dict:
     """Dispatch on the payload's MAGIC BYTES (not the claimed kind —
     corpora lie about mime types): RIFF/WAVE → :func:`decode_wav`,
     BM → :func:`decode_bmp`, PNG signature → :func:`decode_png`,
-    SOI+marker → :func:`decode_jpeg`, GIF8 → :func:`decode_gif`;
+    SOI+marker → :func:`decode_jpeg`, GIF8 → :func:`decode_gif`,
+    II/MM → :func:`decode_tiff_features` (r8, ``functions/tiff.py``);
     anything else falls through to the codec seam
     (:func:`_decode_stub`) and raises."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -448,7 +451,28 @@ def decode_media(kind: str, payload: bytes) -> dict:
         return decode_jpeg(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
+    if payload[:2] in (b"II", b"MM"):
+        return decode_tiff_features(payload)
     _decode_stub(kind, payload)
+
+
+def decode_tiff_features(payload: bytes) -> dict:
+    """REAL image decode for baseline TIFF (``functions/tiff.py``:
+    uncompressed + PackBits, gray/RGB, both byte orders) — same exact
+    integer per-channel sums as :func:`decode_bmp`."""
+    import numpy as np
+
+    from ..functions.tiff import decode_tiff
+
+    px = decode_tiff(payload)
+    s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "sum_r": int(s[0]),
+        "sum_g": int(s[1]),
+        "sum_b": int(s[2]),
+    }
 
 
 MEDIA_DECODE_SCHEMA = StructType(
@@ -834,8 +858,19 @@ def media_probe(media: DataFrame) -> DataFrame:
                         ok=True, container="jpeg", n_tracks=1, width=w, height=h
                     )
             raise ValueError("JPEG without SOF header")
+        if payload[:2] in (b"II", b"MM"):
+            from ..functions.tiff import probe_tiff
+
+            m = probe_tiff(payload)
+            return dict(
+                ok=True,
+                container="tiff",
+                n_tracks=1,
+                width=m["width"],
+                height=m["height"],
+            )
         raise ValueError(
-            "unrecognized container (ISO-BMFF/MP3/BMP/PNG/GIF/WAV/JPEG)"
+            "unrecognized container (ISO-BMFF/MP3/BMP/PNG/GIF/WAV/JPEG/TIFF)"
         )
 
     def _probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -2303,6 +2303,18 @@ def test_media_decode_real_wav_and_bmp_end_to_end(spark):
     gif_bytes = encode_gif(gif_frames, delays_cs=[4, 4, 4])
     gif_sums = gif_frames[0].reshape(-1, 3).astype(np.int64).sum(axis=0)
 
+    # -- real TIFF (r8): PackBits, big-endian — lossless, exact sums
+    from data_ingestion_s3_to_parquet_spark.functions.tiff import (
+        COMPRESSION_PACKBITS,
+        encode_tiff,
+    )
+
+    tif_img = rng.integers(0, 256, (4, 5, 3)).astype(np.uint8)
+    tif_bytes = encode_tiff(
+        tif_img, compression=COMPRESSION_PACKBITS, byte_order=">"
+    )
+    tif_sums = tif_img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+
     rows = [
         (1, "audio", bytearray(wav_bytes), "audio/wav", None, None, 8000),
         (2, "image", bytearray(bmp_bytes), "image/bmp", width, height, None),
@@ -2310,9 +2322,14 @@ def test_media_decode_real_wav_and_bmp_end_to_end(spark):
          None, None, None),
         (4, "image", bytearray(jpg_bytes), "image/jpeg", 13, 10, None),
         (5, "video", bytearray(gif_bytes), "image/gif", 7, 6, None),
+        (6, "image", bytearray(tif_bytes), "image/tiff", 5, 4, None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: r for r in media_decode(media).collect()}
+
+    t = got[6]
+    assert t.ok and (t.width, t.height) == (5, 4)
+    assert (t.sum_r, t.sum_g, t.sum_b) == tuple(tif_sums)
 
     j = got[4]
     assert j.ok and (j.width, j.height) == (13, 10)
@@ -4773,12 +4790,16 @@ def test_media_probe_covers_all_header_only_formats(spark):
     ihdr = struct.pack(">II", 12, 10) + bytes([8, 2, 0, 0, 0])
     png = png_sig + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
 
+    from data_ingestion_s3_to_parquet_spark.functions.tiff import encode_tiff
+
     rows = [
         (1, "image", bytearray(build_test_bmp(img)), None, None, None, None),
         (2, "image", bytearray(png), None, None, None, None),
         (3, "image", bytearray(gif), None, None, None, None),
         (4, "audio", bytearray(wav), None, None, None, None),
         (5, "image", bytearray(encode_jpeg(img)), None, None, None, None),
+        (6, "image", bytearray(encode_tiff(img, byte_order=">")), None, None,
+         None, None),
     ]
     got = {
         r.media_id: r
@@ -4795,6 +4816,7 @@ def test_media_probe_covers_all_header_only_formats(spark):
     assert (w.container, w.audio_codec, w.n_tracks) == ("wav", "pcm", 2)
     assert w.duration_sec == 0.5
     assert (got[5].container, got[5].width, got[5].height) == ("jpeg", 12, 10)
+    assert (got[6].container, got[6].width, got[6].height) == ("tiff", 12, 10)
 
 
 def test_rank_bm25_matches_pure_python_recompute(spark, sf_dir):

@@ -1131,10 +1131,23 @@ def test_phash_is_encoding_invariant_and_locality_sensitive(seed, h, w):
         seeded_test_image,
     )
 
+    from data_ingestion_s3_to_parquet_spark.functions.tiff import (
+        COMPRESSION_PACKBITS,
+        encode_tiff,
+    )
+
     img = seeded_test_image(seed, 0, h, w)
     h_bmp = dhash64(pixels_of(build_test_bmp(img)))
     h_gif = dhash64(pixels_of(encode_gif([img])))
     assert h_bmp == h_gif
+    # r8: TIFF is lossless too — both byte orders and both codecs
+    # must land on the identical hash
+    assert h_bmp == dhash64(pixels_of(encode_tiff(img)))
+    assert h_bmp == dhash64(
+        pixels_of(
+            encode_tiff(img, compression=COMPRESSION_PACKBITS, byte_order=">")
+        )
+    )
     h_jpg = dhash64(pixels_of(encode_jpeg(img, quality=90)))
     assert hamming_int(h_bmp, h_jpg) <= 10
     other = dhash64(seeded_test_image(seed + 1000, 0, h, w))
@@ -1344,3 +1357,76 @@ def test_gif_probe_matches_encode_without_decoding(n_frames, delays, h, w, seed)
     m = probe_gif(encode_gif(frames, delays_cs=d))
     assert (m["width"], m["height"], m["n_frames"]) == (w, h, n_frames)
     assert m["duration_sec"] == round(sum(d) / 100.0, 3)
+
+
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    seed=st.integers(0, 200),
+    comp=st.sampled_from([1, 32773]),
+    order=st.sampled_from(["<", ">"]),
+    gray=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_lossless_any_shape(h, w, seed, comp, order, gray):
+    """encode_tiff → decode_tiff is bit-lossless for every shape,
+    codec, byte order, and channel count in the baseline profile."""
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+        probe_tiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    payload = encode_tiff(img, compression=comp, byte_order=order)
+    out = decode_tiff(payload)
+    expect = (
+        np.repeat(img[:, :, None], 3, axis=2) if gray else img
+    )
+    assert np.array_equal(out, expect)
+    m = probe_tiff(payload)
+    assert (m["width"], m["height"]) == (w, h)
+    assert m["compression"] == comp
+    assert m["samples_per_pixel"] == (1 if gray else 3)
+    assert m["byte_order"] == ("little" if order == "<" else "big")
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_tiff_packbits_roundtrip_arbitrary_bytes(data):
+    from data_ingestion_s3_to_parquet_spark.functions.tiff import (
+        packbits,
+        unpackbits,
+    )
+
+    assert unpackbits(packbits(data), len(data)) == data
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(max_examples=50, deadline=None)
+def test_tiff_decode_rejects_arbitrary_bytes_cleanly(payload):
+    import struct as _s
+
+    from data_ingestion_s3_to_parquet_spark.functions.tiff import decode_tiff
+
+    try:
+        px = decode_tiff(payload)
+    except (ValueError, NotImplementedError, _s.error, IndexError):
+        return  # typed decode errors only — anything else fails
+    assert px.ndim == 3 and px.shape[2] == 3
+
+
+def test_tiff_white_is_zero_inverts():
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = decode_tiff(encode_tiff(g, photometric=0))
+    assert np.array_equal(out, np.repeat((255 - g)[:, :, None], 3, axis=2))
