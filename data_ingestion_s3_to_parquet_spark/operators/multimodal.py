@@ -453,7 +453,37 @@ def decode_media(kind: str, payload: bytes) -> dict:
         return decode_gif(payload)
     if payload[:2] in (b"II", b"MM"):
         return decode_tiff_features(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi_features(payload)
     _decode_stub(kind, payload)
+
+
+def decode_avi_features(payload: bytes) -> dict:
+    """REAL video decode for MJPEG AVI (r8): first-frame pixel
+    features via the from-spec JPEG codec + the container's frame
+    count — the video twin of :func:`decode_gif`'s first-frame
+    features. Non-MJPEG AVIs raise at the JPEG layer (no SOI), which
+    is the honest outcome: the container is parsed, the codec isn't
+    available."""
+    import numpy as np
+
+    from ..functions.avi import iter_avi_frames, probe_avi
+    from ..functions.jpeg import decode_jpeg as _jpeg
+
+    meta = probe_avi(payload)
+    first = next(iter(iter_avi_frames(payload)), None)
+    if first is None:
+        raise ValueError("AVI with no video frame chunks")
+    px = _jpeg(first)
+    s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "sum_r": int(s[0]),
+        "sum_g": int(s[1]),
+        "sum_b": int(s[2]),
+        "n_frames": int(meta["n_frames"]),
+    }
 
 
 def decode_tiff_features(payload: bytes) -> dict:
@@ -680,12 +710,15 @@ FRAME_SAMPLE_SCHEMA = StructType(
 
 def media_sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     """REAL distributed frame sampling over animated payloads: decode
-    each GIF (``functions/gif.py``), keep every ``every_k``-th
-    composited frame, and emit one row per kept frame with exact
-    integer channel sums and a content md5 — the keyframe-extraction
-    stage of a video/animation ingest pipeline, running on actual
-    decoded pixels (``q_media_frame_sample`` is the oracle-graded twin
-    over deterministic text stand-ins; this is the binary lane).
+    each GIF (``functions/gif.py``) or MJPEG AVI (r8 —
+    ``functions/avi.py`` container walk + the from-spec JPEG codec per
+    '00dc' chunk, a true video format on a real pixel path), keep
+    every ``every_k``-th frame, and emit one row per kept frame with
+    exact integer channel sums and a content md5 — the
+    keyframe-extraction stage of a video/animation ingest pipeline,
+    running on actual decoded pixels (``q_media_frame_sample`` is the
+    oracle-graded twin over deterministic text stand-ins; this is the
+    binary lane).
 
     Scale shape: one ``mapInPandas`` pass, payload bytes stay in Arrow
     buffers, per-payload decode cost parallelizes with the corpus, and
@@ -702,21 +735,39 @@ def media_sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     tune(media.sparkSession)
     cols = [f.name for f in FRAME_SAMPLE_SCHEMA.fields]
 
+    def _frames_of(payload: bytes):
+        """(width, height, [frames]) for every animated container the
+        repo can decode: GIF (from-spec LZW) and MJPEG AVI (r8 —
+        '00dc' chunks are standalone baseline JPEGs, decoded by
+        ``functions/jpeg.py``; the one VIDEO format with a real pixel
+        path here)."""
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from ..functions.avi import iter_avi_frames
+            from ..functions.jpeg import decode_jpeg as _jpeg
+
+            frames = [_jpeg(f) for f in iter_avi_frames(payload)]
+            if not frames:
+                raise ValueError("AVI with no video frame chunks")
+            h, w = frames[0].shape[:2]
+            return w, h, frames
+        dec = _gif(payload)
+        return dec["width"], dec["height"], dec["frames"]
+
     def _sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    dec = _gif(bytes(payload))
-                    for i in range(0, len(dec["frames"]), every_k):
-                        fr = dec["frames"][i]
+                    width, height, frames = _frames_of(bytes(payload))
+                    for i in range(0, len(frames), every_k):
+                        fr = frames[i]
                         s = fr.reshape(-1, 3).astype("int64").sum(axis=0)
                         out.append(
                             {
                                 "media_id": mid,
                                 "frame_idx": i,
-                                "width": dec["width"],
-                                "height": dec["height"],
+                                "width": width,
+                                "height": height,
                                 "sum_r": int(s[0]),
                                 "sum_g": int(s[1]),
                                 "sum_b": int(s[2]),
@@ -833,6 +884,21 @@ def media_probe(media: DataFrame) -> DataFrame:
                 container="gif",
                 duration_sec=m["duration_sec"],
                 n_tracks=m["n_frames"],
+                width=m["width"],
+                height=m["height"],
+            )
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from ..functions.avi import probe_avi
+
+            m = probe_avi(payload)
+            return dict(
+                ok=True,
+                container="avi",
+                duration_sec=round(
+                    (m["n_frames"] or 0) * (m["us_per_frame"] or 0) / 1e6, 3
+                ),
+                n_tracks=m["n_streams"],
+                video_codec=m["video_handler"],
                 width=m["width"],
                 height=m["height"],
             )

@@ -4308,6 +4308,73 @@ def test_media_sample_frames_decodes_real_animation(spark):
     assert len(bad) == 1 and not bad[0].ok and bad[0].err
 
 
+def test_media_sample_frames_decodes_real_mjpeg_avi(spark):
+    # r8: a true VIDEO container on a real pixel path — an MJPEG AVI
+    # whose '00dc' chunks are from-spec-encoded JPEGs, frame-sampled
+    # distributed; sums/md5s must equal decoding the same chunks
+    # locally, and a frameless AVI costs one ok=false row
+    import hashlib
+
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.avi import (
+        build_mjpeg_avi,
+    )
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_decode,
+        media_probe,
+        media_sample_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = [
+        rng.integers(0, 256, (10, 14, 3)).astype(np.uint8) for _ in range(5)
+    ]
+    chunks = [encode_jpeg(im, quality=92) for im in imgs]
+    avi = build_mjpeg_avi(chunks, 14, 10, fps=4)
+    empty_avi = build_mjpeg_avi([], 14, 10, fps=4)
+
+    rows = [
+        (1, "video", bytearray(avi), "video/avi", 14, 10, None),
+        (2, "video", bytearray(empty_avi), "video/avi", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    got = sorted(
+        (r for r in media_sample_frames(media, every_k=2).collect()
+         if r.media_id == 1),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in got] == [0, 2, 4]
+    for r in got:
+        fr = decode_jpeg(chunks[r.frame_idx])
+        s = fr.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(s)
+        assert r.frame_md5 == hashlib.md5(fr.tobytes()).hexdigest()
+        assert r.ok and (r.width, r.height) == (14, 10)
+    bad = [
+        r for r in media_sample_frames(media, every_k=2).collect()
+        if r.media_id == 2
+    ]
+    assert len(bad) == 1 and not bad[0].ok and "no video frame" in bad[0].err
+
+    # probe: header-only dims / duration / codec
+    p = {r.media_id: r for r in media_probe(media).collect()}[1]
+    assert (p.container, p.video_codec) == ("avi", "MJPG")
+    assert (p.width, p.height) == (14, 10)
+    assert p.duration_sec == 1.25  # 5 frames at 4 fps
+    # decode_media: first-frame features + frame count
+    d = {r.media_id: r for r in media_decode(media).collect()}[1]
+    first = decode_jpeg(chunks[0]).reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert d.ok and (d.width, d.height, d.n_frames) == (14, 10, 5)
+    assert (d.sum_r, d.sum_g, d.sum_b) == tuple(first)
+
+
 def test_media_probe_extracts_container_metadata_distributed(spark):
     # the no-codec half of video handling: ISO-BMFF box metadata
     # (duration, resolution, codecs) probed distributed so corpus

@@ -1430,3 +1430,54 @@ def test_tiff_white_is_zero_inverts():
     g = np.arange(12, dtype=np.uint8).reshape(3, 4)
     out = decode_tiff(encode_tiff(g, photometric=0))
     assert np.array_equal(out, np.repeat((255 - g)[:, :, None], 3, axis=2))
+
+
+@given(
+    n_frames=st.integers(1, 5),
+    h=st.integers(2, 10),
+    w=st.integers(2, 10),
+    fps=st.integers(1, 60),
+    seed=st.integers(0, 100),
+)
+@settings(max_examples=20, deadline=None)
+def test_avi_container_roundtrip_preserves_frames_exactly(
+    n_frames, h, w, fps, seed
+):
+    """build_mjpeg_avi → iter_avi_frames returns the embedded JPEG
+    byte streams verbatim (container adds nothing, loses nothing —
+    including the odd-length padding rule), and probe_avi reports the
+    declared geometry/timing."""
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.avi import (
+        build_mjpeg_avi,
+        iter_avi_frames,
+        probe_avi,
+    )
+    from data_ingestion_s3_to_parquet_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    chunks = [
+        encode_jpeg(rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
+        for _ in range(n_frames)
+    ]
+    avi = build_mjpeg_avi(chunks, w, h, fps=fps)
+    assert list(iter_avi_frames(avi)) == chunks
+    m = probe_avi(avi)
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, n_frames)
+    assert m["us_per_frame"] == 1_000_000 // fps
+    assert m["video_handler"] == "MJPG"
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(max_examples=50, deadline=None)
+def test_avi_probe_rejects_arbitrary_bytes_cleanly(payload):
+    import struct as _s
+
+    from data_ingestion_s3_to_parquet_spark.functions.avi import probe_avi
+
+    try:
+        m = probe_avi(payload)
+    except (ValueError, NotImplementedError, _s.error, IndexError):
+        return  # typed decode errors only
+    assert m["width"] is not None
