@@ -17,7 +17,11 @@ opaque blob — now lives in textstats.q_doc_fingerprint.)
 Plus the image/audio/video plumbing: binary payload + typed metadata →
 ``mapInPandas`` byte features (:func:`media_features`) and REAL
 decoding (:func:`media_decode`) for every format the container can
-decode without codec libraries — PCM WAV (stdlib ``wave``), 24-bit BMP
+decode without codec libraries — PCM WAV (stdlib ``wave``) plus
+G.711 µ-law/A-law WAV (r8, ``functions/g711.py`` from-spec companding
+tables — the telephony corpus class stdlib wave rejects), MJPEG AVI
+(r8, ``functions/avi.py`` container walk + the JPEG codec per frame —
+real video pixels), 24-bit BMP
 (``struct`` + numpy), 8-bit PNG (stdlib ``zlib`` + full scanline
 un-filtering), baseline JPEG (``functions/jpeg.py``: a complete
 from-spec Huffman + IDCT + chroma-upsample decoder plus the matching
@@ -194,16 +198,41 @@ def _decode_stub(kind: str, payload: bytes) -> None:
 
 
 def decode_wav(payload: bytes) -> dict:
-    """REAL audio decode for PCM WAV — stdlib ``wave`` parses the RIFF
-    container, numpy turns the frames into samples. Returned features
-    are EXACT integers (sample counts, int64 energy = Σ sample²), so
-    downstream results are bitwise-stable across layouts and reruns —
-    the same determinism contract every operator here carries."""
+    """REAL audio decode for WAV — stdlib ``wave`` parses PCM
+    containers; G.711 µ-law/A-law payloads (wFormatTag 7/6 — the
+    telephony corpus class stdlib ``wave`` rejects outright) expand
+    through the from-spec companding tables in ``functions/g711.py``
+    (r8). Returned features are EXACT integers (sample counts, int64
+    energy = Σ sample² over the decoded linear samples), so downstream
+    results are bitwise-stable across layouts and reruns — the same
+    determinism contract every operator here carries."""
     import io
     import wave
 
     import numpy as np
 
+    from ..functions.g711 import (
+        WAVE_FORMAT_ALAW,
+        WAVE_FORMAT_MULAW,
+        alaw_decode,
+        parse_wav_fmt,
+        ulaw_decode,
+    )
+
+    fmt = parse_wav_fmt(payload)
+    if fmt["format_tag"] in (WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW):
+        dec = (
+            ulaw_decode
+            if fmt["format_tag"] == WAVE_FORMAT_MULAW
+            else alaw_decode
+        )
+        arr = dec(fmt["data"]).astype(np.int64)
+        return {
+            "sample_rate": fmt["sample_rate"],
+            "n_channels": fmt["n_channels"],
+            "n_samples": int(arr.size),
+            "energy": int((arr * arr).sum()),
+        }
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate = w.getframerate()
         n_ch = w.getnchannels()
@@ -903,6 +932,27 @@ def media_probe(media: DataFrame) -> DataFrame:
                 height=m["height"],
             )
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            from ..functions.g711 import (
+                WAVE_FORMAT_ALAW,
+                WAVE_FORMAT_MULAW,
+                parse_wav_fmt,
+            )
+
+            fmt = parse_wav_fmt(payload)
+            if fmt["format_tag"] in (WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW):
+                # G.711: one byte per sample per channel
+                n = len(fmt["data"]) // max(fmt["n_channels"], 1)
+                return dict(
+                    ok=True,
+                    container="wav",
+                    duration_sec=round(n / fmt["sample_rate"], 3),
+                    n_tracks=fmt["n_channels"],
+                    audio_codec=(
+                        "ulaw"
+                        if fmt["format_tag"] == WAVE_FORMAT_MULAW
+                        else "alaw"
+                    ),
+                )
             import io
             import wave
 

@@ -1481,3 +1481,82 @@ def test_avi_probe_rejects_arbitrary_bytes_cleanly(payload):
     except (ValueError, NotImplementedError, _s.error, IndexError):
         return  # typed decode errors only
     assert m["width"] is not None
+
+
+@given(
+    seed=st.integers(0, 300),
+    n=st.integers(1, 400),
+    law=st.sampled_from(["ulaw", "alaw"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_g711_roundtrip_error_within_segment_step(seed, n, law):
+    """decode(encode(x)) lands within the companding segment's step
+    size for arbitrary int16 samples, and re-encoding a decoded byte
+    is the identity on the quantization lattice (except µ-law's two
+    codes for zero — an inherent property, not a defect)."""
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.g711 import (
+        ALAW_TABLE,
+        ULAW_TABLE,
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    enc, dec, table = (
+        (ulaw_encode, ulaw_decode, ULAW_TABLE)
+        if law == "ulaw"
+        else (alaw_encode, alaw_decode, ALAW_TABLE)
+    )
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, n).astype(np.int16)
+    y = dec(enc(x)).astype(np.int32)
+    err = np.abs(y - x.astype(np.int32))
+    bound = np.maximum(np.abs(x.astype(np.int32)) // 16, 64)
+    assert (err <= bound).all()
+    # lattice idempotence
+    rt = dec(enc(table.astype(np.int16)))
+    assert np.array_equal(rt, table)
+
+
+def test_g711_wav_decodes_distributed_with_exact_energy(spark):
+    # a µ-law and an A-law WAV (stdlib wave rejects both) must decode
+    # through the mapInPandas lane with exact integer energy computed
+    # from the same tables locally; probe reports the codec name
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.g711 import (
+        alaw_decode,
+        alaw_encode,
+        build_g711_wav,
+        ulaw_decode,
+        ulaw_encode,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_decode,
+        media_probe,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(-30000, 30000, 1600).astype(np.int16)
+    wav_u = build_g711_wav(x, law="ulaw", sample_rate=8000)
+    wav_a = build_g711_wav(x, law="alaw", sample_rate=16000)
+    rows = [
+        (1, "audio", bytearray(wav_u), "audio/basic", None, None, 8000),
+        (2, "audio", bytearray(wav_a), "audio/alaw", None, None, 16000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in media_decode(media).collect()}
+    eu = ulaw_decode(ulaw_encode(x)).astype(np.int64)
+    ea = alaw_decode(alaw_encode(x)).astype(np.int64)
+    u, a = got[1], got[2]
+    assert u.ok and (u.sample_rate, u.n_channels, u.n_samples) == (8000, 1, 1600)
+    assert u.energy == int((eu * eu).sum())
+    assert a.ok and (a.sample_rate, a.n_samples) == (16000, 1600)
+    assert a.energy == int((ea * ea).sum())
+    p = {r.media_id: r for r in media_probe(media).collect()}
+    assert (p[1].audio_codec, p[1].duration_sec) == ("ulaw", 0.2)
+    assert (p[2].audio_codec, p[2].duration_sec) == ("alaw", 0.1)
