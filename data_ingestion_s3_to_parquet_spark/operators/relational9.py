@@ -1604,12 +1604,6 @@ QUERIES = [
         ("relational", "analytics", "statistics"),
     ),
     Query(
-        "retention_cohort",
-        q_retention_cohort,
-        SQL_RETENTION_COHORT,
-        ("relational", "analytics"),
-    ),
-    Query(
         "chunk_text",
         q_chunk_text,
         SQL_CHUNK_TEXT,
@@ -1660,6 +1654,12 @@ EXTRA_QUERIES: list[Query] = [
         "funnel_conversion",
         q_funnel_conversion,
         SQL_FUNNEL_CONVERSION,
+        ("relational", "analytics"),
+    ),
+    Query(
+        "retention_cohort",
+        q_retention_cohort,
+        SQL_RETENTION_COHORT,
         ("relational", "analytics"),
     ),
     Query(

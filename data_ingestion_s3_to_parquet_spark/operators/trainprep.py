@@ -510,13 +510,13 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_scrub(spread(load_table(spark, sf_dir, "documents")))
 
 
-def passage_scrub(docs: DataFrame) -> DataFrame:
-    """The scrub core behind :func:`q_dedup_passages` (docstring and
-    scale notes there): ``docs`` needs columns (doc_id, text); returns
-    (doc_id, n_tokens, n_scrubbed, scrubbed_text). Factored out so the
-    planted-boilerplate recall test and the inflated-corpus bench lane
-    (:func:`q_dedup_passages_scale`) run the EXACT production pipeline
-    on their own corpora."""
+def _hot_covered_base(docs: DataFrame):
+    """Shared front half of the substring-dedup family: tokenize,
+    enumerate positional n-grams, find corpus-hot grams, and group the
+    surviving START positions per document. Returns (base, joined)
+    where ``base`` is (doc_id, tk) and ``joined`` is base ⟕ (doc_id,
+    ps) — consumed by :func:`passage_scrub` (remove covered tokens)
+    and :func:`q_dup_span_max` (measure the longest covered run)."""
     base = docs.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
     # positional n-gram occurrences, 1-based start positions; the
     # slice(transform(...)) guard yields an EMPTY list for docs
@@ -551,7 +551,17 @@ def passage_scrub(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("p").alias("ps"))
     )
-    joined = base.join(starts.hint("shuffle_hash"), "doc_id", "left")
+    return base, base.join(starts.hint("shuffle_hash"), "doc_id", "left")
+
+
+def passage_scrub(docs: DataFrame) -> DataFrame:
+    """The scrub core behind :func:`q_dedup_passages` (docstring and
+    scale notes there): ``docs`` needs columns (doc_id, text); returns
+    (doc_id, n_tokens, n_scrubbed, scrubbed_text). Factored out so the
+    planted-boilerplate recall test and the inflated-corpus bench lane
+    (:func:`q_dedup_passages_scale`) run the EXACT production pipeline
+    on their own corpora."""
+    _base, joined = _hot_covered_base(docs)
     # document-local scrub: starts → covered positions (starts are
     # ≤ n_tok − n + 1, so p + n − 1 never exceeds n_tok), kept
     # positions via array_except (hash-set membership, order of the
@@ -657,6 +667,99 @@ def q_dedup_passages_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_off"),
     ).select((F.col("doc_id") + F.col("_off")).alias("doc_id"), "text")
     return passage_scrub(big)
+
+
+def q_dup_span_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest duplicated span per document: the length (in tokens) of
+    the longest CONSECUTIVE run of positions covered by corpus-hot
+    n-grams, plus the total covered-token count — the memorization-risk
+    statistic Lee et al. ("Deduplicating Training Data Makes Language
+    Models Better") report as max duplicated substring length, and the
+    triage metric that decides between document drop, passage scrub
+    (``dedup_passages``), and keep.
+
+    Shares the entire front half with the scrub
+    (:func:`_hot_covered_base`): one gram explode, one hot-gram
+    aggregation, one semi-join, one per-doc starts shuffle. The span
+    statistic itself is DOCUMENT-LOCAL: covered starts expand to the
+    sorted covered-position array, and one linear ``aggregate()`` pass
+    tracks (prev, current-run, best) — no extra exchange, no window
+    over corpus tokens (the DuckDB oracle uses the classic
+    gaps-and-islands formulation over the exploded positions instead;
+    identical semantics, set-based engine idiom).
+    """
+    _base, joined = _hot_covered_base(
+        spread(load_table(spark, sf_dir, "documents"))
+    )
+    cov_arr = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce("ps", F.expr("array()")),
+                    lambda p: F.sequence(p, p + F.lit(SCRUB_NGRAM_N - 1)),
+                )
+            )
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        cov_arr.alias("cov"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.size("cov").cast("long").alias("n_covered"),
+        # linear run-length scan: consecutive positions extend the
+        # current run, anything else restarts it; empty array → 0
+        F.expr(
+            "aggregate(cov,"
+            " struct(CAST(-2 AS INT) AS prev, 0 AS cur, 0 AS best),"
+            " (acc, p) -> struct(p AS prev,"
+            "   IF(p = acc.prev + 1, acc.cur + 1, 1) AS cur,"
+            "   greatest(acc.best,"
+            "            IF(p = acc.prev + 1, acc.cur + 1, 1)) AS best),"
+            " acc -> acc.best)"
+        )
+        .cast("long")
+        .alias("max_dup_span"),
+    )
+
+
+SQL_DUP_SPAN_MAX = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+occ AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(tk) - {SCRUB_NGRAM_N - 1}, 0))) AS p,
+         unnest([array_to_string(tk[i:i+{SCRUB_NGRAM_N - 1}], ' ')
+                 for i in generate_series(1, greatest(len(tk) - {SCRUB_NGRAM_N - 1}, 0))]) AS g
+  FROM t
+),
+hot AS (SELECT g FROM occ GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {SCRUB_MIN_DOCS}),
+cov AS (
+  SELECT DISTINCT occ.doc_id, occ.p + dd.d AS pos
+  FROM occ JOIN hot USING (g)
+  CROSS JOIN (SELECT unnest(generate_series(0, {SCRUB_NGRAM_N - 1})) AS d) dd
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM cov
+),
+spans AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run
+  FROM runs GROUP BY doc_id, isl
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_covered,
+         CAST(MAX(run) AS BIGINT) AS max_dup_span
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_covered, 0) AS n_covered,
+       COALESCE(a.max_dup_span, 0) AS max_dup_span
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1387,6 +1490,14 @@ FROM g
 
 
 QUERIES = [
+    # NEW in round 8: graded immediately (retention_cohort, green
+    # r6+r7, demoted from relational9 in exchange)
+    Query(
+        "dup_span_max",
+        q_dup_span_max,
+        SQL_DUP_SPAN_MAX,
+        ("llm", "dedup", "text", "quality"),
+    ),
     # NEW in round 7 (post-wave-2): graded immediately so they earn
     # driver rows this round; window_distribution and text_normalize
     # (green r5+r6) demoted from relational7 in exchange.

@@ -881,7 +881,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 87
+    assert len(EXTRA) == 88
     assert len(BENCH_ONLY) == 7
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -892,13 +892,19 @@ def test_lane_counts_match_docs():
         "media_phash",
         "dedup_passages_scale",  # r8: VERDICT r7 #7
     }
-    # round 8: three NEW operators lead right after ingest_parity
-    # (never-graded-first); anomaly_zscore, time_weighted_avg, and
-    # funnel_conversion (all green r6+r7) demoted one-for-one
+    # round 8: four NEW operators graded (never-graded-first: three
+    # lead right after ingest_parity, dup_span_max rides with its
+    # trainprep family at 47); anomaly_zscore, time_weighted_avg,
+    # funnel_conversion, retention_cohort (all green r6+r7) demoted
+    # one-for-one
     assert list(REGISTRY)[1:4] == [
         "rank_bm25", "ewma_smooth", "rank_fusion_rrf"
     ]
-    demoted_r8 = {"anomaly_zscore", "time_weighted_avg", "funnel_conversion"}
+    assert list(REGISTRY)[47] == "dup_span_max"
+    demoted_r8 = {
+        "anomaly_zscore", "time_weighted_avg", "funnel_conversion",
+        "retention_cohort",
+    }
     assert demoted_r8 <= set(EXTRA)
     assert not demoted_r8 & set(REGISTRY)
     # round 7 completed the rotation programme (VERDICT r6 #1) in
@@ -5065,3 +5071,82 @@ def test_rank_fusion_rrf_matches_composition_of_its_two_rankings(
     # single ranking's head, else the test corpus degenerated
     assert any(r.bm25_rank and r.bm25_rank <= 5 for r in got)
     assert any(r.lm_rank and r.lm_rank <= 5 for r in got)
+
+
+def test_dup_span_max_matches_pure_python_recompute(spark, sf_dir):
+    # the full pipeline — hot grams, coverage, run lengths —
+    # recomputed in pure Python over the same corpus
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        SCRUB_MIN_DOCS,
+        SCRUB_NGRAM_N,
+        q_dup_span_max,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    gram_docs = defaultdict(set)
+    for d, tk in docs.items():
+        for i in range(len(tk) - SCRUB_NGRAM_N + 1):
+            gram_docs[" ".join(tk[i : i + SCRUB_NGRAM_N])].add(d)
+    hot = {g for g, ds in gram_docs.items() if len(ds) >= SCRUB_MIN_DOCS}
+
+    expect = {}
+    for d, tk in docs.items():
+        cov = set()
+        for i in range(len(tk) - SCRUB_NGRAM_N + 1):
+            if " ".join(tk[i : i + SCRUB_NGRAM_N]) in hot:
+                cov.update(range(i + 1, i + 1 + SCRUB_NGRAM_N))
+        best = cur = 0
+        prev = -2
+        for p in sorted(cov):
+            cur = cur + 1 if p == prev + 1 else 1
+            best = max(best, cur)
+            prev = p
+        expect[d] = (len(tk), len(cov), best)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_covered, r.max_dup_span)
+        for r in q_dup_span_max(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_dup_span_max_planted_spans(spark):
+    # planted geometry: a 10-token block shared by two docs inside
+    # otherwise-unique text must yield max_dup_span == 10 in both,
+    # with n_covered == 10; a fully-unique doc scores 0; two SEPARATE
+    # shared 3-grams in one doc yield span 3, coverage 6
+    import tempfile
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_dup_span_max,
+    )
+
+    block = " ".join(f"b{j}" for j in range(10))
+    rows = [
+        (1, f"u1a u1b u1c {block} u1d u1e"),
+        (2, f"{block} u2a u2b u2c u2d u2e"),
+        (3, "u3a u3b u3c u3d u3e u3f"),
+        # doc 4/5 share gram "x y z" twice, at separated positions
+        (4, "x y z u4a u4b u4c x y z"),
+        (5, "x y z u5a u5b u5c u5d u5e"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_covered, r.max_dup_span)
+            for r in q_dup_span_max(spark, tmp).collect()
+        }
+    assert got[1] == (15, 10, 10)
+    assert got[2] == (15, 10, 10)
+    assert got[3] == (6, 0, 0)
+    assert got[4] == (9, 6, 3)
+    assert got[5] == (8, 3, 3)
