@@ -1560,3 +1560,130 @@ def test_g711_wav_decodes_distributed_with_exact_energy(spark):
     p = {r.media_id: r for r in media_probe(media).collect()}
     assert (p[1].audio_codec, p[1].duration_sec) == ("ulaw", 0.2)
     assert (p[2].audio_codec, p[2].duration_sec) == ("alaw", 0.1)
+
+
+_ewma_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # user_id
+        st.integers(0, 40),         # ts offset (minutes)
+        st.floats(min_value=0, max_value=400, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(log=_ewma_events)
+@slow_ok
+def test_ewma_smooth_matches_sequential_replay(spark, log, tmp_path_factory):
+    """ewma_smooth on ARBITRARY event streams (duplicate timestamps,
+    single-event users, >depth histories) must equal a sequential
+    Python replay of the same weights and half-up division."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        EWMA_COEFS,
+        EWMA_DEPTH,
+        q_ewma_smooth,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, "e", v)
+        for i, (u, m, v) in enumerate(log)
+    ]
+    tmp = tmp_path_factory.mktemp("ewma")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    streams = defaultdict(list)
+    for eid, ts, u, _t, v in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        c = v * 100
+        cents = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
+        streams[u].append((eid, cents))
+    expect = {}
+    for u, evs in streams.items():
+        hist = []
+        for eid, cents in evs:
+            hist.append(cents)
+            window = hist[-EWMA_DEPTH:][::-1]
+            s = sum(c * w for c, w in zip(window, EWMA_COEFS))
+            wsum = sum(w for _c, w in zip(window, EWMA_COEFS))
+            expect[eid] = (
+                u, cents, len(window),
+                ((2 * s * 1_000_000 + wsum) // (2 * wsum)) / 1e6,
+            )
+
+    got = {
+        r.event_id: (r.user_id, r.cents, r.n_hist, r.ewma)
+        for r in q_ewma_smooth(spark, str(tmp)).collect()
+    }
+    assert got == expect
+
+
+_corpus_words = st.lists(
+    st.lists(st.sampled_from(["dup", "vector", "join", "scan", "u", "v", "w"]),
+             min_size=1, max_size=12),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=_corpus_words)
+@slow_ok
+def test_rank_bm25_matches_recompute_on_arbitrary_corpora(
+    spark, docs, tmp_path_factory
+):
+    """BM25 on ARBITRARY tiny corpora — every doc hitting every term,
+    no doc hitting any term, ties everywhere — must equal the pure
+    recompute with the same pinned formula and tie-breaks."""
+    import math
+    from collections import Counter, defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        BM25_TERMS,
+        BM25_TOPK,
+        q_rank_bm25,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    tmp = tmp_path_factory.mktemp("bm25")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    toks = {d: t.split(" ") for d, t in rows}
+    n_docs, total_len = len(toks), sum(len(t) for t in toks.values())
+    tf = defaultdict(Counter)
+    for d, t in toks.items():
+        for w in t:
+            if w in BM25_TERMS:
+                tf[d][w] += 1
+    df = Counter(w for d in tf for w in tf[d])
+    scored = {}
+    for d, terms in tf.items():
+        dl = len(toks[d])
+        micro = 0
+        for w, f in terms.items():
+            idf = math.log(
+                1.0 + (float(n_docs - df[w]) + 0.5) / (float(df[w]) + 0.5)
+            )
+            tfn = (float(f) * 2.2) / (
+                float(f)
+                + 1.2 * (0.25 + 0.75 * (float(dl) * float(n_docs)
+                                        / float(total_len)))
+            )
+            micro += int(math.floor(idf * tfn * 1_000_000 + 0.5))
+        scored[d] = (len(terms), micro)
+    expect = sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))[
+        :BM25_TOPK
+    ]
+
+    got = q_rank_bm25(spark, str(tmp)).collect()
+    assert len(got) == len(expect)
+    for r, (d, (nh, micro)) in zip(got, expect):
+        assert (r.doc_id, r.n_hit_terms, r.score) == (d, nh, micro / 1e6)
