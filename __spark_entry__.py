@@ -71,21 +71,25 @@ window_distribution, text_normalize, and knn_graph, then
 recursive_cte / data_expectations / value_histogram / pagerank /
 sample_stratified / unpivot_stack for wave 3 — see plans/registry.py). Round 7
 graded all of the above green, so every pre-round-8 operator has a
-green driver row. Round 8 adds FOUR new operators — rank_bm25 (Okapi
+green driver row. Round 8 adds FIVE new operators — rank_bm25 (Okapi
 BM25 retrieval scoring from exact corpus statistics, the ranking twin
 of inverted_index), ewma_smooth (truncated fixed-point exponential
 smoothing per user, one exchange + one window sort), rank_fusion_rrf
 (reciprocal-rank fusion of the BM25 and LM-fluency rankings — the
-training-free hybrid-retrieval combiner), and dup_span_max (the
+training-free hybrid-retrieval combiner), dup_span_max (the
 Lee-et-al longest-duplicated-span memorization statistic, sharing the
-passage-scrub front half with a document-local run-length scan) —
-demoting the double-green anomaly_zscore, time_weighted_avg,
-funnel_conversion, and retention_cohort one-for-one. The EXTRA lane holds
-eighty-eight oracle-gated entries, every one with at least one prior
+passage-scrub front half with a document-local run-length scan), and
+pipeline_fineweb (the COMPOSED FineWeb-shaped corpus pipeline:
+language/quality gates → exact dedup → split → passage scrub over the
+surviving corpus, graded end-to-end through the same stages' SQL
+chained as CTEs) — demoting the double-green anomaly_zscore,
+time_weighted_avg, funnel_conversion, retention_cohort, and
+corpus_report one-for-one. The EXTRA lane holds
+eighty-nine oracle-gated entries, every one with at least one prior
 green driver row, verified locally each round by
 tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 88 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 89 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

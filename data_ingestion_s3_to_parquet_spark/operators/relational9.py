@@ -1611,12 +1611,6 @@ QUERIES = [
         bench=True,  # the explode-heavy map-only representative
     ),
     Query(
-        "corpus_report",
-        q_corpus_report,
-        SQL_CORPUS_REPORT,
-        ("llm", "text", "report"),
-    ),
-    Query(
         "basket_pairs",
         q_basket_pairs,
         SQL_BASKET_PAIRS,
@@ -1661,6 +1655,12 @@ EXTRA_QUERIES: list[Query] = [
         q_retention_cohort,
         SQL_RETENTION_COHORT,
         ("relational", "analytics"),
+    ),
+    Query(
+        "corpus_report",
+        q_corpus_report,
+        SQL_CORPUS_REPORT,
+        ("llm", "text", "report"),
     ),
     Query(
         "recursive_cte",

@@ -589,8 +589,13 @@ def passage_scrub(docs: DataFrame) -> DataFrame:
     )
 
 
-SQL_DEDUP_PASSAGES = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+def _sql_passage_scrub(source: str = "documents") -> str:
+    """The scrub oracle chain over an arbitrary (doc_id, text) source
+    relation — ``documents`` for the graded lane, the corpus-prep
+    survivors for the composed pipeline (one text ⇒ the standalone and
+    composed scrubs can never drift)."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM {source}),
 occ AS (
   SELECT doc_id,
          unnest(generate_series(1, greatest(len(tk) - {SCRUB_NGRAM_N - 1}, 0))) AS p,
@@ -626,6 +631,9 @@ SELECT t.doc_id,
        COALESCE(a.scrubbed_text, '') AS scrubbed_text
 FROM t LEFT JOIN agg a USING (doc_id)
 """
+
+
+SQL_DEDUP_PASSAGES = _sql_passage_scrub()
 
 
 # doc_id stride between inflated copies — far above any fixture's id
@@ -759,6 +767,58 @@ SELECT t.doc_id,
        COALESCE(a.n_covered, 0) AS n_covered,
        COALESCE(a.max_dup_span, 0) AS max_dup_span
 FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_pipeline_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-corpus pipeline, FineWeb-shaped, end to
+    end as one graded query: language gate → quality-score gate →
+    exact dedup (lowest doc_id per text fingerprint) → deterministic
+    train/test split (all = :func:`q_corpus_prep`) → repeated-passage
+    scrub over the SURVIVING corpus (:func:`passage_scrub` — hot grams
+    are recomputed on the post-filter corpus, which is the correct
+    order: filtered-out boilerplate must not poison the hot-gram
+    table). One row per surviving document with its mix metadata and
+    its scrubbed text — the manifest a tokenizer run consumes.
+
+    Every stage is an already-oracle-proven operator; the composition
+    is graded through the same stages' SQL chained as CTEs over ONE
+    shared text (``_sql_passage_scrub(source)``), so the standalone
+    and composed lanes cannot drift. Scale shape: the prep stage is
+    one payload-light shuffle (its docstring), the doc_id joins are
+    shuffle_hash-pinned (both sides corpus-proportional), and the
+    scrub keeps its §76 document-local rebuild.
+    """
+    kept = q_corpus_prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = kept.select("doc_id").join(
+        docs.hint("shuffle_hash"), "doc_id"
+    )
+    scrub = passage_scrub(src)
+    return kept.join(scrub.hint("shuffle_hash"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        "split",
+        "n_tokens",
+        "n_scrubbed",
+        "scrubbed_text",
+    )
+
+
+def _sql_pipeline_fineweb() -> str:
+    # outer CTE names are fw_-prefixed: the embedded scrub chain
+    # defines its own `kept` internally, and an outer CTE of the same
+    # name makes DuckDB's resolution circular
+    return f"""
+WITH fw_kept AS ({SQL_CORPUS_PREP}),
+fw_src AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN fw_kept USING (doc_id)
+),
+fw_scrub AS ({_sql_passage_scrub("fw_src")})
+SELECT k.doc_id, k.lang, k.quality_score, k.split,
+       s.n_tokens, s.n_scrubbed, s.scrubbed_text
+FROM fw_kept k JOIN fw_scrub s USING (doc_id)
 """
 
 
@@ -1490,8 +1550,15 @@ FROM g
 
 
 QUERIES = [
-    # NEW in round 8: graded immediately (retention_cohort, green
-    # r6+r7, demoted from relational9 in exchange)
+    # NEW in round 8: graded immediately (retention_cohort and
+    # corpus_report, green r6+r7, demoted from relational9 in
+    # exchange)
+    Query(
+        "pipeline_fineweb",
+        q_pipeline_fineweb,
+        _sql_pipeline_fineweb(),
+        ("llm", "pipeline", "dedup", "quality", "text"),
+    ),
     Query(
         "dup_span_max",
         q_dup_span_max,

@@ -17,10 +17,11 @@ VERDICT r6 #1) AND, in a second intra-round rotation, all 28 new
 round-7 operators, demoting 31 multi-green veterans in exchange.
 Once round 7 graded, every oracle-gated operator had a driver row in
 some round; round 8 adds ``rank_bm25``, ``ewma_smooth``, and
-``rank_fusion_rrf`` at the head plus ``dup_span_max`` with its
-trainprep family (demoting the double-green ``anomaly_zscore``,
-``time_weighted_avg``, ``funnel_conversion``, and
-``retention_cohort`` one-for-one). Operators whose semantics have no
+``rank_fusion_rrf`` at the head plus ``pipeline_fineweb`` and
+``dup_span_max`` with their trainprep family (demoting the
+double-green ``anomaly_zscore``, ``time_weighted_avg``,
+``funnel_conversion``, ``retention_cohort``, and ``corpus_report``
+one-for-one). Operators whose semantics have no
 engine-neutral ground truth on these fixtures (``sim_join_lsh``,
 ``knn_graph_lsh``, ``dedup_components_lsh``, ``dedup_semantic``,
 ``lang_id_ngram``) are exposed as :data:`BENCH_ONLY` instead: benched
@@ -104,10 +105,11 @@ REGISTRY: dict[str, Query] = _collect()
 # Oracle-carrying queries OUTSIDE the 50-entry graded budget: full
 # operators with DuckDB oracles, verified by tools/oracle_check.py and
 # pytest, but not submitted for driver grading. After the round-7
-# wave-3 rotation (plus round 8's anomaly_zscore / time_weighted_avg
-# / funnel_conversion / retention_cohort demotions for rank_bm25 /
-# ewma_smooth / rank_fusion_rrf / dup_span_max) this lane holds
-# eighty-eight entries, EVERY one
+# wave-3 rotation (plus round 8's five demotions — anomaly_zscore,
+# time_weighted_avg, funnel_conversion, retention_cohort,
+# corpus_report — for rank_bm25 / ewma_smooth / rank_fusion_rrf /
+# dup_span_max / pipeline_fineweb) this lane holds
+# eighty-nine entries, EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

@@ -881,7 +881,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 88
+    assert len(EXTRA) == 89
     assert len(BENCH_ONLY) == 7
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -892,18 +892,18 @@ def test_lane_counts_match_docs():
         "media_phash",
         "dedup_passages_scale",  # r8: VERDICT r7 #7
     }
-    # round 8: four NEW operators graded (never-graded-first: three
-    # lead right after ingest_parity, dup_span_max rides with its
-    # trainprep family at 47); anomaly_zscore, time_weighted_avg,
-    # funnel_conversion, retention_cohort (all green r6+r7) demoted
-    # one-for-one
+    # round 8: five NEW operators graded (never-graded-first: three
+    # lead right after ingest_parity, pipeline_fineweb + dup_span_max
+    # ride with their trainprep family at 46-47); anomaly_zscore,
+    # time_weighted_avg, funnel_conversion, retention_cohort,
+    # corpus_report (all green r6+r7) demoted one-for-one
     assert list(REGISTRY)[1:4] == [
         "rank_bm25", "ewma_smooth", "rank_fusion_rrf"
     ]
-    assert list(REGISTRY)[47] == "dup_span_max"
+    assert list(REGISTRY)[46:48] == ["pipeline_fineweb", "dup_span_max"]
     demoted_r8 = {
         "anomaly_zscore", "time_weighted_avg", "funnel_conversion",
-        "retention_cohort",
+        "retention_cohort", "corpus_report",
     }
     assert demoted_r8 <= set(EXTRA)
     assert not demoted_r8 & set(REGISTRY)
@@ -5150,3 +5150,37 @@ def test_dup_span_max_planted_spans(spark):
     assert got[3] == (6, 0, 0)
     assert got[4] == (9, 6, 3)
     assert got[5] == (8, 3, 3)
+
+
+def test_pipeline_fineweb_equals_stage_composition(spark, sf_dir):
+    # the composed pipeline must be EXACTLY corpus_prep ∘ join ∘
+    # passage_scrub — stage functions each pinned by their own tests
+    # and oracles; this pins the composition wiring (hot grams scoped
+    # to the post-filter corpus, metadata carried through)
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        passage_scrub,
+        q_corpus_prep,
+        q_pipeline_fineweb,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    kept = {
+        r.doc_id: (r.lang, r.quality_score, r.split)
+        for r in q_corpus_prep(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.where(docs.doc_id.isin(*kept.keys()))
+    scrub = {
+        r.doc_id: (r.n_tokens, r.n_scrubbed, r.scrubbed_text)
+        for r in passage_scrub(src).collect()
+    }
+    got = {r.doc_id: r for r in q_pipeline_fineweb(spark, sf_dir).collect()}
+    assert set(got) == set(kept) == set(scrub)
+    assert len(got) > 0
+    for d, r in got.items():
+        assert (r.lang, r.quality_score, r.split) == kept[d]
+        assert (r.n_tokens, r.n_scrubbed, r.scrubbed_text) == scrub[d]
+    # the scrub ran on the FILTERED corpus: a document whose only
+    # duplicate partner was filtered out must NOT be scrubbed against
+    # it (hot grams are post-filter by construction — pinned by the
+    # oracle, sanity-checked here via the composition equality above)
