@@ -985,8 +985,20 @@ def media_probe(media: DataFrame) -> DataFrame:
                 width=m["width"],
                 height=m["height"],
             )
+        if payload[:4] == b"fLaC":
+            from ..functions.flac import probe_flac
+
+            m = probe_flac(payload)
+            return dict(
+                ok=True,
+                container="flac",
+                duration_sec=m["duration_sec"],
+                n_tracks=m["n_channels"],
+                audio_codec="flac",
+            )
         raise ValueError(
-            "unrecognized container (ISO-BMFF/MP3/BMP/PNG/GIF/WAV/JPEG/TIFF)"
+            "unrecognized container "
+            "(ISO-BMFF/MP3/BMP/PNG/GIF/WAV/JPEG/TIFF/FLAC/AVI)"
         )
 
     def _probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -4863,8 +4863,14 @@ def test_media_probe_covers_all_header_only_formats(spark):
     ihdr = struct.pack(">II", 12, 10) + bytes([8, 2, 0, 0, 0])
     png = png_sig + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
 
+    from data_ingestion_s3_to_parquet_spark.functions.flac import (
+        build_flac_streaminfo,
+    )
     from data_ingestion_s3_to_parquet_spark.functions.tiff import encode_tiff
 
+    flac = build_flac_streaminfo(
+        sample_rate=16000, channels=1, bits=16, total_samples=48000
+    )
     rows = [
         (1, "image", bytearray(build_test_bmp(img)), None, None, None, None),
         (2, "image", bytearray(png), None, None, None, None),
@@ -4873,6 +4879,7 @@ def test_media_probe_covers_all_header_only_formats(spark):
         (5, "image", bytearray(encode_jpeg(img)), None, None, None, None),
         (6, "image", bytearray(encode_tiff(img, byte_order=">")), None, None,
          None, None),
+        (7, "audio", bytearray(flac), None, None, None, None),
     ]
     got = {
         r.media_id: r
@@ -4890,6 +4897,9 @@ def test_media_probe_covers_all_header_only_formats(spark):
     assert w.duration_sec == 0.5
     assert (got[5].container, got[5].width, got[5].height) == ("jpeg", 12, 10)
     assert (got[6].container, got[6].width, got[6].height) == ("tiff", 12, 10)
+    f = got[7]
+    assert (f.container, f.audio_codec, f.n_tracks) == ("flac", "flac", 1)
+    assert f.duration_sec == 3.0  # 48000 samples at 16 kHz
 
 
 def test_rank_bm25_matches_pure_python_recompute(spark, sf_dir):

@@ -1687,3 +1687,42 @@ def test_rank_bm25_matches_recompute_on_arbitrary_corpora(
     assert len(got) == len(expect)
     for r, (d, (nh, micro)) in zip(got, expect):
         assert (r.doc_id, r.n_hit_terms, r.score) == (d, nh, micro / 1e6)
+
+
+@given(
+    rate=st.integers(1, (1 << 20) - 1),
+    ch=st.integers(1, 8),
+    bits=st.integers(4, 32),
+    total=st.integers(0, (1 << 36) - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_flac_probe_roundtrips_streaminfo(rate, ch, bits, total):
+    from data_ingestion_s3_to_parquet_spark.functions.flac import (
+        build_flac_streaminfo,
+        probe_flac,
+    )
+
+    m = probe_flac(
+        build_flac_streaminfo(
+            sample_rate=rate, channels=ch, bits=bits, total_samples=total
+        )
+    )
+    assert (
+        m["sample_rate"], m["n_channels"], m["bits_per_sample"],
+        m["total_samples"],
+    ) == (rate, ch, bits, total)
+    assert m["duration_sec"] == round(total / rate, 3)
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(max_examples=50, deadline=None)
+def test_flac_probe_rejects_arbitrary_bytes_cleanly(payload):
+    import struct as _s
+
+    from data_ingestion_s3_to_parquet_spark.functions.flac import probe_flac
+
+    try:
+        m = probe_flac(payload)
+    except (ValueError, NotImplementedError, _s.error, IndexError):
+        return
+    assert m["sample_rate"] > 0
