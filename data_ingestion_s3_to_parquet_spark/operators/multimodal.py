@@ -996,9 +996,20 @@ def media_probe(media: DataFrame) -> DataFrame:
                 n_tracks=m["n_channels"],
                 audio_codec="flac",
             )
+        if payload[:4] == b"OggS":
+            from ..functions.ogg import probe_ogg
+
+            m = probe_ogg(payload)
+            return dict(
+                ok=True,
+                container="ogg",
+                duration_sec=m["duration_sec"],
+                n_tracks=m["n_channels"],
+                audio_codec=m["codec"],
+            )
         raise ValueError(
             "unrecognized container "
-            "(ISO-BMFF/MP3/BMP/PNG/GIF/WAV/JPEG/TIFF/FLAC/AVI)"
+            "(ISO-BMFF/MP3/BMP/PNG/GIF/WAV/JPEG/TIFF/FLAC/OGG/AVI)"
         )
 
     def _probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

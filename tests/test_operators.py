@@ -4868,9 +4868,14 @@ def test_media_probe_covers_all_header_only_formats(spark):
     )
     from data_ingestion_s3_to_parquet_spark.functions.tiff import encode_tiff
 
+    from data_ingestion_s3_to_parquet_spark.functions.ogg import (
+        build_ogg_opus,
+    )
+
     flac = build_flac_streaminfo(
         sample_rate=16000, channels=1, bits=16, total_samples=48000
     )
+    opus = build_ogg_opus(channels=2, input_rate=24000, n_samples_48k=120000)
     rows = [
         (1, "image", bytearray(build_test_bmp(img)), None, None, None, None),
         (2, "image", bytearray(png), None, None, None, None),
@@ -4880,6 +4885,7 @@ def test_media_probe_covers_all_header_only_formats(spark):
         (6, "image", bytearray(encode_tiff(img, byte_order=">")), None, None,
          None, None),
         (7, "audio", bytearray(flac), None, None, None, None),
+        (8, "audio", bytearray(opus), None, None, None, None),
     ]
     got = {
         r.media_id: r
@@ -4900,6 +4906,9 @@ def test_media_probe_covers_all_header_only_formats(spark):
     f = got[7]
     assert (f.container, f.audio_codec, f.n_tracks) == ("flac", "flac", 1)
     assert f.duration_sec == 3.0  # 48000 samples at 16 kHz
+    o = got[8]
+    assert (o.container, o.audio_codec, o.n_tracks) == ("ogg", "opus", 2)
+    assert o.duration_sec == 2.5  # 120000 48-kHz granules
 
 
 def test_rank_bm25_matches_pure_python_recompute(spark, sf_dir):

@@ -1726,3 +1726,45 @@ def test_flac_probe_rejects_arbitrary_bytes_cleanly(payload):
     except (ValueError, NotImplementedError, _s.error, IndexError):
         return
     assert m["sample_rate"] > 0
+
+
+@given(
+    codec=st.sampled_from(["opus", "vorbis"]),
+    ch=st.integers(1, 8),
+    rate=st.integers(8000, 192000),
+    samples=st.integers(0, 1 << 40),
+)
+@settings(max_examples=40, deadline=None)
+def test_ogg_probe_roundtrips_id_header_and_duration(codec, ch, rate, samples):
+    from data_ingestion_s3_to_parquet_spark.functions.ogg import (
+        build_ogg_opus,
+        build_ogg_vorbis,
+        probe_ogg,
+    )
+
+    if codec == "opus":
+        m = probe_ogg(
+            build_ogg_opus(channels=ch, input_rate=rate, n_samples_48k=samples)
+        )
+        # Opus granules are 48 kHz regardless of the input rate
+        assert m["duration_sec"] == round(samples / 48000, 3)
+    else:
+        m = probe_ogg(
+            build_ogg_vorbis(channels=ch, rate=rate, n_samples=samples)
+        )
+        assert m["duration_sec"] == round(samples / rate, 3)
+    assert (m["codec"], m["n_channels"], m["sample_rate"]) == (codec, ch, rate)
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(max_examples=50, deadline=None)
+def test_ogg_probe_rejects_arbitrary_bytes_cleanly(payload):
+    import struct as _s
+
+    from data_ingestion_s3_to_parquet_spark.functions.ogg import probe_ogg
+
+    try:
+        m = probe_ogg(payload)
+    except (ValueError, NotImplementedError, _s.error, IndexError):
+        return
+    assert m["codec"] in ("opus", "vorbis")
