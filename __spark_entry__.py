@@ -84,12 +84,20 @@ language/quality gates → exact dedup → split → passage scrub over the
 surviving corpus, graded end-to-end through the same stages' SQL
 chained as CTEs) — demoting the double-green anomaly_zscore,
 time_weighted_avg, funnel_conversion, retention_cohort, and
-corpus_report one-for-one. The EXTRA lane holds
-eighty-nine oracle-gated entries, every one with at least one prior
+corpus_report one-for-one. A SECOND round-8 wave adds orc_interop
+(parquet→ORC→read-back→exact aggregate: the second-columnar-format
+interop lane), acf_lags (daily-series autocorrelation from exact
+int64 sufficient statistics), ccnet_buckets (CCNet-style per-language
+perplexity NTILE into head/middle/tail, Wenzek et al. 2019), and
+zorder_layout (Morton bit-interleave clustering key + per-cell
+occupancy stats — the multi-dimensional data-skipping layout) right
+after ingest_parity, demoting the double-green chunk_text,
+basket_pairs, period_growth, ab_test_metrics. The EXTRA lane holds
+ninety-three oracle-gated entries, every one with at least one prior
 green driver row, verified locally each round by
 tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 89 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 93 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -1,0 +1,482 @@
+"""Round-8 second wave: columnar-format interop, autocorrelation,
+CCNet perplexity bucketing, and Z-order layout cells.
+
+- ``orc_interop``   parquet → ORC → read-back → exact aggregate: the
+                    second-columnar-format interop lane. Spark ships a
+                    native vectorized ORC reader/writer next to
+                    parquet; the reference's sink surface is parquet
+                    only (``/root/reference/src/main.rs`` stages 8-9),
+                    so this is the format axis a real lakehouse
+                    migration needs. Exactness is the point of the
+                    aggregate: every value that crossed the ORC
+                    boundary is folded into integer-cent sums, so one
+                    flipped bit anywhere in the roundtrip fails the
+                    oracle.
+- ``acf_lags``      autocorrelation of the daily order-count series at
+                    lags 1..3 — the seasonality/persistence probe next
+                    to ``ewma_smooth``'s smoothing and
+                    ``changepoint_cusum``'s level shifts. Pearson over
+                    (count(t), count(t+L)) pairs on calendar-day
+                    offsets; all sums are exact int64, the final ratio
+                    is one pinned micro-quantized expression shared
+                    verbatim by both engines.
+- ``ccnet_buckets`` CCNet-style perplexity bucketing (Wenzek et al.
+                    2019, "CCNet: Extracting High Quality Monolingual
+                    Datasets from Web Crawl Data"): per language,
+                    NTILE(3) over the corpus-trained unigram-LM
+                    fluency score (``lm_unigram_score``) splits the
+                    corpus into head/middle/tail, the partition CCNet
+                    uses to mix high-fluency web text. Output is the
+                    per-(lang, bucket) corpus report.
+- ``zorder_layout`` Morton/Z-order clustering key (Morton 1966) over
+                    (customer, order-day) plus per-cell occupancy
+                    stats — the multi-dimensional data-skipping layout
+                    key behind OPTIMIZE ZORDER-style compaction.
+                    Bit-interleaving is pure int64 arithmetic
+                    (div/mod by powers of two), so the oracle is
+                    bitwise.
+
+Scale notes per operator live on the functions; none of the four adds
+a corpus-proportional broadcast or a driver-side loop.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..artifacts import fixture_fingerprint
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+# --------------------------------------------------------------------
+# orc_interop
+# --------------------------------------------------------------------
+
+# The reference's canonical projection, minus the line-level detail
+# columns the aggregate never touches (ReadSchema on the ORC scan shows
+# exactly these five).
+ORC_COLS = (
+    "l_orderkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+
+def _orc_path(sf_dir: str) -> str:
+    """Fingerprint-keyed ORC copy location under the system temp dir
+    (the :mod:`..artifacts` identity rule: any rewrite of the fixture
+    changes the path, so a stale copy can never satisfy the query)."""
+    fp = fixture_fingerprint(sf_dir, "lineitem")
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{fp}")
+
+
+def q_orc_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interop: project lineitem, write it as ORC,
+    read the ORC copy back, and fold every surviving value into the
+    pricing-summary aggregate. The oracle computes the same aggregate
+    straight off the parquet fixture, so the comparison proves the
+    ORC roundtrip preserved every row and every value bit-exactly
+    (quantity/price via exact integer cents).
+
+    Scale shape: the write is a map-only scan→project→encode (no
+    shuffle; file-per-task, same as the parquet sink), the read-back
+    aggregate is one map-side-combinable groupBy on a 6-value key.
+    ORC and parquet are both splittable columnar formats with
+    min/max stripe/row-group statistics, so the 100 TB data-skipping
+    story carries over unchanged; Spark's ORC reader is vectorized
+    (``spark.sql.orc.impl=native``). The write lands in a
+    fixture-fingerprint-keyed temp dir (mode=overwrite), mirroring
+    the artifact-identity discipline of :mod:`..artifacts`.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(*ORC_COLS)
+    out = _orc_path(sf_dir)
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.expr("CAST(ROUND(l_quantity * 100, 0) AS BIGINT)")).alias(
+            "qty_cents"
+        ),
+        F.sum(
+            F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
+        ).alias("price_cents"),
+    )
+
+
+SQL_ORC_INTEROP = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+         AS qty_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------
+# acf_lags
+# --------------------------------------------------------------------
+
+ACF_MAX_LAG = 3
+
+# Pinned micro-quantized Pearson text, shared verbatim by both engines
+# (the rank_bm25 / rank_fusion_rrf convention). CAST(1000000 AS DOUBLE)
+# forces double arithmetic in Spark SQL, where a bare 1000000.0 literal
+# is DECIMAL and divides differently. Zero-variance series (constant
+# daily counts) NULL out instead of Inf (the corr_pearson lesson:
+# DuckDB's CAST(ROUND(inf) AS BIGINT) raises, it doesn't mismatch).
+_ACF_MICRO_EXPR = (
+    "CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL "
+    "ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * (n * sxy - sx * sy)) / "
+    "(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+    "SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 0) AS BIGINT) END"
+)
+
+
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily order-count series at
+    calendar lags 1..{ACF_MAX_LAG}: for each lag L, the Pearson
+    correlation of (orders on day t, orders on day t+L) over all day
+    pairs where both days exist.
+
+    Fixed-point discipline: daily counts are exact ints, the six
+    Pearson sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) are exact
+    int64 (day counts are ~scale·60, squares ~10⁷ — five orders of
+    magnitude inside int64 even at 1000× this fixture), and the final
+    ratio is the one pinned micro-quantized double expression
+    ``_ACF_MICRO_EXPR`` both engines evaluate verbatim.
+
+    Scale shape: the raw table collapses to one row per day in the
+    first map-side-combinable aggregate, so the lag self-join and
+    everything after it run on a frame proportional to the CALENDAR
+    (thousands of rows at any corpus size) — the standard trick that
+    makes time-series statistics on 100 TB of events cheap. No
+    windows, no global sort; the lag pairing is a calendar-offset
+    equi-join on int epoch-days.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").alias("c"))
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("y"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        F.broadcast(b), F.col("db") == F.col("da") + F.col("lag")
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return agg.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.expr(_ACF_MICRO_EXPR).alias("acf_micro"),
+    )
+
+
+SQL_ACF_LAGS = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1
+),
+lags AS (SELECT lag FROM (VALUES (1), (2), (3)) AS t(lag)),
+pairs AS (
+  SELECT l.lag, a.c AS x, b.c AS y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.d = a.d + l.lag
+),
+agg AS (
+  SELECT lag,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag,
+       n AS n_pairs,
+       {_ACF_MICRO_EXPR} AS acf_micro
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------
+# ccnet_buckets
+# --------------------------------------------------------------------
+
+CCNET_N_BUCKETS = 3
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019): per
+    language, rank every document by the corpus-trained unigram-LM
+    fluency score (``lm_unigram_score.avg_nll``, ascending — low =
+    stereotypical, high = rare/garbled), NTILE(3) the ranking into
+    head/middle/tail, and report per-(lang, bucket) document count,
+    token mass, and the score range. CCNet keeps "head" (and samples
+    "middle") when building training corpora; this operator is the
+    partition that decision reads.
+
+    Determinism: ``avg_nll`` is the fixed-point lane that is already
+    bitwise-equal across engines, and the NTILE order is the total
+    order (avg_nll, doc_id), so bucket boundaries cannot drift.
+    NTILE's fill rule (earlier buckets one larger on non-divisible
+    partitions) is the same in Spark and DuckDB.
+
+    Scale shape: scoring is the lm lane (one token shuffle + broadcast
+    vocab); the NTILE is one window sort PER LANGUAGE — at 100 TB the
+    same partition comes from approx-quantile cutpoints (two passes,
+    no sort) as CCNet itself does; the exact NTILE is the
+    oracle-checkable fixture form of the same contract.
+    """
+    from .relational8 import q_lm_unigram_score
+
+    lm = q_lm_unigram_score(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = lm.join(d, "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    t = j.select(
+        "lang",
+        "n_words",
+        "avg_nll",
+        F.ntile(CCNET_N_BUCKETS).over(w).alias("b"),
+    )
+    bucket = (
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        t.select("lang", bucket.alias("bucket"), "n_words", "avg_nll")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.min("avg_nll").alias("min_nll"),
+            F.max("avg_nll").alias("max_nll"),
+        )
+    )
+
+
+def _sql_ccnet_buckets() -> str:
+    # embedded verbatim (the rank_fusion_rrf convention) so the bucket
+    # partition and the standalone lm score can never drift
+    from .relational8 import SQL_LM_UNIGRAM_SCORE
+
+    return f"""
+WITH lm AS ({SQL_LM_UNIGRAM_SCORE}),
+j AS (
+  SELECT l.doc_id, l.n_words, l.avg_nll, d.lang
+  FROM lm l JOIN documents d USING (doc_id)
+),
+t AS (
+  SELECT lang, n_words, avg_nll,
+         NTILE({CCNET_N_BUCKETS})
+           OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS b
+  FROM j
+)
+SELECT lang,
+       CASE WHEN b = 1 THEN 'head'
+            WHEN b = 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       MIN(avg_nll) AS min_nll,
+       MAX(avg_nll) AS max_nll
+FROM t
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# zorder_layout
+# --------------------------------------------------------------------
+
+ZORDER_BITS = 10  # per-dimension resolution: 1024 buckets
+ZORDER_CELL_DIV = 1 << 12  # cell = z div 4096 → 256 coarse cells
+
+
+def _zorder_interleave_expr(x: str, y: str, divop: str) -> str:
+    """Bit-interleave text for two ``ZORDER_BITS``-bit nonnegative
+    int64 columns: bit i of x lands at position 2i+1, bit i of y at
+    2i. Pure div/mod-by-power-of-two arithmetic so the same semantics
+    render for Spark (``div``) and DuckDB (``//``) with identical
+    integer results."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x}) {divop} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({y}) {divop} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def zorder_key_py(x: int, y: int) -> int:
+    """Pure-Python reference of the interleave (tests pin the SQL
+    rendering against this)."""
+    z = 0
+    for i in range(ZORDER_BITS):
+        z += ((x >> i) & 1) << (2 * i + 1)
+        z += ((y >> i) & 1) << (2 * i)
+    return z
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day),
+    with per-cell occupancy stats: range-normalize both dimensions to
+    ``ZORDER_BITS``-bit buckets, bit-interleave them into the Morton
+    key z, and aggregate the 256 coarse cells (z div 4096) — order
+    count, exact price mass, and the z range per cell.
+
+    This is the layout key behind OPTIMIZE ZORDER-style multi-column
+    compaction: sorting files by z keeps BOTH dimensions locally
+    narrow in every file, so parquet/ORC min/max stats prune scans
+    filtered on either column (Morton 1966; "Small Materialized
+    Aggregates", Moerkotte VLDB'98 is the stats-pruning side). The
+    cell histogram this query returns is exactly what a compactor
+    reads to pick file split points. ``tests/test_operators.py``
+    additionally pins the data-skipping claim end-to-end: writing
+    z-sorted parquet yields per-file custkey ranges a fraction of the
+    unsorted layout's.
+
+    Scale shape: one 4-value aggregate for the bounds (broadcast back
+    as a 1-row crossJoin — the constant-size-aggregate pattern of
+    ``relational9``), then the keying is map-only int arithmetic and
+    the cell rollup is one map-side-combinable groupBy on a 256-value
+    key. No window, no sort, no corpus-proportional broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    bounds = o.agg(
+        F.min("ck").alias("min_ck"),
+        F.max("ck").alias("max_ck"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+    )
+    side = 1 << ZORDER_BITS
+    xy = o.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        F.expr(
+            f"CAST(((ck - min_ck) * {side}) div (max_ck - min_ck + 1)"
+            " AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            f"CAST(((d - min_d) * {side}) div (max_d - min_d + 1)"
+            " AS BIGINT)"
+        ).alias("y"),
+    )
+    z = xy.select(
+        "cents", F.expr(_zorder_interleave_expr("x", "y", "div")).alias("z")
+    )
+    return (
+        z.groupBy(F.expr(f"z div {ZORDER_CELL_DIV}").alias("cell"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("price_cents"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+        )
+    )
+
+
+SQL_ZORDER_LAYOUT = f"""
+WITH o AS (
+  SELECT o_custkey AS ck,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+bounds AS (
+  SELECT MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+         MIN(d) AS min_d, MAX(d) AS max_d
+  FROM o
+),
+xy AS (
+  SELECT cents,
+         CAST(((ck - min_ck) * {1 << ZORDER_BITS})
+              // (max_ck - min_ck + 1) AS BIGINT) AS x,
+         CAST(((d - min_d) * {1 << ZORDER_BITS})
+              // (max_d - min_d + 1) AS BIGINT) AS y
+  FROM o CROSS JOIN bounds
+),
+zt AS (
+  SELECT cents, {_zorder_interleave_expr("x", "y", "//")} AS z FROM xy
+)
+SELECT z // {ZORDER_CELL_DIV} AS cell,
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS price_cents,
+       MIN(z) AS min_z,
+       MAX(z) AS max_z
+FROM zt
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# Registration: round-8 second wave, never-graded-first (this module
+# sits ahead of relational10 in the registry order). chunk_text /
+# basket_pairs / period_growth / ab_test_metrics (all green r6+r7)
+# demoted to relational9's EXTRA lane one-for-one.
+# --------------------------------------------------------------------
+
+QUERIES = [
+    Query(
+        "orc_interop",
+        q_orc_interop,
+        SQL_ORC_INTEROP,
+        ("relational", "etl", "format", "sink"),
+        bench=True,  # the second real-sink I/O lane next to parquet ETL
+    ),
+    Query(
+        "acf_lags",
+        q_acf_lags,
+        SQL_ACF_LAGS,
+        ("relational", "timeseries", "statistics"),
+    ),
+    Query(
+        "ccnet_buckets",
+        q_ccnet_buckets,
+        _sql_ccnet_buckets(),
+        ("llm", "text", "quality", "mixing"),
+    ),
+    Query(
+        "zorder_layout",
+        q_zorder_layout,
+        SQL_ZORDER_LAYOUT,
+        ("relational", "layout", "data-skipping"),
+    ),
+]
+
+EXTRA_QUERIES: list[Query] = []

@@ -1603,6 +1603,18 @@ QUERIES = [
         SQL_CORR_PEARSON,
         ("relational", "analytics", "statistics"),
     ),
+]
+
+# Demoted in the round-7 wave-2 rotation (green r5+r6) in exchange
+# for never-graded round-7 promotees; all stay in the local sweep.
+# recursive_cte / data_expectations (green r5+r6) and value_histogram
+# (green r6) demoted in the round-7 THIRD-wave rotation for the new
+# doc_winnow / inverted_index / changepoint_cusum (relational10.py).
+EXTRA_QUERIES: list[Query] = [
+    # demoted in the round-8 SECOND-wave rotation (green r6+r7) in
+    # exchange for the never-graded orc_interop / acf_lags /
+    # ccnet_buckets / zorder_layout (relational11); chunk_text keeps
+    # its bench flag — the bench suite merges all lanes
     Query(
         "chunk_text",
         q_chunk_text,
@@ -1628,14 +1640,6 @@ QUERIES = [
         SQL_AB_TEST_METRICS,
         ("relational", "analytics", "experimentation"),
     ),
-]
-
-# Demoted in the round-7 wave-2 rotation (green r5+r6) in exchange
-# for never-graded round-7 promotees; all stay in the local sweep.
-# recursive_cte / data_expectations (green r5+r6) and value_histogram
-# (green r6) demoted in the round-7 THIRD-wave rotation for the new
-# doc_winnow / inverted_index / changepoint_cusum (relational10.py).
-EXTRA_QUERIES: list[Query] = [
     # demoted in round 8 (green r6+r7) in exchange for the
     # never-graded ewma_smooth and rank_fusion_rrf (relational10)
     Query(

@@ -43,9 +43,12 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational10 holds the newest graded operators (round 8's
-    # rank_bm25 / ewma_smooth lead, then the round-7 third wave) — it
+    # relational11 holds the round-8 second wave (orc_interop /
+    # acf_lags / ccnet_buckets / zorder_layout — never graded) — it
     # sits first so never-graded entries earn driver rows immediately.
+    "data_ingestion_s3_to_parquet_spark.operators.relational11",
+    # relational10 holds the round-8 first wave (rank_bm25 /
+    # ewma_smooth lead, then the round-7 third wave).
     "data_ingestion_s3_to_parquet_spark.operators.relational10",
     # relational7 contributes ONLY EXTRA-lane entries (QUERIES is
     # empty) — the three new round-4 operators lead the EXTRA lane so
@@ -109,7 +112,9 @@ REGISTRY: dict[str, Query] = _collect()
 # time_weighted_avg, funnel_conversion, retention_cohort,
 # corpus_report — for rank_bm25 / ewma_smooth / rank_fusion_rrf /
 # dup_span_max / pipeline_fineweb) this lane holds
-# eighty-nine entries, EVERY one
+# ninety-three entries (the round-8 second wave demoted chunk_text,
+# basket_pairs, period_growth, ab_test_metrics — green r6+r7 — for
+# orc_interop / acf_lags / ccnet_buckets / zorder_layout), EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

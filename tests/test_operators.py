@@ -719,7 +719,9 @@ def test_extra_lane_doc_counts_match_registry():
         81: "eighty-one", 82: "eighty-two", 83: "eighty-three",
         84: "eighty-four", 85: "eighty-five", 86: "eighty-six",
         87: "eighty-seven", 88: "eighty-eight", 89: "eighty-nine",
-        90: "ninety",
+        90: "ninety", 91: "ninety-one", 92: "ninety-two",
+        93: "ninety-three", 94: "ninety-four", 95: "ninety-five",
+        96: "ninety-six",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -881,7 +883,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 89
+    assert len(EXTRA) == 93
     assert len(BENCH_ONLY) == 7
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -892,12 +894,24 @@ def test_lane_counts_match_docs():
         "media_phash",
         "dedup_passages_scale",  # r8: VERDICT r7 #7
     }
-    # round 8: five NEW operators graded (never-graded-first: three
-    # lead right after ingest_parity, pipeline_fineweb + dup_span_max
-    # ride with their trainprep family at 46-47); anomaly_zscore,
-    # time_weighted_avg, funnel_conversion, retention_cohort,
-    # corpus_report (all green r6+r7) demoted one-for-one
-    assert list(REGISTRY)[1:4] == [
+    # round 8, SECOND wave: orc_interop / acf_lags / ccnet_buckets /
+    # zorder_layout graded immediately (never-graded-first, right
+    # after ingest_parity); chunk_text, basket_pairs, period_growth,
+    # ab_test_metrics (all green r6+r7) demoted one-for-one
+    assert list(REGISTRY)[1:5] == [
+        "orc_interop", "acf_lags", "ccnet_buckets", "zorder_layout"
+    ]
+    demoted_r8_w2 = {
+        "chunk_text", "basket_pairs", "period_growth", "ab_test_metrics",
+    }
+    assert demoted_r8_w2 <= set(EXTRA)
+    assert not demoted_r8_w2 & set(REGISTRY)
+    # round 8, first wave: five NEW operators graded (never-graded-
+    # first; pipeline_fineweb + dup_span_max ride with their trainprep
+    # family at 46-47); anomaly_zscore, time_weighted_avg,
+    # funnel_conversion, retention_cohort, corpus_report (all green
+    # r6+r7) demoted one-for-one
+    assert list(REGISTRY)[5:8] == [
         "rank_bm25", "ewma_smooth", "rank_fusion_rrf"
     ]
     assert list(REGISTRY)[46:48] == ["pipeline_fineweb", "dup_span_max"]
@@ -917,7 +931,7 @@ def test_lane_counts_match_docs():
         "changepoint_cusum",
         "winnow_overlap",
     ]
-    assert list(REGISTRY)[4:8] == promoted_r7_wave3
+    assert list(REGISTRY)[8:12] == promoted_r7_wave3
     assert {"link_predict", "kcore_decompose"} <= set(REGISTRY)
     assert all(
         k in EXTRA
@@ -932,7 +946,7 @@ def test_lane_counts_match_docs():
     )
     # …then the round-6 trio…
     promoted_r7 = ["dedup_passages", "emb_gram", "dedup_keep_best"]
-    assert list(REGISTRY)[8:11] == promoted_r7
+    assert list(REGISTRY)[12:15] == promoted_r7
     # …and the 28 wave-2 round-7 operators, so every
     # never-driver-graded entry grades THIS round
     promoted_r7_wave2 = [
@@ -965,7 +979,7 @@ def test_lane_counts_match_docs():
         "content_chunks",
         "word_filter",
     ]
-    assert list(REGISTRY)[11:39] == promoted_r7_wave2
+    assert list(REGISTRY)[15:43] == promoted_r7_wave2
     # the EXTRA lane holds ONLY entries with prior green driver rows:
     # the wave-1 demotees plus the 28 wave-2 demotees (multi-green
     # veterans traded for the wave-2 promotees)
@@ -1005,7 +1019,7 @@ def test_lane_counts_match_docs():
     assert len(demoted_r7_wave2) == 28
     # the post-wave-2 additions grade immediately, demoting
     # window_distribution, text_normalize, and knn_graph
-    assert list(REGISTRY)[39] == "corr_pearson"
+    assert list(REGISTRY)[43] == "corr_pearson"
     assert list(REGISTRY)[48:50] == ["dsir_weights", "token_budget_select"]
     assert "winnow_overlap" in REGISTRY
     assert "window_distribution" in EXTRA
@@ -5203,3 +5217,211 @@ def test_pipeline_fineweb_equals_stage_composition(spark, sf_dir):
     # duplicate partner was filtered out must NOT be scrubbed against
     # it (hot grams are post-filter by construction — pinned by the
     # oracle, sanity-checked here via the composition equality above)
+
+
+# ---------------------------------------------------------------------------
+# round-8 second wave: orc_interop / acf_lags / ccnet_buckets / zorder_layout
+
+
+def test_orc_roundtrip_is_bit_exact(spark, sf_dir):
+    # the interop claim, checked at row level (not just through the
+    # aggregate the oracle grades): the ORC copy holds exactly the
+    # multiset of projected parquet rows
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        ORC_COLS,
+        _orc_path,
+        q_orc_interop,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    q_orc_interop(spark, sf_dir).collect()  # runs the write
+    src = load_table(spark, sf_dir, "lineitem").select(*ORC_COLS)
+    back = spark.read.orc(_orc_path(sf_dir))
+    assert back.columns == list(ORC_COLS)
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+
+
+def test_acf_lags_matches_pure_python(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        ACF_MAX_LAG,
+        q_acf_lags,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    days = [
+        (r.d.date() - __import__("datetime").date(1970, 1, 1)).days
+        for r in load_table(spark, sf_dir, "orders")
+        .selectExpr("o_orderdate AS d")
+        .collect()
+    ]
+    daily = Counter(days)
+    expect = {}
+    for lag in range(1, ACF_MAX_LAG + 1):
+        pairs = [
+            (daily[d], daily[d + lag]) for d in daily if d + lag in daily
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            expect[lag] = (n, None)
+        else:
+            r = 1e6 * (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+            # ROUND(x, 0) half-up toward/away from zero as both engines
+            expect[lag] = (
+                n,
+                int(math.floor(r + 0.5)) if r >= 0 else -int(
+                    math.floor(-r + 0.5)
+                ),
+            )
+
+    got = {r.lag: (r.n_pairs, r.acf_micro) for r in
+           q_acf_lags(spark, sf_dir).collect()}
+    assert got == expect
+    # the fixture's daily counts are not constant, so the statistic
+    # must be defined (non-NULL) at every lag
+    assert all(v[1] is not None for v in got.values())
+
+
+def test_ccnet_buckets_matches_pure_python_ntile(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        CCNET_N_BUCKETS,
+        q_ccnet_buckets,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_lm_unigram_score,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lang = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    per_lang = defaultdict(list)
+    for r in q_lm_unigram_score(spark, sf_dir).collect():
+        per_lang[lang[r.doc_id]].append((r.avg_nll, r.doc_id, r.n_words))
+
+    expect = defaultdict(lambda: [0, 0, None, None])  # n, tok, mn, mx
+    names = {1: "head", 2: "middle", 3: "tail"}
+    for lg, docs in per_lang.items():
+        docs.sort()
+        n, k = len(docs), CCNET_N_BUCKETS
+        base, extra = divmod(n, k)
+        pos = 0
+        for b in range(1, k + 1):
+            size = base + (1 if b <= extra else 0)
+            for nll, _, nw in docs[pos : pos + size]:
+                e = expect[(lg, names[b])]
+                e[0] += 1
+                e[1] += nw
+                e[2] = nll if e[2] is None else min(e[2], nll)
+                e[3] = nll if e[3] is None else max(e[3], nll)
+            pos += size
+
+    got = q_ccnet_buckets(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        n, tok, mn, mx = expect[(r.lang, r.bucket)]
+        assert (r.n_docs, r.n_tokens) == (n, tok)
+        assert (r.min_nll, r.max_nll) == (mn, mx)
+    # CCNet's point: per language, head scores ≤ middle ≤ tail
+    by_lang = defaultdict(dict)
+    for r in got:
+        by_lang[r.lang][r.bucket] = r
+    for lg, bs in by_lang.items():
+        if {"head", "middle", "tail"} <= set(bs):
+            assert bs["head"].max_nll <= bs["middle"].min_nll
+            assert bs["middle"].max_nll <= bs["tail"].min_nll
+
+
+def test_zorder_key_sql_rendering_matches_python(spark):
+    import random
+
+    import duckdb
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        _zorder_interleave_expr,
+        zorder_key_py,
+    )
+
+    rng = random.Random(8)
+    pts = [(0, 0), (1023, 1023), (1, 0), (0, 1), (512, 256)] + [
+        (rng.randrange(1024), rng.randrange(1024)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got_spark = [
+        r.z
+        for r in df.selectExpr(
+            f"{_zorder_interleave_expr('x', 'y', 'div')} AS z"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {_zorder_interleave_expr(str(x), str(y), '//')}"
+        ).fetchone()[0]
+        for x, y in pts
+    ]
+    expect = [zorder_key_py(x, y) for x, y in pts]
+    assert got_spark == expect
+    assert got_duck == expect
+    # the defining property: z is a bijection on the 20-bit grid
+    assert len({zorder_key_py(x, y) for x, y in pts}) == len(set(pts))
+
+
+def test_zorder_sorted_layout_narrows_per_file_ranges(spark, sf_dir, tmp_path):
+    # the data-skipping claim behind zorder_layout's docstring: files
+    # written in z order carry custkey min/max ranges a fraction of a
+    # round-robin layout's, so stats-based pruning has something to
+    # prune on for EITHER dimension
+    from pyspark.sql import functions as F
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        _zorder_interleave_expr,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS ck",
+        "datediff(to_date(o_orderdate), to_date('1970-01-01')) AS d",
+    )
+    row = o.selectExpr(
+        "min(ck) AS a", "max(ck) AS b", "min(d) AS c", "max(d) AS e"
+    ).first()
+    keyed = o.selectExpr(
+        "ck",
+        f"CAST(((ck - {row.a}) * 1024) div ({row.b} - {row.a} + 1) AS BIGINT)"
+        " AS x",
+        f"CAST(((d - {row.c}) * 1024) div ({row.e} - {row.c} + 1) AS BIGINT)"
+        " AS y",
+    ).selectExpr("ck", f"{_zorder_interleave_expr('x', 'y', 'div')} AS z")
+
+    zdir, rdir = str(tmp_path / "zsorted"), str(tmp_path / "roundrobin")
+    keyed.repartitionByRange(8, "z").sortWithinPartitions("z").write.parquet(
+        zdir
+    )
+    keyed.repartition(8).write.parquet(rdir)
+
+    def mean_span(path: str) -> float:
+        spans = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max("ck") - F.min("ck")).alias("span"))
+            .collect()
+        )
+        return sum(r.span for r in spans) / len(spans)
+
+    assert mean_span(zdir) < 0.5 * mean_span(rdir)
