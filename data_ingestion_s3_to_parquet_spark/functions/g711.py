@@ -115,6 +115,12 @@ def parse_wav_fmt(payload: bytes) -> dict:
         if fourcc == b"fmt ":
             tag, n_ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
             fmt = {"format_tag": tag, "n_channels": n_ch, "sample_rate": rate}
+            if size >= 16:  # full WAVEFORMAT: byte rate + block align
+                block_align, bits = struct.unpack_from(
+                    "<HH", payload, pos + 20
+                )
+                fmt["block_align"] = block_align
+                fmt["bits_per_sample"] = bits
         elif fourcc == b"data":
             data = payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)

@@ -19,7 +19,9 @@ Plus the image/audio/video plumbing: binary payload + typed metadata →
 decoding (:func:`media_decode`) for every format the container can
 decode without codec libraries — PCM WAV (stdlib ``wave``) plus
 G.711 µ-law/A-law WAV (r8, ``functions/g711.py`` from-spec companding
-tables — the telephony corpus class stdlib wave rejects), MJPEG AVI
+tables — the telephony corpus class stdlib wave rejects) and IMA/DVI
+ADPCM WAV (r8, ``functions/adpcm.py`` from-spec adaptive-delta
+expansion — format tag 17, the voice-memo/game-audio class), MJPEG AVI
 (r8, ``functions/avi.py`` container walk + the JPEG codec per frame —
 real video pixels), 24-bit BMP
 (``struct`` + numpy), 8-bit PNG (stdlib ``zlib`` + full scanline
@@ -202,7 +204,9 @@ def decode_wav(payload: bytes) -> dict:
     containers; G.711 µ-law/A-law payloads (wFormatTag 7/6 — the
     telephony corpus class stdlib ``wave`` rejects outright) expand
     through the from-spec companding tables in ``functions/g711.py``
-    (r8). Returned features are EXACT integers (sample counts, int64
+    (r8); IMA/DVI ADPCM payloads (wFormatTag 17) through the
+    adaptive-delta expansion in ``functions/adpcm.py`` (r8, also
+    rejected by stdlib). Returned features are EXACT integers (sample counts, int64
     energy = Σ sample² over the decoded linear samples), so downstream
     results are bitwise-stable across layouts and reruns — the same
     determinism contract every operator here carries."""
@@ -211,6 +215,7 @@ def decode_wav(payload: bytes) -> dict:
 
     import numpy as np
 
+    from ..functions.adpcm import WAVE_FORMAT_IMA_ADPCM
     from ..functions.g711 import (
         WAVE_FORMAT_ALAW,
         WAVE_FORMAT_MULAW,
@@ -230,6 +235,24 @@ def decode_wav(payload: bytes) -> dict:
         return {
             "sample_rate": fmt["sample_rate"],
             "n_channels": fmt["n_channels"],
+            "n_samples": int(arr.size),
+            "energy": int((arr * arr).sum()),
+        }
+    if fmt["format_tag"] == WAVE_FORMAT_IMA_ADPCM:
+        # IMA/DVI ADPCM (tag 17): the from-spec adaptive-delta
+        # expansion in functions/adpcm.py (r8), mono baseline profile
+        from ..functions.adpcm import adpcm_decode
+
+        if fmt["n_channels"] != 1:
+            raise NotImplementedError("multi-channel IMA ADPCM")
+        if "block_align" not in fmt:
+            raise ValueError("IMA ADPCM fmt chunk without block align")
+        arr = adpcm_decode(fmt["data"], fmt["block_align"]).astype(
+            np.int64
+        )
+        return {
+            "sample_rate": fmt["sample_rate"],
+            "n_channels": 1,
             "n_samples": int(arr.size),
             "energy": int((arr * arr).sum()),
         }
@@ -952,6 +975,25 @@ def media_probe(media: DataFrame) -> DataFrame:
                         if fmt["format_tag"] == WAVE_FORMAT_MULAW
                         else "alaw"
                     ),
+                )
+            from ..functions.adpcm import (
+                WAVE_FORMAT_IMA_ADPCM,
+                adpcm_n_samples,
+            )
+
+            if fmt["format_tag"] == WAVE_FORMAT_IMA_ADPCM:
+                if "block_align" not in fmt or fmt["block_align"] < 5:
+                    raise ValueError(
+                        "IMA ADPCM fmt chunk without usable block align"
+                    )
+                # sample count from block geometry, no decode needed
+                n = adpcm_n_samples(len(fmt["data"]), fmt["block_align"])
+                return dict(
+                    ok=True,
+                    container="wav",
+                    duration_sec=round(n / fmt["sample_rate"], 3),
+                    n_tracks=fmt["n_channels"],
+                    audio_codec="ima_adpcm",
                 )
             import io
             import wave

@@ -1521,6 +1521,90 @@ def test_g711_roundtrip_error_within_segment_step(seed, n, law):
     assert np.array_equal(rt, table)
 
 
+@given(
+    seed=st.integers(0, 300),
+    n_blocks=st.integers(1, 4),
+    block_align=st.sampled_from([8, 32, 256, 505]),
+)
+@settings(max_examples=40, deadline=None)
+def test_adpcm_roundtrip_tracks_smooth_signals(seed, n_blocks, block_align):
+    """IMA ADPCM on band-limited signals: every block's first sample
+    is stored verbatim, a constant signal reconstructs exactly after
+    the first expansion steps, and a slow sine tracks within the
+    codec's worst transient step. Truncating the data mid-block loses
+    tail samples, never raises."""
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.adpcm import (
+        adpcm_decode,
+        adpcm_encode,
+        adpcm_n_samples,
+        samples_per_block,
+    )
+
+    rng = np.random.default_rng(seed)
+    spb = samples_per_block(block_align)
+    n = spb * n_blocks
+    t = np.arange(n)
+    amp = int(rng.integers(500, 12000))
+    period = int(rng.integers(150, 600))
+    x = (amp * np.sin(2 * np.pi * t / period)).astype(np.int16)
+    enc = adpcm_encode(x, block_align)
+    dec = adpcm_decode(enc, block_align)
+    assert dec.size == n == adpcm_n_samples(len(enc), block_align)
+    # block-leading samples verbatim
+    assert np.array_equal(dec[::spb], x[::spb])
+    err = np.abs(dec.astype(np.int64) - x.astype(np.int64))
+    # worst transient: predictor lags by at most a few current steps;
+    # for these band-limited amplitudes the empirical max is ~1k
+    assert err.max() <= 2048
+    # constant signal: exact (the encoder's 0-diff nibble chain)
+    c = np.full(spb, int(rng.integers(-30000, 30000)), dtype=np.int16)
+    assert np.array_equal(adpcm_decode(adpcm_encode(c, block_align),
+                                       block_align), c)
+    # truncated tail: decodes the surviving prefix
+    cut = len(enc) - int(rng.integers(1, block_align))
+    part = adpcm_decode(enc[:cut], block_align)
+    assert part.size == adpcm_n_samples(cut, block_align)
+    assert np.array_equal(part, dec[: part.size])
+
+
+def test_adpcm_wav_decodes_distributed_with_exact_energy(spark):
+    # an IMA ADPCM WAV (stdlib wave rejects format tag 17) must decode
+    # through the mapInPandas lane with exact integer energy equal to
+    # the local from-spec expansion; probe reports codec + duration
+    # from block geometry without decoding
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.adpcm import (
+        adpcm_decode,
+        adpcm_encode,
+        build_adpcm_wav,
+        samples_per_block,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_decode,
+        media_probe,
+    )
+
+    n = samples_per_block(256) * 4  # 2020 samples
+    t = np.arange(n)
+    x = (9000 * np.sin(2 * np.pi * t / 180)).astype(np.int16)
+    wav = build_adpcm_wav(x, sample_rate=4040, block_align=256)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "audio/x-adpcm", None, None, 4040)],
+        MEDIA_SCHEMA,
+    )
+    got = media_decode(media).collect()[0]
+    ref = adpcm_decode(adpcm_encode(x, 256), 256).astype(np.int64)
+    assert got.ok
+    assert (got.sample_rate, got.n_channels, got.n_samples) == (4040, 1, n)
+    assert got.energy == int((ref * ref).sum())
+    p = media_probe(media).collect()[0]
+    assert (p.audio_codec, p.duration_sec) == ("ima_adpcm", 0.5)
+
+
 def test_g711_wav_decodes_distributed_with_exact_energy(spark):
     # a µ-law and an A-law WAV (stdlib wave rejects both) must decode
     # through the mapInPandas lane with exact integer energy computed
