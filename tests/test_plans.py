@@ -772,3 +772,72 @@ def test_rank_fusion_rrf_heads_are_take_ordered(spark):
     # the plan has no Window with a partition-less sort over more
     # than the limited frames (structural pin via window count)
     assert len(re.findall(r"\(\d+\) Window", plan)) == 3
+
+
+def test_acf_lags_collapses_to_calendar_before_joining(spark):
+    # the series must shrink to one row per day (partial_count before
+    # the first exchange) and the lag pairing must be a broadcast of
+    # the tiny calendar frame — never a sort-merge of raw orders
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        q_acf_lags,
+    )
+
+    plan = plan_of(q_acf_lags(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    # column pruning: both scans read only the date column
+    for seg in plan.split("ReadSchema:")[1:]:
+        assert seg.splitlines()[0].strip() == "struct<o_orderdate:timestamp_ntz>"
+
+
+def test_zorder_layout_is_map_only_after_one_bounds_broadcast(spark):
+    # bounds are a 1-row aggregate broadcast back (the constant-size
+    # crossJoin pattern); the keying is pure projection and the cell
+    # rollup pays exactly one hash exchange with map-side combine.
+    # No sort, no window, no corpus-proportional broadcast.
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        q_zorder_layout,
+    )
+
+    plan = plan_of(q_zorder_layout(spark, SF_SMOKE))
+    # node-detail headers ("(9) BroadcastNestedLoopJoin"), not the tree
+    # echo of the same node
+    assert plan.count(") BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Sort " not in plan  # node names carry a trailing space
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    # exchanges: one SinglePartition (4-value bounds) + one hash (cells)
+    hash_exchanges = [
+        seg for seg in plan.split("Arguments: ")[1:]
+        if seg.startswith("hashpartitioning")
+    ]
+    assert len(hash_exchanges) == 1
+
+
+def test_ccnet_buckets_pays_one_window_on_lang(spark):
+    # the NTILE is the only window, partitioned by lang (per-language
+    # sort, the oracle-exact stand-in for CCNet's quantile cutpoints)
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        q_ccnet_buckets,
+    )
+
+    plan = plan_of(q_ccnet_buckets(spark, SF_SMOKE))
+    assert plan.count("(Window") + plan.count("Window (") == 1
+    assert "ntile(3)" in plan
+    assert "lang" in plan.split("ntile(3)", 1)[1].splitlines()[0]
+
+
+def test_orc_interop_readback_is_vectorized_orc(spark):
+    # the read-back side must be a batched (vectorized) ORC scan with
+    # map-side partial aggregation — the same scan discipline as the
+    # parquet lanes, on the second format
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        q_orc_interop,
+    )
+
+    plan = plan_of(q_orc_interop(spark, SF_SMOKE))
+    assert "Scan orc" in plan
+    assert "Batched: true" in plan
+    assert "partial_count" in plan
