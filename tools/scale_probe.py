@@ -148,14 +148,13 @@ def main() -> None:
     args = ap.parse_args()
     names = args.names or DEFAULT_NAMES
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("scale-probe")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
-    )
+    # the engine session, same as bench.py — an ad-hoc vanilla builder
+    # here ran with the 1g default driver heap and OOM'd the 16x ORC
+    # write (32 concurrent stripe writers) while the real runtime,
+    # which always goes through session.get_spark, was fine
+    from data_ingestion_s3_to_parquet_spark.session import get_spark
+
+    spark = get_spark("scale-probe", shuffle_partitions=32)
     merged = {**REGISTRY, **EXTRA, **BENCH_ONLY}
     scaled = _build_scaled(spark, args.sf, args.factor)
 
