@@ -68,12 +68,39 @@ ORC_COLS = (
 )
 
 
+def _sweep_stale_siblings(prefix: str, keep: str) -> None:
+    """Remove superseded fingerprint generations of an interop copy
+    (same prefix, different key) once they age past the artifacts
+    grace period — the :mod:`..artifacts` decommission rule, minus the
+    pointer file these write-once-overwrite dirs don't need. Without
+    this, every fixture rewrite would strand one dir per lane in
+    /tmp forever."""
+    import shutil
+    import time
+
+    from ..artifacts import SWEEP_GRACE_SECONDS
+
+    tmp = tempfile.gettempdir()
+    now = time.time()
+    for name in os.listdir(tmp):
+        if not name.startswith(prefix) or name == keep:
+            continue
+        p = os.path.join(tmp, name)
+        try:
+            if now - os.path.getmtime(p) >= SWEEP_GRACE_SECONDS:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def _orc_path(sf_dir: str) -> str:
     """Fingerprint-keyed ORC copy location under the system temp dir
     (the :mod:`..artifacts` identity rule: any rewrite of the fixture
     changes the path, so a stale copy can never satisfy the query)."""
     fp = fixture_fingerprint(sf_dir, "lineitem")
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{fp}")
+    name = f"spark_graft_orc_{fp}"
+    _sweep_stale_siblings("spark_graft_orc_", name)
+    return os.path.join(tempfile.gettempdir(), name)
 
 
 def q_orc_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,7 +488,9 @@ JSONL_SCHEMA = (
 
 def _jsonl_path(sf_dir: str) -> str:
     fp = fixture_fingerprint(sf_dir, "orders")
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_jsonl_{fp}")
+    name = f"spark_graft_jsonl_{fp}"
+    _sweep_stale_siblings("spark_graft_jsonl_", name)
+    return os.path.join(tempfile.gettempdir(), name)
 
 
 def q_jsonl_interop(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5487,3 +5487,33 @@ def test_jsonl_roundtrip_is_exact_and_tolerates_corrupt_lines(
         for r in rows
         if r._corrupt_record is None and r.o_orderkey is not None
     ) == n_clean
+
+
+def test_interop_sweep_collects_only_aged_out_generations(tmp_path, monkeypatch):
+    # the decommission rule for interop copies: a superseded
+    # fingerprint generation survives the grace period (a late reader
+    # may still resolve into it), then gets collected; the current
+    # generation and foreign files are never touched
+    import os
+    import tempfile as _tf
+    import time
+
+    from data_ingestion_s3_to_parquet_spark.operators import relational11
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    fresh = tmp_path / "spark_graft_orc_fresh"
+    stale = tmp_path / "spark_graft_orc_stale"
+    keep = tmp_path / "spark_graft_orc_current"
+    other = tmp_path / "spark_graft_jsonl_x"
+    for d in (fresh, stale, keep, other):
+        d.mkdir()
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    os.utime(other, (old, old))
+    relational11._sweep_stale_siblings(
+        "spark_graft_orc_", "spark_graft_orc_current"
+    )
+    assert not stale.exists()          # aged out, superseded: swept
+    assert fresh.exists()              # inside grace: kept
+    assert keep.exists()               # current generation: kept
+    assert other.exists()              # different lane prefix: kept
