@@ -1852,3 +1852,85 @@ def test_ogg_probe_rejects_arbitrary_bytes_cleanly(payload):
     except (ValueError, NotImplementedError, _s.error, IndexError):
         return
     assert m["codec"] in ("opus", "vorbis")
+
+
+_acf_days = st.lists(
+    st.tuples(
+        st.integers(0, 30),   # epoch-day offset (dense-ish calendar)
+        st.integers(1, 5),    # orders on that day
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(days=_acf_days)
+@slow_ok
+def test_acf_lags_matches_sequential_replay(spark, days, tmp_path_factory):
+    """acf_lags on ARBITRARY daily calendars (gaps, duplicate days
+    folding into one count, constant stretches that zero a variance)
+    must equal a pure-Python Pearson over calendar-offset pairs —
+    including the NULL guard when a lag's pair set has zero variance."""
+    import datetime as dt
+    import math
+    from collections import Counter
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        ACF_MAX_LAG,
+        q_acf_lags,
+    )
+
+    daily = Counter()
+    for off, n in days:
+        daily[off] += n
+    rows = []
+    oid = 0
+    for off, n in daily.items():
+        for _ in range(n):
+            rows.append(
+                (
+                    oid,
+                    0,
+                    "O",
+                    100.0,
+                    dt.datetime(1970, 1, 1) + dt.timedelta(days=off),
+                    "p",
+                )
+            )
+            oid += 1
+    tmp = tmp_path_factory.mktemp("acf")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+
+    expect = {}
+    for lag in range(1, ACF_MAX_LAG + 1):
+        pairs = [
+            (daily[d], daily[d + lag]) for d in daily if d + lag in daily
+        ]
+        if not pairs:
+            continue  # Spark emits no row for a lag with no pairs
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        vx = n * sum(x * x for x, _ in pairs) - sx * sx
+        vy = n * sum(y * y for _, y in pairs) - sy * sy
+        sxy = sum(x * y for x, y in pairs)
+        if vx <= 0 or vy <= 0:
+            expect[lag] = (n, None)
+        else:
+            r = 1e6 * (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+            micro = (
+                int(math.floor(r + 0.5))
+                if r >= 0
+                else -int(math.floor(-r + 0.5))
+            )
+            expect[lag] = (n, micro)
+
+    got = {
+        r.lag: (r.n_pairs, r.acf_micro)
+        for r in q_acf_lags(spark, str(tmp)).collect()
+    }
+    assert got == expect
