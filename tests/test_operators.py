@@ -883,10 +883,11 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 94
+    assert len(EXTRA) == 95
     assert len(BENCH_ONLY) == 7
-    # the post-swap round-8 addition leads the EXTRA lane never-graded
+    # the post-swap round-8 additions ride the EXTRA lane never-graded
     assert list(EXTRA)[0] == "jsonl_interop"
+    assert "dedup_incremental" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
         "knn_graph_lsh",
@@ -5517,3 +5518,35 @@ def test_interop_sweep_collects_only_aged_out_generations(tmp_path, monkeypatch)
     assert fresh.exists()              # inside grace: kept
     assert keep.exists()               # current generation: kept
     assert other.exists()              # different lane prefix: kept
+
+
+def test_dedup_incremental_planted_scenario(spark, tmp_path):
+    # a synthetic corpus with every case: delta text already in base
+    # (dropped), fresh text duplicated within the delta (one survivor,
+    # multiplicity counted), fresh unique text (kept), and base-only
+    # texts (never emitted)
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        DELTA_SOURCES,
+        q_dedup_incremental,
+    )
+
+    base_src, delta_src = "src0", DELTA_SOURCES[0]
+    rows = [
+        (1, "alpha beta", "en", base_src, 10),   # base only
+        (2, "gamma delta", "en", base_src, 11),  # shadows delta doc 4
+        (3, "omega", "en", base_src, 5),
+        (4, "gamma delta", "en", delta_src, 11),   # dropped: in base
+        (5, "fresh text one", "en", delta_src, 14),  # kept, 2 copies
+        (6, "fresh text one", "en", delta_src, 14),  # folded into 5
+        (7, "fresh text two", "en", DELTA_SOURCES[1], 14),  # kept
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.doc_id: r.n_delta_copies
+        for r in q_dedup_incremental(spark, str(tmp_path)).collect()
+    }
+    assert got == {5: 2, 7: 1}
