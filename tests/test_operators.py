@@ -883,11 +883,12 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 95
+    assert len(EXTRA) == 96
     assert len(BENCH_ONLY) == 7
     # the post-swap round-8 additions ride the EXTRA lane never-graded
     assert list(EXTRA)[0] == "jsonl_interop"
     assert "dedup_incremental" in EXTRA
+    assert "lm_bigram_score" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
         "knn_graph_lsh",
@@ -5550,3 +5551,36 @@ def test_dedup_incremental_planted_scenario(spark, tmp_path):
         for r in q_dedup_incremental(spark, str(tmp_path)).collect()
     }
     assert got == {5: 2, 7: 1}
+
+
+def test_lm_bigram_score_sees_through_word_salad(spark, tmp_path):
+    # the operator's point: a scrambled document with a PLAUSIBLE
+    # vocabulary (identical unigram profile) must score worse than the
+    # stereotyped original, because its adjacencies are rare. Corpus:
+    # many copies of a fixed phrase + one scrambled permutation of it.
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        q_lm_bigram_score,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_lm_unigram_score,
+    )
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    salad = "dog the over quick lazy jumps fox brown the"  # same bag
+    rows = [(i, phrase, "en", "src0", len(phrase)) for i in range(20)]
+    rows.append((99, salad, "en", "src1", len(salad)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    bg = {r.doc_id: r for r in q_lm_bigram_score(spark, str(tmp_path)).collect()}
+    ug = {r.doc_id: r for r in q_lm_unigram_score(spark, str(tmp_path)).collect()}
+    assert len(bg) == 21 and bg[99].n_bigrams == 8
+    # unigram is blind to the scramble (same bag of words)
+    assert ug[99].avg_nll == ug[0].avg_nll
+    # bigram is not
+    assert bg[99].avg_nll > bg[0].avg_nll
+    # and the salad's bigrams are the corpus's rare tail: every one
+    # unique, so all are in-vocab here but maximally surprising
+    assert bg[99].avg_nll > 2 * bg[0].avg_nll
