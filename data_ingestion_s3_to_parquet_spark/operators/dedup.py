@@ -1279,7 +1279,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = d.where(is_delta).select(
         F.sha2(F.col("text"), 256).alias("fp"), "doc_id"
     )
-    fresh = delta.join(base_fp, "fp", "left_anti")
+    # shuffle_hash pin: the base index is CORPUS-sized — small enough
+    # to broadcast at fixture scale, never at 100 TB (the SCALE.md §3
+    # rule: pin the strategy where Catalyst's fixture-size estimate
+    # would pick the plan that dies at scale)
+    fresh = delta.join(base_fp.hint("shuffle_hash"), "fp", "left_anti")
     return (
         fresh.groupBy("fp")
         .agg(

@@ -841,3 +841,32 @@ def test_orc_interop_readback_is_vectorized_orc(spark):
     assert "Scan orc" in plan
     assert "Batched: true" in plan
     assert "partial_count" in plan
+
+
+def test_dedup_incremental_never_broadcasts_the_corpus_index(spark):
+    # the base fingerprint index is corpus-sized: the anti-join must
+    # stay a shuffled hash join (pinned via hint) even though the
+    # fixture-size estimate would happily broadcast it, and both sides
+    # shuffle on the fixed-width sha2 key, not document text
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        q_dedup_incremental,
+    )
+
+    plan = plan_of(q_dedup_incremental(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+    assert "sha2" in plan
+
+
+def test_lm_bigram_broadcasts_only_the_bounded_vocab(spark):
+    # same shape contract as the unigram lane: the only broadcasts are
+    # the top-V vocab LIMIT and the 1-row total; the bigram stream
+    # itself is never a broadcast side
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        q_lm_bigram_score,
+    )
+
+    plan = plan_of(q_lm_bigram_score(spark, SF_SMOKE))
+    n_bcast = plan.count(") BroadcastExchange")
+    assert n_bcast == 2, plan[:2000]
+    assert "TakeOrderedAndProject" in plan  # top-V is a limit, not a sort
