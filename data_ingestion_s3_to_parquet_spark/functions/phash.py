@@ -110,6 +110,39 @@ def _widen(bounds: list[int], limit: int) -> list[int]:
     return b
 
 
+def box_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact integer area-mean downscale of an (h, w, 3) uint8 array
+    to (out_h, out_w, 3) — the thumbnail primitive behind
+    :func:`dhash64`'s 9x8 grid, exposed as a standalone transform.
+
+    Cell boundaries are the same floor-spaced, ``_widen``-adjusted
+    grid dHash uses; each output pixel is ``floor(channel_sum /
+    area)`` over its cell, computed from per-channel integral images —
+    no floats anywhere, so two executors (or two rounds) can never
+    disagree on a thumbnail byte. Downscale only: thumbnailing is the
+    pipeline's use case and upsampling has no area-mean semantics.
+    """
+    h, w = px.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    if not (1 <= out_h <= h and 1 <= out_w <= w):
+        raise ValueError(
+            f"box_resize is downscale-only: {h}x{w} -> {out_h}x{out_w}"
+        )
+    ii = np.zeros((h + 1, w + 1, 3), dtype=np.int64)
+    ii[1:, 1:] = px.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    rb = _widen([r * h // out_h for r in range(out_h + 1)], h)
+    cb = _widen([c * w // out_w for c in range(out_w + 1)], w)
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    for r in range(out_h):
+        r0, r1 = rb[r], rb[r + 1]
+        for c in range(out_w):
+            c0, c1 = cb[c], cb[c + 1]
+            s = ii[r1, c1] - ii[r0, c1] - ii[r1, c0] + ii[r0, c0]
+            out[r, c] = s // ((r1 - r0) * (c1 - c0))
+    return out
+
+
 def hamming_int(a: int, b: int) -> int:
     """Hamming distance between two signed-int64 hashes (Python-side
     reference; the engine-side twin is ``hashing.hamming64``)."""

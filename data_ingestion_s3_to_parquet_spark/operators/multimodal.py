@@ -1081,6 +1081,83 @@ PHASH_SCHEMA = StructType(
     ]
 )
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ok", BooleanType(), False),
+        StructField("err", StringType(), True),
+        StructField("src_w", IntegerType(), True),
+        StructField("src_h", IntegerType(), True),
+        StructField("out_w", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+        StructField("thumb", BinaryType(), True),  # 24-bit BMP
+        StructField("r_sum", LongType(), True),  # exact channel sums
+        StructField("g_sum", LongType(), True),  # of the THUMBNAIL
+        StructField("b_sum", LongType(), True),
+    ]
+)
+
+
+def media_resize(
+    media: DataFrame, out_h: int = 8, out_w: int = 8
+) -> DataFrame:
+    """Thumbnail every decodable image payload to ``out_h``×``out_w``
+    — the resize stage of the multimodal pipeline (decode →
+    feature-extract → RESIZE → frame-sample, the brief's four image
+    verbs). Decode goes through the same from-spec
+    BMP/PNG/GIF/JPEG/TIFF dispatch as the dHash lane
+    (:func:`..functions.phash.pixels_of`); the scale-down is the
+    exact-integer area mean (:func:`..functions.phash.box_resize`) so
+    thumbnail bytes are bitwise-reproducible across executors, rounds,
+    and source containers (a PNG and a BMP of the same pixels thumb
+    identically — pinned in pytest); the re-encode is the 24-bit BMP
+    composer. Images already smaller than the target in either
+    dimension clamp that dimension (never upscale). Per-row ok/err
+    poison isolation, the :func:`media_decode` contract.
+
+    Scale shape: map-only over Arrow batches — no shuffle, no state;
+    partition sizing follows payload bytes (``spread`` upstream), the
+    same rule as ``media_features``.
+    """
+    from ..functions.phash import box_resize, build_test_bmp, pixels_of
+    from ..session import tune
+
+    tune(media.sparkSession)
+
+    cols = [f.name for f in RESIZE_SCHEMA]
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = dict.fromkeys(cols)
+                row.update(media_id=mid, ok=False)
+                try:
+                    px = pixels_of(bytes(payload))
+                    h, w = px.shape[:2]
+                    th, tw = min(out_h, h), min(out_w, w)
+                    thumb = box_resize(px, th, tw)
+                    s = thumb.reshape(-1, 3).astype("int64").sum(axis=0)
+                    row.update(
+                        ok=True,
+                        src_w=w,
+                        src_h=h,
+                        out_w=tw,
+                        out_h=th,
+                        thumb=build_test_bmp(thumb),
+                        r_sum=int(s[0]),
+                        g_sum=int(s[1]),
+                        b_sum=int(s[2]),
+                    )
+                except Exception as e:
+                    row["err"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batch, RESIZE_SCHEMA
+    )
+
 
 def media_phash(media: DataFrame) -> DataFrame:
     """64-bit perceptual dHash per media row — decode (from-spec

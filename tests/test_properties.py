@@ -1934,3 +1934,90 @@ def test_acf_lags_matches_sequential_replay(spark, days, tmp_path_factory):
         for r in q_acf_lags(spark, str(tmp)).collect()
     }
     assert got == expect
+
+
+def test_box_resize_exact_semantics():
+    import numpy as np
+    import pytest as _pytest
+
+    from data_ingestion_s3_to_parquet_spark.functions.phash import box_resize
+
+    # constant image -> constant thumbnail, any grid
+    const = np.full((10, 14, 3), 77, dtype=np.uint8)
+    assert (box_resize(const, 3, 5) == 77).all()
+    # integer-factor downscale of a block pattern = exact block means
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2, :2] = 10
+    px[:2, 2:] = 20
+    px[2:, :2] = 30
+    px[2:, 2:] = (41, 43, 45)  # non-uniform channel means floor exactly
+    t = box_resize(px, 2, 2)
+    assert t[0, 0].tolist() == [10, 10, 10]
+    assert t[0, 1].tolist() == [20, 20, 20]
+    assert t[1, 0].tolist() == [30, 30, 30]
+    assert t[1, 1].tolist() == [41, 43, 45]
+    # same-size resize is the identity
+    assert (box_resize(px, 4, 4) == px).all()
+    # upscale refuses (downscale-only contract)
+    with _pytest.raises(ValueError):
+        box_resize(px, 8, 4)
+
+
+def test_media_resize_is_container_invariant_and_poison_isolated(spark):
+    # a BMP and a PNG holding the SAME pixels must produce bitwise
+    # identical thumbnails; garbage payloads poison their own row only
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.phash import (
+        box_resize,
+        build_test_bmp,
+        pixels_of,
+        seeded_test_image,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_resize,
+    )
+
+    px = seeded_test_image(3, h=12, w=16)
+    bmp = build_test_bmp(px)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(12))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 12, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, "image", bytearray(bmp), "image/bmp", 16, 12, None),
+        (2, "image", bytearray(png), "image/png", 16, 12, None),
+        (3, "image", bytearray(b"not an image"), None, None, None, None),
+        (4, "image", bytearray(build_test_bmp(px[:3, :2])), None, 2, 3, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in media_resize(media, 8, 8).collect()}
+    assert got[1].ok and got[2].ok and got[4].ok and not got[3].ok
+    assert got[3].err and got[3].thumb is None
+    assert bytes(got[1].thumb) == bytes(got[2].thumb)  # container-invariant
+    assert (got[1].out_h, got[1].out_w, got[1].src_h, got[1].src_w) == (
+        8, 8, 12, 16,
+    )
+    # the emitted BMP decodes back to exactly box_resize's array
+    back = pixels_of(bytes(got[1].thumb))
+    assert (back == box_resize(px, 8, 8)).all()
+    expect = box_resize(px, 8, 8).reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert (got[1].r_sum, got[1].g_sum, got[1].b_sum) == tuple(expect)
+    # smaller-than-target image clamps, never upscales
+    assert (got[4].out_h, got[4].out_w) == (3, 2)
