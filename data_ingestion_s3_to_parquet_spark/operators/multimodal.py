@@ -199,17 +199,14 @@ def _decode_stub(kind: str, payload: bytes) -> None:
     )
 
 
-def decode_wav(payload: bytes) -> dict:
-    """REAL audio decode for WAV — stdlib ``wave`` parses PCM
-    containers; G.711 µ-law/A-law payloads (wFormatTag 7/6 — the
-    telephony corpus class stdlib ``wave`` rejects outright) expand
-    through the from-spec companding tables in ``functions/g711.py``
-    (r8); IMA/DVI ADPCM payloads (wFormatTag 17) through the
-    adaptive-delta expansion in ``functions/adpcm.py`` (r8, also
-    rejected by stdlib). Returned features are EXACT integers (sample counts, int64
-    energy = Σ sample² over the decoded linear samples), so downstream
-    results are bitwise-stable across layouts and reruns — the same
-    determinism contract every operator here carries."""
+def wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """(sample_rate, n_channels, int64 linear samples) of a WAV
+    payload, across every codec the engine decodes from spec: PCM
+    (stdlib ``wave``), G.711 µ-law/A-law (wFormatTag 7/6 — the
+    telephony class stdlib rejects, ``functions/g711.py``), and
+    IMA/DVI ADPCM (wFormatTag 17, ``functions/adpcm.py``). The shared
+    decode seam under :func:`decode_wav`'s whole-clip features and
+    :func:`media_audio_frames`'s frame-level ones."""
     import io
     import wave
 
@@ -231,13 +228,9 @@ def decode_wav(payload: bytes) -> dict:
             if fmt["format_tag"] == WAVE_FORMAT_MULAW
             else alaw_decode
         )
-        arr = dec(fmt["data"]).astype(np.int64)
-        return {
-            "sample_rate": fmt["sample_rate"],
-            "n_channels": fmt["n_channels"],
-            "n_samples": int(arr.size),
-            "energy": int((arr * arr).sum()),
-        }
+        return fmt["sample_rate"], fmt["n_channels"], dec(
+            fmt["data"]
+        ).astype(np.int64)
     if fmt["format_tag"] == WAVE_FORMAT_IMA_ADPCM:
         # IMA/DVI ADPCM (tag 17): the from-spec adaptive-delta
         # expansion in functions/adpcm.py (r8), mono baseline profile
@@ -247,15 +240,9 @@ def decode_wav(payload: bytes) -> dict:
             raise NotImplementedError("multi-channel IMA ADPCM")
         if "block_align" not in fmt:
             raise ValueError("IMA ADPCM fmt chunk without block align")
-        arr = adpcm_decode(fmt["data"], fmt["block_align"]).astype(
-            np.int64
-        )
-        return {
-            "sample_rate": fmt["sample_rate"],
-            "n_channels": 1,
-            "n_samples": int(arr.size),
-            "energy": int((arr * arr).sum()),
-        }
+        return fmt["sample_rate"], 1, adpcm_decode(
+            fmt["data"], fmt["block_align"]
+        ).astype(np.int64)
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate = w.getframerate()
         n_ch = w.getnchannels()
@@ -267,6 +254,16 @@ def decode_wav(payload: bytes) -> dict:
         arr = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
     else:
         raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+    return rate, n_ch, arr
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for WAV (PCM / G.711 / IMA ADPCM via
+    :func:`wav_samples`). Returned features are EXACT integers (sample
+    counts, int64 energy = Σ sample² over the decoded linear samples),
+    so downstream results are bitwise-stable across layouts and reruns
+    — the same determinism contract every operator here carries."""
+    rate, n_ch, arr = wav_samples(payload)
     return {
         "sample_rate": rate,
         "n_channels": n_ch,
@@ -1080,6 +1077,89 @@ PHASH_SCHEMA = StructType(
         StructField("err", StringType(), True),
     ]
 )
+
+AUDIO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ok", BooleanType(), False),
+        StructField("err", StringType(), True),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("energy", LongType(), True),  # Σ sample² (int64)
+        StructField("zero_crossings", IntegerType(), True),
+    ]
+)
+
+
+def media_audio_frames(media: DataFrame, frame_len: int = 512) -> DataFrame:
+    """Frame-level audio features — the audio half of feature
+    extraction next to the image lanes: every decodable WAV payload
+    (PCM / G.711 / IMA ADPCM via :func:`wav_samples`) explodes into
+    one row per non-overlapping ``frame_len``-sample frame with the
+    frame's exact int64 energy and strict-sign zero-crossing count
+    (``x[i]·x[i+1] < 0`` — the VAD/silence-detection pair of
+    features). The final partial frame is emitted too, so per-frame
+    energies sum exactly to :func:`decode_wav`'s whole-clip energy —
+    a pinned invariant. Undecodable payloads emit ONE poison row
+    (frame_idx NULL), the :func:`media_decode` contract.
+
+    Scale shape: map-only fan-out over Arrow batches (rows out ≈
+    seconds of audio × rate / frame_len); no shuffle here — windowed
+    aggregations downstream group on (media_id, frame_idx) like any
+    fact table.
+    """
+    from ..session import tune
+
+    tune(media.sparkSession)
+
+    if frame_len < 2:
+        raise ValueError("frame_len must be >= 2")
+    cols = [f.name for f in AUDIO_FRAMES_SCHEMA]
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _, _, arr = wav_samples(bytes(payload))
+                except Exception as e:
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "ok": False,
+                            "err": f"{type(e).__name__}: {e}",
+                            "frame_idx": None,
+                            "n_samples": None,
+                            "energy": None,
+                            "zero_crossings": None,
+                        }
+                    )
+                    continue
+                # strict sign changes, attributed to the frame of the
+                # EARLIER sample (so frame counts sum to the clip's)
+                flips = (arr[:-1] * arr[1:]) < 0
+                for i in range(0, max(arr.size, 1), frame_len):
+                    fr = arr[i : i + frame_len]
+                    zc = flips[i : min(i + frame_len, flips.size)]
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "ok": True,
+                            "err": None,
+                            "frame_idx": i // frame_len,
+                            "n_samples": int(fr.size),
+                            "energy": int((fr * fr).sum()),
+                            "zero_crossings": int(zc.sum()),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batch, AUDIO_FRAMES_SCHEMA
+    )
+
 
 RESIZE_SCHEMA = StructType(
     [

@@ -2021,3 +2021,76 @@ def test_media_resize_is_container_invariant_and_poison_isolated(spark):
     assert (got[1].r_sum, got[1].g_sum, got[1].b_sum) == tuple(expect)
     # smaller-than-target image clamps, never upscales
     assert (got[4].out_h, got[4].out_w) == (3, 2)
+
+
+def test_media_audio_frames_invariants_across_codecs(spark):
+    # per-frame energies and zero-crossings must sum exactly to the
+    # whole-clip values, across every WAV codec the engine decodes
+    # (PCM, G.711 mu-law, IMA ADPCM); bad payloads poison one row
+    import io
+    import struct
+    import wave as wavemod
+
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.adpcm import (
+        adpcm_decode,
+        adpcm_encode,
+        build_adpcm_wav,
+        samples_per_block,
+    )
+    from data_ingestion_s3_to_parquet_spark.functions.g711 import (
+        build_g711_wav,
+        ulaw_decode,
+        ulaw_encode,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_audio_frames,
+        media_decode,
+    )
+
+    n = samples_per_block(256) * 2  # 1010 samples -> 2 frames of 512
+    t = np.arange(n)
+    x = (11000 * np.sin(2 * np.pi * t / 97)).astype(np.int16)
+
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(x.tobytes())
+    pcm = buf.getvalue()
+    rows = [
+        (1, "audio", bytearray(pcm), "audio/wav", None, None, 8000),
+        (2, "audio", bytearray(build_g711_wav(x, law="ulaw")), None, None, None, 8000),
+        (3, "audio", bytearray(build_adpcm_wav(x, block_align=256)), None, None, None, 8000),
+        (4, "audio", bytearray(b"RIFFgarbage"), None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = media_audio_frames(media, frame_len=512).collect()
+    clip = {r.media_id: r for r in media_decode(media).collect()}
+
+    decoded = {
+        1: x.astype(np.int64),
+        2: ulaw_decode(ulaw_encode(x)).astype(np.int64),
+        3: adpcm_decode(adpcm_encode(x, 256), 256).astype(np.int64),
+    }
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, arr in decoded.items():
+        fs = sorted(by_id[mid], key=lambda r: r.frame_idx)
+        assert [f.frame_idx for f in fs] == [0, 1]
+        assert [f.n_samples for f in fs] == [512, n - 512]
+        assert sum(f.energy for f in fs) == clip[mid].energy
+        flips = int(((arr[:-1] * arr[1:]) < 0).sum())
+        assert sum(f.zero_crossings for f in fs) == flips
+        # independent per-frame recompute
+        for f in fs:
+            lo = f.frame_idx * 512
+            seg = arr[lo : lo + 512]
+            assert f.energy == int((seg * seg).sum())
+    bad = by_id[4]
+    assert len(bad) == 1 and not bad[0].ok and bad[0].err
+    assert bad[0].frame_idx is None
