@@ -93,17 +93,19 @@ zorder_layout (Morton bit-interleave clustering key + per-cell
 occupancy stats — the multi-dimensional data-skipping layout) right
 after ingest_parity, demoting the double-green chunk_text,
 basket_pairs, period_growth, ab_test_metrics. The EXTRA lane holds
-ninety-six oracle-gated entries — every one except the new
+ninety-seven oracle-gated entries — every one except the new
 jsonl_interop (the text-format interop twin of orc_interop, leading
 the lane so it grades first under a larger budget or the next swap)
 and dedup_incremental (delta-vs-corpus-index anti-join dedup, the
 day-over-day ingestion form) and lm_bigram_score (bigram
 surprisal: the order-sensitive fluency twin of lm_unigram_score)
+and eval_auc (exact Mann-Whitney ROC-AUC from the distinct-score
+histogram — rank statistics without ranking the corpus)
 with at least one prior green driver
 row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 96 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 97 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -112,11 +112,12 @@ REGISTRY: dict[str, Query] = _collect()
 # time_weighted_avg, funnel_conversion, retention_cohort,
 # corpus_report — for rank_bm25 / ewma_smooth / rank_fusion_rrf /
 # dup_span_max / pipeline_fineweb) this lane holds
-# ninety-six entries in the lane (the round-8 second wave demoted
+# ninety-seven entries in the lane (the round-8 second wave demoted
 # chunk_text, basket_pairs, period_growth, ab_test_metrics — green
 # r6+r7 — for orc_interop / acf_lags / ccnet_buckets / zorder_layout;
-# jsonl_interop, dedup_incremental, and lm_bigram_score, built after
-# the swap, ride the lane never-graded, jsonl_interop leading it),
+# jsonl_interop, dedup_incremental, lm_bigram_score, and eval_auc,
+# built after the swap, ride the lane never-graded, jsonl_interop
+# leading it),
 # otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,

@@ -721,7 +721,8 @@ def test_extra_lane_doc_counts_match_registry():
         87: "eighty-seven", 88: "eighty-eight", 89: "eighty-nine",
         90: "ninety", 91: "ninety-one", 92: "ninety-two",
         93: "ninety-three", 94: "ninety-four", 95: "ninety-five",
-        96: "ninety-six",
+        96: "ninety-six", 97: "ninety-seven", 98: "ninety-eight",
+        99: "ninety-nine", 100: "one hundred",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -883,12 +884,13 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 96
+    assert len(EXTRA) == 97
     assert len(BENCH_ONLY) == 7
     # the post-swap round-8 additions ride the EXTRA lane never-graded
     assert list(EXTRA)[0] == "jsonl_interop"
     assert "dedup_incremental" in EXTRA
     assert "lm_bigram_score" in EXTRA
+    assert "eval_auc" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
         "knn_graph_lsh",
@@ -5584,3 +5586,49 @@ def test_lm_bigram_score_sees_through_word_salad(spark, tmp_path):
     # and the salad's bigrams are the corpus's rare tail: every one
     # unique, so all are in-vocab here but maximally surprising
     assert bg[99].avg_nll > 2 * bg[0].avg_nll
+
+
+def test_eval_auc_planted_separable_and_tied_cases(spark, tmp_path):
+    # perfect separation both ways, then a hand-computed tie case,
+    # on planted corpora where lm avg_nll ordering is forced by word
+    # rarity (frequent words => low nll)
+    from data_ingestion_s3_to_parquet_spark.operators.relational11 import (
+        AUC_POS_LANG,
+        q_eval_auc,
+    )
+
+    def write(rows, path):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    # corpus A: 'en' docs use the dominant word (low nll = low score);
+    # others use unique rare words (high nll). Positives all score
+    # BELOW negatives -> negatives never "below" a positive -> AUC 0.
+    rows = [(i, "common common common", AUC_POS_LANG, "s", 20) for i in range(5)]
+    rows += [(10 + i, f"rare{i} rare{i}x rare{i}y", "de", "s", 20) for i in range(5)]
+    a = tmp_path / "a"
+    write(rows, a)
+    r = q_eval_auc(spark, str(a)).collect()[0]
+    assert (r.n_pos, r.n_neg) == (5, 5)
+    assert r.u2 == 0 and r.auc_micro == 0
+
+    # corpus B: flip the languages -> perfect AUC 1
+    rows = [(i, "common common common", "de", "s", 20) for i in range(5)]
+    rows += [(10 + i, f"rare{i} rare{i}x rare{i}y", AUC_POS_LANG, "s", 20) for i in range(5)]
+    b = tmp_path / "b"
+    write(rows, b)
+    r = q_eval_auc(spark, str(b)).collect()[0]
+    assert r.u2 == 2 * 25 and r.auc_micro == 1_000_000
+
+    # corpus C: every doc identical -> one score, all tied:
+    # 2U = n_pos * n_neg, AUC = 0.5 exactly
+    rows = [(i, "same text here", AUC_POS_LANG if i < 3 else "de", "s", 14)
+            for i in range(7)]
+    c = tmp_path / "c"
+    write(rows, c)
+    r = q_eval_auc(spark, str(c)).collect()[0]
+    assert (r.n_pos, r.n_neg) == (3, 4)
+    assert r.u2 == 3 * 4
+    assert r.auc_micro == 500_000
