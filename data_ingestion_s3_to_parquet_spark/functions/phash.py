@@ -171,6 +171,74 @@ def build_test_bmp(px: np.ndarray) -> bytes:
     )
 
 
+def _png_filter_rows(px: np.ndarray) -> bytes:
+    """Adaptively filtered scanlines of an (h, w, 3) uint8 array: per
+    row, all five PNG filters (None/Sub/Up/Average/Paeth, RFC 2083
+    §6) are computed vectorized and the one minimizing the sum of
+    absolute signed filtered bytes wins — the standard encoder
+    heuristic that makes smooth regions deflate well."""
+    h, w = px.shape[:2]
+    rows = px.reshape(h, w * 3).astype(np.int64)
+    prev = np.zeros(w * 3, dtype=np.int64)
+    out = bytearray()
+    for r in range(h):
+        cur = rows[r]
+        left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, dtype=np.int64), prev[:-3]])
+        p = left + prev - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+        paeth = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+        )
+        cands = [
+            cur,
+            cur - left,
+            cur - prev,
+            cur - (left + prev) // 2,
+            cur - paeth,
+        ]
+        best, best_cost = 0, None
+        for f, v in enumerate(cands):
+            b = v & 0xFF
+            cost = int(np.minimum(b, 256 - b).sum())  # |signed byte|
+            if best_cost is None or cost < best_cost:
+                best, best_cost = f, cost
+        out.append(best)
+        out.extend((cands[best] & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    return bytes(out)
+
+
+def build_png(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as an 8-bit truecolor
+    non-interlaced PNG — the lossless image WRITE path pairing the
+    from-spec reader (``multimodal.png_pixels``): adaptive per-row
+    filtering (:func:`_png_filter_rows`) + stdlib zlib deflate + the
+    chunk/CRC framing. Deterministic bytes for given pixels (fixed
+    deflate level), so PNG-encoded artifacts dedup exactly."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(_png_filter_rows(px), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def seeded_test_image(seed: int, variant: int = 0, h: int = 12, w: int = 16) -> np.ndarray:
     """Deterministic (h, w, 3) RGB test image from an integer seed —
     md5-driven, no RNG state. ``variant`` perturbs a handful of pixels

@@ -2094,3 +2094,56 @@ def test_media_audio_frames_invariants_across_codecs(spark):
     bad = by_id[4]
     assert len(bad) == 1 and not bad[0].ok and bad[0].err
     assert bad[0].frame_idx is None
+
+
+@given(seed=st.integers(0, 500), h=st.integers(1, 24), w=st.integers(1, 24))
+@settings(max_examples=40, deadline=None)
+def test_png_encode_roundtrip_is_lossless(seed, h, w):
+    # build_png -> from-spec png_pixels must be the identity, on noise
+    # (filter 0 territory), gradients (sub/up/paeth territory), and
+    # degenerate 1-pixel strips
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.phash import (
+        build_png,
+        pixels_of,
+        seeded_test_image,
+    )
+
+    rng = np.random.default_rng(seed)
+    kind = seed % 3
+    if kind == 0:
+        px = seeded_test_image(seed, h=h, w=w)
+    elif kind == 1:  # smooth gradient: exercises the adaptive filters
+        px = (
+            (np.arange(h)[:, None, None] * 5 + np.arange(w)[None, :, None] * 3
+             + np.arange(3)[None, None, :] * 40) % 256
+        ).astype(np.uint8)
+    else:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    back = pixels_of(build_png(px))
+    assert back.shape == px.shape
+    assert (back == px).all()
+
+
+def test_png_encoder_compresses_smooth_images_and_dedups_exactly():
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.phash import (
+        build_png,
+        build_test_bmp,
+        dhash64,
+        pixels_of,
+    )
+
+    h, w = 64, 64
+    grad = (
+        (np.arange(h)[:, None, None] + np.arange(w)[None, :, None]) % 256
+    ).astype(np.uint8).repeat(3, axis=2)
+    png = build_png(grad)
+    # the adaptive filters must make deflate bite on smooth content
+    assert len(png) < h * w * 3 // 4
+    # deterministic bytes: the exact-dedup property for re-encodes
+    assert png == build_png(grad.copy())
+    # dHash container invariance extends to the encoder's output
+    assert dhash64(pixels_of(png)) == dhash64(pixels_of(build_test_bmp(grad)))
