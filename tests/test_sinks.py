@@ -68,6 +68,20 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     assert set(json_back.columns) == set(nation.columns)
 
 
+def test_orc_sink_roundtrip_bit_exact(spark, sf_dir, tmp_path):
+    # ORC preserves schema natively (unlike CSV/JSON text), so the
+    # roundtrip must be exact at ROW level, schema included
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import write_orc
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_orc(nation, str(tmp_path / "nation_orc"))
+    back = spark.read.orc(str(tmp_path / "nation_orc"))
+    assert back.schema == nation.schema
+    assert back.count() == 25
+    assert back.exceptAll(nation).count() == 0
+    assert nation.exceptAll(back).count() == 0
+
+
 def test_orc_roundtrip(spark, sf_dir, tmp_path):
     # ORC: the other columnar format Spark ships natively
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
