@@ -161,9 +161,15 @@ def build_adpcm_wav(
         2,  # cbSize
         spb,
     )
+    n = int(np.asarray(samples).size)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        # 'fact' (dwSampleLength) is REQUIRED for non-PCM format tags
+        # (RIFF WAVE spec) — the engine's own decoders derive counts
+        # from block geometry, but third-party validators reject
+        # compressed WAVs without it
+        + b"fact" + struct.pack("<II", 4, n)
         + b"data" + struct.pack("<I", len(enc)) + enc
         + (b"\x00" if len(enc) & 1 else b"")
     )

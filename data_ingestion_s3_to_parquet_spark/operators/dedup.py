@@ -1294,14 +1294,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_IN = ", ".join(f"'{s}'" for s in DELTA_SOURCES)
+
 SQL_DEDUP_INCREMENTAL = f"""
 WITH delta AS (
   SELECT text, doc_id FROM documents
-  WHERE source IN ('{DELTA_SOURCES[0]}', '{DELTA_SOURCES[1]}')
+  WHERE source IN ({_DELTA_IN})
 ),
 base AS (
   SELECT DISTINCT text FROM documents
-  WHERE source NOT IN ('{DELTA_SOURCES[0]}', '{DELTA_SOURCES[1]}')
+  WHERE source NOT IN ({_DELTA_IN})
 ),
 fresh AS (
   SELECT d.text, d.doc_id FROM delta d

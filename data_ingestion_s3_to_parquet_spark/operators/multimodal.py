@@ -983,6 +983,13 @@ def media_probe(media: DataFrame) -> DataFrame:
                     raise ValueError(
                         "IMA ADPCM fmt chunk without usable block align"
                     )
+                if fmt["n_channels"] != 1:
+                    # stereo blocks carry 8 header bytes + interleaved
+                    # nibble groups — the mono geometry below would
+                    # report ~2x the real duration, and decode rejects
+                    # the same payload; keep probe and decode verdicts
+                    # consistent
+                    raise NotImplementedError("multi-channel IMA ADPCM")
                 # sample count from block geometry, no decode needed
                 n = adpcm_n_samples(len(fmt["data"]), fmt["block_align"])
                 return dict(
@@ -1123,7 +1130,15 @@ def media_audio_frames(media: DataFrame, frame_len: int = 512) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    _, _, arr = wav_samples(bytes(payload))
+                    _, n_ch, arr = wav_samples(bytes(payload))
+                    if n_ch != 1:
+                        # interleaved multi-channel samples would make
+                        # the flat zero-crossing scan count L/R sign
+                        # flips as crossings — refuse rather than emit
+                        # ok=true garbage (mono baseline, like ADPCM)
+                        raise NotImplementedError(
+                            f"{n_ch}-channel WAV frame features"
+                        )
                 except Exception as e:
                     out.append(
                         {
@@ -1138,9 +1153,11 @@ def media_audio_frames(media: DataFrame, frame_len: int = 512) -> DataFrame:
                     )
                     continue
                 # strict sign changes, attributed to the frame of the
-                # EARLIER sample (so frame counts sum to the clip's)
+                # EARLIER sample (so frame counts sum to the clip's).
+                # A decodable clip with ZERO samples has zero frames —
+                # it emits no rows (one row per frame, not per clip).
                 flips = (arr[:-1] * arr[1:]) < 0
-                for i in range(0, max(arr.size, 1), frame_len):
+                for i in range(0, arr.size, frame_len):
                     fr = arr[i : i + frame_len]
                     zc = flips[i : min(i + frame_len, flips.size)]
                     out.append(
@@ -1204,6 +1221,10 @@ def media_resize(
 
     tune(media.sparkSession)
 
+    if out_h < 1 or out_w < 1:
+        # fail fast on the driver — inside the executor try/except an
+        # argument typo would poison EVERY row and read as data quality
+        raise ValueError(f"target size {out_h}x{out_w} must be >= 1x1")
     cols = [f.name for f in RESIZE_SCHEMA]
 
     def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

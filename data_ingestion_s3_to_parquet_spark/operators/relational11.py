@@ -230,7 +230,7 @@ WITH daily AS (
          COUNT(*) AS c
   FROM orders GROUP BY 1
 ),
-lags AS (SELECT lag FROM (VALUES (1), (2), (3)) AS t(lag)),
+lags AS (SELECT lag FROM (VALUES {", ".join(f"({i})" for i in range(1, ACF_MAX_LAG + 1))}) AS t(lag)),
 pairs AS (
   SELECT l.lag, a.c AS x, b.c AS y
   FROM daily a
@@ -695,7 +695,12 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     that bounded frame (micro-quantized scores ⇒ at most ~1e7 distinct
     values at ANY corpus size; here far fewer) — rank statistics
     without ranking the corpus. No row-level window, no global sort of
-    the data.
+    the data. Exactness bound: 2U ≤ 2·n_pos·n_neg must fit int64, so
+    the EXACT path holds to ~2·10⁹ documents per class; past that the
+    same histogram feeds the identical formula with double
+    accumulators (AUC to ~1e-9, far inside the micro quantum) — the
+    overflow point is a documented constant, not a silent wrap at
+    fixture scale.
     """
     from .relational8 import q_lm_unigram_score
 

@@ -2095,6 +2095,27 @@ def test_media_audio_frames_invariants_across_codecs(spark):
     assert len(bad) == 1 and not bad[0].ok and bad[0].err
     assert bad[0].frame_idx is None
 
+    # stereo PCM: interleaved L/R would corrupt the flat zero-crossing
+    # scan, so the lane must refuse (one typed poison row), not emit
+    # ok=true garbage
+    sbuf = io.BytesIO()
+    with wavemod.open(sbuf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        stereo = np.empty(2 * n, dtype=np.int16)
+        stereo[0::2], stereo[1::2] = 1000, -1000  # no real crossings
+        w.writeframes(stereo.tobytes())
+    srows = media_audio_frames(
+        spark.createDataFrame(
+            [(9, "audio", bytearray(sbuf.getvalue()), None, None, None, 8000)],
+            MEDIA_SCHEMA,
+        ),
+        frame_len=512,
+    ).collect()
+    assert len(srows) == 1 and not srows[0].ok
+    assert "channel" in srows[0].err
+
 
 @given(seed=st.integers(0, 500), h=st.integers(1, 24), w=st.integers(1, 24))
 @settings(max_examples=40, deadline=None)

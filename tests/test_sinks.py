@@ -82,16 +82,6 @@ def test_orc_sink_roundtrip_bit_exact(spark, sf_dir, tmp_path):
     assert nation.exceptAll(back).count() == 0
 
 
-def test_orc_roundtrip(spark, sf_dir, tmp_path):
-    # ORC: the other columnar format Spark ships natively
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    out = str(tmp_path / "nation_orc")
-    nation.write.mode("overwrite").orc(out)
-    back = spark.read.orc(out)
-    assert back.count() == 25
-    assert back.schema == nation.schema
-
-
 def test_text_format_roundtrip(spark, tmp_path):
     lines = spark.createDataFrame([("alpha",), ("beta",)], "value string")
     out = str(tmp_path / "lines_txt")
