@@ -93,9 +93,12 @@ zorder_layout (Morton bit-interleave clustering key + per-cell
 occupancy stats — the multi-dimensional data-skipping layout) right
 after ingest_parity, demoting the double-green chunk_text,
 basket_pairs, period_growth, ab_test_metrics. The EXTRA lane holds
-ninety-seven oracle-gated entries — every one except the new
-jsonl_interop (the text-format interop twin of orc_interop, leading
-the lane so it grades first under a larger budget or the next swap)
+ninety-nine oracle-gated entries — every one except the new
+eval_ndcg / eval_calibration (the round-8 third-wave evaluation
+family: NDCG@k from a literal integer discount table, and the
+calibration reliability table behind ECE — leading the lane so they
+grade first under a larger budget or the next swap)
+and jsonl_interop (the text-format interop twin of orc_interop)
 and dedup_incremental (delta-vs-corpus-index anti-join dedup, the
 day-over-day ingestion form) and lm_bigram_score (bigram
 surprisal: the order-sensitive fluency twin of lm_unigram_score)

@@ -43,6 +43,11 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
+    # relational12 holds the round-8 third wave (eval_ndcg /
+    # eval_calibration — EXTRA-lane only, never graded) — it sits
+    # first among the EXTRA contributors so never-graded entries lead
+    # the EXTRA lane.
+    "data_ingestion_s3_to_parquet_spark.operators.relational12",
     # relational11 holds the round-8 second wave (orc_interop /
     # acf_lags / ccnet_buckets / zorder_layout — never graded) — it
     # sits first so never-graded entries earn driver rows immediately.
@@ -112,12 +117,12 @@ REGISTRY: dict[str, Query] = _collect()
 # time_weighted_avg, funnel_conversion, retention_cohort,
 # corpus_report — for rank_bm25 / ewma_smooth / rank_fusion_rrf /
 # dup_span_max / pipeline_fineweb) this lane holds
-# ninety-seven entries in the lane (the round-8 second wave demoted
+# ninety-nine entries in the lane (the round-8 second wave demoted
 # chunk_text, basket_pairs, period_growth, ab_test_metrics — green
 # r6+r7 — for orc_interop / acf_lags / ccnet_buckets / zorder_layout;
 # jsonl_interop, dedup_incremental, lm_bigram_score, and eval_auc,
-# built after the swap, ride the lane never-graded, jsonl_interop
-# leading it),
+# built after the swap, ride the lane never-graded, and the round-8
+# third-wave evaluation family eval_ndcg / eval_calibration leads it),
 # otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,

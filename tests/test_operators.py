@@ -884,10 +884,12 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 97
+    assert len(EXTRA) == 99
     assert len(BENCH_ONLY) == 7
-    # the post-swap round-8 additions ride the EXTRA lane never-graded
-    assert list(EXTRA)[0] == "jsonl_interop"
+    # the post-swap round-8 additions ride the EXTRA lane never-graded,
+    # newest wave first (relational12's evaluation family leads)
+    assert list(EXTRA)[:2] == ["eval_ndcg", "eval_calibration"]
+    assert "jsonl_interop" in EXTRA
     assert "dedup_incremental" in EXTRA
     assert "lm_bigram_score" in EXTRA
     assert "eval_auc" in EXTRA
@@ -5632,3 +5634,155 @@ def test_eval_auc_planted_separable_and_tied_cases(spark, tmp_path):
     assert (r.n_pos, r.n_neg) == (3, 4)
     assert r.u2 == 3 * 4
     assert r.auc_micro == 500_000
+
+
+def test_eval_ndcg_matches_pure_python_recompute(spark, sf_dir):
+    # recompute DCG/IDCG/NDCG from the shared bm25-scored frame with
+    # plain Python sorts — pins ranking order, the literal discount
+    # table, and the quantized ratio
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        _bm25_scored,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        NDCG_DISCOUNTS_MICRO,
+        NDCG_K,
+        q_eval_ndcg,
+    )
+
+    # the injected table IS round(1e6/log2(r+1)) and strictly decreases
+    import math
+
+    assert NDCG_DISCOUNTS_MICRO == tuple(
+        round(1_000_000 / math.log2(r + 1)) for r in range(1, NDCG_K + 1)
+    )
+    assert all(
+        a > b
+        for a, b in zip(NDCG_DISCOUNTS_MICRO, NDCG_DISCOUNTS_MICRO[1:])
+    )
+
+    rows = [
+        (r.doc_id, r.n_hit_terms, r.micro_score)
+        for r in _bm25_scored(spark, sf_dir).collect()
+    ]
+    act = sorted(rows, key=lambda t: (-t[2], t[0]))[:NDCG_K]
+    idl = sorted(rows, key=lambda t: (-t[1], t[0]))[:NDCG_K]
+    dcg = sum(rel * d for (_, rel, _), d in zip(act, NDCG_DISCOUNTS_MICRO))
+    idcg = sum(rel * d for (_, rel, _), d in zip(idl, NDCG_DISCOUNTS_MICRO))
+    got = q_eval_ndcg(spark, sf_dir).collect()[0]
+    assert (got.k, got.dcg_micro, got.idcg_micro) == (NDCG_K, dcg, idcg)
+    assert got.ndcg_micro == round(1_000_000 * dcg / idcg)
+    # ideal ordering dominates the actual one by construction
+    assert 0 < got.dcg_micro <= got.idcg_micro
+    assert got.ndcg_micro <= 1_000_000
+
+
+def test_eval_ndcg_is_one_on_a_relevance_ordered_corpus(spark, tmp_path):
+    # plant a corpus where BM25 order == relevance order: docs with
+    # more distinct query terms (higher rel) also score higher, so
+    # DCG == IDCG exactly
+    from data_ingestion_s3_to_parquet_spark.operators.relational10 import (
+        BM25_TERMS,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        q_eval_ndcg,
+    )
+
+    rows = []
+    for i in range(12):
+        n_terms = 1 + (i % 4)  # 1..4 distinct query terms
+        words = list(BM25_TERMS[:n_terms]) + ["filler"] * 3
+        rows.append((i, " ".join(words), "en", "s", 40))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = q_eval_ndcg(spark, str(tmp_path)).collect()[0]
+    assert r.dcg_micro == r.idcg_micro
+    assert r.ndcg_micro == 1_000_000
+
+
+def test_eval_calibration_matches_pure_python_recompute(spark, sf_dir):
+    # replicate rank + NTILE fill (earlier bins one larger) + the two
+    # micro-quantized ratios in plain Python
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_lm_unigram_score,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        CAL_N_BINS,
+        CAL_POS_LANG,
+        q_eval_calibration,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lm = {
+        r.doc_id: r.avg_nll
+        for r in q_lm_unigram_score(spark, sf_dir).collect()
+    }
+    lang = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    docs = sorted(lm, key=lambda d: (lm[d], d))
+    n_total = len(docs)
+    base, extra = divmod(n_total, CAL_N_BINS)
+    expected = {}
+    pos = 0
+    for b in range(1, CAL_N_BINS + 1):
+        size = base + (1 if b <= extra else 0)
+        members = docs[pos : pos + size]
+        ranks = range(pos + 1, pos + size + 1)
+        pos += size
+        n_pos = sum(1 for d in members if lang[d] == CAL_POS_LANG)
+        sr = sum(ranks)
+        conf = round(1_000_000 * sr / (size * n_total))
+        acc = round(1_000_000 * n_pos / size)
+        expected[b] = (size, n_pos, conf, acc, abs(acc - conf))
+    got = {
+        r.bin: (r.n, r.n_pos, r.conf_micro, r.acc_micro, r.gap_micro)
+        for r in q_eval_calibration(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_eval_calibration_perfect_and_worst_cases(spark, tmp_path):
+    # planted corpora: (a) positives uniformly mixed through every
+    # score level -> acc flat at the base rate; (b) positives all in
+    # the top-score bins -> top-bin acc 1_000_000, bottom 0
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        CAL_N_BINS,
+        CAL_POS_LANG,
+        q_eval_calibration,
+    )
+
+    def write(rows, path):
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    # 20 docs, unique rare words => 20 distinct scores ordered by
+    # doc-specific rarity; mark the 10 HIGHEST-nll docs positive
+    rows = []
+    for i in range(20):
+        # doc i repeats a shared word (20 - i) times: more repeats of
+        # the common token => lower avg nll => lower rank
+        text = " ".join(["common"] * (21 - i) + [f"rare{i}"])
+        rows.append(
+            (i, text, CAL_POS_LANG if i >= 10 else "de", "s", len(text))
+        )
+    b = tmp_path / "b"
+    write(rows, b)
+    got = {
+        r.bin: r for r in q_eval_calibration(spark, str(b)).collect()
+    }
+    assert len(got) == CAL_N_BINS
+    assert all(got[b_].n == 2 for b_ in got)
+    # positives concentrate in the top half of the score order
+    assert all(got[b_].acc_micro == 0 for b_ in range(1, 6))
+    assert all(got[b_].acc_micro == 1_000_000 for b_ in range(6, 11))
+    # gap is |acc - conf| bin-wise
+    for r in got.values():
+        assert r.gap_micro == abs(r.acc_micro - r.conf_micro)
