@@ -93,7 +93,7 @@ zorder_layout (Morton bit-interleave clustering key + per-cell
 occupancy stats — the multi-dimensional data-skipping layout) right
 after ingest_parity, demoting the double-green chunk_text,
 basket_pairs, period_growth, ab_test_metrics. The EXTRA lane holds
-ninety-nine oracle-gated entries — every one except the new
+one hundred oracle-gated entries — every one except the new
 eval_ndcg / eval_calibration (the round-8 third-wave evaluation
 family: NDCG@k from a literal integer discount table, and the
 calibration reliability table behind ECE — leading the lane so they
@@ -108,7 +108,7 @@ with at least one prior green driver
 row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 97 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 100 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -61,10 +61,19 @@ def fixture_fingerprint(sf_dir: str, table: str) -> str:
 
 
 def _signature(df: DataFrame, cols: Sequence[str]) -> tuple[int, int]:
-    row = df.agg(
-        F.count("*").alias("c"),
-        F.coalesce(F.sum(F.xxhash64(*cols)), F.lit(0)).alias("h"),
-    ).collect()[0]
+    # bit_xor, not sum: a sum of uniform xxhash64 values overflows
+    # int64 almost surely past a handful of rows, and under an ANSI
+    # session (the driver's vanilla Spark 4 default) that THROWS —
+    # turning every cache validation into a silent rebuild. XOR is
+    # order-insensitive and cannot overflow (the shard_manifest rule).
+    row = (
+        df.select(F.xxhash64(*cols).alias("h"))
+        .agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("h"),
+        )
+        .collect()[0]
+    )
     return (int(row.c), int(row.h))
 
 

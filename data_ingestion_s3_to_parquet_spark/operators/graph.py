@@ -614,6 +614,116 @@ SELECT v AS node, COUNT(*) AS deg FROM (
 SQL_KCORE_DECOMPOSE = _sql_kcore()
 
 
+SSSP_ROUNDS = 12  # unrolled BFS rounds (max fixture eccentricity 10)
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (unit weights — BFS hop distance)
+    over the support-filtered co-purchase graph, from the graph's
+    max-degree hub (ties broken by smaller part id): the "how far is
+    everything from the busiest product" query, and the one classic
+    graph kernel the family still lacked next to pagerank (global
+    importance), label_propagation (communities), triangles/k-core
+    (density), and link_predict (local affinity).
+
+    Semantics: distance labels relax min-plus — ``d_{i+1}(v) =
+    min(d_i(v), 1 + min over neighbors u of d_i(u))`` — which after
+    ``diameter`` rounds equals BFS distance; unreachable nodes emit no
+    row. The oracle unrolls ``SSSP_ROUNDS`` MATERIALIZED CTE rounds of
+    the identical relaxation (the kcore/pagerank pattern); relaxation
+    is monotone, so Spark may stop at the fixed point early (reached
+    set growth is BFS-layer growth, and a node's first label is
+    already minimal) while the oracle always runs the full unroll —
+    extra rounds are no-ops.
+
+    Scale shape: the edge build is the persisted ``_copurchase_edges``
+    artifact (per-order pair enumeration, never part × part); each
+    round is one shuffle_hash-pinned join of the CURRENT FRONTIER
+    (just-labelled nodes, not the whole label table) against the
+    symmetrized edge list plus an anti-join to drop already-labelled
+    targets — per-round work is proportional to the BFS layer's edge
+    boundary, the textbook Pregel iteration. localCheckpoint truncates
+    lineage per round (SCALE.md §28); rounds needed grow with the
+    diameter, not the node count — at web-graph scale diameters stay
+    in the tens while this loop's per-round cost is one keyed shuffle
+    of the frontier, so the 100 TB story is round-count × bounded
+    shuffles (degenerate chain graphs are where you switch to
+    direction-optimizing BFS / delta-stepping).
+    """
+    und0 = _copurchase_edges(spark, sf_dir)
+    und = (
+        und0.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(und0.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("deg"))
+    src_row = deg.orderBy(F.desc("deg"), F.col("u")).limit(1)
+    dist = src_row.select(
+        F.col("u").alias("node"), F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint()
+    frontier = dist
+    n_reached = dist.count()
+    for _ in range(SSSP_ROUNDS):
+        step = (
+            frontier.join(
+                und.hint("shuffle_hash"),
+                frontier.node == und.u,
+            )
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+        frontier = step.join(
+            dist.hint("shuffle_hash"), "node", "left_anti"
+        ).localCheckpoint()
+        n_new = frontier.count()
+        if n_new == 0:  # BFS layer empty ⇒ fixed point
+            break
+        dist = dist.unionAll(frontier).localCheckpoint()
+        n_reached += n_new
+    return dist
+
+
+def _sql_graph_sssp() -> str:
+    cte = [
+        "e AS MATERIALIZED ("
+        "SELECT a, b FROM ("
+        "  SELECT a, b, COUNT(*) AS s FROM ("
+        "    SELECT DISTINCT x.l_orderkey AS okey, x.l_partkey AS a, "
+        "y.l_partkey AS b "
+        "    FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+        "    WHERE x.l_partkey < y.l_partkey"
+        "  ) GROUP BY a, b"
+        f") WHERE s >= {KCORE_SUPPORT})",
+        "und AS MATERIALIZED ("
+        "SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)",
+        "src AS MATERIALIZED ("
+        "SELECT u AS node FROM ("
+        "SELECT u, COUNT(*) AS deg FROM und GROUP BY u"
+        ") ORDER BY deg DESC, u LIMIT 1)",
+        "d0 AS MATERIALIZED (SELECT node, 0 AS dist FROM src)",
+    ]
+    for i in range(SSSP_ROUNDS):
+        cte.append(
+            f"d{i + 1} AS MATERIALIZED ("
+            f"SELECT node, MIN(dist) AS dist FROM ("
+            f"  SELECT node, dist FROM d{i}"
+            f"  UNION ALL"
+            f"  SELECT und.v AS node, p.dist + 1 AS dist"
+            f"  FROM d{i} p JOIN und ON und.u = p.node"
+            f") GROUP BY node)"
+        )
+    last = f"d{SSSP_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT node, CAST(dist AS INT) AS dist FROM {last}"
+    )
+
+
+SQL_GRAPH_SSSP = _sql_graph_sssp()
+
+
 # link_predict / kcore_decompose are NEW in round 7 (third wave) and
 # grade immediately; pagerank (green r5+r6, promoted round 5 per
 # VERDICT r4 #1) demotes in exchange. label_propagation (green r5+r6)
@@ -635,6 +745,12 @@ QUERIES = [
 ]
 
 EXTRA_QUERIES: list[Query] = [
+    Query(
+        "graph_sssp",
+        q_graph_sssp,
+        SQL_GRAPH_SSSP,
+        ("llm", "graph", "iterative"),
+    ),
     Query(
         "pagerank",
         q_pagerank,

@@ -117,7 +117,7 @@ REGISTRY: dict[str, Query] = _collect()
 # time_weighted_avg, funnel_conversion, retention_cohort,
 # corpus_report — for rank_bm25 / ewma_smooth / rank_fusion_rrf /
 # dup_span_max / pipeline_fineweb) this lane holds
-# ninety-nine entries in the lane (the round-8 second wave demoted
+# one hundred entries in the lane (the round-8 second wave demoted
 # chunk_text, basket_pairs, period_growth, ab_test_metrics — green
 # r6+r7 — for orc_interop / acf_lags / ccnet_buckets / zorder_layout;
 # jsonl_interop, dedup_incremental, lm_bigram_score, and eval_auc,

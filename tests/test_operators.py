@@ -884,7 +884,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 99
+    assert len(EXTRA) == 100
     assert len(BENCH_ONLY) == 7
     # the post-swap round-8 additions ride the EXTRA lane never-graded,
     # newest wave first (relational12's evaluation family leads)
@@ -5786,3 +5786,79 @@ def test_eval_calibration_perfect_and_worst_cases(spark, tmp_path):
     # gap is |acc - conf| bin-wise
     for r in got.values():
         assert r.gap_micro == abs(r.acc_micro - r.conf_micro)
+
+
+def test_graph_sssp_matches_python_bfs(spark, sf_dir):
+    # pure-Python BFS from the max-degree hub over the same
+    # support-filtered co-purchase graph — pins source selection,
+    # reachability, and every hop distance; BFS runs to TRUE
+    # completion, so this also proves SSSP_ROUNDS is a converged
+    # unroll on the fixture, not a truncation
+    from collections import defaultdict, deque
+
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        KCORE_SUPPORT,
+        q_graph_sssp,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    per_order = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        per_order[r.l_orderkey].add(r.l_partkey)
+    support = defaultdict(int)
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                support[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), s in support.items():
+        if s >= KCORE_SUPPORT:
+            adj[a].add(b)
+            adj[b].add(a)
+    src = max(adj, key=lambda n: (len(adj[n]), -n))
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {(r.node, r.dist) for r in q_graph_sssp(spark, sf_dir).collect()}
+    assert got == set(dist.items())
+
+
+def test_graph_sssp_planted_chain(spark, tmp_path):
+    # a planted 5-node chain 1-2-3-4-5 (each edge backed by exactly
+    # KCORE_SUPPORT shared orders): max-degree ties resolve to the
+    # smallest inner node (2), distances are the chain offsets
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        q_graph_sssp,
+    )
+
+    rows = []
+    ok = 0
+    for a, b in ((1, 2), (2, 3), (3, 4), (4, 5)):
+        for _ in range(2):  # support 2 per edge
+            ok += 1
+            for ln, p in enumerate((a, b), start=1):
+                rows.append(
+                    (ok, p, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                     "2024-01-01 00:00:00")
+                )
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn(
+        "l_shipdate", F.to_timestamp("l_shipdate")
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {(r.node, r.dist) for r in q_graph_sssp(spark, str(tmp_path)).collect()}
+    assert got == {(2, 0), (1, 1), (3, 1), (4, 2), (5, 3)}
