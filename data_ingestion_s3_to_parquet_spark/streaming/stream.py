@@ -73,6 +73,44 @@ def windowed_counts_stream(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    *,
+    bucket: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming at-least-once → effectively-once dedup: drop repeated
+    deliveries of the same logical event — same (user_id, event_type)
+    in the same event-time ``bucket`` — keeping the FIRST arrival, via
+    ``dropDuplicatesWithinWatermark``. The retry-storm cleaner that
+    sits in front of every downstream streaming aggregate.
+
+    Why ``WithinWatermark``: plain ``dropDuplicates`` on a stream keys
+    state forever — unbounded growth. The watermark variant evicts a
+    key's dedup state once the watermark passes its event time, so
+    state is bounded by one watermark's worth of distinct keys. No
+    duplicate ever escapes through the eviction: a redelivery arriving
+    after its key's state expired is by definition LATER than the
+    watermark, so the standard late-data rule drops it outright
+    (pinned in tests/test_streaming.py) — the trade is that a
+    genuinely-new event that late is dropped too, the same contract
+    every watermarked operator makes. State is hash-partitioned by the
+    dedup key — the usual skew story.
+
+    Batch twin: the graded ``stream_dedup`` query
+    (``windows.q_stream_dedup``) computes the deterministic form —
+    per-key survivor election by min event_id — because batch
+    ``dropDuplicates`` keeps an arbitrary row; the streaming
+    first-arrival semantics are pinned in tests/test_streaming.py with
+    controlled arrival order.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("ts_bucket", F.window("ts", bucket).getField("start"))
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts_bucket"])
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

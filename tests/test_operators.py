@@ -723,6 +723,13 @@ def test_extra_lane_doc_counts_match_registry():
         93: "ninety-three", 94: "ninety-four", 95: "ninety-five",
         96: "ninety-six", 97: "ninety-seven", 98: "ninety-eight",
         99: "ninety-nine", 100: "one hundred",
+        # 101+: "a hundred and N" so no entry is a substring of
+        # another (the stale-word scan is substring-based)
+        101: "a hundred and one", 102: "a hundred and two",
+        103: "a hundred and three", 104: "a hundred and four",
+        105: "a hundred and five", 106: "a hundred and six",
+        107: "a hundred and seven", 108: "a hundred and eight",
+        109: "a hundred and nine", 110: "a hundred and ten",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -884,7 +891,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 100
+    assert len(EXTRA) == 101
     assert len(BENCH_ONLY) == 7
     # the post-swap round-8 additions ride the EXTRA lane never-graded,
     # newest wave first (relational12's evaluation family leads)
