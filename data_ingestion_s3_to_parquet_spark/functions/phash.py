@@ -27,7 +27,8 @@ _GRID_H = 8
 
 def pixels_of(payload: bytes) -> np.ndarray:
     """(h, w, 3) RGB uint8 pixels of a BMP / PNG / GIF (first frame) /
-    baseline-JPEG payload, dispatched on magic bytes — the pixel-level
+    baseline-JPEG / TIFF / QOI payload, dispatched on magic bytes —
+    the pixel-level
     twin of ``operators.multimodal.decode_media``. Raises on anything
     else (poison rows surface per-row through the usual ok/err
     contract)."""
@@ -52,7 +53,13 @@ def pixels_of(payload: bytes) -> np.ndarray:
         from .tiff import decode_tiff
 
         return decode_tiff(payload)
-    raise ValueError("unrecognized image container (BMP/PNG/GIF/JPEG/TIFF)")
+    if payload[:4] == b"qoif":
+        from .qoi import qoi_pixels
+
+        return qoi_pixels(payload)
+    raise ValueError(
+        "unrecognized image container (BMP/PNG/GIF/JPEG/TIFF/QOI)"
+    )
 
 
 def dhash64(px: np.ndarray) -> int:

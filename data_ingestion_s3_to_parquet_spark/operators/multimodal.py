@@ -487,7 +487,8 @@ def decode_media(kind: str, payload: bytes) -> dict:
     corpora lie about mime types): RIFF/WAVE → :func:`decode_wav`,
     BM → :func:`decode_bmp`, PNG signature → :func:`decode_png`,
     SOI+marker → :func:`decode_jpeg`, GIF8 → :func:`decode_gif`,
-    II/MM → :func:`decode_tiff_features` (r8, ``functions/tiff.py``);
+    II/MM → :func:`decode_tiff_features` (r8, ``functions/tiff.py``),
+    qoif → :func:`decode_qoi_features` (r8, ``functions/qoi.py``);
     anything else falls through to the codec seam
     (:func:`_decode_stub`) and raises."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -504,7 +505,28 @@ def decode_media(kind: str, payload: bytes) -> dict:
         return decode_tiff_features(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return decode_avi_features(payload)
+    if payload[:4] == b"qoif":
+        return decode_qoi_features(payload)
     _decode_stub(kind, payload)
+
+
+def decode_qoi_features(payload: bytes) -> dict:
+    """REAL image decode for QOI (``functions/qoi.py`` — the from-spec
+    run/index/diff/luma codec): same exact integer channel sums as the
+    other image decoders; alpha excluded, the PNG rule."""
+    import numpy as np
+
+    from ..functions.qoi import qoi_pixels
+
+    px = qoi_pixels(payload)
+    s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "sum_r": int(s[0]),
+        "sum_g": int(s[1]),
+        "sum_b": int(s[2]),
+    }
 
 
 def decode_avi_features(payload: bytes) -> dict:
@@ -1031,6 +1053,17 @@ def media_probe(media: DataFrame) -> DataFrame:
                 width=m["width"],
                 height=m["height"],
             )
+        if payload[:4] == b"qoif":
+            from ..functions.qoi import probe_qoi
+
+            m = probe_qoi(payload)
+            return dict(
+                ok=True,
+                container="qoi",
+                n_tracks=1,
+                width=m["width"],
+                height=m["height"],
+            )
         if payload[:4] == b"fLaC":
             from ..functions.flac import probe_flac
 
@@ -1055,7 +1088,7 @@ def media_probe(media: DataFrame) -> DataFrame:
             )
         raise ValueError(
             "unrecognized container "
-            "(ISO-BMFF/MP3/BMP/PNG/GIF/WAV/JPEG/TIFF/FLAC/OGG/AVI)"
+            "(ISO-BMFF/MP3/BMP/PNG/GIF/WAV/JPEG/TIFF/QOI/FLAC/OGG/AVI)"
         )
 
     def _probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -4895,6 +4895,7 @@ def test_media_probe_covers_all_header_only_formats(spark):
     from data_ingestion_s3_to_parquet_spark.functions.flac import (
         build_flac_streaminfo,
     )
+    from data_ingestion_s3_to_parquet_spark.functions.qoi import build_qoi
     from data_ingestion_s3_to_parquet_spark.functions.tiff import encode_tiff
 
     from data_ingestion_s3_to_parquet_spark.functions.ogg import (
@@ -4915,6 +4916,7 @@ def test_media_probe_covers_all_header_only_formats(spark):
          None, None),
         (7, "audio", bytearray(flac), None, None, None, None),
         (8, "audio", bytearray(opus), None, None, None, None),
+        (9, "image", bytearray(build_qoi(img)), None, None, None, None),
     ]
     got = {
         r.media_id: r
@@ -4938,6 +4940,7 @@ def test_media_probe_covers_all_header_only_formats(spark):
     o = got[8]
     assert (o.container, o.audio_codec, o.n_tracks) == ("ogg", "opus", 2)
     assert o.duration_sec == 2.5  # 120000 48-kHz granules
+    assert (got[9].container, got[9].width, got[9].height) == ("qoi", 12, 10)
 
 
 def test_rank_bm25_matches_pure_python_recompute(spark, sf_dir):

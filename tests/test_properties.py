@@ -1148,6 +1148,11 @@ def test_phash_is_encoding_invariant_and_locality_sensitive(seed, h, w):
             encode_tiff(img, compression=COMPRESSION_PACKBITS, byte_order=">")
         )
     )
+    # r8 wave 2: QOI is lossless — identical hash through its
+    # run/index/diff/luma coding too
+    from data_ingestion_s3_to_parquet_spark.functions.qoi import build_qoi
+
+    assert h_bmp == dhash64(pixels_of(build_qoi(img)))
     h_jpg = dhash64(pixels_of(encode_jpeg(img, quality=90)))
     assert hamming_int(h_bmp, h_jpg) <= 10
     other = dhash64(seeded_test_image(seed + 1000, 0, h, w))
@@ -2168,3 +2173,119 @@ def test_png_encoder_compresses_smooth_images_and_dedups_exactly():
     assert png == build_png(grad.copy())
     # dHash container invariance extends to the encoder's output
     assert dhash64(pixels_of(png)) == dhash64(pixels_of(build_test_bmp(grad)))
+
+
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    seed=st.integers(0, 10_000),
+    alpha=st.booleans(),
+    mode=st.sampled_from(["noise", "flat", "rows", "ramp"]),
+    colorspace=st.sampled_from([0, 1]),
+)
+@settings(max_examples=60, deadline=None)
+def test_qoi_roundtrip_lossless_any_image(h, w, seed, alpha, mode, colorspace):
+    """build_qoi → decode_qoi is bit-lossless for every shape, channel
+    count, colorspace, and pixel pattern (each pattern family forces a
+    different op mix: noise → RGB/RGBA, flat → RUN, repeated rows →
+    INDEX, ramps → DIFF/LUMA); encoding is deterministic."""
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.qoi import (
+        build_qoi,
+        decode_qoi,
+        probe_qoi,
+    )
+
+    rng = np.random.default_rng(seed)
+    ch = 4 if alpha else 3
+    if mode == "noise":
+        px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    elif mode == "flat":
+        px = np.full((h, w, ch), int(rng.integers(0, 256)), dtype=np.uint8)
+    elif mode == "rows":
+        px = np.repeat(rng.integers(0, 256, (1, w, ch), dtype=np.uint8), h, 0)
+    else:
+        px = (np.arange(h * w * ch) % 256).astype(np.uint8).reshape(h, w, ch)
+    payload = build_qoi(px, colorspace=colorspace)
+    m = probe_qoi(payload)
+    assert (m["width"], m["height"], m["channels"], m["colorspace"]) == (
+        w, h, ch, colorspace,
+    )
+    out, cs = decode_qoi(payload)
+    assert cs == colorspace
+    assert out.shape == px.shape and (out == px).all()
+    assert build_qoi(px, colorspace=colorspace) == payload
+
+
+@given(payload=st.binary(min_size=0, max_size=96))
+@settings(max_examples=60, deadline=None)
+def test_qoi_decode_rejects_arbitrary_bytes_cleanly(payload):
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.functions.qoi import decode_qoi
+
+    with pytest.raises(ValueError):
+        decode_qoi(payload)
+    # a valid prefix with a torn tail must also raise, never truncate
+    with pytest.raises(ValueError):
+        decode_qoi(b"qoif" + payload)
+
+
+def test_qoi_known_opcode_bytes():
+    # hand-assembled stream exercising every op against spec values:
+    # px0 RGB(10,20,30); px1 DIFF(+1,+1,+1); px2 LUMA(dg=8, dr-dg=-3,
+    # db-dg=5); px3 RUN(2) repeats px2; px5 INDEX back to px0's slot;
+    # px6 RGBA switches alpha
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.qoi import (
+        _hash,
+        build_qoi,
+        decode_qoi,
+    )
+
+    px = np.zeros((1, 7, 4), dtype=np.uint8)
+    px[0, 0] = (10, 20, 30, 255)
+    px[0, 1] = (11, 21, 31, 255)
+    px[0, 2] = (16, 29, 44, 255)   # dg=8, dr=5(=-3+8), db=13(=5+8)
+    px[0, 3] = (16, 29, 44, 255)
+    px[0, 4] = (16, 29, 44, 255)
+    px[0, 5] = (10, 20, 30, 255)
+    px[0, 6] = (10, 20, 30, 128)
+    payload = build_qoi(px)
+    body = payload[14:-8]
+    expect = bytes(
+        [0xFE, 10, 20, 30]                    # RGB
+        + [0x40 | (3 << 4) | (3 << 2) | 3]    # DIFF +1/+1/+1
+        + [0x80 | (8 + 32), ((-3 + 8) << 4) | (5 + 8)]  # LUMA
+        + [0xC0 | 1]                          # RUN of 2
+        + [0x00 | _hash(10, 20, 30, 255)]     # INDEX
+        + [0xFF, 10, 20, 30, 128]             # RGBA
+    )
+    assert body == expect
+    out, _ = decode_qoi(payload)
+    assert (out == px).all()
+
+
+def test_qoi_decode_media_features_match_pixel_sums():
+    # decode_media dispatches qoif payloads to exact channel sums,
+    # alpha excluded (the PNG rule)
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.qoi import build_qoi
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    got = decode_media("image", build_qoi(px))
+    s = px[:, :, :3].reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert got == {
+        "width": 5,
+        "height": 6,
+        "sum_r": int(s[0]),
+        "sum_g": int(s[1]),
+        "sum_b": int(s[2]),
+    }
