@@ -507,7 +507,25 @@ def decode_media(kind: str, payload: bytes) -> dict:
         return decode_avi_features(payload)
     if payload[:4] == b"qoif":
         return decode_qoi_features(payload)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(payload)
     _decode_stub(kind, payload)
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """REAL audio decode for 8/16-bit PCM AIFF (``functions/aiff.py``
+    — big-endian samples, 80-bit extended sample rate): the same exact
+    integer features as :func:`decode_wav`. AIFC compression types
+    raise at the codec seam."""
+    from ..functions.aiff import aiff_samples
+
+    rate, n_ch, arr = aiff_samples(payload)
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "n_samples": int(arr.size),
+        "energy": int((arr * arr).sum()),
+    }
 
 
 def decode_qoi_features(payload: bytes) -> dict:
@@ -1064,6 +1082,17 @@ def media_probe(media: DataFrame) -> DataFrame:
                 width=m["width"],
                 height=m["height"],
             )
+        if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+            from ..functions.aiff import probe_aiff
+
+            m = probe_aiff(payload)
+            return dict(
+                ok=True,
+                container=m["form"].lower(),
+                duration_sec=m["duration_sec"],
+                n_tracks=m["n_channels"],
+                audio_codec=m["codec"],
+            )
         if payload[:4] == b"fLaC":
             from ..functions.flac import probe_flac
 
@@ -1088,7 +1117,7 @@ def media_probe(media: DataFrame) -> DataFrame:
             )
         raise ValueError(
             "unrecognized container "
-            "(ISO-BMFF/MP3/BMP/PNG/GIF/WAV/JPEG/TIFF/QOI/FLAC/OGG/AVI)"
+            "(ISO-BMFF/MP3/BMP/PNG/GIF/WAV/AIFF/JPEG/TIFF/QOI/FLAC/OGG/AVI)"
         )
 
     def _probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -4905,6 +4905,13 @@ def test_media_probe_covers_all_header_only_formats(spark):
     flac = build_flac_streaminfo(
         sample_rate=16000, channels=1, bits=16, total_samples=48000
     )
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.aiff import build_aiff
+
+    aiff = build_aiff(
+        np.zeros(4000, dtype=np.int16), sample_rate=8000, n_channels=2
+    )
     opus = build_ogg_opus(channels=2, input_rate=24000, n_samples_48k=120000)
     rows = [
         (1, "image", bytearray(build_test_bmp(img)), None, None, None, None),
@@ -4917,6 +4924,7 @@ def test_media_probe_covers_all_header_only_formats(spark):
         (7, "audio", bytearray(flac), None, None, None, None),
         (8, "audio", bytearray(opus), None, None, None, None),
         (9, "image", bytearray(build_qoi(img)), None, None, None, None),
+        (10, "audio", bytearray(aiff), None, None, None, None),
     ]
     got = {
         r.media_id: r
@@ -4941,6 +4949,9 @@ def test_media_probe_covers_all_header_only_formats(spark):
     assert (o.container, o.audio_codec, o.n_tracks) == ("ogg", "opus", 2)
     assert o.duration_sec == 2.5  # 120000 48-kHz granules
     assert (got[9].container, got[9].width, got[9].height) == ("qoi", 12, 10)
+    a = got[10]
+    assert (a.container, a.audio_codec, a.n_tracks) == ("aiff", "pcm", 2)
+    assert a.duration_sec == 0.25  # 2000 frames at 8 kHz
 
 
 def test_rank_bm25_matches_pure_python_recompute(spark, sf_dir):

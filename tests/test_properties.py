@@ -2289,3 +2289,88 @@ def test_qoi_decode_media_features_match_pixel_sums():
         "sum_g": int(s[1]),
         "sum_b": int(s[2]),
     }
+
+
+@given(
+    n=st.integers(1, 400),
+    rate=st.sampled_from([8000, 11025, 22050, 44100, 44056, 48000]),
+    ch=st.sampled_from([1, 2]),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=50, deadline=None)
+def test_aiff_roundtrip_lossless_and_extended80_exact(n, rate, ch, seed):
+    """build_aiff → aiff_samples is bit-lossless for 16-bit PCM at any
+    channel count, and the 80-bit extended sample rate survives the
+    encode/decode exactly (every integer rate is representable)."""
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.aiff import (
+        aiff_samples,
+        build_aiff,
+        probe_aiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, n * ch, dtype=np.int64).astype(
+        "int16"
+    )
+    payload = build_aiff(samples, sample_rate=rate, n_channels=ch)
+    m = probe_aiff(payload)
+    assert (m["n_channels"], m["n_frames"], m["bits"]) == (ch, n, 16)
+    assert m["sample_rate"] == float(rate)  # extended80 is exact here
+    assert m["codec"] == "pcm"
+    got_rate, got_ch, arr = aiff_samples(payload)
+    assert (got_rate, got_ch) == (rate, ch)
+    assert (arr == samples.astype(np.int64)).all()
+
+
+@given(payload=st.binary(min_size=0, max_size=96))
+@settings(max_examples=50, deadline=None)
+def test_aiff_rejects_arbitrary_bytes_cleanly(payload):
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.functions.aiff import probe_aiff
+
+    with pytest.raises((ValueError, NotImplementedError)):
+        probe_aiff(payload)
+    with pytest.raises((ValueError, NotImplementedError)):
+        probe_aiff(b"FORM" + payload)
+
+
+def test_aiff_decode_media_and_probe_dispatch():
+    # decode_media energy matches the sample vector exactly; AIFC
+    # compressed forms raise at the codec seam; media_probe reports
+    # geometry without decoding
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.functions.aiff import (
+        _encode_extended80,
+        build_aiff,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    samples = np.array([100, -200, 300, -400, 500, -600], dtype=np.int16)
+    payload = build_aiff(samples, sample_rate=8000, n_channels=2)
+    got = decode_media("audio", payload)
+    assert got == {
+        "sample_rate": 8000,
+        "n_channels": 2,
+        "n_samples": 6,
+        "energy": int((samples.astype(np.int64) ** 2).sum()),
+    }
+    # hand-build an AIFC COMM with the 'ima4' compression type
+    comm = (
+        struct.pack(">HIH", 1, 4, 16)
+        + _encode_extended80(8000.0)
+        + b"ima4"
+        + b"\x00"
+    )
+    body = b"COMM" + struct.pack(">I", len(comm)) + comm + b"\x00" * (len(comm) & 1)
+    aifc = b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFC" + body
+    with pytest.raises(NotImplementedError):
+        decode_media("audio", aifc)
