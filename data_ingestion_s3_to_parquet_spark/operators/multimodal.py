@@ -233,16 +233,20 @@ def wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         ).astype(np.int64)
     if fmt["format_tag"] == WAVE_FORMAT_IMA_ADPCM:
         # IMA/DVI ADPCM (tag 17): the from-spec adaptive-delta
-        # expansion in functions/adpcm.py (r8), mono baseline profile
-        from ..functions.adpcm import adpcm_decode
+        # expansion in functions/adpcm.py (r8); mono and stereo
+        from ..functions.adpcm import adpcm_decode, adpcm_decode_stereo
 
-        if fmt["n_channels"] != 1:
-            raise NotImplementedError("multi-channel IMA ADPCM")
         if "block_align" not in fmt:
             raise ValueError("IMA ADPCM fmt chunk without block align")
-        return fmt["sample_rate"], 1, adpcm_decode(
-            fmt["data"], fmt["block_align"]
-        ).astype(np.int64)
+        if fmt["n_channels"] == 1:
+            arr = adpcm_decode(fmt["data"], fmt["block_align"])
+        elif fmt["n_channels"] == 2:
+            arr = adpcm_decode_stereo(fmt["data"], fmt["block_align"])
+        else:
+            raise NotImplementedError(
+                f"{fmt['n_channels']}-channel IMA ADPCM"
+            )
+        return fmt["sample_rate"], fmt["n_channels"], arr.astype(np.int64)
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate = w.getframerate()
         n_ch = w.getnchannels()
@@ -1023,15 +1027,17 @@ def media_probe(media: DataFrame) -> DataFrame:
                     raise ValueError(
                         "IMA ADPCM fmt chunk without usable block align"
                     )
-                if fmt["n_channels"] != 1:
-                    # stereo blocks carry 8 header bytes + interleaved
-                    # nibble groups — the mono geometry below would
-                    # report ~2x the real duration, and decode rejects
-                    # the same payload; keep probe and decode verdicts
-                    # consistent
-                    raise NotImplementedError("multi-channel IMA ADPCM")
-                # sample count from block geometry, no decode needed
-                n = adpcm_n_samples(len(fmt["data"]), fmt["block_align"])
+                if fmt["n_channels"] not in (1, 2):
+                    raise NotImplementedError(
+                        f"{fmt['n_channels']}-channel IMA ADPCM"
+                    )
+                # per-channel frame count from block geometry (mono
+                # bytes-to-samples or stereo group layout), no decode
+                n = adpcm_n_samples(
+                    len(fmt["data"]),
+                    fmt["block_align"],
+                    fmt["n_channels"],
+                )
                 return dict(
                     ok=True,
                     container="wav",

@@ -2374,3 +2374,119 @@ def test_aiff_decode_media_and_probe_dispatch():
     aifc = b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFC" + body
     with pytest.raises(NotImplementedError):
         decode_media("audio", aifc)
+
+
+@given(
+    n_blocks=st.integers(1, 4),
+    block_align=st.sampled_from([16, 64, 256]),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_adpcm_stereo_roundtrip_tracks_and_separates_channels(
+    n_blocks, block_align, seed
+):
+    """Stereo encode → decode keeps channels independent (each tracks
+    its own smooth signal within the step-size error bound) and the
+    probe geometry matches the decoder's frame count exactly."""
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.adpcm import (
+        STEP_TABLE,
+        adpcm_decode_stereo,
+        adpcm_encode_stereo,
+        adpcm_n_samples,
+        stereo_samples_per_block,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = n_blocks * stereo_samples_per_block(block_align)
+    # two unrelated smooth walks — decoding must not cross-pollinate
+    left = np.cumsum(rng.integers(-60, 61, frames)).clip(-30000, 30000)
+    right = np.cumsum(rng.integers(-60, 61, frames)).clip(-30000, 30000)
+    inter = np.empty(2 * frames, dtype=np.int16)
+    inter[0::2] = left
+    inter[1::2] = right
+    enc = adpcm_encode_stereo(inter, block_align)
+    dec = adpcm_decode_stereo(enc, block_align)
+    assert dec.size == 2 * frames
+    assert adpcm_n_samples(len(enc), block_align, 2) == frames
+    # block-leading frames are verbatim
+    spb = stereo_samples_per_block(block_align)
+    for b in range(n_blocks):
+        assert dec[2 * b * spb] == left[b * spb]
+        assert dec[2 * b * spb + 1] == right[b * spb]
+    # tracking: error bounded by ~the max step reachable in-range
+    err_l = np.abs(dec[0::2].astype(np.int64) - left)
+    err_r = np.abs(dec[1::2].astype(np.int64) - right)
+    bound = STEP_TABLE[88]
+    assert err_l.max() <= bound and err_r.max() <= bound
+    # smooth signals track much tighter than the worst-case bound
+    assert np.median(err_l) < 200 and np.median(err_r) < 200
+
+
+def test_adpcm_stereo_wav_decodes_distributed_with_exact_energy(spark):
+    # the full path: stereo IMA WAV through wav_samples / decode_media
+    # and the distributed media_decode lane, energies exact
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.adpcm import (
+        adpcm_decode_stereo,
+        adpcm_encode_stereo,
+        build_adpcm_wav,
+        stereo_samples_per_block,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        media_decode,
+        wav_samples,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = 2 * stereo_samples_per_block(64)
+    inter = (
+        np.cumsum(rng.integers(-80, 81, 2 * frames)).clip(-30000, 30000)
+    ).astype(np.int16)
+    wav = build_adpcm_wav(
+        inter, sample_rate=11025, block_align=64, n_channels=2
+    )
+    rate, n_ch, arr = wav_samples(wav)
+    assert (rate, n_ch) == (11025, 2)
+    expect = adpcm_decode_stereo(
+        adpcm_encode_stereo(inter, 64), 64
+    ).astype(np.int64)
+    assert (arr == expect).all()
+    feats = decode_media("audio", wav)
+    assert feats["n_samples"] == 2 * frames
+    assert feats["energy"] == int((expect * expect).sum())
+    rows = [(1, "audio", bytearray(wav), None, None, None, None)]
+    got = media_decode(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()[0]
+    assert got.ok and got.n_channels == 2
+    assert got.energy == feats["energy"]
+
+
+def test_adpcm_stereo_probe_duration_matches_decode(spark):
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.adpcm import (
+        build_adpcm_wav,
+        stereo_samples_per_block,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_probe,
+        wav_samples,
+    )
+
+    frames = 3 * stereo_samples_per_block(256)
+    inter = np.zeros(2 * frames, dtype=np.int16)
+    wav = build_adpcm_wav(
+        inter, sample_rate=22050, block_align=256, n_channels=2
+    )
+    rows = [(1, "audio", bytearray(wav), None, None, None, None)]
+    got = media_probe(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()[0]
+    assert got.ok and got.audio_codec == "ima_adpcm" and got.n_tracks == 2
+    _, _, arr = wav_samples(wav)
+    assert got.duration_sec == round((arr.size // 2) / 22050, 3)
