@@ -270,6 +270,121 @@ FROM per_bin CROSS JOIN tot
 
 
 # --------------------------------------------------------------------
+# eval_pr_curve
+# --------------------------------------------------------------------
+
+_PR_PREC_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * cum_tp) / cum_n, 0) AS BIGINT)"
+)
+_PR_REC_EXPR = (
+    "CASE WHEN total_pos = 0 THEN NULL "
+    "ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * cum_tp) / total_pos, 0)"
+    " AS BIGINT) END"
+)
+_PR_F1_EXPR = (
+    "CASE WHEN cum_n + total_pos = 0 THEN NULL "
+    "ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * 2 * cum_tp)"
+    " / (cum_n + total_pos), 0) AS BIGINT) END"
+)
+
+
+def q_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at decile score thresholds — the PR curve
+    the threshold-free ``eval_auc`` summarizes away, and the table a
+    pipeline reads to PICK the quality-filter cutoff it will actually
+    deploy. Documents rank by the unigram-LM fluency score (low
+    avg_nll first — the fluent end, same positive class as
+    ``eval_auc``/``eval_calibration``); decile bin b's row reports the
+    operating point "flag the first b deciles": cumulative flagged
+    count, true positives among them, and the three micro-quantized
+    ratios (F1 computed as 2·tp/(flagged+all_pos) — one division, no
+    compounding of rounded P and R).
+
+    Exactness: cumulative sums over the 10-row per-bin frame are
+    int64; each ratio is one pinned micro-quantized expression; bins
+    and ranks share the NTILE total order (score, doc_id) with
+    ``eval_calibration``.
+
+    Scale shape: identical to ``eval_calibration`` — one corpus-wide
+    window sort (the documented approx-quantile substitution at
+    100 TB), a 10-group combinable aggregate, a 10-row cumulative
+    window, two one-row broadcasts. The curve costs one pass
+    regardless of corpus size.
+    """
+    from .relational8 import q_lm_unigram_score
+
+    lm = q_lm_unigram_score(spark, sf_dir).select("doc_id", "avg_nll")
+    lab = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == CAL_POS_LANG).alias("pos")
+    )
+    j = lm.join(lab, "doc_id")
+    w = Window.orderBy(F.col("avg_nll"), F.col("doc_id"))
+    binned = j.select(
+        "pos", F.ntile(CAL_N_BINS).over(w).alias("bin")
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("pos").cast("long")).alias("n_pos"),
+    )
+    cw = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_bin.select(
+        "bin",
+        F.sum("n").over(cw).alias("cum_n"),
+        F.sum("n_pos").over(cw).alias("cum_tp"),
+    )
+    totals = per_bin.agg(F.sum("n_pos").alias("total_pos"))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "cum_n",
+            "cum_tp",
+            F.expr(_PR_PREC_EXPR).alias("prec_micro"),
+            F.expr(_PR_REC_EXPR).alias("rec_micro"),
+            F.expr(_PR_F1_EXPR).alias("f1_micro"),
+        )
+    )
+
+
+def _sql_eval_pr_curve() -> str:
+    from .relational8 import SQL_LM_UNIGRAM_SCORE
+
+    return f"""
+WITH lm AS ({SQL_LM_UNIGRAM_SCORE}),
+j AS (
+  SELECT l.doc_id, l.avg_nll, (d.lang = '{CAL_POS_LANG}') AS pos
+  FROM lm l JOIN documents d USING (doc_id)
+),
+binned AS (
+  SELECT pos, NTILE({CAL_N_BINS}) OVER (ORDER BY avg_nll, doc_id) AS bin
+  FROM j
+),
+per_bin AS (
+  SELECT bin, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM binned GROUP BY bin
+),
+cum AS (
+  SELECT bin,
+         CAST(SUM(n) OVER (ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tp
+  FROM per_bin
+),
+tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos FROM per_bin)
+SELECT bin, cum_n, cum_tp,
+       {_PR_PREC_EXPR} AS prec_micro,
+       {_PR_REC_EXPR} AS rec_micro,
+       {_PR_F1_EXPR} AS f1_micro
+FROM cum CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------
 # Registration: EXTRA lane, never-graded-first (this module precedes
 # relational11 in the registry order, so these lead the EXTRA lane
 # ahead of jsonl_interop / lm_bigram_score / eval_auc — a larger
@@ -289,6 +404,12 @@ EXTRA_QUERIES: list[Query] = [
         "eval_calibration",
         q_eval_calibration,
         _sql_eval_calibration(),
+        ("llm", "evaluation", "statistics"),
+    ),
+    Query(
+        "eval_pr_curve",
+        q_eval_pr_curve,
+        _sql_eval_pr_curve(),
         ("llm", "evaluation", "statistics"),
     ),
 ]

@@ -891,7 +891,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 101
+    assert len(EXTRA) == 102
     assert len(BENCH_ONLY) == 7
     # the post-swap round-8 additions ride the EXTRA lane never-graded,
     # newest wave first (relational12's evaluation family leads)
@@ -5883,3 +5883,77 @@ def test_graph_sssp_planted_chain(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
     got = {(r.node, r.dist) for r in q_graph_sssp(spark, str(tmp_path)).collect()}
     assert got == {(2, 0), (1, 1), (3, 1), (4, 2), (5, 3)}
+
+
+def test_eval_pr_curve_matches_pure_python_and_planted_monotonics(
+    spark, sf_dir, tmp_path
+):
+    # fixture recompute: replicate NTILE bins + cumulative P/R/F1 in
+    # plain Python; planted corpus: positives exactly the fluent half
+    # -> precision stays 1.0 through bin 5, recall hits 1.0 at 5 and
+    # precision decays harmonically after
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_lm_unigram_score,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        CAL_N_BINS,
+        CAL_POS_LANG,
+        q_eval_pr_curve,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lm = {
+        r.doc_id: r.avg_nll
+        for r in q_lm_unigram_score(spark, sf_dir).collect()
+    }
+    lang = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    docs = sorted(lm, key=lambda d: (lm[d], d))
+    n_total = len(docs)
+    base, extra = divmod(n_total, CAL_N_BINS)
+    total_pos = sum(1 for d in docs if lang[d] == CAL_POS_LANG)
+    expected = {}
+    pos_ct = 0
+    n_ct = 0
+    idx = 0
+    for b in range(1, CAL_N_BINS + 1):
+        size = base + (1 if b <= extra else 0)
+        members = docs[idx : idx + size]
+        idx += size
+        n_ct += size
+        pos_ct += sum(1 for d in members if lang[d] == CAL_POS_LANG)
+        prec = round(1_000_000 * pos_ct / n_ct)
+        rec = round(1_000_000 * pos_ct / total_pos) if total_pos else None
+        f1 = round(1_000_000 * 2 * pos_ct / (n_ct + total_pos))
+        expected[b] = (n_ct, pos_ct, prec, rec, f1)
+    got = {
+        r.bin: (r.cum_n, r.cum_tp, r.prec_micro, r.rec_micro, r.f1_micro)
+        for r in q_eval_pr_curve(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    # planted: 20 docs with strictly ordered scores, positives = the
+    # 10 most fluent (same construction as the calibration test, with
+    # the positive lang on the LOW-nll half)
+    rows = []
+    for i in range(20):
+        text = " ".join(["common"] * (21 - i) + [f"rare{i}"])
+        rows.append(
+            (i, text, CAL_POS_LANG if i < 10 else "de", "s", len(text))
+        )
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.bin: r for r in q_eval_pr_curve(spark, str(tmp_path)).collect()}
+    for b in range(1, 6):
+        assert got[b].prec_micro == 1_000_000
+        assert got[b].rec_micro == round(1_000_000 * b / 5)
+    assert got[5].f1_micro == 1_000_000  # the perfect operating point
+    for b in range(6, 11):
+        assert got[b].rec_micro == 1_000_000
+        assert got[b].prec_micro == round(1_000_000 * 10 / (2 * b))
