@@ -385,6 +385,140 @@ FROM cum CROSS JOIN tot
 
 
 # --------------------------------------------------------------------
+# drift_psi
+# --------------------------------------------------------------------
+
+PSI_PIVOT_DATE = "1998-01-01"  # baseline = orders before, current = after
+PSI_PRICE_BIN = 50_000.0  # fixed-width o_totalprice bins
+PSI_PRICE_MAX_BIN = 9
+
+# One shared contribution expression (the _BM25_MICRO_EXPR rule):
+# (p_base − p_cur) · ln(p_base / p_cur), both proportions floored at
+# 1e-6 (the standard PSI smoothing for empty buckets) — identical
+# IEEE op sequence in both engines, micro-quantized once.
+_PSI_CONTRIB_EXPR = (
+    "CAST(ROUND((((CAST(n_base AS DOUBLE) / nb_tot)"
+    " - (CAST(n_cur AS DOUBLE) / nc_tot))"
+    " * ln(GREATEST(CAST(n_base AS DOUBLE) / nb_tot, CAST(0.000001 AS DOUBLE))"
+    " / GREATEST(CAST(n_cur AS DOUBLE) / nc_tot, CAST(0.000001 AS DOUBLE))))"
+    " * 1000000, 0) AS BIGINT)"
+)
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order snapshots (before
+    vs after ``PSI_PIVOT_DATE``) over two feature dimensions — the
+    categorical ``o_orderpriority`` and fixed-width ``o_totalprice``
+    bins — the standard ML-monitoring drift report (PSI < 0.1 stable,
+    0.1–0.25 watch, > 0.25 shifted). Each output row is one
+    (dimension, bucket) with both snapshot counts, both micro-quantized
+    proportions, and the bucket's PSI contribution; summing
+    ``psi_contrib_micro`` per dimension gives the headline PSI.
+
+    Exactness: counts are int64; the contribution is ONE shared
+    expression string (ln + the 1e-6 smoothing floor inside it) so
+    both engines run the identical IEEE sequence, rounded once.
+    A bucket present in only one snapshot still surfaces (count 0 on
+    the other side — both sides aggregate in ONE conditional groupBy,
+    so nothing is silently dropped and no outer join is needed).
+
+    Scale shape: one scan with conditional aggregation (a
+    date-partitioned lake reads both snapshots' partitions in the one
+    pass), one combinable groupBy per dimension over the BOUNDED
+    bucket key space (|categories| + ``PSI_PRICE_MAX_BIN``+1 rows),
+    and a one-row totals broadcast. Nothing is corpus-proportional
+    after the first aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pivot = F.lit(PSI_PIVOT_DATE).cast("timestamp")
+    is_base = F.col("o_orderdate") < pivot
+
+    dims = [
+        ("priority", F.col("o_orderpriority")),
+        (
+            "price_bin",
+            F.least(
+                F.floor(F.col("o_totalprice") / PSI_PRICE_BIN),
+                F.lit(PSI_PRICE_MAX_BIN),
+            ).cast("string"),
+        ),
+    ]
+    totals = orders.agg(
+        F.sum(is_base.cast("long")).alias("nb_tot"),
+        F.sum((~is_base).cast("long")).alias("nc_tot"),
+    )
+    parts = []
+    for dim_name, key in dims:
+        per_bucket = (
+            orders.select(
+                F.lit(dim_name).alias("dim"),
+                key.alias("bucket"),
+                is_base.alias("b"),
+            )
+            .groupBy("dim", "bucket")
+            .agg(
+                F.sum(F.col("b").cast("long")).alias("n_base"),
+                F.sum((~F.col("b")).cast("long")).alias("n_cur"),
+            )
+        )
+        parts.append(per_bucket)
+    buckets = parts[0].unionAll(parts[1])
+    return (
+        buckets.crossJoin(F.broadcast(totals))
+        .select(
+            "dim",
+            "bucket",
+            "n_base",
+            "n_cur",
+            F.expr(
+                "CAST(ROUND(CAST(1000000 AS DOUBLE) * n_base / nb_tot, 0)"
+                " AS BIGINT)"
+            ).alias("p_base_micro"),
+            F.expr(
+                "CAST(ROUND(CAST(1000000 AS DOUBLE) * n_cur / nc_tot, 0)"
+                " AS BIGINT)"
+            ).alias("p_cur_micro"),
+            F.expr(_PSI_CONTRIB_EXPR).alias("psi_contrib_micro"),
+        )
+    )
+
+
+SQL_DRIFT_PSI = f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(CAST(LEAST(FLOOR(o_totalprice / {PSI_PRICE_BIN!r}),
+                         {PSI_PRICE_MAX_BIN}) AS BIGINT) AS VARCHAR)
+           AS price_bin,
+         (o_orderdate < TIMESTAMP '{PSI_PIVOT_DATE}') AS b
+  FROM orders
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb_tot,
+         CAST(SUM(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT) AS nc_tot
+  FROM o
+),
+buckets AS (
+  SELECT 'priority' AS dim, o_orderpriority AS bucket,
+         CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM o GROUP BY o_orderpriority
+  UNION ALL
+  SELECT 'price_bin', price_bin,
+         CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT)
+  FROM o GROUP BY price_bin
+)
+SELECT dim, bucket, n_base, n_cur,
+       CAST(ROUND(CAST(1000000 AS DOUBLE) * n_base / nb_tot, 0) AS BIGINT)
+         AS p_base_micro,
+       CAST(ROUND(CAST(1000000 AS DOUBLE) * n_cur / nc_tot, 0) AS BIGINT)
+         AS p_cur_micro,
+       {_PSI_CONTRIB_EXPR} AS psi_contrib_micro
+FROM buckets CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------
 # Registration: EXTRA lane, never-graded-first (this module precedes
 # relational11 in the registry order, so these lead the EXTRA lane
 # ahead of jsonl_interop / lm_bigram_score / eval_auc — a larger
@@ -411,5 +545,11 @@ EXTRA_QUERIES: list[Query] = [
         q_eval_pr_curve,
         _sql_eval_pr_curve(),
         ("llm", "evaluation", "statistics"),
+    ),
+    Query(
+        "drift_psi",
+        q_drift_psi,
+        SQL_DRIFT_PSI,
+        ("relational", "quality", "monitoring", "statistics"),
     ),
 ]

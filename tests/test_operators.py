@@ -891,7 +891,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 102
+    assert len(EXTRA) == 103
     assert len(BENCH_ONLY) == 7
     # the post-swap round-8 additions ride the EXTRA lane never-graded,
     # newest wave first (relational12's evaluation family leads)
@@ -5957,3 +5957,122 @@ def test_eval_pr_curve_matches_pure_python_and_planted_monotonics(
     for b in range(6, 11):
         assert got[b].rec_micro == 1_000_000
         assert got[b].prec_micro == round(1_000_000 * 10 / (2 * b))
+
+
+def test_drift_psi_matches_pure_python_recompute(spark, sf_dir):
+    # replicate both dimensions' bucket counts + the exact IEEE
+    # contribution sequence (ln, 1e-6 floor, micro-round) in Python
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        PSI_PIVOT_DATE,
+        PSI_PRICE_BIN,
+        PSI_PRICE_MAX_BIN,
+        q_drift_psi,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    import datetime as dt
+
+    pivot = dt.datetime.fromisoformat(PSI_PIVOT_DATE)
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderdate"
+    ).collect()
+    nb_tot = sum(1 for r in rows if r.o_orderdate < pivot)
+    nc_tot = len(rows) - nb_tot
+    counts = {}
+    for r in rows:
+        pb = min(int(r.o_totalprice // PSI_PRICE_BIN), PSI_PRICE_MAX_BIN)
+        for dim, bucket in (
+            ("priority", r.o_orderpriority),
+            ("price_bin", str(pb)),
+        ):
+            k = (dim, bucket)
+            nb, nc = counts.get(k, (0, 0))
+            if r.o_orderdate < pivot:
+                nb += 1
+            else:
+                nc += 1
+            counts[k] = (nb, nc)
+
+    def contrib(nb, nc):
+        p = nb / nb_tot
+        q = nc / nc_tot
+        return round((p - q) * math.log(max(p, 1e-6) / max(q, 1e-6)) * 1e6)
+
+    expected = {
+        k: (
+            nb,
+            nc,
+            round(1e6 * nb / nb_tot),
+            round(1e6 * nc / nc_tot),
+            contrib(nb, nc),
+        )
+        for k, (nb, nc) in counts.items()
+    }
+    got = {
+        (r.dim, r.bucket): (
+            r.n_base,
+            r.n_cur,
+            r.p_base_micro,
+            r.p_cur_micro,
+            r.psi_contrib_micro,
+        )
+        for r in q_drift_psi(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_drift_psi_planted_shift_and_stability(spark, tmp_path):
+    # two planted snapshots: identical distributions -> PSI 0 on both
+    # dims; then a hard category shift -> large positive PSI on the
+    # priority dim only, and one-sided buckets still surface
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        q_drift_psi,
+    )
+
+    before = dt.datetime(1996, 1, 1)
+    after = dt.datetime(2000, 1, 1)
+
+    def write(rows, path):
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+    # stable: both halves 50/50 between two priorities, same prices
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, 1, "O", 10_000.0, before if i < 20 else after,
+             "1-URGENT" if i % 2 else "5-LOW")
+        )
+    a = tmp_path / "stable"
+    write(rows, a)
+    got = {(r.dim, r.bucket): r for r in q_drift_psi(spark, str(a)).collect()}
+    assert all(r.psi_contrib_micro == 0 for r in got.values())
+
+    # shifted: baseline all URGENT, current all LOW
+    rows = [
+        (i, 1, "O", 10_000.0, before, "1-URGENT") for i in range(20)
+    ] + [
+        (100 + i, 1, "O", 10_000.0, after, "5-LOW") for i in range(20)
+    ]
+    b = tmp_path / "shifted"
+    write(rows, b)
+    got = {(r.dim, r.bucket): r for r in q_drift_psi(spark, str(b)).collect()}
+    u = got[("priority", "1-URGENT")]
+    lo = got[("priority", "5-LOW")]
+    # one-sided buckets surface with a zero on the other side
+    assert (u.n_base, u.n_cur) == (20, 0)
+    assert (lo.n_base, lo.n_cur) == (0, 20)
+    # each side contributes ~1.0 * ln(1/1e-6) ≈ 13.8 -> far past the
+    # 0.25 "shifted" threshold
+    assert u.psi_contrib_micro > 10_000_000
+    assert lo.psi_contrib_micro > 10_000_000
+    # the price dimension stayed identical -> zero drift
+    assert got[("price_bin", "0")].psi_contrib_micro == 0
