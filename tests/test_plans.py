@@ -870,3 +870,83 @@ def test_lm_bigram_broadcasts_only_the_bounded_vocab(spark):
     n_bcast = plan.count(") BroadcastExchange")
     assert n_bcast == 2, plan[:2000]
     assert "TakeOrderedAndProject" in plan  # top-V is a limit, not a sort
+
+
+def test_drift_psi_is_two_combinable_aggregates_and_one_broadcast(spark):
+    # one scan per dimension with PARTIAL aggregation before its
+    # exchange (map-side combine on the bounded bucket space), the
+    # totals as the single one-row broadcast, no sort anywhere
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        q_drift_psi,
+    )
+
+    plan = plan_of(q_drift_psi(spark, SF_SMOKE))
+    assert plan.count(") BroadcastExchange") == 1
+    assert "partial_sum" in plan  # map-side combine feeds each exchange
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 0
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_stream_dedup_batch_twin_is_one_combinable_aggregate(spark):
+    # the dedup relation is a single groupBy: partial min/min_by/count
+    # before one exchange; no join, no window
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.streaming.windows import (
+        q_stream_dedup,
+    )
+
+    plan = plan_of(q_stream_dedup(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_min" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_eval_calibration_pays_one_window_sort_and_bounded_broadcasts(spark):
+    # rank + NTILE share ONE window frame (a single global sort — the
+    # documented approx-quantile substitution point at scale); the
+    # only other exchanges serve the bounded lm-vocab machinery and
+    # one-row totals
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        q_eval_calibration,
+    )
+
+    plan = plan_of(q_eval_calibration(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    # bin aggregation happens on the 10-bucket space with map-side
+    # combine
+    assert "partial_sum" in plan
+
+
+def test_eval_ndcg_heads_are_take_ordered_and_discounts_are_literals(spark):
+    # both top-k cuts must be TakeOrderedAndProject (never a global
+    # sort of the scored corpus) and the discount table must appear as
+    # a literal array, not a computed log
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        NDCG_DISCOUNTS_MICRO,
+        q_eval_ndcg,
+    )
+
+    import re
+
+    plan = plan_of(q_eval_ndcg(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 2
+    assert str(NDCG_DISCOUNTS_MICRO[1]) in plan  # 630930 literal
+    assert "LOG" not in plan.upper().replace("CATALOG", "")
+
+
+def test_graph_sssp_rounds_are_frontier_sized_and_hash_pinned(spark):
+    # the per-round join carries the FRONTIER against the symmetrized
+    # edge list under shuffle_hash pins — never a broadcast of either
+    # corpus-proportional side (checkpointing collapses earlier
+    # rounds, so inspect the final plan only for join strategy)
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        q_graph_sssp,
+    )
+
+    plan = plan_of(q_graph_sssp(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" not in plan
