@@ -78,6 +78,15 @@ DEFAULT_NAMES = [
     "session_paths",
     "chi2_contingency",
     "ann_two_stage",
+    # round-8 third wave: global-window NTILE/rank lanes, the BFS
+    # relaxation loop, and survivor election — each a classic
+    # layout-dependence trap in naive form
+    "eval_calibration",
+    "eval_pr_curve",
+    "eval_ndcg",
+    "graph_sssp",
+    "stream_dedup",
+    "drift_psi",
     "entropy_score",
     "content_chunks",
     # post-wave-2: exact int64 sums (hashed buckets / bucketed prefix
