@@ -519,6 +519,205 @@ FROM buckets CROSS JOIN tot
 
 
 # --------------------------------------------------------------------
+# mmr_rerank
+# --------------------------------------------------------------------
+
+# MMR (Carbonell & Goldstein, SIGIR'98): greedily pick
+# argmax_c [ λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) ] — the
+# training-free diversifier that keeps a result list from being ten
+# copies of the same document. λ = 0.7 as integer tenths.
+MMR_POOL_N = 20
+MMR_K = 10
+MMR_LAMBDA_TENTHS = 7
+
+# relevance normalized to [0, 1e6] against the pool max (one pinned
+# division), similarity = shared distinct words over the smaller
+# vocabulary (overlap coefficient — one pinned division per bounded
+# pool pair).
+_MMR_REL_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * micro_score) / max_score, 0)"
+    " AS BIGINT)"
+)
+_MMR_SIM_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * n_shared)"
+    " / LEAST(n_words_a, n_words_b), 0) AS BIGINT)"
+)
+
+
+def _mmr_pool(spark: SparkSession, sf_dir: str):
+    """(pool rows, pair rows) — the bounded candidate pool (top
+    ``MMR_POOL_N`` BM25 docs with normalized relevance) and its
+    pairwise overlap-coefficient similarities. Everything here is
+    distributed; both frames are ≤ ``MMR_POOL_N`` / ≤ C(MMR_POOL_N,2)
+    rows."""
+    from .relational10 import _bm25_scored
+
+    scored = _bm25_scored(spark, sf_dir)
+    pool = scored.orderBy(F.desc("micro_score"), F.col("doc_id")).limit(
+        MMR_POOL_N
+    )
+    max_row = pool.agg(F.max("micro_score").alias("max_score"))
+    pool_rel = pool.crossJoin(F.broadcast(max_row)).select(
+        "doc_id", F.expr(_MMR_REL_EXPR).alias("rel_micro")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.join(F.broadcast(pool_rel.select("doc_id")), "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    vocab_sizes = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_words")
+    )
+    a = words.alias("a")
+    b = words.alias("b")
+    shared = (
+        a.join(b.hint("shuffle_hash"), F.col("a.w") == F.col("b.w"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    va = vocab_sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_words").alias("n_words_a")
+    )
+    vb = vocab_sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_words").alias("n_words_b")
+    )
+    pairs = (
+        shared.join(F.broadcast(va), "doc_a")
+        .join(F.broadcast(vb), "doc_b")
+        .select("doc_a", "doc_b", F.expr(_MMR_SIM_EXPR).alias("sim_micro"))
+    )
+    return pool_rel, pairs
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of the BM25 top
+    ``MMR_POOL_N`` (Carbonell & Goldstein 1998): pick ``MMR_K`` docs
+    greedily by ``λ·rel − (1−λ)·max sim-to-selected`` — the
+    diversification stage a retrieval pipeline runs after scoring
+    (``rank_bm25``) and fusion (``rank_fusion_rrf``), and the dedup
+    idea applied at query time instead of corpus time. Similarity is
+    the distinct-word overlap coefficient; relevance is pool-max
+    normalized; λ = 0.7.
+
+    Output per selected rank: the document, its normalized relevance,
+    the penalty that was active when it was chosen, and the winning
+    objective value (all micro ints — ties break on doc_id).
+
+    Exactness: both divisions (relevance norm, overlap coefficient)
+    are pinned micro expressions; the greedy objective is pure int64
+    (``λ_tenths·rel − (10−λ_tenths)·sim``, in tenth-micro units).
+
+    Scale shape: scoring and the pairwise-overlap build are fully
+    distributed (the word self-join is shuffle_hash-pinned;
+    vocab-size frames broadcast at pool size); the greedy loop runs
+    on the COLLECTED pool — ≤ ``MMR_POOL_N`` rel rows + pair rows, a
+    constant-size model pull (the k-means-centroid rule, SCALE.md
+    §30's bounded-collect list), never corpus-proportional. The
+    oracle unrolls the same greedy as ``MMR_K`` MATERIALIZED CTE
+    rounds.
+    """
+    pool_rel, pairs = _mmr_pool(spark, sf_dir)
+    rel = {r.doc_id: r.rel_micro for r in pool_rel.collect()}
+    sim: dict[tuple[int, int], int] = {}
+    for r in pairs.collect():
+        sim[(r.doc_a, r.doc_b)] = r.sim_micro
+        sim[(r.doc_b, r.doc_a)] = r.sim_micro
+    lam = MMR_LAMBDA_TENTHS
+    selected: list[tuple[int, int, int, int, int]] = []
+    chosen: list[int] = []
+    while len(chosen) < min(MMR_K, len(rel)):
+        best = None
+        for d, rv in rel.items():
+            if d in chosen:
+                continue
+            pen = max((sim.get((d, s), 0) for s in chosen), default=0)
+            obj = lam * rv - (10 - lam) * pen
+            key = (-obj, d)
+            if best is None or key < best[0]:
+                best = (key, d, rv, pen, obj)
+        _, d, rv, pen, obj = best
+        chosen.append(d)
+        selected.append((len(chosen), d, rv, pen, obj))
+    return spark.createDataFrame(
+        selected,
+        "rank int, doc_id long, rel_micro long, penalty_micro long,"
+        " obj_micro long",
+    )
+
+
+def _sql_mmr_rerank() -> str:
+    from .relational10 import _SQL_BM25_SCORED
+
+    lam = MMR_LAMBDA_TENTHS
+    cte = [
+        f"bm_scored AS ({_SQL_BM25_SCORED})",
+        f"pool AS MATERIALIZED (SELECT doc_id, micro_score FROM bm_scored "
+        f"ORDER BY micro_score DESC, doc_id LIMIT {MMR_POOL_N})",
+        "mx AS (SELECT MAX(micro_score) AS max_score FROM pool)",
+        f"rel AS MATERIALIZED (SELECT doc_id, {_MMR_REL_EXPR} AS rel_micro "
+        "FROM pool CROSS JOIN mx)",
+        "words AS MATERIALIZED (SELECT DISTINCT d.doc_id, "
+        "unnest(string_split(d.text, ' ')) AS w FROM documents d "
+        "JOIN pool USING (doc_id))",
+        "vs AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id)",
+        "pairs AS MATERIALIZED ("
+        f"SELECT doc_a, doc_b, {_MMR_SIM_EXPR} AS sim_micro FROM ("
+        "SELECT s.da AS doc_a, s.db AS doc_b, s.n_shared, "
+        "a.n_words AS n_words_a, b.n_words AS n_words_b FROM ("
+        "SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS n_shared "
+        "FROM words x JOIN words y ON x.w = y.w AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2) s "
+        "JOIN vs a ON a.doc_id = s.da JOIN vs b ON b.doc_id = s.db))",
+    ]
+    prev_sel = None
+    for i in range(1, MMR_K + 1):
+        if prev_sel is None:
+            pen = "CAST(0 AS BIGINT)"
+            excl = ""
+        else:
+            pen = (
+                "COALESCE((SELECT MAX(p.sim_micro) FROM pairs p "
+                f"JOIN {prev_sel} s ON (p.doc_a = r.doc_id AND p.doc_b = s.doc_id)"
+                " OR (p.doc_b = r.doc_id AND p.doc_a = s.doc_id)), 0)"
+            )
+            excl = f"WHERE r.doc_id NOT IN (SELECT doc_id FROM {prev_sel}) "
+        cte.append(
+            f"pick{i} AS MATERIALIZED ("
+            f"SELECT {i} AS rank, r.doc_id, r.rel_micro, "
+            f"{pen} AS penalty_micro "
+            f"FROM rel r {excl}"
+            f"ORDER BY {lam} * r.rel_micro - {10 - lam} * ({pen}) DESC, "
+            "r.doc_id LIMIT 1)"
+        )
+        sel = f"sel{i}"
+        members = " UNION ALL ".join(
+            f"SELECT doc_id FROM pick{j}" for j in range(1, i + 1)
+        )
+        cte.append(f"{sel} AS MATERIALIZED ({members})")
+        prev_sel = sel
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM pick{j}" for j in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT CAST(rank AS INT) AS rank, doc_id,
+       CAST(rel_micro AS BIGINT) AS rel_micro,
+       CAST(penalty_micro AS BIGINT) AS penalty_micro,
+       CAST({lam} * rel_micro - {10 - lam} * penalty_micro AS BIGINT)
+         AS obj_micro
+FROM ({picks})
+"""
+    )
+
+
+# --------------------------------------------------------------------
 # Registration: EXTRA lane, never-graded-first (this module precedes
 # relational11 in the registry order, so these lead the EXTRA lane
 # ahead of jsonl_interop / lm_bigram_score / eval_auc — a larger
@@ -551,5 +750,11 @@ EXTRA_QUERIES: list[Query] = [
         q_drift_psi,
         SQL_DRIFT_PSI,
         ("relational", "quality", "monitoring", "statistics"),
+    ),
+    Query(
+        "mmr_rerank",
+        q_mmr_rerank,
+        _sql_mmr_rerank(),
+        ("llm", "retrieval", "similarity", "iterative"),
     ),
 ]

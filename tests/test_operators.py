@@ -891,7 +891,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 103
+    assert len(EXTRA) == 104
     assert len(BENCH_ONLY) == 7
     # the post-swap round-8 additions ride the EXTRA lane never-graded,
     # newest wave first (relational12's evaluation family leads)
@@ -6076,3 +6076,73 @@ def test_drift_psi_planted_shift_and_stability(spark, tmp_path):
     assert lo.psi_contrib_micro > 10_000_000
     # the price dimension stayed identical -> zero drift
     assert got[("price_bin", "0")].psi_contrib_micro == 0
+
+
+def test_mmr_rerank_matches_pure_python_greedy(spark, sf_dir):
+    # recompute the greedy from the SAME distributed pool/pair frames
+    # with an independent Python implementation (argmax over
+    # (-obj, doc_id)) — pins selection order, penalties, objectives
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        MMR_K,
+        MMR_LAMBDA_TENTHS,
+        _mmr_pool,
+        q_mmr_rerank,
+    )
+
+    pool_rel, pairs = _mmr_pool(spark, sf_dir)
+    rel = {r.doc_id: r.rel_micro for r in pool_rel.collect()}
+    sim = {}
+    for r in pairs.collect():
+        sim[(r.doc_a, r.doc_b)] = sim[(r.doc_b, r.doc_a)] = r.sim_micro
+    lam = MMR_LAMBDA_TENTHS
+    chosen, expected = [], []
+    while len(chosen) < min(MMR_K, len(rel)):
+        cands = []
+        for d, rv in rel.items():
+            if d in chosen:
+                continue
+            pen = max((sim.get((d, s), 0) for s in chosen), default=0)
+            cands.append((-(lam * rv - (10 - lam) * pen), d, rv, pen))
+        cands.sort()
+        negobj, d, rv, pen = cands[0]
+        chosen.append(d)
+        expected.append((len(chosen), d, rv, pen, -negobj))
+    got = [
+        (r.rank, r.doc_id, r.rel_micro, r.penalty_micro, r.obj_micro)
+        for r in q_mmr_rerank(spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
+    # the pool max normalizes to exactly 1e6 and it is picked first
+    assert got[0][2] == 1_000_000 and got[0][3] == 0
+
+
+def test_mmr_rerank_planted_duplicate_is_skipped(spark, tmp_path):
+    # plant a pool whose two highest-relevance docs are word-for-word
+    # duplicates: plain relevance ranking returns both back-to-back,
+    # MMR's round-2 penalty (sim = 1e6) must demote the copy below the
+    # diverse-but-slightly-weaker doc
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        q_mmr_rerank,
+    )
+
+    # identical tf/dl/df structure => all three docs share one BM25
+    # score (rel = 1e6 each, ties by id); 0 and 1 are exact copies
+    # (sim 1e6), 2 shares only the query terms (overlap 2/4 = 0.5)
+    rows = [
+        (0, "dup join alpha beta", "en", "s", 20),
+        (1, "dup join alpha beta", "en", "s", 20),  # exact copy
+        (2, "dup join gamma delta", "en", "s", 20),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r.rank, r.doc_id)
+        for r in q_mmr_rerank(spark, str(tmp_path)).orderBy("rank").collect()
+    ]
+    assert got[0][1] == 0  # best doc first (tie with 1 broken by id)
+    assert got[1][1] == 2  # the DIVERSE doc, not the duplicate
+    assert got[2][1] == 1  # the copy only after diversity is exhausted
