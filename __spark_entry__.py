@@ -93,13 +93,14 @@ zorder_layout (Morton bit-interleave clustering key + per-cell
 occupancy stats — the multi-dimensional data-skipping layout) right
 after ingest_parity, demoting the double-green chunk_text,
 basket_pairs, period_growth, ab_test_metrics. The EXTRA lane holds
-a hundred and four oracle-gated entries — every one except the new
+a hundred and five oracle-gated entries — every one except the new
 eval_ndcg / eval_calibration (the round-8 third-wave evaluation
 family: NDCG@k from a literal integer discount table, and the
 calibration reliability table behind ECE, plus eval_pr_curve, the
 cumulative decile precision/recall/F1 operating-point table, and
 drift_psi, the two-snapshot population-stability drift report, and
-mmr_rerank, the MMR diversified re-ranking of the BM25 pool — leading
+mmr_rerank, the MMR diversified re-ranking of the BM25 pool, and
+join_asof_nearest, the nearest-direction as-of record linkage — leading
 the lane so they
 grade first under a larger budget or the next swap)
 and graph_sssp (BFS hop distances from the co-purchase hub —
@@ -116,7 +117,7 @@ with at least one prior green driver
 row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 104 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 105 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -718,6 +718,85 @@ FROM ({picks})
 
 
 # --------------------------------------------------------------------
+# join_asof_nearest
+# --------------------------------------------------------------------
+
+
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): for each purchase event, the matching
+    customer's order CLOSEST in time — before or after — with the gap
+    and its sign. The backward-only ``join_asof`` answers "state as
+    of"; nearest answers record linkage ("which order does this event
+    belong to"), where an order booked moments AFTER the click is the
+    right match and backward-only silently picks a stale one.
+
+    Semantics: rank candidates per event by (|Δt|, earlier first on
+    ties, then o_orderkey) and keep rank 1 — a total order, so the
+    pick is deterministic in both engines. Δt is whole seconds on
+    second-truncated event time (the streaming modules' timestamp
+    discipline).
+
+    Scale shape: same as ``join_asof`` — the equi key (customer)
+    bounds fan-out to orders-per-customer before the per-event
+    window; both sides are event/order-proportional so the join is
+    shuffle_hash-pinned, never broadcast. Unbounded-fan-out keys
+    would bucket both sides by coarse time range first (the
+    documented substitution).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .withColumn("ts", F.date_trunc("second", F.col("ts")))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    j = ev.join(
+        o.hint("shuffle_hash"),
+        F.col("user_id") == F.col("o_custkey"),
+        "inner",
+    ).withColumn(
+        "gap_sec",
+        F.unix_timestamp("o_orderdate") - F.unix_timestamp("ts"),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.abs(F.col("gap_sec")),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("nearest_orderkey"),
+            F.col("o_orderdate").alias("nearest_orderdate"),
+            "gap_sec",
+        )
+    )
+
+
+SQL_JOIN_ASOF_NEAREST = """
+SELECT event_id, user_id, nearest_orderkey, nearest_orderdate, gap_sec
+FROM (
+  SELECT e.event_id, e.user_id,
+         o.o_orderkey AS nearest_orderkey,
+         CAST(o.o_orderdate AS TIMESTAMP) AS nearest_orderdate,
+         CAST(epoch(o.o_orderdate)
+              - epoch(date_trunc('second', e.ts)) AS BIGINT) AS gap_sec,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY ABS(epoch(o.o_orderdate)
+                        - epoch(date_trunc('second', e.ts))),
+                    o.o_orderdate, o.o_orderkey) AS rn
+  FROM events e
+  JOIN orders o ON e.user_id = o.o_custkey
+  WHERE e.event_type = 'purchase'
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------
 # Registration: EXTRA lane, never-graded-first (this module precedes
 # relational11 in the registry order, so these lead the EXTRA lane
 # ahead of jsonl_interop / lm_bigram_score / eval_auc — a larger
@@ -756,5 +835,11 @@ EXTRA_QUERIES: list[Query] = [
         q_mmr_rerank,
         _sql_mmr_rerank(),
         ("llm", "retrieval", "similarity", "iterative"),
+    ),
+    Query(
+        "join_asof_nearest",
+        q_join_asof_nearest,
+        SQL_JOIN_ASOF_NEAREST,
+        ("relational", "join", "timeseries"),
     ),
 ]

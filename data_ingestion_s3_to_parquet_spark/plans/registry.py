@@ -117,13 +117,13 @@ REGISTRY: dict[str, Query] = _collect()
 # time_weighted_avg, funnel_conversion, retention_cohort,
 # corpus_report — for rank_bm25 / ewma_smooth / rank_fusion_rrf /
 # dup_span_max / pipeline_fineweb) this lane holds
-# a hundred and four entries in the lane (the round-8 second wave demoted
+# a hundred and five entries in the lane (the round-8 second wave demoted
 # chunk_text, basket_pairs, period_growth, ab_test_metrics — green
 # r6+r7 — for orc_interop / acf_lags / ccnet_buckets / zorder_layout;
 # jsonl_interop, dedup_incremental, lm_bigram_score, and eval_auc,
 # built after the swap, ride the lane never-graded, and the round-8
 # third-wave evaluation family eval_ndcg / eval_calibration / eval_pr_curve / drift_psi /
-# mmr_rerank leads it
+# mmr_rerank / join_asof_nearest leads it
 # and graph_sssp / stream_dedup ride it at their family modules),
 # otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees

@@ -891,7 +891,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 104
+    assert len(EXTRA) == 105
     assert len(BENCH_ONLY) == 7
     # the post-swap round-8 additions ride the EXTRA lane never-graded,
     # newest wave first (relational12's evaluation family leads)
@@ -6146,3 +6146,46 @@ def test_mmr_rerank_planted_duplicate_is_skipped(spark, tmp_path):
     assert got[0][1] == 0  # best doc first (tie with 1 broken by id)
     assert got[1][1] == 2  # the DIVERSE doc, not the duplicate
     assert got[2][1] == 1  # the copy only after diversity is exhausted
+
+
+def test_join_asof_nearest_planted_directions(spark, tmp_path):
+    # events straddling orders: nearest must pick forward when the
+    # after-order is closer, backward when before is closer, and
+    # break exact-distance ties toward the EARLIER order
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        q_join_asof_nearest,
+    )
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ts(**kw):
+        return base + dt.timedelta(**kw)
+
+    spark.createDataFrame(
+        [
+            (1, ts(), 7, "purchase", 1.0, "{}"),          # order 1h before, 30min after
+            (2, ts(hours=10), 7, "purchase", 1.0, "{}"),  # only backward in range
+            (3, ts(hours=5), 8, "purchase", 1.0, "{}"),   # exact tie both sides
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    spark.createDataFrame(
+        [
+            (100, 7, "O", 10.0, ts(hours=-1), "1-URGENT"),
+            (101, 7, "O", 10.0, ts(minutes=30), "1-URGENT"),
+            (102, 8, "O", 10.0, ts(hours=4), "1-URGENT"),
+            (103, 8, "O", 10.0, ts(hours=6), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r.event_id: (r.nearest_orderkey, r.gap_sec)
+        for r in q_join_asof_nearest(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (101, 30 * 60)       # forward wins (30min < 1h)
+    assert got[2] == (101, -(9 * 3600 + 30 * 60))  # backward only
+    assert got[3] == (102, -3600)         # tie -> earlier order
