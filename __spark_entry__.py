@@ -92,29 +92,27 @@ perplexity NTILE into head/middle/tail, Wenzek et al. 2019), and
 zorder_layout (Morton bit-interleave clustering key + per-cell
 occupancy stats — the multi-dimensional data-skipping layout) right
 after ingest_parity, demoting the double-green chunk_text,
-basket_pairs, period_growth, ab_test_metrics. The EXTRA lane holds
-a hundred and five oracle-gated entries — every one except the new
-eval_ndcg / eval_calibration (the round-8 third-wave evaluation
-family: NDCG@k from a literal integer discount table, and the
-calibration reliability table behind ECE, plus eval_pr_curve, the
-cumulative decile precision/recall/F1 operating-point table, and
-drift_psi, the two-snapshot population-stability drift report, and
-mmr_rerank, the MMR diversified re-ranking of the BM25 pool, and
-join_asof_nearest, the nearest-direction as-of record linkage — leading
-the lane so they
-grade first under a larger budget or the next swap)
-and graph_sssp (BFS hop distances from the co-purchase hub —
-the min-plus relaxation loop under an unrolled-CTE oracle)
-and stream_dedup (watermark-bounded streaming dedup graded
-through its deterministic min-event_id batch twin)
-and jsonl_interop (the text-format interop twin of orc_interop)
-and dedup_incremental (delta-vs-corpus-index anti-join dedup, the
-day-over-day ingestion form) and lm_bigram_score (bigram
-surprisal: the order-sensitive fluency twin of lm_unigram_score)
-and eval_auc (exact Mann-Whitney ROC-AUC from the distinct-score
-histogram — rank statistics without ranking the corpus)
-with at least one prior green driver
-row — verified locally each
+basket_pairs, period_growth, ab_test_metrics. A FINAL round-8 rotation then moved every remaining
+never-graded lane into the graded 50 — the wave-3 evaluation family
+eval_ndcg (NDCG@k from a literal integer discount table) /
+eval_calibration (the reliability table behind ECE) / eval_pr_curve
+(cumulative decile precision/recall/F1 operating points), drift_psi
+(two-snapshot population-stability drift), mmr_rerank (MMR
+diversified re-ranking under an unrolled greedy oracle),
+join_asof_nearest (nearest-direction as-of record linkage),
+graph_sssp (BFS hop distances, unrolled min-plus CTE oracle),
+stream_dedup (watermark-bounded streaming dedup graded through its
+deterministic batch twin), and the wave-2 stragglers jsonl_interop /
+dedup_incremental / lm_bigram_score / eval_auc — demoting twelve
+single-green round-7 veterans one-for-one (freq_items_topk,
+dedup_soft, mix_weights, strip_markup, ngram_counts,
+merge_intervals, markov_transitions, robust_stats, shard_manifest,
+batch_by_length, url_canonicalize, cms_counts — each keeps its r7
+green row, its oracle, its bench flag, and its place in the local
+sweep). After r8 grades, EVERY oracle-gated operator in the
+repo has a driver row. The EXTRA lane holds
+a hundred and five oracle-gated entries, every one with at least one
+prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
 larger budget grades it for free. Lane counts (50 graded / 105 EXTRA /

@@ -1320,15 +1320,17 @@ FROM fresh GROUP BY text
 # round-4 operators — VERDICT r5 #4, the final rotation). All five
 # keep their oracles + bench entries and stay in the local sweep.
 # dedup_incremental (round 8, post-swap) joins them never-graded.
-QUERIES: list[Query] = []
-
-EXTRA_QUERIES = [
+# dedup_incremental graded in the round-8 final rotation.
+QUERIES: list[Query] = [
     Query(
         "dedup_incremental",
         q_dedup_incremental,
         SQL_DEDUP_INCREMENTAL,
         ("llm", "dedup", "incremental"),
     ),
+]
+
+EXTRA_QUERIES = [
     Query("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("llm", "dedup"), bench=True),
     Query("dedup_embedding", q_dedup_embedding, SQL_DEDUP_EMBEDDING, ("llm", "dedup")),
     Query(

@@ -742,15 +742,16 @@ QUERIES = [
         ("llm", "graph", "iterative"),
         bench=True,  # the new peel loop, timed end-to-end
     ),
-]
-
-EXTRA_QUERIES: list[Query] = [
+    # round-8 final rotation: graph_sssp grades never-graded-first
     Query(
         "graph_sssp",
         q_graph_sssp,
         SQL_GRAPH_SSSP,
         ("llm", "graph", "iterative"),
     ),
+]
+
+EXTRA_QUERIES: list[Query] = [
     Query(
         "pagerank",
         q_pagerank,

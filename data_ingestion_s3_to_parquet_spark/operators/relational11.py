@@ -805,9 +805,7 @@ QUERIES = [
         SQL_ZORDER_LAYOUT,
         ("relational", "layout", "data-skipping"),
     ),
-]
-
-EXTRA_QUERIES: list[Query] = [
+    # round-8 final rotation: the three post-swap additions grade too
     Query(
         "jsonl_interop",
         q_jsonl_interop,
@@ -827,3 +825,5 @@ EXTRA_QUERIES: list[Query] = [
         ("llm", "evaluation", "statistics"),
     ),
 ]
+
+EXTRA_QUERIES: list[Query] = []

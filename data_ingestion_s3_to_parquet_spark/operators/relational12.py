@@ -803,9 +803,11 @@ FROM (
 # grading budget or the round-9 swap grades them first).
 # --------------------------------------------------------------------
 
-QUERIES: list[Query] = []
-
-EXTRA_QUERIES: list[Query] = [
+# Round-8 final rotation: the whole third wave moves into the graded
+# lane (never-graded-first) — twelve single-green round-7 veterans
+# demote one-for-one (see relational7). Every oracle-gated operator
+# in the repo either has a prior green driver row or is graded now.
+QUERIES: list[Query] = [
     Query(
         "eval_ndcg",
         q_eval_ndcg,
@@ -843,3 +845,5 @@ EXTRA_QUERIES: list[Query] = [
         ("relational", "join", "timeseries"),
     ),
 ]
+
+EXTRA_QUERIES: list[Query] = []

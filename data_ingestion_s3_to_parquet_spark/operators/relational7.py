@@ -452,6 +452,103 @@ def _promoted_r7_wave2() -> list[Query]:
             ("llm", "similarity", "approx", "topk"),
         ),
         Query(
+            "pmi_cooccur",
+            q_pmi_cooccur,
+            SQL_PMI_COOCCUR,
+            ("llm", "text", "agg"),
+        ),
+        Query(
+            "session_paths",
+            q_session_paths,
+            SQL_SESSION_PATHS,
+            ("relational", "analytics", "window"),
+        ),
+        Query(
+            "chi2_contingency",
+            q_chi2_contingency,
+            SQL_CHI2_CONTINGENCY,
+            ("relational", "analytics", "statistics"),
+        ),
+        Query(
+            "ann_two_stage",
+            q_ann_two_stage,
+            SQL_ANN_TWO_STAGE,
+            ("llm", "similarity", "approx", "topk", "pipeline"),
+        ),
+        Query(
+            "entropy_score",
+            q_entropy_score,
+            SQL_ENTROPY_SCORE,
+            ("llm", "text", "quality"),
+        ),
+        Query(
+            "content_chunks",
+            q_content_chunks,
+            SQL_CONTENT_CHUNKS,
+            ("llm", "text", "dedup", "rag"),
+            bench=True,  # the token-window + fingerprint-window representative
+        ),
+        Query(
+            "word_filter",
+            q_word_filter,
+            SQL_WORD_FILTER,
+            ("llm", "text", "quality"),
+        ),
+    ]
+
+
+# Graded lane contribution: the round-6 trio and the 28 round-7
+# promotees. The round-5 veterans that used to sit here
+# (window_distribution, interleave_mix, text_normalize — green r5+r6)
+# all demoted in round 7: the first two post-wave-2 in exchange for
+# the new dsir_weights / token_budget_select (registered in
+# trainprep), interleave_mix in wave 2.
+QUERIES = _promoted_r7() + _promoted_r7_wave2()
+
+# New never-graded operators register HERE — the first
+# EXTRA-contributing module in registry order — so they lead the lane
+# and a larger harness budget (or the next swap) grades them first.
+# As of the round-7 wave-2 rotation the lane holds only entries with
+# prior green driver rows; the three round-5 veterans above lead it.
+def _demoted_r8() -> list[Query]:
+    """The round-8 final-rotation demotees (each green in r7): their
+    graded slots went to the twelve never-graded round-8 lanes
+    (relational12's evaluation family, mmr_rerank, join_asof_nearest,
+    graph_sssp, stream_dedup, jsonl_interop, dedup_incremental,
+    lm_bigram_score, eval_auc). They lead the EXTRA lane with their
+    oracles and bench flags intact."""
+    from .dedup import SQL_DEDUP_SOFT, q_dedup_soft
+    from .relational9 import (
+        SQL_MARKOV_TRANSITIONS,
+        SQL_MERGE_INTERVALS,
+        SQL_ROBUST_STATS,
+        q_markov_transitions,
+        q_merge_intervals,
+        q_robust_stats,
+    )
+    from .textstats import (
+        SQL_CMS_COUNTS,
+        SQL_FREQ_ITEMS_TOPK,
+        SQL_NGRAM_COUNTS,
+        SQL_STRIP_MARKUP,
+        SQL_URL_CANONICALIZE,
+        q_cms_counts,
+        q_freq_items_topk,
+        q_ngram_counts,
+        q_strip_markup,
+        q_url_canonicalize,
+    )
+    from .trainprep import (
+        SQL_BATCH_BY_LENGTH,
+        SQL_MIX_WEIGHTS,
+        SQL_SHARD_MANIFEST,
+        q_batch_by_length,
+        q_mix_weights,
+        q_shard_manifest,
+    )
+
+    return [
+        Query(
             "freq_items_topk",
             q_freq_items_topk,
             SQL_FREQ_ITEMS_TOPK,
@@ -525,66 +622,10 @@ def _promoted_r7_wave2() -> list[Query]:
             SQL_CMS_COUNTS,
             ("llm", "text", "agg", "approx"),
         ),
-        Query(
-            "pmi_cooccur",
-            q_pmi_cooccur,
-            SQL_PMI_COOCCUR,
-            ("llm", "text", "agg"),
-        ),
-        Query(
-            "session_paths",
-            q_session_paths,
-            SQL_SESSION_PATHS,
-            ("relational", "analytics", "window"),
-        ),
-        Query(
-            "chi2_contingency",
-            q_chi2_contingency,
-            SQL_CHI2_CONTINGENCY,
-            ("relational", "analytics", "statistics"),
-        ),
-        Query(
-            "ann_two_stage",
-            q_ann_two_stage,
-            SQL_ANN_TWO_STAGE,
-            ("llm", "similarity", "approx", "topk", "pipeline"),
-        ),
-        Query(
-            "entropy_score",
-            q_entropy_score,
-            SQL_ENTROPY_SCORE,
-            ("llm", "text", "quality"),
-        ),
-        Query(
-            "content_chunks",
-            q_content_chunks,
-            SQL_CONTENT_CHUNKS,
-            ("llm", "text", "dedup", "rag"),
-            bench=True,  # the token-window + fingerprint-window representative
-        ),
-        Query(
-            "word_filter",
-            q_word_filter,
-            SQL_WORD_FILTER,
-            ("llm", "text", "quality"),
-        ),
     ]
 
 
-# Graded lane contribution: the round-6 trio and the 28 round-7
-# promotees. The round-5 veterans that used to sit here
-# (window_distribution, interleave_mix, text_normalize — green r5+r6)
-# all demoted in round 7: the first two post-wave-2 in exchange for
-# the new dsir_weights / token_budget_select (registered in
-# trainprep), interleave_mix in wave 2.
-QUERIES = _promoted_r7() + _promoted_r7_wave2()
-
-# New never-graded operators register HERE — the first
-# EXTRA-contributing module in registry order — so they lead the lane
-# and a larger harness budget (or the next swap) grades them first.
-# As of the round-7 wave-2 rotation the lane holds only entries with
-# prior green driver rows; the three round-5 veterans above lead it.
-EXTRA_QUERIES: list[Query] = [
+EXTRA_QUERIES: list[Query] = _demoted_r8() + [
     Query(
         "interleave_mix",
         q_interleave_mix,

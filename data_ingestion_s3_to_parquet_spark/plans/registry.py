@@ -116,16 +116,19 @@ REGISTRY: dict[str, Query] = _collect()
 # wave-3 rotation (plus round 8's five demotions — anomaly_zscore,
 # time_weighted_avg, funnel_conversion, retention_cohort,
 # corpus_report — for rank_bm25 / ewma_smooth / rank_fusion_rrf /
-# dup_span_max / pipeline_fineweb) this lane holds
-# a hundred and five entries in the lane (the round-8 second wave demoted
-# chunk_text, basket_pairs, period_growth, ab_test_metrics — green
-# r6+r7 — for orc_interop / acf_lags / ccnet_buckets / zorder_layout;
-# jsonl_interop, dedup_incremental, lm_bigram_score, and eval_auc,
-# built after the swap, ride the lane never-graded, and the round-8
-# third-wave evaluation family eval_ndcg / eval_calibration / eval_pr_curve / drift_psi /
-# mmr_rerank / join_asof_nearest leads it
-# and graph_sssp / stream_dedup ride it at their family modules),
-# otherwise EVERY one
+# dup_span_max / pipeline_fineweb; then the round-8 second wave
+# demoted chunk_text, basket_pairs, period_growth, ab_test_metrics —
+# green r6+r7 — for orc_interop / acf_lags / ccnet_buckets /
+# zorder_layout; and the round-8 FINAL rotation promoted all twelve
+# remaining never-graded lanes — the wave-3 evaluation / drift /
+# retrieval / graph / streaming additions plus the wave-2 stragglers
+# jsonl_interop / dedup_incremental / lm_bigram_score / eval_auc —
+# demoting the twelve single-green r7 veterans freq_items_topk,
+# dedup_soft, mix_weights, strip_markup, ngram_counts,
+# merge_intervals, markov_transitions, robust_stats, shard_manifest,
+# batch_by_length, url_canonicalize, cms_counts, which now LEAD the
+# lane) this lane holds
+# a hundred and five entries in the lane, EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

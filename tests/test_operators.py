@@ -893,13 +893,17 @@ def test_lane_counts_match_docs():
     assert len(REGISTRY) == 50
     assert len(EXTRA) == 105
     assert len(BENCH_ONLY) == 7
-    # the post-swap round-8 additions ride the EXTRA lane never-graded,
-    # newest wave first (relational12's evaluation family leads)
-    assert list(EXTRA)[:2] == ["eval_ndcg", "eval_calibration"]
-    assert "jsonl_interop" in EXTRA
-    assert "dedup_incremental" in EXTRA
-    assert "lm_bigram_score" in EXTRA
-    assert "eval_auc" in EXTRA
+    # round-8 final rotation: every never-graded lane moved INTO the
+    # graded 50 (so every oracle-gated operator either has a prior
+    # green driver row or grades in r8); the twelve demoted r7
+    # veterans lead the EXTRA lane with their single green rows
+    for k in ("eval_ndcg", "eval_calibration", "eval_pr_curve",
+              "drift_psi", "mmr_rerank", "join_asof_nearest",
+              "graph_sssp", "stream_dedup", "jsonl_interop",
+              "dedup_incremental", "lm_bigram_score", "eval_auc"):
+        assert k in REGISTRY, k
+    assert list(EXTRA)[0] == "freq_items_topk"
+    assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
         "knn_graph_lsh",
@@ -909,133 +913,62 @@ def test_lane_counts_match_docs():
         "media_phash",
         "dedup_passages_scale",  # r8: VERDICT r7 #7
     }
-    # round 8, SECOND wave: orc_interop / acf_lags / ccnet_buckets /
-    # zorder_layout graded immediately (never-graded-first, right
-    # after ingest_parity); chunk_text, basket_pairs, period_growth,
-    # ab_test_metrics (all green r6+r7) demoted one-for-one
-    assert list(REGISTRY)[1:5] == [
-        "orc_interop", "acf_lags", "ccnet_buckets", "zorder_layout"
+    # round 8, final rotation: the wave-3 lanes lead right after
+    # ingest_parity; the wave-2 and wave-1 promotees stay graded
+    assert list(REGISTRY)[1:7] == [
+        "eval_ndcg", "eval_calibration", "eval_pr_curve",
+        "drift_psi", "mmr_rerank", "join_asof_nearest",
     ]
-    demoted_r8_w2 = {
+    for k in ("orc_interop", "acf_lags", "ccnet_buckets",
+              "zorder_layout", "rank_bm25", "ewma_smooth",
+              "rank_fusion_rrf", "pipeline_fineweb", "dup_span_max"):
+        assert k in REGISTRY, k
+    # earlier-round demotees stay EXTRA with their green rows
+    demoted = {
         "chunk_text", "basket_pairs", "period_growth", "ab_test_metrics",
-    }
-    assert demoted_r8_w2 <= set(EXTRA)
-    assert not demoted_r8_w2 & set(REGISTRY)
-    # round 8, first wave: five NEW operators graded (never-graded-
-    # first; pipeline_fineweb + dup_span_max ride with their trainprep
-    # family at 46-47); anomaly_zscore, time_weighted_avg,
-    # funnel_conversion, retention_cohort, corpus_report (all green
-    # r6+r7) demoted one-for-one
-    assert list(REGISTRY)[5:8] == [
-        "rank_bm25", "ewma_smooth", "rank_fusion_rrf"
-    ]
-    assert list(REGISTRY)[46:48] == ["pipeline_fineweb", "dup_span_max"]
-    demoted_r8 = {
         "anomaly_zscore", "time_weighted_avg", "funnel_conversion",
         "retention_cohort", "corpus_report",
     }
-    assert demoted_r8 <= set(EXTRA)
-    assert not demoted_r8 & set(REGISTRY)
-    # round 7 completed the rotation programme (VERDICT r6 #1) in
-    # waves. The THIRD wave (relational10) follows; recursive_cte /
-    # data_expectations / value_histogram demoted in exchange (green
-    # rows r5/r6)…
-    promoted_r7_wave3 = [
-        "doc_winnow",
-        "inverted_index",
-        "changepoint_cusum",
-        "winnow_overlap",
-    ]
-    assert list(REGISTRY)[8:12] == promoted_r7_wave3
-    assert {"link_predict", "kcore_decompose"} <= set(REGISTRY)
-    assert all(
-        k in EXTRA
-        for k in (
-            "recursive_cte",
-            "data_expectations",
-            "value_histogram",
-            "pagerank",
-            "sample_stratified",
-            "unpivot_stack",
-        )
-    )
-    # …then the round-6 trio…
-    promoted_r7 = ["dedup_passages", "emb_gram", "dedup_keep_best"]
-    assert list(REGISTRY)[12:15] == promoted_r7
-    # …and the 28 wave-2 round-7 operators, so every
-    # never-driver-graded entry grades THIS round
-    promoted_r7_wave2 = [
-        "graph_triangles",
-        "bpe_merges",
-        "bpe_apply",
-        "vocab_coverage",
-        "stream_join_interval",
-        "kmeans_embeddings",
-        "sim_join_kmeans",
-        "pq_encode",
-        "ann_pq_topk",
-        "freq_items_topk",
-        "dedup_soft",
-        "mix_weights",
-        "strip_markup",
-        "ngram_counts",
-        "merge_intervals",
-        "markov_transitions",
-        "robust_stats",
-        "shard_manifest",
-        "batch_by_length",
-        "url_canonicalize",
-        "cms_counts",
-        "pmi_cooccur",
-        "session_paths",
-        "chi2_contingency",
-        "ann_two_stage",
-        "entropy_score",
-        "content_chunks",
-        "word_filter",
-    ]
-    assert list(REGISTRY)[15:43] == promoted_r7_wave2
-    # the EXTRA lane holds ONLY entries with prior green driver rows:
-    # the wave-1 demotees plus the 28 wave-2 demotees (multi-green
-    # veterans traded for the wave-2 promotees)
-    demoted_r7 = ["sample_span_mask", "lm_unigram_score", "udf_scalar"]
-    assert all(k in EXTRA for k in demoted_r7)
-    demoted_r7_wave2 = [
-        "interleave_mix",
-        "window_range_interval",
-        "profile_table",
-        "agg_skew_salted",
-        "fuzzy_match_strings",
-        "skyline_frontier",
-        "label_propagation",
-        "sim_join",
-        "ann_ivf_topk",
-        "text_stats",
-        "doc_fingerprint",
-        "lang_id",
-        "tfidf_top_terms",
-        "quality_classifier",
-        "multimodal_cols",
-        "array_map_json",
-        "stream_tumbling",
-        "stream_sliding",
-        "stream_session",
-        "join_bloom_prefilter",
-        "cdc_apply",
-        "sample_weighted",
-        "udtf_lateral",
-        "agg_hll_sketch",
-        "resample_ffill",
-        "json_variant",
-        "higher_order_funcs",
-        "scd2_history",
-    ]
-    assert all(k in EXTRA for k in demoted_r7_wave2)
-    assert len(demoted_r7_wave2) == 28
-    # the post-wave-2 additions grade immediately, demoting
-    # window_distribution, text_normalize, and knn_graph
-    assert list(REGISTRY)[43] == "corr_pearson"
-    assert list(REGISTRY)[48:50] == ["dsir_weights", "token_budget_select"]
+    assert demoted <= set(EXTRA)
+    assert not demoted & set(REGISTRY)
+    # every pre-final-rotation graded cohort stays graded (membership,
+    # not positions — the final rotation reordered the prefix)
+    for k in (
+        "doc_winnow", "inverted_index", "changepoint_cusum",
+        "winnow_overlap", "dedup_passages", "emb_gram",
+        "dedup_keep_best", "graph_triangles", "bpe_merges", "bpe_apply",
+        "vocab_coverage", "stream_join_interval", "kmeans_embeddings",
+        "sim_join_kmeans", "pq_encode", "ann_pq_topk", "pmi_cooccur",
+        "session_paths", "chi2_contingency", "ann_two_stage",
+        "entropy_score", "content_chunks", "word_filter", "corr_pearson",
+        "link_predict", "kcore_decompose", "dsir_weights",
+        "token_budget_select",
+    ):
+        assert k in REGISTRY, k
+    # demoted cohorts from every earlier rotation stay EXTRA (each has
+    # at least one green driver row)
+    for k in (
+        # r7 wave-1/wave-2/wave-3 + post-wave-2 demotees
+        "sample_span_mask", "lm_unigram_score", "udf_scalar",
+        "interleave_mix", "window_range_interval", "profile_table",
+        "agg_skew_salted", "fuzzy_match_strings", "skyline_frontier",
+        "label_propagation", "sim_join", "ann_ivf_topk", "text_stats",
+        "doc_fingerprint", "lang_id", "tfidf_top_terms",
+        "quality_classifier", "multimodal_cols", "array_map_json",
+        "stream_tumbling", "stream_sliding", "stream_session",
+        "join_bloom_prefilter", "cdc_apply", "sample_weighted",
+        "udtf_lateral", "agg_hll_sketch", "resample_ffill",
+        "json_variant", "higher_order_funcs", "scd2_history",
+        "recursive_cte", "data_expectations", "value_histogram",
+        "pagerank", "sample_stratified", "unpivot_stack",
+        "window_distribution", "text_normalize", "knn_graph",
+        # r8 final-rotation demotees (green r7)
+        "freq_items_topk", "dedup_soft", "mix_weights", "strip_markup",
+        "ngram_counts", "merge_intervals", "markov_transitions",
+        "robust_stats", "shard_manifest", "batch_by_length",
+        "url_canonicalize", "cms_counts",
+    ):
+        assert k in EXTRA, k
     assert "winnow_overlap" in REGISTRY
     assert "window_distribution" in EXTRA
     assert "text_normalize" in EXTRA
