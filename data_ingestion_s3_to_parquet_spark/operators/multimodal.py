@@ -513,7 +513,24 @@ def decode_media(kind: str, payload: bytes) -> dict:
         return decode_qoi_features(payload)
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         return decode_aiff(payload)
+    if payload[:4] == b".snd":
+        return decode_au(payload)
     _decode_stub(kind, payload)
+
+
+def decode_au(payload: bytes) -> dict:
+    """REAL audio decode for Sun AU (``functions/au.py`` — µ-law via
+    the shared G.711 tables, 8/16-bit linear PCM): the same exact
+    integer features as :func:`decode_wav`."""
+    from ..functions.au import au_samples
+
+    rate, n_ch, arr = au_samples(payload)
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "n_samples": int(arr.size),
+        "energy": int((arr * arr).sum()),
+    }
 
 
 def decode_aiff(payload: bytes) -> dict:
@@ -1099,6 +1116,17 @@ def media_probe(media: DataFrame) -> DataFrame:
                 n_tracks=m["n_channels"],
                 audio_codec=m["codec"],
             )
+        if payload[:4] == b".snd":
+            from ..functions.au import probe_au
+
+            m = probe_au(payload)
+            return dict(
+                ok=True,
+                container="au",
+                duration_sec=m["duration_sec"],
+                n_tracks=m["n_channels"],
+                audio_codec=m["codec"],
+            )
         if payload[:4] == b"fLaC":
             from ..functions.flac import probe_flac
 
@@ -1123,7 +1151,7 @@ def media_probe(media: DataFrame) -> DataFrame:
             )
         raise ValueError(
             "unrecognized container "
-            "(ISO-BMFF/MP3/BMP/PNG/GIF/WAV/AIFF/JPEG/TIFF/QOI/FLAC/OGG/AVI)"
+            "(ISO-BMFF/MP3/BMP/PNG/GIF/WAV/AIFF/AU/JPEG/TIFF/QOI/FLAC/OGG/AVI)"
         )
 
     def _probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

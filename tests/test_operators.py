@@ -4845,6 +4845,9 @@ def test_media_probe_covers_all_header_only_formats(spark):
     aiff = build_aiff(
         np.zeros(4000, dtype=np.int16), sample_rate=8000, n_channels=2
     )
+    from data_ingestion_s3_to_parquet_spark.functions.au import build_au
+
+    au = build_au(np.zeros(4000, dtype=np.int16), sample_rate=16000)
     opus = build_ogg_opus(channels=2, input_rate=24000, n_samples_48k=120000)
     rows = [
         (1, "image", bytearray(build_test_bmp(img)), None, None, None, None),
@@ -4858,6 +4861,7 @@ def test_media_probe_covers_all_header_only_formats(spark):
         (8, "audio", bytearray(opus), None, None, None, None),
         (9, "image", bytearray(build_qoi(img)), None, None, None, None),
         (10, "audio", bytearray(aiff), None, None, None, None),
+        (11, "audio", bytearray(au), None, None, None, None),
     ]
     got = {
         r.media_id: r
@@ -4885,6 +4889,9 @@ def test_media_probe_covers_all_header_only_formats(spark):
     a = got[10]
     assert (a.container, a.audio_codec, a.n_tracks) == ("aiff", "pcm", 2)
     assert a.duration_sec == 0.25  # 2000 frames at 8 kHz
+    u = got[11]
+    assert (u.container, u.audio_codec, u.n_tracks) == ("au", "pcm16", 1)
+    assert u.duration_sec == 0.25  # 4000 frames at 16 kHz
 
 
 def test_rank_bm25_matches_pure_python_recompute(spark, sf_dir):

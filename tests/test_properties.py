@@ -2490,3 +2490,94 @@ def test_adpcm_stereo_probe_duration_matches_decode(spark):
     assert got.ok and got.audio_codec == "ima_adpcm" and got.n_tracks == 2
     _, _, arr = wav_samples(wav)
     assert got.duration_sec == round((arr.size // 2) / 22050, 3)
+
+
+@given(
+    n=st.integers(1, 300),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    ch=st.sampled_from([1, 2]),
+    enc=st.sampled_from([2, 3]),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=50, deadline=None)
+def test_au_roundtrip_lossless_pcm(n, rate, ch, enc, seed):
+    """build_au → au_samples is bit-lossless for 8- and 16-bit linear
+    PCM at any channel count; probe geometry matches without decode."""
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.au import (
+        au_samples,
+        build_au,
+        probe_au,
+    )
+
+    rng = np.random.default_rng(seed)
+    if enc == 3:
+        samples = rng.integers(-32768, 32768, n * ch).astype("int16")
+    else:
+        samples = rng.integers(-128, 128, n * ch).astype("int8")
+    payload = build_au(
+        samples, sample_rate=rate, n_channels=ch, encoding=enc
+    )
+    m = probe_au(payload)
+    assert (m["sample_rate"], m["n_channels"], m["n_frames"]) == (rate, ch, n)
+    got_rate, got_ch, arr = au_samples(payload)
+    assert (got_rate, got_ch) == (rate, ch)
+    assert (arr == samples.astype(np.int64)).all()
+
+
+def test_au_ulaw_decodes_through_shared_g711_tables():
+    # an AU µ-law payload and a WAV µ-law payload of the SAME codes
+    # must decode to identical linear samples (one companding table,
+    # two containers)
+    import numpy as np
+
+    from data_ingestion_s3_to_parquet_spark.functions.au import (
+        AU_ENC_ULAW,
+        au_samples,
+        build_au,
+    )
+    from data_ingestion_s3_to_parquet_spark.functions.g711 import ulaw_decode
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 256, 500, dtype=np.uint8)
+    payload = build_au(
+        codes, sample_rate=8000, n_channels=1, encoding=AU_ENC_ULAW
+    )
+    rate, ch, arr = au_samples(payload)
+    assert (rate, ch) == (8000, 1)
+    assert (arr == ulaw_decode(codes.tobytes()).astype(np.int64)).all()
+    # unknown-size header (0xFFFFFFFF) still decodes to the full tail
+    import struct
+
+    patched = payload[:8] + struct.pack(">I", 0xFFFFFFFF) + payload[12:]
+    _, _, arr2 = au_samples(patched)
+    assert (arr2 == arr).all()
+
+
+def test_au_probe_decode_media_and_rejections():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.functions.au import build_au
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    samples = np.array([1000, -2000, 3000, -4000], dtype=np.int16)
+    payload = build_au(samples, sample_rate=16000, n_channels=2)
+    got = decode_media("audio", payload)
+    assert got == {
+        "sample_rate": 16000,
+        "n_channels": 2,
+        "n_samples": 4,
+        "energy": int((samples.astype(np.int64) ** 2).sum()),
+    }
+    # a float-encoded AU (encoding 6) raises at the codec seam
+    hdr = b".snd" + struct.pack(">IIIII", 24, 8, 6, 8000, 1)
+    with pytest.raises(NotImplementedError):
+        decode_media("audio", hdr + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        decode_media("audio", b".snd\x00\x00")  # truncated header
