@@ -38,6 +38,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dsum
 from ..plans.spec import Query
 from ..sources.catalog import load_table
 
@@ -797,6 +798,154 @@ FROM (
 
 
 # --------------------------------------------------------------------
+# ts_interpolate
+# --------------------------------------------------------------------
+
+# One shared interpolation expression (the _BM25_MICRO_EXPR rule):
+# v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev) on
+# epoch-second integers and the decimal-rounded hourly sums — the
+# identical IEEE sequence in both engines, micro-quantized once.
+# Known buckets emit their own (exact) value; gaps outside the first/
+# last observation stay NULL (no extrapolation — the standard
+# time_bucket_gapfill/interpolate contract).
+_TSI_EXPR = (
+    "CASE WHEN n_events > 0 THEN CAST(ROUND(sum_value * 1000000, 0)"
+    " AS BIGINT) "
+    "WHEN pv IS NULL OR nv IS NULL THEN NULL "
+    "ELSE CAST(ROUND((pv + (nv - pv)"
+    " * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)))"
+    " * 1000000, 0) AS BIGINT) END"
+)
+
+
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on the regularized hourly grid — the
+    twin of ``resample_ffill`` for quantities where carrying the last
+    value lies (rates, gauges, slowly-varying levels): empty buckets
+    between two observations take the straight line between them,
+    buckets before the first / after the last observation stay NULL
+    (no extrapolation). The TimescaleDB
+    ``time_bucket_gapfill``/``interpolate`` shape.
+
+    Exactness: hourly sums are the decimal-exact 2-dp doubles the
+    ffill lane already proves cross-engine; epochs are int64 seconds;
+    the interpolation is ONE shared expression string rounded once to
+    micro units.
+
+    Scale shape: identical to ``resample_ffill`` — one combinable
+    groupBy over the scan, a spine exploded from the tiny per-key
+    bounds row, then one window partition per key carrying four
+    ignore-nulls last/first frames over the BUCKET-sized frame
+    (calendar-bounded, never event-proportional). Spark computes all
+    four functions in two window frames over one sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy(F.col("event_type"), bucket.alias("bucket")).agg(
+        dsum(F.col("value"), "sum_value", 2),
+        F.count("*").alias("n_events"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    j = (
+        spine.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            "sum_value",
+            F.unix_timestamp("bucket").alias("t"),
+            F.when(
+                F.col("n_events").isNotNull(),
+                F.unix_timestamp("bucket"),
+            ).alias("kt"),
+        )
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    k = j.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "sum_value",
+        "t",
+        F.last("sum_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last("kt", ignorenulls=True).over(wp).alias("pt"),
+        F.first("sum_value", ignorenulls=True).over(wn).alias("nv"),
+        F.first("kt", ignorenulls=True).over(wn).alias("nt"),
+    )
+    return k.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.expr(_TSI_EXPR).alias("interp_micro"),
+    )
+
+
+SQL_TS_INTERPOLATE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,8))), 2) AS DOUBLE)
+           AS sum_value,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+  FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+j AS (
+  SELECT s.event_type, s.bucket,
+         COALESCE(h.n_events, 0) AS n_events,
+         h.sum_value,
+         CAST(epoch(s.bucket) AS BIGINT) AS t,
+         CASE WHEN h.n_events IS NOT NULL
+              THEN CAST(epoch(s.bucket) AS BIGINT) END AS kt
+  FROM spine s
+  LEFT JOIN hourly h ON s.event_type = h.event_type AND s.bucket = h.bucket
+),
+k AS (
+  SELECT event_type, bucket, n_events, sum_value, t,
+         LAST_VALUE(sum_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(kt IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         FIRST_VALUE(sum_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(kt IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket, n_events,
+       {_TSI_EXPR} AS interp_micro
+FROM k
+"""
+
+
+# --------------------------------------------------------------------
 # Registration: EXTRA lane, never-graded-first (this module precedes
 # relational11 in the registry order, so these lead the EXTRA lane
 # ahead of jsonl_interop / lm_bigram_score / eval_auc — a larger
@@ -846,4 +995,13 @@ QUERIES: list[Query] = [
     ),
 ]
 
-EXTRA_QUERIES: list[Query] = []
+EXTRA_QUERIES: list[Query] = [
+    # post-final-rotation addition: leads the EXTRA lane never-graded
+    # (the next swap or a larger budget grades it first)
+    Query(
+        "ts_interpolate",
+        q_ts_interpolate,
+        SQL_TS_INTERPOLATE,
+        ("relational", "timeseries", "window"),
+    ),
+]

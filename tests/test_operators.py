@@ -891,7 +891,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 105
+    assert len(EXTRA) == 106
     assert len(BENCH_ONLY) == 7
     # round-8 final rotation: every never-graded lane moved INTO the
     # graded 50 (so every oracle-gated operator either has a prior
@@ -902,7 +902,8 @@ def test_lane_counts_match_docs():
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc"):
         assert k in REGISTRY, k
-    assert list(EXTRA)[0] == "freq_items_topk"
+    assert list(EXTRA)[0] == "ts_interpolate"  # newest, never-graded
+    assert list(EXTRA)[1] == "freq_items_topk"
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -6129,3 +6130,92 @@ def test_join_asof_nearest_planted_directions(spark, tmp_path):
     assert got[1] == (101, 30 * 60)       # forward wins (30min < 1h)
     assert got[2] == (101, -(9 * 3600 + 30 * 60))  # backward only
     assert got[3] == (102, -3600)         # tie -> earlier order
+
+
+def test_ts_interpolate_planted_gaps_and_no_extrapolation(spark, tmp_path):
+    # knowns at hours 0 (sum 10.0) and 3 (sum 40.0) with a gap at 1-2:
+    # linear fill gives 20.0 / 30.0 exactly; a second type observed
+    # only once has no gap; buckets outside the observed range never
+    # appear (spine is min..max per key)
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        q_ts_interpolate,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(minutes=5), 1, "click", 10.0, "{}"),
+        (2, base + dt.timedelta(hours=3, minutes=9), 1, "click", 40.0, "{}"),
+        (3, base + dt.timedelta(hours=1), 2, "view", 7.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.event_type, r.bucket.hour): (r.n_events, r.interp_micro)
+        for r in q_ts_interpolate(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("click", 0): (1, 10_000_000),
+        ("click", 1): (0, 20_000_000),  # 10 + (40-10) * 1/3
+        ("click", 2): (0, 30_000_000),
+        ("click", 3): (1, 40_000_000),
+        ("view", 1): (1, 7_000_000),
+    }
+
+
+def test_ts_interpolate_matches_pure_python_recompute(spark, sf_dir):
+    # full-fixture recompute: hourly decimal sums -> spine -> linear
+    # interpolation in plain Python, micro-rounded with the same
+    # formula
+    import datetime as dt
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        q_ts_interpolate,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    hourly = defaultdict(lambda: [Decimal(0), 0])
+    for r in rows:
+        b = r.ts.replace(minute=0, second=0, microsecond=0)
+        cell = hourly[(r.event_type, b)]
+        cell[0] += Decimal(repr(r.value))
+        cell[1] += 1
+    sums = {
+        k: float(
+            v[0].quantize(Decimal("0.01"), rounding="ROUND_HALF_UP")
+        )
+        for k, v in hourly.items()
+    }
+    expected = {}
+    for et in {k[0] for k in sums}:
+        buckets = sorted(b for (e, b) in sums if e == et)
+        lo, hi = buckets[0], buckets[-1]
+        known = {b: sums[(et, b)] for b in buckets}
+        b = lo
+        while b <= hi:
+            if b in known:
+                expected[(et, b)] = (
+                    hourly[(et, b)][1],
+                    round(known[b] * 1e6),
+                )
+            else:
+                pb = max(x for x in buckets if x < b)
+                nb = min(x for x in buckets if x > b)
+                pv, nv = known[pb], known[nb]
+                frac = (b - pb).total_seconds() / (nb - pb).total_seconds()
+                expected[(et, b)] = (0, round((pv + (nv - pv) * frac) * 1e6))
+            b += dt.timedelta(hours=1)
+    got = {
+        (r.event_type, r.bucket): (r.n_events, r.interp_micro)
+        for r in q_ts_interpolate(spark, sf_dir).collect()
+    }
+    assert got == expected
