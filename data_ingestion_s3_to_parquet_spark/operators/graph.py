@@ -748,6 +748,7 @@ QUERIES = [
         q_graph_sssp,
         SQL_GRAPH_SSSP,
         ("llm", "graph", "iterative"),
+        bench=True,  # the frontier BFS loop, timed end-to-end
     ),
 ]
 

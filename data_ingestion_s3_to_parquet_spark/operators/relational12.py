@@ -986,6 +986,7 @@ QUERIES: list[Query] = [
         q_mmr_rerank,
         _sql_mmr_rerank(),
         ("llm", "retrieval", "similarity", "iterative"),
+        bench=True,  # scoring + pairwise-overlap build + bounded greedy
     ),
     Query(
         "join_asof_nearest",
