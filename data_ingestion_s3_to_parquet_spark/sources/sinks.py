@@ -289,6 +289,39 @@ def _sized_file_count(data_dir: str, target_file_bytes: int) -> int:
     return max(1, math.ceil(total / target_file_bytes))
 
 
+def _atomic_exchange(a: str, b: str) -> bool:
+    """Atomically SWAP two paths via Linux ``renameat2(...,
+    RENAME_EXCHANGE)`` — both names exist at every instant, so a
+    reader can never observe a missing directory. Returns False (and
+    swaps nothing) when the libc symbol or the filesystem doesn't
+    support the flag (non-Linux, some network/overlay mounts), in
+    which case the caller falls back to the documented two-rename
+    dance. Any other errno is a real failure and raises."""
+    import ctypes
+    import errno as _errno
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        fn = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    at_fdcwd = -100
+    rename_exchange = 2
+    rc = fn(
+        at_fdcwd,
+        os.fsencode(a),
+        at_fdcwd,
+        os.fsencode(b),
+        rename_exchange,
+    )
+    if rc == 0:
+        return True
+    err = ctypes.get_errno()
+    if err in (_errno.EINVAL, _errno.ENOSYS, _errno.ENOTSUP, _errno.EXDEV):
+        return False
+    raise OSError(err, os.strerror(err), a)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -314,14 +347,18 @@ def compact_parquet(
       generation. No rename of data, no window where the table is
       unreadable — the object-store-safe lane (see the manifest-table
       note above).
-    - **Plain parquet directory**: write-to-side-dir + two renames —
-      the local-FS lane. Between the renames ``path`` briefly does not
-      exist (a reader in that window fails and retries); a crash there
-      leaves the complete old layout at ``*._compact_old``, and stale
-      ``._compact_tmp`` / ``._compact_old`` leftovers are cleaned up
-      (or restored) on the next call, so compaction is always
-      retryable. To remove the existence window entirely, migrate the
-      directory once with :func:`manifest_table_write`.
+    - **Plain parquet directory**: write to a side dir, then
+      atomically EXCHANGE it with the live directory via Linux
+      ``renameat2(RENAME_EXCHANGE)`` (:func:`_atomic_exchange`) — the
+      table exists at every instant and a crash after the swap merely
+      leaves the old layout in the tmp dir for the next call's
+      cleanup. Where the syscall/filesystem lacks the flag the code
+      falls back to the previous two-rename dance, whose brief
+      existence window (reader fails and retries) and
+      ``*._compact_old`` crash-recovery behavior are kept verbatim.
+      Object-store deployments should still migrate once with
+      :func:`manifest_table_write` — renames of any kind are not
+      atomic there.
     """
     if is_manifest_table(path):
         _gc_generations(path)  # orphans from any crashed prior run
@@ -353,9 +390,12 @@ def compact_parquet(
     spark.read.parquet(path).repartition(n_files).write.mode(
         "overwrite"
     ).parquet(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    if _atomic_exchange(tmp, path):
+        shutil.rmtree(tmp)  # now holds the superseded old layout
+    else:
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
     return n_files
 
 

@@ -475,3 +475,68 @@ def test_write_parquet_tuned_zstd_and_bloom(spark, tmp_path):
     )
     assert size(bloom) > size(plain)  # the bitset is actually in the file
     assert {(r.id, r.k) for r in spark.read.parquet(bloom).collect()} == rows
+
+
+def test_atomic_exchange_swaps_or_reports_unsupported(tmp_path):
+    # renameat2(RENAME_EXCHANGE): both directories exist at every
+    # instant; on filesystems without the flag the helper must return
+    # False without touching anything
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import (
+        _atomic_exchange,
+    )
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    (a / "x").write_text("A")
+    (b / "y").write_text("B")
+    swapped = _atomic_exchange(str(a), str(b))
+    if swapped:
+        assert sorted(p.name for p in a.iterdir()) == ["y"]
+        assert sorted(p.name for p in b.iterdir()) == ["x"]
+    else:  # unsupported filesystem: nothing moved
+        assert sorted(p.name for p in a.iterdir()) == ["x"]
+        assert sorted(p.name for p in b.iterdir()) == ["y"]
+
+
+def test_compact_parquet_exchange_leaves_no_window_or_debris(
+    spark, sf_dir, tmp_path
+):
+    # on a RENAME_EXCHANGE filesystem the plain-directory compactor
+    # must never let the path vanish: the path exists before, after,
+    # and (by the syscall's atomicity) at every instant in between;
+    # afterwards no tmp/old debris remains. Also pin the
+    # post-exchange-crash recovery: a leftover tmp holding the OLD
+    # layout next to an intact target is discarded on the next run.
+    import shutil
+
+    from data_ingestion_s3_to_parquet_spark.sources.sinks import (
+        _atomic_exchange,
+        compact_parquet,
+    )
+
+    probe_a, probe_b = tmp_path / "pa", tmp_path / "pb"
+    probe_a.mkdir()
+    probe_b.mkdir()
+    if not _atomic_exchange(str(probe_a), str(probe_b)):
+        import pytest
+
+        pytest.skip("filesystem lacks RENAME_EXCHANGE")
+
+    out = str(tmp_path / "data")
+    li = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li.repartition(4).write.parquet(out)
+    before = spark.read.parquet(out).count()
+    compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert os.path.exists(out)
+    assert spark.read.parquet(out).count() == before
+    assert not os.path.exists(out + "._compact_tmp")
+    assert not os.path.exists(out + "._compact_old")
+
+    # crash simulated right after the exchange: tmp holds the old
+    # (complete) layout, target is the new one — the rerun discards
+    # the stale tmp and loses nothing
+    shutil.copytree(out, out + "._compact_tmp")
+    compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(out).count() == before
+    assert not os.path.exists(out + "._compact_tmp")
