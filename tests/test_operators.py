@@ -891,7 +891,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 106
+    assert len(EXTRA) == 107
     assert len(BENCH_ONLY) == 7
     # round-8 final rotation: every never-graded lane moved INTO the
     # graded 50 (so every oracle-gated operator either has a prior
@@ -902,8 +902,8 @@ def test_lane_counts_match_docs():
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc"):
         assert k in REGISTRY, k
-    assert list(EXTRA)[0] == "ts_interpolate"  # newest, never-graded
-    assert list(EXTRA)[1] == "freq_items_topk"
+    assert list(EXTRA)[:2] == ["ts_interpolate", "privacy_erase"]
+    assert list(EXTRA)[2] == "freq_items_topk"
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -6219,3 +6219,46 @@ def test_ts_interpolate_matches_pure_python_recompute(spark, sf_dir):
         for r in q_ts_interpolate(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_privacy_erase_cascade_matches_pure_python(spark, sf_dir):
+    # recompute the erase set and every cascade count in plain Python
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        PRIVACY_ERASE_MOD,
+        q_privacy_erase,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    cust = [
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    erase = {c for c in cust if c % PRIVACY_ERASE_MOD == 0}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    purged_orders = {r.o_orderkey for r in orders if r.o_custkey in erase}
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    ev = load_table(spark, sf_dir, "events").select("user_id").collect()
+    expected = {
+        "customer": (len(cust), len(erase)),
+        "orders": (len(orders), sum(1 for r in orders if r.o_custkey in erase)),
+        "lineitem": (
+            len(li),
+            sum(1 for r in li if r.l_orderkey in purged_orders),
+        ),
+        "events": (len(ev), sum(1 for r in ev if r.user_id in erase)),
+    }
+    got = {
+        r.table_name: (r.n_total, r.n_purged)
+        for r in q_privacy_erase(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the cascade is real on this fixture: some lineitems purge even
+    # though lineitem carries no customer key at all
+    assert got["lineitem"][1] > 0
+    # fractions are the pinned micro ratio
+    for r in q_privacy_erase(spark, sf_dir).collect():
+        assert r.purged_micro == round(1e6 * r.n_purged / r.n_total)
