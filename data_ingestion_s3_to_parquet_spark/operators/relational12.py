@@ -1071,6 +1071,84 @@ FROM audit
 
 
 # --------------------------------------------------------------------
+# feature_vector
+# --------------------------------------------------------------------
+
+# Fixed category order — a MODEL artifact, not data-derived: encoders
+# must emit the same slot for the same category on every snapshot, so
+# the vocabulary is pinned here (a data-driven DISTINCT would silently
+# reorder slots when a category disappears from a batch).
+FEATURE_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+# the one-hot leaves the engine as a compact "0,1,0,0,0" STRING —
+# the driver's canonicalizer cannot hash array cells (round-1
+# TypeError, the array_map_json lesson), and one shared || expression
+# keeps both engines bit-identical
+_FEAT_ONEHOT_EXPR = " || ',' || ".join(
+    f"CASE WHEN o_orderpriority = '{p}' THEN '1' ELSE '0' END"
+    for p in FEATURE_PRIORITIES
+)
+
+_FEAT_SCALE_EXPR = (
+    "CASE WHEN mx = mn THEN 0 "
+    "ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * (o_totalprice - mn))"
+    " / (mx - mn), 0) AS BIGINT) END"
+)
+
+
+def q_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular feature engineering — the encode step in front of any
+    classical model: one-hot the categorical (``o_orderpriority``
+    against the PINNED vocabulary ``FEATURE_PRIORITIES``), min-max
+    scale the numeric (``o_totalprice`` to micro units against the
+    corpus min/max; the one-hot travels as a compact slot string —
+    the driver cannot hash array cells), and keep the cyclical
+    calendar feature
+    (day-of-week) as an index — per order, as typed columns an ML
+    runtime consumes directly.
+
+    Exactness: one-hot slots are int; the one division (min-max) is a
+    pinned micro expression against exact corpus extrema; day-of-week
+    uses Spark's 1=Sunday..7=Saturday convention (DuckDB counts
+    0=Sunday, so the oracle adds one — a classic silent-offset trap
+    pinned here in both texts).
+
+    Scale shape: map-only over the scan except the one-row min/max
+    aggregate broadcast (the classic fit/transform split — the
+    "fitted" state is O(1)); the pinned vocabulary removes the
+    data-dependent DISTINCT a naive encoder would shuffle for.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ext = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    return (
+        orders.crossJoin(F.broadcast(ext))
+        .select(
+            "o_orderkey",
+            F.expr(_FEAT_ONEHOT_EXPR).alias("priority_onehot"),
+            F.expr(_FEAT_SCALE_EXPR).alias("price_scaled_micro"),
+            F.expr("dayofweek(o_orderdate)").alias("dow"),
+        )
+    )
+
+
+def _sql_feature_vector() -> str:
+    return f"""
+WITH ext AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+)
+SELECT o_orderkey,
+       {_FEAT_ONEHOT_EXPR} AS priority_onehot,
+       {_FEAT_SCALE_EXPR} AS price_scaled_micro,
+       CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow
+FROM orders CROSS JOIN ext
+"""
+
+
+# --------------------------------------------------------------------
 # Registration: EXTRA lane, never-graded-first (this module precedes
 # relational11 in the registry order, so these lead the EXTRA lane
 # ahead of jsonl_interop / lm_bigram_score / eval_auc — a larger
@@ -1135,5 +1213,11 @@ EXTRA_QUERIES: list[Query] = [
         q_privacy_erase,
         SQL_PRIVACY_ERASE,
         ("relational", "privacy", "compliance", "join"),
+    ),
+    Query(
+        "feature_vector",
+        q_feature_vector,
+        _sql_feature_vector(),
+        ("llm", "ml-prep", "encoding"),
     ),
 ]

@@ -891,7 +891,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 107
+    assert len(EXTRA) == 108
     assert len(BENCH_ONLY) == 7
     # round-8 final rotation: every never-graded lane moved INTO the
     # graded 50 (so every oracle-gated operator either has a prior
@@ -902,8 +902,8 @@ def test_lane_counts_match_docs():
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc"):
         assert k in REGISTRY, k
-    assert list(EXTRA)[:2] == ["ts_interpolate", "privacy_erase"]
-    assert list(EXTRA)[2] == "freq_items_topk"
+    assert list(EXTRA)[:3] == ["ts_interpolate", "privacy_erase", "feature_vector"]
+    assert list(EXTRA)[3] == "freq_items_topk"
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -6262,3 +6262,49 @@ def test_privacy_erase_cascade_matches_pure_python(spark, sf_dir):
     # fractions are the pinned micro ratio
     for r in q_privacy_erase(spark, sf_dir).collect():
         assert r.purged_micro == round(1e6 * r.n_purged / r.n_total)
+
+
+def test_feature_vector_encoding_contract(spark, sf_dir, tmp_path):
+    # pinned vocabulary slots, exactly one hot bit, min-max endpoints
+    # land on 0 / 1e6, and the zero-variance guard
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        FEATURE_PRIORITIES,
+        q_feature_vector,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    rows = q_feature_vector(spark, sf_dir).collect()
+    orders = {
+        r.o_orderkey: r
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    prices = [o.o_totalprice for o in orders.values()]
+    mn, mx = min(prices), max(prices)
+    for r in rows[:200]:
+        o = orders[r.o_orderkey]
+        slots = r.priority_onehot.split(",")
+        assert len(slots) == len(FEATURE_PRIORITIES)
+        assert slots.count("1") == 1
+        assert slots.index("1") == FEATURE_PRIORITIES.index(o.o_orderpriority)
+        assert r.price_scaled_micro == round(
+            1e6 * (o.o_totalprice - mn) / (mx - mn)
+        )
+        assert 1 <= r.dow <= 7
+    by_price = sorted(rows, key=lambda r: r.price_scaled_micro)
+    assert by_price[0].price_scaled_micro == 0
+    assert by_price[-1].price_scaled_micro == 1_000_000
+
+    # zero-variance numeric: all equal prices scale to 0, not a crash
+    spark.createDataFrame(
+        [(1, 1, "O", 5.0, dt.datetime(2024, 1, 7), "5-LOW"),
+         (2, 1, "O", 5.0, dt.datetime(2024, 1, 8), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {r.o_orderkey: r for r in q_feature_vector(spark, str(tmp_path)).collect()}
+    assert got[1].price_scaled_micro == 0 and got[2].price_scaled_micro == 0
+    assert got[1].dow == 1  # 2024-01-07 is a Sunday -> Spark slot 1
+    assert got[1].priority_onehot == "0,0,0,0,1"
+    assert got[2].priority_onehot == "1,0,0,0,0"
