@@ -87,6 +87,9 @@ DEFAULT_NAMES = [
     "graph_sssp",
     "stream_dedup",
     "drift_psi",
+    "ts_interpolate",
+    "privacy_erase",
+    "feature_vector",
     "entropy_score",
     "content_chunks",
     # post-wave-2: exact int64 sums (hashed buckets / bucketed prefix
