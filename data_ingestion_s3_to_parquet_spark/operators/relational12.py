@@ -545,6 +545,39 @@ _MMR_SIM_EXPR = (
 )
 
 
+def mmr_greedy(
+    rel: dict[int, int],
+    sim: dict[tuple[int, int], int],
+    *,
+    k: int,
+    lam_tenths: int,
+) -> list[tuple[int, int, int, int, int]]:
+    """The pure greedy core of MMR over a bounded pool: at each round
+    pick argmax of ``lam·rel(c) − (10−lam)·max_{s∈S} sim(c, s)`` (in
+    tenth-micro integer units, ties to the smaller id). Returns
+    ``(rank, doc_id, rel_micro, penalty_micro, obj_micro)`` rows.
+    Factored out of :func:`q_mmr_rerank` so the selection logic is
+    property-testable without Spark (invariants fuzzed in
+    tests/test_properties.py); the oracle unrolls the identical
+    greedy as SQL CTE rounds."""
+    selected: list[tuple[int, int, int, int, int]] = []
+    chosen: list[int] = []
+    while len(chosen) < min(k, len(rel)):
+        best = None
+        for d, rv in rel.items():
+            if d in chosen:
+                continue
+            pen = max((sim.get((d, s), 0) for s in chosen), default=0)
+            obj = lam_tenths * rv - (10 - lam_tenths) * pen
+            key = (-obj, d)
+            if best is None or key < best[0]:
+                best = (key, d, rv, pen, obj)
+        _, d, rv, pen, obj = best
+        chosen.append(d)
+        selected.append((len(chosen), d, rv, pen, obj))
+    return selected
+
+
 def _mmr_pool(spark: SparkSession, sf_dir: str):
     """(pool rows, pair rows) — the bounded candidate pool (top
     ``MMR_POOL_N`` BM25 docs with normalized relevance) and its
@@ -628,22 +661,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in pairs.collect():
         sim[(r.doc_a, r.doc_b)] = r.sim_micro
         sim[(r.doc_b, r.doc_a)] = r.sim_micro
-    lam = MMR_LAMBDA_TENTHS
-    selected: list[tuple[int, int, int, int, int]] = []
-    chosen: list[int] = []
-    while len(chosen) < min(MMR_K, len(rel)):
-        best = None
-        for d, rv in rel.items():
-            if d in chosen:
-                continue
-            pen = max((sim.get((d, s), 0) for s in chosen), default=0)
-            obj = lam * rv - (10 - lam) * pen
-            key = (-obj, d)
-            if best is None or key < best[0]:
-                best = (key, d, rv, pen, obj)
-        _, d, rv, pen, obj = best
-        chosen.append(d)
-        selected.append((len(chosen), d, rv, pen, obj))
+    selected = mmr_greedy(rel, sim, k=MMR_K, lam_tenths=MMR_LAMBDA_TENTHS)
     return spark.createDataFrame(
         selected,
         "rank int, doc_id long, rel_micro long, penalty_micro long,"

@@ -2581,3 +2581,54 @@ def test_au_probe_decode_media_and_rejections():
         decode_media("audio", hdr + b"\x00" * 8)
     with pytest.raises(ValueError):
         decode_media("audio", b".snd\x00\x00")  # truncated header
+
+
+@given(
+    n=st.integers(1, 12),
+    k=st.integers(1, 12),
+    lam=st.integers(0, 10),
+    seed=st.integers(0, 100_000),
+)
+@settings(max_examples=120, deadline=None)
+def test_mmr_greedy_invariants_on_random_pools(n, k, lam, seed):
+    """Fuzz the pure MMR greedy: selections are distinct, count is
+    min(k, n), the first pick is the max-relevance doc (ties to the
+    smaller id), penalties are achievable maxima over the selected
+    prefix, winning objectives are non-increasing (candidate set
+    shrinks, penalties only grow), and with lam = 10 the output is
+    exactly relevance order."""
+    import random
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        mmr_greedy,
+    )
+
+    rng = random.Random(seed)
+    ids = rng.sample(range(1000), n)
+    rel = {d: rng.randrange(0, 1_000_001) for d in ids}
+    sim = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if rng.random() < 0.6:
+                v = rng.randrange(0, 1_000_001)
+                sim[(a, b)] = sim[(b, a)] = v
+    out = mmr_greedy(rel, sim, k=k, lam_tenths=lam)
+    assert len(out) == min(k, n)
+    picked = [r[1] for r in out]
+    assert len(set(picked)) == len(picked)
+    assert [r[0] for r in out] == list(range(1, len(out) + 1))
+    if lam > 0:  # lam=0 zeroes round-1 objectives -> pure id tie-break
+        best_rel = max(rel.values())
+        assert rel[picked[0]] == best_rel
+        assert picked[0] == min(d for d in ids if rel[d] == best_rel)
+    else:
+        assert picked[0] == min(ids)
+    objs = [r[4] for r in out]
+    assert all(a >= b for a, b in zip(objs, objs[1:]))
+    for rank, d, rv, pen, obj in out:
+        assert rv == rel[d]
+        prefix = picked[: rank - 1]
+        assert pen == max((sim.get((d, s), 0) for s in prefix), default=0)
+        assert obj == lam * rv - (10 - lam) * pen
+    if lam == 10:  # no diversity term: pure relevance order
+        assert picked == sorted(ids, key=lambda d: (-rel[d], d))[: len(out)]
