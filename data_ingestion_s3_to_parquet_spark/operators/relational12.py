@@ -1,8 +1,9 @@
-"""Round-8 third wave: the retrieval/classifier EVALUATION family.
+"""Round-8 third wave: evaluation, drift, retrieval diversification,
+record linkage, time-series interpolation, compliance, and feature
+encoding.
 
-``rank_bm25`` ranks and ``eval_auc`` grades a detector threshold-free;
-this module adds the two remaining standard evaluation primitives a
-corpus/retrieval pipeline reports next to them:
+The evaluation family (``rank_bm25`` ranks, ``eval_auc`` grades
+threshold-free; these complete the loop a filter deployment needs):
 
 - ``eval_ndcg``        NDCG@k (Järvelin & Kekäläinen 2002) of the BM25
                        ranking against graded relevance = the number of
@@ -15,20 +16,47 @@ corpus/retrieval pipeline reports next to them:
 - ``eval_calibration`` the reliability table behind a calibration plot
                        / ECE number (Naeini et al. 2015; Guo et al.
                        2017): decile bins over the unigram-LM fluency
-                       score, each bin reporting predicted confidence
-                       (mean rank percentile — the distribution-free
-                       confidence proxy for an uncalibrated raw score)
-                       vs observed positive rate, plus the |acc − conf|
-                       gap that ECE averages.
+                       score, predicted confidence (mean rank
+                       percentile) vs observed positive rate, plus the
+                       |acc − conf| gap that ECE averages.
+- ``eval_pr_curve``    cumulative decile precision/recall/F1 — the
+                       operating-point table a pipeline reads to pick
+                       the cutoff it deploys.
 
-Both are exact-integer lanes: every division is micro-quantized
-through ONE expression string rendered into both engines (the
+The rest of the wave:
+
+- ``drift_psi``          two-snapshot population-stability drift
+                         (the standard ML-monitoring metric) over a
+                         categorical and a binned-numeric dimension.
+- ``mmr_rerank``         Maximal-Marginal-Relevance diversified
+                         re-ranking of the BM25 pool (Carbonell &
+                         Goldstein 1998) — distributed scoring +
+                         pairwise overlap, pure greedy core
+                         (:func:`mmr_greedy`, hypothesis-fuzzed) on
+                         the bounded pool, unrolled greedy CTE oracle.
+- ``join_asof_nearest``  pandas ``merge_asof direction='nearest'``
+                         semantics — the record-linkage twin of the
+                         backward-only ``join_asof``.
+- ``ts_interpolate``     linear gap interpolation on the regularized
+                         hourly grid (the ``resample_ffill`` twin for
+                         quantities where carrying the last value
+                         lies).
+- ``privacy_erase``      the right-to-be-forgotten CASCADE audit:
+                         exact purge counts across customer → orders
+                         → lineitem → events.
+- ``feature_vector``     pinned-vocabulary one-hot + min-max scaling
+                         — the fit/transform encode step, with the
+                         fitted state an O(1) broadcast.
+
+All exact-integer lanes: every division is micro-quantized through
+ONE expression string rendered into both engines (the
 ``_BM25_MICRO_EXPR`` rule), everything else is int64 sums.
 
 Reference parity note: the reference (`/root/reference/src/main.rs`)
-has no evaluation surface at all — these lanes belong to the mandated
+has none of this surface — these lanes belong to the mandated
 LLM-pipeline extension layer (quality filters need graded evaluation
-before they gate a 100 TB corpus).
+before they gate a 100 TB corpus; drift/compliance/encoding are what
+operating that corpus demands).
 """
 
 from __future__ import annotations
