@@ -329,17 +329,10 @@ def _promoted_r7() -> list[Query]:
 # veterans to the EXTRA lane in exchange. Once round 7 grades, every
 # oracle-gated operator in the repo has a driver CORRECTNESS row.
 def _promoted_r7_wave2() -> list[Query]:
-    from .dedup import SQL_DEDUP_SOFT, q_dedup_soft
     from .relational9 import (
         SQL_CHI2_CONTINGENCY,
-        SQL_MARKOV_TRANSITIONS,
-        SQL_MERGE_INTERVALS,
-        SQL_ROBUST_STATS,
         SQL_SESSION_PATHS,
         q_chi2_contingency,
-        q_markov_transitions,
-        q_merge_intervals,
-        q_robust_stats,
         q_session_paths,
     )
     from .similarity import (
@@ -355,38 +348,22 @@ def _promoted_r7_wave2() -> list[Query]:
         q_sim_join_kmeans,
     )
     from .textstats import (
-        SQL_CMS_COUNTS,
         SQL_CONTENT_CHUNKS,
         SQL_ENTROPY_SCORE,
-        SQL_FREQ_ITEMS_TOPK,
-        SQL_NGRAM_COUNTS,
         SQL_PMI_COOCCUR,
-        SQL_STRIP_MARKUP,
-        SQL_URL_CANONICALIZE,
         SQL_VOCAB_COVERAGE,
         SQL_WORD_FILTER,
-        q_cms_counts,
         q_content_chunks,
         q_entropy_score,
-        q_freq_items_topk,
-        q_ngram_counts,
         q_pmi_cooccur,
-        q_strip_markup,
-        q_url_canonicalize,
         q_vocab_coverage,
         q_word_filter,
     )
     from .trainprep import (
-        SQL_BATCH_BY_LENGTH,
         SQL_BPE_APPLY,
         SQL_BPE_MERGES,
-        SQL_MIX_WEIGHTS,
-        SQL_SHARD_MANIFEST,
-        q_batch_by_length,
         q_bpe_apply,
         q_bpe_merges,
-        q_mix_weights,
-        q_shard_manifest,
     )
     from ..streaming.windows import (
         SQL_STREAM_JOIN_INTERVAL,
