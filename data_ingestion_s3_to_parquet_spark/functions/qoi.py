@@ -78,6 +78,16 @@ def decode_qoi(payload: bytes) -> tuple[np.ndarray, int]:
     meta = probe_qoi(payload)
     w, h, channels = meta["width"], meta["height"], meta["channels"]
     n_px = w * h
+    # Allocation guard from the spec itself: RUN packs at most 62
+    # pixels per stream byte, so any header claiming more pixels than
+    # 62 × (stream bytes) is corrupt — reject BEFORE the h×w buffer
+    # allocation a hostile header could otherwise size at 2³²×2³².
+    stream_bytes = max(len(payload) - 14 - 8, 0)
+    if n_px > 62 * stream_bytes:
+        raise ValueError(
+            f"QOI header claims {n_px} pixels but the byte stream can "
+            f"encode at most {62 * stream_bytes}"
+        )
     out = np.empty((n_px, 4), dtype=np.uint8)
     index = [(0, 0, 0, 0)] * 64
     r, g, b, a = 0, 0, 0, 255

@@ -2632,3 +2632,19 @@ def test_mmr_greedy_invariants_on_random_pools(n, k, lam, seed):
         assert obj == lam * rv - (10 - lam) * pen
     if lam == 10:  # no diversity term: pure relevance order
         assert picked == sorted(ids, key=lambda d: (-rel[d], d))[: len(out)]
+
+
+def test_qoi_hostile_header_rejected_before_allocation():
+    # a 14-byte header claiming 2^31 x 2^31 pixels over an 8-byte
+    # stream must raise the spec-derived run-bound check, never
+    # attempt the h*w allocation
+    import struct
+
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.functions.qoi import decode_qoi
+
+    hdr = b"qoif" + struct.pack(">II", 2**31, 2**31) + bytes([3, 0])
+    payload = hdr + b"\xc0" * 8 + b"\x00" * 7 + b"\x01"
+    with pytest.raises(ValueError, match="can encode at most"):
+        decode_qoi(payload)
