@@ -900,8 +900,14 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence("mn", "mx", F.expr("interval 1 hour"))
         ).alias("bucket"),
     )
+    # shuffle_hash pin: both sides are (keys × calendar)-sized — they
+    # GROW together, so the broadcast Catalyst picks at fixture scale
+    # flips to a shuffle join at 16× (measured: 2→4 exchanges, 1→0
+    # broadcasts). Pinning the scale-safe strategy keeps one plan
+    # shape at every volume (the §45 rule: never let a growing side
+    # ride a fixture-scale broadcast decision).
     j = (
-        spine.join(hourly, ["event_type", "bucket"], "left")
+        spine.join(hourly.hint("shuffle_hash"), ["event_type", "bucket"], "left")
         .select(
             "event_type",
             "bucket",
