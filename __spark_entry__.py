@@ -111,17 +111,19 @@ batch_by_length, url_canonicalize, cms_counts — each keeps its r7
 green row, its oracle, its bench flag, and its place in the local
 sweep). After r8 grades, EVERY oracle-gated operator in the
 repo has a driver row. The EXTRA lane holds
-a hundred and eight oracle-gated entries — every one except the
+a hundred and nine oracle-gated entries — every one except the
 post-rotation ts_interpolate (linear gap interpolation on the
 regularized hourly grid) and privacy_erase (the right-to-be-
 forgotten cascade audit: customers, their orders, those orders'
 lineitems, their event streams — exact purge counts per table) and
 feature_vector (pinned-vocabulary one-hot + min-max scaling, the
-fit/transform encode step), all leading the lane never-graded, with at
+fit/transform encode step) and skew_report (per-join-key
+cardinality/heavy-hitter shares — the salting-vs-AQE decision
+report), all leading the lane never-graded, with at
 least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 108 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 109 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

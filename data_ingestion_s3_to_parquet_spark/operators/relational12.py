@@ -1201,6 +1201,113 @@ FROM orders CROSS JOIN ext
 
 
 # --------------------------------------------------------------------
+# skew_report
+# --------------------------------------------------------------------
+
+SKEW_TOPK = 10
+
+_SKEW_MAX_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * max_rows) / n_rows, 0)"
+    " AS BIGINT)"
+)
+_SKEW_TOPK_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * topk_rows) / n_rows, 0)"
+    " AS BIGINT)"
+)
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the report a 100 TB operator reads
+    BEFORE choosing between plain shuffle, salting
+    (``join_skew_salted``), and AQE skew splitting: for each candidate
+    join key, the key cardinality, row count, average rows/key
+    (micro), the heaviest key's share, and the top-``SKEW_TOPK`` keys'
+    combined share. A max share near avg ⇒ uniform (hash join is
+    fine); top-10 share ≫ 10·avg ⇒ the salting/AQE playbook. Keys
+    analyzed: orders per customer, lineitem per part, lineitem per
+    order, events per user — the four shuffles the engine's own join
+    lanes actually pay.
+
+    Exactness: per-key counts are int64 from one combinable groupBy
+    each; max/sum aggregates are exact; the top-k sum is a bounded
+    TakeOrdered head (counts desc, key asc — a total order); the
+    three shares are pinned micro expressions.
+
+    Scale shape: per analyzed key, one map-side-combinable count
+    aggregate over the scan, then ONE-ROW reductions (max/sum/count)
+    and a k-row TakeOrdered head — nothing after the first groupBy is
+    key-cardinality-proportional except the k constant. The report
+    itself is 4 rows.
+    """
+    specs = [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "user_id"),
+    ]
+    parts = []
+    for table, key in specs:
+        t = load_table(spark, sf_dir, table)
+        counts = t.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").alias("c")
+        )
+        agg = counts.agg(
+            F.count("*").alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_rows"),
+        )
+        topk = (
+            counts.orderBy(F.desc("c"), F.col("k"))
+            .limit(SKEW_TOPK)
+            .agg(F.sum("c").alias("topk_rows"))
+        )
+        parts.append(
+            agg.crossJoin(F.broadcast(topk)).select(
+                F.lit(table).alias("table_name"),
+                F.lit(key).alias("key_col"),
+                "n_keys",
+                "n_rows",
+                "max_rows",
+                "topk_rows",
+                F.expr(_SKEW_MAX_EXPR).alias("max_share_micro"),
+                F.expr(_SKEW_TOPK_EXPR).alias("topk_share_micro"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _sql_skew_report() -> str:
+    blocks = []
+    for table, key in (
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "user_id"),
+    ):
+        blocks.append(f"""
+SELECT '{table}' AS table_name, '{key}' AS key_col,
+       n_keys, n_rows, max_rows, topk_rows,
+       {_SKEW_MAX_EXPR} AS max_share_micro,
+       {_SKEW_TOPK_EXPR} AS topk_share_micro
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_rows
+  FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY {key})
+) CROSS JOIN (
+  SELECT CAST(SUM(c) AS BIGINT) AS topk_rows FROM (
+    SELECT c FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table}
+                   GROUP BY {key})
+    ORDER BY c DESC, k LIMIT {SKEW_TOPK}
+  )
+)""")
+    return " UNION ALL ".join(blocks)
+
+
+# --------------------------------------------------------------------
 # Registration: EXTRA lane, never-graded-first (this module precedes
 # relational11 in the registry order, so these lead the EXTRA lane
 # ahead of jsonl_interop / lm_bigram_score / eval_auc — a larger
@@ -1271,5 +1378,11 @@ EXTRA_QUERIES: list[Query] = [
         q_feature_vector,
         _sql_feature_vector(),
         ("llm", "ml-prep", "encoding"),
+    ),
+    Query(
+        "skew_report",
+        q_skew_report,
+        _sql_skew_report(),
+        ("relational", "profiling", "skew", "monitoring"),
     ),
 ]

@@ -127,9 +127,10 @@ REGISTRY: dict[str, Query] = _collect()
 # dedup_soft, mix_weights, strip_markup, ngram_counts,
 # merge_intervals, markov_transitions, robust_stats, shard_manifest,
 # batch_by_length, url_canonicalize, cms_counts, which now LEAD the
-# lane; the post-rotation ts_interpolate, privacy_erase, and
-# feature_vector ride never-graded at the head) this lane holds
-# a hundred and eight entries in the lane, otherwise EVERY one
+# lane; the post-rotation ts_interpolate, privacy_erase,
+# feature_vector, and skew_report ride never-graded at the head)
+# this lane holds
+# a hundred and nine entries in the lane, otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

@@ -891,7 +891,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 108
+    assert len(EXTRA) == 109
     assert len(BENCH_ONLY) == 7
     # round-8 final rotation: every never-graded lane moved INTO the
     # graded 50 (so every oracle-gated operator either has a prior
@@ -902,8 +902,10 @@ def test_lane_counts_match_docs():
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc"):
         assert k in REGISTRY, k
-    assert list(EXTRA)[:3] == ["ts_interpolate", "privacy_erase", "feature_vector"]
-    assert list(EXTRA)[3] == "freq_items_topk"
+    assert list(EXTRA)[:4] == [
+        "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
+    ]
+    assert list(EXTRA)[4] == "freq_items_topk"
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -6308,3 +6310,54 @@ def test_feature_vector_encoding_contract(spark, sf_dir, tmp_path):
     assert got[1].dow == 1  # 2024-01-07 is a Sunday -> Spark slot 1
     assert got[1].priority_onehot == "0,0,0,0,1"
     assert got[2].priority_onehot == "1,0,0,0,0"
+
+
+def test_skew_report_matches_pure_python(spark, sf_dir):
+    from collections import Counter
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        SKEW_TOPK,
+        q_skew_report,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    specs = [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "user_id"),
+    ]
+    expected = {}
+    for table, key in specs:
+        vals = [
+            r[0]
+            for r in load_table(spark, sf_dir, table).select(key).collect()
+        ]
+        c = Counter(vals)
+        n_rows = len(vals)
+        topk = sum(
+            n for _, n in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:SKEW_TOPK]
+        )
+        expected[(table, key)] = (
+            len(c),
+            n_rows,
+            max(c.values()),
+            topk,
+            round(1e6 * max(c.values()) / n_rows),
+            round(1e6 * topk / n_rows),
+        )
+    got = {
+        (r.table_name, r.key_col): (
+            r.n_keys,
+            r.n_rows,
+            r.max_rows,
+            r.topk_rows,
+            r.max_share_micro,
+            r.topk_share_micro,
+        )
+        for r in q_skew_report(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # sanity: shares are ordered and bounded
+    for v in got.values():
+        assert 0 < v[4] <= v[5] <= 1_000_000
