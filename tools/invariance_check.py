@@ -90,6 +90,7 @@ DEFAULT_NAMES = [
     "ts_interpolate",
     "privacy_erase",
     "feature_vector",
+    "skew_report",
     "entropy_score",
     "content_chunks",
     # post-wave-2: exact int64 sums (hashed buckets / bucketed prefix
