@@ -1127,6 +1127,32 @@ def media_probe(media: DataFrame) -> DataFrame:
                 n_tracks=m["n_channels"],
                 audio_codec=m["codec"],
             )
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from ..functions.webp import probe_webp
+
+            m = probe_webp(payload)
+            return dict(
+                ok=True,
+                container="webp",
+                n_tracks=1,
+                video_codec=m["codec"],
+                width=m["width"],
+                height=m["height"],
+            )
+        if payload[:4] == b"\x1a\x45\xdf\xa3":
+            from ..functions.ebml import probe_webm
+
+            m = probe_webm(payload)
+            return dict(
+                ok=True,
+                container=m["doctype"],
+                duration_sec=m["duration_sec"],
+                n_tracks=m["n_tracks"],
+                video_codec=m["video_codec"],
+                audio_codec=m["audio_codec"],
+                width=m["width"],
+                height=m["height"],
+            )
         if payload[:4] == b"fLaC":
             from ..functions.flac import probe_flac
 
@@ -1151,7 +1177,8 @@ def media_probe(media: DataFrame) -> DataFrame:
             )
         raise ValueError(
             "unrecognized container "
-            "(ISO-BMFF/MP3/BMP/PNG/GIF/WAV/AIFF/AU/JPEG/TIFF/QOI/FLAC/OGG/AVI)"
+            "(ISO-BMFF/MP3/BMP/PNG/GIF/WAV/AIFF/AU/JPEG/TIFF/QOI/WEBP/"
+            "WEBM/FLAC/OGG/AVI)"
         )
 
     def _probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -2648,3 +2648,82 @@ def test_qoi_hostile_header_rejected_before_allocation():
     payload = hdr + b"\xc0" * 8 + b"\x00" * 7 + b"\x01"
     with pytest.raises(ValueError, match="can encode at most"):
         decode_qoi(payload)
+
+
+@given(
+    w=st.integers(1, 16000),
+    h=st.integers(1, 16000),
+    flavor=st.sampled_from(["vp8", "vp8l", "vp8x"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_webp_probe_reads_back_builder_geometry(w, h, flavor):
+    from data_ingestion_s3_to_parquet_spark.functions.webp import (
+        build_test_webp,
+        probe_webp,
+    )
+
+    if flavor in ("vp8", "vp8l") and (w > 16383 or h > 16383):
+        w, h = min(w, 16383), min(h, 16383)
+    m = probe_webp(build_test_webp(width=w, height=h, flavor=flavor))
+    assert (m["width"], m["height"], m["codec"]) == (w, h, flavor)
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_webp_and_webm_reject_arbitrary_bytes_cleanly(payload):
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.functions.ebml import probe_webm
+    from data_ingestion_s3_to_parquet_spark.functions.webp import probe_webp
+
+    with pytest.raises(ValueError):
+        probe_webp(payload)
+    with pytest.raises(ValueError):
+        probe_webm(payload)
+    # valid magic + garbage tail must still raise, never loop/return junk
+    with pytest.raises(ValueError):
+        probe_webm(b"\x1a\x45\xdf\xa3" + payload + b"\x00")
+
+
+def test_webm_probe_and_media_probe_dispatch(spark):
+    from data_ingestion_s3_to_parquet_spark.functions.ebml import (
+        build_test_webm,
+        probe_webm,
+    )
+    from data_ingestion_s3_to_parquet_spark.functions.webp import (
+        build_test_webp,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_probe,
+    )
+
+    wm = build_test_webm(
+        width=1920, height=1080, duration_ms=4500.0, video_codec="V_VP8"
+    )
+    m = probe_webm(wm)
+    assert (m["width"], m["height"], m["duration_sec"]) == (1920, 1080, 4.5)
+    assert (m["video_codec"], m["audio_codec"]) == ("V_VP8", "A_OPUS")
+
+    rows = [
+        (1, "video", bytearray(wm), None, None, None, None),
+        (2, "image", bytearray(build_test_webp(width=33, height=44)),
+         None, None, None, None),
+    ]
+    got = {
+        r.media_id: r
+        for r in media_probe(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    v = got[1]
+    assert (v.container, v.video_codec, v.audio_codec) == (
+        "webm", "V_VP8", "A_OPUS",
+    )
+    assert (v.width, v.height, v.duration_sec, v.n_tracks) == (
+        1920, 1080, 4.5, 2,
+    )
+    p = got[2]
+    assert (p.container, p.video_codec, p.width, p.height) == (
+        "webp", "vp8l", 33, 44,
+    )
