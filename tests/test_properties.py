@@ -2727,3 +2727,50 @@ def test_webm_probe_and_media_probe_dispatch(spark):
     assert (p.container, p.video_codec, p.width, p.height) == (
         "webp", "vp8l", 33, 44,
     )
+
+
+@given(
+    data=st.binary(min_size=0, max_size=2000),
+    name=st.sampled_from([None, "shard-0001.jsonl", "wärc.seg"]),
+    mtime=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_gzip_probe_matches_stdlib_writer(data, name, mtime):
+    """probe_gzip reads back exactly what stdlib gzip wrote: method 8,
+    mtime, embedded filename, and the RFC 1952 ISIZE/CRC32 trailer —
+    all without decompressing."""
+    import gzip as _gzip
+    import io
+    import zlib
+
+    from data_ingestion_s3_to_parquet_spark.functions.gzipmeta import (
+        probe_gzip,
+    )
+
+    buf = io.BytesIO()
+    with _gzip.GzipFile(
+        filename=name or "", mode="wb", fileobj=buf, mtime=mtime
+    ) as gf:
+        gf.write(data)
+    payload = buf.getvalue()
+    m = probe_gzip(payload)
+    assert m["mtime"] == mtime
+    assert m["name"] == name  # stdlib writes FNAME latin-1, per RFC
+    assert m["isize"] == len(data) % 2**32
+    assert m["crc32"] == zlib.crc32(data) & 0xFFFFFFFF
+    assert m["compressed_len"] == len(payload)
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_gzip_probe_rejects_arbitrary_bytes_cleanly(payload):
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.functions.gzipmeta import (
+        probe_gzip,
+    )
+
+    with pytest.raises(ValueError):
+        probe_gzip(payload)
+    with pytest.raises(ValueError):
+        probe_gzip(b"\x1f\x8b" + payload)
