@@ -109,17 +109,19 @@ dedup_soft, mix_weights, strip_markup, ngram_counts,
 merge_intervals, markov_transitions, robust_stats, shard_manifest,
 batch_by_length, url_canonicalize, cms_counts — each keeps its r7
 green row, its oracle, its bench flag, and its place in the local
-sweep). After r8 grades, EVERY oracle-gated operator in the
-repo has a driver row. The EXTRA lane holds
-a hundred and nine oracle-gated entries — every one except the
-post-rotation ts_interpolate (linear gap interpolation on the
-regularized hourly grid) and privacy_erase (the right-to-be-
-forgotten cascade audit: customers, their orders, those orders'
-lineitems, their event streams — exact purge counts per table) and
-feature_vector (pinned-vocabulary one-hot + min-max scaling, the
-fit/transform encode step) and skew_report (per-join-key
-cardinality/heavy-hitter shares — the salting-vs-AQE decision
-report), all leading the lane never-graded, with at
+sweep). Round 9 closes the loop: the four post-rotation lanes —
+ts_interpolate (linear gap interpolation on the regularized hourly
+grid), privacy_erase (the right-to-be-forgotten cascade audit:
+customers, their orders, those orders' lineitems, their event
+streams — exact purge counts per table), feature_vector
+(pinned-vocabulary one-hot + min-max scaling, the fit/transform
+encode step), and skew_report (per-join-key cardinality/heavy-hitter
+shares — the salting-vs-AQE decision report) — move to graded
+positions 2-5, demoting the double-green r7+r8 quartet doc_winnow /
+inverted_index / changepoint_cusum / winnow_overlap to the EXTRA
+head one-for-one. After r9 grades, EVERY oracle-gated operator in
+the repo has a driver row. The EXTRA lane holds
+a hundred and nine oracle-gated entries, every one with at
 least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

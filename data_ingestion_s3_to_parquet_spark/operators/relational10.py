@@ -819,12 +819,12 @@ FROM summed
 """
 
 
-# Graded lane contribution: the round-7 third wave (four entries,
-# green r7) plus the two NEW round-8 operators, which grade
-# immediately — never-graded-first, the rotation rule.
-# anomaly_zscore (relational8) and time_weighted_avg (relational9),
-# both green r6+r7, demoted to their modules' EXTRA_QUERIES in
-# exchange.
+# Graded lane contribution: the round-8 retrieval wave (rank_bm25 /
+# ewma_smooth / rank_fusion_rrf, green r8). The round-7 third wave
+# (doc_winnow / inverted_index / changepoint_cusum / winnow_overlap,
+# double-green r7+r8) demoted to EXTRA_QUERIES in round 9, traded
+# one-for-one for relational12's post-rotation quartet
+# (ts_interpolate / privacy_erase / feature_vector / skew_report).
 QUERIES = [
     Query(
         "rank_bm25",
@@ -844,12 +844,15 @@ QUERIES = [
         _sql_rank_fusion_rrf(),
         ("llm", "text", "retrieval", "ranking"),
     ),
+]
+
+EXTRA_QUERIES: list[Query] = [
     Query(
         "doc_winnow",
         q_doc_winnow,
         SQL_DOC_WINNOW,
         ("llm", "text", "window", "fingerprint"),
-        bench=True,  # the new explode+window fingerprint lane, timed
+        bench=True,  # the explode+window fingerprint lane, still timed
     ),
     Query(
         "inverted_index",
@@ -870,5 +873,3 @@ QUERIES = [
         ("llm", "text", "fingerprint", "dedup"),
     ),
 ]
-
-EXTRA_QUERIES: list[Query] = []

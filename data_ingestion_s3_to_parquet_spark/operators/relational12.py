@@ -1314,11 +1314,40 @@ FROM (
 # grading budget or the round-9 swap grades them first).
 # --------------------------------------------------------------------
 
-# Round-8 final rotation: the whole third wave moves into the graded
+# Round-8 final rotation: the whole third wave moved into the graded
 # lane (never-graded-first) — twelve single-green round-7 veterans
-# demote one-for-one (see relational7). Every oracle-gated operator
-# in the repo either has a prior green driver row or is graded now.
+# demoted one-for-one (see relational7). Round 9 completes the
+# invariant: the four post-rotation lanes (ts_interpolate /
+# privacy_erase / feature_vector / skew_report — local-oracle-only
+# until now) lead the graded lane, and the double-green r7+r8 quartet
+# doc_winnow / inverted_index / changepoint_cusum / winnow_overlap
+# demotes one-for-one (see relational10). Every oracle-gated operator
+# either has a prior green driver row or is graded now.
 QUERIES: list[Query] = [
+    Query(
+        "ts_interpolate",
+        q_ts_interpolate,
+        SQL_TS_INTERPOLATE,
+        ("relational", "timeseries", "window"),
+    ),
+    Query(
+        "privacy_erase",
+        q_privacy_erase,
+        SQL_PRIVACY_ERASE,
+        ("relational", "privacy", "compliance", "join"),
+    ),
+    Query(
+        "feature_vector",
+        q_feature_vector,
+        _sql_feature_vector(),
+        ("llm", "ml-prep", "encoding"),
+    ),
+    Query(
+        "skew_report",
+        q_skew_report,
+        _sql_skew_report(),
+        ("relational", "profiling", "skew", "monitoring"),
+    ),
     Query(
         "eval_ndcg",
         q_eval_ndcg,
@@ -1358,31 +1387,6 @@ QUERIES: list[Query] = [
     ),
 ]
 
-EXTRA_QUERIES: list[Query] = [
-    # post-final-rotation addition: leads the EXTRA lane never-graded
-    # (the next swap or a larger budget grades it first)
-    Query(
-        "ts_interpolate",
-        q_ts_interpolate,
-        SQL_TS_INTERPOLATE,
-        ("relational", "timeseries", "window"),
-    ),
-    Query(
-        "privacy_erase",
-        q_privacy_erase,
-        SQL_PRIVACY_ERASE,
-        ("relational", "privacy", "compliance", "join"),
-    ),
-    Query(
-        "feature_vector",
-        q_feature_vector,
-        _sql_feature_vector(),
-        ("llm", "ml-prep", "encoding"),
-    ),
-    Query(
-        "skew_report",
-        q_skew_report,
-        _sql_skew_report(),
-        ("relational", "profiling", "skew", "monitoring"),
-    ),
-]
+# Round 9 promoted the four post-rotation lanes above into QUERIES;
+# new never-graded operators land here first (the rotation rule).
+EXTRA_QUERIES: list[Query] = []

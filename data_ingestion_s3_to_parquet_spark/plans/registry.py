@@ -43,10 +43,11 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational12 holds the round-8 third wave (eval_ndcg /
-    # eval_calibration — EXTRA-lane only, never graded) — it sits
-    # first among the EXTRA contributors so never-graded entries lead
-    # the EXTRA lane.
+    # relational12's QUERIES are graded (never-graded-first): the
+    # round-8 final rotation promoted the whole evaluation family, and
+    # round 9 promoted the post-rotation quartet ts_interpolate /
+    # privacy_erase / feature_vector / skew_report to its head; its
+    # EXTRA_QUERIES is now empty (new operators land there first).
     "data_ingestion_s3_to_parquet_spark.operators.relational12",
     # relational11 holds the round-8 second wave (orc_interop /
     # acf_lags / ccnet_buckets / zorder_layout — never graded) — it
@@ -126,9 +127,11 @@ REGISTRY: dict[str, Query] = _collect()
 # demoting the twelve single-green r7 veterans freq_items_topk,
 # dedup_soft, mix_weights, strip_markup, ngram_counts,
 # merge_intervals, markov_transitions, robust_stats, shard_manifest,
-# batch_by_length, url_canonicalize, cms_counts, which now LEAD the
-# lane; the post-rotation ts_interpolate, privacy_erase,
-# feature_vector, and skew_report ride never-graded at the head)
+# batch_by_length, url_canonicalize, cms_counts; round 9 then
+# promoted the post-rotation ts_interpolate / privacy_erase /
+# feature_vector / skew_report into the graded lane and demoted the
+# double-green r7+r8 quartet doc_winnow / inverted_index /
+# changepoint_cusum / winnow_overlap here one-for-one)
 # this lane holds
 # a hundred and nine entries in the lane, otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees

@@ -893,17 +893,22 @@ def test_lane_counts_match_docs():
     assert len(REGISTRY) == 50
     assert len(EXTRA) == 109
     assert len(BENCH_ONLY) == 7
-    # round-8 final rotation: every never-graded lane moved INTO the
-    # graded 50 (so every oracle-gated operator either has a prior
-    # green driver row or grades in r8); the twelve demoted r7
-    # veterans lead the EXTRA lane with their single green rows
+    # round-9 rotation: the four post-rotation lanes (never graded
+    # until now) lead the graded lane right after ingest_parity, so
+    # EVERY oracle-gated operator either has a prior green driver row
+    # or grades in r9; the double-green r7+r8 quartet demoted
+    # one-for-one leads the EXTRA lane
     for k in ("eval_ndcg", "eval_calibration", "eval_pr_curve",
               "drift_psi", "mmr_rerank", "join_asof_nearest",
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc"):
         assert k in REGISTRY, k
-    assert list(EXTRA)[:4] == [
+    assert list(REGISTRY)[1:5] == [
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
+    ]
+    assert list(EXTRA)[:4] == [
+        "doc_winnow", "inverted_index", "changepoint_cusum",
+        "winnow_overlap",
     ]
     assert list(EXTRA)[4] == "freq_items_topk"
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
@@ -916,9 +921,9 @@ def test_lane_counts_match_docs():
         "media_phash",
         "dedup_passages_scale",  # r8: VERDICT r7 #7
     }
-    # round 8, final rotation: the wave-3 lanes lead right after
-    # ingest_parity; the wave-2 and wave-1 promotees stay graded
-    assert list(REGISTRY)[1:7] == [
+    # the round-8 wave-3 lanes follow the round-9 promotees; the
+    # wave-2 and wave-1 promotees stay graded
+    assert list(REGISTRY)[5:11] == [
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
         "drift_psi", "mmr_rerank", "join_asof_nearest",
     ]
@@ -935,10 +940,11 @@ def test_lane_counts_match_docs():
     assert demoted <= set(EXTRA)
     assert not demoted & set(REGISTRY)
     # every pre-final-rotation graded cohort stays graded (membership,
-    # not positions — the final rotation reordered the prefix)
+    # not positions — the final rotation reordered the prefix; round 9
+    # demoted doc_winnow / inverted_index / changepoint_cusum /
+    # winnow_overlap, asserted at the EXTRA head above)
     for k in (
-        "doc_winnow", "inverted_index", "changepoint_cusum",
-        "winnow_overlap", "dedup_passages", "emb_gram",
+        "dedup_passages", "emb_gram",
         "dedup_keep_best", "graph_triangles", "bpe_merges", "bpe_apply",
         "vocab_coverage", "stream_join_interval", "kmeans_embeddings",
         "sim_join_kmeans", "pq_encode", "ann_pq_topk", "pmi_cooccur",
@@ -972,7 +978,7 @@ def test_lane_counts_match_docs():
         "url_canonicalize", "cms_counts",
     ):
         assert k in EXTRA, k
-    assert "winnow_overlap" in REGISTRY
+    assert "winnow_overlap" in EXTRA  # r9 demotee (double-green r7+r8)
     assert "window_distribution" in EXTRA
     assert "text_normalize" in EXTRA
     assert "knn_graph" in EXTRA
