@@ -883,9 +883,14 @@ def _hashmin_labels(
 
 
 def _label_signature(labels: DataFrame) -> tuple:
+    # bit_xor, not sum: a raw xxhash64 sum overflows int64 and THROWS
+    # under an ANSI-enabled session (tune() forces ANSI off, but a
+    # foreign session that skipped it must not break the CC loop) —
+    # the same hardening artifacts.py got in round 8. XOR is equally
+    # order-insensitive and cannot overflow.
     row = labels.agg(
         F.count("*").alias("c"),
-        F.sum(F.xxhash64("vec_id", "component")).alias("h"),
+        F.expr("bit_xor(xxhash64(vec_id, component))").alias("h"),
     ).collect()[0]
     return (row.c, row.h)
 
@@ -958,8 +963,11 @@ def connected_components_star(
         return out.where(F.col("u") != F.col("v")).distinct()
 
     def signature(edges: DataFrame) -> tuple:
+        # bit_xor, not sum — see _label_signature: a raw xxhash64 sum
+        # throws under a foreign ANSI-on session.
         row = edges.agg(
-            F.count("*").alias("c"), F.sum(F.xxhash64("u", "v")).alias("h")
+            F.count("*").alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).collect()[0]
         return (row.c, row.h)
 

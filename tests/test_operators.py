@@ -541,6 +541,39 @@ def test_connected_components_star_chain_beyond_hashmin_cap(spark):
     assert star == comp
 
 
+def test_connected_components_converges_under_ansi_session(spark):
+    # VERDICT r8: _label_signature used to SUM raw xxhash64 values —
+    # silent int64 wraparound with ANSI off (tune() forces that), but
+    # an ARITHMETIC_OVERFLOW throw mid-loop under a foreign ANSI-on
+    # session. The bit_xor signature must converge either way; this
+    # runs the whole CC loop with ANSI forced on.
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        n = 40
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "u long, v long"
+        )
+        verts = spark.range(n).withColumnRenamed("id", "vec_id")
+        comp = {
+            r.vec_id: r.component
+            for r in connected_components(edges, verts).collect()
+        }
+        assert len(comp) == n and set(comp.values()) == {0}
+        star = {
+            r.vec_id: r.component
+            for r in connected_components_star(edges, verts).collect()
+        }
+        assert star == comp
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_connected_components_auto_escalates_on_chain(spark):
     # the dispatcher must solve a deep chain (hash-min probe budget
     # exhausted -> star fallback) AND a shallow graph (hash-min wins)
