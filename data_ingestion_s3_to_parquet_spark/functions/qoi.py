@@ -103,9 +103,16 @@ def decode_qoi(payload: bytes) -> tuple[np.ndarray, int]:
         b1 = data[pos]
         pos += 1
         if b1 == _OP_RGB:
+            # operand-length check BEFORE reading: a torn final op at
+            # pos=end-1 would otherwise read its bytes out of the
+            # 8-byte end marker and silently complete with garbage
+            if pos + 3 > end:
+                raise ValueError("QOI OP_RGB operands overrun byte stream")
             r, g, b = data[pos], data[pos + 1], data[pos + 2]
             pos += 3
         elif b1 == _OP_RGBA:
+            if pos + 4 > end:
+                raise ValueError("QOI OP_RGBA operands overrun byte stream")
             r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
             pos += 4
         else:
@@ -121,6 +128,10 @@ def decode_qoi(payload: bytes) -> tuple[np.ndarray, int]:
                 g = (g + ((b1 >> 2) & 0x03) - 2) & 0xFF
                 b = (b + (b1 & 0x03) - 2) & 0xFF
             elif tag == _OP_LUMA:
+                if pos + 1 > end:
+                    raise ValueError(
+                        "QOI OP_LUMA operand overruns byte stream"
+                    )
                 b2 = data[pos]
                 pos += 1
                 dg = (b1 & 0x3F) - 32

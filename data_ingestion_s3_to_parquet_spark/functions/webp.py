@@ -29,8 +29,11 @@ import struct
 
 def probe_webp(payload: bytes) -> dict:
     """Header-only geometry for VP8 / VP8L / VP8X WebP payloads."""
+    # 20-byte minimum: RIFF header (12) + first chunk fourcc (4) +
+    # chunk size (4) — a shorter payload with valid magic must raise
+    # ValueError like every other malformed input, not struct.error.
     if (
-        len(payload) < 16
+        len(payload) < 20
         or payload[:4] != b"RIFF"
         or payload[8:12] != b"WEBP"
     ):

@@ -187,10 +187,18 @@ CAL_N_BINS = 10
 CAL_POS_LANG = "en"  # same planted positive class as eval_auc
 
 # conf = mean rank percentile of the bin: sum(rank) / (n_bin · N).
-# Exactness bound: 1e6 · sum(rank) ≤ 1e6 · N² must fit int64 ⇒ exact
-# to N ≈ 3·10⁶ documents; past that the same table comes from the
-# distinct-score histogram (the eval_auc frame) with double
-# accumulators — documented, not silently wrapped.
+# Exactness bound: the product is computed as DOUBLE (the expression
+# is shared verbatim by Spark and the DuckDB oracle, which is what
+# guarantees cross-engine hash parity), so exact rounding holds while
+# 1e6 · sum(rank) < 2^53 — per-bin sum(rank) ≈ 0.095·N² at the top
+# decile ⇒ exact to N ≈ 3·10⁵ documents (ADVICE r8 corrected the
+# earlier 3·10⁶ claim, which assumed an int64 numerator). Past that
+# the same table comes from the distinct-score histogram (the
+# eval_auc frame) with double accumulators — documented precision
+# loss, not silent wraparound; an int64 numerator would push the
+# bound to ~10⁶ but needs engine-specific integer-division syntax
+# (Spark DIV vs DuckDB //), breaking the shared-expression parity
+# that the grading hash depends on.
 _CAL_CONF_EXPR = (
     "CAST(ROUND((CAST(1000000 AS DOUBLE) * sr) / (n * n_total), 0)"
     " AS BIGINT)"

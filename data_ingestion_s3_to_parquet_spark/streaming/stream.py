@@ -77,7 +77,7 @@ def dedup_events_stream(
     events: DataFrame,
     *,
     bucket: str = "1 hour",
-    watermark: str = "10 minutes",
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming at-least-once → effectively-once dedup: drop repeated
     deliveries of the same logical event — same (user_id, event_type)
@@ -88,14 +88,24 @@ def dedup_events_stream(
     Why ``WithinWatermark``: plain ``dropDuplicates`` on a stream keys
     state forever — unbounded growth. The watermark variant evicts a
     key's dedup state once the watermark passes its event time, so
-    state is bounded by one watermark's worth of distinct keys. No
-    duplicate ever escapes through the eviction: a redelivery arriving
-    after its key's state expired is by definition LATER than the
-    watermark, so the standard late-data rule drops it outright
-    (pinned in tests/test_streaming.py) — the trade is that a
-    genuinely-new event that late is dropped too, the same contract
-    every watermarked operator makes. State is hash-partitioned by the
-    dedup key — the usual skew story.
+    state is bounded by one watermark's worth of distinct keys.
+
+    The no-duplicate-escapes guarantee REQUIRES ``watermark >=
+    bucket`` (the default: both 1 hour). Two deliveries of one logical
+    event can carry different event times inside the same bucket —
+    ``dropDuplicatesWithinWatermark`` only collapses rows whose event
+    times are within the delay of the first arrival, so a delay
+    shorter than the bucket span lets a same-bucket redelivery >delay
+    later slip through once the first key's state is evicted. With
+    ``watermark >= bucket`` every intra-bucket timestamp gap fits
+    inside the delay, and a redelivery past the watermark is by
+    definition late data and dropped outright (both pinned in
+    tests/test_streaming.py) — the trade is that a genuinely-new event
+    that late is dropped too, the same contract every watermarked
+    operator makes. Callers that shrink the watermark below the bucket
+    span trade the guarantee down to exact-timestamp redeliveries (and
+    same-bucket spreads within the delay) in exchange for less state.
+    State is hash-partitioned by the dedup key — the usual skew story.
 
     Batch twin: the graded ``stream_dedup`` query
     (``windows.q_stream_dedup``) computes the deterministic form —

@@ -2268,6 +2268,47 @@ def test_qoi_known_opcode_bytes():
     assert (out == px).all()
 
 
+def test_qoi_torn_final_op_raises_not_silent_garbage():
+    # ADVICE r8: a corrupt stream whose FINAL op is a torn
+    # OP_RGB/OP_RGBA/OP_LUMA at pos=end-1 used to read its operand
+    # bytes out of the 8-byte end marker (zeros), complete the pixel
+    # count with garbage, and pass the trailing-bytes check — the
+    # strict contract demands a raise instead.
+    import struct
+
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.functions.qoi import decode_qoi
+
+    def qoi(w, h, body):
+        header = b"qoif" + struct.pack(">IIBB", w, h, 4, 0)
+        return header + body + b"\x00" * 7 + b"\x01"
+
+    # 2 pixels: one complete OP_RGB, then a torn OP_RGB with no operands
+    with pytest.raises(ValueError, match="OP_RGB operands overrun"):
+        decode_qoi(qoi(2, 1, bytes([0xFE, 10, 20, 30, 0xFE])))
+    # torn OP_RGBA
+    with pytest.raises(ValueError, match="OP_RGBA operands overrun"):
+        decode_qoi(qoi(2, 1, bytes([0xFE, 10, 20, 30, 0xFF, 1, 2])))
+    # torn OP_LUMA (tag 0x80, second byte missing)
+    with pytest.raises(ValueError, match="OP_LUMA operand overruns"):
+        decode_qoi(qoi(2, 1, bytes([0xFE, 10, 20, 30, 0x80 | 40])))
+
+
+def test_webp_probe_short_header_raises_value_error():
+    # ADVICE r8: a 16-19-byte payload with valid RIFF/WEBP magic used
+    # to raise struct.error from the chunk-size unpack instead of the
+    # documented ValueError.
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.functions.webp import probe_webp
+
+    for n_extra in range(4):  # 16..19 total bytes
+        payload = b"RIFF\x08\x00\x00\x00WEBPVP8 "[: 16 + n_extra]
+        with pytest.raises(ValueError, match="not a WebP payload"):
+            probe_webp(payload)
+
+
 def test_qoi_decode_media_features_match_pixel_sums():
     # decode_media dispatches qoif payloads to exact channel sums,
     # alpha excluded (the PNG rule)

@@ -641,6 +641,70 @@ def test_stream_dedup_keeps_first_arrival_and_evicts_state(spark, tmp_path):
     assert any(r.event_id == 60 for r in got)
 
 
+def test_stream_dedup_default_watermark_covers_intra_bucket_spread(
+    spark, tmp_path
+):
+    # ADVICE r8: with a watermark SHORTER than the bucket span, two
+    # deliveries of one logical event whose event times sit >delay
+    # apart in the same bucket both emit (the first key's state is
+    # evicted before the second arrives). The default watermark now
+    # equals the bucket span, so the worst-case intra-bucket timestamp
+    # gap (59 min here) still collapses to the first arrival —
+    # matching the graded batch twin.
+    import glob as globmod
+    import shutil
+
+    from data_ingestion_s3_to_parquet_spark.streaming.stream import (
+        dedup_events_stream,
+    )
+
+    src = tmp_path / "spread_events"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def add_file(rows, name):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).repartition(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        part = globmod.glob(f"{staging}/part-*.parquet")[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(src))
+        dd = dedup_events_stream(stream)  # default watermark == bucket
+        q = (
+            dd.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    # first delivery at 00:01; a fresher event advances the watermark
+    add_file(
+        [
+            (1, base + dt.timedelta(minutes=1), 7, "click", 1.0),
+            (2, base + dt.timedelta(minutes=30), 8, "view", 2.0),
+        ],
+        "p1",
+    )
+    run_once()
+    # redelivery of event 1 stamped 00:59 — same hour bucket, 58 min
+    # after the first arrival (far beyond the old 10-min default)
+    add_file([(9, base + dt.timedelta(minutes=59), 7, "click", 1.0)], "p2")
+    got = run_once()
+    clicks7 = sorted(
+        r.event_id for r in got if r.user_id == 7 and r.event_type == "click"
+    )
+    assert clicks7 == [1]  # collapsed to the first arrival, not re-emitted
+
+
 def test_stream_dedup_batch_twin_collapses_redeliveries(spark, tmp_path):
     # the graded batch twin elects min-event_id survivors with exact
     # collapse counts on a planted redelivery scenario
