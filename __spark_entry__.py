@@ -121,11 +121,11 @@ positions 2-5, demoting the double-green r7+r8 quartet doc_winnow /
 inverted_index / changepoint_cusum / winnow_overlap to the EXTRA
 head one-for-one. After r9 grades, EVERY oracle-gated operator in
 the repo has a driver row. The EXTRA lane holds
-a hundred and nine oracle-gated entries, every one with at
+a hundred and eleven oracle-gated entries, every one with at
 least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 109 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 111 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -374,12 +374,6 @@ def _promoted_r7_wave2() -> list[Query]:
 
     return [
         Query(
-            "graph_triangles",
-            q_graph_triangles,
-            SQL_GRAPH_TRIANGLES,
-            ("llm", "graph", "join"),
-        ),
-        Query(
             "bpe_merges",
             q_bpe_merges,
             SQL_BPE_MERGES,
@@ -390,12 +384,6 @@ def _promoted_r7_wave2() -> list[Query]:
             q_bpe_apply,
             SQL_BPE_APPLY,
             ("llm", "text", "iterative", "pipeline"),
-        ),
-        Query(
-            "vocab_coverage",
-            q_vocab_coverage,
-            SQL_VOCAB_COVERAGE,
-            ("llm", "text", "agg"),
         ),
         Query(
             "stream_join_interval",
@@ -602,7 +590,29 @@ def _demoted_r8() -> list[Query]:
     ]
 
 
-EXTRA_QUERIES: list[Query] = _demoted_r8() + [
+def _demoted_r9() -> list[Query]:
+    # double-green r7+r8 veterans traded for relational13's new
+    # drift_ks / skew_autosalt in round 9
+    from .graph import SQL_GRAPH_TRIANGLES, q_graph_triangles
+    from .textstats import SQL_VOCAB_COVERAGE, q_vocab_coverage
+
+    return [
+        Query(
+            "graph_triangles",
+            q_graph_triangles,
+            SQL_GRAPH_TRIANGLES,
+            ("llm", "graph", "join"),
+        ),
+        Query(
+            "vocab_coverage",
+            q_vocab_coverage,
+            SQL_VOCAB_COVERAGE,
+            ("llm", "text", "agg"),
+        ),
+    ]
+
+
+EXTRA_QUERIES: list[Query] = _demoted_r9() + _demoted_r8() + [
     Query(
         "interleave_mix",
         q_interleave_mix,

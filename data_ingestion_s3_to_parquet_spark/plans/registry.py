@@ -43,6 +43,10 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
+    # relational13 holds the two NEW round-9 operators (drift_ks /
+    # skew_autosalt) — first QUERIES contributor after parity so they
+    # grade immediately (never-graded-first).
+    "data_ingestion_s3_to_parquet_spark.operators.relational13",
     # relational12's QUERIES are graded (never-graded-first): the
     # round-8 final rotation promoted the whole evaluation family, and
     # round 9 promoted the post-rotation quartet ts_interpolate /
@@ -133,7 +137,7 @@ REGISTRY: dict[str, Query] = _collect()
 # double-green r7+r8 quartet doc_winnow / inverted_index /
 # changepoint_cusum / winnow_overlap here one-for-one)
 # this lane holds
-# a hundred and nine entries in the lane, otherwise EVERY one
+# a hundred and eleven entries in the lane, otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

@@ -763,6 +763,7 @@ def test_extra_lane_doc_counts_match_registry():
         105: "a hundred and five", 106: "a hundred and six",
         107: "a hundred and seven", 108: "a hundred and eight",
         109: "a hundred and nine", 110: "a hundred and ten",
+        111: "a hundred and eleven", 112: "a hundred and twelve",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -924,7 +925,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 109
+    assert len(EXTRA) == 111
     assert len(BENCH_ONLY) == 7
     # round-9 rotation: the four post-rotation lanes (never graded
     # until now) lead the graded lane right after ingest_parity, so
@@ -936,14 +937,15 @@ def test_lane_counts_match_docs():
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc"):
         assert k in REGISTRY, k
-    assert list(REGISTRY)[1:5] == [
+    assert list(REGISTRY)[1:7] == [
+        "drift_ks", "skew_autosalt",  # NEW r9, graded immediately
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
     ]
-    assert list(EXTRA)[:4] == [
+    assert list(EXTRA)[:6] == [
         "doc_winnow", "inverted_index", "changepoint_cusum",
-        "winnow_overlap",
+        "winnow_overlap", "graph_triangles", "vocab_coverage",
     ]
-    assert list(EXTRA)[4] == "freq_items_topk"
+    assert list(EXTRA)[6] == "freq_items_topk"
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -956,7 +958,7 @@ def test_lane_counts_match_docs():
     }
     # the round-8 wave-3 lanes follow the round-9 promotees; the
     # wave-2 and wave-1 promotees stay graded
-    assert list(REGISTRY)[5:11] == [
+    assert list(REGISTRY)[7:13] == [
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
         "drift_psi", "mmr_rerank", "join_asof_nearest",
     ]
@@ -978,8 +980,8 @@ def test_lane_counts_match_docs():
     # winnow_overlap, asserted at the EXTRA head above)
     for k in (
         "dedup_passages", "emb_gram",
-        "dedup_keep_best", "graph_triangles", "bpe_merges", "bpe_apply",
-        "vocab_coverage", "stream_join_interval", "kmeans_embeddings",
+        "dedup_keep_best", "bpe_merges", "bpe_apply",
+        "stream_join_interval", "kmeans_embeddings",
         "sim_join_kmeans", "pq_encode", "ann_pq_topk", "pmi_cooccur",
         "session_paths", "chi2_contingency", "ann_two_stage",
         "entropy_score", "content_chunks", "word_filter", "corr_pearson",
@@ -6058,6 +6060,135 @@ def test_drift_psi_planted_shift_and_stability(spark, tmp_path):
     assert lo.psi_contrib_micro > 10_000_000
     # the price dimension stayed identical -> zero drift
     assert got[("price_bin", "0")].psi_contrib_micro == 0
+
+
+def test_drift_ks_matches_pure_python_recompute(spark, sf_dir):
+    # recompute the two-sample KS statistic from the raw parquet with
+    # an independent single-pass Python ECDF walk — pins the two-phase
+    # bucketed prefix sum against the textbook definition
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        PSI_PIVOT_DATE,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        q_drift_ks,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    pivot = dt.datetime.fromisoformat(PSI_PIVOT_DATE)
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderdate"
+    ).collect()
+    from collections import defaultdict
+
+    d = defaultdict(lambda: [0, 0])
+    for r in rows:
+        d[r.o_totalprice][0 if r.o_orderdate < pivot else 1] += 1
+    n1 = sum(v[0] for v in d.values())
+    n2 = sum(v[1] for v in d.values())
+    c1 = c2 = 0
+    ks_num = 0
+    for p in sorted(d):
+        c1 += d[p][0]
+        c2 += d[p][1]
+        ks_num = max(ks_num, abs(c1 * n2 - c2 * n1))
+    got = q_drift_ks(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_ref, r.n_cur, r.ks_num) == (n1, n2, ks_num)
+    assert r.ks_micro == round(1_000_000 * ks_num / (float(n1) * n2))
+
+
+def test_drift_ks_planted_shift_and_identity(spark, tmp_path):
+    # identical snapshots -> KS 0; a hard location shift with no
+    # overlap -> KS 1 (ks_micro = 1e6). Prices chosen to span multiple
+    # prefix-sum buckets so the carry path is exercised.
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        q_drift_ks,
+    )
+
+    before = dt.datetime(1996, 1, 1)
+    after = dt.datetime(2000, 1, 1)
+
+    def write(rows, path):
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+    prices = [1_000.0, 15_000.0, 37_500.0, 90_000.0, 140_000.0]
+    rows = []
+    for i, p in enumerate(prices * 4):
+        rows.append((i, 1, "O", p, before if i % 2 else after, "5-LOW"))
+    a = tmp_path / "stable"
+    write(rows, a)
+    r = q_drift_ks(spark, str(a)).collect()[0]
+    assert (r.n_ref, r.n_cur) == (10, 10)
+    assert r.ks_num == 0 and r.ks_micro == 0
+
+    # disjoint supports: every ref price below every cur price
+    rows = [(i, 1, "O", 1_000.0 + i, before, "5-LOW") for i in range(10)]
+    rows += [(100 + i, 1, "O", 90_000.0 + i, after, "5-LOW") for i in range(10)]
+    b = tmp_path / "shifted"
+    write(rows, b)
+    r = q_drift_ks(spark, str(b)).collect()[0]
+    assert r.ks_num == 10 * 10  # max gap = n1*n2 when supports disjoint
+    assert r.ks_micro == 1_000_000
+
+    # a WITHIN-bin reshuffle drift_psi's 50k-wide bins cannot see:
+    # both snapshots entirely inside bucket [0, 50k), but shifted
+    rows = [(i, 1, "O", 10_000.0, before, "5-LOW") for i in range(10)]
+    rows += [(100 + i, 1, "O", 40_000.0, after, "5-LOW") for i in range(10)]
+    c = tmp_path / "withinbin"
+    write(rows, c)
+    r = q_drift_ks(spark, str(c)).collect()[0]
+    assert r.ks_micro == 1_000_000  # KS sees it at full strength
+
+
+def test_skew_autosalt_decision_and_sums_on_planted_skew(spark, tmp_path):
+    # one hot key (100 rows), one warm (40), many cold -> fan-outs
+    # ceil(100/32)=4 and ceil(40/32)=2 and 1; sums must equal direct
+    # aggregation exactly and partial counts stay within the fan-out
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        SALT_TARGET_ROWS,
+        SALT_TOPK,
+        q_skew_autosalt,
+    )
+
+    assert SALT_TARGET_ROWS == 32  # decision math below assumes this
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user, n in [(1, 100), (2, 40)] + [(u, 3) for u in range(10, 30)]:
+        for _ in range(n):
+            rows.append((eid, base, user, "click", 1.25, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {r.user_id: r for r in q_skew_autosalt(spark, str(tmp_path)).collect()}
+    assert len(got) == SALT_TOPK
+    assert got[1].n_rows == 100 and got[1].salt_buckets == 4
+    assert got[2].n_rows == 40 and got[2].salt_buckets == 2
+    assert got[1].sum_cents == 100 * 125  # bitwise direct-agg equality
+    assert got[2].sum_cents == 40 * 125
+    # sequential event_ids hit every residue class -> all parts used
+    assert got[1].n_salt_parts == 4 and got[2].n_salt_parts == 2
+    # cold keys fan out to a single bucket (no pointless salting)
+    cold = [r for u, r in got.items() if u >= 10]
+    assert cold and all(
+        r.salt_buckets == 1 and r.n_salt_parts == 1 for r in cold
+    )
 
 
 def test_mmr_rerank_matches_pure_python_greedy(spark, sf_dir):
