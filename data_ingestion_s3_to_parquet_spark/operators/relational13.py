@@ -260,10 +260,302 @@ GROUP BY d.user_id, d.n_rows, d.salt_buckets, d.sum_cents
 
 
 # --------------------------------------------------------------------
+# privacy_kanon
+# --------------------------------------------------------------------
+
+KANON_K = 5  # the k under audit
+KANON_BAL_BAND = 200_000  # acctbal band width in cents ($2000)
+KANON_BAL_OFFSET = 100_000  # shifts TPC-H's >= -999.99 floor positive
+
+# class-size band: ONE shared CASE string so both engines bin
+# identically (sizes are int64 so the comparisons are exact)
+_KANON_BAND_EXPR = (
+    "CASE WHEN s = 1 THEN '1' WHEN s <= 4 THEN '2-4'"
+    " WHEN s <= 9 THEN '5-9' ELSE '10+' END"
+)
+
+
+def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer
+    quasi-identifier (nation, market segment, account-balance band):
+    group rows into QI equivalence classes, then report the class-size
+    distribution as bounded bands — how many classes and rows sit at
+    size 1 (unique re-identification), 2-4, 5-9, and 10+ — plus a
+    per-band ``violates_k`` flag against ``KANON_K``. The compliance
+    twin of ``privacy_erase``: erase handles the deletion request,
+    this measures whether the retained table re-identifies anyone.
+
+    Exactness: the balance band is integer cents div a constant
+    (offset keeps the dividend non-negative, so Spark ``div`` and
+    DuckDB ``//`` agree); class sizes and band rollups are int64
+    counts; the band label is one shared CASE string.
+
+    Scale shape: two combinable aggregations (rows → QI classes →
+    size bands) — the first shuffles on the QI key exactly like any
+    groupBy, the second on the ≤ 4-row band key. Output is ≤ 4 rows;
+    nothing after the first aggregate is corpus-proportional.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)"
+                f" + {KANON_BAL_OFFSET}) div {KANON_BAL_BAND}"
+            ).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count("*").alias("s"))
+    )
+    return (
+        classes.select(F.expr(_KANON_BAND_EXPR).alias("size_band"), "s")
+        .groupBy("size_band")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("s").alias("n_rows"),
+            F.max((F.col("s") < KANON_K).cast("boolean")).alias(
+                "violates_k"
+            ),
+        )
+    )
+
+
+SQL_PRIVACY_KANON = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+          + {KANON_BAL_OFFSET}) // {KANON_BAL_BAND} AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS s
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT {_KANON_BAND_EXPR} AS size_band,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(s) AS BIGINT) AS n_rows,
+       MAX(s < {KANON_K}) AS violates_k
+FROM classes
+GROUP BY size_band
+"""
+
+
+# --------------------------------------------------------------------
+# quantile_select
+# --------------------------------------------------------------------
+
+QSEL_BUCKET = 50_000  # cents per selection bucket ($500; domain-bounded)
+QSEL_MARGIN_DEN = 200  # rank tolerance for the sketch contract: n/200
+# exact quantile fractions as integer pairs (no float q anywhere)
+QSEL_QUANTILES = [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"),
+                  (9, 10, "p90"), (99, 100, "p99")]
+QSEL_APPROX_ACC = 10_000  # approx_percentile accuracy (rank err <= n/acc)
+
+
+def q_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 quantiles (value at rank ``ceil(q·n)``) of
+    ``l_extendedprice`` cents per return flag, by DISTRIBUTED
+    SELECTION — plus the sketch contract: Spark's
+    ``approx_percentile`` estimate must land between the exact values
+    at ranks ``r ∓ n/{margin_den}`` (50× looser than the sketch's own
+    ``n/{acc}`` guarantee, so the boolean is stable under any merge
+    order the Greenwald-Khanna summaries take).
+
+    Rank targets are exact integer arithmetic (``ceil(qn·n/qd) =
+    (qn·n + qd − 1) div qd``) — no float q, no interpolation, so the
+    selected cents value is bitwise the same statistic in both
+    engines regardless of how ties order.
+
+    Scale shape — the reason this lane exists: the naive exact
+    quantile is a per-group global sort (one task per group at any
+    scale). This runs the selection decomposition instead: (1) one
+    combinable count per (group, domain-bounded ``{bucket}``-cent
+    bucket); (2) a bounded carry table locates, for each target rank,
+    the ONE bucket containing it; (3) the raw scan is re-read
+    FILTERED to those few buckets (partition-prunable predicate) and
+    only bucket-local row_numbers are computed — each a
+    bucket-sized task, never a group-sized one. The oracle computes
+    every rank the naive way (one plain window) so the decomposition
+    is hash-checked, not argued.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("f"),
+        F.expr(
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+        ).alias("cents"),
+    )
+    b = li.withColumn("bucket", F.expr(f"cents div {QSEL_BUCKET}"))
+    # (1) bounded per-bucket counts + carry of strictly-lower buckets
+    wf = Window.partitionBy("f").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        b.groupBy("f", "bucket")
+        .agg(F.count("*").alias("bn"))
+        .select(
+            "f",
+            "bucket",
+            "bn",
+            F.coalesce(F.sum("bn").over(wf), F.lit(0)).alias("below"),
+        )
+    )
+    # (2) rank targets: mid = the quantile, lo/hi = the contract margin
+    qlit = ", ".join(f"({qn}, {qd}, '{lab}')" for qn, qd, lab in QSEL_QUANTILES)
+    targets = (
+        li.groupBy("f")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(
+            spark.sql(
+                f"SELECT * FROM VALUES {qlit} AS t(qn, qd, lab)"
+            )
+        )
+        .withColumn("tr", F.expr("(qn * n + qd - 1) div qd"))
+        .withColumn("m", F.expr(f"n div {QSEL_MARGIN_DEN}"))
+        .select(
+            "f",
+            "lab",
+            "n",
+            "tr",
+            F.explode(
+                F.expr(
+                    "array(named_struct('kind', 'lo', 'rk', greatest(tr - m, 1L)),"
+                    " named_struct('kind', 'mid', 'rk', tr),"
+                    " named_struct('kind', 'hi', 'rk', least(tr + m, n)))"
+                )
+            ).alias("t"),
+        )
+        .select("f", "lab", "n", "tr", "t.kind", "t.rk")
+    )
+    # locate each rank's bucket (bounded x bounded range join;
+    # explicit string aliases — attribute-id refs resolved both `f`s
+    # to one id here and Spark warned "trivially true predicate")
+    locate = (
+        targets.alias("t")
+        .join(
+            carry.alias("k"),
+            F.expr(
+                "t.f = k.f AND k.below < t.rk"
+                " AND k.below + k.bn >= t.rk"
+            ),
+        )
+        .select(
+            F.col("t.f").alias("f"),
+            F.col("t.lab").alias("lab"),
+            F.col("t.n").alias("n"),
+            F.col("t.tr").alias("tr"),
+            F.col("t.kind").alias("kind"),
+            F.col("t.rk").alias("rk"),
+            F.col("k.bucket").alias("bucket"),
+            (F.col("t.rk") - F.col("k.below")).alias("rn_in"),
+        )
+    )
+    # (3) bucket-pruned selection: only the located buckets are
+    # RE-READ (a fresh scan lineage — this is literally the second
+    # pass of the selection algorithm, and it sidesteps Spark's
+    # ambiguous-self-join lint on b's reuse); row_number is
+    # bucket-local (never group-global)
+    need = locate.select("f", "bucket").distinct()
+    b2 = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("f"),
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .withColumn("bucket", F.expr(f"cents div {QSEL_BUCKET}"))
+    )
+    wrn = Window.partitionBy("f", "bucket").orderBy("cents")
+    picked = (
+        b2.join(F.broadcast(need), ["f", "bucket"])
+        .withColumn("rn", F.row_number().over(wrn))
+        .join(
+            F.broadcast(locate),
+            ["f", "bucket"],
+        )
+        .where(F.col("rn") == F.col("rn_in"))
+        .groupBy("f", "lab", "n", "tr")
+        .agg(
+            F.max(F.when(F.col("kind") == "lo", F.col("cents"))).alias("lo_c"),
+            F.max(F.when(F.col("kind") == "mid", F.col("cents"))).alias("mid_c"),
+            F.max(F.when(F.col("kind") == "hi", F.col("cents"))).alias("hi_c"),
+        )
+    )
+    # sketch lane: one pass, contract-checked against the exact rank
+    # window [lo_c, hi_c]
+    fr = [float(qn) / qd for qn, qd, _ in QSEL_QUANTILES]
+    approx = (
+        li.groupBy("f")
+        .agg(
+            F.percentile_approx(
+                "cents", F.array(*[F.lit(x) for x in fr]), QSEL_APPROX_ACC
+            ).alias("ap")
+        )
+        .select(
+            "f",
+            F.explode(
+                F.arrays_zip(
+                    F.array(
+                        *[F.lit(lab) for _, _, lab in QSEL_QUANTILES]
+                    ).alias("lab"),
+                    F.col("ap").alias("apx"),
+                )
+            ).alias("z"),
+        )
+        .select("f", F.col("z.lab").alias("lab"), F.col("z.apx").alias("apx"))
+    )
+    return picked.join(approx, ["f", "lab"]).select(
+        F.col("f").alias("l_returnflag"),
+        F.col("lab").alias("quantile"),
+        F.col("n").alias("n_rows"),
+        F.col("tr").alias("target_rank"),
+        F.col("mid_c").alias("exact_cents"),
+        (
+            (F.col("apx") >= F.col("lo_c")) & (F.col("apx") <= F.col("hi_c"))
+        ).alias("approx_ok"),
+    )
+
+
+q_quantile_select.__doc__ = q_quantile_select.__doc__.format(
+    margin_den=QSEL_MARGIN_DEN, acc=QSEL_APPROX_ACC, bucket=QSEL_BUCKET
+)
+
+
+def _sql_quantile_select() -> str:
+    qrows = ", ".join(
+        f"({qn}, {qd}, '{lab}')" for qn, qd, lab in QSEL_QUANTILES
+    )
+    return f"""
+WITH c AS (
+  SELECT l_returnflag AS f,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+),
+n AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY f),
+r AS (
+  SELECT f, cents,
+         ROW_NUMBER() OVER (PARTITION BY f ORDER BY cents) AS rn
+  FROM c
+),
+t AS (
+  SELECT n.f, n.n, q.lab,
+         CAST((q.qn * n.n + q.qd - 1) // q.qd AS BIGINT) AS tr
+  FROM n CROSS JOIN (VALUES {qrows}) AS q(qn, qd, lab)
+)
+SELECT t.f AS l_returnflag, t.lab AS quantile, t.n AS n_rows,
+       t.tr AS target_rank,
+       MAX(r.cents) AS exact_cents,
+       TRUE AS approx_ok
+FROM t JOIN r ON r.f = t.f AND r.rn = t.tr
+GROUP BY t.f, t.lab, t.n, t.tr
+"""
+
+
+# --------------------------------------------------------------------
 # Registration: graded lane, never-graded-first (this module precedes
-# relational12 in the registry order, so the two round-9 operators
-# grade immediately at the head — graph_triangles and vocab_coverage,
-# double-green r7+r8, demote to relational7's EXTRA lane in exchange).
+# relational12 in the registry order, so the four round-9 operators
+# grade immediately at the head — graph_triangles, vocab_coverage,
+# bpe_merges, bpe_apply, all double-green r7+r8, demote to
+# relational7's EXTRA lane in exchange).
 # --------------------------------------------------------------------
 
 QUERIES: list[Query] = [
@@ -278,6 +570,18 @@ QUERIES: list[Query] = [
         q_skew_autosalt,
         SQL_SKEW_AUTOSALT,
         ("relational", "skew", "agg", "pipeline"),
+    ),
+    Query(
+        "privacy_kanon",
+        q_privacy_kanon,
+        SQL_PRIVACY_KANON,
+        ("relational", "privacy", "compliance", "agg"),
+    ),
+    Query(
+        "quantile_select",
+        q_quantile_select,
+        _sql_quantile_select(),
+        ("relational", "statistics", "approx", "topk"),
     ),
 ]
 

@@ -374,18 +374,6 @@ def _promoted_r7_wave2() -> list[Query]:
 
     return [
         Query(
-            "bpe_merges",
-            q_bpe_merges,
-            SQL_BPE_MERGES,
-            ("llm", "text", "iterative"),
-        ),
-        Query(
-            "bpe_apply",
-            q_bpe_apply,
-            SQL_BPE_APPLY,
-            ("llm", "text", "iterative", "pipeline"),
-        ),
-        Query(
             "stream_join_interval",
             q_stream_join_interval,
             SQL_STREAM_JOIN_INTERVAL,
@@ -592,9 +580,16 @@ def _demoted_r8() -> list[Query]:
 
 def _demoted_r9() -> list[Query]:
     # double-green r7+r8 veterans traded for relational13's new
-    # drift_ks / skew_autosalt in round 9
+    # drift_ks / skew_autosalt / privacy_kanon / quantile_select in
+    # round 9
     from .graph import SQL_GRAPH_TRIANGLES, q_graph_triangles
     from .textstats import SQL_VOCAB_COVERAGE, q_vocab_coverage
+    from .trainprep import (
+        SQL_BPE_APPLY,
+        SQL_BPE_MERGES,
+        q_bpe_apply,
+        q_bpe_merges,
+    )
 
     return [
         Query(
@@ -608,6 +603,18 @@ def _demoted_r9() -> list[Query]:
             q_vocab_coverage,
             SQL_VOCAB_COVERAGE,
             ("llm", "text", "agg"),
+        ),
+        Query(
+            "bpe_merges",
+            q_bpe_merges,
+            SQL_BPE_MERGES,
+            ("llm", "text", "iterative"),
+        ),
+        Query(
+            "bpe_apply",
+            q_bpe_apply,
+            SQL_BPE_APPLY,
+            ("llm", "text", "iterative", "pipeline"),
         ),
     ]
 

@@ -764,6 +764,7 @@ def test_extra_lane_doc_counts_match_registry():
         107: "a hundred and seven", 108: "a hundred and eight",
         109: "a hundred and nine", 110: "a hundred and ten",
         111: "a hundred and eleven", 112: "a hundred and twelve",
+        113: "a hundred and thirteen", 114: "a hundred and fourteen",
     }
     expected = words[len(registry.EXTRA)]
     stale = set(words.values()) - {expected}
@@ -925,7 +926,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 111
+    assert len(EXTRA) == 113
     assert len(BENCH_ONLY) == 7
     # round-9 rotation: the four post-rotation lanes (never graded
     # until now) lead the graded lane right after ingest_parity, so
@@ -937,15 +938,18 @@ def test_lane_counts_match_docs():
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc"):
         assert k in REGISTRY, k
-    assert list(REGISTRY)[1:7] == [
-        "drift_ks", "skew_autosalt",  # NEW r9, graded immediately
+    assert list(REGISTRY)[1:9] == [
+        # NEW r9 (two waves), graded immediately
+        "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
+        # r8 post-rotation quartet, promoted r9
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
     ]
-    assert list(EXTRA)[:6] == [
+    assert list(EXTRA)[:8] == [
         "doc_winnow", "inverted_index", "changepoint_cusum",
         "winnow_overlap", "graph_triangles", "vocab_coverage",
+        "bpe_merges", "bpe_apply",
     ]
-    assert list(EXTRA)[6] == "freq_items_topk"
+    assert list(EXTRA)[8] == "freq_items_topk"
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -958,7 +962,7 @@ def test_lane_counts_match_docs():
     }
     # the round-8 wave-3 lanes follow the round-9 promotees; the
     # wave-2 and wave-1 promotees stay graded
-    assert list(REGISTRY)[7:13] == [
+    assert list(REGISTRY)[9:15] == [
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
         "drift_psi", "mmr_rerank", "join_asof_nearest",
     ]
@@ -980,7 +984,7 @@ def test_lane_counts_match_docs():
     # winnow_overlap, asserted at the EXTRA head above)
     for k in (
         "dedup_passages", "emb_gram",
-        "dedup_keep_best", "bpe_merges", "bpe_apply",
+        "dedup_keep_best",
         "stream_join_interval", "kmeans_embeddings",
         "sim_join_kmeans", "pq_encode", "ann_pq_topk", "pmi_cooccur",
         "session_paths", "chi2_contingency", "ann_two_stage",
@@ -6189,6 +6193,80 @@ def test_skew_autosalt_decision_and_sums_on_planted_skew(spark, tmp_path):
     assert cold and all(
         r.salt_buckets == 1 and r.n_salt_parts == 1 for r in cold
     )
+
+
+def test_privacy_kanon_planted_classes(spark, tmp_path):
+    # hand-built QI classes of size 1, 3, 6, and 12 -> one row per
+    # band with exact class/row counts and the k=5 violation flags
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        q_privacy_kanon,
+    )
+
+    rows = []
+    cid = 0
+
+    def add_class(nation, seg, bal, n):
+        nonlocal cid
+        for _ in range(n):
+            rows.append((cid, f"Customer#{cid}", nation, bal, seg))
+            cid += 1
+
+    add_class(1, "AUTO", 100.0, 1)       # size 1
+    add_class(2, "AUTO", 100.0, 3)       # size 3
+    add_class(3, "HOUSE", 100.0, 6)      # size 6
+    add_class(4, "HOUSE", 100.0, 12)     # size 12
+    # same nation+segment but a DIFFERENT balance band -> own class
+    add_class(4, "HOUSE", 5000.0, 1)     # size 1 (band split works)
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+
+    got = {r.size_band: r for r in q_privacy_kanon(spark, str(tmp_path)).collect()}
+    assert set(got) == {"1", "2-4", "5-9", "10+"}
+    assert (got["1"].n_classes, got["1"].n_rows, got["1"].violates_k) == (2, 2, True)
+    assert (got["2-4"].n_classes, got["2-4"].n_rows, got["2-4"].violates_k) == (1, 3, True)
+    assert (got["5-9"].n_classes, got["5-9"].n_rows, got["5-9"].violates_k) == (1, 6, False)
+    assert (got["10+"].n_classes, got["10+"].n_rows, got["10+"].violates_k) == (1, 12, False)
+
+
+def test_quantile_select_matches_pure_python_recompute(spark, sf_dir):
+    # recompute every type-1 quantile rank from the raw cents with a
+    # plain Python sort — pins the distributed selection (bucket
+    # locate + bucket-local row_number) against the naive definition,
+    # and asserts every sketch contract boolean landed true
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        QSEL_QUANTILES,
+        q_quantile_select,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    from collections import defaultdict
+
+    by_f = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        by_f[r.l_returnflag].append(round(r.l_extendedprice * 100))
+    expected = {}
+    for f, vals in by_f.items():
+        vals.sort()
+        n = len(vals)
+        for qn, qd, lab in QSEL_QUANTILES:
+            tr = (qn * n + qd - 1) // qd
+            expected[(f, lab)] = (n, tr, vals[tr - 1])
+    got = {
+        (r.l_returnflag, r.quantile): r
+        for r in q_quantile_select(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for key, (n, tr, cents) in expected.items():
+        r = got[key]
+        assert (r.n_rows, r.target_rank, r.exact_cents) == (n, tr, cents)
+        assert r.approx_ok  # sketch landed inside the rank window
 
 
 def test_mmr_rerank_matches_pure_python_greedy(spark, sf_dir):
