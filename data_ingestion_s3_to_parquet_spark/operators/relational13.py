@@ -427,11 +427,16 @@ def q_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # locate each rank's bucket (bounded x bounded range join;
     # explicit string aliases — attribute-id refs resolved both `f`s
-    # to one id here and Spark warned "trivially true predicate")
+    # to one id here and Spark warned "trivially true predicate").
+    # carry is broadcast-HINTED: it is domain-bounded (~200 buckets
+    # per flag) but its size ESTIMATE grows with the input, and the
+    # 16x scale probe caught Catalyst re-planning this join off
+    # broadcast — the §82 rule: pin the strategy for every bounded
+    # side, never let fixture-scale statistics choose it.
     locate = (
         targets.alias("t")
         .join(
-            carry.alias("k"),
+            F.broadcast(carry.alias("k")),
             F.expr(
                 "t.f = k.f AND k.below < t.rk"
                 " AND k.below + k.bn >= t.rk"
@@ -503,7 +508,9 @@ def q_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("f", F.col("z.lab").alias("lab"), F.col("z.apx").alias("apx"))
     )
-    return picked.join(approx, ["f", "lab"]).select(
+    # approx is groups x quantiles rows — broadcast-hinted for the
+    # same §82 reason as carry
+    return picked.join(F.broadcast(approx), ["f", "lab"]).select(
         F.col("f").alias("l_returnflag"),
         F.col("lab").alias("quantile"),
         F.col("n").alias("n_rows"),
