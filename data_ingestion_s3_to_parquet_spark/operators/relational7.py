@@ -380,13 +380,6 @@ def _promoted_r7_wave2() -> list[Query]:
             ("streaming", "join"),
         ),
         Query(
-            "kmeans_embeddings",
-            q_kmeans_embeddings,
-            SQL_KMEANS_EMBEDDINGS,
-            ("llm", "similarity", "iterative", "agg"),
-            bench=True,  # the broadcast-model iteration, timed end-to-end
-        ),
-        Query(
             "sim_join_kmeans",
             q_sim_join_kmeans,
             SQL_SIM_JOIN_KMEANS,
@@ -579,10 +572,12 @@ def _demoted_r8() -> list[Query]:
 
 
 def _demoted_r9() -> list[Query]:
-    # double-green r7+r8 veterans traded for relational13's new
-    # drift_ks / skew_autosalt / privacy_kanon / quantile_select in
-    # round 9
+    # double-green r7+r8 veterans traded one-for-one for
+    # relational13's six new round-9 operators (drift_ks /
+    # skew_autosalt / privacy_kanon / quantile_select /
+    # join_skew_salted / reconcile_sources)
     from .graph import SQL_GRAPH_TRIANGLES, q_graph_triangles
+    from .similarity import SQL_KMEANS_EMBEDDINGS, q_kmeans_embeddings
     from .textstats import SQL_VOCAB_COVERAGE, q_vocab_coverage
     from .trainprep import (
         SQL_BPE_APPLY,
@@ -592,6 +587,13 @@ def _demoted_r9() -> list[Query]:
     )
 
     return [
+        Query(
+            "kmeans_embeddings",
+            q_kmeans_embeddings,
+            SQL_KMEANS_EMBEDDINGS,
+            ("llm", "similarity", "iterative", "agg"),
+            bench=True,  # the broadcast-model iteration, timed end-to-end
+        ),
         Query(
             "graph_triangles",
             q_graph_triangles,

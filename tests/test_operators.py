@@ -764,10 +764,14 @@ def test_extra_lane_doc_counts_match_registry():
         107: "a hundred and seven", 108: "a hundred and eight",
         109: "a hundred and nine", 110: "a hundred and ten",
         111: "a hundred and eleven", 112: "a hundred and twelve",
+        115: "a hundred and fifteen",
         113: "a hundred and thirteen", 114: "a hundred and fourteen",
     }
     expected = words[len(registry.EXTRA)]
-    stale = set(words.values()) - {expected}
+    # exclude words embedded in the expected phrase itself: 114 spells
+    # "a hundred and fourteen", which legitimately contains the map's
+    # "fourteen" — only counts NOT part of the current phrase are stale
+    stale = {w for w in words.values() if w != expected and w not in expected}
     for text in (entry_mod.__doc__, inspect.getsource(registry)):
         # Scope the stale-word scan to the sentences that state the
         # EXTRA-lane size (they all name the lane): round-5 shipped
@@ -926,7 +930,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 113
+    assert len(EXTRA) == 114
     assert len(BENCH_ONLY) == 7
     # round-9 rotation: the four post-rotation lanes (never graded
     # until now) lead the graded lane right after ingest_parity, so
@@ -938,18 +942,19 @@ def test_lane_counts_match_docs():
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc"):
         assert k in REGISTRY, k
-    assert list(REGISTRY)[1:9] == [
-        # NEW r9 (two waves), graded immediately
+    assert list(REGISTRY)[1:10] == [
+        # NEW r9 (three waves), graded immediately
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
+        "reconcile_sources",
         # r8 post-rotation quartet, promoted r9
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
     ]
-    assert list(EXTRA)[:8] == [
+    assert list(EXTRA)[:9] == [
         "doc_winnow", "inverted_index", "changepoint_cusum",
-        "winnow_overlap", "graph_triangles", "vocab_coverage",
-        "bpe_merges", "bpe_apply",
+        "winnow_overlap", "kmeans_embeddings", "graph_triangles",
+        "vocab_coverage", "bpe_merges", "bpe_apply",
     ]
-    assert list(EXTRA)[8] == "freq_items_topk"
+    assert list(EXTRA)[9] == "freq_items_topk"
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -962,7 +967,7 @@ def test_lane_counts_match_docs():
     }
     # the round-8 wave-3 lanes follow the round-9 promotees; the
     # wave-2 and wave-1 promotees stay graded
-    assert list(REGISTRY)[9:15] == [
+    assert list(REGISTRY)[10:16] == [
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
         "drift_psi", "mmr_rerank", "join_asof_nearest",
     ]
@@ -985,7 +990,7 @@ def test_lane_counts_match_docs():
     for k in (
         "dedup_passages", "emb_gram",
         "dedup_keep_best",
-        "stream_join_interval", "kmeans_embeddings",
+        "stream_join_interval",
         "sim_join_kmeans", "pq_encode", "ann_pq_topk", "pmi_cooccur",
         "session_paths", "chi2_contingency", "ann_two_stage",
         "entropy_score", "content_chunks", "word_filter", "corr_pearson",
@@ -6267,6 +6272,54 @@ def test_quantile_select_matches_pure_python_recompute(spark, sf_dir):
         r = got[key]
         assert (r.n_rows, r.target_rank, r.exact_cents) == (n, tr, cents)
         assert r.approx_ok  # sketch landed inside the rank window
+
+
+def test_reconcile_sources_planted_statuses(spark, tmp_path):
+    # one order per classifier branch: exact match, within 10%,
+    # gross mismatch, header-only (left_only), detail-only (right_only)
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        q_reconcile_sources,
+    )
+
+    d = dt.datetime(1997, 1, 1)
+    orders = [
+        (1, 1, "O", 100.00, d, "5-LOW"),   # exact: details sum to 100.00
+        (2, 1, "O", 100.00, d, "5-LOW"),   # within_10pct: details 95.00
+        (3, 1, "O", 100.00, d, "5-LOW"),   # mismatch: details 10.00
+        (4, 1, "O", 100.00, d, "5-LOW"),   # left_only: no details
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    li = [
+        (1, 1, 1, 1, 1.0, 60.00, 0.0, "N", "O", d),
+        (1, 1, 1, 2, 1.0, 40.00, 0.0, "N", "O", d),
+        (2, 1, 1, 1, 1.0, 95.00, 0.0, "N", "O", d),
+        (3, 1, 1, 1, 1.0, 10.00, 0.0, "N", "O", d),
+        (99, 1, 1, 1, 1.0, 5.00, 0.0, "N", "O", d),  # right_only
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {r.status: r for r in q_reconcile_sources(spark, str(tmp_path)).collect()}
+    assert set(got) == {"exact", "within_10pct", "mismatch", "left_only", "right_only"}
+    assert all(r.n == 1 for r in got.values())
+    assert got["exact"].abs_drift_cents == 0
+    assert got["within_10pct"].abs_drift_cents == 500
+    assert got["mismatch"].abs_drift_cents == 9000
+    assert got["left_only"].abs_drift_cents == 0   # orphan drift is 0
+    assert got["right_only"].abs_drift_cents == 0
+    assert all(r.share_micro == 200_000 for r in got.values())  # 1/5 each
 
 
 def test_mmr_rerank_matches_pure_python_greedy(spark, sf_dir):
