@@ -689,6 +689,7 @@ QUERIES: list[Query] = [
         q_drift_ks,
         SQL_DRIFT_KS,
         ("relational", "quality", "monitoring", "statistics"),
+        bench=True,  # the two-phase distributed ECDF, timed
     ),
     Query(
         "skew_autosalt",
@@ -707,6 +708,7 @@ QUERIES: list[Query] = [
         q_quantile_select,
         _sql_quantile_select(),
         ("relational", "statistics", "approx", "topk"),
+        bench=True,  # distributed selection + sketch lane, timed
     ),
     Query(
         "reconcile_sources",
