@@ -2815,3 +2815,134 @@ def test_gzip_probe_rejects_arbitrary_bytes_cleanly(payload):
         probe_gzip(payload)
     with pytest.raises(ValueError):
         probe_gzip(b"\x1f\x8b" + payload)
+
+
+# --- round-9 lanes: drift_ks / quantile_select fuzz ---------------------------
+
+import datetime as _dt
+
+_ks_prices = st.lists(
+    st.tuples(
+        # prices spanning several prefix-sum buckets, incl. exact
+        # bucket-boundary values (10k multiples)
+        st.sampled_from(
+            [500.0, 9_999.99, 10_000.0, 10_000.01, 25_000.0,
+             49_999.5, 50_000.0, 137_500.25, 480_000.0]
+        ),
+        st.booleans(),  # True -> baseline snapshot (before the pivot)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(sample=_ks_prices)
+@slow_ok
+def test_drift_ks_matches_python_on_any_sample(
+    spark, sample, tmp_path_factory
+):
+    """The two-phase bucketed ECDF equals the single-pass Python walk
+    for ARBITRARY samples — including one-sided snapshots (n=0 on a
+    side), all-equal values, and bucket-boundary prices."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        q_drift_ks,
+    )
+
+    tmp = tmp_path_factory.mktemp("ks")
+    before = _dt.datetime(1996, 1, 1)
+    after = _dt.datetime(2000, 1, 1)
+    rows = [
+        (i, 1, "O", p, before if base else after, "5-LOW")
+        for i, (p, base) in enumerate(sample)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    from collections import defaultdict
+
+    d = defaultdict(lambda: [0, 0])
+    for p, base in sample:
+        d[p][0 if base else 1] += 1
+    n1 = sum(v[0] for v in d.values())
+    n2 = sum(v[1] for v in d.values())
+    c1 = c2 = ks = 0
+    for p in sorted(d):
+        c1 += d[p][0]
+        c2 += d[p][1]
+        ks = max(ks, abs(c1 * n2 - c2 * n1))
+
+    r = q_drift_ks(spark, str(tmp)).collect()[0]
+    assert (r.n_ref, r.n_cur, r.ks_num) == (n1, n2, ks)
+    if n1 and n2:
+        assert r.ks_micro == round(1_000_000 * ks / (float(n1) * n2))
+    else:
+        assert r.ks_num == 0  # a one-sided sample has zero gap by def
+
+
+_qsel_prices = st.lists(
+    st.tuples(
+        st.sampled_from(["N", "A", "R"]),
+        # includes duplicate-heavy and bucket-boundary values
+        st.sampled_from(
+            [9.13, 100.0, 499.995, 500.0, 500.01, 777.77, 1_023.5]
+        ),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(sample=_qsel_prices)
+@slow_ok
+def test_quantile_select_matches_python_on_any_sample(
+    spark, sample, tmp_path_factory
+):
+    """Distributed selection equals the sorted-list rank lookup for
+    ARBITRARY per-group samples — including n=1 groups (every rank is
+    1), all-ties, and values on the selection-bucket boundary; the
+    sketch contract must also hold on every draw."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        QSEL_QUANTILES,
+        q_quantile_select,
+    )
+
+    tmp = tmp_path_factory.mktemp("qsel")
+    d = _dt.datetime(1997, 1, 1)
+    rows = [
+        (i, 1, 1, 1, 1.0, price, 0.0, flag, "O", d)
+        for i, (flag, price) in enumerate(sample)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+
+    from collections import defaultdict
+
+    by_f = defaultdict(list)
+    for flag, price in sample:
+        by_f[flag].append(round(price * 100))
+    expected = {}
+    for f, vals in by_f.items():
+        vals.sort()
+        n = len(vals)
+        for qn, qd, lab in QSEL_QUANTILES:
+            tr = (qn * n + qd - 1) // qd
+            expected[(f, lab)] = (n, tr, vals[tr - 1])
+
+    got = {
+        (r.l_returnflag, r.quantile): r
+        for r in q_quantile_select(spark, str(tmp)).collect()
+    }
+    assert set(got) == set(expected)
+    for key, (n, tr, cents) in expected.items():
+        r = got[key]
+        assert (r.n_rows, r.target_rank, r.exact_cents) == (n, tr, cents)
+        assert r.approx_ok
