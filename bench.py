@@ -149,7 +149,10 @@ def main() -> None:
         "dedup_exact": 0.21,
         "sim_topk": 0.30,
         "stream_tumbling": 0.26,
-        "text_stats": 0.19,
+        # 0.19 was a round-1 reading predating the current operator;
+        # the r2-r9 clean range is 0.37-0.5, and the stale floor made
+        # the index read a clean host as ~2x inflated
+        "text_stats": 0.37,
     }
     inflation = {
         n: round(timings[n] / floor_s, 2)
