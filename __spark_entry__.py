@@ -109,7 +109,7 @@ dedup_soft, mix_weights, strip_markup, ngram_counts,
 merge_intervals, markov_transitions, robust_stats, shard_manifest,
 batch_by_length, url_canonicalize, cms_counts — each keeps its r7
 green row, its oracle, its bench flag, and its place in the local
-sweep). Round 9 closes the loop AND adds five new operators. The
+sweep). Round 9 closes the loop AND adds seven new operators. The
 four post-rotation lanes — ts_interpolate (linear gap interpolation
 on the regularized hourly grid), privacy_erase (the
 right-to-be-forgotten cascade audit: customers, their orders, those
@@ -117,8 +117,8 @@ orders' lineitems, their event streams — exact purge counts per
 table), feature_vector (pinned-vocabulary one-hot + min-max scaling,
 the fit/transform encode step), and skew_report (per-join-key
 cardinality/heavy-hitter shares — the salting-vs-AQE decision
-report) — move to graded positions 7-10, behind the five NEW round-9
-operators at positions 2-6: drift_ks (two-sample Kolmogorov-Smirnov
+report) — move to graded positions 9-12, behind the seven NEW
+round-9 operators at positions 2-8: drift_ks (two-sample Kolmogorov-Smirnov
 numeric drift — the rank-based complement to drift_psi's fixed bins,
 exact int64 cross-multiplied ECDF gap, distributed as a two-phase
 bucketed prefix sum), skew_autosalt (the skew_report →
@@ -132,17 +132,23 @@ bucket counts locate each rank, only located buckets are re-read —
 plus the approx_percentile rank-window contract), and
 reconcile_sources (the header-vs-detail two-source reconciliation
 audit: full outer join, one shared CASE classifier, integer-cents
-tolerance by cross-multiplication). In exchange the
+tolerance by cross-multiplication), rolling_median (per-user
+trailing-window type-1 median over integer cents — the robust
+smoothing twin of ewma_smooth), and forecast_snaive (the
+seasonal-naive forecast backtest: per-(type, hour-of-day) quantized
+profile, exact int64 MAE over the holdout, unseen-key coverage
+surfaced instead of silently zero-scored). In exchange the
 double-green r7+r8 veterans doc_winnow / inverted_index /
 changepoint_cusum / winnow_overlap / graph_triangles /
-vocab_coverage / bpe_merges / bpe_apply / kmeans_embeddings demote
+vocab_coverage / bpe_merges / bpe_apply / kmeans_embeddings /
+pq_encode / ann_pq_topk demote
 to the EXTRA head one-for-one. After r9 grades, EVERY oracle-gated
 operator in the repo has a driver row. The EXTRA lane holds
-a hundred and fourteen oracle-gated entries, every one with at
+a hundred and sixteen oracle-gated entries, every one with at
 least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 114 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 116 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

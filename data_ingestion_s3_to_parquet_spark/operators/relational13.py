@@ -674,13 +674,229 @@ FROM per CROSS JOIN tot
 
 
 # --------------------------------------------------------------------
+# rolling_median
+# --------------------------------------------------------------------
+
+ROLL_W = 5  # trailing window width (current row + 4 preceding)
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-{w}-event rolling median of the event value —
+    the ROBUST smoothing twin of ``ewma_smooth`` (one spike moves an
+    EWMA for {w} rows; the median ignores it outright, which is why
+    monitoring pipelines run both). Median = the lower (type-1)
+    median, the element at rank ``(n+1) div 2`` of the sorted window —
+    pure integer cents, no interpolation, so both engines agree
+    bitwise.
+
+    The window is a BOUNDED ROWS frame over the total order
+    ``(ts, event_id)`` (event_id breaks timestamp ties, so frames are
+    deterministic). The in-frame sort is over ≤ {w} elements — an O(1)
+    per-row cost — and the whole operator is one exchange on user_id
+    plus one in-partition sort: the same shape as every keyed window,
+    at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_W - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.collect_list("cents").over(w).alias("_w"),
+    ).select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.expr("CAST(size(_w) AS INT)").alias("n_window"),
+        F.expr(
+            "element_at(array_sort(_w), CAST((size(_w) + 1) div 2 AS INT))"
+        ).alias("median_cents"),
+    )
+
+
+q_rolling_median.__doc__ = q_rolling_median.__doc__.format(w=ROLL_W)
+
+
+SQL_ROLLING_MEDIAN = f"""
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+fr AS (
+  SELECT event_id, user_id, cents,
+         list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {ROLL_W - 1} PRECEDING AND CURRENT ROW) AS w
+  FROM e
+)
+SELECT event_id, user_id, cents,
+       CAST(LEN(w) AS INT) AS n_window,
+       CAST(list_sort(w)[CAST((LEN(w) + 1) // 2 AS INT)] AS BIGINT)
+         AS median_cents
+FROM fr
+"""
+
+
+# --------------------------------------------------------------------
+# forecast_snaive
+# --------------------------------------------------------------------
+
+FC_PIVOT_TS = "2024-01-25"  # train on events before, backtest on after
+
+# per-key seasonal forecast = micro-quantized mean of training cents
+# (ONE shared expression; the backtest error then lives entirely in
+# already-quantized integers)
+_FC_FORECAST_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * sum_cents) / n_train, 0)"
+    " AS BIGINT)"
+)
+_FC_MAE_EXPR = (
+    "CAST(ROUND((CAST(1 AS DOUBLE) * sum_abs_err) / n_scored, 0)"
+    " AS BIGINT)"
+)
+
+
+def q_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST — the baseline every real
+    forecasting deployment is graded against before anything fancier
+    ships: learn a per-(event_type, hour-of-day) mean-value profile
+    from events before ``FC_PIVOT_TS``, score every holdout event
+    after it against its key's profile, and report per event type the
+    training/holdout sizes, coverage (holdout rows whose key existed
+    in training), and the mean absolute error in micro-cents.
+
+    Exactness: the profile is the micro-quantized mean (one shared
+    expression); each holdout error is then
+    ``|cents·1e6 − forecast_micro|`` — exact int64 — and MAE is one
+    more quantized division. Holdout keys unseen in training are
+    EXCLUDED from MAE but surfaced via ``n_covered`` (silently scoring
+    them as zero would fake accuracy).
+
+    Scale shape: one conditional-aggregation pass builds the profile
+    (a combinable groupBy on the BOUNDED key space: |event types| ×
+    24), the profile broadcasts, and the backtest is a map-side join
+    + one more bounded groupBy. Nothing after the first aggregate is
+    row-proportional — the same shape at 100 TB of events.
+    """
+    pivot = F.lit(FC_PIVOT_TS).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        (F.col("ts") < pivot).alias("is_train"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    profile = (
+        ev.where("is_train")
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "event_type",
+            "hod",
+            "n_train",
+            F.expr(_FC_FORECAST_EXPR).alias("forecast_micro"),
+        )
+    )
+    holdout = ev.where(~F.col("is_train"))
+    scored = holdout.join(
+        F.broadcast(profile), ["event_type", "hod"], "left"
+    ).select(
+        "event_type",
+        F.col("forecast_micro").isNotNull().alias("covered"),
+        F.when(
+            F.col("forecast_micro").isNotNull(),
+            F.abs(F.col("cents") * F.lit(1_000_000) - F.col("forecast_micro")),
+        ).alias("abs_err"),
+    )
+    per_type_train = (
+        ev.where("is_train")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_train"))
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_holdout"),
+            F.sum(F.col("covered").cast("long")).alias("n_covered"),
+            F.sum("abs_err").alias("sum_abs_err"),
+            F.sum(F.col("covered").cast("long")).alias("n_scored"),
+        )
+        .join(F.broadcast(per_type_train), "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "n_holdout",
+            "n_covered",
+            F.expr(_FC_MAE_EXPR).alias("mae_micro"),
+        )
+    )
+
+
+SQL_FORECAST_SNAIVE = f"""
+WITH e AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+         ts < TIMESTAMP '{FC_PIVOT_TS}' AS is_train,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+profile AS (
+  SELECT event_type, hod,
+         CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM e WHERE is_train GROUP BY event_type, hod
+),
+pf AS (
+  SELECT event_type, hod, {_FC_FORECAST_EXPR} AS forecast_micro
+  FROM profile
+),
+scored AS (
+  SELECT e.event_type,
+         pf.forecast_micro IS NOT NULL AS covered,
+         CASE WHEN pf.forecast_micro IS NOT NULL
+              THEN ABS(e.cents * 1000000 - pf.forecast_micro) END AS abs_err
+  FROM e LEFT JOIN pf ON e.event_type = pf.event_type AND e.hod = pf.hod
+  WHERE NOT e.is_train
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_holdout,
+         CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+         CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+         CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_scored
+  FROM scored GROUP BY event_type
+),
+tr AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train
+  FROM e WHERE is_train GROUP BY event_type
+)
+SELECT agg.event_type, tr.n_train, agg.n_holdout, agg.n_covered,
+       {_FC_MAE_EXPR} AS mae_micro
+FROM agg JOIN tr ON agg.event_type = tr.event_type
+"""
+
+
+# --------------------------------------------------------------------
 # Registration: graded lane, never-graded-first (this module precedes
-# relational12 in the registry order, so the five round-9 operators
-# grade immediately at the head — graph_triangles, vocab_coverage,
-# bpe_merges, bpe_apply, and kmeans_embeddings, all double-green
-# r7+r8, demote to relational7's EXTRA lane in exchange; together
-# with the four demoted for the promoted post-rotation quartet that
-# is nine demotions for nine promotions).
+# relational12 in the registry order, so the seven round-9 operators
+# grade immediately at the head). Demoted one-for-one to relational7's
+# EXTRA lane across the round's waves: graph_triangles, vocab_coverage,
+# bpe_merges, bpe_apply, kmeans_embeddings, pq_encode, ann_pq_topk
+# (all double-green r7+r8) — together with the four demoted for the
+# promoted post-rotation quartet, eleven demotions for eleven
+# promotions.
 # --------------------------------------------------------------------
 
 QUERIES: list[Query] = [
@@ -709,6 +925,18 @@ QUERIES: list[Query] = [
         _sql_quantile_select(),
         ("relational", "statistics", "approx", "topk"),
         bench=True,  # distributed selection + sketch lane, timed
+    ),
+    Query(
+        "rolling_median",
+        q_rolling_median,
+        SQL_ROLLING_MEDIAN,
+        ("relational", "timeseries", "window"),
+    ),
+    Query(
+        "forecast_snaive",
+        q_forecast_snaive,
+        SQL_FORECAST_SNAIVE,
+        ("relational", "timeseries", "monitoring", "statistics"),
     ),
     Query(
         "reconcile_sources",

@@ -386,18 +386,6 @@ def _promoted_r7_wave2() -> list[Query]:
             ("llm", "similarity", "dedup", "pipeline"),
         ),
         Query(
-            "pq_encode",
-            q_pq_encode,
-            SQL_PQ_ENCODE,
-            ("llm", "similarity", "iterative", "approx"),
-        ),
-        Query(
-            "ann_pq_topk",
-            q_ann_pq_topk,
-            SQL_ANN_PQ_TOPK,
-            ("llm", "similarity", "approx", "topk"),
-        ),
-        Query(
             "pmi_cooccur",
             q_pmi_cooccur,
             SQL_PMI_COOCCUR,
@@ -577,7 +565,14 @@ def _demoted_r9() -> list[Query]:
     # skew_autosalt / privacy_kanon / quantile_select /
     # join_skew_salted / reconcile_sources)
     from .graph import SQL_GRAPH_TRIANGLES, q_graph_triangles
-    from .similarity import SQL_KMEANS_EMBEDDINGS, q_kmeans_embeddings
+    from .similarity import (
+        SQL_ANN_PQ_TOPK,
+        SQL_KMEANS_EMBEDDINGS,
+        SQL_PQ_ENCODE,
+        q_ann_pq_topk,
+        q_kmeans_embeddings,
+        q_pq_encode,
+    )
     from .textstats import SQL_VOCAB_COVERAGE, q_vocab_coverage
     from .trainprep import (
         SQL_BPE_APPLY,
@@ -617,6 +612,18 @@ def _demoted_r9() -> list[Query]:
             q_bpe_apply,
             SQL_BPE_APPLY,
             ("llm", "text", "iterative", "pipeline"),
+        ),
+        Query(
+            "pq_encode",
+            q_pq_encode,
+            SQL_PQ_ENCODE,
+            ("llm", "similarity", "iterative", "approx"),
+        ),
+        Query(
+            "ann_pq_topk",
+            q_ann_pq_topk,
+            SQL_ANN_PQ_TOPK,
+            ("llm", "similarity", "approx", "topk"),
         ),
     ]
 

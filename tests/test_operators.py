@@ -766,6 +766,7 @@ def test_extra_lane_doc_counts_match_registry():
         111: "a hundred and eleven", 112: "a hundred and twelve",
         115: "a hundred and fifteen",
         113: "a hundred and thirteen", 114: "a hundred and fourteen",
+        116: "a hundred and sixteen",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -930,7 +931,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 114
+    assert len(EXTRA) == 116
     assert len(BENCH_ONLY) == 7
     # round-9 rotation: the four post-rotation lanes (never graded
     # until now) lead the graded lane right after ingest_parity, so
@@ -942,19 +943,20 @@ def test_lane_counts_match_docs():
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc"):
         assert k in REGISTRY, k
-    assert list(REGISTRY)[1:10] == [
-        # NEW r9 (three waves), graded immediately
+    assert list(REGISTRY)[1:12] == [
+        # NEW r9 (four waves), graded immediately
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
-        "reconcile_sources",
+        "rolling_median", "forecast_snaive", "reconcile_sources",
         # r8 post-rotation quartet, promoted r9
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
     ]
-    assert list(EXTRA)[:9] == [
+    assert list(EXTRA)[:11] == [
         "doc_winnow", "inverted_index", "changepoint_cusum",
         "winnow_overlap", "kmeans_embeddings", "graph_triangles",
         "vocab_coverage", "bpe_merges", "bpe_apply",
+        "pq_encode", "ann_pq_topk",
     ]
-    assert list(EXTRA)[9] == "freq_items_topk"
+    assert list(EXTRA)[11] == "freq_items_topk"
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -967,7 +969,7 @@ def test_lane_counts_match_docs():
     }
     # the round-8 wave-3 lanes follow the round-9 promotees; the
     # wave-2 and wave-1 promotees stay graded
-    assert list(REGISTRY)[10:16] == [
+    assert list(REGISTRY)[12:18] == [
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
         "drift_psi", "mmr_rerank", "join_asof_nearest",
     ]
@@ -991,7 +993,7 @@ def test_lane_counts_match_docs():
         "dedup_passages", "emb_gram",
         "dedup_keep_best",
         "stream_join_interval",
-        "sim_join_kmeans", "pq_encode", "ann_pq_topk", "pmi_cooccur",
+        "sim_join_kmeans", "pmi_cooccur",
         "session_paths", "chi2_contingency", "ann_two_stage",
         "entropy_score", "content_chunks", "word_filter", "corr_pearson",
         "link_predict", "kcore_decompose", "dsir_weights",
@@ -6320,6 +6322,75 @@ def test_reconcile_sources_planted_statuses(spark, tmp_path):
     assert got["left_only"].abs_drift_cents == 0   # orphan drift is 0
     assert got["right_only"].abs_drift_cents == 0
     assert all(r.share_micro == 200_000 for r in got.values())  # 1/5 each
+
+
+def test_rolling_median_ignores_planted_spike(spark, tmp_path):
+    # a single 100x spike moves an EWMA for W rows but the rolling
+    # median not at all once the window holds a majority of normals;
+    # also pins the (n+1) div 2 lower-median rank on partial windows
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        q_rolling_median,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.0, 1000.0, 10.0, 10.0, 10.0]
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 7, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {r.event_id: r for r in q_rolling_median(spark, str(tmp_path)).collect()}
+    # partial windows: n=1 -> rank 1; n=2 -> rank 1 (lower median)
+    assert (got[0].n_window, got[0].median_cents) == (1, 1000)
+    assert (got[1].n_window, got[1].median_cents) == (2, 1000)
+    # the spike row itself: window [10,10,1000] -> median 10
+    assert (got[2].n_window, got[2].median_cents) == (3, 1000)
+    # every later full-window row keeps median 10.00 despite the spike
+    assert got[3].median_cents == 1000 and got[4].median_cents == 1000
+    assert (got[5].n_window, got[5].median_cents) == (5, 1000)
+
+
+def test_forecast_snaive_planted_profile_and_coverage(spark, tmp_path):
+    # hand-built profile: train clicks at hour 0 average 10.00; two
+    # holdout clicks at hour 0 with values 10.00 (err 0) and 13.00
+    # (err 3.00) -> MAE 1.50 in micro-cents; a holdout event at an
+    # hour with NO training data counts in n_holdout but not n_covered
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        FC_PIVOT_TS,
+        q_forecast_snaive,
+    )
+
+    pivot = dt.datetime.fromisoformat(FC_PIVOT_TS)
+    tr = pivot - dt.timedelta(days=2)  # hour 0
+    ho = pivot + dt.timedelta(days=1)  # hour 0
+    rows = [
+        (1, tr, 1, "click", 8.00, "{}"),
+        (2, tr, 1, "click", 12.00, "{}"),   # train mean = 10.00
+        (3, ho, 1, "click", 10.00, "{}"),   # err 0
+        (4, ho, 1, "click", 13.00, "{}"),   # err 3.00
+        (5, ho + dt.timedelta(hours=5), 1, "click", 1.00, "{}"),  # uncovered
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {r.event_type: r for r in q_forecast_snaive(spark, str(tmp_path)).collect()}
+    r = got["click"]
+    assert (r.n_train, r.n_holdout, r.n_covered) == (2, 3, 2)
+    # errors: |1000*1e6 - 1000*1e6| = 0 and |1300*1e6 - 1000*1e6| =
+    # 300*1e6 -> MAE = 150*1e6 micro-cents = 1.50 dollars... in cents
+    assert r.mae_micro == 150_000_000
 
 
 def test_mmr_rerank_matches_pure_python_greedy(spark, sf_dir):
