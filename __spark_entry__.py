@@ -109,7 +109,7 @@ dedup_soft, mix_weights, strip_markup, ngram_counts,
 merge_intervals, markov_transitions, robust_stats, shard_manifest,
 batch_by_length, url_canonicalize, cms_counts — each keeps its r7
 green row, its oracle, its bench flag, and its place in the local
-sweep). Round 9 closes the loop AND adds seven new operators. The
+sweep). Round 9 closes the loop AND adds eight new operators. The
 four post-rotation lanes — ts_interpolate (linear gap interpolation
 on the regularized hourly grid), privacy_erase (the
 right-to-be-forgotten cascade audit: customers, their orders, those
@@ -117,8 +117,8 @@ orders' lineitems, their event streams — exact purge counts per
 table), feature_vector (pinned-vocabulary one-hot + min-max scaling,
 the fit/transform encode step), and skew_report (per-join-key
 cardinality/heavy-hitter shares — the salting-vs-AQE decision
-report) — move to graded positions 9-12, behind the seven NEW
-round-9 operators at positions 2-8: drift_ks (two-sample Kolmogorov-Smirnov
+report) — move to graded positions 10-13, behind the eight NEW
+round-9 operators at positions 2-9: drift_ks (two-sample Kolmogorov-Smirnov
 numeric drift — the rank-based complement to drift_psi's fixed bins,
 exact int64 cross-multiplied ECDF gap, distributed as a two-phase
 bucketed prefix sum), skew_autosalt (the skew_report →
@@ -137,18 +137,22 @@ trailing-window type-1 median over integer cents — the robust
 smoothing twin of ewma_smooth), and forecast_snaive (the
 seasonal-naive forecast backtest: per-(type, hour-of-day) quantized
 profile, exact int64 MAE over the holdout, unseen-key coverage
-surfaced instead of silently zero-scored). In exchange the
+surfaced instead of silently zero-scored), and ref_integrity_audit
+(the per-FK-edge orphan/NULL audit — parents reduced to DISTINCT
+keys then shuffle_hash-pinned, since every parent grows with the
+data and a fixture-scale broadcast would be both the plan
+instability and the driver-OOM trap). In exchange the
 double-green r7+r8 veterans doc_winnow / inverted_index /
 changepoint_cusum / winnow_overlap / graph_triangles /
 vocab_coverage / bpe_merges / bpe_apply / kmeans_embeddings /
-pq_encode / ann_pq_topk demote
+pq_encode / ann_pq_topk / pmi_cooccur demote
 to the EXTRA head one-for-one. After r9 grades, EVERY oracle-gated
 operator in the repo has a driver row. The EXTRA lane holds
-a hundred and sixteen oracle-gated entries, every one with at
+a hundred and seventeen oracle-gated entries, every one with at
 least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 116 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 117 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

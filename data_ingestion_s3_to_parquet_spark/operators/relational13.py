@@ -889,14 +889,111 @@ FROM agg JOIN tr ON agg.event_type = tr.event_type
 
 
 # --------------------------------------------------------------------
+# ref_integrity_audit
+# --------------------------------------------------------------------
+
+# (child table, fk column, parent table, pk column) — the four
+# referential edges the fixture schema declares implicitly; the same
+# edges skew_report profiles and the join lanes pay shuffles on
+_RI_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+_RI_SHARE_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * n_orphans) / n_rows, 0)"
+    " AS BIGINT)"
+)
+
+
+def q_ref_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the load-time gate that catches a
+    broken upstream export before any join silently drops (inner) or
+    null-pads (outer) the orphans: for each declared FK edge, the
+    child row count, NULL-key count, orphan count (non-null keys with
+    no parent), and the orphan share in micros. The companion of
+    ``reconcile_sources`` (that one audits VALUES across sources,
+    this audits KEYS) and of ``data_expectations`` (per-column rules;
+    this is the cross-TABLE rule).
+
+    Scale shape, per edge: the parent side reduces to its DISTINCT
+    key column first (a combinable aggregate — the parent's width
+    never ships), then one left join child→keys and ONE conditional
+    aggregate to a single row. The join is ``shuffle_hash``-pinned:
+    EVERY parent here grows with the data (customer/part/orders all
+    scale with the corpus — only region/nation are fixed dims), so a
+    fixture-scale broadcast is exactly the §82 instability — and in
+    this direction it is also the driver-OOM trap once a parent's
+    key set outgrows memory. The probe confirmed Catalyst chose 4
+    broadcasts at fixture scale before the pin. Output is |edges|
+    rows.
+    """
+    parts = []
+    for child, fk, parent, pk in _RI_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("_fk"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("_pk"))
+            .distinct()
+            .hint("shuffle_hash")
+        )
+        j = c.join(p, c["_fk"] == p["_pk"], "left")
+        parts.append(
+            j.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("_fk").isNull().cast("long")).alias("n_null_fk"),
+                F.sum(
+                    (F.col("_fk").isNotNull() & F.col("_pk").isNull()).cast(
+                        "long"
+                    )
+                ).alias("n_orphans"),
+            ).select(
+                F.lit(child).alias("child_table"),
+                F.lit(fk).alias("fk_col"),
+                F.lit(parent).alias("parent_table"),
+                "n_rows",
+                "n_null_fk",
+                "n_orphans",
+                F.expr(_RI_SHARE_EXPR).alias("orphan_share_micro"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+def _sql_ref_integrity_audit() -> str:
+    blocks = []
+    for child, fk, parent, pk in _RI_EDGES:
+        blocks.append(f"""
+SELECT '{child}' AS child_table, '{fk}' AS fk_col,
+       '{parent}' AS parent_table,
+       n_rows, n_null_fk, n_orphans,
+       {_RI_SHARE_EXPR} AS orphan_share_micro
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN c._fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_fk,
+         CAST(SUM(CASE WHEN c._fk IS NOT NULL AND p._pk IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM (SELECT {fk} AS _fk FROM {child}) c
+  LEFT JOIN (SELECT DISTINCT {pk} AS _pk FROM {parent}) p
+    ON c._fk = p._pk
+)""")
+    return " UNION ALL ".join(blocks)
+
+
+# --------------------------------------------------------------------
 # Registration: graded lane, never-graded-first (this module precedes
-# relational12 in the registry order, so the seven round-9 operators
+# relational12 in the registry order, so the eight round-9 operators
 # grade immediately at the head). Demoted one-for-one to relational7's
 # EXTRA lane across the round's waves: graph_triangles, vocab_coverage,
-# bpe_merges, bpe_apply, kmeans_embeddings, pq_encode, ann_pq_topk
-# (all double-green r7+r8) — together with the four demoted for the
-# promoted post-rotation quartet, eleven demotions for eleven
-# promotions.
+# bpe_merges, bpe_apply, kmeans_embeddings, pq_encode, ann_pq_topk,
+# pmi_cooccur (all double-green r7+r8) — together with the four
+# demoted for the promoted post-rotation quartet, twelve demotions
+# for twelve promotions.
 # --------------------------------------------------------------------
 
 QUERIES: list[Query] = [
@@ -937,6 +1034,12 @@ QUERIES: list[Query] = [
         q_forecast_snaive,
         SQL_FORECAST_SNAIVE,
         ("relational", "timeseries", "monitoring", "statistics"),
+    ),
+    Query(
+        "ref_integrity_audit",
+        q_ref_integrity_audit,
+        _sql_ref_integrity_audit(),
+        ("relational", "quality", "join", "monitoring"),
     ),
     Query(
         "reconcile_sources",

@@ -386,12 +386,6 @@ def _promoted_r7_wave2() -> list[Query]:
             ("llm", "similarity", "dedup", "pipeline"),
         ),
         Query(
-            "pmi_cooccur",
-            q_pmi_cooccur,
-            SQL_PMI_COOCCUR,
-            ("llm", "text", "agg"),
-        ),
-        Query(
             "session_paths",
             q_session_paths,
             SQL_SESSION_PATHS,
@@ -573,7 +567,12 @@ def _demoted_r9() -> list[Query]:
         q_kmeans_embeddings,
         q_pq_encode,
     )
-    from .textstats import SQL_VOCAB_COVERAGE, q_vocab_coverage
+    from .textstats import (
+        SQL_PMI_COOCCUR,
+        SQL_VOCAB_COVERAGE,
+        q_pmi_cooccur,
+        q_vocab_coverage,
+    )
     from .trainprep import (
         SQL_BPE_APPLY,
         SQL_BPE_MERGES,
@@ -624,6 +623,12 @@ def _demoted_r9() -> list[Query]:
             q_ann_pq_topk,
             SQL_ANN_PQ_TOPK,
             ("llm", "similarity", "approx", "topk"),
+        ),
+        Query(
+            "pmi_cooccur",
+            q_pmi_cooccur,
+            SQL_PMI_COOCCUR,
+            ("llm", "text", "agg"),
         ),
     ]
 

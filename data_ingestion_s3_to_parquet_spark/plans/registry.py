@@ -43,10 +43,10 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational13 holds the seven NEW round-9 operators (drift_ks /
+    # relational13 holds the eight NEW round-9 operators (drift_ks /
     # skew_autosalt / privacy_kanon / quantile_select / rolling_median
-    # / forecast_snaive / reconcile_sources) — first QUERIES
-    # contributor after parity so they grade immediately
+    # / forecast_snaive / ref_integrity_audit / reconcile_sources) —
+    # first QUERIES contributor after parity so they grade immediately
     # (never-graded-first).
     "data_ingestion_s3_to_parquet_spark.operators.relational13",
     # relational12's QUERIES are graded (never-graded-first): the
@@ -135,13 +135,14 @@ REGISTRY: dict[str, Query] = _collect()
 # merge_intervals, markov_transitions, robust_stats, shard_manifest,
 # batch_by_length, url_canonicalize, cms_counts; round 9 then
 # promoted the post-rotation ts_interpolate / privacy_erase /
-# feature_vector / skew_report plus the seven NEW r9 operators into
+# feature_vector / skew_report plus the eight NEW r9 operators into
 # the graded lane and demoted the double-green r7+r8 veterans
 # doc_winnow / inverted_index / changepoint_cusum / winnow_overlap /
 # graph_triangles / vocab_coverage / bpe_merges / bpe_apply /
-# kmeans_embeddings / pq_encode / ann_pq_topk here one-for-one)
+# kmeans_embeddings / pq_encode / ann_pq_topk / pmi_cooccur here
+# one-for-one)
 # this lane holds
-# a hundred and sixteen entries in the lane, otherwise EVERY one
+# a hundred and seventeen entries in the lane, otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

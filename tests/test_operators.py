@@ -766,7 +766,7 @@ def test_extra_lane_doc_counts_match_registry():
         111: "a hundred and eleven", 112: "a hundred and twelve",
         115: "a hundred and fifteen",
         113: "a hundred and thirteen", 114: "a hundred and fourteen",
-        116: "a hundred and sixteen",
+        116: "a hundred and sixteen", 117: "a hundred and seventeen",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -931,7 +931,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 116
+    assert len(EXTRA) == 117
     assert len(BENCH_ONLY) == 7
     # round-9 rotation: the four post-rotation lanes (never graded
     # until now) lead the graded lane right after ingest_parity, so
@@ -943,20 +943,21 @@ def test_lane_counts_match_docs():
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc"):
         assert k in REGISTRY, k
-    assert list(REGISTRY)[1:12] == [
-        # NEW r9 (four waves), graded immediately
+    assert list(REGISTRY)[1:13] == [
+        # NEW r9 (five waves), graded immediately
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
-        "rolling_median", "forecast_snaive", "reconcile_sources",
+        "rolling_median", "forecast_snaive", "ref_integrity_audit",
+        "reconcile_sources",
         # r8 post-rotation quartet, promoted r9
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
     ]
-    assert list(EXTRA)[:11] == [
+    assert list(EXTRA)[:12] == [
         "doc_winnow", "inverted_index", "changepoint_cusum",
         "winnow_overlap", "kmeans_embeddings", "graph_triangles",
         "vocab_coverage", "bpe_merges", "bpe_apply",
-        "pq_encode", "ann_pq_topk",
+        "pq_encode", "ann_pq_topk", "pmi_cooccur",
     ]
-    assert list(EXTRA)[11] == "freq_items_topk"
+    assert list(EXTRA)[12] == "freq_items_topk"
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -969,7 +970,7 @@ def test_lane_counts_match_docs():
     }
     # the round-8 wave-3 lanes follow the round-9 promotees; the
     # wave-2 and wave-1 promotees stay graded
-    assert list(REGISTRY)[12:18] == [
+    assert list(REGISTRY)[13:19] == [
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
         "drift_psi", "mmr_rerank", "join_asof_nearest",
     ]
@@ -993,7 +994,7 @@ def test_lane_counts_match_docs():
         "dedup_passages", "emb_gram",
         "dedup_keep_best",
         "stream_join_interval",
-        "sim_join_kmeans", "pmi_cooccur",
+        "sim_join_kmeans",
         "session_paths", "chi2_contingency", "ann_two_stage",
         "entropy_score", "content_chunks", "word_filter", "corr_pearson",
         "link_predict", "kcore_decompose", "dsir_weights",
@@ -6391,6 +6392,67 @@ def test_forecast_snaive_planted_profile_and_coverage(spark, tmp_path):
     # errors: |1000*1e6 - 1000*1e6| = 0 and |1300*1e6 - 1000*1e6| =
     # 300*1e6 -> MAE = 150*1e6 micro-cents = 1.50 dollars... in cents
     assert r.mae_micro == 150_000_000
+
+
+def test_ref_integrity_audit_counts_planted_orphans(spark, tmp_path):
+    # two orphans + one NULL fk planted on the orders->customer edge;
+    # the lineitem->orders edge stays clean; duplicate parent keys
+    # must not double-count matches (DISTINCT on the parent side)
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        q_ref_integrity_audit,
+    )
+
+    d = dt.datetime(1997, 1, 1)
+    spark.createDataFrame(
+        [(1, "Customer#1", 1, 10.0, "AUTO"),
+         (1, "Customer#1-dup", 1, 10.0, "AUTO"),  # dup pk: no fan-out
+         (2, "Customer#2", 1, 10.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1, "O", 5.0, d, "5-LOW"),
+         (11, 2, "O", 5.0, d, "5-LOW"),
+         (12, 99, "O", 5.0, d, "5-LOW"),    # orphan
+         (13, 98, "O", 5.0, d, "5-LOW"),    # orphan
+         (14, None, "O", 5.0, d, "5-LOW")],  # NULL fk (not an orphan)
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 1, 1, 1, 1.0, 5.0, 0.0, "N", "O", d)],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 1, "p", "b", "t")],
+        "p_partkey long, p_name string, p_mfgr string,"  # minimal part
+        " p_brand string, p_type string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(
+        [(1, d, 1, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        (r.child_table, r.fk_col): r
+        for r in q_ref_integrity_audit(spark, str(tmp_path)).collect()
+    }
+    oc = got[("orders", "o_custkey")]
+    assert (oc.n_rows, oc.n_null_fk, oc.n_orphans) == (5, 1, 2)
+    assert oc.orphan_share_micro == 400_000  # 2/5
+    lo = got[("lineitem", "l_orderkey")]
+    assert (lo.n_rows, lo.n_null_fk, lo.n_orphans) == (1, 0, 0)
+    lp = got[("lineitem", "l_partkey")]
+    assert (lp.n_rows, lp.n_orphans) == (1, 0)
+    ev = got[("events", "user_id")]
+    assert (ev.n_rows, ev.n_orphans) == (1, 0)
 
 
 def test_mmr_rerank_matches_pure_python_greedy(spark, sf_dir):
