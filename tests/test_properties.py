@@ -2946,3 +2946,58 @@ def test_quantile_select_matches_python_on_any_sample(
         r = got[key]
         assert (r.n_rows, r.target_rank, r.exact_cents) == (n, tr, cents)
         assert r.approx_ok
+
+
+_roll_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # user
+        st.integers(0, 3),          # ts offset minutes (ties likely)
+        st.sampled_from([0.01, 10.0, 10.0, 999.99]),  # dup-heavy values
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(events=_roll_events)
+@slow_ok
+def test_rolling_median_matches_python_on_any_stream(
+    spark, events, tmp_path_factory
+):
+    """The bounded-ROWS-frame median equals a per-user Python replay
+    for ARBITRARY streams — including timestamp ties (event_id breaks
+    them), duplicate values, and windows shorter than W."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        ROLL_W,
+        q_rolling_median,
+    )
+
+    tmp = tmp_path_factory.mktemp("roll")
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + _dt.timedelta(minutes=m), u, "click", v, "{}")
+        for i, (u, m, v) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for i, (u, m, v) in enumerate(events):
+        per_user[u].append((m, i, round(v * 100)))
+    expected = {}
+    for u, evs in per_user.items():
+        evs.sort()  # (ts, event_id) total order
+        for pos in range(len(evs)):
+            w = sorted(c for _, _, c in evs[max(0, pos - ROLL_W + 1): pos + 1])
+            expected[evs[pos][1]] = (len(w), w[(len(w) + 1) // 2 - 1])
+
+    got = {
+        r.event_id: (r.n_window, r.median_cents)
+        for r in q_rolling_median(spark, str(tmp)).collect()
+    }
+    assert got == expected
