@@ -950,3 +950,64 @@ def test_graph_sssp_rounds_are_frontier_sized_and_hash_pinned(spark):
 
     plan = plan_of(q_graph_sssp(spark, SF_SMOKE))
     assert "BroadcastHashJoin" not in plan
+
+
+def test_ref_integrity_audit_never_broadcasts_a_parent(spark):
+    # every parent in the audit GROWS with the corpus (only
+    # region/nation are fixed dims, and none of them is a parent
+    # here), so a broadcast anywhere in this plan is the fixture-scale
+    # trap SCALE §83 documents: stable across the probe range yet a
+    # driver-OOM once a parent key set outgrows memory. Zero
+    # BroadcastExchange nodes, ever.
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        q_ref_integrity_audit,
+    )
+
+    plan = plan_of(q_ref_integrity_audit(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    # the pinned strategy is in effect for all four parent joins
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 4
+
+
+def test_quantile_select_broadcasts_only_bounded_frames(spark):
+    # seven BroadcastExchange nodes exactly: the located-bucket list,
+    # the locate table, the approx frame, and the internal bounded
+    # carry/target frames — each domain-bounded by construction. The
+    # 16x probe caught Catalyst dropping to 4 when size estimates
+    # grew (SCALE §83); the explicit hints pin all seven at any scale.
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        q_quantile_select,
+    )
+
+    plan = plan_of(q_quantile_select(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 7
+    # the selection re-read is bucket-pruned at the scan (pushed
+    # filters on the join keys via DPP/runtime filters or static
+    # pushdown — at minimum the scans exist and no global sort does)
+    assert "Sort" in plan  # bucket-local row_number sorts
+    w = re.findall(r"\(\d+\) Window\b", plan)
+    assert w, "expected the bucket-local row_number window"
+
+
+def test_drift_ks_data_window_is_bucket_partitioned(spark):
+    # the corpus-sized cumulative window must carry the bucket
+    # partition key; the only unpartitioned windows are over the
+    # bounded carry frame (the token_budget_select rule)
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        q_drift_ks,
+    )
+
+    plan = plan_of(q_drift_ks(spark, SF_SMOKE))
+    assert "partitionBy" not in plan  # formatted plans spell specs out
+    # structural check: at least one Window node lists bucket as a
+    # partition expression, and the per-value running sums appear
+    # under it rather than under a global-order window
+    assert "Window" in plan
+    import re
+
+    specs = re.findall(r"Arguments: \[[^\]]*\], \[bucket[^\]]*\]", plan)
+    assert specs, "per-value window lost its bucket partition key"
