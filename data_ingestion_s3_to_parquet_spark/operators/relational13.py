@@ -63,9 +63,14 @@ KS_PRICE_BUCKET = 10_000.0
 # ~3e9 rows per side — past that, sample or switch the shared
 # expression to double proportions); the one division is a shared
 # micro-quantized string so both engines run the identical IEEE ops.
+# The CASE guards the degenerate one-sided sample (n_ref or n_cur 0):
+# ks_num is 0 there by definition, but 0/0.0 is NaN and a foreign
+# ANSI-on session would throw on the BIGINT cast (the CC-signature
+# hardening standard) — the guard returns the true value, 0.
 _KS_MICRO_EXPR = (
-    "CAST(ROUND((CAST(1000000 AS DOUBLE) * ks_num)"
-    " / (CAST(n_ref AS DOUBLE) * n_cur), 0) AS BIGINT)"
+    "CASE WHEN n_ref = 0 OR n_cur = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * ks_num)"
+    " / (CAST(n_ref AS DOUBLE) * n_cur), 0) AS BIGINT) END"
 )
 
 

@@ -2880,7 +2880,9 @@ def test_drift_ks_matches_python_on_any_sample(
     if n1 and n2:
         assert r.ks_micro == round(1_000_000 * ks / (float(n1) * n2))
     else:
-        assert r.ks_num == 0  # a one-sided sample has zero gap by def
+        # a one-sided sample has zero gap by definition; the shared
+        # CASE guard must return 0, never a NaN-cast
+        assert (r.ks_num, r.ks_micro) == (0, 0)
 
 
 _qsel_prices = st.lists(
