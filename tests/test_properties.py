@@ -3003,3 +3003,112 @@ def test_rolling_median_matches_python_on_any_stream(
         for r in q_rolling_median(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+_salt_events = st.lists(
+    st.tuples(st.integers(0, 5), st.sampled_from([1.0, 2.5, 33.33])),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events=_salt_events)
+@slow_ok
+def test_skew_autosalt_matches_python_on_any_stream(
+    spark, events, tmp_path_factory
+):
+    """Decision table (top-k by count desc / user asc, ceil fan-out)
+    plus salted sums and realized-part counts equal a Python replay
+    for ARBITRARY streams — including <k distinct users and heavy
+    duplicate values."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        SALT_TARGET_ROWS,
+        SALT_TOPK,
+        q_skew_autosalt,
+    )
+
+    tmp = tmp_path_factory.mktemp("salt")
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base, u, "click", v, "{}") for i, (u, v) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for i, (u, v) in enumerate(events):
+        per[u].append((i, round(v * 100)))
+    ranked = sorted(per, key=lambda u: (-len(per[u]), u))[:SALT_TOPK]
+    expected = {}
+    for u in ranked:
+        n = len(per[u])
+        b = (n + SALT_TARGET_ROWS - 1) // SALT_TARGET_ROWS
+        expected[u] = (
+            n,
+            b,
+            len({eid % b for eid, _ in per[u]}),
+            sum(c for _, c in per[u]),
+        )
+
+    got = {
+        r.user_id: (r.n_rows, r.salt_buckets, r.n_salt_parts, r.sum_cents)
+        for r in q_skew_autosalt(spark, str(tmp)).collect()
+    }
+    assert got == expected
+
+
+_kanon_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.sampled_from(["A", "B"]),
+              st.sampled_from([-500.0, 100.0, 2100.0])),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_kanon_rows)
+@slow_ok
+def test_privacy_kanon_matches_python_on_any_table(
+    spark, rows, tmp_path_factory
+):
+    """Band rollups equal a Python replay for ARBITRARY QI tables —
+    including negative balances (the offset keeps div == floor-div)."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        KANON_BAL_BAND,
+        KANON_BAL_OFFSET,
+        KANON_K,
+        q_privacy_kanon,
+    )
+
+    tmp = tmp_path_factory.mktemp("kanon")
+    spark.createDataFrame(
+        [(i, f"C#{i}", n, b, s) for i, (n, s, b) in enumerate(rows)],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp / "customer.parquet"))
+
+    from collections import Counter
+
+    classes = Counter(
+        (n, s, (round(b * 100) + KANON_BAL_OFFSET) // KANON_BAL_BAND)
+        for n, s, b in rows
+    )
+
+    def band(sz):
+        return "1" if sz == 1 else "2-4" if sz <= 4 else "5-9" if sz <= 9 else "10+"
+
+    expected = {}
+    for sz in classes.values():
+        k = band(sz)
+        nc, nr, v = expected.get(k, (0, 0, False))
+        expected[k] = (nc + 1, nr + sz, v or sz < KANON_K)
+
+    got = {
+        r.size_band: (r.n_classes, r.n_rows, r.violates_k)
+        for r in q_privacy_kanon(spark, str(tmp)).collect()
+    }
+    assert got == expected
