@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -160,8 +161,12 @@ def main() -> None:
         if n in timings
     }
     infl_values = sorted(inflation.values())
+    # statistics.median (mean of the two middle values for even-sized
+    # sets): the upper-middle element systematically overstated the
+    # 6-lane corridor median and could tip a borderline host from
+    # "clean" to "warm" at the 1.3x threshold (ADVICE r9)
     infl_median = (
-        infl_values[len(infl_values) // 2] if infl_values else None
+        round(statistics.median(infl_values), 2) if infl_values else None
     )
     # median alone under-reports bursty load (round 9's first run:
     # median 1.25 yet text_stats at 4.9x) — any TWO lanes past 2x also

@@ -199,15 +199,31 @@ SALT_TARGET_ROWS = 32  # rows-per-salt-bucket target the decision aims at
 SALT_TOPK = 10  # heavy keys the report salts (bounded output)
 
 
+def _salt_expr(eid: str, buckets: str) -> str:
+    """The salt spreader as ONE expression string rendered into both
+    engines (the ``_BM25_MICRO_EXPR`` rule, applied to modulo):
+    ``((COALESCE(x,0) % b) + b) % b`` is sign-safe pmod in Spark AND
+    DuckDB (both engines' bare ``%`` follows the dividend sign, so the
+    add-then-re-mod normalizes negatives identically), and the
+    COALESCE pins the NULL policy — Spark's ``pmod(NULL, b)`` yields a
+    NULL salt that ``COUNT(*)`` over partials counts while DuckDB's
+    ``COUNT(DISTINCT …)`` silently drops NULLs (ADVICE r9). Fixture
+    event_ids are non-null and non-negative, so this changes no graded
+    value; it removes the cross-engine divergence for inputs that
+    aren't.
+    """
+    return f"((COALESCE({eid}, 0) % {buckets}) + {buckets}) % {buckets}"
+
+
 def q_skew_autosalt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Automatic salting, decided AND executed: take ``skew_report``'s
     heavy-hitter diagnosis on ``events.user_id``, derive each heavy
     key's salt fan-out ``salt_buckets = ceil(n_rows /
     SALT_TARGET_ROWS)``, then run the two-phase salted aggregation the
     decision prescribes — phase 1 groups by ``(user_id, salt)`` with
-    ``salt = pmod(event_id, salt_buckets)`` (a deterministic spreader,
-    so the oracle can replay it), phase 2 re-aggregates the partials
-    per key. Output: the ``SALT_TOPK`` heaviest keys with their row
+    ``salt`` from :func:`_salt_expr` (a deterministic, sign-safe,
+    NULL-pinned spreader, so the oracle can replay it), phase 2
+    re-aggregates the partials per key. Output: the ``SALT_TOPK`` heaviest keys with their row
     count, chosen fan-out, the number of salt partials phase 1
     actually produced, and the exact cents total — bitwise equal to a
     direct aggregation because int64 addition is associative, which is
@@ -242,7 +258,7 @@ def q_skew_autosalt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     salted = ev.join(F.broadcast(decision), "user_id").withColumn(
-        "salt", F.expr("pmod(event_id, salt_buckets)")
+        "salt", F.expr(_salt_expr("event_id", "salt_buckets"))
     )
     partials = salted.groupBy(
         "user_id", "n_rows", "salt_buckets", "salt"
@@ -268,8 +284,8 @@ d AS (
   ORDER BY n_rows DESC, user_id LIMIT {SALT_TOPK}
 )
 SELECT d.user_id, d.n_rows, d.salt_buckets,
-       CAST(COUNT(DISTINCT e.event_id % d.salt_buckets) AS BIGINT)
-         AS n_salt_parts,
+       CAST(COUNT(DISTINCT {_salt_expr("e.event_id", "d.salt_buckets")})
+            AS BIGINT) AS n_salt_parts,
        d.sum_cents
 FROM d JOIN e USING (user_id)
 GROUP BY d.user_id, d.n_rows, d.salt_buckets, d.sum_cents
@@ -906,9 +922,14 @@ _RI_EDGES = (
     ("lineitem", "l_partkey", "part", "p_partkey"),
     ("events", "user_id", "customer", "c_custkey"),
 )
+# CASE-guarded like _KS_MICRO_EXPR (the repo's 0/0 hardening
+# standard): an empty child table makes the share 0/0 → NaN, which a
+# foreign ANSI session (and DuckDB's CAST) would throw on; the true
+# share of zero rows is 0.
 _RI_SHARE_EXPR = (
-    "CAST(ROUND((CAST(1000000 AS DOUBLE) * n_orphans) / n_rows, 0)"
-    " AS BIGINT)"
+    "CASE WHEN n_rows = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * n_orphans) / n_rows, 0)"
+    " AS BIGINT) END"
 )
 
 

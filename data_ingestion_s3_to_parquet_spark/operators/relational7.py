@@ -555,9 +555,9 @@ def _demoted_r8() -> list[Query]:
 
 def _demoted_r9() -> list[Query]:
     # double-green r7+r8 veterans traded one-for-one for
-    # relational13's six new round-9 operators (drift_ks /
-    # skew_autosalt / privacy_kanon / quantile_select /
-    # join_skew_salted / reconcile_sources)
+    # relational13's eight new round-9 operators (drift_ks /
+    # skew_autosalt / privacy_kanon / quantile_select / rolling_median
+    # / forecast_snaive / ref_integrity_audit / reconcile_sources)
     from .graph import SQL_GRAPH_TRIANGLES, q_graph_triangles
     from .similarity import (
         SQL_ANN_PQ_TOPK,
