@@ -701,29 +701,33 @@ FROM orders
 """
 
 
-QUERIES: list[Query] = []
-
 # Rotation history: the first nine moved to the EXTRA lane in round 3
 # (green driver rows in r1+r2 — VERDICT r2 #1); the rest in round 5
 # after FOUR consecutive green driver rows each (VERDICT r4 #1 —
-# their graded slots went to the never-graded round-4 cohort). All
-# keep full local-replica evidence (tools/oracle_check.py + pytest).
-EXTRA_QUERIES = [
-    Query("agg_group", q_agg_group, SQL_AGG_GROUP, ("relational", "agg"), bench=True),
-    Query("agg_distinct", q_agg_distinct, SQL_AGG_DISTINCT, ("relational", "agg")),
-    Query("join_inner", q_join_inner, SQL_JOIN_INNER, ("relational", "join"), bench=True),
-    Query("join_broadcast", q_join_broadcast, SQL_JOIN_BROADCAST, ("relational", "join")),
-    Query("join_range", q_join_range, SQL_JOIN_RANGE, ("relational", "join"), bench=True),
-    Query("join_asof", q_join_asof, SQL_JOIN_ASOF, ("relational", "join", "custom")),
-    Query("window_rank", q_window_rank, SQL_WINDOW_RANK, ("relational", "window")),
-    Query("window_analytic", q_window_analytic, SQL_WINDOW_ANALYTIC, ("relational", "window"), bench=True),
+# their graded slots went to the never-graded round-4 cohort). The
+# round-10 grade-freshness rotation (VERDICT r9 #1) promoted the
+# eleven below BACK into the graded lane — their last driver rows
+# were the registry's oldest (r7 or earlier), and the §2B core is
+# what a Spark/DuckDB version bump would silently break first.
+QUERIES: list[Query] = [
     Query("scan_parquet", q_scan_parquet, SQL_SCAN_PARQUET, ("relational", "source")),
     Query("project_filter", q_project_filter, SQL_PROJECT_FILTER, ("relational",)),
     Query("filter_compound", q_filter_compound, SQL_FILTER_COMPOUND, ("relational",)),
     Query("scalar_funcs", q_scalar_funcs, SQL_SCALAR_FUNCS, ("relational",)),
     Query("agg_rollup_cube", q_agg_rollup_cube, SQL_AGG_ROLLUP_CUBE, ("relational", "agg")),
+    Query("agg_distinct", q_agg_distinct, SQL_AGG_DISTINCT, ("relational", "agg")),
     Query("join_outer", q_join_outer, SQL_JOIN_OUTER, ("relational", "join")),
     Query("join_semi_anti", q_join_semi_anti, SQL_JOIN_SEMI_ANTI, ("relational", "join")),
+    Query("window_rank", q_window_rank, SQL_WINDOW_RANK, ("relational", "window")),
     Query("sort_limit_topk", q_sort_limit_topk, SQL_SORT_LIMIT_TOPK, ("relational",)),
     Query("set_ops", q_set_ops, SQL_SET_OPS, ("relational",)),
+]
+
+EXTRA_QUERIES = [
+    Query("agg_group", q_agg_group, SQL_AGG_GROUP, ("relational", "agg"), bench=True),
+    Query("join_inner", q_join_inner, SQL_JOIN_INNER, ("relational", "join"), bench=True),
+    Query("join_broadcast", q_join_broadcast, SQL_JOIN_BROADCAST, ("relational", "join")),
+    Query("join_range", q_join_range, SQL_JOIN_RANGE, ("relational", "join"), bench=True),
+    Query("join_asof", q_join_asof, SQL_JOIN_ASOF, ("relational", "join", "custom")),
+    Query("window_analytic", q_window_analytic, SQL_WINDOW_ANALYTIC, ("relational", "window"), bench=True),
 ]

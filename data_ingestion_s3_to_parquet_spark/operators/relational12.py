@@ -1333,6 +1333,35 @@ FROM (
 # either has a prior green driver row or is graded now.
 QUERIES: list[Query] = [
     Query(
+        "drift_psi",
+        q_drift_psi,
+        SQL_DRIFT_PSI,
+        ("relational", "quality", "monitoring", "statistics"),
+    ),
+    Query(
+        "mmr_rerank",
+        q_mmr_rerank,
+        _sql_mmr_rerank(),
+        ("llm", "retrieval", "similarity", "iterative"),
+        bench=True,  # scoring + pairwise-overlap build + bounded greedy
+    ),
+    Query(
+        "join_asof_nearest",
+        q_join_asof_nearest,
+        SQL_JOIN_ASOF_NEAREST,
+        ("relational", "join", "timeseries"),
+    ),
+]
+
+# Round 9 promoted the post-rotation quartet (ts_interpolate /
+# privacy_erase / feature_vector / skew_report) and graded it green;
+# the round-10 grade-freshness rotation (VERDICT r9 #1) demoted that
+# quartet plus the double-green r8+r9 evaluation trio (eval_ndcg /
+# eval_calibration / eval_pr_curve) here — seven slots traded for the
+# round-3 relational-core veterans and the three new round-10
+# operators (relational14).
+EXTRA_QUERIES: list[Query] = [
+    Query(
         "ts_interpolate",
         q_ts_interpolate,
         SQL_TS_INTERPOLATE,
@@ -1374,27 +1403,4 @@ QUERIES: list[Query] = [
         _sql_eval_pr_curve(),
         ("llm", "evaluation", "statistics"),
     ),
-    Query(
-        "drift_psi",
-        q_drift_psi,
-        SQL_DRIFT_PSI,
-        ("relational", "quality", "monitoring", "statistics"),
-    ),
-    Query(
-        "mmr_rerank",
-        q_mmr_rerank,
-        _sql_mmr_rerank(),
-        ("llm", "retrieval", "similarity", "iterative"),
-        bench=True,  # scoring + pairwise-overlap build + bounded greedy
-    ),
-    Query(
-        "join_asof_nearest",
-        q_join_asof_nearest,
-        SQL_JOIN_ASOF_NEAREST,
-        ("relational", "join", "timeseries"),
-    ),
 ]
-
-# Round 9 promoted the four post-rotation lanes above into QUERIES;
-# new never-graded operators land here first (the rotation rule).
-EXTRA_QUERIES: list[Query] = []

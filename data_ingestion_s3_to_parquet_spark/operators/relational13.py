@@ -1012,17 +1012,19 @@ FROM (
 
 
 # --------------------------------------------------------------------
-# Registration: graded lane, never-graded-first (this module precedes
-# relational12 in the registry order, so the eight round-9 operators
-# grade immediately at the head). Demoted one-for-one to relational7's
-# EXTRA lane across the round's waves: graph_triangles, vocab_coverage,
-# bpe_merges, bpe_apply, kmeans_embeddings, pq_encode, ann_pq_topk,
-# pmi_cooccur (all double-green r7+r8) — together with the four
-# demoted for the promoted post-rotation quartet, twelve demotions
-# for twelve promotions.
+# Registration. Round 9 graded all eight operators green (driver rows
+# in CORRECTNESS_r09); the round-10 grade-freshness rotation (VERDICT
+# r9 #1) moved them to the EXTRA lane one-for-one for the round-3
+# relational-core veterans (scan_parquet, project_filter,
+# filter_compound, agg_rollup_cube, join_outer, join_semi_anti,
+# sort_limit_topk, set_ops, scalar_funcs, window_rank, agg_distinct,
+# regexp_funcs) whose driver rows were the registry's oldest — the
+# §2B backbone re-verified against current Spark/DuckDB.
 # --------------------------------------------------------------------
 
-QUERIES: list[Query] = [
+QUERIES: list[Query] = []
+
+EXTRA_QUERIES: list[Query] = [
     Query(
         "drift_ks",
         q_drift_ks,
@@ -1074,5 +1076,3 @@ QUERIES: list[Query] = [
         ("relational", "quality", "join", "monitoring"),
     ),
 ]
-
-EXTRA_QUERIES: list[Query] = []

@@ -1,0 +1,566 @@
+"""Round-10 additions: retrieval ranking metrics, windowed robust
+statistics, and schema-drift auditing.
+
+- ``eval_mrr``            MRR + recall@k of per-term BM25 rankings
+                          against a ranking-independent relevance
+                          signal (term occurs in the document's
+                          first-``MRR_TITLE_N`` tokens — the title
+                          proxy). Closes the retrieval-eval family:
+                          ``eval_ndcg`` grades graded relevance,
+                          ``eval_auc`` threshold-free classification,
+                          ``eval_pr_curve`` operating points — the
+                          ranking-POSITION metric was the gap
+                          (VERDICT r9 #2).
+- ``rolling_quantile``    per-user trailing-``ROLLQ_W``-event exact
+                          type-1 quantiles at arbitrary p — the
+                          generalization of ``rolling_median`` (p50
+                          only) to the (p25, p50, p90) band a
+                          monitoring pipeline actually plots
+                          (VERDICT r9 #3).
+- ``schema_drift_report`` per-column added / dropped / widened /
+                          changed / unchanged verdicts across two
+                          LANDED parquet batches (real files, real
+                          footers), plus the reconciled-union
+                          non-null count that quantifies each
+                          verdict's blast radius — the operational
+                          twin of ``sources.catalog.
+                          read_evolving_parquet`` (VERDICT r9 #4).
+
+All exact-integer lanes (the ``_BM25_MICRO_EXPR`` rule): every
+division is micro-quantized through ONE expression string rendered
+into both engines; everything else is int64.
+
+Reference parity note: the reference (`/root/reference/src/main.rs`)
+has none of this surface — its closest relative is the column-name
+verifier (main.rs:82-128), whose warn-never-abort contract
+``schema_drift_report`` extends from names to types and landed
+batches. The retrieval metrics and windowed statistics belong to the
+mandated LLM-pipeline extension layer.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+# --------------------------------------------------------------------
+# eval_mrr
+# --------------------------------------------------------------------
+
+# Same fixed query terms as rank_bm25 (IDF spread documented there),
+# but scored as four independent single-term queries so the MEAN in
+# MRR is over a real query set, not a single query.
+MRR_TERMS = ("dup", "vector", "join", "scan")
+MRR_TITLE_N = 12  # tokens of the "title" prefix that define relevance
+MRR_K = 10  # recall@k cutoff
+
+# Reciprocal rank, recall@k, and the cross-query mean as shared
+# micro-quantized expression strings (the _BM25_MICRO_EXPR rule). The
+# CASE guards are the true values, not clamps: no relevant doc in the
+# ranking → RR is 0 by definition; an empty relevant set → recall 0.
+_MRR_RR_EXPR = (
+    "CASE WHEN first_rel_rank IS NULL THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(ROUND(CAST(1000000 AS DOUBLE) / first_rel_rank, 0)"
+    " AS BIGINT) END"
+)
+_MRR_RECALL_EXPR = (
+    "CASE WHEN n_relevant = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * hits_at_k) / n_relevant,"
+    " 0) AS BIGINT) END"
+)
+# mean over the FIXED query set: absent terms contribute rr = 0 via
+# the constant denominator (a query with no matching docs is a failed
+# query, not a skipped one)
+_MRR_MEAN_EXPR = (
+    f"CAST(ROUND(CAST(sum_rr AS DOUBLE) / {len(MRR_TERMS)}, 0) AS BIGINT)"
+)
+
+
+def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank and recall@``MRR_K`` of per-term BM25
+    rankings: each query term ranks its matching documents by the
+    single-term Okapi score (``_BM25_MICRO_EXPR``, exact micro int);
+    a document is RELEVANT to a term iff the term occurs among the
+    document's first ``MRR_TITLE_N`` tokens — a ranking-independent
+    signal (full-document frequency ranks; prefix membership grades),
+    so neither metric is circular. Per term: candidate-set size,
+    relevant-set size, the rank of the first relevant hit, its
+    reciprocal rank in micros, hits inside the top ``MRR_K``, and
+    recall@k; MRR (the mean RR over the FIXED 4-term query set)
+    repeats on every row via a one-row broadcast.
+
+    Exactness: relevance ⊆ candidates by construction (a term in the
+    first tokens has tf ≥ 1), so recall's denominator is consistent;
+    ranking ties break on doc_id in both engines; the three divisions
+    are pinned micro-quantized expressions.
+
+    Scale shape: the token explode is filtered to the 4 query terms
+    MAP-SIDE before any exchange (the ``rank_bm25`` shape); the df
+    table is bounded by |query| and broadcasts; doc lengths join the
+    tf pairs shuffle_hash-pinned (both sides corpus-proportional);
+    the relevance pairs — also corpus-proportional — join
+    shuffle_hash-pinned on (doc, term). The per-term ranking is ONE
+    row_number window partitioned by term; a common term's postings
+    list is a corpus-sized partition, so at 100 TB the window is
+    replaced by the documented two-phase substitution: the
+    ``quantile_select`` bucket-count selection locates the k-th score
+    cutoff and the first-relevant rank becomes ``1 + COUNT(candidates
+    ordering before the best relevant doc)`` — both combinable
+    aggregates, no per-term sort. The fixture-scale window keeps the
+    oracle bitwise; the aggregates AFTER it are per-term (4 groups,
+    all combinable).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = (
+        toks.where(F.col("w").isin(*MRR_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("w").agg(F.count("*").alias("df"))
+    doclen = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = d.select(F.size(F.split("text", " ")).alias("dl0")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl0").alias("total_len"),
+    )
+    rel = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.slice(F.split("text", " "), 1, MRR_TITLE_N)
+            ).alias("w"),
+        )
+        .where(F.col("w").isin(*MRR_TERMS))
+        .distinct()
+        .withColumn("rel", F.lit(True))
+    )
+    from .relational10 import _BM25_MICRO_EXPR
+
+    cand = (
+        tf.join(F.broadcast(df_tbl), "w")
+        .join(doclen.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "w", F.expr(_BM25_MICRO_EXPR).alias("micro"))
+        .join(rel.hint("shuffle_hash"), ["doc_id", "w"], "left")
+        .select(
+            "doc_id",
+            "w",
+            "micro",
+            F.coalesce(F.col("rel"), F.lit(False)).alias("rel"),
+        )
+    )
+    win = Window.partitionBy("w").orderBy(F.desc("micro"), "doc_id")
+    ranked = cand.withColumn("rank", F.row_number().over(win))
+    per = ranked.groupBy("w").agg(
+        F.count("*").alias("n_ranked"),
+        F.sum(F.col("rel").cast("long")).alias("n_relevant"),
+        F.min(F.when(F.col("rel"), F.col("rank"))).cast("long").alias(
+            "first_rel_rank"
+        ),
+        F.sum(
+            (F.col("rel") & (F.col("rank") <= MRR_K)).cast("long")
+        ).alias("hits_at_k"),
+    ).withColumn("rr_micro", F.expr(_MRR_RR_EXPR))
+    # the cross-query sum rides an unpartitioned window over `per` —
+    # a ≤|MRR_TERMS|-row bounded carry frame (the allowed exception to
+    # the no-global-window rule), which keeps the corpus-sized ranking
+    # subtree evaluated ONCE instead of re-computed for a crossJoin'd
+    # one-row aggregate
+    per = per.withColumn(
+        "sum_rr",
+        F.sum("rr_micro").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return per.select(
+        F.col("w").alias("query_term"),
+        "n_ranked",
+        "n_relevant",
+        "first_rel_rank",
+        "rr_micro",
+        "hits_at_k",
+        F.expr(_MRR_RECALL_EXPR).alias("recall_at_k_micro"),
+        F.expr(_MRR_MEAN_EXPR).alias("mrr_micro"),
+    )
+
+
+def _sql_eval_mrr() -> str:
+    from .relational10 import _BM25_MICRO_EXPR
+
+    terms_sql = ", ".join(f"'{t}'" for t in MRR_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks
+  WHERE w IN ({terms_sql}) GROUP BY doc_id, w
+),
+df_tbl AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+doclen AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_len
+  FROM documents
+),
+rel AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(list_slice(string_split(text, ' '), 1, {MRR_TITLE_N}))
+             AS w
+    FROM documents
+  ) WHERE w IN ({terms_sql})
+),
+cand AS (
+  SELECT tf.doc_id, tf.w, {_BM25_MICRO_EXPR} AS micro,
+         rel.doc_id IS NOT NULL AS rel
+  FROM tf JOIN df_tbl USING (w) JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  LEFT JOIN rel ON rel.doc_id = tf.doc_id AND rel.w = tf.w
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY w ORDER BY micro DESC, doc_id)
+         AS rank
+  FROM cand
+),
+per AS (
+  SELECT w,
+         CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_relevant,
+         CAST(MIN(CASE WHEN rel THEN rank END) AS BIGINT)
+           AS first_rel_rank,
+         CAST(SUM(CASE WHEN rel AND rank <= {MRR_K} THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits_at_k
+  FROM ranked GROUP BY w
+),
+rrs AS (SELECT *, {_MRR_RR_EXPR} AS rr_micro FROM per),
+mean AS (SELECT CAST(SUM(rr_micro) AS BIGINT) AS sum_rr FROM rrs)
+SELECT w AS query_term, n_ranked, n_relevant, first_rel_rank, rr_micro,
+       hits_at_k, {_MRR_RECALL_EXPR} AS recall_at_k_micro,
+       {_MRR_MEAN_EXPR} AS mrr_micro
+FROM rrs CROSS JOIN mean
+"""
+
+
+# --------------------------------------------------------------------
+# rolling_quantile
+# --------------------------------------------------------------------
+
+ROLLQ_W = 16  # trailing window width (current row + 15 preceding)
+# exact type-1 quantile fractions as integer pairs (no float q):
+# value at in-frame rank ceil(qn·n/qd) = (qn·n + qd − 1) div qd
+ROLLQ_QUANTILES = ((1, 4, "p25"), (1, 2, "p50"), (9, 10, "p90"))
+
+
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-{w}-event rolling quantile band (p25 / p50 /
+    p90) of the event value — ``rolling_median`` generalized from p50
+    to arbitrary p (VERDICT r9 #3): the median says where the center
+    is, the band says how wide the tail runs, which is what an alert
+    threshold is actually set against. Each quantile is the exact
+    type-1 order statistic of the frame — the element at rank
+    ``(qn·n + qd − 1) div qd`` of the sorted window — pure integer
+    cents and integer rank arithmetic, no interpolation, so both
+    engines agree bitwise, ties included (all three quantiles read
+    from ONE sorted copy of the frame).
+
+    The frame is a BOUNDED ROWS window over the per-user total order
+    ``(ts, event_id)`` (event_id breaks timestamp ties → deterministic
+    frames). The in-frame sort is over ≤ {w} elements — an O(w log w)
+    per-row cost with w a CONSTANT — and the whole operator is one
+    exchange on user_id plus one in-partition sort: the standard
+    keyed-window shape at any scale, never a per-group global sort
+    (the ``quantile_select`` selection decomposition is the
+    substitution for UNBOUNDED frames; a bounded trailing frame never
+    needs it).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLQ_W - 1), 0)
+    )
+    picks = [
+        F.expr(
+            f"element_at(array_sort(_w),"
+            f" CAST(({qn} * size(_w) + {qd} - 1) div {qd} AS INT))"
+        ).alias(f"{lab}_cents")
+        for qn, qd, lab in ROLLQ_QUANTILES
+    ]
+    return ev.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.collect_list("cents").over(w).alias("_w"),
+    ).select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.expr("CAST(size(_w) AS INT)").alias("n_window"),
+        *picks,
+    )
+
+
+q_rolling_quantile.__doc__ = q_rolling_quantile.__doc__.format(w=ROLLQ_W)
+
+
+def _sql_rolling_quantile() -> str:
+    picks = ",\n       ".join(
+        f"CAST(list_sort(w)[CAST(({qn} * LEN(w) + {qd} - 1) // {qd}"
+        f" AS INT)] AS BIGINT) AS {lab}_cents"
+        for qn, qd, lab in ROLLQ_QUANTILES
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+fr AS (
+  SELECT event_id, user_id, cents,
+         list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {ROLLQ_W - 1} PRECEDING AND CURRENT ROW) AS w
+  FROM e
+)
+SELECT event_id, user_id, cents,
+       CAST(LEN(w) AS INT) AS n_window,
+       {picks}
+FROM fr
+"""
+
+
+# --------------------------------------------------------------------
+# schema_drift_report
+# --------------------------------------------------------------------
+
+# The two producer versions, declared ONCE: column → (spark type in
+# batch v1, spark type in batch v2); None = absent from that batch.
+# v1 lands the even-keyed orders, v2 the odd-keyed ones:
+# - o_custkey     int → bigint     (widened: producer outgrew int32)
+# - o_totalprice  float → double   (widened: precision upgrade)
+# - o_orderstatus string → absent  (dropped)
+# - o_pri_len     absent → bigint  (added: derived length metric)
+# - o_orderpriority string → int   (CHANGED: incompatible — the case
+#   mergeSchema cannot read and the reconciling union must surface)
+DRIFT_SPEC: dict[str, tuple[str | None, str | None]] = {
+    "o_orderkey": ("bigint", "bigint"),
+    "o_custkey": ("int", "bigint"),
+    "o_totalprice": ("float", "double"),
+    "o_orderstatus": ("string", None),
+    "o_orderpriority": ("string", "int"),
+    "o_pri_len": (None, "bigint"),
+}
+
+# The verdict classifier as ONE shared CASE over spark-style type-name
+# strings (both engines see the same STRINGS — Spark's come from the
+# landed parquet footers, the oracle's from DRIFT_SPEC literals, which
+# is exactly the check: landed physical types must round-trip to the
+# declared contract). The widening lattice is the lossless-cast set.
+_DRIFT_VERDICT_EXPR = (
+    "CASE WHEN t1 IS NULL THEN 'added'"
+    " WHEN t2 IS NULL THEN 'dropped'"
+    " WHEN t1 = t2 THEN 'unchanged'"
+    " WHEN (t1 = 'int' AND t2 = 'bigint') OR (t1 = 'float' AND t2 = 'double')"
+    " OR (t1 = 'int' AND t2 = 'double') THEN 'widened'"
+    " ELSE 'changed' END"
+)
+
+
+def _drift_batch_paths(sf_dir: str) -> tuple[str, str]:
+    """Fingerprint-keyed landed-batch locations under the system temp
+    dir (the :mod:`..artifacts` identity rule, same as
+    ``orc_interop``: a fixture rewrite changes the path, so a stale
+    landing can never satisfy the query)."""
+    from ..artifacts import fixture_fingerprint
+    from .relational11 import _sweep_stale_siblings
+
+    fp = fixture_fingerprint(sf_dir, "orders")
+    name = f"spark_graft_drift_{fp}"
+    _sweep_stale_siblings("spark_graft_drift_", name)
+    base = os.path.join(tempfile.gettempdir(), name)
+    return os.path.join(base, "v1"), os.path.join(base, "v2")
+
+
+def _land_drift_batches(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the two producer-version batches as REAL parquet dirs."""
+    p1, p2 = _drift_batch_paths(sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.where("o_orderkey % 2 = 0").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    v2 = o.where("o_orderkey % 2 = 1").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.length("o_orderpriority").cast("int").alias("o_orderpriority"),
+        F.length("o_orderpriority").cast("bigint").alias("o_pri_len"),
+    )
+    v1.write.mode("overwrite").parquet(p1)
+    v2.write.mode("overwrite").parquet(p2)
+    return p1, p2
+
+
+def q_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit across two LANDED parquet batches — the
+    operational twin of ``read_evolving_parquet`` (sources/catalog.py)
+    for the drift classes mergeSchema can and CANNOT absorb: land the
+    two producer versions of the orders feed as real parquet, read the
+    actual footer schemas back, classify every column through the
+    shared verdict CASE (added / dropped / widened / changed /
+    unchanged), and quantify each verdict's blast radius as the
+    non-null count the RECONCILED union delivers. Reconciliation
+    policy (the production rule the report encodes): widening casts
+    are lossless and applied; a 'changed' column is NEVER silently
+    coerced — the old batch's values surface as NULL so the count
+    exposes the gap (a string→int coercion that "mostly parses" is
+    how corrupt training corpora happen); dropped/added columns
+    null-fill the batch that lacks them, extending the reference's
+    warn-never-abort verifier (main.rs:82-128) from CSV names to
+    parquet types.
+
+    Exactness: verdicts are string algebra over footer-read type
+    names; counts are int64. The oracle recomputes the counts from
+    the fixture through the same batch split and renders the DECLARED
+    producer contract through the identical CASE — so a landed
+    physical type that fails to round-trip (float written, double
+    read) hash-mismatches.
+
+    Scale shape: the landing writes are map-only scan→project→encode
+    (file-per-task, no shuffle); footer reads are metadata-only; the
+    report frame is |columns| rows built driver-side (schemas are
+    O(columns) by nature, never data-sized); the one data pass is the
+    reconciled union's single combinable aggregate (per-column
+    non-null counts in one row), unpivoted via stack to |columns|
+    rows and joined to the verdicts broadcast. At 100 TB the landing
+    is the pipeline's own output and only the count pass remains —
+    one map-side-combinable scan.
+    """
+    p1, p2 = _land_drift_batches(spark, sf_dir)
+    t1 = dict(spark.read.parquet(p1).dtypes)
+    t2 = dict(spark.read.parquet(p2).dtypes)
+    cols = sorted(t1.keys() | t2.keys())
+    verdicts = spark.createDataFrame(
+        [(c, t1.get(c), t2.get(c)) for c in cols],
+        "column_name string, t1 string, t2 string",
+    )
+    b1, b2 = spark.read.parquet(p1), spark.read.parquet(p2)
+
+    def reconciled(df: DataFrame, own: dict[str, str]) -> DataFrame:
+        outs = []
+        for c in cols:
+            target = t2.get(c) or t1[c]
+            if c not in own:
+                outs.append(F.lit(None).cast(target).alias(c))
+            elif own[c] == target or (own[c], target) in (
+                ("int", "bigint"),
+                ("float", "double"),
+                ("int", "double"),
+            ):
+                outs.append(F.col(c).cast(target).alias(c))
+            else:  # changed: never silently coerced
+                outs.append(F.lit(None).cast(target).alias(c))
+        return df.select(*outs)
+
+    union = reconciled(b1, t1).unionByName(reconciled(b2, t2))
+    counts_row = union.agg(
+        *[F.count(F.col(c)).alias(c) for c in cols]
+    )
+    stack_expr = ", ".join(f"'{c}', {c}" for c in cols)
+    counts = counts_row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS (column_name, n_nonnull)"
+        )
+    )
+    return counts.join(F.broadcast(verdicts), "column_name").select(
+        "column_name",
+        "t1",
+        "t2",
+        F.expr(_DRIFT_VERDICT_EXPR).alias("verdict"),
+        "n_nonnull",
+    )
+
+
+def _sql_schema_drift_report() -> str:
+    spec_rows = ", ".join(
+        "('{c}', {t1}, {t2})".format(
+            c=c,
+            t1=f"'{t1}'" if t1 else "NULL",
+            t2=f"'{t2}'" if t2 else "NULL",
+        )
+        for c, (t1, t2) in sorted(DRIFT_SPEC.items())
+    )
+    # non-null counts the reconciled union must deliver, from the
+    # fixture through the same split: v1 = even keys, v2 = odd keys;
+    # widened/unchanged count both batches, dropped counts v1 only,
+    # added counts v2 via its derivation source, changed counts v2
+    # only (v1 is never coerced)
+    return f"""
+WITH spec(column_name, t1, t2) AS (VALUES {spec_rows}),
+counts(column_name, n_nonnull) AS (
+  SELECT 'o_orderkey', CAST(COUNT(o_orderkey) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(COUNT(o_custkey) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', CAST(COUNT(o_totalprice) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(COUNT(o_orderstatus) AS BIGINT)
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(COUNT(o_orderpriority) AS BIGINT)
+  FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT 'o_pri_len', CAST(COUNT(o_orderpriority) AS BIGINT)
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT column_name, t1, t2, {_DRIFT_VERDICT_EXPR} AS verdict, n_nonnull
+FROM counts JOIN spec USING (column_name)
+"""
+
+
+# --------------------------------------------------------------------
+# Registration: graded lane, never-graded-first (this module precedes
+# relational13 in the registry order, so the three round-10 operators
+# grade immediately at the head). Demotions for the round-10 rotation
+# are recorded at the demoting modules (relational12/13).
+# --------------------------------------------------------------------
+
+QUERIES: list[Query] = [
+    Query(
+        "eval_mrr",
+        q_eval_mrr,
+        _sql_eval_mrr(),
+        ("llm", "text", "evaluation", "ranking"),
+    ),
+    Query(
+        "rolling_quantile",
+        q_rolling_quantile,
+        _sql_rolling_quantile(),
+        ("relational", "timeseries", "window", "statistics"),
+    ),
+    Query(
+        "schema_drift_report",
+        q_schema_drift_report,
+        _sql_schema_drift_report(),
+        ("relational", "quality", "source", "monitoring"),
+    ),
+]
+
+EXTRA_QUERIES: list[Query] = []

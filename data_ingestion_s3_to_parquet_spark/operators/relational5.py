@@ -85,7 +85,16 @@ FROM typed t JOIN counts c ON t.et IS NOT DISTINCT FROM c.et
 """
 
 
-QUERIES: list[Query] = []
+# regexp_funcs re-promoted in the round-10 grade-freshness rotation
+# (VERDICT r9 #1): its last driver row was round 3's.
+QUERIES: list[Query] = [
+    Query(
+        "regexp_funcs",
+        q_regexp_funcs,
+        SQL_REGEXP_FUNCS,
+        ("relational", "text"),
+    ),
+]
 
 
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,11 +165,5 @@ EXTRA_QUERIES = [
         q_join_null_safe,
         SQL_JOIN_NULL_SAFE,
         ("relational", "join"),
-    ),
-    Query(
-        "regexp_funcs",
-        q_regexp_funcs,
-        SQL_REGEXP_FUNCS,
-        ("relational", "text"),
     ),
 ]

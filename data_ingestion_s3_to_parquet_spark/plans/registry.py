@@ -43,11 +43,15 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational13 holds the eight NEW round-9 operators (drift_ks /
-    # skew_autosalt / privacy_kanon / quantile_select / rolling_median
-    # / forecast_snaive / ref_integrity_audit / reconcile_sources) —
-    # first QUERIES contributor after parity so they grade immediately
+    # relational14 holds the three NEW round-10 operators (eval_mrr /
+    # rolling_quantile / schema_drift_report) — first QUERIES
+    # contributor after parity so they grade immediately
     # (never-graded-first).
+    "data_ingestion_s3_to_parquet_spark.operators.relational14",
+    # relational13's eight round-9 operators were graded green in r9
+    # and demoted to its EXTRA lane in the round-10 grade-freshness
+    # rotation (VERDICT r9 #1), trading their slots for the round-3
+    # relational-core veterans whose driver rows were the oldest.
     "data_ingestion_s3_to_parquet_spark.operators.relational13",
     # relational12's QUERIES are graded (never-graded-first): the
     # round-8 final rotation promoted the whole evaluation family, and
@@ -141,8 +145,13 @@ REGISTRY: dict[str, Query] = _collect()
 # graph_triangles / vocab_coverage / bpe_merges / bpe_apply /
 # kmeans_embeddings / pq_encode / ann_pq_topk / pmi_cooccur here
 # one-for-one)
-# this lane holds
-# a hundred and seventeen entries in the lane, otherwise EVERY one
+# and round 10 demoted r9's fresh greens — relational13's eight, the
+# ts_interpolate / privacy_erase / feature_vector / skew_report
+# quartet, and the double-green eval_ndcg / eval_calibration /
+# eval_pr_curve trio — for the three new round-10 operators plus the
+# twelve re-promoted round-3 relational-core veterans
+# (grade-freshness rotation, VERDICT r9 #1): this lane holds
+# a hundred and twenty entries in the lane, otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

@@ -767,6 +767,8 @@ def test_extra_lane_doc_counts_match_registry():
         115: "a hundred and fifteen",
         113: "a hundred and thirteen", 114: "a hundred and fourteen",
         116: "a hundred and sixteen", 117: "a hundred and seventeen",
+        118: "a hundred and eighteen", 119: "a hundred and nineteen",
+        120: "a hundred and twenty",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -931,33 +933,31 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 117
+    assert len(EXTRA) == 120
     assert len(BENCH_ONLY) == 7
-    # round-9 rotation: the four post-rotation lanes (never graded
-    # until now) lead the graded lane right after ingest_parity, so
-    # EVERY oracle-gated operator either has a prior green driver row
-    # or grades in r9; the double-green r7+r8 quartet demoted
-    # one-for-one leads the EXTRA lane
-    for k in ("eval_ndcg", "eval_calibration", "eval_pr_curve",
-              "drift_psi", "mmr_rerank", "join_asof_nearest",
-              "graph_sssp", "stream_dedup", "jsonl_interop",
-              "dedup_incremental", "lm_bigram_score", "eval_auc"):
-        assert k in REGISTRY, k
-    assert list(REGISTRY)[1:13] == [
-        # NEW r9 (five waves), graded immediately
+    # round-10 rotation (VERDICT r9 #1): the three NEW round-10
+    # operators grade immediately after ingest_parity; the twelve
+    # round-3 relational-core veterans (oldest driver rows in the
+    # registry) are promoted back for re-grading; r9's fresh greens
+    # (relational13's eight + relational12's quartet) and the
+    # double-green r8+r9 evaluation trio are demoted one-for-one and
+    # LEAD the EXTRA lane
+    assert list(REGISTRY)[1:4] == [
+        "eval_mrr", "rolling_quantile", "schema_drift_report",
+    ]
+    assert list(REGISTRY)[-12:] == [
+        "scan_parquet", "project_filter", "filter_compound",
+        "scalar_funcs", "agg_rollup_cube", "agg_distinct",
+        "join_outer", "join_semi_anti", "window_rank",
+        "sort_limit_topk", "set_ops", "regexp_funcs",
+    ]
+    assert list(EXTRA)[:15] == [
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
         "reconcile_sources",
-        # r8 post-rotation quartet, promoted r9
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
+        "eval_ndcg", "eval_calibration", "eval_pr_curve",
     ]
-    assert list(EXTRA)[:12] == [
-        "doc_winnow", "inverted_index", "changepoint_cusum",
-        "winnow_overlap", "kmeans_embeddings", "graph_triangles",
-        "vocab_coverage", "bpe_merges", "bpe_apply",
-        "pq_encode", "ann_pq_topk", "pmi_cooccur",
-    ]
-    assert list(EXTRA)[12] == "freq_items_topk"
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
         "sim_join_lsh",
@@ -968,13 +968,11 @@ def test_lane_counts_match_docs():
         "media_phash",
         "dedup_passages_scale",  # r8: VERDICT r7 #7
     }
-    # the round-8 wave-3 lanes follow the round-9 promotees; the
-    # wave-2 and wave-1 promotees stay graded
-    assert list(REGISTRY)[13:19] == [
-        "eval_ndcg", "eval_calibration", "eval_pr_curve",
-        "drift_psi", "mmr_rerank", "join_asof_nearest",
-    ]
-    for k in ("orc_interop", "acf_lags", "ccnet_buckets",
+    # the multi-green veterans that stay graded
+    for k in ("drift_psi", "mmr_rerank", "join_asof_nearest",
+              "graph_sssp", "stream_dedup", "jsonl_interop",
+              "dedup_incremental", "lm_bigram_score", "eval_auc",
+              "orc_interop", "acf_lags", "ccnet_buckets",
               "zorder_layout", "rank_bm25", "ewma_smooth",
               "rank_fusion_rrf", "pipeline_fineweb", "dup_span_max"):
         assert k in REGISTRY, k
@@ -6795,3 +6793,113 @@ def test_skew_report_matches_pure_python(spark, sf_dir):
     # sanity: shares are ordered and bounded
     for v in got.values():
         assert 0 < v[4] <= v[5] <= 1_000_000
+
+
+def test_rolling_quantile_planted_band(spark, tmp_path):
+    # hand-built per-user series [40, 10, 30, 20]: every frame is a
+    # prefix (n <= W), so each quantile is the type-1 order statistic
+    # at rank (qn*n + qd - 1) div qd of the sorted prefix — pins the
+    # partial-window rank rule and the three-quantile band reading
+    # from ONE sorted frame
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_rolling_quantile,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [40.0, 10.0, 30.0, 20.0]
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 7, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.event_id: (r.n_window, r.p25_cents, r.p50_cents, r.p90_cents)
+        for r in q_rolling_quantile(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (1, 4000, 4000, 4000)        # [40]
+    assert got[1] == (2, 1000, 1000, 4000)        # [10,40]
+    assert got[2] == (3, 1000, 3000, 4000)        # [10,30,40]
+    assert got[3] == (4, 1000, 2000, 4000)        # [10,20,30,40]
+
+
+def test_eval_mrr_planted_relevance(spark, tmp_path):
+    # three equal-length docs for the single present term 'dup':
+    # doc 1 has tf=3 but 'dup' only AFTER the title prefix (ranks
+    # first, NOT relevant); docs 2/3 carry 'dup' in the prefix with
+    # tf 2/1 (ranks 2/3, both relevant) -> first hit at rank 2,
+    # RR = 0.5, recall@10 = 1, MRR = 0.5/4 over the fixed 4-term set
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_eval_mrr,
+    )
+
+    filler = ["x"] * 16
+
+    def doc(puts):
+        toks = list(filler)
+        for pos in puts:
+            toks[pos] = "dup"
+        return " ".join(toks)
+
+    rows = [
+        (1, doc([12, 13, 14]), "en", "s", 10),
+        (2, doc([0, 12]), "en", "s", 10),
+        (3, doc([0]), "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = q_eval_mrr(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].query_term == "dup"
+    r = out[0]
+    assert (r.n_ranked, r.n_relevant, r.first_rel_rank) == (3, 2, 2)
+    assert r.rr_micro == 500_000
+    assert (r.hits_at_k, r.recall_at_k_micro) == (2, 1_000_000)
+    assert r.mrr_micro == 125_000  # 0.5 / 4 fixed query terms
+
+
+def test_schema_drift_report_verdicts_and_counts(spark, tmp_path):
+    # four orders (two even-keyed -> batch v1, two odd-keyed -> v2):
+    # pins every verdict class and the reconciliation counts — the
+    # changed column counts ONLY v2 rows (v1 never silently coerced),
+    # dropped counts v1, added counts v2, widened/unchanged count all
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_schema_drift_report,
+    )
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, "O", 100.0, d, "1-URGENT"),
+        (2, 20, "F", 200.0, d, "2-HIGH"),
+        (3, 30, "O", 300.0, d, "3-MEDIUM"),
+        (4, 40, "P", 400.0, d, "5-LOW"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r.column_name: (r.t1, r.t2, r.verdict, r.n_nonnull)
+        for r in q_schema_drift_report(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "o_orderkey": ("bigint", "bigint", "unchanged", 4),
+        "o_custkey": ("int", "bigint", "widened", 4),
+        "o_totalprice": ("float", "double", "widened", 4),
+        "o_orderstatus": ("string", None, "dropped", 2),
+        "o_orderpriority": ("string", "int", "changed", 2),
+        "o_pri_len": (None, "bigint", "added", 2),
+    }

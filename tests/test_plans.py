@@ -1011,3 +1011,45 @@ def test_drift_ks_data_window_is_bucket_partitioned(spark):
 
     specs = re.findall(r"Arguments: \[[^\]]*\], \[bucket[^\]]*\]", plan)
     assert specs, "per-value window lost its bucket partition key"
+
+
+def test_rolling_quantile_is_one_keyed_exchange(spark):
+    # the whole operator is one exchange on user_id + one in-partition
+    # sort feeding a bounded ROWS-frame window: no broadcast, no
+    # global (unpartitioned) sort, no second shuffle — the same keyed
+    # -window shape at any scale (rolling_median's pin, generalized)
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_rolling_quantile,
+    )
+
+    plan = plan_of(q_rolling_quantile(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(user_id", plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_eval_mrr_broadcasts_only_bounded_frames(spark):
+    # every BroadcastExchange side is bounded by DOMAIN (the |query|-
+    # sized df table, the one-row corpus stats, the per-term summary,
+    # the one-row MRR mean); the two corpus-proportional joins (doc
+    # lengths onto tf pairs, relevance pairs onto candidates) are
+    # shuffle_hash-pinned — a fixture-scale broadcast there is the
+    # driver-OOM trap (SCALE §82 rule)
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_eval_mrr,
+    )
+
+    plan = plan_of(q_eval_mrr(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) >= 2
+    # broadcast count pinned by the 4x/16x probes (stable); the
+    # load-bearing property: the corpus-sized ranking window is
+    # evaluated exactly ONCE (the MRR mean rides a bounded-carry
+    # window over the 4-row per-term summary, not a crossJoin that
+    # would re-compute the ranking subtree)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+    assert plan.count("row_number(") == 1
