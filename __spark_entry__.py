@@ -147,15 +147,20 @@ changepoint_cusum / winnow_overlap / graph_triangles /
 vocab_coverage / bpe_merges / bpe_apply / kmeans_embeddings /
 pq_encode / ann_pq_topk / pmi_cooccur demote
 to the EXTRA head one-for-one. After r9 grades, EVERY oracle-gated
-operator in the repo has a driver row. Round 10 adds three new
-operators at positions 2-4 — eval_mrr (MRR + recall@k of per-term
+operator in the repo has a driver row. Round 10 adds five new
+operators at positions 2-6 — eval_mrr (MRR + recall@k of per-term
 BM25 rankings against a ranking-independent title-prefix relevance
 signal — the ranking-position metric that closes the retrieval-eval
 family), rolling_quantile (per-user trailing-window exact type-1
-p25/p50/p90 band — rolling_median generalized to arbitrary p), and
+p25/p50/p90 band — rolling_median generalized to arbitrary p),
 schema_drift_report (per-column added/dropped/widened/changed
 verdicts across two LANDED parquet batches through one shared CASE,
-plus reconciled-union non-null counts) — and runs the
+plus reconciled-union non-null counts), dedup_threshold_sweep (the
+duplication-rate-vs-threshold tuning curve over the exact PPJoin
+pair table — pair counts, pairwise drop estimates, and corpus drop
+shares per candidate cutoff), and alert_rate_spike (per-type hourly
+rate-spike alerting against a trailing 24-observed-bucket baseline,
+tested by integer cross-multiplication) — and runs the
 grade-freshness rotation VERDICT r9 #1 prescribed: the twelve
 round-3 relational-core veterans with the registry's OLDEST driver
 rows (scan_parquet, project_filter, filter_compound, scalar_funcs,
@@ -163,14 +168,15 @@ agg_rollup_cube, agg_distinct, join_outer, join_semi_anti,
 window_rank, sort_limit_topk, set_ops, regexp_funcs) re-enter the
 graded lane for re-verification under current Spark/DuckDB, while
 r9's fresh greens (relational13's eight + the ts_interpolate /
-privacy_erase / feature_vector / skew_report quartet) and the
+privacy_erase / feature_vector / skew_report quartet), the
 double-green r8+r9 evaluation trio (eval_ndcg / eval_calibration /
-eval_pr_curve) demote to the EXTRA head one-for-one. The EXTRA lane
-holds a hundred and twenty oracle-gated entries, every one with at
-least one prior green driver row — verified locally each
+eval_pr_curve), and the double-green drift_psi / join_asof_nearest
+demote to the EXTRA head one-for-one. The EXTRA lane
+holds a hundred and twenty-two oracle-gated entries, every one with
+at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 120 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 122 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -1333,23 +1333,11 @@ FROM (
 # either has a prior green driver row or is graded now.
 QUERIES: list[Query] = [
     Query(
-        "drift_psi",
-        q_drift_psi,
-        SQL_DRIFT_PSI,
-        ("relational", "quality", "monitoring", "statistics"),
-    ),
-    Query(
         "mmr_rerank",
         q_mmr_rerank,
         _sql_mmr_rerank(),
         ("llm", "retrieval", "similarity", "iterative"),
         bench=True,  # scoring + pairwise-overlap build + bounded greedy
-    ),
-    Query(
-        "join_asof_nearest",
-        q_join_asof_nearest,
-        SQL_JOIN_ASOF_NEAREST,
-        ("relational", "join", "timeseries"),
     ),
 ]
 
@@ -1361,6 +1349,18 @@ QUERIES: list[Query] = [
 # round-3 relational-core veterans and the three new round-10
 # operators (relational14).
 EXTRA_QUERIES: list[Query] = [
+    Query(
+        "drift_psi",
+        q_drift_psi,
+        SQL_DRIFT_PSI,
+        ("relational", "quality", "monitoring", "statistics"),
+    ),
+    Query(
+        "join_asof_nearest",
+        q_join_asof_nearest,
+        SQL_JOIN_ASOF_NEAREST,
+        ("relational", "join", "timeseries"),
+    ),
     Query(
         "ts_interpolate",
         q_ts_interpolate,

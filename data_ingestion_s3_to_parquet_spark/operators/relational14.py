@@ -536,10 +536,219 @@ FROM counts JOIN spec USING (column_name)
 
 
 # --------------------------------------------------------------------
+# dedup_threshold_sweep
+# --------------------------------------------------------------------
+
+# Thresholds ≥ the pair table's own base threshold (JACCARD_T = 0.5):
+# the sweep REUSES the PPJoin prefix-filtered exact pair table, so
+# every swept cutoff must be at least as strict as the filter's.
+SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)  # percent
+
+
+def _sweep_hit_expr(jac: str) -> str:
+    """Threshold test as ONE shared expression: the rounded Jaccard is
+    micro-quantized (same double in both engines → same integer) and
+    compared against exact integer cutoffs — no double-vs-decimal
+    literal comparison anywhere."""
+    return (
+        f"CAST(ROUND({jac} * 1000000, 0) AS BIGINT)"
+        " >= threshold_pct * CAST(10000 AS BIGINT)"
+    )
+
+
+_SWEEP_SHARE_EXPR = (
+    "CASE WHEN n_docs = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * n_docs_dropped) / n_docs,"
+    " 0) AS BIGINT) END"
+)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate-vs-threshold curve — the tuning table every
+    dedup deployment reads before PICKING its cutoff (too low deletes
+    paraphrases, too high ships near-dups into training): for each
+    candidate threshold over the exact n-gram-Jaccard pair table
+    (``dedup_ngram_jaccard``'s PPJoin core, reused verbatim), the
+    surviving pair count, the PAIRWISE drop estimate (documents with
+    at least one ≥-threshold partner of smaller doc_id — the standard
+    quick estimate; exact transitive-closure drops are
+    ``dedup_components``' job and differ on star-shaped clusters),
+    and the drop share of the corpus in micros.
+
+    Scale shape: the expensive part is the pair table, whose
+    output-sensitive PPJoin shape (map-side prefix filter,
+    shuffle_hash-pinned explode sides) is documented and probed at
+    its own lane; the sweep adds one explode-by-|thresholds| over the
+    (similar-pairs-only) table, a |thresholds|-group combinable
+    aggregate, and a bounded 5×5 fill join against the literal
+    threshold frame (broadcast by construction) — thresholds with
+    zero surviving pairs still report, as zeros.
+
+    Exactness: the threshold test micro-quantizes the ROUND(…, 6)
+    Jaccard both engines already agree on bitwise (the graded
+    ``dedup_ngram_jaccard`` hash) and compares integers; counts are
+    int64; the one division is the pinned share expression.
+    """
+    from .dedup import q_dedup_ngram_jaccard
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    thr_arr = F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+    agg = (
+        pairs.withColumn("threshold_pct", F.explode(thr_arr))
+        .where(F.expr(_sweep_hit_expr("jaccard")))
+        .groupBy("threshold_pct")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_dropped"),
+        )
+    )
+    thr = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+        + " AS t(threshold_pct)"
+    )
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    filled = (
+        thr.join(F.broadcast(agg), "threshold_pct", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "threshold_pct",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias(
+                "n_pairs"
+            ),
+            F.coalesce(
+                F.col("n_docs_dropped"), F.lit(0).cast("long")
+            ).alias("n_docs_dropped"),
+            "n_docs",
+        )
+    )
+    return filled.select(
+        "threshold_pct",
+        "n_pairs",
+        "n_docs_dropped",
+        "n_docs",
+        F.expr(_SWEEP_SHARE_EXPR).alias("drop_share_micro"),
+    )
+
+
+def _sql_dedup_threshold_sweep() -> str:
+    from .dedup import SQL_DEDUP_NGRAM_JACCARD
+
+    thr_rows = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+    return f"""
+WITH pairs AS ({SQL_DEDUP_NGRAM_JACCARD}),
+thr(threshold_pct) AS (VALUES {thr_rows}),
+agg AS (
+  SELECT t.threshold_pct,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_docs_dropped
+  FROM pairs p JOIN thr t ON {_sweep_hit_expr("p.jaccard")}
+  GROUP BY t.threshold_pct
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+filled AS (
+  SELECT thr.threshold_pct,
+         CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(agg.n_docs_dropped, 0) AS BIGINT)
+           AS n_docs_dropped,
+         nd.n_docs
+  FROM thr LEFT JOIN agg USING (threshold_pct) CROSS JOIN nd
+)
+SELECT threshold_pct, n_pairs, n_docs_dropped, n_docs,
+       {_SWEEP_SHARE_EXPR} AS drop_share_micro
+FROM filled
+"""
+
+
+# --------------------------------------------------------------------
+# alert_rate_spike
+# --------------------------------------------------------------------
+
+ALERT_BASELINE_BUCKETS = 24  # trailing observed hour-buckets
+ALERT_FACTOR = 2  # alert when n > FACTOR x trailing mean
+
+# alert test by integer cross-multiplication (no division): with m
+# prior buckets summing to S, "n > FACTOR·S/m" ⇔ "n·m > FACTOR·S";
+# m = 0 (a type's first bucket) can never alert — there is no
+# baseline to exceed
+_ALERT_EXPR = (
+    f"base_n > 0 AND n_events * base_n > {ALERT_FACTOR} * base_sum"
+)
+
+
+def q_alert_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike alerting over the event stream — the on-call page a
+    monitoring pipeline derives from its tumbling counts: per
+    (event_type, hour bucket), the event count, the trailing
+    ``ALERT_BASELINE_BUCKETS``-observed-bucket baseline (count and
+    sum — OBSERVED buckets, a ROWS frame over the per-type bucket
+    order, so silent hours don't shrink the frame and the semantics
+    stay deterministic), and the alert flag: count exceeds
+    ``ALERT_FACTOR``× the baseline mean, tested by integer
+    cross-multiplication so no division ever runs. The composition
+    sibling of ``anomaly_zscore`` (value-level, corpus-global
+    moments) and ``ewma_smooth`` (smoothed level): this is the
+    bucketed RATE alert with a bounded memory window, which is what
+    production alerting actually evaluates.
+
+    Scale shape: one map-side-combinable count per (type, hour) —
+    output bounded by |types| × |hours|, the TIME domain, not the
+    corpus — then one keyed window over those buckets (partition =
+    event_type, frame = 24 rows). Nothing after the first aggregate
+    is row-proportional; the same shape at 100 TB of events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    )
+    buckets = ev.groupBy("event_type", "bucket_ts").agg(
+        F.count("*").alias("n_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-ALERT_BASELINE_BUCKETS, -1)
+    )
+    return buckets.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        F.coalesce(F.count("n_events").over(w), F.lit(0)).cast(
+            "long"
+        ).alias("base_n"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long").alias(
+            "base_sum"
+        ),
+    ).withColumn("alert", F.expr(_ALERT_EXPR))
+
+
+SQL_ALERT_RATE_SPIKE = f"""
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+framed AS (
+  SELECT event_type, bucket_ts, n_events,
+         CAST(COALESCE(COUNT(n_events) OVER w, 0) AS BIGINT) AS base_n,
+         CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS base_sum
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN {ALERT_BASELINE_BUCKETS} PRECEDING
+               AND 1 PRECEDING)
+)
+SELECT event_type, bucket_ts, n_events, base_n, base_sum,
+       {_ALERT_EXPR} AS alert
+FROM framed
+"""
+
+
+# --------------------------------------------------------------------
 # Registration: graded lane, never-graded-first (this module precedes
-# relational13 in the registry order, so the three round-10 operators
-# grade immediately at the head). Demotions for the round-10 rotation
-# are recorded at the demoting modules (relational12/13).
+# relational13 in the registry order, so the round-10 operators grade
+# immediately at the head). Demotions for the round-10 rotation are
+# recorded at the demoting modules (relational12/13).
 # --------------------------------------------------------------------
 
 QUERIES: list[Query] = [
@@ -560,6 +769,18 @@ QUERIES: list[Query] = [
         q_schema_drift_report,
         _sql_schema_drift_report(),
         ("relational", "quality", "source", "monitoring"),
+    ),
+    Query(
+        "dedup_threshold_sweep",
+        q_dedup_threshold_sweep,
+        _sql_dedup_threshold_sweep(),
+        ("llm", "dedup", "text", "monitoring"),
+    ),
+    Query(
+        "alert_rate_spike",
+        q_alert_rate_spike,
+        SQL_ALERT_RATE_SPIKE,
+        ("relational", "timeseries", "monitoring", "window"),
     ),
 ]
 

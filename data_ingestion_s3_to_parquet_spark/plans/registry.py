@@ -147,11 +147,12 @@ REGISTRY: dict[str, Query] = _collect()
 # one-for-one)
 # and round 10 demoted r9's fresh greens — relational13's eight, the
 # ts_interpolate / privacy_erase / feature_vector / skew_report
-# quartet, and the double-green eval_ndcg / eval_calibration /
-# eval_pr_curve trio — for the three new round-10 operators plus the
+# quartet, the double-green eval_ndcg / eval_calibration /
+# eval_pr_curve trio, and the double-green drift_psi /
+# join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and twenty entries in the lane, otherwise EVERY one
+# a hundred and twenty-two entries in the lane, otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

@@ -768,7 +768,8 @@ def test_extra_lane_doc_counts_match_registry():
         113: "a hundred and thirteen", 114: "a hundred and fourteen",
         116: "a hundred and sixteen", 117: "a hundred and seventeen",
         118: "a hundred and eighteen", 119: "a hundred and nineteen",
-        120: "a hundred and twenty",
+        120: "a hundred and twenty", 121: "a hundred and twenty-one",
+        122: "a hundred and twenty-two",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -933,17 +934,19 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 120
+    assert len(EXTRA) == 122
     assert len(BENCH_ONLY) == 7
-    # round-10 rotation (VERDICT r9 #1): the three NEW round-10
+    # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
     # round-3 relational-core veterans (oldest driver rows in the
     # registry) are promoted back for re-grading; r9's fresh greens
-    # (relational13's eight + relational12's quartet) and the
-    # double-green r8+r9 evaluation trio are demoted one-for-one and
+    # (relational13's eight + relational12's quartet), the
+    # double-green r8+r9 evaluation trio, and the double-green
+    # drift_psi / join_asof_nearest are demoted one-for-one and
     # LEAD the EXTRA lane
-    assert list(REGISTRY)[1:4] == [
+    assert list(REGISTRY)[1:6] == [
         "eval_mrr", "rolling_quantile", "schema_drift_report",
+        "dedup_threshold_sweep", "alert_rate_spike",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -951,10 +954,11 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    assert list(EXTRA)[:15] == [
+    assert list(EXTRA)[:17] == [
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
         "reconcile_sources",
+        "drift_psi", "join_asof_nearest",
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
     ]
@@ -969,7 +973,7 @@ def test_lane_counts_match_docs():
         "dedup_passages_scale",  # r8: VERDICT r7 #7
     }
     # the multi-green veterans that stay graded
-    for k in ("drift_psi", "mmr_rerank", "join_asof_nearest",
+    for k in ("mmr_rerank",
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc",
               "orc_interop", "acf_lags", "ccnet_buckets",
@@ -6903,3 +6907,75 @@ def test_schema_drift_report_verdicts_and_counts(spark, tmp_path):
         "o_orderpriority": ("string", "int", "changed", 2),
         "o_pri_len": (None, "bigint", "added", 2),
     }
+
+
+def test_dedup_threshold_sweep_planted_curve(spark, tmp_path):
+    # three docs with known exact Jaccards: doc3 == doc1 (J=1.0),
+    # doc2 differs in the last word (J=0.6 against both) -> the curve
+    # steps from 3 pairs / 2 dropped at tau<=60 to 1 pair / 1 dropped
+    # at tau>=70; zero-pair thresholds would still report (none here)
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_dedup_threshold_sweep,
+    )
+
+    rows = [
+        (1, "a b c d e f", "en", "s", 11),
+        (2, "a b c d e g", "en", "s", 11),
+        (3, "a b c d e f", "en", "s", 11),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.threshold_pct: (r.n_pairs, r.n_docs_dropped, r.n_docs,
+                          r.drop_share_micro)
+        for r in q_dedup_threshold_sweep(spark, str(tmp_path)).collect()
+    }
+    assert got[50] == (3, 2, 3, 666_667)
+    assert got[60] == (3, 2, 3, 666_667)
+    assert got[70] == (1, 1, 3, 333_333)
+    assert got[80] == (1, 1, 3, 333_333)
+    assert got[90] == (1, 1, 3, 333_333)
+
+
+def test_alert_rate_spike_planted_baseline(spark, tmp_path):
+    # 'click': 1 event in each of two hours, then 5 in the third ->
+    # only the third alerts (5*2 > 2*2); the first bucket can never
+    # alert (no baseline); a constant-rate type never alerts
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_alert_rate_spike,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, hour, minute, typ):
+        return (eid, base + dt.timedelta(hours=hour, minutes=minute),
+                1, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 0, "click"),
+        ev(2, 1, 0, "click"),
+        *[ev(10 + i, 2, i, "click") for i in range(5)],
+        ev(20, 0, 0, "view"),
+        ev(21, 1, 0, "view"),
+        ev(22, 2, 0, "view"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        (r.event_type, r.bucket_ts.hour): (r.n_events, r.base_n,
+                                           r.base_sum, r.alert)
+        for r in q_alert_rate_spike(spark, str(tmp_path)).collect()
+    }
+    assert got[("click", 0)] == (1, 0, 0, False)   # no baseline yet
+    assert got[("click", 1)] == (1, 1, 1, False)   # 1*1 <= 2*1
+    assert got[("click", 2)] == (5, 2, 2, True)    # 5*2 > 2*2
+    assert all(not v[3] for k, v in got.items() if k[0] == "view")

@@ -1053,3 +1053,19 @@ def test_eval_mrr_broadcasts_only_bounded_frames(spark):
     # would re-compute the ranking subtree)
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
     assert plan.count("row_number(") == 1
+
+
+def test_alert_rate_spike_bounded_by_time_domain(spark):
+    # one combinable (type, hour) aggregate then one keyed window over
+    # the bucket table — output bounded by |types| x |hours| (the time
+    # domain), never corpus-sized; no broadcast, no global sort
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_alert_rate_spike,
+    )
+
+    plan = plan_of(q_alert_rate_spike(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
