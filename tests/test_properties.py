@@ -3292,3 +3292,119 @@ def test_forecast_snaive_matches_python_on_any_split(
         for r in q_forecast_snaive(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+_rollq_events = st.lists(
+    st.tuples(st.integers(0, 2), st.sampled_from([1.0, 2.5, 33.33, 7.0])),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events=_rollq_events)
+@slow_ok
+def test_rolling_quantile_matches_python_on_any_stream(
+    spark, events, tmp_path_factory
+):
+    """The trailing-frame type-1 quantile band equals a Python replay
+    for ARBITRARY per-user streams — including frames shorter than W,
+    duplicate values (tie ranks), and single-event users. The replay
+    re-implements only the contract (sort the last W cents, pick rank
+    (qn*n + qd - 1) // qd), not the plan."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        ROLLQ_QUANTILES,
+        ROLLQ_W,
+        q_rolling_quantile,
+    )
+
+    tmp = tmp_path_factory.mktemp("rollq")
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + _dt.timedelta(minutes=i), u, "click", v, "{}")
+        for i, (u, v) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for i, (u, v) in enumerate(events):
+        per[u].append((i, round(v * 100)))
+    expected = {}
+    for u, evs in per.items():
+        evs.sort()  # (event_id) — ts ties broken by event_id
+        for pos, (eid, _) in enumerate(evs):
+            frame = sorted(c for _, c in evs[max(0, pos - ROLLQ_W + 1): pos + 1])
+            n = len(frame)
+            picks = tuple(
+                frame[(qn * n + qd - 1) // qd - 1] for qn, qd, _ in ROLLQ_QUANTILES
+            )
+            expected[eid] = (n, *picks)
+
+    got = {
+        r.event_id: (r.n_window, r.p25_cents, r.p50_cents, r.p90_cents)
+        for r in q_rolling_quantile(spark, str(tmp)).collect()
+    }
+    assert got == expected
+
+
+_alert_events = st.lists(
+    st.tuples(st.sampled_from(["click", "view"]), st.integers(0, 30)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(events=_alert_events)
+@slow_ok
+def test_alert_rate_spike_matches_python_on_any_stream(
+    spark, events, tmp_path_factory
+):
+    """Bucket counts, trailing-24-observed-bucket baselines, and the
+    cross-multiplied alert flag equal a Python replay for ARBITRARY
+    (type, hour) streams — including gap hours (observed-bucket frames
+    skip them by design), single-bucket types, and spikes at the very
+    first bucket (never alert: no baseline)."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        ALERT_BASELINE_BUCKETS,
+        ALERT_FACTOR,
+        q_alert_rate_spike,
+    )
+
+    tmp = tmp_path_factory.mktemp("alert")
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + _dt.timedelta(hours=h, minutes=i % 60), 1, typ, 1.0, "{}")
+        for i, (typ, h) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    from collections import Counter, defaultdict
+
+    counts = Counter((typ, h) for typ, h in events)
+    per_type = defaultdict(list)
+    for (typ, h), n in counts.items():
+        per_type[typ].append((h, n))
+    expected = {}
+    for typ, buckets in per_type.items():
+        buckets.sort()
+        for pos, (h, n) in enumerate(buckets):
+            prior = buckets[max(0, pos - ALERT_BASELINE_BUCKETS): pos]
+            m = len(prior)
+            s = sum(x for _, x in prior)
+            expected[(typ, h)] = (n, m, s, m > 0 and n * m > ALERT_FACTOR * s)
+
+    got = {
+        (r.event_type, r.bucket_ts.hour + 24 * (r.bucket_ts.day - 1)):
+            (r.n_events, r.base_n, r.base_sum, r.alert)
+        for r in q_alert_rate_spike(spark, str(tmp)).collect()
+    }
+    assert got == expected
