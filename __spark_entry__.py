@@ -172,11 +172,11 @@ privacy_erase / feature_vector / skew_report quartet), the
 double-green r8+r9 evaluation trio (eval_ndcg / eval_calibration /
 eval_pr_curve), and the double-green drift_psi / join_asof_nearest
 demote to the EXTRA head one-for-one. The EXTRA lane
-holds a hundred and twenty-two oracle-gated entries, every one with
+holds a hundred and twenty-three oracle-gated entries (eval_mrr_scale, the window-free 100 TB twin sharing eval_mrr's oracle, leads it), every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 122 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 123 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

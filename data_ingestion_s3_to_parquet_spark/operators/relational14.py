@@ -116,45 +116,7 @@ def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle bitwise; the aggregates AFTER it are per-term (4 groups,
     all combinable).
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf = (
-        toks.where(F.col("w").isin(*MRR_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_tbl = tf.groupBy("w").agg(F.count("*").alias("df"))
-    doclen = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
-    stats = d.select(F.size(F.split("text", " ")).alias("dl0")).agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl0").alias("total_len"),
-    )
-    rel = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.slice(F.split("text", " "), 1, MRR_TITLE_N)
-            ).alias("w"),
-        )
-        .where(F.col("w").isin(*MRR_TERMS))
-        .distinct()
-        .withColumn("rel", F.lit(True))
-    )
-    from .relational10 import _BM25_MICRO_EXPR
-
-    cand = (
-        tf.join(F.broadcast(df_tbl), "w")
-        .join(doclen.hint("shuffle_hash"), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "w", F.expr(_BM25_MICRO_EXPR).alias("micro"))
-        .join(rel.hint("shuffle_hash"), ["doc_id", "w"], "left")
-        .select(
-            "doc_id",
-            "w",
-            "micro",
-            F.coalesce(F.col("rel"), F.lit(False)).alias("rel"),
-        )
-    )
+    cand = _mrr_candidates(spark, sf_dir)
     win = Window.partitionBy("w").orderBy(F.desc("micro"), "doc_id")
     ranked = cand.withColumn("rank", F.row_number().over(win))
     per = ranked.groupBy("w").agg(
@@ -249,6 +211,159 @@ SELECT w AS query_term, n_ranked, n_relevant, first_rel_rank, rr_micro,
        {_MRR_MEAN_EXPR} AS mrr_micro
 FROM rrs CROSS JOIN mean
 """
+
+
+def _mrr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w, micro, rel) for every (matching doc, query term) —
+    the shared core of :func:`q_eval_mrr` (window formulation, the
+    bitwise fixture lane) and :func:`q_eval_mrr_scale` (the window-free
+    100 TB formulation)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = (
+        toks.where(F.col("w").isin(*MRR_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("w").agg(F.count("*").alias("df"))
+    doclen = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = d.select(F.size(F.split("text", " ")).alias("dl0")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl0").alias("total_len"),
+    )
+    rel = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.slice(F.split("text", " "), 1, MRR_TITLE_N)
+            ).alias("w"),
+        )
+        .where(F.col("w").isin(*MRR_TERMS))
+        .distinct()
+        .withColumn("rel", F.lit(True))
+    )
+    from .relational10 import _BM25_MICRO_EXPR
+
+    return (
+        tf.join(F.broadcast(df_tbl), "w")
+        .join(doclen.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "w", F.expr(_BM25_MICRO_EXPR).alias("micro"))
+        .join(rel.hint("shuffle_hash"), ["doc_id", "w"], "left")
+        .select(
+            "doc_id",
+            "w",
+            "micro",
+            F.coalesce(F.col("rel"), F.lit(False)).alias("rel"),
+        )
+    )
+
+
+def q_eval_mrr_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``eval_mrr`` re-derived WITHOUT the per-term ranking window —
+    the 100 TB formulation the graded lane's docstring promises, as
+    shipped code sharing the graded lane's oracle (identical output
+    columns and values, so the same SQL grades both):
+
+    - the FIRST-relevant rank never ranks anything: the best relevant
+      candidate per term is one combinable ``max(struct(micro,
+      -doc_id))`` aggregate (max micro, then min doc_id — the ranking
+      order encoded in struct comparison), and its rank is ``1 +
+      COUNT(candidates ordering strictly before it)`` — one broadcast
+      of the ≤|terms|-row best table plus one conditional aggregate.
+    - hits@k never ranks the full candidate set either: |MRR_TERMS|
+      is a compile-time constant, so the per-term top-k is a UNION of
+      per-term ``TakeOrderedAndProject`` heads (distributed heap,
+      never a sort), each ≤ k rows.
+    - the candidate frame is ``localCheckpoint``-ed (the loop-frame
+      rule): six consumers derive from it (stats, best-rank join,
+      four top-k heads), and re-deriving the tf/df/doclen joins per
+      consumer would multiply the corpus scans.
+
+    A window ``row_number`` over ``PARTITION BY w`` puts one term's
+    ENTIRE postings list in one task — fine at fixture scale (the
+    graded twin keeps it for bitwise clarity), a straggler at 100 TB.
+    This variant's plan has no data-sized window at all.
+    """
+    cand = _mrr_candidates(spark, sf_dir).localCheckpoint()
+    per0 = cand.groupBy("w").agg(
+        F.count("*").alias("n_ranked"),
+        F.sum(F.col("rel").cast("long")).alias("n_relevant"),
+        F.max(
+            F.when(
+                F.col("rel"),
+                F.struct(F.col("micro"), (-F.col("doc_id")).alias("nd")),
+            )
+        ).alias("best"),
+    ).select(
+        "w",
+        "n_ranked",
+        "n_relevant",
+        F.col("best.micro").alias("best_micro"),
+        (-F.col("best.nd")).alias("best_doc"),
+    )
+    ranks = (
+        cand.join(
+            F.broadcast(per0.select("w", "best_micro", "best_doc")), "w"
+        )
+        .groupBy("w")
+        .agg(
+            F.sum(
+                (
+                    (F.col("micro") > F.col("best_micro"))
+                    | (
+                        (F.col("micro") == F.col("best_micro"))
+                        & (F.col("doc_id") < F.col("best_doc"))
+                    )
+                ).cast("long")
+            ).alias("n_before")
+        )
+    )
+    heads = [
+        cand.where(F.col("w") == F.lit(t))
+        .orderBy(F.desc("micro"), F.col("doc_id"))
+        .limit(MRR_K)
+        .select("w", "rel")
+        for t in MRR_TERMS
+    ]
+    topk = heads[0]
+    for h in heads[1:]:
+        topk = topk.unionAll(h)
+    hits = topk.groupBy("w").agg(
+        F.sum(F.col("rel").cast("long")).alias("hits_at_k")
+    )
+    per = (
+        per0.join(F.broadcast(ranks), "w")
+        .join(F.broadcast(hits), "w")
+        .select(
+            "w",
+            "n_ranked",
+            "n_relevant",
+            F.when(
+                F.col("n_relevant") > 0, F.col("n_before") + 1
+            ).cast("long").alias("first_rel_rank"),
+            "hits_at_k",
+        )
+        .withColumn("rr_micro", F.expr(_MRR_RR_EXPR))
+        .withColumn(
+            "sum_rr",
+            F.sum("rr_micro").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    return per.select(
+        F.col("w").alias("query_term"),
+        "n_ranked",
+        "n_relevant",
+        "first_rel_rank",
+        "rr_micro",
+        "hits_at_k",
+        F.expr(_MRR_RECALL_EXPR).alias("recall_at_k_micro"),
+        F.expr(_MRR_MEAN_EXPR).alias("mrr_micro"),
+    )
 
 
 # --------------------------------------------------------------------
@@ -784,4 +899,14 @@ QUERIES: list[Query] = [
     ),
 ]
 
-EXTRA_QUERIES: list[Query] = []
+# eval_mrr_scale shares eval_mrr's oracle (identical output contract);
+# it sits at the EXTRA head so a larger driver budget grades the
+# never-graded lane first.
+EXTRA_QUERIES: list[Query] = [
+    Query(
+        "eval_mrr_scale",
+        q_eval_mrr_scale,
+        _sql_eval_mrr(),
+        ("llm", "text", "evaluation", "ranking", "approx-free"),
+    ),
+]

@@ -43,21 +43,21 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational14 holds the three NEW round-10 operators (eval_mrr /
-    # rolling_quantile / schema_drift_report) — first QUERIES
-    # contributor after parity so they grade immediately
-    # (never-graded-first).
+    # relational14 holds the five NEW round-10 operators (eval_mrr /
+    # rolling_quantile / schema_drift_report / dedup_threshold_sweep /
+    # alert_rate_spike) — first QUERIES contributor after parity so
+    # they grade immediately (never-graded-first) — plus the
+    # EXTRA-lane eval_mrr_scale (the window-free 100 TB twin).
     "data_ingestion_s3_to_parquet_spark.operators.relational14",
     # relational13's eight round-9 operators were graded green in r9
     # and demoted to its EXTRA lane in the round-10 grade-freshness
     # rotation (VERDICT r9 #1), trading their slots for the round-3
     # relational-core veterans whose driver rows were the oldest.
     "data_ingestion_s3_to_parquet_spark.operators.relational13",
-    # relational12's QUERIES are graded (never-graded-first): the
-    # round-8 final rotation promoted the whole evaluation family, and
-    # round 9 promoted the post-rotation quartet ts_interpolate /
-    # privacy_erase / feature_vector / skew_report to its head; its
-    # EXTRA_QUERIES is now empty (new operators land there first).
+    # relational12 keeps only mmr_rerank graded after the round-10
+    # grade-freshness rotation; its EXTRA_QUERIES leads with the
+    # demoted r9 quartet, the r8+r9 evaluation trio, and drift_psi /
+    # join_asof_nearest (all multi-green).
     "data_ingestion_s3_to_parquet_spark.operators.relational12",
     # relational11 holds the round-8 second wave (orc_interop /
     # acf_lags / ccnet_buckets / zorder_layout — never graded) — it
@@ -152,7 +152,7 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and twenty-two entries in the lane, otherwise EVERY one
+# a hundred and twenty-three entries in the lane (eval_mrr_scale — the window-free 100 TB twin sharing eval_mrr's oracle — at its head), otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

@@ -770,6 +770,7 @@ def test_extra_lane_doc_counts_match_registry():
         118: "a hundred and eighteen", 119: "a hundred and nineteen",
         120: "a hundred and twenty", 121: "a hundred and twenty-one",
         122: "a hundred and twenty-two",
+        123: "a hundred and twenty-three",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -934,7 +935,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 122
+    assert len(EXTRA) == 123
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -954,7 +955,8 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    assert list(EXTRA)[:17] == [
+    assert list(EXTRA)[:18] == [
+        "eval_mrr_scale",
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
         "reconcile_sources",
@@ -6979,3 +6981,18 @@ def test_alert_rate_spike_planted_baseline(spark, tmp_path):
     assert got[("click", 1)] == (1, 1, 1, False)   # 1*1 <= 2*1
     assert got[("click", 2)] == (5, 2, 2, True)    # 5*2 > 2*2
     assert all(not v[3] for k, v in got.items() if k[0] == "view")
+
+
+def test_eval_mrr_scale_matches_window_formulation(spark, sf_dir):
+    # the window-free 100 TB formulation must be row-identical to the
+    # graded window lane (they share one oracle; this pins the Spark-
+    # side equivalence directly, including tie handling via the
+    # struct-encoded (micro desc, doc_id asc) order)
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_eval_mrr,
+        q_eval_mrr_scale,
+    )
+
+    a = sorted(map(tuple, q_eval_mrr(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_eval_mrr_scale(spark, sf_dir).collect()))
+    assert a == b

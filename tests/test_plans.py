@@ -1069,3 +1069,19 @@ def test_alert_rate_spike_bounded_by_time_domain(spark):
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_eval_mrr_scale_has_no_ranking_window(spark):
+    # the 100 TB twin must contain NO row_number window at all: the
+    # first-relevant rank is an aggregate (best-struct + count-before)
+    # and hits@k is a union of per-term TakeOrderedAndProject heads;
+    # the only Window is the bounded 4-row MRR-mean carry
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_eval_mrr_scale,
+    )
+
+    plan = plan_of(q_eval_mrr_scale(spark, SF_SMOKE))
+    assert plan.count("row_number(") == 0
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) >= 4
