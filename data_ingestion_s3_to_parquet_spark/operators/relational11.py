@@ -781,19 +781,6 @@ SELECT n_pos, n_neg, u2, {_AUC_MICRO_EXPR} AS auc_micro FROM agg
 
 QUERIES = [
     Query(
-        "orc_interop",
-        q_orc_interop,
-        SQL_ORC_INTEROP,
-        ("relational", "etl", "format", "sink"),
-        bench=True,  # the second real-sink I/O lane next to parquet ETL
-    ),
-    Query(
-        "acf_lags",
-        q_acf_lags,
-        SQL_ACF_LAGS,
-        ("relational", "timeseries", "statistics"),
-    ),
-    Query(
         "ccnet_buckets",
         q_ccnet_buckets,
         _sql_ccnet_buckets(),
@@ -826,4 +813,22 @@ QUERIES = [
     ),
 ]
 
-EXTRA_QUERIES: list[Query] = []
+# Round-10 third wave demoted the double-green r8+r9 orc_interop /
+# acf_lags here, trading their graded slots for the new bpe_fertility
+# / compaction_plan (relational14); both keep their oracles, bench
+# flags, and local-sweep coverage.
+EXTRA_QUERIES: list[Query] = [
+    Query(
+        "orc_interop",
+        q_orc_interop,
+        SQL_ORC_INTEROP,
+        ("relational", "etl", "format", "sink"),
+        bench=True,  # the second real-sink I/O lane next to parquet ETL
+    ),
+    Query(
+        "acf_lags",
+        q_acf_lags,
+        SQL_ACF_LAGS,
+        ("relational", "timeseries", "statistics"),
+    ),
+]

@@ -860,10 +860,238 @@ FROM framed
 
 
 # --------------------------------------------------------------------
+# bpe_fertility
+# --------------------------------------------------------------------
+
+# Guarded like every micro expression (the 0/0 standard): groups only
+# form from rows with >= 1 token, so the denominators are positive by
+# construction — the CASE documents the policy rather than papering
+# over a reachable state.
+_FERT_EXPR = (
+    "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * n_bpe_tokens) / n_words,"
+    " 0) AS BIGINT) END"
+)
+_CPT_EXPR = (
+    "CASE WHEN n_bpe_tokens = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * n_chars) / n_bpe_tokens,"
+    " 0) AS BIGINT) END"
+)
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility report over the learned BPE
+    tokenizer (``bpe_merges`` / ``bpe_apply``'s model, reused) — the
+    table a multilingual training pipeline reads before trusting one
+    tokenizer across languages: fertility (BPE tokens per word) and
+    compression (chars per BPE token) both in micros, with the doc /
+    word / char / token volumes they derive from. A language whose
+    fertility runs far above the corpus mean is under-served by the
+    merge table (its words stay fragmented), which inflates its
+    effective sequence lengths and shrinks its effective context —
+    the standard reason tokenizer audits are per-language (SURVEY §2B
+    text-analysis family; fertility is the metric multilingual
+    tokenizer papers report).
+
+    Scale shape (inherits ``bpe_apply``'s): the merged symbol form is
+    computed once per DISTINCT word; the corpus-sized work is one
+    token explode joined to that vocabulary table
+    (shuffle_hash-pinned — vocabulary grows with the corpus) and one
+    |languages|-group combinable aggregate. ``n_docs`` counts
+    documents contributing ≥ 1 non-empty token (the same universe the
+    other volumes are summed over).
+    """
+    from .trainprep import _bpe_learn
+
+    _, base, s_col = _bpe_learn(spark, sf_dir)
+    word_sym = base.select(
+        "w",
+        F.length(
+            F.replace(F.trim(s_col), F.lit(" "), F.lit(""))
+        ).cast("long").alias("n_chars_w"),
+        F.size(F.split(F.trim(s_col), " ")).cast("long").alias("n_sym_w"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    out = (
+        toks.join(word_sym.hint("shuffle_hash"), "w")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_words"),
+            F.sum("n_chars_w").alias("n_chars"),
+            F.sum("n_sym_w").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.expr(_FERT_EXPR).alias("fertility_micro"),
+            F.expr(_CPT_EXPR).alias("chars_per_token_micro"),
+        )
+    )
+    base.unpersist()  # lineage stays valid; cache only served the loop
+    return out
+
+
+def _sql_bpe_fertility() -> str:
+    from .trainprep import BPE_ROUNDS, SQL_BPE_MERGES
+
+    chain = SQL_BPE_MERGES[: SQL_BPE_MERGES.rindex("\nSELECT CAST(1 AS")]
+    return f"""{chain},
+ws AS (
+  SELECT w,
+         CAST(length(replace(trim(s), ' ', '')) AS BIGINT) AS n_chars_w,
+         CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym_w
+  FROM s{BPE_ROUNDS}
+),
+toks AS (
+  SELECT doc_id, lang, w FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+g AS (
+  SELECT lang,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(ws.n_chars_w) AS BIGINT) AS n_chars,
+         CAST(SUM(ws.n_sym_w) AS BIGINT) AS n_bpe_tokens
+  FROM toks JOIN ws ON toks.w = ws.w
+  GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_chars, n_bpe_tokens,
+       {_FERT_EXPR} AS fertility_micro,
+       {_CPT_EXPR} AS chars_per_token_micro
+FROM g
+"""
+
+
+# --------------------------------------------------------------------
+# compaction_plan
+# --------------------------------------------------------------------
+
+COMPACT_TARGET = 4096  # target bytes per compaction group
+COMPACT_BUCKET = 50  # bytes per carry bucket (sizes are domain-bounded)
+
+# fill share of the target, constant denominator — no zero case
+_FILL_EXPR = (
+    f"CAST(ROUND((CAST(1000000 AS DOUBLE) * group_bytes) /"
+    f" {COMPACT_TARGET}, 0) AS BIGINT)"
+)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner — the maintenance job every
+    landed table needs once micro-batches pile up: within each
+    ``source`` (the table/partition proxy; ``doc_id`` = file,
+    ``n_chars`` = bytes), files are packed largest-first by the
+    SORTED-FILL policy (descending size, running prefix sum, group =
+    ``cum_before div COMPACT_TARGET``) into ~``COMPACT_TARGET``-byte
+    rewrite groups; the report lists each group's file count, byte
+    total, and fill share of the target in micros. Sorted-fill is the
+    deterministic one-pass policy real compactors (Delta OPTIMIZE-
+    style) use: big files seed groups, small files top them off, and
+    at most the trailing group per source runs under-filled.
+
+    Scale shape — the reason this lane is built like
+    ``quantile_select``: the policy is a per-source prefix sum, and a
+    naive formulation is one unpartitioned-per-source window (a
+    source's whole manifest in one task). This runs the two-phase
+    decomposition instead: (1) one combinable per-(source,
+    size-bucket) byte total plus a BOUNDED carry (sizes are
+    domain-bounded by the writer's own batch cap, so buckets are a
+    constant ~dozen per source — broadcast-pinned, the §82 rule);
+    (2) the in-bucket prefix is a bucket-local window (bucket-sized
+    tasks, never source-sized). Buckets order strictly by size class
+    (bytes div B is monotone in bytes), so carry + in-bucket prefix
+    equals the global descending prefix sum exactly — the oracle
+    computes the naive single-window form, so the decomposition is
+    hash-checked, not argued.
+    """
+    files = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("bytes")
+    )
+    b = files.withColumn("bkt", F.expr(f"bytes div {COMPACT_BUCKET}"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        b.groupBy("source", "bkt")
+        .agg(F.sum("bytes").alias("bb"))
+        .select(
+            "source",
+            "bkt",
+            F.coalesce(F.sum("bb").over(wb), F.lit(0)).alias("carry"),
+        )
+    )
+    wi = (
+        Window.partitionBy("source", "bkt")
+        .orderBy(F.desc("bytes"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        b.join(F.broadcast(carry), ["source", "bkt"])
+        .withColumn(
+            "cum_before",
+            F.col("carry") + F.coalesce(F.sum("bytes").over(wi), F.lit(0)),
+        )
+        .withColumn(
+            "group_id", F.expr(f"cum_before div {COMPACT_TARGET}")
+        )
+    )
+    return (
+        cum.groupBy("source", "group_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("group_bytes"),
+        )
+        .select(
+            "source",
+            "group_id",
+            "n_files",
+            "group_bytes",
+            F.expr(_FILL_EXPR).alias("fill_micro"),
+        )
+    )
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH f AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents
+),
+c AS (
+  SELECT source, bytes,
+         CAST(COALESCE(SUM(bytes) OVER (
+             PARTITION BY source ORDER BY bytes DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM f
+),
+g AS (
+  SELECT source,
+         CAST(cum_before // {COMPACT_TARGET} AS BIGINT) AS group_id,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(bytes) AS BIGINT) AS group_bytes
+  FROM c GROUP BY source, cum_before // {COMPACT_TARGET}
+)
+SELECT source, group_id, n_files, group_bytes,
+       {_FILL_EXPR} AS fill_micro
+FROM g
+"""
+
+
+# --------------------------------------------------------------------
 # Registration: graded lane, never-graded-first (this module precedes
 # relational13 in the registry order, so the round-10 operators grade
 # immediately at the head). Demotions for the round-10 rotation are
-# recorded at the demoting modules (relational12/13).
+# recorded at the demoting modules (relational11/12/13).
 # --------------------------------------------------------------------
 
 QUERIES: list[Query] = [
@@ -896,6 +1124,18 @@ QUERIES: list[Query] = [
         q_alert_rate_spike,
         SQL_ALERT_RATE_SPIKE,
         ("relational", "timeseries", "monitoring", "window"),
+    ),
+    Query(
+        "bpe_fertility",
+        q_bpe_fertility,
+        _sql_bpe_fertility(),
+        ("llm", "text", "tokenizer", "evaluation"),
+    ),
+    Query(
+        "compaction_plan",
+        q_compaction_plan,
+        SQL_COMPACTION_PLAN,
+        ("relational", "layout", "pipeline", "monitoring"),
     ),
 ]
 

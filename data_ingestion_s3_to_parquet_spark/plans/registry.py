@@ -43,9 +43,9 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational14 holds the five NEW round-10 operators (eval_mrr /
+    # relational14 holds the seven NEW round-10 operators (eval_mrr /
     # rolling_quantile / schema_drift_report / dedup_threshold_sweep /
-    # alert_rate_spike) — first QUERIES contributor after parity so
+    # alert_rate_spike / bpe_fertility / compaction_plan) — first QUERIES contributor after parity so
     # they grade immediately (never-graded-first) — plus the
     # EXTRA-lane eval_mrr_scale (the window-free 100 TB twin).
     "data_ingestion_s3_to_parquet_spark.operators.relational14",
@@ -59,9 +59,10 @@ _MODULES = (
     # demoted r9 quartet, the r8+r9 evaluation trio, and drift_psi /
     # join_asof_nearest (all multi-green).
     "data_ingestion_s3_to_parquet_spark.operators.relational12",
-    # relational11 holds the round-8 second wave (orc_interop /
-    # acf_lags / ccnet_buckets / zorder_layout — never graded) — it
-    # sits first so never-graded entries earn driver rows immediately.
+    # relational11 keeps the round-8 second wave's ccnet_buckets /
+    # zorder_layout + the final-rotation trio graded; the round-10
+    # third wave demoted its double-green orc_interop / acf_lags to
+    # EXTRA for the new bpe_fertility / compaction_plan.
     "data_ingestion_s3_to_parquet_spark.operators.relational11",
     # relational10 holds the round-8 first wave (rank_bm25 /
     # ewma_smooth lead, then the round-7 third wave).
@@ -152,7 +153,7 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and twenty-three entries in the lane (eval_mrr_scale — the window-free 100 TB twin sharing eval_mrr's oracle — at its head), otherwise EVERY one
+# a hundred and twenty-five entries in the lane (eval_mrr_scale — the window-free 100 TB twin sharing eval_mrr's oracle — at its head), otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

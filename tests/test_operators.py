@@ -771,6 +771,8 @@ def test_extra_lane_doc_counts_match_registry():
         120: "a hundred and twenty", 121: "a hundred and twenty-one",
         122: "a hundred and twenty-two",
         123: "a hundred and twenty-three",
+        124: "a hundred and twenty-four",
+        125: "a hundred and twenty-five",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -935,7 +937,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 123
+    assert len(EXTRA) == 125
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -945,9 +947,10 @@ def test_lane_counts_match_docs():
     # double-green r8+r9 evaluation trio, and the double-green
     # drift_psi / join_asof_nearest are demoted one-for-one and
     # LEAD the EXTRA lane
-    assert list(REGISTRY)[1:6] == [
+    assert list(REGISTRY)[1:8] == [
         "eval_mrr", "rolling_quantile", "schema_drift_report",
         "dedup_threshold_sweep", "alert_rate_spike",
+        "bpe_fertility", "compaction_plan",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -955,7 +958,7 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    assert list(EXTRA)[:18] == [
+    assert list(EXTRA)[:20] == [
         "eval_mrr_scale",
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
@@ -963,6 +966,7 @@ def test_lane_counts_match_docs():
         "drift_psi", "join_asof_nearest",
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
+        "orc_interop", "acf_lags",
     ]
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
@@ -978,7 +982,7 @@ def test_lane_counts_match_docs():
     for k in ("mmr_rerank",
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc",
-              "orc_interop", "acf_lags", "ccnet_buckets",
+              "ccnet_buckets",
               "zorder_layout", "rank_bm25", "ewma_smooth",
               "rank_fusion_rrf", "pipeline_fineweb", "dup_span_max"):
         assert k in REGISTRY, k
@@ -6996,3 +7000,63 @@ def test_eval_mrr_scale_matches_window_formulation(spark, sf_dir):
     a = sorted(map(tuple, q_eval_mrr(spark, sf_dir).collect()))
     b = sorted(map(tuple, q_eval_mrr_scale(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_bpe_fertility_planted_single_char_words(spark, tmp_path):
+    # single-character words admit no pairs, so BPE learns nothing and
+    # every word is exactly one token: fertility = 1.0 and chars/token
+    # = 1.0 in micros for every language; volumes pin the per-language
+    # split (en: 2 docs / 5 words, fr: 1 doc / 2 words)
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_bpe_fertility,
+    )
+
+    rows = [
+        (1, "a b a", "en", "s", 5),
+        (2, "b a", "en", "s", 3),
+        (3, "c c", "fr", "s", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.lang: (r.n_docs, r.n_words, r.n_chars, r.n_bpe_tokens,
+                 r.fertility_micro, r.chars_per_token_micro)
+        for r in q_bpe_fertility(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "en": (2, 5, 5, 5, 1_000_000, 1_000_000),
+        "fr": (1, 2, 2, 2, 1_000_000, 1_000_000),
+    }
+
+
+def test_compaction_plan_planted_sorted_fill(spark, tmp_path):
+    # sizes [3000, 2000, 1500, 100] against the 4096-byte target pack
+    # as: 3000 (cum 0 -> g0), 2000 (cum 3000 -> g0), 1500 (cum 5000 ->
+    # g1), 100 (cum 6500 -> g1) — pins the largest-first order, the
+    # div-target group rule, and the fill shares
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_compaction_plan,
+    )
+
+    rows = [
+        (1, "x", "en", "src_a", 3000),
+        (2, "x", "en", "src_a", 2000),
+        (3, "x", "en", "src_a", 1500),
+        (4, "x", "en", "src_a", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.group_id: (r.n_files, r.group_bytes, r.fill_micro)
+        for r in q_compaction_plan(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (2, 5000, 1_220_703),   # 5000/4096 = 1.2207031...
+        1: (2, 1600, 390_625),     # 1600/4096 = 0.390625
+    }

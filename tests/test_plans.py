@@ -1085,3 +1085,22 @@ def test_eval_mrr_scale_has_no_ranking_window(spark):
     plan = plan_of(q_eval_mrr_scale(spark, SF_SMOKE))
     assert plan.count("row_number(") == 0
     assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) >= 4
+
+
+def test_compaction_plan_carry_is_broadcast_and_windows_bucket_local(spark):
+    # the decomposition's contract: the bounded bucket-carry table is
+    # the ONLY broadcast, and every window carries a partition key
+    # (source for the carry build, (source, bkt) for the in-bucket
+    # prefix) — no source-global single-task window exists
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_compaction_plan,
+    )
+
+    plan = plan_of(q_compaction_plan(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+    # both window specs are partitioned (the formatted plan prints the
+    # full windowspecdefinition with its partition expressions)
+    assert "windowspecdefinition(source" in plan

@@ -3408,3 +3408,53 @@ def test_alert_rate_spike_matches_python_on_any_stream(
         for r in q_alert_rate_spike(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+_compact_files = st.lists(
+    st.tuples(st.sampled_from(["sa", "sb"]), st.integers(1, 6000)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(files=_compact_files)
+@slow_ok
+def test_compaction_plan_matches_python_on_any_manifest(
+    spark, files, tmp_path_factory
+):
+    """The two-phase bucket+carry decomposition equals the naive
+    Python sorted-fill replay for ARBITRARY manifests — including size
+    ties (doc_id order), sizes larger than the target (solo groups),
+    and single-file sources."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        COMPACT_TARGET,
+        q_compaction_plan,
+    )
+
+    tmp = tmp_path_factory.mktemp("compact")
+    rows = [(i, "x", "en", src, b) for i, (src, b) in enumerate(files)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for i, (src, b) in enumerate(files):
+        per[src].append((-b, i, b))
+    expected = defaultdict(lambda: [0, 0])
+    for src, fs in per.items():
+        fs.sort()
+        cum = 0
+        for _, _, b in fs:
+            g = cum // COMPACT_TARGET
+            expected[(src, g)][0] += 1
+            expected[(src, g)][1] += b
+            cum += b
+
+    got = {
+        (r.source, r.group_id): [r.n_files, r.group_bytes]
+        for r in q_compaction_plan(spark, str(tmp)).collect()
+    }
+    assert got == dict(expected)
