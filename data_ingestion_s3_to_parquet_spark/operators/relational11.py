@@ -781,12 +781,6 @@ SELECT n_pos, n_neg, u2, {_AUC_MICRO_EXPR} AS auc_micro FROM agg
 
 QUERIES = [
     Query(
-        "ccnet_buckets",
-        q_ccnet_buckets,
-        _sql_ccnet_buckets(),
-        ("llm", "text", "quality", "mixing"),
-    ),
-    Query(
         "zorder_layout",
         q_zorder_layout,
         SQL_ZORDER_LAYOUT,
@@ -814,10 +808,16 @@ QUERIES = [
 ]
 
 # Round-10 third wave demoted the double-green r8+r9 orc_interop /
-# acf_lags here, trading their graded slots for the new bpe_fertility
-# / compaction_plan (relational14); both keep their oracles, bench
-# flags, and local-sweep coverage.
+# acf_lags / ccnet_buckets here, trading their graded slots for the
+# new bpe_fertility / compaction_plan / privacy_ldiv (relational14);
+# all keep their oracles, bench flags, and local-sweep coverage.
 EXTRA_QUERIES: list[Query] = [
+    Query(
+        "ccnet_buckets",
+        q_ccnet_buckets,
+        _sql_ccnet_buckets(),
+        ("llm", "text", "quality", "mixing"),
+    ),
     Query(
         "orc_interop",
         q_orc_interop,

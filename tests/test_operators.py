@@ -773,6 +773,7 @@ def test_extra_lane_doc_counts_match_registry():
         123: "a hundred and twenty-three",
         124: "a hundred and twenty-four",
         125: "a hundred and twenty-five",
+        126: "a hundred and twenty-six",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -937,7 +938,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 125
+    assert len(EXTRA) == 126
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -947,10 +948,10 @@ def test_lane_counts_match_docs():
     # double-green r8+r9 evaluation trio, and the double-green
     # drift_psi / join_asof_nearest are demoted one-for-one and
     # LEAD the EXTRA lane
-    assert list(REGISTRY)[1:8] == [
+    assert list(REGISTRY)[1:9] == [
         "eval_mrr", "rolling_quantile", "schema_drift_report",
         "dedup_threshold_sweep", "alert_rate_spike",
-        "bpe_fertility", "compaction_plan",
+        "bpe_fertility", "compaction_plan", "privacy_ldiv",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -958,7 +959,7 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    assert list(EXTRA)[:20] == [
+    assert list(EXTRA)[:21] == [
         "eval_mrr_scale",
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
@@ -966,7 +967,7 @@ def test_lane_counts_match_docs():
         "drift_psi", "join_asof_nearest",
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
-        "orc_interop", "acf_lags",
+        "ccnet_buckets", "orc_interop", "acf_lags",
     ]
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
@@ -982,7 +983,6 @@ def test_lane_counts_match_docs():
     for k in ("mmr_rerank",
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc",
-              "ccnet_buckets",
               "zorder_layout", "rank_bm25", "ewma_smooth",
               "rank_fusion_rrf", "pipeline_fineweb", "dup_span_max"):
         assert k in REGISTRY, k
@@ -7059,4 +7059,48 @@ def test_compaction_plan_planted_sorted_fill(spark, tmp_path):
     assert got == {
         0: (2, 5000, 1_220_703),   # 5000/4096 = 1.2207031...
         1: (2, 1600, 390_625),     # 1600/4096 = 0.390625
+    }
+
+
+def test_privacy_ldiv_planted_disclosure_class(spark, tmp_path):
+    # two QI classes: class A's four orders all share one priority
+    # (lv=1 -> attribute disclosure, violates l=2); class B's two
+    # orders carry two distinct priorities (lv=2, compliant)
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_privacy_ldiv,
+    )
+
+    cust = [
+        (1, "a", 1, 100.0, "AUTO"),   # class A
+        (2, "b", 1, 100.0, "AUTO"),   # class A (same QI)
+        (3, "c", 2, 100.0, "FURN"),   # class B
+    ]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    d = dt.datetime(2024, 1, 1)
+    orders = [
+        (10, 1, "O", 1.0, d, "1-URGENT"),
+        (11, 1, "O", 1.0, d, "1-URGENT"),
+        (12, 2, "O", 1.0, d, "1-URGENT"),
+        (13, 2, "O", 1.0, d, "1-URGENT"),
+        (14, 3, "O", 1.0, d, "1-URGENT"),
+        (15, 3, "O", 1.0, d, "5-LOW"),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r.l_band: (r.n_classes, r.n_rows, r.violates_l)
+        for r in q_privacy_ldiv(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "1": (1, 4, True),
+        "2": (1, 2, False),
     }
