@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -375,6 +376,152 @@ def sliding_stateful(events: DataFrame, *, watermark: str = "10 minutes") -> Dat
             sliding_fn,
             outputStructType=TUMBLING_OUT_SCHEMA,
             stateStructType=TUMBLING_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# --- custom stateful rate-spike alerting -------------------------------------
+# The streaming twin of operators.relational14.q_alert_rate_spike: the
+# batch lane computes per-(event_type, hour) counts and flags buckets
+# whose count exceeds ALERT_FACTOR x the trailing-
+# ALERT_BASELINE_BUCKETS-observed-bucket mean (integer cross-
+# multiplication, no division). Standard streaming windows can
+# aggregate the buckets, but the BASELINE is cross-window state —
+# exactly what applyInPandasWithState exists for: per-key open-bucket
+# counts plus the rolling history of the last 24 CLOSED buckets.
+# Buckets close in ascending start order (closability is monotone in
+# start, so the closable set is always a prefix of the open starts),
+# which makes the history order identical to the batch lane's
+# bucket_ts order — the parity the test pins.
+
+ALERT_WINDOW_SECONDS = 3600
+ALERT_LATENESS_SECONDS = 600
+
+ALERT_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("bucket_ts", TimestampType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("base_n", LongType(), False),
+        StructField("base_sum", LongType(), False),
+        StructField("alert", BooleanType(), False),
+    ]
+)
+
+# state: open buckets (parallel arrays keyed by start) + the trailing
+# closed-bucket history the baseline reads (trimmed to 24 entries)
+ALERT_STATE_SCHEMA = StructType(
+    [
+        StructField("starts", ArrayType(LongType()), True),
+        StructField("ns", ArrayType(LongType()), True),
+        StructField("hist_starts", ArrayType(LongType()), True),
+        StructField("hist_ns", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _alert_rows(etype, buckets, hist, to_close):
+    """Close ``to_close`` (ascending), emitting one alerted row per
+    bucket; the baseline is the last ALERT_BASELINE_BUCKETS entries of
+    ``hist`` at close time, matching the batch lane's trailing
+    observed-bucket ROWS frame."""
+    from ..operators.relational14 import ALERT_BASELINE_BUCKETS, ALERT_FACTOR
+
+    out = {
+        "event_type": [],
+        "bucket_ts": [],
+        "n_events": [],
+        "base_n": [],
+        "base_sum": [],
+        "alert": [],
+    }
+    for s in sorted(to_close):
+        n = buckets.pop(s)
+        prior = hist[-ALERT_BASELINE_BUCKETS:]
+        m = len(prior)
+        total = sum(x for _, x in prior)
+        out["event_type"].append(etype)
+        out["bucket_ts"].append(pd.Timestamp(s * 1000))
+        out["n_events"].append(n)
+        out["base_n"].append(m)
+        out["base_sum"].append(total)
+        out["alert"].append(m > 0 and n * m > ALERT_FACTOR * total)
+        hist.append((s, n))
+        del hist[:-ALERT_BASELINE_BUCKETS]
+    return pd.DataFrame(out)
+
+
+def alert_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type hourly rate-spike alerting with a trailing
+    closed-bucket baseline. Buckets close when event time moves
+    ``ALERT_LATENESS_SECONDS`` past their end, or at the event-time
+    timeout (idle key) — the same close contract as the tumbling
+    twin, plus the rolling baseline history the batch operator reads
+    through its window frame."""
+    (etype,) = key
+    win_us = ALERT_WINDOW_SECONDS * 1_000_000
+    late_us = ALERT_LATENESS_SECONDS * 1_000_000
+
+    if state.hasTimedOut:
+        starts, ns, hs, hn = state.get
+        buckets = dict(zip(starts, ns))
+        hist = list(zip(hs, hn))
+        state.remove()
+        yield _alert_rows(etype, buckets, hist, sorted(buckets))
+        return
+
+    if state.exists:
+        starts, ns, hs, hn = state.get
+        buckets = dict(zip(starts, ns))
+        hist = list(zip(hs, hn))
+    else:
+        buckets, hist = {}, []
+
+    max_ts = 0
+    for pdf in pdfs:
+        for ts in pdf["ts"]:
+            t = _us(ts)
+            s = t // win_us * win_us
+            buckets[s] = buckets.get(s, 0) + 1
+            max_ts = max(max_ts, t)
+
+    closable = sorted(s for s in buckets if s + win_us + late_us <= max_ts)
+    if closable:
+        yield _alert_rows(etype, buckets, hist, closable)
+
+    if not buckets and not hist:
+        state.remove()
+        return
+    state.update(
+        (
+            list(buckets),
+            [buckets[s] for s in buckets],
+            [s for s, _ in hist],
+            [n for _, n in hist],
+        )
+    )
+    if buckets:
+        latest_end_ms = (max(buckets) + win_us + late_us) // 1000
+        state.setTimeoutTimestamp(latest_end_ms)
+
+
+def alert_stateful(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming rate-spike alerting over a *streaming* events frame;
+    ``events`` needs columns (event_type, ts)."""
+    from ..session import tune
+
+    tune(events.sparkSession)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            alert_fn,
+            outputStructType=ALERT_OUT_SCHEMA,
+            stateStructType=ALERT_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -408,3 +408,66 @@ def test_stateful_sliding_state_survives_query_restart(spark, tmp_path):
     # cross-run windows really did combine: some window must hold
     # events from BOTH runs (e.g. the 00:00 window has all three)
     assert any(n == 3 for _, n, _ in streaming)
+
+
+def test_stateful_alert_matches_batch_lane_on_closed_buckets(spark, tmp_path):
+    # the streaming rate-alert twin must emit, for every CLOSED hour
+    # bucket, exactly the batch operator's row (counts, trailing
+    # baseline, cross-multiplied alert flag). Buckets close when event
+    # time moves 600s past their end, so with max ts at hour 4 the
+    # hour-0..2 buckets close and hour 3+ stay open (no row yet).
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_alert_rate_spike,
+    )
+    from data_ingestion_s3_to_parquet_spark.streaming.stateful import (
+        alert_stateful,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "click", 1.0),
+        (2, base + dt.timedelta(hours=1), 1, "click", 1.0),
+        *[
+            (10 + i, base + dt.timedelta(hours=2, minutes=i), 1, "click", 1.0)
+            for i in range(5)
+        ],  # the spike bucket
+        (20, base + dt.timedelta(hours=3), 1, "click", 1.0),
+        (21, base + dt.timedelta(hours=4), 1, "click", 1.0),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    q = (
+        alert_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_alerts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.bucket_ts: (r.n_events, r.base_n, r.base_sum, r.alert)
+        for r in spark.sql("SELECT * FROM stateful_alerts").collect()
+    }
+
+    # batch twin over the same parquet (it reads {dir}/events.parquet)
+    batch_dir = str(tmp_path / "asdir")
+    spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{batch_dir}/events.parquet")
+    batch = {
+        r.bucket_ts: (r.n_events, r.base_n, r.base_sum, r.alert)
+        for r in q_alert_rate_spike(spark, batch_dir).collect()
+    }
+
+    closed = [base, base + dt.timedelta(hours=1), base + dt.timedelta(hours=2)]
+    assert sorted(got) == closed  # hour 3/4 buckets still open
+    for ts in closed:
+        assert got[ts] == batch[ts], ts
+    assert got[base + dt.timedelta(hours=2)][3] is True  # the spike alerted
