@@ -147,8 +147,8 @@ changepoint_cusum / winnow_overlap / graph_triangles /
 vocab_coverage / bpe_merges / bpe_apply / kmeans_embeddings /
 pq_encode / ann_pq_topk / pmi_cooccur demote
 to the EXTRA head one-for-one. After r9 grades, EVERY oracle-gated
-operator in the repo has a driver row. Round 10 adds eight new
-operators at positions 2-9 — eval_mrr (MRR + recall@k of per-term
+operator in the repo has a driver row. Round 10 adds nine new
+operators at positions 2-10 — eval_mrr (MRR + recall@k of per-term
 BM25 rankings against a ranking-independent title-prefix relevance
 signal — the ranking-position metric that closes the retrieval-eval
 family), rolling_quantile (per-user trailing-window exact type-1
@@ -167,7 +167,9 @@ BPE model — the multilingual tokenizer audit), and compaction_plan
 bucket+carry prefix sum, quantile_select-style), and privacy_ldiv
 (the l-diversity attribute-disclosure audit over the k-anonymity QI
 classes — released orders reveal priorities; the compliance family's
-third leg) — and runs the
+third leg), and eval_regression (bias / MAE / RMSE / R² of the
+seasonal-naive forecaster over exact integer sufficient statistics —
+the regression leg of the evaluation family) — and runs the
 grade-freshness rotation VERDICT r9 #1 prescribed: the twelve
 round-3 relational-core veterans with the registry's OLDEST driver
 rows (scan_parquet, project_filter, filter_compound, scalar_funcs,
@@ -179,11 +181,11 @@ privacy_erase / feature_vector / skew_report quartet), the
 double-green r8+r9 evaluation trio (eval_ndcg / eval_calibration /
 eval_pr_curve), and the double-green drift_psi / join_asof_nearest
 demote to the EXTRA head one-for-one. The EXTRA lane
-holds a hundred and twenty-six oracle-gated entries (eval_mrr_scale, the window-free 100 TB twin sharing eval_mrr's oracle, leads it), every one with
+holds a hundred and twenty-seven oracle-gated entries (eval_mrr_scale, the window-free 100 TB twin sharing eval_mrr's oracle, leads it), every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 126 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 127 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -780,12 +780,6 @@ SELECT n_pos, n_neg, u2, {_AUC_MICRO_EXPR} AS auc_micro FROM agg
 # --------------------------------------------------------------------
 
 QUERIES = [
-    Query(
-        "zorder_layout",
-        q_zorder_layout,
-        SQL_ZORDER_LAYOUT,
-        ("relational", "layout", "data-skipping"),
-    ),
     # round-8 final rotation: the three post-swap additions grade too
     Query(
         "jsonl_interop",
@@ -817,6 +811,12 @@ EXTRA_QUERIES: list[Query] = [
         q_ccnet_buckets,
         _sql_ccnet_buckets(),
         ("llm", "text", "quality", "mixing"),
+    ),
+    Query(
+        "zorder_layout",
+        q_zorder_layout,
+        SQL_ZORDER_LAYOUT,
+        ("relational", "layout", "data-skipping"),
     ),
     Query(
         "orc_interop",

@@ -43,10 +43,10 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational14 holds the eight NEW round-10 operators (eval_mrr /
+    # relational14 holds the nine NEW round-10 operators (eval_mrr /
     # rolling_quantile / schema_drift_report / dedup_threshold_sweep /
     # alert_rate_spike / bpe_fertility / compaction_plan /
-    # privacy_ldiv) — first QUERIES contributor after parity so
+    # privacy_ldiv / eval_regression) — first QUERIES contributor after parity so
     # they grade immediately (never-graded-first) — plus the
     # EXTRA-lane eval_mrr_scale (the window-free 100 TB twin).
     "data_ingestion_s3_to_parquet_spark.operators.relational14",
@@ -154,7 +154,7 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and twenty-six entries in the lane (eval_mrr_scale — the window-free 100 TB twin sharing eval_mrr's oracle — at its head), otherwise EVERY one
+# a hundred and twenty-seven entries in the lane (eval_mrr_scale — the window-free 100 TB twin sharing eval_mrr's oracle — at its head), otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

@@ -774,6 +774,7 @@ def test_extra_lane_doc_counts_match_registry():
         124: "a hundred and twenty-four",
         125: "a hundred and twenty-five",
         126: "a hundred and twenty-six",
+        127: "a hundred and twenty-seven",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -938,7 +939,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 126
+    assert len(EXTRA) == 127
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -948,10 +949,11 @@ def test_lane_counts_match_docs():
     # double-green r8+r9 evaluation trio, and the double-green
     # drift_psi / join_asof_nearest are demoted one-for-one and
     # LEAD the EXTRA lane
-    assert list(REGISTRY)[1:9] == [
+    assert list(REGISTRY)[1:10] == [
         "eval_mrr", "rolling_quantile", "schema_drift_report",
         "dedup_threshold_sweep", "alert_rate_spike",
         "bpe_fertility", "compaction_plan", "privacy_ldiv",
+        "eval_regression",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -959,7 +961,7 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    assert list(EXTRA)[:21] == [
+    assert list(EXTRA)[:22] == [
         "eval_mrr_scale",
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
@@ -967,7 +969,7 @@ def test_lane_counts_match_docs():
         "drift_psi", "join_asof_nearest",
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
-        "ccnet_buckets", "orc_interop", "acf_lags",
+        "ccnet_buckets", "zorder_layout", "orc_interop", "acf_lags",
     ]
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
@@ -983,7 +985,7 @@ def test_lane_counts_match_docs():
     for k in ("mmr_rerank",
               "graph_sssp", "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc",
-              "zorder_layout", "rank_bm25", "ewma_smooth",
+              "rank_bm25", "ewma_smooth",
               "rank_fusion_rrf", "pipeline_fineweb", "dup_span_max"):
         assert k in REGISTRY, k
     # earlier-round demotees stay EXTRA with their green rows
@@ -7104,3 +7106,44 @@ def test_privacy_ldiv_planted_disclosure_class(spark, tmp_path):
         "1": (1, 4, True),
         "2": (1, 2, False),
     }
+
+
+def test_eval_regression_planted_metrics(spark, tmp_path):
+    # profile: train clicks at hour 0 average 10.00 -> pred 1000 cents;
+    # holdout errors (0, +300, -300) cents pin bias 0, MAE $2.00,
+    # RMSE sqrt(60000) cents, and R^2 = 0 (SS_res == SS_tot: the model
+    # exactly ties predicting the holdout mean here)
+    import datetime as dt
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational13 import (
+        FC_PIVOT_TS,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_eval_regression,
+    )
+
+    pivot = dt.datetime.fromisoformat(FC_PIVOT_TS)
+    tr = pivot - dt.timedelta(days=2)   # hour 0
+    ho = pivot + dt.timedelta(days=1)   # hour 0
+    rows = [
+        (1, tr, 1, "click", 8.00, "{}"),
+        (2, tr, 1, "click", 12.00, "{}"),   # train mean = 10.00
+        (3, ho, 1, "click", 10.00, "{}"),   # err 0
+        (4, ho, 1, "click", 13.00, "{}"),   # err +300 cents
+        (5, ho, 1, "click", 7.00, "{}"),    # err -300 cents
+        (6, ho + dt.timedelta(hours=5), 1, "click", 1.0, "{}"),  # uncovered
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {r.event_type: r for r in q_eval_regression(spark, str(tmp_path)).collect()}
+    r = out["click"]
+    assert r.n_scored == 3  # the uncovered-hour event is not scored
+    assert r.bias_micro == 0
+    assert r.mae_micro == 200_000_000          # 200 cents = $2.00
+    assert r.rmse_micro == round(1_000_000 * math.sqrt(60_000))
+    assert r.r2_micro == 0
