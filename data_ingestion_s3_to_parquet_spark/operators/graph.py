@@ -724,11 +724,16 @@ def _sql_graph_sssp() -> str:
 SQL_GRAPH_SSSP = _sql_graph_sssp()
 
 
-# link_predict / kcore_decompose are NEW in round 7 (third wave) and
-# grade immediately; pagerank (green r5+r6, promoted round 5 per
-# VERDICT r4 #1) demotes in exchange. label_propagation (green r5+r6)
-# demoted in the round-7 wave-2 rotation.
-QUERIES = [
+# The whole graph family is multi-green: link_predict /
+# kcore_decompose (graded r7–r9) and graph_sssp (graded r8–r9)
+# demoted in the round-10 sixth-wave rotation for dedup_cluster_stats
+# / corr_spearman / trend_linfit (relational15); pagerank (green
+# r5+r6) and label_propagation (green r5+r6) were demoted in earlier
+# rounds. All five keep their oracles (full sweep coverage) and
+# kcore / sssp / pagerank keep their bench flags.
+QUERIES: list[Query] = []
+
+EXTRA_QUERIES: list[Query] = [
     Query(
         "link_predict",
         q_link_predict,
@@ -742,7 +747,6 @@ QUERIES = [
         ("llm", "graph", "iterative"),
         bench=True,  # the new peel loop, timed end-to-end
     ),
-    # round-8 final rotation: graph_sssp grades never-graded-first
     Query(
         "graph_sssp",
         q_graph_sssp,
@@ -750,9 +754,6 @@ QUERIES = [
         ("llm", "graph", "iterative"),
         bench=True,  # the frontier BFS loop, timed end-to-end
     ),
-]
-
-EXTRA_QUERIES: list[Query] = [
     Query(
         "pagerank",
         q_pagerank,

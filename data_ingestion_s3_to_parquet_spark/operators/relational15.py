@@ -1,0 +1,477 @@
+"""Round-10 sixth wave: dedup observability and exact rank/trend
+statistics.
+
+- ``dedup_cluster_stats``  duplicate-cluster size histogram over the
+                           connected-components output — the
+                           observability view a dedup rollout actually
+                           tunes against (how many clusters of each
+                           size, how many rows a keep-one policy would
+                           drop, what share of the corpus each size
+                           class holds). SURVEY §13 #4's named
+                           candidate.
+- ``corr_spearman``        tie-aware Spearman rank correlation (per
+                           customer segment: order count vs total
+                           spend) — the robust sibling of
+                           ``corr_pearson``: rank-based, so monotone
+                           transformations and outliers don't move it.
+- ``trend_linfit``         per-event-type OLS trend of daily event
+                           counts (slope / intercept / R²) from exact
+                           integer sufficient statistics — the
+                           monitoring view next to ``forecast_snaive``
+                           (is this series growing, and how fast?).
+
+All three follow the repo's exactness rules: integer sufficient
+statistics (int64 / DECIMAL(38,0) on the Spark side, HUGEINT in the
+oracle), one pinned double op-sequence per division (the
+``corr_pearson`` rule), micro-quantization through expression strings
+shared verbatim between both engines, and explicit NULL on
+mathematically-undefined groups (zero variance / single point — the
+ADVICE r7 zero-variance standard).
+
+Reference parity note: the reference (`/root/reference/src/main.rs`)
+has no statistics or dedup surface at all — these lanes belong to the
+mandated LLM-pipeline / operational extension layer (SURVEY §2B/§2C).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+# --------------------------------------------------------------------
+# dedup_cluster_stats
+# --------------------------------------------------------------------
+
+# Corpus share of a size class in micros. The 0-guard follows the
+# repo's 0/0 standard (_KS_MICRO_EXPR / _RI_SHARE_EXPR): an empty
+# corpus reports 0, not NaN (Spark would cast NaN to 0 silently,
+# DuckDB would raise).
+_CL_SHARE_EXPR = (
+    "CASE WHEN total_rows = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * n_rows) / total_rows,"
+    " 0) AS BIGINT) END"
+)
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over ``dedup_components``' output: for
+    each duplicate-cluster size, how many clusters exist, how many
+    corpus rows they hold, how many of those rows a keep-one-per-
+    cluster policy would drop (``n_redundant`` = (size-1)·clusters),
+    and the size class's corpus share in micros.
+
+    This is the tuning dashboard for a dedup rollout: a fat tail of
+    large clusters means the threshold is too loose (unrelated docs
+    chained together); a histogram that is all singletons means the
+    threshold is too tight to matter. Singleton clusters are REAL
+    rows of this report (every vector reaches the component table via
+    the left join in ``connected_components_auto``), so the shares
+    sum to ~1e6 by construction.
+
+    Scale shape: the component table comes from the checkpointed CC
+    dispatcher (hash-min with star escalation — dedup.py:498); the
+    histogram is two map-side-combinable aggregates on top (component
+    → size, size → count), and the corpus total rides an
+    unpartitioned window over the HISTOGRAM frame — bounded by the
+    number of distinct cluster sizes (≤ largest cluster, in practice
+    tens), the same bounded-carry exception ``eval_mrr`` documents.
+    At 100 TB the edge list feeds from LSH candidates
+    (``dedup_components_lsh``) and this report runs unchanged on its
+    output.
+    """
+    from .dedup import q_dedup_components
+
+    comp = q_dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+    hist = hist.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_rows"),
+        ((F.col("cluster_size") - F.lit(1)) * F.col("n_clusters")).alias(
+            "n_redundant"
+        ),
+    ).withColumn(
+        "total_rows",
+        F.sum("n_rows").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return hist.select(
+        "cluster_size",
+        "n_clusters",
+        "n_rows",
+        "n_redundant",
+        F.expr(_CL_SHARE_EXPR).alias("row_share_micro"),
+    )
+
+
+def _sql_dedup_cluster_stats() -> str:
+    # the component table is the EXACT oracle of dedup_components
+    # (recursive transitive closure), nested as a CTE so the two lanes
+    # can never disagree about what a component is
+    from .dedup import SQL_DEDUP_COMPONENTS
+
+    return f"""
+WITH comp AS ({SQL_DEDUP_COMPONENTS}),
+sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+),
+hist AS (
+  SELECT cluster_size, COUNT(*) AS n_clusters
+  FROM sizes GROUP BY cluster_size
+),
+h2 AS (
+  SELECT cluster_size,
+         n_clusters,
+         cluster_size * n_clusters AS n_rows,
+         (cluster_size - 1) * n_clusters AS n_redundant,
+         SUM(cluster_size * n_clusters) OVER () AS total_rows
+  FROM hist
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_redundant AS BIGINT) AS n_redundant,
+       {_CL_SHARE_EXPR} AS row_share_micro
+FROM h2
+"""
+
+
+# --------------------------------------------------------------------
+# corr_spearman
+# --------------------------------------------------------------------
+
+# Tie-aware DOUBLE rank: 2·avg_rank = 2·RANK() + |ties| − 1 is an
+# integer even when the average rank is a .5, so the rank transform
+# stays exact end-to-end. Scaling both variables by 2 leaves the
+# correlation unchanged.
+_SP_DRANK = "2 * {rank} + {ties} - 1"
+
+
+def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Spearman rank correlation between a customer's
+    order count and total spend — the robust monotone-association
+    sibling of ``corr_pearson`` (rank-based: one whale customer can't
+    drag the coefficient; ties get average ranks, the textbook
+    tie-aware definition, kept exact via integer DOUBLE ranks).
+
+    Population: customers with ≥1 order (the inner join defines it
+    deterministically). x = order count (small domain → heavy ties,
+    which is exactly what the tie-aware path must handle), y = total
+    spend in exact integer cents (DECIMAL(18,2)·100 — the
+    ``corr_pearson`` cents rule). ρ is Pearson over the double-ranks
+    from exact integer sufficient statistics: int64 n / Σdrx / Σdry,
+    DECIMAL(38,0) (HUGEINT in the oracle) for the three product sums,
+    then the pinned double op-sequence (three combination terms cast
+    to double once, multiply, sqrt, divide, micro-round). Zero
+    variance in either rank vector → NULL (correlation undefined —
+    the ADVICE r7 standard). ``sum_d2`` (Σ(drx−dry)², the classic
+    Spearman statistic; int64-safe to ~10⁶ rows per group, DECIMAL
+    beyond) is exposed as the cross-check column.
+
+    Scale shape: the per-customer aggregate is map-side combinable;
+    the rank windows run per segment over the customer-sized frame —
+    at fixture scale that keeps the oracle bitwise, and at 100 TB the
+    tie-aware rank is the documented two-phase substitution: group by
+    (segment, value) → tie counts (bounded by the distinct-value
+    domain), prefix-sum the counts with the ``quantile_select``
+    bucket decomposition, and join the per-VALUE double-rank back —
+    no per-row window at all. The final stats are one 5-group
+    combinable aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    per = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("x"), F.sum("cents").alias("y")
+    )
+    # customer grows with the corpus (it is not a bounded dimension):
+    # shuffle_hash-pinned like ref_integrity_audit's parent joins —
+    # a fixture-scale broadcast here would be the driver-OOM trap
+    base = per.join(
+        cust.hint("shuffle_hash"), per["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "x", "y")
+
+    def drank(col: str) -> F.Column:
+        rank = F.rank().over(
+            Window.partitionBy("c_mktsegment").orderBy(col)
+        )
+        ties = F.count("*").over(Window.partitionBy("c_mktsegment", col))
+        return (
+            F.lit(2) * rank.cast("long") + ties.cast("long") - F.lit(1)
+        )
+
+    ranked = base.select(
+        "c_mktsegment",
+        drank("x").alias("drx"),
+        drank("y").alias("dry"),
+    )
+    stats = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("drx").alias("sx"),
+        F.sum("dry").alias("sy"),
+        F.sum((F.col("drx") * F.col("dry")).cast("decimal(38,0)")).alias(
+            "sxy"
+        ),
+        F.sum((F.col("drx") * F.col("drx")).cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+        F.sum((F.col("dry") * F.col("dry")).cast("decimal(38,0)")).alias(
+            "syy"
+        ),
+        F.sum(
+            (
+                (F.col("drx") - F.col("dry"))
+                * (F.col("drx") - F.col("dry"))
+            ).cast("decimal(38,0)")
+        ).alias("sd2"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    num = F.expr(
+        f"CAST({dec.format('n')} * sxy - {dec.format('sx')} *"
+        f" {dec.format('sy')} AS DOUBLE)"
+    )
+    var_x = F.expr(
+        f"CAST({dec.format('n')} * sxx - {dec.format('sx')} *"
+        f" {dec.format('sx')} AS DOUBLE)"
+    )
+    var_y = F.expr(
+        f"CAST({dec.format('n')} * syy - {dec.format('sy')} *"
+        f" {dec.format('sy')} AS DOUBLE)"
+    )
+    micro = F.when(
+        (var_x == 0) | (var_y == 0), F.lit(None).cast("long")
+    ).otherwise(
+        F.round(num / F.sqrt(var_x * var_y) * 1_000_000, 0).cast("long")
+    )
+    return stats.select(
+        "c_mktsegment",
+        F.col("n").alias("n_customers"),
+        F.col("sd2").cast("long").alias("sum_d2"),
+        (micro.cast("double") / 1e6).alias("rho_spearman"),
+    )
+
+
+SQL_CORR_SPEARMAN = f"""
+WITH per AS (
+  SELECT o_custkey,
+         COUNT(*) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT c_mktsegment, CAST(x AS BIGINT) AS x, y
+  FROM per JOIN customer ON o_custkey = c_custkey
+),
+ranked AS (
+  SELECT c_mktsegment,
+         {_SP_DRANK.format(
+             rank="RANK() OVER (PARTITION BY c_mktsegment ORDER BY x)",
+             ties="COUNT(*) OVER (PARTITION BY c_mktsegment, x)")} AS drx,
+         {_SP_DRANK.format(
+             rank="RANK() OVER (PARTITION BY c_mktsegment ORDER BY y)",
+             ties="COUNT(*) OVER (PARTITION BY c_mktsegment, y)")} AS dry
+  FROM base
+),
+stats AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n,
+         CAST(SUM(drx) AS BIGINT) AS sx,
+         CAST(SUM(dry) AS BIGINT) AS sy,
+         SUM(CAST(drx AS HUGEINT) * dry) AS sxy,
+         SUM(CAST(drx AS HUGEINT) * drx) AS sxx,
+         SUM(CAST(dry AS HUGEINT) * dry) AS syy,
+         SUM(CAST(drx - dry AS HUGEINT) * (drx - dry)) AS sd2
+  FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       n AS n_customers,
+       CAST(sd2 AS BIGINT) AS sum_d2,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+             OR n * syy - CAST(sy AS HUGEINT) * sy = 0
+            THEN NULL  -- zero rank variance: rho undefined
+            ELSE CAST(CAST(ROUND(
+            CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                 * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+            * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0
+       END AS rho_spearman
+FROM stats
+"""
+
+
+# --------------------------------------------------------------------
+# trend_linfit
+# --------------------------------------------------------------------
+
+# Day index origin: a fixed calendar constant (part of the lane's
+# declared contract — the intercept is "expected daily count on
+# 2024-01-01"). Exact integer in both engines.
+TREND_EPOCH = dt.date(2024, 1, 1)
+
+
+def q_trend_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily event counts: slope
+    (events/day), intercept (expected count at ``TREND_EPOCH``), and
+    R² — "is this series growing, how fast, and is the line a good
+    fit?", the monitoring view next to ``forecast_snaive``'s
+    seasonal predictor and ``ewma_smooth``'s level tracker.
+
+    Everything is a pure function of exact integer sufficient
+    statistics over the (event_type, day) aggregate: n, Σx, Σy int64;
+    Σxy, Σx², Σy² DECIMAL(38,0)/HUGEINT. The closed forms
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),
+    intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²), and
+    R² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    each cast their integer combination terms to double ONCE and run
+    a pinned op-sequence (multiply, divide, micro-round), so both
+    engines produce the same bits. A single-day group (zero x
+    variance) has no defined line → all three NULL; a flat series
+    (zero y variance) has slope/intercept but undefined R² → NULL
+    (the ADVICE r7 zero-variance standard).
+
+    Scale shape: one map-side-combinable (type, day) count — output
+    bounded by the TIME domain (|types| × |days|), never corpus-sized
+    (the ``alert_rate_spike`` rule) — then one |types|-group
+    combinable aggregate of the six statistics. No windows, no
+    joins, no broadcast; the heavy lifting is the first aggregate's
+    partial combine at the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit(TREND_EPOCH.isoformat()).cast("date")
+        ).cast("long").alias("x"),
+    ).agg(F.count("*").alias("y"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    num_s = F.expr(
+        f"CAST({dec.format('n')} * sxy - {dec.format('sx')} *"
+        f" {dec.format('sy')} AS DOUBLE)"
+    )
+    den = F.expr(
+        f"CAST({dec.format('n')} * sxx - {dec.format('sx')} *"
+        f" {dec.format('sx')} AS DOUBLE)"
+    )
+    num_i = F.expr(
+        f"CAST({dec.format('sy')} * sxx - {dec.format('sx')} *"
+        f" sxy AS DOUBLE)"
+    )
+    var_y = F.expr(
+        f"CAST({dec.format('n')} * syy - {dec.format('sy')} *"
+        f" {dec.format('sy')} AS DOUBLE)"
+    )
+    null_l = F.lit(None).cast("long")
+    slope_micro = F.when(den == 0, null_l).otherwise(
+        F.round(num_s / den * 1_000_000, 0).cast("long")
+    )
+    icept_micro = F.when(den == 0, null_l).otherwise(
+        F.round(num_i / den * 1_000_000, 0).cast("long")
+    )
+    r2_micro = F.when((den == 0) | (var_y == 0), null_l).otherwise(
+        F.round(num_s * num_s / (den * var_y) * 1_000_000, 0).cast("long")
+    )
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        (slope_micro.cast("double") / 1e6).alias("slope_per_day"),
+        (icept_micro.cast("double") / 1e6).alias("intercept_day0"),
+        r2_micro.alias("r2_micro"),
+    )
+
+
+SQL_TREND_LINFIT = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '{TREND_EPOCH.isoformat()}',
+                       CAST(ts AS DATE)) AS BIGINT) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       n AS n_days,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            ELSE CAST(CAST(ROUND(
+              CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+              * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0
+       END AS slope_per_day,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            ELSE CAST(CAST(ROUND(
+              CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
+                   AS DOUBLE)
+              / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+              * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0
+       END AS intercept_day0,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+             OR n * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
+            ELSE CAST(ROUND(
+              CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+              * 1000000, 0) AS BIGINT)
+       END AS r2_micro
+FROM stats
+"""
+
+
+QUERIES: list[Query] = [
+    Query(
+        "dedup_cluster_stats",
+        q_dedup_cluster_stats,
+        _sql_dedup_cluster_stats(),
+        ("llm", "dedup", "monitoring", "iterative"),
+    ),
+    Query(
+        "corr_spearman",
+        q_corr_spearman,
+        SQL_CORR_SPEARMAN,
+        ("relational", "statistics", "window"),
+    ),
+    Query(
+        "trend_linfit",
+        q_trend_linfit,
+        SQL_TREND_LINFIT,
+        ("relational", "statistics", "timeseries", "monitoring"),
+    ),
+]
+
+EXTRA_QUERIES: list[Query] = []

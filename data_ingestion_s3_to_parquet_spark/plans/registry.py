@@ -50,6 +50,12 @@ _MODULES = (
     # they grade immediately (never-graded-first) — plus the
     # EXTRA-lane eval_mrr_scale (the window-free 100 TB twin).
     "data_ingestion_s3_to_parquet_spark.operators.relational14",
+    # relational15 holds the round-10 sixth wave (dedup_cluster_stats /
+    # corr_spearman / trend_linfit) — never-graded, so it grades
+    # directly after relational14's nine; the graph trio (link_predict
+    # / kcore_decompose / graph_sssp — all multi-green) demoted
+    # one-for-one to graph.py's EXTRA lane.
+    "data_ingestion_s3_to_parquet_spark.operators.relational15",
     # relational13's eight round-9 operators were graded green in r9
     # and demoted to its EXTRA lane in the round-10 grade-freshness
     # rotation (VERDICT r9 #1), trading their slots for the round-3

@@ -1104,3 +1104,61 @@ def test_compaction_plan_carry_is_broadcast_and_windows_bucket_local(spark):
     # both window specs are partitioned (the formatted plan prints the
     # full windowspecdefinition with its partition expressions)
     assert "windowspecdefinition(source" in plan
+
+
+def test_dedup_cluster_stats_histogram_is_bounded_carry(spark):
+    # on top of the checkpointed CC output the report is two
+    # combinable aggregates plus ONE unpartitioned window over the
+    # HISTOGRAM frame (bounded by the number of distinct cluster
+    # sizes — the eval_mrr bounded-carry exception); no ranking
+    # window, no corpus-sized broadcast materializes here
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_dedup_cluster_stats,
+    )
+
+    plan = plan_of(q_dedup_cluster_stats(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert plan.count("row_number(") == 0
+
+
+def test_corr_spearman_stats_are_combinable_after_ranks(spark):
+    # the rank transform is window work partitioned by segment (the
+    # documented fixture-scale form; the 100 TB substitution is the
+    # per-VALUE two-phase rank in the docstring); everything after it
+    # is ONE map-side-combinable 5-group aggregate — no second
+    # corpus-sized shuffle, no broadcast of a growing side, and rank()
+    # (not row_number) keeps ties layout-independent
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_corr_spearman,
+    )
+
+    plan = plan_of(q_corr_spearman(spark, SF_SMOKE))
+    assert plan.count("row_number(") == 0
+    assert plan.count("rank(") >= 2
+    # customer grows with the corpus: the population join is
+    # shuffle_hash-pinned, never a fixture-scale broadcast
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) >= 1
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    # the per-customer pre-aggregate and the final stats aggregate
+    # both ship partial_ aggregates (map-side combine)
+    assert len(re.findall(r"HashAggregate", plan)) >= 4
+
+
+def test_trend_linfit_is_two_combinable_aggregates(spark):
+    # (type, day) count bounded by the TIME domain, then a |types|-
+    # group stats aggregate: no window, no join, no broadcast, and at
+    # most two exchanges end-to-end (the alert_rate_spike rule)
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_trend_linfit,
+    )
+
+    plan = plan_of(q_trend_linfit(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
