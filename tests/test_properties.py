@@ -3458,3 +3458,174 @@ def test_compaction_plan_matches_python_on_any_manifest(
         for r in q_compaction_plan(spark, str(tmp)).collect()
     }
     assert got == dict(expected)
+
+
+def _half_up_long(v: float) -> int:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(v)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+_sp_customers = st.lists(
+    st.tuples(
+        st.sampled_from(["S", "T"]),
+        st.integers(1, 3),       # order count: tiny domain -> heavy ties
+        st.integers(0, 500),     # total spend in cents (0 -> y ties too)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(customers=_sp_customers)
+@slow_ok
+def test_corr_spearman_matches_python_on_any_table(
+    spark, customers, tmp_path_factory
+):
+    """Tie-aware double-ranks and the pinned rho op-sequence equal a
+    Python replay for ARBITRARY populations — including all-tied
+    segments (zero rank variance -> NULL), single-customer segments,
+    and duplicate spends. The replay re-implements only the contract
+    (2*rank + ties - 1, Pearson over ranks, half-up micro), not the
+    plan."""
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_corr_spearman,
+    )
+
+    tmp = tmp_path_factory.mktemp("spear")
+    cust_rows = [
+        (i, f"c{i}", 1, 0.0, seg) for i, (seg, _, _) in enumerate(customers)
+    ]
+    spark.createDataFrame(
+        cust_rows, "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp / "customer.parquet"))
+    ordrows, ok = [], 0
+    base = _dt.datetime(2024, 1, 1)
+    for i, (_, x, cents) in enumerate(customers):
+        for j in range(x):
+            ok += 1
+            # first order carries the whole spend; the rest are 0.00
+            ordrows.append(
+                (ok, i, "O", cents / 100 if j == 0 else 0.0, base, "p")
+            )
+    spark.createDataFrame(
+        ordrows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for seg, x, cents in customers:
+        per[seg].append((x, cents))
+    expected = {}
+    for seg, pts in per.items():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+
+        def dr(vals):
+            return [
+                2 * (1 + sum(w < v for w in vals))
+                + sum(w == v for w in vals) - 1
+                for v in vals
+            ]
+
+        drx, dry = dr(xs), dr(ys)
+        n = len(pts)
+        sx, sy = sum(drx), sum(dry)
+        sxy = sum(a * b for a, b in zip(drx, dry))
+        sxx = sum(a * a for a in drx)
+        syy = sum(b * b for b in dry)
+        num = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        if varx == 0 or vary == 0:
+            rho = None
+        else:
+            micro = _half_up_long(
+                float(num) / math.sqrt(float(varx) * float(vary)) * 1_000_000
+            )
+            rho = micro / 1e6
+        sum_d2 = sum((a - b) * (a - b) for a, b in zip(drx, dry))
+        expected[seg] = (n, sum_d2, rho)
+
+    got = {
+        r.c_mktsegment: (r.n_customers, r.sum_d2, r.rho_spearman)
+        for r in q_corr_spearman(spark, str(tmp)).collect()
+    }
+    assert got == expected
+
+
+_tl_events = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 5)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events=_tl_events)
+@slow_ok
+def test_trend_linfit_matches_python_on_any_stream(
+    spark, events, tmp_path_factory
+):
+    """The OLS closed forms over exact integer statistics equal a
+    Python replay for ARBITRARY streams — including single-day groups
+    (no line -> all NULL) and flat series (slope 0, R^2 NULL)."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        TREND_EPOCH,
+        q_trend_linfit,
+    )
+
+    tmp = tmp_path_factory.mktemp("linfit")
+    base = _dt.datetime.combine(TREND_EPOCH, _dt.time(9, 30))
+    rows = [
+        (i, base + _dt.timedelta(days=day), 1, t, 1.0, "{}")
+        for i, (t, day) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    from collections import Counter, defaultdict
+
+    daily = defaultdict(Counter)
+    for t, day in events:
+        daily[t][day] += 1
+    expected = {}
+    for t, cnt in daily.items():
+        pts = sorted(cnt.items())
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        num_s = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        num_i = sy * sxx - sx * sxy
+        vary = n * syy - sy * sy
+        if den == 0:
+            slope = icept = r2 = None
+        else:
+            slope = _half_up_long(float(num_s) / float(den) * 1_000_000) / 1e6
+            icept = _half_up_long(float(num_i) / float(den) * 1_000_000) / 1e6
+            r2 = (
+                None
+                if vary == 0
+                else _half_up_long(
+                    float(num_s) * float(num_s)
+                    / (float(den) * float(vary)) * 1_000_000
+                )
+            )
+        expected[t] = (n, slope, icept, r2)
+
+    got = {
+        r.event_type: (r.n_days, r.slope_per_day, r.intercept_day0, r.r2_micro)
+        for r in q_trend_linfit(spark, str(tmp)).collect()
+    }
+    assert got == expected
