@@ -19,6 +19,11 @@ statistics.
                            integer sufficient statistics — the
                            monitoring view next to ``forecast_snaive``
                            (is this series growing, and how fast?).
+- ``anova_oneway``         one-way ANOVA of order spend across order
+                           priorities — completes the statistical-test
+                           matrix (``chi2_contingency`` = cat×cat,
+                           ``corr_pearson``/``corr_spearman`` =
+                           num×num, this = cat×num).
 
 All three follow the repo's exactness rules: integer sufficient
 statistics (int64 / DECIMAL(38,0) on the Spark side, HUGEINT in the
@@ -453,6 +458,156 @@ FROM stats
 """
 
 
+# --------------------------------------------------------------------
+# anova_oneway
+# --------------------------------------------------------------------
+
+# Whole-dollar spend from exact integer cents: (cents + 50) DIV 100 is
+# pure int64 arithmetic in both engines (truncating DIV == floor for
+# non-negative operands), so the half-up dollar never touches the
+# double->decimal midpoint trap a direct CAST(o_totalprice AS
+# DECIMAL(18,0)) would risk on exact x.50 doubles.
+_AOV_Y_EXPR = (
+    "CAST((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " + 50) {div} 100 AS BIGINT)"
+)
+# Per-group between-term s_g^2/n_g quantized to integer UNITS (the
+# chi2_contingency rule: a pinned correctly-rounded double sequence on
+# exact integers, quantized to an int so the CROSS-GROUP sum is exact
+# integer addition, never an order-dependent float sum). Unit scale —
+# not micros — keeps the quantized value inside int64 up to ~sf1000
+# (s_g ~ 5e13 dollars, s_g^2/n_g ~ 7e18; documented bound).
+_AOV_T_EXPR = (
+    "CAST(ROUND(CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE) / {n}, 0)"
+    " AS BIGINT)"
+)
+# F = (SSB/(k-1)) / (SSW/(N-k)), micro-quantized. Degenerate designs
+# are NULL, not Inf/NaN: fewer than 2 groups (no between d.f.), no
+# within d.f., or SSW quantized to <= 0 (perfect separation).
+_AOV_F_EXPR = (
+    "CASE WHEN k < 2 OR n_tot - k < 1 OR ssw_unit <= 0 THEN"
+    " CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(ssb_unit AS DOUBLE) / (k - 1))"
+    " / (CAST(ssw_unit AS DOUBLE) / (n_tot - k)) * 1000000, 0)"
+    " AS BIGINT) END"
+)
+
+
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order spend across order priorities — does
+    mean spend differ by group more than within-group noise explains?
+    Completes the statistical-test matrix: ``chi2_contingency`` tests
+    categorical×categorical, ``corr_pearson`` / ``corr_spearman``
+    numeric×numeric; the categorical×numeric screen was the gap.
+
+    Per group: n, mean spend (midpoint-free fixed-point quotient);
+    repeated on every row (the ``chi2_total`` shape): the exact
+    between/within sums of squares in whole-dollar units, both
+    degrees of freedom, and the F statistic in micros. Exactness: y
+    is an exact integer dollar (see ``_AOV_Y_EXPR``); each
+    s_g²/n_g between-term runs one pinned double sequence and is
+    quantized to integer units BEFORE the cross-group sum (the
+    ``chi2_contingency`` rule), so SSB/SSW are exact integer
+    combinations on both engines; F divides two exact integers
+    through one pinned sequence. Degenerate designs (single group,
+    zero within-variance) are NULL by contract.
+
+    Scale shape: one map-side-combinable groupBy over orders (output
+    bounded by |priorities|); every window after it rides the
+    ≤|groups|-row carry frame (the bounded-carry exception). No
+    joins, no broadcast, one data-sized shuffle (the partial agg).
+    Int64 bounds: ss sums ride DECIMAL(38,0) accumulators; the
+    unit-scaled terms are documented safe to ~sf1000.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(_AOV_Y_EXPR.format(div="DIV")).alias("y"),
+    )
+    g = base.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("ss"),
+    )
+    g = g.withColumn(
+        "t_unit", F.expr(_AOV_T_EXPR.format(s="s", n="n"))
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = (
+        g.withColumn("k", F.count("*").over(w))
+        .withColumn("n_tot", F.sum("n").over(w))
+        .withColumn("s_tot", F.sum("s").over(w))
+        .withColumn("ss_tot", F.sum("ss").over(w).cast("decimal(38,0)"))
+        .withColumn("sum_t", F.sum("t_unit").over(w))
+    )
+    g = g.withColumn(
+        "grand_unit", F.expr(_AOV_T_EXPR.format(s="s_tot", n="n_tot"))
+    ).withColumn(
+        "ssb_unit", F.col("sum_t") - F.col("grand_unit")
+    ).withColumn(
+        "ssw_unit", F.col("ss_tot").cast("long") - F.col("sum_t")
+    )
+    from ..functions.numeric import fp_ratio
+
+    f_micro = F.expr(_AOV_F_EXPR)
+    return g.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("n").alias("n_orders"),
+        fp_ratio(F.col("s") * 1_000_000, F.col("n")).alias("mean_dollar"),
+        "ssb_unit",
+        "ssw_unit",
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n_tot") - F.col("k")).alias("df_within"),
+        (f_micro.cast("double") / 1e6).alias("f_stat"),
+    )
+
+
+SQL_ANOVA_ONEWAY = f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         {_AOV_Y_EXPR.format(div="//")} AS y
+  FROM orders
+),
+g AS (
+  SELECT grp,
+         COUNT(*) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         SUM(CAST(y AS HUGEINT) * y) AS ss
+  FROM base GROUP BY grp
+),
+t AS (
+  SELECT *, {_AOV_T_EXPR.format(s="s", n="n")} AS t_unit FROM g
+),
+m AS (
+  SELECT *,
+         COUNT(*) OVER () AS k,
+         CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+         CAST(SUM(s) OVER () AS BIGINT) AS s_tot,
+         SUM(ss) OVER () AS ss_tot,
+         CAST(SUM(t_unit) OVER () AS BIGINT) AS sum_t
+  FROM t
+),
+v AS (
+  SELECT *,
+         sum_t - {_AOV_T_EXPR.format(s="s_tot", n="n_tot")} AS ssb_unit,
+         CAST(ss_tot AS BIGINT) - sum_t AS ssw_unit
+  FROM m
+)
+SELECT grp AS o_orderpriority,
+       n AS n_orders,
+       CAST((2 * s * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
+         AS mean_dollar,
+       ssb_unit,
+       ssw_unit,
+       k - 1 AS df_between,
+       n_tot - k AS df_within,
+       CAST({_AOV_F_EXPR} AS DOUBLE) / 1000000.0 AS f_stat
+FROM v
+"""
+
+
 QUERIES: list[Query] = [
     Query(
         "dedup_cluster_stats",
@@ -471,6 +626,12 @@ QUERIES: list[Query] = [
         q_trend_linfit,
         SQL_TREND_LINFIT,
         ("relational", "statistics", "timeseries", "monitoring"),
+    ),
+    Query(
+        "anova_oneway",
+        q_anova_oneway,
+        SQL_ANOVA_ONEWAY,
+        ("relational", "statistics", "analytics"),
     ),
 ]
 

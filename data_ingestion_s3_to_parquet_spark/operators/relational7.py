@@ -385,12 +385,8 @@ def _promoted_r7_wave2() -> list[Query]:
             SQL_SIM_JOIN_KMEANS,
             ("llm", "similarity", "dedup", "pipeline"),
         ),
-        Query(
-            "session_paths",
-            q_session_paths,
-            SQL_SESSION_PATHS,
-            ("relational", "analytics", "window"),
-        ),
+        # session_paths (double-green r8+r9) demoted in the round-10
+        # sixth-wave rotation for anova_oneway — see _demoted_r10_w6
         Query(
             "chi2_contingency",
             q_chi2_contingency,
@@ -633,7 +629,22 @@ def _demoted_r9() -> list[Query]:
     ]
 
 
-EXTRA_QUERIES: list[Query] = _demoted_r9() + _demoted_r8() + [
+def _demoted_r10_w6() -> list[Query]:
+    # double-green r8+r9 veteran traded for relational15's
+    # anova_oneway in the round-10 sixth-wave rotation
+    from .relational9 import SQL_SESSION_PATHS, q_session_paths
+
+    return [
+        Query(
+            "session_paths",
+            q_session_paths,
+            SQL_SESSION_PATHS,
+            ("relational", "analytics", "window"),
+        ),
+    ]
+
+
+EXTRA_QUERIES: list[Query] = _demoted_r10_w6() + _demoted_r9() + _demoted_r8() + [
     Query(
         "interleave_mix",
         q_interleave_mix,

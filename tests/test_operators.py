@@ -939,7 +939,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 130
+    assert len(EXTRA) == 131
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -955,11 +955,12 @@ def test_lane_counts_match_docs():
         "bpe_fertility", "compaction_plan", "privacy_ldiv",
         "eval_regression",
     ]
-    # round-10 sixth wave: never-graded-first at positions 11-13; the
+    # round-10 sixth wave: never-graded-first at positions 11-14; the
     # multi-green graph trio (link_predict, kcore_decompose,
-    # graph_sssp) demoted one-for-one
-    assert list(REGISTRY)[10:13] == [
+    # graph_sssp) and session_paths demoted one-for-one
+    assert list(REGISTRY)[10:14] == [
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
+        "anova_oneway",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -994,9 +995,11 @@ def test_lane_counts_match_docs():
               "rank_bm25", "ewma_smooth",
               "rank_fusion_rrf", "pipeline_fineweb", "dup_span_max"):
         assert k in REGISTRY, k
-    # the graph family (multi-green) demoted in the sixth-wave
-    # rotation: stays oracle-carrying EXTRA with bench flags intact
-    for k in ("link_predict", "kcore_decompose", "graph_sssp"):
+    # the graph family and session_paths (all multi-green) demoted in
+    # the sixth-wave rotation: stay oracle-carrying EXTRA (bench flags
+    # intact on kcore/sssp)
+    for k in ("link_predict", "kcore_decompose", "graph_sssp",
+              "session_paths"):
         assert k in EXTRA and k not in REGISTRY, k
     # earlier-round demotees stay EXTRA with their green rows
     demoted = {
@@ -1015,7 +1018,7 @@ def test_lane_counts_match_docs():
         "dedup_keep_best",
         "stream_join_interval",
         "sim_join_kmeans",
-        "session_paths", "chi2_contingency", "ann_two_stage",
+        "chi2_contingency", "ann_two_stage",
         "entropy_score", "content_chunks", "word_filter", "corr_pearson",
         "dsir_weights",
         "token_budget_select",
@@ -7280,3 +7283,39 @@ def test_trend_linfit_planted_line_and_degenerate_groups(spark, tmp_path):
     assert got["up"] == (3, 1.0, 1.0, 1_000_000)
     assert got["one"] == (1, None, None, None)
     assert got["flat"] == (2, 0.0, 2.0, None)
+
+
+def test_anova_oneway_planted_f_statistic(spark, tmp_path):
+    # group A dollars {1,2,3} (via half-up cents: 0.60->1, 2.00->2,
+    # 3.49->3), group B {4,5,6} (3.50->4 pins the .50 half-up) ->
+    # t_A=12, t_B=75, grand=round(441/6)=74, ssb=13, ssw=4,
+    # F=(13/1)/(4/4)=13.0
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_anova_oneway,
+    )
+
+    d = dt.datetime(2024, 1, 1)
+    prices = [("A", 0.60), ("A", 2.00), ("A", 3.49),
+              ("B", 3.50), ("B", 5.00), ("B", 5.71)]
+    rows = [
+        (i, 1, "O", p, d, grp) for i, (grp, p) in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r.o_orderpriority: (
+            r.n_orders, r.mean_dollar, r.ssb_unit, r.ssw_unit,
+            r.df_between, r.df_within, r.f_stat,
+        )
+        for r in q_anova_oneway(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (3, 2.0, 13, 4, 1, 4, 13.0),
+        "B": (3, 5.0, 13, 4, 1, 4, 13.0),
+    }

@@ -1162,3 +1162,21 @@ def test_trend_linfit_is_two_combinable_aggregates(spark):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_anova_oneway_is_one_shuffle_plus_bounded_carry(spark):
+    # one map-side-combinable groupBy over orders (output bounded by
+    # |priorities|), then every window rides the <=|groups|-row carry
+    # frame sharing ONE window spec; no join, no broadcast, at most
+    # two exchanges end-to-end
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_anova_oneway,
+    )
+
+    plan = plan_of(q_anova_oneway(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert plan.count("row_number(") == 0

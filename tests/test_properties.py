@@ -3629,3 +3629,79 @@ def test_trend_linfit_matches_python_on_any_stream(
         for r in q_trend_linfit(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+_aov_orders = st.lists(
+    st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 20)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(orders=_aov_orders)
+@slow_ok
+def test_anova_oneway_matches_python_on_any_table(
+    spark, orders, tmp_path_factory
+):
+    """The unit-quantized SSB/SSW decomposition and the pinned F
+    sequence equal a Python replay for ARBITRARY tables — including
+    single-group designs (no between d.f. -> NULL F), all-equal
+    values (SSW quantized to 0 -> NULL F), and single-row groups."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_anova_oneway,
+    )
+
+    tmp = tmp_path_factory.mktemp("aov")
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, "O", float(v), base, grp) for i, (grp, v) in enumerate(orders)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for grp, v in orders:
+        per[grp].append(v)  # integer dollars: (100v + 50) // 100 == v
+    k = len(per)
+    n_tot = len(orders)
+    stats = {
+        g: (len(vs), sum(vs), sum(v * v for v in vs)) for g, vs in per.items()
+    }
+    t_units = {
+        g: _half_up_long(float(s) * float(s) / n) for g, (n, s, _) in stats.items()
+    }
+    sum_t = sum(t_units.values())
+    s_tot = sum(s for _, s, _ in stats.values())
+    ss_tot = sum(ss for _, _, ss in stats.values())
+    grand = _half_up_long(float(s_tot) * float(s_tot) / n_tot)
+    ssb = sum_t - grand
+    ssw = ss_tot - sum_t
+    if k < 2 or n_tot - k < 1 or ssw <= 0:
+        f_stat = None
+    else:
+        f_stat = _half_up_long(
+            (float(ssb) / (k - 1)) / (float(ssw) / (n_tot - k)) * 1_000_000
+        ) / 1e6
+
+    got = {
+        r.o_orderpriority: (
+            r.n_orders, r.mean_dollar, r.ssb_unit, r.ssw_unit,
+            r.df_between, r.df_within, r.f_stat,
+        )
+        for r in q_anova_oneway(spark, str(tmp)).collect()
+    }
+    for g, (n, s, _) in stats.items():
+        rn, rmean, rssb, rssw, rdfb, rdfw, rf = got[g]
+        assert rn == n
+        # fp_ratio half-up mean at 6 dp
+        units = (2 * s * 1_000_000 + n) // (2 * n)
+        assert rmean == units / 1e6
+        assert (rssb, rssw, rdfb, rdfw, rf) == (
+            ssb, ssw, k - 1, n_tot - k, f_stat
+        )
+    assert set(got) == set(stats)
