@@ -180,12 +180,20 @@ r9's fresh greens (relational13's eight + the ts_interpolate /
 privacy_erase / feature_vector / skew_report quartet), the
 double-green r8+r9 evaluation trio (eval_ndcg / eval_calibration /
 eval_pr_curve), and the double-green drift_psi / join_asof_nearest
-demote to the EXTRA head one-for-one. The EXTRA lane
-holds a hundred and twenty-seven oracle-gated entries (eval_mrr_scale, the window-free 100 TB twin sharing eval_mrr's oracle, leads it), every one with
+demote to the EXTRA head one-for-one. A sixth round-10 wave adds
+dedup_cluster_stats (the duplicate-cluster size histogram over the
+connected-components output — SURVEY §13 #4's named candidate),
+corr_spearman (tie-aware rank correlation via exact integer
+double-ranks), trend_linfit (per-type OLS trend of daily counts from
+exact sufficient statistics), and anova_oneway (the cat×num leg of
+the statistical-test matrix) at graded positions 11–14, demoting the
+multi-green graph trio (link_predict / kcore_decompose / graph_sssp)
+and session_paths. The EXTRA lane
+holds a hundred and thirty-one oracle-gated entries (eval_mrr_scale, the window-free 100 TB twin sharing eval_mrr's oracle, leads it), every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 127 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 131 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded
