@@ -526,3 +526,98 @@ def alert_stateful(events: DataFrame, *, watermark: str = "10 minutes") -> DataF
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_stateful — streaming twin of operators.relational6.q_cdc_apply
+
+CDC_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("last_event_id", LongType(), False),
+        StructField("last_type", StringType(), False),
+        StructField("last_value", DoubleType(), False),
+        StructField("valid_from", TimestampType(), False),
+        StructField("is_tombstone", BooleanType(), False),
+    ]
+)
+
+# state: the per-key latest-wins winner (ts in epoch micros; the
+# (ts, event_id) pair is the batch lane's exact ordering key)
+CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("best_us", LongType(), True),
+        StructField("best_event_id", LongType(), True),
+        StructField("best_type", StringType(), True),
+        StructField("best_value", DoubleType(), True),
+    ]
+)
+
+
+def cdc_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user latest-wins CDC compaction: fold the batch's events
+    into the stored winner under the batch lane's exact ordering
+    (ts DESC, event_id DESC — relational6.q_cdc_apply:152), and emit
+    ONE state-transition row when (and only when) the winner
+    advanced. Late events that lose to the stored winner emit
+    nothing — latest-wins compaction, not an append log — so a
+    downstream that upserts the emitted rows in order converges to
+    the batch snapshot, tombstones included (the consumer drops
+    ``is_tombstone`` keys exactly as the batch lane's final filter
+    does)."""
+    (user_id,) = key
+    if state.hasTimedOut:  # NoTimeout configured; defensive only
+        state.remove()
+        return
+    best = state.get if state.exists else None
+    changed = False
+    for pdf in pdfs:
+        for eid, ts, etype, val in zip(
+            pdf["event_id"], pdf["ts"], pdf["event_type"], pdf["value"]
+        ):
+            cand = (_us(ts), int(eid), str(etype), float(val))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+                changed = True
+    if not changed:
+        return
+    state.update(best)
+    from ..operators.relational6 import CDC_TOMBSTONE
+
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "last_event_id": [best[1]],
+            "last_type": [best[2]],
+            "last_value": [best[3]],
+            "valid_from": [pd.Timestamp(best[0] * 1000)],
+            "is_tombstone": [best[2] == CDC_TOMBSTONE],
+        }
+    )
+
+
+def cdc_stateful(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming latest-wins upsert (the Delta/Iceberg MERGE shape /
+    Kafka compacted topic) over a *streaming* events frame; ``events``
+    needs columns (event_id, ts, user_id, event_type, value).
+
+    Unlike the windowed twins this needs NO timeout: the snapshot row
+    for a key is never "closed", it only advances, so emission is
+    driven purely by state transitions. State is one fixed-size tuple
+    per key (the winner), the minimum any streaming MERGE can hold."""
+    from ..session import tune
+
+    tune(events.sparkSession)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            cdc_fn,
+            outputStructType=CDC_OUT_SCHEMA,
+            stateStructType=CDC_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -471,3 +471,85 @@ def test_stateful_alert_matches_batch_lane_on_closed_buckets(spark, tmp_path):
     for ts in closed:
         assert got[ts] == batch[ts], ts
     assert got[base + dt.timedelta(hours=2)][3] is True  # the spike alerted
+
+
+def test_stateful_cdc_matches_batch_snapshot(spark, tmp_path):
+    # two files driven one-per-microbatch: batch 1 seeds users 1-2;
+    # batch 2 advances user 1, delivers a LATE loser for user 2 (no
+    # emission — latest-wins compaction), and tombstones user 3.
+    # The last emitted row per key (minus tombstones) must equal the
+    # batch cdc_apply snapshot over the same rows.
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational6 import (
+        q_cdc_apply,
+    )
+    from data_ingestion_s3_to_parquet_spark.streaming.stateful import cdc_stateful
+    from data_ingestion_s3_to_parquet_spark.streaming.stream import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    f1 = [
+        (1, base, 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=1), 2, "view", 2.0),
+        (6, base + dt.timedelta(minutes=2), 3, "click", 9.0),
+    ]
+    f2 = [
+        (3, base + dt.timedelta(hours=1), 1, "purchase", 4.0),
+        (4, base - dt.timedelta(hours=1), 2, "click", 8.0),   # late loser
+        (5, base + dt.timedelta(hours=2), 3, "error", 16.0),  # tombstone
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(f1, EVENTS_STREAM_SCHEMA).repartition(1).write.parquet(src)
+    spark.createDataFrame(f2, EVENTS_STREAM_SCHEMA).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cdc_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_cdc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT * FROM stateful_cdc ORDER BY user_id, valid_from, last_event_id"
+    ).collect()
+
+    # the late loser for user 2 must NOT have emitted a transition
+    assert [
+        (r.user_id, r.last_event_id, r.is_tombstone) for r in got
+    ].count((2, 4, False)) == 0
+
+    # fold emissions: last transition per key wins, tombstones drop
+    snap = {}
+    for r in got:
+        snap[r.user_id] = r
+    streamed = {
+        u: (r.last_event_id, r.last_type, r.last_value, r.valid_from)
+        for u, r in snap.items()
+        if not r.is_tombstone
+    }
+
+    # batch lane over the same rows (with a props column for the
+    # fixture-shaped reader)
+    all_rows = [(eid, ts, u, t, v, "{}") for eid, ts, u, t, v in f1 + f2]
+    spark.createDataFrame(
+        all_rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/batchfix/events.parquet")
+    batch = {
+        r.user_id: (r.last_event_id, r.last_type, r.last_value, r.valid_from)
+        for r in q_cdc_apply(spark, f"{tmp_path}/batchfix").collect()
+    }
+    assert streamed == batch
+    assert set(batch) == {1, 2}  # user 3 tombstoned in both worlds
