@@ -185,15 +185,17 @@ dedup_cluster_stats (the duplicate-cluster size histogram over the
 connected-components output — SURVEY §13 #4's named candidate),
 corr_spearman (tie-aware rank correlation via exact integer
 double-ranks), trend_linfit (per-type OLS trend of daily counts from
-exact sufficient statistics), and anova_oneway (the cat×num leg of
-the statistical-test matrix) at graded positions 11–14, demoting the
-multi-green graph trio (link_predict / kcore_decompose / graph_sssp)
-and session_paths. The EXTRA lane
-holds a hundred and thirty-one oracle-gated entries (eval_mrr_scale, the window-free 100 TB twin sharing eval_mrr's oracle, leads it), every one with
+exact sufficient statistics), anova_oneway (the cat×num leg of
+the statistical-test matrix), and rank_mannwhitney (the nonparametric
+two-sample U / rank-side AUC via the drift_ks two-phase rank
+decomposition) at graded positions 11–15, demoting the
+multi-green graph trio (link_predict / kcore_decompose / graph_sssp),
+session_paths, and ewma_smooth. The EXTRA lane
+holds a hundred and thirty-two oracle-gated entries (eval_mrr_scale, the window-free 100 TB twin sharing eval_mrr's oracle, leads it), every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 131 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 132 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

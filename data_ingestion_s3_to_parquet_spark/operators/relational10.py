@@ -832,12 +832,10 @@ QUERIES = [
         SQL_RANK_BM25,
         ("llm", "text", "retrieval", "ranking"),
     ),
-    Query(
-        "ewma_smooth",
-        q_ewma_smooth,
-        SQL_EWMA_SMOOTH,
-        ("relational", "timeseries", "window"),
-    ),
+    # ewma_smooth (double-green r8+r9) demoted in the round-10
+    # sixth-wave rotation for relational15's rank_mannwhitney; the
+    # timeseries family stays graded through alert_rate_spike /
+    # rolling_quantile / trend_linfit
     Query(
         "rank_fusion_rrf",
         q_rank_fusion_rrf,
@@ -847,6 +845,12 @@ QUERIES = [
 ]
 
 EXTRA_QUERIES: list[Query] = [
+    Query(
+        "ewma_smooth",
+        q_ewma_smooth,
+        SQL_EWMA_SMOOTH,
+        ("relational", "timeseries", "window"),
+    ),
     Query(
         "doc_winnow",
         q_doc_winnow,

@@ -24,6 +24,12 @@ statistics.
                            matrix (``chi2_contingency`` = cat×cat,
                            ``corr_pearson``/``corr_spearman`` =
                            num×num, this = cat×num).
+- ``rank_mannwhitney``     Mann-Whitney U / Wilcoxon rank-sum, the
+                           NONPARAMETRIC two-sample sibling of the
+                           ANOVA leg, exact integers end-to-end via
+                           the ``drift_ks`` two-phase rank
+                           decomposition; U/(n₁n₂) doubles as the
+                           rank-side AUC estimator.
 
 All three follow the repo's exactness rules: integer sufficient
 statistics (int64 / DECIMAL(38,0) on the Spark side, HUGEINT in the
@@ -608,6 +614,171 @@ FROM v
 """
 
 
+# --------------------------------------------------------------------
+# rank_mannwhitney
+# --------------------------------------------------------------------
+
+# Same bounded bucket quantization as drift_ks's two-phase ECDF
+# (prices live in a known domain; ~60 buckets at any corpus size).
+MW_PRICE_BUCKET = 10_000.0
+
+# U/(n1*n2) is the AUC estimator (the probability a random urgent
+# order outspends a random non-urgent one) — micro-quantized through
+# the one shared expression; u_x2 carries 2*U so ties' half-ranks stay
+# integer. Degenerate designs (an empty side) are NULL.
+_MW_AUC_EXPR = (
+    "CASE WHEN n_urgent = 0 OR n_other = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * u_x2)"
+    " / (CAST(2 AS DOUBLE) * n_urgent * n_other), 0) AS BIGINT) END"
+)
+
+
+def q_rank_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) of order spend, urgent
+    (priority 1–2) vs non-urgent orders — the NONPARAMETRIC two-sample
+    location test next to ``anova_oneway``'s variance decomposition:
+    rank-based, so no normality assumption and outlier-robust, and its
+    normalized U/(n1·n2) is exactly the AUC of "spend separates
+    urgent from non-urgent" (the ``eval_auc`` estimator, arrived at
+    from the rank side).
+
+    Exactness: everything before the single AUC division is INTEGER.
+    Per distinct price: group counts from one combinable aggregate;
+    the pooled tie-aware double-rank of value v is
+    2·|pooled < v| + cnt(v) + 1 (= 2× the average rank), so
+    2·R₁ = Σ d₁(v)·dr₂(v) is an exact integer sum (DECIMAL/HUGEINT
+    accumulators) and u_x2 = 2U₁ = 2R₁ − n₁(n₁+1) is exact int64.
+
+    Scale shape: the ``drift_ks`` two-phase decomposition verbatim —
+    one per-value combinable groupBy, per-bucket running sums
+    (parallel in-bucket windows), and a broadcast ≤ ~60-row carry
+    table of strictly-lower-bucket totals + grand totals; the oracle
+    computes the same ranks with one plain SQL window, so the
+    two-phase equivalence is hash-checked, not argued. Nothing after
+    the per-value groupBy is corpus-proportional.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.select(
+            F.col("o_totalprice").alias("p"),
+            F.substring("o_orderpriority", 1, 1)
+            .isin("1", "2")
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("p")
+        .agg(
+            F.sum("b").alias("d1"),
+            (F.count("*") - F.sum("b")).alias("d2"),
+        )
+        .withColumn("bucket", F.floor(F.col("p") / MW_PRICE_BUCKET))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    carry = (
+        g.groupBy("bucket")
+        .agg(
+            (F.sum("d1") + F.sum("d2")).alias("bd"),
+            F.sum("d1").alias("bd1"),
+            F.sum("d2").alias("bd2"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bd").over(wb), F.lit(0)).alias("carry_all"),
+            F.sum("bd1").over(wall).alias("n_urgent"),
+            F.sum("bd2").over(wall).alias("n_other"),
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    terms = (
+        g.withColumn("r_all", F.sum(F.col("d1") + F.col("d2")).over(w))
+        .join(F.broadcast(carry), "bucket")
+        .select(
+            "n_urgent",
+            "n_other",
+            # less_all = pooled count strictly below v; dr2 = 2*avg rank
+            (
+                F.col("d1").cast("decimal(38,0)")
+                * (
+                    2
+                    * (
+                        F.col("carry_all")
+                        + F.col("r_all")
+                        - F.col("d1")
+                        - F.col("d2")
+                    )
+                    + F.col("d1")
+                    + F.col("d2")
+                    + 1
+                ).cast("decimal(38,0)")
+            ).alias("term"),
+        )
+    )
+    out = terms.groupBy("n_urgent", "n_other").agg(
+        F.sum("term").alias("r1_x2")
+    )
+    return (
+        out.withColumn(
+            "u_x2",
+            F.col("r1_x2").cast("long")
+            - F.col("n_urgent") * (F.col("n_urgent") + 1),
+        )
+        .select(
+            "n_urgent",
+            "n_other",
+            "u_x2",
+            F.expr(_MW_AUC_EXPR).alias("auc_micro"),
+        )
+    )
+
+
+SQL_RANK_MANNWHITNEY = f"""
+WITH t AS (
+  SELECT o_totalprice AS p,
+         CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+              THEN 1 ELSE 0 END AS b
+  FROM orders
+),
+g AS (
+  SELECT p, CAST(SUM(b) AS BIGINT) AS d1,
+         CAST(COUNT(*) - SUM(b) AS BIGINT) AS d2
+  FROM t GROUP BY p
+),
+tot AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS n_urgent,
+         CAST(SUM(d2) AS BIGINT) AS n_other
+  FROM g
+),
+c AS (
+  -- pooled inclusive running count; dr2 = 2*avg pooled rank at p
+  SELECT d1, d2,
+         CAST(SUM(d1 + d2) OVER (ORDER BY p) AS BIGINT) AS r_all
+  FROM g
+),
+s AS (
+  SELECT n_urgent, n_other,
+         CAST(SUM(CAST(d1 AS HUGEINT)
+                  * (2 * (r_all - d1 - d2) + d1 + d2 + 1)) AS BIGINT)
+           AS r1_x2
+  FROM c CROSS JOIN tot
+  GROUP BY n_urgent, n_other
+),
+u AS (
+  SELECT n_urgent, n_other,
+         r1_x2 - n_urgent * (n_urgent + 1) AS u_x2
+  FROM s
+)
+SELECT n_urgent, n_other, u_x2, {_MW_AUC_EXPR} AS auc_micro
+FROM u
+"""
+
+
 QUERIES: list[Query] = [
     Query(
         "dedup_cluster_stats",
@@ -632,6 +803,12 @@ QUERIES: list[Query] = [
         q_anova_oneway,
         SQL_ANOVA_ONEWAY,
         ("relational", "statistics", "analytics"),
+    ),
+    Query(
+        "rank_mannwhitney",
+        q_rank_mannwhitney,
+        SQL_RANK_MANNWHITNEY,
+        ("relational", "statistics", "evaluation"),
     ),
 ]
 

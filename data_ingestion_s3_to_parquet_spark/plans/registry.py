@@ -160,10 +160,10 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and thirty-one entries in the lane after the round-10
-# sixth-wave rotation demoted the multi-green graph trio and
-# session_paths for dedup_cluster_stats / corr_spearman /
-# trend_linfit / anova_oneway
+# a hundred and thirty-two entries in the lane after the round-10
+# sixth-wave rotation demoted the multi-green graph trio,
+# session_paths, and ewma_smooth for dedup_cluster_stats /
+# corr_spearman / trend_linfit / anova_oneway / rank_mannwhitney
 # (eval_mrr_scale — the window-free 100 TB twin sharing eval_mrr's oracle — at its head), otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,

@@ -939,7 +939,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 131
+    assert len(EXTRA) == 132
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -955,12 +955,12 @@ def test_lane_counts_match_docs():
         "bpe_fertility", "compaction_plan", "privacy_ldiv",
         "eval_regression",
     ]
-    # round-10 sixth wave: never-graded-first at positions 11-14; the
+    # round-10 sixth wave: never-graded-first at positions 11-15; the
     # multi-green graph trio (link_predict, kcore_decompose,
-    # graph_sssp) and session_paths demoted one-for-one
-    assert list(REGISTRY)[10:14] == [
+    # graph_sssp), session_paths, and ewma_smooth demoted one-for-one
+    assert list(REGISTRY)[10:15] == [
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
-        "anova_oneway",
+        "anova_oneway", "rank_mannwhitney",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -992,14 +992,14 @@ def test_lane_counts_match_docs():
     for k in ("mmr_rerank",
               "stream_dedup", "jsonl_interop",
               "dedup_incremental", "lm_bigram_score", "eval_auc",
-              "rank_bm25", "ewma_smooth",
+              "rank_bm25",
               "rank_fusion_rrf", "pipeline_fineweb", "dup_span_max"):
         assert k in REGISTRY, k
-    # the graph family and session_paths (all multi-green) demoted in
-    # the sixth-wave rotation: stay oracle-carrying EXTRA (bench flags
-    # intact on kcore/sssp)
+    # the graph family, session_paths, and ewma_smooth (all
+    # multi-green) demoted in the sixth-wave rotation: stay
+    # oracle-carrying EXTRA (bench flags intact on kcore/sssp)
     for k in ("link_predict", "kcore_decompose", "graph_sssp",
-              "session_paths"):
+              "session_paths", "ewma_smooth"):
         assert k in EXTRA and k not in REGISTRY, k
     # earlier-round demotees stay EXTRA with their green rows
     demoted = {
@@ -7319,3 +7319,31 @@ def test_anova_oneway_planted_f_statistic(spark, tmp_path):
         "A": (3, 2.0, 13, 4, 1, 4, 13.0),
         "B": (3, 5.0, 13, 4, 1, 4, 13.0),
     }
+
+
+def test_rank_mannwhitney_planted_u_and_ties(spark, tmp_path):
+    # urgent spends {10,20,20}, other {20,30}: pooled avg ranks
+    # (1, 3,3,3, 5) -> R1=7, U1 = 7 - 3*4/2 = 1 (pair count: two
+    # half-ties) -> u_x2=2, AUC = 1/6 -> micro 166667
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_rank_mannwhitney,
+    )
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "O", 10.0, d, "1-URGENT"),
+        (2, 1, "O", 20.0, d, "2-HIGH"),
+        (3, 1, "O", 20.0, d, "1-URGENT"),
+        (4, 1, "O", 20.0, d, "3-MEDIUM"),
+        (5, 1, "O", 30.0, d, "5-LOW"),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    r, = q_rank_mannwhitney(spark, str(tmp_path)).collect()
+    assert (r.n_urgent, r.n_other, r.u_x2, r.auc_micro) == (3, 2, 2, 166667)

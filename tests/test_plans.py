@@ -1180,3 +1180,21 @@ def test_anova_oneway_is_one_shuffle_plus_bounded_carry(spark):
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     assert plan.count("row_number(") == 0
+
+
+def test_rank_mannwhitney_carry_is_the_only_broadcast(spark):
+    # the drift_ks two-phase shape: one combinable per-value groupBy,
+    # in-bucket running windows, and EXACTLY one broadcast — the
+    # domain-bounded (~60-row) carry table, F.broadcast-pinned so
+    # fixture-scale stats never re-plan it (SCALE §82); no ranking
+    # window anywhere
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_rank_mannwhitney,
+    )
+
+    plan = plan_of(q_rank_mannwhitney(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert plan.count("row_number(") == 0
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 7

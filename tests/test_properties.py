@@ -3705,3 +3705,52 @@ def test_anova_oneway_matches_python_on_any_table(
             ssb, ssw, k - 1, n_tot - k, f_stat
         )
     assert set(got) == set(stats)
+
+
+_mw_orders = st.lists(
+    st.tuples(
+        st.booleans(),
+        st.sampled_from([10.0, 20.0, 20.0, 30.0, 9_999.99, 10_000.0, 45.5]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(orders=_mw_orders)
+@slow_ok
+def test_rank_mannwhitney_matches_python_on_any_table(
+    spark, orders, tmp_path_factory
+):
+    """The two-phase rank-sum U equals the O(n^2) pair-counting
+    definition for ARBITRARY tables — heavy ties, bucket-boundary
+    prices, and one-sided designs (empty group -> NULL AUC)."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_rank_mannwhitney,
+    )
+
+    tmp = tmp_path_factory.mktemp("mw")
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, "O", p, base, "1-URGENT" if urgent else "5-LOW")
+        for i, (urgent, p) in enumerate(orders)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    us = [p for urgent, p in orders if urgent]
+    os_ = [p for urgent, p in orders if not urgent]
+    u2 = sum(
+        2 * (a > b) + (a == b) for a in us for b in os_
+    )
+    n1, n2 = len(us), len(os_)
+    if n1 == 0 or n2 == 0:
+        auc = None
+    else:
+        auc = _half_up_long((1_000_000.0 * u2) / (2.0 * n1 * n2))
+
+    r, = q_rank_mannwhitney(spark, str(tmp)).collect()
+    assert (r.n_urgent, r.n_other, r.u_x2, r.auc_micro) == (n1, n2, u2, auc)
