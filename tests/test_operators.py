@@ -775,6 +775,11 @@ def test_extra_lane_doc_counts_match_registry():
         125: "a hundred and twenty-five",
         126: "a hundred and twenty-six",
         127: "a hundred and twenty-seven",
+        128: "a hundred and twenty-eight",
+        129: "a hundred and twenty-nine",
+        130: "a hundred and thirty",
+        131: "a hundred and thirty-one",
+        132: "a hundred and thirty-two",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
