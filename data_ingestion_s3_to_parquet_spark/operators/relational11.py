@@ -787,12 +787,8 @@ QUERIES = [
         SQL_JSONL_INTEROP,
         ("relational", "etl", "format", "sink"),
     ),
-    Query(
-        "lm_bigram_score",
-        q_lm_bigram_score,
-        SQL_LM_BIGRAM_SCORE,
-        ("llm", "text", "quality"),
-    ),
+    # lm_bigram_score (double-green r8+r9) demoted in the round-10
+    # seventh-wave rotation for relational16's quantile_weighted
     Query(
         "eval_auc",
         q_eval_auc,
@@ -806,6 +802,12 @@ QUERIES = [
 # new bpe_fertility / compaction_plan / privacy_ldiv (relational14);
 # all keep their oracles, bench flags, and local-sweep coverage.
 EXTRA_QUERIES: list[Query] = [
+    Query(
+        "lm_bigram_score",
+        q_lm_bigram_score,
+        SQL_LM_BIGRAM_SCORE,
+        ("llm", "text", "quality"),
+    ),
     Query(
         "ccnet_buckets",
         q_ccnet_buckets,

@@ -1,0 +1,285 @@
+"""Round-10 seventh wave: weighted selection and corpus-concentration
+metrics — the two curation dashboards a data-mixing pipeline reads
+before setting thresholds.
+
+- ``quantile_weighted``    weighted quantile cutoffs (the price below
+                           which a weighted p% of line items sit) by
+                           the two-phase bucket+carry selection —
+                           ``quantile_select`` generalized from rank
+                           targets to WEIGHT targets. The shape behind
+                           "keep the weighted top 30% by quality
+                           score" in importance-weighted curation
+                           (``dsir_weights`` / ``token_budget_select``
+                           pick weights; this finds the cutoff).
+- ``gini_concentration``   per-source Gini coefficient of document
+                           length — is a source's char mass spread
+                           evenly or dominated by a few huge docs?
+                           The corpus-balance inequality metric next
+                           to ``mix_weights``/``corpus_report``,
+                           computed EXACTLY from the pairwise-
+                           difference identity over per-value prefix
+                           sums (no sorting of rows, no sampling).
+
+Exactness rules as everywhere in this repo: integer-only until one
+pinned micro-quantized division; thresholds tested by integer
+cross-multiplication (no rational division at all); NULL on
+degenerate groups.
+
+Reference parity note: the reference (`/root/reference/src/main.rs`)
+has no statistics surface; these belong to the mandated LLM-pipeline
+extension layer (SURVEY §2B/§2C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.spec import Query
+from ..sources.catalog import load_table
+
+# --------------------------------------------------------------------
+# quantile_weighted
+# --------------------------------------------------------------------
+
+# Same bounded price-bucket quantization as drift_ks / rank_mannwhitney.
+QW_PRICE_BUCKET = 10_000.0
+QW_PERCENTS = (25, 50, 90)
+
+
+def q_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted type-1 quantiles of order price, weighted by the
+    order's line-item count: for each p in ``QW_PERCENTS``, the
+    smallest price v such that the summed weight of orders priced
+    ≤ v reaches p% of total weight — "the price under which a
+    weighted p% of line items sit". The weighted generalization of
+    ``quantile_select`` (whose targets are plain ranks = weight 1).
+
+    Exactness: weights are exact int64 counts; the crossing value is
+    selected by the integer cross-multiplied pair
+    ``100·cumw ≥ p·W AND 100·(cumw − w_v) < p·W`` — each p matches
+    EXACTLY one per-value row, no division anywhere, and the cutoff
+    price passes through un-arithmetic'd (bitwise on both engines).
+
+    Scale shape: the per-order weight is one combinable lineitem
+    groupBy joined shuffle_hash (both sides corpus-proportional);
+    per-value weights are a second combinable groupBy; the running
+    weight is the drift_ks two-phase decomposition (in-bucket windows
+    + a broadcast-pinned domain-bounded carry); the 3-row target
+    table broadcasts. The oracle computes the running weight with one
+    plain SQL window, so the decomposition is hash-checked.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("p")
+    )
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count("*").alias("w")
+    )
+    base = orders.join(
+        li.hint("shuffle_hash"),
+        orders["o_orderkey"] == li["l_orderkey"],
+    ).select("p", "w")
+    pv = base.groupBy("p").agg(F.sum("w").alias("wv")).withColumn(
+        "bucket", F.floor(F.col("p") / QW_PRICE_BUCKET)
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    carry = (
+        pv.groupBy("bucket")
+        .agg(F.sum("wv").alias("bw"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bw").over(wb), F.lit(0)).alias("below"),
+            F.sum("bw").over(wall).alias("w_total"),
+        )
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        pv.withColumn("r", F.sum("wv").over(win))
+        .join(F.broadcast(carry), "bucket")
+        .select(
+            "p",
+            "wv",
+            "w_total",
+            (F.col("below") + F.col("r")).alias("cumw"),
+        )
+    )
+    plit = ", ".join(f"({p})" for p in QW_PERCENTS)
+    targets = spark.sql(f"SELECT * FROM VALUES {plit} AS t(pct)")
+    sel = cum.join(
+        F.broadcast(targets),
+        (100 * F.col("cumw") >= F.col("pct") * F.col("w_total"))
+        & (
+            100 * (F.col("cumw") - F.col("wv"))
+            < F.col("pct") * F.col("w_total")
+        ),
+    )
+    return sel.select(
+        "pct",
+        "w_total",
+        F.col("p").alias("cutoff_price"),
+        F.col("cumw").alias("cumw_at_cutoff"),
+    )
+
+
+SQL_QUANTILE_WEIGHTED = f"""
+WITH w AS (
+  SELECT l_orderkey, COUNT(*) AS w FROM lineitem GROUP BY l_orderkey
+),
+base AS (
+  SELECT o_totalprice AS p, w
+  FROM orders JOIN w ON o_orderkey = l_orderkey
+),
+pv AS (
+  SELECT p, CAST(SUM(w) AS BIGINT) AS wv FROM base GROUP BY p
+),
+c AS (
+  SELECT p, wv,
+         CAST(SUM(wv) OVER (ORDER BY p) AS BIGINT) AS cumw,
+         CAST(SUM(wv) OVER () AS BIGINT) AS w_total
+  FROM pv
+),
+t AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in QW_PERCENTS)}) AS t(pct))
+SELECT pct, w_total, p AS cutoff_price, cumw AS cumw_at_cutoff
+FROM c JOIN t
+  ON 100 * cumw >= pct * w_total
+ AND 100 * (cumw - wv) < pct * w_total
+"""
+
+
+# --------------------------------------------------------------------
+# gini_concentration
+# --------------------------------------------------------------------
+
+# G = Δ / (2·n·S) with Δ = Σ_i Σ_j |x_i − x_j| (both orders), from the
+# per-value identity Δ = 2·Σ_v c_v·(v·N<(v) − S<(v)). All-int until
+# the one micro division; an all-zero group (S = 0) has no defined
+# concentration → NULL (the 0/0 standard), while a single-doc group is
+# a true G = 0.
+_GINI_EXPR = (
+    "CASE WHEN n_docs = 0 OR total_chars = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * delta)"
+    " / (CAST(2 AS DOUBLE) * n_docs * total_chars), 0) AS BIGINT) END"
+)
+_GAP_EXPR = (
+    "CASE WHEN n_docs = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * delta)"
+    " / (CAST(n_docs AS DOUBLE) * n_docs), 0) AS BIGINT) END"
+)
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document length — the corpus
+    CONCENTRATION audit: G → 0 when every doc contributes equal char
+    mass, G → 1 when a few giants dominate. Read next to
+    ``mix_weights`` (which balances ACROSS sources) to catch the
+    within-source imbalance that source-level sampling can't see;
+    ``mean_gap_micro`` (Δ/n², the mean absolute pairwise difference
+    in chars) is the unnormalized companion.
+
+    Exactness: the mean-difference identity
+    Δ = 2·Σ_v c_v·(v·N₍<v₎ − S₍<v₎) turns the O(n²) pairwise sum into
+    per-value prefix sums — exact integers end-to-end (DECIMAL/
+    HUGEINT accumulators), then the two pinned micro divisions.
+
+    Scale shape: one combinable (source, n_chars) aggregate; the
+    prefix sums ride windows over the per-VALUE frame, which is
+    DOMAIN-bounded (distinct document lengths, ≤ the length cap a
+    real corpus enforces — ~200 distinct values here), so the window
+    stage is constant-size per source at any corpus scale; the final
+    per-source reduction is one bounded combinable aggregate. No
+    joins, no broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    )
+    pv = docs.groupBy("source", "v").agg(
+        F.count("*").alias("c"),
+        F.sum("v").alias("s"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = pv.select(
+        "source",
+        "c",
+        "s",
+        (
+            (2 * F.col("c")).cast("decimal(38,0)")
+            * (
+                F.col("v") * F.coalesce(F.sum("c").over(w), F.lit(0))
+                - F.coalesce(F.sum("s").over(w), F.lit(0))
+            ).cast("decimal(38,0)")
+        ).alias("term"),
+    )
+    g = terms.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum("s").alias("total_chars"),
+        F.sum("term").cast("decimal(38,0)").alias("delta_dec"),
+    ).withColumn("delta", F.col("delta_dec").cast("long"))
+    return g.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "delta",
+        F.expr(_GINI_EXPR).alias("gini_micro"),
+        F.expr(_GAP_EXPR).alias("mean_gap_micro"),
+    )
+
+
+SQL_GINI_CONCENTRATION = f"""
+WITH pv AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+         COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS s
+  FROM documents GROUP BY source, n_chars
+),
+pre AS (
+  SELECT source, c, s,
+         COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS nb,
+         COALESCE(SUM(s) OVER (PARTITION BY source ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS sb,
+         v
+  FROM pv
+),
+g AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(SUM(s) AS BIGINT) AS total_chars,
+         CAST(SUM(CAST(2 * c AS HUGEINT) * (v * nb - sb)) AS BIGINT)
+           AS delta
+  FROM pre GROUP BY source
+)
+SELECT source, n_docs, total_chars, delta,
+       {_GINI_EXPR} AS gini_micro,
+       {_GAP_EXPR} AS mean_gap_micro
+FROM g
+"""
+
+
+QUERIES: list[Query] = [
+    Query(
+        "quantile_weighted",
+        q_quantile_weighted,
+        SQL_QUANTILE_WEIGHTED,
+        ("relational", "statistics", "sampling", "pipeline"),
+    ),
+    Query(
+        "gini_concentration",
+        q_gini_concentration,
+        SQL_GINI_CONCENTRATION,
+        ("llm", "statistics", "quality", "monitoring"),
+    ),
+]
+
+EXTRA_QUERIES: list[Query] = []

@@ -304,13 +304,9 @@ def _promoted_r7() -> list[Query]:
             ("llm", "dedup", "text"),
             bench=True,  # the substring-dedup representative
         ),
-        Query(
-            "emb_gram",
-            q_emb_gram,
-            SQL_EMB_GRAM,
-            ("llm", "similarity", "linalg"),
-            bench=True,  # the huge-N x small-d reduction representative
-        ),
+        # emb_gram (double-green r8+r9) demoted in the round-10
+        # seventh-wave rotation for relational16's gini_concentration
+        # — see _demoted_r10_w7 (bench flag kept)
         Query(
             "dedup_keep_best",
             q_dedup_keep_best,
@@ -644,7 +640,25 @@ def _demoted_r10_w6() -> list[Query]:
     ]
 
 
-EXTRA_QUERIES: list[Query] = _demoted_r10_w6() + _demoted_r9() + _demoted_r8() + [
+def _demoted_r10_w7() -> list[Query]:
+    # double-green r8+r9 veteran traded for relational16's
+    # gini_concentration in the round-10 seventh-wave rotation
+    from .similarity import SQL_EMB_GRAM, q_emb_gram
+
+    return [
+        Query(
+            "emb_gram",
+            q_emb_gram,
+            SQL_EMB_GRAM,
+            ("llm", "similarity", "linalg"),
+            bench=True,  # the huge-N x small-d reduction representative
+        ),
+    ]
+
+
+EXTRA_QUERIES: list[Query] = (
+    _demoted_r10_w7() + _demoted_r10_w6() + _demoted_r9() + _demoted_r8()
+) + [
     Query(
         "interleave_mix",
         q_interleave_mix,

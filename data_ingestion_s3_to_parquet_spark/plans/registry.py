@@ -56,6 +56,10 @@ _MODULES = (
     # / kcore_decompose / graph_sssp — all multi-green) demoted
     # one-for-one to graph.py's EXTRA lane.
     "data_ingestion_s3_to_parquet_spark.operators.relational15",
+    # relational16 holds the round-10 seventh wave (quantile_weighted /
+    # gini_concentration); emb_gram and lm_bigram_score (multi-green)
+    # demoted one-for-one.
+    "data_ingestion_s3_to_parquet_spark.operators.relational16",
     # relational13's eight round-9 operators were graded green in r9
     # and demoted to its EXTRA lane in the round-10 grade-freshness
     # rotation (VERDICT r9 #1), trading their slots for the round-3
@@ -160,10 +164,12 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and thirty-two entries in the lane after the round-10
-# sixth-wave rotation demoted the multi-green graph trio,
-# session_paths, and ewma_smooth for dedup_cluster_stats /
-# corr_spearman / trend_linfit / anova_oneway / rank_mannwhitney
+# a hundred and thirty-four entries in the lane after the round-10
+# sixth- and seventh-wave rotations demoted the multi-green graph
+# trio, session_paths, ewma_smooth, emb_gram, and lm_bigram_score
+# for dedup_cluster_stats / corr_spearman / trend_linfit /
+# anova_oneway / rank_mannwhitney / quantile_weighted /
+# gini_concentration
 # (eval_mrr_scale — the window-free 100 TB twin sharing eval_mrr's oracle — at its head), otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,

@@ -780,6 +780,8 @@ def test_extra_lane_doc_counts_match_registry():
         130: "a hundred and thirty",
         131: "a hundred and thirty-one",
         132: "a hundred and thirty-two",
+        133: "a hundred and thirty-three",
+        134: "a hundred and thirty-four",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -944,7 +946,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 132
+    assert len(EXTRA) == 134
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -967,13 +969,18 @@ def test_lane_counts_match_docs():
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
     ]
+    # round-10 seventh wave at positions 16-17 (emb_gram and
+    # lm_bigram_score, both multi-green, demoted one-for-one)
+    assert list(REGISTRY)[15:17] == [
+        "quantile_weighted", "gini_concentration",
+    ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
         "scalar_funcs", "agg_rollup_cube", "agg_distinct",
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    assert list(EXTRA)[:22] == [
+    assert list(EXTRA)[:23] == [
         "eval_mrr_scale",
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
@@ -981,6 +988,7 @@ def test_lane_counts_match_docs():
         "drift_psi", "join_asof_nearest",
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
+        "lm_bigram_score",  # r10 wave-7 demotee leads relational11's lane
         "ccnet_buckets", "zorder_layout", "orc_interop", "acf_lags",
     ]
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
@@ -996,7 +1004,7 @@ def test_lane_counts_match_docs():
     # the multi-green veterans that stay graded
     for k in ("mmr_rerank",
               "stream_dedup", "jsonl_interop",
-              "dedup_incremental", "lm_bigram_score", "eval_auc",
+              "dedup_incremental", "eval_auc",
               "rank_bm25",
               "rank_fusion_rrf", "pipeline_fineweb", "dup_span_max"):
         assert k in REGISTRY, k
@@ -1004,7 +1012,8 @@ def test_lane_counts_match_docs():
     # multi-green) demoted in the sixth-wave rotation: stay
     # oracle-carrying EXTRA (bench flags intact on kcore/sssp)
     for k in ("link_predict", "kcore_decompose", "graph_sssp",
-              "session_paths", "ewma_smooth"):
+              "session_paths", "ewma_smooth", "emb_gram",
+              "lm_bigram_score"):
         assert k in EXTRA and k not in REGISTRY, k
     # earlier-round demotees stay EXTRA with their green rows
     demoted = {
@@ -1019,7 +1028,7 @@ def test_lane_counts_match_docs():
     # demoted doc_winnow / inverted_index / changepoint_cusum /
     # winnow_overlap, asserted at the EXTRA head above)
     for k in (
-        "dedup_passages", "emb_gram",
+        "dedup_passages",
         "dedup_keep_best",
         "stream_join_interval",
         "sim_join_kmeans",
@@ -7352,3 +7361,74 @@ def test_rank_mannwhitney_planted_u_and_ties(spark, tmp_path):
 
     r, = q_rank_mannwhitney(spark, str(tmp_path)).collect()
     assert (r.n_urgent, r.n_other, r.u_x2, r.auc_micro) == (3, 2, 2, 166667)
+
+
+def test_quantile_weighted_planted_cutoffs(spark, tmp_path):
+    # prices 10 (weight 1), 20 (weight 2), 30 (weight 1): W=4 ->
+    # p25 crosses at 10 (cumw 1), p50 at 20 (cumw 3), p90 at 30
+    # (360 > 300 = 100*cumw(20), 400 >= 360)
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_quantile_weighted,
+    )
+
+    d = dt.datetime(2024, 1, 1)
+    orders = [
+        (1, 1, "O", 10.0, d, "p"),
+        (2, 1, "O", 20.0, d, "p"),
+        (3, 1, "O", 30.0, d, "p"),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    li = [(1, 101), (2, 102), (2, 103), (3, 104)]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r.pct: (r.w_total, r.cutoff_price, r.cumw_at_cutoff)
+        for r in q_quantile_weighted(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        25: (4, 10.0, 1),
+        50: (4, 20.0, 3),
+        90: (4, 30.0, 4),
+    }
+
+
+def test_gini_concentration_planted_identity(spark, tmp_path):
+    # source A lengths {1,1,2}: pairwise |diffs| sum to 4 (both
+    # orders) -> G = 4/(2*3*4) -> micro 166667, mean gap 4/9 ->
+    # 444444; single-doc source B is a true G=0; all-zero source C is
+    # undefined (NULL gini) but gap 0
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_gini_concentration,
+    )
+
+    rows = [
+        (1, "x", "en", "A", 1),
+        (2, "x", "en", "A", 1),
+        (3, "x", "en", "A", 2),
+        (4, "x", "en", "B", 5),
+        (5, "x", "en", "C", 0),
+        (6, "x", "en", "C", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.source: (r.n_docs, r.total_chars, r.delta, r.gini_micro,
+                   r.mean_gap_micro)
+        for r in q_gini_concentration(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (3, 4, 4, 166667, 444444),
+        "B": (1, 5, 0, 0, 0),
+        "C": (2, 0, 0, None, 0),
+    }

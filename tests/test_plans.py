@@ -1198,3 +1198,36 @@ def test_rank_mannwhitney_carry_is_the_only_broadcast(spark):
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
     assert plan.count("row_number(") == 0
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 7
+
+
+def test_quantile_weighted_broadcasts_are_bounded_only(spark):
+    # two broadcasts, both pinned and domain-bounded: the price-bucket
+    # carry (~60 rows) and the |QW_PERCENTS|-row target table; the
+    # corpus-proportional weight join is shuffle_hash-pinned; no
+    # ranking window
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_quantile_weighted,
+    )
+
+    plan = plan_of(q_quantile_weighted(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) >= 1
+    assert plan.count("row_number(") == 0
+
+
+def test_gini_concentration_windows_ride_the_value_domain(spark):
+    # one combinable (source, n_chars) aggregate, prefix-sum windows
+    # over the DOMAIN-bounded per-value frame, one bounded final
+    # aggregate: no join, no broadcast, at most two exchanges
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_gini_concentration,
+    )
+
+    plan = plan_of(q_gini_concentration(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert plan.count("row_number(") == 0

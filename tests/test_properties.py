@@ -3754,3 +3754,122 @@ def test_rank_mannwhitney_matches_python_on_any_table(
 
     r, = q_rank_mannwhitney(spark, str(tmp)).collect()
     assert (r.n_urgent, r.n_other, r.u_x2, r.auc_micro) == (n1, n2, u2, auc)
+
+
+_qw_orders = st.lists(
+    st.tuples(
+        st.sampled_from([10.0, 20.0, 20.0, 9_999.99, 10_000.0, 45.5, 77.0]),
+        st.integers(1, 3),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(orders=_qw_orders)
+@slow_ok
+def test_quantile_weighted_matches_python_on_any_table(
+    spark, orders, tmp_path_factory
+):
+    """The two-phase weighted selection equals a Python replay of the
+    crossing rule (smallest v with 100*cumw(<=v) >= pct*W) for
+    ARBITRARY weighted tables — duplicate prices merge their weights,
+    bucket-boundary prices included."""
+    import datetime as _dtm
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        QW_PERCENTS,
+        q_quantile_weighted,
+    )
+
+    tmp = tmp_path_factory.mktemp("qw")
+    base = _dt.datetime(2024, 1, 1)
+    orows, lrows, lk = [], [], 0
+    for i, (p, w) in enumerate(orders):
+        orows.append((i, 1, "O", p, base, "p"))
+        for _ in range(w):
+            lk += 1
+            lrows.append((i, lk))
+    spark.createDataFrame(
+        orows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    spark.createDataFrame(
+        lrows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+
+    from collections import defaultdict
+
+    pv = defaultdict(int)
+    for p, w in orders:
+        pv[p] += w
+    wt = sum(pv.values())
+    expected = {}
+    for pct in QW_PERCENTS:
+        cum = 0
+        for v in sorted(pv):
+            prev = cum
+            cum += pv[v]
+            if 100 * cum >= pct * wt and 100 * prev < pct * wt:
+                expected[pct] = (wt, v, cum)
+                break
+
+    got = {
+        r.pct: (r.w_total, r.cutoff_price, r.cumw_at_cutoff)
+        for r in q_quantile_weighted(spark, str(tmp)).collect()
+    }
+    assert got == expected
+
+
+_gini_docs = st.lists(
+    st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 20)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(docs=_gini_docs)
+@slow_ok
+def test_gini_concentration_matches_python_on_any_corpus(
+    spark, docs, tmp_path_factory
+):
+    """The per-value prefix-sum identity equals the O(n^2) pairwise
+    |difference| definition for ARBITRARY corpora — zero-length docs,
+    all-equal groups (G=0), and all-zero groups (NULL)."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_gini_concentration,
+    )
+
+    tmp = tmp_path_factory.mktemp("gini")
+    rows = [
+        (i, "x", "en", src, v) for i, (src, v) in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for src, v in docs:
+        per[src].append(v)
+    expected = {}
+    for src, vs in per.items():
+        n, s = len(vs), sum(vs)
+        delta = sum(abs(a - b) for a in vs for b in vs)
+        gini = (
+            None
+            if s == 0
+            else _half_up_long((1_000_000.0 * delta) / (2.0 * n * s))
+        )
+        gap = _half_up_long((1_000_000.0 * delta) / (float(n) * n))
+        expected[src] = (n, s, delta, gini, gap)
+
+    got = {
+        r.source: (r.n_docs, r.total_chars, r.delta, r.gini_micro,
+                   r.mean_gap_micro)
+        for r in q_gini_concentration(spark, str(tmp)).collect()
+    }
+    assert got == expected
