@@ -175,6 +175,135 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment threshold 4/5 as an exact rational: the verification
+# predicate is the integer cross-multiplication 5·inter ≥ 4·n_a and
+# the prefix length n − ceil(4n/5) + 1 uses ceil(4n/5) = (4n+4) DIV 5.
+CONTAIN_T_NUM, CONTAIN_T_DEN = 4, 5
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ASYMMETRIC shingle-containment join: pairs where ≥ 80%
+    of the smaller document's word-3-grams appear in the larger one
+    (C(A→B) = |S_A ∩ S_B| / |S_A| ≥ 4/5, n_a ≤ n_b, doc_id
+    tie-break). The dedup case Jaccard cannot see: a quote, excerpt,
+    or boilerplate block embedded in a much longer page has tiny
+    Jaccard (the union is dominated by the long doc) but containment
+    ≈ 1 — the RealNews/C4-style inclusion filter, completing the
+    family next to ``dedup_ngram_jaccard`` (symmetric overlap) and
+    ``dedup_passages`` (contiguous substring runs).
+
+    Prefix filter, containment form (PPJoin family, Xiao et al.
+    WWW'08): if C(A→B) ≥ t then A shares a shingle with B inside A's
+    ``n_a − ceil(t·n_a) + 1`` rarest shingles — the prefix bound
+    applies to the CONTAINED side only, the container joins with its
+    full posting list (asymmetry is what makes the filter valid with
+    no upper size bound on B). Verification is one exact
+    ``array_intersect`` per surviving pair, accepted by the integer
+    cross-multiplication — no division before the reported ratio.
+
+    Scale shape: the ``dedup_ngram_jaccard`` discipline verbatim —
+    hashed shingles (equality-only downstream), document-frequency
+    ranking map-side, every explode-derived join side
+    shuffle_hash-pinned (Catalyst's pre-Generate size estimate would
+    broadcast them — the driver-OOM trap), candidates de-duplicated
+    before the verification joins.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh = with_hashed_shingles(d, "text", "sh", 3).select(
+        "doc_id", F.col("sh"), F.size("sh").alias("n_sh")
+    )
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("gh"))
+    freq = ex.groupBy("gh").agg(F.count("*").alias("df"))
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("df").asc(), F.col("gh").asc()
+        )
+    )
+    plen = F.expr(
+        f"n_sh - ({CONTAIN_T_NUM} * n_sh + {CONTAIN_T_NUM})"
+        f" div {CONTAIN_T_DEN} + 1"
+    )
+    pref = (
+        ex.join(freq.hint("shuffle_hash"), "gh")
+        .withColumn("rk", rk)
+        .where(F.col("rk") <= plen)
+        .select("doc_id", "n_sh", "gh")
+        .hint("shuffle_hash")
+    )
+    full = ex.hint("shuffle_hash")
+    cand = (
+        pref.alias("x")
+        .join(full.alias("y"), "gh")
+        .where(
+            (F.col("x.n_sh") < F.col("y.n_sh"))
+            | (
+                (F.col("x.n_sh") == F.col("y.n_sh"))
+                & (F.col("x.doc_id") < F.col("y.doc_id"))
+            )
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sha"),
+        F.col("n_sh").alias("na"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("shb"),
+        F.col("n_sh").alias("nb"),
+    )
+    ver = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    return (
+        ver.withColumn("inter", inter.cast("long"))
+        .where(
+            CONTAIN_T_DEN * F.col("inter")
+            >= CONTAIN_T_NUM * F.col("na")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            "inter",
+            F.round(
+                F.col("inter").cast("double") / F.col("na").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+  FROM ex a JOIN ex b
+    ON a.g = b.g
+   AND (a.n_sh < b.n_sh OR (a.n_sh = b.n_sh AND a.doc_id < b.doc_id))
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST(inter AS BIGINT) AS inter,
+       ROUND(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
+FROM pairs
+WHERE {CONTAIN_T_DEN} * inter >= {CONTAIN_T_NUM} * na
+"""
+
+
 SQL_DEDUP_NGRAM_JACCARD = """
 WITH sh AS (
   SELECT doc_id,

@@ -780,13 +780,9 @@ SELECT n_pos, n_neg, u2, {_AUC_MICRO_EXPR} AS auc_micro FROM agg
 # --------------------------------------------------------------------
 
 QUERIES = [
-    # round-8 final rotation: the three post-swap additions grade too
-    Query(
-        "jsonl_interop",
-        q_jsonl_interop,
-        SQL_JSONL_INTEROP,
-        ("relational", "etl", "format", "sink"),
-    ),
+    # round-8 final rotation survivors; jsonl_interop (double-green
+    # r8+r9) demoted in the round-10 seventh-wave rotation for
+    # dedup_containment
     # lm_bigram_score (double-green r8+r9) demoted in the round-10
     # seventh-wave rotation for relational16's quantile_weighted
     Query(
@@ -807,6 +803,12 @@ EXTRA_QUERIES: list[Query] = [
         q_lm_bigram_score,
         SQL_LM_BIGRAM_SCORE,
         ("llm", "text", "quality"),
+    ),
+    Query(
+        "jsonl_interop",
+        q_jsonl_interop,
+        SQL_JSONL_INTEROP,
+        ("relational", "etl", "format", "sink"),
     ),
     Query(
         "ccnet_buckets",

@@ -267,7 +267,22 @@ FROM g
 """
 
 
+# dedup_containment is defined in operators/dedup.py (next to the
+# jaccard machinery it reuses) and registers HERE so it grades with
+# the other round-10 seventh-wave lanes.
+def _containment_query() -> Query:
+    from .dedup import SQL_DEDUP_CONTAINMENT, q_dedup_containment
+
+    return Query(
+        "dedup_containment",
+        q_dedup_containment,
+        SQL_DEDUP_CONTAINMENT,
+        ("llm", "dedup", "text"),
+    )
+
+
 QUERIES: list[Query] = [
+    _containment_query(),
     Query(
         "quantile_weighted",
         q_quantile_weighted,

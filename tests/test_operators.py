@@ -782,6 +782,7 @@ def test_extra_lane_doc_counts_match_registry():
         132: "a hundred and thirty-two",
         133: "a hundred and thirty-three",
         134: "a hundred and thirty-four",
+        135: "a hundred and thirty-five",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -946,7 +947,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 134
+    assert len(EXTRA) == 135
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -969,10 +970,11 @@ def test_lane_counts_match_docs():
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
     ]
-    # round-10 seventh wave at positions 16-17 (emb_gram and
-    # lm_bigram_score, both multi-green, demoted one-for-one)
-    assert list(REGISTRY)[15:17] == [
-        "quantile_weighted", "gini_concentration",
+    # round-10 seventh wave at positions 16-18 (emb_gram,
+    # lm_bigram_score, and jsonl_interop — all multi-green — demoted
+    # one-for-one)
+    assert list(REGISTRY)[15:18] == [
+        "dedup_containment", "quantile_weighted", "gini_concentration",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -980,7 +982,7 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    assert list(EXTRA)[:23] == [
+    assert list(EXTRA)[:24] == [
         "eval_mrr_scale",
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
@@ -988,7 +990,8 @@ def test_lane_counts_match_docs():
         "drift_psi", "join_asof_nearest",
         "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
         "eval_ndcg", "eval_calibration", "eval_pr_curve",
-        "lm_bigram_score",  # r10 wave-7 demotee leads relational11's lane
+        "lm_bigram_score",  # r10 wave-7 demotees lead relational11's lane
+        "jsonl_interop",
         "ccnet_buckets", "zorder_layout", "orc_interop", "acf_lags",
     ]
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
@@ -1003,7 +1006,7 @@ def test_lane_counts_match_docs():
     }
     # the multi-green veterans that stay graded
     for k in ("mmr_rerank",
-              "stream_dedup", "jsonl_interop",
+              "stream_dedup",
               "dedup_incremental", "eval_auc",
               "rank_bm25",
               "rank_fusion_rrf", "pipeline_fineweb", "dup_span_max"):
@@ -1013,7 +1016,7 @@ def test_lane_counts_match_docs():
     # oracle-carrying EXTRA (bench flags intact on kcore/sssp)
     for k in ("link_predict", "kcore_decompose", "graph_sssp",
               "session_paths", "ewma_smooth", "emb_gram",
-              "lm_bigram_score"):
+              "lm_bigram_score", "jsonl_interop"):
         assert k in EXTRA and k not in REGISTRY, k
     # earlier-round demotees stay EXTRA with their green rows
     demoted = {
@@ -7432,3 +7435,30 @@ def test_gini_concentration_planted_identity(spark, tmp_path):
         "B": (1, 5, 0, 0, 0),
         "C": (2, 0, 0, None, 0),
     }
+
+
+def test_dedup_containment_planted_quote(spark, tmp_path):
+    # doc 1's three shingles all appear in doc 2 (a quote inside a
+    # longer page): containment 1.0 even though Jaccard is only 3/5;
+    # doc 3 shares nothing; doc 4 shares 1 of its 5 shingles with
+    # doc 2 (0.2 < 0.8, dropped)
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        q_dedup_containment,
+    )
+
+    rows = [
+        (1, "a b c d e", "en", "s", 9),
+        (2, "a b c d e f g", "en", "s", 13),
+        (3, "x y z w", "en", "s", 7),
+        (4, "a b c q r s t", "en", "s", 13),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b): (r.na, r.nb, r.inter, r.containment)
+        for r in q_dedup_containment(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2): (3, 5, 3, 1.0)}

@@ -1231,3 +1231,20 @@ def test_gini_concentration_windows_ride_the_value_domain(spark):
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     assert plan.count("row_number(") == 0
+
+
+def test_containment_explode_sides_never_broadcast_on_shingles(spark):
+    # the dedup_ngram_jaccard rule applied to the asymmetric join:
+    # every explode-derived side (prefixes, full postings, df table)
+    # is shuffle_hash-pinned; no BroadcastHashJoin may key on the
+    # shingle hash column
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        q_dedup_containment,
+    )
+
+    plan = plan_of(q_dedup_containment(spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan
+    for m in re.finditer(r"\(\d+\) BroadcastHashJoin[^(]*", plan):
+        assert "[gh#" not in m.group(0), m.group(0)

@@ -3873,3 +3873,59 @@ def test_gini_concentration_matches_python_on_any_corpus(
         for r in q_gini_concentration(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+_cont_words = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+_cont_docs = st.lists(
+    st.lists(_cont_words, min_size=0, max_size=9),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_cont_docs)
+@slow_ok
+def test_dedup_containment_matches_python_on_any_corpus(
+    spark, docs, tmp_path_factory
+):
+    """The prefix-filtered containment join equals the O(n^2)
+    set-containment definition for ARBITRARY corpora — shingle-free
+    short docs, identical docs (tie-break), and partial overlaps."""
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        CONTAIN_T_DEN,
+        CONTAIN_T_NUM,
+        q_dedup_containment,
+    )
+
+    tmp = tmp_path_factory.mktemp("cont")
+    rows = [
+        (i, " ".join(words), "en", "s", len(" ".join(words)))
+        for i, words in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    sets = {
+        i: {
+            tuple(words[j:j + 3]) for j in range(len(words) - 2)
+        }
+        for i, words in enumerate(docs)
+    }
+    expected = {}
+    for ia, sa in sets.items():
+        for ib, sb in sets.items():
+            if not sa or not sb:
+                continue
+            if not (len(sa) < len(sb) or (len(sa) == len(sb) and ia < ib)):
+                continue
+            inter = len(sa & sb)
+            if CONTAIN_T_DEN * inter >= CONTAIN_T_NUM * len(sa):
+                expected[(ia, ib)] = (len(sa), len(sb), inter)
+
+    got = {
+        (r.doc_a, r.doc_b): (r.na, r.nb, r.inter)
+        for r in q_dedup_containment(spark, str(tmp)).collect()
+    }
+    assert got == expected
