@@ -835,13 +835,10 @@ QUERIES = [
     # ewma_smooth (double-green r8+r9) demoted in the round-10
     # sixth-wave rotation for relational15's rank_mannwhitney; the
     # timeseries family stays graded through alert_rate_spike /
-    # rolling_quantile / trend_linfit
-    Query(
-        "rank_fusion_rrf",
-        q_rank_fusion_rrf,
-        _sql_rank_fusion_rrf(),
-        ("llm", "text", "retrieval", "ranking"),
-    ),
+    # rolling_quantile / trend_linfit. rank_fusion_rrf (double-green
+    # r8+r9) demoted in the eighth-wave rotation for relational16's
+    # eval_cohen_kappa; retrieval stays graded through rank_bm25 /
+    # eval_mrr / mmr_rerank.
 ]
 
 EXTRA_QUERIES: list[Query] = [
@@ -850,6 +847,12 @@ EXTRA_QUERIES: list[Query] = [
         q_ewma_smooth,
         SQL_EWMA_SMOOTH,
         ("relational", "timeseries", "window"),
+    ),
+    Query(
+        "rank_fusion_rrf",
+        q_rank_fusion_rrf,
+        _sql_rank_fusion_rrf(),
+        ("llm", "text", "retrieval", "ranking"),
     ),
     Query(
         "doc_winnow",

@@ -267,6 +267,118 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------
+# eval_cohen_kappa
+# --------------------------------------------------------------------
+
+# Two deterministic document "raters" (a char-length gate and a
+# word-count gate) whose thresholds deliberately straddle a
+# disagreement band (~265-300 chars) so the agreement statistic is
+# non-degenerate on the fixtures. Both render identically in SQL.
+KAPPA_CHAR_MIN = 300
+KAPPA_WORD_MIN = 50
+
+# kappa = (N·agree − Σ r_i·c_i) / (N² − Σ r_i·c_i), all exact int64
+# (bounds: N per group up to ~3·10⁹ before N² leaves int64 — documented)
+# with the single pinned double division micro-quantized; a degenerate
+# design (pe = 1: both raters constant) has no defined chance
+# correction → NULL.
+_KAP_PO_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * n_agree) / n_docs, 0)"
+    " AS BIGINT)"
+)
+_KAP_EXPR = (
+    "CASE WHEN n_docs * n_docs - pe_num = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE)"
+    " * (n_docs * n_agree - pe_num))"
+    " / (n_docs * n_docs - pe_num), 0) AS BIGINT) END"
+)
+
+
+def q_eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic quality raters, per
+    language — the inter-annotator agreement statistic an LLM-judge
+    labeling pipeline reads before trusting its labels: raw agreement
+    (p_o) overstates reliability when the base rate is skewed; kappa
+    subtracts the agreement two INDEPENDENT raters with these
+    marginals would reach by chance. Completes the evaluation family
+    on the labeling side (eval_auc/mrr/ndcg grade a model against
+    fixed truth; this grades whether two labelers even agree on what
+    truth is).
+
+    Raters: A keeps docs with ≥ ``KAPPA_CHAR_MIN`` chars, B keeps
+    docs with ≥ ``KAPPA_WORD_MIN`` whitespace words — correlated but
+    deliberately offset, so the 2×2 table has real off-diagonal mass.
+    Exactness: the whole 2×2 contingency + marginals are conditional
+    integer sums in ONE combinable aggregate; p_o and kappa are each
+    a single pinned micro-quantized division of exact int64
+    combinations; pe = 1 (both raters constant) → NULL.
+
+    Scale shape: one map-side-combinable groupBy over documents
+    (output bounded by |langs|), zero joins, zero windows, zero
+    broadcasts — the cheapest possible distributed shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("n_chars") >= KAPPA_CHAR_MIN).cast("long").alias("a"),
+        (F.size(F.split(F.col("text"), " ")) >= KAPPA_WORD_MIN)
+        .cast("long")
+        .alias("b"),
+    )
+    g = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    g = g.withColumn("n_agree", F.col("n11") + F.col("n00")).withColumn(
+        "pe_num",
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00")),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(_KAP_PO_EXPR).alias("po_micro"),
+        F.expr(_KAP_EXPR).alias("kappa_micro"),
+    )
+
+
+SQL_EVAL_COHEN_KAPPA = f"""
+WITH r AS (
+  SELECT lang,
+         CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(string_split(text, ' ')) >= {KAPPA_WORD_MIN}
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM r GROUP BY lang
+),
+m AS (
+  SELECT *,
+         n11 + n00 AS n_agree,
+         (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num
+  FROM g
+)
+SELECT lang, n_docs, n11, n10, n01, n00,
+       {_KAP_PO_EXPR} AS po_micro,
+       {_KAP_EXPR} AS kappa_micro
+FROM m
+"""
+
+
 # dedup_containment is defined in operators/dedup.py (next to the
 # jaccard machinery it reuses) and registers HERE so it grades with
 # the other round-10 seventh-wave lanes.
@@ -283,6 +395,12 @@ def _containment_query() -> Query:
 
 QUERIES: list[Query] = [
     _containment_query(),
+    Query(
+        "eval_cohen_kappa",
+        q_eval_cohen_kappa,
+        SQL_EVAL_COHEN_KAPPA,
+        ("llm", "evaluation", "statistics", "quality"),
+    ),
     Query(
         "quantile_weighted",
         q_quantile_weighted,

@@ -783,6 +783,7 @@ def test_extra_lane_doc_counts_match_registry():
         133: "a hundred and thirty-three",
         134: "a hundred and thirty-four",
         135: "a hundred and thirty-five",
+        136: "a hundred and thirty-six",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -947,7 +948,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 135
+    assert len(EXTRA) == 136
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -970,11 +971,12 @@ def test_lane_counts_match_docs():
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
     ]
-    # round-10 seventh wave at positions 16-18 (emb_gram,
-    # lm_bigram_score, and jsonl_interop — all multi-green — demoted
-    # one-for-one)
-    assert list(REGISTRY)[15:18] == [
-        "dedup_containment", "quantile_weighted", "gini_concentration",
+    # round-10 seventh/eighth waves at positions 16-19 (emb_gram,
+    # lm_bigram_score, jsonl_interop, and rank_fusion_rrf — all
+    # multi-green — demoted one-for-one)
+    assert list(REGISTRY)[15:19] == [
+        "dedup_containment", "eval_cohen_kappa", "quantile_weighted",
+        "gini_concentration",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -1009,14 +1011,14 @@ def test_lane_counts_match_docs():
               "stream_dedup",
               "dedup_incremental", "eval_auc",
               "rank_bm25",
-              "rank_fusion_rrf", "pipeline_fineweb", "dup_span_max"):
+              "pipeline_fineweb", "dup_span_max"):
         assert k in REGISTRY, k
     # the graph family, session_paths, and ewma_smooth (all
     # multi-green) demoted in the sixth-wave rotation: stay
     # oracle-carrying EXTRA (bench flags intact on kcore/sssp)
     for k in ("link_predict", "kcore_decompose", "graph_sssp",
               "session_paths", "ewma_smooth", "emb_gram",
-              "lm_bigram_score", "jsonl_interop"):
+              "lm_bigram_score", "jsonl_interop", "rank_fusion_rrf"):
         assert k in EXTRA and k not in REGISTRY, k
     # earlier-round demotees stay EXTRA with their green rows
     demoted = {
@@ -7462,3 +7464,37 @@ def test_dedup_containment_planted_quote(spark, tmp_path):
         for r in q_dedup_containment(spark, str(tmp_path)).collect()
     }
     assert got == {(1, 2): (3, 5, 3, 1.0)}
+
+
+def test_eval_cohen_kappa_planted_table_and_degenerate(spark, tmp_path):
+    # lang x: one doc in each 2x2 cell -> po = 0.5, chance agreement
+    # also 0.5 -> kappa exactly 0; lang z: both raters keep everything
+    # -> pe = 1, kappa undefined (NULL), po = 1.0
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_cohen_kappa,
+    )
+
+    w50 = " ".join(["w"] * 50)
+    w49 = " ".join(["w"] * 49)
+    rows = [
+        (1, w50, "x", "s", 300),   # A keep, B keep
+        (2, w50, "x", "s", 299),   # A drop, B keep
+        (3, w49, "x", "s", 300),   # A keep, B drop
+        (4, "w w", "x", "s", 100),  # A drop, B drop
+        (5, w50, "z", "s", 300),
+        (6, w50, "z", "s", 301),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.lang: (r.n_docs, r.n11, r.n10, r.n01, r.n00, r.po_micro,
+                 r.kappa_micro)
+        for r in q_eval_cohen_kappa(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "x": (4, 1, 1, 1, 1, 500_000, 0),
+        "z": (2, 2, 0, 0, 0, 1_000_000, None),
+    }

@@ -1248,3 +1248,20 @@ def test_containment_explode_sides_never_broadcast_on_shingles(spark):
     assert "ShuffledHashJoin" in plan
     for m in re.finditer(r"\(\d+\) BroadcastHashJoin[^(]*", plan):
         assert "[gh#" not in m.group(0), m.group(0)
+
+
+def test_eval_cohen_kappa_is_one_combinable_aggregate(spark):
+    # the whole statistic is ONE map-side-combinable groupBy over
+    # documents bounded by |langs|: exactly one exchange, no window,
+    # no join, no broadcast
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_cohen_kappa,
+    )
+
+    plan = plan_of(q_eval_cohen_kappa(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan

@@ -3929,3 +3929,67 @@ def test_dedup_containment_matches_python_on_any_corpus(
         for r in q_dedup_containment(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+_kap_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["x", "y"]),
+        st.integers(250, 350),   # chars straddling the 300 gate
+        st.integers(45, 55),     # words straddling the 50 gate
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(docs=_kap_docs)
+@slow_ok
+def test_eval_cohen_kappa_matches_python_on_any_corpus(
+    spark, docs, tmp_path_factory
+):
+    """The contingency + kappa closed form equals a Python replay for
+    ARBITRARY corpora — including degenerate designs where one or
+    both raters are constant (pe = 1 -> NULL)."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        KAPPA_CHAR_MIN,
+        KAPPA_WORD_MIN,
+        q_eval_cohen_kappa,
+    )
+
+    tmp = tmp_path_factory.mktemp("kappa")
+    rows = [
+        (i, " ".join(["w"] * words), lang, "s", chars)
+        for i, (lang, chars, words) in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0, 0, 0])
+    for lang, chars, words in docs:
+        a, b = chars >= KAPPA_CHAR_MIN, words >= KAPPA_WORD_MIN
+        per[lang][(0 if a else 2) + (0 if b else 1)] += 1
+    expected = {}
+    for lang, (n11, n10, n01, n00) in per.items():
+        n = n11 + n10 + n01 + n00
+        agree = n11 + n00
+        pe = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        po = _half_up_long((1_000_000.0 * agree) / n)
+        kap = (
+            None
+            if n * n - pe == 0
+            else _half_up_long(
+                (1_000_000.0 * (n * agree - pe)) / (n * n - pe)
+            )
+        )
+        expected[lang] = (n, n11, n10, n01, n00, po, kap)
+
+    got = {
+        r.lang: (r.n_docs, r.n11, r.n10, r.n01, r.n00, r.po_micro,
+                 r.kappa_micro)
+        for r in q_eval_cohen_kappa(spark, str(tmp)).collect()
+    }
+    assert got == expected
