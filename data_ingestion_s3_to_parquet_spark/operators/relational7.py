@@ -375,12 +375,9 @@ def _promoted_r7_wave2() -> list[Query]:
             SQL_STREAM_JOIN_INTERVAL,
             ("streaming", "join"),
         ),
-        Query(
-            "sim_join_kmeans",
-            q_sim_join_kmeans,
-            SQL_SIM_JOIN_KMEANS,
-            ("llm", "similarity", "dedup", "pipeline"),
-        ),
+        # sim_join_kmeans (double-green r8+r9) demoted in the
+        # round-10 eighth-wave rotation for relational16's
+        # privacy_tcloseness — see _demoted_r10_w8
         # session_paths (double-green r8+r9) demoted in the round-10
         # sixth-wave rotation for anova_oneway — see _demoted_r10_w6
         Query(
@@ -640,6 +637,22 @@ def _demoted_r10_w6() -> list[Query]:
     ]
 
 
+def _demoted_r10_w8() -> list[Query]:
+    # double-green r8+r9 veteran traded for relational16's
+    # privacy_tcloseness in the round-10 eighth-wave rotation
+    from .similarity import SQL_SIM_JOIN_KMEANS as _SQL_SJK
+    from .similarity import q_sim_join_kmeans as _q_sjk
+
+    return [
+        Query(
+            "sim_join_kmeans",
+            _q_sjk,
+            _SQL_SJK,
+            ("llm", "similarity", "dedup", "pipeline"),
+        ),
+    ]
+
+
 def _demoted_r10_w7() -> list[Query]:
     # double-green r8+r9 veteran traded for relational16's
     # gini_concentration in the round-10 seventh-wave rotation
@@ -657,7 +670,8 @@ def _demoted_r10_w7() -> list[Query]:
 
 
 EXTRA_QUERIES: list[Query] = (
-    _demoted_r10_w7() + _demoted_r10_w6() + _demoted_r9() + _demoted_r8()
+    _demoted_r10_w8() + _demoted_r10_w7() + _demoted_r10_w6()
+    + _demoted_r9() + _demoted_r8()
 ) + [
     Query(
         "interleave_mix",

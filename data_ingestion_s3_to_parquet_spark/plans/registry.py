@@ -164,13 +164,13 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and thirty-six entries in the lane after the round-10
+# a hundred and thirty-seven entries in the lane after the round-10
 # sixth- and seventh-wave rotations demoted the multi-green graph
 # trio, session_paths, ewma_smooth, emb_gram, lm_bigram_score,
-# jsonl_interop, and rank_fusion_rrf for dedup_cluster_stats /
-# corr_spearman / trend_linfit / anova_oneway / rank_mannwhitney /
-# dedup_containment / eval_cohen_kappa / quantile_weighted /
-# gini_concentration
+# jsonl_interop, rank_fusion_rrf, and sim_join_kmeans for
+# dedup_cluster_stats / corr_spearman / trend_linfit / anova_oneway
+# / rank_mannwhitney / dedup_containment / eval_cohen_kappa /
+# privacy_tcloseness / quantile_weighted / gini_concentration
 # (eval_mrr_scale — the window-free 100 TB twin sharing eval_mrr's oracle — at its head), otherwise EVERY one
 # with at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,

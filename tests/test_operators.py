@@ -784,6 +784,7 @@ def test_extra_lane_doc_counts_match_registry():
         134: "a hundred and thirty-four",
         135: "a hundred and thirty-five",
         136: "a hundred and thirty-six",
+        137: "a hundred and thirty-seven",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -948,7 +949,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 136
+    assert len(EXTRA) == 137
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -971,12 +972,12 @@ def test_lane_counts_match_docs():
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
     ]
-    # round-10 seventh/eighth waves at positions 16-19 (emb_gram,
-    # lm_bigram_score, jsonl_interop, and rank_fusion_rrf — all
-    # multi-green — demoted one-for-one)
-    assert list(REGISTRY)[15:19] == [
-        "dedup_containment", "eval_cohen_kappa", "quantile_weighted",
-        "gini_concentration",
+    # round-10 seventh/eighth waves at positions 16-20 (emb_gram,
+    # lm_bigram_score, jsonl_interop, rank_fusion_rrf, and
+    # sim_join_kmeans — all multi-green — demoted one-for-one)
+    assert list(REGISTRY)[15:20] == [
+        "dedup_containment", "eval_cohen_kappa", "privacy_tcloseness",
+        "quantile_weighted", "gini_concentration",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -1018,7 +1019,8 @@ def test_lane_counts_match_docs():
     # oracle-carrying EXTRA (bench flags intact on kcore/sssp)
     for k in ("link_predict", "kcore_decompose", "graph_sssp",
               "session_paths", "ewma_smooth", "emb_gram",
-              "lm_bigram_score", "jsonl_interop", "rank_fusion_rrf"):
+              "lm_bigram_score", "jsonl_interop", "rank_fusion_rrf",
+              "sim_join_kmeans"):
         assert k in EXTRA and k not in REGISTRY, k
     # earlier-round demotees stay EXTRA with their green rows
     demoted = {
@@ -1036,7 +1038,6 @@ def test_lane_counts_match_docs():
         "dedup_passages",
         "dedup_keep_best",
         "stream_join_interval",
-        "sim_join_kmeans",
         "chi2_contingency", "ann_two_stage",
         "entropy_score", "content_chunks", "word_filter", "corr_pearson",
         "dsir_weights",
@@ -7497,4 +7498,50 @@ def test_eval_cohen_kappa_planted_table_and_degenerate(spark, tmp_path):
     assert got == {
         "x": (4, 1, 1, 1, 1, 500_000, 0),
         "z": (2, 2, 0, 0, 0, 1_000_000, None),
+    }
+
+
+def test_privacy_tcloseness_planted_bands(spark, tmp_path):
+    # three single-customer QI classes against a P1x3/P2x1/P3x2
+    # global: class B (P1+P2) has D=8 -> d=8/24 -> 't<=0.35', micro
+    # 333333; class A (P1x2) has D=12 (d=0.5) and class C (P3x2) has
+    # D=16 (d=2/3, the band worst) -> both 't>0.35', violating;
+    # absent-value mass is part of D by construction
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_privacy_tcloseness,
+    )
+
+    cust = [
+        (1, "a", 1, 0.0, "S"),
+        (2, "b", 2, 0.0, "S"),
+        (3, "c", 3, 0.0, "S"),
+    ]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    d = dt.datetime(2024, 1, 1)
+    orders = [
+        (10, 1, "O", 1.0, d, "1-URGENT"),
+        (11, 1, "O", 1.0, d, "1-URGENT"),
+        (12, 2, "O", 1.0, d, "1-URGENT"),
+        (13, 2, "O", 1.0, d, "2-HIGH"),
+        (14, 3, "O", 1.0, d, "5-LOW"),
+        (15, 3, "O", 1.0, d, "5-LOW"),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r.t_band: (r.n_classes, r.n_rows, r.worst_t_micro, r.violates_t)
+        for r in q_privacy_tcloseness(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "t<=0.35": (1, 2, 333333, False),
+        "t>0.35": (2, 4, 666667, True),
     }

@@ -1265,3 +1265,19 @@ def test_eval_cohen_kappa_is_one_combinable_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert "Join" not in plan
+
+
+def test_privacy_tcloseness_broadcast_is_global_distribution_only(spark):
+    # the ldiv discipline: the QI join is shuffle_hash-pinned
+    # (customer grows with the corpus); the ONLY broadcast is the
+    # |values|-row global sensitive distribution, F.broadcast-pinned
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_privacy_tcloseness,
+    )
+
+    plan = plan_of(q_privacy_tcloseness(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) >= 1
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert plan.count("row_number(") == 0

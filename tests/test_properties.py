@@ -3993,3 +3993,81 @@ def test_eval_cohen_kappa_matches_python_on_any_corpus(
         for r in q_eval_cohen_kappa(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+_tc_orders = st.lists(
+    st.tuples(
+        st.integers(1, 3),
+        st.sampled_from(["1-URGENT", "2-HIGH", "5-LOW"]),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(orders=_tc_orders)
+@slow_ok
+def test_privacy_tcloseness_matches_python_on_any_table(
+    spark, orders, tmp_path_factory
+):
+    """The integer-numerator variational distance (absent values
+    included) equals a Python replay for ARBITRARY released views —
+    single-value classes, classes matching the global exactly (d=0),
+    and every band boundary."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_privacy_tcloseness,
+    )
+
+    tmp = tmp_path_factory.mktemp("tclose")
+    cust = [(c, f"c{c}", c, 0.0, "S") for c in (1, 2, 3)]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp / "customer.parquet"))
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, c, "O", 1.0, base, v) for i, (c, v) in enumerate(orders)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    glob = Counter()
+    for c, v in orders:
+        per[c][v] += 1
+        glob[v] += 1
+    nt = sum(glob.values())
+    bands = defaultdict(lambda: [0, 0, 0, False])
+    for c, cnt in per.items():
+        nc = sum(cnt.values())
+        d_num = sum(
+            abs(cnt.get(v, 0) * nt - nv * nc) for v, nv in glob.items()
+        )
+        if 5 * d_num <= nc * nt:
+            band = "t<=0.10"
+        elif 5 * d_num <= 2 * nc * nt:
+            band = "t<=0.20"
+        elif 10 * d_num <= 7 * nc * nt:
+            band = "t<=0.35"
+        else:
+            band = "t>0.35"
+        micro = _half_up_long(
+            (1_000_000.0 * d_num) / ((2.0 * nc) * nt)
+        )
+        b = bands[band]
+        b[0] += 1
+        b[1] += nc
+        b[2] = max(b[2], micro)
+        b[3] = b[3] or (10 * d_num > 7 * nc * nt)
+    expected = {k: tuple(v) for k, v in bands.items()}
+
+    got = {
+        r.t_band: (r.n_classes, r.n_rows, r.worst_t_micro, r.violates_t)
+        for r in q_privacy_tcloseness(spark, str(tmp)).collect()
+    }
+    assert got == expected
