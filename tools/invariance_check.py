@@ -107,7 +107,14 @@ def _values(spark: SparkSession, names: list[str], sf_dir: str, parts: int):
     out = {}
     for n in names:
         rows = merged[n].fn(spark, sf_dir).collect()
-        out[n] = sorted(tuple(r) for r in rows)
+        # None-safe total order: NULL cells sort behind values of any
+        # type (lanes legitimately emit NULL — undefined rho/kappa/F)
+        out[n] = sorted(
+            (tuple(r) for r in rows),
+            key=lambda t: tuple(
+                (v is None, str(type(v)), str(v)) for v in t
+            ),
+        )
     return out
 
 
