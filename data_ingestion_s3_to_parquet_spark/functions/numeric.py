@@ -107,3 +107,61 @@ def davg_sql(col: str, alias: str, scale: int = 6) -> str:
         f"// (2 * COUNT({col}) * {unit})) AS DOUBLE) / {float(10**scale)} "
         f"AS {alias}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact sufficient-statistics scaffolding (shared by the correlation /
+# trend / ANOVA / Gini lanes — one source of truth for the pinned
+# op-sequences the oracles mirror with HUGEINT)
+
+_DEC38 = "CAST({} AS DECIMAL(38,0))"
+
+
+def exact_product_sum(a: Column, b: Column) -> Column:
+    """SUM(a·b) with the FIRST operand promoted to DECIMAL(38,0)
+    BEFORE the multiply — the HUGEINT-parity rule: DuckDB oracles
+    write ``SUM(CAST(a AS HUGEINT) * b)``, so the Spark side must
+    never run the product in int64 first (a silent wrap under
+    non-ANSI Spark where DuckDB stays exact — the overflow-asymmetry
+    class the round-10 code review flagged)."""
+    return F.sum(a.cast("decimal(38,0)") * b)
+
+
+def suffstat_agg(x: Column, y: Column) -> list[Column]:
+    """The six exact statistics every sufficient-statistics lane
+    aggregates (n, Σx, Σy int64; Σxy, Σx², Σy² decimal-exact), under
+    the fixed aliases the combination expressions reference."""
+    return [
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        exact_product_sum(x, y).alias("sxy"),
+        exact_product_sum(x, x).alias("sxx"),
+        exact_product_sum(y, y).alias("syy"),
+    ]
+
+
+def corr_micro_from_stats() -> Column:
+    """Pearson correlation in micros from the :func:`suffstat_agg`
+    frame: the three integer combination terms are each cast to
+    double ONCE, then one pinned multiply/sqrt/divide/round sequence
+    — identical bits on both engines. Zero variance on either side →
+    NULL (the ADVICE r7 standard). Shared by ``corr_pearson`` (raw
+    values) and ``corr_spearman`` (double-ranks)."""
+    num = F.expr(
+        f"CAST({_DEC38.format('n')} * sxy - {_DEC38.format('sx')} *"
+        f" {_DEC38.format('sy')} AS DOUBLE)"
+    )
+    var_x = F.expr(
+        f"CAST({_DEC38.format('n')} * sxx - {_DEC38.format('sx')} *"
+        f" {_DEC38.format('sx')} AS DOUBLE)"
+    )
+    var_y = F.expr(
+        f"CAST({_DEC38.format('n')} * syy - {_DEC38.format('sy')} *"
+        f" {_DEC38.format('sy')} AS DOUBLE)"
+    )
+    return F.when(
+        (var_x == 0) | (var_y == 0), F.lit(None).cast("long")
+    ).otherwise(
+        F.round(num / F.sqrt(var_x * var_y) * 1_000_000, 0).cast("long")
+    )

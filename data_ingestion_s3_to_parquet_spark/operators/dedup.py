@@ -219,9 +219,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df").asc(), F.col("gh").asc()
         )
     )
+    # ceil(t·n) = (t_num·n + t_den − 1) div t_den — the addend is
+    # DEN − 1, not NUM (they coincide at 4/5; the review flagged the
+    # coupling so a future threshold change can't silently shorten
+    # the prefix and drop true pairs)
     plen = F.expr(
-        f"n_sh - ({CONTAIN_T_NUM} * n_sh + {CONTAIN_T_NUM})"
-        f" div {CONTAIN_T_DEN} + 1"
+        f"n_sh - (({CONTAIN_T_NUM} * n_sh + {CONTAIN_T_DEN} - 1)"
+        f" div {CONTAIN_T_DEN}) + 1"
     )
     pref = (
         ex.join(freq.hint("shuffle_hash"), "gh")

@@ -117,22 +117,21 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its ordered windows are constant-size stages and the whole thing
     # broadcasts; folding n_ref/n_cur in here saves a third scan of
     # orders and the cross join)
-    wb = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    carry = (
-        g.groupBy("bucket")
-        .agg(F.sum("d1").alias("bd1"), F.sum("d2").alias("bd2"))
-        .select(
-            "bucket",
-            F.coalesce(F.sum("bd1").over(wb), F.lit(0)).alias("carry1"),
-            F.coalesce(F.sum("bd2").over(wb), F.lit(0)).alias("carry2"),
-            F.sum("bd1").over(wall).alias("n_ref"),
-            F.sum("bd2").over(wall).alias("n_cur"),
-        )
+    from .twophase import bucket_carry_totals
+
+    carry = bucket_carry_totals(
+        g.groupBy("bucket").agg(
+            F.sum("d1").alias("bd1"), F.sum("d2").alias("bd2")
+        ),
+        "bucket",
+        carry_cols=["bd1", "bd2"],
+        total_cols=["bd1", "bd2"],
+    ).select(
+        "bucket",
+        F.col("carry_bd1").alias("carry1"),
+        F.col("carry_bd2").alias("carry2"),
+        F.col("tot_bd1").alias("n_ref"),
+        F.col("tot_bd2").alias("n_cur"),
     )
     w = (
         Window.partitionBy("bucket")

@@ -235,44 +235,22 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         drank("x").alias("drx"),
         drank("y").alias("dry"),
     )
+    # shared scaffolding (functions/numeric.py): decimal-first product
+    # sums (the HUGEINT-parity rule) + the pinned corr op-sequence —
+    # one source of truth with corr_pearson
+    from ..functions.numeric import (
+        corr_micro_from_stats,
+        exact_product_sum,
+        suffstat_agg,
+    )
+
     stats = ranked.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n"),
-        F.sum("drx").alias("sx"),
-        F.sum("dry").alias("sy"),
-        F.sum((F.col("drx") * F.col("dry")).cast("decimal(38,0)")).alias(
-            "sxy"
-        ),
-        F.sum((F.col("drx") * F.col("drx")).cast("decimal(38,0)")).alias(
-            "sxx"
-        ),
-        F.sum((F.col("dry") * F.col("dry")).cast("decimal(38,0)")).alias(
-            "syy"
-        ),
-        F.sum(
-            (
-                (F.col("drx") - F.col("dry"))
-                * (F.col("drx") - F.col("dry"))
-            ).cast("decimal(38,0)")
+        *suffstat_agg(F.col("drx"), F.col("dry")),
+        exact_product_sum(
+            F.col("drx") - F.col("dry"), F.col("drx") - F.col("dry")
         ).alias("sd2"),
     )
-    dec = "CAST({} AS DECIMAL(38,0))"
-    num = F.expr(
-        f"CAST({dec.format('n')} * sxy - {dec.format('sx')} *"
-        f" {dec.format('sy')} AS DOUBLE)"
-    )
-    var_x = F.expr(
-        f"CAST({dec.format('n')} * sxx - {dec.format('sx')} *"
-        f" {dec.format('sx')} AS DOUBLE)"
-    )
-    var_y = F.expr(
-        f"CAST({dec.format('n')} * syy - {dec.format('sy')} *"
-        f" {dec.format('sy')} AS DOUBLE)"
-    )
-    micro = F.when(
-        (var_x == 0) | (var_y == 0), F.lit(None).cast("long")
-    ).otherwise(
-        F.round(num / F.sqrt(var_x * var_y) * 1_000_000, 0).cast("long")
-    )
+    micro = corr_micro_from_stats()
     return stats.select(
         "c_mktsegment",
         F.col("n").alias("n_customers"),
@@ -374,13 +352,10 @@ def q_trend_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts"), F.lit(TREND_EPOCH.isoformat()).cast("date")
         ).cast("long").alias("x"),
     ).agg(F.count("*").alias("y"))
+    from ..functions.numeric import suffstat_agg
+
     stats = daily.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        *suffstat_agg(F.col("x"), F.col("y"))
     )
     dec = "CAST({} AS DECIMAL(38,0))"
     num_s = F.expr(
@@ -530,10 +505,12 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.expr(_AOV_Y_EXPR.format(div="DIV")).alias("y"),
     )
+    from ..functions.numeric import exact_product_sum
+
     g = base.groupBy("grp").agg(
         F.count("*").alias("n"),
         F.sum("y").alias("s"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("ss"),
+        exact_product_sum(F.col("y"), F.col("y")).alias("ss"),
     )
     g = g.withColumn(
         "t_unit", F.expr(_AOV_T_EXPR.format(s="s", n="n"))
@@ -673,23 +650,22 @@ def q_rank_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bucket", F.floor(F.col("p") / MW_PRICE_BUCKET))
     )
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    carry = (
-        g.groupBy("bucket")
-        .agg(
+    from .twophase import bucket_carry_totals
+
+    carry = bucket_carry_totals(
+        g.groupBy("bucket").agg(
             (F.sum("d1") + F.sum("d2")).alias("bd"),
             F.sum("d1").alias("bd1"),
             F.sum("d2").alias("bd2"),
-        )
-        .select(
-            "bucket",
-            F.coalesce(F.sum("bd").over(wb), F.lit(0)).alias("carry_all"),
-            F.sum("bd1").over(wall).alias("n_urgent"),
-            F.sum("bd2").over(wall).alias("n_other"),
-        )
+        ),
+        "bucket",
+        carry_cols=["bd"],
+        total_cols=["bd1", "bd2"],
+    ).select(
+        "bucket",
+        F.col("carry_bd").alias("carry_all"),
+        F.col("tot_bd1").alias("n_urgent"),
+        F.col("tot_bd2").alias("n_other"),
     )
     w = (
         Window.partitionBy("bucket")

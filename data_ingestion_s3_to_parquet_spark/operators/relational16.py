@@ -82,18 +82,17 @@ def q_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = base.groupBy("p").agg(F.sum("w").alias("wv")).withColumn(
         "bucket", F.floor(F.col("p") / QW_PRICE_BUCKET)
     )
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    carry = (
-        pv.groupBy("bucket")
-        .agg(F.sum("wv").alias("bw"))
-        .select(
-            "bucket",
-            F.coalesce(F.sum("bw").over(wb), F.lit(0)).alias("below"),
-            F.sum("bw").over(wall).alias("w_total"),
-        )
+    from .twophase import bucket_carry_totals
+
+    carry = bucket_carry_totals(
+        pv.groupBy("bucket").agg(F.sum("wv").alias("bw")),
+        "bucket",
+        carry_cols=["bw"],
+        total_cols=["bw"],
+    ).select(
+        "bucket",
+        F.col("carry_bw").alias("below"),
+        F.col("tot_bw").alias("w_total"),
     )
     win = (
         Window.partitionBy("bucket")
@@ -208,6 +207,8 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # v·N₍<v₎ runs decimal-first (the HUGEINT-parity rule — the inner
+    # int64 product was the round-10 review's overflow-asymmetry class)
     terms = pv.select(
         "source",
         "c",
@@ -215,10 +216,11 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (2 * F.col("c")).cast("decimal(38,0)")
             * (
-                F.col("v") * F.coalesce(F.sum("c").over(w), F.lit(0))
+                F.col("v").cast("decimal(38,0)")
+                * F.coalesce(F.sum("c").over(w), F.lit(0))
                 - F.coalesce(F.sum("s").over(w), F.lit(0))
-            ).cast("decimal(38,0)")
-        ).alias("term"),
+            )
+        ).cast("decimal(38,0)").alias("term"),
     )
     g = terms.groupBy("source").agg(
         F.sum("c").alias("n_docs"),
@@ -318,10 +320,21 @@ def q_eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (output bounded by |langs|), zero joins, zero windows, zero
     broadcasts — the cheapest possible distributed shape.
     """
+    # when/otherwise (not a bare boolean cast): a NULL n_chars/text
+    # must land in the 0-cell exactly like the oracle's CASE, not
+    # NULL out of every cell while still counting in n_docs (the
+    # round-10 review's NULL-divergence finding)
     docs = load_table(spark, sf_dir, "documents").select(
         "lang",
-        (F.col("n_chars") >= KAPPA_CHAR_MIN).cast("long").alias("a"),
-        (F.size(F.split(F.col("text"), " ")) >= KAPPA_WORD_MIN)
+        F.when(F.col("n_chars") >= KAPPA_CHAR_MIN, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("a"),
+        F.when(
+            F.size(F.split(F.col("text"), " ")) >= KAPPA_WORD_MIN,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
         .cast("long")
         .alias("b"),
     )

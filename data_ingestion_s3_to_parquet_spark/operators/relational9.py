@@ -926,35 +926,16 @@ def q_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
+    # shared scaffolding (functions/numeric.py, extracted in round 10
+    # when corr_spearman/trend_linfit became the 2nd and 3rd copies):
+    # decimal-first product sums + the pinned corr op-sequence with
+    # the ADVICE r7 zero-variance NULL guard
+    from ..functions.numeric import corr_micro_from_stats, suffstat_agg
+
     stats = base.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        *suffstat_agg(F.col("x"), F.col("y"))
     )
-    dec = "CAST({} AS DECIMAL(38,0))"
-    cov_num = F.expr(
-        f"CAST({dec.format('n')} * sxy - {dec.format('sx')} * {dec.format('sy')} AS DOUBLE)"
-    )
-    var_x = F.expr(
-        f"CAST({dec.format('n')} * sxx - {dec.format('sx')} * {dec.format('sx')} AS DOUBLE)"
-    )
-    var_y = F.expr(
-        f"CAST({dec.format('n')} * syy - {dec.format('sy')} * {dec.format('sy')} AS DOUBLE)"
-    )
-    # zero-variance guard (ADVICE r7): an all-equal group makes
-    # var_x*var_y = 0, and cov/sqrt(0) is Inf/NaN — Spark's round+cast
-    # nulls it while DuckDB's CAST(ROUND(inf) AS BIGINT) RAISES,
-    # crashing the whole oracle run instead of mismatching one row.
-    # Correlation is mathematically undefined there; both engines now
-    # return NULL explicitly.
-    micro = F.when(
-        (var_x == 0) | (var_y == 0), F.lit(None).cast("long")
-    ).otherwise(
-        F.round(cov_num / F.sqrt(var_x * var_y) * 1_000_000, 0).cast("long")
-    )
+    micro = corr_micro_from_stats()
     return stats.select(
         "l_returnflag",
         "n",
