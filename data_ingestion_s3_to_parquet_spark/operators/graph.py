@@ -724,6 +724,91 @@ def _sql_graph_sssp() -> str:
 SQL_GRAPH_SSSP = _sql_graph_sssp()
 
 
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the k-NN similarity graph: the Pearson
+    correlation, over directed edges, of the IN-degrees at both
+    endpoints — "do popular vectors point to popular vectors?". The
+    structural health check a similarity graph gets before trusting
+    graph-based dedup/retrieval on it: strong positive assortativity
+    means hub-to-hub chaining (near-dup clusters collapsing into one
+    blob), strong negative means star topologies (one template
+    matched by everything). In-degree on BOTH endpoints because a
+    k-NN graph's OUT-degree is the constant k — correlating it is
+    degenerate by construction (the zero-variance NULL would be the
+    only answer).
+
+    Exactness: in-degrees are exact int64 counts (a source vertex
+    nothing points at carries in-degree 0 via the left join); the
+    correlation runs the shared pinned scaffolding
+    (``suffstat_agg`` + ``corr_micro_from_stats`` —
+    functions/numeric.py, decimal-first products, zero-variance →
+    NULL).
+
+    Scale shape: edges come from the persisted per-fixture artifact
+    (:func:`_knn_edges` — at 100 TB, from LSH candidates); the
+    in-degree table is one combinable groupBy; both degree joins are
+    shuffle_hash-pinned (the degree table grows with the graph — a
+    fixture-scale broadcast is the §82 trap); the final stats are one
+    single-group combinable aggregate.
+    """
+    from ..functions.numeric import corr_micro_from_stats, suffstat_agg
+
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
+    xd = indeg.select(F.col("dst").alias("sk"), F.col("indeg").alias("x"))
+    yd = indeg.select(F.col("dst").alias("dk"), F.col("indeg").alias("y"))
+    pairs = (
+        edges.join(
+            xd.hint("shuffle_hash"), edges["src"] == xd["sk"], "left"
+        )
+        .join(yd.hint("shuffle_hash"), edges["dst"] == yd["dk"])
+        .select(
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.col("y"),
+        )
+    )
+    stats = pairs.groupBy().agg(*suffstat_agg(F.col("x"), F.col("y")))
+    micro = corr_micro_from_stats()
+    return stats.select(
+        F.col("n").alias("n_edges"),
+        (micro.cast("double") / 1e6).alias("assortativity"),
+    )
+
+
+SQL_GRAPH_ASSORTATIVITY = f"""
+WITH knn AS ({SQL_KNN_GRAPH}),
+edges AS (SELECT src, dst FROM knn),
+indeg AS (SELECT dst AS node, COUNT(*) AS indeg FROM edges GROUP BY dst),
+pairs AS (
+  SELECT CAST(COALESCE(sx.indeg, 0) AS BIGINT) AS x,
+         CAST(dy.indeg AS BIGINT) AS y
+  FROM edges
+  LEFT JOIN indeg sx ON edges.src = sx.node
+  JOIN indeg dy ON edges.dst = dy.node
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs
+)
+SELECT n AS n_edges,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+             OR n * syy - CAST(sy AS HUGEINT) * sy = 0
+            THEN NULL
+            ELSE CAST(CAST(ROUND(
+            CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                 * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+            * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0
+       END AS assortativity
+FROM stats
+"""
+
+
 # The whole graph family is multi-green: link_predict /
 # kcore_decompose (graded r7–r9) and graph_sssp (graded r8–r9)
 # demoted in the round-10 sixth-wave rotation for dedup_cluster_stats

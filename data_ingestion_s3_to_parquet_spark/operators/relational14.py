@@ -1408,14 +1408,18 @@ QUERIES: list[Query] = [
     ),
 ]
 
-# eval_mrr_scale shares eval_mrr's oracle (identical output contract);
-# it sits at the EXTRA head so a larger driver budget grades the
-# never-graded lane first.
-EXTRA_QUERIES: list[Query] = [
+QUERIES.append(
+    # eval_mrr_scale shares eval_mrr's oracle (identical output
+    # contract). It was the registry's ONLY never-driver-graded
+    # oracle lane; the round-10 ninth-wave rotation promotes it into
+    # the graded 50 (entropy_score demoted), restoring the
+    # every-oracle-lane-graded invariant.
     Query(
         "eval_mrr_scale",
         q_eval_mrr_scale,
         _sql_eval_mrr(),
         ("llm", "text", "evaluation", "ranking", "approx-free"),
-    ),
-]
+    )
+)
+
+EXTRA_QUERIES: list[Query] = []

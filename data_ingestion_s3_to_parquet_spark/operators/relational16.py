@@ -568,6 +568,19 @@ FROM cls GROUP BY 1
 # dedup_containment is defined in operators/dedup.py (next to the
 # jaccard machinery it reuses) and registers HERE so it grades with
 # the other round-10 seventh-wave lanes.
+def _assortativity_query() -> Query:
+    # defined in operators/graph.py (next to the edge artifact it
+    # reuses); registers here so it grades with the round-10 waves
+    from .graph import SQL_GRAPH_ASSORTATIVITY, q_graph_assortativity
+
+    return Query(
+        "graph_assortativity",
+        q_graph_assortativity,
+        SQL_GRAPH_ASSORTATIVITY,
+        ("llm", "graph", "statistics", "quality"),
+    )
+
+
 def _containment_query() -> Query:
     from .dedup import SQL_DEDUP_CONTAINMENT, q_dedup_containment
 
@@ -593,6 +606,7 @@ QUERIES: list[Query] = [
         _sql_privacy_tcloseness(),
         ("relational", "privacy", "compliance", "agg"),
     ),
+    _assortativity_query(),
     Query(
         "quantile_weighted",
         q_quantile_weighted,

@@ -306,13 +306,9 @@ def _promoted_r7() -> list[Query]:
         ),
         # emb_gram (double-green r8+r9) demoted in the round-10
         # seventh-wave rotation for relational16's gini_concentration
-        # — see _demoted_r10_w7 (bench flag kept)
-        Query(
-            "dedup_keep_best",
-            q_dedup_keep_best,
-            SQL_DEDUP_KEEP_BEST,
-            ("llm", "dedup", "quality"),
-        ),
+        # — see _demoted_r10_w7 (bench flag kept); dedup_keep_best
+        # (double-green r8+r9) demoted in the ninth-wave rotation for
+        # graph_assortativity — see _demoted_r10_w9
     ]
 
 
@@ -392,12 +388,9 @@ def _promoted_r7_wave2() -> list[Query]:
             SQL_ANN_TWO_STAGE,
             ("llm", "similarity", "approx", "topk", "pipeline"),
         ),
-        Query(
-            "entropy_score",
-            q_entropy_score,
-            SQL_ENTROPY_SCORE,
-            ("llm", "text", "quality"),
-        ),
+        # entropy_score (double-green r8+r9) demoted in the round-10
+        # ninth-wave rotation for the eval_mrr_scale promotion — see
+        # _demoted_r10_w9
         Query(
             "content_chunks",
             q_content_chunks,
@@ -637,6 +630,32 @@ def _demoted_r10_w6() -> list[Query]:
     ]
 
 
+def _demoted_r10_w9() -> list[Query]:
+    # double-green r8+r9 veterans traded for relational16's
+    # graph_assortativity and the eval_mrr_scale promotion (the
+    # registry's last never-graded oracle lane) in the round-10
+    # ninth-wave rotation
+    from .dedup import SQL_DEDUP_KEEP_BEST as _SQL_DKB
+    from .dedup import q_dedup_keep_best as _q_dkb
+    from .textstats import SQL_ENTROPY_SCORE as _SQL_ES
+    from .textstats import q_entropy_score as _q_es
+
+    return [
+        Query(
+            "dedup_keep_best",
+            _q_dkb,
+            _SQL_DKB,
+            ("llm", "dedup", "quality"),
+        ),
+        Query(
+            "entropy_score",
+            _q_es,
+            _SQL_ES,
+            ("llm", "text", "quality"),
+        ),
+    ]
+
+
 def _demoted_r10_w8() -> list[Query]:
     # double-green r8+r9 veteran traded for relational16's
     # privacy_tcloseness in the round-10 eighth-wave rotation
@@ -670,8 +689,8 @@ def _demoted_r10_w7() -> list[Query]:
 
 
 EXTRA_QUERIES: list[Query] = (
-    _demoted_r10_w8() + _demoted_r10_w7() + _demoted_r10_w6()
-    + _demoted_r9() + _demoted_r8()
+    _demoted_r10_w9() + _demoted_r10_w8() + _demoted_r10_w7()
+    + _demoted_r10_w6() + _demoted_r9() + _demoted_r8()
 ) + [
     Query(
         "interleave_mix",

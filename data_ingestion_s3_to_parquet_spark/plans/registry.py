@@ -47,8 +47,9 @@ _MODULES = (
     # rolling_quantile / schema_drift_report / dedup_threshold_sweep /
     # alert_rate_spike / bpe_fertility / compaction_plan /
     # privacy_ldiv / eval_regression) — first QUERIES contributor after parity so
-    # they grade immediately (never-graded-first) — plus the
-    # EXTRA-lane eval_mrr_scale (the window-free 100 TB twin).
+    # they grade immediately (never-graded-first) — plus
+    # eval_mrr_scale (the window-free 100 TB twin), promoted into the
+    # graded lane by the round-10 ninth-wave rotation.
     "data_ingestion_s3_to_parquet_spark.operators.relational14",
     # relational15 holds the round-10 sixth wave (dedup_cluster_stats /
     # corr_spearman / trend_linfit) — never-graded, so it grades
@@ -164,15 +165,17 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and thirty-seven entries in the lane after the round-10
+# a hundred and thirty-eight entries in the lane after the round-10
 # sixth- and seventh-wave rotations demoted the multi-green graph
 # trio, session_paths, ewma_smooth, emb_gram, lm_bigram_score,
 # jsonl_interop, rank_fusion_rrf, and sim_join_kmeans for
 # dedup_cluster_stats / corr_spearman / trend_linfit / anova_oneway
 # / rank_mannwhitney / dedup_containment / eval_cohen_kappa /
 # privacy_tcloseness / quantile_weighted / gini_concentration
-# (eval_mrr_scale — the window-free 100 TB twin sharing eval_mrr's oracle — at its head), otherwise EVERY one
-# with at least one prior green driver row — the six wave-3 demotees
+# (the ninth wave promoted eval_mrr_scale OUT of this lane into the
+# graded 50 — no never-graded oracle lane remains — and demoted
+# dedup_keep_best / entropy_score here); EVERY entry carries
+# at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /
 # inverted_index / changepoint_cusum / winnow_overlap / link_predict

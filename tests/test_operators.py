@@ -785,6 +785,7 @@ def test_extra_lane_doc_counts_match_registry():
         135: "a hundred and thirty-five",
         136: "a hundred and thirty-six",
         137: "a hundred and thirty-seven",
+        138: "a hundred and thirty-eight",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -949,7 +950,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 137
+    assert len(EXTRA) == 138
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -965,18 +966,18 @@ def test_lane_counts_match_docs():
         "bpe_fertility", "compaction_plan", "privacy_ldiv",
         "eval_regression",
     ]
-    # round-10 sixth wave: never-graded-first at positions 11-15; the
-    # multi-green graph trio (link_predict, kcore_decompose,
-    # graph_sssp), session_paths, and ewma_smooth demoted one-for-one
-    assert list(REGISTRY)[10:15] == [
+    # round-10 waves 6-9: eleven never-graded first-timers plus the
+    # eval_mrr_scale promotion (the registry's last never-graded
+    # oracle lane) at positions 11-22; the multi-green graph trio,
+    # session_paths, ewma_smooth, emb_gram, lm_bigram_score,
+    # jsonl_interop, rank_fusion_rrf, sim_join_kmeans,
+    # dedup_keep_best, and entropy_score demoted one-for-one
+    assert list(REGISTRY)[10:22] == [
+        "eval_mrr_scale",
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
-    ]
-    # round-10 seventh/eighth waves at positions 16-20 (emb_gram,
-    # lm_bigram_score, jsonl_interop, rank_fusion_rrf, and
-    # sim_join_kmeans — all multi-green — demoted one-for-one)
-    assert list(REGISTRY)[15:20] == [
         "dedup_containment", "eval_cohen_kappa", "privacy_tcloseness",
+        "graph_assortativity",
         "quantile_weighted", "gini_concentration",
     ]
     assert list(REGISTRY)[-12:] == [
@@ -985,8 +986,9 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    assert list(EXTRA)[:24] == [
-        "eval_mrr_scale",
+    # eval_mrr_scale left the EXTRA head when the ninth-wave rotation
+    # promoted it (no never-graded oracle lane remains)
+    assert list(EXTRA)[:23] == [
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
         "reconcile_sources",
@@ -1020,7 +1022,7 @@ def test_lane_counts_match_docs():
     for k in ("link_predict", "kcore_decompose", "graph_sssp",
               "session_paths", "ewma_smooth", "emb_gram",
               "lm_bigram_score", "jsonl_interop", "rank_fusion_rrf",
-              "sim_join_kmeans"):
+              "sim_join_kmeans", "dedup_keep_best", "entropy_score"):
         assert k in EXTRA and k not in REGISTRY, k
     # earlier-round demotees stay EXTRA with their green rows
     demoted = {
@@ -1036,10 +1038,9 @@ def test_lane_counts_match_docs():
     # winnow_overlap, asserted at the EXTRA head above)
     for k in (
         "dedup_passages",
-        "dedup_keep_best",
         "stream_join_interval",
         "chi2_contingency", "ann_two_stage",
-        "entropy_score", "content_chunks", "word_filter", "corr_pearson",
+        "content_chunks", "word_filter", "corr_pearson",
         "dsir_weights",
         "token_budget_select",
     ):
@@ -7545,3 +7546,71 @@ def test_privacy_tcloseness_planted_bands(spark, tmp_path):
         "t<=0.35": (1, 2, 333333, False),
         "t>0.35": (2, 4, 666667, True),
     }
+
+
+def test_graph_assortativity_matches_python_recompute(spark, tmp_path):
+    # deterministic 2-block fixture; the replay recomputes the k-NN
+    # edges (cos desc, dst asc, k=KNN_K), the in-degrees (0 for
+    # never-targeted sources), and the half-up Pearson micro — the
+    # operator must match exactly
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        q_graph_assortativity,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import KNN_K
+
+    vecs = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [0.5, 0.5], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [-0.4, 0.9], 1),
+        (5, [1.0, 1.0], 2),
+        (6, [1.0, 0.9], 2),
+        (7, [0.2, 1.0], 2),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    edges = []
+    for src, ea, lab in vecs:
+        cands = sorted(
+            (
+                (-cos(ea, eb), dst)
+                for dst, eb, lab2 in vecs
+                if lab2 == lab and dst != src
+            ),
+        )[:KNN_K]
+        edges += [(src, dst) for _, dst in cands]
+    indeg = Counter(d for _, d in edges)
+    xs = [indeg.get(s, 0) for s, _ in edges]
+    ys = [indeg[d] for _, d in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx == 0 or vy == 0:
+        expected = None
+    else:
+        v = float(num) / math.sqrt(float(vx) * float(vy)) * 1_000_000
+        expected = int(
+            Decimal(repr(v)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        ) / 1e6
+
+    r, = q_graph_assortativity(spark, str(tmp_path)).collect()
+    assert r.n_edges == n
+    assert r.assortativity == expected

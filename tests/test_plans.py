@@ -1281,3 +1281,21 @@ def test_privacy_tcloseness_broadcast_is_global_distribution_only(spark):
     assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) >= 1
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
     assert plan.count("row_number(") == 0
+
+
+def test_graph_assortativity_degree_joins_never_broadcast(spark):
+    # both degree joins are shuffle_hash-pinned (the degree table
+    # grows with the graph); pinned on the CACHED-artifact plan (the
+    # production read path — the edge build is a one-time artifact
+    # job, not part of this lane's steady-state plan)
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        _knn_edges,
+        q_graph_assortativity,
+    )
+
+    _knn_edges(spark, SF_SMOKE).count()  # ensure the artifact exists
+    plan = plan_of(q_graph_assortativity(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) >= 2
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
