@@ -191,11 +191,11 @@ two-sample U / rank-side AUC via the drift_ks two-phase rank
 decomposition) at graded positions 11–15, demoting the
 multi-green graph trio (link_predict / kcore_decompose / graph_sssp),
 session_paths, and ewma_smooth. The EXTRA lane
-holds a hundred and thirty-eight oracle-gated entries, every one with
+holds a hundred and thirty-nine oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 138 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 139 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -393,6 +393,162 @@ FROM m
 
 
 # --------------------------------------------------------------------
+# eval_fleiss_kappa
+# --------------------------------------------------------------------
+
+# Third deterministic rater for the m=3 panel: type-token ratio —
+# distinct words ≥ 70% of words (integer cross-multiplied). The three
+# gates are correlated-but-offset, so the panel has real partial
+# agreement (2-1 splits), which is what Fleiss grades.
+FLEISS_TTR_NUM, FLEISS_TTR_DEN = 7, 10
+FLEISS_M = 3  # raters: the char gate, the word gate, the TTR gate
+
+# Closed form over exact integers (m = 3, two categories): with
+# S = Σ_i (n_i1² + n_i0²) and T = Σ_i n_i1 over a language's N docs,
+#   P_o = (S − 3N) / (6N)
+#   P_e = (T² + (3N − T)²) / (9N²)
+#   κ   = [3N(S − 3N) − 2(T² + (3N−T)²)] / [18N² − 2(T² + (3N−T)²)]
+# — both ratios of exact integers, each micro-quantized through one
+# pinned double division; P_e = 1 (a constant panel) → NULL. The
+# squared terms ride DECIMAL/HUGEINT (T² ~ 9N² leaves int64 near
+# sf1000 — documented).
+_FLEISS_PO_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * (s_sum - 3 * n_docs))"
+    " / (CAST(6 AS DOUBLE) * n_docs), 0) AS BIGINT)"
+)
+# po_big = 3N(S − 3N) is carried as a DECIMAL/HUGEINT column (the
+# decimal-first rule — its int64 form would wrap near sf1000 where
+# the oracle errors instead)
+_FLEISS_KAPPA_EXPR = (
+    "CASE WHEN 18 * nsq - 2 * pe_num = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE)"
+    " * (po_big - 2 * pe_num))"
+    " / CAST(18 * nsq - 2 * pe_num AS DOUBLE), 0) AS BIGINT) END"
+)
+
+
+def q_eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa of a THREE-rater quality panel, per language —
+    the m-rater generalization of ``eval_cohen_kappa`` (Fleiss 1971):
+    when a labeling pipeline runs a panel of judges rather than a
+    pair, pairwise Cohen under-reports structure; Fleiss grades the
+    whole panel's agreement against the chance level its pooled
+    marginals imply. Raters: the Cohen lane's char-length and
+    word-count gates plus a type-token-ratio gate (distinct words ≥
+    70% of words — the repetition screen), all deterministic and
+    rendered identically in SQL.
+
+    Exactness: per-doc vote counts are exact ints from the three
+    when/otherwise gates (NULL inputs land in the 0-vote, the Cohen
+    NULL rule); the per-language reduction carries only S = Σ(n₁²+n₀²)
+    and T = Σn₁, and the closed forms above are ratios of exact
+    integer combinations — one pinned micro division each, NULL when
+    the panel is constant (P_e = 1).
+
+    Scale shape: one map-side-combinable groupBy over documents
+    (output bounded by |langs|) — zero joins, zero windows, zero
+    broadcasts, like the Cohen lane.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.col("n_chars") >= KAPPA_CHAR_MIN, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("a"),
+        F.when(
+            F.size(F.split(F.col("text"), " ")) >= KAPPA_WORD_MIN,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("b"),
+        F.when(
+            FLEISS_TTR_DEN
+            * F.size(F.array_distinct(F.split(F.col("text"), " ")))
+            >= FLEISS_TTR_NUM * F.size(F.split(F.col("text"), " ")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("c"),
+    )
+    per = docs.select(
+        "lang", (F.col("a") + F.col("b") + F.col("c")).alias("k1")
+    ).select(
+        "lang",
+        "k1",
+        (
+            F.col("k1") * F.col("k1")
+            + (FLEISS_M - F.col("k1")) * (FLEISS_M - F.col("k1"))
+        ).alias("s_i"),
+    )
+    dec = "decimal(38,0)"
+    g = per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("k1").alias("t_keep"),
+        F.sum("s_i").alias("s_sum"),
+    )
+    g = g.withColumn(
+        "pe_num",
+        F.col("t_keep").cast(dec) * F.col("t_keep")
+        + (3 * F.col("n_docs") - F.col("t_keep")).cast(dec)
+        * (3 * F.col("n_docs") - F.col("t_keep")),
+    ).withColumn(
+        "nsq", F.col("n_docs").cast(dec) * F.col("n_docs")
+    ).withColumn(
+        "po_big",
+        (F.col("s_sum") - 3 * F.col("n_docs")).cast(dec)
+        * (3 * F.col("n_docs")),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "t_keep",
+        "s_sum",
+        F.expr(_FLEISS_PO_EXPR).alias("po_micro"),
+        F.expr(_FLEISS_KAPPA_EXPR).alias("kappa_micro"),
+    )
+
+
+SQL_EVAL_FLEISS_KAPPA = f"""
+WITH r AS (
+  SELECT lang,
+         CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(string_split(text, ' ')) >= {KAPPA_WORD_MIN}
+              THEN 1 ELSE 0 END AS b,
+         CASE WHEN {FLEISS_TTR_DEN}
+                   * len(list_distinct(string_split(text, ' ')))
+                >= {FLEISS_TTR_NUM} * len(string_split(text, ' '))
+              THEN 1 ELSE 0 END AS c
+  FROM documents
+),
+per AS (
+  SELECT lang, a + b + c AS k1,
+         (a + b + c) * (a + b + c)
+         + ({FLEISS_M} - a - b - c) * ({FLEISS_M} - a - b - c) AS s_i
+  FROM r
+),
+g AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(k1) AS BIGINT) AS t_keep,
+         CAST(SUM(s_i) AS BIGINT) AS s_sum
+  FROM per GROUP BY lang
+),
+m AS (
+  SELECT *,
+         CAST(t_keep AS HUGEINT) * t_keep
+         + CAST(3 * n_docs - t_keep AS HUGEINT)
+           * (3 * n_docs - t_keep) AS pe_num,
+         CAST(n_docs AS HUGEINT) * n_docs AS nsq,
+         CAST(s_sum - 3 * n_docs AS HUGEINT) * (3 * n_docs) AS po_big
+  FROM g
+)
+SELECT lang, n_docs, t_keep, s_sum,
+       {_FLEISS_PO_EXPR} AS po_micro,
+       {_FLEISS_KAPPA_EXPR} AS kappa_micro
+FROM m
+"""
+
+
+# --------------------------------------------------------------------
 # privacy_tcloseness
 # --------------------------------------------------------------------
 
@@ -598,6 +754,12 @@ QUERIES: list[Query] = [
         "eval_cohen_kappa",
         q_eval_cohen_kappa,
         SQL_EVAL_COHEN_KAPPA,
+        ("llm", "evaluation", "statistics", "quality"),
+    ),
+    Query(
+        "eval_fleiss_kappa",
+        q_eval_fleiss_kappa,
+        SQL_EVAL_FLEISS_KAPPA,
         ("llm", "evaluation", "statistics", "quality"),
     ),
     Query(

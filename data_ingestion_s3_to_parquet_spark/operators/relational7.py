@@ -398,12 +398,9 @@ def _promoted_r7_wave2() -> list[Query]:
             ("llm", "text", "dedup", "rag"),
             bench=True,  # the token-window + fingerprint-window representative
         ),
-        Query(
-            "word_filter",
-            q_word_filter,
-            SQL_WORD_FILTER,
-            ("llm", "text", "quality"),
-        ),
+        # word_filter (double-green r8+r9) demoted in the round-10
+        # ninth-wave rotation for relational16's eval_fleiss_kappa —
+        # see _demoted_r10_w9
     ]
 
 
@@ -638,7 +635,9 @@ def _demoted_r10_w9() -> list[Query]:
     from .dedup import SQL_DEDUP_KEEP_BEST as _SQL_DKB
     from .dedup import q_dedup_keep_best as _q_dkb
     from .textstats import SQL_ENTROPY_SCORE as _SQL_ES
+    from .textstats import SQL_WORD_FILTER as _SQL_WF
     from .textstats import q_entropy_score as _q_es
+    from .textstats import q_word_filter as _q_wf
 
     return [
         Query(
@@ -651,6 +650,12 @@ def _demoted_r10_w9() -> list[Query]:
             "entropy_score",
             _q_es,
             _SQL_ES,
+            ("llm", "text", "quality"),
+        ),
+        Query(
+            "word_filter",
+            _q_wf,
+            _SQL_WF,
             ("llm", "text", "quality"),
         ),
     ]

@@ -165,7 +165,7 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and thirty-eight entries in the lane after the round-10
+# a hundred and thirty-nine entries in the lane after the round-10
 # sixth- and seventh-wave rotations demoted the multi-green graph
 # trio, session_paths, ewma_smooth, emb_gram, lm_bigram_score,
 # jsonl_interop, rank_fusion_rrf, and sim_join_kmeans for

@@ -786,6 +786,7 @@ def test_extra_lane_doc_counts_match_registry():
         136: "a hundred and thirty-six",
         137: "a hundred and thirty-seven",
         138: "a hundred and thirty-eight",
+        139: "a hundred and thirty-nine",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -950,7 +951,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 138
+    assert len(EXTRA) == 139
     assert len(BENCH_ONLY) == 7
     # round-10 rotation (VERDICT r9 #1): the five NEW round-10
     # operators grade immediately after ingest_parity; the twelve
@@ -972,12 +973,12 @@ def test_lane_counts_match_docs():
     # session_paths, ewma_smooth, emb_gram, lm_bigram_score,
     # jsonl_interop, rank_fusion_rrf, sim_join_kmeans,
     # dedup_keep_best, and entropy_score demoted one-for-one
-    assert list(REGISTRY)[10:22] == [
+    assert list(REGISTRY)[10:23] == [
         "eval_mrr_scale",
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
-        "dedup_containment", "eval_cohen_kappa", "privacy_tcloseness",
-        "graph_assortativity",
+        "dedup_containment", "eval_cohen_kappa", "eval_fleiss_kappa",
+        "privacy_tcloseness", "graph_assortativity",
         "quantile_weighted", "gini_concentration",
     ]
     assert list(REGISTRY)[-12:] == [
@@ -1022,7 +1023,8 @@ def test_lane_counts_match_docs():
     for k in ("link_predict", "kcore_decompose", "graph_sssp",
               "session_paths", "ewma_smooth", "emb_gram",
               "lm_bigram_score", "jsonl_interop", "rank_fusion_rrf",
-              "sim_join_kmeans", "dedup_keep_best", "entropy_score"):
+              "sim_join_kmeans", "dedup_keep_best", "entropy_score",
+              "word_filter"):
         assert k in EXTRA and k not in REGISTRY, k
     # earlier-round demotees stay EXTRA with their green rows
     demoted = {
@@ -1040,7 +1042,7 @@ def test_lane_counts_match_docs():
         "dedup_passages",
         "stream_join_interval",
         "chi2_contingency", "ann_two_stage",
-        "content_chunks", "word_filter", "corr_pearson",
+        "content_chunks", "corr_pearson",
         "dsir_weights",
         "token_budget_select",
     ):
@@ -7614,3 +7616,29 @@ def test_graph_assortativity_matches_python_recompute(spark, tmp_path):
     r, = q_graph_assortativity(spark, str(tmp_path)).collect()
     assert r.n_edges == n
     assert r.assortativity == expected
+
+
+def test_eval_fleiss_kappa_planted_panel(spark, tmp_path):
+    # three docs: unanimous keep (k1=3, s=9), a 2-1 split (s=5), and
+    # unanimous drop (s=9) -> N=3, T=5, S=23: P_o = 14/18 -> 777778;
+    # kappa = (3N(S-3N) - 2*pe)/(18N^2 - 2*pe) = (126-82)/(162-82)
+    # = 44/80 -> 550000
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_fleiss_kappa,
+    )
+
+    w50 = " ".join(f"w{i}" for i in range(50))
+    rows = [
+        (1, w50, "x", "s", 300),   # a=1 b=1 c=1
+        (2, w50, "x", "s", 299),   # a=0 b=1 c=1
+        (3, "w w", "x", "s", 100),  # a=0 b=0 c=0 (TTR 1/2 < 0.7)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    r, = q_eval_fleiss_kappa(spark, str(tmp_path)).collect()
+    assert (r.n_docs, r.t_keep, r.s_sum) == (3, 5, 23)
+    assert r.po_micro == 777778
+    assert r.kappa_micro == 550000

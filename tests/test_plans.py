@@ -1299,3 +1299,19 @@ def test_graph_assortativity_degree_joins_never_broadcast(spark):
     plan = plan_of(q_graph_assortativity(spark, SF_SMOKE))
     assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) >= 2
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+
+
+def test_eval_fleiss_kappa_is_one_combinable_aggregate(spark):
+    # like the Cohen lane: one map-side-combinable groupBy bounded by
+    # |langs| — one exchange, no window, no join, no broadcast
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_fleiss_kappa,
+    )
+
+    plan = plan_of(q_eval_fleiss_kappa(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan

@@ -4071,3 +4071,75 @@ def test_privacy_tcloseness_matches_python_on_any_table(
         for r in q_privacy_tcloseness(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+_fleiss_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["x", "y"]),
+        st.integers(250, 350),   # chars straddling the 300 gate
+        st.integers(45, 55),     # total words straddling the 50 gate
+        st.integers(0, 10),      # distinct words = tw - rep (TTR knob)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=_fleiss_docs)
+@slow_ok
+def test_eval_fleiss_kappa_matches_python_on_any_corpus(
+    spark, docs, tmp_path_factory
+):
+    """The exact-integer Fleiss closed form equals a Python replay for
+    ARBITRARY panels — unanimous groups (pe=1 -> NULL), 2-1 splits,
+    and TTR-boundary texts."""
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        FLEISS_TTR_DEN,
+        FLEISS_TTR_NUM,
+        KAPPA_CHAR_MIN,
+        KAPPA_WORD_MIN,
+        q_eval_fleiss_kappa,
+    )
+
+    tmp = tmp_path_factory.mktemp("fleiss")
+    rows, meta = [], []
+    for i, (lang, chars, tw, rep) in enumerate(docs):
+        dw = max(1, tw - rep)
+        words = [f"w{j}" for j in range(dw)] + ["w0"] * (tw - dw)
+        rows.append((i, " ".join(words), lang, "s", chars))
+        meta.append((lang, chars, tw, dw))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for lang, chars, tw, dw in meta:
+        a = chars >= KAPPA_CHAR_MIN
+        b = tw >= KAPPA_WORD_MIN
+        c = FLEISS_TTR_DEN * dw >= FLEISS_TTR_NUM * tw
+        per[lang].append(int(a) + int(b) + int(c))
+    expected = {}
+    for lang, k1s in per.items():
+        n = len(k1s)
+        t = sum(k1s)
+        s = sum(k * k + (3 - k) * (3 - k) for k in k1s)
+        po = _half_up_long((1_000_000.0 * (s - 3 * n)) / (6.0 * n))
+        pe = t * t + (3 * n - t) * (3 * n - t)
+        den = 18 * n * n - 2 * pe
+        kap = (
+            None
+            if den == 0
+            else _half_up_long(
+                (1_000_000.0 * (3 * n * (s - 3 * n) - 2 * pe)) / float(den)
+            )
+        )
+        expected[lang] = (n, t, s, po, kap)
+
+    got = {
+        r.lang: (r.n_docs, r.t_keep, r.s_sum, r.po_micro, r.kappa_micro)
+        for r in q_eval_fleiss_kappa(spark, str(tmp)).collect()
+    }
+    assert got == expected
