@@ -207,6 +207,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle_hash-pinned (Catalyst's pre-Generate size estimate would
     broadcast them — the driver-OOM trap), candidates de-duplicated
     before the verification joins.
+
+    Collision assumption (matching the jaccard lane): shingles are
+    xxhash64 values on the Spark side while the oracle intersects raw
+    string shingles, and unlike jaccard this lane EXPOSES the exact
+    na/nb/inter counts — so a single intra-document 64-bit collision
+    would flip a count or the contained-side assignment and fail the
+    oracle loudly. Accepted: with ≤ ~10³ shingles per document the
+    per-doc birthday bound is ~10⁶/2⁶⁴ ≈ 5·10⁻¹⁴; at 100 TB the same
+    reasoning holds per document (collisions across documents are
+    harmless — containment only compares sets pairwise).
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     sh = with_hashed_shingles(d, "text", "sh", 3).select(

@@ -258,7 +258,8 @@ g AS (
   SELECT source,
          CAST(SUM(c) AS BIGINT) AS n_docs,
          CAST(SUM(s) AS BIGINT) AS total_chars,
-         CAST(SUM(CAST(2 * c AS HUGEINT) * (v * nb - sb)) AS BIGINT)
+         CAST(SUM(CAST(2 * c AS HUGEINT)
+                  * (CAST(v AS HUGEINT) * nb - sb)) AS BIGINT)
            AS delta
   FROM pre GROUP BY source
 )

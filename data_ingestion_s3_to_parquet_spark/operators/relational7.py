@@ -292,8 +292,9 @@ QUERIES: list[Query] = []
 # the only oracle-gated entries without a driver row; their promotion
 # restores the every-operator-graded invariant permanently).
 def _promoted_r7() -> list[Query]:
-    from .dedup import SQL_DEDUP_KEEP_BEST, q_dedup_keep_best
-    from .similarity import SQL_EMB_GRAM, q_emb_gram
+    # dedup_keep_best and emb_gram used to register here; since their
+    # round-10 demotions (see _demoted_r10_w7 / _demoted_r10_w9) this
+    # helper imports only what it still returns.
     from .trainprep import SQL_DEDUP_PASSAGES, q_dedup_passages
 
     return [
@@ -321,48 +322,17 @@ def _promoted_r7() -> list[Query]:
 # veterans to the EXTRA lane in exchange. Once round 7 grades, every
 # oracle-gated operator in the repo has a driver CORRECTNESS row.
 def _promoted_r7_wave2() -> list[Query]:
-    from .relational9 import (
-        SQL_CHI2_CONTINGENCY,
-        SQL_SESSION_PATHS,
-        q_chi2_contingency,
-        q_session_paths,
-    )
-    from .similarity import (
-        SQL_ANN_PQ_TOPK,
-        SQL_ANN_TWO_STAGE,
-        SQL_KMEANS_EMBEDDINGS,
-        SQL_PQ_ENCODE,
-        SQL_SIM_JOIN_KMEANS,
-        q_ann_pq_topk,
-        q_ann_two_stage,
-        q_kmeans_embeddings,
-        q_pq_encode,
-        q_sim_join_kmeans,
-    )
-    from .textstats import (
-        SQL_CONTENT_CHUNKS,
-        SQL_ENTROPY_SCORE,
-        SQL_PMI_COOCCUR,
-        SQL_VOCAB_COVERAGE,
-        SQL_WORD_FILTER,
-        q_content_chunks,
-        q_entropy_score,
-        q_pmi_cooccur,
-        q_vocab_coverage,
-        q_word_filter,
-    )
-    from .trainprep import (
-        SQL_BPE_APPLY,
-        SQL_BPE_MERGES,
-        q_bpe_apply,
-        q_bpe_merges,
-    )
+    # After the round-10 demotions (session_paths, sim_join_kmeans,
+    # entropy_score, word_filter — see the _demoted_r10_* helpers)
+    # this wave registers four queries; the demoted lanes import
+    # their own symbols, so only the four survivors' are needed here.
+    from .relational9 import SQL_CHI2_CONTINGENCY, q_chi2_contingency
+    from .similarity import SQL_ANN_TWO_STAGE, q_ann_two_stage
+    from .textstats import SQL_CONTENT_CHUNKS, q_content_chunks
     from ..streaming.windows import (
         SQL_STREAM_JOIN_INTERVAL,
         q_stream_join_interval,
     )
-
-    from .graph import SQL_GRAPH_TRIANGLES, q_graph_triangles
 
     return [
         Query(
