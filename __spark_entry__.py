@@ -190,12 +190,30 @@ the statistical-test matrix), and rank_mannwhitney (the nonparametric
 two-sample U / rank-side AUC via the drift_ks two-phase rank
 decomposition) at graded positions 11–15, demoting the
 multi-green graph trio (link_predict / kcore_decompose / graph_sssp),
-session_paths, and ewma_smooth. The EXTRA lane
-holds a hundred and thirty-nine oracle-gated entries, every one with
+session_paths, and ewma_smooth. Round 11 adds graph_modularity
+(Newman modularity of label_propagation's communities — the
+community-structure quality scalar, exact integer rationals over the
+undirected k-NN graph) and text_readability (Flesch reading ease
+with the vowel-group syllable proxy — the readability leg of the
+text-quality family) at positions 2–3, extends eval_mrr with the
+recall@{1,5,10,20} cutoff ladder (kept graded for a fresh row under
+the new schema), and runs the next grade-freshness rotation: the
+twelve lanes with the registry's MEASURED-oldest driver rows
+(datetime_funcs, seq_pack, embedding_quantize, quality_gopher,
+pii_redact, media_frame_sample, agg_approx_quantile — last graded
+r3 — and agg_group, join_inner, join_broadcast, join_range,
+join_asof — last graded r4) re-enter the graded lane, while the 14
+round-10 single-green first-timers (rolling_quantile,
+schema_drift_report, dedup_threshold_sweep, alert_rate_spike,
+bpe_fertility, compaction_plan, privacy_ldiv, eval_regression,
+eval_mrr_scale, dedup_cluster_stats, corr_spearman, trend_linfit,
+anova_oneway, rank_mannwhitney) demote one-for-one and LEAD the
+EXTRA lane. The EXTRA lane
+holds a hundred and forty-one oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 139 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 141 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -257,7 +257,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("node", F.col("lab").alias("community"))
 
 
-def _sql_label_propagation() -> str:
+def _lpa_ctes() -> list[str]:
+    """The unrolled label-propagation CTE chain, shared by the LPA
+    oracle and the modularity oracle (which scores LPA's communities
+    — the two lanes must see the IDENTICAL labeling)."""
     cte = [
         f"knn AS ({SQL_KNN_GRAPH})",
         "e AS (SELECT src, dst FROM knn)",
@@ -278,9 +281,13 @@ def _sql_label_propagation() -> str:
             f"FROM {prev} q JOIN sym s ON q.node = s.src GROUP BY s.dst, q.lab"
             f") WHERE rn = 1) m USING (node))"
         )
+    return cte
+
+
+def _sql_label_propagation() -> str:
     return (
         "WITH "
-        + ",\n".join(cte)
+        + ",\n".join(_lpa_ctes())
         + f"\nSELECT node, lab AS community FROM l{LPA_ITERS}"
     )
 
@@ -807,6 +814,172 @@ SELECT n AS n_edges,
        END AS assortativity
 FROM stats
 """
+
+
+# Newman modularity contribution / total, micro-quantized: one pinned
+# double division per value over exact integer numerator/denominator
+# (decimal(38,0) ↔ HUGEINT — the overflow-parity rule: 4m² leaves
+# int64 at m ≈ 1.5·10⁹ edges, well inside 100 TB territory). m = 0
+# (edgeless graph) has no defined modularity → NULL, the repo's 0/0
+# standard.
+_MOD_CONTRIB_EXPR = (
+    "CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * CAST(num_c AS DOUBLE))"
+    " / CAST(den AS DOUBLE), 0) AS BIGINT) END"
+)
+_MOD_TOTAL_EXPR = (
+    "CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * CAST(num_tot AS DOUBLE))"
+    " / CAST(den AS DOUBLE), 0) AS BIGINT) END"
+)
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of ``label_propagation``'s communities over
+    the undirected k-NN similarity graph — the quality scalar that
+    says whether the detected near-dup communities are real structure
+    (VERDICT r10 #2): Q = Σ_c (l_c/m − (d_c/2m)²) with l_c the
+    intra-community edge count, d_c the community degree sum, m the
+    undirected edge count. Q ≈ 0 means the partition is no better
+    than a degree-preserving random graph (don't trust cluster-level
+    dedup decisions on it); Q ≳ 0.3 is conventional "real community
+    structure". Completes the graph-health family next to
+    ``graph_assortativity`` (degree mixing) and ``dedup_cluster_stats``
+    (size histogram): per-community rows expose WHICH communities
+    carry the structure, the repeated total is the one-line verdict.
+
+    Exactness: everything is integer until the single pinned division
+    per output value. Per-community contribution is the exact
+    rational (4m·l_c − d_c²)/(4m²); numerators and the denominator
+    are decimal(38,0) (HUGEINT in the oracle — 4m² overflows int64
+    at ~1.5e9 edges), micro-quantized through the shared
+    ``_MOD_CONTRIB_EXPR`` / ``_MOD_TOTAL_EXPR`` rendered into both
+    engines. The total's numerator is Σ_c num_c summed exactly BEFORE
+    the division, so ``modularity_micro`` is the true quantized Q,
+    not a sum of quantized contributions. Labels come from the SAME
+    deterministic synchronous LPA the ``label_propagation`` lane
+    grades (the oracle re-derives them via the shared unrolled CTE
+    chain :func:`_lpa_ctes`).
+
+    Scale shape: canonical undirected edges from the persisted
+    per-fixture artifact (at 100 TB, from LSH candidates); degrees
+    and per-community sums are combinable groupBys keyed on node /
+    community ids; the two label joins onto the edge table are
+    shuffle_hash-pinned (labels are corpus-sized — broadcasting them
+    is the §82 trap); m and Σ num_c are 1-row aggregates broadcast
+    back onto the bounded per-community summary (never a
+    single-partition window over it).
+    """
+    labels = q_label_propagation(spark, sf_dir)  # (node, community)
+    e = _knn_edges(spark, sf_dir).select("src", "dst")
+    und = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    comm = (
+        labels.join(deg.hint("shuffle_hash"), "node", "left")
+        .select("community", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    intra = (
+        und.join(la.hint("shuffle_hash"), "a")
+        .join(lb.hint("shuffle_hash"), "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("ic"))
+    )
+    m_row = und.groupBy().agg(F.count("*").alias("m_edges"))
+    dec = "decimal(38,0)"
+    s = (
+        comm.join(intra, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("ic", F.lit(0)).alias("intra_edges"),
+            "degree_sum",
+        )
+        .crossJoin(F.broadcast(m_row))
+        .withColumn(
+            "num_c",
+            (
+                F.lit(4).cast(dec)
+                * F.col("m_edges").cast(dec)
+                * F.col("intra_edges").cast(dec)
+                - F.col("degree_sum").cast(dec)
+                * F.col("degree_sum").cast(dec)
+            ).cast(dec),
+        )
+        .withColumn(
+            "den",
+            (
+                F.lit(4).cast(dec)
+                * F.col("m_edges").cast(dec)
+                * F.col("m_edges").cast(dec)
+            ).cast(dec),
+        )
+    )
+    tot = s.groupBy().agg(F.sum("num_c").cast(dec).alias("num_tot"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "community",
+        "n_nodes",
+        "intra_edges",
+        "degree_sum",
+        "m_edges",
+        F.expr(_MOD_CONTRIB_EXPR).alias("contrib_micro"),
+        F.expr(_MOD_TOTAL_EXPR).alias("modularity_micro"),
+    )
+
+
+def _sql_graph_modularity() -> str:
+    cte = _lpa_ctes() + [
+        f"lab AS (SELECT node, lab AS community FROM l{LPA_ITERS})",
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a,"
+        " GREATEST(src, dst) AS b FROM e WHERE src <> dst)",
+        "mtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM und)",
+        "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM"
+        " (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)"
+        " GROUP BY node)",
+        "comm AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes,"
+        " CAST(SUM(COALESCE(deg.deg, 0)) AS BIGINT) AS degree_sum"
+        " FROM lab LEFT JOIN deg USING (node) GROUP BY community)",
+        "intra AS (SELECT la.community, CAST(COUNT(*) AS BIGINT) AS ic"
+        " FROM und JOIN lab la ON und.a = la.node"
+        " JOIN lab lb ON und.b = lb.node"
+        " WHERE la.community = lb.community GROUP BY la.community)",
+        "s AS (SELECT comm.community, n_nodes,"
+        " COALESCE(intra.ic, 0) AS intra_edges, degree_sum, m_edges,"
+        " CAST(4 AS HUGEINT) * m_edges * COALESCE(intra.ic, 0)"
+        " - CAST(degree_sum AS HUGEINT) * degree_sum AS num_c,"
+        " CAST(4 AS HUGEINT) * m_edges * m_edges AS den"
+        " FROM comm LEFT JOIN intra USING (community), mtot)",
+        "g AS (SELECT CAST(SUM(num_c) AS HUGEINT) AS num_tot FROM s)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + "\nSELECT community, n_nodes, intra_edges, degree_sum, m_edges,"
+        + f" {_MOD_CONTRIB_EXPR} AS contrib_micro,"
+        + f" {_MOD_TOTAL_EXPR} AS modularity_micro"
+        + "\nFROM s, g"
+    )
+
+
+SQL_GRAPH_MODULARITY = _sql_graph_modularity()
 
 
 # The whole graph family is multi-green: link_predict /

@@ -793,12 +793,9 @@ EXTRA_QUERIES = [
     Query("multimodal_cols", q_multimodal_cols, SQL_MULTIMODAL_COLS, ("llm", "multimodal")),
     Query("array_map_json", q_array_map_json, SQL_ARRAY_MAP_JSON, ("relational", "json")),
     Query("udf_scalar", q_udf_scalar, SQL_UDF_SCALAR, ("relational", "udf"), bench=True),
-    Query(
-        "media_frame_sample",
-        q_media_frame_sample,
-        SQL_MEDIA_FRAME_SAMPLE,
-        ("llm", "multimodal"),
-    ),
+    # media_frame_sample re-promoted to the graded lane in round 11
+    # (r3 driver row — the registry's oldest; registers via
+    # relational17)
 ]
 
 

@@ -58,7 +58,10 @@ from ..sources.catalog import load_table
 # MRR is over a real query set, not a single query.
 MRR_TERMS = ("dup", "vector", "join", "scan")
 MRR_TITLE_N = 12  # tokens of the "title" prefix that define relevance
-MRR_K = 10  # recall@k cutoff
+# recall@k cutoffs: the full operating-point ladder (VERDICT r10 #4 —
+# round 10 shipped k=10 only); the max bounds the scale variant's
+# per-term top-k heads
+MRR_KS = (1, 5, 10, 20)
 
 # Reciprocal rank, recall@k, and the cross-query mean as shared
 # micro-quantized expression strings (the _BM25_MICRO_EXPR rule). The
@@ -69,11 +72,16 @@ _MRR_RR_EXPR = (
     " ELSE CAST(ROUND(CAST(1000000 AS DOUBLE) / first_rel_rank, 0)"
     " AS BIGINT) END"
 )
-_MRR_RECALL_EXPR = (
-    "CASE WHEN n_relevant = 0 THEN CAST(0 AS BIGINT)"
-    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * hits_at_k) / n_relevant,"
-    " 0) AS BIGINT) END"
-)
+
+
+def _mrr_recall_expr(k: int) -> str:
+    """recall@k over the ``hits_at_{k}`` column — the SAME pinned
+    division rendered once per cutoff into both engines."""
+    return (
+        "CASE WHEN n_relevant = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * hits_at_{k})"
+        " / n_relevant, 0) AS BIGINT) END"
+    )
 # mean over the FIXED query set: absent terms contribute rr = 0 via
 # the constant denominator (a query with no matching docs is a failed
 # query, not a skipped one)
@@ -83,22 +91,26 @@ _MRR_MEAN_EXPR = (
 
 
 def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean reciprocal rank and recall@``MRR_K`` of per-term BM25
-    rankings: each query term ranks its matching documents by the
-    single-term Okapi score (``_BM25_MICRO_EXPR``, exact micro int);
-    a document is RELEVANT to a term iff the term occurs among the
-    document's first ``MRR_TITLE_N`` tokens — a ranking-independent
-    signal (full-document frequency ranks; prefix membership grades),
-    so neither metric is circular. Per term: candidate-set size,
-    relevant-set size, the rank of the first relevant hit, its
-    reciprocal rank in micros, hits inside the top ``MRR_K``, and
-    recall@k; MRR (the mean RR over the FIXED 4-term query set)
-    repeats on every row via a one-row broadcast.
+    """Mean reciprocal rank and the recall@k ladder (k ∈ ``MRR_KS``)
+    of per-term BM25 rankings: each query term ranks its matching
+    documents by the single-term Okapi score (``_BM25_MICRO_EXPR``,
+    exact micro int); a document is RELEVANT to a term iff the term
+    occurs among the document's first ``MRR_TITLE_N`` tokens — a
+    ranking-independent signal (full-document frequency ranks; prefix
+    membership grades), so neither metric is circular. Per term:
+    candidate-set size, relevant-set size, the rank of the first
+    relevant hit, its reciprocal rank in micros, and hits/recall at
+    every cutoff in the ladder (recall@1 is precision-like "is the
+    top hit relevant scaled by set size", recall@20 the coverage
+    bound — one row exposes the whole operating curve); MRR (the
+    mean RR over the FIXED 4-term query set) repeats on every row
+    via a bounded-carry window.
 
     Exactness: relevance ⊆ candidates by construction (a term in the
     first tokens has tf ≥ 1), so recall's denominator is consistent;
-    ranking ties break on doc_id in both engines; the three divisions
-    are pinned micro-quantized expressions.
+    ranking ties break on doc_id in both engines; every division is
+    a pinned micro-quantized expression (one per cutoff via
+    ``_mrr_recall_expr`` — same string, both engines).
 
     Scale shape: the token explode is filtered to the 4 query terms
     MAP-SIDE before any exchange (the ``rank_bm25`` shape); the df
@@ -125,9 +137,12 @@ def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rel"), F.col("rank"))).cast("long").alias(
             "first_rel_rank"
         ),
-        F.sum(
-            (F.col("rel") & (F.col("rank") <= MRR_K)).cast("long")
-        ).alias("hits_at_k"),
+        *[
+            F.sum(
+                (F.col("rel") & (F.col("rank") <= k)).cast("long")
+            ).alias(f"hits_at_{k}")
+            for k in MRR_KS
+        ],
     ).withColumn("rr_micro", F.expr(_MRR_RR_EXPR))
     # the cross-query sum rides an unpartitioned window over `per` —
     # a ≤|MRR_TERMS|-row bounded carry frame (the allowed exception to
@@ -148,16 +163,36 @@ def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_relevant",
         "first_rel_rank",
         "rr_micro",
-        "hits_at_k",
-        F.expr(_MRR_RECALL_EXPR).alias("recall_at_k_micro"),
+        *_mrr_recall_cols(),
         F.expr(_MRR_MEAN_EXPR).alias("mrr_micro"),
     )
+
+
+def _mrr_recall_cols() -> list:
+    """The shared per-cutoff output projection of both eval_mrr
+    formulations: hits_at_k then recall_at_k_micro for every k."""
+    cols = []
+    for k in MRR_KS:
+        cols.append(F.col(f"hits_at_{k}"))
+        cols.append(
+            F.expr(_mrr_recall_expr(k)).alias(f"recall_at_{k}_micro")
+        )
+    return cols
 
 
 def _sql_eval_mrr() -> str:
     from .relational10 import _BM25_MICRO_EXPR
 
     terms_sql = ", ".join(f"'{t}'" for t in MRR_TERMS)
+    hits_sql = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN rel AND rank <= {k} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS hits_at_{k}"
+        for k in MRR_KS
+    )
+    recall_sql = ", ".join(
+        f"hits_at_{k}, {_mrr_recall_expr(k)} AS recall_at_{k}_micro"
+        for k in MRR_KS
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -200,14 +235,13 @@ per AS (
            AS n_relevant,
          CAST(MIN(CASE WHEN rel THEN rank END) AS BIGINT)
            AS first_rel_rank,
-         CAST(SUM(CASE WHEN rel AND rank <= {MRR_K} THEN 1 ELSE 0 END)
-              AS BIGINT) AS hits_at_k
+         {hits_sql}
   FROM ranked GROUP BY w
 ),
 rrs AS (SELECT *, {_MRR_RR_EXPR} AS rr_micro FROM per),
 mean AS (SELECT CAST(SUM(rr_micro) AS BIGINT) AS sum_rr FROM rrs)
 SELECT w AS query_term, n_ranked, n_relevant, first_rel_rank, rr_micro,
-       hits_at_k, {_MRR_RECALL_EXPR} AS recall_at_k_micro,
+       {recall_sql},
        {_MRR_MEAN_EXPR} AS mrr_micro
 FROM rrs CROSS JOIN mean
 """
@@ -272,9 +306,12 @@ def q_eval_mrr_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(candidates ordering strictly before it)`` — one broadcast
       of the ≤|terms|-row best table plus one conditional aggregate.
     - hits@k never ranks the full candidate set either: |MRR_TERMS|
-      is a compile-time constant, so the per-term top-k is a UNION of
-      per-term ``TakeOrderedAndProject`` heads (distributed heap,
-      never a sort), each ≤ k rows.
+      is a compile-time constant, so the per-term top-max(k) is a
+      UNION of per-term ``TakeOrderedAndProject`` heads (distributed
+      heap, never a sort), each ≤ max(``MRR_KS``) rows; the per-cutoff
+      ladder ranks inside that bounded union via a broadcast
+      self-join (1 + count-before — ≤ max(k)² comparisons per term, a
+      constant), keeping the plan's zero-row_number contract intact.
     - the candidate frame is ``localCheckpoint``-ed (the loop-frame
       rule): six consumers derive from it (stats, best-rank join,
       four top-k heads), and re-deriving the tf/df/doclen joins per
@@ -322,15 +359,45 @@ def q_eval_mrr_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads = [
         cand.where(F.col("w") == F.lit(t))
         .orderBy(F.desc("micro"), F.col("doc_id"))
-        .limit(MRR_K)
-        .select("w", "rel")
+        .limit(max(MRR_KS))
+        .select("w", "micro", "doc_id", "rel")
         for t in MRR_TERMS
     ]
     topk = heads[0]
     for h in heads[1:]:
         topk = topk.unionAll(h)
-    hits = topk.groupBy("w").agg(
-        F.sum(F.col("rel").cast("long")).alias("hits_at_k")
+    # rank INSIDE the bounded union (≤ |terms|·max(k) rows) without
+    # any window — the lane's contract is zero row_number nodes — via
+    # a bounded self-join: rank = 1 + count of head rows ordering
+    # strictly before (≤ max(k)² comparisons per term, a constant)
+    h1 = topk.select(
+        "w",
+        F.col("micro").alias("m1"),
+        F.col("doc_id").alias("d1"),
+        F.col("rel").alias("rel1"),
+    )
+    h2 = topk.select(
+        F.col("w").alias("w2"),
+        F.col("micro").alias("m2"),
+        F.col("doc_id").alias("d2"),
+    )
+    before = (
+        (F.col("m2") > F.col("m1"))
+        | ((F.col("m2") == F.col("m1")) & (F.col("d2") < F.col("d1")))
+    ).cast("long")
+    hits = (
+        h1.join(F.broadcast(h2), F.col("w") == F.col("w2"))
+        .groupBy("w", "d1", "rel1")
+        .agg((F.sum(before) + 1).alias("hrank"))
+        .groupBy("w")
+        .agg(
+            *[
+                F.sum(
+                    (F.col("rel1") & (F.col("hrank") <= k)).cast("long")
+                ).alias(f"hits_at_{k}")
+                for k in MRR_KS
+            ]
+        )
     )
     per = (
         per0.join(F.broadcast(ranks), "w")
@@ -342,7 +409,7 @@ def q_eval_mrr_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("n_relevant") > 0, F.col("n_before") + 1
             ).cast("long").alias("first_rel_rank"),
-            "hits_at_k",
+            *[f"hits_at_{k}" for k in MRR_KS],
         )
         .withColumn("rr_micro", F.expr(_MRR_RR_EXPR))
         .withColumn(
@@ -360,8 +427,7 @@ def q_eval_mrr_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_relevant",
         "first_rel_rank",
         "rr_micro",
-        "hits_at_k",
-        F.expr(_MRR_RECALL_EXPR).alias("recall_at_k_micro"),
+        *_mrr_recall_cols(),
         F.expr(_MRR_MEAN_EXPR).alias("mrr_micro"),
     )
 
@@ -1351,6 +1417,12 @@ FROM agg
 # recorded at the demoting modules (relational11/12/13).
 # --------------------------------------------------------------------
 
+# eval_mrr STAYS graded through the round-11 rotation: round 11
+# extends its output contract with the recall@{1,5,20} ladder
+# (VERDICT r10 #4), so its r10 row no longer describes the shipped
+# schema and a fresh row is required. The other nine round-10
+# first-timers below demote to the EXTRA lane one-for-one for the
+# relational17 promotions.
 QUERIES: list[Query] = [
     Query(
         "eval_mrr",
@@ -1358,6 +1430,9 @@ QUERIES: list[Query] = [
         _sql_eval_mrr(),
         ("llm", "text", "evaluation", "ranking"),
     ),
+]
+
+EXTRA_QUERIES: list[Query] = [
     Query(
         "rolling_quantile",
         q_rolling_quantile,
@@ -1408,12 +1483,12 @@ QUERIES: list[Query] = [
     ),
 ]
 
-QUERIES.append(
+EXTRA_QUERIES.append(
     # eval_mrr_scale shares eval_mrr's oracle (identical output
-    # contract). It was the registry's ONLY never-driver-graded
-    # oracle lane; the round-10 ninth-wave rotation promotes it into
-    # the graded 50 (entropy_score demoted), restoring the
-    # every-oracle-lane-graded invariant.
+    # contract — including the round-11 recall ladder; the pinned
+    # pytest test_eval_mrr_scale_matches_window_formulation holds the
+    # two formulations row-identical). Graded green in r10; demoted
+    # with the other round-10 first-timers.
     Query(
         "eval_mrr_scale",
         q_eval_mrr_scale,
@@ -1421,5 +1496,3 @@ QUERIES.append(
         ("llm", "text", "evaluation", "ranking", "approx-free"),
     )
 )
-
-EXTRA_QUERIES: list[Query] = []

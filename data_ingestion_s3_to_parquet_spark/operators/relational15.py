@@ -755,7 +755,12 @@ FROM u
 """
 
 
-QUERIES: list[Query] = [
+# All five graded green in round 10 (single-green first-timers);
+# demoted one-for-one in the round-11 grade-freshness rotation for
+# the r3/r4-cohort promotions registered in relational17.
+QUERIES: list[Query] = []
+
+EXTRA_QUERIES: list[Query] = [
     Query(
         "dedup_cluster_stats",
         q_dedup_cluster_stats,
@@ -787,5 +792,3 @@ QUERIES: list[Query] = [
         ("relational", "statistics", "evaluation"),
     ),
 ]
-
-EXTRA_QUERIES: list[Query] = []

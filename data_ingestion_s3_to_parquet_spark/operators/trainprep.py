@@ -1622,11 +1622,7 @@ EXTRA_QUERIES = [
         ("llm", "similarity", "agg"),
         bench=True,
     ),
-    Query("seq_pack", q_seq_pack, SQL_SEQ_PACK, ("llm", "pipeline", "window")),
-    Query(
-        "embedding_quantize",
-        q_embedding_quantize,
-        SQL_EMBEDDING_QUANTIZE,
-        ("llm", "similarity", "multimodal"),
-    ),
+    # seq_pack / embedding_quantize re-promoted to the graded lane in
+    # round 11 (r3 driver rows — the registry's oldest; they register
+    # via relational17)
 ]

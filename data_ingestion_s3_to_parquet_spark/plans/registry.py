@@ -43,6 +43,12 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
+    # relational17 holds the round-11 wave: the NEW graph_modularity /
+    # text_readability (never-graded-first) plus the twelve-lane
+    # grade-freshness promotion cohort (the r3/r4-row veterans — the
+    # registry's measured-oldest driver rows; see its module
+    # docstring for the VERDICT-r10-#1 deviation rationale).
+    "data_ingestion_s3_to_parquet_spark.operators.relational17",
     # relational14 holds the nine NEW round-10 operators (eval_mrr /
     # rolling_quantile / schema_drift_report / dedup_threshold_sweep /
     # alert_rate_spike / bpe_fertility / compaction_plan /
@@ -165,8 +171,8 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and thirty-nine entries in the lane after the round-10
-# sixth- and seventh-wave rotations demoted the multi-green graph
+# a hundred and forty-one entries after the round-11 rotation —
+# round 10's sixth/seventh waves demoted the multi-green graph
 # trio, session_paths, ewma_smooth, emb_gram, lm_bigram_score,
 # jsonl_interop, rank_fusion_rrf, and sim_join_kmeans for
 # dedup_cluster_stats / corr_spearman / trend_linfit / anova_oneway
@@ -174,7 +180,11 @@ REGISTRY: dict[str, Query] = _collect()
 # privacy_tcloseness / quantile_weighted / gini_concentration
 # (the ninth wave promoted eval_mrr_scale OUT of this lane into the
 # graded 50 — no never-graded oracle lane remains — and demoted
-# dedup_keep_best / entropy_score here); EVERY entry carries
+# dedup_keep_best / entropy_score here), and round 11 demoted the
+# 14 round-10 single-green first-timers (they now LEAD the
+# lane via relational14/relational15) in exchange for the two new
+# round-11 operators plus the twelve measured-oldest veterans
+# (the r3/r4-row cohort) promoted through relational17; EVERY entry carries
 # at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

@@ -787,6 +787,10 @@ def test_extra_lane_doc_counts_match_registry():
         137: "a hundred and thirty-seven",
         138: "a hundred and thirty-eight",
         139: "a hundred and thirty-nine",
+        140: "a hundred and forty",
+        141: "a hundred and forty-one",
+        142: "a hundred and forty-two",
+        143: "a hundred and forty-three",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -951,32 +955,26 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 139
+    assert len(EXTRA) == 141
     assert len(BENCH_ONLY) == 7
-    # round-10 rotation (VERDICT r9 #1): the five NEW round-10
-    # operators grade immediately after ingest_parity; the twelve
-    # round-3 relational-core veterans (oldest driver rows in the
-    # registry) are promoted back for re-grading; r9's fresh greens
-    # (relational13's eight + relational12's quartet), the
-    # double-green r8+r9 evaluation trio, and the double-green
-    # drift_psi / join_asof_nearest are demoted one-for-one and
-    # LEAD the EXTRA lane
-    assert list(REGISTRY)[1:10] == [
-        "eval_mrr", "rolling_quantile", "schema_drift_report",
-        "dedup_threshold_sweep", "alert_rate_spike",
-        "bpe_fertility", "compaction_plan", "privacy_ldiv",
-        "eval_regression",
+    # round-11 rotation: the two NEW round-11 operators grade
+    # immediately after ingest_parity (never-graded-first), followed
+    # by the twelve-lane promotion cohort — the MEASURED-oldest
+    # driver rows in the registry (seven r3-row lanes, five r4-row
+    # lanes; relational17's docstring records why this deviates from
+    # VERDICT r10 #1's relational6 nomination) — then eval_mrr,
+    # which stays graded because round 11 extended its output schema
+    # with the recall@{1,5,20} ladder
+    assert list(REGISTRY)[1:16] == [
+        "graph_modularity", "text_readability",
+        "datetime_funcs", "seq_pack", "embedding_quantize",
+        "quality_gopher", "pii_redact", "media_frame_sample",
+        "agg_approx_quantile", "agg_group", "join_inner",
+        "join_broadcast", "join_range", "join_asof",
+        "eval_mrr",
     ]
-    # round-10 waves 6-9: eleven never-graded first-timers plus the
-    # eval_mrr_scale promotion (the registry's last never-graded
-    # oracle lane) at positions 11-22; the multi-green graph trio,
-    # session_paths, ewma_smooth, emb_gram, lm_bigram_score,
-    # jsonl_interop, rank_fusion_rrf, sim_join_kmeans,
-    # dedup_keep_best, and entropy_score demoted one-for-one
-    assert list(REGISTRY)[10:23] == [
-        "eval_mrr_scale",
-        "dedup_cluster_stats", "corr_spearman", "trend_linfit",
-        "anova_oneway", "rank_mannwhitney",
+    # the round-10 first-timers that STAY graded (second green)
+    assert list(REGISTRY)[16:23] == [
         "dedup_containment", "eval_cohen_kappa", "eval_fleiss_kappa",
         "privacy_tcloseness", "graph_assortativity",
         "quantile_weighted", "gini_concentration",
@@ -987,9 +985,16 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # eval_mrr_scale left the EXTRA head when the ninth-wave rotation
-    # promoted it (no never-graded oracle lane remains)
-    assert list(EXTRA)[:23] == [
+    # the fourteen round-10 single-green demotees LEAD the EXTRA lane
+    # (relational14's ten, then relational15's five minus eval_mrr's
+    # keep), ahead of the r9/r10 demotee cohorts
+    assert list(EXTRA)[:37] == [
+        "rolling_quantile", "schema_drift_report",
+        "dedup_threshold_sweep", "alert_rate_spike", "bpe_fertility",
+        "compaction_plan", "privacy_ldiv", "eval_regression",
+        "eval_mrr_scale",
+        "dedup_cluster_stats", "corr_spearman", "trend_linfit",
+        "anova_oneway", "rank_mannwhitney",
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
         "reconcile_sources",
@@ -6910,7 +6915,12 @@ def test_eval_mrr_planted_relevance(spark, tmp_path):
     r = out[0]
     assert (r.n_ranked, r.n_relevant, r.first_rel_rank) == (3, 2, 2)
     assert r.rr_micro == 500_000
-    assert (r.hits_at_k, r.recall_at_k_micro) == (2, 1_000_000)
+    # the cutoff ladder: rank-1 doc is NOT relevant (recall@1 = 0);
+    # both relevant docs sit at ranks 2-3, inside every larger cutoff
+    assert (r.hits_at_1, r.recall_at_1_micro) == (0, 0)
+    assert (r.hits_at_5, r.recall_at_5_micro) == (2, 1_000_000)
+    assert (r.hits_at_10, r.recall_at_10_micro) == (2, 1_000_000)
+    assert (r.hits_at_20, r.recall_at_20_micro) == (2, 1_000_000)
     assert r.mrr_micro == 125_000  # 0.5 / 4 fixed query terms
 
 
@@ -7616,6 +7626,87 @@ def test_graph_assortativity_matches_python_recompute(spark, tmp_path):
     r, = q_graph_assortativity(spark, str(tmp_path)).collect()
     assert r.n_edges == n
     assert r.assortativity == expected
+
+
+def test_graph_modularity_two_block_graph(spark, tmp_path):
+    # two label-blocked K4 cliques (KNN_K = 3 -> every node reaches
+    # all 3 same-label peers; symmetrized+canonicalized = complete
+    # blocks). Synchronous LPA converges to one community per block
+    # (min node id) by round 2: round 1 sends node 0 to label 1 and
+    # everyone else to 0 (all-tie -> smallest), round 2 sends all to
+    # 0. Exact modularity: m = 12, per block l_c = 6, d_c = 12 ->
+    # contrib = (4*12*6 - 144)/576 = 0.25 each, Q = 0.5.
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        q_graph_modularity,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.2], 1),
+        (3, [0.7, 0.3], 1),
+        (4, [0.0, 1.0], 2),
+        (5, [0.1, 0.9], 2),
+        (6, [0.2, 0.8], 2),
+        (7, [0.3, 0.7], 2),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r.community: (
+            r.n_nodes,
+            r.intra_edges,
+            r.degree_sum,
+            r.m_edges,
+            r.contrib_micro,
+            r.modularity_micro,
+        )
+        for r in q_graph_modularity(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (4, 6, 12, 12, 250_000, 500_000),
+        4: (4, 6, 12, 12, 250_000, 500_000),
+    }
+
+
+def test_text_readability_planted_flesch(spark, tmp_path):
+    # doc 1: 5 words / 2 sentence runs / 7 vowel-group syllables ->
+    # F = 206.835 - 1.015*(5/2) - 84.6*(7/5) = 85.8575 (band easy);
+    # doc 2: vowelless tokens floor at 1 syllable each, no [.!?] run
+    # floors sentences at 1 -> F = 206.835 - 1.015*2 - 84.6*1
+    # = 120.205 (very_easy); doc 3 (empty text) has no words and is
+    # absent from the output entirely (both engines drop it before
+    # the aggregate — the NULL guard in _FLESCH_EXPR stays defensive)
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_text_readability,
+    )
+
+    rows = [
+        (1, "hello world. goodbye now! yes", "en", "s", 29),
+        (2, "123 456.", "en", "s", 8),
+        (3, "", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.n_sentences,
+            r.n_syllables,
+            r.flesch_micro,
+            r.band,
+        )
+        for r in q_text_readability(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (5, 2, 7, 85_857_500, "easy"),
+        2: (2, 1, 2, 120_205_000, "very_easy"),
+    }
 
 
 def test_eval_fleiss_kappa_planted_panel(spark, tmp_path):
