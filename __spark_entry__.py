@@ -195,7 +195,14 @@ session_paths, and ewma_smooth. Round 11 adds graph_modularity
 community-structure quality scalar, exact integer rationals over the
 undirected k-NN graph) and text_readability (Flesch reading ease
 with the vowel-group syllable proxy — the readability leg of the
-text-quality family) at positions 2–3, extends eval_mrr with the
+text-quality family) at positions 2–3 — a second wave adds
+graph_clustering_coeff (global transitivity 3T/W + the
+Watts–Strogatz mean local coefficient, every quotient a
+midpoint-free integer division — the third leg of the graph-health
+trio) and zipf_fit (the Zipf-exponent OLS over the top-100
+rank-frequency curve in micro-quantized log2 space — the corpus-
+health classic) at positions 4–5, demoting eval_cohen_kappa /
+privacy_tcloseness one-for-one — extends eval_mrr with the
 recall@{1,5,10,20} cutoff ladder (kept graded for a fresh row under
 the new schema), and runs the next grade-freshness rotation: the
 twelve lanes with the registry's MEASURED-oldest driver rows
@@ -209,11 +216,11 @@ bpe_fertility, compaction_plan, privacy_ldiv, eval_regression,
 eval_mrr_scale, dedup_cluster_stats, corr_spearman, trend_linfit,
 anova_oneway, rank_mannwhitney) demote one-for-one and LEAD the
 EXTRA lane. The EXTRA lane
-holds a hundred and forty-one oracle-gated entries, every one with
+holds a hundred and forty-three oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 141 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 143 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

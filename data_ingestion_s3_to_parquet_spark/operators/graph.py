@@ -982,6 +982,183 @@ def _sql_graph_modularity() -> str:
 SQL_GRAPH_MODULARITY = _sql_graph_modularity()
 
 
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity and mean local clustering of the
+    undirected k-NN similarity graph — the third leg of the
+    graph-health trio (``graph_assortativity``: degree mixing;
+    ``graph_modularity``: community strength; this lane: triangle
+    density). Transitivity C = 3T / W (T = triangle count, W = wedge
+    count Σ_v C(deg_v, 2)) says how often "neighbors of a common
+    vector are themselves neighbors" — a similarity graph whose
+    transitivity collapses after an embedding-model change has lost
+    its local metric structure regardless of what the degree
+    distribution says. The Watts–Strogatz mean local coefficient
+    (mean over deg ≥ 2 vertices of 2·t_v / (deg_v·(deg_v−1)))
+    weights every vertex equally — the two diverge exactly when hubs
+    and leaves have different closure, which is itself the signal.
+
+    Exactness — NO double appears anywhere: every quotient is the
+    midpoint-free half-up integer division ``(2·10⁶·num + den) div
+    (2·den)`` on decimal(38,0) ↔ HUGEINT (3T·10⁶ leaves int64 at
+    T ≈ 9·10¹²; the fixture values are far smaller but the 100 TB
+    bound is the contract), so cross-engine parity is structural —
+    the same rule as the pagerank fixed-point loop (SCALE.md §34).
+    Per-vertex micro coefficients are quantized BEFORE the mean (the
+    mean divides their exact int64 sum), making the mean
+    layout-independent by construction.
+
+    Scale shape: reuses the canonical-edge triangle enumeration
+    (``q_graph_triangles``'s two shuffle_hash-pinned joins — the
+    k-NN graph's outdegree ≤ k bounds the fan-out), one combinable
+    degree aggregate, one keyed join of per-vertex triangles onto
+    degrees, and two 1-row combinable aggregates. No windows, no
+    broadcasts of growing sides.
+    """
+    e = _knn_edges(spark, sf_dir).select("src", "dst")
+    und = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3.hint("shuffle_hash"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tv = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tv"))
+    )
+    dec = "decimal(38,0)"
+    per = (
+        deg.join(tv.hint("shuffle_hash"), "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("tv", F.lit(0)).alias("tv"),
+        )
+        .withColumn("wedges", (F.col("deg") * (F.col("deg") - 1) / 2).cast("long"))
+    )
+    # per-vertex micro local coefficient, deg >= 2 only: the exact
+    # half-up quotient (2*1e6*2*tv + d) div (2*d), d = deg*(deg-1)
+    local = per.where(F.col("deg") >= 2).withColumn(
+        "cv_micro",
+        F.expr(
+            f"CAST((2 * CAST(2000000 AS {dec}) * CAST(tv AS {dec})"
+            f" + CAST(deg AS {dec}) * (deg - 1))"
+            f" div (2 * CAST(deg AS {dec}) * (deg - 1)) AS BIGINT)"
+        ),
+    )
+    g = per.groupBy().agg(
+        F.count("*").alias("n_vertices_connected"),
+        F.sum("wedges").alias("n_wedges"),
+        (F.sum("tv") / 3).cast("long").alias("n_triangles"),
+    )
+    lg = local.groupBy().agg(
+        F.count("*").alias("n_local"),
+        F.sum("cv_micro").alias("s_cv"),
+    )
+    m_row = und.groupBy().agg(F.count("*").alias("n_edges"))
+    return (
+        g.crossJoin(F.broadcast(m_row))
+        .crossJoin(F.broadcast(lg))
+        .select(
+            "n_vertices_connected",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN CAST(NULL AS BIGINT) ELSE"
+                f" CAST((2 * CAST(3000000 AS {dec}) * CAST(n_triangles AS {dec})"
+                f" + CAST(n_wedges AS {dec}))"
+                f" div (2 * CAST(n_wedges AS {dec})) AS BIGINT) END"
+            ).alias("transitivity_micro"),
+            "n_local",
+            F.expr(
+                "CASE WHEN n_local = 0 THEN CAST(NULL AS BIGINT) ELSE"
+                " CAST((2 * s_cv + n_local) div (2 * n_local) AS BIGINT) END"
+            ).alias("mean_local_micro"),
+        )
+    )
+
+
+SQL_GRAPH_CLUSTERING_COEFF = f"""
+WITH k AS ({SQL_KNN_GRAPH}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM k WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tv AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tv
+  FROM (SELECT unnest([x, y, z]) AS node FROM t) GROUP BY node
+),
+per AS (
+  SELECT deg.node, deg.deg, COALESCE(tv.tv, 0) AS tv,
+         CAST(deg.deg * (deg.deg - 1) / 2 AS BIGINT) AS wedges
+  FROM deg LEFT JOIN tv USING (node)
+),
+local AS (
+  SELECT CAST((2 * CAST(2000000 AS HUGEINT) * tv
+               + CAST(deg AS HUGEINT) * (deg - 1))
+              // (2 * CAST(deg AS HUGEINT) * (deg - 1)) AS BIGINT)
+           AS cv_micro
+  FROM per WHERE deg >= 2
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices_connected,
+         CAST(SUM(wedges) AS BIGINT) AS n_wedges,
+         CAST(SUM(tv) / 3 AS BIGINT) AS n_triangles
+  FROM per
+),
+lg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_local,
+         CAST(SUM(cv_micro) AS BIGINT) AS s_cv
+  FROM local
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+SELECT n_vertices_connected, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges = 0 THEN CAST(NULL AS BIGINT) ELSE
+         CAST((2 * CAST(3000000 AS HUGEINT) * n_triangles + n_wedges)
+              // (2 * CAST(n_wedges AS HUGEINT)) AS BIGINT) END
+         AS transitivity_micro,
+       n_local,
+       CASE WHEN n_local = 0 THEN CAST(NULL AS BIGINT) ELSE
+         CAST((2 * s_cv + n_local) // (2 * CAST(n_local AS HUGEINT))
+              AS BIGINT) END
+         AS mean_local_micro
+FROM g, m, lg
+"""
+
+
 # The whole graph family is multi-green: link_predict /
 # kcore_decompose (graded r7–r9) and graph_sssp (graded r8–r9)
 # demoted in the round-10 sixth-wave rotation for dedup_cluster_stats

@@ -749,25 +749,17 @@ def _containment_query() -> Query:
     )
 
 
+# eval_cohen_kappa / privacy_tcloseness (single-green r10) demoted in
+# the round-11 SECOND wave, one-for-one for the new
+# graph_clustering_coeff / zipf_fit registered in relational17; the
+# remaining five stay graded for a second green row.
 QUERIES: list[Query] = [
     _containment_query(),
-    Query(
-        "eval_cohen_kappa",
-        q_eval_cohen_kappa,
-        SQL_EVAL_COHEN_KAPPA,
-        ("llm", "evaluation", "statistics", "quality"),
-    ),
     Query(
         "eval_fleiss_kappa",
         q_eval_fleiss_kappa,
         SQL_EVAL_FLEISS_KAPPA,
         ("llm", "evaluation", "statistics", "quality"),
-    ),
-    Query(
-        "privacy_tcloseness",
-        q_privacy_tcloseness,
-        _sql_privacy_tcloseness(),
-        ("relational", "privacy", "compliance", "agg"),
     ),
     _assortativity_query(),
     Query(
@@ -784,4 +776,17 @@ QUERIES: list[Query] = [
     ),
 ]
 
-EXTRA_QUERIES: list[Query] = []
+EXTRA_QUERIES: list[Query] = [
+    Query(
+        "eval_cohen_kappa",
+        q_eval_cohen_kappa,
+        SQL_EVAL_COHEN_KAPPA,
+        ("llm", "evaluation", "statistics", "quality"),
+    ),
+    Query(
+        "privacy_tcloseness",
+        q_privacy_tcloseness,
+        _sql_privacy_tcloseness(),
+        ("relational", "privacy", "compliance", "agg"),
+    ),
+]

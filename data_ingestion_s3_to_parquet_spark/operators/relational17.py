@@ -40,7 +40,12 @@ LLM-pipeline families.
 from __future__ import annotations
 
 from ..plans.spec import Query
-from .graph import SQL_GRAPH_MODULARITY, q_graph_modularity
+from .graph import (
+    SQL_GRAPH_CLUSTERING_COEFF,
+    SQL_GRAPH_MODULARITY,
+    q_graph_clustering_coeff,
+    q_graph_modularity,
+)
 from .multimodal import SQL_MEDIA_FRAME_SAMPLE, q_media_frame_sample
 from .relational import (
     SQL_AGG_GROUP,
@@ -60,9 +65,11 @@ from .textstats import (
     SQL_PII_REDACT,
     SQL_QUALITY_GOPHER,
     SQL_TEXT_READABILITY,
+    SQL_ZIPF_FIT,
     q_pii_redact,
     q_quality_gopher,
     q_text_readability,
+    q_zipf_fit,
 )
 from .trainprep import (
     SQL_EMBEDDING_QUANTIZE,
@@ -83,6 +90,20 @@ QUERIES: list[Query] = [
         q_text_readability,
         SQL_TEXT_READABILITY,
         ("llm", "text", "quality"),
+    ),
+    # --- round-11 SECOND wave (never-graded; eval_cohen_kappa /
+    # privacy_tcloseness demoted one-for-one from relational16) ---
+    Query(
+        "graph_clustering_coeff",
+        q_graph_clustering_coeff,
+        SQL_GRAPH_CLUSTERING_COEFF,
+        ("llm", "graph", "evaluation"),
+    ),
+    Query(
+        "zipf_fit",
+        q_zipf_fit,
+        SQL_ZIPF_FIT,
+        ("llm", "text", "statistics", "quality"),
     ),
     # --- the round-11 promotion cohort (oldest driver rows first) ---
     Query(

@@ -1552,6 +1552,159 @@ FROM f
 """
 
 
+# --------------------------------------------------------------------
+# zipf_fit
+# --------------------------------------------------------------------
+
+ZIPF_TOP = 100  # head of the rank-frequency curve the line is fit to
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent fit of the corpus rank-frequency curve — the
+    classic corpus-health scalar: natural language reads s ≈ 1 on the
+    log-log rank-frequency plot; template/boilerplate-heavy corpora
+    flatten (s « 1), and a tiny-vocabulary spam corpus steepens. One
+    row: token/vocab totals, the fitted exponent, intercept, and R²
+    ("how Zipfian is this corpus at all") over the top-``ZIPF_TOP``
+    ranks — the head is where Zipf's law holds and where the fit is
+    stable; the long tail is Heaps-law territory and deliberately
+    excluded (fixed cutoff = deterministic contract).
+
+    Exactness: the only transcendentals are per-point ``log2`` of
+    exact-int doubles, micro-quantized through the pinned ROUND
+    expression (the ``entropy_score`` rule — log2 of int-valued
+    doubles matches bitwise across engines); the OLS closed forms
+    then run on exact integer sufficient statistics over those
+    quantized points with ONE pinned double sequence per output (the
+    ``trend_linfit`` scaffold: slope/R² micro-quantized, intercept
+    already in micro-log2 units). Ranking ties break on the word
+    itself, so the top-``ZIPF_TOP`` set and its ranks are a total
+    order in both engines.
+
+    Scale shape: one corpus scan → one map-side-combinable word
+    count; the top-head is a ``TakeOrderedAndProject`` (distributed
+    heap, never a global sort); the rank window and the OLS run on
+    the BOUNDED ≤``ZIPF_TOP``-row head (the bounded-carry
+    exception); vocab/token totals are one combinable 1-row
+    aggregate broadcast back. No corpus-sized window anywhere.
+    """
+    from ..functions.numeric import suffstat_agg
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") > 0
+    )
+    freq = w.groupBy("w").agg(F.count("*").alias("f"))
+    tot = freq.groupBy().agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("f").alias("n_tokens"),
+    )
+    top = freq.orderBy(F.desc("f"), "w").limit(ZIPF_TOP)
+    win = Window.partitionBy().orderBy(F.desc("f"), "w")
+    micro_log2 = "CAST(ROUND(log2(CAST({} AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+    pts = top.withColumn("r", F.row_number().over(win)).select(
+        F.expr(micro_log2.format("r")).alias("x"),
+        F.expr(micro_log2.format("f")).alias("y"),
+    )
+    stats = pts.groupBy().agg(*suffstat_agg(F.col("x"), F.col("y")))
+    dec = "CAST({} AS DECIMAL(38,0))"
+    num_s = F.expr(
+        f"CAST({dec.format('n')} * sxy - {dec.format('sx')} *"
+        f" {dec.format('sy')} AS DOUBLE)"
+    )
+    den = F.expr(
+        f"CAST({dec.format('n')} * sxx - {dec.format('sx')} *"
+        f" {dec.format('sx')} AS DOUBLE)"
+    )
+    num_i = F.expr(
+        f"CAST({dec.format('sy')} * sxx - {dec.format('sx')} *"
+        f" sxy AS DOUBLE)"
+    )
+    var_y = F.expr(
+        f"CAST({dec.format('n')} * syy - {dec.format('sy')} *"
+        f" {dec.format('sy')} AS DOUBLE)"
+    )
+    null_l = F.lit(None).cast("long")
+    # slope is unitless (micro-log2 / micro-log2) -> micro-quantize;
+    # Zipf's s is the NEGATED slope of the descending curve
+    s_micro = F.when(den == 0, null_l).otherwise(
+        F.round(-(num_s / den) * 1_000_000, 0).cast("long")
+    )
+    # intercept is already in micro-log2 units of y -> round once
+    icept = F.when(den == 0, null_l).otherwise(
+        F.round(num_i / den, 0).cast("long")
+    )
+    r2 = F.when((den == 0) | (var_y == 0), null_l).otherwise(
+        F.round(num_s * num_s / (den * var_y) * 1_000_000, 0).cast("long")
+    )
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "n_tokens",
+            "vocab_size",
+            F.col("n").alias("top_n"),
+            s_micro.alias("zipf_s_micro"),
+            icept.alias("intercept_log2_micro"),
+            r2.alias("r2_micro"),
+        )
+    )
+
+
+SQL_ZIPF_FIT = f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+w2 AS (SELECT w FROM w WHERE length(w) > 0),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM w2 GROUP BY w),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(f) AS BIGINT) AS n_tokens
+  FROM freq
+),
+top AS (SELECT w, f FROM freq ORDER BY f DESC, w LIMIT {ZIPF_TOP}),
+pts AS (
+  SELECT
+    CAST(ROUND(log2(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w)
+                         AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+    CAST(ROUND(log2(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+  FROM top
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts
+)
+SELECT n_tokens, vocab_size, n AS top_n,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            ELSE CAST(ROUND(
+              -(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+              * 1000000, 0) AS BIGINT)
+       END AS zipf_s_micro,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            ELSE CAST(ROUND(
+              CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
+                   AS DOUBLE)
+              / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+              0) AS BIGINT)
+       END AS intercept_log2_micro,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+             OR n * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
+            ELSE CAST(ROUND(
+              CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+              * 1000000, 0) AS BIGINT)
+       END AS r2_micro
+FROM stats, tot
+"""
+
+
 # All graded contributions from this module now register via
 # relational7 (the round-7 wave-2 promotion: vocab_coverage,
 # freq_items_topk, strip_markup, ngram_counts, url_canonicalize,

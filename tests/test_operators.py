@@ -955,28 +955,32 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 141
+    assert len(EXTRA) == 143
     assert len(BENCH_ONLY) == 7
-    # round-11 rotation: the two NEW round-11 operators grade
-    # immediately after ingest_parity (never-graded-first), followed
+    # round-11 rotation: the four NEW round-11 operators grade
+    # immediately after ingest_parity (never-graded-first; the
+    # second wave added graph_clustering_coeff / zipf_fit), followed
     # by the twelve-lane promotion cohort — the MEASURED-oldest
     # driver rows in the registry (seven r3-row lanes, five r4-row
     # lanes; relational17's docstring records why this deviates from
     # VERDICT r10 #1's relational6 nomination) — then eval_mrr,
     # which stays graded because round 11 extended its output schema
     # with the recall@{1,5,20} ladder
-    assert list(REGISTRY)[1:16] == [
+    assert list(REGISTRY)[1:18] == [
         "graph_modularity", "text_readability",
+        "graph_clustering_coeff", "zipf_fit",
         "datetime_funcs", "seq_pack", "embedding_quantize",
         "quality_gopher", "pii_redact", "media_frame_sample",
         "agg_approx_quantile", "agg_group", "join_inner",
         "join_broadcast", "join_range", "join_asof",
         "eval_mrr",
     ]
-    # the round-10 first-timers that STAY graded (second green)
-    assert list(REGISTRY)[16:23] == [
-        "dedup_containment", "eval_cohen_kappa", "eval_fleiss_kappa",
-        "privacy_tcloseness", "graph_assortativity",
+    # the round-10 first-timers that STAY graded (second green);
+    # eval_cohen_kappa / privacy_tcloseness demoted in the round-11
+    # second wave for the two wave-2 newcomers
+    assert list(REGISTRY)[18:23] == [
+        "dedup_containment", "eval_fleiss_kappa",
+        "graph_assortativity",
         "quantile_weighted", "gini_concentration",
     ]
     assert list(REGISTRY)[-12:] == [
@@ -985,16 +989,17 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # the fourteen round-10 single-green demotees LEAD the EXTRA lane
-    # (relational14's ten, then relational15's five minus eval_mrr's
-    # keep), ahead of the r9/r10 demotee cohorts
-    assert list(EXTRA)[:37] == [
+    # the sixteen round-10 single-green demotees LEAD the EXTRA lane
+    # (relational14's ten, relational15's five, then relational16's
+    # wave-2 pair), ahead of the r9/r10 demotee cohorts
+    assert list(EXTRA)[:39] == [
         "rolling_quantile", "schema_drift_report",
         "dedup_threshold_sweep", "alert_rate_spike", "bpe_fertility",
         "compaction_plan", "privacy_ldiv", "eval_regression",
         "eval_mrr_scale",
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
+        "eval_cohen_kappa", "privacy_tcloseness",
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
         "reconcile_sources",
@@ -7707,6 +7712,64 @@ def test_text_readability_planted_flesch(spark, tmp_path):
         1: (5, 2, 7, 85_857_500, "easy"),
         2: (2, 1, 2, 120_205_000, "very_easy"),
     }
+
+
+def test_graph_clustering_coeff_two_cliques(spark, tmp_path):
+    # the same two label-blocked K4 cliques as the modularity test:
+    # 12 canonical edges, every vertex deg 3 -> wedges 8*C(3,2)=24,
+    # triangles 2*4=8, transitivity 24/24 = 1.0; every local
+    # coefficient 2*3/(3*2) = 1.0 -> mean 1.0
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        q_graph_clustering_coeff,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.2], 1),
+        (3, [0.7, 0.3], 1),
+        (4, [0.0, 1.0], 2),
+        (5, [0.1, 0.9], 2),
+        (6, [0.2, 0.8], 2),
+        (7, [0.3, 0.7], 2),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    r, = q_graph_clustering_coeff(spark, str(tmp_path)).collect()
+    assert (
+        r.n_vertices_connected,
+        r.n_edges,
+        r.n_wedges,
+        r.n_triangles,
+        r.transitivity_micro,
+        r.n_local,
+        r.mean_local_micro,
+    ) == (8, 12, 24, 8, 1_000_000, 8, 1_000_000)
+
+
+def test_zipf_fit_planted_perfect_line(spark, tmp_path):
+    # frequencies 24/12/8/6 at ranks 1..4 satisfy f_r = 24/r exactly,
+    # so y_micro + x_micro = round(1e6*log2(24)) = 4584963 on every
+    # point EVEN AFTER micro-rounding (log2(24/r) = log2 24 - log2 r)
+    # -> slope exactly -1: s = 1.0, intercept = 4584963, R^2 = 1.0
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_zipf_fit,
+    )
+
+    text = " ".join(["w1"] * 24 + ["w2"] * 12 + ["w3"] * 8 + ["w4"] * 6)
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    r, = q_zipf_fit(spark, str(tmp_path)).collect()
+    assert (r.n_tokens, r.vocab_size, r.top_n) == (50, 4, 4)
+    assert r.zipf_s_micro == 1_000_000
+    assert r.intercept_log2_micro == 4_584_963
+    assert r.r2_micro == 1_000_000
 
 
 def test_eval_fleiss_kappa_planted_panel(spark, tmp_path):
