@@ -295,32 +295,15 @@ def _sql_label_propagation() -> str:
 SQL_LABEL_PROPAGATION = _sql_label_propagation()
 
 
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vertex triangle counts over the undirected k-NN similarity
-    graph — the local-clustering signal (a document whose neighbors
-    are also mutual neighbors sits inside a tight semantic cluster;
-    one with many neighbors but no triangles is a hub between
-    clusters). Completes the graph-kernel family next to PageRank
-    (centrality), label propagation (communities), and connected
-    components (reachability).
-
-    Algorithm: canonicalize each edge to (a < b), dedupe, then the
-    standard two-join triangle enumeration — every triangle is
-    produced exactly once as (x < y < z) because both joined edges
-    carry the canonical order. Per-vertex counts come from exploding
-    the three corners into one combinable count shuffle.
-
-    Scale: both joins are key-partitioned on vertex ids and
-    shuffle_hash-pinned (the edge table is corpus-proportional —
-    Catalyst must never elect to broadcast a side, §45). The
-    degree-ordering refinement (orient edges from low- to high-degree
-    endpoints so no high-degree vertex ever anchors the enumeration)
-    is the documented step beyond when degree skew appears; the k-NN
-    graph is degree-bounded by construction (outdegree ≤ k), which is
-    what makes the plain canonical orientation safe here.
-    """
+def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical undirected simple graph (a < b, deduped, no
+    self-loops) derived from the k-NN edge artifact — the ONE edge
+    definition shared by the triangle, modularity, and clustering
+    lanes (each SQL mirror renders the same rule via
+    :data:`_SQL_UND_CTE`); the round-11 review flagged the copies as
+    a semantic-drift surface."""
     e = _knn_edges(spark, sf_dir).select("src", "dst")
-    und = (
+    return (
         e.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"),
@@ -328,6 +311,16 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _vertex_triangles(und: DataFrame) -> DataFrame:
+    """(node, tv) per-vertex triangle counts from the canonical edge
+    table: the standard two-join enumeration — every triangle is
+    produced exactly once as (x < y < z) because both joined edges
+    carry the canonical order — with the three corners exploded into
+    one combinable count shuffle. Both joins shuffle_hash-pinned
+    (the edge table is corpus-proportional — Catalyst must never
+    elect to broadcast a side, §45)."""
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
         e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
@@ -343,17 +336,58 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
-        .groupBy("vec_id")
-        .agg(F.count("*").alias("n_triangles"))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tv"))
+    )
+
+
+def _und_degrees(und: DataFrame) -> DataFrame:
+    """(node, deg) over the canonical undirected edge table — one
+    combinable count after exploding both endpoints."""
+    return (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+# the SQL rendering of _und_edges, interpolated into every mirror so
+# the canonicalization rule cannot drift between lanes
+_SQL_UND_CTE = (
+    "SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b"
+    " FROM {src} WHERE src <> dst"
+)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the undirected k-NN similarity
+    graph — the local-clustering signal (a document whose neighbors
+    are also mutual neighbors sits inside a tight semantic cluster;
+    one with many neighbors but no triangles is a hub between
+    clusters). Completes the graph-kernel family next to PageRank
+    (centrality), label propagation (communities), and connected
+    components (reachability).
+
+    Algorithm and scale shape: :func:`_und_edges` +
+    :func:`_vertex_triangles` (shared with ``graph_clustering_coeff``
+    — one enumeration definition, one drift surface). The
+    degree-ordering refinement (orient edges from low- to high-degree
+    endpoints so no high-degree vertex ever anchors the enumeration)
+    is the documented step beyond when degree skew appears; the k-NN
+    graph is OUT-degree-bounded by construction (≤ k), which is what
+    makes the plain canonical orientation safe here.
+    """
+    return _vertex_triangles(_und_edges(spark, sf_dir)).select(
+        F.col("node").alias("vec_id"),
+        F.col("tv").alias("n_triangles"),
     )
 
 
 SQL_GRAPH_TRIANGLES = f"""
 WITH k AS ({SQL_KNN_GRAPH}),
 e AS (
-  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-  FROM k WHERE src <> dst
+  {_SQL_UND_CTE.format(src="k")}
 ),
 t AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -871,20 +905,8 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window over it).
     """
     labels = q_label_propagation(spark, sf_dir)  # (node, community)
-    e = _knn_edges(spark, sf_dir).select("src", "dst")
-    und = (
-        e.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
-    deg = (
-        und.select(F.explode(F.array("a", "b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
+    und = _und_edges(spark, sf_dir)
+    deg = _und_degrees(und)
     comm = (
         labels.join(deg.hint("shuffle_hash"), "node", "left")
         .select("community", F.coalesce("deg", F.lit(0)).alias("deg"))
@@ -948,8 +970,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_graph_modularity() -> str:
     cte = _lpa_ctes() + [
         f"lab AS (SELECT node, lab AS community FROM l{LPA_ITERS})",
-        "und AS (SELECT DISTINCT LEAST(src, dst) AS a,"
-        " GREATEST(src, dst) AS b FROM e WHERE src <> dst)",
+        f"und AS ({_SQL_UND_CTE.format(src='e')})",
         "mtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM und)",
         "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM"
         " (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)"
@@ -1007,46 +1028,19 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean divides their exact int64 sum), making the mean
     layout-independent by construction.
 
-    Scale shape: reuses the canonical-edge triangle enumeration
-    (``q_graph_triangles``'s two shuffle_hash-pinned joins — the
-    k-NN graph's outdegree ≤ k bounds the fan-out), one combinable
-    degree aggregate, one keyed join of per-vertex triangles onto
-    degrees, and two 1-row combinable aggregates. No windows, no
-    broadcasts of growing sides.
+    Scale shape: :func:`_und_edges` + :func:`_vertex_triangles` +
+    :func:`_und_degrees` — the SAME enumeration the triangle and
+    modularity lanes use (one definition, one drift surface), one
+    keyed join of per-vertex triangles onto degrees, and two 1-row
+    combinable aggregates. No windows, no broadcasts of growing
+    sides. IN-degree in a k-NN graph is NOT bounded by k (a hub can
+    be in everyone's top-k), so wedge counts use decimal products —
+    deg·(deg−1) wraps int64 silently near deg ≈ 3·10⁹ and loses
+    double precision past 2⁵³ (the round-11 review's catch).
     """
-    e = _knn_edges(spark, sf_dir).select("src", "dst")
-    und = (
-        e.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
-    deg = (
-        und.select(F.explode(F.array("a", "b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    tri = (
-        e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3.hint("shuffle_hash"),
-            (F.col("e3.a") == F.col("e1.a"))
-            & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-    )
-    tv = (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("tv"))
-    )
+    und = _und_edges(spark, sf_dir)
+    deg = _und_degrees(und)
+    tv = _vertex_triangles(und)
     dec = "decimal(38,0)"
     per = (
         deg.join(tv.hint("shuffle_hash"), "node", "left")
@@ -1055,7 +1049,17 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deg",
             F.coalesce("tv", F.lit(0)).alias("tv"),
         )
-        .withColumn("wedges", (F.col("deg") * (F.col("deg") - 1) / 2).cast("long"))
+        # deg·(deg−1) is even, so halving is exact; decimal end to
+        # end — never a double '/', a bare int64 multiply, or an
+        # int64-returning `div` that could re-cap the product
+        .withColumn(
+            "wedges",
+            (
+                F.col("deg").cast(dec)
+                * (F.col("deg") - 1).cast(dec)
+                / F.lit(2)
+            ).cast(dec),
+        )
     )
     # per-vertex micro local coefficient, deg >= 2 only: the exact
     # half-up quotient (2*1e6*2*tv + d) div (2*d), d = deg*(deg-1)
@@ -1067,10 +1071,13 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (2 * CAST(deg AS {dec}) * (deg - 1)) AS BIGINT)"
         ),
     )
+    # decimal sums (Σwedges and Σtv/3 both outgrow a wrapping int64
+    # sum long before the documented 100 TB bound); Σtv is divisible
+    # by 3 exactly, so the decimal division is exact
     g = per.groupBy().agg(
         F.count("*").alias("n_vertices_connected"),
-        F.sum("wedges").alias("n_wedges"),
-        (F.sum("tv") / 3).cast("long").alias("n_triangles"),
+        F.sum("wedges").cast(dec).alias("wedges_dec"),
+        (F.sum(F.col("tv").cast(dec)) / F.lit(3)).cast(dec).alias("tri_dec"),
     )
     lg = local.groupBy().agg(
         F.count("*").alias("n_local"),
@@ -1083,13 +1090,13 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_vertices_connected",
             "n_edges",
-            "n_wedges",
-            "n_triangles",
+            F.col("wedges_dec").cast("long").alias("n_wedges"),
+            F.col("tri_dec").cast("long").alias("n_triangles"),
             F.expr(
-                "CASE WHEN n_wedges = 0 THEN CAST(NULL AS BIGINT) ELSE"
-                f" CAST((2 * CAST(3000000 AS {dec}) * CAST(n_triangles AS {dec})"
-                f" + CAST(n_wedges AS {dec}))"
-                f" div (2 * CAST(n_wedges AS {dec})) AS BIGINT) END"
+                "CASE WHEN wedges_dec = 0 THEN CAST(NULL AS BIGINT) ELSE"
+                f" CAST((2 * CAST(3000000 AS {dec}) * tri_dec"
+                " + wedges_dec)"
+                " div (2 * wedges_dec) AS BIGINT) END"
             ).alias("transitivity_micro"),
             "n_local",
             F.expr(
@@ -1103,8 +1110,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_GRAPH_CLUSTERING_COEFF = f"""
 WITH k AS ({SQL_KNN_GRAPH}),
 und AS (
-  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-  FROM k WHERE src <> dst
+  {_SQL_UND_CTE.format(src="k")}
 ),
 deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
@@ -1123,7 +1129,7 @@ tv AS (
 ),
 per AS (
   SELECT deg.node, deg.deg, COALESCE(tv.tv, 0) AS tv,
-         CAST(deg.deg * (deg.deg - 1) / 2 AS BIGINT) AS wedges
+         CAST(deg.deg AS HUGEINT) * (deg.deg - 1) // 2 AS wedges
   FROM deg LEFT JOIN tv USING (node)
 ),
 local AS (
@@ -1135,8 +1141,8 @@ local AS (
 ),
 g AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices_connected,
-         CAST(SUM(wedges) AS BIGINT) AS n_wedges,
-         CAST(SUM(tv) / 3 AS BIGINT) AS n_triangles
+         CAST(SUM(wedges) AS HUGEINT) AS wedges_big,
+         CAST(SUM(tv) AS HUGEINT) // 3 AS tri_big
   FROM per
 ),
 lg AS (
@@ -1145,10 +1151,12 @@ lg AS (
   FROM local
 ),
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
-SELECT n_vertices_connected, n_edges, n_wedges, n_triangles,
-       CASE WHEN n_wedges = 0 THEN CAST(NULL AS BIGINT) ELSE
-         CAST((2 * CAST(3000000 AS HUGEINT) * n_triangles + n_wedges)
-              // (2 * CAST(n_wedges AS HUGEINT)) AS BIGINT) END
+SELECT n_vertices_connected, n_edges,
+       CAST(wedges_big AS BIGINT) AS n_wedges,
+       CAST(tri_big AS BIGINT) AS n_triangles,
+       CASE WHEN wedges_big = 0 THEN CAST(NULL AS BIGINT) ELSE
+         CAST((2 * CAST(3000000 AS HUGEINT) * tri_big + wedges_big)
+              // (2 * wedges_big) AS BIGINT) END
          AS transitivity_micro,
        n_local,
        CASE WHEN n_local = 0 THEN CAST(NULL AS BIGINT) ELSE
