@@ -763,12 +763,6 @@ QUERIES: list[Query] = [
     ),
     _assortativity_query(),
     Query(
-        "quantile_weighted",
-        q_quantile_weighted,
-        SQL_QUANTILE_WEIGHTED,
-        ("relational", "statistics", "sampling", "pipeline"),
-    ),
-    Query(
         "gini_concentration",
         q_gini_concentration,
         SQL_GINI_CONCENTRATION,
@@ -776,7 +770,15 @@ QUERIES: list[Query] = [
     ),
 ]
 
+# quantile_weighted (single-green r10) demoted in the round-11 THIRD
+# wave for the new heaps_fit (relational17).
 EXTRA_QUERIES: list[Query] = [
+    Query(
+        "quantile_weighted",
+        q_quantile_weighted,
+        SQL_QUANTILE_WEIGHTED,
+        ("relational", "statistics", "sampling", "pipeline"),
+    ),
     Query(
         "eval_cohen_kappa",
         q_eval_cohen_kappa,

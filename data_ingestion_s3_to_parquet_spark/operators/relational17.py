@@ -62,10 +62,12 @@ from .relational import (
 from .relational2 import SQL_AGG_APPROX_QUANTILE, q_agg_approx_quantile
 from .relational3 import SQL_DATETIME_FUNCS, q_datetime_funcs
 from .textstats import (
+    SQL_HEAPS_FIT,
     SQL_PII_REDACT,
     SQL_QUALITY_GOPHER,
     SQL_TEXT_READABILITY,
     SQL_ZIPF_FIT,
+    q_heaps_fit,
     q_pii_redact,
     q_quality_gopher,
     q_text_readability,
@@ -103,6 +105,14 @@ QUERIES: list[Query] = [
         "zipf_fit",
         q_zipf_fit,
         SQL_ZIPF_FIT,
+        ("llm", "text", "statistics", "quality"),
+    ),
+    # --- round-11 THIRD wave (never-graded; quantile_weighted
+    # demoted one-for-one from relational16) ---
+    Query(
+        "heaps_fit",
+        q_heaps_fit,
+        SQL_HEAPS_FIT,
         ("llm", "text", "statistics", "quality"),
     ),
     # --- the round-11 promotion cohort (oldest driver rows first) ---

@@ -1705,6 +1705,215 @@ FROM stats, tot
 """
 
 
+# --------------------------------------------------------------------
+# heaps_fit
+# --------------------------------------------------------------------
+
+HEAPS_CHECKPOINTS = 16  # growth-curve sample points
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit — ``zipf_fit``'s companion
+    corpus-health scalar: V(T) ≈ K·T^β (distinct words vs tokens
+    seen). Natural corpora read β ≈ 0.4–0.6; β → 0 means the
+    vocabulary saturates (templates, dedup-worthy boilerplate), β →
+    1 means near-every-token-novel (OCR noise, random strings). The
+    output is the growth CURVE itself (one row per checkpoint:
+    cumulative tokens and cumulative vocabulary) plus the fitted
+    β / intercept / R² repeated on every row — curve for the eye,
+    scalars for the gate.
+
+    Distributed formulation — the naive "distinct words so far" is
+    inherently sequential, so the lane never computes it that way:
+    a word's contribution to every prefix is fully determined by its
+    FIRST-occurrence doc (one combinable ``min(doc_id)`` per word),
+    and the curve is sampled at ``HEAPS_CHECKPOINTS`` value-based
+    doc_id thresholds cp_i = the smallest checkpoint covering the
+    doc (ceil-bucketed via integer arithmetic — a declared contract;
+    doc_ids are dense in the fixtures but nothing requires it).
+    Bucketed vocab/token counts then prefix-sum over the BOUNDED
+    16-row checkpoint frame (the bounded-carry window exception).
+    Everything before that frame is one scan + two combinable
+    aggregates keyed on word / checkpoint index.
+
+    Exactness: cumulative counts are exact int64; the OLS runs the
+    ``zipf_fit`` scaffold verbatim — per-point micro-quantized log2
+    (the ``entropy_score`` rule), exact integer sufficient
+    statistics, pinned slope/intercept/R² sequences. Zero-token
+    checkpoints (possible when every doc in a bucket is empty) are
+    excluded from the fit but still reported in the curve.
+    """
+    from ..functions.numeric import suffstat_agg
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.groupBy().agg(F.max("doc_id").alias("max_id"))
+    cp = HEAPS_CHECKPOINTS
+    # bucket = smallest checkpoint index covering this doc_id:
+    # ceil(doc_id * cp / max_id), clamped to [1, cp]
+    bucket = (
+        f"GREATEST(LEAST(CAST((doc_id * {cp} + max_id - 1) div max_id"
+        f" AS INT), {cp}), 1)"
+    )
+    toks = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(bucket).alias("b"),
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .where(F.length("w") > 0)
+    )
+    per_b_tokens = toks.groupBy("b").agg(
+        F.count("*").alias("t"),
+    )
+    first = toks.groupBy("w").agg(F.min("b").alias("fb"))
+    per_b_vocab = first.groupBy("fb").agg(F.count("*").alias("v"))
+    frame = spark.range(1, cp + 1).select(F.col("id").cast("int").alias("b"))
+    win = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        frame.join(F.broadcast(per_b_tokens), "b", "left")
+        .join(
+            F.broadcast(per_b_vocab),
+            frame["b"] == per_b_vocab["fb"],
+            "left",
+        )
+        .select(
+            "b",
+            F.coalesce("t", F.lit(0)).alias("t"),
+            F.coalesce("v", F.lit(0)).alias("v"),
+        )
+        .withColumn("tokens_cum", F.sum("t").over(win).cast("long"))
+        .withColumn("vocab_cum", F.sum("v").over(win).cast("long"))
+        .select(
+            F.col("b").alias("checkpoint"),
+            "tokens_cum",
+            "vocab_cum",
+        )
+    )
+    micro_log2 = "CAST(ROUND(log2(CAST({} AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+    pts = curve.where(
+        (F.col("tokens_cum") > 0) & (F.col("vocab_cum") > 0)
+    ).select(
+        F.expr(micro_log2.format("tokens_cum")).alias("x"),
+        F.expr(micro_log2.format("vocab_cum")).alias("y"),
+    )
+    stats = pts.groupBy().agg(*suffstat_agg(F.col("x"), F.col("y")))
+    dec = "CAST({} AS DECIMAL(38,0))"
+    num_s = F.expr(
+        f"CAST({dec.format('n')} * sxy - {dec.format('sx')} *"
+        f" {dec.format('sy')} AS DOUBLE)"
+    )
+    den = F.expr(
+        f"CAST({dec.format('n')} * sxx - {dec.format('sx')} *"
+        f" {dec.format('sx')} AS DOUBLE)"
+    )
+    num_i = F.expr(
+        f"CAST({dec.format('sy')} * sxx - {dec.format('sx')} *"
+        f" sxy AS DOUBLE)"
+    )
+    var_y = F.expr(
+        f"CAST({dec.format('n')} * syy - {dec.format('sy')} *"
+        f" {dec.format('sy')} AS DOUBLE)"
+    )
+    null_l = F.lit(None).cast("long")
+    beta = F.when(den == 0, null_l).otherwise(
+        F.round(num_s / den * 1_000_000, 0).cast("long")
+    )
+    icept = F.when(den == 0, null_l).otherwise(
+        F.round(num_i / den, 0).cast("long")
+    )
+    r2 = F.when((den == 0) | (var_y == 0), null_l).otherwise(
+        F.round(num_s * num_s / (den * var_y) * 1_000_000, 0).cast("long")
+    )
+    fit = stats.select(
+        F.col("n").alias("n_fit_points"),
+        beta.alias("heaps_beta_micro"),
+        icept.alias("intercept_log2_micro"),
+        r2.alias("r2_micro"),
+    )
+    return curve.crossJoin(F.broadcast(fit))
+
+
+def _sql_heaps_fit() -> str:
+    cp = HEAPS_CHECKPOINTS
+    return f"""
+WITH mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+toks AS (
+  SELECT GREATEST(LEAST(CAST((doc_id * {cp} + max_id - 1) // max_id
+                             AS INT), {cp}), 1) AS b,
+         w
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ), mx
+  WHERE length(w) > 0
+),
+per_b_tokens AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t FROM toks GROUP BY b),
+first AS (SELECT w, MIN(b) AS fb FROM toks GROUP BY w),
+per_b_vocab AS (SELECT fb, CAST(COUNT(*) AS BIGINT) AS v FROM first GROUP BY fb),
+frame AS (SELECT CAST(unnest(generate_series(1, {cp})) AS INT) AS b),
+curve AS (
+  SELECT frame.b AS checkpoint,
+         CAST(SUM(COALESCE(pt.t, 0)) OVER (ORDER BY frame.b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS tokens_cum,
+         CAST(SUM(COALESCE(pv.v, 0)) OVER (ORDER BY frame.b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS vocab_cum
+  FROM frame
+  LEFT JOIN per_b_tokens pt ON pt.b = frame.b
+  LEFT JOIN per_b_vocab pv ON pv.fb = frame.b
+),
+pts AS (
+  SELECT CAST(ROUND(log2(CAST(tokens_cum AS DOUBLE)) * 1000000, 0)
+           AS BIGINT) AS x,
+         CAST(ROUND(log2(CAST(vocab_cum AS DOUBLE)) * 1000000, 0)
+           AS BIGINT) AS y
+  FROM curve WHERE tokens_cum > 0 AND vocab_cum > 0
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts
+),
+fit AS (
+  SELECT n AS n_fit_points,
+         CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+              ELSE CAST(ROUND(
+                CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                * 1000000, 0) AS BIGINT)
+         END AS heaps_beta_micro,
+         CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+              ELSE CAST(ROUND(
+                CAST(CAST(sy AS HUGEINT) * sxx
+                     - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
+                / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+                0) AS BIGINT)
+         END AS intercept_log2_micro,
+         CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+               OR n * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
+              ELSE CAST(ROUND(
+                CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                 * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                * 1000000, 0) AS BIGINT)
+         END AS r2_micro
+  FROM stats
+)
+SELECT checkpoint, tokens_cum, vocab_cum,
+       n_fit_points, heaps_beta_micro, intercept_log2_micro, r2_micro
+FROM curve, fit
+"""
+
+
+SQL_HEAPS_FIT = _sql_heaps_fit()
+
+
 # All graded contributions from this module now register via
 # relational7 (the round-7 wave-2 promotion: vocab_coverage,
 # freq_items_topk, strip_markup, ngram_counts, url_canonicalize,

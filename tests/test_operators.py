@@ -791,6 +791,9 @@ def test_extra_lane_doc_counts_match_registry():
         141: "a hundred and forty-one",
         142: "a hundred and forty-two",
         143: "a hundred and forty-three",
+        144: "a hundred and forty-four",
+        145: "a hundred and forty-five",
+        146: "a hundred and forty-six",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -955,20 +958,20 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 143
+    assert len(EXTRA) == 144
     assert len(BENCH_ONLY) == 7
-    # round-11 rotation: the four NEW round-11 operators grade
-    # immediately after ingest_parity (never-graded-first; the
-    # second wave added graph_clustering_coeff / zipf_fit), followed
-    # by the twelve-lane promotion cohort — the MEASURED-oldest
-    # driver rows in the registry (seven r3-row lanes, five r4-row
-    # lanes; relational17's docstring records why this deviates from
-    # VERDICT r10 #1's relational6 nomination) — then eval_mrr,
-    # which stays graded because round 11 extended its output schema
-    # with the recall@{1,5,20} ladder
-    assert list(REGISTRY)[1:18] == [
+    # round-11 rotation: the five NEW round-11 operators grade
+    # immediately after ingest_parity (never-graded-first; wave 2
+    # added graph_clustering_coeff / zipf_fit, wave 3 heaps_fit),
+    # followed by the twelve-lane promotion cohort — the
+    # MEASURED-oldest driver rows in the registry (seven r3-row
+    # lanes, five r4-row lanes; relational17's docstring records why
+    # this deviates from VERDICT r10 #1's relational6 nomination) —
+    # then eval_mrr, which stays graded because round 11 extended
+    # its output schema with the recall@{1,5,20} ladder
+    assert list(REGISTRY)[1:19] == [
         "graph_modularity", "text_readability",
-        "graph_clustering_coeff", "zipf_fit",
+        "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "datetime_funcs", "seq_pack", "embedding_quantize",
         "quality_gopher", "pii_redact", "media_frame_sample",
         "agg_approx_quantile", "agg_group", "join_inner",
@@ -976,12 +979,12 @@ def test_lane_counts_match_docs():
         "eval_mrr",
     ]
     # the round-10 first-timers that STAY graded (second green);
-    # eval_cohen_kappa / privacy_tcloseness demoted in the round-11
-    # second wave for the two wave-2 newcomers
-    assert list(REGISTRY)[18:23] == [
+    # eval_cohen_kappa / privacy_tcloseness / quantile_weighted
+    # demoted in the round-11 second and third waves for the
+    # newcomers
+    assert list(REGISTRY)[19:23] == [
         "dedup_containment", "eval_fleiss_kappa",
-        "graph_assortativity",
-        "quantile_weighted", "gini_concentration",
+        "graph_assortativity", "gini_concentration",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -989,17 +992,18 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # the sixteen round-10 single-green demotees LEAD the EXTRA lane
-    # (relational14's ten, relational15's five, then relational16's
-    # wave-2 pair), ahead of the r9/r10 demotee cohorts
-    assert list(EXTRA)[:39] == [
+    # the seventeen round-10 single-green demotees LEAD the EXTRA
+    # lane (relational14's ten, relational15's five, then
+    # relational16's wave-2/3 trio), ahead of the r9/r10 demotee
+    # cohorts
+    assert list(EXTRA)[:40] == [
         "rolling_quantile", "schema_drift_report",
         "dedup_threshold_sweep", "alert_rate_spike", "bpe_fertility",
         "compaction_plan", "privacy_ldiv", "eval_regression",
         "eval_mrr_scale",
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
-        "eval_cohen_kappa", "privacy_tcloseness",
+        "quantile_weighted", "eval_cohen_kappa", "privacy_tcloseness",
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
         "reconcile_sources",
@@ -7769,6 +7773,47 @@ def test_zipf_fit_planted_perfect_line(spark, tmp_path):
     assert (r.n_tokens, r.vocab_size, r.top_n) == (50, 4, 4)
     assert r.zipf_s_micro == 1_000_000
     assert r.intercept_log2_micro == 4_584_963
+    assert r.r2_micro == 1_000_000
+
+
+def test_heaps_fit_all_distinct_words(spark, tmp_path):
+    # five docs of all-distinct words: vocab_cum == tokens_cum at
+    # EVERY checkpoint, so the log-log points sit exactly on y = x ->
+    # beta = 1.0, intercept = 0, R^2 = 1.0. doc_ids 1..5 bucket to
+    # checkpoints ceil(d*16/5) = {4,7,10,13,16}; checkpoints 1-3 have
+    # zero cumulative tokens and are excluded from the fit (13 points)
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_heaps_fit,
+    )
+
+    texts = ["w1 w2", "w3", "w4 w5 w6", "w7", "w8 w9"]
+    rows = [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.checkpoint: (r.tokens_cum, r.vocab_cum)
+        for r in q_heaps_fit(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 16
+    assert got[3] == (0, 0)
+    assert got[4] == (2, 2)
+    assert got[7] == (3, 3)
+    assert got[10] == (6, 6)
+    assert got[13] == (7, 7)
+    assert got[16] == (9, 9)
+    r = next(
+        iter(
+            q_heaps_fit(spark, str(tmp_path))
+            .where("checkpoint = 16")
+            .collect()
+        )
+    )
+    assert r.n_fit_points == 13
+    assert r.heaps_beta_micro == 1_000_000
+    assert r.intercept_log2_micro == 0
     assert r.r2_micro == 1_000_000
 
 
