@@ -165,3 +165,77 @@ def corr_micro_from_stats() -> Column:
     ).otherwise(
         F.round(num / F.sqrt(var_x * var_y) * 1_000_000, 0).cast("long")
     )
+
+
+def ols_log_micro_cols(negate_slope: bool = False) -> tuple[Column, Column, Column]:
+    """(slope_micro, intercept, r2_micro) from the :func:`suffstat_agg`
+    frame for the log-log OLS lanes (``zipf_fit`` / ``heaps_fit`` —
+    points are ALREADY micro-quantized log2 values): the slope is
+    unitless → micro-scaled once; the intercept is in the y column's
+    micro units → rounded with NO extra scaling; R² in micros.
+    Zero x-variance → all NULL; zero y-variance additionally NULLs R²
+    (the ADVICE r7 standard). ``negate_slope`` reports the Zipf
+    exponent (the descending curve's negated slope). One definition,
+    both lanes — the round-11 review flagged the copies as a drift
+    surface (the same finding class as graph.py's ``_und_edges``).
+    """
+    num_s = F.expr(
+        f"CAST({_DEC38.format('n')} * sxy - {_DEC38.format('sx')} *"
+        f" {_DEC38.format('sy')} AS DOUBLE)"
+    )
+    den = F.expr(
+        f"CAST({_DEC38.format('n')} * sxx - {_DEC38.format('sx')} *"
+        f" {_DEC38.format('sx')} AS DOUBLE)"
+    )
+    num_i = F.expr(
+        f"CAST({_DEC38.format('sy')} * sxx - {_DEC38.format('sx')} *"
+        f" sxy AS DOUBLE)"
+    )
+    var_y = F.expr(
+        f"CAST({_DEC38.format('n')} * syy - {_DEC38.format('sy')} *"
+        f" {_DEC38.format('sy')} AS DOUBLE)"
+    )
+    null_l = F.lit(None).cast("long")
+    sign = -1 if negate_slope else 1
+    slope = F.when(den == 0, null_l).otherwise(
+        F.round(sign * num_s / den * 1_000_000, 0).cast("long")
+    )
+    icept = F.when(den == 0, null_l).otherwise(
+        F.round(num_i / den, 0).cast("long")
+    )
+    r2 = F.when((den == 0) | (var_y == 0), null_l).otherwise(
+        F.round(num_s * num_s / (den * var_y) * 1_000_000, 0).cast("long")
+    )
+    return slope, icept, r2
+
+
+def ols_log_micro_sql(
+    slope_alias: str,
+    icept_alias: str,
+    r2_alias: str,
+    negate_slope: bool = False,
+) -> str:
+    """The DuckDB rendering of :func:`ols_log_micro_cols` over a
+    ``stats`` CTE with the :func:`suffstat_agg` aliases — three CASE
+    expressions, comma-joined for a SELECT list."""
+    num_s = "CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)"
+    den = "CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)"
+    den0 = "n * sxx - CAST(sx AS HUGEINT) * sx = 0"
+    vy0 = "n * syy - CAST(sy AS HUGEINT) * sy = 0"
+    sign = "-" if negate_slope else ""
+    return f"""
+       CASE WHEN {den0} THEN NULL
+            ELSE CAST(ROUND({sign}({num_s} / {den}) * 1000000, 0)
+              AS BIGINT)
+       END AS {slope_alias},
+       CASE WHEN {den0} THEN NULL
+            ELSE CAST(ROUND(
+              CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
+                   AS DOUBLE) / {den}, 0) AS BIGINT)
+       END AS {icept_alias},
+       CASE WHEN {den0} OR {vy0} THEN NULL
+            ELSE CAST(ROUND({num_s} * {num_s}
+              / ({den} * CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                              AS DOUBLE))
+              * 1000000, 0) AS BIGINT)
+       END AS {r2_alias}"""

@@ -1036,7 +1036,14 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides. IN-degree in a k-NN graph is NOT bounded by k (a hub can
     be in everyone's top-k), so wedge counts use decimal products —
     deg·(deg−1) wraps int64 silently near deg ≈ 3·10⁹ and loses
-    double precision past 2⁵³ (the round-11 review's catch).
+    double precision past 2⁵³ (the round-11 review's catch). One
+    declared seam remains (the gini ``delta`` precedent): the
+    ``n_wedges`` / ``n_triangles`` OUTPUT columns are int64 like
+    every other count column, so a corpus beyond 9.2·10¹⁸ wedges
+    fails LOUD in both graded paths (DuckDB's HUGEINT→BIGINT cast
+    raises; the driver's ANSI session raises Spark-side) —
+    ``transitivity_micro`` itself never re-caps: it divides the
+    uncapped decimals.
     """
     und = _und_edges(spark, sf_dir)
     deg = _und_degrees(und)

@@ -1607,36 +1607,12 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(micro_log2.format("f")).alias("y"),
     )
     stats = pts.groupBy().agg(*suffstat_agg(F.col("x"), F.col("y")))
-    dec = "CAST({} AS DECIMAL(38,0))"
-    num_s = F.expr(
-        f"CAST({dec.format('n')} * sxy - {dec.format('sx')} *"
-        f" {dec.format('sy')} AS DOUBLE)"
-    )
-    den = F.expr(
-        f"CAST({dec.format('n')} * sxx - {dec.format('sx')} *"
-        f" {dec.format('sx')} AS DOUBLE)"
-    )
-    num_i = F.expr(
-        f"CAST({dec.format('sy')} * sxx - {dec.format('sx')} *"
-        f" sxy AS DOUBLE)"
-    )
-    var_y = F.expr(
-        f"CAST({dec.format('n')} * syy - {dec.format('sy')} *"
-        f" {dec.format('sy')} AS DOUBLE)"
-    )
-    null_l = F.lit(None).cast("long")
-    # slope is unitless (micro-log2 / micro-log2) -> micro-quantize;
-    # Zipf's s is the NEGATED slope of the descending curve
-    s_micro = F.when(den == 0, null_l).otherwise(
-        F.round(-(num_s / den) * 1_000_000, 0).cast("long")
-    )
-    # intercept is already in micro-log2 units of y -> round once
-    icept = F.when(den == 0, null_l).otherwise(
-        F.round(num_i / den, 0).cast("long")
-    )
-    r2 = F.when((den == 0) | (var_y == 0), null_l).otherwise(
-        F.round(num_s * num_s / (den * var_y) * 1_000_000, 0).cast("long")
-    )
+    # Zipf's s is the NEGATED slope of the descending log-log curve;
+    # the shared scaffold (ols_log_micro_cols) owns the pinned
+    # sequences and the zero-variance NULL rules
+    from ..functions.numeric import ols_log_micro_cols
+
+    s_micro, icept, r2 = ols_log_micro_cols(negate_slope=True)
     return (
         stats.crossJoin(F.broadcast(tot))
         .select(
@@ -1650,7 +1626,10 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ZIPF_FIT = f"""
+def _sql_zipf_fit() -> str:
+    from ..functions.numeric import ols_log_micro_sql
+
+    return f"""
 WITH w AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
 ),
@@ -1679,30 +1658,13 @@ stats AS (
   FROM pts
 )
 SELECT n_tokens, vocab_size, n AS top_n,
-       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
-            ELSE CAST(ROUND(
-              -(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
-              * 1000000, 0) AS BIGINT)
-       END AS zipf_s_micro,
-       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
-            ELSE CAST(ROUND(
-              CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
-                   AS DOUBLE)
-              / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
-              0) AS BIGINT)
-       END AS intercept_log2_micro,
-       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
-             OR n * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
-            ELSE CAST(ROUND(
-              CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-              * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-              / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-               * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
-              * 1000000, 0) AS BIGINT)
-       END AS r2_micro
+{ols_log_micro_sql("zipf_s_micro", "intercept_log2_micro", "r2_micro",
+                   negate_slope=True)}
 FROM stats, tot
 """
+
+
+SQL_ZIPF_FIT = _sql_zipf_fit()
 
 
 # --------------------------------------------------------------------
@@ -1746,7 +1708,13 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import suffstat_agg
 
     d = load_table(spark, sf_dir, "documents")
-    mx = d.groupBy().agg(F.max("doc_id").alias("max_id"))
+    # GREATEST(max_id, 1): a corpus whose max doc_id is 0 must not
+    # divide by zero (ANSI throw / NULL-swallowing divergence — the
+    # round-11 review's catch); the clamp below routes such ids to
+    # checkpoint 1, which is the correct prefix
+    mx = d.groupBy().agg(
+        F.greatest(F.max("doc_id"), F.lit(1)).alias("max_id")
+    )
     cp = HEAPS_CHECKPOINTS
     # bucket = smallest checkpoint index covering this doc_id:
     # ceil(doc_id * cp / max_id), clamped to [1, cp]
@@ -1798,33 +1766,9 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(micro_log2.format("vocab_cum")).alias("y"),
     )
     stats = pts.groupBy().agg(*suffstat_agg(F.col("x"), F.col("y")))
-    dec = "CAST({} AS DECIMAL(38,0))"
-    num_s = F.expr(
-        f"CAST({dec.format('n')} * sxy - {dec.format('sx')} *"
-        f" {dec.format('sy')} AS DOUBLE)"
-    )
-    den = F.expr(
-        f"CAST({dec.format('n')} * sxx - {dec.format('sx')} *"
-        f" {dec.format('sx')} AS DOUBLE)"
-    )
-    num_i = F.expr(
-        f"CAST({dec.format('sy')} * sxx - {dec.format('sx')} *"
-        f" sxy AS DOUBLE)"
-    )
-    var_y = F.expr(
-        f"CAST({dec.format('n')} * syy - {dec.format('sy')} *"
-        f" {dec.format('sy')} AS DOUBLE)"
-    )
-    null_l = F.lit(None).cast("long")
-    beta = F.when(den == 0, null_l).otherwise(
-        F.round(num_s / den * 1_000_000, 0).cast("long")
-    )
-    icept = F.when(den == 0, null_l).otherwise(
-        F.round(num_i / den, 0).cast("long")
-    )
-    r2 = F.when((den == 0) | (var_y == 0), null_l).otherwise(
-        F.round(num_s * num_s / (den * var_y) * 1_000_000, 0).cast("long")
-    )
+    from ..functions.numeric import ols_log_micro_cols
+
+    beta, icept, r2 = ols_log_micro_cols()
     fit = stats.select(
         F.col("n").alias("n_fit_points"),
         beta.alias("heaps_beta_micro"),
@@ -1835,9 +1779,11 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_heaps_fit() -> str:
+    from ..functions.numeric import ols_log_micro_sql
+
     cp = HEAPS_CHECKPOINTS
     return f"""
-WITH mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+WITH mx AS (SELECT GREATEST(MAX(doc_id), 1) AS max_id FROM documents),
 toks AS (
   SELECT GREATEST(LEAST(CAST((doc_id * {cp} + max_id - 1) // max_id
                              AS INT), {cp}), 1) AS b,
@@ -1881,28 +1827,8 @@ stats AS (
 ),
 fit AS (
   SELECT n AS n_fit_points,
-         CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
-              ELSE CAST(ROUND(
-                CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                * 1000000, 0) AS BIGINT)
-         END AS heaps_beta_micro,
-         CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
-              ELSE CAST(ROUND(
-                CAST(CAST(sy AS HUGEINT) * sxx
-                     - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
-                / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
-                0) AS BIGINT)
-         END AS intercept_log2_micro,
-         CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
-               OR n * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
-              ELSE CAST(ROUND(
-                CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                 * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
-                * 1000000, 0) AS BIGINT)
-         END AS r2_micro
+{ols_log_micro_sql("heaps_beta_micro", "intercept_log2_micro",
+                   "r2_micro")}
   FROM stats
 )
 SELECT checkpoint, tokens_cum, vocab_cum,

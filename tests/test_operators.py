@@ -7817,6 +7817,28 @@ def test_heaps_fit_all_distinct_words(spark, tmp_path):
     assert r.r2_micro == 1_000_000
 
 
+def test_heaps_fit_doc_id_zero_routes_to_first_checkpoint(spark, tmp_path):
+    # max(doc_id) = 0 must not divide by zero (GREATEST(max_id, 1)
+    # guard — the round-11 review's catch: ANSI Spark threw, DuckDB's
+    # NULL-swallowing LEAST silently routed to checkpoint 16); the
+    # clamp sends id-0 docs to checkpoint 1, the correct prefix
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_heaps_fit,
+    )
+
+    spark.createDataFrame(
+        [(0, "a b c", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.checkpoint: (r.tokens_cum, r.vocab_cum)
+        for r in q_heaps_fit(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (3, 3) and got[16] == (3, 3)
+
+
 def test_eval_fleiss_kappa_planted_panel(spark, tmp_path):
     # three docs: unanimous keep (k1=3, s=9), a 2-1 split (s=5), and
     # unanimous drop (s=9) -> N=3, T=5, S=23: P_o = 14/18 -> 777778;
