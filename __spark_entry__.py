@@ -206,7 +206,13 @@ privacy_tcloseness one-for-one, and a third wave adds heaps_fit
 (the Heaps'-law vocabulary-growth fit over value-based doc_id
 checkpoints — first-occurrence min + bounded prefix frame, never a
 sequential distinct-so-far — zipf_fit's companion) at position 6,
-demoting quantile_weighted — extends eval_mrr with the
+demoting quantile_weighted, and a fourth wave adds
+eval_kripp_alpha (Krippendorff's alpha, nominal data with real
+ABSTENTIONS — the TTR rater skips sub-250-char docs and the
+per-unit 1/(m_u−1) coincidence weights handle the 2-vs-3-rating mix
+exactly — the rater-agreement family's missing-data leg next to
+Cohen and Fleiss) at position 7, demoting graph_assortativity —
+extends eval_mrr with the
 recall@{1,5,10,20} cutoff ladder (kept graded for a fresh row under
 the new schema), and runs the next grade-freshness rotation: the
 twelve lanes with the registry's MEASURED-oldest driver rows
@@ -220,11 +226,11 @@ bpe_fertility, compaction_plan, privacy_ldiv, eval_regression,
 eval_mrr_scale, dedup_cluster_stats, corr_spearman, trend_linfit,
 anova_oneway, rank_mannwhitney) demote one-for-one and LEAD the
 EXTRA lane. The EXTRA lane
-holds a hundred and forty-four oracle-gated entries, every one with
+holds a hundred and forty-five oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 144 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 145 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -550,6 +550,178 @@ FROM m
 
 
 # --------------------------------------------------------------------
+# eval_kripp_alpha
+# --------------------------------------------------------------------
+
+# The TTR rater abstains below this n_chars floor — a short snippet
+# gives a repetition screen nothing to judge. The threshold sits
+# inside the fixture distribution (n_chars spans ~47-558, median
+# ~306), so both m=2 and m=3 units exist at every SF.
+KRIPP_ABSTAIN_MIN = 250
+
+# alpha = 1 − O₂·(n−1) / (4·n₀·n₁) over PAIRABLE units (≥ 2 ratings):
+# the nominal-data Krippendorff closed form after clearing the
+# per-unit 1/(m_u−1) coincidence weights to integers (m_u ∈ {2,3} →
+# the ×4 scale makes every unit's disagreement term exact int64:
+# m=2 → 4·x·(2−x), m=3 → 2·x·(3−x)). One pinned micro division;
+# n₀·n₁ = 0 (every rating identical) has no chance term → NULL.
+_KRIPP_ALPHA_EXPR = (
+    "CASE WHEN n_zeros * n_ones = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE)"
+    " * CAST(de4 - o2_big * (n_ratings - 1) AS DOUBLE))"
+    " / CAST(de4 AS DOUBLE), 0) AS BIGINT) END"
+)
+
+
+def q_eval_kripp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal data, m ≤ 3 raters) per language
+    — the rater-agreement family's MISSING-DATA leg (Krippendorff
+    1970/2004): Cohen grades a fixed pair, Fleiss a fixed panel, but
+    a real labeling pipeline has abstentions — judges that skip
+    items they cannot rate — and alpha is the statistic defined for
+    exactly that: units contribute through coincidence weights
+    1/(m_u−1), so a 2-rating unit and a 3-rating unit both count
+    correctly and no row is dropped or imputed. Raters: the Cohen
+    char-length and word-count gates (always present) plus the
+    Fleiss TTR gate, which ABSTAINS on documents shorter than
+    ``KRIPP_ABSTAIN_MIN`` chars (deterministic, rendered identically
+    in SQL — the abstention pattern is the lane's point, not noise).
+
+    Exactness: per-unit ones-counts and the ×4-scaled disagreement
+    terms are exact int64 (see ``_KRIPP_ALPHA_EXPR``); per-language
+    sums are combinable integer aggregates; products run
+    decimal(38,0) ↔ HUGEINT; alpha is ONE pinned micro division of
+    exact integers — 1 − O₂(n−1)/(4n₀n₁) — NULL when every rating
+    in the language is identical (no chance disagreement to correct
+    against).
+
+    Scale shape: one map-side-combinable groupBy over documents
+    (output bounded by |langs|) — zero joins, zero windows, zero
+    broadcasts, the Cohen/Fleiss shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.col("n_chars") >= KAPPA_CHAR_MIN, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("a"),
+        F.when(
+            F.size(F.split(F.col("text"), " ")) >= KAPPA_WORD_MIN,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("b"),
+        F.when(
+            F.col("n_chars") < KRIPP_ABSTAIN_MIN, F.lit(None)
+        )
+        .when(
+            FLEISS_TTR_DEN
+            * F.size(F.array_distinct(F.split(F.col("text"), " ")))
+            >= FLEISS_TTR_NUM * F.size(F.split(F.col("text"), " ")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("c"),
+    )
+    per = docs.select(
+        "lang",
+        F.when(F.col("c").isNull(), F.lit(2)).otherwise(F.lit(3)).alias("m"),
+        (F.col("a") + F.col("b") + F.coalesce("c", F.lit(0))).alias("x"),
+    ).select(
+        "lang",
+        "m",
+        "x",
+        # x·(m−x)·4/(m−1): 4x(2−x) for m=2, 2x(3−x) for m=3
+        F.when(
+            F.col("m") == 2,
+            4 * F.col("x") * (2 - F.col("x")),
+        )
+        .otherwise(2 * F.col("x") * (3 - F.col("x")))
+        .alias("o2_u"),
+    )
+    dec = "decimal(38,0)"
+    g = per.groupBy("lang").agg(
+        F.count("*").alias("n_units"),
+        F.sum((F.col("m") == 2).cast("long")).alias("n_abstained"),
+        F.sum("m").alias("n_ratings"),
+        F.sum("x").alias("n_ones"),
+        F.sum("o2_u").alias("o2"),
+    )
+    g = (
+        g.withColumn("n_zeros", F.col("n_ratings") - F.col("n_ones"))
+        .withColumn(
+            "o2_big",
+            F.col("o2").cast(dec),
+        )
+        .withColumn(
+            "de4",
+            (
+                F.lit(4).cast(dec)
+                * F.col("n_zeros").cast(dec)
+                * F.col("n_ones").cast(dec)
+            ).cast(dec),
+        )
+    )
+    return g.select(
+        "lang",
+        "n_units",
+        "n_abstained",
+        "n_ratings",
+        "n_ones",
+        "n_zeros",
+        "o2",
+        F.expr(_KRIPP_ALPHA_EXPR).alias("alpha_micro"),
+    )
+
+
+SQL_EVAL_KRIPP_ALPHA = f"""
+WITH r AS (
+  SELECT lang,
+         CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(string_split(text, ' ')) >= {KAPPA_WORD_MIN}
+              THEN 1 ELSE 0 END AS b,
+         CASE WHEN n_chars < {KRIPP_ABSTAIN_MIN} THEN NULL
+              WHEN {FLEISS_TTR_DEN}
+                   * len(list_distinct(string_split(text, ' ')))
+                >= {FLEISS_TTR_NUM} * len(string_split(text, ' '))
+              THEN 1 ELSE 0 END AS c
+  FROM documents
+),
+per AS (
+  SELECT lang,
+         CASE WHEN c IS NULL THEN 2 ELSE 3 END AS m,
+         a + b + COALESCE(c, 0) AS x
+  FROM r
+),
+per2 AS (
+  SELECT lang, m, x,
+         CASE WHEN m = 2 THEN 4 * x * (2 - x)
+              ELSE 2 * x * (3 - x) END AS o2_u
+  FROM per
+),
+g AS (
+  SELECT lang,
+         COUNT(*) AS n_units,
+         CAST(SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_abstained,
+         CAST(SUM(m) AS BIGINT) AS n_ratings,
+         CAST(SUM(x) AS BIGINT) AS n_ones,
+         CAST(SUM(o2_u) AS BIGINT) AS o2
+  FROM per2 GROUP BY lang
+),
+m2 AS (
+  SELECT *,
+         n_ratings - n_ones AS n_zeros,
+         CAST(o2 AS HUGEINT) AS o2_big,
+         CAST(4 AS HUGEINT) * (n_ratings - n_ones) * n_ones AS de4
+  FROM g
+)
+SELECT lang, n_units, n_abstained, n_ratings, n_ones, n_zeros, o2,
+       {_KRIPP_ALPHA_EXPR} AS alpha_micro
+FROM m2
+"""
+
+
+# --------------------------------------------------------------------
 # privacy_tcloseness
 # --------------------------------------------------------------------
 
@@ -761,7 +933,6 @@ QUERIES: list[Query] = [
         SQL_EVAL_FLEISS_KAPPA,
         ("llm", "evaluation", "statistics", "quality"),
     ),
-    _assortativity_query(),
     Query(
         "gini_concentration",
         q_gini_concentration,
@@ -771,8 +942,11 @@ QUERIES: list[Query] = [
 ]
 
 # quantile_weighted (single-green r10) demoted in the round-11 THIRD
-# wave for the new heaps_fit (relational17).
+# wave for the new heaps_fit; graph_assortativity (single-green r10)
+# in the FOURTH wave for the new eval_kripp_alpha (both register via
+# relational17).
 EXTRA_QUERIES: list[Query] = [
+    _assortativity_query(),
     Query(
         "quantile_weighted",
         q_quantile_weighted,

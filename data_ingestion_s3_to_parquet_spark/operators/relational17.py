@@ -60,6 +60,7 @@ from .relational import (
     q_join_range,
 )
 from .relational2 import SQL_AGG_APPROX_QUANTILE, q_agg_approx_quantile
+from .relational16 import SQL_EVAL_KRIPP_ALPHA, q_eval_kripp_alpha
 from .relational3 import SQL_DATETIME_FUNCS, q_datetime_funcs
 from .textstats import (
     SQL_HEAPS_FIT,
@@ -114,6 +115,14 @@ QUERIES: list[Query] = [
         q_heaps_fit,
         SQL_HEAPS_FIT,
         ("llm", "text", "statistics", "quality"),
+    ),
+    # --- round-11 FOURTH wave (never-graded; graph_assortativity
+    # demoted one-for-one from relational16) ---
+    Query(
+        "eval_kripp_alpha",
+        q_eval_kripp_alpha,
+        SQL_EVAL_KRIPP_ALPHA,
+        ("llm", "evaluation", "statistics", "quality"),
     ),
     # --- the round-11 promotion cohort (oldest driver rows first) ---
     Query(

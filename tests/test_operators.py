@@ -958,20 +958,22 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 144
+    assert len(EXTRA) == 145
     assert len(BENCH_ONLY) == 7
-    # round-11 rotation: the five NEW round-11 operators grade
+    # round-11 rotation: the six NEW round-11 operators grade
     # immediately after ingest_parity (never-graded-first; wave 2
-    # added graph_clustering_coeff / zipf_fit, wave 3 heaps_fit),
+    # added graph_clustering_coeff / zipf_fit, wave 3 heaps_fit,
+    # wave 4 eval_kripp_alpha),
     # followed by the twelve-lane promotion cohort — the
     # MEASURED-oldest driver rows in the registry (seven r3-row
     # lanes, five r4-row lanes; relational17's docstring records why
     # this deviates from VERDICT r10 #1's relational6 nomination) —
     # then eval_mrr, which stays graded because round 11 extended
     # its output schema with the recall@{1,5,20} ladder
-    assert list(REGISTRY)[1:19] == [
+    assert list(REGISTRY)[1:20] == [
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
+        "eval_kripp_alpha",
         "datetime_funcs", "seq_pack", "embedding_quantize",
         "quality_gopher", "pii_redact", "media_frame_sample",
         "agg_approx_quantile", "agg_group", "join_inner",
@@ -979,12 +981,12 @@ def test_lane_counts_match_docs():
         "eval_mrr",
     ]
     # the round-10 first-timers that STAY graded (second green);
-    # eval_cohen_kappa / privacy_tcloseness / quantile_weighted
-    # demoted in the round-11 second and third waves for the
-    # newcomers
-    assert list(REGISTRY)[19:23] == [
+    # eval_cohen_kappa / privacy_tcloseness / quantile_weighted /
+    # graph_assortativity demoted in the round-11 second, third, and
+    # fourth waves for the newcomers
+    assert list(REGISTRY)[20:23] == [
         "dedup_containment", "eval_fleiss_kappa",
-        "graph_assortativity", "gini_concentration",
+        "gini_concentration",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -992,18 +994,19 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # the seventeen round-10 single-green demotees LEAD the EXTRA
+    # the eighteen round-10 single-green demotees LEAD the EXTRA
     # lane (relational14's ten, relational15's five, then
-    # relational16's wave-2/3 trio), ahead of the r9/r10 demotee
-    # cohorts
-    assert list(EXTRA)[:40] == [
+    # relational16's wave-2/3/4 quartet), ahead of the r9/r10
+    # demotee cohorts
+    assert list(EXTRA)[:41] == [
         "rolling_quantile", "schema_drift_report",
         "dedup_threshold_sweep", "alert_rate_spike", "bpe_fertility",
         "compaction_plan", "privacy_ldiv", "eval_regression",
         "eval_mrr_scale",
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
-        "quantile_weighted", "eval_cohen_kappa", "privacy_tcloseness",
+        "graph_assortativity", "quantile_weighted",
+        "eval_cohen_kappa", "privacy_tcloseness",
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
         "reconcile_sources",
@@ -7837,6 +7840,33 @@ def test_heaps_fit_doc_id_zero_routes_to_first_checkpoint(spark, tmp_path):
         for r in q_heaps_fit(spark, str(tmp_path)).collect()
     }
     assert got[1] == (3, 3) and got[16] == (3, 3)
+
+
+def test_eval_kripp_alpha_planted_abstentions(spark, tmp_path):
+    # four docs, the TTR rater abstaining on two (n_chars < 250):
+    # (1,1,1) m=3 x=3 -> o2 0; (0,1,-) m=2 x=1 -> o2 4; (0,0,0) m=3
+    # x=0 -> 0; (0,0,-) m=2 x=0 -> 0. n=10, n1=4, n0=6, O2=4 ->
+    # alpha = 1 - 4*9/(4*6*4) = 60/96 = 0.625
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_kripp_alpha,
+    )
+
+    w50 = " ".join(f"w{i}" for i in range(50))
+    rows = [
+        (1, w50, "en", "s", 349),       # a=1 b=1 c=1
+        (2, w50, "en", "s", 200),       # a=0 b=1 c=NULL (abstain)
+        (3, "w w w w w", "en", "s", 260),  # a=0 b=0 c=0 (TTR 0.2)
+        (4, "x x x", "en", "s", 100),   # a=0 b=0 c=NULL (abstain)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    r, = q_eval_kripp_alpha(spark, str(tmp_path)).collect()
+    assert (r.n_units, r.n_abstained, r.n_ratings) == (4, 2, 10)
+    assert (r.n_ones, r.n_zeros, r.o2) == (4, 6, 4)
+    assert r.alpha_micro == 625_000
 
 
 def test_eval_fleiss_kappa_planted_panel(spark, tmp_path):
