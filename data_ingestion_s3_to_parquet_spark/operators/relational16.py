@@ -281,6 +281,38 @@ FROM g
 KAPPA_CHAR_MIN = 300
 KAPPA_WORD_MIN = 50
 
+
+# ONE definition per rater gate, shared by all three agreement lanes
+# (Cohen / Fleiss / Krippendorff) — the round-11 review flagged the
+# inlined copies as a drift surface: the lanes' docstrings claim the
+# raters are identical, so the expressions must be too. The
+# when/otherwise shape (not a bare boolean cast) is load-bearing: a
+# NULL n_chars/text must land in the 0-cell exactly like the
+# oracle's CASE, not NULL out of every cell while still counting in
+# n_docs (the round-10 review's NULL-divergence finding).
+def _rater_char():  # rater A: the char-length gate
+    return (
+        F.when(F.col("n_chars") >= KAPPA_CHAR_MIN, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def _rater_words():  # rater B: the word-count gate
+    return (
+        F.when(
+            F.size(F.split(F.col("text"), " ")) >= KAPPA_WORD_MIN,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+
+
+_SQL_RATER_CHAR = f"CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END"
+_SQL_RATER_WORDS = (
+    f"CASE WHEN len(string_split(text, ' ')) >= {KAPPA_WORD_MIN}"
+    " THEN 1 ELSE 0 END"
+)
+
 # kappa = (N·agree − Σ r_i·c_i) / (N² − Σ r_i·c_i), all exact int64
 # (bounds: N per group up to ~3·10⁹ before N² leaves int64 — documented)
 # with the single pinned double division micro-quantized; a degenerate
@@ -321,23 +353,10 @@ def q_eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (output bounded by |langs|), zero joins, zero windows, zero
     broadcasts — the cheapest possible distributed shape.
     """
-    # when/otherwise (not a bare boolean cast): a NULL n_chars/text
-    # must land in the 0-cell exactly like the oracle's CASE, not
-    # NULL out of every cell while still counting in n_docs (the
-    # round-10 review's NULL-divergence finding)
     docs = load_table(spark, sf_dir, "documents").select(
         "lang",
-        F.when(F.col("n_chars") >= KAPPA_CHAR_MIN, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("a"),
-        F.when(
-            F.size(F.split(F.col("text"), " ")) >= KAPPA_WORD_MIN,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("b"),
+        _rater_char().cast("long").alias("a"),
+        _rater_words().cast("long").alias("b"),
     )
     g = docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -366,9 +385,8 @@ def q_eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVAL_COHEN_KAPPA = f"""
 WITH r AS (
   SELECT lang,
-         CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS a,
-         CASE WHEN len(string_split(text, ' ')) >= {KAPPA_WORD_MIN}
-              THEN 1 ELSE 0 END AS b
+         {_SQL_RATER_CHAR} AS a,
+         {_SQL_RATER_WORDS} AS b
   FROM documents
 ),
 g AS (
@@ -403,6 +421,41 @@ FROM m
 # agreement (2-1 splits), which is what Fleiss grades.
 FLEISS_TTR_NUM, FLEISS_TTR_DEN = 7, 10
 FLEISS_M = 3  # raters: the char gate, the word gate, the TTR gate
+
+
+def _rater_ttr(abstain_below: int | None = None):
+    """Rater C: the type-token-ratio gate (distinct words ≥ 70% of
+    words — the repetition screen). With ``abstain_below`` the rater
+    returns NULL on documents shorter than that many chars — the
+    Krippendorff lane's abstention pattern; Fleiss uses the
+    always-present form."""
+    gate = F.when(
+        FLEISS_TTR_DEN
+        * F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        >= FLEISS_TTR_NUM * F.size(F.split(F.col("text"), " ")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    if abstain_below is None:
+        return gate
+    return F.when(
+        F.col("n_chars") < abstain_below, F.lit(None)
+    ).otherwise(gate)
+
+
+_SQL_RATER_TTR_GATE = (
+    f"WHEN {FLEISS_TTR_DEN}"
+    " * len(list_distinct(string_split(text, ' ')))"
+    f" >= {FLEISS_TTR_NUM} * len(string_split(text, ' '))"
+    " THEN 1 ELSE 0"
+)
+_SQL_RATER_TTR = f"CASE {_SQL_RATER_TTR_GATE} END"
+
+
+def _sql_rater_ttr_abstaining(abstain_below: int) -> str:
+    return (
+        f"CASE WHEN n_chars < {abstain_below} THEN NULL"
+        f" {_SQL_RATER_TTR_GATE} END"
+    )
 
 # Closed form over exact integers (m = 3, two categories): with
 # S = Σ_i (n_i1² + n_i0²) and T = Σ_i n_i1 over a language's N docs,
@@ -452,23 +505,9 @@ def q_eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "lang",
-        F.when(F.col("n_chars") >= KAPPA_CHAR_MIN, F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("a"),
-        F.when(
-            F.size(F.split(F.col("text"), " ")) >= KAPPA_WORD_MIN,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("b"),
-        F.when(
-            FLEISS_TTR_DEN
-            * F.size(F.array_distinct(F.split(F.col("text"), " ")))
-            >= FLEISS_TTR_NUM * F.size(F.split(F.col("text"), " ")),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("c"),
+        _rater_char().alias("a"),
+        _rater_words().alias("b"),
+        _rater_ttr().alias("c"),
     )
     per = docs.select(
         "lang", (F.col("a") + F.col("b") + F.col("c")).alias("k1")
@@ -511,13 +550,9 @@ def q_eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVAL_FLEISS_KAPPA = f"""
 WITH r AS (
   SELECT lang,
-         CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS a,
-         CASE WHEN len(string_split(text, ' ')) >= {KAPPA_WORD_MIN}
-              THEN 1 ELSE 0 END AS b,
-         CASE WHEN {FLEISS_TTR_DEN}
-                   * len(list_distinct(string_split(text, ' ')))
-                >= {FLEISS_TTR_NUM} * len(string_split(text, ' '))
-              THEN 1 ELSE 0 END AS c
+         {_SQL_RATER_CHAR} AS a,
+         {_SQL_RATER_WORDS} AS b,
+         {_SQL_RATER_TTR} AS c
   FROM documents
 ),
 per AS (
@@ -601,26 +636,9 @@ def q_eval_kripp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "lang",
-        F.when(F.col("n_chars") >= KAPPA_CHAR_MIN, F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("a"),
-        F.when(
-            F.size(F.split(F.col("text"), " ")) >= KAPPA_WORD_MIN,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("b"),
-        F.when(
-            F.col("n_chars") < KRIPP_ABSTAIN_MIN, F.lit(None)
-        )
-        .when(
-            FLEISS_TTR_DEN
-            * F.size(F.array_distinct(F.split(F.col("text"), " ")))
-            >= FLEISS_TTR_NUM * F.size(F.split(F.col("text"), " ")),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("c"),
+        _rater_char().alias("a"),
+        _rater_words().alias("b"),
+        _rater_ttr(abstain_below=KRIPP_ABSTAIN_MIN).alias("c"),
     )
     per = docs.select(
         "lang",
@@ -676,14 +694,9 @@ def q_eval_kripp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVAL_KRIPP_ALPHA = f"""
 WITH r AS (
   SELECT lang,
-         CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS a,
-         CASE WHEN len(string_split(text, ' ')) >= {KAPPA_WORD_MIN}
-              THEN 1 ELSE 0 END AS b,
-         CASE WHEN n_chars < {KRIPP_ABSTAIN_MIN} THEN NULL
-              WHEN {FLEISS_TTR_DEN}
-                   * len(list_distinct(string_split(text, ' ')))
-                >= {FLEISS_TTR_NUM} * len(string_split(text, ' '))
-              THEN 1 ELSE 0 END AS c
+         {_SQL_RATER_CHAR} AS a,
+         {_SQL_RATER_WORDS} AS b,
+         {_sql_rater_ttr_abstaining(KRIPP_ABSTAIN_MIN)} AS c
   FROM documents
 ),
 per AS (
