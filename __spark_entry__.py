@@ -211,7 +211,12 @@ eval_kripp_alpha (Krippendorff's alpha, nominal data with real
 ABSTENTIONS — the TTR rater skips sub-250-char docs and the
 per-unit 1/(m_u−1) coincidence weights handle the 2-vs-3-rating mix
 exactly — the rater-agreement family's missing-data leg next to
-Cohen and Fleiss) at position 7, demoting graph_assortativity —
+Cohen and Fleiss) at position 7, demoting graph_assortativity, and a fifth
+wave adds event_burstiness (the per-type Fano factor over the full
+hourly grid — silent hours enter the moments WITHOUT grid
+generation, since zero counts add nothing to the observed sums and
+only the span N differs — the monitoring family's
+distribution-shape leg) at position 8, demoting eval_fleiss_kappa —
 extends eval_mrr with the
 recall@{1,5,10,20} cutoff ladder (kept graded for a fresh row under
 the new schema), and runs the next grade-freshness rotation: the
@@ -226,11 +231,11 @@ bpe_fertility, compaction_plan, privacy_ldiv, eval_regression,
 eval_mrr_scale, dedup_cluster_stats, corr_spearman, trend_linfit,
 anova_oneway, rank_mannwhitney) demote one-for-one and LEAD the
 EXTRA lane. The EXTRA lane
-holds a hundred and forty-five oracle-gated entries, every one with
+holds a hundred and forty-six oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 145 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 146 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

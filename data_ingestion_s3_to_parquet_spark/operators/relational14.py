@@ -904,6 +904,128 @@ def q_alert_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("alert", F.expr(_ALERT_EXPR))
 
 
+# Fano factor (variance-to-mean over the hour GRID) and grid mean,
+# micro-quantized: var/mean = (N·Σy² − (Σy)²)/(N·Σy) with N the
+# inclusive min→max hour span — silent hours contribute y = 0 to the
+# moments WITHOUT being materialized (Σy/Σy² over observed rows are
+# already the grid sums; only N differs), so the lane never
+# generates a grid. Products decimal(38,0) ↔ HUGEINT; one pinned
+# division each; a type with zero events has no defined dispersion
+# → NULL (unreachable here — observed types have ≥ 1 event — but
+# the 0/0 standard holds).
+_FANO_EXPR = (
+    "CASE WHEN n_events = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * CAST(var_num AS DOUBLE))"
+    " / CAST(nh_s AS DOUBLE), 0) AS BIGINT) END"
+)
+_GRID_MEAN_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * n_events)"
+    " / n_hours, 0) AS BIGINT)"
+)
+
+
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type burstiness of the hourly arrival process — the
+    Fano factor (dispersion index) over the type's full hour grid:
+    a Poisson arrival stream reads ≈ 1, clumped/bursty traffic » 1,
+    clock-regular traffic « 1. The monitoring family's
+    distribution-shape leg next to ``alert_rate_spike`` (threshold
+    alerts) and ``trend_linfit`` (drift): an alert threshold tuned
+    on a Poisson assumption misfires exactly when this scalar says
+    the process is not Poisson.
+
+    The grid trick is the scale story: variance over the inclusive
+    min→max hour span INCLUDING silent hours needs no grid
+    generation — zero-count hours add nothing to Σy or Σy², so the
+    observed (type, hour) aggregate already carries the grid
+    moments and only N (the span, from min/max bucket timestamps)
+    differs. Everything is one map-side-combinable (type, hour)
+    count — output bounded by the TIME domain — then one |types|-
+    group combinable aggregate. Zero joins, windows, broadcasts.
+
+    Exactness: counts int64; N from exact epoch-second arithmetic
+    (``div 3600``); N·Σy² − (Σy)² and N·Σy in decimal/HUGEINT; two
+    pinned micro divisions (``_FANO_EXPR`` / ``_GRID_MEAN_EXPR``).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    )
+    buckets = ev.groupBy("event_type", "bucket_ts").agg(
+        F.count("*").alias("y")
+    )
+    from ..functions.numeric import exact_product_sum
+
+    dec = "decimal(38,0)"
+    g = buckets.groupBy("event_type").agg(
+        F.count("*").alias("n_active_hours"),
+        F.sum("y").alias("n_events"),
+        exact_product_sum(F.col("y"), F.col("y")).cast(dec).alias("ss"),
+        F.min("bucket_ts").alias("min_b"),
+        F.max("bucket_ts").alias("max_b"),
+    )
+    g = g.withColumn(
+        "n_hours",
+        F.expr(
+            "(unix_timestamp(max_b) - unix_timestamp(min_b))"
+            " div 3600 + 1"
+        ).cast("long"),
+    )
+    g = g.withColumn(
+        "var_num",
+        (
+            F.col("n_hours").cast(dec) * F.col("ss")
+            - F.col("n_events").cast(dec) * F.col("n_events").cast(dec)
+        ).cast(dec),
+    ).withColumn(
+        "nh_s",
+        (F.col("n_hours").cast(dec) * F.col("n_events").cast(dec)).cast(dec),
+    )
+    return g.select(
+        "event_type",
+        "n_hours",
+        "n_active_hours",
+        "n_events",
+        F.expr(_GRID_MEAN_EXPR).alias("mean_per_hour_micro"),
+        F.expr(_FANO_EXPR).alias("fano_micro"),
+    )
+
+
+SQL_EVENT_BURSTINESS = f"""
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+         CAST(SUM(y) AS BIGINT) AS n_events,
+         SUM(CAST(y AS HUGEINT) * y) AS ss,
+         MIN(bucket_ts) AS min_b,
+         MAX(bucket_ts) AS max_b
+  FROM buckets GROUP BY event_type
+),
+m AS (
+  SELECT *,
+         (CAST(epoch(max_b) AS BIGINT)
+          - CAST(epoch(min_b) AS BIGINT)) // 3600 + 1
+           AS n_hours
+  FROM g
+),
+v AS (
+  SELECT *,
+         CAST(n_hours AS HUGEINT) * ss
+           - CAST(n_events AS HUGEINT) * n_events AS var_num,
+         CAST(n_hours AS HUGEINT) * n_events AS nh_s
+  FROM m
+)
+SELECT event_type, n_hours, n_active_hours, n_events,
+       {_GRID_MEAN_EXPR} AS mean_per_hour_micro,
+       {_FANO_EXPR} AS fano_micro
+FROM v
+"""
+
+
 SQL_ALERT_RATE_SPIKE = f"""
 WITH buckets AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_ts,

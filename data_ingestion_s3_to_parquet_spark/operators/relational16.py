@@ -941,12 +941,6 @@ def _containment_query() -> Query:
 QUERIES: list[Query] = [
     _containment_query(),
     Query(
-        "eval_fleiss_kappa",
-        q_eval_fleiss_kappa,
-        SQL_EVAL_FLEISS_KAPPA,
-        ("llm", "evaluation", "statistics", "quality"),
-    ),
-    Query(
         "gini_concentration",
         q_gini_concentration,
         SQL_GINI_CONCENTRATION,
@@ -956,10 +950,17 @@ QUERIES: list[Query] = [
 
 # quantile_weighted (single-green r10) demoted in the round-11 THIRD
 # wave for the new heaps_fit; graph_assortativity (single-green r10)
-# in the FOURTH wave for the new eval_kripp_alpha (both register via
-# relational17).
+# in the FOURTH wave for the new eval_kripp_alpha; eval_fleiss_kappa
+# (single-green r10) in the FIFTH wave for the new event_burstiness
+# (all register via relational17).
 EXTRA_QUERIES: list[Query] = [
     _assortativity_query(),
+    Query(
+        "eval_fleiss_kappa",
+        q_eval_fleiss_kappa,
+        SQL_EVAL_FLEISS_KAPPA,
+        ("llm", "evaluation", "statistics", "quality"),
+    ),
     Query(
         "quantile_weighted",
         q_quantile_weighted,

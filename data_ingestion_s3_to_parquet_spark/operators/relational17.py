@@ -60,6 +60,7 @@ from .relational import (
     q_join_range,
 )
 from .relational2 import SQL_AGG_APPROX_QUANTILE, q_agg_approx_quantile
+from .relational14 import SQL_EVENT_BURSTINESS, q_event_burstiness
 from .relational16 import SQL_EVAL_KRIPP_ALPHA, q_eval_kripp_alpha
 from .relational3 import SQL_DATETIME_FUNCS, q_datetime_funcs
 from .textstats import (
@@ -123,6 +124,14 @@ QUERIES: list[Query] = [
         q_eval_kripp_alpha,
         SQL_EVAL_KRIPP_ALPHA,
         ("llm", "evaluation", "statistics", "quality"),
+    ),
+    # --- round-11 FIFTH wave (never-graded; eval_fleiss_kappa
+    # demoted one-for-one from relational16) ---
+    Query(
+        "event_burstiness",
+        q_event_burstiness,
+        SQL_EVENT_BURSTINESS,
+        ("relational", "timeseries", "monitoring", "statistics"),
     ),
     # --- the round-11 promotion cohort (oldest driver rows first) ---
     Query(

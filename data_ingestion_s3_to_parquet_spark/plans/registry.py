@@ -171,7 +171,7 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and forty-five entries after the round-11 rotation —
+# a hundred and forty-six entries after the round-11 rotation —
 # round 10's sixth/seventh waves demoted the multi-green graph
 # trio, session_paths, ewma_smooth, emb_gram, lm_bigram_score,
 # jsonl_interop, rank_fusion_rrf, and sim_join_kmeans for
@@ -187,8 +187,9 @@ REGISTRY: dict[str, Query] = _collect()
 # (the r3/r4-row cohort) promoted through relational17, then
 # demoted eval_cohen_kappa / privacy_tcloseness for the wave-2
 # graph_clustering_coeff / zipf_fit and quantile_weighted for the
-# wave-3 heaps_fit and graph_assortativity for the wave-4
-# eval_kripp_alpha; EVERY entry carries
+# wave-3 heaps_fit, graph_assortativity for the wave-4
+# eval_kripp_alpha, and eval_fleiss_kappa for the wave-5
+# event_burstiness; EVERY entry carries
 # at least one prior green driver row — the six wave-3 demotees
 # (recursive_cte, data_expectations, value_histogram, pagerank,
 # sample_stratified, unpivot_stack — traded for doc_winnow /

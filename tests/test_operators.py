@@ -958,35 +958,35 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 145
+    assert len(EXTRA) == 146
     assert len(BENCH_ONLY) == 7
-    # round-11 rotation: the six NEW round-11 operators grade
+    # round-11 rotation: the seven NEW round-11 operators grade
     # immediately after ingest_parity (never-graded-first; wave 2
     # added graph_clustering_coeff / zipf_fit, wave 3 heaps_fit,
-    # wave 4 eval_kripp_alpha),
+    # wave 4 eval_kripp_alpha, wave 5 event_burstiness),
     # followed by the twelve-lane promotion cohort — the
     # MEASURED-oldest driver rows in the registry (seven r3-row
     # lanes, five r4-row lanes; relational17's docstring records why
     # this deviates from VERDICT r10 #1's relational6 nomination) —
     # then eval_mrr, which stays graded because round 11 extended
     # its output schema with the recall@{1,5,20} ladder
-    assert list(REGISTRY)[1:20] == [
+    assert list(REGISTRY)[1:21] == [
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
-        "eval_kripp_alpha",
+        "eval_kripp_alpha", "event_burstiness",
         "datetime_funcs", "seq_pack", "embedding_quantize",
         "quality_gopher", "pii_redact", "media_frame_sample",
         "agg_approx_quantile", "agg_group", "join_inner",
         "join_broadcast", "join_range", "join_asof",
         "eval_mrr",
     ]
-    # the round-10 first-timers that STAY graded (second green);
-    # eval_cohen_kappa / privacy_tcloseness / quantile_weighted /
-    # graph_assortativity demoted in the round-11 second, third, and
-    # fourth waves for the newcomers
-    assert list(REGISTRY)[20:23] == [
-        "dedup_containment", "eval_fleiss_kappa",
-        "gini_concentration",
+    # the round-10 first-timers that STAY graded (second green):
+    # dedup_containment (collision contract documented this round)
+    # and gini_concentration (oracle HUGEINT-cast this round); the
+    # other five r10 first-timers demoted across waves 2-5 for the
+    # newcomers
+    assert list(REGISTRY)[21:23] == [
+        "dedup_containment", "gini_concentration",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -994,18 +994,19 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # the eighteen round-10 single-green demotees LEAD the EXTRA
+    # the nineteen round-10 single-green demotees LEAD the EXTRA
     # lane (relational14's ten, relational15's five, then
-    # relational16's wave-2/3/4 quartet), ahead of the r9/r10
+    # relational16's wave-2/3/4/5 quintet), ahead of the r9/r10
     # demotee cohorts
-    assert list(EXTRA)[:41] == [
+    assert list(EXTRA)[:42] == [
         "rolling_quantile", "schema_drift_report",
         "dedup_threshold_sweep", "alert_rate_spike", "bpe_fertility",
         "compaction_plan", "privacy_ldiv", "eval_regression",
         "eval_mrr_scale",
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
-        "graph_assortativity", "quantile_weighted",
+        "graph_assortativity", "eval_fleiss_kappa",
+        "quantile_weighted",
         "eval_cohen_kappa", "privacy_tcloseness",
         "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
         "rolling_median", "forecast_snaive", "ref_integrity_audit",
@@ -7840,6 +7841,38 @@ def test_heaps_fit_doc_id_zero_routes_to_first_checkpoint(spark, tmp_path):
         for r in q_heaps_fit(spark, str(tmp_path)).collect()
     }
     assert got[1] == (3, 3) and got[16] == (3, 3)
+
+
+def test_event_burstiness_planted_grid(spark, tmp_path):
+    # one type, events at hour h (4 of them) and h+2 (2), hour h+1
+    # SILENT: the grid span is N=3 though only 2 hours are active.
+    # Sums over observed rows ARE the grid moments (zeros add
+    # nothing): s=6, ss=20 -> var_num = 3*20-36 = 24, fano =
+    # 24/(3*6) = 1.3333 -> 1333333; mean = 6/3 = 2.0
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_event_burstiness,
+    )
+
+    h = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (i, h + dt.timedelta(minutes=i), 1, "click", 1.0, "{}")
+        for i in range(4)
+    ] + [
+        (10 + i, h + dt.timedelta(hours=2, minutes=i), 1, "click", 1.0, "{}")
+        for i in range(2)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    r, = q_event_burstiness(spark, str(tmp_path)).collect()
+    assert (r.n_hours, r.n_active_hours, r.n_events) == (3, 2, 6)
+    assert r.mean_per_hour_micro == 2_000_000
+    assert r.fano_micro == 1_333_333
 
 
 def test_eval_kripp_alpha_planted_abstentions(spark, tmp_path):
