@@ -58,6 +58,27 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Fixed untimed warm-up lanes run before ANY timing: a scan-shaped,
+# a join-shaped, and an agg-shaped plan, so JVM/JIT/codegen/shuffle
+# machinery is warm before the first timed lane regardless of which
+# lane happens to sit at the suite head (VERDICT r11 #5: agg_group /
+# join_inner / join_range inflated 1.29-1.48x purely by moving to the
+# head of the suite after a rotation — position-induced, not plan
+# damage). Looked up across REGISTRY+EXTRA so rotations never break
+# the warm-up.
+WARMUP_LANES = ("scan_parquet", "join_inner", "agg_group")
+
+
+def canonical_order(names) -> list:
+    """The pinned timing order: lexicographic by lane name,
+    INDEPENDENT of registry (grading) order — rotations move lanes
+    between graded/EXTRA and reorder the registry every round, and
+    r11 showed suite position shifts lane timings by up to ~1.5x.
+    With a canonical order, per-lane corridors stay comparable
+    round-over-round (VERDICT r11 #5)."""
+    return sorted(names)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -72,9 +93,13 @@ def main() -> None:
         if q.bench
     }
 
-    # warm-up: JVM/codegen/parquet-footer caches (merged lookup so the
-    # warm-up survives graded/EXTRA rotations of scan_parquet)
-    materialize({**REGISTRY, **EXTRA}["scan_parquet"].fn(spark, sf_dir))
+    # warm-up: JVM/codegen/parquet-footer caches AND shuffle/join/agg
+    # machinery (merged lookup so the warm-up survives graded/EXTRA
+    # rotations of any warm-up lane; see WARMUP_LANES)
+    merged = {**REGISTRY, **EXTRA}
+    for wname in WARMUP_LANES:
+        spark.catalog.clearCache()
+        materialize(merged[wname].fn(spark, sf_dir))
 
     # Per-query: one untimed warm-up run, then three timed runs. Warm
     # steady-state is the honest 100 TB proxy — whole-stage-codegen
@@ -89,7 +114,8 @@ def main() -> None:
     # so a wide min-med gap flags ambient noise (VERDICT r6 #3).
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
-    for name, q in bench_queries.items():
+    for name in canonical_order(bench_queries):
+        q = bench_queries[name]
         spark.catalog.clearCache()
         materialize(q.fn(spark, sf_dir))
         runs: list[float] = []

@@ -946,6 +946,17 @@ def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: counts int64; N from exact epoch-second arithmetic
     (``div 3600``); N·Σy² − (Σy)² and N·Σy in decimal/HUGEINT; two
     pinned micro divisions (``_FANO_EXPR`` / ``_GRID_MEAN_EXPR``).
+
+    Variance convention (ADVICE r11): the numerator is the
+    POPULATION (divide-by-N) grid variance — var/mean =
+    (N·Σy² − (Σy)²)/(N·Σy) — not the sample (N−1) form, so the
+    reported Fano is (N−1)/N of the textbook sample-variance
+    dispersion index. Pinned deliberately: the hour grid is the
+    COMPLETE observation window (every grid cell is observed, none
+    sampled), where the population form is the defined statistic;
+    threshold tuning downstream should calibrate against this
+    convention. The inter-arrival twin ``event_interarrival`` pins
+    the same population convention for its σ.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")

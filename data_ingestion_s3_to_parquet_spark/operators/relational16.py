@@ -735,6 +735,246 @@ FROM m2
 
 
 # --------------------------------------------------------------------
+# eval_kripp_alpha_ordinal
+# --------------------------------------------------------------------
+
+# Ordinal rubric raters: each emits a grade in {0,1,2,3} (an
+# LLM-judge scoring scale). Band thresholds sit INSIDE the fixture
+# distributions (n_chars quartiles ~180/306/430, whitespace-token
+# quartiles ~33/56/78, TTR deciles ~0.32-0.75 across all SFs), so
+# every grade level is populated at every SF and real partial
+# (adjacent-grade) disagreement exists — which is exactly what the
+# squared-distance delta weighs differently from the nominal alpha.
+KRIPP_ORD_CHAR_BANDS = (150, 300, 450)
+KRIPP_ORD_WORD_BANDS = (30, 55, 80)
+
+
+def _rater_char_grade():
+    """Rater A (ordinal): the length rubric — n_chars banded 0..3."""
+    lo, mid, hi = KRIPP_ORD_CHAR_BANDS
+    return (
+        F.when(F.col("n_chars") < lo, F.lit(0))
+        .when(F.col("n_chars") < mid, F.lit(1))
+        .when(F.col("n_chars") < hi, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+
+
+def _rater_words_grade():
+    """Rater B (ordinal): the verbosity rubric — whitespace-token
+    count banded 0..3 (same split-on-space convention as
+    :func:`_rater_words`)."""
+    lo, mid, hi = KRIPP_ORD_WORD_BANDS
+    w = F.size(F.split(F.col("text"), " "))
+    return (
+        F.when(w < lo, F.lit(0))
+        .when(w < mid, F.lit(1))
+        .when(w < hi, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+
+
+def _rater_ttr_grade(abstain_below: int):
+    """Rater C (ordinal): the lexical-diversity rubric — type-token
+    ratio banded 0..3 via exact integer cross-multiplications
+    (d/w vs 2/5, 1/2, 13/20), abstaining below ``abstain_below``
+    chars — the same abstention pattern as the nominal lane's
+    :func:`_rater_ttr`."""
+    d = F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    w = F.size(F.split(F.col("text"), " "))
+    grade = (
+        F.when(5 * d < 2 * w, F.lit(0))
+        .when(2 * d < w, F.lit(1))
+        .when(20 * d < 13 * w, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return F.when(F.col("n_chars") < abstain_below, F.lit(None)).otherwise(
+        grade
+    )
+
+
+_SQL_RATER_CHAR_GRADE = (
+    f"CASE WHEN n_chars < {KRIPP_ORD_CHAR_BANDS[0]} THEN 0"
+    f" WHEN n_chars < {KRIPP_ORD_CHAR_BANDS[1]} THEN 1"
+    f" WHEN n_chars < {KRIPP_ORD_CHAR_BANDS[2]} THEN 2 ELSE 3 END"
+)
+_SQL_RATER_WORDS_GRADE = (
+    f"CASE WHEN len(string_split(text, ' ')) < {KRIPP_ORD_WORD_BANDS[0]}"
+    " THEN 0"
+    f" WHEN len(string_split(text, ' ')) < {KRIPP_ORD_WORD_BANDS[1]}"
+    " THEN 1"
+    f" WHEN len(string_split(text, ' ')) < {KRIPP_ORD_WORD_BANDS[2]}"
+    " THEN 2 ELSE 3 END"
+)
+
+
+def _sql_rater_ttr_grade(abstain_below: int) -> str:
+    d = "len(list_distinct(string_split(text, ' ')))"
+    w = "len(string_split(text, ' '))"
+    return (
+        f"CASE WHEN n_chars < {abstain_below} THEN NULL"
+        f" WHEN 5 * {d} < 2 * {w} THEN 0"
+        f" WHEN 2 * {d} < {w} THEN 1"
+        f" WHEN 20 * {d} < 13 * {w} THEN 2 ELSE 3 END"
+    )
+
+
+# alpha = (E − O·(n−1)) / E with O = Σ_u c_u the per-unit-cleared
+# observed disagreement and E = 2·(n·S2 − S1²) the expected
+# disagreement numerator (see q_eval_kripp_alpha_ordinal); E = 0
+# (every pairable rating identical) has no chance term → NULL.
+_KRIPP_ORD_EXPR = (
+    "CASE WHEN e_big = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE)"
+    " * CAST(e_big - CAST(d_obs AS {big}) * (n_ratings - 1)"
+    " AS DOUBLE))"
+    " / CAST(e_big AS DOUBLE), 0) AS BIGINT) END"
+)
+
+
+def q_eval_kripp_alpha_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Krippendorff's alpha for GRADED labels, per language
+    — the ordinal leg of the agreement family (VERDICT r11 #2):
+    ``eval_kripp_alpha`` treats categories as nominal (any
+    disagreement weighs 1), but LLM-judge scoring rubrics emit
+    ordered grades where "2 vs 3" is a near-miss and "0 vs 3" a
+    blown call. This lane weighs disagreement by the SQUARED RANK
+    DISTANCE delta δ(v,w) = (v−w)² on the equally-spaced grade scale
+    0..3 (Krippendorff's interval metric applied to the rubric's
+    ranks — the standard delta for graded scores), keeping the
+    nominal lane's missing-data machinery: the diversity rater
+    abstains below ``KRIPP_ABSTAIN_MIN`` chars, and per-unit
+    coincidence weights 1/(m_u−1) handle the mixed 2-vs-3-rating
+    units exactly.
+
+    Closed form over sufficient statistics (the contribution): with
+    per-unit grade sum s1 and square sum s2, the 1/(m_u−1)-cleared
+    observed disagreement is c_u = 2·(2·s2 − s1²) for m = 2 and
+    (3·s2 − s1²) for m = 3 — both EXACT int64 (the nominal lane's ×4
+    trick generalized: Σ_{i≠j}(v_i−v_j)² = 2·(m·s2 − s1²) and the
+    (m−1) divisor clears integrally for m ≤ 3). The expected
+    disagreement needs only the GLOBAL pairable-value moments:
+    Σ_{c,k} n_c·n_k·(c−k)² = 2·(n·S2 − S1²) with n = Σm_u,
+    S1 = Σs1, S2 = Σs2 — so the whole statistic collapses to ONE
+    combinable aggregate, no per-category pivot, no coincidence
+    matrix materialization. alpha = 1 − O·(n−1)/E as one pinned
+    micro division; E = 0 (all ratings identical) → NULL.
+
+    Exactness: grades, s1, s2, c_u are int64; n·S2 and S1² promote
+    to decimal(38,0) ↔ HUGEINT before multiplying (S1 ≤ 9N leaves
+    int64 squared near N ≈ 3·10⁸ — the promote-before-multiply
+    rule); one pinned division.
+
+    Scale shape: identical to the nominal lane — one
+    map-side-combinable groupBy over documents (output bounded by
+    |langs|), zero joins, zero windows, zero broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        _rater_char_grade().cast("long").alias("a"),
+        _rater_words_grade().cast("long").alias("b"),
+        _rater_ttr_grade(KRIPP_ABSTAIN_MIN).cast("long").alias("c"),
+    )
+    per = docs.select(
+        "lang",
+        F.when(F.col("c").isNull(), F.lit(2)).otherwise(F.lit(3)).alias("m"),
+        (F.col("a") + F.col("b") + F.coalesce("c", F.lit(0))).alias("s1"),
+        (
+            F.col("a") * F.col("a")
+            + F.col("b") * F.col("b")
+            + F.coalesce(F.col("c") * F.col("c"), F.lit(0))
+        ).alias("s2"),
+    ).select(
+        "lang",
+        "m",
+        "s1",
+        "s2",
+        # Σ_{i≠j}(v_i−v_j)² / (m−1), cleared: 2(2s2−s1²) | (3s2−s1²)
+        F.when(
+            F.col("m") == 2,
+            2 * (2 * F.col("s2") - F.col("s1") * F.col("s1")),
+        )
+        .otherwise(3 * F.col("s2") - F.col("s1") * F.col("s1"))
+        .alias("c_u"),
+    )
+    dec = "decimal(38,0)"
+    g = per.groupBy("lang").agg(
+        F.count("*").alias("n_units"),
+        F.sum((F.col("m") == 2).cast("long")).alias("n_abstained"),
+        F.sum("m").alias("n_ratings"),
+        F.sum("s1").alias("grade_sum"),
+        F.sum("s2").alias("grade_sq_sum"),
+        F.sum("c_u").alias("d_obs"),
+    )
+    g = g.withColumn(
+        "e_big",
+        (
+            F.lit(2).cast(dec)
+            * (
+                F.col("n_ratings").cast(dec) * F.col("grade_sq_sum").cast(dec)
+                - F.col("grade_sum").cast(dec) * F.col("grade_sum").cast(dec)
+            )
+        ).cast(dec),
+    )
+    return g.select(
+        "lang",
+        "n_units",
+        "n_abstained",
+        "n_ratings",
+        "grade_sum",
+        "grade_sq_sum",
+        "d_obs",
+        F.expr(_KRIPP_ORD_EXPR.format(big=dec)).alias("alpha_micro"),
+    )
+
+
+SQL_EVAL_KRIPP_ALPHA_ORDINAL = f"""
+WITH r AS (
+  SELECT lang,
+         {_SQL_RATER_CHAR_GRADE} AS a,
+         {_SQL_RATER_WORDS_GRADE} AS b,
+         {_sql_rater_ttr_grade(KRIPP_ABSTAIN_MIN)} AS c
+  FROM documents
+),
+per AS (
+  SELECT lang,
+         CASE WHEN c IS NULL THEN 2 ELSE 3 END AS m,
+         a + b + COALESCE(c, 0) AS s1,
+         a * a + b * b + COALESCE(c * c, 0) AS s2
+  FROM r
+),
+per2 AS (
+  SELECT lang, m, s1, s2,
+         CASE WHEN m = 2 THEN 2 * (2 * s2 - s1 * s1)
+              ELSE 3 * s2 - s1 * s1 END AS c_u
+  FROM per
+),
+g AS (
+  SELECT lang,
+         COUNT(*) AS n_units,
+         CAST(SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_abstained,
+         CAST(SUM(m) AS BIGINT) AS n_ratings,
+         CAST(SUM(s1) AS BIGINT) AS grade_sum,
+         CAST(SUM(s2) AS BIGINT) AS grade_sq_sum,
+         CAST(SUM(c_u) AS BIGINT) AS d_obs
+  FROM per2 GROUP BY lang
+),
+m2 AS (
+  SELECT *,
+         CAST(2 AS HUGEINT)
+           * (CAST(n_ratings AS HUGEINT) * grade_sq_sum
+              - CAST(grade_sum AS HUGEINT) * grade_sum) AS e_big
+  FROM g
+)
+SELECT lang, n_units, n_abstained, n_ratings, grade_sum, grade_sq_sum,
+       d_obs,
+       {_KRIPP_ORD_EXPR.format(big="HUGEINT")} AS alpha_micro
+FROM m2
+"""
+
+
+# --------------------------------------------------------------------
 # privacy_tcloseness
 # --------------------------------------------------------------------
 

@@ -1427,7 +1427,10 @@ LIMIT {CMS_TOP}
 # num = 206835·S·W − 1015·W² − 84600·Y·S, den = 1000·S·W — both exact
 # integers (decimal(38,0) ↔ HUGEINT: 1015·W² leaves int64 near
 # W ≈ 3·10⁹ words per document), micro-quantized through ONE shared
-# division. W = 0 (empty document) has no defined score → NULL.
+# division. The den = 0 branch is a defensive guard only: W = 0
+# documents are filtered out BEFORE the per-doc aggregation in both
+# engines (see the docstring's output contract), so every emitted
+# row has W ≥ 1 and den ≥ 1000.
 _FLESCH_EXPR = (
     "CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)"
     " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * CAST(num AS DOUBLE))"
@@ -1464,6 +1467,16 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational over the common denominator (see ``_FLESCH_EXPR``),
     micro-quantized once; band thresholds compare the quantized
     integer, so band and score can never disagree cross-engine.
+
+    Output contract (ADVICE r11): documents whose text yields ZERO
+    non-empty tokens are DROPPED from the output — the explode +
+    ``length(w) > 0`` filter removes them before the per-doc
+    aggregation in BOTH engines, so no W = 0 row ever forms and the
+    ``den = 0 → NULL`` branch in ``_FLESCH_EXPR`` is a defensive
+    guard, not a reachable state. A consumer that must keep every
+    doc_id left-joins this output back onto ``documents`` (the score
+    column comes back NULL for token-less docs, which is the same
+    verdict — "no defined readability").
 
     Scale shape: map-only — one documents scan, one explode bounded
     by document length, one combinable per-doc aggregation keyed on
@@ -1717,9 +1730,14 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cp = HEAPS_CHECKPOINTS
     # bucket = smallest checkpoint index covering this doc_id:
-    # ceil(doc_id * cp / max_id), clamped to [1, cp]
+    # ceil(doc_id * cp / max_id), clamped to [1, cp]. doc_id promotes
+    # to decimal(38,0) BEFORE the *cp multiply (the repo's
+    # promote-before-multiply rule, ADVICE r11: a raw int64 multiply
+    # overflows past doc_id ≈ 5.8e17 — loud under ANSI, but an
+    # undeclared seam); the HUGEINT twin lives in the SQL mirror.
     bucket = (
-        f"GREATEST(LEAST(CAST((doc_id * {cp} + max_id - 1) div max_id"
+        f"GREATEST(LEAST(CAST((CAST(doc_id AS decimal(38,0)) * {cp}"
+        f" + max_id - 1) div max_id"
         f" AS INT), {cp}), 1)"
     )
     toks = (
@@ -1785,7 +1803,8 @@ def _sql_heaps_fit() -> str:
     return f"""
 WITH mx AS (SELECT GREATEST(MAX(doc_id), 1) AS max_id FROM documents),
 toks AS (
-  SELECT GREATEST(LEAST(CAST((doc_id * {cp} + max_id - 1) // max_id
+  SELECT GREATEST(LEAST(CAST((CAST(doc_id AS HUGEINT) * {cp}
+                              + max_id - 1) // max_id
                              AS INT), {cp}), 1) AS b,
          w
   FROM (

@@ -1140,6 +1140,32 @@ def test_bench_stdout_line_fits_driver_tail_window():
     assert "BENCH_SPREAD.json" in src
 
 
+def test_bench_timing_order_is_canonical_and_warmup_pinned():
+    # VERDICT r11 #5: suite position shifts lane timings by up to
+    # ~1.5x, and registry rotations used to reorder the suite every
+    # round. The timing order must be (a) lexicographic and (b)
+    # independent of dict insertion order; the fixed warm-up set must
+    # resolve against REGISTRY+EXTRA so rotations can't break it.
+    import bench
+    from data_ingestion_s3_to_parquet_spark.plans.registry import (
+        EXTRA,
+        REGISTRY,
+    )
+
+    names = ["zeta", "alpha", "mid"]
+    assert bench.canonical_order(names) == sorted(names)
+    assert bench.canonical_order(reversed(names)) == sorted(names)
+    merged = {**REGISTRY, **EXTRA}
+    for lane in bench.WARMUP_LANES:
+        assert lane in merged, f"warm-up lane {lane} left the registry"
+    # the main loop must consume the canonical order, not dict order
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "canonical_order(bench_queries)" in src
+    assert "WARMUP_LANES" in src
+
+
 def test_quality_classifier_buckets_split_and_agree_with_signals(spark, sf_dir):
     # the composed gate must (a) populate all three buckets on the
     # fixture corpus (the "calibrated" requirement), (b) keep only
@@ -7900,6 +7926,97 @@ def test_eval_kripp_alpha_planted_abstentions(spark, tmp_path):
     assert (r.n_units, r.n_abstained, r.n_ratings) == (4, 2, 10)
     assert (r.n_ones, r.n_zeros, r.o2) == (4, 6, 4)
     assert r.alpha_micro == 625_000
+
+
+def test_eval_kripp_alpha_ordinal_planted_graded_panel(spark, tmp_path):
+    # three docs, grades hand-pinned through the rubric bands:
+    # doc1 (1,2,3) m=3: s1=6 s2=14 c_u = 3*14-36 = 6 (the adjacent
+    #   ladder 1-2-3: pair deltas 1+4+1, cleared by (m-1)=2);
+    # doc2 (2,2,2) m=3: c_u = 0;
+    # doc3 (0,3,abstain) m=2: c_u = 2*(2*9-9) = 18 — the blown call
+    #   weighs 3x the whole adjacent ladder (squared distance, the
+    #   ordinal point; nominal alpha weighs both units equally).
+    # Totals: n=8, S1=15, S2=35, O=24, E = 2*(8*35-225) = 110,
+    # alpha = 1 - 24*7/110 = -58/110 -> -527273 micro.
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_kripp_alpha_ordinal,
+    )
+
+    t60_distinct = " ".join(f"u{i}" for i in range(60))
+    t60_half = " ".join(f"v{i // 2}" for i in range(60))
+    t80_distinct = " ".join(f"w{i}" for i in range(80))
+    rows = [
+        (1, t60_distinct, "x", "s", 260),  # a=1 b=2 c=3
+        (2, t60_half, "x", "s", 350),      # a=2 b=2 c=2
+        (3, t80_distinct, "x", "s", 100),  # a=0 b=3 c=NULL (abstain)
+        # degenerate lang: every rating identical -> E = 0 -> NULL
+        (4, t60_half, "z", "s", 350),      # a=2 b=2 c=2
+        (5, t60_half, "z", "s", 350),      # a=2 b=2 c=2
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.lang: r for r in q_eval_kripp_alpha_ordinal(
+        spark, str(tmp_path)).collect()}
+    x = out["x"]
+    assert (x.n_units, x.n_abstained, x.n_ratings) == (3, 1, 8)
+    assert (x.grade_sum, x.grade_sq_sum, x.d_obs) == (15, 35, 24)
+    assert x.alpha_micro == -527273
+    z = out["z"]
+    assert z.d_obs == 0 and z.alpha_micro is None
+
+
+def test_eval_kripp_alpha_ordinal_matches_textbook_recompute(spark, sf_dir):
+    # independent full coincidence-matrix recompute (interval delta,
+    # per-unit 1/(m_u-1) weights, pairable-values expectation) on the
+    # real fixture — guards the closed form E = 2*(n*S2 - S1^2) and
+    # the per-unit clearing against the textbook definition.
+    import itertools
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        KRIPP_ABSTAIN_MIN,
+        _rater_char_grade,
+        _rater_ttr_grade,
+        _rater_words_grade,
+        q_eval_kripp_alpha_ordinal,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.lang: r.alpha_micro for r in q_eval_kripp_alpha_ordinal(
+        spark, sf_dir).collect()}
+    graded = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        _rater_char_grade().alias("a"),
+        _rater_words_grade().alias("b"),
+        _rater_ttr_grade(KRIPP_ABSTAIN_MIN).alias("c"),
+    ).collect()
+    by_lang: dict = {}
+    for row in graded:
+        by_lang.setdefault(row.lang, []).append(
+            [v for v in (row.a, row.b, row.c) if v is not None]
+        )
+    for lang, units in by_lang.items():
+        do_num, vals = 0.0, []
+        for rs in units:
+            if len(rs) < 2:
+                continue
+            vals.extend(rs)
+            do_num += sum(
+                (p - q) ** 2 for p, q in itertools.permutations(rs, 2)
+            ) / (len(rs) - 1)
+        n = len(vals)
+        de_num = sum((p - q) ** 2 for p in vals for q in vals)
+        if de_num == 0:
+            assert lane[lang] is None
+            continue
+        alpha = 1.0 - (do_num / n) / (de_num / (n * (n - 1)))
+        # round-half-away-from-zero, the engines' ROUND convention
+        micro = int(math.copysign(
+            math.floor(abs(alpha * 1e6) + 0.5), alpha))
+        assert lane[lang] == micro, lang
 
 
 def test_eval_fleiss_kappa_planted_panel(spark, tmp_path):
