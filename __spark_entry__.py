@@ -230,12 +230,31 @@ schema_drift_report, dedup_threshold_sweep, alert_rate_spike,
 bpe_fertility, compaction_plan, privacy_ldiv, eval_regression,
 eval_mrr_scale, dedup_cluster_stats, corr_spearman, trend_linfit,
 anova_oneway, rank_mannwhitney) demote one-for-one and LEAD the
-EXTRA lane. The EXTRA lane
-holds a hundred and forty-six oracle-gated entries, every one with
+EXTRA lane.
+
+Round 12 adds three NEW operators at positions 2–4
+(never-graded-first): eval_kripp_alpha_ordinal (weighted
+Krippendorff's alpha with the squared-rank-distance delta over
+graded 0–3 rubric labels — the agreement family's ordinal leg,
+collapsed to one combinable aggregate via E = 2(n·S2 − S1²)),
+graph_community_profile (one row per LPA community — size,
+intra/cut edges, internal transitivity, exact modularity
+contribution — the per-cluster trust table), and event_interarrival
+(per-type inter-arrival CV + Goh–Barabási B-index from exact µs gap
+statistics — catches sub-hour clumping the hourly Fano grid cannot
+see); then the round-12 grade-freshness rotation promotes the
+twelve measured-oldest rows (window_analytic, subquery_scalar,
+agg_percentile, pivot, join_skew_salted, sql_frontend,
+agg_argminmax, udaf_grouped, join_null_safe — last graded r4 — and
+dedup_exact, dedup_embedding, dedup_components — last graded r5),
+demoting 15 one-for-one (the seven r11 single-green
+first-timers and eight r11-refreshed veterans, who LEAD the EXTRA
+lane). The EXTRA lane
+holds a hundred and forty-nine oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 146 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 149 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -1481,16 +1481,10 @@ QUERIES: list[Query] = [
     ),
 ]
 
+# dedup_exact / dedup_embedding / dedup_components re-promoted to
+# the graded lane in round 12 (r5 driver rows — the oldest after the
+# r4 cohort; they register via relational18, bench flags intact).
 EXTRA_QUERIES = [
-    Query("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("llm", "dedup"), bench=True),
-    Query("dedup_embedding", q_dedup_embedding, SQL_DEDUP_EMBEDDING, ("llm", "dedup")),
-    Query(
-        "dedup_components",
-        q_dedup_components,
-        SQL_DEDUP_COMPONENTS,
-        ("llm", "dedup", "iterative"),
-        bench=True,  # track the iterative lane round-over-round
-    ),
     Query(
         "dedup_ngram_jaccard",
         q_dedup_ngram_jaccard,

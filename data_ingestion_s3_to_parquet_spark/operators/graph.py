@@ -1177,6 +1177,229 @@ FROM g, m, lg
 # The whole graph family is multi-green: link_predict /
 # kcore_decompose (graded r7–r9) and graph_sssp (graded r8–r9)
 # demoted in the round-10 sixth-wave rotation for dedup_cluster_stats
+# --------------------------------------------------------------------
+# graph_community_profile
+# --------------------------------------------------------------------
+
+# Per-community transitivity: the clustering lane's midpoint-free
+# half-up integer division (2·3·10⁶·T_c + W_c) div (2·W_c) on
+# decimal(38,0) ↔ HUGEINT; a community with no wedges has no defined
+# closure → NULL (singletons, stars).
+_COMM_TRANS_EXPR = (
+    "CASE WHEN wedges_c = 0 THEN CAST(NULL AS BIGINT) ELSE"
+    " CAST((2 * CAST(3000000 AS {big}) * CAST(tri_c AS {big}) + wedges_c)"
+    " {div} (2 * wedges_c) AS BIGINT) END"
+)
+
+
+def q_graph_community_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community health profile of ``label_propagation``'s
+    partition over the undirected k-NN similarity graph — the table
+    an operator actually reads before TRUSTING a near-dup cluster
+    enough to delete from it (VERDICT r11 #3): ``graph_modularity``
+    says whether the partition as a whole is real; this lane says
+    WHICH communities carry that structure. One row per community:
+
+    - ``n_nodes`` / ``degree_sum``   size and total degree mass
+    - ``intra_edges`` / ``cut_edges``  cohesion vs leakage —
+      cut = d_c − 2·l_c (each intra edge appears twice in the
+      degree sum, each boundary edge once)
+    - ``n_wedges`` / ``n_triangles`` / ``transitivity_micro``
+      INTERNAL closure: wedges Σ_v C(deg_in_v, 2) and triangles of
+      the community's induced subgraph, 3T_c/W_c in micros — a
+      "community" with near-zero internal transitivity is a chain
+      of weak links, not a duplicate cluster
+    - ``contrib_micro``   the community's exact modularity
+      contribution (4m·l_c − d_c²)/(4m²), the same pinned expression
+      ``graph_modularity`` reports, so the two lanes decompose
+      identically
+
+    Labels, canonical edges, and the triangle enumeration are the
+    SHARED definitions (:func:`q_label_propagation` / the
+    :func:`_lpa_ctes` chain in the oracle, :func:`_und_edges` /
+    :data:`_SQL_UND_CTE`, the x<y<z two-join kernel of
+    :func:`_vertex_triangles` restricted to intra-community edges —
+    an edge table already filtered to ca = cb makes the restriction
+    free: a triangle's three corners share one community, so joining
+    on community alongside the corner keys enumerates exactly the
+    induced-subgraph triangles, each once).
+
+    Exactness: counts int64; wedges deg·(deg−1)/2 in decimal
+    (in-degree is NOT k-bounded — the clustering lane's r11 catch);
+    transitivity is the midpoint-free half-up integer division
+    (``_COMM_TRANS_EXPR``), contrib the pinned micro division
+    (``_MOD_CONTRIB_EXPR``); the int64 ``n_wedges``/``n_triangles``
+    output columns keep the clustering lane's declared LOUD-overflow
+    seam (~9.2·10¹⁸ wedges).
+
+    Scale shape: the modularity discipline — corpus-sized label
+    joins shuffle_hash-pinned (never broadcast), per-community
+    aggregates combinable and bounded by |communities|, the 1-row
+    edge total broadcast onto the bounded summary. The triangle
+    join runs on the intra-community edge subset (≤ the full edge
+    table the global clustering lane already joins).
+    """
+    labels = q_label_propagation(spark, sf_dir)  # (node, community)
+    und = _und_edges(spark, sf_dir)
+    deg = _und_degrees(und)
+    comm = (
+        labels.join(deg.hint("shuffle_hash"), "node", "left")
+        .select("community", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    und_c = (
+        und.join(la.hint("shuffle_hash"), "a")
+        .join(lb.hint("shuffle_hash"), "b")
+        .where(F.col("ca") == F.col("cb"))
+        .select(F.col("ca").alias("community"), "a", "b")
+    )
+    intra = und_c.groupBy("community").agg(F.count("*").alias("ic"))
+    dec = "decimal(38,0)"
+    deg_in = (
+        und_c.select(
+            "community", F.explode(F.array("a", "b")).alias("node")
+        )
+        .groupBy("community", "node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg_in.groupBy("community").agg(
+        F.sum(
+            (F.col("d").cast(dec) * (F.col("d") - 1).cast(dec) / F.lit(2))
+            .cast(dec)
+        ).cast(dec).alias("wedges_c")
+    )
+    e1, e2, e3 = und_c.alias("e1"), und_c.alias("e2"), und_c.alias("e3")
+    tri = (
+        e1.join(
+            e2.hint("shuffle_hash"),
+            (F.col("e1.b") == F.col("e2.a"))
+            & (F.col("e1.community") == F.col("e2.community")),
+        )
+        .join(
+            e3.hint("shuffle_hash"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b"))
+            & (F.col("e3.community") == F.col("e1.community")),
+        )
+        .groupBy(F.col("e1.community").alias("community"))
+        .agg(F.count("*").alias("tc"))
+    )
+    m_row = und.groupBy().agg(F.count("*").alias("m_edges"))
+    s = (
+        comm.join(intra, "community", "left")
+        .join(wedges, "community", "left")
+        .join(tri, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce("ic", F.lit(0)).alias("intra_edges"),
+            F.coalesce(F.col("wedges_c"), F.lit(0).cast(dec)).alias(
+                "wedges_c"
+            ),
+            F.coalesce("tc", F.lit(0)).alias("tri_c"),
+        )
+        .crossJoin(F.broadcast(m_row))
+        .withColumn(
+            "cut_edges", F.col("degree_sum") - 2 * F.col("intra_edges")
+        )
+        .withColumn(
+            "num_c",
+            (
+                F.lit(4).cast(dec)
+                * F.col("m_edges").cast(dec)
+                * F.col("intra_edges").cast(dec)
+                - F.col("degree_sum").cast(dec)
+                * F.col("degree_sum").cast(dec)
+            ).cast(dec),
+        )
+        .withColumn(
+            "den",
+            (
+                F.lit(4).cast(dec)
+                * F.col("m_edges").cast(dec)
+                * F.col("m_edges").cast(dec)
+            ).cast(dec),
+        )
+    )
+    return s.select(
+        "community",
+        "n_nodes",
+        "degree_sum",
+        "intra_edges",
+        "cut_edges",
+        F.col("wedges_c").cast("long").alias("n_wedges"),
+        F.col("tri_c").cast("long").alias("n_triangles"),
+        F.expr(_COMM_TRANS_EXPR.format(big=dec, div="div")).alias(
+            "transitivity_micro"
+        ),
+        F.expr(_MOD_CONTRIB_EXPR).alias("contrib_micro"),
+    )
+
+
+def _sql_graph_community_profile() -> str:
+    cte = _lpa_ctes() + [
+        f"lab AS (SELECT node, lab AS community FROM l{LPA_ITERS})",
+        f"und AS ({_SQL_UND_CTE.format(src='e')})",
+        "mtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM und)",
+        "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM"
+        " (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)"
+        " GROUP BY node)",
+        "comm AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes,"
+        " CAST(SUM(COALESCE(deg.deg, 0)) AS BIGINT) AS degree_sum"
+        " FROM lab LEFT JOIN deg USING (node) GROUP BY community)",
+        "undc AS (SELECT la.community, und.a, und.b"
+        " FROM und JOIN lab la ON und.a = la.node"
+        " JOIN lab lb ON und.b = lb.node"
+        " WHERE la.community = lb.community)",
+        "intra AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS ic"
+        " FROM undc GROUP BY community)",
+        "degin AS (SELECT community, node, CAST(COUNT(*) AS BIGINT) AS d"
+        " FROM (SELECT community, a AS node FROM undc"
+        " UNION ALL SELECT community, b AS node FROM undc)"
+        " GROUP BY community, node)",
+        "wed AS (SELECT community,"
+        " CAST(SUM(CAST(d AS HUGEINT) * (d - 1) // 2) AS HUGEINT)"
+        " AS wedges_c FROM degin GROUP BY community)",
+        "tri AS (SELECT e1.community, CAST(COUNT(*) AS BIGINT) AS tc"
+        " FROM undc e1"
+        " JOIN undc e2 ON e2.a = e1.b AND e2.community = e1.community"
+        " JOIN undc e3 ON e3.a = e1.a AND e3.b = e2.b"
+        " AND e3.community = e1.community"
+        " GROUP BY e1.community)",
+        "s AS (SELECT comm.community, n_nodes, degree_sum,"
+        " COALESCE(intra.ic, 0) AS intra_edges,"
+        " COALESCE(wed.wedges_c, CAST(0 AS HUGEINT)) AS wedges_c,"
+        " COALESCE(tri.tc, 0) AS tri_c, m_edges,"
+        " degree_sum - 2 * COALESCE(intra.ic, 0) AS cut_edges,"
+        " CAST(4 AS HUGEINT) * m_edges * COALESCE(intra.ic, 0)"
+        " - CAST(degree_sum AS HUGEINT) * degree_sum AS num_c,"
+        " CAST(4 AS HUGEINT) * m_edges * m_edges AS den"
+        " FROM comm LEFT JOIN intra USING (community)"
+        " LEFT JOIN wed USING (community)"
+        " LEFT JOIN tri USING (community), mtot)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + "\nSELECT community, n_nodes, degree_sum, intra_edges, cut_edges,"
+        + " CAST(wedges_c AS BIGINT) AS n_wedges,"
+        + " tri_c AS n_triangles,"
+        + f" {_COMM_TRANS_EXPR.format(big='HUGEINT', div='//')} AS transitivity_micro,"
+        + f" {_MOD_CONTRIB_EXPR} AS contrib_micro"
+        + "\nFROM s"
+    )
+
+
+SQL_GRAPH_COMMUNITY_PROFILE = _sql_graph_community_profile()
+
+
 # / corr_spearman / trend_linfit (relational15); pagerank (green
 # r5+r6) and label_propagation (green r5+r6) were demoted in earlier
 # rounds. All five keep their oracles (full sweep coverage) and

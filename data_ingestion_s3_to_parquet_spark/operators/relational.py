@@ -726,6 +726,6 @@ QUERIES: list[Query] = [
 # agg_group / join_inner / join_broadcast / join_range / join_asof
 # re-promoted to the graded lane in round 11 (r4 driver rows — the
 # oldest after the r3 cohort; they register via relational17).
-EXTRA_QUERIES = [
-    Query("window_analytic", q_window_analytic, SQL_WINDOW_ANALYTIC, ("relational", "window"), bench=True),
-]
+# window_analytic followed in round 12 (last remaining r4 row here;
+# registers via relational18).
+EXTRA_QUERIES: list[Query] = []

@@ -1059,6 +1059,150 @@ FROM framed
 
 
 # --------------------------------------------------------------------
+# event_interarrival
+# --------------------------------------------------------------------
+
+# Inter-arrival statistics from exact integer sufficient statistics:
+# with gaps d_i (µs, int64), n = #gaps, Σd, Σd², the population
+# variance numerator is V = n·Σd² − (Σd)² (decimal/HUGEINT), and
+# n·σ = sqrt(V) — ONE IEEE-correctly-rounded sqrt on an exact
+# integer, the assortativity/pearson precedent. Multiplying the
+# Goh–Barabási B = (σ−μ)/(σ+μ) through by n gives
+# B = (sqrt(V) − Σd)/(sqrt(V) + Σd) and CV = σ/μ = sqrt(V)/Σd —
+# each ONE pinned micro division of deterministic doubles. A type
+# whose events are all simultaneous (Σd = 0, V = 0) has no defined
+# ratio → NULL, the 0/0 standard.
+_GAP_MEAN_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * CAST(gap_sum_us AS DOUBLE))"
+    " / n_gaps, 0) AS BIGINT)"
+)
+_GAP_CV_EXPR = (
+    "CASE WHEN gap_sum_us = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE)"
+    " * sqrt(CAST(v_num AS DOUBLE)))"
+    " / CAST(gap_sum_us AS DOUBLE), 0) AS BIGINT) END"
+)
+_B_INDEX_EXPR = (
+    "CASE WHEN gap_sum_us = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE)"
+    " * (sqrt(CAST(v_num AS DOUBLE)) - CAST(gap_sum_us AS DOUBLE)))"
+    " / (sqrt(CAST(v_num AS DOUBLE)) + CAST(gap_sum_us AS DOUBLE)), 0)"
+    " AS BIGINT) END"
+)
+
+
+def q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival burstiness — the coefficient of
+    variation and the Goh–Barabási B-index ((σ−μ)/(σ+μ)) of the gaps
+    between consecutive events — ``event_burstiness``'s sub-grid
+    twin (VERDICT r11 #4): the hourly Fano factor reads COUNT
+    dispersion on the hour grid and is blind to clumping inside a
+    bucket (60 events packed into one minute and 60 spread across
+    the hour give the same hourly histogram), while the gap
+    statistics see it directly. B ∈ [−1, 1]: −1 clock-regular
+    (all gaps equal), ≈ 0 Poisson (σ ≈ μ, CV ≈ 1), → 1 bursty
+    (heavy-tailed gaps). The planted pytest pins exactly the
+    signature the Fano cannot: two types with identical hourly
+    histograms, B = −1 vs B ≈ 0.76.
+
+    Semantics: gaps are differences of CONSECUTIVE events in ts
+    order within a type, in exact integer microseconds
+    (``unix_micros`` ↔ ``epoch_us``). Ties need no tiebreaker: the
+    sorted ts multiset determines the gap multiset regardless of
+    how equal timestamps are ordered, and every statistic here is a
+    symmetric function of the gaps. Types with < 2 events emit no
+    row (no inter-arrival process exists to measure — same
+    dropped-not-NULL contract as ``text_readability``'s token-less
+    docs). Variance convention: POPULATION (divide-by-n), matching
+    the Fano twin's documented convention.
+
+    Exactness: see ``_B_INDEX_EXPR`` — int64 gaps, decimal/HUGEINT
+    Σd² and V, one correctly-rounded sqrt per statistic, one pinned
+    micro division each. Declared seam (the n_wedges precedent):
+    ``mean_gap_us_micro`` is µs × 10⁶, so a single gap beyond
+    ~292 years overflows the int64 output cap LOUDLY on both
+    engines; Σd telescopes to max(t) − min(t), so the window's gap
+    sum is cross-checkable against a plain aggregate (pinned in the
+    pytest).
+
+    Scale shape: ONE shuffle — the per-type lag window — then a
+    map-side-combinable groupBy on the same key (output bounded by
+    |types|). Zero joins, zero broadcasts. The window sorts each
+    type's partition; a single dominant type is the documented skew
+    seam, mitigated at 100 TB by segmenting the sort per (type, day)
+    and stitching the day-boundary gaps with one extra bounded
+    aggregate — not built here (the fixture types are balanced;
+    the segmented variant changes no semantics, only partitioning).
+    """
+    from ..functions.numeric import exact_product_sum
+
+    # ts is timestamp_ntz; unix_micros needs TIMESTAMP, and the
+    # ntz→ltz cast is a CONSTANT (DST-free) mapping because
+    # load_table → session.tune pins spark.sql.session.timeZone=UTC
+    # before anything evaluates — the exact naive-as-UTC micros,
+    # bitwise equal to DuckDB's epoch_us on the same naive value.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    gaps = ev.select(
+        "event_type", (F.col("t") - F.lag("t").over(w)).alias("d")
+    ).where(F.col("d").isNotNull())
+    dec = "decimal(38,0)"
+    g = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("d").alias("gap_sum_us"),
+        exact_product_sum(F.col("d"), F.col("d")).cast(dec).alias("gap_sq"),
+    )
+    g = g.withColumn(
+        "v_num",
+        (
+            F.col("n_gaps").cast(dec) * F.col("gap_sq")
+            - F.col("gap_sum_us").cast(dec) * F.col("gap_sum_us").cast(dec)
+        ).cast(dec),
+    )
+    return g.select(
+        "event_type",
+        "n_gaps",
+        "gap_sum_us",
+        F.expr(_GAP_MEAN_EXPR).alias("mean_gap_us_micro"),
+        F.expr(_GAP_CV_EXPR).alias("cv_micro"),
+        F.expr(_B_INDEX_EXPR).alias("b_index_micro"),
+    )
+
+
+SQL_EVENT_INTERARRIVAL = f"""
+WITH t AS (
+  SELECT event_type, epoch_us(ts) AS t FROM events
+),
+d AS (
+  SELECT event_type,
+         t - lag(t) OVER (PARTITION BY event_type ORDER BY t) AS d
+  FROM t
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(d) AS BIGINT) AS gap_sum_us,
+         SUM(CAST(d AS HUGEINT) * d) AS gap_sq
+  FROM d WHERE d IS NOT NULL GROUP BY event_type
+),
+v AS (
+  SELECT *,
+         CAST(n_gaps AS HUGEINT) * gap_sq
+           - CAST(gap_sum_us AS HUGEINT) * gap_sum_us AS v_num
+  FROM g
+)
+SELECT event_type, n_gaps, gap_sum_us,
+       {_GAP_MEAN_EXPR} AS mean_gap_us_micro,
+       {_GAP_CV_EXPR} AS cv_micro,
+       {_B_INDEX_EXPR} AS b_index_micro
+FROM v
+"""
+
+
+# --------------------------------------------------------------------
 # bpe_fertility
 # --------------------------------------------------------------------
 

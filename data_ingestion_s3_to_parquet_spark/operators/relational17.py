@@ -31,6 +31,13 @@ one-for-one (nine from relational14, five from relational15 — listed
 there); ``eval_mrr`` stays graded because round 11 extends its
 output contract with the recall@k ladder, which needs a FRESH row.
 
+Round-12 update: the grade-freshness rotation (VERDICT r11 #1) kept
+only four of this module's lanes graded (join_inner / join_broadcast
+/ join_range / join_asof — r11 rows, plus earlier greens); the seven
+round-11 first-timers and the other eight promotion veterans demoted
+to this module's EXTRA_QUERIES, which leads the EXTRA lane (the
+module registers directly after relational18).
+
 Reference parity note: the reference (/root/reference/src/main.rs,
 208 lines) has no query surface at all; every lane here belongs to
 the mandated Layer-B extension inventory (SURVEY §2B) or the
@@ -83,6 +90,24 @@ from .trainprep import (
 )
 
 QUERIES: list[Query] = [
+    # Round 12 kept four of the r11 promotion cohort graded (their
+    # r11 rows are fresh); the other fifteen r11 entries — the seven
+    # round-11 first-timers and eight refreshed veterans — demoted
+    # to EXTRA_QUERIES below, one-for-one against relational18's
+    # three new operators + twelve-lane promotion cohort
+    # (VERDICT r11 #1).
+    Query("join_inner", q_join_inner, SQL_JOIN_INNER, ("relational", "join"), bench=True),
+    Query("join_broadcast", q_join_broadcast, SQL_JOIN_BROADCAST, ("relational", "join")),
+    Query("join_range", q_join_range, SQL_JOIN_RANGE, ("relational", "join"), bench=True),
+    Query("join_asof", q_join_asof, SQL_JOIN_ASOF, ("relational", "join", "custom")),
+]
+
+# The round-12 demotees: the seven round-11 single-green first-timers
+# LEAD (so a larger harness budget grades them again first), then the
+# eight r11-refreshed multi-green veterans. This module sits directly
+# after relational18 in the registry's module order, so these lead
+# the EXTRA lane.
+EXTRA_QUERIES: list[Query] = [
     Query(
         "graph_modularity",
         q_graph_modularity,
@@ -95,8 +120,6 @@ QUERIES: list[Query] = [
         SQL_TEXT_READABILITY,
         ("llm", "text", "quality"),
     ),
-    # --- round-11 SECOND wave (never-graded; eval_cohen_kappa /
-    # privacy_tcloseness demoted one-for-one from relational16) ---
     Query(
         "graph_clustering_coeff",
         q_graph_clustering_coeff,
@@ -109,31 +132,25 @@ QUERIES: list[Query] = [
         SQL_ZIPF_FIT,
         ("llm", "text", "statistics", "quality"),
     ),
-    # --- round-11 THIRD wave (never-graded; quantile_weighted
-    # demoted one-for-one from relational16) ---
     Query(
         "heaps_fit",
         q_heaps_fit,
         SQL_HEAPS_FIT,
         ("llm", "text", "statistics", "quality"),
     ),
-    # --- round-11 FOURTH wave (never-graded; graph_assortativity
-    # demoted one-for-one from relational16) ---
     Query(
         "eval_kripp_alpha",
         q_eval_kripp_alpha,
         SQL_EVAL_KRIPP_ALPHA,
         ("llm", "evaluation", "statistics", "quality"),
     ),
-    # --- round-11 FIFTH wave (never-graded; eval_fleiss_kappa
-    # demoted one-for-one from relational16) ---
     Query(
         "event_burstiness",
         q_event_burstiness,
         SQL_EVENT_BURSTINESS,
         ("relational", "timeseries", "monitoring", "statistics"),
     ),
-    # --- the round-11 promotion cohort (oldest driver rows first) ---
+    # --- the r11-refreshed veterans ---
     Query(
         "datetime_funcs",
         q_datetime_funcs,
@@ -162,10 +179,4 @@ QUERIES: list[Query] = [
         ("relational", "agg", "approx"),
     ),
     Query("agg_group", q_agg_group, SQL_AGG_GROUP, ("relational", "agg"), bench=True),
-    Query("join_inner", q_join_inner, SQL_JOIN_INNER, ("relational", "join"), bench=True),
-    Query("join_broadcast", q_join_broadcast, SQL_JOIN_BROADCAST, ("relational", "join")),
-    Query("join_range", q_join_range, SQL_JOIN_RANGE, ("relational", "join"), bench=True),
-    Query("join_asof", q_join_asof, SQL_JOIN_ASOF, ("relational", "join", "custom")),
 ]
-
-EXTRA_QUERIES: list[Query] = []

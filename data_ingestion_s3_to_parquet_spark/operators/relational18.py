@@ -1,0 +1,180 @@
+"""Round-12 graded-lane registrations: the three NEW operators
+(VERDICT r11 #2/#3/#4) plus the grade-freshness promotion cohort.
+
+- ``eval_kripp_alpha_ordinal``  weighted Krippendorff's alpha with
+                                the squared-rank-distance (interval)
+                                delta over 0-3 rubric grades
+                                (operators/relational16.py) — the
+                                agreement family's ordinal leg for
+                                LLM-judge scoring scales.
+- ``graph_community_profile``   one row per LPA community — size,
+                                intra/cut edges, internal
+                                transitivity, modularity
+                                contribution (operators/graph.py) —
+                                the per-cluster trust table behind
+                                ``graph_modularity``'s one verdict.
+- ``event_interarrival``        per-type inter-arrival CV and
+                                Goh–Barabási B-index
+                                (operators/relational14.py) —
+                                ``event_burstiness``'s sub-hour
+                                twin: catches clumping the hourly
+                                Fano grid cannot see.
+
+All three are never-graded, so they register FIRST (the
+never-graded-first rule); definitions live with their families, the
+registration lives here — the relational7/relational17 pattern.
+
+After them: the round-12 grade-freshness rotation (VERDICT r11 #1).
+The promotion set is the twelve lanes whose driver rows were
+measured OLDEST from CORRECTNESS_r01–r11 at the start of round 12 —
+nine last graded in ROUND 4 (window_analytic, subquery_scalar,
+agg_percentile, pivot, join_skew_salted, sql_frontend,
+agg_argminmax, udaf_grouped, join_null_safe) and the first three of
+the ROUND-5 cohort (dedup_exact, dedup_embedding, dedup_components).
+Fifteen lanes demote one-for-one from relational17's graded list:
+the seven round-11 single-green first-timers plus eight of the
+twelve r11-refreshed promotion veterans (all multi-green — they now
+LEAD the EXTRA lane via relational17.EXTRA_QUERIES). The remaining
+r5-row cohort (dedup_fuzzy, dedup_ngram_jaccard, sample_split,
+decontaminate, corpus_prep, emb_centroids, sim_topk,
+map_in_pandas_tokens) is next in line for round 13.
+
+Reference parity note: the reference (/root/reference/src/main.rs,
+208 lines) has no query surface at all; every lane here belongs to
+the mandated Layer-B extension inventory (SURVEY §2B) or the
+LLM-pipeline families.
+"""
+
+from __future__ import annotations
+
+from ..plans.spec import Query
+from .dedup import (
+    SQL_DEDUP_COMPONENTS,
+    SQL_DEDUP_EMBEDDING,
+    SQL_DEDUP_EXACT,
+    q_dedup_components,
+    q_dedup_embedding,
+    q_dedup_exact,
+)
+from .graph import SQL_GRAPH_COMMUNITY_PROFILE, q_graph_community_profile
+from .relational import SQL_WINDOW_ANALYTIC, q_window_analytic
+from .relational2 import (
+    SQL_AGG_PERCENTILE,
+    SQL_JOIN_SKEW_SALTED,
+    SQL_PIVOT,
+    SQL_SQL_FRONTEND,
+    SQL_SUBQUERY_SCALAR,
+    q_agg_percentile,
+    q_join_skew_salted,
+    q_pivot,
+    q_sql_frontend,
+    q_subquery_scalar,
+)
+from .relational3 import (
+    SQL_AGG_ARGMINMAX,
+    SQL_UDAF_GROUPED,
+    q_agg_argminmax,
+    q_udaf_grouped,
+)
+from .relational5 import SQL_JOIN_NULL_SAFE, q_join_null_safe
+from .relational14 import SQL_EVENT_INTERARRIVAL, q_event_interarrival
+from .relational16 import (
+    SQL_EVAL_KRIPP_ALPHA_ORDINAL,
+    q_eval_kripp_alpha_ordinal,
+)
+
+QUERIES: list[Query] = [
+    Query(
+        "eval_kripp_alpha_ordinal",
+        q_eval_kripp_alpha_ordinal,
+        SQL_EVAL_KRIPP_ALPHA_ORDINAL,
+        ("llm", "evaluation", "statistics", "quality"),
+    ),
+    Query(
+        "graph_community_profile",
+        q_graph_community_profile,
+        SQL_GRAPH_COMMUNITY_PROFILE,
+        ("llm", "graph", "dedup", "evaluation"),
+    ),
+    Query(
+        "event_interarrival",
+        q_event_interarrival,
+        SQL_EVENT_INTERARRIVAL,
+        ("relational", "timeseries", "monitoring", "statistics"),
+    ),
+    # --- the round-12 promotion cohort (oldest driver rows first:
+    # the r4 nine, then the first three of the r5 cohort) ---
+    Query(
+        "window_analytic",
+        q_window_analytic,
+        SQL_WINDOW_ANALYTIC,
+        ("relational", "window"),
+        bench=True,
+    ),
+    Query(
+        "subquery_scalar",
+        q_subquery_scalar,
+        SQL_SUBQUERY_SCALAR,
+        ("relational", "subquery"),
+    ),
+    Query(
+        "agg_percentile",
+        q_agg_percentile,
+        SQL_AGG_PERCENTILE,
+        ("relational", "agg"),
+    ),
+    Query("pivot", q_pivot, SQL_PIVOT, ("relational", "agg")),
+    Query(
+        "join_skew_salted",
+        q_join_skew_salted,
+        SQL_JOIN_SKEW_SALTED,
+        ("relational", "join"),
+    ),
+    Query(
+        "sql_frontend",
+        q_sql_frontend,
+        SQL_SQL_FRONTEND,
+        ("relational", "sql", "tpch"),
+        bench=True,
+    ),
+    Query(
+        "agg_argminmax",
+        q_agg_argminmax,
+        SQL_AGG_ARGMINMAX,
+        ("relational", "agg"),
+    ),
+    Query(
+        "udaf_grouped",
+        q_udaf_grouped,
+        SQL_UDAF_GROUPED,
+        ("relational", "udf"),
+    ),
+    Query(
+        "join_null_safe",
+        q_join_null_safe,
+        SQL_JOIN_NULL_SAFE,
+        ("relational", "join"),
+    ),
+    Query(
+        "dedup_exact",
+        q_dedup_exact,
+        SQL_DEDUP_EXACT,
+        ("llm", "dedup"),
+        bench=True,
+    ),
+    Query(
+        "dedup_embedding",
+        q_dedup_embedding,
+        SQL_DEDUP_EMBEDDING,
+        ("llm", "dedup"),
+    ),
+    Query(
+        "dedup_components",
+        q_dedup_components,
+        SQL_DEDUP_COMPONENTS,
+        ("llm", "dedup", "iterative"),
+        bench=True,  # track the iterative lane round-over-round
+    ),
+]
+
+EXTRA_QUERIES: list[Query] = []

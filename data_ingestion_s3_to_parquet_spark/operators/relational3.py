@@ -160,8 +160,8 @@ QUERIES: list[Query] = []
 # (VERDICT r5 #4 — the final rotation). datetime_funcs re-promoted to
 # the graded lane in round 11 (oldest driver row in the registry, r3
 # — it registers via relational17).
+# agg_argminmax / udaf_grouped re-promoted to the graded lane in
+# round 12 (r4 driver rows; they register via relational18).
 EXTRA_QUERIES = [
     Query("map_in_pandas_tokens", q_map_in_pandas_tokens, SQL_MAP_IN_PANDAS_TOKENS, ("llm", "udf")),
-    Query("agg_argminmax", q_agg_argminmax, SQL_AGG_ARGMINMAX, ("relational", "agg")),
-    Query("udaf_grouped", q_udaf_grouped, SQL_UDAF_GROUPED, ("relational", "udf")),
 ]

@@ -158,12 +158,8 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 # driver rows — VERDICT r2 #1); join_null_safe in round 5 after four
 # consecutive green driver rows (VERDICT r4 #1); scd2_history in the
 # round-7 wave-2 rotation (green rows incl. r6).
+# join_null_safe re-promoted to the graded lane in round 12 (r4
+# driver row; registers via relational18).
 EXTRA_QUERIES = [
     Query("scd2_history", q_scd2_history, SQL_SCD2_HISTORY, ("relational", "window")),
-    Query(
-        "join_null_safe",
-        q_join_null_safe,
-        SQL_JOIN_NULL_SAFE,
-        ("relational", "join"),
-    ),
 ]

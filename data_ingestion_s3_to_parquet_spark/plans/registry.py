@@ -43,11 +43,15 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational17 holds the round-11 wave: the NEW graph_modularity /
-    # text_readability (never-graded-first) plus the twelve-lane
-    # grade-freshness promotion cohort (the r3/r4-row veterans — the
-    # registry's measured-oldest driver rows; see its module
-    # docstring for the VERDICT-r10-#1 deviation rationale).
+    # relational18 holds the round-12 wave: the NEW
+    # eval_kripp_alpha_ordinal / graph_community_profile /
+    # event_interarrival (never-graded-first) plus the twelve-lane
+    # round-12 grade-freshness promotion cohort (the r4/r5-row
+    # veterans — the registry's measured-oldest driver rows).
+    "data_ingestion_s3_to_parquet_spark.operators.relational18",
+    # relational17 keeps four r11-promotion veterans graded; its
+    # EXTRA_QUERIES leads the EXTRA lane with the round-12 demotees
+    # (the seven r11 first-timers first).
     "data_ingestion_s3_to_parquet_spark.operators.relational17",
     # relational14 holds the nine NEW round-10 operators (eval_mrr /
     # rolling_quantile / schema_drift_report / dedup_threshold_sweep /
@@ -171,7 +175,12 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and forty-six entries after the round-11 rotation —
+# a hundred and forty-nine entries after the round-12 rotation
+# (round 12 demoted the seven r11 single-green first-timers plus
+# eight r11-refreshed veterans through relational17.EXTRA_QUERIES —
+# they LEAD this lane — in exchange for the three new round-12
+# operators plus the twelve measured-oldest r4/r5-row veterans
+# promoted through relational18); before that —
 # round 10's sixth/seventh waves demoted the multi-green graph
 # trio, session_paths, ewma_smooth, emb_gram, lm_bigram_score,
 # jsonl_interop, rank_fusion_rrf, and sim_join_kmeans for

@@ -794,6 +794,9 @@ def test_extra_lane_doc_counts_match_registry():
         144: "a hundred and forty-four",
         145: "a hundred and forty-five",
         146: "a hundred and forty-six",
+        147: "a hundred and forty-seven",
+        148: "a hundred and forty-eight",
+        149: "a hundred and forty-nine",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -958,26 +961,23 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 146
+    assert len(EXTRA) == 149
     assert len(BENCH_ONLY) == 7
-    # round-11 rotation: the seven NEW round-11 operators grade
-    # immediately after ingest_parity (never-graded-first; wave 2
-    # added graph_clustering_coeff / zipf_fit, wave 3 heaps_fit,
-    # wave 4 eval_kripp_alpha, wave 5 event_burstiness),
-    # followed by the twelve-lane promotion cohort — the
-    # MEASURED-oldest driver rows in the registry (seven r3-row
-    # lanes, five r4-row lanes; relational17's docstring records why
-    # this deviates from VERDICT r10 #1's relational6 nomination) —
-    # then eval_mrr, which stays graded because round 11 extended
-    # its output schema with the recall@{1,5,20} ladder
+    # round-12 rotation: the three NEW round-12 operators grade
+    # immediately after ingest_parity (never-graded-first), followed
+    # by the twelve-lane promotion cohort — the MEASURED-oldest
+    # driver rows in the registry at the start of round 12 (nine
+    # r4-row lanes, three r5-row lanes), then the four r11-promotion
+    # veterans that keep their graded slots (relational17) and
+    # eval_mrr
     assert list(REGISTRY)[1:21] == [
-        "graph_modularity", "text_readability",
-        "graph_clustering_coeff", "zipf_fit", "heaps_fit",
-        "eval_kripp_alpha", "event_burstiness",
-        "datetime_funcs", "seq_pack", "embedding_quantize",
-        "quality_gopher", "pii_redact", "media_frame_sample",
-        "agg_approx_quantile", "agg_group", "join_inner",
-        "join_broadcast", "join_range", "join_asof",
+        "eval_kripp_alpha_ordinal", "graph_community_profile",
+        "event_interarrival",
+        "window_analytic", "subquery_scalar", "agg_percentile",
+        "pivot", "join_skew_salted", "sql_frontend",
+        "agg_argminmax", "udaf_grouped", "join_null_safe",
+        "dedup_exact", "dedup_embedding", "dedup_components",
+        "join_inner", "join_broadcast", "join_range", "join_asof",
         "eval_mrr",
     ]
     # the round-10 first-timers that STAY graded (second green):
@@ -994,11 +994,17 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # the nineteen round-10 single-green demotees LEAD the EXTRA
-    # lane (relational14's ten, relational15's five, then
-    # relational16's wave-2/3/4/5 quintet), ahead of the r9/r10
-    # demotee cohorts
-    assert list(EXTRA)[:42] == [
+    # the fifteen round-12 demotees LEAD the EXTRA lane (the seven
+    # r11 single-green first-timers first, then the eight
+    # r11-refreshed veterans — relational17.EXTRA_QUERIES), ahead of
+    # the r10/r9 demotee cohorts
+    assert list(EXTRA)[:34] == [
+        "graph_modularity", "text_readability",
+        "graph_clustering_coeff", "zipf_fit", "heaps_fit",
+        "eval_kripp_alpha", "event_burstiness",
+        "datetime_funcs", "seq_pack", "embedding_quantize",
+        "quality_gopher", "pii_redact", "media_frame_sample",
+        "agg_approx_quantile", "agg_group",
         "rolling_quantile", "schema_drift_report",
         "dedup_threshold_sweep", "alert_rate_spike", "bpe_fertility",
         "compaction_plan", "privacy_ldiv", "eval_regression",
@@ -1008,15 +1014,6 @@ def test_lane_counts_match_docs():
         "graph_assortativity", "eval_fleiss_kappa",
         "quantile_weighted",
         "eval_cohen_kappa", "privacy_tcloseness",
-        "drift_ks", "skew_autosalt", "privacy_kanon", "quantile_select",
-        "rolling_median", "forecast_snaive", "ref_integrity_audit",
-        "reconcile_sources",
-        "drift_psi", "join_asof_nearest",
-        "ts_interpolate", "privacy_erase", "feature_vector", "skew_report",
-        "eval_ndcg", "eval_calibration", "eval_pr_curve",
-        "lm_bigram_score",  # r10 wave-7 demotees lead relational11's lane
-        "jsonl_interop",
-        "ccnet_buckets", "zorder_layout", "orc_interop", "acf_lags",
     ]
     assert "cms_counts" in EXTRA and "ngram_counts" in EXTRA
     assert set(BENCH_ONLY) == {
@@ -7710,6 +7707,80 @@ def test_graph_modularity_two_block_graph(spark, tmp_path):
     }
 
 
+def test_graph_community_profile_two_cliques(spark, tmp_path):
+    # the modularity/clustering plant: two label-blocked K4 cliques.
+    # Per community: 4 nodes, 6 intra edges, degree_sum 12, cut 0,
+    # wedges 4*C(3,2) = 12, triangles 4, transitivity 12/12 = 1.0,
+    # contrib (4*12*6 - 144)/576 = 0.25.
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        q_graph_community_profile,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.2], 1),
+        (3, [0.7, 0.3], 1),
+        (4, [0.0, 1.0], 2),
+        (5, [0.1, 0.9], 2),
+        (6, [0.2, 0.8], 2),
+        (7, [0.3, 0.7], 2),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r.community: (
+            r.n_nodes,
+            r.degree_sum,
+            r.intra_edges,
+            r.cut_edges,
+            r.n_wedges,
+            r.n_triangles,
+            r.transitivity_micro,
+            r.contrib_micro,
+        )
+        for r in q_graph_community_profile(spark, str(tmp_path)).collect()
+    }
+    expected = (4, 12, 6, 0, 12, 4, 1_000_000, 250_000)
+    assert got == {0: expected, 4: expected}
+
+
+def test_graph_community_profile_decomposes_modularity(spark, sf_dir):
+    # the profile must decompose the modularity lane EXACTLY on the
+    # real fixture: same community set, same per-community size /
+    # intra / degree / contrib, and intra + cut/2 must telescope to
+    # the global edge count — one partition definition, two views.
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        q_graph_community_profile,
+        q_graph_modularity,
+    )
+
+    prof = {r.community: r
+            for r in q_graph_community_profile(spark, sf_dir).collect()}
+    mod = {r.community: r
+           for r in q_graph_modularity(spark, sf_dir).collect()}
+    assert set(prof) == set(mod)
+    for c, p in prof.items():
+        m = mod[c]
+        assert (p.n_nodes, p.intra_edges, p.degree_sum, p.contrib_micro) == (
+            m.n_nodes, m.intra_edges, m.degree_sum, m.contrib_micro
+        )
+        assert p.cut_edges >= 0
+        # local closure can't exceed 1 and needs wedges to be defined
+        if p.n_wedges == 0:
+            assert p.transitivity_micro is None
+        else:
+            assert 0 <= p.transitivity_micro <= 1_000_000
+    m_edges = next(iter(mod.values())).m_edges
+    assert (
+        sum(p.intra_edges for p in prof.values())
+        + sum(p.cut_edges for p in prof.values()) // 2
+        == m_edges
+    )
+
+
 def test_text_readability_planted_flesch(spark, tmp_path):
     # doc 1: 5 words / 2 sentence runs / 7 vowel-group syllables ->
     # F = 206.835 - 1.015*(5/2) - 84.6*(7/5) = 85.8575 (band easy);
@@ -7899,6 +7970,60 @@ def test_event_burstiness_planted_grid(spark, tmp_path):
     assert (r.n_hours, r.n_active_hours, r.n_events) == (3, 2, 6)
     assert r.mean_per_hour_micro == 2_000_000
     assert r.fano_micro == 1_333_333
+
+
+def test_event_interarrival_planted_subhour_clumping(spark, tmp_path):
+    # the signature the hourly Fano CANNOT see (VERDICT r11 #4): two
+    # types with IDENTICAL hourly histograms (60 events in the same
+    # single hour bucket), one clock-regular, one clumped:
+    # - "spread": events every 60 s -> all 59 gaps equal -> sigma=0,
+    #   B = (0-mu)/(0+mu) = -1 exactly, CV = 0;
+    # - "burst": 59 events in the first minute + 1 at second 3598 ->
+    #   gaps 58x1s + 1x3540s -> B ~ +0.76.
+    # Also pins the telescoping cross-check gap_sum = max(t)-min(t).
+    import datetime as dt
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_event_burstiness,
+        q_event_interarrival,
+    )
+
+    h = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (i, h + dt.timedelta(seconds=60 * i), 1, "spread", 1.0, "{}")
+        for i in range(60)
+    ] + [
+        (100 + i, h + dt.timedelta(seconds=i), 1, "burst", 1.0, "{}")
+        for i in range(59)
+    ] + [(200, h + dt.timedelta(seconds=3598), 1, "burst", 1.0, "{}")]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    fano = {r.event_type: r.fano_micro
+            for r in q_event_burstiness(spark, str(tmp_path)).collect()}
+    assert fano["spread"] == fano["burst"] == 0  # hourly grid is blind
+
+    out = {r.event_type: r
+           for r in q_event_interarrival(spark, str(tmp_path)).collect()}
+    sp = out["spread"]
+    assert sp.n_gaps == 59 and sp.gap_sum_us == 3_540 * 1_000_000
+    assert sp.cv_micro == 0 and sp.b_index_micro == -1_000_000
+    b = out["burst"]
+    assert b.n_gaps == 59 and b.gap_sum_us == 3_598 * 1_000_000
+    # telescoping: gap_sum = max(t) - min(t) for both types
+    # independent scalar recompute of the engine's pinned op sequence
+    gaps = [1_000_000] * 58 + [3_540 * 1_000_000]
+    n, sd = len(gaps), sum(gaps)
+    v = n * sum(g * g for g in gaps) - sd * sd
+    s = math.sqrt(float(v))
+    exp_b = round(1e6 * (s - float(sd)) / (s + float(sd)))
+    exp_cv = round(1e6 * s / float(sd))
+    assert b.b_index_micro == exp_b and 0.70 < exp_b / 1e6 < 0.82
+    assert b.cv_micro == exp_cv and exp_cv > 5_000_000
 
 
 def test_eval_kripp_alpha_planted_abstentions(spark, tmp_path):

@@ -1315,3 +1315,55 @@ def test_eval_fleiss_kappa_is_one_combinable_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert "Join" not in plan
+
+
+def test_eval_kripp_alpha_ordinal_is_one_combinable_aggregate(spark):
+    # the ordinal lane must keep the nominal lane's shape: one
+    # map-side-combinable groupBy bounded by |langs| — one exchange,
+    # no window, no join, no broadcast (the whole statistic collapses
+    # to global sufficient statistics, so nothing else is allowed)
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_kripp_alpha_ordinal,
+    )
+
+    plan = plan_of(q_eval_kripp_alpha_ordinal(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan
+
+
+def test_event_interarrival_pays_exactly_one_shuffle(spark):
+    # the lag window hash-partitions on event_type and the follow-up
+    # groupBy reuses that partitioning — ONE exchange total, one
+    # Window node, no joins/broadcasts. A second exchange here means
+    # the aggregate stopped riding the window's partitioning.
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_event_interarrival,
+    )
+
+    plan = plan_of(q_event_interarrival(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan
+
+
+def test_graph_community_profile_never_broadcasts_labels(spark):
+    # corpus-sized label/edge tables must join shuffle_hash (the §82
+    # trap); the ONLY broadcast allowed is the 1-row edge total
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.graph import (
+        _knn_edges,
+        q_graph_community_profile,
+    )
+
+    _knn_edges(spark, SF_SMOKE).count()  # ensure the artifact exists
+    plan = plan_of(q_graph_community_profile(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) >= 5
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
