@@ -249,12 +249,16 @@ agg_argminmax, udaf_grouped, join_null_safe — last graded r4 — and
 dedup_exact, dedup_embedding, dedup_components — last graded r5),
 demoting 15 one-for-one (the seven r11 single-green
 first-timers and eight r11-refreshed veterans, who LEAD the EXTRA
-lane). The EXTRA lane
-holds a hundred and forty-nine oracle-gated entries, every one with
+lane); a second wave adds text_yule_k (Yule's K characteristic +
+unbiased Simpson repeat rate from the frequency-spectrum second
+moment Σf² — the length-invariant lexical-repetitiveness screen,
+two combinable aggregates, zero joins) at position 5, demoting
+join_broadcast. The EXTRA lane
+holds a hundred and fifty oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 149 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 150 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

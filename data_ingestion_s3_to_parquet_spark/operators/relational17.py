@@ -36,7 +36,9 @@ only four of this module's lanes graded (join_inner / join_broadcast
 / join_range / join_asof — r11 rows, plus earlier greens); the seven
 round-11 first-timers and the other eight promotion veterans demoted
 to this module's EXTRA_QUERIES, which leads the EXTRA lane (the
-module registers directly after relational18).
+module registers directly after relational18). The round-12 SECOND
+wave then demoted join_broadcast too, one-for-one for the new
+text_yule_k — leaving three lanes graded here.
 
 Reference parity note: the reference (/root/reference/src/main.rs,
 208 lines) has no query surface at all; every lane here belongs to
@@ -97,7 +99,6 @@ QUERIES: list[Query] = [
     # three new operators + twelve-lane promotion cohort
     # (VERDICT r11 #1).
     Query("join_inner", q_join_inner, SQL_JOIN_INNER, ("relational", "join"), bench=True),
-    Query("join_broadcast", q_join_broadcast, SQL_JOIN_BROADCAST, ("relational", "join")),
     Query("join_range", q_join_range, SQL_JOIN_RANGE, ("relational", "join"), bench=True),
     Query("join_asof", q_join_asof, SQL_JOIN_ASOF, ("relational", "join", "custom")),
 ]
@@ -179,4 +180,7 @@ EXTRA_QUERIES: list[Query] = [
         ("relational", "agg", "approx"),
     ),
     Query("agg_group", q_agg_group, SQL_AGG_GROUP, ("relational", "agg"), bench=True),
+    # round-12 SECOND wave: join_broadcast (r11 + r4 greens) demoted
+    # one-for-one for the new text_yule_k (relational18)
+    Query("join_broadcast", q_join_broadcast, SQL_JOIN_BROADCAST, ("relational", "join")),
 ]

@@ -82,6 +82,7 @@ from .relational16 import (
     SQL_EVAL_KRIPP_ALPHA_ORDINAL,
     q_eval_kripp_alpha_ordinal,
 )
+from .textstats import SQL_TEXT_YULE_K, q_text_yule_k
 
 QUERIES: list[Query] = [
     Query(
@@ -101,6 +102,14 @@ QUERIES: list[Query] = [
         q_event_interarrival,
         SQL_EVENT_INTERARRIVAL,
         ("relational", "timeseries", "monitoring", "statistics"),
+    ),
+    # --- round-12 SECOND wave (never-graded; join_broadcast — r11 +
+    # r4 greens — demoted one-for-one to relational17's EXTRA) ---
+    Query(
+        "text_yule_k",
+        q_text_yule_k,
+        SQL_TEXT_YULE_K,
+        ("llm", "text", "statistics", "quality"),
     ),
     # --- the round-12 promotion cohort (oldest driver rows first:
     # the r4 nine, then the first three of the r5 cohort) ---

@@ -1859,6 +1859,132 @@ FROM curve, fit
 SQL_HEAPS_FIT = _sql_heaps_fit()
 
 
+# --------------------------------------------------------------------
+# text_yule_k
+# --------------------------------------------------------------------
+
+# Yule's K = 10⁴·(S2 − N)/N² and the unbiased Simpson repeat rate
+# (S2 − N)/(N·(N−1)) from the frequency-spectrum second moment
+# S2 = Σ_w f_w². Each a single pinned micro division of exact
+# integers cast to double ONCE; N < 2 has no token pair to repeat
+# → NULL for the rate; K is 0 at N = 1 by the same algebra (S2 = 1).
+_YULE_K_EXPR = (
+    "CAST(ROUND((CAST(10000000000 AS DOUBLE)"
+    " * CAST(s2 - n_tokens AS DOUBLE))"
+    " / CAST(n2_big AS DOUBLE), 0) AS BIGINT)"
+)
+_SIMPSON_EXPR = (
+    "CASE WHEN n_tokens < 2 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE)"
+    " * CAST(s2 - n_tokens AS DOUBLE))"
+    " / CAST(nn1_big AS DOUBLE), 0) AS BIGINT) END"
+)
+
+
+def q_text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K characteristic and the unbiased Simpson repeat rate
+    per language — the frequency-SPECTRUM leg of the corpus-health
+    family: ``entropy_score`` reads per-document token entropy,
+    ``zipf_fit`` the rank-frequency head's slope, and this lane the
+    spectrum's second moment — K = 10⁴·(Σ_w f_w² − N)/N², Yule's
+    length-invariant repetitiveness constant (Yule 1944; Tweedie &
+    Baayen 1998 show K is the stable one among the classic
+    "constants" — TTR and Herdan's C drift with N, which is exactly
+    why a per-language screen needs K and not TTR). A corpus slice
+    whose K jumps has lost lexical diversity (template spam,
+    boilerplate floods) even when mean doc length and language mix
+    look unchanged; the Simpson rate (S2 − N)/(N(N−1)) is the same
+    moment as an unbiased probability — two random distinct token
+    positions carry the same word.
+
+    Tokens are the repo convention: non-empty single-space tokens of
+    ``lower(text)`` (``tokens`` ↔ ``string_split``). A language
+    whose documents are ALL token-less emits no row (the
+    ``text_readability`` dropped-not-NULL contract); N = 1 gives
+    K = 0 exactly (S2 = 1) and a NULL repeat rate (no pair exists).
+
+    Exactness: frequencies are int64; S2 accumulates via
+    ``exact_product_sum`` (decimal ↔ HUGEINT — f² wraps int64 past
+    f ≈ 3·10⁹); N², N(N−1) promote before multiplying; each output
+    statistic is one pinned micro division of exact integers cast to
+    double once. Declared seam (the n_wedges precedent): the
+    ``s2`` output column is int64 and fails LOUD past 9.2·10¹⁸ on
+    both engines; the micro statistics divide the uncapped decimals.
+
+    Scale shape: two map-side-combinable aggregates — (lang, word)
+    frequencies, then the |langs|-bounded moment rollup; zero joins,
+    zero windows, zero broadcasts. The (lang, word) shuffle is the
+    vocabulary aggregate every BPE/TF-IDF lane already pays; nothing
+    here is corpus-proportional after it.
+    """
+    from ..functions.numeric import exact_product_sum
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).where(F.length("w") > 0)
+    freq = toks.groupBy("lang", "w").agg(F.count("*").alias("f"))
+    dec = "decimal(38,0)"
+    g = freq.groupBy("lang").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        exact_product_sum(F.col("f"), F.col("f")).cast(dec).alias("s2"),
+    )
+    g = g.withColumn(
+        "n2_big",
+        (F.col("n_tokens").cast(dec) * F.col("n_tokens").cast(dec)).cast(dec),
+    ).withColumn(
+        "nn1_big",
+        (
+            F.col("n_tokens").cast(dec) * (F.col("n_tokens") - 1).cast(dec)
+        ).cast(dec),
+    )
+    # the shared micro expressions read the uncapped decimal s2; the
+    # OUTPUT s2 column re-aliases it through the int64 cap afterwards
+    return g.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        F.col("s2").cast("long").alias("s2"),
+        F.expr(_YULE_K_EXPR).alias("yule_k_micro"),
+        F.expr(_SIMPSON_EXPR).alias("simpson_micro"),
+    )
+
+
+SQL_TEXT_YULE_K = f"""
+WITH toks AS (
+  SELECT lang, w
+  FROM (
+    SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  )
+  WHERE length(w) > 0
+),
+freq AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM toks GROUP BY lang, w
+),
+g AS (
+  SELECT lang,
+         CAST(SUM(f) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(CAST(f AS HUGEINT) * f) AS s2
+  FROM freq GROUP BY lang
+),
+m AS (
+  SELECT *,
+         CAST(n_tokens AS HUGEINT) * n_tokens AS n2_big,
+         CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS nn1_big
+  FROM g
+)
+SELECT lang, n_tokens, n_types, CAST(s2 AS BIGINT) AS s2,
+       {_YULE_K_EXPR} AS yule_k_micro,
+       {_SIMPSON_EXPR} AS simpson_micro
+FROM m
+"""
+
+
 # All graded contributions from this module now register via
 # relational7 (the round-7 wave-2 promotion: vocab_coverage,
 # freq_items_topk, strip_markup, ngram_counts, url_canonicalize,

@@ -797,6 +797,7 @@ def test_extra_lane_doc_counts_match_registry():
         147: "a hundred and forty-seven",
         148: "a hundred and forty-eight",
         149: "a hundred and forty-nine",
+        150: "a hundred and fifty",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -961,23 +962,24 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 149
+    assert len(EXTRA) == 150
     assert len(BENCH_ONLY) == 7
-    # round-12 rotation: the three NEW round-12 operators grade
-    # immediately after ingest_parity (never-graded-first), followed
-    # by the twelve-lane promotion cohort — the MEASURED-oldest
-    # driver rows in the registry at the start of round 12 (nine
-    # r4-row lanes, three r5-row lanes), then the four r11-promotion
-    # veterans that keep their graded slots (relational17) and
+    # round-12 rotation: the four NEW round-12 operators grade
+    # immediately after ingest_parity (never-graded-first; wave 2
+    # added text_yule_k), followed by the twelve-lane promotion
+    # cohort — the MEASURED-oldest driver rows in the registry at
+    # the start of round 12 (nine r4-row lanes, three r5-row lanes),
+    # then the three r11-promotion veterans that keep their graded
+    # slots (relational17; join_broadcast demoted in wave 2) and
     # eval_mrr
     assert list(REGISTRY)[1:21] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
-        "event_interarrival",
+        "event_interarrival", "text_yule_k",
         "window_analytic", "subquery_scalar", "agg_percentile",
         "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
-        "join_inner", "join_broadcast", "join_range", "join_asof",
+        "join_inner", "join_range", "join_asof",
         "eval_mrr",
     ]
     # the round-10 first-timers that STAY graded (second green):
@@ -994,17 +996,18 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # the fifteen round-12 demotees LEAD the EXTRA lane (the seven
+    # the sixteen round-12 demotees LEAD the EXTRA lane (the seven
     # r11 single-green first-timers first, then the eight
-    # r11-refreshed veterans — relational17.EXTRA_QUERIES), ahead of
-    # the r10/r9 demotee cohorts
-    assert list(EXTRA)[:34] == [
+    # r11-refreshed veterans and the wave-2 join_broadcast —
+    # relational17.EXTRA_QUERIES), ahead of the r10/r9 demotee
+    # cohorts
+    assert list(EXTRA)[:35] == [
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
         "datetime_funcs", "seq_pack", "embedding_quantize",
         "quality_gopher", "pii_redact", "media_frame_sample",
-        "agg_approx_quantile", "agg_group",
+        "agg_approx_quantile", "agg_group", "join_broadcast",
         "rolling_quantile", "schema_drift_report",
         "dedup_threshold_sweep", "alert_rate_spike", "bpe_fertility",
         "compaction_plan", "privacy_ldiv", "eval_regression",
@@ -7705,6 +7708,66 @@ def test_graph_modularity_two_block_graph(spark, tmp_path):
         0: (4, 6, 12, 12, 250_000, 500_000),
         4: (4, 6, 12, 12, 250_000, 500_000),
     }
+
+
+def test_text_yule_k_planted_spectrum(spark, tmp_path):
+    # lang "x": frequencies 4/2/1 -> N=7, S2=21,
+    # K = 1e4*(21-7)/49 = 2857.142857 -> 2_857_142_857 micro;
+    # Simpson = 14/(7*6) = 1/3 -> 333_333 micro.
+    # lang "y": a single token -> N=1, S2=1 -> K = 0 exactly and no
+    # pair exists -> NULL repeat rate.
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_text_yule_k,
+    )
+
+    rows = [
+        (1, "a a a a b b c", "x", "s", 13),
+        (2, "solo", "y", "s", 4),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.lang: r for r in q_text_yule_k(spark, str(tmp_path)).collect()}
+    x = out["x"]
+    assert (x.n_tokens, x.n_types, x.s2) == (7, 3, 21)
+    assert x.yule_k_micro == 2_857_142_857
+    assert x.simpson_micro == 333_333
+    y = out["y"]
+    assert (y.n_tokens, y.n_types, y.s2) == (1, 1, 1)
+    assert y.yule_k_micro == 0 and y.simpson_micro is None
+
+
+def test_text_yule_k_matches_textbook_recompute(spark, sf_dir):
+    # independent recompute of K and the Simpson rate from raw
+    # per-language word frequencies on the real fixture — guards the
+    # S2/N moment algebra and the pinned rounding.
+    import math
+    from collections import Counter
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_text_yule_k,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.lang: r for r in q_text_yule_k(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "text"
+    ).collect()
+    freqs: dict = {}
+    for row in docs:
+        c = freqs.setdefault(row.lang, Counter())
+        c.update(w for w in row.text.lower().split(" ") if w)
+    for lang, c in freqs.items():
+        n = sum(c.values())
+        s2 = sum(f * f for f in c.values())
+        k = 1e10 * float(s2 - n) / (float(n) * float(n))
+        assert lane[lang].yule_k_micro == int(math.floor(k + 0.5)), lang
+        if n >= 2:
+            r = 1e6 * float(s2 - n) / (float(n) * float(n - 1))
+            assert lane[lang].simpson_micro == int(math.floor(r + 0.5)), lang
+        assert (lane[lang].n_tokens, lane[lang].n_types) == (n, len(c))
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

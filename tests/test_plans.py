@@ -1367,3 +1367,19 @@ def test_graph_community_profile_never_broadcasts_labels(spark):
     plan = plan_of(q_graph_community_profile(spark, SF_SMOKE))
     assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) >= 5
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+
+
+def test_text_yule_k_is_two_combinable_aggregates(spark):
+    # (lang, word) frequency aggregate, then the |langs|-bounded
+    # moment rollup — two exchanges, no window, no join, no broadcast
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_text_yule_k,
+    )
+
+    plan = plan_of(q_text_yule_k(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan
