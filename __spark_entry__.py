@@ -253,12 +253,16 @@ lane); a second wave adds text_yule_k (Yule's K characteristic +
 unbiased Simpson repeat rate from the frequency-spectrum second
 moment Σf² — the length-invariant lexical-repetitiveness screen,
 two combinable aggregates, zero joins) at position 5, demoting
-join_broadcast. The EXTRA lane
-holds a hundred and fifty oracle-gated entries, every one with
+join_broadcast, and a third wave adds len_lognormal_fit (the
+log-normal document-length fit — per-language mean/sigma of
+micro-log2 n_chars plus the exact within-one-sigma band count, the
+two-phase data-shape drift detector) at position 6, demoting
+join_asof. The EXTRA lane
+holds a hundred and fifty-one oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 150 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 151 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -38,7 +38,8 @@ round-11 first-timers and the other eight promotion veterans demoted
 to this module's EXTRA_QUERIES, which leads the EXTRA lane (the
 module registers directly after relational18). The round-12 SECOND
 wave then demoted join_broadcast too, one-for-one for the new
-text_yule_k — leaving three lanes graded here.
+text_yule_k, and the THIRD wave demoted join_asof for
+len_lognormal_fit — leaving join_inner / join_range graded here.
 
 Reference parity note: the reference (/root/reference/src/main.rs,
 208 lines) has no query surface at all; every lane here belongs to
@@ -100,7 +101,6 @@ QUERIES: list[Query] = [
     # (VERDICT r11 #1).
     Query("join_inner", q_join_inner, SQL_JOIN_INNER, ("relational", "join"), bench=True),
     Query("join_range", q_join_range, SQL_JOIN_RANGE, ("relational", "join"), bench=True),
-    Query("join_asof", q_join_asof, SQL_JOIN_ASOF, ("relational", "join", "custom")),
 ]
 
 # The round-12 demotees: the seven round-11 single-green first-timers
@@ -183,4 +183,7 @@ EXTRA_QUERIES: list[Query] = [
     # round-12 SECOND wave: join_broadcast (r11 + r4 greens) demoted
     # one-for-one for the new text_yule_k (relational18)
     Query("join_broadcast", q_join_broadcast, SQL_JOIN_BROADCAST, ("relational", "join")),
+    # round-12 THIRD wave: join_asof (r11 + r4 greens) demoted
+    # one-for-one for the new len_lognormal_fit (relational18)
+    Query("join_asof", q_join_asof, SQL_JOIN_ASOF, ("relational", "join", "custom")),
 ]

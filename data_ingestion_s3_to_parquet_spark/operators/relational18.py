@@ -82,7 +82,12 @@ from .relational16 import (
     SQL_EVAL_KRIPP_ALPHA_ORDINAL,
     q_eval_kripp_alpha_ordinal,
 )
-from .textstats import SQL_TEXT_YULE_K, q_text_yule_k
+from .textstats import (
+    SQL_LEN_LOGNORMAL_FIT,
+    SQL_TEXT_YULE_K,
+    q_len_lognormal_fit,
+    q_text_yule_k,
+)
 
 QUERIES: list[Query] = [
     Query(
@@ -110,6 +115,14 @@ QUERIES: list[Query] = [
         q_text_yule_k,
         SQL_TEXT_YULE_K,
         ("llm", "text", "statistics", "quality"),
+    ),
+    # --- round-12 THIRD wave (never-graded; join_asof — r11 + r4
+    # greens — demoted one-for-one to relational17's EXTRA) ---
+    Query(
+        "len_lognormal_fit",
+        q_len_lognormal_fit,
+        SQL_LEN_LOGNORMAL_FIT,
+        ("llm", "text", "statistics", "quality", "monitoring"),
     ),
     # --- the round-12 promotion cohort (oldest driver rows first:
     # the r4 nine, then the first three of the r5 cohort) ---

@@ -1985,6 +1985,163 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------
+# len_lognormal_fit
+# --------------------------------------------------------------------
+
+# Population moments of the micro-log2 lengths: mean = S1/n,
+# σ = sqrt(n·S2 − S1²)/n — one pinned micro division / one
+# correctly-rounded sqrt (the assortativity precedent); n ≥ 1 by
+# construction (langs only form from docs), σ of a single doc is 0.
+_LEN_MEAN_EXPR = (
+    "CAST(ROUND(CAST(s1 AS DOUBLE) / n_docs, 0) AS BIGINT)"
+)
+_LEN_STD_EXPR = (
+    "CAST(ROUND(sqrt(CAST(v_num AS DOUBLE)) / n_docs, 0) AS BIGINT)"
+)
+_LEN_BAND_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * n_within) / n_docs, 0)"
+    " AS BIGINT)"
+)
+
+
+def q_len_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit of the document-length distribution per
+    language — the data-SHAPE drift detector for an ingest pipeline:
+    natural-text corpora have approximately log-normal length
+    distributions, so the (μ, σ) of log₂ n_chars is a stable
+    per-slice signature, and a slice whose empirical mass inside
+    μ ± σ drifts from the normal ≈ 68.3% has changed SHAPE
+    (truncation, padding, a flood of fixed-length template docs) —
+    a change neither the mean length nor the language mix reports.
+    Output per language: doc count, μ and σ in micro-log2, the
+    within-band count, and its micro fraction.
+
+    Two-phase by necessity (the ``token_budget_select`` precedent):
+    the band [μ−σ, μ+σ] depends on the global moments, so phase 1
+    computes exact per-language sufficient statistics (S1, S2 of the
+    micro-quantized log₂ lengths — the ``zipf_fit`` quantization
+    rule, so both engines compare the SAME integers), and phase 2
+    re-scans documents against the |langs|-row bounded band table
+    (broadcast — it cannot grow with the corpus). The band bounds
+    are the already-rounded integer outputs μ_micro ± σ_micro, so
+    the within count is an exact integer comparison — no float
+    boundary can disagree cross-engine.
+
+    Zero-length documents carry no log-length and are dropped from
+    BOTH phases (the ``text_readability`` dropped-not-NULL
+    contract, applied to n_chars < 1).
+
+    Exactness: x = micro-log2(n_chars) int64; S1/S2 decimal ↔
+    HUGEINT; V = n·S2 − S1² exact; mean/σ are one pinned division /
+    sqrt each; the band fraction is one pinned micro division of
+    exact counts.
+
+    Scale shape: two combinable aggregates over documents + one
+    broadcast of the |langs|-row band table onto the second scan —
+    zero windows, zero corpus-sized joins; scan-bound twice (the
+    honest price of a data-dependent band; a single-pass
+    approximation would trade exactness for one scan).
+    """
+    from ..functions.numeric import exact_product_sum
+
+    micro_log2 = (
+        "CAST(ROUND(log2(CAST({} AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+    )
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") >= 1)
+    xs = d.select(
+        "lang", F.expr(micro_log2.format("n_chars")).alias("x")
+    )
+    dec = "decimal(38,0)"
+    g = xs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("s1"),
+        exact_product_sum(F.col("x"), F.col("x")).cast(dec).alias("s2"),
+    )
+    g = g.withColumn(
+        "v_num",
+        (
+            F.col("n_docs").cast(dec) * F.col("s2")
+            - F.col("s1") * F.col("s1")
+        ).cast(dec),
+    )
+    stats = g.select(
+        "lang",
+        "n_docs",
+        F.expr(_LEN_MEAN_EXPR).alias("mean_log2_micro"),
+        F.expr(_LEN_STD_EXPR).alias("std_log2_micro"),
+    )
+    bands = stats.select(
+        "lang",
+        "n_docs",
+        "mean_log2_micro",
+        "std_log2_micro",
+        (F.col("mean_log2_micro") - F.col("std_log2_micro")).alias("lo"),
+        (F.col("mean_log2_micro") + F.col("std_log2_micro")).alias("hi"),
+    )
+    within = (
+        xs.join(F.broadcast(bands), "lang")
+        .where((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_within"))
+    )
+    return (
+        bands.join(within, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "mean_log2_micro",
+            "std_log2_micro",
+            F.coalesce("n_within", F.lit(0)).alias("n_within"),
+        )
+        .withColumn("within_1sd_micro", F.expr(_LEN_BAND_EXPR))
+    )
+
+
+SQL_LEN_LOGNORMAL_FIT = f"""
+WITH xs AS (
+  SELECT lang,
+         CAST(ROUND(log2(CAST(n_chars AS DOUBLE)) * 1000000, 0)
+           AS BIGINT) AS x
+  FROM documents WHERE n_chars >= 1
+),
+g AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+         SUM(CAST(x AS HUGEINT) * x) AS s2
+  FROM xs GROUP BY lang
+),
+v AS (
+  SELECT *,
+         CAST(n_docs AS HUGEINT) * s2 - s1 * s1 AS v_num
+  FROM g
+),
+stats AS (
+  SELECT lang, n_docs,
+         {_LEN_MEAN_EXPR} AS mean_log2_micro,
+         {_LEN_STD_EXPR} AS std_log2_micro
+  FROM v
+),
+bands AS (
+  SELECT *,
+         mean_log2_micro - std_log2_micro AS lo,
+         mean_log2_micro + std_log2_micro AS hi
+  FROM stats
+),
+w AS (
+  SELECT xs.lang, CAST(COUNT(*) AS BIGINT) AS n_within
+  FROM xs JOIN bands ON xs.lang = bands.lang
+  WHERE xs.x >= bands.lo AND xs.x <= bands.hi
+  GROUP BY xs.lang
+)
+SELECT bands.lang, n_docs, mean_log2_micro, std_log2_micro,
+       COALESCE(w.n_within, 0) AS n_within,
+       {_LEN_BAND_EXPR} AS within_1sd_micro
+FROM bands LEFT JOIN w ON bands.lang = w.lang
+"""
+
+
 # All graded contributions from this module now register via
 # relational7 (the round-7 wave-2 promotion: vocab_coverage,
 # freq_items_topk, strip_markup, ngram_counts, url_canonicalize,

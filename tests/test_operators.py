@@ -798,6 +798,7 @@ def test_extra_lane_doc_counts_match_registry():
         148: "a hundred and forty-eight",
         149: "a hundred and forty-nine",
         150: "a hundred and fifty",
+        151: "a hundred and fifty-one",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -962,24 +963,24 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 150
+    assert len(EXTRA) == 151
     assert len(BENCH_ONLY) == 7
-    # round-12 rotation: the four NEW round-12 operators grade
+    # round-12 rotation: the five NEW round-12 operators grade
     # immediately after ingest_parity (never-graded-first; wave 2
-    # added text_yule_k), followed by the twelve-lane promotion
-    # cohort — the MEASURED-oldest driver rows in the registry at
-    # the start of round 12 (nine r4-row lanes, three r5-row lanes),
-    # then the three r11-promotion veterans that keep their graded
-    # slots (relational17; join_broadcast demoted in wave 2) and
-    # eval_mrr
+    # added text_yule_k, wave 3 len_lognormal_fit), followed by the
+    # twelve-lane promotion cohort — the MEASURED-oldest driver rows
+    # in the registry at the start of round 12 (nine r4-row lanes,
+    # three r5-row lanes), then the two r11-promotion veterans that
+    # keep their graded slots (relational17; join_broadcast and
+    # join_asof demoted in waves 2-3) and eval_mrr
     assert list(REGISTRY)[1:21] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
-        "event_interarrival", "text_yule_k",
+        "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "window_analytic", "subquery_scalar", "agg_percentile",
         "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
-        "join_inner", "join_range", "join_asof",
+        "join_inner", "join_range",
         "eval_mrr",
     ]
     # the round-10 first-timers that STAY graded (second green):
@@ -996,18 +997,19 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # the sixteen round-12 demotees LEAD the EXTRA lane (the seven
+    # the seventeen round-12 demotees LEAD the EXTRA lane (the seven
     # r11 single-green first-timers first, then the eight
-    # r11-refreshed veterans and the wave-2 join_broadcast —
-    # relational17.EXTRA_QUERIES), ahead of the r10/r9 demotee
-    # cohorts
-    assert list(EXTRA)[:35] == [
+    # r11-refreshed veterans and the wave-2/3 join_broadcast /
+    # join_asof — relational17.EXTRA_QUERIES), ahead of the r10/r9
+    # demotee cohorts
+    assert list(EXTRA)[:36] == [
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
         "datetime_funcs", "seq_pack", "embedding_quantize",
         "quality_gopher", "pii_redact", "media_frame_sample",
         "agg_approx_quantile", "agg_group", "join_broadcast",
+        "join_asof",
         "rolling_quantile", "schema_drift_report",
         "dedup_threshold_sweep", "alert_rate_spike", "bpe_fertility",
         "compaction_plan", "privacy_ldiv", "eval_regression",
@@ -7768,6 +7770,43 @@ def test_text_yule_k_matches_textbook_recompute(spark, sf_dir):
             r = 1e6 * float(s2 - n) / (float(n) * float(n - 1))
             assert lane[lang].simpson_micro == int(math.floor(r + 0.5)), lang
         assert (lane[lang].n_tokens, lane[lang].n_types) == (n, len(c))
+
+
+def test_len_lognormal_fit_planted_moments(spark, tmp_path):
+    # lang "x": n_chars 2/2/8/8 -> x = 1e6/1e6/3e6/3e6 micro-log2,
+    # mean = 2e6, V = 4*20e12 - 64e12 = 16e12 -> sigma = 1e6; band
+    # [1e6, 3e6] is INCLUSIVE so all four docs sit within -> 1e6.
+    # The n_chars = 0 doc is dropped from both phases; lang "y" is
+    # the degenerate single doc (sigma = 0, band [x, x], within 1).
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_len_lognormal_fit,
+    )
+
+    rows = [
+        (1, "aa", "x", "s", 2),
+        (2, "bb", "x", "s", 2),
+        (3, "cccccccc", "x", "s", 8),
+        (4, "dddddddd", "x", "s", 8),
+        (5, "", "x", "s", 0),        # dropped: no log-length
+        (6, "pppp", "y", "s", 4),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.lang: r
+           for r in q_len_lognormal_fit(spark, str(tmp_path)).collect()}
+    x = out["x"]
+    assert (x.n_docs, x.mean_log2_micro, x.std_log2_micro) == (
+        4, 2_000_000, 1_000_000
+    )
+    assert (x.n_within, x.within_1sd_micro) == (4, 1_000_000)
+    y = out["y"]
+    assert (y.n_docs, y.mean_log2_micro, y.std_log2_micro) == (
+        1, 2_000_000, 0
+    )
+    assert (y.n_within, y.within_1sd_micro) == (1, 1_000_000)
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

@@ -1383,3 +1383,21 @@ def test_text_yule_k_is_two_combinable_aggregates(spark):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert "Join" not in plan
+
+
+def test_len_lognormal_fit_band_join_is_broadcast_and_filter_pushed(spark):
+    # phase-2's band table is |langs|-bounded -> must join broadcast
+    # (never sort-merge/shuffle-hash a corpus scan against it), and
+    # the n_chars >= 1 gate must reach the parquet scan
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_len_lognormal_fit,
+    )
+
+    plan = plan_of(q_len_lognormal_fit(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "n_chars" in pushed or "GreaterThanOrEqual" in pushed, pushed
