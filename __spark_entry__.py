@@ -257,12 +257,15 @@ join_broadcast, and a third wave adds len_lognormal_fit (the
 log-normal document-length fit — per-language mean/sigma of
 micro-log2 n_chars plus the exact within-one-sigma band count, the
 two-phase data-shape drift detector) at position 6, demoting
-join_asof. The EXTRA lane
-holds a hundred and fifty-one oracle-gated entries, every one with
+join_asof, and a fourth wave adds word_adaptation (Church-Gale
+per-word burstiness over the top collection-frequency words —
+adaptation = P(tf >= 2 | tf >= 1), the content-vs-function-word
+separator) at position 7, demoting dedup_containment. The EXTRA lane
+holds a hundred and fifty-two oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 151 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 152 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -1179,7 +1179,9 @@ def _containment_query() -> Query:
 # graph_clustering_coeff / zipf_fit registered in relational17; the
 # remaining five stay graded for a second green row.
 QUERIES: list[Query] = [
-    _containment_query(),
+    # dedup_containment (green r10 + r11) demoted in the round-12
+    # FOURTH wave for the new word_adaptation (relational18); it
+    # leads this module's EXTRA lane below.
     Query(
         "gini_concentration",
         q_gini_concentration,
@@ -1194,6 +1196,7 @@ QUERIES: list[Query] = [
 # (single-green r10) in the FIFTH wave for the new event_burstiness
 # (all register via relational17).
 EXTRA_QUERIES: list[Query] = [
+    _containment_query(),
     _assortativity_query(),
     Query(
         "eval_fleiss_kappa",

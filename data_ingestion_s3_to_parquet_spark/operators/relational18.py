@@ -85,8 +85,10 @@ from .relational16 import (
 from .textstats import (
     SQL_LEN_LOGNORMAL_FIT,
     SQL_TEXT_YULE_K,
+    SQL_WORD_ADAPTATION,
     q_len_lognormal_fit,
     q_text_yule_k,
+    q_word_adaptation,
 )
 
 QUERIES: list[Query] = [
@@ -123,6 +125,15 @@ QUERIES: list[Query] = [
         q_len_lognormal_fit,
         SQL_LEN_LOGNORMAL_FIT,
         ("llm", "text", "statistics", "quality", "monitoring"),
+    ),
+    # --- round-12 FOURTH wave (never-graded; dedup_containment —
+    # green r10 + r11 — demoted one-for-one to relational16's
+    # EXTRA) ---
+    Query(
+        "word_adaptation",
+        q_word_adaptation,
+        SQL_WORD_ADAPTATION,
+        ("llm", "text", "statistics", "quality"),
     ),
     # --- the round-12 promotion cohort (oldest driver rows first:
     # the r4 nine, then the first three of the r5 cohort) ---

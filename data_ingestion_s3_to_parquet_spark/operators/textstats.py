@@ -2142,6 +2142,104 @@ FROM bands LEFT JOIN w ON bands.lang = w.lang
 """
 
 
+# --------------------------------------------------------------------
+# word_adaptation
+# --------------------------------------------------------------------
+
+ADAPT_TOP = 50  # head of the collection-frequency ranking reported
+
+# adaptation = P(word occurs again | occurred once) = df2/df — exact
+# integer counts, one pinned micro division; df ≥ 1 by construction
+# (a word only exists through some document).
+_ADAPT_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * df2) / df, 0) AS BIGINT)"
+)
+
+
+def q_word_adaptation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale word adaptation over the corpus's top words — the
+    per-WORD burstiness statistic (Church & Gale 1995, "Poisson
+    mixtures"): for each of the ``ADAPT_TOP`` highest
+    collection-frequency words, the probability that a document
+    containing the word contains it AGAIN — adaptation =
+    P(tf ≥ 2 | tf ≥ 1) = df2/df. Under a Poisson (topic-free) model
+    this is small and tied to cf/df; real content words "adapt"
+    (a document about a topic repeats its terms), function words do
+    not — so the (cf rank, adaptation) table separates topical
+    vocabulary from glue and flags template floods (boilerplate
+    words read function-word adaptation at content-word frequency).
+    Complements ``text_yule_k`` (corpus-level second moment) with
+    the per-word view, and ``event_interarrival`` (burstiness in
+    time) with burstiness across documents.
+
+    Output per word: cf (total occurrences), df (documents
+    containing it), df2 (documents containing it ≥ 2 times), and
+    adaptation in micros. Top ``ADAPT_TOP`` by cf, ties broken by
+    word ascending — a total order, so the cut is deterministic.
+
+    Exactness: all counts exact int64 (cf ≤ corpus tokens — int64 to
+    ~9.2e18); adaptation is one pinned micro division (df ≥ 1 by
+    construction). Tokens are the repo convention (non-empty
+    single-space tokens of lower(text)).
+
+    Scale shape: (doc_id, word) tf aggregate → per-word combinable
+    rollup (cf/df/df2 in ONE pass — df2 is a conditional sum, not a
+    second scan) → TakeOrderedAndProject for the bounded head. Two
+    exchanges + the top-k; zero joins, zero windows, zero
+    broadcasts.
+    """
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .where(F.length("w") > 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    per_word = tf.groupBy("w").agg(
+        F.sum("tf").alias("cf"),
+        F.count("*").alias("df"),
+        F.sum((F.col("tf") >= 2).cast("long")).alias("df2"),
+    )
+    top = per_word.orderBy(F.desc("cf"), "w").limit(ADAPT_TOP)
+    return top.select(
+        F.col("w").alias("word"),
+        "cf",
+        "df",
+        "df2",
+        F.expr(_ADAPT_EXPR).alias("adaptation_micro"),
+    )
+
+
+SQL_WORD_ADAPTATION = f"""
+WITH tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  )
+  WHERE length(w) > 0
+  GROUP BY doc_id, w
+),
+per_word AS (
+  SELECT w,
+         CAST(SUM(tf) AS BIGINT) AS cf,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM tf GROUP BY w
+)
+SELECT w AS word, cf, df, df2,
+       {_ADAPT_EXPR} AS adaptation_micro
+FROM per_word
+ORDER BY cf DESC, w
+LIMIT {ADAPT_TOP}
+"""
+
+
 # All graded contributions from this module now register via
 # relational7 (the round-7 wave-2 promotion: vocab_coverage,
 # freq_items_topk, strip_markup, ngram_counts, url_canonicalize,

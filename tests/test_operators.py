@@ -799,6 +799,7 @@ def test_extra_lane_doc_counts_match_registry():
         149: "a hundred and forty-nine",
         150: "a hundred and fifty",
         151: "a hundred and fifty-one",
+        152: "a hundred and fifty-two",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -963,19 +964,21 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 151
+    assert len(EXTRA) == 152
     assert len(BENCH_ONLY) == 7
-    # round-12 rotation: the five NEW round-12 operators grade
+    # round-12 rotation: the six NEW round-12 operators grade
     # immediately after ingest_parity (never-graded-first; wave 2
-    # added text_yule_k, wave 3 len_lognormal_fit), followed by the
-    # twelve-lane promotion cohort — the MEASURED-oldest driver rows
-    # in the registry at the start of round 12 (nine r4-row lanes,
-    # three r5-row lanes), then the two r11-promotion veterans that
-    # keep their graded slots (relational17; join_broadcast and
-    # join_asof demoted in waves 2-3) and eval_mrr
-    assert list(REGISTRY)[1:21] == [
+    # added text_yule_k, wave 3 len_lognormal_fit, wave 4
+    # word_adaptation), followed by the twelve-lane promotion cohort
+    # — the MEASURED-oldest driver rows in the registry at the start
+    # of round 12 (nine r4-row lanes, three r5-row lanes), then the
+    # two r11-promotion veterans that keep their graded slots
+    # (relational17; join_broadcast and join_asof demoted in waves
+    # 2-3) and eval_mrr
+    assert list(REGISTRY)[1:22] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
+        "word_adaptation",
         "window_analytic", "subquery_scalar", "agg_percentile",
         "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
@@ -983,13 +986,11 @@ def test_lane_counts_match_docs():
         "join_inner", "join_range",
         "eval_mrr",
     ]
-    # the round-10 first-timers that STAY graded (second green):
-    # dedup_containment (collision contract documented this round)
-    # and gini_concentration (oracle HUGEINT-cast this round); the
-    # other five r10 first-timers demoted across waves 2-5 for the
-    # newcomers
-    assert list(REGISTRY)[21:23] == [
-        "dedup_containment", "gini_concentration",
+    # gini_concentration stays graded (double-green);
+    # dedup_containment (also double-green) demoted in the round-12
+    # FOURTH wave for word_adaptation
+    assert list(REGISTRY)[22:24] == [
+        "gini_concentration", "mmr_rerank",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -997,12 +998,13 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # the seventeen round-12 demotees LEAD the EXTRA lane (the seven
+    # the eighteen round-12 demotees LEAD the EXTRA lane (the seven
     # r11 single-green first-timers first, then the eight
-    # r11-refreshed veterans and the wave-2/3 join_broadcast /
-    # join_asof — relational17.EXTRA_QUERIES), ahead of the r10/r9
-    # demotee cohorts
-    assert list(EXTRA)[:36] == [
+    # r11-refreshed veterans, the wave-2/3 join_broadcast /
+    # join_asof — relational17.EXTRA_QUERIES — and the wave-4
+    # dedup_containment leading relational16's), ahead of the
+    # r10/r9 demotee cohorts
+    assert list(EXTRA)[:37] == [
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -1016,6 +1018,7 @@ def test_lane_counts_match_docs():
         "eval_mrr_scale",
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
+        "dedup_containment",
         "graph_assortativity", "eval_fleiss_kappa",
         "quantile_weighted",
         "eval_cohen_kappa", "privacy_tcloseness",
@@ -7807,6 +7810,32 @@ def test_len_lognormal_fit_planted_moments(spark, tmp_path):
         1, 2_000_000, 0
     )
     assert (y.n_within, y.within_1sd_micro) == (1, 1_000_000)
+
+
+def test_word_adaptation_planted_burst(spark, tmp_path):
+    # docs "a a b", "a a b", "a b": word a repeats in 2 of its 3 docs
+    # -> cf=5, df=3, df2=2, adaptation = 2/3 -> 666667 micro; word b
+    # never repeats -> cf=3, df=3, df2=0, adaptation 0. The bursty
+    # word and the non-bursty word have the SAME df — only the
+    # within-doc repetition separates them, which is the statistic.
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_word_adaptation,
+    )
+
+    rows = [
+        (1, "a a b", "en", "s", 5),
+        (2, "a a b", "en", "s", 5),
+        (3, "a b", "en", "s", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.word: r for r in q_word_adaptation(spark, str(tmp_path)).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.cf, a.df, a.df2, a.adaptation_micro) == (5, 3, 2, 666_667)
+    assert (b.cf, b.df, b.df2, b.adaptation_micro) == (3, 3, 0, 0)
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

@@ -1401,3 +1401,21 @@ def test_len_lognormal_fit_band_join_is_broadcast_and_filter_pushed(spark):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "n_chars" in pushed or "GreaterThanOrEqual" in pushed, pushed
+
+
+def test_word_adaptation_is_topk_over_two_aggregates(spark):
+    # (doc, word) tf aggregate -> per-word rollup -> the bounded head
+    # must compile to TakeOrderedAndProject (never a global sort of
+    # the vocabulary); two exchanges, no joins, no windows
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_word_adaptation,
+    )
+
+    plan = plan_of(q_word_adaptation(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan
