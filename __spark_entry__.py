@@ -260,12 +260,17 @@ two-phase data-shape drift detector) at position 6, demoting
 join_asof, and a fourth wave adds word_adaptation (Church-Gale
 per-word burstiness over the top collection-frequency words —
 adaptation = P(tf >= 2 | tf >= 1), the content-vs-function-word
-separator) at position 7, demoting dedup_containment. The EXTRA lane
-holds a hundred and fifty-two oracle-gated entries, every one with
+separator) at position 7, demoting dedup_containment, and a fifth
+wave adds eval_qwk (quadratic-weighted Cohen's kappa over the
+ordinal rubric pair — the fixed-pair ordinal agreement metric,
+collapsed to six integer sums via den = N*Saa − 2*Sa*Sb + N*Sbb, no
+contingency-table pivot) at position 8, demoting gini_concentration.
+The EXTRA lane
+holds a hundred and fifty-three oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 152 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 153 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

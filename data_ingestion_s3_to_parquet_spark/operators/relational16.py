@@ -975,6 +975,121 @@ FROM m2
 
 
 # --------------------------------------------------------------------
+# eval_qwk
+# --------------------------------------------------------------------
+
+# Quadratic-weighted kappa from sufficient statistics: with the
+# ordinal grades a, b of a FIXED rater pair, Σ_ij w_ij·O_ij over the
+# contingency table is just Σ_docs (a−b)², and the expected term
+# Σ_ij w_ij·r_i·c_j/N collapses through the marginal moments to
+# (N·Σa² − 2·Σa·Σb + N·Σb²)/N — so κ_w = 1 − N·Σ(a−b)²/den with
+# den = N·Σa² − 2·Σa·Σb + N·Σb², one pinned micro division of exact
+# integers. den = 0 (both raters constant on the same grade) has no
+# chance disagreement to correct against → NULL, the 0/0 standard.
+_QWK_EXPR = (
+    "CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE)"
+    " * CAST(den - CAST(n_docs AS {big}) * o2 AS DOUBLE))"
+    " / CAST(den AS DOUBLE), 0) AS BIGINT) END"
+)
+
+
+def q_eval_qwk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa per language — THE standard
+    agreement metric for ordinal grading scales (essay scoring,
+    LLM-judge rubric calibration): ``eval_cohen_kappa`` grades the
+    fixed rater pair nominally (any disagreement weighs 1);
+    ``eval_kripp_alpha_ordinal`` handles graded labels WITH
+    abstentions; this lane is the fixed-pair ordinal leg — the
+    quadratic weights w_ij = (i−j)² forgive adjacent-grade misses
+    and punish blown calls, against the marginal-product chance
+    model (Cohen 1968). Raters: the ordinal length and verbosity
+    rubrics (grades 0–3, always present — a fixed pair by
+    construction, no abstention machinery needed).
+
+    The sufficient-statistic collapse is the contribution: the
+    weighted observed sum over the 4×4 contingency table is just
+    Σ_docs (a−b)², and the weighted expected sum collapses through
+    the marginal moments — Σ_ij r_i·c_j·(i−j)² = N·Σa² − 2·Σa·Σb +
+    N·Σb² — so the whole statistic is ONE combinable aggregate of
+    six integer sums: no contingency-table pivot, no 16-cell
+    materialization (see ``_QWK_EXPR``). Exactness: grades ≤ 3, all
+    sums int64; the n·Σ products promote to decimal(38,0) ↔ HUGEINT;
+    one pinned micro division; den = 0 → NULL.
+
+    Scale shape: one map-side-combinable groupBy over documents
+    (output bounded by |langs|) — zero joins, zero windows, zero
+    broadcasts, the agreement-family shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        _rater_char_grade().cast("long").alias("a"),
+        _rater_words_grade().cast("long").alias("b"),
+    )
+    dec = "decimal(38,0)"
+    g = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(
+            (F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))
+        ).alias("o2"),
+    )
+    g = g.withColumn(
+        "den",
+        (
+            F.col("n_docs").cast(dec) * F.col("saa").cast(dec)
+            - F.lit(2).cast(dec)
+            * F.col("sa").cast(dec)
+            * F.col("sb").cast(dec)
+            + F.col("n_docs").cast(dec) * F.col("sbb").cast(dec)
+        ).cast(dec),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "sa",
+        "sb",
+        "saa",
+        "sbb",
+        "o2",
+        F.expr(_QWK_EXPR.format(big=dec)).alias("qwk_micro"),
+    )
+
+
+SQL_EVAL_QWK = f"""
+WITH r AS (
+  SELECT lang,
+         {_SQL_RATER_CHAR_GRADE} AS a,
+         {_SQL_RATER_WORDS_GRADE} AS b
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(a) AS BIGINT) AS sa,
+         CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(a * a) AS BIGINT) AS saa,
+         CAST(SUM(b * b) AS BIGINT) AS sbb,
+         CAST(SUM((a - b) * (a - b)) AS BIGINT) AS o2
+  FROM r GROUP BY lang
+),
+m AS (
+  SELECT *,
+         CAST(n_docs AS HUGEINT) * saa
+           - CAST(2 AS HUGEINT) * sa * sb
+           + CAST(n_docs AS HUGEINT) * sbb AS den
+  FROM g
+)
+SELECT lang, n_docs, sa, sb, saa, sbb, o2,
+       {_QWK_EXPR.format(big="HUGEINT")} AS qwk_micro
+FROM m
+"""
+
+
+# --------------------------------------------------------------------
 # privacy_tcloseness
 # --------------------------------------------------------------------
 
@@ -1178,17 +1293,11 @@ def _containment_query() -> Query:
 # the round-11 SECOND wave, one-for-one for the new
 # graph_clustering_coeff / zipf_fit registered in relational17; the
 # remaining five stay graded for a second green row.
-QUERIES: list[Query] = [
-    # dedup_containment (green r10 + r11) demoted in the round-12
-    # FOURTH wave for the new word_adaptation (relational18); it
-    # leads this module's EXTRA lane below.
-    Query(
-        "gini_concentration",
-        q_gini_concentration,
-        SQL_GINI_CONCENTRATION,
-        ("llm", "statistics", "quality", "monitoring"),
-    ),
-]
+# dedup_containment (green r10 + r11) demoted in the round-12
+# FOURTH wave for the new word_adaptation, and gini_concentration
+# (green r10 + r11) in the FIFTH wave for the new eval_qwk (both
+# register via relational18); they lead this module's EXTRA lane.
+QUERIES: list[Query] = []
 
 # quantile_weighted (single-green r10) demoted in the round-11 THIRD
 # wave for the new heaps_fit; graph_assortativity (single-green r10)
@@ -1197,6 +1306,12 @@ QUERIES: list[Query] = [
 # (all register via relational17).
 EXTRA_QUERIES: list[Query] = [
     _containment_query(),
+    Query(
+        "gini_concentration",
+        q_gini_concentration,
+        SQL_GINI_CONCENTRATION,
+        ("llm", "statistics", "quality", "monitoring"),
+    ),
     _assortativity_query(),
     Query(
         "eval_fleiss_kappa",

@@ -80,7 +80,9 @@ from .relational5 import SQL_JOIN_NULL_SAFE, q_join_null_safe
 from .relational14 import SQL_EVENT_INTERARRIVAL, q_event_interarrival
 from .relational16 import (
     SQL_EVAL_KRIPP_ALPHA_ORDINAL,
+    SQL_EVAL_QWK,
     q_eval_kripp_alpha_ordinal,
+    q_eval_qwk,
 )
 from .textstats import (
     SQL_LEN_LOGNORMAL_FIT,
@@ -134,6 +136,15 @@ QUERIES: list[Query] = [
         q_word_adaptation,
         SQL_WORD_ADAPTATION,
         ("llm", "text", "statistics", "quality"),
+    ),
+    # --- round-12 FIFTH wave (never-graded; gini_concentration —
+    # green r10 + r11 — demoted one-for-one to relational16's
+    # EXTRA) ---
+    Query(
+        "eval_qwk",
+        q_eval_qwk,
+        SQL_EVAL_QWK,
+        ("llm", "evaluation", "statistics", "quality"),
     ),
     # --- the round-12 promotion cohort (oldest driver rows first:
     # the r4 nine, then the first three of the r5 cohort) ---

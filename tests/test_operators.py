@@ -800,6 +800,7 @@ def test_extra_lane_doc_counts_match_registry():
         150: "a hundred and fifty",
         151: "a hundred and fifty-one",
         152: "a hundred and fifty-two",
+        153: "a hundred and fifty-three",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -964,21 +965,21 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 152
+    assert len(EXTRA) == 153
     assert len(BENCH_ONLY) == 7
-    # round-12 rotation: the six NEW round-12 operators grade
+    # round-12 rotation: the seven NEW round-12 operators grade
     # immediately after ingest_parity (never-graded-first; wave 2
     # added text_yule_k, wave 3 len_lognormal_fit, wave 4
-    # word_adaptation), followed by the twelve-lane promotion cohort
-    # — the MEASURED-oldest driver rows in the registry at the start
-    # of round 12 (nine r4-row lanes, three r5-row lanes), then the
-    # two r11-promotion veterans that keep their graded slots
-    # (relational17; join_broadcast and join_asof demoted in waves
-    # 2-3) and eval_mrr
-    assert list(REGISTRY)[1:22] == [
+    # word_adaptation, wave 5 eval_qwk), followed by the twelve-lane
+    # promotion cohort — the MEASURED-oldest driver rows in the
+    # registry at the start of round 12 (nine r4-row lanes, three
+    # r5-row lanes), then the two r11-promotion veterans that keep
+    # their graded slots (relational17; join_broadcast and join_asof
+    # demoted in waves 2-3) and eval_mrr
+    assert list(REGISTRY)[1:23] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
-        "word_adaptation",
+        "word_adaptation", "eval_qwk",
         "window_analytic", "subquery_scalar", "agg_percentile",
         "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
@@ -986,11 +987,11 @@ def test_lane_counts_match_docs():
         "join_inner", "join_range",
         "eval_mrr",
     ]
-    # gini_concentration stays graded (double-green);
-    # dedup_containment (also double-green) demoted in the round-12
-    # FOURTH wave for word_adaptation
-    assert list(REGISTRY)[22:24] == [
-        "gini_concentration", "mmr_rerank",
+    # dedup_containment and gini_concentration (both double-green)
+    # demoted in the round-12 FOURTH/FIFTH waves for word_adaptation
+    # and eval_qwk
+    assert list(REGISTRY)[23:25] == [
+        "mmr_rerank", "eval_auc",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -998,13 +999,13 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti", "window_rank",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # the eighteen round-12 demotees LEAD the EXTRA lane (the seven
+    # the nineteen round-12 demotees LEAD the EXTRA lane (the seven
     # r11 single-green first-timers first, then the eight
     # r11-refreshed veterans, the wave-2/3 join_broadcast /
-    # join_asof — relational17.EXTRA_QUERIES — and the wave-4
-    # dedup_containment leading relational16's), ahead of the
-    # r10/r9 demotee cohorts
-    assert list(EXTRA)[:37] == [
+    # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
+    # dedup_containment / gini_concentration leading
+    # relational16's), ahead of the r10/r9 demotee cohorts
+    assert list(EXTRA)[:38] == [
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -1018,7 +1019,7 @@ def test_lane_counts_match_docs():
         "eval_mrr_scale",
         "dedup_cluster_stats", "corr_spearman", "trend_linfit",
         "anova_oneway", "rank_mannwhitney",
-        "dedup_containment",
+        "dedup_containment", "gini_concentration",
         "graph_assortativity", "eval_fleiss_kappa",
         "quantile_weighted",
         "eval_cohen_kappa", "privacy_tcloseness",
@@ -8272,6 +8273,84 @@ def test_eval_kripp_alpha_ordinal_matches_textbook_recompute(spark, sf_dir):
         # round-half-away-from-zero, the engines' ROUND convention
         micro = int(math.copysign(
             math.floor(abs(alpha * 1e6) + 0.5), alpha))
+        assert lane[lang] == micro, lang
+
+
+def test_eval_qwk_planted_graded_pair(spark, tmp_path):
+    # three docs with hand-pinned (a, b) grades: (1,2), (2,2), (0,3)
+    # -> n=3, sa=3, sb=7, saa=5, sbb=17, o2 = 1 + 0 + 9 = 10;
+    # den = 3*5 - 2*3*7 + 3*17 = 24; qwk = (24 - 30)/24 = -0.25.
+    # The quadratic weighting is visible: nominally all three docs
+    # disagree-or-agree equally, but the (0,3) blown call carries
+    # 9x the adjacent miss. Plus the degenerate lang: both raters
+    # constant on the same grade -> den = 0 -> NULL.
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_qwk,
+    )
+
+    t60 = " ".join(f"u{i}" for i in range(60))       # b=2 (55<=60<80)
+    t85 = " ".join(f"w{i}" for i in range(85))       # b=3 (>=80)
+    t30 = " ".join(f"v{i}" for i in range(31))       # b=1 (30<=31<55)
+    rows = [
+        (1, t60, "x", "s", 260),   # a=1 (250<300), b=2
+        (2, t60, "x", "s", 350),   # a=2 (300<450), b=2
+        (3, t85, "x", "s", 100),   # a=0 (<150),    b=3
+        (4, t30, "z", "s", 200),   # a=1 (150<=200<300), b=1
+        (5, t30, "z", "s", 200),   # a=1, b=1
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.lang: r for r in q_eval_qwk(spark, str(tmp_path)).collect()}
+    x = out["x"]
+    assert (x.n_docs, x.sa, x.sb, x.saa, x.sbb, x.o2) == (3, 3, 7, 5, 17, 10)
+    assert x.qwk_micro == -250_000
+    z = out["z"]
+    assert z.o2 == 0 and z.qwk_micro is None
+
+
+def test_eval_qwk_matches_textbook_contingency(spark, sf_dir):
+    # independent full 4x4 contingency-table recompute (quadratic
+    # weights against the marginal-product chance model) on the real
+    # fixture — guards the sufficient-statistic collapse
+    # den = N*Saa - 2*Sa*Sb + N*Sbb against Cohen's 1968 definition.
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        _rater_char_grade,
+        _rater_words_grade,
+        q_eval_qwk,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.lang: r.qwk_micro for r in q_eval_qwk(spark, sf_dir).collect()}
+    graded = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        _rater_char_grade().alias("a"),
+        _rater_words_grade().alias("b"),
+    ).collect()
+    by_lang: dict = {}
+    for row in graded:
+        by_lang.setdefault(row.lang, []).append((row.a, row.b))
+    for lang, pairs in by_lang.items():
+        n = len(pairs)
+        obs = [[0] * 4 for _ in range(4)]
+        for a, b in pairs:
+            obs[a][b] += 1
+        rm = [sum(obs[i]) for i in range(4)]
+        cm = [sum(obs[i][j] for i in range(4)) for j in range(4)]
+        num = sum((i - j) ** 2 * obs[i][j]
+                  for i in range(4) for j in range(4))
+        den = sum((i - j) ** 2 * rm[i] * cm[j] / n
+                  for i in range(4) for j in range(4))
+        if den == 0:
+            assert lane[lang] is None
+            continue
+        qwk = 1.0 - num / den
+        micro = int(math.copysign(
+            math.floor(abs(qwk * 1e6) + 0.5), qwk))
         assert lane[lang] == micro, lang
 
 

@@ -1419,3 +1419,19 @@ def test_word_adaptation_is_topk_over_two_aggregates(spark):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert "Join" not in plan
+
+
+def test_eval_qwk_is_one_combinable_aggregate(spark):
+    # the sufficient-statistic collapse means one exchange, no
+    # window, no join, no broadcast — the agreement-family shape
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_qwk,
+    )
+
+    plan = plan_of(q_eval_qwk(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan
