@@ -621,3 +621,180 @@ def cdc_stateful(events: DataFrame, *, watermark: str = "10 minutes") -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interarrival_stateful — streaming twin of
+# operators.relational14.q_event_interarrival
+
+# Inter-arrival statistics are defined over the SORTED event times, so
+# the streaming twin buffers events inside the lateness horizon and
+# CLOSES them in ascending order once event time moves
+# IA_LATENESS_SECONDS past them (the alert twin's close discipline —
+# the closable set is always a prefix of the sorted pending times, so
+# the gap sequence the accumulators see is exactly the batch lane's
+# sorted order over the closed prefix). Σd² outgrows int64 (one
+# 30-day gap squared is ~6.7e24 µs²), so the state carries it as two
+# 62-bit limbs and the pandas function does the arithmetic in
+# Python's arbitrary-precision ints — exactly the decimal/HUGEINT
+# discipline of the batch lane, expressed in the state store.
+
+IA_LATENESS_SECONDS = 600
+_IA_LIMB = 62  # Σd² limb width: sq = hi·2⁶² + lo
+
+IA_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("n_gaps", LongType(), False),
+        StructField("gap_sum_us", LongType(), False),
+        StructField("mean_gap_us_micro", LongType(), True),
+        StructField("cv_micro", LongType(), True),
+        StructField("b_index_micro", LongType(), True),
+    ]
+)
+
+# state: pending (not-yet-closed) epoch-µs times, the last CLOSED
+# time (-1 = none yet), and the exact gap accumulators
+IA_STATE_SCHEMA = StructType(
+    [
+        StructField("pending", ArrayType(LongType()), True),
+        StructField("last_us", LongType(), True),
+        StructField("n_gaps", LongType(), True),
+        StructField("gap_sum", LongType(), True),
+        StructField("sq_hi", LongType(), True),
+        StructField("sq_lo", LongType(), True),
+    ]
+)
+
+
+def _ia_row(etype, n, total, sq) -> pd.DataFrame:
+    """One stats row from the exact accumulators — the batch lane's
+    pinned op sequence (one IEEE sqrt of the exact integer
+    V = n·Σd² − (Σd)², one micro division each, round half away from
+    zero), recomputed in Python doubles (== IEEE 754, same bits)."""
+    import math
+
+    def half_away(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    if n == 0:
+        mean = cv = b = None
+    else:
+        mean = half_away(1e6 * float(total) / n)
+        if total == 0:
+            cv = b = None
+        else:
+            v = n * sq - total * total
+            s = math.sqrt(float(v))
+            cv = half_away(1e6 * s / float(total))
+            b = half_away(1e6 * (s - float(total)) / (s + float(total)))
+    return pd.DataFrame(
+        {
+            "event_type": [etype],
+            "n_gaps": [n],
+            "gap_sum_us": [total],
+            "mean_gap_us_micro": [mean],
+            "cv_micro": [cv],
+            "b_index_micro": [b],
+        }
+    )
+
+
+def interarrival_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type inter-arrival accumulation: buffer arrivals,
+    close the sorted prefix that event time has moved
+    ``IA_LATENESS_SECONDS`` past, fold each closed time into the
+    exact (n, Σd, Σd²) accumulators, and emit the updated statistics
+    whenever the closed prefix advanced. The event-time timeout
+    flushes an idle key's whole buffer (final row = the batch lane
+    over everything seen)."""
+    (etype,) = key
+    late_us = IA_LATENESS_SECONDS * 1_000_000
+
+    def unpack():
+        pending, last, n, total, hi, lo = state.get
+        return list(pending), last, n, total, (hi << _IA_LIMB) | lo
+
+    def fold(pending, last, n, total, sq, cutoff):
+        pending.sort()
+        k = 0
+        for t in pending:
+            if cutoff is not None and t > cutoff:
+                break
+            if last >= 0:
+                d = t - last
+                n += 1
+                total += d
+                sq += d * d
+            last = t
+            k += 1
+        return pending[k:], last, n, total, sq, k
+
+    if state.hasTimedOut:
+        pending, last, n, total, sq = unpack()
+        state.remove()
+        _, _, n, total, sq, k = fold(pending, last, n, total, sq, None)
+        yield _ia_row(etype, n, total, sq)
+        return
+
+    if state.exists:
+        pending, last, n, total, sq = unpack()
+    else:
+        pending, last, n, total, sq = [], -1, 0, 0, 0
+
+    max_ts = last
+    for pdf in pdfs:
+        for ts in pdf["ts"]:
+            t = _us(ts)
+            pending.append(t)
+            max_ts = max(max_ts, t)
+
+    pending, last, n, total, sq, k = fold(
+        pending, last, n, total, sq, max_ts - late_us
+    )
+    if k:
+        yield _ia_row(etype, n, total, sq)
+
+    state.update(
+        (
+            pending,
+            last,
+            n,
+            total,
+            sq >> _IA_LIMB,
+            sq & ((1 << _IA_LIMB) - 1),
+        )
+    )
+    if pending:
+        state.setTimeoutTimestamp((max(pending) + late_us) // 1000)
+
+
+def interarrival_stateful(
+    events: DataFrame, *, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming inter-arrival CV / B-index over a *streaming* events
+    frame; ``events`` needs columns (event_type, ts). Emission is
+    monotone in ``n_gaps`` per type, so "the row with the largest
+    n_gaps" is the current statistics snapshot — the parity the
+    pytest pins against ``q_event_interarrival``.
+
+    Scale note: state per key is the exact accumulators plus ONLY
+    the events inside the lateness horizon (arrival rate × 600 s),
+    never the full history — the same bounded-state contract as the
+    alert twin's open buckets."""
+    from ..session import tune
+
+    tune(events.sparkSession)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            interarrival_fn,
+            outputStructType=IA_OUT_SCHEMA,
+            stateStructType=IA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -553,3 +553,154 @@ def test_stateful_cdc_matches_batch_snapshot(spark, tmp_path):
     }
     assert streamed == batch
     assert set(batch) == {1, 2}  # user 3 tombstoned in both worlds
+
+
+def test_stateful_interarrival_matches_batch_lane_on_closed_prefix(
+    spark, tmp_path
+):
+    # the streaming inter-arrival twin must fold to the batch
+    # operator exactly over the CLOSED prefix: with a sentinel event
+    # 2 h after the real traffic, everything but the sentinel closes
+    # (lateness 600 s), so the twin's last row per type must equal
+    # q_event_interarrival run over the closed events only — same
+    # exact accumulators, same pinned sqrt/division sequence. The
+    # planted shapes are the batch lane's: "spread" is clock-regular
+    # (B = -1 exactly), "burst" clumps 59 events into a minute.
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_event_interarrival,
+    )
+    from data_ingestion_s3_to_parquet_spark.streaming.stateful import (
+        interarrival_stateful,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    closed = [
+        *[
+            (i, base + dt.timedelta(seconds=60 * i), 1, "spread", 1.0)
+            for i in range(60)
+        ],
+        *[
+            (100 + i, base + dt.timedelta(seconds=i), 1, "burst", 1.0)
+            for i in range(59)
+        ],
+        (200, base + dt.timedelta(seconds=3598), 1, "burst", 1.0),
+    ]
+    sentinels = [
+        (900, base + dt.timedelta(hours=2), 1, "spread", 1.0),
+        (901, base + dt.timedelta(hours=2), 1, "burst", 1.0),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        closed + sentinels, EVENTS_STREAM_SCHEMA
+    ).repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    q = (
+        interarrival_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_ia")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM stateful_ia").collect()
+    got = {}
+    for r in rows:  # emission is monotone in n_gaps per type
+        if r.event_type not in got or r.n_gaps > got[r.event_type].n_gaps:
+            got[r.event_type] = r
+
+    batch_dir = str(tmp_path / "asdir")
+    spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in closed],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{batch_dir}/events.parquet")
+    batch = {r.event_type: r
+             for r in q_event_interarrival(spark, batch_dir).collect()}
+
+    assert set(got) == {"spread", "burst"}
+    for t in ("spread", "burst"):
+        g, b = got[t], batch[t]
+        assert (
+            g.n_gaps, g.gap_sum_us, g.mean_gap_us_micro,
+            g.cv_micro, g.b_index_micro,
+        ) == (
+            b.n_gaps, b.gap_sum_us, b.mean_gap_us_micro,
+            b.cv_micro, b.b_index_micro,
+        ), t
+    assert got["spread"].b_index_micro == -1_000_000
+
+
+def test_stateful_interarrival_state_roundtrips_across_batches(
+    spark, tmp_path
+):
+    # two files + maxFilesPerTrigger=1 -> two micro-batches, so the
+    # NONZERO accumulators (including the two-limb Σd² packing) must
+    # survive a state-store round trip, and the gap ACROSS the batch
+    # boundary must be counted exactly once. Batch 1: 10 events 1 s
+    # apart + a "pusher" at +3600 s, which closes the ten (9 gaps
+    # folded, Σd² > 0 persisted) while itself staying pending.
+    # Batch 2: 10 more events at +3700 s.. + a far sentinel, closing
+    # pusher and traffic -> n_gaps 19, gap_sum = 9*1s + 3591s +
+    # 100s + 9*1s.
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_event_interarrival,
+    )
+    from data_ingestion_s3_to_parquet_spark.streaming.stateful import (
+        interarrival_stateful,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    first = [
+        (i, base + dt.timedelta(seconds=i), 1, "t", 1.0) for i in range(10)
+    ] + [(50, base + dt.timedelta(seconds=3600), 1, "t", 1.0)]
+    second = [
+        (100 + i, base + dt.timedelta(seconds=3700 + i), 1, "t", 1.0)
+        for i in range(10)
+    ]
+    sentinel = [(900, base + dt.timedelta(hours=3), 1, "t", 1.0)]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(first, EVENTS_STREAM_SCHEMA).repartition(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame(
+        second + sentinel, EVENTS_STREAM_SCHEMA
+    ).repartition(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        interarrival_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_ia_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM stateful_ia_mb").collect()
+    assert len(rows) >= 2  # each batch closed something
+    last = max(rows, key=lambda r: r.n_gaps)
+
+    batch_dir = str(tmp_path / "asdir")
+    spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in first + second],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{batch_dir}/events.parquet")
+    b, = q_event_interarrival(spark, batch_dir).collect()
+
+    assert (last.n_gaps, last.gap_sum_us) == (
+        20, (9 + 3591 + 100 + 9) * 1_000_000
+    )
+    assert (
+        last.mean_gap_us_micro, last.cv_micro, last.b_index_micro
+    ) == (b.mean_gap_us_micro, b.cv_micro, b.b_index_micro)
