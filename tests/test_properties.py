@@ -4143,3 +4143,116 @@ def test_eval_fleiss_kappa_matches_python_on_any_corpus(
         for r in q_eval_fleiss_kappa(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# round-12 closed-form collapses: the engine lanes implement these
+# identities (bound to the engines by the textbook-recompute pytests
+# in test_operators.py); these properties bind the identities
+# themselves to the brute-force definitions on arbitrary inputs.
+
+_grades = st.integers(0, 3)
+
+
+@given(
+    pairs=st.lists(st.tuples(_grades, _grades), min_size=1, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_qwk_marginal_collapse_identity(pairs):
+    """N·Σa² − 2·Σa·Σb + N·Σb² == Σ_ij r_i·c_j·(i−j)² — the
+    sufficient-statistic collapse eval_qwk's expected term relies on
+    (Cohen 1968 quadratic weights against the marginal-product
+    chance model)."""
+    n = len(pairs)
+    sa = sum(a for a, _ in pairs)
+    sb = sum(b for _, b in pairs)
+    saa = sum(a * a for a, _ in pairs)
+    sbb = sum(b * b for _, b in pairs)
+    rm = [sum(1 for a, _ in pairs if a == i) for i in range(4)]
+    cm = [sum(1 for _, b in pairs if b == j) for j in range(4)]
+    brute = sum(
+        rm[i] * cm[j] * (i - j) ** 2 for i in range(4) for j in range(4)
+    )
+    assert n * saa - 2 * sa * sb + n * sbb == brute
+
+
+@given(
+    units=st.lists(
+        st.tuples(_grades, _grades, st.one_of(st.none(), _grades)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_kripp_ordinal_collapse_identities(units):
+    """Per-unit: Σ_{i≠j}(v_i−v_j)²/(m−1) == 2(2s2−s1²) [m=2] or
+    (3s2−s1²) [m=3]; globally: Σ_{c,k} n_c·n_k·(c−k)² == 2(n·S2−S1²)
+    — the two collapses eval_kripp_alpha_ordinal is built on."""
+    import itertools
+
+    vals = []
+    for a, b, c in units:
+        rs = [a, b] + ([] if c is None else [c])
+        m = len(rs)
+        s1, s2 = sum(rs), sum(v * v for v in rs)
+        brute = sum(
+            (p - q) ** 2 for p, q in itertools.permutations(rs, 2)
+        )
+        cleared = 2 * (2 * s2 - s1 * s1) if m == 2 else 3 * s2 - s1 * s1
+        assert brute == cleared * (m - 1)
+        vals.extend(rs)
+    n, S1, S2 = len(vals), sum(vals), sum(v * v for v in vals)
+    brute_e = sum((p - q) ** 2 for p in vals for q in vals)
+    assert brute_e == 2 * (n * S2 - S1 * S1)
+
+
+@given(
+    ts=st.lists(st.integers(0, 10**9), min_size=2, max_size=40),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=200, deadline=None)
+def test_interarrival_suffstats_match_sorted_gap_definition(ts, seed):
+    """V = n·Σd² − (Σd)² over consecutive sorted gaps equals n²·var
+    of the gap multiset; Σd telescopes to max−min; and any
+    permutation of the input (tie order included) yields the same
+    gap multiset — the invariances event_interarrival's window
+    formulation relies on."""
+    import random
+
+    s = sorted(ts)
+    gaps = [b - a for a, b in zip(s, s[1:])]
+    n, total = len(gaps), sum(gaps)
+    assert total == max(ts) - min(ts)  # telescoping
+    sq = sum(d * d for d in gaps)
+    v = n * sq - total * total
+    # population variance identity (integer-exact): V = n²·σ²
+    mean_num = total  # mean = total/n
+    var_num = sum((n * d - mean_num) ** 2 for d in gaps)  # n²·Σ(d−μ)²
+    assert n * v == var_num  # n·(nΣd²−(Σd)²) == n²Σ(d−μ)²·... cleared
+    rng = random.Random(seed)
+    shuffled = ts[:]
+    rng.shuffle(shuffled)
+    s2 = sorted(shuffled)
+    assert [b - a for a, b in zip(s2, s2[1:])] == gaps
+
+
+@given(
+    words=st.lists(st.integers(0, 5), min_size=2, max_size=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_simpson_rate_is_pair_probability(words):
+    """(S2 − N)/(N(N−1)) == P(two random distinct positions carry the
+    same word) by brute-force pair enumeration — text_yule_k's
+    unbiased repeat rate."""
+    from collections import Counter
+
+    n = len(words)
+    c = Counter(words)
+    s2 = sum(f * f for f in c.values())
+    same = sum(
+        1
+        for i in range(n)
+        for j in range(n)
+        if i != j and words[i] == words[j]
+    )
+    assert s2 - n == same  # ordered-pair identity
