@@ -264,13 +264,17 @@ separator) at position 7, demoting dedup_containment, and a fifth
 wave adds eval_qwk (quadratic-weighted Cohen's kappa over the
 ordinal rubric pair — the fixed-pair ordinal agreement metric,
 collapsed to six integer sums via den = N*Saa − 2*Sa*Sb + N*Sbb, no
-contingency-table pivot) at position 8, demoting gini_concentration.
-The EXTRA lane
-holds a hundred and fifty-three oracle-gated entries, every one with
+contingency-table pivot) at position 8, demoting gini_concentration,
+and a sixth wave adds text_mattr (moving-average type-token ratio,
+Covington & McFall 2010 — the sliding-window double sum collapsed to
+ONE closed-form interval expression per token over a (doc, word) lag
+window, never a sequential window walk) at position 9, demoting
+mmr_rerank. The EXTRA lane
+holds a hundred and fifty-four oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 153 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 154 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

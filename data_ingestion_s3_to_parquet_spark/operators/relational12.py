@@ -1331,15 +1331,10 @@ FROM (
 # doc_winnow / inverted_index / changepoint_cusum / winnow_overlap
 # demotes one-for-one (see relational10). Every oracle-gated operator
 # either has a prior green driver row or is graded now.
-QUERIES: list[Query] = [
-    Query(
-        "mmr_rerank",
-        q_mmr_rerank,
-        _sql_mmr_rerank(),
-        ("llm", "retrieval", "similarity", "iterative"),
-        bench=True,  # scoring + pairwise-overlap build + bounded greedy
-    ),
-]
+# mmr_rerank (multi-green r8-r11) demoted in the round-12 SIXTH wave
+# for the new text_mattr (relational18); it leads this module's
+# EXTRA lane, bench flag intact.
+QUERIES: list[Query] = []
 
 # Round 9 promoted the post-rotation quartet (ts_interpolate /
 # privacy_erase / feature_vector / skew_report) and graded it green;
@@ -1349,6 +1344,13 @@ QUERIES: list[Query] = [
 # round-3 relational-core veterans and the three new round-10
 # operators (relational14).
 EXTRA_QUERIES: list[Query] = [
+    Query(
+        "mmr_rerank",
+        q_mmr_rerank,
+        _sql_mmr_rerank(),
+        ("llm", "retrieval", "similarity", "iterative"),
+        bench=True,  # scoring + pairwise-overlap build + bounded greedy
+    ),
     Query(
         "drift_psi",
         q_drift_psi,

@@ -86,9 +86,11 @@ from .relational16 import (
 )
 from .textstats import (
     SQL_LEN_LOGNORMAL_FIT,
+    SQL_TEXT_MATTR,
     SQL_TEXT_YULE_K,
     SQL_WORD_ADAPTATION,
     q_len_lognormal_fit,
+    q_text_mattr,
     q_text_yule_k,
     q_word_adaptation,
 )
@@ -145,6 +147,15 @@ QUERIES: list[Query] = [
         q_eval_qwk,
         SQL_EVAL_QWK,
         ("llm", "evaluation", "statistics", "quality"),
+    ),
+    # --- round-12 SIXTH wave (never-graded; mmr_rerank — multi-green
+    # r8-r11 — demoted one-for-one to relational12's EXTRA, bench
+    # flag intact) ---
+    Query(
+        "text_mattr",
+        q_text_mattr,
+        SQL_TEXT_MATTR,
+        ("llm", "text", "statistics", "quality", "window"),
     ),
     # --- the round-12 promotion cohort (oldest driver rows first:
     # the r4 nine, then the first three of the r5 cohort) ---

@@ -2240,6 +2240,153 @@ LIMIT {ADAPT_TOP}
 """
 
 
+# --------------------------------------------------------------------
+# text_mattr
+# --------------------------------------------------------------------
+
+MATTR_WINDOW = 25  # tokens per sliding window
+
+# MATTR = Σ_windows distinct(w) / (n_windows · W), one pinned micro
+# division of exact integers; docs shorter than the window emit no
+# row (no full window exists — the dropped-not-NULL contract).
+_MATTR_EXPR = (
+    "CAST(ROUND((CAST(1000000 AS DOUBLE) * distinct_sum)"
+    " / (CAST(n_windows AS DOUBLE) * {w}), 0) AS BIGINT)"
+)
+
+
+def q_text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, Covington & McFall
+    2010) per document — the WINDOWED lexical-diversity statistic:
+    plain TTR drifts with document length (the reason
+    ``text_yule_k`` exists at corpus level), and MATTR removes the
+    drift by averaging TTR over every sliding ``MATTR_WINDOW``-token
+    window, making scores comparable across documents of different
+    lengths — the per-document diversity screen next to the
+    corpus-level K.
+
+    The distributed formulation is the contribution (the
+    ``heaps_fit`` discipline — never walk the windows sequentially):
+    a token at position p with previous same-word occurrence at
+    prev(p) (0 if none) is the FIRST occurrence of its word inside
+    the window starting at s iff max(p−W+1, prev+1) ≤ s ≤
+    min(p, n−W+1) — so its total contribution to
+    Σ_windows distinct(w) is the CLOSED-FORM interval length
+    max(0, min(p, n−W+1) − max(p−W+1, prev+1) + 1), and the whole
+    double sum collapses to one per-token expression over a single
+    (doc, word)-partitioned lag window. Σ_windows distinct(w) /
+    (n_windows · W) is then one pinned micro division of exact
+    integers.
+
+    Exactness: positions, prev, and the interval lengths are exact
+    int64 (distinct_sum ≤ n·W); one pinned division. Docs with
+    fewer than W tokens are dropped in BOTH engines (documented —
+    no full window exists; MATTR is undefined there by the paper's
+    definition).
+
+    Scale shape: explode bounded by document length, ONE lag window
+    partitioned by (doc_id, word) — high-cardinality keys, no
+    skew concentration — then one combinable per-doc aggregate. In
+    fact ONE exchange total (plan-pinned): every window and the
+    aggregate cluster on doc_id or a refinement of it, so the
+    single hash(doc_id) shuffle satisfies all of them and the rest
+    are in-partition sorts. Zero joins, zero broadcasts.
+    """
+    from ..functions.text import tokens
+
+    w = MATTR_WINDOW
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(tokens(F.lower(F.col("text")))).alias("p0", "w"),
+        )
+        .where(F.length("w") > 0)
+        # re-rank positions AFTER the empty-token filter so p is the
+        # 1-based index into the non-empty token sequence (split on
+        # runs of spaces leaves empties that must not occupy slots)
+        .withColumn(
+            "p",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("p0")
+            ).cast("long"),
+        )
+    )
+    lagw = Window.partitionBy("doc_id", "w").orderBy("p")
+    per_tok = toks.withColumn(
+        "prev", F.coalesce(F.lag("p").over(lagw), F.lit(0))
+    )
+    n_w = Window.partitionBy("doc_id")
+    per_tok = per_tok.withColumn("n", F.max("p").over(n_w)).where(
+        F.col("n") >= w
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("p"), F.col("n") - w + 1)
+        - F.greatest(F.col("p") - w + 1, F.col("prev") + 1)
+        + 1,
+    )
+    g = per_tok.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.sum(contrib).alias("distinct_sum"),
+    )
+    g = g.withColumn("n_windows", F.col("n_tokens") - w + 1)
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        "distinct_sum",
+        F.expr(_MATTR_EXPR.format(w=w)).alias("mattr_micro"),
+    )
+
+
+def _sql_text_mattr() -> str:
+    w = MATTR_WINDOW
+    return f"""
+WITH raw AS (
+  SELECT doc_id, w, p0
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS w,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS p0
+    FROM documents
+  )
+  WHERE length(w) > 0
+),
+toks AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS p
+  FROM raw
+),
+lagged AS (
+  SELECT doc_id, w, p,
+         COALESCE(lag(p) OVER (PARTITION BY doc_id, w ORDER BY p), 0)
+           AS prev,
+         MAX(p) OVER (PARTITION BY doc_id) AS n
+  FROM toks
+),
+per AS (
+  SELECT doc_id, n,
+         GREATEST(0, LEAST(p, n - {w} + 1)
+                     - GREATEST(p - {w} + 1, prev + 1) + 1) AS contrib
+  FROM lagged WHERE n >= {w}
+),
+g AS (
+  SELECT doc_id,
+         CAST(MAX(n) AS BIGINT) AS n_tokens,
+         CAST(MAX(n) - {w} + 1 AS BIGINT) AS n_windows,
+         CAST(SUM(contrib) AS BIGINT) AS distinct_sum
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_windows, distinct_sum,
+       {_MATTR_EXPR.format(w=w)} AS mattr_micro
+FROM g
+"""
+
+
+SQL_TEXT_MATTR = _sql_text_mattr()
+
+
 # All graded contributions from this module now register via
 # relational7 (the round-7 wave-2 promotion: vocab_coverage,
 # freq_items_topk, strip_markup, ngram_counts, url_canonicalize,

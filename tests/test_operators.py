@@ -801,6 +801,7 @@ def test_extra_lane_doc_counts_match_registry():
         151: "a hundred and fifty-one",
         152: "a hundred and fifty-two",
         153: "a hundred and fifty-three",
+        154: "a hundred and fifty-four",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -965,21 +966,22 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 153
+    assert len(EXTRA) == 154
     assert len(BENCH_ONLY) == 7
-    # round-12 rotation: the seven NEW round-12 operators grade
+    # round-12 rotation: the eight NEW round-12 operators grade
     # immediately after ingest_parity (never-graded-first; wave 2
     # added text_yule_k, wave 3 len_lognormal_fit, wave 4
-    # word_adaptation, wave 5 eval_qwk), followed by the twelve-lane
-    # promotion cohort — the MEASURED-oldest driver rows in the
-    # registry at the start of round 12 (nine r4-row lanes, three
-    # r5-row lanes), then the two r11-promotion veterans that keep
-    # their graded slots (relational17; join_broadcast and join_asof
-    # demoted in waves 2-3) and eval_mrr
-    assert list(REGISTRY)[1:23] == [
+    # word_adaptation, wave 5 eval_qwk, wave 6 text_mattr), followed
+    # by the twelve-lane promotion cohort — the MEASURED-oldest
+    # driver rows in the registry at the start of round 12 (nine
+    # r4-row lanes, three r5-row lanes), then the two r11-promotion
+    # veterans that keep their graded slots (relational17;
+    # join_broadcast and join_asof demoted in waves 2-3) and
+    # eval_mrr
+    assert list(REGISTRY)[1:24] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
-        "word_adaptation", "eval_qwk",
+        "word_adaptation", "eval_qwk", "text_mattr",
         "window_analytic", "subquery_scalar", "agg_percentile",
         "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
@@ -987,11 +989,11 @@ def test_lane_counts_match_docs():
         "join_inner", "join_range",
         "eval_mrr",
     ]
-    # dedup_containment and gini_concentration (both double-green)
-    # demoted in the round-12 FOURTH/FIFTH waves for word_adaptation
-    # and eval_qwk
+    # dedup_containment / gini_concentration (double-green) and
+    # mmr_rerank (multi-green) demoted in the round-12 FOURTH/FIFTH/
+    # SIXTH waves for word_adaptation, eval_qwk, and text_mattr
     assert list(REGISTRY)[23:25] == [
-        "mmr_rerank", "eval_auc",
+        "eval_mrr", "eval_auc",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -1035,8 +1037,7 @@ def test_lane_counts_match_docs():
         "dedup_passages_scale",  # r8: VERDICT r7 #7
     }
     # the multi-green veterans that stay graded
-    for k in ("mmr_rerank",
-              "stream_dedup",
+    for k in ("stream_dedup",
               "dedup_incremental", "eval_auc",
               "rank_bm25",
               "pipeline_fineweb", "dup_span_max"):
@@ -7837,6 +7838,43 @@ def test_word_adaptation_planted_burst(spark, tmp_path):
     a, b = out["a"], out["b"]
     assert (a.cf, a.df, a.df2, a.adaptation_micro) == (5, 3, 2, 666_667)
     assert (b.cf, b.df, b.df2, b.adaptation_micro) == (3, 3, 0, 0)
+
+
+def test_text_mattr_planted_windows(spark, tmp_path):
+    # W = 25. doc 1: exactly 25 distinct tokens -> 1 window, MATTR 1.
+    # doc 2: 26 x the same token -> 2 windows of distinct 1 -> 2/50.
+    # doc 3: 25 distinct + a repeat of the FIRST token appended ->
+    #   window 2 still has 25 distinct (t0 left, t0 re-entered) -> 1.
+    # doc 4: 25 distinct + a repeat of the SECOND token appended ->
+    #   window 2 has 24 distinct (t1 still inside) -> 49/50.
+    # doc 5: 24 tokens -> no full window -> dropped from the output.
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_text_mattr,
+    )
+
+    d25 = " ".join(f"t{i}" for i in range(25))
+    rows = [
+        (1, d25, "en", "s", 1),
+        (2, " ".join(["x"] * 26), "en", "s", 1),
+        (3, d25 + " t0", "en", "s", 1),
+        (4, d25 + " t1", "en", "s", 1),
+        (5, " ".join(f"u{i}" for i in range(24)), "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.doc_id: r for r in q_text_mattr(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].n_windows, out[1].distinct_sum,
+            out[1].mattr_micro) == (1, 25, 1_000_000)
+    assert (out[2].n_windows, out[2].distinct_sum,
+            out[2].mattr_micro) == (2, 2, 40_000)
+    assert (out[3].n_windows, out[3].distinct_sum,
+            out[3].mattr_micro) == (2, 50, 1_000_000)
+    assert (out[4].n_windows, out[4].distinct_sum,
+            out[4].mattr_micro) == (2, 49, 980_000)
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

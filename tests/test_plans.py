@@ -1435,3 +1435,20 @@ def test_eval_qwk_is_one_combinable_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert "Join" not in plan
+
+
+def test_text_mattr_pays_exactly_one_shuffle(spark):
+    # every window (position rank, per-word lag, doc max) and the
+    # final aggregate cluster on doc_id or a refinement of it, so
+    # ONE hash(doc_id) exchange must satisfy them all — a second
+    # exchange means a window stopped riding the doc partitioning
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_text_mattr,
+    )
+
+    plan = plan_of(q_text_mattr(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan

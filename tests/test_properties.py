@@ -4256,3 +4256,26 @@ def test_simpson_rate_is_pair_probability(words):
         if i != j and words[i] == words[j]
     )
     assert s2 - n == same  # ordered-pair identity
+
+
+@given(
+    toks=st.lists(st.integers(0, 4), min_size=2, max_size=40),
+    w=st.integers(2, 6),
+)
+@settings(max_examples=200, deadline=None)
+def test_mattr_interval_identity(toks, w):
+    """Σ_p max(0, min(p, n−W+1) − max(p−W+1, prev+1) + 1) ==
+    Σ_windows |distinct(window)| — the closed-form interval trick
+    text_mattr's single lag window relies on (each token counted in
+    exactly the windows where it is first-in-window)."""
+    n = len(toks)
+    if n < w:
+        return
+    brute = sum(len(set(toks[s:s + w])) for s in range(n - w + 1))
+    prev: dict = {}
+    total = 0
+    for p1, t in enumerate(toks, start=1):
+        pr = prev.get(t, 0)
+        total += max(0, min(p1, n - w + 1) - max(p1 - w + 1, pr + 1) + 1)
+        prev[t] = p1
+    assert total == brute
