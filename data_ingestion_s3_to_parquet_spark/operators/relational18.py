@@ -23,6 +23,13 @@
 All three are never-graded, so they register FIRST (the
 never-graded-first rule); definitions live with their families, the
 registration lives here — the relational7/relational17 pattern.
+Five more round-12 waves followed, each never-graded-first with a
+multi-green one-for-one demotion (see the inline wave comments):
+wave 2 ``text_yule_k`` (Yule's K + Simpson repeat rate), wave 3
+``len_lognormal_fit`` (doc-length shape check), wave 4
+``word_adaptation`` (Church–Gale per-word burstiness), wave 5
+``eval_qwk`` (quadratic-weighted kappa), wave 6 ``text_mattr``
+(moving-average TTR via the closed-form window collapse).
 
 After them: the round-12 grade-freshness rotation (VERDICT r11 #1).
 The promotion set is the twelve lanes whose driver rows were
