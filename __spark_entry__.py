@@ -269,12 +269,16 @@ and a sixth wave adds text_mattr (moving-average type-token ratio,
 Covington & McFall 2010 — the sliding-window double sum collapsed to
 ONE closed-form interval expression per token over a (doc, word) lag
 window, never a sequential window walk) at position 9, demoting
-mmr_rerank. The EXTRA lane
-holds a hundred and fifty-four oracle-gated entries, every one with
+mmr_rerank, and a seventh wave adds bootstrap_ci_mean (the
+deterministic one-pass Poisson bootstrap CI — per-row Poisson(1)
+weights from an md5-derived CDF ladder, so the resampling is
+layout-free and engine-identical; type-1 rank-selected percentile
+bounds) at position 10, demoting eval_auc. The EXTRA lane
+holds a hundred and fifty-five oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 154 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 155 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

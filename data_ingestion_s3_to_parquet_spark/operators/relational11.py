@@ -779,25 +779,22 @@ SELECT n_pos, n_neg, u2, {_AUC_MICRO_EXPR} AS auc_micro FROM agg
 # (new entries grade first under a larger budget or the next swap).
 # --------------------------------------------------------------------
 
-QUERIES = [
-    # round-8 final rotation survivors; jsonl_interop (double-green
-    # r8+r9) demoted in the round-10 seventh-wave rotation for
-    # dedup_containment
-    # lm_bigram_score (double-green r8+r9) demoted in the round-10
-    # seventh-wave rotation for relational16's quantile_weighted
-    Query(
-        "eval_auc",
-        q_eval_auc,
-        _sql_eval_auc(),
-        ("llm", "evaluation", "statistics"),
-    ),
-]
+# eval_auc (multi-green r8-r11) demoted in the round-12 SEVENTH wave
+# for the new bootstrap_ci_mean (relational18); it leads this
+# module's EXTRA lane.
+QUERIES = []
 
 # Round-10 third wave demoted the double-green r8+r9 orc_interop /
 # acf_lags / ccnet_buckets here, trading their graded slots for the
 # new bpe_fertility / compaction_plan / privacy_ldiv (relational14);
 # all keep their oracles, bench flags, and local-sweep coverage.
 EXTRA_QUERIES: list[Query] = [
+    Query(
+        "eval_auc",
+        q_eval_auc,
+        _sql_eval_auc(),
+        ("llm", "evaluation", "statistics"),
+    ),
     Query(
         "lm_bigram_score",
         q_lm_bigram_score,

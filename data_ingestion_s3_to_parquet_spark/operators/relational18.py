@@ -84,6 +84,7 @@ from .relational3 import (
     q_udaf_grouped,
 )
 from .relational5 import SQL_JOIN_NULL_SAFE, q_join_null_safe
+from .trainprep import SQL_BOOTSTRAP_CI_MEAN, q_bootstrap_ci_mean
 from .relational14 import SQL_EVENT_INTERARRIVAL, q_event_interarrival
 from .relational16 import (
     SQL_EVAL_KRIPP_ALPHA_ORDINAL,
@@ -163,6 +164,14 @@ QUERIES: list[Query] = [
         q_text_mattr,
         SQL_TEXT_MATTR,
         ("llm", "text", "statistics", "quality", "window"),
+    ),
+    # --- round-12 SEVENTH wave (never-graded; eval_auc — multi-green
+    # r8-r11 — demoted one-for-one to relational11's EXTRA) ---
+    Query(
+        "bootstrap_ci_mean",
+        q_bootstrap_ci_mean,
+        SQL_BOOTSTRAP_CI_MEAN,
+        ("relational", "statistics", "sampling", "evaluation"),
     ),
     # --- the round-12 promotion cohort (oldest driver rows first:
     # the r4 nine, then the first three of the r5 cohort) ---

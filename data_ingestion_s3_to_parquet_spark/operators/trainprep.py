@@ -1549,6 +1549,165 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------
+# bootstrap_ci_mean
+# --------------------------------------------------------------------
+
+BOOT_B = 40  # bootstrap replicates
+
+# Poisson(1) inverse CDF as a ladder of 8-hex-digit thresholds
+# (floor(CDF·2³²) of k = 0..7; mass beyond 7 is ~1.02e-8 and maps to
+# w = 8): u is the md5 hex prefix of (key, replicate), and fixed-width
+# lowercase-hex string comparison IS unsigned numeric comparison, so
+# the ladder is pure string CASEs — bitwise identical cross-engine
+# (the sample_split md5 trick extended from one threshold to a CDF).
+_POIS_CUM = (
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c",
+)
+
+
+def _pois_w_expr(u_col: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_col} < '{t}' THEN {k}" for k, t in enumerate(_POIS_CUM)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+# type-1 quantile ranks of the replicate distribution (the declared
+# convention): lo = ceil(0.025·B), hi = ceil(0.975·B)
+BOOT_LO_RANK = -(-25 * BOOT_B // 1000)
+BOOT_HI_RANK = -(-975 * BOOT_B // 1000)
+
+_BOOT_MEAN_EXPR = (
+    "CASE WHEN sw = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST(ROUND((CAST(10000 AS DOUBLE) * CAST(swc AS DOUBLE))"
+    " / CAST(sw AS DOUBLE), 0) AS BIGINT) END"
+)
+
+
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic one-pass Poisson bootstrap CI for the mean order
+    price per order status — the uncertainty quantification a
+    threshold-tuning pipeline needs next to the point estimates every
+    aggregate lane reports: a mean without a CI cannot say whether
+    two slices differ. The classical resample-n-rows bootstrap cannot
+    run on a cluster (n draws WITH replacement need global
+    coordination); the POISSON bootstrap (Chamandy, Muralidharan &
+    Wager, "Estimating Uncertainty for Massive Data Streams",
+    Google 2012) replaces each replicate's multinomial with
+    independent per-row Poisson(1) weights — one pass, map-side
+    combinable, and embarrassingly parallel in (group, replicate).
+
+    Determinism is the engineering contribution (the ``sample_split``
+    rule extended): the replicate-b weight of a row is the Poisson(1)
+    inverse CDF evaluated at u = md5(key:b) — a pure per-row
+    function of the stable key, so the CI is identical across runs,
+    cluster sizes, row orders, AND engines (md5 is standardized; the
+    CDF ladder compares fixed-width lowercase hex strings, which
+    orders exactly like the underlying 32-bit integer). No ``rand()``
+    anywhere — a seeded ``rand()`` bootstrap is partition-layout-
+    dependent and could never be oracle-checked.
+
+    Exactness: prices quantize to exact int64 cents BEFORE weighting
+    (the bal-band rule); per-(status, b) Σw·cents runs decimal ↔
+    HUGEINT; each replicate mean is ONE pinned micro division
+    (micro-dollars); the CI bounds are TYPE-1 QUANTILES of the ≤ B
+    quantized replicate means — rank selection over a bounded
+    window, ties broken by replicate id, so the bounds are picked,
+    never interpolated. An empty replicate (Σw = 0, probability
+    e^(−n) — unreachable at fixture sizes, guarded anyway) is NULL
+    and excluded from the ranking; ``n_replicates`` reports the
+    effective count.
+
+    Scale shape: one explode ×B (the Poisson bootstrap's documented
+    cost — at 100 TB this is B map-side-combined counters per group,
+    shuffle volume |groups|·B regardless of input), one combinable
+    (status, b) aggregate, then a ≤ B-row per-group window for the
+    rank selection. Zero joins, zero broadcasts.
+    """
+    b_lit = ", ".join(f"({b})" for b in range(BOOT_B))
+    reps = spark.sql(f"SELECT * FROM VALUES {b_lit} AS t(b)")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    dec = "decimal(38,0)"
+    rows = o.crossJoin(F.broadcast(reps)).withColumn(
+        "u",
+        F.expr(
+            "substring(md5(concat(CAST(o_orderkey AS STRING), ':',"
+            " CAST(b AS STRING))), 1, 8)"
+        ),
+    ).withColumn("w", F.expr(_pois_w_expr("u")).cast("long"))
+    g = rows.groupBy("status", "b").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w").cast(dec) * F.col("cents")).cast(dec).alias("swc"),
+    )
+    g = g.withColumn("mean_micro", F.expr(_BOOT_MEAN_EXPR)).where(
+        F.col("mean_micro").isNotNull()
+    )
+    win = Window.partitionBy("status").orderBy("mean_micro", "b")
+    ranked = g.withColumn("rn", F.row_number().over(win))
+    return ranked.groupBy("status").agg(
+        F.count("*").alias("n_replicates"),
+        F.max(
+            F.when(F.col("rn") == BOOT_LO_RANK, F.col("mean_micro"))
+        ).alias("ci_lo_micro"),
+        F.max(
+            F.when(F.col("rn") == BOOT_HI_RANK, F.col("mean_micro"))
+        ).alias("ci_hi_micro"),
+    )
+
+
+def _sql_bootstrap_ci_mean() -> str:
+    b_lit = ", ".join(f"({b})" for b in range(BOOT_B))
+    return f"""
+WITH reps AS (SELECT * FROM (VALUES {b_lit}) AS t(b)),
+o AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+rows_w AS (
+  SELECT status, b, cents,
+         {_pois_w_expr(
+             "substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+             " CAST(b AS VARCHAR)), 1, 8)"
+         )} AS w
+  FROM o CROSS JOIN reps
+),
+g AS (
+  SELECT status, b,
+         CAST(SUM(w) AS BIGINT) AS sw,
+         SUM(CAST(w AS HUGEINT) * cents) AS swc
+  FROM rows_w GROUP BY status, b
+),
+m AS (
+  SELECT status, b, {_BOOT_MEAN_EXPR} AS mean_micro FROM g
+),
+r AS (
+  SELECT status, b, mean_micro,
+         row_number() OVER (PARTITION BY status
+                            ORDER BY mean_micro, b) AS rn
+  FROM m WHERE mean_micro IS NOT NULL
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN mean_micro END)
+         AS ci_lo_micro,
+       MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN mean_micro END)
+         AS ci_hi_micro
+FROM r GROUP BY status
+"""
+
+
+SQL_BOOTSTRAP_CI_MEAN = _sql_bootstrap_ci_mean()
+
+
 QUERIES = [
     # NEW in round 8: graded immediately (retention_cohort and
     # corpus_report, green r6+r7, demoted from relational9 in

@@ -802,6 +802,7 @@ def test_extra_lane_doc_counts_match_registry():
         152: "a hundred and fifty-two",
         153: "a hundred and fifty-three",
         154: "a hundred and fifty-four",
+        155: "a hundred and fifty-five",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -966,22 +967,24 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 154
+    assert len(EXTRA) == 155
     assert len(BENCH_ONLY) == 7
-    # round-12 rotation: the eight NEW round-12 operators grade
+    # round-12 rotation: the nine NEW round-12 operators grade
     # immediately after ingest_parity (never-graded-first; wave 2
     # added text_yule_k, wave 3 len_lognormal_fit, wave 4
-    # word_adaptation, wave 5 eval_qwk, wave 6 text_mattr), followed
+    # word_adaptation, wave 5 eval_qwk, wave 6 text_mattr, wave 7
+    # bootstrap_ci_mean), followed
     # by the twelve-lane promotion cohort — the MEASURED-oldest
     # driver rows in the registry at the start of round 12 (nine
     # r4-row lanes, three r5-row lanes), then the two r11-promotion
     # veterans that keep their graded slots (relational17;
     # join_broadcast and join_asof demoted in waves 2-3) and
     # eval_mrr
-    assert list(REGISTRY)[1:24] == [
+    assert list(REGISTRY)[1:25] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
+        "bootstrap_ci_mean",
         "window_analytic", "subquery_scalar", "agg_percentile",
         "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
@@ -990,10 +993,11 @@ def test_lane_counts_match_docs():
         "eval_mrr",
     ]
     # dedup_containment / gini_concentration (double-green) and
-    # mmr_rerank (multi-green) demoted in the round-12 FOURTH/FIFTH/
-    # SIXTH waves for word_adaptation, eval_qwk, and text_mattr
-    assert list(REGISTRY)[23:25] == [
-        "eval_mrr", "eval_auc",
+    # mmr_rerank / eval_auc (multi-green) demoted in the round-12
+    # FOURTH-SEVENTH waves for word_adaptation, eval_qwk, text_mattr,
+    # and bootstrap_ci_mean
+    assert list(REGISTRY)[24:26] == [
+        "eval_mrr", "rank_bm25",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -1038,7 +1042,7 @@ def test_lane_counts_match_docs():
     }
     # the multi-green veterans that stay graded
     for k in ("stream_dedup",
-              "dedup_incremental", "eval_auc",
+              "dedup_incremental",
               "rank_bm25",
               "pipeline_fineweb", "dup_span_max"):
         assert k in REGISTRY, k
@@ -7875,6 +7879,94 @@ def test_text_mattr_planted_windows(spark, tmp_path):
             out[3].mattr_micro) == (2, 50, 1_000_000)
     assert (out[4].n_windows, out[4].distinct_sum,
             out[4].mattr_micro) == (2, 49, 980_000)
+
+
+def test_bootstrap_ci_mean_matches_python_recompute(spark, sf_dir):
+    # full deterministic recompute: md5-derived Poisson(1) weights per
+    # (order, replicate), weighted replicate means, type-1 rank
+    # selection — the lane must match hashlib + pure Python exactly,
+    # and the plain mean must sit inside its own CI.
+    import hashlib
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _POIS_CUM,
+        q_bootstrap_ci_mean,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.status: r for r in q_bootstrap_ci_mean(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+
+    def half_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    by: dict = {}
+    for r in orders:
+        cents = half_away(r.o_totalprice * 100)
+        by.setdefault(r.o_orderstatus, []).append((r.o_orderkey, cents))
+    for status, rows in by.items():
+        means = []
+        for b in range(BOOT_B):
+            sw = swc = 0
+            for key, cents in rows:
+                u = hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:8]
+                w = next(
+                    (k for k, t in enumerate(_POIS_CUM) if u < t), 8
+                )
+                sw += w
+                swc += w * cents
+            if sw:
+                means.append((half_away(1e4 * swc / sw), b))
+        means.sort()
+        assert lane[status].n_replicates == len(means)
+        assert lane[status].ci_lo_micro == means[BOOT_LO_RANK - 1][0]
+        assert lane[status].ci_hi_micro == means[BOOT_HI_RANK - 1][0]
+        # the CI must bracket the plain (unweighted) mean
+        plain = half_away(
+            1e4 * sum(c for _, c in rows) / len(rows)
+        )
+        assert lane[status].ci_lo_micro <= plain <= lane[status].ci_hi_micro
+
+
+def test_bootstrap_ci_deterministic_and_layout_free(spark, tmp_path):
+    # the same five orders written in two different row orders and
+    # partitionings must produce the IDENTICAL CI rows — no rand(),
+    # no layout dependence (the sample_split guarantee, extended to
+    # the whole resampling procedure).
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_bootstrap_ci_mean,
+    )
+
+    rows = [
+        (1, 1, "O", "100.00"), (2, 1, "O", "200.00"),
+        (3, 1, "O", "300.00"), (4, 1, "O", "150.00"),
+        (5, 1, "O", "250.00"),
+    ]
+
+    def write(order, parts, d):
+        spark.createDataFrame(
+            [rows[i] for i in order],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice_s string",
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "CAST(o_totalprice_s AS DOUBLE) AS o_totalprice",
+        ).repartition(parts).write.parquet(f"{d}/orders.parquet")
+
+    write([0, 1, 2, 3, 4], 1, f"{tmp_path}/a")
+    write([4, 2, 0, 3, 1], 3, f"{tmp_path}/b")
+    a = sorted(map(tuple, q_bootstrap_ci_mean(spark, f"{tmp_path}/a").collect()))
+    b = sorted(map(tuple, q_bootstrap_ci_mean(spark, f"{tmp_path}/b").collect()))
+    assert a == b and len(a) == 1
+    # CI inside the data range, around the true mean 200
+    _, n_rep, lo, hi = a[0]
+    assert n_rep == 40 and 100 * 10**6 <= lo <= hi <= 300 * 10**6
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

@@ -1452,3 +1452,20 @@ def test_text_mattr_pays_exactly_one_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert "Join" not in plan
+
+
+def test_bootstrap_ci_mean_broadcasts_only_the_replicate_table(spark):
+    # the x40 explode must come from broadcasting the 40-row replicate
+    # frame (never shuffling orders against it); then one combinable
+    # (status, b) aggregate and the bounded rank window — two
+    # exchanges, one broadcast, no sort-merge/shuffle-hash joins
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_bootstrap_ci_mean,
+    )
+
+    plan = plan_of(q_bootstrap_ci_mean(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
