@@ -273,12 +273,17 @@ mmr_rerank, and a seventh wave adds bootstrap_ci_mean (the
 deterministic one-pass Poisson bootstrap CI — per-row Poisson(1)
 weights from an md5-derived CDF ladder, so the resampling is
 layout-free and engine-identical; type-1 rank-selected percentile
-bounds) at position 10, demoting eval_auc. The EXTRA lane
-holds a hundred and fifty-five oracle-gated entries, every one with
+bounds) at position 10, demoting eval_auc, and an eighth wave adds
+event_interarrival_scale (the per-(type, day) SEGMENTED formulation
+of the inter-arrival lane — the documented skew seam built: segment
+sort windows + a bounded boundary stitch, row-identical to the base
+lane by construction and graded against the SAME oracle) at
+position 11, demoting rank_bm25. The EXTRA lane
+holds a hundred and fifty-six oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 155 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 156 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

@@ -825,23 +825,21 @@ FROM summed
 # double-green r7+r8) demoted to EXTRA_QUERIES in round 9, traded
 # one-for-one for relational12's post-rotation quartet
 # (ts_interpolate / privacy_erase / feature_vector / skew_report).
-QUERIES = [
+# rank_bm25 (multi-green r8-r11) demoted in the round-12 EIGHTH wave
+# for the new event_interarrival_scale (relational18); it leads this
+# module's EXTRA lane. ewma_smooth (double-green r8+r9) demoted in
+# the round-10 sixth-wave rotation; rank_fusion_rrf (double-green
+# r8+r9) in the round-10 eighth wave; retrieval stays graded through
+# eval_mrr.
+QUERIES: list[Query] = []
+
+EXTRA_QUERIES: list[Query] = [
     Query(
         "rank_bm25",
         q_rank_bm25,
         SQL_RANK_BM25,
         ("llm", "text", "retrieval", "ranking"),
     ),
-    # ewma_smooth (double-green r8+r9) demoted in the round-10
-    # sixth-wave rotation for relational15's rank_mannwhitney; the
-    # timeseries family stays graded through alert_rate_spike /
-    # rolling_quantile / trend_linfit. rank_fusion_rrf (double-green
-    # r8+r9) demoted in the eighth-wave rotation for relational16's
-    # eval_cohen_kappa; retrieval stays graded through rank_bm25 /
-    # eval_mrr / mmr_rerank.
-]
-
-EXTRA_QUERIES: list[Query] = [
     Query(
         "ewma_smooth",
         q_ewma_smooth,

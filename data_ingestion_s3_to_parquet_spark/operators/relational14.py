@@ -1203,6 +1203,91 @@ FROM v
 
 
 # --------------------------------------------------------------------
+# event_interarrival_scale
+# --------------------------------------------------------------------
+
+
+def q_event_interarrival_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEGMENTED formulation of ``q_event_interarrival`` — the
+    100 TB twin that implements the skew seam the base lane
+    documents: a single dominant event type turns the per-type sort
+    window into one giant partition, so this twin sorts per
+    (type, DAY) segment instead and stitches the day-boundary gaps
+    back from a bounded per-segment summary. Output is
+    ROW-IDENTICAL to the base lane by construction (pinned pytest;
+    the two share ONE oracle, the ``eval_mrr_scale`` pattern): the
+    global sorted sequence's consecutive pairs partition exactly
+    into within-segment consecutive pairs plus one boundary pair per
+    adjacent segment (segments are time-ordered and ties at a day
+    boundary sort into the later segment, so ordering is preserved),
+    and every statistic here is a symmetric function of that gap
+    multiset.
+
+    Plan: the lag window partitions by (type, day) — segment size is
+    bounded by a DAY of one type's arrivals instead of its whole
+    history — then one combinable (type, day) aggregate carrying the
+    segment's exact (n, Σd, Σd², min_t, max_t), then the boundary
+    stitch: a lag over the per-(type, day) summary (BOUNDED: |types|
+    × |days| rows — the time domain, not the corpus) and one final
+    |types|-group aggregate. Same one-pinned-division micro
+    expressions as the base lane.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("t")
+    gaps = ev.withColumn("d", F.col("t") - F.lag("t").over(w))
+    from ..functions.numeric import exact_product_sum
+
+    dec = "decimal(38,0)"
+    seg = gaps.groupBy("event_type", "day").agg(
+        F.sum((F.col("d").isNotNull()).cast("long")).alias("n_seg"),
+        F.coalesce(F.sum("d"), F.lit(0)).alias("sum_seg"),
+        F.coalesce(
+            exact_product_sum(F.col("d"), F.col("d")), F.lit(0).cast(dec)
+        ).cast(dec).alias("sq_seg"),
+        F.min("t").alias("min_t"),
+        F.max("t").alias("max_t"),
+    )
+    bw = Window.partitionBy("event_type").orderBy("day")
+    stitched = seg.withColumn(
+        "bgap", F.col("min_t") - F.lag("max_t").over(bw)
+    )
+    g = stitched.groupBy("event_type").agg(
+        (
+            F.sum("n_seg") + F.sum((F.col("bgap").isNotNull()).cast("long"))
+        ).alias("n_gaps"),
+        (F.sum("sum_seg") + F.coalesce(F.sum("bgap"), F.lit(0))).alias(
+            "gap_sum_us"
+        ),
+        (
+            F.sum("sq_seg")
+            + F.coalesce(
+                exact_product_sum(F.col("bgap"), F.col("bgap")),
+                F.lit(0).cast(dec),
+            )
+        ).cast(dec).alias("gap_sq"),
+    )
+    g = g.where(F.col("n_gaps") > 0).withColumn(
+        "v_num",
+        (
+            F.col("n_gaps").cast(dec) * F.col("gap_sq")
+            - F.col("gap_sum_us").cast(dec) * F.col("gap_sum_us").cast(dec)
+        ).cast(dec),
+    )
+    return g.select(
+        "event_type",
+        "n_gaps",
+        "gap_sum_us",
+        F.expr(_GAP_MEAN_EXPR).alias("mean_gap_us_micro"),
+        F.expr(_GAP_CV_EXPR).alias("cv_micro"),
+        F.expr(_B_INDEX_EXPR).alias("b_index_micro"),
+    )
+
+
+# --------------------------------------------------------------------
 # bpe_fertility
 # --------------------------------------------------------------------
 

@@ -85,7 +85,11 @@ from .relational3 import (
 )
 from .relational5 import SQL_JOIN_NULL_SAFE, q_join_null_safe
 from .trainprep import SQL_BOOTSTRAP_CI_MEAN, q_bootstrap_ci_mean
-from .relational14 import SQL_EVENT_INTERARRIVAL, q_event_interarrival
+from .relational14 import (
+    SQL_EVENT_INTERARRIVAL,
+    q_event_interarrival,
+    q_event_interarrival_scale,
+)
 from .relational16 import (
     SQL_EVAL_KRIPP_ALPHA_ORDINAL,
     SQL_EVAL_QWK,
@@ -172,6 +176,16 @@ QUERIES: list[Query] = [
         q_bootstrap_ci_mean,
         SQL_BOOTSTRAP_CI_MEAN,
         ("relational", "statistics", "sampling", "evaluation"),
+    ),
+    # --- round-12 EIGHTH wave (never-graded; rank_bm25 — multi-green
+    # r8-r11 — demoted one-for-one to relational10's EXTRA). The
+    # segmented 100 TB twin shares the base lane's oracle — the two
+    # formulations are row-identical by construction (pinned) ---
+    Query(
+        "event_interarrival_scale",
+        q_event_interarrival_scale,
+        SQL_EVENT_INTERARRIVAL,
+        ("relational", "timeseries", "monitoring", "statistics"),
     ),
     # --- the round-12 promotion cohort (oldest driver rows first:
     # the r4 nine, then the first three of the r5 cohort) ---

@@ -803,6 +803,7 @@ def test_extra_lane_doc_counts_match_registry():
         153: "a hundred and fifty-three",
         154: "a hundred and fifty-four",
         155: "a hundred and fifty-five",
+        156: "a hundred and fifty-six",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -967,24 +968,25 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 155
+    assert len(EXTRA) == 156
     assert len(BENCH_ONLY) == 7
-    # round-12 rotation: the nine NEW round-12 operators grade
+    # round-12 rotation: the ten NEW round-12 operators grade
     # immediately after ingest_parity (never-graded-first; wave 2
     # added text_yule_k, wave 3 len_lognormal_fit, wave 4
     # word_adaptation, wave 5 eval_qwk, wave 6 text_mattr, wave 7
-    # bootstrap_ci_mean), followed
+    # bootstrap_ci_mean, wave 8 event_interarrival_scale — the
+    # segmented 100 TB twin sharing the base lane's oracle), followed
     # by the twelve-lane promotion cohort — the MEASURED-oldest
     # driver rows in the registry at the start of round 12 (nine
     # r4-row lanes, three r5-row lanes), then the two r11-promotion
     # veterans that keep their graded slots (relational17;
     # join_broadcast and join_asof demoted in waves 2-3) and
     # eval_mrr
-    assert list(REGISTRY)[1:25] == [
+    assert list(REGISTRY)[1:26] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
-        "bootstrap_ci_mean",
+        "bootstrap_ci_mean", "event_interarrival_scale",
         "window_analytic", "subquery_scalar", "agg_percentile",
         "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
@@ -993,11 +995,11 @@ def test_lane_counts_match_docs():
         "eval_mrr",
     ]
     # dedup_containment / gini_concentration (double-green) and
-    # mmr_rerank / eval_auc (multi-green) demoted in the round-12
-    # FOURTH-SEVENTH waves for word_adaptation, eval_qwk, text_mattr,
-    # and bootstrap_ci_mean
-    assert list(REGISTRY)[24:26] == [
-        "eval_mrr", "rank_bm25",
+    # mmr_rerank / eval_auc / rank_bm25 (multi-green) demoted in the
+    # round-12 FOURTH-EIGHTH waves for word_adaptation, eval_qwk,
+    # text_mattr, bootstrap_ci_mean, and event_interarrival_scale
+    assert list(REGISTRY)[25:27] == [
+        "eval_mrr", "dedup_passages",
     ]
     assert list(REGISTRY)[-12:] == [
         "scan_parquet", "project_filter", "filter_compound",
@@ -1043,7 +1045,6 @@ def test_lane_counts_match_docs():
     # the multi-green veterans that stay graded
     for k in ("stream_dedup",
               "dedup_incremental",
-              "rank_bm25",
               "pipeline_fineweb", "dup_span_max"):
         assert k in REGISTRY, k
     # the graph family, session_paths, and ewma_smooth (all
@@ -8286,6 +8287,58 @@ def test_event_interarrival_planted_subhour_clumping(spark, tmp_path):
     exp_cv = round(1e6 * s / float(sd))
     assert b.b_index_micro == exp_b and 0.70 < exp_b / 1e6 < 0.82
     assert b.cv_micro == exp_cv and exp_cv > 5_000_000
+
+
+def test_event_interarrival_scale_is_row_identical(spark, sf_dir):
+    # the segmented (type, day) formulation must reproduce the base
+    # lane bitwise — one gap-multiset definition, two plans (the
+    # eval_mrr_scale twin contract; both share ONE oracle).
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_event_interarrival,
+        q_event_interarrival_scale,
+    )
+
+    base = sorted(map(tuple, q_event_interarrival(spark, sf_dir).collect()))
+    seg = sorted(
+        map(tuple, q_event_interarrival_scale(spark, sf_dir).collect())
+    )
+    assert seg == base
+
+
+def test_event_interarrival_scale_planted_boundary_stitch(spark, tmp_path):
+    # the adversarial segment layout: events on day 1 (two, 10 s
+    # apart), NOTHING on day 2, one event exactly AT midnight of
+    # day 3 (the tie-at-boundary edge: it must sort into day 3's
+    # segment), one more on day 3. Gap multiset: 10 s, the
+    # 2-quiet-day boundary stitch, and 5 s — n=3, sum telescopes to
+    # max-min. Both formulations must agree exactly.
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_event_interarrival,
+        q_event_interarrival_scale,
+    )
+
+    d1 = dt.datetime(2024, 1, 1, 23, 59, 40)
+    d3 = dt.datetime(2024, 1, 3, 0, 0, 0)
+    rows = [
+        (1, d1, 1, "t", 1.0, "{}"),
+        (2, d1 + dt.timedelta(seconds=10), 1, "t", 1.0, "{}"),
+        (3, d3, 1, "t", 1.0, "{}"),                      # midnight tie
+        (4, d3 + dt.timedelta(seconds=5), 1, "t", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    b, = q_event_interarrival(spark, str(tmp_path)).collect()
+    g, = q_event_interarrival_scale(spark, str(tmp_path)).collect()
+    assert tuple(b) == tuple(g)
+    assert g.n_gaps == 3
+    span = int((d3 - d1).total_seconds() + 5) * 1_000_000
+    assert g.gap_sum_us == span  # telescoping across the quiet day
 
 
 def test_eval_kripp_alpha_planted_abstentions(spark, tmp_path):

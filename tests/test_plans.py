@@ -1469,3 +1469,22 @@ def test_bootstrap_ci_mean_broadcasts_only_the_replicate_table(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+
+
+def test_event_interarrival_scale_partitions_by_segment(spark):
+    # the segmented twin must window on (event_type, day) — not the
+    # whole type — then stitch over the bounded summary: two
+    # exchanges total (segment hash, then type hash for the stitch +
+    # final aggregate), no joins, no broadcasts
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
+        q_event_interarrival_scale,
+    )
+
+    plan = plan_of(q_event_interarrival_scale(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan
+    # the first (segment) window's partition spec carries the day
+    assert "day" in plan
