@@ -278,12 +278,17 @@ event_interarrival_scale (the per-(type, day) SEGMENTED formulation
 of the inter-arrival lane — the documented skew seam built: segment
 sort windows + a bounded boundary stitch, row-identical to the base
 lane by construction and graded against the SAME oracle) at
-position 11, demoting rank_bm25. The EXTRA lane
-holds a hundred and fifty-six oracle-gated entries, every one with
+position 11, demoting rank_bm25, and a ninth wave adds
+bootstrap_ci_ratio (the ratio-estimator CI — urgent-order share per
+status from an INDEPENDENT salted weight stream; ratios are where
+closed-form CIs break and the bootstrap is the standard answer) at
+position 12, demoting window_rank (six green rows — the most-graded
+operator after ingest_parity). The EXTRA lane
+holds a hundred and fifty-seven oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a
-larger budget grades it for free. Lane counts (50 graded / 156 EXTRA /
+larger budget grades it for free. Lane counts (50 graded / 157 EXTRA /
 7 BENCH_ONLY — dedup_passages_scale joined in r8) are pinned by
 ``tests/test_operators.py::test_lane_counts_match_docs``.
 Approximate operators are graded

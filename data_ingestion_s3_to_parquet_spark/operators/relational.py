@@ -718,7 +718,6 @@ QUERIES: list[Query] = [
     Query("agg_distinct", q_agg_distinct, SQL_AGG_DISTINCT, ("relational", "agg")),
     Query("join_outer", q_join_outer, SQL_JOIN_OUTER, ("relational", "join")),
     Query("join_semi_anti", q_join_semi_anti, SQL_JOIN_SEMI_ANTI, ("relational", "join")),
-    Query("window_rank", q_window_rank, SQL_WINDOW_RANK, ("relational", "window")),
     Query("sort_limit_topk", q_sort_limit_topk, SQL_SORT_LIMIT_TOPK, ("relational",)),
     Query("set_ops", q_set_ops, SQL_SET_OPS, ("relational",)),
 ]
@@ -727,5 +726,9 @@ QUERIES: list[Query] = [
 # re-promoted to the graded lane in round 11 (r4 driver rows — the
 # oldest after the r3 cohort; they register via relational17).
 # window_analytic followed in round 12 (last remaining r4 row here;
-# registers via relational18).
-EXTRA_QUERIES: list[Query] = []
+# registers via relational18). window_rank (six green rows — the
+# registry's most-graded operator after ingest_parity) demoted in
+# the round-12 NINTH wave for the new bootstrap_ci_ratio.
+EXTRA_QUERIES: list[Query] = [
+    Query("window_rank", q_window_rank, SQL_WINDOW_RANK, ("relational", "window")),
+]

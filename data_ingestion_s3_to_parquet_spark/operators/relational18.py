@@ -84,7 +84,12 @@ from .relational3 import (
     q_udaf_grouped,
 )
 from .relational5 import SQL_JOIN_NULL_SAFE, q_join_null_safe
-from .trainprep import SQL_BOOTSTRAP_CI_MEAN, q_bootstrap_ci_mean
+from .trainprep import (
+    SQL_BOOTSTRAP_CI_MEAN,
+    SQL_BOOTSTRAP_CI_RATIO,
+    q_bootstrap_ci_mean,
+    q_bootstrap_ci_ratio,
+)
 from .relational14 import (
     SQL_EVENT_INTERARRIVAL,
     q_event_interarrival,
@@ -186,6 +191,15 @@ QUERIES: list[Query] = [
         q_event_interarrival_scale,
         SQL_EVENT_INTERARRIVAL,
         ("relational", "timeseries", "monitoring", "statistics"),
+    ),
+    # --- round-12 NINTH wave (never-graded; window_rank — SIX green
+    # rows, the most-graded operator after ingest_parity — demoted
+    # one-for-one to relational's EXTRA) ---
+    Query(
+        "bootstrap_ci_ratio",
+        q_bootstrap_ci_ratio,
+        SQL_BOOTSTRAP_CI_RATIO,
+        ("relational", "statistics", "sampling", "evaluation"),
     ),
     # --- the round-12 promotion cohort (oldest driver rows first:
     # the r4 nine, then the first three of the r5 cohort) ---

@@ -175,7 +175,7 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and fifty-six entries after the round-12 rotation
+# a hundred and fifty-seven entries after the round-12 rotation
 # (round 12 demoted the seven r11 single-green first-timers plus
 # eight r11-refreshed veterans through relational17.EXTRA_QUERIES —
 # they LEAD this lane — in exchange for the three new round-12
@@ -185,8 +185,9 @@ REGISTRY: dict[str, Query] = _collect()
 # len_lognormal_fit, dedup_containment for the wave-4
 # word_adaptation, gini_concentration for the wave-5 eval_qwk,
 # mmr_rerank for the wave-6 text_mattr, eval_auc for the wave-7
-# bootstrap_ci_mean, and rank_bm25 for the wave-8
-# event_interarrival_scale);
+# bootstrap_ci_mean, rank_bm25 for the wave-8
+# event_interarrival_scale, and window_rank for the wave-9
+# bootstrap_ci_ratio);
 # before that —
 # round 10's sixth/seventh waves demoted the multi-green graph
 # trio, session_paths, ewma_smooth, emb_gram, lm_bigram_score,

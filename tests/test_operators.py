@@ -804,6 +804,7 @@ def test_extra_lane_doc_counts_match_registry():
         154: "a hundred and fifty-four",
         155: "a hundred and fifty-five",
         156: "a hundred and fifty-six",
+        157: "a hundred and fifty-seven",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -968,25 +969,27 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 156
+    assert len(EXTRA) == 157
     assert len(BENCH_ONLY) == 7
-    # round-12 rotation: the ten NEW round-12 operators grade
+    # round-12 rotation: the eleven NEW round-12 operators grade
     # immediately after ingest_parity (never-graded-first; wave 2
     # added text_yule_k, wave 3 len_lognormal_fit, wave 4
     # word_adaptation, wave 5 eval_qwk, wave 6 text_mattr, wave 7
     # bootstrap_ci_mean, wave 8 event_interarrival_scale — the
-    # segmented 100 TB twin sharing the base lane's oracle), followed
+    # segmented 100 TB twin sharing the base lane's oracle — and
+    # wave 9 bootstrap_ci_ratio), followed
     # by the twelve-lane promotion cohort — the MEASURED-oldest
     # driver rows in the registry at the start of round 12 (nine
     # r4-row lanes, three r5-row lanes), then the two r11-promotion
     # veterans that keep their graded slots (relational17;
     # join_broadcast and join_asof demoted in waves 2-3) and
     # eval_mrr
-    assert list(REGISTRY)[1:26] == [
+    assert list(REGISTRY)[1:27] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
         "bootstrap_ci_mean", "event_interarrival_scale",
+        "bootstrap_ci_ratio",
         "window_analytic", "subquery_scalar", "agg_percentile",
         "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
@@ -995,16 +998,17 @@ def test_lane_counts_match_docs():
         "eval_mrr",
     ]
     # dedup_containment / gini_concentration (double-green) and
-    # mmr_rerank / eval_auc / rank_bm25 (multi-green) demoted in the
-    # round-12 FOURTH-EIGHTH waves for word_adaptation, eval_qwk,
-    # text_mattr, bootstrap_ci_mean, and event_interarrival_scale
-    assert list(REGISTRY)[25:27] == [
+    # mmr_rerank / eval_auc / rank_bm25 / window_rank (multi-green)
+    # demoted in the round-12 FOURTH-NINTH waves for word_adaptation,
+    # eval_qwk, text_mattr, bootstrap_ci_mean,
+    # event_interarrival_scale, and bootstrap_ci_ratio
+    assert list(REGISTRY)[26:28] == [
         "eval_mrr", "dedup_passages",
     ]
-    assert list(REGISTRY)[-12:] == [
+    assert list(REGISTRY)[-11:] == [
         "scan_parquet", "project_filter", "filter_compound",
         "scalar_funcs", "agg_rollup_cube", "agg_distinct",
-        "join_outer", "join_semi_anti", "window_rank",
+        "join_outer", "join_semi_anti",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
     # the nineteen round-12 demotees LEAD the EXTRA lane (the seven
@@ -7968,6 +7972,63 @@ def test_bootstrap_ci_deterministic_and_layout_free(spark, tmp_path):
     # CI inside the data range, around the true mean 200
     _, n_rep, lo, hi = a[0]
     assert n_rep == 40 and 100 * 10**6 <= lo <= hi <= 300 * 10**6
+
+
+def test_bootstrap_ci_ratio_matches_python_recompute(spark, sf_dir):
+    # hashlib recompute of the salted weight stream + replicate
+    # shares + rank selection; the CI must bracket the plain share.
+    import hashlib
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _POIS_CUM,
+        q_bootstrap_ci_ratio,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.status: r
+            for r in q_bootstrap_ci_ratio(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    ).collect()
+
+    def half_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    by: dict = {}
+    for r in orders:
+        by.setdefault(r.o_orderstatus, []).append(
+            (r.o_orderkey, 1 if r.o_orderpriority == "1-URGENT" else 0)
+        )
+    for status, rows in by.items():
+        shares = []
+        for b in range(BOOT_B):
+            sw = swu = 0
+            for key, u in rows:
+                h = hashlib.md5(f"r:{key}:{b}".encode()).hexdigest()[:8]
+                w = next((k for k, t in enumerate(_POIS_CUM) if h < t), 8)
+                sw += w
+                swu += w * u
+            if sw:
+                shares.append((half_away(1e6 * swu / sw), b))
+        shares.sort()
+        ln = lane[status]
+        assert ln.n_replicates == len(shares)
+        assert ln.ci_lo_micro == shares[BOOT_LO_RANK - 1][0]
+        assert ln.ci_hi_micro == shares[BOOT_HI_RANK - 1][0]
+        n_urgent = sum(u for _, u in rows)
+        assert (ln.n_orders, ln.n_urgent) == (len(rows), n_urgent)
+        assert ln.share_micro == half_away(1e6 * n_urgent / len(rows))
+        assert ln.ci_lo_micro <= ln.share_micro <= ln.ci_hi_micro
+    # independence of the two bootstrap lanes' weight streams: the
+    # salted hash differs from the mean lane's for the same (key, b)
+    assert (
+        hashlib.md5(b"r:1:0").hexdigest()
+        != hashlib.md5(b"1:0").hexdigest()
+    )
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

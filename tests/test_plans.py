@@ -1488,3 +1488,18 @@ def test_event_interarrival_scale_partitions_by_segment(spark):
     assert "Join" not in plan
     # the first (segment) window's partition spec carries the day
     assert "day" in plan
+
+
+def test_bootstrap_ci_ratio_broadcasts_replicates_and_plain_join(spark):
+    # two broadcasts only: the 40-row replicate frame (the x40
+    # explode) and the |statuses|-row plain-share frame onto the
+    # bounded CI result — never a corpus-sized shuffle join
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_bootstrap_ci_ratio,
+    )
+
+    plan = plan_of(q_bootstrap_ci_ratio(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
