@@ -1579,10 +1579,17 @@ def _pois_w_expr(u_col: str) -> str:
 BOOT_LO_RANK = -(-25 * BOOT_B // 1000)
 BOOT_HI_RANK = -(-975 * BOOT_B // 1000)
 
+# Replicate mean in micro-dollars: the midpoint-free half-up integer
+# division (2·10⁴·swc + sw) div (2·sw) on decimal(38,0) ↔ HUGEINT
+# (the _COMM_TRANS_EXPR house form; half-up == half-away on the
+# non-negative operands here). ADVICE r12: the earlier double-ROUND
+# form was deterministic and cross-engine identical but left exact
+# integer arithmetic once 10⁴·swc crossed 2^53 (~sf0.1 already); this
+# form never leaves the exact integer domain.
 _BOOT_MEAN_EXPR = (
     "CASE WHEN sw = 0 THEN CAST(NULL AS BIGINT)"
-    " ELSE CAST(ROUND((CAST(10000 AS DOUBLE) * CAST(swc AS DOUBLE))"
-    " / CAST(sw AS DOUBLE), 0) AS BIGINT) END"
+    " ELSE CAST((2 * CAST(10000 AS {big}) * CAST(swc AS {big}) + sw)"
+    " {div} (2 * CAST(sw AS {big})) AS BIGINT) END"
 )
 
 
@@ -1612,7 +1619,10 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: prices quantize to exact int64 cents BEFORE weighting
     (the bal-band rule); per-(status, b) Σw·cents runs decimal ↔
     HUGEINT; each replicate mean is ONE pinned micro division
-    (micro-dollars); the CI bounds are TYPE-1 QUANTILES of the ≤ B
+    (micro-dollars) in the midpoint-free half-up integer form
+    (2·10⁴·swc + sw) div (2·sw) — never leaving exact integer
+    arithmetic, so the 2^53 double bound is irrelevant (ADVICE
+    r12); the CI bounds are TYPE-1 QUANTILES of the ≤ B
     quantized replicate means — rank selection over a bounded
     window, ties broken by replicate id, so the bounds are picked,
     never interpolated. An empty replicate (Σw = 0, probability
@@ -1647,9 +1657,9 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").alias("sw"),
         F.sum(F.col("w").cast(dec) * F.col("cents")).cast(dec).alias("swc"),
     )
-    g = g.withColumn("mean_micro", F.expr(_BOOT_MEAN_EXPR)).where(
-        F.col("mean_micro").isNotNull()
-    )
+    g = g.withColumn(
+        "mean_micro", F.expr(_BOOT_MEAN_EXPR.format(big=dec, div="div"))
+    ).where(F.col("mean_micro").isNotNull())
     win = Window.partitionBy("status").orderBy("mean_micro", "b")
     ranked = g.withColumn("rn", F.row_number().over(win))
     return ranked.groupBy("status").agg(
@@ -1687,7 +1697,9 @@ g AS (
   FROM rows_w GROUP BY status, b
 ),
 m AS (
-  SELECT status, b, {_BOOT_MEAN_EXPR} AS mean_micro FROM g
+  SELECT status, b,
+         {_BOOT_MEAN_EXPR.format(big="HUGEINT", div="//")} AS mean_micro
+  FROM g
 ),
 r AS (
   SELECT status, b, mean_micro,
@@ -1712,14 +1724,18 @@ SQL_BOOTSTRAP_CI_MEAN = _sql_bootstrap_ci_mean()
 # bootstrap_ci_ratio
 # --------------------------------------------------------------------
 
+# Replicate share / plain share in micro-units: the same exact
+# half-up integer-division form as _BOOT_MEAN_EXPR (ADVICE r12 —
+# these operands stay inside int64 at fixture scale, but the {big}
+# cast keeps the expression exact to 100 TB group sizes too).
 _BOOT_RATIO_EXPR = (
     "CASE WHEN sw = 0 THEN CAST(NULL AS BIGINT)"
-    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE) * CAST(swu AS DOUBLE))"
-    " / CAST(sw AS DOUBLE), 0) AS BIGINT) END"
+    " ELSE CAST((2 * CAST(1000000 AS {big}) * CAST(swu AS {big}) + sw)"
+    " {div} (2 * CAST(sw AS {big})) AS BIGINT) END"
 )
 _PLAIN_SHARE_EXPR = (
-    "CAST(ROUND((CAST(1000000 AS DOUBLE) * n_urgent) / n_orders, 0)"
-    " AS BIGINT)"
+    "CAST((2 * CAST(1000000 AS {big}) * CAST(n_urgent AS {big})"
+    " + n_orders) {div} (2 * CAST(n_orders AS {big})) AS BIGINT)"
 )
 
 
@@ -1742,8 +1758,9 @@ def q_bootstrap_ci_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the weighted numerator and denominator are exact
     int64 sums (w ≤ 8, indicator ≤ 1); each replicate share is ONE
-    pinned micro division; the plain share likewise; bounds are
-    picked by rank, never interpolated. Scale shape identical to
+    pinned micro division in the midpoint-free half-up integer form
+    (2·10⁶·swu + sw) div (2·sw); the plain share likewise; bounds
+    are picked by rank, never interpolated. Scale shape identical to
     the mean lane: broadcast ×B explode, one combinable (status, b)
     aggregate, the bounded rank window. Zero data joins.
     """
@@ -1769,9 +1786,10 @@ def q_bootstrap_ci_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").alias("sw"),
         F.sum(F.col("w") * F.col("u")).alias("swu"),
     )
-    g = g.withColumn("ratio_micro", F.expr(_BOOT_RATIO_EXPR)).where(
-        F.col("ratio_micro").isNotNull()
-    )
+    g = g.withColumn(
+        "ratio_micro",
+        F.expr(_BOOT_RATIO_EXPR.format(big="decimal(38,0)", div="div")),
+    ).where(F.col("ratio_micro").isNotNull())
     win = Window.partitionBy("status").orderBy("ratio_micro", "b")
     ranked = g.withColumn("rn", F.row_number().over(win))
     ci = ranked.groupBy("status").agg(
@@ -1787,7 +1805,9 @@ def q_bootstrap_ci_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         "n_orders",
         "n_urgent",
-        F.expr(_PLAIN_SHARE_EXPR).alias("share_micro"),
+        F.expr(
+            _PLAIN_SHARE_EXPR.format(big="decimal(38,0)", div="div")
+        ).alias("share_micro"),
         "n_replicates",
         "ci_lo_micro",
         "ci_hi_micro",
@@ -1823,7 +1843,9 @@ g AS (
   FROM rows_w GROUP BY status, b
 ),
 m AS (
-  SELECT status, b, {_BOOT_RATIO_EXPR} AS ratio_micro FROM g
+  SELECT status, b,
+         {_BOOT_RATIO_EXPR.format(big="HUGEINT", div="//")} AS ratio_micro
+  FROM g
 ),
 r AS (
   SELECT status, b, ratio_micro,
@@ -1841,7 +1863,7 @@ ci AS (
   FROM r GROUP BY status
 )
 SELECT ci.status, n_orders, n_urgent,
-       {_PLAIN_SHARE_EXPR} AS share_micro,
+       {_PLAIN_SHARE_EXPR.format(big="HUGEINT", div="//")} AS share_micro,
        n_replicates, ci_lo_micro, ci_hi_micro
 FROM ci JOIN plain ON ci.status = plain.status
 """

@@ -14,6 +14,7 @@ handling closes idle sessions without waiting for a new event.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -642,6 +643,28 @@ def cdc_stateful(events: DataFrame, *, watermark: str = "10 minutes") -> DataFra
 IA_LATENESS_SECONDS = 600
 _IA_LIMB = 62  # Σd² limb width: sq = hi·2⁶² + lo
 
+# CalendarInterval unit → seconds, the subset Spark accepts in
+# withWatermark delay strings ("10 minutes", "1 hour", ...).
+_DELAY_UNIT_S = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1,
+    "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def _parse_delay_seconds(delay: str) -> float:
+    """Parse a watermark delay string ("10 minutes") to seconds —
+    used to validate the caller's watermark against the hardcoded
+    close horizon before Spark ever sees it."""
+    m = re.fullmatch(
+        r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+?)s?\s*", delay
+    )
+    if not m:
+        raise ValueError(f"unparseable watermark delay: {delay!r}")
+    unit = m.group(2).lower()
+    if unit not in _DELAY_UNIT_S:
+        raise ValueError(f"unknown watermark delay unit: {delay!r}")
+    return float(m.group(1)) * _DELAY_UNIT_S[unit]
+
 IA_OUT_SCHEMA = StructType(
     [
         StructField("event_type", StringType(), False),
@@ -783,9 +806,23 @@ def interarrival_stateful(
     Scale note: state per key is the exact accumulators plus ONLY
     the events inside the lateness horizon (arrival rate × 600 s),
     never the full history — the same bounded-state contract as the
-    alert twin's open buckets."""
+    alert twin's open buckets.
+
+    The watermark delay must not exceed ``IA_LATENESS_SECONDS``: the
+    fold closes everything older than max_ts − 600 s, so a LONGER
+    watermark would admit events below the closed prefix and produce
+    negative gaps that corrupt the (n, Σd, Σd²) accumulators (ADVICE
+    r12). Rejected loudly here rather than clamped silently."""
     from ..session import tune
 
+    delay_s = _parse_delay_seconds(watermark)
+    if delay_s > IA_LATENESS_SECONDS:
+        raise ValueError(
+            f"interarrival_stateful: watermark {watermark!r} ({delay_s}s)"
+            f" exceeds the close horizon IA_LATENESS_SECONDS="
+            f"{IA_LATENESS_SECONDS}s; events older than the horizon"
+            " would fold as negative gaps"
+        )
     tune(events.sparkSession)
     return (
         events.withWatermark("ts", watermark)

@@ -7927,15 +7927,17 @@ def test_bootstrap_ci_mean_matches_python_recompute(spark, sf_dir):
                 sw += w
                 swc += w * cents
             if sw:
-                means.append((half_away(1e4 * swc / sw), b))
+                # the lane's exact midpoint-free half-up integer
+                # division — pure int arithmetic, no floats (ADVICE
+                # r12: 10⁴·swc crosses 2^53 at bench scale)
+                means.append(((2 * 10**4 * swc + sw) // (2 * sw), b))
         means.sort()
         assert lane[status].n_replicates == len(means)
         assert lane[status].ci_lo_micro == means[BOOT_LO_RANK - 1][0]
         assert lane[status].ci_hi_micro == means[BOOT_HI_RANK - 1][0]
         # the CI must bracket the plain (unweighted) mean
-        plain = half_away(
-            1e4 * sum(c for _, c in rows) / len(rows)
-        )
+        sc, n = sum(c for _, c in rows), len(rows)
+        plain = (2 * 10**4 * sc + n) // (2 * n)
         assert lane[status].ci_lo_micro <= plain <= lane[status].ci_hi_micro
 
 
@@ -7978,7 +7980,6 @@ def test_bootstrap_ci_ratio_matches_python_recompute(spark, sf_dir):
     # hashlib recompute of the salted weight stream + replicate
     # shares + rank selection; the CI must bracket the plain share.
     import hashlib
-    import math
 
     from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
         BOOT_B,
@@ -7995,9 +7996,6 @@ def test_bootstrap_ci_ratio_matches_python_recompute(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     ).collect()
 
-    def half_away(x):
-        return int(math.copysign(math.floor(abs(x) + 0.5), x))
-
     by: dict = {}
     for r in orders:
         by.setdefault(r.o_orderstatus, []).append(
@@ -8013,15 +8011,17 @@ def test_bootstrap_ci_ratio_matches_python_recompute(spark, sf_dir):
                 sw += w
                 swu += w * u
             if sw:
-                shares.append((half_away(1e6 * swu / sw), b))
+                # exact half-up integer division, matching the lane
+                shares.append(((2 * 10**6 * swu + sw) // (2 * sw), b))
         shares.sort()
         ln = lane[status]
         assert ln.n_replicates == len(shares)
         assert ln.ci_lo_micro == shares[BOOT_LO_RANK - 1][0]
         assert ln.ci_hi_micro == shares[BOOT_HI_RANK - 1][0]
         n_urgent = sum(u for _, u in rows)
-        assert (ln.n_orders, ln.n_urgent) == (len(rows), n_urgent)
-        assert ln.share_micro == half_away(1e6 * n_urgent / len(rows))
+        n = len(rows)
+        assert (ln.n_orders, ln.n_urgent) == (n, n_urgent)
+        assert ln.share_micro == (2 * 10**6 * n_urgent + n) // (2 * n)
         assert ln.ci_lo_micro <= ln.share_micro <= ln.ci_hi_micro
     # independence of the two bootstrap lanes' weight streams: the
     # salted hash differs from the mean lane's for the same (key, b)

@@ -644,8 +644,8 @@ def test_stateful_interarrival_state_roundtrips_across_batches(
     # apart + a "pusher" at +3600 s, which closes the ten (9 gaps
     # folded, Σd² > 0 persisted) while itself staying pending.
     # Batch 2: 10 more events at +3700 s.. + a far sentinel, closing
-    # pusher and traffic -> n_gaps 19, gap_sum = 9*1s + 3591s +
-    # 100s + 9*1s.
+    # pusher and traffic -> n_gaps 20 (9 + pusher + boundary + 9),
+    # gap_sum = 9*1s + 3591s + 100s + 9*1s.
     import datetime as dt
 
     from data_ingestion_s3_to_parquet_spark.operators.relational14 import (
@@ -704,3 +704,32 @@ def test_stateful_interarrival_state_roundtrips_across_batches(
     assert (
         last.mean_gap_us_micro, last.cv_micro, last.b_index_micro
     ) == (b.mean_gap_us_micro, b.cv_micro, b.b_index_micro)
+
+
+def test_stateful_interarrival_rejects_watermark_past_horizon(spark):
+    # ADVICE r12: a watermark longer than the 600 s close horizon
+    # would admit events below the closed prefix and fold negative
+    # gaps into the accumulators — reject loudly, never clamp.
+    import pytest
+
+    from data_ingestion_s3_to_parquet_spark.streaming.stateful import (
+        IA_LATENESS_SECONDS,
+        _parse_delay_seconds,
+        interarrival_stateful,
+    )
+
+    assert _parse_delay_seconds("10 minutes") == 600
+    assert _parse_delay_seconds("1 hour") == 3600
+    assert _parse_delay_seconds("90 seconds") == 90
+    assert IA_LATENESS_SECONDS == 600
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("timestamp AS ts", "'t' AS event_type")
+    )
+    # at the horizon: fine (builds the plan, no start)
+    interarrival_stateful(stream, watermark="10 minutes")
+    with pytest.raises(ValueError, match="exceeds the close horizon"):
+        interarrival_stateful(stream, watermark="11 minutes")
+    with pytest.raises(ValueError, match="unparseable"):
+        _parse_delay_seconds("soon")
