@@ -283,7 +283,18 @@ bootstrap_ci_ratio (the ratio-estimator CI — urgent-order share per
 status from an INDEPENDENT salted weight stream; ratios are where
 closed-form CIs break and the bootstrap is the standard answer) at
 position 12, demoting window_rank (six green rows — the most-graded
-operator after ingest_parity). The EXTRA lane
+operator after ingest_parity).
+
+Round 13 opens with the grade-freshness rotation (VERDICT r12 #1):
+the twelve measured-oldest driver rows — the full r5-row cohort
+(corpus_prep, decontaminate, dedup_fuzzy, dedup_ngram_jaccard,
+emb_centroids, map_in_pandas_tokens, sample_split, sim_topk) plus
+the first four of the r6-row cohort (agg_hll_sketch,
+agg_skew_salted, ann_ivf_topk, array_map_json) — re-enter the graded
+lane at positions 1-12 via relational19, while the eleven round-12
+single-green first-timers plus window_analytic demote one-for-one
+and LEAD the EXTRA lane. NEW round-13 operators prepend at position
+1 as their waves land (never-graded-first). The EXTRA lane
 holds a hundred and fifty-seven oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER

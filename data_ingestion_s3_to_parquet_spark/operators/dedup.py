@@ -1483,20 +1483,7 @@ QUERIES: list[Query] = [
 
 # dedup_exact / dedup_embedding / dedup_components re-promoted to
 # the graded lane in round 12 (r5 driver rows — the oldest after the
-# r4 cohort; they register via relational18, bench flags intact).
-EXTRA_QUERIES = [
-    Query(
-        "dedup_ngram_jaccard",
-        q_dedup_ngram_jaccard,
-        SQL_DEDUP_NGRAM_JACCARD,
-        ("llm", "dedup"),
-        bench=True,
-    ),
-    Query(
-        "dedup_fuzzy",
-        q_dedup_fuzzy,
-        SQL_DEDUP_FUZZY,
-        ("llm", "dedup", "approx"),
-        bench=True,
-    ),
-]
+# r4 cohort; they register via relational18, bench flags intact);
+# dedup_ngram_jaccard / dedup_fuzzy re-promoted in round 13 (r5
+# driver rows; they register via relational19, bench flags intact).
+EXTRA_QUERIES: list[Query] = []

@@ -791,11 +791,11 @@ QUERIES: list[Query] = []
 # r6). All keep oracles + bench entries.
 EXTRA_QUERIES = [
     Query("multimodal_cols", q_multimodal_cols, SQL_MULTIMODAL_COLS, ("llm", "multimodal")),
-    Query("array_map_json", q_array_map_json, SQL_ARRAY_MAP_JSON, ("relational", "json")),
     Query("udf_scalar", q_udf_scalar, SQL_UDF_SCALAR, ("relational", "udf"), bench=True),
     # media_frame_sample re-promoted to the graded lane in round 11
     # (r3 driver row — the registry's oldest; registers via
-    # relational17)
+    # relational17); array_map_json re-promoted in round 13 (r6
+    # driver row; registers via relational19)
 ]
 
 

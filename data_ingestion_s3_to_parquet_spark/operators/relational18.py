@@ -44,7 +44,10 @@ twelve r11-refreshed promotion veterans (all multi-green — they now
 LEAD the EXTRA lane via relational17.EXTRA_QUERIES). The remaining
 r5-row cohort (dedup_fuzzy, dedup_ngram_jaccard, sample_split,
 decontaminate, corpus_prep, emb_centroids, sim_topk,
-map_in_pandas_tokens) is next in line for round 13.
+map_in_pandas_tokens) was promoted in round 13 via relational19;
+the round-13 rotation also demoted this module's eleven round-12
+first-timers plus window_analytic to EXTRA_QUERIES below (they lead
+the EXTRA lane).
 
 Reference parity note: the reference (/root/reference/src/main.rs,
 208 lines) has no query surface at all; every lane here belongs to
@@ -112,7 +115,14 @@ from .textstats import (
     q_word_adaptation,
 )
 
-QUERIES: list[Query] = [
+# Demoted to the EXTRA lane in the round-13 rotation: the eleven
+# round-12 single-green first-timers plus window_analytic (the first
+# of the twelve r12-refreshed promotion veterans) traded their graded
+# slots for the twelve measured-oldest r5/r6-row lanes promoted via
+# relational19. They LEAD the EXTRA lane (this module precedes the
+# older EXTRA contributors in plans.registry._MODULES); oracles and
+# bench flags intact.
+EXTRA_QUERIES: list[Query] = [
     Query(
         "eval_kripp_alpha_ordinal",
         q_eval_kripp_alpha_ordinal,
@@ -201,8 +211,6 @@ QUERIES: list[Query] = [
         SQL_BOOTSTRAP_CI_RATIO,
         ("relational", "statistics", "sampling", "evaluation"),
     ),
-    # --- the round-12 promotion cohort (oldest driver rows first:
-    # the r4 nine, then the first three of the r5 cohort) ---
     Query(
         "window_analytic",
         q_window_analytic,
@@ -210,6 +218,13 @@ QUERIES: list[Query] = [
         ("relational", "window"),
         bench=True,
     ),
+]
+
+# Still graded: eleven of the round-12 promotion cohort (r12-refreshed
+# driver rows — the r4 nine minus window_analytic, then the first
+# three of the r5 cohort). They demote one-for-one as the round-13
+# waves land.
+QUERIES: list[Query] = [
     Query(
         "subquery_scalar",
         q_subquery_scalar,
@@ -275,5 +290,3 @@ QUERIES: list[Query] = [
         bench=True,  # track the iterative lane round-over-round
     ),
 ]
-
-EXTRA_QUERIES: list[Query] = []

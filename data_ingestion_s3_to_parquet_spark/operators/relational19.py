@@ -1,0 +1,128 @@
+"""Round-13 graded-lane registrations: the grade-freshness promotion
+cohort (VERDICT r12 #1), with the round's NEW operators prepended
+wave by wave (never-graded-first — see the inline wave comments).
+
+The promotion set is the twelve lanes whose driver rows were
+measured OLDEST from CORRECTNESS_r01–r12 at the start of round 13:
+the full r5-row cohort — ``corpus_prep``, ``decontaminate``,
+``dedup_fuzzy``, ``dedup_ngram_jaccard``, ``emb_centroids``,
+``map_in_pandas_tokens``, ``sample_split``, ``sim_topk`` — plus the
+first four (alphabetical) of the 40-lane r6-row cohort:
+``agg_hll_sketch``, ``agg_skew_salted``, ``ann_ivf_topk``,
+``array_map_json``. Twelve lanes demote one-for-one from
+relational18's graded list: the eleven round-12 single-green
+first-timers plus ``window_analytic`` (the first of the twelve
+r12-refreshed promotion veterans — all now LEAD the EXTRA lane via
+relational18.EXTRA_QUERIES, bench flags intact). The remaining
+r6-row cohort (cdc_apply, data_expectations, doc_fingerprint, …) is
+next in line for round 14.
+
+Definitions stay with their families (trainprep, dedup, similarity,
+multimodal, relational3/6/8); only the registration lives here — the
+relational17/relational18 pattern.
+
+Reference parity note: the reference (/root/reference/src/main.rs,
+208 lines) has no query surface at all; every lane here belongs to
+the mandated Layer-B extension inventory (SURVEY §2B) or the
+LLM-pipeline families.
+"""
+
+from __future__ import annotations
+
+from ..plans.spec import Query
+from .dedup import (
+    SQL_DEDUP_FUZZY,
+    SQL_DEDUP_NGRAM_JACCARD,
+    q_dedup_fuzzy,
+    q_dedup_ngram_jaccard,
+)
+from .multimodal import SQL_ARRAY_MAP_JSON, q_array_map_json
+from .relational3 import SQL_MAP_IN_PANDAS_TOKENS, q_map_in_pandas_tokens
+from .relational6 import SQL_AGG_HLL_SKETCH, q_agg_hll_sketch
+from .relational8 import SQL_AGG_SKEW_SALTED, q_agg_skew_salted
+from .similarity import (
+    SQL_ANN_IVF_CHECK,
+    SQL_SIM_TOPK,
+    q_ann_ivf_check,
+    q_sim_topk,
+)
+from .trainprep import (
+    SQL_CORPUS_PREP,
+    SQL_DECONTAMINATE,
+    SQL_EMB_CENTROIDS,
+    SQL_SAMPLE_SPLIT,
+    q_corpus_prep,
+    q_decontaminate,
+    q_emb_centroids,
+    q_sample_split,
+)
+
+QUERIES: list[Query] = [
+    # --- the round-13 promotion cohort (oldest driver rows first:
+    # the full r5 cohort alphabetical, then the first four of the
+    # r6 cohort) ---
+    Query(
+        "corpus_prep",
+        q_corpus_prep,
+        SQL_CORPUS_PREP,
+        ("llm", "pipeline"),
+        bench=True,
+    ),
+    Query(
+        "decontaminate",
+        q_decontaminate,
+        SQL_DECONTAMINATE,
+        ("llm", "dedup", "pipeline"),
+        bench=True,
+    ),
+    Query(
+        "dedup_fuzzy",
+        q_dedup_fuzzy,
+        SQL_DEDUP_FUZZY,
+        ("llm", "dedup", "approx"),
+        bench=True,
+    ),
+    Query(
+        "dedup_ngram_jaccard",
+        q_dedup_ngram_jaccard,
+        SQL_DEDUP_NGRAM_JACCARD,
+        ("llm", "dedup"),
+        bench=True,
+    ),
+    Query(
+        "emb_centroids",
+        q_emb_centroids,
+        SQL_EMB_CENTROIDS,
+        ("llm", "similarity", "agg"),
+        bench=True,
+    ),
+    Query(
+        "map_in_pandas_tokens",
+        q_map_in_pandas_tokens,
+        SQL_MAP_IN_PANDAS_TOKENS,
+        ("llm", "udf"),
+    ),
+    Query("sample_split", q_sample_split, SQL_SAMPLE_SPLIT, ("llm", "sampling")),
+    Query("sim_topk", q_sim_topk, SQL_SIM_TOPK, ("llm", "similarity"), bench=True),
+    Query(
+        "agg_hll_sketch",
+        q_agg_hll_sketch,
+        SQL_AGG_HLL_SKETCH,
+        ("relational", "agg", "approx"),
+    ),
+    Query(
+        "agg_skew_salted",
+        q_agg_skew_salted,
+        SQL_AGG_SKEW_SALTED,
+        ("relational", "agg", "skew"),
+    ),
+    Query(
+        "ann_ivf_topk",
+        q_ann_ivf_check,
+        SQL_ANN_IVF_CHECK,
+        ("llm", "similarity", "approx"),
+    ),
+    Query("array_map_json", q_array_map_json, SQL_ARRAY_MAP_JSON, ("relational", "json")),
+]
+
+EXTRA_QUERIES: list[Query] = []

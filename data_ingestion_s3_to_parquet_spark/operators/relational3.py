@@ -161,7 +161,7 @@ QUERIES: list[Query] = []
 # the graded lane in round 11 (oldest driver row in the registry, r3
 # — it registers via relational17).
 # agg_argminmax / udaf_grouped re-promoted to the graded lane in
-# round 12 (r4 driver rows; they register via relational18).
-EXTRA_QUERIES = [
-    Query("map_in_pandas_tokens", q_map_in_pandas_tokens, SQL_MAP_IN_PANDAS_TOKENS, ("llm", "udf")),
-]
+# round 12 (r4 driver rows; they register via relational18);
+# map_in_pandas_tokens re-promoted in round 13 (r5 driver row; it
+# registers via relational19).
+EXTRA_QUERIES: list[Query] = []

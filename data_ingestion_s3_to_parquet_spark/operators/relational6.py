@@ -497,12 +497,8 @@ EXTRA_QUERIES = [
         ("llm", "sampling"),
     ),
     Query("udtf_lateral", q_udtf_lateral, SQL_UDTF_LATERAL, ("relational", "udf")),
-    Query(
-        "agg_hll_sketch",
-        q_agg_hll_sketch,
-        SQL_AGG_HLL_SKETCH,
-        ("relational", "agg", "approx"),
-    ),
+    # agg_hll_sketch re-promoted to the graded lane in round 13 (r6
+    # driver row; it registers via relational19)
     Query(
         "resample_ffill",
         q_resample_ffill,

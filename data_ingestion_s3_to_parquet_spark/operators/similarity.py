@@ -1129,15 +1129,11 @@ QUERIES: list[Query] = []
 # Demoted to the EXTRA lane: sim_topk in round 6 (four consecutive
 # green driver rows — VERDICT r5 #4); sim_join and ann_ivf_topk in
 # the round-7 wave-2 rotation (multiple green rows each, latest r6).
+# ann_ivf_topk / sim_topk re-promoted to the graded lane in round 13
+# (r6/r5 driver rows — among the oldest after the r12 rotation; they
+# register via relational19, bench flags intact).
 EXTRA_QUERIES = [
     Query("sim_join", q_sim_join, SQL_SIM_JOIN, ("llm", "similarity"), bench=True),
-    Query(
-        "ann_ivf_topk",
-        q_ann_ivf_check,
-        SQL_ANN_IVF_CHECK,
-        ("llm", "similarity", "approx"),
-    ),
-    Query("sim_topk", q_sim_topk, SQL_SIM_TOPK, ("llm", "similarity"), bench=True),
 ]
 
 

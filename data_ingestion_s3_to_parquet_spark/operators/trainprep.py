@@ -1923,29 +1923,10 @@ EXTRA_QUERIES = [
         SQL_SAMPLE_STRATIFIED,
         ("llm", "sampling", "window"),
     ),
-    Query("sample_split", q_sample_split, SQL_SAMPLE_SPLIT, ("llm", "sampling")),
-    Query(
-        "decontaminate",
-        q_decontaminate,
-        SQL_DECONTAMINATE,
-        ("llm", "dedup", "pipeline"),
-        bench=True,
-    ),
-    Query(
-        "corpus_prep",
-        q_corpus_prep,
-        SQL_CORPUS_PREP,
-        ("llm", "pipeline"),
-        bench=True,
-    ),
-    Query(
-        "emb_centroids",
-        q_emb_centroids,
-        SQL_EMB_CENTROIDS,
-        ("llm", "similarity", "agg"),
-        bench=True,
-    ),
     # seq_pack / embedding_quantize re-promoted to the graded lane in
     # round 11 (r3 driver rows — the registry's oldest; they register
-    # via relational17)
+    # via relational17); sample_split / decontaminate / corpus_prep /
+    # emb_centroids re-promoted in round 13 (r5 driver rows — the
+    # oldest after the r12 rotation; they register via relational19,
+    # bench flags intact)
 ]

@@ -43,11 +43,16 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational18 holds the round-12 wave: the NEW
-    # eval_kripp_alpha_ordinal / graph_community_profile /
-    # event_interarrival (never-graded-first) plus the twelve-lane
-    # round-12 grade-freshness promotion cohort (the r4/r5-row
-    # veterans — the registry's measured-oldest driver rows).
+    # relational19 holds the round-13 wave: the NEW round-13
+    # operators (never-graded-first) plus the twelve-lane round-13
+    # grade-freshness promotion cohort (the full r5-row cohort and
+    # the first four r6-row veterans — the registry's measured-oldest
+    # driver rows after round 12).
+    "data_ingestion_s3_to_parquet_spark.operators.relational19",
+    # relational18 keeps eleven r12-promotion veterans graded (the
+    # round-13 rotation demoted its eleven round-12 first-timers plus
+    # window_analytic); its EXTRA_QUERIES leads the EXTRA lane with
+    # those round-13 demotees.
     "data_ingestion_s3_to_parquet_spark.operators.relational18",
     # relational17 keeps four r11-promotion veterans graded; its
     # EXTRA_QUERIES leads the EXTRA lane with the round-12 demotees
@@ -175,8 +180,16 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and fifty-seven entries after the round-12 rotation
-# (round 12 demoted the seven r11 single-green first-timers plus
+# a hundred and fifty-seven entries after the round-13 rotation
+# (round 13 demoted the eleven r12 single-green first-timers plus
+# window_analytic — through relational18.EXTRA_QUERIES, so they LEAD
+# this lane — in exchange for the twelve measured-oldest r5/r6-row
+# veterans promoted through relational19: corpus_prep, decontaminate,
+# dedup_fuzzy, dedup_ngram_jaccard, emb_centroids,
+# map_in_pandas_tokens, sample_split, sim_topk, agg_hll_sketch,
+# agg_skew_salted, ann_ivf_topk, array_map_json);
+# before that —
+# round 12 demoted the seven r11 single-green first-timers plus
 # eight r11-refreshed veterans through relational17.EXTRA_QUERIES —
 # they LEAD this lane — in exchange for the three new round-12
 # operators plus the twelve measured-oldest r4/r5-row veterans

@@ -971,37 +971,28 @@ def test_lane_counts_match_docs():
     assert len(REGISTRY) == 50
     assert len(EXTRA) == 157
     assert len(BENCH_ONLY) == 7
-    # round-12 rotation: the eleven NEW round-12 operators grade
-    # immediately after ingest_parity (never-graded-first; wave 2
-    # added text_yule_k, wave 3 len_lognormal_fit, wave 4
-    # word_adaptation, wave 5 eval_qwk, wave 6 text_mattr, wave 7
-    # bootstrap_ci_mean, wave 8 event_interarrival_scale — the
-    # segmented 100 TB twin sharing the base lane's oracle — and
-    # wave 9 bootstrap_ci_ratio), followed
-    # by the twelve-lane promotion cohort — the MEASURED-oldest
-    # driver rows in the registry at the start of round 12 (nine
-    # r4-row lanes, three r5-row lanes), then the two r11-promotion
-    # veterans that keep their graded slots (relational17;
-    # join_broadcast and join_asof demoted in waves 2-3) and
-    # eval_mrr
+    # round-13 rotation: the twelve-lane promotion cohort grades
+    # immediately after ingest_parity — the MEASURED-oldest driver
+    # rows in the registry at the start of round 13 (the full
+    # eight-lane r5-row cohort alphabetical, then the first four of
+    # the r6-row cohort) — followed by the eleven r12-promotion
+    # veterans that keep their graded slots (relational18), the two
+    # r11-promotion veterans (relational17), and eval_mrr. NEW
+    # round-13 operators prepend at position 1 as their waves land
+    # (never-graded-first).
     assert list(REGISTRY)[1:27] == [
-        "eval_kripp_alpha_ordinal", "graph_community_profile",
-        "event_interarrival", "text_yule_k", "len_lognormal_fit",
-        "word_adaptation", "eval_qwk", "text_mattr",
-        "bootstrap_ci_mean", "event_interarrival_scale",
-        "bootstrap_ci_ratio",
-        "window_analytic", "subquery_scalar", "agg_percentile",
+        "corpus_prep", "decontaminate", "dedup_fuzzy",
+        "dedup_ngram_jaccard", "emb_centroids",
+        "map_in_pandas_tokens", "sample_split", "sim_topk",
+        "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
+        "array_map_json",
+        "subquery_scalar", "agg_percentile",
         "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
         "join_inner", "join_range",
         "eval_mrr",
     ]
-    # dedup_containment / gini_concentration (double-green) and
-    # mmr_rerank / eval_auc / rank_bm25 / window_rank (multi-green)
-    # demoted in the round-12 FOURTH-NINTH waves for word_adaptation,
-    # eval_qwk, text_mattr, bootstrap_ci_mean,
-    # event_interarrival_scale, and bootstrap_ci_ratio
     assert list(REGISTRY)[26:28] == [
         "eval_mrr", "dedup_passages",
     ]
@@ -1011,13 +1002,20 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # the nineteen round-12 demotees LEAD the EXTRA lane (the seven
-    # r11 single-green first-timers first, then the eight
-    # r11-refreshed veterans, the wave-2/3 join_broadcast /
+    # the twelve round-13 demotees LEAD the EXTRA lane (the eleven
+    # r12 single-green first-timers plus window_analytic, via
+    # relational18.EXTRA_QUERIES), ahead of the r12 demotee cohort
+    # (the seven r11 single-green first-timers first, then the eight
+    # r11-refreshed veterans, the r12 wave-2/3 join_broadcast /
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:38] == [
+    assert list(EXTRA)[:50] == [
+        "eval_kripp_alpha_ordinal", "graph_community_profile",
+        "event_interarrival", "text_yule_k", "len_lognormal_fit",
+        "word_adaptation", "eval_qwk", "text_mattr",
+        "bootstrap_ci_mean", "event_interarrival_scale",
+        "bootstrap_ci_ratio", "window_analytic",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -1082,18 +1080,20 @@ def test_lane_counts_match_docs():
     ):
         assert k in REGISTRY, k
     # demoted cohorts from every earlier rotation stay EXTRA (each has
-    # at least one green driver row)
+    # at least one green driver row); agg_skew_salted / ann_ivf_topk /
+    # array_map_json / agg_hll_sketch left this cohort in the round-13
+    # promotion (asserted graded via the [1:27] prefix above)
     for k in (
         # r7 wave-1/wave-2/wave-3 + post-wave-2 demotees
         "sample_span_mask", "lm_unigram_score", "udf_scalar",
         "interleave_mix", "window_range_interval", "profile_table",
-        "agg_skew_salted", "fuzzy_match_strings", "skyline_frontier",
-        "label_propagation", "sim_join", "ann_ivf_topk", "text_stats",
+        "fuzzy_match_strings", "skyline_frontier",
+        "label_propagation", "sim_join", "text_stats",
         "doc_fingerprint", "lang_id", "tfidf_top_terms",
-        "quality_classifier", "multimodal_cols", "array_map_json",
+        "quality_classifier", "multimodal_cols",
         "stream_tumbling", "stream_sliding", "stream_session",
         "join_bloom_prefilter", "cdc_apply", "sample_weighted",
-        "udtf_lateral", "agg_hll_sketch", "resample_ffill",
+        "udtf_lateral", "resample_ffill",
         "json_variant", "higher_order_funcs", "scd2_history",
         "recursive_cte", "data_expectations", "value_histogram",
         "pagerank", "sample_stratified", "unpivot_stack",
