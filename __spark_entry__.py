@@ -294,8 +294,16 @@ agg_skew_salted, ann_ivf_topk, array_map_json) — re-enter the graded
 lane at positions 1-12 via relational19, while the eleven round-12
 single-green first-timers plus window_analytic demote one-for-one
 and LEAD the EXTRA lane. NEW round-13 operators prepend at position
-1 as their waves land (never-graded-first). The EXTRA lane
-holds a hundred and fifty-seven oracle-gated entries, every one with
+1 as their waves land (never-graded-first): wave 1 adds
+bootstrap_ci_quantile (the Poisson bootstrap CI for a QUANTILE —
+the median order price per status, where the normal-approximation
+CI needs the unknown density at the quantile and the bootstrap is
+the standard answer; the per-replicate weighted type-1 median runs
+over the map-side-combinable per-(status, b, cents) HISTOGRAM —
+shuffle volume bounded by the price domain, not row count — and the
+whole lane is integer cents end-to-end), demoting subquery_scalar
+(r4 + r12 greens). The EXTRA lane
+holds a hundred and fifty-eight oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

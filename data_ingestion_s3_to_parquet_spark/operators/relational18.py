@@ -218,19 +218,19 @@ EXTRA_QUERIES: list[Query] = [
         ("relational", "window"),
         bench=True,
     ),
-]
-
-# Still graded: eleven of the round-12 promotion cohort (r12-refreshed
-# driver rows — the r4 nine minus window_analytic, then the first
-# three of the r5 cohort). They demote one-for-one as the round-13
-# waves land.
-QUERIES: list[Query] = [
+    # --- demoted in the round-13 FIRST wave for the new
+    # bootstrap_ci_quantile (r4 + r12 greens) ---
     Query(
         "subquery_scalar",
         q_subquery_scalar,
         SQL_SUBQUERY_SCALAR,
         ("relational", "subquery"),
     ),
+]
+
+# Still graded: ten of the round-12 promotion cohort (r12-refreshed
+# driver rows). They demote one-for-one as the round-13 waves land.
+QUERIES: list[Query] = [
     Query(
         "agg_percentile",
         q_agg_percentile,

@@ -47,10 +47,12 @@ from .similarity import (
     q_sim_topk,
 )
 from .trainprep import (
+    SQL_BOOTSTRAP_CI_QUANTILE,
     SQL_CORPUS_PREP,
     SQL_DECONTAMINATE,
     SQL_EMB_CENTROIDS,
     SQL_SAMPLE_SPLIT,
+    q_bootstrap_ci_quantile,
     q_corpus_prep,
     q_decontaminate,
     q_emb_centroids,
@@ -58,6 +60,14 @@ from .trainprep import (
 )
 
 QUERIES: list[Query] = [
+    # --- round-13 FIRST wave (never-graded; subquery_scalar — r4 +
+    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
+    Query(
+        "bootstrap_ci_quantile",
+        q_bootstrap_ci_quantile,
+        SQL_BOOTSTRAP_CI_QUANTILE,
+        ("relational", "statistics", "sampling", "evaluation"),
+    ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the
     # r6 cohort) ---

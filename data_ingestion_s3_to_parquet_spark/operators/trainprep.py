@@ -1872,6 +1872,189 @@ FROM ci JOIN plain ON ci.status = plain.status
 SQL_BOOTSTRAP_CI_RATIO = _sql_bootstrap_ci_ratio()
 
 
+# --------------------------------------------------------------------
+# bootstrap_ci_quantile
+# --------------------------------------------------------------------
+
+# Weighted type-1 quantile rank: the smallest value whose cumulative
+# weight reaches ceil(p·Σw); for the median thr = ceil(Σw/2) =
+# (Σw + 1) div 2 — pure integer arithmetic, engine-parameterized.
+_BOOT_Q_THR = "cw >= (sw + 1) {div} 2"
+_PLAIN_Q_THR = "cn >= (n_orders + 1) {div} 2"
+
+
+def q_bootstrap_ci_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for a QUANTILE — the median
+    order price per status (VERDICT r12 #3). This is where the
+    bootstrap is not a convenience but the standard answer: the
+    sampling distribution of a quantile depends on the unknown
+    density at the quantile (the normal-approximation CI needs
+    f(Q(p)), which no aggregate can estimate robustly), while the
+    bootstrap replicate distribution estimates it directly.
+
+    Same deterministic machinery as ``bootstrap_ci_mean`` (the md5
+    CDF-ladder Poisson(1) weights — salted ``q:`` so the stream is
+    independent of the mean/ratio lanes — and type-1 rank selection
+    over the ≤ B replicate window). The per-replicate statistic is
+    the WEIGHTED type-1 median: the smallest cents value whose
+    cumulative weight reaches ceil(Σw/2).
+
+    Scale shape — the part worth reading: a quantile has no finite
+    sufficient statistic, so a naive replicate quantile would sort
+    rows·B elements. But prices quantize to exact int64 CENTS in a
+    bounded domain, so the per-(status, b) weighted HISTOGRAM
+    ``groupBy(status, b, cents) → Σw`` is map-side combinable —
+    shuffle volume is |distinct cents|·B (bounded by the price
+    domain, NOT by row count), the quantile_select bucket idea with
+    buckets = exact values. The cumulative-weight window then runs
+    over the histogram, never the rows. No sort of the exploded
+    fact table ever happens. The plain (unweighted) median rides
+    the same histogram shape with w = 1. An all-zero replicate
+    (Σw = 0) is excluded by the ``sw > 0`` guard (thr would
+    degenerate to 0 and pick the minimum); ``n_replicates`` reports
+    the effective count. Everything stays integer cents end-to-end —
+    this lane has NO division but the two integer thr computations.
+    """
+    b_lit = ", ".join(f"({b})" for b in range(BOOT_B))
+    reps = spark.sql(f"SELECT * FROM VALUES {b_lit} AS t(b)")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    # plain type-1 median over the per-status value histogram
+    h0 = o.groupBy("status", "cents").agg(
+        F.count("*").cast("long").alias("wc")
+    )
+    cum0 = Window.partitionBy("status").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot0 = Window.partitionBy("status")
+    plain = (
+        h0.withColumn("cn", F.sum("wc").over(cum0))
+        .withColumn("n_orders", F.sum("wc").over(tot0))
+        .where(F.expr(_PLAIN_Q_THR.format(div="div")))
+        .groupBy("status", "n_orders")
+        .agg(F.min("cents").alias("median_cents"))
+    )
+    rows = o.crossJoin(F.broadcast(reps)).withColumn(
+        "u",
+        F.expr(
+            "substring(md5(concat('q:', CAST(o_orderkey AS STRING), ':',"
+            " CAST(b AS STRING))), 1, 8)"
+        ),
+    ).withColumn("w", F.expr(_pois_w_expr("u")).cast("long"))
+    h = rows.groupBy("status", "b", "cents").agg(F.sum("w").alias("wc"))
+    cum = Window.partitionBy("status", "b").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("status", "b")
+    med = (
+        h.withColumn("cw", F.sum("wc").over(cum))
+        .withColumn("sw", F.sum("wc").over(tot))
+        .where(F.expr(f"sw > 0 AND {_BOOT_Q_THR.format(div='div')}"))
+        .groupBy("status", "b")
+        .agg(F.min("cents").alias("med_cents"))
+    )
+    win = Window.partitionBy("status").orderBy("med_cents", "b")
+    ranked = med.withColumn("rn", F.row_number().over(win))
+    ci = ranked.groupBy("status").agg(
+        F.count("*").alias("n_replicates"),
+        F.max(
+            F.when(F.col("rn") == BOOT_LO_RANK, F.col("med_cents"))
+        ).alias("ci_lo_cents"),
+        F.max(
+            F.when(F.col("rn") == BOOT_HI_RANK, F.col("med_cents"))
+        ).alias("ci_hi_cents"),
+    )
+    return ci.join(F.broadcast(plain), "status").select(
+        "status",
+        "n_orders",
+        "median_cents",
+        "n_replicates",
+        "ci_lo_cents",
+        "ci_hi_cents",
+    )
+
+
+def _sql_bootstrap_ci_quantile() -> str:
+    b_lit = ", ".join(f"({b})" for b in range(BOOT_B))
+    return f"""
+WITH reps AS (SELECT * FROM (VALUES {b_lit}) AS t(b)),
+o AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+h0 AS (
+  SELECT status, cents, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM o GROUP BY status, cents
+),
+c0 AS (
+  SELECT status, cents,
+         SUM(wc) OVER (PARTITION BY status ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cn,
+         SUM(wc) OVER (PARTITION BY status) AS n_orders
+  FROM h0
+),
+plain AS (
+  SELECT status, CAST(n_orders AS BIGINT) AS n_orders,
+         MIN(cents) AS median_cents
+  FROM c0 WHERE {_PLAIN_Q_THR.format(div="//")}
+  GROUP BY status, n_orders
+),
+rows_w AS (
+  SELECT status, b, cents,
+         {_pois_w_expr(
+             "substr(md5('q:' || CAST(o_orderkey AS VARCHAR) || ':' ||"
+             " CAST(b AS VARCHAR)), 1, 8)"
+         )} AS w
+  FROM o CROSS JOIN reps
+),
+h AS (
+  SELECT status, b, cents, CAST(SUM(w) AS BIGINT) AS wc
+  FROM rows_w GROUP BY status, b, cents
+),
+c AS (
+  SELECT status, b, cents,
+         SUM(wc) OVER (PARTITION BY status, b ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(wc) OVER (PARTITION BY status, b) AS sw
+  FROM h
+),
+med AS (
+  SELECT status, b, MIN(cents) AS med_cents
+  FROM c WHERE sw > 0 AND {_BOOT_Q_THR.format(div="//")}
+  GROUP BY status, b
+),
+r AS (
+  SELECT status, b, med_cents,
+         row_number() OVER (PARTITION BY status
+                            ORDER BY med_cents, b) AS rn
+  FROM med
+),
+ci AS (
+  SELECT status,
+         CAST(COUNT(*) AS BIGINT) AS n_replicates,
+         MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN med_cents END)
+           AS ci_lo_cents,
+         MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN med_cents END)
+           AS ci_hi_cents
+  FROM r GROUP BY status
+)
+SELECT ci.status, n_orders, median_cents,
+       n_replicates, ci_lo_cents, ci_hi_cents
+FROM ci JOIN plain ON ci.status = plain.status
+"""
+
+
+SQL_BOOTSTRAP_CI_QUANTILE = _sql_bootstrap_ci_quantile()
+
+
 QUERIES = [
     # NEW in round 8: graded immediately (retention_cohort and
     # corpus_report, green r6+r7, demoted from relational9 in

@@ -805,6 +805,14 @@ def test_extra_lane_doc_counts_match_registry():
         155: "a hundred and fifty-five",
         156: "a hundred and fifty-six",
         157: "a hundred and fifty-seven",
+        158: "a hundred and fifty-eight",
+        159: "a hundred and fifty-nine",
+        160: "a hundred and sixty",
+        161: "a hundred and sixty-one",
+        162: "a hundred and sixty-two",
+        163: "a hundred and sixty-three",
+        164: "a hundred and sixty-four",
+        165: "a hundred and sixty-five",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -969,24 +977,26 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 157
+    assert len(EXTRA) == 158
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
     # rows in the registry at the start of round 13 (the full
     # eight-lane r5-row cohort alphabetical, then the first four of
-    # the r6-row cohort) — followed by the eleven r12-promotion
-    # veterans that keep their graded slots (relational18), the two
+    # the r6-row cohort) — followed by the r12-promotion veterans
+    # that keep their graded slots (relational18), the two
     # r11-promotion veterans (relational17), and eval_mrr. NEW
     # round-13 operators prepend at position 1 as their waves land
-    # (never-graded-first).
+    # (never-graded-first): wave 1 bootstrap_ci_quantile, demoting
+    # subquery_scalar (r4 + r12 greens).
     assert list(REGISTRY)[1:27] == [
+        "bootstrap_ci_quantile",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "subquery_scalar", "agg_percentile",
+        "agg_percentile",
         "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
@@ -1010,12 +1020,12 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:50] == [
+    assert list(EXTRA)[:51] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
         "bootstrap_ci_mean", "event_interarrival_scale",
-        "bootstrap_ci_ratio", "window_analytic",
+        "bootstrap_ci_ratio", "window_analytic", "subquery_scalar",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -8029,6 +8039,121 @@ def test_bootstrap_ci_ratio_matches_python_recompute(spark, sf_dir):
         hashlib.md5(b"r:1:0").hexdigest()
         != hashlib.md5(b"1:0").hexdigest()
     )
+
+
+def test_bootstrap_ci_quantile_matches_python_recompute(spark, sf_dir):
+    # hashlib recompute of the q:-salted weight stream + per-replicate
+    # WEIGHTED type-1 medians + rank selection; the plain type-1
+    # median recomputed from the sorted cents directly.
+    import hashlib
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _POIS_CUM,
+        q_bootstrap_ci_quantile,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.status: r
+            for r in q_bootstrap_ci_quantile(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+
+    def half_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    by: dict = {}
+    for r in orders:
+        by.setdefault(r.o_orderstatus, []).append(
+            (r.o_orderkey, half_away(r.o_totalprice * 100))
+        )
+    for status, rows in by.items():
+        srt = sorted(c for _, c in rows)
+        n = len(srt)
+        plain = srt[(n + 1) // 2 - 1]  # type-1 median, 1-based rank
+        meds = []
+        for b in range(BOOT_B):
+            wts = {}
+            sw = 0
+            for key, cents in rows:
+                u = hashlib.md5(f"q:{key}:{b}".encode()).hexdigest()[:8]
+                w = next((k for k, t in enumerate(_POIS_CUM) if u < t), 8)
+                wts[cents] = wts.get(cents, 0) + w
+                sw += w
+            if sw == 0:
+                continue
+            thr = (sw + 1) // 2
+            cw = 0
+            for c in sorted(wts):
+                cw += wts[c]
+                if cw >= thr:
+                    meds.append((c, b))
+                    break
+        meds.sort()
+        ln = lane[status]
+        assert (ln.n_orders, ln.median_cents) == (n, plain)
+        assert ln.n_replicates == len(meds)
+        assert ln.ci_lo_cents == meds[BOOT_LO_RANK - 1][0]
+        assert ln.ci_hi_cents == meds[BOOT_HI_RANK - 1][0]
+        assert ln.ci_lo_cents <= ln.ci_hi_cents
+    # the q: salt makes this stream independent of the mean/ratio ones
+    assert (
+        hashlib.md5(b"q:1:0").hexdigest()
+        != hashlib.md5(b"1:0").hexdigest()
+        != hashlib.md5(b"r:1:0").hexdigest()
+    )
+
+
+def test_bootstrap_ci_quantile_planted_ties_and_layouts(spark, tmp_path):
+    # the histogram path with VALUE TIES and an even count: plain
+    # type-1 median of [100,100,100,200,200] is the ceil(5/2)=3rd
+    # value = 100 (the tie group crosses the threshold inside the
+    # histogram row); of [100,200,300,400] it is the 2nd = 200 (the
+    # LOWER median — type-1 picks, never interpolates). Two write
+    # layouts must give identical CI rows (layout-free resampling).
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_bootstrap_ci_quantile,
+    )
+
+    rows = [
+        (1, 1, "T", "1.00"), (2, 1, "T", "1.00"), (3, 1, "T", "1.00"),
+        (4, 1, "T", "2.00"), (5, 1, "T", "2.00"),
+        (6, 1, "E", "1.00"), (7, 1, "E", "2.00"),
+        (8, 1, "E", "3.00"), (9, 1, "E", "4.00"),
+    ]
+
+    def write(order, parts, d):
+        spark.createDataFrame(
+            [rows[i] for i in order],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice_s string",
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "CAST(o_totalprice_s AS DOUBLE) AS o_totalprice",
+        ).repartition(parts).write.parquet(f"{d}/orders.parquet")
+
+    write(list(range(9)), 1, f"{tmp_path}/a")
+    write([8, 3, 0, 6, 2, 7, 1, 5, 4], 3, f"{tmp_path}/b")
+    a = sorted(map(tuple,
+                   q_bootstrap_ci_quantile(spark, f"{tmp_path}/a").collect()))
+    b = sorted(map(tuple,
+                   q_bootstrap_ci_quantile(spark, f"{tmp_path}/b").collect()))
+    assert a == b and len(a) == 2
+    by = {r[0]: r for r in a}
+    # (status, n_orders, median_cents, n_replicates, lo, hi)
+    assert by["T"][1:3] == (5, 100)
+    assert by["E"][1:3] == (4, 200)
+    for _, _, med, n_rep, lo, hi in a:
+        # tiny groups CAN draw an all-zero replicate (P = e^-n per
+        # replicate); the sw = 0 guard excludes it and n_replicates
+        # reports the effective count — exactly the designed behavior
+        assert 38 <= n_rep <= 40 and lo <= hi
+        # replicate medians can only take planted cent values
+        assert lo in (100, 200, 300, 400) and hi in (100, 200, 300, 400)
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

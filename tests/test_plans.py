@@ -1503,3 +1503,23 @@ def test_bootstrap_ci_ratio_broadcasts_replicates_and_plain_join(spark):
     plan = plan_of(q_bootstrap_ci_ratio(spark, SF_SMOKE))
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+
+
+def test_bootstrap_ci_quantile_histogram_shape(spark):
+    # the quantile lane must run over HISTOGRAMS, not sorted rows:
+    # two broadcasts only (the 40-row replicate frame and the
+    # |statuses|-row plain-median frame onto the bounded CI result);
+    # five exchanges — the two map-side-combinable histogram
+    # aggregates (plain and replicate), their two cumulative-weight
+    # windows, and the bounded rank window; never a sort-merge or
+    # shuffle-hash join of the exploded fact table
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_bootstrap_ci_quantile,
+    )
+
+    plan = plan_of(q_bootstrap_ci_quantile(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 5
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
