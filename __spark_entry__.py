@@ -302,8 +302,15 @@ the standard answer; the per-replicate weighted type-1 median runs
 over the map-side-combinable per-(status, b, cents) HISTOGRAM —
 shuffle volume bounded by the price domain, not row count — and the
 whole lane is integer cents end-to-end), demoting subquery_scalar
-(r4 + r12 greens). The EXTRA lane
-holds a hundred and fifty-eight oracle-gated entries, every one with
+(r4 + r12 greens); wave 2 adds perm_test_diff (the deterministic
+permutation test for the difference of arm mean order prices — the
+significance leg next to ab_test_metrics' effect readout;
+CLUSTER-level md5 relabeling holds each customer's orders together
+like a real experiment would, B = 99 relabelings collapse to one
+map-side-combinable groupBy(p) of four counters, and the add-one
+p-value (n_ge+1)/(B+1) is one pinned micro division), demoting
+agg_percentile (r4 + r12 greens). The EXTRA lane
+holds a hundred and fifty-nine oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

@@ -226,17 +226,19 @@ EXTRA_QUERIES: list[Query] = [
         SQL_SUBQUERY_SCALAR,
         ("relational", "subquery"),
     ),
-]
-
-# Still graded: ten of the round-12 promotion cohort (r12-refreshed
-# driver rows). They demote one-for-one as the round-13 waves land.
-QUERIES: list[Query] = [
+    # --- demoted in the round-13 SECOND wave for the new
+    # perm_test_diff (r4 + r12 greens) ---
     Query(
         "agg_percentile",
         q_agg_percentile,
         SQL_AGG_PERCENTILE,
         ("relational", "agg"),
     ),
+]
+
+# Still graded: nine of the round-12 promotion cohort (r12-refreshed
+# driver rows). They demote one-for-one as the round-13 waves land.
+QUERIES: list[Query] = [
     Query("pivot", q_pivot, SQL_PIVOT, ("relational", "agg")),
     Query(
         "join_skew_salted",

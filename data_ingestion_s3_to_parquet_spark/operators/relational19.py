@@ -39,6 +39,7 @@ from .dedup import (
 from .multimodal import SQL_ARRAY_MAP_JSON, q_array_map_json
 from .relational3 import SQL_MAP_IN_PANDAS_TOKENS, q_map_in_pandas_tokens
 from .relational6 import SQL_AGG_HLL_SKETCH, q_agg_hll_sketch
+from .relational9 import SQL_PERM_TEST_DIFF, q_perm_test_diff
 from .relational8 import SQL_AGG_SKEW_SALTED, q_agg_skew_salted
 from .similarity import (
     SQL_ANN_IVF_CHECK,
@@ -67,6 +68,14 @@ QUERIES: list[Query] = [
         q_bootstrap_ci_quantile,
         SQL_BOOTSTRAP_CI_QUANTILE,
         ("relational", "statistics", "sampling", "evaluation"),
+    ),
+    # --- round-13 SECOND wave (never-graded; agg_percentile — r4 +
+    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
+    Query(
+        "perm_test_diff",
+        q_perm_test_diff,
+        SQL_PERM_TEST_DIFF,
+        ("relational", "statistics", "evaluation", "sampling"),
     ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the

@@ -977,7 +977,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 158
+    assert len(EXTRA) == 159
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -988,15 +988,15 @@ def test_lane_counts_match_docs():
     # r11-promotion veterans (relational17), and eval_mrr. NEW
     # round-13 operators prepend at position 1 as their waves land
     # (never-graded-first): wave 1 bootstrap_ci_quantile, demoting
-    # subquery_scalar (r4 + r12 greens).
+    # subquery_scalar (r4 + r12 greens); wave 2 perm_test_diff,
+    # demoting agg_percentile (r4 + r12 greens).
     assert list(REGISTRY)[1:27] == [
-        "bootstrap_ci_quantile",
+        "bootstrap_ci_quantile", "perm_test_diff",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "agg_percentile",
         "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
@@ -1020,12 +1020,13 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:51] == [
+    assert list(EXTRA)[:52] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
         "bootstrap_ci_mean", "event_interarrival_scale",
         "bootstrap_ci_ratio", "window_analytic", "subquery_scalar",
+        "agg_percentile",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -8154,6 +8155,113 @@ def test_bootstrap_ci_quantile_planted_ties_and_layouts(spark, tmp_path):
         assert 38 <= n_rep <= 40 and lo <= hi
         # replicate medians can only take planted cent values
         assert lo in (100, 200, 300, 400) and hi in (100, 200, 300, 400)
+
+
+def test_perm_test_diff_matches_python_recompute(spark, sf_dir):
+    # full hashlib recompute: observed md5-gate arms, the 99
+    # customer-level relabelings, exact integer arm sums, the pinned
+    # half-up micro means, and the add-one p-value.
+    import hashlib
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        PERM_B,
+        q_perm_test_diff,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    row, = q_perm_test_diff(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+
+    def half_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    data = [
+        (r.o_custkey, half_away(r.o_totalprice * 100)) for r in orders
+    ]
+
+    def d_micro(arm_of):
+        n_a = n_b = s_a = s_b = 0
+        for unit, cents in data:
+            if arm_of(unit):
+                n_a += 1
+                s_a += cents
+            else:
+                n_b += 1
+                s_b += cents
+        if n_a == 0 or n_b == 0:
+            return None, n_a, n_b
+        u_a = (2 * 10**4 * s_a + n_a) // (2 * n_a)
+        u_b = (2 * 10**4 * s_b + n_b) // (2 * n_b)
+        return u_b - u_a, n_a, n_b
+
+    def gate(s):
+        return hashlib.md5(s.encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+
+    d_obs, n_a, n_b = d_micro(lambda u: gate(str(u)))
+    assert (row.n_a, row.n_b, row.d_obs_micro) == (n_a, n_b, d_obs)
+    n_perms = n_ge = 0
+    for p in range(1, PERM_B + 1):
+        d_p, pa, pb = d_micro(lambda u: gate(f"p:{u}:{p}"))
+        if d_p is None:
+            continue
+        n_perms += 1
+        if abs(d_p) >= abs(d_obs):
+            n_ge += 1
+    assert (row.n_perms, row.n_ge) == (n_perms, n_ge)
+    p_exp = (2 * 10**6 * (n_ge + 1) + (n_perms + 1)) // (2 * (n_perms + 1))
+    assert row.p_micro == p_exp
+    assert 0 < row.p_micro <= 1_000_000
+
+
+def test_perm_test_diff_planted_no_effect_and_strong_effect(spark, tmp_path):
+    # no effect: every order has the same price, so d_obs = 0 and
+    # EVERY relabeling ties it -> p = (99+1)/100 = 1.0 exactly.
+    # strong effect: prices planted BY the observed md5 arm (arm A
+    # $1.00, arm B $100.00 across 80 single-order customers), so the
+    # observed |d| is the maximum achievable and only a relabeling
+    # reproducing the exact partition could tie it -> p = 1/100.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        q_perm_test_diff,
+    )
+
+    def write(rows, d):
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice_s string",
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "CAST(o_totalprice_s AS DOUBLE) AS o_totalprice",
+        ).write.parquet(f"{d}/orders.parquet")
+
+    flat = [(i, i, "O", "5.00") for i in range(1, 81)]
+    write(flat, f"{tmp_path}/flat")
+    r, = q_perm_test_diff(spark, f"{tmp_path}/flat").collect()
+    assert r.d_obs_micro == 0
+    assert (r.n_perms, r.n_ge, r.p_micro) == (99, 99, 1_000_000)
+
+    def arm_a(unit):
+        return (
+            hashlib.md5(str(unit).encode()).hexdigest()[:4]
+            < AB_SPLIT_BOUND
+        )
+
+    planted = [
+        (i, i, "O", "1.00" if arm_a(i) else "100.00")
+        for i in range(1, 81)
+    ]
+    write(planted, f"{tmp_path}/effect")
+    r, = q_perm_test_diff(spark, f"{tmp_path}/effect").collect()
+    assert r.d_obs_micro == 99_000_000  # $99.00 in micro-dollars
+    assert r.n_perms == 99 and r.n_ge == 0
+    assert r.p_micro == 10_000  # 1/100 exactly
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

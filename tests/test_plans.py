@@ -1523,3 +1523,23 @@ def test_bootstrap_ci_quantile_histogram_shape(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 5
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+
+
+def test_perm_test_diff_combinable_counters_shape(spark):
+    # the B=99 relabelings must collapse to ONE map-side-combinable
+    # groupBy(p) — shuffle volume B rows of four counters — plus the
+    # single-row observed aggregate and the final tiny reduce: three
+    # exchanges, two broadcasts (the 99-row perms VALUES frame and
+    # the 1-row observed statistic), zero sort-merge/shuffle-hash
+    # joins, zero windows
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_perm_test_diff,
+    )
+
+    plan = plan_of(q_perm_test_diff(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+    assert "Window" not in plan
