@@ -309,8 +309,15 @@ CLUSTER-level md5 relabeling holds each customer's orders together
 like a real experiment would, B = 99 relabelings collapse to one
 map-side-combinable groupBy(p) of four counters, and the add-one
 p-value (n_ge+1)/(B+1) is one pinned micro division), demoting
-agg_percentile (r4 + r12 greens). The EXTRA lane
-holds a hundred and fifty-nine oracle-gated entries, every one with
+agg_percentile (r4 + r12 greens); wave 3 adds stream_bootstrap (the
+streaming uncertainty leg: the Poisson bootstrap's per-(type, b)
+(Σw, Σw·cents) counters are a commutative monoid, so the IDENTICAL
+counter code path runs under readStream as a plain complete-mode
+aggregation with |types|·B rows of state — graded through its batch
+twin end-to-end, with a cross-micro-batch parity pytest pinning
+that two micro-batches reproduce the batch counters and CI
+bitwise), demoting pivot (r4 + r12 greens). The EXTRA lane
+holds a hundred and sixty oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

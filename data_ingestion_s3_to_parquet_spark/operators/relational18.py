@@ -234,12 +234,14 @@ EXTRA_QUERIES: list[Query] = [
         SQL_AGG_PERCENTILE,
         ("relational", "agg"),
     ),
+    # --- demoted in the round-13 THIRD wave for the new
+    # stream_bootstrap (r4 + r12 greens) ---
+    Query("pivot", q_pivot, SQL_PIVOT, ("relational", "agg")),
 ]
 
-# Still graded: nine of the round-12 promotion cohort (r12-refreshed
+# Still graded: eight of the round-12 promotion cohort (r12-refreshed
 # driver rows). They demote one-for-one as the round-13 waves land.
 QUERIES: list[Query] = [
-    Query("pivot", q_pivot, SQL_PIVOT, ("relational", "agg")),
     Query(
         "join_skew_salted",
         q_join_skew_salted,

@@ -40,6 +40,7 @@ from .multimodal import SQL_ARRAY_MAP_JSON, q_array_map_json
 from .relational3 import SQL_MAP_IN_PANDAS_TOKENS, q_map_in_pandas_tokens
 from .relational6 import SQL_AGG_HLL_SKETCH, q_agg_hll_sketch
 from .relational9 import SQL_PERM_TEST_DIFF, q_perm_test_diff
+from ..streaming.windows import SQL_STREAM_BOOTSTRAP, q_stream_bootstrap
 from .relational8 import SQL_AGG_SKEW_SALTED, q_agg_skew_salted
 from .similarity import (
     SQL_ANN_IVF_CHECK,
@@ -76,6 +77,14 @@ QUERIES: list[Query] = [
         q_perm_test_diff,
         SQL_PERM_TEST_DIFF,
         ("relational", "statistics", "evaluation", "sampling"),
+    ),
+    # --- round-13 THIRD wave (never-graded; pivot — r4 + r12
+    # greens — demoted one-for-one to relational18's EXTRA) ---
+    Query(
+        "stream_bootstrap",
+        q_stream_bootstrap,
+        SQL_STREAM_BOOTSTRAP,
+        ("streaming", "statistics", "sampling"),
     ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the

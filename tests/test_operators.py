@@ -977,7 +977,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 159
+    assert len(EXTRA) == 160
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -989,15 +989,16 @@ def test_lane_counts_match_docs():
     # round-13 operators prepend at position 1 as their waves land
     # (never-graded-first): wave 1 bootstrap_ci_quantile, demoting
     # subquery_scalar (r4 + r12 greens); wave 2 perm_test_diff,
-    # demoting agg_percentile (r4 + r12 greens).
+    # demoting agg_percentile; wave 3 stream_bootstrap, demoting
+    # pivot (each r4 + r12 greens).
     assert list(REGISTRY)[1:27] == [
-        "bootstrap_ci_quantile", "perm_test_diff",
+        "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "pivot", "join_skew_salted", "sql_frontend",
+        "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
         "join_inner", "join_range",
@@ -1020,13 +1021,13 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:52] == [
+    assert list(EXTRA)[:53] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
         "bootstrap_ci_mean", "event_interarrival_scale",
         "bootstrap_ci_ratio", "window_analytic", "subquery_scalar",
-        "agg_percentile",
+        "agg_percentile", "pivot",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",

@@ -1543,3 +1543,20 @@ def test_perm_test_diff_combinable_counters_shape(spark):
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
     assert "Window" not in plan
+
+
+def test_stream_bootstrap_monoid_counter_shape(spark):
+    # the streaming-compatible shape: the x40 fan-out is a stateless
+    # explode (no replicate table, no broadcast at all), ONE
+    # map-side-combinable (type, b) aggregate, then the bounded rank
+    # window — two exchanges, zero broadcasts, zero joins
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.streaming.windows import (
+        q_stream_bootstrap,
+    )
+
+    plan = plan_of(q_stream_bootstrap(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan
