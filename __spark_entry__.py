@@ -316,8 +316,17 @@ counter code path runs under readStream as a plain complete-mode
 aggregation with |types|·B rows of state — graded through its batch
 twin end-to-end, with a cross-micro-batch parity pytest pinning
 that two micro-batches reproduce the batch counters and CI
-bitwise), demoting pivot (r4 + r12 greens). The EXTRA lane
-holds a hundred and sixty oracle-gated entries, every one with
+bitwise), demoting pivot (r4 + r12 greens); wave 4 adds
+bootstrap_ci_diff (the CLUSTER-bootstrap CI for the arm mean
+difference — the effect-size uncertainty completing the experiment
+readout next to ab_test_metrics' effect and perm_test_diff's
+p-value: customers are resampled as whole clusters via one
+d:-salted Poisson weight per (custkey, b) applied to all the
+customer's orders — a pure per-row function, no customer table, no
+join; per-replicate d as two pinned integer divisions; type-1
+rank-selected bounds), demoting join_skew_salted (r4 + r12
+greens). The EXTRA lane
+holds a hundred and sixty-one oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

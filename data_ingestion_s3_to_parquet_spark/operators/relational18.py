@@ -237,17 +237,19 @@ EXTRA_QUERIES: list[Query] = [
     # --- demoted in the round-13 THIRD wave for the new
     # stream_bootstrap (r4 + r12 greens) ---
     Query("pivot", q_pivot, SQL_PIVOT, ("relational", "agg")),
-]
-
-# Still graded: eight of the round-12 promotion cohort (r12-refreshed
-# driver rows). They demote one-for-one as the round-13 waves land.
-QUERIES: list[Query] = [
+    # --- demoted in the round-13 FOURTH wave for the new
+    # bootstrap_ci_diff (r4 + r12 greens) ---
     Query(
         "join_skew_salted",
         q_join_skew_salted,
         SQL_JOIN_SKEW_SALTED,
         ("relational", "join"),
     ),
+]
+
+# Still graded: seven of the round-12 promotion cohort (r12-refreshed
+# driver rows). They demote one-for-one as the round-13 waves land.
+QUERIES: list[Query] = [
     Query(
         "sql_frontend",
         q_sql_frontend,

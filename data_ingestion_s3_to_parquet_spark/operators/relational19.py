@@ -39,7 +39,12 @@ from .dedup import (
 from .multimodal import SQL_ARRAY_MAP_JSON, q_array_map_json
 from .relational3 import SQL_MAP_IN_PANDAS_TOKENS, q_map_in_pandas_tokens
 from .relational6 import SQL_AGG_HLL_SKETCH, q_agg_hll_sketch
-from .relational9 import SQL_PERM_TEST_DIFF, q_perm_test_diff
+from .relational9 import (
+    SQL_BOOTSTRAP_CI_DIFF,
+    SQL_PERM_TEST_DIFF,
+    q_bootstrap_ci_diff,
+    q_perm_test_diff,
+)
 from ..streaming.windows import SQL_STREAM_BOOTSTRAP, q_stream_bootstrap
 from .relational8 import SQL_AGG_SKEW_SALTED, q_agg_skew_salted
 from .similarity import (
@@ -85,6 +90,14 @@ QUERIES: list[Query] = [
         q_stream_bootstrap,
         SQL_STREAM_BOOTSTRAP,
         ("streaming", "statistics", "sampling"),
+    ),
+    # --- round-13 FOURTH wave (never-graded; join_skew_salted — r4 +
+    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
+    Query(
+        "bootstrap_ci_diff",
+        q_bootstrap_ci_diff,
+        SQL_BOOTSTRAP_CI_DIFF,
+        ("relational", "statistics", "sampling", "evaluation"),
     ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the

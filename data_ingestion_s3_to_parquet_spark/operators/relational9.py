@@ -1299,6 +1299,204 @@ FROM stats
 SQL_PERM_TEST_DIFF = _sql_perm_test_diff()
 
 
+# --------------------------------------------------------------------
+# bootstrap_ci_diff
+# --------------------------------------------------------------------
+
+
+def q_bootstrap_ci_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-bootstrap CI for the difference of arm mean order
+    prices — the effect-size uncertainty next to ``perm_test_diff``'s
+    significance verdict: the permutation lane says whether the A-vs-B
+    gap could be assignment noise; this lane says how precisely the
+    gap itself is estimated. Together with ``ab_test_metrics`` they
+    complete the experiment readout (effect, p-value, CI).
+
+    The unit discipline carries over: customers — the randomization
+    unit — are resampled as WHOLE clusters. Replicate b gives every
+    customer ONE Poisson(1) weight w = ladder(md5('d:'||custkey||':'
+    ||b)) that applies to all of the customer's orders (the cluster
+    bootstrap; resampling orders independently would understate the
+    variance of a customer-randomized experiment). Because the weight
+    is a pure function of (custkey, b), it is computed per ROW with
+    no customer table and no join.
+
+    Per replicate: d_b = Σ_B w·cents/Σ_B w − Σ_A w·cents/Σ_A w, each
+    mean ONE pinned half-up integer division on decimal/HUGEINT sums;
+    a replicate that empties an arm is NULL and excluded
+    (``n_replicates`` reports the effective count); bounds are type-1
+    rank-selected over the ≤ B replicate window — picked, never
+    interpolated. ``d_obs_micro`` (the plain difference) is reported
+    alongside so the CI reads against its point estimate.
+
+    Scale shape: one broadcast ×B explode, ONE map-side-combinable
+    groupBy(b) of four counters (shuffle volume B·4 regardless of
+    input), the bounded ≤ B-row rank window (single-partition by
+    design — the experiment is one global statistic), and the 1-row
+    observed broadcast. Zero data-sized joins, zero sorts.
+    """
+    from .trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _pois_w_expr,
+    )
+
+    b_lit = ", ".join(f"({b})" for b in range(BOOT_B))
+    reps = spark.sql(f"SELECT * FROM VALUES {b_lit} AS t(b)")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("unit"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    dec = "decimal(38,0)"
+    obs_arm = (
+        F.substring(F.md5(F.col("unit").cast("string")), 1, 4)
+        < AB_SPLIT_BOUND
+    )
+    u_a = _PT_U_EXPR.format(n="n_a", s="s_a", big=dec, div="div")
+    u_b = _PT_U_EXPR.format(n="n_b", s="s_b", big=dec, div="div")
+    obs = (
+        o.agg(
+            F.sum(obs_arm.cast("long")).alias("n_a"),
+            F.sum((~obs_arm).cast("long")).alias("n_b"),
+            F.sum(F.when(obs_arm, F.col("cents")).otherwise(0).cast(dec))
+            .cast(dec)
+            .alias("s_a"),
+            F.sum(F.when(~obs_arm, F.col("cents")).otherwise(0).cast(dec))
+            .cast(dec)
+            .alias("s_b"),
+        )
+        .withColumn("d_obs_micro", F.expr(f"({u_b}) - ({u_a})"))
+        .select("n_a", "n_b", "d_obs_micro")
+    )
+    rows = (
+        o.crossJoin(F.broadcast(reps))
+        .withColumn("a", obs_arm)
+        .withColumn(
+            "u",
+            F.expr(
+                "substring(md5(concat('d:', CAST(unit AS STRING), ':',"
+                " CAST(b AS STRING))), 1, 8)"
+            ),
+        )
+        .withColumn("w", F.expr(_pois_w_expr("u")).cast("long"))
+    )
+    g = rows.groupBy("b").agg(
+        F.sum(F.when(F.col("a"), F.col("w")).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("a"), F.col("w")).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("a"), F.col("w").cast(dec) * F.col("cents"))
+            .otherwise(0)
+            .cast(dec)
+        )
+        .cast(dec)
+        .alias("s_a"),
+        F.sum(
+            F.when(~F.col("a"), F.col("w").cast(dec) * F.col("cents"))
+            .otherwise(0)
+            .cast(dec)
+        )
+        .cast(dec)
+        .alias("s_b"),
+    )
+    g = g.withColumn("d_micro", F.expr(f"({u_b}) - ({u_a})")).where(
+        F.col("d_micro").isNotNull()
+    )
+    win = Window.partitionBy(F.lit(0)).orderBy("d_micro", "b")
+    ranked = g.withColumn("rn", F.row_number().over(win))
+    ci = ranked.agg(
+        F.count("*").alias("n_replicates"),
+        F.max(
+            F.when(F.col("rn") == BOOT_LO_RANK, F.col("d_micro"))
+        ).alias("ci_lo_micro"),
+        F.max(
+            F.when(F.col("rn") == BOOT_HI_RANK, F.col("d_micro"))
+        ).alias("ci_hi_micro"),
+    )
+    return ci.crossJoin(F.broadcast(obs)).select(
+        "n_a",
+        "n_b",
+        "d_obs_micro",
+        "n_replicates",
+        "ci_lo_micro",
+        "ci_hi_micro",
+    )
+
+
+def _sql_bootstrap_ci_diff() -> str:
+    from .trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _pois_w_expr,
+    )
+
+    b_lit = ", ".join(f"({b})" for b in range(BOOT_B))
+    u_a = _PT_U_EXPR.format(n="n_a", s="s_a", big="HUGEINT", div="//")
+    u_b = _PT_U_EXPR.format(n="n_b", s="s_b", big="HUGEINT", div="//")
+    return f"""
+WITH reps AS (SELECT * FROM (VALUES {b_lit}) AS t(b)),
+o AS (
+  SELECT o_custkey AS unit,
+         substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4)
+           < '{AB_SPLIT_BOUND}' AS a,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+obs0 AS (
+  SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN a THEN cents ELSE 0 END) AS s_a,
+         SUM(CASE WHEN a THEN 0 ELSE cents END) AS s_b
+  FROM o
+),
+obs AS (
+  SELECT n_a, n_b, ({u_b}) - ({u_a}) AS d_obs_micro FROM obs0
+),
+rows_w AS (
+  SELECT b, a, cents,
+         {_pois_w_expr(
+             "substr(md5('d:' || CAST(unit AS VARCHAR) || ':' ||"
+             " CAST(b AS VARCHAR)), 1, 8)"
+         )} AS w
+  FROM o CROSS JOIN reps
+),
+g0 AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN a THEN w ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE w END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN a THEN CAST(w AS HUGEINT) * cents ELSE 0 END)
+           AS s_a,
+         SUM(CASE WHEN a THEN 0 ELSE CAST(w AS HUGEINT) * cents END)
+           AS s_b
+  FROM rows_w GROUP BY b
+),
+g AS (
+  SELECT b, ({u_b}) - ({u_a}) AS d_micro FROM g0
+),
+r AS (
+  SELECT b, d_micro,
+         row_number() OVER (ORDER BY d_micro, b) AS rn
+  FROM g WHERE d_micro IS NOT NULL
+),
+ci AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+         MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN d_micro END)
+           AS ci_lo_micro,
+         MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN d_micro END)
+           AS ci_hi_micro
+  FROM r
+)
+SELECT n_a, n_b, d_obs_micro, n_replicates, ci_lo_micro, ci_hi_micro
+FROM ci CROSS JOIN obs
+"""
+
+
+SQL_BOOTSTRAP_CI_DIFF = _sql_bootstrap_ci_diff()
+
+
 
 def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coalesce overlapping per-user activity intervals — the

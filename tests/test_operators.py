@@ -977,7 +977,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 160
+    assert len(EXTRA) == 161
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -990,15 +990,17 @@ def test_lane_counts_match_docs():
     # (never-graded-first): wave 1 bootstrap_ci_quantile, demoting
     # subquery_scalar (r4 + r12 greens); wave 2 perm_test_diff,
     # demoting agg_percentile; wave 3 stream_bootstrap, demoting
-    # pivot (each r4 + r12 greens).
+    # pivot; wave 4 bootstrap_ci_diff, demoting join_skew_salted
+    # (each r4 + r12 greens).
     assert list(REGISTRY)[1:27] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
+        "bootstrap_ci_diff",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "join_skew_salted", "sql_frontend",
+        "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
         "join_inner", "join_range",
@@ -1021,13 +1023,13 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:53] == [
+    assert list(EXTRA)[:54] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
         "bootstrap_ci_mean", "event_interarrival_scale",
         "bootstrap_ci_ratio", "window_analytic", "subquery_scalar",
-        "agg_percentile", "pivot",
+        "agg_percentile", "pivot", "join_skew_salted",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -8263,6 +8265,129 @@ def test_perm_test_diff_planted_no_effect_and_strong_effect(spark, tmp_path):
     assert r.d_obs_micro == 99_000_000  # $99.00 in micro-dollars
     assert r.n_perms == 99 and r.n_ge == 0
     assert r.p_micro == 10_000  # 1/100 exactly
+
+
+def test_bootstrap_ci_diff_matches_python_recompute(spark, sf_dir):
+    # hashlib recompute of the d:-salted CLUSTER weights (one weight
+    # per customer per replicate, applied to all the customer's
+    # orders), the per-replicate arm-mean difference, and the rank
+    # selection; the CI must bracket the plain difference.
+    import hashlib
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        q_bootstrap_ci_diff,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _POIS_CUM,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    row, = q_bootstrap_ci_diff(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+
+    def half_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def gate(u):
+        return (
+            hashlib.md5(str(u).encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+        )
+
+    data = [
+        (r.o_custkey, gate(r.o_custkey), half_away(r.o_totalprice * 100))
+        for r in orders
+    ]
+
+    def u_micro(s, n):
+        return (2 * 10**4 * s + n) // (2 * n) if n else None
+
+    n_a = sum(1 for _, a, _ in data if a)
+    n_b = len(data) - n_a
+    s_a = sum(c for _, a, c in data if a)
+    s_b = sum(c for _, a, c in data if not a)
+    d_obs = u_micro(s_b, n_b) - u_micro(s_a, n_a)
+    assert (row.n_a, row.n_b, row.d_obs_micro) == (n_a, n_b, d_obs)
+
+    ds = []
+    wcache: dict = {}
+    for b in range(BOOT_B):
+        wa = wb = sa = sb = 0
+        for unit, a, cents in data:
+            key = (unit, b)
+            w = wcache.get(key)
+            if w is None:
+                h = hashlib.md5(f"d:{unit}:{b}".encode()).hexdigest()[:8]
+                w = next((k for k, t in enumerate(_POIS_CUM) if h < t), 8)
+                wcache[key] = w
+            if a:
+                wa += w
+                sa += w * cents
+            else:
+                wb += w
+                sb += w * cents
+        if wa and wb:
+            ds.append((u_micro(sb, wb) - u_micro(sa, wa), b))
+    ds.sort()
+    assert row.n_replicates == len(ds)
+    assert row.ci_lo_micro == ds[BOOT_LO_RANK - 1][0]
+    assert row.ci_hi_micro == ds[BOOT_HI_RANK - 1][0]
+    assert row.ci_lo_micro <= row.d_obs_micro <= row.ci_hi_micro
+
+
+def test_bootstrap_ci_diff_cluster_weights_hold_customers_together(
+    spark, tmp_path
+):
+    # the cluster discipline made observable: every order of a
+    # customer carries the SAME replicate weight, so when every
+    # customer within an arm has the SAME per-customer order mean,
+    # the weights cancel in the weighted arm mean and every
+    # surviving replicate difference equals the plain difference —
+    # the CI collapses to a point. Row-level resampling would mix
+    # the $10/$20 (and $50/$70) orders with independent weights and
+    # spread the replicate distribution.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        q_bootstrap_ci_diff,
+    )
+
+    def arm_a(unit):
+        return (
+            hashlib.md5(str(unit).encode()).hexdigest()[:4]
+            < AB_SPLIT_BOUND
+        )
+
+    custs_a = [u for u in range(1, 200) if arm_a(u)][:6]
+    custs_b = [u for u in range(1, 200) if not arm_a(u)][:6]
+    rows = []
+    k = 0
+    for u in custs_a:  # each arm-A customer averages $15
+        rows += [(k + 1, u, "O", "10.00"), (k + 2, u, "O", "20.00")]
+        k += 2
+    for u in custs_b:  # each arm-B customer averages $60
+        rows += [(k + 1, u, "O", "50.00"), (k + 2, u, "O", "70.00")]
+        k += 2
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice_s string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(o_totalprice_s AS DOUBLE) AS o_totalprice",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    row, = q_bootstrap_ci_diff(spark, str(tmp_path)).collect()
+    # mean A = $15, mean B = $60 -> d = $45 = 45e6 micro
+    assert (row.n_a, row.n_b, row.d_obs_micro) == (12, 12, 45_000_000)
+    assert row.n_replicates == 40  # md5-deterministic: no empty arm
+    assert row.ci_lo_micro == row.ci_hi_micro == 45_000_000
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

@@ -1560,3 +1560,21 @@ def test_stream_bootstrap_monoid_counter_shape(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert "Join" not in plan
+
+
+def test_bootstrap_ci_diff_cluster_counter_shape(spark):
+    # the cluster weights are pure per-row functions of (custkey, b):
+    # no customer table, no data-sized join — one broadcast x40
+    # explode, ONE combinable groupBy(b) of four counters, the
+    # bounded single-partition rank window, and the 1-row observed
+    # broadcast: three exchanges, two broadcasts, zero SMJ/SHJ
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_bootstrap_ci_diff,
+    )
+
+    plan = plan_of(q_bootstrap_ci_diff(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
