@@ -325,8 +325,14 @@ d:-salted Poisson weight per (custkey, b) applied to all the
 customer's orders — a pure per-row function, no customer table, no
 join; per-replicate d as two pinned integer divisions; type-1
 rank-selected bounds), demoting join_skew_salted (r4 + r12
-greens). The EXTRA lane
-holds a hundred and sixty-one oracle-gated entries, every one with
+greens); wave 5 adds srm_check (the sample-ratio-mismatch audit,
+Fabijan et al. KDD 2019 — the pre-analysis gate the whole A/B
+family depends on: per-nation + global ROLLUP over customer units,
+chi-square-vs-even-split collapsed to (n_a−n_b)²/N as one pinned
+micro division, the alpha = 0.001 verdict an exact integer
+cross-multiplication against the 10.828 critical value), demoting
+sql_frontend (r4 + r12 greens, bench flag intact). The EXTRA lane
+holds a hundred and sixty-two oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

@@ -245,11 +245,8 @@ EXTRA_QUERIES: list[Query] = [
         SQL_JOIN_SKEW_SALTED,
         ("relational", "join"),
     ),
-]
-
-# Still graded: seven of the round-12 promotion cohort (r12-refreshed
-# driver rows). They demote one-for-one as the round-13 waves land.
-QUERIES: list[Query] = [
+    # --- demoted in the round-13 FIFTH wave for the new srm_check
+    # (r4 + r12 greens; bench flag intact) ---
     Query(
         "sql_frontend",
         q_sql_frontend,
@@ -257,6 +254,11 @@ QUERIES: list[Query] = [
         ("relational", "sql", "tpch"),
         bench=True,
     ),
+]
+
+# Still graded: six of the round-12 promotion cohort (r12-refreshed
+# driver rows). They demote one-for-one as the round-13 waves land.
+QUERIES: list[Query] = [
     Query(
         "agg_argminmax",
         q_agg_argminmax,

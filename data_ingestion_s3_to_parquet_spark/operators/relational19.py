@@ -42,8 +42,10 @@ from .relational6 import SQL_AGG_HLL_SKETCH, q_agg_hll_sketch
 from .relational9 import (
     SQL_BOOTSTRAP_CI_DIFF,
     SQL_PERM_TEST_DIFF,
+    SQL_SRM_CHECK,
     q_bootstrap_ci_diff,
     q_perm_test_diff,
+    q_srm_check,
 )
 from ..streaming.windows import SQL_STREAM_BOOTSTRAP, q_stream_bootstrap
 from .relational8 import SQL_AGG_SKEW_SALTED, q_agg_skew_salted
@@ -98,6 +100,15 @@ QUERIES: list[Query] = [
         q_bootstrap_ci_diff,
         SQL_BOOTSTRAP_CI_DIFF,
         ("relational", "statistics", "sampling", "evaluation"),
+    ),
+    # --- round-13 FIFTH wave (never-graded; sql_frontend — r4 + r12
+    # greens — demoted one-for-one to relational18's EXTRA, bench
+    # flag intact) ---
+    Query(
+        "srm_check",
+        q_srm_check,
+        SQL_SRM_CHECK,
+        ("relational", "statistics", "quality", "monitoring"),
     ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the

@@ -1497,6 +1497,108 @@ FROM ci CROSS JOIN obs
 SQL_BOOTSTRAP_CI_DIFF = _sql_bootstrap_ci_diff()
 
 
+# --------------------------------------------------------------------
+# srm_check
+# --------------------------------------------------------------------
+
+# chi-square(1 df) critical value at alpha = 0.001, micro-quantized
+# (10.828 — the SRM-alert threshold the large A/B platforms publish;
+# Fabijan et al. 2019). The verdict is an exact integer
+# cross-multiplication, never a float compare.
+SRM_CHI2_CRIT_MICRO = 10_828_000
+
+_SRM_CHI2_EXPR = (
+    "CASE WHEN n_units = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST((2 * CAST(1000000 AS {big})"
+    " * CAST(n_a - n_b AS {big}) * CAST(n_a - n_b AS {big}) + n_units)"
+    " {div} (2 * CAST(n_units AS {big})) AS BIGINT) END"
+)
+_SRM_ALERT_EXPR = (
+    "CAST(1000000 AS {big}) * CAST(n_a - n_b AS {big})"
+    f" * CAST(n_a - n_b AS {{big}}) > {SRM_CHI2_CRIT_MICRO}"
+    " * CAST(n_units AS {big})"
+)
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit — the A/B hygiene check that must
+    pass BEFORE ``ab_test_metrics`` / ``perm_test_diff`` /
+    ``bootstrap_ci_diff`` are worth reading: if the observed arm
+    sizes are inconsistent with the designed 50/50 md5 gate, the
+    experiment's data path is losing or duplicating units and every
+    downstream readout is invalid (Fabijan, Gupchup et al., KDD 2019
+    — the industry-standard pre-analysis gate).
+
+    Customers are the assignment unit, so the check counts UNITS
+    (one row per customer), and it runs per NATION plus the global
+    row via ROLLUP — segment-level SRM is the classic failure a
+    global check hides (one country's consent banner eats arm B;
+    globally the loss averages out). chi² with 1 df against the
+    designed even split collapses to (n_a − n_b)²/N; the statistic
+    is ONE pinned half-up micro division and the α = 0.001 verdict
+    an exact integer cross-multiplication against the published
+    critical value 10.828 — no float compare, no p-value table.
+
+    Scale shape: one map-side-combinable ROLLUP aggregate over the
+    customer scan (output |nations| + 1 rows); the md5 gate is a
+    pure per-row function. Zero joins, zero windows, zero
+    broadcasts.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nk"),
+        (
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4)
+            < AB_SPLIT_BOUND
+        ).alias("a"),
+    )
+    dec = "decimal(38,0)"
+    g = (
+        c.rollup("nk")
+        .agg(
+            F.count("*").alias("n_units"),
+            F.sum(F.col("a").cast("long")).alias("n_a"),
+            F.sum((~F.col("a")).cast("long")).alias("n_b"),
+        )
+        .select(
+            F.coalesce(F.col("nk"), F.lit(-1)).alias("nationkey"),
+            "n_units",
+            "n_a",
+            "n_b",
+        )
+    )
+    return g.select(
+        "nationkey",
+        "n_units",
+        "n_a",
+        "n_b",
+        F.expr(_SRM_CHI2_EXPR.format(big=dec, div="div")).alias(
+            "chi2_micro"
+        ),
+        F.expr(_SRM_ALERT_EXPR.format(big=dec)).alias("srm_alert"),
+    )
+
+
+SQL_SRM_CHECK = f"""
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4)
+           < '{AB_SPLIT_BOUND}' AS a
+  FROM customer
+),
+g AS (
+  SELECT COALESCE(nk, -1) AS nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM c GROUP BY ROLLUP (nk)
+)
+SELECT nationkey, n_units, n_a, n_b,
+       {_SRM_CHI2_EXPR.format(big="HUGEINT", div="//")} AS chi2_micro,
+       {_SRM_ALERT_EXPR.format(big="HUGEINT")} AS srm_alert
+FROM g
+"""
+
+
 
 def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coalesce overlapping per-user activity intervals — the

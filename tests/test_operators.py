@@ -977,7 +977,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 161
+    assert len(EXTRA) == 162
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -990,17 +990,17 @@ def test_lane_counts_match_docs():
     # (never-graded-first): wave 1 bootstrap_ci_quantile, demoting
     # subquery_scalar (r4 + r12 greens); wave 2 perm_test_diff,
     # demoting agg_percentile; wave 3 stream_bootstrap, demoting
-    # pivot; wave 4 bootstrap_ci_diff, demoting join_skew_salted
-    # (each r4 + r12 greens).
+    # pivot; wave 4 bootstrap_ci_diff, demoting join_skew_salted;
+    # wave 5 srm_check, demoting sql_frontend (each r4 + r12
+    # greens).
     assert list(REGISTRY)[1:27] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
-        "bootstrap_ci_diff",
+        "bootstrap_ci_diff", "srm_check",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
         "join_inner", "join_range",
@@ -1023,13 +1023,13 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:54] == [
+    assert list(EXTRA)[:55] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
         "bootstrap_ci_mean", "event_interarrival_scale",
         "bootstrap_ci_ratio", "window_analytic", "subquery_scalar",
-        "agg_percentile", "pivot", "join_skew_salted",
+        "agg_percentile", "pivot", "join_skew_salted", "sql_frontend",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -8388,6 +8388,87 @@ def test_bootstrap_ci_diff_cluster_weights_hold_customers_together(
     assert (row.n_a, row.n_b, row.d_obs_micro) == (12, 12, 45_000_000)
     assert row.n_replicates == 40  # md5-deterministic: no empty arm
     assert row.ci_lo_micro == row.ci_hi_micro == 45_000_000
+
+
+def test_srm_check_matches_python_recompute(spark, sf_dir):
+    # hashlib recompute of the per-nation + global unit counts, the
+    # pinned chi2 micro division, and the integer-crossmul verdict.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        SRM_CHI2_CRIT_MICRO,
+        q_srm_check,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.nationkey: r for r in q_srm_check(spark, sf_dir).collect()}
+    custs = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).collect()
+    by: dict = {}
+    for r in custs:
+        a = (
+            hashlib.md5(str(r.c_custkey).encode()).hexdigest()[:4]
+            < AB_SPLIT_BOUND
+        )
+        for key in (r.c_nationkey, -1):
+            n, na = by.get(key, (0, 0))
+            by[key] = (n + 1, na + (1 if a else 0))
+    assert set(lane) == set(by)
+    for key, (n, na) in by.items():
+        nb = n - na
+        row = lane[key]
+        assert (row.n_units, row.n_a, row.n_b) == (n, na, nb)
+        chi2 = (2 * 10**6 * (na - nb) ** 2 + n) // (2 * n)
+        assert row.chi2_micro == chi2
+        assert row.srm_alert == (
+            10**6 * (na - nb) ** 2 > SRM_CHI2_CRIT_MICRO * n
+        )
+    # a healthy md5 split must not alert globally on the fixture
+    assert lane[-1].srm_alert is False
+
+
+def test_srm_check_planted_segment_loss_alerts_only_that_nation(
+    spark, tmp_path
+):
+    # the segment-level catch a global check hides: nation 7 loses
+    # most of its arm-A customers (a consent banner eating one
+    # country's arm), nation 3 stays healthy. Nation 7 must alert;
+    # nation 3 must not. 400 customers per nation keep the healthy
+    # nation's md5 imbalance far under the chi2 critical value.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        q_srm_check,
+    )
+
+    def arm_a(u):
+        return (
+            hashlib.md5(str(u).encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+        )
+
+    rows = []
+    for u in range(1, 401):
+        rows.append((u, 3))  # healthy nation
+    dropped = 0
+    for u in range(1001, 1401):
+        if arm_a(u) and dropped < 150:
+            dropped += 1  # the data path "loses" these units
+            continue
+        rows.append((u, 7))
+    assert dropped == 150
+    spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    lane = {r.nationkey: r
+            for r in q_srm_check(spark, str(tmp_path)).collect()}
+    assert lane[3].srm_alert is False
+    assert lane[7].srm_alert is True
+    assert lane[3].n_units == 400 and lane[7].n_units == 250
+    # global row aggregates both nations
+    assert lane[-1].n_units == lane[3].n_units + lane[7].n_units
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

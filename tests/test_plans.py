@@ -1578,3 +1578,18 @@ def test_bootstrap_ci_diff_cluster_counter_shape(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+
+
+def test_srm_check_single_rollup_shape(spark):
+    # one map-side-combinable ROLLUP aggregate over the customer
+    # scan: ONE exchange, zero broadcasts, zero joins, zero windows
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_srm_check,
+    )
+
+    plan = plan_of(q_srm_check(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan and "Window" not in plan
