@@ -331,8 +331,15 @@ family depends on: per-nation + global ROLLUP over customer units,
 chi-square-vs-even-split collapsed to (n_a−n_b)²/N as one pinned
 micro division, the alpha = 0.001 verdict an exact integer
 cross-multiplication against the 10.828 critical value), demoting
-sql_frontend (r4 + r12 greens, bench flag intact). The EXTRA lane
-holds a hundred and sixty-two oracle-gated entries, every one with
+sql_frontend (r4 + r12 greens, bench flag intact); wave 6 adds
+eval_win_rate (the arena-style pairwise win rate P(A beats B) with
+ties split, per language, over the fixed ordinal rubric pair — with
+the deterministic Poisson-bootstrap CI over documents (the
+comparison unit) from a w:-salted weight stream, because a win rate
+without its uncertainty is uninterpretable; win = (2·gt + eq)/(2·n)
+on exact counters, one pinned micro division per estimate),
+demoting agg_argminmax (r4 + r12 greens). The EXTRA lane
+holds a hundred and sixty-three oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

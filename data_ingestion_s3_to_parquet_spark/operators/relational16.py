@@ -1297,6 +1297,189 @@ def _containment_query() -> Query:
 # FOURTH wave for the new word_adaptation, and gini_concentration
 # (green r10 + r11) in the FIFTH wave for the new eval_qwk (both
 # register via relational18); they lead this module's EXTRA lane.
+# --------------------------------------------------------------------
+# eval_win_rate
+# --------------------------------------------------------------------
+
+# Win rate with ties split: (gt + eq/2) / n = (2·gt + eq) / (2·n),
+# micro-quantized via the midpoint-free half-up integer division on
+# exact counters — NULL on an empty denominator.
+_WIN_EXPR = (
+    "CASE WHEN {n} = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST((2 * CAST(1000000 AS {big})"
+    " * (2 * CAST({gt} AS {big}) + {eq}) + 2 * {n})"
+    " {div} (2 * (2 * CAST({n} AS {big}))) AS BIGINT) END"
+)
+
+
+def q_eval_win_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise WIN RATE of rater A over rater B with a bootstrap CI —
+    the LLM-eval staple (arena-style model comparison: report
+    P(A beats B) with ties split, never a bare mean score) over the
+    fixed ordinal rubric pair ``eval_qwk`` grades for agreement:
+    win = P(a > b) + ½·P(a = b) per language. A bare win rate is
+    uninterpretable without its uncertainty (500 comparisons at 52%
+    is noise; at 99% it isn't), so the lane ships the deterministic
+    Poisson-bootstrap CI over DOCUMENTS — the comparison unit — from
+    a ``w:``-salted md5 weight stream (independent of the
+    mean/ratio/quantile/diff/stream lanes').
+
+    Exactness: the win rate is (2·gt + eq)/(2·n) on exact integer
+    counters, ONE pinned half-up micro division per estimate
+    (plain and per replicate); ties are handled by the counter
+    algebra, never a float 0.5; bounds are type-1 rank-selected over
+    the ≤ B replicate window. An all-zero replicate is excluded and
+    ``n_replicates`` reports the effective count.
+
+    Scale shape: the ×B fan-out is a stateless explode (the
+    stream_bootstrap form — no broadcast), ONE map-side-combinable
+    (lang, b) aggregate (shuffle volume |langs|·B), the bounded rank
+    window, and the |langs|-row plain broadcast. Zero data joins.
+    """
+    from .trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _pois_w_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        _rater_char_grade().cast("long").alias("a"),
+        _rater_words_grade().cast("long").alias("b"),
+    )
+    dec = "decimal(38,0)"
+    plain = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("a") > F.col("b")).cast("long")).alias("n_gt"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).alias("n_eq"),
+    ).withColumn(
+        "win_micro",
+        F.expr(
+            _WIN_EXPR.format(gt="n_gt", eq="n_eq", n="n_docs",
+                             big=dec, div="div")
+        ),
+    )
+    rows = (
+        docs.withColumn(
+            "bb", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1)))
+        )
+        .withColumn(
+            "u",
+            F.expr(
+                "substring(md5(concat('w:', CAST(doc_id AS STRING),"
+                " ':', CAST(bb AS STRING))), 1, 8)"
+            ),
+        )
+        .withColumn("w", F.expr(_pois_w_expr("u")).cast("long"))
+    )
+    g = rows.groupBy("lang", "bb").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.when(F.col("a") > F.col("b"), F.col("w")).otherwise(0))
+        .alias("wgt"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("w")).otherwise(0))
+        .alias("weq"),
+    )
+    g = g.withColumn(
+        "win_b",
+        F.expr(
+            _WIN_EXPR.format(gt="wgt", eq="weq", n="sw", big=dec,
+                             div="div")
+        ),
+    ).where(F.col("win_b").isNotNull())
+    win = Window.partitionBy("lang").orderBy("win_b", "bb")
+    ranked = g.withColumn("rn", F.row_number().over(win))
+    ci = ranked.groupBy("lang").agg(
+        F.count("*").alias("n_replicates"),
+        F.max(
+            F.when(F.col("rn") == BOOT_LO_RANK, F.col("win_b"))
+        ).alias("ci_lo_micro"),
+        F.max(
+            F.when(F.col("rn") == BOOT_HI_RANK, F.col("win_b"))
+        ).alias("ci_hi_micro"),
+    )
+    return ci.join(F.broadcast(plain), "lang").select(
+        "lang",
+        "n_docs",
+        "n_gt",
+        "n_eq",
+        "win_micro",
+        "n_replicates",
+        "ci_lo_micro",
+        "ci_hi_micro",
+    )
+
+
+def _sql_eval_win_rate() -> str:
+    from .trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _pois_w_expr,
+    )
+
+    b_lit = ", ".join(f"({b})" for b in range(BOOT_B))
+    win_plain = _WIN_EXPR.format(
+        gt="n_gt", eq="n_eq", n="n_docs", big="HUGEINT", div="//"
+    )
+    win_rep = _WIN_EXPR.format(
+        gt="wgt", eq="weq", n="sw", big="HUGEINT", div="//"
+    )
+    return f"""
+WITH reps AS (SELECT * FROM (VALUES {b_lit}) AS t(bb)),
+d AS (
+  SELECT doc_id, lang,
+         {_SQL_RATER_CHAR_GRADE} AS a,
+         {_SQL_RATER_WORDS_GRADE} AS b
+  FROM documents
+),
+plain AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT) AS n_gt,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
+  FROM d GROUP BY lang
+),
+p2 AS (SELECT lang, n_docs, n_gt, n_eq, {win_plain} AS win_micro FROM plain),
+rows_w AS (
+  SELECT lang, bb, a, b,
+         {_pois_w_expr(
+             "substr(md5('w:' || CAST(doc_id AS VARCHAR) || ':' ||"
+             " CAST(bb AS VARCHAR)), 1, 8)"
+         )} AS w
+  FROM d CROSS JOIN reps
+),
+g AS (
+  SELECT lang, bb,
+         CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(CASE WHEN a > b THEN w ELSE 0 END) AS BIGINT) AS wgt,
+         CAST(SUM(CASE WHEN a = b THEN w ELSE 0 END) AS BIGINT) AS weq
+  FROM rows_w GROUP BY lang, bb
+),
+m AS (SELECT lang, bb, {win_rep} AS win_b FROM g),
+r AS (
+  SELECT lang, bb, win_b,
+         row_number() OVER (PARTITION BY lang ORDER BY win_b, bb) AS rn
+  FROM m WHERE win_b IS NOT NULL
+),
+ci AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_replicates,
+         MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN win_b END)
+           AS ci_lo_micro,
+         MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN win_b END)
+           AS ci_hi_micro
+  FROM r GROUP BY lang
+)
+SELECT ci.lang, n_docs, n_gt, n_eq, win_micro,
+       n_replicates, ci_lo_micro, ci_hi_micro
+FROM ci JOIN p2 ON ci.lang = p2.lang
+"""
+
+
+SQL_EVAL_WIN_RATE = _sql_eval_win_rate()
+
+
 QUERIES: list[Query] = []
 
 # quantile_weighted (single-green r10) demoted in the round-11 THIRD

@@ -254,17 +254,19 @@ EXTRA_QUERIES: list[Query] = [
         ("relational", "sql", "tpch"),
         bench=True,
     ),
-]
-
-# Still graded: six of the round-12 promotion cohort (r12-refreshed
-# driver rows). They demote one-for-one as the round-13 waves land.
-QUERIES: list[Query] = [
+    # --- demoted in the round-13 SIXTH wave for the new
+    # eval_win_rate (r4 + r12 greens) ---
     Query(
         "agg_argminmax",
         q_agg_argminmax,
         SQL_AGG_ARGMINMAX,
         ("relational", "agg"),
     ),
+]
+
+# Still graded: five of the round-12 promotion cohort (r12-refreshed
+# driver rows). They demote one-for-one as the round-13 waves land.
+QUERIES: list[Query] = [
     Query(
         "udaf_grouped",
         q_udaf_grouped,

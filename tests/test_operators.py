@@ -977,7 +977,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 162
+    assert len(EXTRA) == 163
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -991,17 +991,17 @@ def test_lane_counts_match_docs():
     # subquery_scalar (r4 + r12 greens); wave 2 perm_test_diff,
     # demoting agg_percentile; wave 3 stream_bootstrap, demoting
     # pivot; wave 4 bootstrap_ci_diff, demoting join_skew_salted;
-    # wave 5 srm_check, demoting sql_frontend (each r4 + r12
-    # greens).
+    # wave 5 srm_check, demoting sql_frontend; wave 6 eval_win_rate,
+    # demoting agg_argminmax (each r4 + r12 greens).
     assert list(REGISTRY)[1:27] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
-        "bootstrap_ci_diff", "srm_check",
+        "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "agg_argminmax", "udaf_grouped", "join_null_safe",
+        "udaf_grouped", "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
         "join_inner", "join_range",
         "eval_mrr",
@@ -1023,13 +1023,14 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:55] == [
+    assert list(EXTRA)[:56] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
         "bootstrap_ci_mean", "event_interarrival_scale",
         "bootstrap_ci_ratio", "window_analytic", "subquery_scalar",
         "agg_percentile", "pivot", "join_skew_salted", "sql_frontend",
+        "agg_argminmax",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -8469,6 +8470,98 @@ def test_srm_check_planted_segment_loss_alerts_only_that_nation(
     assert lane[3].n_units == 400 and lane[7].n_units == 250
     # global row aggregates both nations
     assert lane[-1].n_units == lane[3].n_units + lane[7].n_units
+
+
+def test_eval_win_rate_matches_python_recompute(spark, sf_dir):
+    # hashlib recompute: grades from the two rubric bands, w:-salted
+    # Poisson weights per (doc, replicate), the (2*gt+eq)/(2*n) win
+    # algebra, and the rank selection; the CI must bracket the plain
+    # win rate.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        KRIPP_ORD_CHAR_BANDS,
+        KRIPP_ORD_WORD_BANDS,
+        q_eval_win_rate,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _POIS_CUM,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.lang: r for r in q_eval_win_rate(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    ).collect()
+
+    def band(x, bands):
+        for g, edge in enumerate(bands):
+            if x < edge:
+                return g
+        return 3
+
+    def win_micro(gt, eq, n):
+        if n == 0:
+            return None
+        return (2 * 10**6 * (2 * gt + eq) + 2 * n) // (4 * n)
+
+    by: dict = {}
+    for r in docs:
+        a = band(r.n_chars, KRIPP_ORD_CHAR_BANDS)
+        b = band(len(r.text.split(" ")), KRIPP_ORD_WORD_BANDS)
+        by.setdefault(r.lang, []).append((r.doc_id, a, b))
+    for lang, rows in by.items():
+        n = len(rows)
+        gt = sum(1 for _, a, b in rows if a > b)
+        eq = sum(1 for _, a, b in rows if a == b)
+        ln = lane[lang]
+        assert (ln.n_docs, ln.n_gt, ln.n_eq) == (n, gt, eq)
+        assert ln.win_micro == win_micro(gt, eq, n)
+        wins = []
+        for bb in range(BOOT_B):
+            sw = wgt = weq = 0
+            for doc_id, a, b in rows:
+                h = hashlib.md5(
+                    f"w:{doc_id}:{bb}".encode()
+                ).hexdigest()[:8]
+                w = next((k for k, t in enumerate(_POIS_CUM) if h < t), 8)
+                sw += w
+                if a > b:
+                    wgt += w
+                elif a == b:
+                    weq += w
+            if sw:
+                wins.append((win_micro(wgt, weq, sw), bb))
+        wins.sort()
+        assert ln.n_replicates == len(wins)
+        assert ln.ci_lo_micro == wins[BOOT_LO_RANK - 1][0]
+        assert ln.ci_hi_micro == wins[BOOT_HI_RANK - 1][0]
+        assert ln.ci_lo_micro <= ln.win_micro <= ln.ci_hi_micro
+
+
+def test_eval_win_rate_planted_all_ties_collapses_ci(spark, tmp_path):
+    # every doc grades (0, 0) on both rubrics (1-char, 1-word texts):
+    # the win algebra gives exactly 0.5 for EVERY replicate whatever
+    # the weights (win = (0 + sw)/(2*sw)), so the CI collapses to the
+    # point 500000 — ties ride the counter algebra, never float 0.5.
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_win_rate,
+    )
+
+    rows = [(i, "x", "en", "synth", 1) for i in range(1, 61)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    row, = q_eval_win_rate(spark, str(tmp_path)).collect()
+    assert (row.n_docs, row.n_gt, row.n_eq) == (60, 0, 60)
+    assert row.win_micro == 500_000
+    assert row.n_replicates == 40
+    assert row.ci_lo_micro == row.ci_hi_micro == 500_000
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

@@ -1593,3 +1593,19 @@ def test_srm_check_single_rollup_shape(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_eval_win_rate_explode_counter_shape(spark):
+    # stateless explode fan-out (no replicate table), ONE combinable
+    # (lang, b) aggregate, bounded rank window, |langs|-row plain
+    # broadcast: three exchanges, one broadcast, zero SMJ/SHJ
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_win_rate,
+    )
+
+    plan = plan_of(q_eval_win_rate(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0

@@ -32,6 +32,7 @@ NEW_ROWS: dict[str, str] = {
     "stream_bootstrap": "full oracle (the streaming uncertainty leg — Poisson bootstrap CI for the mean event value per event_type, graded through its batch twin end-to-end: the per-(type, b) (Σw, Σw·cents) counters are a commutative monoid, so the IDENTICAL _boot_counters code path runs under readStream as a plain complete-mode aggregation with |types|·B rows of state; `s:`-salted md5 weight stream independent of the other bootstrap lanes; CI finishing is the bounded rank selection over each snapshot; + cross-micro-batch parity pytest in tests/test_streaming.py pinning two micro-batches == batch counters AND CI bitwise; NEW r13 wave 3)",
     "bootstrap_ci_diff": "full oracle (CLUSTER-bootstrap CI for the difference of arm mean order prices — the effect-size uncertainty completing the experiment readout next to ab_test_metrics and perm_test_diff: customers (the randomization unit) resample as WHOLE clusters via one d:-salted md5 Poisson weight per (custkey, b) applied to every order of the customer — a pure per-row function, no customer table, no join; per-replicate d = two pinned half-up integer divisions on decimal/HUGEINT sums, empty-arm replicates NULL out, type-1 rank-selected bounds over the ≤40-row window; + hashlib full-recompute pytest + CI-brackets-point-estimate pytest; NEW r13 wave 4)",
     "srm_check": "full oracle (sample-ratio-mismatch audit, Fabijan et al. KDD 2019 — the pre-analysis hygiene gate for the A/B family: customer UNITS counted per nation + global via one map-side-combinable ROLLUP; chi-square(1 df) against the designed even md5 split collapses to (n_a−n_b)²/N — one pinned half-up micro division; the alpha = 0.001 verdict is an exact integer cross-multiplication against the published 10.828 critical value, no float compare, no p-table; zero joins/windows/broadcasts; + planted segment-loss pytest (drop 80% of one nation's arm A: that nation alerts, others don't); NEW r13 wave 5)",
+    "eval_win_rate": "full oracle (arena-style pairwise win rate P(A beats B) + ½·P(tie) per language over the fixed ordinal rubric pair, WITH the deterministic Poisson-bootstrap CI over documents — the comparison unit — from a w:-salted md5 weight stream independent of the other bootstrap lanes; win = (2·gt + eq)/(2·n) on exact integer counters, ONE pinned half-up micro division per estimate (plain and per replicate), ties handled by counter algebra never a float 0.5; ×B fan-out is a stateless explode (no broadcast), ONE combinable (lang, b) aggregate, type-1 rank-selected bounds; + hashlib full-recompute pytest + planted all-ties pytest (win = 0.5 exactly, CI collapses to the point); NEW r13 wave 6)",
     "corpus_prep": "full oracle; re-promoted r13 grade-freshness rotation (r5 driver row — the registry's measured-oldest cohort)",
     "decontaminate": "full oracle; re-promoted r13 grade-freshness rotation (r5 driver row)",
     "dedup_fuzzy": "accuracy-contract oracle (recall_ok vs exact shingle-Jaccard pair set, floors 0.8/0.5) + exact counts; re-promoted r13 grade-freshness rotation (r5 driver row)",
