@@ -338,8 +338,14 @@ the deterministic Poisson-bootstrap CI over documents (the
 comparison unit) from a w:-salted weight stream, because a win rate
 without its uncertainty is uninterpretable; win = (2·gt + eq)/(2·n)
 on exact counters, one pinned micro division per estimate),
-demoting agg_argminmax (r4 + r12 greens). The EXTRA lane
-holds a hundred and sixty-three oracle-gated entries, every one with
+demoting agg_argminmax (r4 + r12 greens); wave 7 adds
+metric_winsorized (the capped metric every experimentation platform
+ships next to the raw mean: exact type-1 p5/p95 bounds and the
+clamped mean, BOTH passes over the bounded per-(status, cents)
+histogram — the bootstrap_ci_quantile domain idea used twice, so
+shuffle volume never grows with rows), demoting udaf_grouped
+(r4 + r12 greens). The EXTRA lane
+holds a hundred and sixty-four oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

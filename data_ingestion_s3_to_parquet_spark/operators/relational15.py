@@ -758,6 +758,155 @@ FROM u
 # All five graded green in round 10 (single-green first-timers);
 # demoted one-for-one in the round-11 grade-freshness rotation for
 # the r3/r4-cohort promotions registered in relational17.
+# --------------------------------------------------------------------
+# metric_winsorized
+# --------------------------------------------------------------------
+
+# Mean in micro-dollars from exact cents: the midpoint-free half-up
+# integer division on decimal(38,0) ↔ HUGEINT.
+_WINS_MEAN_EXPR = (
+    "CASE WHEN {n} = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST((2 * CAST(10000 AS {big}) * CAST({s} AS {big}) + {n})"
+    " {div} (2 * CAST({n} AS {big})) AS BIGINT) END"
+)
+
+
+def q_metric_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean order price per status — the capped metric
+    every experimentation platform ships next to the raw mean: a
+    heavy-tailed metric's mean is dominated by its extreme orders,
+    so the standard practice is to CLAMP values to the [p5, p95]
+    band before averaging (winsorization — not trimming: the rows
+    stay, their values saturate). The lane reports the exact type-1
+    p5/p95 bounds, the raw mean, and the winsorized mean so the
+    tail's leverage is readable as the raw-vs-winsorized gap.
+
+    Exactness: the bounds are TYPE-1 quantiles — the smallest cents
+    whose cumulative count reaches ceil(p·n), picked never
+    interpolated — and both means are ONE pinned half-up integer
+    division each on exact decimal/HUGEINT cent sums. Everything
+    else is integer compares and clamps.
+
+    Scale shape — the ``bootstrap_ci_quantile`` histogram idea, used
+    twice: cents live in a bounded domain, so the per-(status,
+    cents) HISTOGRAM is map-side combinable and BOTH passes (the
+    quantile location and the clamped re-aggregation) run over the
+    histogram, never re-reading rows. The bounds frame is
+    |statuses| rows, broadcast back onto the histogram. Shuffle
+    volume is |distinct cents| once, regardless of row count.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    dec = "decimal(38,0)"
+    h = o.groupBy("status", "cents").agg(
+        F.count("*").cast("long").alias("wc")
+    )
+    cum = Window.partitionBy("status").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("status")
+    hh = h.withColumn("cn", F.sum("wc").over(cum)).withColumn(
+        "n", F.sum("wc").over(tot)
+    )
+    bounds = (
+        hh.groupBy("status", "n")
+        .agg(
+            F.min(
+                F.when(
+                    F.expr("cn >= (5 * n + 99) div 100"), F.col("cents")
+                )
+            ).alias("p05_cents"),
+            F.min(
+                F.when(
+                    F.expr("cn >= (95 * n + 99) div 100"), F.col("cents")
+                )
+            ).alias("p95_cents"),
+        )
+        .withColumnRenamed("n", "n_orders")
+    )
+    joined = h.join(F.broadcast(bounds), "status")
+    clamped = F.expr(
+        "CASE WHEN cents < p05_cents THEN p05_cents"
+        " WHEN cents > p95_cents THEN p95_cents ELSE cents END"
+    )
+    g = joined.groupBy(
+        "status", "n_orders", "p05_cents", "p95_cents"
+    ).agg(
+        F.sum(F.col("wc").cast(dec) * F.col("cents")).cast(dec).alias("s"),
+        F.sum(F.col("wc").cast(dec) * clamped).cast(dec).alias("sw"),
+    )
+    return g.select(
+        "status",
+        "n_orders",
+        "p05_cents",
+        "p95_cents",
+        F.expr(
+            _WINS_MEAN_EXPR.format(n="n_orders", s="s", big=dec, div="div")
+        ).alias("mean_micro"),
+        F.expr(
+            _WINS_MEAN_EXPR.format(n="n_orders", s="sw", big=dec,
+                                   div="div")
+        ).alias("winsorized_mean_micro"),
+    )
+
+
+def _sql_metric_winsorized() -> str:
+    mean_raw = _WINS_MEAN_EXPR.format(
+        n="n_orders", s="s", big="HUGEINT", div="//"
+    )
+    mean_w = _WINS_MEAN_EXPR.format(
+        n="n_orders", s="sw", big="HUGEINT", div="//"
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+h AS (
+  SELECT status, cents, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM o GROUP BY status, cents
+),
+hh AS (
+  SELECT status, cents, wc,
+         SUM(wc) OVER (PARTITION BY status ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cn,
+         SUM(wc) OVER (PARTITION BY status) AS n
+  FROM h
+),
+bounds AS (
+  SELECT status, CAST(n AS BIGINT) AS n_orders,
+         MIN(CASE WHEN cn >= (5 * n + 99) // 100 THEN cents END)
+           AS p05_cents,
+         MIN(CASE WHEN cn >= (95 * n + 99) // 100 THEN cents END)
+           AS p95_cents
+  FROM hh GROUP BY status, n
+),
+g AS (
+  SELECT h.status, n_orders, p05_cents, p95_cents,
+         SUM(CAST(wc AS HUGEINT) * cents) AS s,
+         SUM(CAST(wc AS HUGEINT)
+             * (CASE WHEN cents < p05_cents THEN p05_cents
+                     WHEN cents > p95_cents THEN p95_cents
+                     ELSE cents END)) AS sw
+  FROM h JOIN bounds ON h.status = bounds.status
+  GROUP BY h.status, n_orders, p05_cents, p95_cents
+)
+SELECT status, n_orders, p05_cents, p95_cents,
+       {mean_raw} AS mean_micro,
+       {mean_w} AS winsorized_mean_micro
+FROM g
+"""
+
+
+SQL_METRIC_WINSORIZED = _sql_metric_winsorized()
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES: list[Query] = [

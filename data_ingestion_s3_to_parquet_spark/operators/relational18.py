@@ -262,17 +262,19 @@ EXTRA_QUERIES: list[Query] = [
         SQL_AGG_ARGMINMAX,
         ("relational", "agg"),
     ),
-]
-
-# Still graded: five of the round-12 promotion cohort (r12-refreshed
-# driver rows). They demote one-for-one as the round-13 waves land.
-QUERIES: list[Query] = [
+    # --- demoted in the round-13 SEVENTH wave for the new
+    # metric_winsorized (r4 + r12 greens) ---
     Query(
         "udaf_grouped",
         q_udaf_grouped,
         SQL_UDAF_GROUPED,
         ("relational", "udf"),
     ),
+]
+
+# Still graded: four of the round-12 promotion cohort (r12-refreshed
+# driver rows). They demote one-for-one as the round-13 waves land.
+QUERIES: list[Query] = [
     Query(
         "join_null_safe",
         q_join_null_safe,

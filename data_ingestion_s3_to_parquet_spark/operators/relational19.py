@@ -39,6 +39,7 @@ from .dedup import (
 from .multimodal import SQL_ARRAY_MAP_JSON, q_array_map_json
 from .relational3 import SQL_MAP_IN_PANDAS_TOKENS, q_map_in_pandas_tokens
 from .relational6 import SQL_AGG_HLL_SKETCH, q_agg_hll_sketch
+from .relational15 import SQL_METRIC_WINSORIZED, q_metric_winsorized
 from .relational16 import SQL_EVAL_WIN_RATE, q_eval_win_rate
 from .relational9 import (
     SQL_BOOTSTRAP_CI_DIFF,
@@ -118,6 +119,14 @@ QUERIES: list[Query] = [
         q_eval_win_rate,
         SQL_EVAL_WIN_RATE,
         ("llm", "evaluation", "statistics", "sampling"),
+    ),
+    # --- round-13 SEVENTH wave (never-graded; udaf_grouped — r4 +
+    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
+    Query(
+        "metric_winsorized",
+        q_metric_winsorized,
+        SQL_METRIC_WINSORIZED,
+        ("relational", "statistics", "agg", "quality"),
     ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the

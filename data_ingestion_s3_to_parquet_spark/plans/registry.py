@@ -180,7 +180,7 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and sixty-three entries after the round-13 rotation
+# a hundred and sixty-four entries after the round-13 rotation
 # (round 13 demoted the eleven r12 single-green first-timers plus
 # window_analytic — through relational18.EXTRA_QUERIES, so they LEAD
 # this lane — in exchange for the twelve measured-oldest r5/r6-row
@@ -191,8 +191,9 @@ REGISTRY: dict[str, Query] = _collect()
 # subquery_scalar for the wave-1 bootstrap_ci_quantile,
 # agg_percentile for the wave-2 perm_test_diff, pivot for the
 # wave-3 stream_bootstrap, join_skew_salted for the wave-4
-# bootstrap_ci_diff, sql_frontend for the wave-5 srm_check, and
-# agg_argminmax for the wave-6 eval_win_rate);
+# bootstrap_ci_diff, sql_frontend for the wave-5 srm_check,
+# agg_argminmax for the wave-6 eval_win_rate, and udaf_grouped for
+# the wave-7 metric_winsorized);
 # before that —
 # round 12 demoted the seven r11 single-green first-timers plus
 # eight r11-refreshed veterans through relational17.EXTRA_QUERIES —

@@ -977,7 +977,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 163
+    assert len(EXTRA) == 164
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -992,16 +992,18 @@ def test_lane_counts_match_docs():
     # demoting agg_percentile; wave 3 stream_bootstrap, demoting
     # pivot; wave 4 bootstrap_ci_diff, demoting join_skew_salted;
     # wave 5 srm_check, demoting sql_frontend; wave 6 eval_win_rate,
-    # demoting agg_argminmax (each r4 + r12 greens).
+    # demoting agg_argminmax; wave 7 metric_winsorized, demoting
+    # udaf_grouped (each r4 + r12 greens).
     assert list(REGISTRY)[1:27] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
+        "metric_winsorized",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "udaf_grouped", "join_null_safe",
+        "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
         "join_inner", "join_range",
         "eval_mrr",
@@ -1023,14 +1025,14 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:56] == [
+    assert list(EXTRA)[:57] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
         "bootstrap_ci_mean", "event_interarrival_scale",
         "bootstrap_ci_ratio", "window_analytic", "subquery_scalar",
         "agg_percentile", "pivot", "join_skew_salted", "sql_frontend",
-        "agg_argminmax",
+        "agg_argminmax", "udaf_grouped",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -8562,6 +8564,75 @@ def test_eval_win_rate_planted_all_ties_collapses_ci(spark, tmp_path):
     assert row.win_micro == 500_000
     assert row.n_replicates == 40
     assert row.ci_lo_micro == row.ci_hi_micro == 500_000
+
+
+def test_metric_winsorized_matches_python_recompute(spark, sf_dir):
+    # recompute type-1 p5/p95, clamp, and both pinned means in pure
+    # Python against the lane.
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_metric_winsorized,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.status: r
+            for r in q_metric_winsorized(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect()
+
+    def half_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    by: dict = {}
+    for r in orders:
+        by.setdefault(r.o_orderstatus, []).append(
+            half_away(r.o_totalprice * 100)
+        )
+    for status, cents in by.items():
+        cents.sort()
+        n = len(cents)
+        p05 = cents[-(-5 * n // 100) - 1]   # ceil(0.05 n), 1-based
+        p95 = cents[-(-95 * n // 100) - 1]
+        s = sum(cents)
+        sw = sum(min(max(c, p05), p95) for c in cents)
+        row = lane[status]
+        assert (row.n_orders, row.p05_cents, row.p95_cents) == (
+            n, p05, p95)
+        assert row.mean_micro == (2 * 10**4 * s + n) // (2 * n)
+        assert row.winsorized_mean_micro == (
+            (2 * 10**4 * sw + n) // (2 * n))
+        # winsorization pulls the mean toward the band
+        assert row.p05_cents * 10**4 <= row.winsorized_mean_micro
+        assert row.winsorized_mean_micro <= row.p95_cents * 10**4
+
+
+def test_metric_winsorized_planted_tail_is_clamped(spark, tmp_path):
+    # 99 orders at $10 + one at $1,000,000: the raw mean moves ~$10k,
+    # the winsorized mean clamps the whale to p95 = $10 -> exactly
+    # $10. Ties at the p5 boundary exercise the histogram path.
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_metric_winsorized,
+    )
+
+    rows = [(i, 1, "O", "10.00") for i in range(1, 100)]
+    rows.append((100, 1, "O", "1000000.00"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice_s string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(o_totalprice_s AS DOUBLE) AS o_totalprice",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    row, = q_metric_winsorized(spark, str(tmp_path)).collect()
+    assert (row.n_orders, row.p05_cents, row.p95_cents) == (
+        100, 1000, 1000)
+    # raw mean = (99*10 + 1e6)/100 dollars = $10009.90
+    assert row.mean_micro == 10_009_900_000
+    # winsorized: the whale clamps to $10 -> mean exactly $10
+    assert row.winsorized_mean_micro == 10_000_000
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

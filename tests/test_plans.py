@@ -1609,3 +1609,20 @@ def test_eval_win_rate_explode_counter_shape(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+
+
+def test_metric_winsorized_histogram_shape(spark):
+    # both passes run over the bounded per-(status, cents) histogram:
+    # the histogram aggregate, its cumulative window, the bounds
+    # reduce, and the final clamp aggregate — four exchanges, ONE
+    # broadcast (the |statuses|-row bounds frame), zero SMJ/SHJ
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_metric_winsorized,
+    )
+
+    plan = plan_of(q_metric_winsorized(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 4
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
