@@ -344,8 +344,15 @@ ships next to the raw mean: exact type-1 p5/p95 bounds and the
 clamped mean, BOTH passes over the bounded per-(status, cents)
 histogram — the bootstrap_ci_quantile domain idea used twice, so
 shuffle volume never grows with rows), demoting udaf_grouped
-(r4 + r12 greens). The EXTRA lane
-holds a hundred and sixty-four oracle-gated entries, every one with
+(r4 + r12 greens); wave 8 adds ngram_novelty (per-document trigram
+novelty share — the fraction of a doc's distinct trigrams whose
+FIRST corpus occurrence is this doc, the pairwise-free curation
+score that separates original content from template floods:
+per-doc grams built row-locally, first-occurrence attribution as
+ONE groupBy(gram) min + ONE groupBy(first_doc) count, the final
+doc-keyed join shuffle_hash-pinned since both sides grow with the
+corpus), demoting join_null_safe (r4 + r12 greens). The EXTRA lane
+holds a hundred and sixty-five oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

@@ -1470,6 +1470,120 @@ FROM fresh GROUP BY text
 # rows each; their graded slots went to the eleven never-graded
 # round-4 operators — VERDICT r5 #4, the final rotation). All five
 # keep their oracles + bench entries and stay in the local sweep.
+# --------------------------------------------------------------------
+# ngram_novelty
+# --------------------------------------------------------------------
+
+NOVELTY_N = 3  # trigram novelty — the content-flood screen size
+
+_NOVELTY_EXPR = (
+    "CAST((2 * CAST(1000000 AS {big}) * CAST(n_novel AS {big})"
+    " + n_grams) {div} (2 * CAST(n_grams AS {big})) AS BIGINT)"
+)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram NOVELTY share — the curation signal that
+    separates original content from template floods and near-copies
+    without any pairwise comparison: a document's novelty is the
+    fraction of its distinct trigrams whose FIRST corpus occurrence
+    (min doc_id) is this document. Boilerplate reposts score near 0
+    (their grams all appeared earlier); genuinely new text scores
+    near 1. The per-doc score is what a filter consumes — the
+    pairwise lanes (``dedup_ngram_jaccard``) find WHO copied WHOM;
+    this lane scores each doc in one corpus-wide pass.
+
+    The distributed trick: no join carries the corpus' grams twice.
+    Per-doc distinct trigrams are built ROW-LOCALLY (transform over
+    the token array + array_distinct — ``n_grams`` never shuffles);
+    first-occurrence attribution is ONE groupBy(gram) → min(doc_id)
+    followed by ONE groupBy(first_doc) count — so the shuffled rows
+    are (gram)- then (doc)-keyed, and the final doc-keyed join of
+    two document-proportional sides is shuffle_hash-pinned (neither
+    may broadcast at scale — the ref_integrity_audit rule). Docs
+    with fewer than 3 tokens have no trigram and are dropped in both
+    engines. ``novelty_micro`` is ONE pinned half-up micro division
+    of exact counts.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        # guard size < 3 explicitly: Spark's sequence(1, 0) yields a
+        # DESCENDING [1, 0], and element_at(_, 0) throws
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) < 3"
+            " THEN CAST(array() AS array<string>)"
+            " ELSE array_distinct(transform("
+            " sequence(1, size(split(text, ' ')) - 2),"
+            " i -> concat(element_at(split(text, ' '), i), ' ',"
+            " element_at(split(text, ' '), i + 1), ' ',"
+            " element_at(split(text, ' '), i + 2)))) END"
+        ).alias("grams"),
+    )
+    base = docs.withColumn("n_grams", F.size("grams")).where(
+        F.col("n_grams") > 0
+    )
+    firsts = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    novel = firsts.groupBy("first_doc").agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
+    joined = base.select("doc_id", "lang", "n_grams").join(
+        novel.hint("shuffle_hash"),
+        base.doc_id == novel.first_doc,
+        "left",
+    )
+    dec = "decimal(38,0)"
+    return joined.select(
+        "doc_id",
+        "lang",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+    ).withColumn(
+        "novelty_micro",
+        F.expr(_NOVELTY_EXPR.format(big=dec, div="div")),
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> string_split(text, ' ')[i] || ' '
+                || string_split(text, ' ')[i + 1] || ' '
+                || string_split(text, ' ')[i + 2]
+         )) AS grams
+  FROM documents
+),
+base AS (
+  SELECT doc_id, lang, grams, len(grams) AS n_grams
+  FROM d WHERE len(grams) > 0
+),
+firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, UNNEST(grams) AS gram FROM base)
+  GROUP BY gram
+),
+novel AS (
+  SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM firsts GROUP BY first_doc
+),
+j AS (
+  SELECT base.doc_id, base.lang,
+         CAST(n_grams AS BIGINT) AS n_grams,
+         COALESCE(n_novel, 0) AS n_novel
+  FROM base LEFT JOIN novel ON base.doc_id = novel.first_doc
+)
+SELECT doc_id, lang, n_grams, n_novel,
+       {_NOVELTY_EXPR.format(big="HUGEINT", div="//")} AS novelty_micro
+FROM j
+"""
+
+
 # dedup_incremental (round 8, post-swap) joins them never-graded.
 # dedup_incremental graded in the round-8 final rotation.
 QUERIES: list[Query] = [

@@ -270,17 +270,19 @@ EXTRA_QUERIES: list[Query] = [
         SQL_UDAF_GROUPED,
         ("relational", "udf"),
     ),
-]
-
-# Still graded: four of the round-12 promotion cohort (r12-refreshed
-# driver rows). They demote one-for-one as the round-13 waves land.
-QUERIES: list[Query] = [
+    # --- demoted in the round-13 EIGHTH wave for the new
+    # ngram_novelty (r4 + r12 greens) ---
     Query(
         "join_null_safe",
         q_join_null_safe,
         SQL_JOIN_NULL_SAFE,
         ("relational", "join"),
     ),
+]
+
+# Still graded: three of the round-12 promotion cohort (r12-refreshed
+# driver rows). They demote one-for-one as the round-13 waves land.
+QUERIES: list[Query] = [
     Query(
         "dedup_exact",
         q_dedup_exact,

@@ -33,8 +33,10 @@ from ..plans.spec import Query
 from .dedup import (
     SQL_DEDUP_FUZZY,
     SQL_DEDUP_NGRAM_JACCARD,
+    SQL_NGRAM_NOVELTY,
     q_dedup_fuzzy,
     q_dedup_ngram_jaccard,
+    q_ngram_novelty,
 )
 from .multimodal import SQL_ARRAY_MAP_JSON, q_array_map_json
 from .relational3 import SQL_MAP_IN_PANDAS_TOKENS, q_map_in_pandas_tokens
@@ -127,6 +129,14 @@ QUERIES: list[Query] = [
         q_metric_winsorized,
         SQL_METRIC_WINSORIZED,
         ("relational", "statistics", "agg", "quality"),
+    ),
+    # --- round-13 EIGHTH wave (never-graded; join_null_safe — r4 +
+    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
+    Query(
+        "ngram_novelty",
+        q_ngram_novelty,
+        SQL_NGRAM_NOVELTY,
+        ("llm", "dedup", "text", "quality"),
     ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the

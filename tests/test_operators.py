@@ -977,7 +977,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 164
+    assert len(EXTRA) == 165
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -993,17 +993,17 @@ def test_lane_counts_match_docs():
     # pivot; wave 4 bootstrap_ci_diff, demoting join_skew_salted;
     # wave 5 srm_check, demoting sql_frontend; wave 6 eval_win_rate,
     # demoting agg_argminmax; wave 7 metric_winsorized, demoting
-    # udaf_grouped (each r4 + r12 greens).
+    # udaf_grouped; wave 8 ngram_novelty, demoting join_null_safe
+    # (each r4 + r12 greens).
     assert list(REGISTRY)[1:27] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
-        "metric_winsorized",
+        "metric_winsorized", "ngram_novelty",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
         "join_inner", "join_range",
         "eval_mrr",
@@ -1025,14 +1025,14 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:57] == [
+    assert list(EXTRA)[:58] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
         "bootstrap_ci_mean", "event_interarrival_scale",
         "bootstrap_ci_ratio", "window_analytic", "subquery_scalar",
         "agg_percentile", "pivot", "join_skew_salted", "sql_frontend",
-        "agg_argminmax", "udaf_grouped",
+        "agg_argminmax", "udaf_grouped", "join_null_safe",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -8633,6 +8633,79 @@ def test_metric_winsorized_planted_tail_is_clamped(spark, tmp_path):
     assert row.mean_micro == 10_009_900_000
     # winsorized: the whale clamps to $10 -> mean exactly $10
     assert row.winsorized_mean_micro == 10_000_000
+
+
+def test_ngram_novelty_matches_python_recompute(spark, sf_dir):
+    # pure-Python recompute of per-doc distinct trigrams, corpus
+    # first-occurrence attribution, and the pinned micro share.
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        q_ngram_novelty,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.doc_id: r for r in q_ngram_novelty(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+
+    grams_of: dict = {}
+    for r in docs:
+        t = r.text.split(" ")
+        gs = []
+        seen = set()
+        for i in range(len(t) - 2):
+            g = f"{t[i]} {t[i + 1]} {t[i + 2]}"
+            if g not in seen:
+                seen.add(g)
+                gs.append(g)
+        if gs:
+            grams_of[r.doc_id] = gs
+    first: dict = {}
+    for doc_id in sorted(grams_of):
+        for g in grams_of[doc_id]:
+            if g not in first:
+                first[g] = doc_id
+    assert set(lane) == set(grams_of)
+    for doc_id, gs in grams_of.items():
+        n = len(gs)
+        novel = sum(1 for g in gs if first[g] == doc_id)
+        row = lane[doc_id]
+        assert (row.n_grams, row.n_novel) == (n, novel)
+        assert row.novelty_micro == (2 * 10**6 * novel + n) // (2 * n)
+
+
+def test_ngram_novelty_planted_copy_chain(spark, tmp_path):
+    # an original doc scores exactly 1.0; its verbatim repost (higher
+    # doc_id) scores exactly 0.0; a half-copy scores by its novel
+    # half; a 2-token doc has no trigram and is dropped.
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        q_ngram_novelty,
+    )
+
+    original = "alpha beta gamma delta epsilon zeta"  # 4 trigrams
+    half = "alpha beta gamma nu xi omicron pi"  # shares 1 of 5 trigrams
+    rows = [
+        (1, original, "en", "s", len(original)),
+        (2, original, "en", "s", len(original)),  # verbatim repost
+        (3, half, "en", "s", len(half)),
+        (4, "too short", "en", "s", 9),  # 2 tokens -> dropped
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    lane = {r.doc_id: r
+            for r in q_ngram_novelty(spark, str(tmp_path)).collect()}
+    assert set(lane) == {1, 2, 3}
+    assert (lane[1].n_grams, lane[1].n_novel,
+            lane[1].novelty_micro) == (4, 4, 1_000_000)
+    assert (lane[2].n_grams, lane[2].n_novel,
+            lane[2].novelty_micro) == (4, 0, 0)
+    # half: trigrams 'alpha beta gamma' (seen), 'beta gamma nu',
+    # 'gamma nu xi', 'nu xi omicron', 'xi omicron pi' -> 4/5 novel
+    assert (lane[3].n_grams, lane[3].n_novel,
+            lane[3].novelty_micro) == (5, 4, 800_000)
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

@@ -1626,3 +1626,19 @@ def test_metric_winsorized_histogram_shape(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 4
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+
+
+def test_ngram_novelty_shuffle_hash_no_broadcast(spark):
+    # both join sides are corpus-proportional: the doc-keyed join is
+    # shuffle_hash-pinned and NOTHING broadcasts; the gram and doc
+    # attributions are two combinable aggregates — three exchanges
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        q_ngram_novelty,
+    )
+
+    plan = plan_of(q_ngram_novelty(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 1

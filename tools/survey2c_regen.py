@@ -34,6 +34,7 @@ NEW_ROWS: dict[str, str] = {
     "srm_check": "full oracle (sample-ratio-mismatch audit, Fabijan et al. KDD 2019 — the pre-analysis hygiene gate for the A/B family: customer UNITS counted per nation + global via one map-side-combinable ROLLUP; chi-square(1 df) against the designed even md5 split collapses to (n_a−n_b)²/N — one pinned half-up micro division; the alpha = 0.001 verdict is an exact integer cross-multiplication against the published 10.828 critical value, no float compare, no p-table; zero joins/windows/broadcasts; + planted segment-loss pytest (drop 80% of one nation's arm A: that nation alerts, others don't); NEW r13 wave 5)",
     "eval_win_rate": "full oracle (arena-style pairwise win rate P(A beats B) + ½·P(tie) per language over the fixed ordinal rubric pair, WITH the deterministic Poisson-bootstrap CI over documents — the comparison unit — from a w:-salted md5 weight stream independent of the other bootstrap lanes; win = (2·gt + eq)/(2·n) on exact integer counters, ONE pinned half-up micro division per estimate (plain and per replicate), ties handled by counter algebra never a float 0.5; ×B fan-out is a stateless explode (no broadcast), ONE combinable (lang, b) aggregate, type-1 rank-selected bounds; + hashlib full-recompute pytest + planted all-ties pytest (win = 0.5 exactly, CI collapses to the point); NEW r13 wave 6)",
     "metric_winsorized": "full oracle (the experimentation-platform capped metric: exact TYPE-1 p5/p95 cents bounds — smallest value whose cumulative count reaches ceil(p·n), picked never interpolated — and the winsorized (clamped, not trimmed) mean next to the raw mean; BOTH passes run over the map-side-combinable per-(status, cents) histogram (the bootstrap_ci_quantile bounded-domain idea), the |statuses|-row bounds frame broadcasts back onto the histogram, and each mean is ONE pinned half-up micro division on decimal/HUGEINT sums; + planted tail pytest (one huge outlier moves the raw mean, the winsorized mean clamps it to p95); NEW r13 wave 7)",
+    "ngram_novelty": "full oracle (per-document trigram novelty share — the fraction of a doc's DISTINCT trigrams whose first corpus occurrence (min doc_id) is this doc: the pairwise-free curation score for template floods and reposts; per-doc distinct grams built ROW-LOCALLY (transform + array_distinct, n_grams never shuffles), first-occurrence attribution as ONE groupBy(gram) min(doc_id) + ONE groupBy(first_doc) count, final doc-keyed join shuffle_hash-pinned (both sides corpus-proportional — the ref_integrity_audit broadcast rule); sub-trigram docs dropped both engines; novelty = ONE pinned half-up micro division; + planted copy-chain pytest (original scores 1.0, verbatim repost 0.0) + Python recompute; NEW r13 wave 8)",
     "corpus_prep": "full oracle; re-promoted r13 grade-freshness rotation (r5 driver row — the registry's measured-oldest cohort)",
     "decontaminate": "full oracle; re-promoted r13 grade-freshness rotation (r5 driver row)",
     "dedup_fuzzy": "accuracy-contract oracle (recall_ok vs exact shingle-Jaccard pair set, floors 0.8/0.5) + exact counts; re-promoted r13 grade-freshness rotation (r5 driver row)",
