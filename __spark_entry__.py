@@ -351,8 +351,16 @@ score that separates original content from template floods:
 per-doc grams built row-locally, first-occurrence attribution as
 ONE groupBy(gram) min + ONE groupBy(first_doc) count, the final
 doc-keyed join shuffle_hash-pinned since both sides grow with the
-corpus), demoting join_null_safe (r4 + r12 greens). The EXTRA lane
-holds a hundred and sixty-five oracle-gated entries, every one with
+corpus), demoting join_null_safe (r4 + r12 greens); wave 9 adds
+eval_brier (the Brier score with the Murphy 1973
+reliability/resolution/uncertainty decomposition over DISCRETE
+decile-midpoint forecasts of the fluency score — discreteness makes
+BS = REL − RES + UNC an exact identity, pinned by pytest at gap 0;
+BS clears to one exact integer division, per-bin REL/RES terms are
+pinned-double ROUNDs on exact integers quantized before the
+cross-bin sum), demoting dedup_exact (r5 + r12 greens, bench flag
+intact). The EXTRA lane
+holds a hundred and sixty-six oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

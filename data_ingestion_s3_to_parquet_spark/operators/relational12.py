@@ -307,6 +307,188 @@ FROM per_bin CROSS JOIN tot
 
 
 # --------------------------------------------------------------------
+# eval_brier
+# --------------------------------------------------------------------
+
+# Murphy (1973) decomposition over DISCRETE decile-midpoint forecasts
+# p_k = (2k−1)/20: with a finite forecast alphabet the identity
+# BS = REL − RES + UNC is exact, and every term clears to integer (or
+# pinned-double-on-exact-integer) arithmetic:
+#   BS·400·N  = Σ_k [n_k(2k−1)² − 40(2k−1)·pos_k + 400·pos_k]  (int)
+#   REL terms = ((2k−1)·n_k − 20·pos_k)² / (400·n_k)   per bin
+#   RES terms = (pos_k·N − n_pos·n_k)² / (n_k·N²)      per bin
+#   UNC       = n_pos·(N − n_pos) / N²
+# Per-bin REL/RES terms quantize to integer micro units before the
+# cross-bin sum (the anova_oneway rule: the pinned double ROUND runs
+# on exact integers, and the cross-group sum is then exact integer
+# addition — never an order-dependent float sum).
+_BRIER_T_EXPR = (
+    "CAST(n AS {big}) * (2 * bin - 1) * (2 * bin - 1)"
+    " - 40 * (2 * bin - 1) * CAST(n_pos AS {big})"
+    " + 400 * CAST(n_pos AS {big})"
+)
+_BRIER_REL_UNIT_EXPR = (
+    "CAST(ROUND(CAST(1000000 AS DOUBLE)"
+    " * CAST((2 * bin - 1) * n - 20 * n_pos AS DOUBLE)"
+    " * CAST((2 * bin - 1) * n - 20 * n_pos AS DOUBLE)"
+    " / (CAST(400 AS DOUBLE) * n), 0) AS BIGINT)"
+)
+_BRIER_RES_UNIT_EXPR = (
+    "CAST(ROUND(CAST(1000000 AS DOUBLE)"
+    " * CAST(n_pos * n_docs - total_pos * n AS DOUBLE)"
+    " * CAST(n_pos * n_docs - total_pos * n AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * n_docs * n_docs), 0) AS BIGINT)"
+)
+_BRIER_BS_EXPR = (
+    "CAST((2 * CAST(1000000 AS {big}) * CAST(t_bs AS {big})"
+    " + 400 * CAST(n_docs AS {big}))"
+    " {div} (800 * CAST(n_docs AS {big})) AS BIGINT)"
+)
+_BRIER_DIV_N_EXPR = (
+    "CAST((2 * CAST({x} AS {big}) + n_docs)"
+    " {div} (2 * CAST(n_docs AS {big})) AS BIGINT)"
+)
+_BRIER_UNC_EXPR = (
+    "CAST(ROUND(CAST(1000000 AS DOUBLE)"
+    " * CAST(total_pos AS DOUBLE) * (n_docs - total_pos)"
+    " / (CAST(n_docs AS DOUBLE) * n_docs), 0) AS BIGINT)"
+)
+
+
+def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973)
+    reliability/resolution/uncertainty decomposition for the
+    unigram-LM fluency score as a detector of ``CAL_POS_LANG``
+    documents — the proper-scoring-rule leg of the evaluation family:
+    ``eval_auc`` grades ranking, ``eval_calibration`` tabulates the
+    reliability bins, and this lane reduces probabilistic quality to
+    ONE decomposable scalar — BS = REL − RES + UNC — so a regression
+    can be attributed: worse calibration (REL up), lost
+    discrimination (RES down), or just a harder class mix (UNC).
+
+    Forecasts are the DISCRETE decile midpoints p_k = (2k−1)/20 of
+    the score's rank deciles (the same NTILE frame as
+    ``eval_calibration``). Discreteness is what makes the
+    decomposition an IDENTITY rather than an approximation — pinned
+    by a pytest asserting bs = rel − res + unc within the ±2-micro
+    per-term quantization bound. All sums are exact integers; the
+    per-bin REL/RES terms are pinned-double ROUNDs on exact integers
+    quantized to micro units BEFORE the cross-bin sum (the
+    anova_oneway rule), and BS itself clears to a single exact
+    integer division (numerator Σ n_k(2k−1)² − 40(2k−1)pos_k +
+    400 pos_k). Double-exactness bound: the RES numerator
+    (pos_k·N − n_pos·n_k)² stays inside double's 2^53 integer range
+    to N ≈ 10⁶ documents; past that the term degrades to documented
+    double precision, never silent wraparound.
+
+    Scale shape: the calibration lane's shape — one global window
+    sort (rank + NTILE share the frame; the documented 100 TB
+    substitution is approx-quantile cutpoints), one 10-group
+    combinable aggregate, a 1-row broadcast of the totals, and a
+    10-row final reduce. Zero data joins beyond the score build.
+    """
+    from .relational8 import q_lm_unigram_score
+
+    lm = q_lm_unigram_score(spark, sf_dir).select("doc_id", "avg_nll")
+    lab = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == CAL_POS_LANG).alias("pos")
+    )
+    j = lm.join(lab, "doc_id")
+    w = Window.orderBy(F.col("avg_nll"), F.col("doc_id"))
+    ranked = j.select(
+        "pos", F.ntile(CAL_N_BINS).over(w).alias("bin")
+    )
+    per_bin = ranked.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("pos").cast("long")).alias("n_pos"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("n_pos").alias("total_pos"),
+    )
+    dec = "decimal(38,0)"
+    terms = per_bin.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        "total_pos",
+        F.expr(_BRIER_T_EXPR.format(big=dec)).alias("t"),
+        F.expr(_BRIER_REL_UNIT_EXPR).alias("rel_u"),
+        F.expr(_BRIER_RES_UNIT_EXPR).alias("res_u"),
+    )
+    g = terms.groupBy("n_docs", "total_pos").agg(
+        F.sum("t").cast(dec).alias("t_bs"),
+        F.sum("rel_u").alias("rel_sum"),
+        F.sum("res_u").alias("res_sum"),
+    )
+    return g.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_pos").cast("long").alias("n_pos"),
+        F.expr(_BRIER_BS_EXPR.format(big=dec, div="div")).alias(
+            "bs_micro"
+        ),
+        F.expr(
+            _BRIER_DIV_N_EXPR.format(x="rel_sum", big=dec, div="div")
+        ).alias("rel_micro"),
+        F.expr(
+            _BRIER_DIV_N_EXPR.format(x="res_sum", big=dec, div="div")
+        ).alias("res_micro"),
+        F.expr(_BRIER_UNC_EXPR).alias("unc_micro"),
+    )
+
+
+def _sql_eval_brier() -> str:
+    from .relational8 import SQL_LM_UNIGRAM_SCORE
+
+    return f"""
+WITH lm AS ({SQL_LM_UNIGRAM_SCORE}),
+j AS (
+  SELECT l.doc_id, l.avg_nll, (d.lang = '{CAL_POS_LANG}') AS pos
+  FROM lm l JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT pos,
+         NTILE({CAL_N_BINS}) OVER (ORDER BY avg_nll, doc_id) AS bin
+  FROM j
+),
+per_bin AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(n_pos) AS BIGINT) AS total_pos
+  FROM per_bin
+),
+terms AS (
+  SELECT n_docs, total_pos,
+         {_BRIER_T_EXPR.format(big="HUGEINT")} AS t,
+         {_BRIER_REL_UNIT_EXPR} AS rel_u,
+         {_BRIER_RES_UNIT_EXPR} AS res_u
+  FROM per_bin CROSS JOIN tot
+),
+g AS (
+  SELECT n_docs, total_pos,
+         SUM(t) AS t_bs,
+         CAST(SUM(rel_u) AS BIGINT) AS rel_sum,
+         CAST(SUM(res_u) AS BIGINT) AS res_sum
+  FROM terms GROUP BY n_docs, total_pos
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_pos AS BIGINT) AS n_pos,
+       {_BRIER_BS_EXPR.format(big="HUGEINT", div="//")} AS bs_micro,
+       {_BRIER_DIV_N_EXPR.format(x="rel_sum", big="HUGEINT", div="//")}
+         AS rel_micro,
+       {_BRIER_DIV_N_EXPR.format(x="res_sum", big="HUGEINT", div="//")}
+         AS res_micro,
+       {_BRIER_UNC_EXPR} AS unc_micro
+FROM g
+"""
+
+
+SQL_EVAL_BRIER = _sql_eval_brier()
+
+
+# --------------------------------------------------------------------
 # eval_pr_curve
 # --------------------------------------------------------------------
 

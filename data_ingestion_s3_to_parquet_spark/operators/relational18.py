@@ -278,11 +278,8 @@ EXTRA_QUERIES: list[Query] = [
         SQL_JOIN_NULL_SAFE,
         ("relational", "join"),
     ),
-]
-
-# Still graded: three of the round-12 promotion cohort (r12-refreshed
-# driver rows). They demote one-for-one as the round-13 waves land.
-QUERIES: list[Query] = [
+    # --- demoted in the round-13 NINTH wave for the new eval_brier
+    # (r5 + r12 greens; bench flag intact) ---
     Query(
         "dedup_exact",
         q_dedup_exact,
@@ -290,6 +287,11 @@ QUERIES: list[Query] = [
         ("llm", "dedup"),
         bench=True,
     ),
+]
+
+# Still graded: two of the round-12 promotion cohort (r12-refreshed
+# driver rows). They demote one-for-one as the round-13 waves land.
+QUERIES: list[Query] = [
     Query(
         "dedup_embedding",
         q_dedup_embedding,

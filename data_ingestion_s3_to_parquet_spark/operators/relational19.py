@@ -41,6 +41,7 @@ from .dedup import (
 from .multimodal import SQL_ARRAY_MAP_JSON, q_array_map_json
 from .relational3 import SQL_MAP_IN_PANDAS_TOKENS, q_map_in_pandas_tokens
 from .relational6 import SQL_AGG_HLL_SKETCH, q_agg_hll_sketch
+from .relational12 import SQL_EVAL_BRIER, q_eval_brier
 from .relational15 import SQL_METRIC_WINSORIZED, q_metric_winsorized
 from .relational16 import SQL_EVAL_WIN_RATE, q_eval_win_rate
 from .relational9 import (
@@ -137,6 +138,15 @@ QUERIES: list[Query] = [
         q_ngram_novelty,
         SQL_NGRAM_NOVELTY,
         ("llm", "dedup", "text", "quality"),
+    ),
+    # --- round-13 NINTH wave (never-graded; dedup_exact — r5 + r12
+    # greens — demoted one-for-one to relational18's EXTRA, bench
+    # flag intact) ---
+    Query(
+        "eval_brier",
+        q_eval_brier,
+        SQL_EVAL_BRIER,
+        ("llm", "evaluation", "statistics", "quality"),
     ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the

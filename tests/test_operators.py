@@ -813,6 +813,11 @@ def test_extra_lane_doc_counts_match_registry():
         163: "a hundred and sixty-three",
         164: "a hundred and sixty-four",
         165: "a hundred and sixty-five",
+        166: "a hundred and sixty-six",
+        167: "a hundred and sixty-seven",
+        168: "a hundred and sixty-eight",
+        169: "a hundred and sixty-nine",
+        170: "a hundred and seventy",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -977,7 +982,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 165
+    assert len(EXTRA) == 166
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -994,17 +999,18 @@ def test_lane_counts_match_docs():
     # wave 5 srm_check, demoting sql_frontend; wave 6 eval_win_rate,
     # demoting agg_argminmax; wave 7 metric_winsorized, demoting
     # udaf_grouped; wave 8 ngram_novelty, demoting join_null_safe
-    # (each r4 + r12 greens).
+    # (each r4 + r12 greens); wave 9 eval_brier, demoting dedup_exact
+    # (r5 + r12 greens).
     assert list(REGISTRY)[1:27] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
-        "metric_winsorized", "ngram_novelty",
+        "metric_winsorized", "ngram_novelty", "eval_brier",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "dedup_exact", "dedup_embedding", "dedup_components",
+        "dedup_embedding", "dedup_components",
         "join_inner", "join_range",
         "eval_mrr",
     ]
@@ -1025,7 +1031,7 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:58] == [
+    assert list(EXTRA)[:59] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
@@ -1033,6 +1039,7 @@ def test_lane_counts_match_docs():
         "bootstrap_ci_ratio", "window_analytic", "subquery_scalar",
         "agg_percentile", "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
+        "dedup_exact",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -8706,6 +8713,73 @@ def test_ngram_novelty_planted_copy_chain(spark, tmp_path):
     # 'gamma nu xi', 'nu xi omicron', 'xi omicron pi' -> 4/5 novel
     assert (lane[3].n_grams, lane[3].n_novel,
             lane[3].novelty_micro) == (5, 4, 800_000)
+
+
+def test_eval_brier_matches_python_recompute_and_identity(spark, sf_dir):
+    # replicate the NTILE decile frame in Python over the (trusted,
+    # separately oracle-gated) lm scores, recompute every term in
+    # exact integer/fraction arithmetic, and pin the Murphy identity
+    # BS = REL - RES + UNC within the per-term quantization bound.
+    from fractions import Fraction
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        CAL_N_BINS,
+        CAL_POS_LANG,
+        q_eval_brier,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational8 import (
+        q_lm_unigram_score,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    row, = q_eval_brier(spark, sf_dir).collect()
+    lm = {r.doc_id: r.avg_nll
+          for r in q_lm_unigram_score(spark, sf_dir).collect()}
+    langs = {r.doc_id: r.lang
+             for r in load_table(spark, sf_dir, "documents")
+             .select("doc_id", "lang").collect()}
+    docs = sorted(((lm[d], d) for d in lm))
+    n = len(docs)
+    # NTILE fill rule: earlier buckets one larger
+    base, extra = divmod(n, CAL_N_BINS)
+    bins = []
+    i = 0
+    for k in range(1, CAL_N_BINS + 1):
+        size = base + (1 if k <= extra else 0)
+        chunk = docs[i:i + size]
+        i += size
+        pos = sum(1 for _, d in chunk if langs[d] == CAL_POS_LANG)
+        bins.append((k, size, pos))
+    n_pos = sum(p for _, _, p in bins)
+    assert (row.n_docs, row.n_pos) == (n, n_pos)
+
+    def half_up(x):  # round-half-up of a Fraction, non-negative here
+        return int(x + Fraction(1, 2))
+
+    t_bs = sum(
+        nk * (2 * k - 1) ** 2 - 40 * (2 * k - 1) * pk + 400 * pk
+        for k, nk, pk in bins
+    )
+    bs = (2 * 10**6 * t_bs + 400 * n) // (800 * n)
+    rel_sum = sum(
+        half_up(Fraction(10**6 * ((2 * k - 1) * nk - 20 * pk) ** 2,
+                         400 * nk))
+        for k, nk, pk in bins
+    )
+    res_sum = sum(
+        half_up(Fraction(10**6 * (pk * n - n_pos * nk) ** 2, nk * n * n))
+        for k, nk, pk in bins
+    )
+    rel = (2 * rel_sum + n) // (2 * n)
+    res = (2 * res_sum + n) // (2 * n)
+    unc = half_up(Fraction(10**6 * n_pos * (n - n_pos), n * n))
+    assert (row.bs_micro, row.rel_micro, row.res_micro,
+            row.unc_micro) == (bs, rel, res, unc)
+    # the Murphy identity — exact for discrete forecasts, so the
+    # reported micro values can disagree only by the per-term
+    # quantization (a few micro at most)
+    assert abs(row.bs_micro
+               - (row.rel_micro - row.res_micro + row.unc_micro)) <= 3
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

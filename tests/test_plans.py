@@ -1642,3 +1642,21 @@ def test_ngram_novelty_shuffle_hash_no_broadcast(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 1
+
+
+def test_eval_brier_inherits_calibration_shape(spark):
+    # the decomposition adds NO data-sized work to the calibration
+    # frame: everything after the lm-score build is the one global
+    # NTILE window, a 10-group combinable aggregate, the 1-row totals
+    # broadcast, and a 10-row reduce — same exchange/broadcast budget
+    # as the upstream score pipeline, zero SMJ/SHJ
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational12 import (
+        q_eval_brier,
+    )
+
+    plan = plan_of(q_eval_brier(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 10
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 7
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
