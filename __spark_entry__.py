@@ -359,8 +359,16 @@ BS = REL − RES + UNC an exact identity, pinned by pytest at gap 0;
 BS clears to one exact integer division, per-bin REL/RES terms are
 pinned-double ROUNDs on exact integers quantized before the
 cross-bin sum), demoting dedup_exact (r5 + r12 greens, bench flag
-intact). The EXTRA lane
-holds a hundred and sixty-six oracle-gated entries, every one with
+intact); wave 10 adds eval_bradley_terry (the arena leaderboard
+algorithm — Bradley–Terry strengths for the three rubric raters
+from pairwise win counts via Hunter 2004's MM, UNROLLED for a fixed
+8-iteration budget in fixed-point micro arithmetic: each update and
+normalization is ONE half-up integer division of exact
+decimal/HUGEINT products, no floats anywhere; ONE combinable
+aggregate produces the six win counters and everything after is
+constant-size), demoting dedup_embedding (r5 + r12 greens). The
+EXTRA lane
+holds a hundred and sixty-seven oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

@@ -1480,6 +1480,206 @@ FROM ci JOIN p2 ON ci.lang = p2.lang
 SQL_EVAL_WIN_RATE = _sql_eval_win_rate()
 
 
+# --------------------------------------------------------------------
+# eval_bradley_terry
+# --------------------------------------------------------------------
+
+# Fixed unrolled MM budget (the LPA-rounds convention): the output is
+# DEFINED as the 8-iteration MM state — deterministic and
+# engine-identical; full fixpoint convergence is NOT claimed (MM is
+# slow near the boundary when one player rarely wins), and the
+# ranking is already stable after iteration 1 on the fixtures.
+BT_ITERS = 8
+
+
+def _bt_raw_expr(x: str, y: str, z: str, i: int, big: str,
+                 div: str) -> str:
+    """One MM update for player x against peers y, z (Hunter 2004):
+    θ'_x = W_x·(θ_x+θ_y)(θ_x+θ_z) / (n_xy(θ_x+θ_z) + n_xz(θ_x+θ_y)),
+    cleared to ONE half-up integer division of exact products. A
+    player with no comparisons keeps its theta; a player with no
+    wins goes to 0 (the MM fixed point)."""
+    txp, typ, tzp = f"t{x}_{i - 1}", f"t{y}_{i - 1}", f"t{z}_{i - 1}"
+    pxy = f"n_{min(x, y)}{max(x, y)}"
+    pxz = f"n_{min(x, z)}{max(x, z)}"
+    d = (
+        f"(CAST({pxy} AS {big}) * ({txp} + {tzp})"
+        f" + CAST({pxz} AS {big}) * ({txp} + {typ}))"
+    )
+    num = f"2 * CAST(w_{x} AS {big}) * ({txp} + {typ}) * ({txp} + {tzp})"
+    return (
+        f"CASE WHEN {d} = 0 THEN {txp}"
+        f" WHEN w_{x} = 0 THEN 0"
+        f" ELSE CAST(({num} + {d}) {div} (2 * {d}) AS BIGINT) END"
+    )
+
+
+def _bt_norm_expr(x: str, i: int, big: str, div: str) -> str:
+    s = f"(CAST(raw_a_{i} AS {big}) + raw_b_{i} + raw_c_{i})"
+    return (
+        f"CASE WHEN {s} = 0 THEN raw_{x}_{i}"
+        f" ELSE CAST((2 * CAST(3000000 AS {big}) * raw_{x}_{i} + {s})"
+        f" {div} (2 * {s}) AS BIGINT) END"
+    )
+
+
+def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strengths for the THREE rubric raters from their
+    pairwise win counts — the arena leaderboard algorithm (how Chatbot
+    Arena turns pairwise preferences into one rating per model):
+    ``eval_win_rate`` reports one pair; with K raters the win matrix
+    needs a model, and Bradley–Terry's θ is the standard one. Wins:
+    rater x beats rater y on a doc when grade_x > grade_y (ties carry
+    no information in BT and are skipped — the standard convention);
+    pairs involving the abstaining TTR rater count only docs it
+    graded.
+
+    The MM algorithm (Hunter 2004) runs UNROLLED for a FIXED
+    ``BT_ITERS`` budget in fixed-point micro arithmetic (the output
+    is the 8-iteration MM state by definition — the LPA fixed-rounds
+    convention; the theta RANKING stabilizes after one iteration on
+    the fixtures while the values keep creeping, which is MM's
+    documented slow tail): each update clears to
+    ONE half-up integer division of exact integer products (the
+    numerator W_x(θ_x+θ_y)(θ_x+θ_z) and denominator
+    n_xy(θ_x+θ_z) + n_xz(θ_x+θ_y) are exact decimal/HUGEINT), and
+    each normalization (Σθ = 3·10⁶) is one more. Deterministic,
+    engine-identical, no floats anywhere — the oracle runs the same
+    unrolled chain (the LPA unrolled-CTE precedent).
+
+    Scale shape: ONE map-side-combinable aggregate over documents
+    produces the SIX win counters; everything after is constant-size
+    (a 1-row frame through 8 expression rounds, unpivoted to 3
+    rows). Zero joins, zero windows, zero broadcasts — at any corpus
+    size the iterations cost nothing.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        _rater_char_grade().cast("long").alias("a"),
+        _rater_words_grade().cast("long").alias("b"),
+        _rater_ttr_grade(KRIPP_ABSTAIN_MIN).cast("long").alias("c"),
+    )
+    base = docs.agg(
+        F.sum((F.col("a") > F.col("b")).cast("long")).alias("w_ab"),
+        F.sum((F.col("b") > F.col("a")).cast("long")).alias("w_ba"),
+        F.sum(
+            (F.col("c").isNotNull() & (F.col("a") > F.col("c")))
+            .cast("long")
+        ).alias("w_ac"),
+        F.sum(
+            (F.col("c").isNotNull() & (F.col("c") > F.col("a")))
+            .cast("long")
+        ).alias("w_ca"),
+        F.sum(
+            (F.col("c").isNotNull() & (F.col("b") > F.col("c")))
+            .cast("long")
+        ).alias("w_bc"),
+        F.sum(
+            (F.col("c").isNotNull() & (F.col("c") > F.col("b")))
+            .cast("long")
+        ).alias("w_cb"),
+    ).selectExpr(
+        "*",
+        "w_ab + w_ba AS n_ab",
+        "w_ac + w_ca AS n_ac",
+        "w_bc + w_cb AS n_bc",
+        "w_ab + w_ac AS w_a",
+        "w_ba + w_bc AS w_b",
+        "w_ca + w_cb AS w_c",
+        "CAST(1000000 AS BIGINT) AS ta_0",
+        "CAST(1000000 AS BIGINT) AS tb_0",
+        "CAST(1000000 AS BIGINT) AS tc_0",
+    )
+    big, div = "decimal(38,0)", "div"
+    cur = base
+    for i in range(1, BT_ITERS + 1):
+        cur = cur.selectExpr(
+            "*",
+            f"{_bt_raw_expr('a', 'b', 'c', i, big, div)} AS raw_a_{i}",
+            f"{_bt_raw_expr('b', 'a', 'c', i, big, div)} AS raw_b_{i}",
+            f"{_bt_raw_expr('c', 'a', 'b', i, big, div)} AS raw_c_{i}",
+        ).selectExpr(
+            "*",
+            f"{_bt_norm_expr('a', i, big, div)} AS ta_{i}",
+            f"{_bt_norm_expr('b', i, big, div)} AS tb_{i}",
+            f"{_bt_norm_expr('c', i, big, div)} AS tc_{i}",
+        )
+    k = BT_ITERS
+    return cur.selectExpr(
+        "stack(3,"
+        f" 'char_len',    ta_{k}, w_a, n_ab + n_ac,"
+        f" 'verbosity',   tb_{k}, w_b, n_ab + n_bc,"
+        f" 'lexical_div', tc_{k}, w_c, n_ac + n_bc)"
+        " AS (rater, theta_micro, n_wins, n_comparisons)"
+    )
+
+
+def _sql_eval_bradley_terry() -> str:
+    big, div = "HUGEINT", "//"
+    its = []
+    for i in range(1, BT_ITERS + 1):
+        its.append(
+            f"r{i} AS (SELECT *,"
+            f" {_bt_raw_expr('a', 'b', 'c', i, big, div)} AS raw_a_{i},"
+            f" {_bt_raw_expr('b', 'a', 'c', i, big, div)} AS raw_b_{i},"
+            f" {_bt_raw_expr('c', 'a', 'b', i, big, div)} AS raw_c_{i}"
+            f" FROM it{i - 1})"
+        )
+        its.append(
+            f"it{i} AS (SELECT *,"
+            f" {_bt_norm_expr('a', i, big, div)} AS ta_{i},"
+            f" {_bt_norm_expr('b', i, big, div)} AS tb_{i},"
+            f" {_bt_norm_expr('c', i, big, div)} AS tc_{i}"
+            f" FROM r{i})"
+        )
+    chain = ",\n".join(its)
+    k = BT_ITERS
+    return f"""
+WITH d AS (
+  SELECT {_SQL_RATER_CHAR_GRADE} AS a,
+         {_SQL_RATER_WORDS_GRADE} AS b,
+         {_sql_rater_ttr_grade(KRIPP_ABSTAIN_MIN)} AS c
+  FROM documents
+),
+w AS (
+  SELECT
+    CAST(SUM(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT) AS w_ab,
+    CAST(SUM(CASE WHEN b > a THEN 1 ELSE 0 END) AS BIGINT) AS w_ba,
+    CAST(SUM(CASE WHEN c IS NOT NULL AND a > c THEN 1 ELSE 0 END)
+         AS BIGINT) AS w_ac,
+    CAST(SUM(CASE WHEN c IS NOT NULL AND c > a THEN 1 ELSE 0 END)
+         AS BIGINT) AS w_ca,
+    CAST(SUM(CASE WHEN c IS NOT NULL AND b > c THEN 1 ELSE 0 END)
+         AS BIGINT) AS w_bc,
+    CAST(SUM(CASE WHEN c IS NOT NULL AND c > b THEN 1 ELSE 0 END)
+         AS BIGINT) AS w_cb
+  FROM d
+),
+it0 AS (
+  SELECT *,
+         w_ab + w_ba AS n_ab,
+         w_ac + w_ca AS n_ac,
+         w_bc + w_cb AS n_bc,
+         w_ab + w_ac AS w_a,
+         w_ba + w_bc AS w_b,
+         w_ca + w_cb AS w_c,
+         CAST(1000000 AS BIGINT) AS ta_0,
+         CAST(1000000 AS BIGINT) AS tb_0,
+         CAST(1000000 AS BIGINT) AS tc_0
+  FROM w
+),
+{chain}
+SELECT 'char_len' AS rater, CAST(ta_{k} AS BIGINT) AS theta_micro,
+       w_a AS n_wins, n_ab + n_ac AS n_comparisons FROM it{k}
+UNION ALL
+SELECT 'verbosity', CAST(tb_{k} AS BIGINT), w_b, n_ab + n_bc FROM it{k}
+UNION ALL
+SELECT 'lexical_div', CAST(tc_{k} AS BIGINT), w_c, n_ac + n_bc FROM it{k}
+"""
+
+
+SQL_EVAL_BRADLEY_TERRY = _sql_eval_bradley_terry()
+
+
 QUERIES: list[Query] = []
 
 # quantile_weighted (single-green r10) demoted in the round-11 THIRD

@@ -287,17 +287,19 @@ EXTRA_QUERIES: list[Query] = [
         ("llm", "dedup"),
         bench=True,
     ),
-]
-
-# Still graded: two of the round-12 promotion cohort (r12-refreshed
-# driver rows). They demote one-for-one as the round-13 waves land.
-QUERIES: list[Query] = [
+    # --- demoted in the round-13 TENTH wave for the new
+    # eval_bradley_terry (r5 + r12 greens) ---
     Query(
         "dedup_embedding",
         q_dedup_embedding,
         SQL_DEDUP_EMBEDDING,
         ("llm", "dedup"),
     ),
+]
+
+# Still graded: one of the round-12 promotion cohort (r12-refreshed
+# driver row). It demotes one-for-one as further round-13 waves land.
+QUERIES: list[Query] = [
     Query(
         "dedup_components",
         q_dedup_components,

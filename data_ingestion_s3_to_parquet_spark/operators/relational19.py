@@ -43,7 +43,12 @@ from .relational3 import SQL_MAP_IN_PANDAS_TOKENS, q_map_in_pandas_tokens
 from .relational6 import SQL_AGG_HLL_SKETCH, q_agg_hll_sketch
 from .relational12 import SQL_EVAL_BRIER, q_eval_brier
 from .relational15 import SQL_METRIC_WINSORIZED, q_metric_winsorized
-from .relational16 import SQL_EVAL_WIN_RATE, q_eval_win_rate
+from .relational16 import (
+    SQL_EVAL_BRADLEY_TERRY,
+    SQL_EVAL_WIN_RATE,
+    q_eval_bradley_terry,
+    q_eval_win_rate,
+)
 from .relational9 import (
     SQL_BOOTSTRAP_CI_DIFF,
     SQL_PERM_TEST_DIFF,
@@ -147,6 +152,14 @@ QUERIES: list[Query] = [
         q_eval_brier,
         SQL_EVAL_BRIER,
         ("llm", "evaluation", "statistics", "quality"),
+    ),
+    # --- round-13 TENTH wave (never-graded; dedup_embedding — r5 +
+    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
+    Query(
+        "eval_bradley_terry",
+        q_eval_bradley_terry,
+        SQL_EVAL_BRADLEY_TERRY,
+        ("llm", "evaluation", "statistics", "iterative"),
     ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the

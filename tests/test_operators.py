@@ -982,7 +982,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 166
+    assert len(EXTRA) == 167
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1000,17 +1000,19 @@ def test_lane_counts_match_docs():
     # demoting agg_argminmax; wave 7 metric_winsorized, demoting
     # udaf_grouped; wave 8 ngram_novelty, demoting join_null_safe
     # (each r4 + r12 greens); wave 9 eval_brier, demoting dedup_exact
-    # (r5 + r12 greens).
+    # (r5 + r12 greens); wave 10 eval_bradley_terry, demoting
+    # dedup_embedding (r5 + r12 greens).
     assert list(REGISTRY)[1:27] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
+        "eval_bradley_terry",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "dedup_embedding", "dedup_components",
+        "dedup_components",
         "join_inner", "join_range",
         "eval_mrr",
     ]
@@ -1031,7 +1033,7 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:59] == [
+    assert list(EXTRA)[:60] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
@@ -1039,7 +1041,7 @@ def test_lane_counts_match_docs():
         "bootstrap_ci_ratio", "window_analytic", "subquery_scalar",
         "agg_percentile", "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
-        "dedup_exact",
+        "dedup_exact", "dedup_embedding",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -8780,6 +8782,139 @@ def test_eval_brier_matches_python_recompute_and_identity(spark, sf_dir):
     # quantization (a few micro at most)
     assert abs(row.bs_micro
                - (row.rel_micro - row.res_micro + row.unc_micro)) <= 3
+
+
+def _bt_python(rows_abc, iters):
+    # exact-integer reference MM: rows_abc = [(a, b, c-or-None)]
+    def hdiv(num, den):
+        return (2 * num + den) // (2 * den)
+
+    w = {k: 0 for k in
+         ("ab", "ba", "ac", "ca", "bc", "cb")}
+    for a, b, c in rows_abc:
+        if a > b:
+            w["ab"] += 1
+        elif b > a:
+            w["ba"] += 1
+        if c is not None:
+            if a > c:
+                w["ac"] += 1
+            elif c > a:
+                w["ca"] += 1
+            if b > c:
+                w["bc"] += 1
+            elif c > b:
+                w["cb"] += 1
+    n = {("a", "b"): w["ab"] + w["ba"], ("a", "c"): w["ac"] + w["ca"],
+         ("b", "c"): w["bc"] + w["cb"]}
+    wins = {"a": w["ab"] + w["ac"], "b": w["ba"] + w["bc"],
+            "c": w["ca"] + w["cb"]}
+
+    def n_of(x, y):
+        return n[(min(x, y), max(x, y))]
+
+    t = {"a": 10**6, "b": 10**6, "c": 10**6}
+    for _ in range(iters):
+        raw = {}
+        for x, y, z in (("a", "b", "c"), ("b", "a", "c"),
+                        ("c", "a", "b")):
+            d = n_of(x, y) * (t[x] + t[z]) + n_of(x, z) * (t[x] + t[y])
+            if d == 0:
+                raw[x] = t[x]
+            elif wins[x] == 0:
+                raw[x] = 0
+            else:
+                raw[x] = hdiv(
+                    wins[x] * (t[x] + t[y]) * (t[x] + t[z]), d
+                )
+        s = sum(raw.values())
+        t = {x: (raw[x] if s == 0 else hdiv(3 * 10**6 * raw[x], s))
+             for x in raw}
+    comps = {"a": n[("a", "b")] + n[("a", "c")],
+             "b": n[("a", "b")] + n[("b", "c")],
+             "c": n[("a", "c")] + n[("b", "c")]}
+    return t, wins, comps
+
+
+def test_eval_bradley_terry_matches_python_recompute(spark, sf_dir):
+    # exact-integer recompute of the win matrix and all 8 unrolled MM
+    # iterations (grades from the three rubric bands).
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        BT_ITERS,
+        KRIPP_ABSTAIN_MIN,
+        KRIPP_ORD_CHAR_BANDS,
+        KRIPP_ORD_WORD_BANDS,
+        q_eval_bradley_terry,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.rater: r
+            for r in q_eval_bradley_terry(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text", "n_chars"
+    ).collect()
+
+    def band(x, bands):
+        for g, edge in enumerate(bands):
+            if x < edge:
+                return g
+        return 3
+
+    rows = []
+    for r in docs:
+        toks = r.text.split(" ")
+        a = band(r.n_chars, KRIPP_ORD_CHAR_BANDS)
+        b = band(len(toks), KRIPP_ORD_WORD_BANDS)
+        if r.n_chars < KRIPP_ABSTAIN_MIN:
+            c = None
+        else:
+            d, wn = len(set(toks)), len(toks)
+            if 5 * d < 2 * wn:
+                c = 0
+            elif 2 * d < wn:
+                c = 1
+            elif 20 * d < 13 * wn:
+                c = 2
+            else:
+                c = 3
+        rows.append((a, b, c))
+    t, wins, comps = _bt_python(rows, BT_ITERS)
+    for rater, key in (("char_len", "a"), ("verbosity", "b"),
+                       ("lexical_div", "c")):
+        assert (lane[rater].theta_micro, lane[rater].n_wins,
+                lane[rater].n_comparisons) == (
+            t[key], wins[key], comps[key])
+    # thetas stay normalized: Sigma theta = 3e6 up to division rounding
+    assert abs(sum(r.theta_micro for r in lane.values()) - 3_000_000) <= 2
+
+
+def test_eval_bradley_terry_planted_strict_dominance(spark, tmp_path):
+    # A strictly beats B strictly beats C on every doc: theta_A >
+    # theta_B > theta_C and the never-winning C is driven to 0 (the
+    # MM fixed point for a winless player). Long, medium, short
+    # texts produce the strict grade ordering a=3 > b in {1,2} > c=0.
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_bradley_terry,
+    )
+
+    # n_chars >= 450 -> a=3; ~40 words -> b=1; few distinct/many
+    # repeats -> c=0 (d/w < 2/5), n_chars >= 250 so C never abstains
+    text = " ".join(["repeat"] * 40)  # 40 tokens, 6*40+39=279 chars
+    rows = [(i, text, "en", "s", 500) for i in range(1, 31)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    lane = {r.rater: r
+            for r in q_eval_bradley_terry(spark, str(tmp_path)).collect()}
+    assert lane["char_len"].n_wins == 60      # beats B and C on all 30
+    assert lane["verbosity"].n_wins == 30     # beats C on all 30
+    assert lane["lexical_div"].n_wins == 0
+    assert (lane["char_len"].theta_micro
+            > lane["verbosity"].theta_micro
+            > lane["lexical_div"].theta_micro)
+    assert lane["lexical_div"].theta_micro == 0
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

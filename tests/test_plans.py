@@ -1660,3 +1660,20 @@ def test_eval_brier_inherits_calibration_shape(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 10
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 7
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+
+
+def test_eval_bradley_terry_single_aggregate_shape(spark):
+    # ONE combinable aggregate over documents produces the six win
+    # counters; all 8 unrolled MM iterations are constant-size
+    # expression rounds on the 1-row frame: one exchange total, zero
+    # broadcasts, zero joins, zero windows
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_bradley_terry,
+    )
+
+    plan = plan_of(q_eval_bradley_terry(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan and "Window" not in plan
