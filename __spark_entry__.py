@@ -366,9 +366,15 @@ from pairwise win counts via Hunter 2004's MM, UNROLLED for a fixed
 normalization is ONE half-up integer division of exact
 decimal/HUGEINT products, no floats anywhere; ONE combinable
 aggregate produces the six win counters and everything after is
-constant-size), demoting dedup_embedding (r5 + r12 greens). The
-EXTRA lane
-holds a hundred and sixty-seven oracle-gated entries, every one with
+constant-size), demoting dedup_embedding (r5 + r12 greens); wave 11
+adds sample_alloc_neyman (Neyman 1934 optimal allocation of a fixed
+sampling budget across strata — the weight N_h·σ_h collapses to ONE
+correctly-rounded sqrt of the exact integer variance numerator
+n·Σy² − (Σy)², and the integer split is Hamilton largest-remainder
+apportionment so the allocations sum EXACTLY to the budget),
+demoting dedup_components (r5 + r12 greens, bench flag intact — the
+full r12 promotion cohort has now rotated back out). The EXTRA lane
+holds a hundred and sixty-eight oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

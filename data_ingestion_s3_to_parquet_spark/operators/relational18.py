@@ -295,16 +295,19 @@ EXTRA_QUERIES: list[Query] = [
         SQL_DEDUP_EMBEDDING,
         ("llm", "dedup"),
     ),
-]
-
-# Still graded: one of the round-12 promotion cohort (r12-refreshed
-# driver row). It demotes one-for-one as further round-13 waves land.
-QUERIES: list[Query] = [
+    # --- demoted in the round-13 ELEVENTH wave for the new
+    # sample_alloc_neyman (r5 + r12 greens; bench flag intact so the
+    # iterative lane stays tracked round-over-round) ---
     Query(
         "dedup_components",
         q_dedup_components,
         SQL_DEDUP_COMPONENTS,
         ("llm", "dedup", "iterative"),
-        bench=True,  # track the iterative lane round-over-round
+        bench=True,
     ),
 ]
+
+# The full round-12 promotion cohort has now rotated back out (all
+# twelve demoted one-for-one across the round-13 waves); this module
+# keeps no graded entries.
+QUERIES: list[Query] = []

@@ -70,11 +70,13 @@ from .trainprep import (
     SQL_CORPUS_PREP,
     SQL_DECONTAMINATE,
     SQL_EMB_CENTROIDS,
+    SQL_SAMPLE_ALLOC_NEYMAN,
     SQL_SAMPLE_SPLIT,
     q_bootstrap_ci_quantile,
     q_corpus_prep,
     q_decontaminate,
     q_emb_centroids,
+    q_sample_alloc_neyman,
     q_sample_split,
 )
 
@@ -160,6 +162,15 @@ QUERIES: list[Query] = [
         q_eval_bradley_terry,
         SQL_EVAL_BRADLEY_TERRY,
         ("llm", "evaluation", "statistics", "iterative"),
+    ),
+    # --- round-13 ELEVENTH wave (never-graded; dedup_components —
+    # r5 + r12 greens — demoted one-for-one to relational18's EXTRA,
+    # bench flag intact) ---
+    Query(
+        "sample_alloc_neyman",
+        q_sample_alloc_neyman,
+        SQL_SAMPLE_ALLOC_NEYMAN,
+        ("relational", "statistics", "sampling", "pipeline"),
     ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the

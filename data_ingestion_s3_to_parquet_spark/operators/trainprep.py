@@ -2055,6 +2055,162 @@ FROM ci JOIN plain ON ci.status = plain.status
 SQL_BOOTSTRAP_CI_QUANTILE = _sql_bootstrap_ci_quantile()
 
 
+# --------------------------------------------------------------------
+# sample_alloc_neyman
+# --------------------------------------------------------------------
+
+NEYMAN_BUDGET = 10_000  # total sample rows to allocate across strata
+
+# The Neyman weight N_h·σ_h collapses to ONE sqrt of the exact
+# integer variance numerator: σ_h = sqrt(V_h)/n_h with
+# V_h = n·Σy² − (Σy)², so N_h·σ_h = sqrt(V_h) exactly — one
+# correctly-rounded sqrt per stratum on the exact decimal/HUGEINT
+# moment (the event_interarrival sqrt convention), no other floats.
+_NEYMAN_W_EXPR = (
+    "CAST(ROUND(SQRT(CAST(v_num AS DOUBLE)), 0) AS BIGINT)"
+)
+
+
+def q_sample_alloc_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a fixed sampling budget across
+    strata (order status over price cents) — the survey-sampling
+    classic every data-curation budget decision reuses: sampling
+    n_h ∝ N_h·σ_h minimizes the variance of the stratified mean for
+    a fixed total n (Neyman 1934), so a noisy stratum earns more
+    budget than an equally-sized quiet one. The lane reports each
+    stratum's size, exact integer Neyman weight, and the allocated
+    rows.
+
+    Two exactness pieces: (1) the weight N_h·σ_h collapses to ONE
+    correctly-rounded sqrt of the exact integer variance numerator
+    V_h = n·Σy² − (Σy)² (decimal/HUGEINT — the algebraic identity
+    N·sqrt(V/N²) = sqrt(V) removes the division entirely); (2) the
+    integer allocation is HAMILTON (largest-remainder) apportionment
+    — base_h = floor(budget·w_h/W), leftovers to the largest
+    remainders with a deterministic status tie-break — so the
+    allocations are integers that sum EXACTLY to the budget (pinned
+    by pytest), never a rounded float split that gains or loses
+    rows. A degenerate corpus where every stratum has zero variance
+    (W = 0) falls back to proportional-to-size Hamilton.
+
+    Scale shape: one map-side-combinable moments aggregate (output
+    |strata| rows), then the apportionment entirely inside the
+    bounded strata frame (one |strata|-row window for W, the
+    remainder rank, and the leftover count). Zero data joins.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    dec = "decimal(38,0)"
+    g = o.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("cents").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).cast(dec)
+        .alias("syy"),
+    )
+    g = g.withColumn(
+        "v_num",
+        F.expr(
+            f"CAST(n_rows AS {dec}) * syy - sy * sy"
+        ).cast(dec),
+    ).withColumn("w_raw", F.expr(_NEYMAN_W_EXPR))
+    tot = Window.partitionBy(F.lit(0))
+    g = (
+        g.withColumn("w_tot_raw", F.sum("w_raw").over(tot))
+        .withColumn(
+            "w",
+            F.expr(
+                "CASE WHEN w_tot_raw = 0 THEN n_rows ELSE w_raw END"
+            ),
+        )
+        .withColumn("w_tot", F.sum("w").over(tot))
+    )
+    b = NEYMAN_BUDGET
+    g = (
+        g.withColumn(
+            "base",
+            F.expr(f"(CAST({b} AS {dec}) * w) div CAST(w_tot AS {dec})")
+            .cast("long"),
+        )
+        .withColumn(
+            "rem",
+            F.expr(
+                f"(CAST({b} AS {dec}) * w) % CAST(w_tot AS {dec})"
+            ).cast(dec),
+        )
+        .withColumn("leftover", F.lit(b) - F.sum("base").over(tot))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(
+                    F.col("rem").desc(), F.col("status")
+                )
+            ),
+        )
+    )
+    return g.select(
+        "status",
+        "n_rows",
+        F.col("w_raw").alias("neyman_weight"),
+        F.expr(
+            "base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+        ).cast("long").alias("alloc"),
+    )
+
+
+SQL_SAMPLE_ALLOC_NEYMAN = f"""
+WITH o AS (
+  SELECT o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(cents AS HUGEINT)) AS sy,
+         SUM(CAST(cents AS HUGEINT) * cents) AS syy
+  FROM o GROUP BY status
+),
+v AS (
+  SELECT status, n_rows,
+         CAST(n_rows AS HUGEINT) * syy - sy * sy AS v_num
+  FROM g
+),
+w0 AS (
+  SELECT status, n_rows, {_NEYMAN_W_EXPR} AS w_raw FROM v
+),
+w1 AS (
+  SELECT *, SUM(w_raw) OVER () AS w_tot_raw FROM w0
+),
+w2 AS (
+  SELECT status, n_rows, w_raw,
+         CASE WHEN w_tot_raw = 0 THEN n_rows ELSE w_raw END AS w
+  FROM w1
+),
+w3 AS (
+  SELECT *, SUM(w) OVER () AS w_tot FROM w2
+),
+a AS (
+  SELECT status, n_rows, w_raw,
+         (CAST({NEYMAN_BUDGET} AS HUGEINT) * w) // w_tot AS base,
+         (CAST({NEYMAN_BUDGET} AS HUGEINT) * w) % w_tot AS rem
+  FROM w3
+),
+a2 AS (
+  SELECT *,
+         {NEYMAN_BUDGET} - SUM(base) OVER () AS leftover,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, status) AS rk
+  FROM a
+)
+SELECT status, n_rows, w_raw AS neyman_weight,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM a2
+"""
+
+
 QUERIES = [
     # NEW in round 8: graded immediately (retention_cohort and
     # corpus_report, green r6+r7, demoted from relational9 in

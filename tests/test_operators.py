@@ -982,7 +982,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 167
+    assert len(EXTRA) == 168
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1001,18 +1001,19 @@ def test_lane_counts_match_docs():
     # udaf_grouped; wave 8 ngram_novelty, demoting join_null_safe
     # (each r4 + r12 greens); wave 9 eval_brier, demoting dedup_exact
     # (r5 + r12 greens); wave 10 eval_bradley_terry, demoting
-    # dedup_embedding (r5 + r12 greens).
+    # dedup_embedding; wave 11 sample_alloc_neyman, demoting
+    # dedup_components (each r5 + r12 greens) — the full r12
+    # promotion cohort has now rotated back out.
     assert list(REGISTRY)[1:27] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
-        "eval_bradley_terry",
+        "eval_bradley_terry", "sample_alloc_neyman",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "dedup_components",
         "join_inner", "join_range",
         "eval_mrr",
     ]
@@ -1033,7 +1034,7 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:60] == [
+    assert list(EXTRA)[:61] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
@@ -1041,7 +1042,7 @@ def test_lane_counts_match_docs():
         "bootstrap_ci_ratio", "window_analytic", "subquery_scalar",
         "agg_percentile", "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
-        "dedup_exact", "dedup_embedding",
+        "dedup_exact", "dedup_embedding", "dedup_components",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -8915,6 +8916,92 @@ def test_eval_bradley_terry_planted_strict_dominance(spark, tmp_path):
             > lane["verbosity"].theta_micro
             > lane["lexical_div"].theta_micro)
     assert lane["lexical_div"].theta_micro == 0
+
+
+def test_sample_alloc_neyman_matches_python_recompute(spark, sf_dir):
+    # exact recompute: integer variance numerators, the one pinned
+    # sqrt per stratum, and Hamilton apportionment; allocations must
+    # sum exactly to the budget.
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        NEYMAN_BUDGET,
+        q_sample_alloc_neyman,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.status: r
+            for r in q_sample_alloc_neyman(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect()
+
+    def half_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    by: dict = {}
+    for r in orders:
+        by.setdefault(r.o_orderstatus, []).append(
+            half_away(r.o_totalprice * 100)
+        )
+    stats = {}
+    for status, cents in by.items():
+        n = len(cents)
+        v = n * sum(c * c for c in cents) - sum(cents) ** 2
+        w = half_away(math.sqrt(float(v)))
+        stats[status] = (n, w)
+    w_tot = sum(w for _, w in stats.values())
+    assert w_tot > 0
+    base = {s: NEYMAN_BUDGET * w // w_tot for s, (_, w) in stats.items()}
+    rem = {s: NEYMAN_BUDGET * w % w_tot for s, (_, w) in stats.items()}
+    leftover = NEYMAN_BUDGET - sum(base.values())
+    order = sorted(stats, key=lambda s: (-rem[s], s))
+    alloc = {
+        s: base[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+    for status, (n, w) in stats.items():
+        row = lane[status]
+        assert (row.n_rows, row.neyman_weight, row.alloc) == (
+            n, w, alloc[status])
+    assert sum(r.alloc for r in lane.values()) == NEYMAN_BUDGET
+
+
+def test_sample_alloc_neyman_planted_zero_variance_stratum(
+    spark, tmp_path
+):
+    # a constant-price stratum has sigma = 0 and must get ZERO budget
+    # (Neyman: sampling it beyond one row teaches nothing); the two
+    # noisy strata split the whole budget by their exact weights, and
+    # Hamilton keeps the sum exactly at the budget.
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        NEYMAN_BUDGET,
+        q_sample_alloc_neyman,
+    )
+
+    rows = []
+    k = 0
+    for i in range(60):  # constant stratum: sigma = 0
+        rows.append((k := k + 1, 1, "C", "50.00"))
+    for i in range(60):  # low-noise stratum: alternating 10/12
+        rows.append((k := k + 1, 1, "L", "10.00" if i % 2 else "12.00"))
+    for i in range(60):  # high-noise stratum: alternating 10/90
+        rows.append((k := k + 1, 1, "H", "10.00" if i % 2 else "90.00"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice_s string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(o_totalprice_s AS DOUBLE) AS o_totalprice",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    lane = {r.status: r
+            for r in q_sample_alloc_neyman(spark, str(tmp_path)).collect()}
+    assert lane["C"].neyman_weight == 0 and lane["C"].alloc == 0
+    # weights: sqrt(n^2 * var) = n*sigma; sigma_H/sigma_L = 40
+    assert lane["H"].neyman_weight == 40 * lane["L"].neyman_weight
+    assert lane["H"].alloc + lane["L"].alloc == NEYMAN_BUDGET
+    assert lane["H"].alloc > lane["L"].alloc
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

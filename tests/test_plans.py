@@ -1677,3 +1677,20 @@ def test_eval_bradley_terry_single_aggregate_shape(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_sample_alloc_neyman_bounded_apportionment_shape(spark):
+    # one combinable moments aggregate (|strata| rows out), then the
+    # whole Hamilton apportionment inside the bounded strata frame
+    # (one single-partition exchange for the totals/rank windows):
+    # two exchanges, zero broadcasts, zero joins
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_sample_alloc_neyman,
+    )
+
+    plan = plan_of(q_sample_alloc_neyman(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan
