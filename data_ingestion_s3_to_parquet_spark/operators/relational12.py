@@ -333,6 +333,10 @@ _BRIER_REL_UNIT_EXPR = (
     " * CAST((2 * bin - 1) * n - 20 * n_pos AS DOUBLE)"
     " / (CAST(400 AS DOUBLE) * n), 0) AS BIGINT)"
 )
+# Bound note: n_pos·n_docs is an int64 product BEFORE the double
+# cast — exact and overflow-free to N ≈ 3·10⁹ docs (N² < 2^63), which
+# sits far beyond the 2^53 double-exactness bound (~10⁶ docs)
+# documented in the lane docstring; the tighter bound governs.
 _BRIER_RES_UNIT_EXPR = (
     "CAST(ROUND(CAST(1000000 AS DOUBLE)"
     " * CAST(n_pos * n_docs - total_pos * n AS DOUBLE)"

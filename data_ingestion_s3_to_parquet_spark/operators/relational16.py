@@ -986,6 +986,14 @@ FROM m2
 # den = N·Σa² − 2·Σa·Σb + N·Σb², one pinned micro division of exact
 # integers. den = 0 (both raters constant on the same grade) has no
 # chance disagreement to correct against → NULL, the 0/0 standard.
+# Exactness bound (declared seam, the heaps_fit/n_wedges convention):
+# the ROUND runs on a double product, so exact half-away rounding
+# holds while 10⁶·|den − N·o2| < 2^53 — with grades ≤ 3, den ≤ 9N²,
+# i.e. exact to N ≈ 3·10⁷ docs per language; past that the value is
+# still deterministic and cross-engine identical (both engines execute
+# the identical IEEE sequence) but no longer guaranteed half-away at
+# ulp boundaries. The div-based exact form needs a sign split (kappa
+# can be negative); at fixture scales the bound is nowhere near.
 _QWK_EXPR = (
     "CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)"
     " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE)"

@@ -17,9 +17,18 @@ relational18.EXTRA_QUERIES, bench flags intact). The remaining
 r6-row cohort (cdc_apply, data_expectations, doc_fingerprint, …) is
 next in line for round 14.
 
+Eleven round-13 waves followed the rotation, each never-graded-first
+with a one-for-one demotion of the freshest (r12-refreshed) veteran
+(see the inline wave comments): bootstrap_ci_quantile,
+perm_test_diff, stream_bootstrap, bootstrap_ci_diff, srm_check,
+eval_win_rate, metric_winsorized, ngram_novelty, eval_brier,
+eval_bradley_terry, sample_alloc_neyman — by wave 11 the entire r12
+promotion cohort had rotated back out through
+relational18.EXTRA_QUERIES.
+
 Definitions stay with their families (trainprep, dedup, similarity,
-multimodal, relational3/6/8); only the registration lives here — the
-relational17/relational18 pattern.
+multimodal, relational3/6/8/9/12/15/16, streaming.windows); only the
+registration lives here — the relational17/relational18 pattern.
 
 Reference parity note: the reference (/root/reference/src/main.rs,
 208 lines) has no query surface at all; every lane here belongs to
