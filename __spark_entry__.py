@@ -373,8 +373,13 @@ correctly-rounded sqrt of the exact integer variance numerator
 n·Σy² − (Σy)², and the integer split is Hamilton largest-remainder
 apportionment so the allocations sum EXACTLY to the budget),
 demoting dedup_components (r5 + r12 greens, bench flag intact — the
-full r12 promotion cohort has now rotated back out). The EXTRA lane
-holds a hundred and sixty-eight oracle-gated entries, every one with
+full r12 promotion cohort has now rotated back out); wave 12 adds
+perm_test_ratio (the significance leg for the urgent-share ratio —
+completing the experiment matrix's ratio column next to
+bootstrap_ci_ratio's CI: customer-level pr:-salted relabelings,
+shares as pinned micro divisions, add-one p-value), demoting
+join_inner (r11 + r12 greens, bench flag intact). The EXTRA lane
+holds a hundred and sixty-nine oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

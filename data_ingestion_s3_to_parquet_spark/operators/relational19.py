@@ -61,9 +61,11 @@ from .relational16 import (
 from .relational9 import (
     SQL_BOOTSTRAP_CI_DIFF,
     SQL_PERM_TEST_DIFF,
+    SQL_PERM_TEST_RATIO,
     SQL_SRM_CHECK,
     q_bootstrap_ci_diff,
     q_perm_test_diff,
+    q_perm_test_ratio,
     q_srm_check,
 )
 from ..streaming.windows import SQL_STREAM_BOOTSTRAP, q_stream_bootstrap
@@ -180,6 +182,15 @@ QUERIES: list[Query] = [
         q_sample_alloc_neyman,
         SQL_SAMPLE_ALLOC_NEYMAN,
         ("relational", "statistics", "sampling", "pipeline"),
+    ),
+    # --- round-13 TWELFTH wave (never-graded; join_inner — r11 +
+    # r12 greens — demoted one-for-one to relational17's EXTRA,
+    # bench flag intact) ---
+    Query(
+        "perm_test_ratio",
+        q_perm_test_ratio,
+        SQL_PERM_TEST_RATIO,
+        ("relational", "statistics", "evaluation", "sampling"),
     ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the

@@ -1498,6 +1498,162 @@ SQL_BOOTSTRAP_CI_DIFF = _sql_bootstrap_ci_diff()
 
 
 # --------------------------------------------------------------------
+# perm_test_ratio
+# --------------------------------------------------------------------
+
+# Arm urgent-share in micro units: the same midpoint-free half-up
+# integer division, NULL on an empty arm.
+_PT_SHARE_EXPR = (
+    "CASE WHEN {n} = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST((2 * CAST(1000000 AS {big}) * CAST({u} AS {big}) + {n})"
+    " {div} (2 * CAST({n} AS {big})) AS BIGINT) END"
+)
+
+
+def q_perm_test_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic permutation test for the difference of arm
+    URGENT-ORDER SHARES — the significance leg for the ratio metric,
+    completing the experiment matrix: the mean column has
+    ``perm_test_diff`` (p) + ``bootstrap_ci_diff`` (CI); the ratio
+    column had only ``bootstrap_ci_ratio``'s CI until this lane.
+    Shares are where the permutation test earns its keep over the
+    normal approximation exactly as the bootstrap did: a difference
+    of proportions near 0 or 1 has no trustworthy closed-form null.
+
+    Identical machinery to ``perm_test_diff`` (customer-level
+    md5 relabelings — the randomization-unit discipline — B = 99,
+    add-one p-value), with an INDEPENDENT label stream (the ``pr:``
+    salt) and the statistic d = share_B − share_A where each share
+    is ONE pinned half-up micro division of exact integer counts.
+    The indicator is order urgency (o_orderpriority = '1-URGENT'),
+    the same metric ``bootstrap_ci_ratio`` interval-estimates, so
+    the two lanes read together as (CI, p) for one quantity.
+
+    Scale shape: perm_test_diff's — one broadcast ×B explode, ONE
+    map-side-combinable groupBy(p) of four counters, the 1-row
+    observed broadcast, a tiny final reduce. Zero data joins.
+    """
+    p_lit = ", ".join(f"({p})" for p in range(1, PERM_B + 1))
+    perms = spark.sql(f"SELECT * FROM VALUES {p_lit} AS t(p)")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("unit"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("u"),
+    )
+    dec = "decimal(38,0)"
+
+    def arm_counts(df, arm):
+        return df.agg(
+            F.sum(arm.cast("long")).alias("n_a"),
+            F.sum((~arm).cast("long")).alias("n_b"),
+            F.sum(F.when(arm, F.col("u")).otherwise(0)).alias("u_a"),
+            F.sum(F.when(~arm, F.col("u")).otherwise(0)).alias("u_b"),
+        )
+
+    def with_d(df, out):
+        s_a = _PT_SHARE_EXPR.format(n="n_a", u="u_a", big=dec, div="div")
+        s_b = _PT_SHARE_EXPR.format(n="n_b", u="u_b", big=dec, div="div")
+        return df.withColumn(out, F.expr(f"({s_b}) - ({s_a})"))
+
+    obs_arm = (
+        F.substring(F.md5(F.col("unit").cast("string")), 1, 4)
+        < AB_SPLIT_BOUND
+    )
+    obs = with_d(arm_counts(o, obs_arm), "d_obs_micro").select(
+        "n_a", "n_b", "d_obs_micro"
+    )
+    rows = o.crossJoin(F.broadcast(perms))
+    perm_arm = F.expr(
+        "substring(md5(concat('pr:', CAST(unit AS STRING), ':',"
+        f" CAST(p AS STRING))), 1, 4) < '{AB_SPLIT_BOUND}'"
+    )
+    g = with_d(arm_counts(rows.groupBy("p"), perm_arm), "d_micro").select(
+        "p", "d_micro"
+    )
+    joined = g.crossJoin(F.broadcast(obs))
+    stats = joined.groupBy("n_a", "n_b", "d_obs_micro").agg(
+        F.count("d_micro").alias("n_perms"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.abs(F.col("d_micro"))
+                    >= F.abs(F.col("d_obs_micro")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_ge"),
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        "d_obs_micro",
+        "n_perms",
+        "n_ge",
+        F.expr(_PT_P_EXPR.format(div="div")).alias("p_micro"),
+    )
+
+
+def _sql_perm_test_ratio() -> str:
+    p_lit = ", ".join(f"({p})" for p in range(1, PERM_B + 1))
+    s_a = _PT_SHARE_EXPR.format(n="n_a", u="u_a", big="HUGEINT", div="//")
+    s_b = _PT_SHARE_EXPR.format(n="n_b", u="u_b", big="HUGEINT", div="//")
+    return f"""
+WITH perms AS (SELECT * FROM (VALUES {p_lit}) AS t(p)),
+o AS (
+  SELECT o_custkey AS unit,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+  FROM orders
+),
+obs0 AS (
+  SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN a THEN u ELSE 0 END) AS BIGINT) AS u_a,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE u END) AS BIGINT) AS u_b
+  FROM (SELECT substr(md5(CAST(unit AS VARCHAR)), 1, 4)
+                 < '{AB_SPLIT_BOUND}' AS a,
+               u
+        FROM o)
+),
+obs AS (
+  SELECT n_a, n_b, ({s_b}) - ({s_a}) AS d_obs_micro FROM obs0
+),
+g0 AS (
+  SELECT p,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN a THEN u ELSE 0 END) AS BIGINT) AS u_a,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE u END) AS BIGINT) AS u_b
+  FROM (SELECT p,
+               substr(md5('pr:' || CAST(unit AS VARCHAR) || ':'
+                          || CAST(p AS VARCHAR)), 1, 4)
+                 < '{AB_SPLIT_BOUND}' AS a,
+               u
+        FROM o CROSS JOIN perms)
+  GROUP BY p
+),
+g AS (
+  SELECT p, ({s_b}) - ({s_a}) AS d_micro FROM g0
+),
+stats AS (
+  SELECT obs.n_a, obs.n_b, obs.d_obs_micro,
+         CAST(COUNT(d_micro) AS BIGINT) AS n_perms,
+         CAST(COALESCE(SUM(CASE WHEN abs(d_micro)
+                                     >= abs(d_obs_micro)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_ge
+  FROM g CROSS JOIN obs
+  GROUP BY obs.n_a, obs.n_b, obs.d_obs_micro
+)
+SELECT n_a, n_b, d_obs_micro, n_perms, n_ge,
+       {_PT_P_EXPR.format(div="//")} AS p_micro
+FROM stats
+"""
+
+
+SQL_PERM_TEST_RATIO = _sql_perm_test_ratio()
+
+
+# --------------------------------------------------------------------
 # srm_check
 # --------------------------------------------------------------------
 

@@ -982,7 +982,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 168
+    assert len(EXTRA) == 169
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1003,18 +1003,20 @@ def test_lane_counts_match_docs():
     # (r5 + r12 greens); wave 10 eval_bradley_terry, demoting
     # dedup_embedding; wave 11 sample_alloc_neyman, demoting
     # dedup_components (each r5 + r12 greens) — the full r12
-    # promotion cohort has now rotated back out.
+    # promotion cohort has now rotated back out; wave 12
+    # perm_test_ratio, demoting join_inner (r11 + r12 greens).
     assert list(REGISTRY)[1:27] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
+        "perm_test_ratio",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "join_inner", "join_range",
+        "join_range",
         "eval_mrr",
     ]
     assert list(REGISTRY)[26:28] == [
@@ -1034,7 +1036,7 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:61] == [
+    assert list(EXTRA)[:62] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
@@ -1043,6 +1045,7 @@ def test_lane_counts_match_docs():
         "agg_percentile", "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
+        "join_inner",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -9002,6 +9005,108 @@ def test_sample_alloc_neyman_planted_zero_variance_stratum(
     assert lane["H"].neyman_weight == 40 * lane["L"].neyman_weight
     assert lane["H"].alloc + lane["L"].alloc == NEYMAN_BUDGET
     assert lane["H"].alloc > lane["L"].alloc
+
+
+def test_perm_test_ratio_matches_python_recompute(spark, sf_dir):
+    # hashlib recompute of the pr:-salted relabelings, the exact
+    # share differences, and the add-one p-value.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        PERM_B,
+        q_perm_test_ratio,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    row, = q_perm_test_ratio(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    data = [
+        (r.o_custkey, 1 if r.o_orderpriority == "1-URGENT" else 0)
+        for r in orders
+    ]
+
+    def d_micro(arm_of):
+        n_a = n_b = u_a = u_b = 0
+        for unit, u in data:
+            if arm_of(unit):
+                n_a += 1
+                u_a += u
+            else:
+                n_b += 1
+                u_b += u
+        if n_a == 0 or n_b == 0:
+            return None, n_a, n_b
+        s_a = (2 * 10**6 * u_a + n_a) // (2 * n_a)
+        s_b = (2 * 10**6 * u_b + n_b) // (2 * n_b)
+        return s_b - s_a, n_a, n_b
+
+    def gate(s):
+        return hashlib.md5(s.encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+
+    d_obs, n_a, n_b = d_micro(lambda u: gate(str(u)))
+    assert (row.n_a, row.n_b, row.d_obs_micro) == (n_a, n_b, d_obs)
+    n_perms = n_ge = 0
+    for p in range(1, PERM_B + 1):
+        d_p, _, _ = d_micro(lambda u: gate(f"pr:{u}:{p}"))
+        if d_p is None:
+            continue
+        n_perms += 1
+        if abs(d_p) >= abs(d_obs):
+            n_ge += 1
+    assert (row.n_perms, row.n_ge) == (n_perms, n_ge)
+    p_exp = (2 * 10**6 * (n_ge + 1) + (n_perms + 1)) // (2 * (n_perms + 1))
+    assert row.p_micro == p_exp
+    # label-stream independence from the mean lane's p: salt
+    assert (
+        hashlib.md5(b"pr:1:1").hexdigest()
+        != hashlib.md5(b"p:1:1").hexdigest()
+    )
+
+
+def test_perm_test_ratio_planted_effects(spark, tmp_path):
+    # no effect: urgency assigned identically everywhere (all urgent)
+    # -> every share difference is 0 -> p = 1.0 exactly. strong
+    # effect: urgency planted BY the observed arm (arm A always
+    # urgent, arm B never) -> |d_obs| = 1e6, only a relabeling
+    # reproducing the partition ties it -> p = 1/100.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        q_perm_test_ratio,
+    )
+
+    def write(rows, d):
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+
+    flat = [(i, i, "O", "1-URGENT") for i in range(1, 81)]
+    write(flat, f"{tmp_path}/flat")
+    r, = q_perm_test_ratio(spark, f"{tmp_path}/flat").collect()
+    assert r.d_obs_micro == 0
+    assert (r.n_perms, r.n_ge, r.p_micro) == (99, 99, 1_000_000)
+
+    def arm_a(unit):
+        return (
+            hashlib.md5(str(unit).encode()).hexdigest()[:4]
+            < AB_SPLIT_BOUND
+        )
+
+    planted = [
+        (i, i, "O", "1-URGENT" if arm_a(i) else "3-MEDIUM")
+        for i in range(1, 81)
+    ]
+    write(planted, f"{tmp_path}/effect")
+    r, = q_perm_test_ratio(spark, f"{tmp_path}/effect").collect()
+    assert r.d_obs_micro == -1_000_000  # share_B - share_A = 0 - 1
+    assert r.n_perms == 99 and r.n_ge == 0
+    assert r.p_micro == 10_000
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

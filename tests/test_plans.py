@@ -1694,3 +1694,20 @@ def test_sample_alloc_neyman_bounded_apportionment_shape(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
     assert "Join" not in plan
+
+
+def test_perm_test_ratio_combinable_counters_shape(spark):
+    # perm_test_diff's shape on the share statistic: three exchanges,
+    # two broadcasts (perms VALUES + 1-row observed), zero SMJ/SHJ,
+    # zero windows
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_perm_test_ratio,
+    )
+
+    plan = plan_of(q_perm_test_ratio(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+    assert "Window" not in plan

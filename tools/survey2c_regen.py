@@ -38,6 +38,7 @@ NEW_ROWS: dict[str, str] = {
     "eval_brier": "full oracle (Brier score + Murphy 1973 REL/RES/UNC decomposition for the fluency-score detector of the planted positive language, over DISCRETE decile-midpoint forecasts p_k = (2k−1)/20 of the eval_calibration NTILE frame — the discrete alphabet makes BS = REL − RES + UNC an EXACT identity (pytest pins gap 0 on the fixture); BS collapses to one exact integer division of Σ n_k(2k−1)² − 40(2k−1)pos_k + 400pos_k; per-bin REL/RES terms are pinned-double ROUNDs on exact integers micro-quantized BEFORE the cross-bin sum (the anova_oneway rule); documented 2^53 bound on the RES numerator ≈ 10⁶ docs; + NTILE-replicating Python recompute pytest + identity pytest; NEW r13 wave 9)",
     "eval_bradley_terry": "full oracle (Bradley–Terry strengths for the three rubric raters from pairwise win counts — the arena-leaderboard algorithm: Hunter 2004 MM unrolled for a FIXED 8-iteration budget (the LPA fixed-rounds convention — fixpoint convergence NOT claimed; the ranking stabilizes after iteration 1) in fixed-point micro arithmetic, every update θ'_x = W_x(θ_x+θ_y)(θ_x+θ_z)/(n_xy(θ_x+θ_z)+n_xz(θ_x+θ_y)) and each Σθ = 3·10⁶ normalization ONE half-up integer division of exact decimal/HUGEINT products, zero floats; ties skipped (the BT standard), abstaining-rater pairs count only graded docs; ONE combinable aggregate → six win counters, then constant-size iterations — zero joins/windows/broadcasts; + exact-integer Python recompute of all 8 iterations + planted strict-dominance pytest; NEW r13 wave 10)",
     "sample_alloc_neyman": "full oracle (Neyman 1934 optimal allocation of a 10,000-row sampling budget across order-status strata — n_h ∝ N_h·σ_h minimizes the stratified-mean variance; the weight collapses to ONE correctly-rounded sqrt per stratum of the exact integer variance numerator V_h = n·Σy² − (Σy)² (the identity N·sqrt(V/N²) = sqrt(V) removes the division), and the integer split is HAMILTON largest-remainder apportionment with a deterministic status tie-break, so allocations sum EXACTLY to the budget (pinned); zero-variance-everywhere corpora fall back to proportional-to-size Hamilton; one combinable moments aggregate + the bounded |strata|-row apportionment frame; + exact Python recompute + planted zero-variance-stratum pytest; NEW r13 wave 11)",
+    "perm_test_ratio": "full oracle (deterministic permutation test for the difference of arm URGENT-ORDER SHARES — the significance leg for the ratio metric, completing the experiment matrix's ratio column next to bootstrap_ci_ratio's CI: customer-level relabelings from an independent pr:-salted md5 stream (B = 99), each share ONE pinned half-up micro division of exact counts, add-one p-value as one more; same counter shape as perm_test_diff (one combinable groupBy(p) of four counters, zero data joins); + hashlib full-recompute pytest + planted no-effect/strong-effect pytest; NEW r13 wave 12)",
     "corpus_prep": "full oracle; re-promoted r13 grade-freshness rotation (r5 driver row — the registry's measured-oldest cohort)",
     "decontaminate": "full oracle; re-promoted r13 grade-freshness rotation (r5 driver row)",
     "dedup_fuzzy": "accuracy-contract oracle (recall_ok vs exact shingle-Jaccard pair set, floors 0.8/0.5) + exact counts; re-promoted r13 grade-freshness rotation (r5 driver row)",
