@@ -378,8 +378,16 @@ perm_test_ratio (the significance leg for the urgent-share ratio —
 completing the experiment matrix's ratio column next to
 bootstrap_ci_ratio's CI: customer-level pr:-salted relabelings,
 shares as pinned micro divisions, add-one p-value), demoting
-join_inner (r11 + r12 greens, bench flag intact). The EXTRA lane
-holds a hundred and sixty-nine oracle-gated entries, every one with
+join_inner (r11 + r12 greens, bench flag intact); wave 13 adds
+bootstrap_ci_winsorized (the capped metric's CI — metric_winsorized's
+point estimate with uncertainty: fixed full-sample p5/p95 bounds (the
+documented production convention) broadcast onto the scan, v:-salted
+Poisson weights on the CLAMPED cents, so the bootstrap collapses back
+to the (status, b) counter monoid; type-1 rank-selected bounds;
+the plain winsorized mean matches metric_winsorized exactly,
+pinned), demoting join_range (r11 + r12 greens, bench flag intact).
+The EXTRA lane
+holds a hundred and seventy oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

@@ -907,6 +907,254 @@ FROM g
 SQL_METRIC_WINSORIZED = _sql_metric_winsorized()
 
 
+# --------------------------------------------------------------------
+# bootstrap_ci_winsorized
+# --------------------------------------------------------------------
+
+
+def q_bootstrap_ci_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the WINSORIZED mean order price per
+    status — ``metric_winsorized``'s point estimate with its
+    uncertainty attached: the whole reason platforms cap metrics is
+    that the raw mean's variance is tail-dominated, and the capped
+    metric's CI is what decisions actually read. Production
+    convention (documented choice): the p5/p95 clamp bounds are
+    estimated ONCE from the full sample and held FIXED across
+    replicates — re-estimating quantiles inside every replicate
+    answers a different (rarely wanted) question and costs a
+    per-replicate quantile pass; with fixed bounds the replicate
+    statistic is a plain weighted mean of the clamped values, so the
+    bootstrap collapses back to the (group, b) counter monoid.
+
+    Machinery: the exact type-1 p5/p95 bounds come off the bounded
+    per-(status, cents) histogram (``metric_winsorized``'s pass),
+    broadcast onto the order scan; the ``v:``-salted md5 CDF-ladder
+    weights (independent of every other bootstrap lane) weight the
+    CLAMPED cents; per-(status, b) Σw, Σw·clamped run
+    decimal/HUGEINT; each replicate mean is the pinned half-up
+    integer micro division; bounds are type-1 rank-selected. The
+    plain winsorized mean is reported alongside (a pytest asserts
+    the CI brackets it and matches ``metric_winsorized`` exactly).
+
+    Scale shape: the histogram pass (shuffle bounded by the price
+    domain), one broadcast ×B explode, ONE combinable (status, b)
+    aggregate — shuffle volume |statuses|·B — and the bounded rank
+    window. The only data-sized work is the scan itself.
+    """
+    from .trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _BOOT_MEAN_EXPR,
+        _pois_w_expr,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    dec = "decimal(38,0)"
+    # exact type-1 p5/p95 bounds + plain winsorized mean, all over
+    # the bounded per-(status, cents) histogram
+    h = o.groupBy("status", "cents").agg(
+        F.count("*").cast("long").alias("wc")
+    )
+    cum = Window.partitionBy("status").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("status")
+    hh = h.withColumn("cn", F.sum("wc").over(cum)).withColumn(
+        "n", F.sum("wc").over(tot)
+    )
+    bounds = (
+        hh.groupBy("status", "n")
+        .agg(
+            F.min(
+                F.when(
+                    F.expr("cn >= (5 * n + 99) div 100"), F.col("cents")
+                )
+            ).alias("p05_cents"),
+            F.min(
+                F.when(
+                    F.expr("cn >= (95 * n + 99) div 100"), F.col("cents")
+                )
+            ).alias("p95_cents"),
+        )
+        .withColumnRenamed("n", "n_orders")
+    )
+    clamped = (
+        "CASE WHEN cents < p05_cents THEN p05_cents"
+        " WHEN cents > p95_cents THEN p95_cents ELSE cents END"
+    )
+    plain = (
+        h.join(F.broadcast(bounds), "status")
+        .groupBy("status", "n_orders", "p05_cents", "p95_cents")
+        .agg(
+            F.sum(F.col("wc").cast(dec) * F.expr(clamped)).cast(dec)
+            .alias("swc")
+        )
+        .select(
+            "status",
+            "n_orders",
+            "p05_cents",
+            "p95_cents",
+            F.expr(
+                _WINS_MEAN_EXPR.format(
+                    n="n_orders", s="swc", big=dec, div="div"
+                )
+            ).alias("winsorized_mean_micro"),
+        )
+    )
+    b_lit = ", ".join(f"({b})" for b in range(BOOT_B))
+    reps = spark.sql(f"SELECT * FROM VALUES {b_lit} AS t(b)")
+    rows = (
+        o.join(F.broadcast(bounds.select("status", "p05_cents",
+                                         "p95_cents")), "status")
+        .withColumn("cc", F.expr(clamped))
+        .crossJoin(F.broadcast(reps))
+        .withColumn(
+            "u",
+            F.expr(
+                "substring(md5(concat('v:', CAST(o_orderkey AS STRING),"
+                " ':', CAST(b AS STRING))), 1, 8)"
+            ),
+        )
+        .withColumn("w", F.expr(_pois_w_expr("u")).cast("long"))
+    )
+    g = rows.groupBy("status", "b").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w").cast(dec) * F.col("cc")).cast(dec).alias("swc"),
+    )
+    g = g.withColumn(
+        "mean_micro", F.expr(_BOOT_MEAN_EXPR.format(big=dec, div="div"))
+    ).where(F.col("mean_micro").isNotNull())
+    win = Window.partitionBy("status").orderBy("mean_micro", "b")
+    ranked = g.withColumn("rn", F.row_number().over(win))
+    ci = ranked.groupBy("status").agg(
+        F.count("*").alias("n_replicates"),
+        F.max(
+            F.when(F.col("rn") == BOOT_LO_RANK, F.col("mean_micro"))
+        ).alias("ci_lo_micro"),
+        F.max(
+            F.when(F.col("rn") == BOOT_HI_RANK, F.col("mean_micro"))
+        ).alias("ci_hi_micro"),
+    )
+    return ci.join(F.broadcast(plain), "status").select(
+        "status",
+        "n_orders",
+        "p05_cents",
+        "p95_cents",
+        "winsorized_mean_micro",
+        "n_replicates",
+        "ci_lo_micro",
+        "ci_hi_micro",
+    )
+
+
+def _sql_bootstrap_ci_winsorized() -> str:
+    from .trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _BOOT_MEAN_EXPR,
+        _pois_w_expr,
+    )
+
+    b_lit = ", ".join(f"({b})" for b in range(BOOT_B))
+    mean_rep = _BOOT_MEAN_EXPR.format(big="HUGEINT", div="//")
+    mean_plain = _WINS_MEAN_EXPR.format(
+        n="n_orders", s="swc", big="HUGEINT", div="//"
+    )
+    return f"""
+WITH reps AS (SELECT * FROM (VALUES {b_lit}) AS t(b)),
+o AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+h AS (
+  SELECT status, cents, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM o GROUP BY status, cents
+),
+hh AS (
+  SELECT status, cents, wc,
+         SUM(wc) OVER (PARTITION BY status ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cn,
+         SUM(wc) OVER (PARTITION BY status) AS n
+  FROM h
+),
+bounds AS (
+  SELECT status, CAST(n AS BIGINT) AS n_orders,
+         MIN(CASE WHEN cn >= (5 * n + 99) // 100 THEN cents END)
+           AS p05_cents,
+         MIN(CASE WHEN cn >= (95 * n + 99) // 100 THEN cents END)
+           AS p95_cents
+  FROM hh GROUP BY status, n
+),
+plain AS (
+  SELECT h.status, n_orders, p05_cents, p95_cents,
+         SUM(CAST(wc AS HUGEINT)
+             * (CASE WHEN cents < p05_cents THEN p05_cents
+                     WHEN cents > p95_cents THEN p95_cents
+                     ELSE cents END)) AS swc
+  FROM h JOIN bounds ON h.status = bounds.status
+  GROUP BY h.status, n_orders, p05_cents, p95_cents
+),
+p2 AS (
+  SELECT status, n_orders, p05_cents, p95_cents,
+         {mean_plain} AS winsorized_mean_micro
+  FROM plain
+),
+rows_w AS (
+  SELECT o.status, b,
+         (CASE WHEN cents < p05_cents THEN p05_cents
+               WHEN cents > p95_cents THEN p95_cents
+               ELSE cents END) AS cc,
+         {_pois_w_expr(
+             "substr(md5('v:' || CAST(o_orderkey AS VARCHAR) || ':' ||"
+             " CAST(b AS VARCHAR)), 1, 8)"
+         )} AS w
+  FROM o
+  JOIN bounds ON o.status = bounds.status
+  CROSS JOIN reps
+),
+g AS (
+  SELECT status, b,
+         CAST(SUM(w) AS BIGINT) AS sw,
+         SUM(CAST(w AS HUGEINT) * cc) AS swc
+  FROM rows_w GROUP BY status, b
+),
+m AS (
+  SELECT status, b, {mean_rep} AS mean_micro FROM g
+),
+r AS (
+  SELECT status, b, mean_micro,
+         row_number() OVER (PARTITION BY status
+                            ORDER BY mean_micro, b) AS rn
+  FROM m WHERE mean_micro IS NOT NULL
+),
+ci AS (
+  SELECT status,
+         CAST(COUNT(*) AS BIGINT) AS n_replicates,
+         MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN mean_micro END)
+           AS ci_lo_micro,
+         MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN mean_micro END)
+           AS ci_hi_micro
+  FROM r GROUP BY status
+)
+SELECT ci.status, n_orders, p05_cents, p95_cents,
+       winsorized_mean_micro, n_replicates, ci_lo_micro, ci_hi_micro
+FROM ci JOIN p2 ON ci.status = p2.status
+"""
+
+
+SQL_BOOTSTRAP_CI_WINSORIZED = _sql_bootstrap_ci_winsorized()
+
+
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES: list[Query] = [

@@ -98,10 +98,10 @@ QUERIES: list[Query] = [
     # round-11 first-timers and eight refreshed veterans — demoted
     # to EXTRA_QUERIES below, one-for-one against relational18's
     # three new operators + twelve-lane promotion cohort
-    # (VERDICT r11 #1). Round 13's wave 12 demoted join_inner (for
-    # the new perm_test_ratio; r11 + r12 greens, bench flag intact —
-    # it leads this module's EXTRA lane below).
-    Query("join_range", q_join_range, SQL_JOIN_RANGE, ("relational", "join"), bench=True),
+    # (VERDICT r11 #1). Round 13's waves 12-13 demoted join_inner
+    # (for the new perm_test_ratio) and join_range (for the new
+    # bootstrap_ci_winsorized) — r11 + r12 greens, bench flags
+    # intact; they lead this module's EXTRA lane below.
 ]
 
 # The round-12 demotees: the seven round-11 single-green first-timers
@@ -111,6 +111,7 @@ QUERIES: list[Query] = [
 # the EXTRA lane.
 EXTRA_QUERIES: list[Query] = [
     Query("join_inner", q_join_inner, SQL_JOIN_INNER, ("relational", "join"), bench=True),
+    Query("join_range", q_join_range, SQL_JOIN_RANGE, ("relational", "join"), bench=True),
     Query(
         "graph_modularity",
         q_graph_modularity,

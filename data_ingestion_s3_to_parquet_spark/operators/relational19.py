@@ -51,7 +51,12 @@ from .multimodal import SQL_ARRAY_MAP_JSON, q_array_map_json
 from .relational3 import SQL_MAP_IN_PANDAS_TOKENS, q_map_in_pandas_tokens
 from .relational6 import SQL_AGG_HLL_SKETCH, q_agg_hll_sketch
 from .relational12 import SQL_EVAL_BRIER, q_eval_brier
-from .relational15 import SQL_METRIC_WINSORIZED, q_metric_winsorized
+from .relational15 import (
+    SQL_BOOTSTRAP_CI_WINSORIZED,
+    SQL_METRIC_WINSORIZED,
+    q_bootstrap_ci_winsorized,
+    q_metric_winsorized,
+)
 from .relational16 import (
     SQL_EVAL_BRADLEY_TERRY,
     SQL_EVAL_WIN_RATE,
@@ -191,6 +196,15 @@ QUERIES: list[Query] = [
         q_perm_test_ratio,
         SQL_PERM_TEST_RATIO,
         ("relational", "statistics", "evaluation", "sampling"),
+    ),
+    # --- round-13 THIRTEENTH wave (never-graded; join_range — r11 +
+    # r12 greens — demoted one-for-one to relational17's EXTRA,
+    # bench flag intact) ---
+    Query(
+        "bootstrap_ci_winsorized",
+        q_bootstrap_ci_winsorized,
+        SQL_BOOTSTRAP_CI_WINSORIZED,
+        ("relational", "statistics", "sampling", "quality"),
     ),
     # --- the round-13 promotion cohort (oldest driver rows first:
     # the full r5 cohort alphabetical, then the first four of the

@@ -180,7 +180,7 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and sixty-nine entries after the round-13 rotation
+# a hundred and seventy entries after the round-13 rotation
 # (round 13 demoted the eleven r12 single-green first-timers plus
 # window_analytic — through relational18.EXTRA_QUERIES, so they LEAD
 # this lane — in exchange for the twelve measured-oldest r5/r6-row
@@ -197,8 +197,9 @@ REGISTRY: dict[str, Query] = _collect()
 # ngram_novelty, dedup_exact for the wave-9 eval_brier,
 # dedup_embedding for the wave-10 eval_bradley_terry, and
 # dedup_components for the wave-11 sample_alloc_neyman — the full
-# r12 promotion cohort has now rotated back out — and join_inner
-# for the wave-12 perm_test_ratio);
+# r12 promotion cohort has now rotated back out — then join_inner
+# for the wave-12 perm_test_ratio and join_range for the wave-13
+# bootstrap_ci_winsorized);
 # before that —
 # round 12 demoted the seven r11 single-green first-timers plus
 # eight r11-refreshed veterans through relational17.EXTRA_QUERIES —

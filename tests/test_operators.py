@@ -982,7 +982,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 169
+    assert len(EXTRA) == 170
     assert len(BENCH_ONLY) == 7
     # round-13 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1004,19 +1004,20 @@ def test_lane_counts_match_docs():
     # dedup_embedding; wave 11 sample_alloc_neyman, demoting
     # dedup_components (each r5 + r12 greens) — the full r12
     # promotion cohort has now rotated back out; wave 12
-    # perm_test_ratio, demoting join_inner (r11 + r12 greens).
+    # perm_test_ratio, demoting join_inner; wave 13
+    # bootstrap_ci_winsorized, demoting join_range (each r11 + r12
+    # greens).
     assert list(REGISTRY)[1:27] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
-        "perm_test_ratio",
+        "perm_test_ratio", "bootstrap_ci_winsorized",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
         "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
         "array_map_json",
-        "join_range",
         "eval_mrr",
     ]
     assert list(REGISTRY)[26:28] == [
@@ -1036,7 +1037,7 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:62] == [
+    assert list(EXTRA)[:63] == [
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
@@ -1045,7 +1046,7 @@ def test_lane_counts_match_docs():
         "agg_percentile", "pivot", "join_skew_salted", "sql_frontend",
         "agg_argminmax", "udaf_grouped", "join_null_safe",
         "dedup_exact", "dedup_embedding", "dedup_components",
-        "join_inner",
+        "join_inner", "join_range",
         "graph_modularity", "text_readability",
         "graph_clustering_coeff", "zipf_fit", "heaps_fit",
         "eval_kripp_alpha", "event_burstiness",
@@ -9107,6 +9108,67 @@ def test_perm_test_ratio_planted_effects(spark, tmp_path):
     assert r.d_obs_micro == -1_000_000  # share_B - share_A = 0 - 1
     assert r.n_perms == 99 and r.n_ge == 0
     assert r.p_micro == 10_000
+
+
+def test_bootstrap_ci_winsorized_consistent_with_components(spark, sf_dir):
+    # composition contract: bounds and the plain winsorized mean must
+    # equal metric_winsorized BITWISE; the CI must bracket the point
+    # estimate; and a hashlib recompute pins the v:-salted replicate
+    # stream end-to-end.
+    import hashlib
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_bootstrap_ci_winsorized,
+        q_metric_winsorized,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _POIS_CUM,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    lane = {r.status: r
+            for r in q_bootstrap_ci_winsorized(spark, sf_dir).collect()}
+    base = {r.status: r
+            for r in q_metric_winsorized(spark, sf_dir).collect()}
+    for status, b in base.items():
+        ln = lane[status]
+        assert (ln.n_orders, ln.p05_cents, ln.p95_cents) == (
+            b.n_orders, b.p05_cents, b.p95_cents)
+        assert ln.winsorized_mean_micro == b.winsorized_mean_micro
+        assert ln.ci_lo_micro <= ln.winsorized_mean_micro <= ln.ci_hi_micro
+
+    def half_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+    by: dict = {}
+    for r in orders:
+        by.setdefault(r.o_orderstatus, []).append(
+            (r.o_orderkey, half_away(r.o_totalprice * 100))
+        )
+    for status, rows in by.items():
+        lo, hi = base[status].p05_cents, base[status].p95_cents
+        means = []
+        for bb in range(BOOT_B):
+            sw = swc = 0
+            for key, cents in rows:
+                h = hashlib.md5(f"v:{key}:{bb}".encode()).hexdigest()[:8]
+                w = next((k for k, t in enumerate(_POIS_CUM) if h < t), 8)
+                sw += w
+                swc += w * min(max(cents, lo), hi)
+            if sw:
+                means.append(((2 * 10**4 * swc + sw) // (2 * sw), bb))
+        means.sort()
+        ln = lane[status]
+        assert ln.n_replicates == len(means)
+        assert ln.ci_lo_micro == means[BOOT_LO_RANK - 1][0]
+        assert ln.ci_hi_micro == means[BOOT_HI_RANK - 1][0]
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

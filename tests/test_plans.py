@@ -1711,3 +1711,22 @@ def test_perm_test_ratio_combinable_counters_shape(spark):
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
     assert "Window" not in plan
+
+
+def test_bootstrap_ci_winsorized_composed_shape(spark):
+    # the composition keeps both components' scale shapes: the
+    # histogram passes (bounded by the price domain), the broadcast
+    # bounds onto the scan, the x40 replicate broadcast, ONE
+    # combinable (status, b) aggregate, the bounded rank window —
+    # eight exchanges, four broadcasts (bounds x2, reps, plain),
+    # zero SMJ/SHJ
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_bootstrap_ci_winsorized,
+    )
+
+    plan = plan_of(q_bootstrap_ci_winsorized(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 8
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 4
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0

@@ -39,6 +39,7 @@ NEW_ROWS: dict[str, str] = {
     "eval_bradley_terry": "full oracle (Bradley–Terry strengths for the three rubric raters from pairwise win counts — the arena-leaderboard algorithm: Hunter 2004 MM unrolled for a FIXED 8-iteration budget (the LPA fixed-rounds convention — fixpoint convergence NOT claimed; the ranking stabilizes after iteration 1) in fixed-point micro arithmetic, every update θ'_x = W_x(θ_x+θ_y)(θ_x+θ_z)/(n_xy(θ_x+θ_z)+n_xz(θ_x+θ_y)) and each Σθ = 3·10⁶ normalization ONE half-up integer division of exact decimal/HUGEINT products, zero floats; ties skipped (the BT standard), abstaining-rater pairs count only graded docs; ONE combinable aggregate → six win counters, then constant-size iterations — zero joins/windows/broadcasts; + exact-integer Python recompute of all 8 iterations + planted strict-dominance pytest; NEW r13 wave 10)",
     "sample_alloc_neyman": "full oracle (Neyman 1934 optimal allocation of a 10,000-row sampling budget across order-status strata — n_h ∝ N_h·σ_h minimizes the stratified-mean variance; the weight collapses to ONE correctly-rounded sqrt per stratum of the exact integer variance numerator V_h = n·Σy² − (Σy)² (the identity N·sqrt(V/N²) = sqrt(V) removes the division), and the integer split is HAMILTON largest-remainder apportionment with a deterministic status tie-break, so allocations sum EXACTLY to the budget (pinned); zero-variance-everywhere corpora fall back to proportional-to-size Hamilton; one combinable moments aggregate + the bounded |strata|-row apportionment frame; + exact Python recompute + planted zero-variance-stratum pytest; NEW r13 wave 11)",
     "perm_test_ratio": "full oracle (deterministic permutation test for the difference of arm URGENT-ORDER SHARES — the significance leg for the ratio metric, completing the experiment matrix's ratio column next to bootstrap_ci_ratio's CI: customer-level relabelings from an independent pr:-salted md5 stream (B = 99), each share ONE pinned half-up micro division of exact counts, add-one p-value as one more; same counter shape as perm_test_diff (one combinable groupBy(p) of four counters, zero data joins); + hashlib full-recompute pytest + planted no-effect/strong-effect pytest; NEW r13 wave 12)",
+    "bootstrap_ci_winsorized": "full oracle (Poisson-bootstrap CI for the WINSORIZED mean order price per status — the capped metric's uncertainty: exact type-1 p5/p95 bounds estimated ONCE from the full sample and held fixed across replicates (the documented production convention — re-estimating per replicate answers a different question and breaks the counter monoid), broadcast onto the scan; v:-salted md5 CDF-ladder weights on the CLAMPED cents, per-(status, b) decimal/HUGEINT counters, pinned half-up micro divisions, type-1 rank-selected bounds; the reported plain winsorized mean equals metric_winsorized bitwise (pinned by pytest) and the CI brackets it; NEW r13 wave 13)",
     "corpus_prep": "full oracle; re-promoted r13 grade-freshness rotation (r5 driver row — the registry's measured-oldest cohort)",
     "decontaminate": "full oracle; re-promoted r13 grade-freshness rotation (r5 driver row)",
     "dedup_fuzzy": "accuracy-contract oracle (recall_ok vs exact shingle-Jaccard pair set, floors 0.8/0.5) + exact counts; re-promoted r13 grade-freshness rotation (r5 driver row)",
