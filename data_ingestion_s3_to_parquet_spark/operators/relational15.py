@@ -943,8 +943,8 @@ def q_bootstrap_ci_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
+        BOOT_HI_SEL,
+        BOOT_LO_SEL,
         _BOOT_MEAN_EXPR,
         _pois_w_expr,
     )
@@ -1032,14 +1032,17 @@ def q_bootstrap_ci_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_micro", F.expr(_BOOT_MEAN_EXPR.format(big=dec, div="div"))
     ).where(F.col("mean_micro").isNotNull())
     win = Window.partitionBy("status").orderBy("mean_micro", "b")
-    ranked = g.withColumn("rn", F.row_number().over(win))
+    ranked = g.withColumn("rn", F.row_number().over(win)).withColumn(
+        "nrep", F.count("*").over(Window.partitionBy("status"))
+    )
+    lo_sel, hi_sel = BOOT_LO_SEL.format(div="div"), BOOT_HI_SEL.format(div="div")
     ci = ranked.groupBy("status").agg(
         F.count("*").alias("n_replicates"),
         F.max(
-            F.when(F.col("rn") == BOOT_LO_RANK, F.col("mean_micro"))
+            F.when(F.col("rn") == F.expr(lo_sel), F.col("mean_micro"))
         ).alias("ci_lo_micro"),
         F.max(
-            F.when(F.col("rn") == BOOT_HI_RANK, F.col("mean_micro"))
+            F.when(F.col("rn") == F.expr(hi_sel), F.col("mean_micro"))
         ).alias("ci_hi_micro"),
     )
     return ci.join(F.broadcast(plain), "status").select(
@@ -1057,8 +1060,8 @@ def q_bootstrap_ci_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_bootstrap_ci_winsorized() -> str:
     from .trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
+        BOOT_HI_SEL,
+        BOOT_LO_SEL,
         _BOOT_MEAN_EXPR,
         _pois_w_expr,
     )
@@ -1134,15 +1137,16 @@ m AS (
 r AS (
   SELECT status, b, mean_micro,
          row_number() OVER (PARTITION BY status
-                            ORDER BY mean_micro, b) AS rn
+                            ORDER BY mean_micro, b) AS rn,
+         COUNT(*) OVER (PARTITION BY status) AS nrep
   FROM m WHERE mean_micro IS NOT NULL
 ),
 ci AS (
   SELECT status,
          CAST(COUNT(*) AS BIGINT) AS n_replicates,
-         MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN mean_micro END)
+         MAX(CASE WHEN rn = {BOOT_LO_SEL.format(div="//")} THEN mean_micro END)
            AS ci_lo_micro,
-         MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN mean_micro END)
+         MAX(CASE WHEN rn = {BOOT_HI_SEL.format(div="//")} THEN mean_micro END)
            AS ci_hi_micro
   FROM r GROUP BY status
 )

@@ -1346,8 +1346,8 @@ def q_eval_win_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
+        BOOT_HI_SEL,
+        BOOT_LO_SEL,
         _pois_w_expr,
     )
 
@@ -1397,14 +1397,17 @@ def q_eval_win_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).where(F.col("win_b").isNotNull())
     win = Window.partitionBy("lang").orderBy("win_b", "bb")
-    ranked = g.withColumn("rn", F.row_number().over(win))
+    ranked = g.withColumn("rn", F.row_number().over(win)).withColumn(
+        "nrep", F.count("*").over(Window.partitionBy("lang"))
+    )
+    lo_sel, hi_sel = BOOT_LO_SEL.format(div="div"), BOOT_HI_SEL.format(div="div")
     ci = ranked.groupBy("lang").agg(
         F.count("*").alias("n_replicates"),
         F.max(
-            F.when(F.col("rn") == BOOT_LO_RANK, F.col("win_b"))
+            F.when(F.col("rn") == F.expr(lo_sel), F.col("win_b"))
         ).alias("ci_lo_micro"),
         F.max(
-            F.when(F.col("rn") == BOOT_HI_RANK, F.col("win_b"))
+            F.when(F.col("rn") == F.expr(hi_sel), F.col("win_b"))
         ).alias("ci_hi_micro"),
     )
     return ci.join(F.broadcast(plain), "lang").select(
@@ -1422,8 +1425,8 @@ def q_eval_win_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_eval_win_rate() -> str:
     from .trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
+        BOOT_HI_SEL,
+        BOOT_LO_SEL,
         _pois_w_expr,
     )
 
@@ -1467,15 +1470,16 @@ g AS (
 m AS (SELECT lang, bb, {win_rep} AS win_b FROM g),
 r AS (
   SELECT lang, bb, win_b,
-         row_number() OVER (PARTITION BY lang ORDER BY win_b, bb) AS rn
+         row_number() OVER (PARTITION BY lang ORDER BY win_b, bb) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS nrep
   FROM m WHERE win_b IS NOT NULL
 ),
 ci AS (
   SELECT lang,
          CAST(COUNT(*) AS BIGINT) AS n_replicates,
-         MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN win_b END)
+         MAX(CASE WHEN rn = {BOOT_LO_SEL.format(div="//")} THEN win_b END)
            AS ci_lo_micro,
-         MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN win_b END)
+         MAX(CASE WHEN rn = {BOOT_HI_SEL.format(div="//")} THEN win_b END)
            AS ci_hi_micro
   FROM r GROUP BY lang
 )

@@ -1337,8 +1337,8 @@ def q_bootstrap_ci_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
+        BOOT_HI_SEL,
+        BOOT_LO_SEL,
         _pois_w_expr,
     )
 
@@ -1405,14 +1405,17 @@ def q_bootstrap_ci_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_micro").isNotNull()
     )
     win = Window.partitionBy(F.lit(0)).orderBy("d_micro", "b")
-    ranked = g.withColumn("rn", F.row_number().over(win))
+    ranked = g.withColumn("rn", F.row_number().over(win)).withColumn(
+        "nrep", F.count("*").over(Window.partitionBy(F.lit(0)))
+    )
+    lo_sel, hi_sel = BOOT_LO_SEL.format(div="div"), BOOT_HI_SEL.format(div="div")
     ci = ranked.agg(
         F.count("*").alias("n_replicates"),
         F.max(
-            F.when(F.col("rn") == BOOT_LO_RANK, F.col("d_micro"))
+            F.when(F.col("rn") == F.expr(lo_sel), F.col("d_micro"))
         ).alias("ci_lo_micro"),
         F.max(
-            F.when(F.col("rn") == BOOT_HI_RANK, F.col("d_micro"))
+            F.when(F.col("rn") == F.expr(hi_sel), F.col("d_micro"))
         ).alias("ci_hi_micro"),
     )
     return ci.crossJoin(F.broadcast(obs)).select(
@@ -1428,8 +1431,8 @@ def q_bootstrap_ci_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_bootstrap_ci_diff() -> str:
     from .trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
+        BOOT_HI_SEL,
+        BOOT_LO_SEL,
         _pois_w_expr,
     )
 
@@ -1478,14 +1481,15 @@ g AS (
 ),
 r AS (
   SELECT b, d_micro,
-         row_number() OVER (ORDER BY d_micro, b) AS rn
+         row_number() OVER (ORDER BY d_micro, b) AS rn,
+         COUNT(*) OVER () AS nrep
   FROM g WHERE d_micro IS NOT NULL
 ),
 ci AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
-         MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN d_micro END)
+         MAX(CASE WHEN rn = {BOOT_LO_SEL.format(div="//")} THEN d_micro END)
            AS ci_lo_micro,
-         MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN d_micro END)
+         MAX(CASE WHEN rn = {BOOT_HI_SEL.format(div="//")} THEN d_micro END)
            AS ci_hi_micro
   FROM r
 )

@@ -1579,6 +1579,18 @@ def _pois_w_expr(u_col: str) -> str:
 BOOT_LO_RANK = -(-25 * BOOT_B // 1000)
 BOOT_HI_RANK = -(-975 * BOOT_B // 1000)
 
+# ADVICE r13: the rank selection scales to the EFFECTIVE replicate
+# count ``nrep`` (sw = 0 / empty-arm replicates drop out of the
+# window): lo = ceil(0.025·n), hi = ceil(0.975·n) as exact integer
+# ceil divisions. At the full window n = B = 40 these equal
+# BOOT_LO_RANK/BOOT_HI_RANK (1 and 39); for ANY n ≥ 1 both ranks
+# exist and lo ≤ hi, so a short window (tiny groups at sf0.001 can
+# lose 2+ of the 40 replicates) can never yield the degenerate
+# NULL-hi / min-lo interval the fixed ranks produced. Parameterized
+# {div} — Spark `div` vs DuckDB `//` — like every house division.
+BOOT_LO_SEL = "(25 * nrep + 999) {div} 1000"
+BOOT_HI_SEL = "(975 * nrep + 999) {div} 1000"
+
 # Replicate mean in micro-dollars: the midpoint-free half-up integer
 # division (2·10⁴·swc + sw) div (2·sw) on decimal(38,0) ↔ HUGEINT
 # (the _COMM_TRANS_EXPR house form; half-up == half-away on the
@@ -1661,14 +1673,17 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_micro", F.expr(_BOOT_MEAN_EXPR.format(big=dec, div="div"))
     ).where(F.col("mean_micro").isNotNull())
     win = Window.partitionBy("status").orderBy("mean_micro", "b")
-    ranked = g.withColumn("rn", F.row_number().over(win))
+    ranked = g.withColumn("rn", F.row_number().over(win)).withColumn(
+        "nrep", F.count("*").over(Window.partitionBy("status"))
+    )
+    lo_sel, hi_sel = BOOT_LO_SEL.format(div="div"), BOOT_HI_SEL.format(div="div")
     return ranked.groupBy("status").agg(
         F.count("*").alias("n_replicates"),
         F.max(
-            F.when(F.col("rn") == BOOT_LO_RANK, F.col("mean_micro"))
+            F.when(F.col("rn") == F.expr(lo_sel), F.col("mean_micro"))
         ).alias("ci_lo_micro"),
         F.max(
-            F.when(F.col("rn") == BOOT_HI_RANK, F.col("mean_micro"))
+            F.when(F.col("rn") == F.expr(hi_sel), F.col("mean_micro"))
         ).alias("ci_hi_micro"),
     )
 
@@ -1704,14 +1719,15 @@ m AS (
 r AS (
   SELECT status, b, mean_micro,
          row_number() OVER (PARTITION BY status
-                            ORDER BY mean_micro, b) AS rn
+                            ORDER BY mean_micro, b) AS rn,
+         COUNT(*) OVER (PARTITION BY status) AS nrep
   FROM m WHERE mean_micro IS NOT NULL
 )
 SELECT status,
        CAST(COUNT(*) AS BIGINT) AS n_replicates,
-       MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN mean_micro END)
+       MAX(CASE WHEN rn = {BOOT_LO_SEL.format(div="//")} THEN mean_micro END)
          AS ci_lo_micro,
-       MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN mean_micro END)
+       MAX(CASE WHEN rn = {BOOT_HI_SEL.format(div="//")} THEN mean_micro END)
          AS ci_hi_micro
 FROM r GROUP BY status
 """
@@ -1791,14 +1807,17 @@ def q_bootstrap_ci_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BOOT_RATIO_EXPR.format(big="decimal(38,0)", div="div")),
     ).where(F.col("ratio_micro").isNotNull())
     win = Window.partitionBy("status").orderBy("ratio_micro", "b")
-    ranked = g.withColumn("rn", F.row_number().over(win))
+    ranked = g.withColumn("rn", F.row_number().over(win)).withColumn(
+        "nrep", F.count("*").over(Window.partitionBy("status"))
+    )
+    lo_sel, hi_sel = BOOT_LO_SEL.format(div="div"), BOOT_HI_SEL.format(div="div")
     ci = ranked.groupBy("status").agg(
         F.count("*").alias("n_replicates"),
         F.max(
-            F.when(F.col("rn") == BOOT_LO_RANK, F.col("ratio_micro"))
+            F.when(F.col("rn") == F.expr(lo_sel), F.col("ratio_micro"))
         ).alias("ci_lo_micro"),
         F.max(
-            F.when(F.col("rn") == BOOT_HI_RANK, F.col("ratio_micro"))
+            F.when(F.col("rn") == F.expr(hi_sel), F.col("ratio_micro"))
         ).alias("ci_hi_micro"),
     )
     return ci.join(F.broadcast(plain), "status").select(
@@ -1850,15 +1869,16 @@ m AS (
 r AS (
   SELECT status, b, ratio_micro,
          row_number() OVER (PARTITION BY status
-                            ORDER BY ratio_micro, b) AS rn
+                            ORDER BY ratio_micro, b) AS rn,
+         COUNT(*) OVER (PARTITION BY status) AS nrep
   FROM m WHERE ratio_micro IS NOT NULL
 ),
 ci AS (
   SELECT status,
          CAST(COUNT(*) AS BIGINT) AS n_replicates,
-         MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN ratio_micro END)
+         MAX(CASE WHEN rn = {BOOT_LO_SEL.format(div="//")} THEN ratio_micro END)
            AS ci_lo_micro,
-         MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN ratio_micro END)
+         MAX(CASE WHEN rn = {BOOT_HI_SEL.format(div="//")} THEN ratio_micro END)
            AS ci_hi_micro
   FROM r GROUP BY status
 )
@@ -1959,14 +1979,17 @@ def q_bootstrap_ci_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cents").alias("med_cents"))
     )
     win = Window.partitionBy("status").orderBy("med_cents", "b")
-    ranked = med.withColumn("rn", F.row_number().over(win))
+    ranked = med.withColumn("rn", F.row_number().over(win)).withColumn(
+        "nrep", F.count("*").over(Window.partitionBy("status"))
+    )
+    lo_sel, hi_sel = BOOT_LO_SEL.format(div="div"), BOOT_HI_SEL.format(div="div")
     ci = ranked.groupBy("status").agg(
         F.count("*").alias("n_replicates"),
         F.max(
-            F.when(F.col("rn") == BOOT_LO_RANK, F.col("med_cents"))
+            F.when(F.col("rn") == F.expr(lo_sel), F.col("med_cents"))
         ).alias("ci_lo_cents"),
         F.max(
-            F.when(F.col("rn") == BOOT_HI_RANK, F.col("med_cents"))
+            F.when(F.col("rn") == F.expr(hi_sel), F.col("med_cents"))
         ).alias("ci_hi_cents"),
     )
     return ci.join(F.broadcast(plain), "status").select(
@@ -2034,15 +2057,16 @@ med AS (
 r AS (
   SELECT status, b, med_cents,
          row_number() OVER (PARTITION BY status
-                            ORDER BY med_cents, b) AS rn
+                            ORDER BY med_cents, b) AS rn,
+         COUNT(*) OVER (PARTITION BY status) AS nrep
   FROM med
 ),
 ci AS (
   SELECT status,
          CAST(COUNT(*) AS BIGINT) AS n_replicates,
-         MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN med_cents END)
+         MAX(CASE WHEN rn = {BOOT_LO_SEL.format(div="//")} THEN med_cents END)
            AS ci_lo_cents,
-         MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN med_cents END)
+         MAX(CASE WHEN rn = {BOOT_HI_SEL.format(div="//")} THEN med_cents END)
            AS ci_hi_cents
   FROM r GROUP BY status
 )

@@ -49,10 +49,10 @@ _MODULES = (
     # the first four r6-row veterans — the registry's measured-oldest
     # driver rows after round 12).
     "data_ingestion_s3_to_parquet_spark.operators.relational19",
-    # relational18 keeps eleven r12-promotion veterans graded (the
-    # round-13 rotation demoted its eleven round-12 first-timers plus
-    # window_analytic); its EXTRA_QUERIES leads the EXTRA lane with
-    # those round-13 demotees.
+    # relational18 contributes only EXTRA_QUERIES after the round-13
+    # waves (the full r12 promotion cohort rotated back out across
+    # waves 1-11, so its QUERIES is empty); its EXTRA_QUERIES leads
+    # the EXTRA lane with those round-13 demotees.
     "data_ingestion_s3_to_parquet_spark.operators.relational18",
     # relational17 keeps four r11-promotion veterans graded; its
     # EXTRA_QUERIES leads the EXTRA lane with the round-12 demotees

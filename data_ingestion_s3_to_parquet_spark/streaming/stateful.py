@@ -654,12 +654,18 @@ _DELAY_UNIT_S = {
 def _parse_delay_seconds(delay: str) -> float:
     """Parse a watermark delay string ("10 minutes") to seconds —
     used to validate the caller's watermark against the hardcoded
-    close horizon before Spark ever sees it."""
-    m = re.fullmatch(
-        r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+?)s?\s*", delay
-    )
+    close horizon before Spark ever sees it. ADVICE r13: the
+    quantity must be an INTEGER — Spark's ``withWatermark`` rejects
+    fractional CalendarInterval quantities ("1.5 hours"), so
+    accepting them here would pass validation only to fail later
+    inside Spark with a murkier error; reject in this one place."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+?)s?\s*", delay)
     if not m:
-        raise ValueError(f"unparseable watermark delay: {delay!r}")
+        raise ValueError(
+            f"unparseable watermark delay: {delay!r} (expected an "
+            "integer quantity and a CalendarInterval unit, e.g. "
+            "'10 minutes')"
+        )
     unit = m.group(2).lower()
     if unit not in _DELAY_UNIT_S:
         raise ValueError(f"unknown watermark delay unit: {delay!r}")

@@ -238,8 +238,8 @@ def _boot_finish(g: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..operators.trainprep import (
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
+        BOOT_HI_SEL,
+        BOOT_LO_SEL,
         _BOOT_MEAN_EXPR,
     )
 
@@ -248,14 +248,17 @@ def _boot_finish(g: DataFrame) -> DataFrame:
         F.expr(_BOOT_MEAN_EXPR.format(big="decimal(38,0)", div="div")),
     ).where(F.col("mean_micro").isNotNull())
     win = Window.partitionBy("event_type").orderBy("mean_micro", "b")
-    ranked = g.withColumn("rn", F.row_number().over(win))
+    ranked = g.withColumn("rn", F.row_number().over(win)).withColumn(
+        "nrep", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    lo_sel, hi_sel = BOOT_LO_SEL.format(div="div"), BOOT_HI_SEL.format(div="div")
     return ranked.groupBy("event_type").agg(
         F.count("*").alias("n_replicates"),
         F.max(
-            F.when(F.col("rn") == BOOT_LO_RANK, F.col("mean_micro"))
+            F.when(F.col("rn") == F.expr(lo_sel), F.col("mean_micro"))
         ).alias("ci_lo_micro"),
         F.max(
-            F.when(F.col("rn") == BOOT_HI_RANK, F.col("mean_micro"))
+            F.when(F.col("rn") == F.expr(hi_sel), F.col("mean_micro"))
         ).alias("ci_hi_micro"),
     )
 
@@ -301,8 +304,8 @@ def bootstrap_stream(events: DataFrame) -> DataFrame:
 def _sql_stream_bootstrap() -> str:
     from ..operators.trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
+        BOOT_HI_SEL,
+        BOOT_LO_SEL,
         _BOOT_MEAN_EXPR,
         _pois_w_expr,
     )
@@ -337,14 +340,15 @@ m AS (
 r AS (
   SELECT event_type, b, mean_micro,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY mean_micro, b) AS rn
+                            ORDER BY mean_micro, b) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nrep
   FROM m WHERE mean_micro IS NOT NULL
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_replicates,
-       MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN mean_micro END)
+       MAX(CASE WHEN rn = {BOOT_LO_SEL.format(div="//")} THEN mean_micro END)
          AS ci_lo_micro,
-       MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN mean_micro END)
+       MAX(CASE WHEN rn = {BOOT_HI_SEL.format(div="//")} THEN mean_micro END)
          AS ci_hi_micro
 FROM r GROUP BY event_type
 """

@@ -7927,8 +7927,6 @@ def test_bootstrap_ci_mean_matches_python_recompute(spark, sf_dir):
 
     from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
         _POIS_CUM,
         q_bootstrap_ci_mean,
     )
@@ -7964,8 +7962,9 @@ def test_bootstrap_ci_mean_matches_python_recompute(spark, sf_dir):
                 means.append(((2 * 10**4 * swc + sw) // (2 * sw), b))
         means.sort()
         assert lane[status].n_replicates == len(means)
-        assert lane[status].ci_lo_micro == means[BOOT_LO_RANK - 1][0]
-        assert lane[status].ci_hi_micro == means[BOOT_HI_RANK - 1][0]
+        n = len(means)
+        assert lane[status].ci_lo_micro == means[(25 * n + 999) // 1000 - 1][0]
+        assert lane[status].ci_hi_micro == means[(975 * n + 999) // 1000 - 1][0]
         # the CI must bracket the plain (unweighted) mean
         sc, n = sum(c for _, c in rows), len(rows)
         plain = (2 * 10**4 * sc + n) // (2 * n)
@@ -8014,8 +8013,6 @@ def test_bootstrap_ci_ratio_matches_python_recompute(spark, sf_dir):
 
     from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
         _POIS_CUM,
         q_bootstrap_ci_ratio,
     )
@@ -8047,8 +8044,9 @@ def test_bootstrap_ci_ratio_matches_python_recompute(spark, sf_dir):
         shares.sort()
         ln = lane[status]
         assert ln.n_replicates == len(shares)
-        assert ln.ci_lo_micro == shares[BOOT_LO_RANK - 1][0]
-        assert ln.ci_hi_micro == shares[BOOT_HI_RANK - 1][0]
+        n = len(shares)
+        assert ln.ci_lo_micro == shares[(25 * n + 999) // 1000 - 1][0]
+        assert ln.ci_hi_micro == shares[(975 * n + 999) // 1000 - 1][0]
         n_urgent = sum(u for _, u in rows)
         n = len(rows)
         assert (ln.n_orders, ln.n_urgent) == (n, n_urgent)
@@ -8071,8 +8069,6 @@ def test_bootstrap_ci_quantile_matches_python_recompute(spark, sf_dir):
 
     from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
         _POIS_CUM,
         q_bootstrap_ci_quantile,
     )
@@ -8118,8 +8114,9 @@ def test_bootstrap_ci_quantile_matches_python_recompute(spark, sf_dir):
         ln = lane[status]
         assert (ln.n_orders, ln.median_cents) == (n, plain)
         assert ln.n_replicates == len(meds)
-        assert ln.ci_lo_cents == meds[BOOT_LO_RANK - 1][0]
-        assert ln.ci_hi_cents == meds[BOOT_HI_RANK - 1][0]
+        n = len(meds)
+        assert ln.ci_lo_cents == meds[(25 * n + 999) // 1000 - 1][0]
+        assert ln.ci_hi_cents == meds[(975 * n + 999) // 1000 - 1][0]
         assert ln.ci_lo_cents <= ln.ci_hi_cents
     # the q: salt makes this stream independent of the mean/ratio ones
     assert (
@@ -8171,8 +8168,12 @@ def test_bootstrap_ci_quantile_planted_ties_and_layouts(spark, tmp_path):
     for _, _, med, n_rep, lo, hi in a:
         # tiny groups CAN draw an all-zero replicate (P = e^-n per
         # replicate); the sw = 0 guard excludes it and n_replicates
-        # reports the effective count — exactly the designed behavior
-        assert 38 <= n_rep <= 40 and lo <= hi
+        # reports the effective count. ADVICE r13: the rank selection
+        # scales to that count — ceil(.025·n)/ceil(.975·n) — so a
+        # short window (n < 40) still yields BOTH bounds, never the
+        # NULL-hi/min-lo degenerate interval fixed rank 39 produced.
+        assert 38 <= n_rep <= 40
+        assert lo is not None and hi is not None and lo <= hi
         # replicate medians can only take planted cent values
         assert lo in (100, 200, 300, 400) and hi in (100, 200, 300, 400)
 
@@ -8298,8 +8299,6 @@ def test_bootstrap_ci_diff_matches_python_recompute(spark, sf_dir):
     )
     from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
         _POIS_CUM,
     )
     from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
@@ -8353,8 +8352,9 @@ def test_bootstrap_ci_diff_matches_python_recompute(spark, sf_dir):
             ds.append((u_micro(sb, wb) - u_micro(sa, wa), b))
     ds.sort()
     assert row.n_replicates == len(ds)
-    assert row.ci_lo_micro == ds[BOOT_LO_RANK - 1][0]
-    assert row.ci_hi_micro == ds[BOOT_HI_RANK - 1][0]
+    n = len(ds)
+    assert row.ci_lo_micro == ds[(25 * n + 999) // 1000 - 1][0]
+    assert row.ci_hi_micro == ds[(975 * n + 999) // 1000 - 1][0]
     assert row.ci_lo_micro <= row.d_obs_micro <= row.ci_hi_micro
 
 
@@ -8502,8 +8502,6 @@ def test_eval_win_rate_matches_python_recompute(spark, sf_dir):
     )
     from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
         _POIS_CUM,
     )
     from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
@@ -8553,8 +8551,9 @@ def test_eval_win_rate_matches_python_recompute(spark, sf_dir):
                 wins.append((win_micro(wgt, weq, sw), bb))
         wins.sort()
         assert ln.n_replicates == len(wins)
-        assert ln.ci_lo_micro == wins[BOOT_LO_RANK - 1][0]
-        assert ln.ci_hi_micro == wins[BOOT_HI_RANK - 1][0]
+        n = len(wins)
+        assert ln.ci_lo_micro == wins[(25 * n + 999) // 1000 - 1][0]
+        assert ln.ci_hi_micro == wins[(975 * n + 999) // 1000 - 1][0]
         assert ln.ci_lo_micro <= ln.win_micro <= ln.ci_hi_micro
 
 
@@ -9124,8 +9123,6 @@ def test_bootstrap_ci_winsorized_consistent_with_components(spark, sf_dir):
     )
     from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
         _POIS_CUM,
     )
     from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
@@ -9167,8 +9164,9 @@ def test_bootstrap_ci_winsorized_consistent_with_components(spark, sf_dir):
         means.sort()
         ln = lane[status]
         assert ln.n_replicates == len(means)
-        assert ln.ci_lo_micro == means[BOOT_LO_RANK - 1][0]
-        assert ln.ci_hi_micro == means[BOOT_HI_RANK - 1][0]
+        n = len(means)
+        assert ln.ci_lo_micro == means[(25 * n + 999) // 1000 - 1][0]
+        assert ln.ci_hi_micro == means[(975 * n + 999) // 1000 - 1][0]
 
 
 def test_graph_community_profile_two_cliques(spark, tmp_path):

@@ -733,3 +733,9 @@ def test_stateful_interarrival_rejects_watermark_past_horizon(spark):
         interarrival_stateful(stream, watermark="11 minutes")
     with pytest.raises(ValueError, match="unparseable"):
         _parse_delay_seconds("soon")
+    # ADVICE r13: Spark's withWatermark rejects fractional interval
+    # quantities, so validation must too — one place, clear message.
+    with pytest.raises(ValueError, match="unparseable"):
+        _parse_delay_seconds("1.5 hours")
+    with pytest.raises(ValueError, match="unparseable"):
+        _parse_delay_seconds("0.5 minutes")
