@@ -1434,10 +1434,6 @@ EXTRA_QUERIES: list[Query] = [
         ("llm", "graph", "iterative"),
         bench=True,  # the iterative int64 kernel, timed end-to-end
     ),
-    Query(
-        "label_propagation",
-        q_label_propagation,
-        SQL_LABEL_PROPAGATION,
-        ("llm", "graph", "iterative"),
-    ),
+    # label_propagation re-promoted to the graded lane in round 14 (r6
+    # driver row; it registers via relational20)
 ]

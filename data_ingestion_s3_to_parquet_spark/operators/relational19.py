@@ -13,9 +13,11 @@ first four (alphabetical) of the 40-lane r6-row cohort:
 relational18's graded list: the eleven round-12 single-green
 first-timers plus ``window_analytic`` (the first of the twelve
 r12-refreshed promotion veterans — all now LEAD the EXTRA lane via
-relational18.EXTRA_QUERIES, bench flags intact). The remaining
-r6-row cohort (cdc_apply, data_expectations, doc_fingerprint, …) is
-next in line for round 14.
+relational18.EXTRA_QUERIES, bench flags intact). Round 14 demoted
+this module's twelve-lane promotion cohort back out (its r13 rows
+were the freshest veteran greens) in exchange for the next twelve
+r6-row veterans, promoted via relational20; the cohort now registers
+through EXTRA_QUERIES below and leads the EXTRA lane.
 
 Eleven round-13 waves followed the rotation, each never-graded-first
 with a one-for-one demotion of the freshest (r12-refreshed) veteran
@@ -206,9 +208,15 @@ QUERIES: list[Query] = [
         SQL_BOOTSTRAP_CI_WINSORIZED,
         ("relational", "statistics", "sampling", "quality"),
     ),
-    # --- the round-13 promotion cohort (oldest driver rows first:
-    # the full r5 cohort alphabetical, then the first four of the
-    # r6 cohort) ---
+]
+
+# The round-13 promotion cohort, demoted one-for-one by the round-14
+# grade-freshness rotation (VERDICT r13 #1 — their r13 rows are the
+# freshest veteran greens, so they trade their graded slots for the
+# twelve measured-oldest r6-row lanes promoted via relational20).
+# They LEAD the EXTRA lane (relational19 sits right after
+# relational20 in registry._MODULES), bench flags intact.
+EXTRA_QUERIES: list[Query] = [
     Query(
         "corpus_prep",
         q_corpus_prep,
@@ -272,5 +280,3 @@ QUERIES: list[Query] = [
     ),
     Query("array_map_json", q_array_map_json, SQL_ARRAY_MAP_JSON, ("relational", "json")),
 ]
-
-EXTRA_QUERIES: list[Query] = []

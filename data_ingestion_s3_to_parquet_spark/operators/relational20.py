@@ -1,0 +1,130 @@
+"""Round-14 graded-lane registrations: the grade-freshness promotion
+cohort (VERDICT r13 #1), with the round's NEW operators prepended
+wave by wave (never-graded-first — see the inline wave comments).
+
+The promotion set is the twelve lanes whose driver rows were
+measured OLDEST from CORRECTNESS_r01–r13 at the start of round 14:
+the first twelve (alphabetical) of the 36-lane r6-row cohort —
+``cdc_apply``, ``data_expectations``, ``doc_fingerprint``,
+``fuzzy_match_strings``, ``higher_order_funcs``, ``interleave_mix``,
+``join_bloom_prefilter``, ``json_variant``, ``knn_graph``,
+``label_propagation``, ``lang_id``, ``lm_unigram_score``. Twelve
+lanes demote one-for-one from relational19's graded list: the full
+round-13 promotion cohort (corpus_prep … array_map_json — all
+r13-refreshed, the freshest veteran rows) now LEADS the EXTRA lane
+via relational19.EXTRA_QUERIES, bench flags intact. The remaining
+r6-row cohort (multimodal_cols, pagerank, profile_table, …) is next
+in line for round 15.
+
+Definitions stay with their families (relational4/6/7/8/9, graph,
+textstats); only the registration lives here — the
+relational17/18/19 pattern.
+
+Reference parity note: the reference (/root/reference/src/main.rs,
+208 lines) has no query surface at all; every lane here belongs to
+the mandated Layer-B extension inventory (SURVEY §2B) or the
+LLM-pipeline families.
+"""
+
+from __future__ import annotations
+
+from ..plans.spec import Query
+from .graph import SQL_LABEL_PROPAGATION, q_label_propagation
+from .relational4 import SQL_HIGHER_ORDER_FUNCS, q_higher_order_funcs
+from .relational6 import (
+    SQL_CDC_APPLY,
+    SQL_JOIN_BLOOM_PREFILTER,
+    SQL_JSON_VARIANT,
+    q_cdc_apply,
+    q_join_bloom_prefilter,
+    q_json_variant,
+)
+from .relational7 import SQL_INTERLEAVE_MIX, q_interleave_mix
+from .relational8 import (
+    SQL_KNN_GRAPH,
+    SQL_LM_UNIGRAM_SCORE,
+    q_knn_graph,
+    q_lm_unigram_score,
+)
+from .relational9 import (
+    SQL_DATA_EXPECTATIONS,
+    SQL_FUZZY_MATCH_STRINGS,
+    q_data_expectations,
+    q_fuzzy_match_strings,
+)
+from .textstats import (
+    SQL_DOC_FINGERPRINT,
+    SQL_LANG_ID,
+    q_doc_fingerprint,
+    q_lang_id,
+)
+
+QUERIES: list[Query] = [
+    # --- the round-14 promotion cohort (oldest driver rows first:
+    # the first twelve of the r6 cohort, alphabetical) ---
+    Query(
+        "cdc_apply",
+        q_cdc_apply,
+        SQL_CDC_APPLY,
+        ("relational", "window", "pipeline"),
+    ),
+    Query(
+        "data_expectations",
+        q_data_expectations,
+        SQL_DATA_EXPECTATIONS,
+        ("relational", "quality", "validation"),
+    ),
+    Query(
+        "doc_fingerprint",
+        q_doc_fingerprint,
+        SQL_DOC_FINGERPRINT,
+        ("llm", "text"),
+    ),
+    Query(
+        "fuzzy_match_strings",
+        q_fuzzy_match_strings,
+        SQL_FUZZY_MATCH_STRINGS,
+        ("llm", "text", "linkage"),
+    ),
+    Query(
+        "higher_order_funcs",
+        q_higher_order_funcs,
+        SQL_HIGHER_ORDER_FUNCS,
+        ("relational", "array"),
+    ),
+    Query(
+        "interleave_mix",
+        q_interleave_mix,
+        SQL_INTERLEAVE_MIX,
+        ("llm", "sampling", "window"),
+    ),
+    Query(
+        "join_bloom_prefilter",
+        q_join_bloom_prefilter,
+        SQL_JOIN_BLOOM_PREFILTER,
+        ("relational", "join", "approx"),
+    ),
+    Query("json_variant", q_json_variant, SQL_JSON_VARIANT, ("relational", "json")),
+    Query(
+        "knn_graph",
+        q_knn_graph,
+        SQL_KNN_GRAPH,
+        ("llm", "similarity", "window"),
+    ),
+    Query(
+        "label_propagation",
+        q_label_propagation,
+        SQL_LABEL_PROPAGATION,
+        ("llm", "graph", "iterative"),
+    ),
+    Query("lang_id", q_lang_id, SQL_LANG_ID, ("llm", "text")),
+    Query(
+        "lm_unigram_score",
+        q_lm_unigram_score,
+        SQL_LM_UNIGRAM_SCORE,
+        ("llm", "text", "quality"),
+        bench=True,  # broadcast-vocab scoring over the token stream
+    ),
+]
+
+EXTRA_QUERIES: list[Query] = []

@@ -71,10 +71,6 @@ FROM embeddings
 QUERIES: list[Query] = []
 
 EXTRA_QUERIES = [
-    Query(
-        "higher_order_funcs",
-        q_higher_order_funcs,
-        SQL_HIGHER_ORDER_FUNCS,
-        ("relational", "array"),
-    ),
+    # higher_order_funcs re-promoted to the graded lane in round 14 (r6
+    # driver row; it registers via relational20)
 ]

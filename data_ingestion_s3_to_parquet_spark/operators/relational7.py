@@ -667,12 +667,8 @@ EXTRA_QUERIES: list[Query] = (
     _demoted_r10_w9() + _demoted_r10_w8() + _demoted_r10_w7()
     + _demoted_r10_w6() + _demoted_r9() + _demoted_r8()
 ) + [
-    Query(
-        "interleave_mix",
-        q_interleave_mix,
-        SQL_INTERLEAVE_MIX,
-        ("llm", "sampling", "window"),
-    ),
+    # interleave_mix re-promoted to the graded lane in round 14 (r6
+    # driver row; it registers via relational20)
     Query(
         "window_distribution",
         q_window_distribution,

@@ -698,12 +698,8 @@ EXTRA_QUERIES: list[Query] = [
         SQL_UNPIVOT_STACK,
         ("relational", "reshape"),
     ),
-    Query(
-        "knn_graph",
-        q_knn_graph,
-        SQL_KNN_GRAPH,
-        ("llm", "similarity", "window"),
-    ),
+    # knn_graph re-promoted to the graded lane in round 14 (r6
+    # driver row; it registers via relational20)
     Query(
         "window_range_interval",
         q_window_range_interval,
@@ -725,11 +721,6 @@ EXTRA_QUERIES: list[Query] = [
         ("llm", "sampling", "text"),
         bench=True,  # the token-stream-shuffle representative
     ),
-    Query(
-        "lm_unigram_score",
-        q_lm_unigram_score,
-        SQL_LM_UNIGRAM_SCORE,
-        ("llm", "text", "quality"),
-        bench=True,  # broadcast-vocab scoring over the token stream
-    ),
+    # lm_unigram_score re-promoted to the graded lane in round 14 (r6
+    # driver row; it registers via relational20)
 ]

@@ -2295,24 +2295,16 @@ EXTRA_QUERIES: list[Query] = [
         SQL_RECURSIVE_HIERARCHY,
         ("relational", "sql", "iterative"),
     ),
-    Query(
-        "data_expectations",
-        q_data_expectations,
-        SQL_DATA_EXPECTATIONS,
-        ("relational", "quality", "validation"),
-    ),
+    # data_expectations re-promoted to the graded lane in round 14 (r6
+    # driver row; it registers via relational20)
     Query(
         "value_histogram",
         q_value_histogram,
         SQL_VALUE_HISTOGRAM,
         ("relational", "profiling"),
     ),
-    Query(
-        "fuzzy_match_strings",
-        q_fuzzy_match_strings,
-        SQL_FUZZY_MATCH_STRINGS,
-        ("llm", "text", "linkage"),
-    ),
+    # fuzzy_match_strings re-promoted to the graded lane in round 14 (r6
+    # driver row; it registers via relational20)
     Query(
         "skyline_frontier",
         q_skyline_frontier,

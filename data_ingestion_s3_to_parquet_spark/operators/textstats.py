@@ -2399,8 +2399,10 @@ QUERIES: list[Query] = []
 # round-7 wave-2 rotation (multiple green rows each, latest r6).
 EXTRA_QUERIES = [
     Query("text_stats", q_text_stats, SQL_TEXT_STATS, ("llm", "text"), bench=True),
-    Query("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("llm", "text")),
-    Query("lang_id", q_lang_id, SQL_LANG_ID, ("llm", "text")),
+    # doc_fingerprint re-promoted to the graded lane in round 14 (r6
+    # driver row; it registers via relational20)
+    # lang_id re-promoted to the graded lane in round 14 (r6
+    # driver row; it registers via relational20)
     Query(
         "tfidf_top_terms",
         q_tfidf_top_terms,

@@ -43,11 +43,16 @@ from .spec import Query
 # ORDER: parity + LLM + streaming first (see module docstring).
 _MODULES = (
     "data_ingestion_s3_to_parquet_spark.operators.parity",
-    # relational19 holds the round-13 wave: the NEW round-13
-    # operators (never-graded-first) plus the twelve-lane round-13
-    # grade-freshness promotion cohort (the full r5-row cohort and
-    # the first four r6-row veterans — the registry's measured-oldest
-    # driver rows after round 12).
+    # relational20 holds the round-14 wave: the NEW round-14
+    # operators (never-graded-first) plus the twelve-lane round-14
+    # grade-freshness promotion cohort (the first twelve alphabetical
+    # r6-row veterans, cdc_apply … lm_unigram_score — the registry's
+    # measured-oldest driver rows after round 13).
+    "data_ingestion_s3_to_parquet_spark.operators.relational20",
+    # relational19 keeps the thirteen round-13 first-timers graded
+    # (the round-14 rotation demoted its twelve-lane promotion
+    # cohort); its EXTRA_QUERIES leads the EXTRA lane with those
+    # round-14 demotees (corpus_prep … array_map_json).
     "data_ingestion_s3_to_parquet_spark.operators.relational19",
     # relational18 contributes only EXTRA_QUERIES after the round-13
     # waves (the full r12 promotion cohort rotated back out across
@@ -180,8 +185,19 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and seventy entries after the round-13 rotation
-# (round 13 demoted the eleven r12 single-green first-timers plus
+# a hundred and seventy entries after the round-14 rotation
+# (round 14 demoted the full round-13 promotion cohort —
+# corpus_prep, decontaminate, dedup_fuzzy, dedup_ngram_jaccard,
+# emb_centroids, map_in_pandas_tokens, sample_split, sim_topk,
+# agg_hll_sketch, agg_skew_salted, ann_ivf_topk, array_map_json —
+# through relational19.EXTRA_QUERIES, so they LEAD this lane, in
+# exchange for the twelve measured-oldest r6-row veterans promoted
+# through relational20: cdc_apply, data_expectations,
+# doc_fingerprint, fuzzy_match_strings, higher_order_funcs,
+# interleave_mix, join_bloom_prefilter, json_variant, knn_graph,
+# label_propagation, lang_id, lm_unigram_score);
+# before that —
+# round 13 demoted the eleven r12 single-green first-timers plus
 # window_analytic — through relational18.EXTRA_QUERIES, so they LEAD
 # this lane — in exchange for the twelve measured-oldest r5/r6-row
 # veterans promoted through relational19: corpus_prep, decontaminate,

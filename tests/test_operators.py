@@ -984,40 +984,26 @@ def test_lane_counts_match_docs():
     assert len(REGISTRY) == 50
     assert len(EXTRA) == 170
     assert len(BENCH_ONLY) == 7
-    # round-13 rotation: the twelve-lane promotion cohort grades
+    # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
-    # rows in the registry at the start of round 13 (the full
-    # eight-lane r5-row cohort alphabetical, then the first four of
-    # the r6-row cohort) — followed by the r12-promotion veterans
-    # that keep their graded slots (relational18), the two
-    # r11-promotion veterans (relational17), and eval_mrr. NEW
-    # round-13 operators prepend at position 1 as their waves land
-    # (never-graded-first): wave 1 bootstrap_ci_quantile, demoting
-    # subquery_scalar (r4 + r12 greens); wave 2 perm_test_diff,
-    # demoting agg_percentile; wave 3 stream_bootstrap, demoting
-    # pivot; wave 4 bootstrap_ci_diff, demoting join_skew_salted;
-    # wave 5 srm_check, demoting sql_frontend; wave 6 eval_win_rate,
-    # demoting agg_argminmax; wave 7 metric_winsorized, demoting
-    # udaf_grouped; wave 8 ngram_novelty, demoting join_null_safe
-    # (each r4 + r12 greens); wave 9 eval_brier, demoting dedup_exact
-    # (r5 + r12 greens); wave 10 eval_bradley_terry, demoting
-    # dedup_embedding; wave 11 sample_alloc_neyman, demoting
-    # dedup_components (each r5 + r12 greens) — the full r12
-    # promotion cohort has now rotated back out; wave 12
-    # perm_test_ratio, demoting join_inner; wave 13
-    # bootstrap_ci_winsorized, demoting join_range (each r11 + r12
-    # greens).
+    # rows in the registry at the start of round 14 (the first
+    # twelve alphabetical of the 36-lane r6-row cohort) — followed
+    # by the thirteen round-13 first-timers that keep their graded
+    # slots (relational19), and eval_mrr. NEW round-14 operators
+    # prepend at position 1 as their waves land
+    # (never-graded-first), each demoting one r13-refreshed veteran
+    # one-for-one (see the relational20 wave comments).
     assert list(REGISTRY)[1:27] == [
+        "cdc_apply", "data_expectations", "doc_fingerprint",
+        "fuzzy_match_strings", "higher_order_funcs",
+        "interleave_mix", "join_bloom_prefilter", "json_variant",
+        "knn_graph", "label_propagation", "lang_id",
+        "lm_unigram_score",
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
         "perm_test_ratio", "bootstrap_ci_winsorized",
-        "corpus_prep", "decontaminate", "dedup_fuzzy",
-        "dedup_ngram_jaccard", "emb_centroids",
-        "map_in_pandas_tokens", "sample_split", "sim_topk",
-        "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
-        "array_map_json",
         "eval_mrr",
     ]
     assert list(REGISTRY)[26:28] == [
@@ -1029,15 +1015,22 @@ def test_lane_counts_match_docs():
         "join_outer", "join_semi_anti",
         "sort_limit_topk", "set_ops", "regexp_funcs",
     ]
-    # the twelve round-13 demotees LEAD the EXTRA lane (the eleven
-    # r12 single-green first-timers plus window_analytic, via
+    # the twelve round-14 demotees (the full r13 promotion cohort,
+    # via relational19.EXTRA_QUERIES) LEAD the EXTRA lane, ahead of
+    # the round-13 demotees (the eleven r12 single-green
+    # first-timers plus window_analytic, via
     # relational18.EXTRA_QUERIES), ahead of the r12 demotee cohort
     # (the seven r11 single-green first-timers first, then the eight
     # r11-refreshed veterans, the r12 wave-2/3 join_broadcast /
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:63] == [
+    assert list(EXTRA)[:75] == [
+        "corpus_prep", "decontaminate", "dedup_fuzzy",
+        "dedup_ngram_jaccard", "emb_centroids",
+        "map_in_pandas_tokens", "sample_split", "sim_topk",
+        "agg_hll_sketch", "agg_skew_salted", "ann_ivf_topk",
+        "array_map_json",
         "eval_kripp_alpha_ordinal", "graph_community_profile",
         "event_interarrival", "text_yule_k", "len_lognormal_fit",
         "word_adaptation", "eval_qwk", "text_mattr",
@@ -1114,21 +1107,27 @@ def test_lane_counts_match_docs():
     # at least one green driver row); agg_skew_salted / ann_ivf_topk /
     # array_map_json / agg_hll_sketch left this cohort in the round-13
     # promotion (asserted graded via the [1:27] prefix above)
+    # (the round-14 rotation re-promoted twelve of the historical r7
+    # demotees — cdc_apply, data_expectations, doc_fingerprint,
+    # fuzzy_match_strings, higher_order_funcs, interleave_mix,
+    # join_bloom_prefilter, json_variant, knn_graph,
+    # label_propagation, lang_id, lm_unigram_score — so they now
+    # live in REGISTRY, not EXTRA)
     for k in (
         # r7 wave-1/wave-2/wave-3 + post-wave-2 demotees
-        "sample_span_mask", "lm_unigram_score", "udf_scalar",
-        "interleave_mix", "window_range_interval", "profile_table",
-        "fuzzy_match_strings", "skyline_frontier",
-        "label_propagation", "sim_join", "text_stats",
-        "doc_fingerprint", "lang_id", "tfidf_top_terms",
+        "sample_span_mask", "udf_scalar",
+        "window_range_interval", "profile_table",
+        "skyline_frontier",
+        "sim_join", "text_stats",
+        "tfidf_top_terms",
         "quality_classifier", "multimodal_cols",
         "stream_tumbling", "stream_sliding", "stream_session",
-        "join_bloom_prefilter", "cdc_apply", "sample_weighted",
+        "sample_weighted",
         "udtf_lateral", "resample_ffill",
-        "json_variant", "higher_order_funcs", "scd2_history",
-        "recursive_cte", "data_expectations", "value_histogram",
+        "scd2_history",
+        "recursive_cte", "value_histogram",
         "pagerank", "sample_stratified", "unpivot_stack",
-        "window_distribution", "text_normalize", "knn_graph",
+        "window_distribution", "text_normalize",
         # r8 final-rotation demotees (green r7)
         "freq_items_topk", "dedup_soft", "mix_weights", "strip_markup",
         "ngram_counts", "merge_intervals", "markov_transitions",
@@ -1136,10 +1135,17 @@ def test_lane_counts_match_docs():
         "url_canonicalize", "cms_counts",
     ):
         assert k in EXTRA, k
+    for k in (
+        "cdc_apply", "data_expectations", "doc_fingerprint",
+        "fuzzy_match_strings", "higher_order_funcs",
+        "interleave_mix", "join_bloom_prefilter", "json_variant",
+        "knn_graph", "label_propagation", "lang_id",
+        "lm_unigram_score",
+    ):
+        assert k in REGISTRY, k
     assert "winnow_overlap" in EXTRA  # r9 demotee (double-green r7+r8)
     assert "window_distribution" in EXTRA
     assert "text_normalize" in EXTRA
-    assert "knn_graph" in EXTRA
 
 
 def test_bench_stdout_line_fits_driver_tail_window():
