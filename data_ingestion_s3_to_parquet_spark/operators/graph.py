@@ -43,6 +43,8 @@ localCheckpoint per iteration, partitions ∝ |E|. Dangling nodes
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -699,12 +701,19 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = und.groupBy("u").agg(F.count("*").alias("deg"))
     src_row = deg.orderBy(F.desc("deg"), F.col("u")).limit(1)
-    dist = src_row.select(
+    frontier = src_row.select(
         F.col("u").alias("node"), F.lit(0).cast("int").alias("dist")
     ).localCheckpoint()
-    frontier = dist
-    n_reached = dist.count()
+    # ``dist`` stays a UNION of the per-layer checkpointed frontiers —
+    # lineage depth 1 regardless of round count, so it needs no
+    # checkpoint of its own (r14: re-checkpointing the accumulated
+    # dist every round was one extra materialization job per BFS
+    # layer, pure fixed overhead on the bench-dominating small-frame
+    # rounds; the anti-join build side is the same union either way).
+    layers = [frontier]
+    frontier.count()
     for _ in range(SSSP_ROUNDS):
+        dist = reduce(DataFrame.unionAll, layers)
         step = (
             frontier.join(
                 und.hint("shuffle_hash"),
@@ -720,9 +729,8 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_new = frontier.count()
         if n_new == 0:  # BFS layer empty ⇒ fixed point
             break
-        dist = dist.unionAll(frontier).localCheckpoint()
-        n_reached += n_new
-    return dist
+        layers.append(frontier)
+    return reduce(DataFrame.unionAll, layers)
 
 
 def _sql_graph_sssp() -> str:
