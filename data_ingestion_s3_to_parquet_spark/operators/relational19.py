@@ -99,14 +99,8 @@ from .trainprep import (
 )
 
 QUERIES: list[Query] = [
-    # --- round-13 FIRST wave (never-graded; subquery_scalar — r4 +
-    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
-    Query(
-        "bootstrap_ci_quantile",
-        q_bootstrap_ci_quantile,
-        SQL_BOOTSTRAP_CI_QUANTILE,
-        ("relational", "statistics", "sampling", "evaluation"),
-    ),
+    # (bootstrap_ci_quantile demoted to EXTRA_QUERIES below by the
+    # round-14 first wave — metric_cuped took its graded slot)
     # --- round-13 SECOND wave (never-graded; agg_percentile — r4 +
     # r12 greens — demoted one-for-one to relational18's EXTRA) ---
     Query(
@@ -217,6 +211,15 @@ QUERIES: list[Query] = [
 # They LEAD the EXTRA lane (relational19 sits right after
 # relational20 in registry._MODULES), bench flags intact.
 EXTRA_QUERIES: list[Query] = [
+    # round-14 wave demotees (single r13 green, freshest veterans)
+    # lead even the cohort: wave 1 demoted bootstrap_ci_quantile for
+    # metric_cuped.
+    Query(
+        "bootstrap_ci_quantile",
+        q_bootstrap_ci_quantile,
+        SQL_BOOTSTRAP_CI_QUANTILE,
+        ("relational", "statistics", "sampling", "evaluation"),
+    ),
     Query(
         "corpus_prep",
         q_corpus_prep,

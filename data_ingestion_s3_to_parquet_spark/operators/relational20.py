@@ -49,8 +49,10 @@ from .relational8 import (
 from .relational9 import (
     SQL_DATA_EXPECTATIONS,
     SQL_FUZZY_MATCH_STRINGS,
+    SQL_METRIC_CUPED,
     q_data_expectations,
     q_fuzzy_match_strings,
+    q_metric_cuped,
 )
 from .textstats import (
     SQL_DOC_FINGERPRINT,
@@ -60,6 +62,15 @@ from .textstats import (
 )
 
 QUERIES: list[Query] = [
+    # --- round-14 FIRST wave (never-graded; bootstrap_ci_quantile —
+    # the first of the thirteen r13 single-green first-timers —
+    # demoted one-for-one to relational19's EXTRA) ---
+    Query(
+        "metric_cuped",
+        q_metric_cuped,
+        SQL_METRIC_CUPED,
+        ("relational", "statistics", "evaluation", "pipeline"),
+    ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---
     Query(

@@ -2208,6 +2208,215 @@ FROM t
 """
 
 
+# --------------------------------------------------------------------
+# metric_cuped
+# --------------------------------------------------------------------
+
+# CUPED pre/experiment period split: orders strictly before this date
+# are the pre-period covariate window, the rest are the experiment
+# metric window (the synthetic orders fixture spans 1995-2001, so
+# both windows are well populated at every SF).
+CUPED_SPLIT_DATE = "1998-01-01"
+
+# Signed half-AWAY-from-zero pinned division (num/den scaled by
+# {scale}): the midpoint-free (2*scale*num + den) div (2*den) house
+# form is half-UP and assumes num >= 0; CUPED's covariance numerator
+# is signed, so split on sign, run the magnitude form, negate back
+# (the VERDICT r13 #5 sign-split — also reused by eval_qwk's kappa).
+# den must be > 0 (variance numerators are, by Cauchy-Schwarz).
+SIGNED_DIV_EXPR = (
+    "CASE WHEN {den} = 0 THEN CAST(NULL AS BIGINT)"
+    " WHEN ({num}) < 0 THEN CAST(-((2 * CAST({scale} AS {big})"
+    " * CAST(-({num}) AS {big}) + {den})"
+    " {div} (2 * CAST({den} AS {big}))) AS BIGINT)"
+    " ELSE CAST((2 * CAST({scale} AS {big}) * CAST({num} AS {big})"
+    " + {den}) {div} (2 * CAST({den} AS {big})) AS BIGINT) END"
+)
+
+
+def q_metric_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced arm means (Deng, Xu, Kohavi & Walker,
+    WSDM 2013) for the A/B experiment's spend metric — the
+    experimentation-platform standard the matrix still lacked
+    (VERDICT r13 #3): each customer's experiment-period spend Y is
+    adjusted by their PRE-period spend X (a covariate fixed before
+    assignment, so independent of treatment), Y' = Y - theta*(X - Xbar)
+    with theta = cov(Y,X)/var(X) pooled over all units. Var(Y')
+    = Var(Y)*(1 - rho^2): with pre/post spend strongly correlated the
+    adjusted means separate treatment effects at a fraction of the
+    raw sample size.
+
+    Unit discipline: customers (the randomization unit, the
+    perm_test_diff rule), md5-gated into the same A/B arms as
+    ``ab_test_metrics``. A unit's Y (or X) is 0 when it has no orders
+    in that window — the standard all-units frame; dropping
+    pre-period-silent units would bias theta toward heavy buyers.
+
+    Exactness: per-unit Y/X are exact int64 cent sums; the pooled
+    sufficient statistics (n, sx, sy, sxy, sxx) are exact
+    decimal/HUGEINT; theta's numerator n*sxy - sx*sy and denominator
+    n*sxx - sx^2 are exact decimal combinations (documented bound:
+    n*sxy stays inside decimal(38,0) to ~1e9 units at ~1e9 cents
+    each); theta_micro is ONE signed half-away pinned division
+    (:data:`SIGNED_DIV_EXPR`); arm means and the pooled Xbar are the
+    house half-up micro divisions on non-negative sums; the
+    adjustment term theta_micro*(mean_x_arm - xbar) is an exact
+    decimal product scaled back by ONE more signed half-away
+    division by 10^6. Both engines execute the identical integer
+    sequence, so the oracle matches bitwise. var(X) = 0 (a
+    covariate-free corpus) pins theta_micro = 0 and the adjusted
+    mean degrades to the raw mean — the production no-op, pinned by
+    pytest.
+
+    Scale shape: ONE map-side-combinable groupBy(unit) over the
+    orders scan, one all-units aggregate to a 1-row pooled frame,
+    one groupBy(arm) to a 2-row frame, and a broadcast of the 1-row
+    pooled stats onto it. Zero data-sized joins, zero windows, zero
+    sorts — the suffstat shape every moments lane uses.
+    """
+    dec = "decimal(38,0)"
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("unit"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        (F.col("o_orderdate") < F.lit(CUPED_SPLIT_DATE).cast("date")).alias(
+            "pre"
+        ),
+    )
+    units = o.groupBy("unit").agg(
+        F.sum(F.when(~F.col("pre"), F.col("cents")).otherwise(0)).alias("y"),
+        F.sum(F.when(F.col("pre"), F.col("cents")).otherwise(0)).alias("x"),
+    )
+    from ..functions.numeric import exact_product_sum
+
+    pooled = units.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        exact_product_sum(F.col("x"), F.col("y")).cast(dec).alias("sxy"),
+        exact_product_sum(F.col("x"), F.col("x")).cast(dec).alias("sxx"),
+    )
+    cov_num = f"(CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * CAST(sy AS {dec}))"
+    var_num = f"(CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * CAST(sx AS {dec}))"
+    theta = SIGNED_DIV_EXPR.format(
+        num=cov_num, den=var_num, scale=1000000, big=dec, div="div"
+    )
+    xbar = _PT_U_EXPR.format(n="n", s="sx", big=dec, div="div")
+    pooled = pooled.select(
+        F.coalesce(F.expr(theta), F.lit(0)).cast("long").alias("theta_micro"),
+        F.expr(xbar).alias("xbar_micro"),
+    )
+    arm = (
+        F.substring(F.md5(F.col("unit").cast("string")), 1, 4)
+        < AB_SPLIT_BOUND
+    )
+    arms = units.groupBy(
+        F.when(arm, "A").otherwise("B").alias("arm")
+    ).agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("y").alias("sy_arm"),
+        F.sum("x").alias("sx_arm"),
+    )
+    my = _PT_U_EXPR.format(n="n_units", s="sy_arm", big=dec, div="div")
+    mx = _PT_U_EXPR.format(n="n_units", s="sx_arm", big=dec, div="div")
+    adj_term = SIGNED_DIV_EXPR.format(
+        num=f"CAST(theta_micro AS {dec})"
+        " * (CAST(mean_x_micro AS {big}) - CAST(xbar_micro AS {big}))".format(
+            big=dec
+        ),
+        den="1000000",
+        scale=1,
+        big=dec,
+        div="div",
+    )
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .withColumn("mean_y_micro", F.expr(my))
+        .withColumn("mean_x_micro", F.expr(mx))
+        .withColumn(
+            "adj_mean_micro",
+            F.col("mean_y_micro") - F.expr(adj_term),
+        )
+        .select(
+            "arm",
+            "n_units",
+            "mean_y_micro",
+            "mean_x_micro",
+            "theta_micro",
+            "xbar_micro",
+            "adj_mean_micro",
+        )
+    )
+
+
+def _sql_metric_cuped() -> str:
+    cov_num = "(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT))"
+    var_num = "(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))"
+    theta = SIGNED_DIV_EXPR.format(
+        num=cov_num, den=var_num, scale=1000000, big="HUGEINT", div="//"
+    )
+    xbar = _PT_U_EXPR.format(n="n", s="sx", big="HUGEINT", div="//")
+    my = _PT_U_EXPR.format(n="n_units", s="sy_arm", big="HUGEINT", div="//")
+    mx = _PT_U_EXPR.format(n="n_units", s="sx_arm", big="HUGEINT", div="//")
+    adj_term = SIGNED_DIV_EXPR.format(
+        num="CAST(theta_micro AS HUGEINT)"
+        " * (CAST(mean_x_micro AS HUGEINT) - CAST(xbar_micro AS HUGEINT))",
+        den="1000000",
+        scale=1,
+        big="HUGEINT",
+        div="//",
+    )
+    return f"""
+WITH o AS (
+  SELECT o_custkey AS unit,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderdate < DATE '{CUPED_SPLIT_DATE}' AS pre
+  FROM orders
+),
+units AS (
+  SELECT unit,
+         CAST(SUM(CASE WHEN pre THEN 0 ELSE cents END) AS BIGINT) AS y,
+         CAST(SUM(CASE WHEN pre THEN cents ELSE 0 END) AS BIGINT) AS x
+  FROM o GROUP BY unit
+),
+pooled0 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM units
+),
+pooled AS (
+  SELECT CAST(COALESCE({theta}, 0) AS BIGINT) AS theta_micro,
+         {xbar} AS xbar_micro
+  FROM pooled0
+),
+arms AS (
+  SELECT CASE WHEN substr(md5(CAST(unit AS VARCHAR)), 1, 4)
+              < '{{bound}}' THEN 'A' ELSE 'B' END AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(y) AS BIGINT) AS sy_arm,
+         CAST(SUM(x) AS BIGINT) AS sx_arm
+  FROM units GROUP BY 1
+),
+m AS (
+  SELECT arm, n_units, theta_micro, xbar_micro,
+         {my} AS mean_y_micro,
+         {mx} AS mean_x_micro
+  FROM arms CROSS JOIN pooled
+)
+SELECT arm, n_units, mean_y_micro, mean_x_micro, theta_micro,
+       xbar_micro,
+       mean_y_micro - ({adj_term}) AS adj_mean_micro
+FROM m
+""".replace("{bound}", AB_SPLIT_BOUND)
+
+
+SQL_METRIC_CUPED = _sql_metric_cuped()
+
+
 QUERIES: list[Query] = []
 
 # Graded lane contribution after the round-7 wave-2 rotation: two

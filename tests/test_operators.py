@@ -818,6 +818,16 @@ def test_extra_lane_doc_counts_match_registry():
         168: "a hundred and sixty-eight",
         169: "a hundred and sixty-nine",
         170: "a hundred and seventy",
+        171: "a hundred and seventy-one",
+        172: "a hundred and seventy-two",
+        173: "a hundred and seventy-three",
+        174: "a hundred and seventy-four",
+        175: "a hundred and seventy-five",
+        176: "a hundred and seventy-six",
+        177: "a hundred and seventy-seven",
+        178: "a hundred and seventy-eight",
+        179: "a hundred and seventy-nine",
+        180: "a hundred and eighty",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -982,7 +992,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 170
+    assert len(EXTRA) == 171
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -994,12 +1004,13 @@ def test_lane_counts_match_docs():
     # (never-graded-first), each demoting one r13-refreshed veteran
     # one-for-one (see the relational20 wave comments).
     assert list(REGISTRY)[1:27] == [
+        "metric_cuped",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
+        "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
@@ -1025,7 +1036,8 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:75] == [
+    assert list(EXTRA)[:76] == [
+        "bootstrap_ci_quantile",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -9766,3 +9778,203 @@ def test_eval_fleiss_kappa_planted_panel(spark, tmp_path):
     assert (r.n_docs, r.t_keep, r.s_sum) == (3, 5, 23)
     assert r.po_micro == 777778
     assert r.kappa_micro == 550000
+
+
+def test_metric_cuped_matches_python_recompute(spark, sf_dir):
+    # full exact-integer recompute: per-customer period sums, pooled
+    # sufficient statistics, the signed half-away theta division, the
+    # half-up arm/pooled means, and the signed adjustment term.
+    import datetime as dt
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        CUPED_SPLIT_DATE,
+        q_metric_cuped,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    out = {r.arm: r for r in q_metric_cuped(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    split = dt.date.fromisoformat(CUPED_SPLIT_DATE)
+    units: dict[int, list[int]] = {}
+    for r in orders:
+        cents = int(round(r.o_totalprice * 100))
+        y, x = units.setdefault(r.o_custkey, [0, 0])
+        odate = r.o_orderdate
+        if hasattr(odate, "date"):  # fixture stores a timestamp
+            odate = odate.date()
+        if odate < split:
+            units[r.o_custkey][1] = x + cents
+        else:
+            units[r.o_custkey][0] = y + cents
+
+    def half_up(num, den):
+        return (2 * num + den) // (2 * den)
+
+    def signed_half_away(num, den):
+        if num < 0:
+            return -((2 * -num + den) // (2 * den))
+        return (2 * num + den) // (2 * den)
+
+    n = len(units)
+    sx = sum(x for _, x in units.values())
+    sy = sum(y for y, _ in units.values())
+    sxy = sum(x * y for y, x in units.values())
+    sxx = sum(x * x for _, x in units.values())
+    cov_num = n * sxy - sx * sy
+    var_num = n * sxx - sx * sx
+    theta = signed_half_away(10**6 * cov_num, var_num) if var_num else 0
+    xbar = half_up(10**4 * sx, n)
+    for arm_name in ("A", "B"):
+        members = [
+            (y, x)
+            for u, (y, x) in units.items()
+            if (
+                hashlib.md5(str(u).encode()).hexdigest()[:4]
+                < AB_SPLIT_BOUND
+            )
+            == (arm_name == "A")
+        ]
+        n_u = len(members)
+        my = half_up(10**4 * sum(y for y, _ in members), n_u)
+        mx = half_up(10**4 * sum(x for _, x in members), n_u)
+        adj = my - signed_half_away(theta * (mx - xbar), 10**6)
+        row = out[arm_name]
+        assert (row.n_units, row.theta_micro, row.xbar_micro) == (
+            n_u, theta, xbar,
+        )
+        assert (row.mean_y_micro, row.mean_x_micro) == (my, mx)
+        assert row.adj_mean_micro == adj
+    # the fixture's pre/post spend is genuinely correlated — theta
+    # must be a real adjustment, not a degenerate 0
+    assert out["A"].theta_micro != 0
+
+
+def test_metric_cuped_planted_covariate_shrinks_ci(spark, tmp_path):
+    # plant Y = X + effect*1[arm B] with X spread >> effect: CUPED's
+    # adjusted per-unit values collapse to near-constants per arm, so
+    # the cluster-bootstrap CI width of the adjusted diff (recomputed
+    # in python with bootstrap_ci_diff's own d:-salted weights) must
+    # shrink vs the raw-metric CI width from q_bootstrap_ci_diff —
+    # VERDICT r13 #3's acceptance criterion. Also pins theta ~ 1.
+    import datetime as dt
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        q_bootstrap_ci_diff,
+        q_metric_cuped,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        BOOT_B,
+        _POIS_CUM,
+    )
+
+    def arm_a(u):
+        return hashlib.md5(str(u).encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+
+    # X varies 100x across customers; arm B gets a +50.00 effect in
+    # the experiment period only.
+    pre = dt.date(1996, 1, 1)
+    post = dt.date(1999, 1, 1)
+    rows = []
+    for u in range(1, 61):
+        x_cents = 10_000 * (1 + (u % 10))  # 100.00 .. 1000.00
+        eff = 0 if arm_a(u) else 5_000
+        rows.append((2 * u, u, x_cents / 100.0, pre))
+        rows.append((2 * u + 1, u, (x_cents + eff) / 100.0, post))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate date",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    out = {r.arm: r for r in q_metric_cuped(spark, str(tmp_path)).collect()}
+    # theta ~ 1 (pre spend predicts experiment spend 1:1)
+    assert 900_000 <= out["A"].theta_micro <= 1_100_000
+    # adjusted diff isolates the planted +50.00 effect (micro-dollars)
+    adj_diff = out["B"].adj_mean_micro - out["A"].adj_mean_micro
+    assert abs(adj_diff - 50_000_000) <= 2_000_000
+
+    ci = q_bootstrap_ci_diff(spark, str(tmp_path)).collect()[0]
+    width_raw = ci.ci_hi_micro - ci.ci_lo_micro
+
+    # python cluster bootstrap of the ADJUSTED metric with the same
+    # d:-salted Poisson weights bootstrap_ci_diff uses
+    def pois_w(key):
+        u8 = hashlib.md5(key.encode()).hexdigest()[:8]
+        for k, t in enumerate(_POIS_CUM):
+            if u8 < t:
+                return k
+        return 8
+
+    theta = out["A"].theta_micro
+    xbar = out["A"].xbar_micro
+    units = {}
+    for _, u, price, d in rows:
+        y, x = units.setdefault(u, [0, 0])
+        cents = int(round(price * 100))
+        if d < dt.date(1998, 1, 1):
+            units[u][1] = x + cents
+        else:
+            units[u][0] = y + cents
+
+    ds = []
+    for b in range(BOOT_B):
+        sa = sb = na = nb = 0
+        for u, (y, x) in units.items():
+            w = pois_w(f"d:{u}:{b}")
+            if w == 0:
+                continue
+            # adjusted per-unit value in micro-dollars
+            xm = (2 * 10**4 * x + 1) // 2  # exact: x*1e4
+            av = 10**4 * y - (
+                (2 * theta * (xm - xbar) + 10**6) // (2 * 10**6)
+                if theta * (xm - xbar) >= 0
+                else -((2 * -(theta * (xm - xbar)) + 10**6) // (2 * 10**6))
+            )
+            if arm_a(u):
+                na += w
+                sa += w * av
+            else:
+                nb += w
+                sb += w * av
+        if na == 0 or nb == 0:
+            continue
+        ds.append((2 * sb + nb) // (2 * nb) - (2 * sa + na) // (2 * na))
+    ds.sort()
+    n_rep = len(ds)
+    lo = ds[(25 * n_rep + 999) // 1000 - 1]
+    hi = ds[(975 * n_rep + 999) // 1000 - 1]
+    width_adj = hi - lo
+    assert width_adj < width_raw / 2  # the variance reduction is real
+
+
+def test_metric_cuped_zero_variance_covariate_degrades_to_raw(
+    spark, tmp_path
+):
+    # every customer has the SAME pre-period spend -> var(X) = 0 ->
+    # theta pinned to 0 and the adjusted mean equals the raw mean
+    # (the production no-op, not a NULL).
+    import datetime as dt
+
+    rows = []
+    for u in range(1, 31):
+        rows.append((2 * u, u, 100.0, dt.date(1996, 1, 1)))
+        rows.append((2 * u + 1, u, float(100 + u), dt.date(1999, 1, 1)))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate date",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_metric_cuped,
+    )
+
+    for r in q_metric_cuped(spark, str(tmp_path)).collect():
+        assert r.theta_micro == 0
+        assert r.adj_mean_micro == r.mean_y_micro

@@ -1713,6 +1713,24 @@ def test_perm_test_ratio_combinable_counters_shape(spark):
     assert "Window" not in plan
 
 
+def test_metric_cuped_suffstat_shape(spark):
+    # the moments-lane shape: one combinable groupBy(unit), one
+    # 1-row pooled aggregate, one 2-row arm aggregate, ONE broadcast
+    # of the pooled stats — four exchanges, one broadcast, zero
+    # SMJ/SHJ, zero windows
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_metric_cuped,
+    )
+
+    plan = plan_of(q_metric_cuped(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 4
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+    assert "Window" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
