@@ -755,6 +755,261 @@ FROM u
 """
 
 
+# --------------------------------------------------------------------
+# rank_test_u
+# --------------------------------------------------------------------
+
+# AUC = U_A/(n_a*n_b) = u_x2/(2*n_a*n_b) in micros, half-up on the
+# non-negative operands (u_x2 >= 0 by construction).
+_RTU_AUC_EXPR = (
+    "CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST((2 * CAST(1000000 AS {big}) * CAST(u_x2 AS {big})"
+    " + 2 * CAST(n_a AS {big}) * CAST(n_b AS {big}))"
+    " {div} (2 * (2 * CAST(n_a AS {big}) * CAST(n_b AS {big})))"
+    " AS BIGINT) END"
+)
+
+
+def q_rank_test_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U permutation test of A/B arm order spend — the
+    NONPARAMETRIC significance twin of ``perm_test_diff`` (VERDICT
+    r13 #4): where the mean-difference test can be dragged by the
+    heavy order-price tail, the rank statistic U asks only "does one
+    arm's spend stochastically dominate?", and its normalized form
+    U/(n_a·n_b) is the AUC of spend separating the arms (the
+    ``rank_mannwhitney`` identity, arrived at from the testing side).
+
+    The significance finisher is a PERMUTATION p, not the tie-
+    corrected normal approximation (VERDICT r13 #4 offered the
+    choice): the normal z needs sqrt(n_a·n_b·(N³−N−Σ(t³−t))·3N(N−1))
+    whose radicand leaves decimal(38,0) near N ≈ 7·10⁵ rows, while
+    the permutation compare below is a pure integer cross-
+    multiplication exact to N ≈ 2·10⁹ — the 100 TB-honest form.
+
+    Mechanics: the pooled tie-aware double-rank dr(v) = 2·|pooled<v|
+    + cnt(v) + 1 is LABEL-FREE, so it is computed once from the
+    value histogram (two-phase bucket carry — no global window) and
+    joined back onto the scan; every relabeling then collapses to
+    ONE map-side-combinable groupBy(p) of three exact counters
+    (n_a, n_b, Σ_A dr): 2·R_A = Σ_A dr, u_x2 = 2U_A = Σ_A dr −
+    n_a(n_a+1), and the deviation num = 2U_A − n_a·n_b. Cluster
+    discipline: relabelings flip CUSTOMERS (md5('u:'||custkey||':'||p),
+    the perm_test_diff rule), holding each customer's orders
+    together. Two-sided compare of the NORMALIZED deviation
+    |num_p|/(n_a_p·n_b_p) ≥ |num_obs|/(n_a·n_b) as the exact integer
+    cross-multiplication |num_p|·(n_a·n_b) ≥ |num_obs|·(n_a_p·n_b_p)
+    — no division ever happens inside the comparison. p is the
+    add-one estimator, ONE pinned micro division; the AUC readout is
+    one more. Empty-arm relabelings are excluded (``n_perms``
+    effective). md5-derived labels: layout-free, rerun-stable,
+    engine-identical.
+
+    Scale shape: one per-value combinable groupBy + the bounded
+    two-phase carry frame (broadcast), ONE corpus-proportional
+    shuffle_hash join of dr onto the scan (both sides ∝ rows — the
+    anti-broadcast rule), the ×B explode collapsing to B counter
+    rows, and a 1-row observed broadcast. Zero windows over data,
+    zero sorts.
+    """
+    from .relational9 import AB_SPLIT_BOUND, PERM_B, _PT_P_EXPR
+    from .twophase import bucket_carry_totals
+
+    dec = "decimal(38,0)"
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("unit"),
+        F.col("o_totalprice").alias("p"),
+    )
+    h = o.groupBy("p").agg(F.count("*").alias("t")).withColumn(
+        "bucket", F.floor(F.col("p") / MW_PRICE_BUCKET)
+    )
+    carry = bucket_carry_totals(
+        h.groupBy("bucket").agg(F.sum("t").alias("bd")),
+        "bucket",
+        carry_cols=["bd"],
+        total_cols=[],
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dr = (
+        h.withColumn("r", F.sum("t").over(w))
+        .join(F.broadcast(carry), "bucket")
+        .select(
+            "p",
+            (
+                2 * (F.col("carry_bd") + F.col("r") - F.col("t"))
+                + F.col("t")
+                + 1
+            ).alias("dr"),
+        )
+    )
+    od = o.join(dr.hint("shuffle_hash"), "p").select("unit", "dr")
+
+    def stats(df, arm, perm_keyed):
+        # project the md5 gate ONCE per row (it would otherwise be
+        # re-evaluated inside each of the three aggregates)
+        df = df.withColumn("ga", arm)
+        keys = ["perm"] if perm_keyed else []
+        gb = df.groupBy(*keys) if keys else df
+        agg = gb.agg(
+            F.sum(F.col("ga").cast("long")).alias("n_a"),
+            F.sum((~F.col("ga")).cast("long")).alias("n_b"),
+            F.sum(F.when(F.col("ga"), F.col("dr")).otherwise(0).cast(dec))
+            .cast(dec)
+            .alias("sdr_a"),
+        )
+        return agg.withColumn(
+            "num",
+            F.expr(
+                f"CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS {dec})"
+                f" ELSE sdr_a - CAST(n_a AS {dec}) * (n_a + 1)"
+                f" - CAST(n_a AS {dec}) * CAST(n_b AS {dec}) END"
+            ),
+        )
+
+    obs_arm = (
+        F.substring(F.md5(F.col("unit").cast("string")), 1, 4)
+        < AB_SPLIT_BOUND
+    )
+    obs = (
+        stats(od, obs_arm, False)
+        .withColumn(
+            "u_x2",
+            F.expr(
+                f"CAST(sdr_a - CAST(n_a AS {dec}) * (n_a + 1) AS BIGINT)"
+            ),
+        )
+        .select("n_a", "n_b", "u_x2", F.col("num").alias("num_obs"))
+    )
+    p_lit = ", ".join(f"({p})" for p in range(1, PERM_B + 1))
+    perms = spark.sql(f"SELECT * FROM VALUES {p_lit} AS t(perm)")
+    rows = od.crossJoin(F.broadcast(perms))
+    perm_arm = F.expr(
+        "substring(md5(concat('u:', CAST(unit AS STRING), ':',"
+        f" CAST(perm AS STRING))), 1, 4) < '{AB_SPLIT_BOUND}'"
+    )
+    g = stats(rows, perm_arm, True).select(
+        "perm",
+        F.col("n_a").alias("pn_a"),
+        F.col("n_b").alias("pn_b"),
+        "num",
+    )
+    joined = g.crossJoin(F.broadcast(obs))
+    ge = F.expr(
+        f"CASE WHEN num IS NULL THEN NULL WHEN"
+        f" abs(num) * CAST(n_a AS {dec}) * CAST(n_b AS {dec})"
+        f" >= abs(CAST(num_obs AS {dec}))"
+        f" * CAST(pn_a AS {dec}) * CAST(pn_b AS {dec})"
+        f" THEN 1 ELSE 0 END"
+    )
+    stats_out = joined.groupBy("n_a", "n_b", "u_x2", "num_obs").agg(
+        F.count("num").alias("n_perms"),
+        F.coalesce(F.sum(ge), F.lit(0)).cast("long").alias("n_ge"),
+    )
+    return stats_out.select(
+        "n_a",
+        "n_b",
+        "u_x2",
+        F.expr(_RTU_AUC_EXPR.format(big=dec, div="div")).alias(
+            "auc_micro"
+        ),
+        "n_perms",
+        "n_ge",
+        F.expr(
+            _PT_P_EXPR.format(div="div").replace(
+                "d_obs_micro", "num_obs"
+            )
+        ).alias("p_micro"),
+    )
+
+
+def _sql_rank_test_u() -> str:
+    from .relational9 import AB_SPLIT_BOUND, PERM_B, _PT_P_EXPR
+
+    p_lit = ", ".join(f"({p})" for p in range(1, PERM_B + 1))
+    return f"""
+WITH o AS (
+  SELECT o_custkey AS unit, o_totalprice AS p FROM orders
+),
+perms AS (SELECT * FROM (VALUES {p_lit}) AS t(perm)),
+h AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS t FROM o GROUP BY p),
+d AS (
+  SELECT p,
+         2 * (SUM(t) OVER (ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - t) + t + 1 AS dr
+  FROM h
+),
+od AS (SELECT o.unit, d.dr FROM o JOIN d USING (p)),
+obsg AS (
+  SELECT substr(md5(CAST(unit AS VARCHAR)), 1, 4)
+           < '{AB_SPLIT_BOUND}' AS ga, dr
+  FROM od
+),
+obs0 AS (
+  SELECT
+    CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+    SUM(CASE WHEN ga THEN CAST(dr AS HUGEINT) ELSE 0 END) AS sdr_a
+  FROM obsg
+),
+obs AS (
+  SELECT n_a, n_b,
+         CAST(sdr_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT)
+           AS u_x2,
+         CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+              ELSE sdr_a - CAST(n_a AS HUGEINT) * (n_a + 1)
+                   - CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) END
+           AS num_obs
+  FROM obs0
+),
+pg AS (
+  SELECT perm,
+         substr(md5('u:' || CAST(unit AS VARCHAR) || ':'
+                || CAST(perm AS VARCHAR)), 1, 4)
+           < '{AB_SPLIT_BOUND}' AS ga, dr
+  FROM od CROSS JOIN perms
+),
+g0 AS (
+  SELECT perm,
+    CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS pn_a,
+    CAST(SUM(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS pn_b,
+    SUM(CASE WHEN ga THEN CAST(dr AS HUGEINT) ELSE 0 END) AS sdr_a
+  FROM pg GROUP BY perm
+),
+g AS (
+  SELECT perm, pn_a, pn_b,
+         CASE WHEN pn_a = 0 OR pn_b = 0 THEN NULL
+              ELSE sdr_a - CAST(pn_a AS HUGEINT) * (pn_a + 1)
+                   - CAST(pn_a AS HUGEINT) * CAST(pn_b AS HUGEINT) END
+           AS num
+  FROM g0
+),
+s AS (
+  SELECT n_a, n_b, u_x2, num_obs,
+         CAST(COUNT(num) AS BIGINT) AS n_perms,
+         CAST(COALESCE(SUM(CASE WHEN num IS NULL THEN NULL
+              WHEN abs(num) * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                   >= abs(CAST(num_obs AS HUGEINT))
+                      * CAST(pn_a AS HUGEINT) * CAST(pn_b AS HUGEINT)
+              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge
+  FROM g CROSS JOIN obs
+  GROUP BY n_a, n_b, u_x2, num_obs
+)
+SELECT n_a, n_b, u_x2,
+       {_RTU_AUC_EXPR.format(big="HUGEINT", div="//")} AS auc_micro,
+       n_perms, n_ge,
+       {_PT_P_EXPR.format(div="//").replace("d_obs_micro", "num_obs")}
+         AS p_micro
+FROM s
+"""
+
+
+SQL_RANK_TEST_U = _sql_rank_test_u()
+
+
 # All five graded green in round 10 (single-green first-timers);
 # demoted one-for-one in the round-11 grade-freshness rotation for
 # the r3/r4-cohort promotions registered in relational17.

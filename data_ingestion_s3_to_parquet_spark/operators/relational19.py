@@ -101,14 +101,8 @@ from .trainprep import (
 QUERIES: list[Query] = [
     # (bootstrap_ci_quantile demoted to EXTRA_QUERIES below by the
     # round-14 first wave — metric_cuped took its graded slot)
-    # --- round-13 SECOND wave (never-graded; agg_percentile — r4 +
-    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
-    Query(
-        "perm_test_diff",
-        q_perm_test_diff,
-        SQL_PERM_TEST_DIFF,
-        ("relational", "statistics", "evaluation", "sampling"),
-    ),
+    # (perm_test_diff demoted to EXTRA_QUERIES below by the round-14
+    # second wave — rank_test_u took its graded slot)
     # --- round-13 THIRD wave (never-graded; pivot — r4 + r12
     # greens — demoted one-for-one to relational18's EXTRA) ---
     Query(
@@ -219,6 +213,13 @@ EXTRA_QUERIES: list[Query] = [
         q_bootstrap_ci_quantile,
         SQL_BOOTSTRAP_CI_QUANTILE,
         ("relational", "statistics", "sampling", "evaluation"),
+    ),
+    # wave 2 demoted perm_test_diff for rank_test_u.
+    Query(
+        "perm_test_diff",
+        q_perm_test_diff,
+        SQL_PERM_TEST_DIFF,
+        ("relational", "statistics", "evaluation", "sampling"),
     ),
     Query(
         "corpus_prep",

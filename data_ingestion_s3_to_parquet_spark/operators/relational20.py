@@ -46,6 +46,7 @@ from .relational8 import (
     q_knn_graph,
     q_lm_unigram_score,
 )
+from .relational15 import SQL_RANK_TEST_U, q_rank_test_u
 from .relational9 import (
     SQL_DATA_EXPECTATIONS,
     SQL_FUZZY_MATCH_STRINGS,
@@ -70,6 +71,14 @@ QUERIES: list[Query] = [
         q_metric_cuped,
         SQL_METRIC_CUPED,
         ("relational", "statistics", "evaluation", "pipeline"),
+    ),
+    # --- round-14 SECOND wave (never-graded; perm_test_diff — r13
+    # single green — demoted one-for-one to relational19's EXTRA) ---
+    Query(
+        "rank_test_u",
+        q_rank_test_u,
+        SQL_RANK_TEST_U,
+        ("relational", "statistics", "evaluation", "sampling"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

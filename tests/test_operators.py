@@ -992,7 +992,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 171
+    assert len(EXTRA) == 172
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1004,13 +1004,13 @@ def test_lane_counts_match_docs():
     # (never-graded-first), each demoting one r13-refreshed veteran
     # one-for-one (see the relational20 wave comments).
     assert list(REGISTRY)[1:27] == [
-        "metric_cuped",
+        "metric_cuped", "rank_test_u",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "perm_test_diff", "stream_bootstrap",
+        "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
@@ -1036,8 +1036,8 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:76] == [
-        "bootstrap_ci_quantile",
+    assert list(EXTRA)[:77] == [
+        "bootstrap_ci_quantile", "perm_test_diff",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -9978,3 +9978,108 @@ def test_metric_cuped_zero_variance_covariate_degrades_to_raw(
     for r in q_metric_cuped(spark, str(tmp_path)).collect():
         assert r.theta_micro == 0
         assert r.adj_mean_micro == r.mean_y_micro
+
+
+def test_rank_test_u_matches_python_recompute(spark, sf_dir):
+    # full recompute: pooled tie-aware double-ranks, exact U, the
+    # u:-salted customer-level relabelings, the cross-multiplied
+    # two-sided compare, and the add-one p — scipy-free, pure ints.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_rank_test_u,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        PERM_B,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    row, = q_rank_test_u(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    vals = sorted({r.o_totalprice for r in orders})
+    cnt = {}
+    for r in orders:
+        cnt[r.o_totalprice] = cnt.get(r.o_totalprice, 0) + 1
+    below, dr = 0, {}
+    for v in vals:
+        dr[v] = 2 * below + cnt[v] + 1
+        below += cnt[v]
+    data = [(r.o_custkey, dr[r.o_totalprice]) for r in orders]
+
+    def gate(s):
+        return hashlib.md5(s.encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+
+    def num_of(arm_of):
+        n_a = n_b = sdr = 0
+        for unit, d in data:
+            if arm_of(unit):
+                n_a += 1
+                sdr += d
+            else:
+                n_b += 1
+        if n_a == 0 or n_b == 0:
+            return None, n_a, n_b, None
+        u_x2 = sdr - n_a * (n_a + 1)
+        return u_x2 - n_a * n_b, n_a, n_b, u_x2
+
+    num_obs, n_a, n_b, u_x2 = num_of(lambda u: gate(str(u)))
+    assert (row.n_a, row.n_b, row.u_x2) == (n_a, n_b, u_x2)
+    den = 2 * n_a * n_b
+    assert row.auc_micro == (2 * 10**6 * u_x2 + den) // (2 * den)
+    n_perms = n_ge = 0
+    for p in range(1, PERM_B + 1):
+        num_p, pn_a, pn_b, _ = num_of(lambda u: gate(f"u:{u}:{p}"))
+        if num_p is None:
+            continue
+        n_perms += 1
+        if abs(num_p) * n_a * n_b >= abs(num_obs) * pn_a * pn_b:
+            n_ge += 1
+    assert (row.n_perms, row.n_ge) == (n_perms, n_ge)
+    p_exp = (2 * 10**6 * (n_ge + 1) + (n_perms + 1)) // (2 * (n_perms + 1))
+    assert row.p_micro == p_exp
+    # the U statistic agrees with rank_mannwhitney's rank machinery
+    # by construction (both are sum-of-double-ranks); the u: salt is
+    # independent of the p:/pr: streams
+    assert hashlib.md5(b"u:1:1").hexdigest() != hashlib.md5(b"p:1:1").hexdigest()
+
+
+def test_rank_test_u_planted_effects(spark, tmp_path):
+    # no effect: every order the same price -> all double-ranks equal
+    # -> num = 0 for the observed split AND every relabeling -> p = 1.
+    # strong effect: arm A orders all outspend arm B -> U = n_a*n_b
+    # (AUC = 1.0), no relabeling reaches the max deviation -> p = 1/100.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_rank_test_u,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+    )
+
+    def arm_a(u):
+        return hashlib.md5(str(u).encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+
+    def write(rows, d):
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        ).write.parquet(f"{d}/orders.parquet")
+
+    write([(i, i, 100.0) for i in range(1, 81)], f"{tmp_path}/flat")
+    r, = q_rank_test_u(spark, f"{tmp_path}/flat").collect()
+    assert r.auc_micro == 500_000  # all ties: U/(n_a*n_b) = 1/2 exactly
+    assert (r.n_perms, r.n_ge, r.p_micro) == (99, 99, 1_000_000)
+
+    planted = [
+        (i, i, 200.0 + i if arm_a(i) else 100.0 + i * 0.25)
+        for i in range(1, 81)
+    ]
+    write([(i, u, p) for i, u, p in planted], f"{tmp_path}/effect")
+    r, = q_rank_test_u(spark, f"{tmp_path}/effect").collect()
+    assert r.u_x2 == 2 * r.n_a * r.n_b  # complete separation
+    assert r.auc_micro == 1_000_000
+    assert r.n_perms == 99 and r.n_ge == 0
+    assert r.p_micro == 10_000

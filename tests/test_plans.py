@@ -1731,6 +1731,25 @@ def test_metric_cuped_suffstat_shape(spark):
     assert "Window" not in plan
 
 
+def test_rank_test_u_shape(spark):
+    # the dr histogram + carry feed TWO consumers (observed split and
+    # the x99 explode), so the corpus-proportional dr->scan
+    # shuffle_hash join appears once per branch (2 SHJ, both pinned —
+    # the anti-broadcast rule: both sides scale with the corpus);
+    # everything after the joins is B-row counters. No windows over
+    # data (the only windows are on the bounded bucket frame).
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_rank_test_u,
+    )
+
+    plan = plan_of(q_rank_test_u(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 4
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 2
+    assert "CartesianProduct" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
