@@ -103,14 +103,8 @@ QUERIES: list[Query] = [
     # round-14 first wave — metric_cuped took its graded slot)
     # (perm_test_diff demoted to EXTRA_QUERIES below by the round-14
     # second wave — rank_test_u took its graded slot)
-    # --- round-13 THIRD wave (never-graded; pivot — r4 + r12
-    # greens — demoted one-for-one to relational18's EXTRA) ---
-    Query(
-        "stream_bootstrap",
-        q_stream_bootstrap,
-        SQL_STREAM_BOOTSTRAP,
-        ("streaming", "statistics", "sampling"),
-    ),
+    # (stream_bootstrap demoted to EXTRA_QUERIES below by the
+    # round-14 third wave — fdr_bh took its graded slot)
     # --- round-13 FOURTH wave (never-graded; join_skew_salted — r4 +
     # r12 greens — demoted one-for-one to relational18's EXTRA) ---
     Query(
@@ -214,12 +208,19 @@ EXTRA_QUERIES: list[Query] = [
         SQL_BOOTSTRAP_CI_QUANTILE,
         ("relational", "statistics", "sampling", "evaluation"),
     ),
-    # wave 2 demoted perm_test_diff for rank_test_u.
+    # wave 2 demoted perm_test_diff for rank_test_u; wave 3 demoted
+    # stream_bootstrap for fdr_bh.
     Query(
         "perm_test_diff",
         q_perm_test_diff,
         SQL_PERM_TEST_DIFF,
         ("relational", "statistics", "evaluation", "sampling"),
+    ),
+    Query(
+        "stream_bootstrap",
+        q_stream_bootstrap,
+        SQL_STREAM_BOOTSTRAP,
+        ("streaming", "statistics", "sampling"),
     ),
     Query(
         "corpus_prep",

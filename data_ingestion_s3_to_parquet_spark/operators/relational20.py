@@ -49,9 +49,11 @@ from .relational8 import (
 from .relational15 import SQL_RANK_TEST_U, q_rank_test_u
 from .relational9 import (
     SQL_DATA_EXPECTATIONS,
+    SQL_FDR_BH,
     SQL_FUZZY_MATCH_STRINGS,
     SQL_METRIC_CUPED,
     q_data_expectations,
+    q_fdr_bh,
     q_fuzzy_match_strings,
     q_metric_cuped,
 )
@@ -79,6 +81,14 @@ QUERIES: list[Query] = [
         q_rank_test_u,
         SQL_RANK_TEST_U,
         ("relational", "statistics", "evaluation", "sampling"),
+    ),
+    # --- round-14 THIRD wave (never-graded; stream_bootstrap — r13
+    # single green — demoted one-for-one to relational19's EXTRA) ---
+    Query(
+        "fdr_bh",
+        q_fdr_bh,
+        SQL_FDR_BH,
+        ("relational", "statistics", "evaluation", "quality"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

@@ -2417,6 +2417,235 @@ FROM m
 SQL_METRIC_CUPED = _sql_metric_cuped()
 
 
+# --------------------------------------------------------------------
+# fdr_bh
+# --------------------------------------------------------------------
+
+FDR_ALPHA_MICRO = 50_000  # alpha = 0.05 in micro units
+
+
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the per-segment
+    permutation p-values — the multiple-comparisons gate every
+    experiment readout needs once it slices by segment (VERDICT r13
+    #6): five order-priority segments each run ``perm_test_diff``'s
+    customer-level permutation test of the arm mean-spend difference
+    (an independent ``f:``-salted relabeling stream, SHARED across
+    segments — the real platform shape: many metrics read off the
+    same experiment's randomness), and the five raw p-values are
+    BH-adjusted, p_adj(i) = min over k ≥ i of p(k)·m/k capped at 1,
+    rejected ⟺ p_adj ≤ alpha.
+
+    Exactness: the per-segment machinery is perm_test_diff verbatim
+    (exact counters, pinned half-up micro means, cross-engine md5
+    labels, add-one p). The BH walk is pure integer arithmetic on
+    the bounded m-row frame: each candidate p(k)·m/k is ONE pinned
+    half-up integer division in micro units, the step-up "min over
+    the tail" is a reversed running min window, and the verdict is
+    an integer compare against alpha — no float ever appears, so
+    the oracle matches bitwise. Ranks tie-break by segment name
+    (deterministic).
+
+    Scale shape: ONE ×B explode of the scan collapsing map-side to
+    a \|segments\|·B counter frame, the \|segments\|-row observed
+    broadcast, and windows only over the bounded m-row p frame.
+    Zero data joins, zero data windows.
+    """
+    dec = "decimal(38,0)"
+    p_lit = ", ".join(f"({p})" for p in range(1, PERM_B + 1))
+    perms = spark.sql(f"SELECT * FROM VALUES {p_lit} AS t(perm)")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("unit"),
+        F.col("o_orderpriority").alias("seg"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+
+    def arm_sums(gb, arm):
+        return gb.agg(
+            F.sum(arm.cast("long")).alias("n_a"),
+            F.sum((~arm).cast("long")).alias("n_b"),
+            F.sum(F.when(arm, F.col("cents")).otherwise(0).cast(dec))
+            .cast(dec)
+            .alias("s_a"),
+            F.sum(F.when(~arm, F.col("cents")).otherwise(0).cast(dec))
+            .cast(dec)
+            .alias("s_b"),
+        )
+
+    def with_d(df, out):
+        u_a = _PT_U_EXPR.format(n="n_a", s="s_a", big=dec, div="div")
+        u_b = _PT_U_EXPR.format(n="n_b", s="s_b", big=dec, div="div")
+        return df.withColumn(out, F.expr(f"({u_b}) - ({u_a})"))
+
+    obs_arm = (
+        F.substring(F.md5(F.col("unit").cast("string")), 1, 4)
+        < AB_SPLIT_BOUND
+    )
+    obs = with_d(arm_sums(o.groupBy("seg"), obs_arm), "d_obs_micro").select(
+        "seg", "n_a", "n_b", "d_obs_micro"
+    )
+    rows = o.crossJoin(F.broadcast(perms))
+    perm_arm = F.expr(
+        "substring(md5(concat('f:', CAST(unit AS STRING), ':',"
+        f" CAST(perm AS STRING))), 1, 4) < '{AB_SPLIT_BOUND}'"
+    )
+    g = with_d(
+        arm_sums(rows.withColumn("ga", perm_arm).groupBy("seg", "perm"),
+                 F.col("ga")),
+        "d_micro",
+    ).select("seg", "d_micro")
+    pv = (
+        g.join(F.broadcast(obs), "seg")
+        .groupBy("seg", "n_a", "n_b", "d_obs_micro")
+        .agg(
+            F.count("d_micro").alias("n_perms"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("d_micro"))
+                        >= F.abs(F.col("d_obs_micro")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_ge"),
+        )
+        .withColumn("p_micro", F.expr(_PT_P_EXPR.format(div="div")))
+    )
+    # a segment whose observed split empties an arm has no defined p
+    # (d_obs NULL) and cannot enter the BH frame — engines also order
+    # NULLs differently, so the exclusion is a correctness guard too;
+    # m counts TESTABLE segments.
+    pv = pv.where(F.col("p_micro").isNotNull())
+    w_all = Window.partitionBy(F.lit(0))
+    w_rank = w_all.orderBy("p_micro", "seg")
+    w_tail = w_rank.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked = (
+        pv.withColumn("m", F.count("*").over(w_all).cast("long"))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .withColumn(
+            "cand",
+            F.expr(
+                "CAST((2 * CAST(p_micro AS BIGINT) * m + rnk)"
+                " div (2 * rnk) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "p_adj_micro",
+            F.least(F.min("cand").over(w_tail), F.lit(1_000_000)),
+        )
+        .withColumn(
+            "rejected", F.col("p_adj_micro") <= F.lit(FDR_ALPHA_MICRO)
+        )
+    )
+    return ranked.select(
+        "seg",
+        "n_a",
+        "n_b",
+        "d_obs_micro",
+        "n_perms",
+        "n_ge",
+        "p_micro",
+        "m",
+        "rnk",
+        "p_adj_micro",
+        "rejected",
+    )
+
+
+def _sql_fdr_bh() -> str:
+    p_lit = ", ".join(f"({p})" for p in range(1, PERM_B + 1))
+    u_a = _PT_U_EXPR.format(n="n_a", s="s_a", big="HUGEINT", div="//")
+    u_b = _PT_U_EXPR.format(n="n_b", s="s_b", big="HUGEINT", div="//")
+    p_expr = _PT_P_EXPR.format(div="//")
+    return f"""
+WITH perms AS (SELECT * FROM (VALUES {p_lit}) AS t(perm)),
+o AS (
+  SELECT o_custkey AS unit, o_orderpriority AS seg,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+obs0 AS (
+  SELECT seg,
+         CAST(SUM(CASE WHEN substr(md5(CAST(unit AS VARCHAR)), 1, 4)
+              < '{AB_SPLIT_BOUND}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN substr(md5(CAST(unit AS VARCHAR)), 1, 4)
+              < '{AB_SPLIT_BOUND}' THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN substr(md5(CAST(unit AS VARCHAR)), 1, 4)
+             < '{AB_SPLIT_BOUND}' THEN CAST(cents AS HUGEINT)
+             ELSE 0 END) AS s_a,
+         SUM(CASE WHEN substr(md5(CAST(unit AS VARCHAR)), 1, 4)
+             < '{AB_SPLIT_BOUND}' THEN 0
+             ELSE CAST(cents AS HUGEINT) END) AS s_b
+  FROM o GROUP BY seg
+),
+obs AS (
+  SELECT seg, n_a, n_b, ({u_b}) - ({u_a}) AS d_obs_micro FROM obs0
+),
+pg AS (
+  SELECT seg, perm,
+         substr(md5('f:' || CAST(unit AS VARCHAR) || ':'
+                || CAST(perm AS VARCHAR)), 1, 4)
+           < '{AB_SPLIT_BOUND}' AS ga, cents
+  FROM o CROSS JOIN perms
+),
+g0 AS (
+  SELECT seg, perm,
+         CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN ga THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_a,
+         SUM(CASE WHEN ga THEN 0 ELSE CAST(cents AS HUGEINT) END) AS s_b
+  FROM pg GROUP BY seg, perm
+),
+g AS (
+  SELECT seg, ({u_b}) - ({u_a}) AS d_micro FROM g0
+),
+pv AS (
+  SELECT o.seg, o.n_a, o.n_b, o.d_obs_micro,
+         CAST(COUNT(d_micro) AS BIGINT) AS n_perms,
+         CAST(COALESCE(SUM(CASE WHEN abs(d_micro)
+              >= abs(d_obs_micro) THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_ge
+  FROM g JOIN obs o ON g.seg = o.seg
+  GROUP BY o.seg, o.n_a, o.n_b, o.d_obs_micro
+),
+pp AS (
+  SELECT seg, n_a, n_b, d_obs_micro, n_perms, n_ge,
+         {p_expr} AS p_micro
+  FROM pv
+),
+r AS (
+  SELECT *,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m,
+         CAST(row_number() OVER (ORDER BY p_micro, seg) AS BIGINT)
+           AS rnk
+  FROM pp WHERE p_micro IS NOT NULL
+),
+c AS (
+  SELECT *,
+         CAST((2 * CAST(p_micro AS BIGINT) * m + rnk)
+              // (2 * rnk) AS BIGINT) AS cand
+  FROM r
+),
+a AS (
+  SELECT seg, n_a, n_b, d_obs_micro, n_perms, n_ge, p_micro, m, rnk,
+         LEAST(MIN(cand) OVER (ORDER BY rnk
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING),
+               1000000) AS p_adj_micro
+  FROM c
+)
+SELECT seg, n_a, n_b, d_obs_micro, n_perms, n_ge, p_micro, m, rnk,
+       p_adj_micro, p_adj_micro <= {FDR_ALPHA_MICRO} AS rejected
+FROM a
+"""
+
+
+SQL_FDR_BH = _sql_fdr_bh()
+
+
 QUERIES: list[Query] = []
 
 # Graded lane contribution after the round-7 wave-2 rotation: two

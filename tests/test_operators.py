@@ -992,7 +992,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 172
+    assert len(EXTRA) == 173
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1004,13 +1004,12 @@ def test_lane_counts_match_docs():
     # (never-graded-first), each demoting one r13-refreshed veteran
     # one-for-one (see the relational20 wave comments).
     assert list(REGISTRY)[1:27] == [
-        "metric_cuped", "rank_test_u",
+        "metric_cuped", "rank_test_u", "fdr_bh",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
@@ -1036,8 +1035,8 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:77] == [
-        "bootstrap_ci_quantile", "perm_test_diff",
+    assert list(EXTRA)[:78] == [
+        "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -10083,3 +10082,124 @@ def test_rank_test_u_planted_effects(spark, tmp_path):
     assert r.auc_micro == 1_000_000
     assert r.n_perms == 99 and r.n_ge == 0
     assert r.p_micro == 10_000
+
+
+def test_fdr_bh_matches_python_recompute(spark, sf_dir):
+    # hashlib recompute of the f:-salted per-segment permutation
+    # tests plus the integer BH walk (candidates, reversed running
+    # min, the alpha verdict).
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        FDR_ALPHA_MICRO,
+        PERM_B,
+        q_fdr_bh,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    out = {r.seg: r for r in q_fdr_bh(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    segs = sorted({r.o_orderpriority for r in orders})
+    data = {
+        s: [
+            (r.o_custkey, int(round(r.o_totalprice * 100)))
+            for r in orders
+            if r.o_orderpriority == s
+        ]
+        for s in segs
+    }
+
+    def gate(s):
+        return hashlib.md5(s.encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+
+    def d_micro(rows, arm_of):
+        n_a = n_b = s_a = s_b = 0
+        for u, c in rows:
+            if arm_of(u):
+                n_a += 1
+                s_a += c
+            else:
+                n_b += 1
+                s_b += c
+        if n_a == 0 or n_b == 0:
+            return None
+        ua = (2 * 10**4 * s_a + n_a) // (2 * n_a)
+        ub = (2 * 10**4 * s_b + n_b) // (2 * n_b)
+        return ub - ua
+
+    pvals = {}
+    for s in segs:
+        d_obs = d_micro(data[s], lambda u: gate(str(u)))
+        n_perms = n_ge = 0
+        for p in range(1, PERM_B + 1):
+            d_p = d_micro(data[s], lambda u: gate(f"f:{u}:{p}"))
+            if d_p is None:
+                continue
+            n_perms += 1
+            if abs(d_p) >= abs(d_obs):
+                n_ge += 1
+        pvals[s] = (
+            (2 * 10**6 * (n_ge + 1) + (n_perms + 1))
+            // (2 * (n_perms + 1))
+        )
+        assert out[s].p_micro == pvals[s]
+    m = len(segs)
+    order = sorted(segs, key=lambda s: (pvals[s], s))
+    cands = [
+        (2 * pvals[s] * m + k) // (2 * k)
+        for k, s in enumerate(order, start=1)
+    ]
+    for i, s in enumerate(order):
+        p_adj = min(min(cands[i:]), 10**6)
+        row = out[s]
+        assert (row.m, row.rnk) == (m, i + 1)
+        assert row.p_adj_micro == p_adj
+        assert row.rejected == (p_adj <= FDR_ALPHA_MICRO)
+
+
+def test_fdr_bh_planted_one_effect_survives(spark, tmp_path):
+    # five segments: one with a real arm effect (complete separation),
+    # four null. BH at alpha = .05 with m = 5: the effect's adjusted
+    # p is min(1/100 * 5/1, ...) = 0.05 -> rejected; the nulls'
+    # adjusted p stays 1.0 -> kept. Uncorrected, the effect's raw
+    # p = 0.01 would also pass 0.05 — the lane's value is that the
+    # nulls' raw p = 1.0 never sneaks under after adjustment.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        q_fdr_bh,
+    )
+
+    def arm_a(u):
+        return hashlib.md5(str(u).encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+
+    rows = []
+    segs = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    k = 0
+    for si, seg in enumerate(segs):
+        for j in range(40):
+            k += 1
+            if si == 0:  # the planted effect segment
+                price = 500.0 + k if arm_a(k) else 100.0 + k * 0.25
+            else:  # null: same price everywhere
+                price = 150.0
+            rows.append((k, k, seg, price))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_totalprice double",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    out = {r.seg: r for r in q_fdr_bh(spark, str(tmp_path)).collect()}
+    assert len(out) == 5
+    eff = out["1-URGENT"]
+    assert eff.p_micro == 10_000 and eff.rnk == 1
+    assert eff.p_adj_micro == 50_000 and eff.rejected
+    for seg in segs[1:]:
+        r = out[seg]
+        assert r.p_micro == 1_000_000
+        assert r.p_adj_micro == 1_000_000 and not r.rejected

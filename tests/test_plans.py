@@ -1750,6 +1750,23 @@ def test_rank_test_u_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_fdr_bh_bounded_frame_shape(spark):
+    # perm_test_diff's counter shape per segment: the x99 explode
+    # collapses map-side to |segments|*B counter rows, the observed
+    # frame broadcasts, and every window runs on the bounded m-row
+    # p frame — 4 exchanges, 2 broadcasts, zero SMJ/SHJ
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_fdr_bh,
+    )
+
+    plan = plan_of(q_fdr_bh(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 4
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
