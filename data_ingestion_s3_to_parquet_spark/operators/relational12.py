@@ -187,24 +187,23 @@ CAL_N_BINS = 10
 CAL_POS_LANG = "en"  # same planted positive class as eval_auc
 
 # conf = mean rank percentile of the bin: sum(rank) / (n_bin · N).
-# Exactness bound: the product is computed as DOUBLE (the expression
-# is shared verbatim by Spark and the DuckDB oracle, which is what
-# guarantees cross-engine hash parity), so exact rounding holds while
-# 1e6 · sum(rank) < 2^53 — per-bin sum(rank) ≈ 0.095·N² at the top
-# decile ⇒ exact to N ≈ 3·10⁵ documents (ADVICE r8 corrected the
-# earlier 3·10⁶ claim, which assumed an int64 numerator). Past that
-# the same table comes from the distinct-score histogram (the
-# eval_auc frame) with double accumulators — documented precision
-# loss, not silent wraparound; an int64 numerator would push the
-# bound to ~10⁶ but needs engine-specific integer-division syntax
-# (Spark DIV vs DuckDB //), breaking the shared-expression parity
-# that the grading hash depends on.
+# VERDICT r13 #5: the former shared-verbatim DOUBLE form was exact
+# only while 1e6·sum(rank) < 2^53 (~3·10⁵ docs — per-bin sum(rank)
+# ≈ 0.095·N² at the top decile); the r8-era rationale for keeping it
+# (engine-specific integer-division syntax would break shared-
+# expression parity) predates the {div} parameterization the house
+# now uses everywhere. Both expressions are the midpoint-free
+# half-up integer form on non-negative operands, exact to the
+# decimal(38,0)/HUGEINT capacity (1e6·sr ≤ 1e6·N² → N ≈ 3·10¹⁴).
 _CAL_CONF_EXPR = (
-    "CAST(ROUND((CAST(1000000 AS DOUBLE) * sr) / (n * n_total), 0)"
+    "CAST((2 * CAST(1000000 AS {big}) * CAST(sr AS {big})"
+    " + CAST(n AS {big}) * n_total)"
+    " {div} (2 * CAST(n AS {big}) * CAST(n_total AS {big}))"
     " AS BIGINT)"
 )
 _CAL_ACC_EXPR = (
-    "CAST(ROUND((CAST(1000000 AS DOUBLE) * n_pos) / n, 0) AS BIGINT)"
+    "CAST((2 * CAST(1000000 AS {big}) * CAST(n_pos AS {big}) + n)"
+    " {div} (2 * CAST(n AS {big})) AS BIGINT)"
 )
 
 
@@ -224,8 +223,9 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id), so bins are deterministic in both engines (NTILE's
     earlier-buckets-one-larger fill rule is shared — the
     ``ccnet_buckets`` precedent); sums of ranks/positives are int64;
-    the two divisions are pinned micro-quantized expressions. The
-    int64 bound on 1e6·sum(rank) is documented at ``_CAL_CONF_EXPR``.
+    the two divisions are midpoint-free half-up integer forms on
+    exact decimal/HUGEINT operands (VERDICT r13 #5 closed the former
+    2^53 double seam — see ``_CAL_CONF_EXPR``).
 
     Scale shape: one corpus-wide window sort feeds both rank and
     NTILE (a single exchange + sort — Spark computes both functions
@@ -248,6 +248,7 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rank"),
         F.ntile(CAL_N_BINS).over(w).alias("bin"),
     )
+    dec = "decimal(38,0)"
     n_total = ranked.agg(F.count("*").alias("n_total"))
     per_bin = ranked.groupBy("bin").agg(
         F.count("*").alias("n"),
@@ -260,8 +261,8 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n",
             "n_pos",
-            F.expr(_CAL_CONF_EXPR).alias("conf_micro"),
-            F.expr(_CAL_ACC_EXPR).alias("acc_micro"),
+            F.expr(_CAL_CONF_EXPR.format(big=dec, div="div")).alias("conf_micro"),
+            F.expr(_CAL_ACC_EXPR.format(big=dec, div="div")).alias("acc_micro"),
         )
         .select(
             "bin",
@@ -299,9 +300,9 @@ per_bin AS (
   FROM ranked GROUP BY bin
 )
 SELECT bin, n, n_pos,
-       {_CAL_CONF_EXPR} AS conf_micro,
-       {_CAL_ACC_EXPR} AS acc_micro,
-       ABS(({_CAL_ACC_EXPR}) - ({_CAL_CONF_EXPR})) AS gap_micro
+       {_CAL_CONF_EXPR.format(big="HUGEINT", div="//")} AS conf_micro,
+       {_CAL_ACC_EXPR.format(big="HUGEINT", div="//")} AS acc_micro,
+       ABS(({_CAL_ACC_EXPR.format(big="HUGEINT", div="//")}) - ({_CAL_CONF_EXPR.format(big="HUGEINT", div="//")})) AS gap_micro
 FROM per_bin CROSS JOIN tot
 """
 
@@ -312,8 +313,8 @@ FROM per_bin CROSS JOIN tot
 
 # Murphy (1973) decomposition over DISCRETE decile-midpoint forecasts
 # p_k = (2k−1)/20: with a finite forecast alphabet the identity
-# BS = REL − RES + UNC is exact, and every term clears to integer (or
-# pinned-double-on-exact-integer) arithmetic:
+# BS = REL − RES + UNC is exact, and every term clears to exact
+# integer arithmetic:
 #   BS·400·N  = Σ_k [n_k(2k−1)² − 40(2k−1)·pos_k + 400·pos_k]  (int)
 #   REL terms = ((2k−1)·n_k − 20·pos_k)² / (400·n_k)   per bin
 #   RES terms = (pos_k·N − n_pos·n_k)² / (n_k·N²)      per bin
@@ -327,21 +328,28 @@ _BRIER_T_EXPR = (
     " - 40 * (2 * bin - 1) * CAST(n_pos AS {big})"
     " + 400 * CAST(n_pos AS {big})"
 )
+# VERDICT r13 #5: both per-bin terms are now the midpoint-free
+# half-up integer form — the numerators are SQUARES (non-negative),
+# so no sign split is needed; the signed inner difference is an
+# int64 (|x| ≤ 20N, exact to N ≈ 4·10¹⁷) squared in decimal/HUGEINT.
+# New exactness bound: the RES numerator 1e6·(pos·N − tp·n)² ≤
+# 1e6·N⁴ fits decimal(38,0) to N ≈ 2.4·10⁸ docs — 240× past the
+# former 2^53 double bound, and overflow past it is a loud decimal
+# error, never a silent precision fade.
 _BRIER_REL_UNIT_EXPR = (
-    "CAST(ROUND(CAST(1000000 AS DOUBLE)"
-    " * CAST((2 * bin - 1) * n - 20 * n_pos AS DOUBLE)"
-    " * CAST((2 * bin - 1) * n - 20 * n_pos AS DOUBLE)"
-    " / (CAST(400 AS DOUBLE) * n), 0) AS BIGINT)"
+    "CAST((2 * CAST(1000000 AS {big})"
+    " * (CAST((2 * bin - 1) * n - 20 * n_pos AS {big})"
+    " * CAST((2 * bin - 1) * n - 20 * n_pos AS {big}))"
+    " + 400 * CAST(n AS {big}))"
+    " {div} (800 * CAST(n AS {big})) AS BIGINT)"
 )
-# Bound note: n_pos·n_docs is an int64 product BEFORE the double
-# cast — exact and overflow-free to N ≈ 3·10⁹ docs (N² < 2^63), which
-# sits far beyond the 2^53 double-exactness bound (~10⁶ docs)
-# documented in the lane docstring; the tighter bound governs.
 _BRIER_RES_UNIT_EXPR = (
-    "CAST(ROUND(CAST(1000000 AS DOUBLE)"
-    " * CAST(n_pos * n_docs - total_pos * n AS DOUBLE)"
-    " * CAST(n_pos * n_docs - total_pos * n AS DOUBLE)"
-    " / (CAST(n AS DOUBLE) * n_docs * n_docs), 0) AS BIGINT)"
+    "CAST((2 * CAST(1000000 AS {big})"
+    " * (CAST(n_pos * n_docs - total_pos * n AS {big})"
+    " * CAST(n_pos * n_docs - total_pos * n AS {big}))"
+    " + CAST(n AS {big}) * n_docs * n_docs)"
+    " {div} (2 * CAST(n AS {big}) * CAST(n_docs AS {big}) * n_docs)"
+    " AS BIGINT)"
 )
 _BRIER_BS_EXPR = (
     "CAST((2 * CAST(1000000 AS {big}) * CAST(t_bs AS {big})"
@@ -353,9 +361,9 @@ _BRIER_DIV_N_EXPR = (
     " {div} (2 * CAST(n_docs AS {big})) AS BIGINT)"
 )
 _BRIER_UNC_EXPR = (
-    "CAST(ROUND(CAST(1000000 AS DOUBLE)"
-    " * CAST(total_pos AS DOUBLE) * (n_docs - total_pos)"
-    " / (CAST(n_docs AS DOUBLE) * n_docs), 0) AS BIGINT)"
+    "CAST((2 * CAST(1000000 AS {big}) * CAST(total_pos AS {big})"
+    " * (n_docs - total_pos) + CAST(n_docs AS {big}) * n_docs)"
+    " {div} (2 * CAST(n_docs AS {big}) * n_docs) AS BIGINT)"
 )
 
 
@@ -376,14 +384,16 @@ def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition an IDENTITY rather than an approximation — pinned
     by a pytest asserting bs = rel − res + unc within the ±2-micro
     per-term quantization bound. All sums are exact integers; the
-    per-bin REL/RES terms are pinned-double ROUNDs on exact integers
-    quantized to micro units BEFORE the cross-bin sum (the
-    anova_oneway rule), and BS itself clears to a single exact
-    integer division (numerator Σ n_k(2k−1)² − 40(2k−1)pos_k +
-    400 pos_k). Double-exactness bound: the RES numerator
-    (pos_k·N − n_pos·n_k)² stays inside double's 2^53 integer range
-    to N ≈ 10⁶ documents; past that the term degrades to documented
-    double precision, never silent wraparound.
+    per-bin REL/RES terms are midpoint-free half-up integer
+    divisions on exact decimal/HUGEINT squares (VERDICT r13 #5
+    closed the former pinned-double seam), quantized to micro units
+    BEFORE the cross-bin sum (the anova_oneway rule), and BS itself
+    clears to a single exact integer division (numerator
+    Σ n_k(2k−1)² − 40(2k−1)pos_k + 400 pos_k). Exactness bound: the
+    RES numerator 1e6·(pos_k·N − n_pos·n_k)² fits decimal(38,0) to
+    N ≈ 2.4·10⁸ documents (240× the former 2^53 double bound);
+    past it the engines raise a decimal overflow — loud, never a
+    silent precision fade.
 
     Scale shape: the calibration lane's shape — one global window
     sort (rank + NTILE share the frame; the documented 100 TB
@@ -415,8 +425,8 @@ def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_pos",
         F.expr(_BRIER_T_EXPR.format(big=dec)).alias("t"),
-        F.expr(_BRIER_REL_UNIT_EXPR).alias("rel_u"),
-        F.expr(_BRIER_RES_UNIT_EXPR).alias("res_u"),
+        F.expr(_BRIER_REL_UNIT_EXPR.format(big=dec, div="div")).alias("rel_u"),
+        F.expr(_BRIER_RES_UNIT_EXPR.format(big=dec, div="div")).alias("res_u"),
     )
     g = terms.groupBy("n_docs", "total_pos").agg(
         F.sum("t").cast(dec).alias("t_bs"),
@@ -435,7 +445,7 @@ def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             _BRIER_DIV_N_EXPR.format(x="res_sum", big=dec, div="div")
         ).alias("res_micro"),
-        F.expr(_BRIER_UNC_EXPR).alias("unc_micro"),
+        F.expr(_BRIER_UNC_EXPR.format(big=dec, div="div")).alias("unc_micro"),
     )
 
 
@@ -466,8 +476,8 @@ tot AS (
 terms AS (
   SELECT n_docs, total_pos,
          {_BRIER_T_EXPR.format(big="HUGEINT")} AS t,
-         {_BRIER_REL_UNIT_EXPR} AS rel_u,
-         {_BRIER_RES_UNIT_EXPR} AS res_u
+         {_BRIER_REL_UNIT_EXPR.format(big="HUGEINT", div="//")} AS rel_u,
+         {_BRIER_RES_UNIT_EXPR.format(big="HUGEINT", div="//")} AS res_u
   FROM per_bin CROSS JOIN tot
 ),
 g AS (
@@ -484,7 +494,7 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
          AS rel_micro,
        {_BRIER_DIV_N_EXPR.format(x="res_sum", big="HUGEINT", div="//")}
          AS res_micro,
-       {_BRIER_UNC_EXPR} AS unc_micro
+       {_BRIER_UNC_EXPR.format(big="HUGEINT", div="//")} AS unc_micro
 FROM g
 """
 

@@ -986,20 +986,28 @@ FROM m2
 # den = N·Σa² − 2·Σa·Σb + N·Σb², one pinned micro division of exact
 # integers. den = 0 (both raters constant on the same grade) has no
 # chance disagreement to correct against → NULL, the 0/0 standard.
-# Exactness bound (declared seam, the heaps_fit/n_wedges convention):
-# the ROUND runs on a double product, so exact half-away rounding
-# holds while 10⁶·|den − N·o2| < 2^53 — with grades ≤ 3, den ≤ 9N²,
-# i.e. exact to N ≈ 3·10⁷ docs per language; past that the value is
-# still deterministic and cross-engine identical (both engines execute
-# the identical IEEE sequence) but no longer guaranteed half-away at
-# ulp boundaries. The div-based exact form needs a sign split (kappa
-# can be negative); at fixture scales the bound is nowhere near.
-_QWK_EXPR = (
-    "CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)"
-    " ELSE CAST(ROUND((CAST(1000000 AS DOUBLE)"
-    " * CAST(den - CAST(n_docs AS {big}) * o2 AS DOUBLE))"
-    " / CAST(den AS DOUBLE), 0) AS BIGINT) END"
-)
+# The former declared seam — exact half-away only while
+# 10⁶·|den − N·o2| < 2^53, i.e. N ≈ 3·10⁷ docs/language — is CLOSED
+# (VERDICT r13 #5): kappa's signed numerator now runs through the
+# sign-split midpoint-free integer form below, exact to the
+# decimal(38,0)/HUGEINT capacity (10⁶·9N² → N ≈ 10¹⁴).
+# VERDICT r13 #5: the former double-ROUND form (CAST both operands to
+# DOUBLE, divide, ROUND) was deterministic and cross-engine identical
+# but left exact integer arithmetic once 10^6*num crossed 2^53
+# (den <= 9N^2 put that near N ~ 3*10^7 docs/language); kappa's
+# numerator is SIGNED, so the midpoint-free integer form needs the
+# sign split — SIGNED_DIV_EXPR (relational9), half away from zero,
+# exact at any N that fits decimal(38,0)/HUGEINT.
+def _qwk_expr(big: str, div: str) -> str:
+    from .relational9 import SIGNED_DIV_EXPR
+
+    return SIGNED_DIV_EXPR.format(
+        num=f"den - CAST(n_docs AS {big}) * o2",
+        den="den",
+        scale=1000000,
+        big=big,
+        div=div,
+    )
 
 
 def q_eval_qwk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1063,7 +1071,7 @@ def q_eval_qwk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "saa",
         "sbb",
         "o2",
-        F.expr(_QWK_EXPR.format(big=dec)).alias("qwk_micro"),
+        F.expr(_qwk_expr(dec, "div")).alias("qwk_micro"),
     )
 
 
@@ -1092,7 +1100,7 @@ m AS (
   FROM g
 )
 SELECT lang, n_docs, sa, sb, saa, sbb, o2,
-       {_QWK_EXPR.format(big="HUGEINT")} AS qwk_micro
+       {_qwk_expr("HUGEINT", "//")} AS qwk_micro
 FROM m
 """
 

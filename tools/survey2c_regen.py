@@ -35,7 +35,7 @@ NEW_ROWS: dict[str, str] = {
     "eval_win_rate": "full oracle (arena-style pairwise win rate P(A beats B) + ½·P(tie) per language over the fixed ordinal rubric pair, WITH the deterministic Poisson-bootstrap CI over documents — the comparison unit — from a w:-salted md5 weight stream independent of the other bootstrap lanes; win = (2·gt + eq)/(2·n) on exact integer counters, ONE pinned half-up micro division per estimate (plain and per replicate), ties handled by counter algebra never a float 0.5; ×B fan-out is a stateless explode (no broadcast), ONE combinable (lang, b) aggregate, type-1 bounds at effective-count-scaled ranks (ADVICE r13); + hashlib full-recompute pytest + planted all-ties pytest (win = 0.5 exactly, CI collapses to the point); NEW r13 wave 6)",
     "metric_winsorized": "full oracle (the experimentation-platform capped metric: exact TYPE-1 p5/p95 cents bounds — smallest value whose cumulative count reaches ceil(p·n), picked never interpolated — and the winsorized (clamped, not trimmed) mean next to the raw mean; BOTH passes run over the map-side-combinable per-(status, cents) histogram (the bootstrap_ci_quantile bounded-domain idea), the \\|statuses\\|-row bounds frame broadcasts back onto the histogram, and each mean is ONE pinned half-up micro division on decimal/HUGEINT sums; + planted tail pytest (one huge outlier moves the raw mean, the winsorized mean clamps it to p95); NEW r13 wave 7)",
     "ngram_novelty": "full oracle (per-document trigram novelty share — the fraction of a doc's DISTINCT trigrams whose first corpus occurrence (min doc_id) is this doc: the pairwise-free curation score for template floods and reposts; per-doc distinct grams built ROW-LOCALLY (transform + array_distinct, n_grams never shuffles), first-occurrence attribution as ONE groupBy(gram) min(doc_id) + ONE groupBy(first_doc) count, final doc-keyed join shuffle_hash-pinned (both sides corpus-proportional — the ref_integrity_audit broadcast rule); sub-trigram docs dropped both engines; novelty = ONE pinned half-up micro division; + planted copy-chain pytest (original scores 1.0, verbatim repost 0.0) + Python recompute; NEW r13 wave 8)",
-    "eval_brier": "full oracle (Brier score + Murphy 1973 REL/RES/UNC decomposition for the fluency-score detector of the planted positive language, over DISCRETE decile-midpoint forecasts p_k = (2k−1)/20 of the eval_calibration NTILE frame — the discrete alphabet makes BS = REL − RES + UNC an EXACT identity (pytest pins gap 0 on the fixture); BS collapses to one exact integer division of Σ n_k(2k−1)² − 40(2k−1)pos_k + 400pos_k; per-bin REL/RES terms are pinned-double ROUNDs on exact integers micro-quantized BEFORE the cross-bin sum (the anova_oneway rule); documented 2^53 bound on the RES numerator ≈ 10⁶ docs; + NTILE-replicating Python recompute pytest + identity pytest; NEW r13 wave 9)",
+    "eval_brier": "full oracle (Brier score + Murphy 1973 REL/RES/UNC decomposition for the fluency-score detector of the planted positive language, over DISCRETE decile-midpoint forecasts p_k = (2k−1)/20 of the eval_calibration NTILE frame — the discrete alphabet makes BS = REL − RES + UNC an EXACT identity (pytest pins gap 0 on the fixture); BS collapses to one exact integer division of Σ n_k(2k−1)² − 40(2k−1)pos_k + 400pos_k; per-bin REL/RES terms are midpoint-free half-up integer divisions on exact decimal/HUGEINT squares, micro-quantized BEFORE the cross-bin sum (the anova_oneway rule; VERDICT r13 #5 closed the former pinned-double seam — RES numerator now exact to N ≈ 2.4·10⁸ docs, loud decimal overflow past it); + NTILE-replicating Python recompute pytest + identity pytest; NEW r13 wave 9)",
     "eval_bradley_terry": "full oracle (Bradley–Terry strengths for the three rubric raters from pairwise win counts — the arena-leaderboard algorithm: Hunter 2004 MM unrolled for a FIXED 8-iteration budget (the LPA fixed-rounds convention — fixpoint convergence NOT claimed; the ranking stabilizes after iteration 1) in fixed-point micro arithmetic, every update θ'_x = W_x(θ_x+θ_y)(θ_x+θ_z)/(n_xy(θ_x+θ_z)+n_xz(θ_x+θ_y)) and each Σθ = 3·10⁶ normalization ONE half-up integer division of exact decimal/HUGEINT products, zero floats; ties skipped (the BT standard), abstaining-rater pairs count only graded docs; ONE combinable aggregate → six win counters, then constant-size iterations — zero joins/windows/broadcasts; + exact-integer Python recompute of all 8 iterations + planted strict-dominance pytest; NEW r13 wave 10)",
     "sample_alloc_neyman": "full oracle (Neyman 1934 optimal allocation of a 10,000-row sampling budget across order-status strata — n_h ∝ N_h·σ_h minimizes the stratified-mean variance; the weight collapses to ONE correctly-rounded sqrt per stratum of the exact integer variance numerator V_h = n·Σy² − (Σy)² (the identity N·sqrt(V/N²) = sqrt(V) removes the division), and the integer split is HAMILTON largest-remainder apportionment with a deterministic status tie-break, so allocations sum EXACTLY to the budget (pinned); zero-variance-everywhere corpora fall back to proportional-to-size Hamilton; one combinable moments aggregate + the bounded \\|strata\\|-row apportionment frame; + exact Python recompute + planted zero-variance-stratum pytest; NEW r13 wave 11)",
     "perm_test_ratio": "full oracle (deterministic permutation test for the difference of arm URGENT-ORDER SHARES — the significance leg for the ratio metric, completing the experiment matrix's ratio column next to bootstrap_ci_ratio's CI: customer-level relabelings from an independent pr:-salted md5 stream (B = 99), each share ONE pinned half-up micro division of exact counts, add-one p-value as one more; same counter shape as perm_test_diff (one combinable groupBy(p) of four counters, zero data joins); + hashlib full-recompute pytest + planted no-effect/strong-effect pytest; NEW r13 wave 12)",
