@@ -105,14 +105,8 @@ QUERIES: list[Query] = [
     # second wave — rank_test_u took its graded slot)
     # (stream_bootstrap demoted to EXTRA_QUERIES below by the
     # round-14 third wave — fdr_bh took its graded slot)
-    # --- round-13 FOURTH wave (never-graded; join_skew_salted — r4 +
-    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
-    Query(
-        "bootstrap_ci_diff",
-        q_bootstrap_ci_diff,
-        SQL_BOOTSTRAP_CI_DIFF,
-        ("relational", "statistics", "sampling", "evaluation"),
-    ),
+    # (bootstrap_ci_diff demoted to EXTRA_QUERIES below by the
+    # round-14 fourth wave — chisq_independence took its slot)
     # --- round-13 FIFTH wave (never-graded; sql_frontend — r4 + r12
     # greens — demoted one-for-one to relational18's EXTRA, bench
     # flag intact) ---
@@ -221,6 +215,13 @@ EXTRA_QUERIES: list[Query] = [
         q_stream_bootstrap,
         SQL_STREAM_BOOTSTRAP,
         ("streaming", "statistics", "sampling"),
+    ),
+    # wave 4 demoted bootstrap_ci_diff for chisq_independence.
+    Query(
+        "bootstrap_ci_diff",
+        q_bootstrap_ci_diff,
+        SQL_BOOTSTRAP_CI_DIFF,
+        ("relational", "statistics", "sampling", "evaluation"),
     ),
     Query(
         "corpus_prep",

@@ -48,10 +48,12 @@ from .relational8 import (
 )
 from .relational15 import SQL_RANK_TEST_U, q_rank_test_u
 from .relational9 import (
+    SQL_CHISQ_INDEPENDENCE,
     SQL_DATA_EXPECTATIONS,
     SQL_FDR_BH,
     SQL_FUZZY_MATCH_STRINGS,
     SQL_METRIC_CUPED,
+    q_chisq_independence,
     q_data_expectations,
     q_fdr_bh,
     q_fuzzy_match_strings,
@@ -89,6 +91,15 @@ QUERIES: list[Query] = [
         q_fdr_bh,
         SQL_FDR_BH,
         ("relational", "statistics", "evaluation", "quality"),
+    ),
+    # --- round-14 FOURTH wave (never-graded; bootstrap_ci_diff —
+    # r13 single green — demoted one-for-one to relational19's
+    # EXTRA) ---
+    Query(
+        "chisq_independence",
+        q_chisq_independence,
+        SQL_CHISQ_INDEPENDENCE,
+        ("relational", "statistics", "quality", "evaluation"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

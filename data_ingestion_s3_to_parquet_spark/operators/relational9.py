@@ -2646,6 +2646,178 @@ FROM a
 SQL_FDR_BH = _sql_fdr_bh()
 
 
+# --------------------------------------------------------------------
+# chisq_independence
+# --------------------------------------------------------------------
+
+# Published chi-square critical values at alpha = 0.05, df 1..24, in
+# micro units (Pearson 1900 table — fixed constants, no CDF needed).
+_CHISQ_CRIT_MICRO = {
+    1: 3_841_459, 2: 5_991_465, 3: 7_814_728, 4: 9_487_729,
+    5: 11_070_498, 6: 12_591_587, 7: 14_067_140, 8: 15_507_313,
+    9: 16_918_978, 10: 18_307_038, 11: 19_675_138, 12: 21_026_070,
+    13: 22_362_032, 14: 23_684_791, 15: 24_995_790, 16: 26_296_228,
+    17: 27_587_112, 18: 28_869_299, 19: 30_143_527, 20: 31_410_433,
+    21: 32_670_573, 22: 33_924_438, 23: 35_172_462, 24: 36_415_029,
+}
+
+
+def _chisq_crit_expr() -> str:
+    branches = " ".join(
+        f"WHEN df = {k} THEN CAST({v} AS BIGINT)"
+        for k, v in _CHISQ_CRIT_MICRO.items()
+    )
+    return f"CASE {branches} ELSE CAST(NULL AS BIGINT) END"
+
+
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order priority
+    and order status — the categorical-association workhorse next to
+    the A/B family's two-sample tests: srm_check is this statistic's
+    1-df special case against a DESIGNED margin; here both margins
+    are estimated and the question is whether the two categorical
+    columns co-vary at all (the screening query every feature-audit
+    and leakage hunt runs).
+
+    Exactness — the pinned TWO-step per-cell sequence (each step a
+    midpoint-free half-up integer division, the anova_oneway
+    micro-quantize-then-exact-sum rule): e_u = (1e6·R_i·C_j)/N is
+    the expected count in micro units (error ≤ 0.5 micro), dev =
+    1e6·O_ij − e_u is an exact signed integer, and the cell term
+    (O−E)²/E in micro is dev²/e_u via the second half-up division.
+    dev² ≤ 1e12·N² stays inside decimal(38,0)/HUGEINT to N ≈ 3·10¹²
+    rows — the naive single-division form 1e6·(O·N − R·C)²/(N·R·C)
+    overflows at N ≈ 5.6·10⁷ and was rejected for exactly the reason
+    VERDICT r13 #5 retired the double forms: bounds must be
+    capacity bounds, not row-count bounds. ZERO cells are real: the
+    margins' cross join synthesizes absent (priority, status) pairs
+    with O = 0 so their E > 0 terms count (dropping them understates
+    chi²). df = (r−1)(c−1); the alpha = 0.05 verdict is an integer
+    compare against the published critical value (pinned micro
+    table, df ≤ 24 — NULL past it, documented).
+
+    Scale shape: ONE map-side-combinable groupBy over the scan to
+    the ≤ r·c cell frame; margins, the zero-cell cross join, and
+    the final reduce all run on that bounded frame (windows over
+    ≤ 15 rows). Zero data joins, zero data windows.
+    """
+    dec = "decimal(38,0)"
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    cells = o.groupBy("pr", "st").agg(F.count("*").alias("obs"))
+    rows_m = cells.groupBy("pr").agg(F.sum("obs").alias("r_tot"))
+    cols_m = cells.groupBy("st").agg(F.sum("obs").alias("c_tot"))
+    full = (
+        rows_m.crossJoin(cols_m)
+        .join(cells, ["pr", "st"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+    )
+    term = (
+        f"CASE WHEN e_u = 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE CAST((2 * (CAST(dev AS {dec}) * CAST(dev AS {dec}))"
+        f" + e_u) div (2 * CAST(e_u AS {dec})) AS BIGINT) END"
+    )
+    terms = (
+        full.withColumn(
+            "n_total",
+            F.sum("obs").over(
+                Window.partitionBy(F.lit(0)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn(
+            "e_u",
+            F.expr(
+                f"CAST((2 * CAST(1000000 AS {dec}) * CAST(r_tot AS {dec})"
+                f" * CAST(c_tot AS {dec}) + n_total)"
+                f" div (2 * CAST(n_total AS {dec})) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "dev",
+            F.expr("CAST(1000000 AS BIGINT) * obs - e_u"),
+        )
+        .withColumn("term_u", F.expr(term))
+    )
+    out = terms.agg(
+        F.max("n_total").cast("long").alias("n_total"),
+        F.countDistinct("pr").cast("long").alias("n_rows"),
+        F.countDistinct("st").cast("long").alias("n_cols"),
+        F.sum("term_u").cast("long").alias("chi2_micro"),
+    ).withColumn(
+        "df",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long"),
+    ).withColumn("crit_micro", F.expr(_chisq_crit_expr()))
+    return out.select(
+        "n_total",
+        "n_rows",
+        "n_cols",
+        "df",
+        "chi2_micro",
+        "crit_micro",
+        (F.col("chi2_micro") > F.col("crit_micro")).alias("dependent"),
+    )
+
+
+def _sql_chisq_independence() -> str:
+    term = (
+        "CASE WHEN e_u = 0 THEN NULL"
+        " ELSE CAST((2 * (CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT))"
+        " + e_u) // (2 * CAST(e_u AS HUGEINT)) AS BIGINT) END"
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority AS pr, o_orderstatus AS st FROM orders
+),
+cells AS (
+  SELECT pr, st, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM o GROUP BY pr, st
+),
+rm AS (SELECT pr, CAST(SUM(obs) AS BIGINT) AS r_tot FROM cells GROUP BY pr),
+cm AS (SELECT st, CAST(SUM(obs) AS BIGINT) AS c_tot FROM cells GROUP BY st),
+full_c AS (
+  SELECT rm.pr, cm.st, rm.r_tot, cm.c_tot,
+         COALESCE(cells.obs, 0) AS obs
+  FROM rm CROSS JOIN cm
+  LEFT JOIN cells ON cells.pr = rm.pr AND cells.st = cm.st
+),
+t0 AS (
+  SELECT *, CAST(SUM(obs) OVER () AS BIGINT) AS n_total FROM full_c
+),
+t1 AS (
+  SELECT *,
+         CAST((2 * CAST(1000000 AS HUGEINT) * CAST(r_tot AS HUGEINT)
+               * CAST(c_tot AS HUGEINT) + n_total)
+              // (2 * CAST(n_total AS HUGEINT)) AS BIGINT) AS e_u
+  FROM t0
+),
+t2 AS (
+  SELECT *, CAST(1000000 AS BIGINT) * obs - e_u AS dev FROM t1
+),
+t3 AS (SELECT *, {term} AS term_u FROM t2),
+agg AS (
+  SELECT CAST(MAX(n_total) AS BIGINT) AS n_total,
+         CAST(COUNT(DISTINCT pr) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT st) AS BIGINT) AS n_cols,
+         CAST(SUM(term_u) AS BIGINT) AS chi2_micro
+  FROM t3
+),
+d AS (
+  SELECT *, CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS df FROM agg
+)
+SELECT n_total, n_rows, n_cols, df, chi2_micro,
+       {_chisq_crit_expr()} AS crit_micro,
+       chi2_micro > ({_chisq_crit_expr()}) AS dependent
+FROM d
+"""
+
+
+SQL_CHISQ_INDEPENDENCE = _sql_chisq_independence()
+
+
 QUERIES: list[Query] = []
 
 # Graded lane contribution after the round-7 wave-2 rotation: two

@@ -992,7 +992,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 173
+    assert len(EXTRA) == 174
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1005,12 +1005,13 @@ def test_lane_counts_match_docs():
     # one-for-one (see the relational20 wave comments).
     assert list(REGISTRY)[1:27] == [
         "metric_cuped", "rank_test_u", "fdr_bh",
+        "chisq_independence",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "bootstrap_ci_diff", "srm_check", "eval_win_rate",
+        "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
         "perm_test_ratio", "bootstrap_ci_winsorized",
@@ -1035,8 +1036,9 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:78] == [
+    assert list(EXTRA)[:79] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
+        "bootstrap_ci_diff",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -10203,3 +10205,78 @@ def test_fdr_bh_planted_one_effect_survives(spark, tmp_path):
         r = out[seg]
         assert r.p_micro == 1_000_000
         assert r.p_adj_micro == 1_000_000 and not r.rejected
+
+
+def test_chisq_independence_matches_python_recompute(spark, sf_dir):
+    # exact recompute of the pinned two-step per-cell sequence
+    # (e_u half-up, dev, dev^2/e_u half-up), zero-cell synthesis,
+    # df, and the pinned critical-value verdict.
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        _CHISQ_CRIT_MICRO,
+        q_chisq_independence,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    row, = q_chisq_independence(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    cells = {}
+    for r in orders:
+        cells[(r.o_orderpriority, r.o_orderstatus)] = (
+            cells.get((r.o_orderpriority, r.o_orderstatus), 0) + 1
+        )
+    prs = sorted({p for p, _ in cells})
+    sts = sorted({s for _, s in cells})
+    n = len(orders)
+    rt = {p: sum(v for (pp, _), v in cells.items() if pp == p) for p in prs}
+    ct = {s: sum(v for (_, ss), v in cells.items() if ss == s) for s in sts}
+    chi2 = 0
+    for p in prs:
+        for s in sts:
+            obs = cells.get((p, s), 0)
+            e_u = (2 * 10**6 * rt[p] * ct[s] + n) // (2 * n)
+            dev = 10**6 * obs - e_u
+            assert e_u > 0
+            chi2 += (2 * dev * dev + e_u) // (2 * e_u)
+    df = (len(prs) - 1) * (len(sts) - 1)
+    assert (row.n_total, row.n_rows, row.n_cols, row.df) == (
+        n, len(prs), len(sts), df,
+    )
+    assert row.chi2_micro == chi2
+    assert row.crit_micro == _CHISQ_CRIT_MICRO[df]
+    assert row.dependent == (chi2 > _CHISQ_CRIT_MICRO[df])
+
+
+def test_chisq_independence_planted_association(spark, tmp_path):
+    # independent: status assigned round-robin within each priority
+    # with identical proportions -> chi2 ~ 0 -> not dependent.
+    # associated: each priority maps to exactly one status ->
+    # chi2 = N*(min(r,c)-1) >> crit -> dependent. A zero cell is
+    # present by construction in the associated fixture (synthesized
+    # cells with O = 0 must contribute their E > 0 terms).
+    def write(rows, d):
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_orderpriority string,"
+            " o_orderstatus string",
+        ).write.parquet(f"{d}/orders.parquet")
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_chisq_independence,
+    )
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    stats = ["O", "F", "P"]
+    indep = [
+        (i, prios[i % 3], stats[(i // 3) % 3]) for i in range(90)
+    ]
+    write(indep, f"{tmp_path}/indep")
+    r, = q_chisq_independence(spark, f"{tmp_path}/indep").collect()
+    assert r.df == 4 and r.chi2_micro == 0 and not r.dependent
+
+    assoc = [(i, prios[i % 3], stats[i % 3]) for i in range(90)]
+    write(assoc, f"{tmp_path}/assoc")
+    r, = q_chisq_independence(spark, f"{tmp_path}/assoc").collect()
+    # perfect association: chi2 = N*(k-1) = 90*2 = 180 exactly
+    assert r.df == 4 and r.chi2_micro == 180_000_000 and r.dependent

@@ -1767,6 +1767,24 @@ def test_fdr_bh_bounded_frame_shape(spark):
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
 
 
+def test_chisq_independence_bounded_frame_shape(spark):
+    # ONE combinable groupBy over the scan; margins, the zero-cell
+    # cross join, and the reduce all on the <= r*c cell frame —
+    # broadcast-or-nested-loop joins over bounded frames only, no
+    # data-sized SMJ/SHJ, no Python
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_chisq_independence,
+    )
+
+    plan = plan_of(q_chisq_independence(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 8
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+    assert "ArrowEvalPython" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
