@@ -107,15 +107,8 @@ QUERIES: list[Query] = [
     # round-14 third wave — fdr_bh took its graded slot)
     # (bootstrap_ci_diff demoted to EXTRA_QUERIES below by the
     # round-14 fourth wave — chisq_independence took its slot)
-    # --- round-13 FIFTH wave (never-graded; sql_frontend — r4 + r12
-    # greens — demoted one-for-one to relational18's EXTRA, bench
-    # flag intact) ---
-    Query(
-        "srm_check",
-        q_srm_check,
-        SQL_SRM_CHECK,
-        ("relational", "statistics", "quality", "monitoring"),
-    ),
+    # (srm_check demoted to EXTRA_QUERIES below by the round-14
+    # fifth wave — power_mde took its graded slot)
     # --- round-13 SIXTH wave (never-graded; agg_argminmax — r4 +
     # r12 greens — demoted one-for-one to relational18's EXTRA) ---
     Query(
@@ -216,12 +209,19 @@ EXTRA_QUERIES: list[Query] = [
         SQL_STREAM_BOOTSTRAP,
         ("streaming", "statistics", "sampling"),
     ),
-    # wave 4 demoted bootstrap_ci_diff for chisq_independence.
+    # wave 4 demoted bootstrap_ci_diff for chisq_independence;
+    # wave 5 demoted srm_check for power_mde.
     Query(
         "bootstrap_ci_diff",
         q_bootstrap_ci_diff,
         SQL_BOOTSTRAP_CI_DIFF,
         ("relational", "statistics", "sampling", "evaluation"),
+    ),
+    Query(
+        "srm_check",
+        q_srm_check,
+        SQL_SRM_CHECK,
+        ("relational", "statistics", "quality", "monitoring"),
     ),
     Query(
         "corpus_prep",

@@ -51,11 +51,13 @@ from .relational9 import (
     SQL_CHISQ_INDEPENDENCE,
     SQL_DATA_EXPECTATIONS,
     SQL_FDR_BH,
+    SQL_POWER_MDE,
     SQL_FUZZY_MATCH_STRINGS,
     SQL_METRIC_CUPED,
     q_chisq_independence,
     q_data_expectations,
     q_fdr_bh,
+    q_power_mde,
     q_fuzzy_match_strings,
     q_metric_cuped,
 )
@@ -100,6 +102,14 @@ QUERIES: list[Query] = [
         q_chisq_independence,
         SQL_CHISQ_INDEPENDENCE,
         ("relational", "statistics", "quality", "evaluation"),
+    ),
+    # --- round-14 FIFTH wave (never-graded; srm_check — r13 single
+    # green — demoted one-for-one to relational19's EXTRA) ---
+    Query(
+        "power_mde",
+        q_power_mde,
+        SQL_POWER_MDE,
+        ("relational", "statistics", "evaluation", "pipeline"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

@@ -2818,6 +2818,142 @@ FROM d
 SQL_CHISQ_INDEPENDENCE = _sql_chisq_independence()
 
 
+# --------------------------------------------------------------------
+# power_mde
+# --------------------------------------------------------------------
+
+# z_{1-alpha/2} + z_{power} for alpha = 0.05, power = 0.80:
+# 1.959964 + 0.841621 = 2.801585, pinned in micro units (the fixed
+# published normal quantiles — constants, no CDF evaluation).
+POWER_Z_SUM_MICRO = 2_801_585
+
+
+def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect (80% power, alpha = 0.05, two-sided)
+    of an equal-split A/B test on mean order spend, per order status
+    — the pre-experiment sizing readout every platform shows next to
+    the CI lanes' post-hoc uncertainty: with the CURRENT n units per
+    arm and the observed metric variance, the smallest true lift the
+    test could reliably see is MDE = (z_{.975} + z_{.80})·sqrt(2s²/n).
+
+    Exactness — the event_interarrival convention extended: the
+    variance numerator V = n·Σy² − (Σy)² is exact decimal/HUGEINT;
+    the finisher is a pinned IEEE sequence of TWO correctly-rounded
+    sqrts on exact operands (sqrt(2V) and sqrt(n−1) — the
+    single-radicand form sqrt(2V·(n−1)) was REJECTED because its
+    radicand grows as n³·max² and leaves decimal(38,0) at n ≈ 3·10⁷;
+    splitting the sqrt keeps every exact operand capacity-bounded,
+    the SCALE.md §105 rule), one multiply by the pinned z constant,
+    one division, one ROUND — bit-identical cross-engine. The n(n−1)
+    double cast inside sd is exact to n ≈ 9·10⁷ and degrades to
+    2⁻⁵³-relative past it (a readout-precision note, never a wrap).
+    mde_rel (MDE as a share of the mean) is ONE more pinned half-up
+    integer division of the two micro readouts.
+
+    Scale shape: ONE map-side-combinable moments aggregate over the
+    scan (|statuses| output rows). Zero joins, windows, broadcasts.
+    """
+    dec = "decimal(38,0)"
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    g = o.groupBy("status").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).cast(dec).alias(
+            "syy"
+        ),
+    )
+    v = f"(CAST(n AS {dec}) * syy - CAST(sy AS {dec}) * CAST(sy AS {dec}))"
+    mean = _PT_U_EXPR.format(n="n", s="sy", big=dec, div="div")
+    sd = (
+        "CASE WHEN n < 2 THEN CAST(NULL AS BIGINT)"
+        f" ELSE CAST(ROUND((CAST(10000 AS DOUBLE)"
+        f" * SQRT(CAST({v} AS DOUBLE)))"
+        " / SQRT(CAST(n AS DOUBLE) * (n - 1)), 0) AS BIGINT) END"
+    )
+    mde = (
+        "CASE WHEN n < 2 THEN CAST(NULL AS BIGINT)"
+        f" ELSE CAST(ROUND((CAST({POWER_Z_SUM_MICRO} AS DOUBLE)"
+        f" * SQRT(CAST(2 AS DOUBLE) * CAST({v} AS DOUBLE)))"
+        " / (CAST(n AS DOUBLE) * SQRT(CAST(n - 1 AS DOUBLE)))"
+        " / CAST(100 AS DOUBLE), 0) AS BIGINT) END"
+    )
+    rel = (
+        "CASE WHEN mean_micro IS NULL OR mean_micro = 0"
+        " OR mde_abs_micro IS NULL THEN CAST(NULL AS BIGINT)"
+        " ELSE CAST((2 * CAST(1000000 AS {big})"
+        " * CAST(mde_abs_micro AS {big}) + mean_micro)"
+        " {div} (2 * CAST(mean_micro AS {big})) AS BIGINT) END"
+    )
+    return (
+        g.withColumn("mean_micro", F.expr(mean))
+        .withColumn("sd_micro", F.expr(sd))
+        .withColumn("mde_abs_micro", F.expr(mde))
+        .withColumn(
+            "mde_rel_micro", F.expr(rel.format(big=dec, div="div"))
+        )
+        .select(
+            "status",
+            "n",
+            "mean_micro",
+            "sd_micro",
+            "mde_abs_micro",
+            "mde_rel_micro",
+        )
+    )
+
+
+def _sql_power_mde() -> str:
+    v = "(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT))"
+    mean = _PT_U_EXPR.format(n="n", s="sy", big="HUGEINT", div="//")
+    rel = (
+        "CASE WHEN mean_micro IS NULL OR mean_micro = 0"
+        " OR mde_abs_micro IS NULL THEN NULL"
+        " ELSE CAST((2 * CAST(1000000 AS HUGEINT)"
+        " * CAST(mde_abs_micro AS HUGEINT) + mean_micro)"
+        " // (2 * CAST(mean_micro AS HUGEINT)) AS BIGINT) END"
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sy,
+         SUM(CAST(cents AS HUGEINT) * cents) AS syy
+  FROM o GROUP BY status
+),
+m AS (
+  SELECT status, n,
+         {mean} AS mean_micro,
+         CASE WHEN n < 2 THEN NULL
+              ELSE CAST(ROUND((CAST(10000 AS DOUBLE)
+                   * SQRT(CAST({v} AS DOUBLE)))
+                   / SQRT(CAST(n AS DOUBLE) * (n - 1)), 0) AS BIGINT)
+              END AS sd_micro,
+         CASE WHEN n < 2 THEN NULL
+              ELSE CAST(ROUND((CAST({POWER_Z_SUM_MICRO} AS DOUBLE)
+                   * SQRT(CAST(2 AS DOUBLE) * CAST({v} AS DOUBLE)))
+                   / (CAST(n AS DOUBLE) * SQRT(CAST(n - 1 AS DOUBLE)))
+                   / CAST(100 AS DOUBLE), 0) AS BIGINT)
+              END AS mde_abs_micro
+  FROM g
+)
+SELECT status, n, mean_micro, sd_micro, mde_abs_micro,
+       {rel} AS mde_rel_micro
+FROM m
+"""
+
+
+SQL_POWER_MDE = _sql_power_mde()
+
+
 QUERIES: list[Query] = []
 
 # Graded lane contribution after the round-7 wave-2 rotation: two

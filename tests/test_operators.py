@@ -992,7 +992,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 174
+    assert len(EXTRA) == 175
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1005,13 +1005,13 @@ def test_lane_counts_match_docs():
     # one-for-one (see the relational20 wave comments).
     assert list(REGISTRY)[1:27] == [
         "metric_cuped", "rank_test_u", "fdr_bh",
-        "chisq_independence",
+        "chisq_independence", "power_mde",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "srm_check", "eval_win_rate",
+        "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
         "perm_test_ratio", "bootstrap_ci_winsorized",
@@ -1036,9 +1036,9 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:79] == [
+    assert list(EXTRA)[:80] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
-        "bootstrap_ci_diff",
+        "bootstrap_ci_diff", "srm_check",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -10280,3 +10280,80 @@ def test_chisq_independence_planted_association(spark, tmp_path):
     r, = q_chisq_independence(spark, f"{tmp_path}/assoc").collect()
     # perfect association: chi2 = N*(k-1) = 90*2 = 180 exactly
     assert r.df == 4 and r.chi2_micro == 180_000_000 and r.dependent
+
+
+def test_power_mde_matches_python_recompute(spark, sf_dir):
+    # exact recompute of the moments, the pinned two-sqrt IEEE
+    # finisher, and the relative-MDE pinned division.
+    import math
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        POWER_Z_SUM_MICRO,
+        q_power_mde,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    out = {r.status: r for r in q_power_mde(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect()
+    groups = {}
+    for r in orders:
+        groups.setdefault(r.o_orderstatus, []).append(
+            int(round(r.o_totalprice * 100))
+        )
+
+    def half_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    for st, ys in groups.items():
+        n = len(ys)
+        sy = sum(ys)
+        syy = sum(y * y for y in ys)
+        v = n * syy - sy * sy
+        row = out[st]
+        assert row.n == n
+        assert row.mean_micro == (2 * 10**4 * sy + n) // (2 * n)
+        sd = half_away(10000.0 * math.sqrt(float(v)) / math.sqrt(float(n) * (n - 1)))
+        assert row.sd_micro == sd
+        mde = half_away(
+            float(POWER_Z_SUM_MICRO)
+            * math.sqrt(2.0 * float(v))
+            / (float(n) * math.sqrt(float(n - 1)))
+            / 100.0
+        )
+        assert row.mde_abs_micro == mde
+        rel = (2 * 10**6 * mde + row.mean_micro) // (2 * row.mean_micro)
+        assert row.mde_rel_micro == rel
+        # sanity: more data or less variance shrinks the MDE — the
+        # absolute MDE must sit well below the mean on this fixture
+        assert 0 < mde < row.mean_micro
+
+
+def test_power_mde_planted_scaling(spark, tmp_path):
+    # constant metric -> V = 0 -> MDE exactly 0 (a zero-variance
+    # metric detects any effect); and quadrupling n at fixed variance
+    # halves the MDE (the 1/sqrt(n) law) up to quantization.
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_power_mde,
+    )
+
+    def write(rows, d):
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).write.parquet(f"{d}/orders.parquet")
+
+    write([(i, "O", 100.0) for i in range(1, 41)], f"{tmp_path}/const")
+    r, = q_power_mde(spark, f"{tmp_path}/const").collect()
+    assert r.sd_micro == 0 and r.mde_abs_micro == 0 and r.mde_rel_micro == 0
+
+    base = [(i, "O", 100.0 + (i % 2)) for i in range(1, 41)]
+    quad = [(i, "O", 100.0 + (i % 2)) for i in range(1, 161)]
+    write(base, f"{tmp_path}/n40")
+    write(quad, f"{tmp_path}/n160")
+    r40, = q_power_mde(spark, f"{tmp_path}/n40").collect()
+    r160, = q_power_mde(spark, f"{tmp_path}/n160").collect()
+    # per-unit sd agrees up to the Bessel correction's n-dependence
+    assert abs(r40.sd_micro - r160.sd_micro) < 10_000
+    ratio = r40.mde_abs_micro / r160.mde_abs_micro
+    assert 1.9 < ratio < 2.1  # 1/sqrt(4) = half, modulo Bessel + micro

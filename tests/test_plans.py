@@ -1785,6 +1785,21 @@ def test_chisq_independence_bounded_frame_shape(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_power_mde_single_aggregate_shape(spark):
+    # one combinable moments aggregate over the scan, |statuses|
+    # output rows — one exchange, nothing else
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_power_mde,
+    )
+
+    plan = plan_of(q_power_mde(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 0
+    assert "Join" not in plan and "Window" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
