@@ -109,14 +109,8 @@ QUERIES: list[Query] = [
     # round-14 fourth wave — chisq_independence took its slot)
     # (srm_check demoted to EXTRA_QUERIES below by the round-14
     # fifth wave — power_mde took its graded slot)
-    # --- round-13 SIXTH wave (never-graded; agg_argminmax — r4 +
-    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
-    Query(
-        "eval_win_rate",
-        q_eval_win_rate,
-        SQL_EVAL_WIN_RATE,
-        ("llm", "evaluation", "statistics", "sampling"),
-    ),
+    # (eval_win_rate demoted to EXTRA_QUERIES below by the round-14
+    # sixth wave — stream_srm took its graded slot)
     # --- round-13 SEVENTH wave (never-graded; udaf_grouped — r4 +
     # r12 greens — demoted one-for-one to relational18's EXTRA) ---
     Query(
@@ -222,6 +216,13 @@ EXTRA_QUERIES: list[Query] = [
         q_srm_check,
         SQL_SRM_CHECK,
         ("relational", "statistics", "quality", "monitoring"),
+    ),
+    # wave 6 demoted eval_win_rate for stream_srm.
+    Query(
+        "eval_win_rate",
+        q_eval_win_rate,
+        SQL_EVAL_WIN_RATE,
+        ("llm", "evaluation", "statistics", "sampling"),
     ),
     Query(
         "corpus_prep",

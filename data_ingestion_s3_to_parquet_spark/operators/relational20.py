@@ -61,6 +61,7 @@ from .relational9 import (
     q_fuzzy_match_strings,
     q_metric_cuped,
 )
+from ..streaming.windows import SQL_STREAM_SRM, q_stream_srm
 from .textstats import (
     SQL_DOC_FINGERPRINT,
     SQL_LANG_ID,
@@ -110,6 +111,14 @@ QUERIES: list[Query] = [
         q_power_mde,
         SQL_POWER_MDE,
         ("relational", "statistics", "evaluation", "pipeline"),
+    ),
+    # --- round-14 SIXTH wave (never-graded; eval_win_rate — r13
+    # single green — demoted one-for-one to relational19's EXTRA) ---
+    Query(
+        "stream_srm",
+        q_stream_srm,
+        SQL_STREAM_SRM,
+        ("streaming", "statistics", "quality", "monitoring"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

@@ -357,6 +357,151 @@ FROM r GROUP BY event_type
 SQL_STREAM_BOOTSTRAP = _sql_stream_bootstrap()
 
 
+# --------------------------------------------------------------------
+# stream_srm
+# --------------------------------------------------------------------
+
+
+def _srm_counters(ev: DataFrame) -> DataFrame:
+    """Per-(event_type, arm) exposure counters — a trivial count
+    monoid, so the identical code path runs batch or under
+    readStream (complete/update mode) with |types|·2 rows of state.
+    The arm gate is the A/B family's md5 split on the user id."""
+    from ..operators.relational9 import AB_SPLIT_BOUND
+
+    arm = (
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 4)
+        < AB_SPLIT_BOUND
+    )
+    return ev.groupBy("event_type", arm.alias("a")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def _srm_finish(g: DataFrame) -> DataFrame:
+    """chi²(1 df) SRM finishing over a BATCH counter snapshot: pivot
+    the two arm rows per type, append the all-types row (summed from
+    the bounded counter frame — the streaming-safe substitute for
+    ROLLUP, which streaming aggregation does not support), then the
+    srm_check expressions verbatim."""
+    from ..operators.relational9 import _SRM_ALERT_EXPR, _SRM_CHI2_EXPR
+
+    dec = "decimal(38,0)"
+    per = g.groupBy("event_type").agg(
+        F.sum(F.when(F.col("a"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("a"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    total = per.agg(
+        F.lit("(all)").alias("event_type"),
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+    )
+    out = per.unionByName(total).withColumn(
+        "n_units", (F.col("n_a") + F.col("n_b")).cast("long")
+    )
+    return out.select(
+        "event_type",
+        "n_units",
+        "n_a",
+        "n_b",
+        F.expr(_SRM_CHI2_EXPR.format(big=dec, div="div")).alias(
+            "chi2_micro"
+        ),
+        F.expr(_SRM_ALERT_EXPR.format(big=dec)).alias("srm_alert"),
+    )
+
+
+def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`srm_stream` — exposure-level sample-ratio
+    mismatch per event_type, graded end-to-end (counters + chi²
+    finishing) against the DuckDB oracle.
+
+    ``srm_check`` is the batch UNIT-level gate (customers, ROLLUP);
+    this lane is its STREAMING leg at the exposure grain — each
+    event row is an exposure record, and exposure-level SRM is the
+    first alarm a live experiment fires (a logging path dropping one
+    arm's exposures shows here minutes before any unit-level batch
+    audit runs). The per-(type, arm) counters are a count monoid, so
+    the identical ``_srm_counters`` code path accumulates across
+    micro-batches under a plain streaming aggregation — no custom
+    state; a cross-micro-batch parity pytest pins two micro-batches
+    == batch counters bitwise AND the finished chi² table. The
+    all-types row is summed from the bounded counter frame (the
+    streaming-safe ROLLUP substitute).
+
+    Exactness: counts are exact; chi² and the α = 0.001 verdict are
+    the srm_check expressions verbatim (one pinned half-up micro
+    division; integer cross-multiplication against the published
+    10.828 critical value). Scale shape: ONE combinable aggregate
+    (|types|·2 counter rows of shuffle/state), then the bounded
+    finishing frame. Zero joins, zero data windows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    return _srm_finish(_srm_counters(ev))
+
+
+def srm_stream(events: DataFrame) -> DataFrame:
+    """Streaming SRM counters over a *streaming* events frame (needs
+    columns event_type, user_id): one combinable groupBy — run with
+    outputMode complete/update; :func:`_srm_finish` is the bounded
+    post-processing on each snapshot. State: |types|·2 counter rows."""
+    from ..session import tune
+
+    tune(events.sparkSession)
+    return _srm_counters(events)
+
+
+def _sql_stream_srm() -> str:
+    from ..operators.relational9 import (
+        AB_SPLIT_BOUND,
+        _SRM_ALERT_EXPR,
+        _SRM_CHI2_EXPR,
+    )
+
+    chi2 = _SRM_CHI2_EXPR.format(big="HUGEINT", div="//")
+    alert = _SRM_ALERT_EXPR.format(big="HUGEINT")
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+           < '{AB_SPLIT_BOUND}' AS a
+  FROM events
+),
+per AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM e GROUP BY event_type
+),
+allr AS (
+  SELECT '(all)' AS event_type,
+         CAST(SUM(n_a) AS BIGINT) AS n_a,
+         CAST(SUM(n_b) AS BIGINT) AS n_b
+  FROM per
+),
+u AS (
+  SELECT * FROM per UNION ALL BY NAME SELECT * FROM allr
+),
+t AS (
+  SELECT event_type, CAST(n_a + n_b AS BIGINT) AS n_units, n_a, n_b
+  FROM u
+)
+SELECT event_type, n_units, n_a, n_b,
+       {chi2} AS chi2_micro,
+       {alert} AS srm_alert
+FROM t
+"""
+
+
+SQL_STREAM_SRM = _sql_stream_srm()
+
+
 ATTRIBUTION_WITHIN = "6 hours"
 
 

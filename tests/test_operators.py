@@ -992,7 +992,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 175
+    assert len(EXTRA) == 176
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1005,13 +1005,12 @@ def test_lane_counts_match_docs():
     # one-for-one (see the relational20 wave comments).
     assert list(REGISTRY)[1:27] == [
         "metric_cuped", "rank_test_u", "fdr_bh",
-        "chisq_independence", "power_mde",
+        "chisq_independence", "power_mde", "stream_srm",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
         "perm_test_ratio", "bootstrap_ci_winsorized",
@@ -1036,9 +1035,9 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:80] == [
+    assert list(EXTRA)[:81] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
-        "bootstrap_ci_diff", "srm_check",
+        "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -10357,3 +10356,51 @@ def test_power_mde_planted_scaling(spark, tmp_path):
     assert abs(r40.sd_micro - r160.sd_micro) < 10_000
     ratio = r40.mde_abs_micro / r160.mde_abs_micro
     assert 1.9 < ratio < 2.1  # 1/sqrt(4) = half, modulo Bessel + micro
+
+
+def test_stream_srm_planted_one_armed_segment_alerts(spark, tmp_path):
+    # plant a segment whose exposures all land in arm A (every
+    # user_id chosen so the md5 gate is True): that type alerts at
+    # the 10.828 critical value, a balanced type does not, and the
+    # (all) row reflects the pooled imbalance.
+    import datetime as dt
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+    )
+    from data_ingestion_s3_to_parquet_spark.streaming.windows import (
+        q_stream_srm,
+    )
+
+    def arm_a(u):
+        return hashlib.md5(str(u).encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+
+    a_users = [u for u in range(1, 400) if arm_a(u)][:40]
+    b_users = [u for u in range(1, 400) if not arm_a(u)][:20]
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # "broken" type: only arm-A users ever log it
+    for u in a_users:
+        eid += 1
+        rows.append((eid, base, u, "broken", 1.0))
+    # "healthy" type: 20 from each arm
+    for u in a_users[:20] + b_users:
+        eid += 1
+        rows.append((eid, base, u, "healthy", 1.0))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {r.event_type: r for r in q_stream_srm(spark, str(tmp_path)).collect()}
+    br = out["broken"]
+    assert (br.n_a, br.n_b) == (40, 0) and br.srm_alert
+    assert br.chi2_micro == 40_000_000  # (40-0)^2/40 = 40 exactly
+    he = out["healthy"]
+    assert (he.n_a, he.n_b) == (20, 20) and not he.srm_alert
+    assert he.chi2_micro == 0
+    al = out["(all)"]
+    assert (al.n_a, al.n_b) == (60, 20)

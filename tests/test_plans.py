@@ -1800,6 +1800,22 @@ def test_power_mde_single_aggregate_shape(spark):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_stream_srm_counter_monoid_shape(spark):
+    # one combinable counter aggregate over the scan, then bounded
+    # finishing (pivot + all-types union) — no joins, no windows,
+    # no Python
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.streaming.windows import (
+        q_stream_srm,
+    )
+
+    plan = plan_of(q_stream_srm(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast

@@ -816,3 +816,82 @@ def test_stream_bootstrap_counters_accumulate_across_micro_batches(
     assert ci_stream == ci_batch
     for _, n_rep, lo, hi in ci_batch:
         assert n_rep == 40 and lo <= hi
+
+
+def test_stream_srm_counters_accumulate_across_micro_batches(
+    spark, tmp_path
+):
+    # the per-(type, arm) exposure counters are a count monoid: two
+    # files -> two micro-batches under maxFilesPerTrigger=1 must
+    # accumulate to BITWISE the batch twin's counters, and the chi2
+    # finishing over the final snapshot must equal the graded batch
+    # lane row-for-row (the stream_bootstrap parity discipline).
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.streaming.windows import (
+        _srm_counters,
+        _srm_finish,
+        q_stream_srm,
+        srm_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    first = [
+        (i, base + dt.timedelta(seconds=i), i * 7 % 50,
+         ["click", "view"][i % 2], 1.0)
+        for i in range(40)
+    ]
+    second = [
+        (100 + i, base + dt.timedelta(seconds=3600 + i), i * 3 % 50,
+         ["click", "view", "error"][i % 3], 2.0)
+        for i in range(35)
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(first, EVENTS_STREAM_SCHEMA).repartition(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame(second, EVENTS_STREAM_SCHEMA).repartition(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        srm_stream(stream)
+        .writeStream.format("memory")
+        .queryName("srm_counters")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streaming = sorted(
+        map(tuple, spark.sql("SELECT * FROM srm_counters").collect())
+    )
+    batch_events = spark.createDataFrame(
+        first + second, EVENTS_STREAM_SCHEMA
+    )
+    batch = sorted(map(tuple, _srm_counters(batch_events).collect()))
+    assert streaming == batch and len(batch) >= 4
+
+    finished = sorted(
+        map(
+            tuple,
+            _srm_finish(
+                spark.sql("SELECT * FROM srm_counters")
+            ).collect(),
+        )
+    )
+    src_batch = str(tmp_path / "batch")
+    batch_events.write.parquet(f"{src_batch}/events.parquet")
+    graded = sorted(
+        map(tuple, q_stream_srm(spark, src_batch).collect())
+    )
+    assert finished == graded
+    # the balanced fixture must NOT alert; planting a one-armed type
+    # must (the arm gate keyed on user_id makes this deterministic)
+    by_type = {t[0]: t for t in graded}
+    assert not by_type["(all)"][5]
