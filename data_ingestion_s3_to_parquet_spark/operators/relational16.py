@@ -1700,6 +1700,114 @@ SELECT 'lexical_div', CAST(tc_{k} AS BIGINT), w_c, n_ac + n_bc FROM it{k}
 SQL_EVAL_BRADLEY_TERRY = _sql_eval_bradley_terry()
 
 
+# --------------------------------------------------------------------
+# eval_pass_at_k
+# --------------------------------------------------------------------
+
+PASS_AT_KS = (1, 5, 10)
+PASS_GATE_MIN_CHARS = 200  # the deterministic "acceptable" gate
+
+
+def _pass_q_steps(big: str, div: str) -> list[str]:
+    """The k chained pinned steps of the unbiased pass@k estimator
+    (Chen et al. 2021, Codex): q_0 = 1e6 and
+    q_{i+1} = round_half_up(q_i·(n−c−i)/(n−i)) in micro units —
+    Π(n−c−i)/(n−i) evaluated as a SEQUENCE of half-up integer
+    divisions (each operand ≤ 1e6·n, capacity-bounded at any n;
+    the closed-form C(n−c,k)/C(n,k) numerator would grow as n^k and
+    leave decimal(38,0) at n ≈ 6·10³ for k = 10 — the §105 rule
+    again). Once n−c−i ≤ 0 every later factor is ≤ 0 and the true
+    product is 0, pinned explicitly. Per-step quantization ≤ 0.5
+    micro; k ≤ 10 bounds the total drift below 5 micro (pinned by
+    the recompute pytest, which mirrors the exact step sequence)."""
+    steps = []
+    for i in range(max(PASS_AT_KS)):
+        prev = "CAST(1000000 AS BIGINT)" if i == 0 else f"q{i}"
+        steps.append(
+            f"CASE WHEN n - c - {i} <= 0 THEN CAST(0 AS BIGINT)"
+            f" WHEN {prev} = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST((2 * CAST({prev} AS {big}) * (n - c - {i})"
+            f" + (n - {i})) {div} (2 * CAST(n - {i} AS {big}))"
+            f" AS BIGINT) END"
+        )
+    return steps
+
+
+def _pass_out_expr(k: int) -> str:
+    return (
+        f"CASE WHEN n < {k} THEN CAST(NULL AS BIGINT)"
+        f" ELSE CAST(1000000 AS BIGINT) - q{k} END"
+    )
+
+
+def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Chen et al., "Evaluating Large Language
+    Models Trained on Code", 2021) per language — the sampling-budget
+    readout every generation-heavy pipeline plans with: treating a
+    language's documents as n sampled candidates and the
+    deterministic quality gate (n_chars ≥ 200) as the acceptance
+    check, pass@k = 1 − C(n−c, k)/C(n, k) answers "if we keep k
+    samples, how often does at least one pass?" — the number that
+    decides k before anyone pays for generation.
+
+    Exactness: n and c are exact counts from ONE combinable
+    aggregate; the estimator is evaluated as the k-step pinned
+    half-up division sequence (:func:`_pass_q_steps` — NOT the
+    closed binomial form, whose n^k numerator leaves decimal(38,0)
+    at n ≈ 6·10³ for k = 10), identical cross-engine; k > n is NULL
+    (the Codex convention), n−c < k pins pass@k = 1 exactly.
+
+    Scale shape: one map-side-combinable groupBy over the scan,
+    |langs| output rows, then constant-per-row chained expressions.
+    Zero joins, zero windows, zero broadcasts.
+    """
+    dec = "decimal(38,0)"
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("n_chars") >= PASS_GATE_MIN_CHARS).cast("long").alias(
+            "ok"
+        ),
+    )
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("c"),
+    )
+    for i, step in enumerate(_pass_q_steps(dec, "div"), start=1):
+        g = g.withColumn(f"q{i}", F.expr(step))
+    return g.select(
+        "lang",
+        F.col("n").alias("n_samples"),
+        F.col("c").alias("n_correct"),
+        *[
+            F.expr(_pass_out_expr(k)).alias(f"pass{k}_micro")
+            for k in PASS_AT_KS
+        ],
+    )
+
+
+def _sql_eval_pass_at_k() -> str:
+    steps = _pass_q_steps("HUGEINT", "//")
+    ctes = ["g AS (\n  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,"
+            f"\n         CAST(SUM(CASE WHEN n_chars >= {PASS_GATE_MIN_CHARS}"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS c"
+            "\n  FROM documents GROUP BY lang\n)"]
+    prev = "g"
+    for i, step in enumerate(steps, start=1):
+        ctes.append(f"t{i} AS (SELECT *, {step} AS q{i} FROM {prev})")
+        prev = f"t{i}"
+    outs = ",\n       ".join(
+        f"{_pass_out_expr(k)} AS pass{k}_micro" for k in PASS_AT_KS
+    )
+    return (
+        "\nWITH " + ",\n".join(ctes) + "\n"
+        f"SELECT lang, n AS n_samples, c AS n_correct,\n       {outs}\n"
+        f"FROM {prev}\n"
+    )
+
+
+SQL_EVAL_PASS_AT_K = _sql_eval_pass_at_k()
+
+
 QUERIES: list[Query] = []
 
 # quantile_weighted (single-green r10) demoted in the round-11 THIRD

@@ -111,14 +111,8 @@ QUERIES: list[Query] = [
     # fifth wave — power_mde took its graded slot)
     # (eval_win_rate demoted to EXTRA_QUERIES below by the round-14
     # sixth wave — stream_srm took its graded slot)
-    # --- round-13 SEVENTH wave (never-graded; udaf_grouped — r4 +
-    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
-    Query(
-        "metric_winsorized",
-        q_metric_winsorized,
-        SQL_METRIC_WINSORIZED,
-        ("relational", "statistics", "agg", "quality"),
-    ),
+    # (metric_winsorized demoted to EXTRA_QUERIES below by the
+    # round-14 seventh wave — eval_pass_at_k took its graded slot)
     # --- round-13 EIGHTH wave (never-graded; join_null_safe — r4 +
     # r12 greens — demoted one-for-one to relational18's EXTRA) ---
     Query(
@@ -217,12 +211,19 @@ EXTRA_QUERIES: list[Query] = [
         SQL_SRM_CHECK,
         ("relational", "statistics", "quality", "monitoring"),
     ),
-    # wave 6 demoted eval_win_rate for stream_srm.
+    # wave 6 demoted eval_win_rate for stream_srm; wave 7 demoted
+    # metric_winsorized for eval_pass_at_k.
     Query(
         "eval_win_rate",
         q_eval_win_rate,
         SQL_EVAL_WIN_RATE,
         ("llm", "evaluation", "statistics", "sampling"),
+    ),
+    Query(
+        "metric_winsorized",
+        q_metric_winsorized,
+        SQL_METRIC_WINSORIZED,
+        ("relational", "statistics", "agg", "quality"),
     ),
     Query(
         "corpus_prep",

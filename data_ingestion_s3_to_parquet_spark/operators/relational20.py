@@ -47,6 +47,7 @@ from .relational8 import (
     q_lm_unigram_score,
 )
 from .relational15 import SQL_RANK_TEST_U, q_rank_test_u
+from .relational16 import SQL_EVAL_PASS_AT_K, q_eval_pass_at_k
 from .relational9 import (
     SQL_CHISQ_INDEPENDENCE,
     SQL_DATA_EXPECTATIONS,
@@ -119,6 +120,15 @@ QUERIES: list[Query] = [
         q_stream_srm,
         SQL_STREAM_SRM,
         ("streaming", "statistics", "quality", "monitoring"),
+    ),
+    # --- round-14 SEVENTH wave (never-graded; metric_winsorized —
+    # r13 single green — demoted one-for-one to relational19's
+    # EXTRA) ---
+    Query(
+        "eval_pass_at_k",
+        q_eval_pass_at_k,
+        SQL_EVAL_PASS_AT_K,
+        ("llm", "evaluation", "statistics", "sampling"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

@@ -992,7 +992,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 176
+    assert len(EXTRA) == 177
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1006,12 +1006,13 @@ def test_lane_counts_match_docs():
     assert list(REGISTRY)[1:27] == [
         "metric_cuped", "rank_test_u", "fdr_bh",
         "chisq_independence", "power_mde", "stream_srm",
+        "eval_pass_at_k",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "metric_winsorized", "ngram_novelty", "eval_brier",
+        "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
         "perm_test_ratio", "bootstrap_ci_winsorized",
         "eval_mrr",
@@ -1035,9 +1036,10 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:81] == [
+    assert list(EXTRA)[:82] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
+        "metric_winsorized",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -10404,3 +10406,81 @@ def test_stream_srm_planted_one_armed_segment_alerts(spark, tmp_path):
     assert he.chi2_micro == 0
     al = out["(all)"]
     assert (al.n_a, al.n_b) == (60, 20)
+
+
+def test_eval_pass_at_k_matches_python_recompute(spark, sf_dir):
+    # recompute the exact k-step pinned division sequence AND
+    # cross-check it against the float closed form within the
+    # documented k/2-micro quantization drift.
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        PASS_AT_KS,
+        PASS_GATE_MIN_CHARS,
+        q_eval_pass_at_k,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    out = {r.lang: r for r in q_eval_pass_at_k(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "n_chars"
+    ).collect()
+    groups = {}
+    for r in docs:
+        n, c = groups.get(r.lang, (0, 0))
+        groups[r.lang] = (n + 1, c + (r.n_chars >= PASS_GATE_MIN_CHARS))
+    for lang, (n, c) in groups.items():
+        row = out[lang]
+        assert (row.n_samples, row.n_correct) == (n, c)
+        q = 10**6
+        qs = {}
+        for i in range(max(PASS_AT_KS)):
+            if n - c - i <= 0 or q == 0:
+                q = 0
+            else:
+                q = (2 * q * (n - c - i) + (n - i)) // (2 * (n - i))
+            qs[i + 1] = q
+        for k in PASS_AT_KS:
+            got = getattr(row, f"pass{k}_micro")
+            if n < k:
+                assert got is None
+                continue
+            assert got == 10**6 - qs[k]
+            # float closed form agrees within the documented drift
+            prod = 1.0
+            for i in range(k):
+                prod *= max(n - c - i, 0) / (n - i)
+            assert abs(got - round(10**6 * (1 - prod))) <= k
+
+
+def test_eval_pass_at_k_planted_boundaries(spark, tmp_path):
+    # n = c (everything passes): pass@k = 1 exactly for all k.
+    # c = 0: pass@k = 0 exactly. c = 1, n = 5: pass@1 = 1/5 and
+    # pass@5 = 1 exactly (n - c < k clamps); k = 10 > n -> NULL.
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_pass_at_k,
+    )
+
+    rows = []
+    did = 0
+    for _ in range(5):  # lang "all": every doc passes the gate
+        did += 1
+        rows.append((did, "x" * 300, "all", "s", 300))
+    for _ in range(5):  # lang "none": nothing passes
+        did += 1
+        rows.append((did, "x", "none", "s", 1))
+    for i in range(5):  # lang "one": exactly one passes
+        did += 1
+        rows.append((did, "x", "one", "s", 300 if i == 0 else 1))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.lang: r for r in q_eval_pass_at_k(spark, str(tmp_path)).collect()}
+    assert (out["all"].pass1_micro, out["all"].pass5_micro) == (
+        1_000_000, 1_000_000,
+    )
+    assert (out["none"].pass1_micro, out["none"].pass5_micro) == (0, 0)
+    assert out["one"].pass1_micro == 200_000  # 1/5 exactly
+    assert out["one"].pass5_micro == 1_000_000  # n-c=4 < 5 clamps to 1
+    assert out["one"].pass10_micro is None  # k > n, the Codex rule

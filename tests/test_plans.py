@@ -1816,6 +1816,20 @@ def test_stream_srm_counter_monoid_shape(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_eval_pass_at_k_single_aggregate_shape(spark):
+    # one combinable aggregate, |langs| rows, chained constant
+    # expressions — one exchange, nothing else
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational16 import (
+        q_eval_pass_at_k,
+    )
+
+    plan = plan_of(q_eval_pass_at_k(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast

@@ -46,6 +46,7 @@ NEW_ROWS: dict[str, str] = {
     "chisq_independence": "full oracle (Pearson chi-square independence of order priority × status — srm_check's general-df sibling: ONE combinable groupBy to the ≤ r·c cell frame, margins/zero-cell cross join/reduce all bounded; the pinned TWO-step per-cell sequence — e_u = half-up(1e6·R·C, N) then term = half-up(dev², e_u) with dev = 1e6·O − e_u — keeps dev² ≤ 1e12·N² inside decimal(38,0) to N ≈ 3·10¹² rows where the naive single division overflows at 5.6·10⁷ (capacity bounds, not row-count bounds); absent cells are SYNTHESIZED with O = 0 so their E > 0 terms count; df = (r−1)(c−1), alpha = 0.05 verdict an integer compare vs the pinned published critical table (df ≤ 24); + exact recompute pytest + planted independent/perfect-association pytest (chi2 exactly 0 / exactly N·(k−1)); NEW r14 wave 4)",
     "power_mde": "full oracle (minimum detectable effect at 80% power / alpha .05 per order status — the pre-experiment sizing readout: exact decimal/HUGEINT variance numerator from ONE combinable moments aggregate; the finisher is a pinned IEEE sequence of TWO correctly-rounded sqrts on exact operands — sqrt(2V) and sqrt(n−1) — because the single-radicand form sqrt(2V(n−1)) grows as n³·max² and leaves decimal(38,0) at n ≈ 3·10⁷ (the §105 capacity rule); pinned z-sum constant 2.801585 in micros, one ROUND; relative MDE one half-up micro division of the two readouts; \|statuses\| output rows, zero joins/windows/broadcasts — 1 exchange; + exact recompute pytest + planted zero-variance (MDE = 0) and 4n-halves-MDE pytests; NEW r14 wave 5)",
     "stream_srm": "full oracle (exposure-level sample-ratio mismatch per event_type, graded through its batch twin end-to-end — srm_check's streaming leg: the per-(type, arm) exposure counters are a count MONOID, so the identical _srm_counters code path accumulates across micro-batches as a plain streaming aggregation with \|types\|·2 rows of state (cross-micro-batch parity pinned in tests/test_streaming.py: two micro-batches == batch counters bitwise AND the finished chi² table); the all-types row sums from the bounded counter frame — the streaming-safe ROLLUP substitute; chi²(1 df) + the alpha = 0.001 verdict are srm_check's pinned expressions verbatim; + planted one-armed-segment pytest (chi² exactly 40, alerts; balanced type chi² 0); NEW r14 wave 6)",
+    "eval_pass_at_k": "full oracle (unbiased pass@k, Chen et al. 2021 Codex estimator, per language with the deterministic n_chars ≥ 200 acceptance gate — the sampling-budget readout for generation-heavy pipelines: ONE combinable aggregate to (n, c) per lang, then the k-step pinned half-up division sequence q_{i+1} = round(q_i·(n−c−i)/(n−i)) in micros — NOT the closed binomial form, whose n^k numerator leaves decimal(38,0) at n ≈ 6·10³ for k = 10 (the §105 capacity rule); n−c−i ≤ 0 pins the product to 0 (pass = 1 exactly), k > n is NULL per the Codex convention; per-step drift ≤ 0.5 micro, ≤ k/2 total, pinned vs the float closed form in pytest; + exact recompute + planted boundary pytest (all-pass/none-pass/one-pass with the 1/5 and clamp-to-1 exact values); NEW r14 wave 7)",
     "cdc_apply": "full oracle (CDC latest-wins snapshot with tombstones, ts ties broken by event_id); re-promoted r14 grade-freshness rotation (r6 driver row — the registry's measured-oldest cohort)",
     "data_expectations": "full oracle (declarative expectation gate — per-rule (n_checked, n_violations, passed) rows, one designed-to-fail rule); re-promoted r14 grade-freshness rotation (r6 driver row)",
     "doc_fingerprint": "full oracle (content-address fingerprints: raw md5, whitespace-normalized md5, byte-length + sha256 of the text bytes as an opaque blob); re-promoted r14 grade-freshness rotation (r6 driver row)",
