@@ -113,14 +113,8 @@ QUERIES: list[Query] = [
     # sixth wave — stream_srm took its graded slot)
     # (metric_winsorized demoted to EXTRA_QUERIES below by the
     # round-14 seventh wave — eval_pass_at_k took its graded slot)
-    # --- round-13 EIGHTH wave (never-graded; join_null_safe — r4 +
-    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
-    Query(
-        "ngram_novelty",
-        q_ngram_novelty,
-        SQL_NGRAM_NOVELTY,
-        ("llm", "dedup", "text", "quality"),
-    ),
+    # (ngram_novelty demoted to EXTRA_QUERIES below by the round-14
+    # eighth wave — survival_km took its graded slot)
     # --- round-13 NINTH wave (never-graded; dedup_exact — r5 + r12
     # greens — demoted one-for-one to relational18's EXTRA, bench
     # flag intact) ---
@@ -224,6 +218,13 @@ EXTRA_QUERIES: list[Query] = [
         q_metric_winsorized,
         SQL_METRIC_WINSORIZED,
         ("relational", "statistics", "agg", "quality"),
+    ),
+    # wave 8 demoted ngram_novelty for survival_km.
+    Query(
+        "ngram_novelty",
+        q_ngram_novelty,
+        SQL_NGRAM_NOVELTY,
+        ("llm", "dedup", "text", "quality"),
     ),
     Query(
         "corpus_prep",

@@ -46,7 +46,12 @@ from .relational8 import (
     q_knn_graph,
     q_lm_unigram_score,
 )
-from .relational15 import SQL_RANK_TEST_U, q_rank_test_u
+from .relational15 import (
+    SQL_RANK_TEST_U,
+    SQL_SURVIVAL_KM,
+    q_rank_test_u,
+    q_survival_km,
+)
 from .relational16 import SQL_EVAL_PASS_AT_K, q_eval_pass_at_k
 from .relational9 import (
     SQL_CHISQ_INDEPENDENCE,
@@ -129,6 +134,14 @@ QUERIES: list[Query] = [
         q_eval_pass_at_k,
         SQL_EVAL_PASS_AT_K,
         ("llm", "evaluation", "statistics", "sampling"),
+    ),
+    # --- round-14 EIGHTH wave (never-graded; ngram_novelty — r13
+    # single green — demoted one-for-one to relational19's EXTRA) ---
+    Query(
+        "survival_km",
+        q_survival_km,
+        SQL_SURVIVAL_KM,
+        ("relational", "statistics", "timeseries", "evaluation"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

@@ -992,7 +992,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 177
+    assert len(EXTRA) == 178
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1006,13 +1006,13 @@ def test_lane_counts_match_docs():
     assert list(REGISTRY)[1:27] == [
         "metric_cuped", "rank_test_u", "fdr_bh",
         "chisq_independence", "power_mde", "stream_srm",
-        "eval_pass_at_k",
+        "eval_pass_at_k", "survival_km",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "ngram_novelty", "eval_brier",
+        "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
         "perm_test_ratio", "bootstrap_ci_winsorized",
         "eval_mrr",
@@ -1036,10 +1036,10 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:82] == [
+    assert list(EXTRA)[:83] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
-        "metric_winsorized",
+        "metric_winsorized", "ngram_novelty",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -10484,3 +10484,107 @@ def test_eval_pass_at_k_planted_boundaries(spark, tmp_path):
     assert out["one"].pass1_micro == 200_000  # 1/5 exactly
     assert out["one"].pass5_micro == 1_000_000  # n-c=4 < 5 clamps to 1
     assert out["one"].pass10_micro is None  # k > n, the Codex rule
+
+
+def test_survival_km_matches_python_recompute(spark, sf_dir):
+    # exact recompute: per-user first event / first error / last
+    # event in integer microseconds, death-vs-censoring bucketing,
+    # at-risk recursion, and the pinned per-bucket survival chain.
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        KM_HORIZON_DAYS,
+        q_survival_km,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    out = {r.day: r for r in q_survival_km(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "event_type",
+    ).collect()
+    users = {}
+    for r in ev:
+        t0, terr, tl = users.get(r.user_id, (None, None, None))
+        t0 = r.us if t0 is None else min(t0, r.us)
+        tl = r.us if tl is None else max(tl, r.us)
+        if r.event_type == "error":
+            terr = r.us if terr is None else min(terr, r.us)
+        users[r.user_id] = (t0, terr, tl)
+    H = KM_HORIZON_DAYS
+    US_DAY = 86_400_000_000
+    d = [0] * (H + 1)
+    rr = [0] * (H + 1)
+    for t0, terr, tl in users.values():
+        if terr is not None and (terr - t0) // US_DAY <= H - 1:
+            b = (terr - t0) // US_DAY
+            d[b] += 1
+            rr[b] += 1
+        else:
+            b = min((tl - t0) // US_DAY, H)
+            rr[b] += 1
+    n = len(users)
+    s = 10**6
+    for b in range(H + 1):
+        if n > 0 and s > 0:
+            s = (2 * s * (n - d[b]) + n) // (2 * n)
+        row = out[b]
+        assert (row.n_risk, row.n_death, row.n_censor) == (
+            n, d[b], rr[b] - d[b],
+        )
+        assert row.s_micro == s
+        n -= rr[b]
+    assert len(out) == H + 1
+    # everyone eventually errors or censors: at-risk drains to zero
+    assert out[H].n_risk - rr[H] == 0 or out[H].n_risk >= 0
+
+
+def test_survival_km_planted_censoring(spark, tmp_path):
+    # 10 users: 4 die on day 1 (error), 3 censored on day 2 (last
+    # seen, no error), 3 survive past the horizon (censored at 7).
+    # Hand-computed KM: S(0) = 1, S(1) = 1 - 4/10 = 0.6, flat after
+    # (no later deaths) — and the day-2 censorings must NOT count as
+    # deaths (the naive error-share-by-day would claim 40% at day 1
+    # only because censoring was ignored; with fewer observed users
+    # it could not distinguish 4/10 from 4/7).
+    import datetime as dt
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_survival_km,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(u, days, typ):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(days=days, minutes=u), u, typ, 1.0)
+        )
+
+    for u in range(1, 5):  # deaths at day 1
+        add(u, 0, "signup")
+        add(u, 1, "error")
+    for u in range(5, 8):  # censored at day 2
+        add(u, 0, "signup")
+        add(u, 2, "click")
+    for u in range(8, 11):  # survive the horizon: last seen day 9
+        add(u, 0, "signup")
+        add(u, 9, "click")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {r.day: r for r in q_survival_km(spark, str(tmp_path)).collect()}
+    assert (out[0].n_risk, out[0].n_death, out[0].s_micro) == (
+        10, 0, 1_000_000,
+    )
+    assert (out[1].n_risk, out[1].n_death, out[1].n_censor) == (10, 4, 0)
+    assert out[1].s_micro == 600_000  # 1 - 4/10 exactly
+    assert (out[2].n_risk, out[2].n_death, out[2].n_censor) == (6, 0, 3)
+    assert out[2].s_micro == 600_000  # censoring never moves S
+    assert (out[7].n_risk, out[7].n_censor) == (3, 3)  # horizon
+    assert out[7].s_micro == 600_000

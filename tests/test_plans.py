@@ -1830,6 +1830,21 @@ def test_eval_pass_at_k_single_aggregate_shape(spark):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_survival_km_two_aggregate_shape(spark):
+    # groupBy(user) + the single-row wide counter aggregate, then
+    # constant chained expressions and the 8-row stack — two
+    # exchanges, no joins, no windows
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_survival_km,
+    )
+
+    plan = plan_of(q_survival_km(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "Join" not in plan and "Window" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
