@@ -115,15 +115,8 @@ QUERIES: list[Query] = [
     # round-14 seventh wave — eval_pass_at_k took its graded slot)
     # (ngram_novelty demoted to EXTRA_QUERIES below by the round-14
     # eighth wave — survival_km took its graded slot)
-    # --- round-13 NINTH wave (never-graded; dedup_exact — r5 + r12
-    # greens — demoted one-for-one to relational18's EXTRA, bench
-    # flag intact) ---
-    Query(
-        "eval_brier",
-        q_eval_brier,
-        SQL_EVAL_BRIER,
-        ("llm", "evaluation", "statistics", "quality"),
-    ),
+    # (eval_brier demoted to EXTRA_QUERIES below by the round-14
+    # ninth wave — tokenizer_vocab_overlap took its graded slot)
     # --- round-13 TENTH wave (never-graded; dedup_embedding — r5 +
     # r12 greens — demoted one-for-one to relational18's EXTRA) ---
     Query(
@@ -219,12 +212,19 @@ EXTRA_QUERIES: list[Query] = [
         SQL_METRIC_WINSORIZED,
         ("relational", "statistics", "agg", "quality"),
     ),
-    # wave 8 demoted ngram_novelty for survival_km.
+    # wave 8 demoted ngram_novelty for survival_km; wave 9 demoted
+    # eval_brier for tokenizer_vocab_overlap.
     Query(
         "ngram_novelty",
         q_ngram_novelty,
         SQL_NGRAM_NOVELTY,
         ("llm", "dedup", "text", "quality"),
+    ),
+    Query(
+        "eval_brier",
+        q_eval_brier,
+        SQL_EVAL_BRIER,
+        ("llm", "evaluation", "statistics", "quality"),
     ),
     Query(
         "corpus_prep",

@@ -71,8 +71,10 @@ from ..streaming.windows import SQL_STREAM_SRM, q_stream_srm
 from .textstats import (
     SQL_DOC_FINGERPRINT,
     SQL_LANG_ID,
+    SQL_TOKENIZER_VOCAB_OVERLAP,
     q_doc_fingerprint,
     q_lang_id,
+    q_tokenizer_vocab_overlap,
 )
 
 QUERIES: list[Query] = [
@@ -142,6 +144,14 @@ QUERIES: list[Query] = [
         q_survival_km,
         SQL_SURVIVAL_KM,
         ("relational", "statistics", "timeseries", "evaluation"),
+    ),
+    # --- round-14 NINTH wave (never-graded; eval_brier — r13 single
+    # green — demoted one-for-one to relational19's EXTRA) ---
+    Query(
+        "tokenizer_vocab_overlap",
+        q_tokenizer_vocab_overlap,
+        SQL_TOKENIZER_VOCAB_OVERLAP,
+        ("llm", "text", "evaluation", "pipeline"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

@@ -2392,6 +2392,149 @@ SQL_TEXT_MATTR = _sql_text_mattr()
 # freq_items_topk, strip_markup, ngram_counts, url_canonicalize,
 # cms_counts, pmi_cooccur, entropy_score, content_chunks,
 # word_filter).
+# --------------------------------------------------------------------
+# tokenizer_vocab_overlap
+# --------------------------------------------------------------------
+
+VOCAB_OVERLAP_K = 256  # per-language top-K token budget
+
+
+def q_tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise overlap of the per-language top-{k} token
+    vocabularies — the multilingual-tokenizer planning table: when
+    two languages share a large slice of their head vocabulary
+    (scripts, loanwords, code/markup debris), a shared subword
+    budget stretches further; near-zero overlap says the vocab must
+    be partitioned. ``vocab_coverage`` grades ONE chosen vocab
+    against all languages; this lane quantifies how far any shared
+    vocab CAN go, before choosing.
+
+    Token convention: the vocab_coverage split — ``split(text, ' ')``
+    — and the (count DESC, token ASC) total order; the per-language
+    head is the top-{k} of that order (languages with fewer than {k}
+    distinct tokens contribute them all; ``n_a``/``n_b`` report the
+    actual set sizes). Every unordered language pair appears — pairs
+    with NO shared head tokens are synthesized with n_shared = 0
+    (the interesting rows for the partitioning decision). Jaccard
+    and the Szymkiewicz-Simpson overlap coefficient are each ONE
+    pinned half-up micro division on exact set counts.
+
+    Scale shape: one map-side-combinable (lang, token) count
+    shuffle (vocabulary-sized, never row-sized), a per-language
+    CONSTANT-k rank window Catalyst executes as WindowGroupLimit
+    (per-partition state is k rows), then everything — the
+    self-join, the pair cross join, the divisions — runs on the
+    ≤ \|langs\|·{k}-row head frame. Zero row-sized joins.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    counts = toks.groupBy("lang", "w").agg(F.count("*").alias("n"))
+    win = Window.partitionBy("lang").orderBy(F.desc("n"), "w")
+    head = (
+        counts.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= VOCAB_OVERLAP_K)
+        .select("lang", "w")
+    )
+    sizes = head.groupBy("lang").agg(F.count("*").cast("long").alias("sz"))
+    a = sizes.select(F.col("lang").alias("la"), F.col("sz").alias("n_a"))
+    b = sizes.select(F.col("lang").alias("lb"), F.col("sz").alias("n_b"))
+    pairs = a.crossJoin(b).where(F.col("la") < F.col("lb"))
+    ha = head.select(F.col("lang").alias("la"), "w")
+    hb = head.select(F.col("lang").alias("lb"), "w")
+    shared = (
+        ha.join(hb, "w")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    dec = "decimal(38,0)"
+    jac = (
+        "CASE WHEN n_a + n_b - n_shared = 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE CAST((2 * CAST(1000000 AS {big}) * CAST(n_shared AS {big})"
+        " + (n_a + n_b - n_shared))"
+        " {div} (2 * CAST(n_a + n_b - n_shared AS {big})) AS BIGINT) END"
+    )
+    ovl = (
+        "CASE WHEN least(n_a, n_b) = 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE CAST((2 * CAST(1000000 AS {big}) * CAST(n_shared AS {big})"
+        " + least(n_a, n_b))"
+        " {div} (2 * CAST(least(n_a, n_b) AS {big})) AS BIGINT) END"
+    )
+    return (
+        pairs.join(shared, ["la", "lb"], "left")
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+        .select(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr(jac.format(big=dec, div="div")).alias("jaccard_micro"),
+            F.expr(ovl.format(big=dec, div="div")).alias("overlap_micro"),
+        )
+    )
+
+
+q_tokenizer_vocab_overlap.__doc__ = q_tokenizer_vocab_overlap.__doc__.format(
+    k=VOCAB_OVERLAP_K
+)
+
+
+def _sql_tokenizer_vocab_overlap() -> str:
+    jac = (
+        "CASE WHEN n_a + n_b - n_shared = 0 THEN NULL"
+        " ELSE CAST((2 * CAST(1000000 AS HUGEINT)"
+        " * CAST(n_shared AS HUGEINT) + (n_a + n_b - n_shared))"
+        " // (2 * CAST(n_a + n_b - n_shared AS HUGEINT)) AS BIGINT) END"
+    )
+    ovl = (
+        "CASE WHEN least(n_a, n_b) = 0 THEN NULL"
+        " ELSE CAST((2 * CAST(1000000 AS HUGEINT)"
+        " * CAST(n_shared AS HUGEINT) + least(n_a, n_b))"
+        " // (2 * CAST(least(n_a, n_b) AS HUGEINT)) AS BIGINT) END"
+    )
+    return f"""
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+c AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t GROUP BY lang, w
+),
+h AS (
+  SELECT lang, w FROM (
+    SELECT lang, w,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n DESC, w) AS rn
+    FROM c
+  ) WHERE rn <= {VOCAB_OVERLAP_K}
+),
+sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS sz FROM h GROUP BY lang),
+pairs AS (
+  SELECT a.lang AS la, b.lang AS lb, a.sz AS n_a, b.sz AS n_b
+  FROM sz a CROSS JOIN sz b WHERE a.lang < b.lang
+),
+sh AS (
+  SELECT x.lang AS la, y.lang AS lb,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM h x JOIN h y ON x.w = y.w AND x.lang < y.lang
+  GROUP BY x.lang, y.lang
+),
+j AS (
+  SELECT p.la, p.lb, p.n_a, p.n_b,
+         COALESCE(sh.n_shared, 0) AS n_shared
+  FROM pairs p LEFT JOIN sh ON p.la = sh.la AND p.lb = sh.lb
+)
+SELECT la AS lang_a, lb AS lang_b, n_a, n_b, n_shared,
+       {jac} AS jaccard_micro,
+       {ovl} AS overlap_micro
+FROM j
+"""
+
+
+SQL_TOKENIZER_VOCAB_OVERLAP = _sql_tokenizer_vocab_overlap()
+
+
 QUERIES: list[Query] = []
 
 # Rotated to the EXTRA lane: quality_gopher / pii_redact in round 4

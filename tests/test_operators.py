@@ -992,7 +992,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 178
+    assert len(EXTRA) == 179
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1006,13 +1006,12 @@ def test_lane_counts_match_docs():
     assert list(REGISTRY)[1:27] == [
         "metric_cuped", "rank_test_u", "fdr_bh",
         "chisq_independence", "power_mde", "stream_srm",
-        "eval_pass_at_k", "survival_km",
+        "eval_pass_at_k", "survival_km", "tokenizer_vocab_overlap",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
         "perm_test_ratio", "bootstrap_ci_winsorized",
         "eval_mrr",
@@ -1036,10 +1035,10 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:83] == [
+    assert list(EXTRA)[:84] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
-        "metric_winsorized", "ngram_novelty",
+        "metric_winsorized", "ngram_novelty", "eval_brier",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -10588,3 +10587,87 @@ def test_survival_km_planted_censoring(spark, tmp_path):
     assert out[2].s_micro == 600_000  # censoring never moves S
     assert (out[7].n_risk, out[7].n_censor) == (3, 3)  # horizon
     assert out[7].s_micro == 600_000
+
+
+def test_tokenizer_vocab_overlap_matches_python_recompute(spark, sf_dir):
+    # exact recompute of the (count DESC, token ASC) heads, the pair
+    # set intersections, and both pinned micro divisions.
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        VOCAB_OVERLAP_K,
+        q_tokenizer_vocab_overlap,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    out = {
+        (r.lang_a, r.lang_b): r
+        for r in q_tokenizer_vocab_overlap(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "text"
+    ).collect()
+    counts = {}
+    for r in docs:
+        for w in r.text.split(" "):
+            counts[(r.lang, w)] = counts.get((r.lang, w), 0) + 1
+    langs = sorted({l for l, _ in counts})
+    heads = {}
+    for lang in langs:
+        toks = sorted(
+            ((n, w) for (l, w), n in counts.items() if l == lang),
+            key=lambda t: (-t[0], t[1]),
+        )
+        heads[lang] = {w for _, w in toks[:VOCAB_OVERLAP_K]}
+    n_pairs = 0
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1:]:
+            n_pairs += 1
+            a, b = heads[la], heads[lb]
+            sh = len(a & b)
+            row = out[(la, lb)]
+            assert (row.n_a, row.n_b, row.n_shared) == (
+                len(a), len(b), sh,
+            )
+            den_j = len(a) + len(b) - sh
+            assert row.jaccard_micro == (
+                (2 * 10**6 * sh + den_j) // (2 * den_j)
+            )
+            den_o = min(len(a), len(b))
+            assert row.overlap_micro == (
+                (2 * 10**6 * sh + den_o) // (2 * den_o)
+            )
+    assert len(out) == n_pairs
+
+
+def test_tokenizer_vocab_overlap_planted_pairs(spark, tmp_path):
+    # three languages: two sharing exactly half their head tokens,
+    # one fully disjoint (its pair rows must still appear, at 0).
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_tokenizer_vocab_overlap,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    a_only = " ".join(f"a{i}" for i in range(10))
+    b_only = " ".join(f"b{i}" for i in range(10))
+    c_only = " ".join(f"c{i}" for i in range(20))
+    rows = [
+        (1, f"{shared} {a_only}", "aa", "s", 1),
+        (2, f"{shared} {b_only}", "bb", "s", 1),
+        (3, c_only, "cc", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        (r.lang_a, r.lang_b): r
+        for r in q_tokenizer_vocab_overlap(spark, str(tmp_path)).collect()
+    }
+    ab = out[("aa", "bb")]
+    assert (ab.n_a, ab.n_b, ab.n_shared) == (20, 20, 10)
+    assert ab.jaccard_micro == 333_333  # 10/30 half-up
+    assert ab.overlap_micro == 500_000  # 10/20 exactly
+    ac = out[("aa", "cc")]
+    assert ac.n_shared == 0 and ac.jaccard_micro == 0
+    assert len(out) == 3  # every unordered pair appears

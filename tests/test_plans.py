@@ -1845,6 +1845,22 @@ def test_survival_km_two_aggregate_shape(spark):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_tokenizer_vocab_overlap_wgl_shape(spark):
+    # the constant-k rank filter must execute as WindowGroupLimit
+    # (per-partition state = k rows, never the language's whole
+    # vocabulary); the only SHJ runs on the bounded head frame
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_tokenizer_vocab_overlap,
+    )
+
+    plan = plan_of(q_tokenizer_vocab_overlap(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) <= 1
+    assert "ArrowEvalPython" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
