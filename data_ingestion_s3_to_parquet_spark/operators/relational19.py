@@ -117,14 +117,8 @@ QUERIES: list[Query] = [
     # eighth wave — survival_km took its graded slot)
     # (eval_brier demoted to EXTRA_QUERIES below by the round-14
     # ninth wave — tokenizer_vocab_overlap took its graded slot)
-    # --- round-13 TENTH wave (never-graded; dedup_embedding — r5 +
-    # r12 greens — demoted one-for-one to relational18's EXTRA) ---
-    Query(
-        "eval_bradley_terry",
-        q_eval_bradley_terry,
-        SQL_EVAL_BRADLEY_TERRY,
-        ("llm", "evaluation", "statistics", "iterative"),
-    ),
+    # (eval_bradley_terry demoted to EXTRA_QUERIES below by the
+    # round-14 tenth wave — fdr_holm took its graded slot)
     # --- round-13 ELEVENTH wave (never-graded; dedup_components —
     # r5 + r12 greens — demoted one-for-one to relational18's EXTRA,
     # bench flag intact) ---
@@ -225,6 +219,13 @@ EXTRA_QUERIES: list[Query] = [
         q_eval_brier,
         SQL_EVAL_BRIER,
         ("llm", "evaluation", "statistics", "quality"),
+    ),
+    # wave 10 demoted eval_bradley_terry for fdr_holm.
+    Query(
+        "eval_bradley_terry",
+        q_eval_bradley_terry,
+        SQL_EVAL_BRADLEY_TERRY,
+        ("llm", "evaluation", "statistics", "iterative"),
     ),
     Query(
         "corpus_prep",

@@ -57,12 +57,14 @@ from .relational9 import (
     SQL_CHISQ_INDEPENDENCE,
     SQL_DATA_EXPECTATIONS,
     SQL_FDR_BH,
+    SQL_FDR_HOLM,
     SQL_POWER_MDE,
     SQL_FUZZY_MATCH_STRINGS,
     SQL_METRIC_CUPED,
     q_chisq_independence,
     q_data_expectations,
     q_fdr_bh,
+    q_fdr_holm,
     q_power_mde,
     q_fuzzy_match_strings,
     q_metric_cuped,
@@ -152,6 +154,15 @@ QUERIES: list[Query] = [
         q_tokenizer_vocab_overlap,
         SQL_TOKENIZER_VOCAB_OVERLAP,
         ("llm", "text", "evaluation", "pipeline"),
+    ),
+    # --- round-14 TENTH wave (never-graded; eval_bradley_terry —
+    # r13 single green — demoted one-for-one to relational19's
+    # EXTRA) ---
+    Query(
+        "fdr_holm",
+        q_fdr_holm,
+        SQL_FDR_HOLM,
+        ("relational", "statistics", "evaluation", "quality"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

@@ -2424,33 +2424,17 @@ SQL_METRIC_CUPED = _sql_metric_cuped()
 FDR_ALPHA_MICRO = 50_000  # alpha = 0.05 in micro units
 
 
-def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benjamini-Hochberg FDR correction over the per-segment
-    permutation p-values — the multiple-comparisons gate every
-    experiment readout needs once it slices by segment (VERDICT r13
-    #6): five order-priority segments each run ``perm_test_diff``'s
-    customer-level permutation test of the arm mean-spend difference
-    (an independent ``f:``-salted relabeling stream, SHARED across
-    segments — the real platform shape: many metrics read off the
-    same experiment's randomness), and the five raw p-values are
-    BH-adjusted, p_adj(i) = min over k ≥ i of p(k)·m/k capped at 1,
-    rejected ⟺ p_adj ≤ alpha.
-
-    Exactness: the per-segment machinery is perm_test_diff verbatim
-    (exact counters, pinned half-up micro means, cross-engine md5
-    labels, add-one p). The BH walk is pure integer arithmetic on
-    the bounded m-row frame: each candidate p(k)·m/k is ONE pinned
-    half-up integer division in micro units, the step-up "min over
-    the tail" is a reversed running min window, and the verdict is
-    an integer compare against alpha — no float ever appears, so
-    the oracle matches bitwise. Ranks tie-break by segment name
-    (deterministic).
-
-    Scale shape: ONE ×B explode of the scan collapsing map-side to
-    a \|segments\|·B counter frame, the \|segments\|-row observed
-    broadcast, and windows only over the bounded m-row p frame.
-    Zero data joins, zero data windows.
-    """
+def _segment_perm_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared per-segment permutation p-value frame both
+    correction lanes read (fdr_bh and fdr_holm must correct the SAME
+    p-values — a platform reporting both guarantees on different
+    random draws would be incoherent): per order-priority segment,
+    perm_test_diff's customer-level test of the arm mean-spend
+    difference from the single f:-salted relabeling stream. Segments
+    whose observed split empties an arm have no defined p and are
+    excluded (engines also order NULLs differently, so the exclusion
+    is a cross-engine correctness guard); m counts TESTABLE
+    segments."""
     dec = "decimal(38,0)"
     p_lit = ", ".join(f"({p})" for p in range(1, PERM_B + 1))
     perms = spark.sql(f"SELECT * FROM VALUES {p_lit} AS t(perm)")
@@ -2514,11 +2498,37 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("p_micro", F.expr(_PT_P_EXPR.format(div="div")))
     )
-    # a segment whose observed split empties an arm has no defined p
-    # (d_obs NULL) and cannot enter the BH frame — engines also order
-    # NULLs differently, so the exclusion is a correctness guard too;
-    # m counts TESTABLE segments.
-    pv = pv.where(F.col("p_micro").isNotNull())
+    return pv.where(F.col("p_micro").isNotNull())
+
+
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the per-segment
+    permutation p-values — the multiple-comparisons gate every
+    experiment readout needs once it slices by segment (VERDICT r13
+    #6): five order-priority segments each run ``perm_test_diff``'s
+    customer-level permutation test of the arm mean-spend difference
+    (an independent ``f:``-salted relabeling stream, SHARED across
+    segments — the real platform shape: many metrics read off the
+    same experiment's randomness), and the five raw p-values are
+    BH-adjusted, p_adj(i) = min over k ≥ i of p(k)·m/k capped at 1,
+    rejected ⟺ p_adj ≤ alpha.
+
+    Exactness: the per-segment machinery is perm_test_diff verbatim
+    (exact counters, pinned half-up micro means, cross-engine md5
+    labels, add-one p). The BH walk is pure integer arithmetic on
+    the bounded m-row frame: each candidate p(k)·m/k is ONE pinned
+    half-up integer division in micro units, the step-up "min over
+    the tail" is a reversed running min window, and the verdict is
+    an integer compare against alpha — no float ever appears, so
+    the oracle matches bitwise. Ranks tie-break by segment name
+    (deterministic).
+
+    Scale shape: ONE ×B explode of the scan collapsing map-side to
+    a \|segments\|·B counter frame, the \|segments\|-row observed
+    broadcast, and windows only over the bounded m-row p frame.
+    Zero data joins, zero data windows.
+    """
+    pv = _segment_perm_pvalues(spark, sf_dir)
     w_all = Window.partitionBy(F.lit(0))
     w_rank = w_all.orderBy("p_micro", "seg")
     w_tail = w_rank.rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -2644,6 +2654,101 @@ FROM a
 
 
 SQL_FDR_BH = _sql_fdr_bh()
+
+
+# --------------------------------------------------------------------
+# fdr_holm
+# --------------------------------------------------------------------
+
+
+def q_fdr_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-DOWN correction over the SAME per-segment
+    permutation p-values as ``fdr_bh`` — the FWER guarantee next to
+    BH's FDR: Holm controls the chance of even ONE false rejection
+    (the bar a ship/no-ship gate wants), BH controls the expected
+    false-discovery share (the bar a screening pass wants); real
+    platforms report both, and they must read the SAME p-values
+    (:func:`_segment_perm_pvalues` — a platform correcting two
+    different random draws would be incoherent; the two lanes'
+    correctness is exactly that they disagree only in the walk).
+
+    The Holm walk is even simpler than BH's: candidates
+    c_k = (m−k+1)·p_(k) are PURE integer products (no division at
+    all), the adjusted p is the prefix running MAX capped at 1
+    (step-down monotonicity), and rejection is an integer compare
+    against alpha. Where BH walks the tail with a reversed running
+    min, Holm walks the head with a forward running max — both on
+    the bounded m-row frame.
+
+    Scale shape: identical to fdr_bh's (the shared p frame is ONE
+    ×B explode collapsing to \|segments\|·B counters); the walk adds
+    only bounded-frame windows. Zero extra data passes.
+    """
+    pv = _segment_perm_pvalues(spark, sf_dir)
+    w_all = Window.partitionBy(F.lit(0))
+    w_rank = w_all.orderBy("p_micro", "seg")
+    w_head = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        pv.withColumn("m", F.count("*").over(w_all).cast("long"))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .withColumn(
+            "cand",
+            ((F.col("m") - F.col("rnk") + 1) * F.col("p_micro")).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "p_adj_micro",
+            F.least(F.max("cand").over(w_head), F.lit(1_000_000)),
+        )
+        .withColumn(
+            "rejected", F.col("p_adj_micro") <= F.lit(FDR_ALPHA_MICRO)
+        )
+    )
+    return ranked.select(
+        "seg",
+        "n_a",
+        "n_b",
+        "d_obs_micro",
+        "n_perms",
+        "n_ge",
+        "p_micro",
+        "m",
+        "rnk",
+        "p_adj_micro",
+        "rejected",
+    )
+
+
+def _sql_fdr_holm() -> str:
+    # identical p-value CTEs as SQL_FDR_BH (same f: stream), then the
+    # step-down walk: integer candidates, forward running max, cap.
+    base = SQL_FDR_BH[: SQL_FDR_BH.index("r AS (")]
+    return f"""{base}r AS (
+  SELECT *,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m,
+         CAST(row_number() OVER (ORDER BY p_micro, seg) AS BIGINT)
+           AS rnk
+  FROM pp WHERE p_micro IS NOT NULL
+),
+c AS (
+  SELECT *, CAST((m - rnk + 1) * p_micro AS BIGINT) AS cand FROM r
+),
+a AS (
+  SELECT seg, n_a, n_b, d_obs_micro, n_perms, n_ge, p_micro, m, rnk,
+         LEAST(MAX(cand) OVER (ORDER BY rnk
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW),
+               1000000) AS p_adj_micro
+  FROM c
+)
+SELECT seg, n_a, n_b, d_obs_micro, n_perms, n_ge, p_micro, m, rnk,
+       p_adj_micro, p_adj_micro <= {FDR_ALPHA_MICRO} AS rejected
+FROM a
+"""
+
+
+SQL_FDR_HOLM = _sql_fdr_holm()
 
 
 # --------------------------------------------------------------------

@@ -992,7 +992,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 179
+    assert len(EXTRA) == 180
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1007,12 +1007,13 @@ def test_lane_counts_match_docs():
         "metric_cuped", "rank_test_u", "fdr_bh",
         "chisq_independence", "power_mde", "stream_srm",
         "eval_pass_at_k", "survival_km", "tokenizer_vocab_overlap",
+        "fdr_holm",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "eval_bradley_terry", "sample_alloc_neyman",
+        "sample_alloc_neyman",
         "perm_test_ratio", "bootstrap_ci_winsorized",
         "eval_mrr",
     ]
@@ -1035,10 +1036,11 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:84] == [
+    assert list(EXTRA)[:85] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
+        "eval_bradley_terry",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -10671,3 +10673,84 @@ def test_tokenizer_vocab_overlap_planted_pairs(spark, tmp_path):
     ac = out[("aa", "cc")]
     assert ac.n_shared == 0 and ac.jaccard_micro == 0
     assert len(out) == 3  # every unordered pair appears
+
+
+def test_fdr_holm_matches_python_recompute_and_shares_pvalues(
+    spark, sf_dir
+):
+    # the Holm walk recomputed exactly AND the p-value columns pinned
+    # bitwise-equal to fdr_bh's (the two corrections must read the
+    # SAME f:-salted draw — that is the lane contract).
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        FDR_ALPHA_MICRO,
+        q_fdr_bh,
+        q_fdr_holm,
+    )
+
+    holm = {r.seg: r for r in q_fdr_holm(spark, sf_dir).collect()}
+    bh = {r.seg: r for r in q_fdr_bh(spark, sf_dir).collect()}
+    assert set(holm) == set(bh)
+    for seg in holm:
+        assert holm[seg].p_micro == bh[seg].p_micro
+        assert (holm[seg].n_perms, holm[seg].n_ge) == (
+            bh[seg].n_perms, bh[seg].n_ge,
+        )
+    m = len(holm)
+    order = sorted(holm, key=lambda s: (holm[s].p_micro, s))
+    run_max = 0
+    for k, seg in enumerate(order, start=1):
+        run_max = max(run_max, (m - k + 1) * holm[seg].p_micro)
+        p_adj = min(run_max, 10**6)
+        assert holm[seg].rnk == k
+        assert holm[seg].p_adj_micro == p_adj
+        assert holm[seg].rejected == (p_adj <= FDR_ALPHA_MICRO)
+        # FWER is uniformly no more liberal than FDR: a Holm
+        # rejection implies the BH rejection on the same p-values
+        if holm[seg].rejected:
+            assert bh[seg].rejected
+        assert holm[seg].p_adj_micro >= bh[seg].p_adj_micro
+        # and adjusted p's are monotone along the rank order
+        if k > 1:
+            prev = order[k - 2]
+            assert holm[seg].p_adj_micro >= holm[prev].p_adj_micro
+
+
+def test_fdr_holm_planted_effect_at_bonferroni_edge(spark, tmp_path):
+    # the wave-3 fixture: one real effect among four nulls. Holm's
+    # smallest adjusted p is m*p = 5 * 0.01 = 0.05 -> rejected at
+    # exactly alpha (same edge as BH's k=1 candidate); the nulls'
+    # adjusted p caps at 1.0 and survives nothing.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        q_fdr_holm,
+    )
+
+    def arm_a(u):
+        return hashlib.md5(str(u).encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+
+    rows = []
+    segs = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    k = 0
+    for si, seg in enumerate(segs):
+        for _ in range(40):
+            k += 1
+            if si == 0:
+                price = 500.0 + k if arm_a(k) else 100.0 + k * 0.25
+            else:
+                price = 150.0
+            rows.append((k, k, seg, price))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_totalprice double",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    out = {r.seg: r for r in q_fdr_holm(spark, str(tmp_path)).collect()}
+    eff = out["1-URGENT"]
+    assert eff.p_micro == 10_000 and eff.rnk == 1
+    assert eff.p_adj_micro == 50_000 and eff.rejected
+    for seg in segs[1:]:
+        assert out[seg].p_adj_micro == 1_000_000
+        assert not out[seg].rejected

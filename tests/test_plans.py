@@ -1861,6 +1861,21 @@ def test_tokenizer_vocab_overlap_wgl_shape(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_fdr_holm_bounded_frame_shape(spark):
+    # identical counter shape to fdr_bh (the shared p frame), the
+    # walk adds only bounded-frame windows
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_fdr_holm,
+    )
+
+    plan = plan_of(q_fdr_holm(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 4
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
