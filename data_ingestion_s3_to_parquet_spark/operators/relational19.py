@@ -119,15 +119,8 @@ QUERIES: list[Query] = [
     # ninth wave — tokenizer_vocab_overlap took its graded slot)
     # (eval_bradley_terry demoted to EXTRA_QUERIES below by the
     # round-14 tenth wave — fdr_holm took its graded slot)
-    # --- round-13 ELEVENTH wave (never-graded; dedup_components —
-    # r5 + r12 greens — demoted one-for-one to relational18's EXTRA,
-    # bench flag intact) ---
-    Query(
-        "sample_alloc_neyman",
-        q_sample_alloc_neyman,
-        SQL_SAMPLE_ALLOC_NEYMAN,
-        ("relational", "statistics", "sampling", "pipeline"),
-    ),
+    # (sample_alloc_neyman demoted to EXTRA_QUERIES below by the
+    # round-14 eleventh wave — sample_alloc_executed took its slot)
     # --- round-13 TWELFTH wave (never-graded; join_inner — r11 +
     # r12 greens — demoted one-for-one to relational17's EXTRA,
     # bench flag intact) ---
@@ -220,12 +213,19 @@ EXTRA_QUERIES: list[Query] = [
         SQL_EVAL_BRIER,
         ("llm", "evaluation", "statistics", "quality"),
     ),
-    # wave 10 demoted eval_bradley_terry for fdr_holm.
+    # wave 10 demoted eval_bradley_terry for fdr_holm; wave 11
+    # demoted sample_alloc_neyman for sample_alloc_executed.
     Query(
         "eval_bradley_terry",
         q_eval_bradley_terry,
         SQL_EVAL_BRADLEY_TERRY,
         ("llm", "evaluation", "statistics", "iterative"),
+    ),
+    Query(
+        "sample_alloc_neyman",
+        q_sample_alloc_neyman,
+        SQL_SAMPLE_ALLOC_NEYMAN,
+        ("relational", "statistics", "sampling", "pipeline"),
     ),
     Query(
         "corpus_prep",

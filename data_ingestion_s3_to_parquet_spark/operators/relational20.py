@@ -70,6 +70,10 @@ from .relational9 import (
     q_metric_cuped,
 )
 from ..streaming.windows import SQL_STREAM_SRM, q_stream_srm
+from .trainprep import (
+    SQL_SAMPLE_ALLOC_EXECUTED,
+    q_sample_alloc_executed,
+)
 from .textstats import (
     SQL_DOC_FINGERPRINT,
     SQL_LANG_ID,
@@ -163,6 +167,16 @@ QUERIES: list[Query] = [
         q_fdr_holm,
         SQL_FDR_HOLM,
         ("relational", "statistics", "evaluation", "quality"),
+    ),
+    # --- round-14 ELEVENTH wave (never-graded; sample_alloc_neyman
+    # — r13 single green — demoted one-for-one to relational19's
+    # EXTRA; the executed draw supersedes the planner's graded
+    # slot) ---
+    Query(
+        "sample_alloc_executed",
+        q_sample_alloc_executed,
+        SQL_SAMPLE_ALLOC_EXECUTED,
+        ("relational", "statistics", "sampling", "pipeline"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

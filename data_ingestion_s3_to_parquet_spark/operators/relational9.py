@@ -2524,7 +2524,7 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic).
 
     Scale shape: ONE ×B explode of the scan collapsing map-side to
-    a \|segments\|·B counter frame, the \|segments\|-row observed
+    a |segments|·B counter frame, the |segments|-row observed
     broadcast, and windows only over the bounded m-row p frame.
     Zero data joins, zero data windows.
     """
@@ -2681,7 +2681,7 @@ def q_fdr_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded m-row frame.
 
     Scale shape: identical to fdr_bh's (the shared p frame is ONE
-    ×B explode collapsing to \|segments\|·B counters); the walk adds
+    ×B explode collapsing to |segments|·B counters); the walk adds
     only bounded-frame windows. Zero extra data passes.
     """
     pv = _segment_perm_pvalues(spark, sf_dir)

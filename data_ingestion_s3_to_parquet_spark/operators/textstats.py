@@ -2424,7 +2424,7 @@ def q_tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONSTANT-k rank window Catalyst executes as WindowGroupLimit
     (per-partition state is k rows), then everything — the
     self-join, the pair cross join, the divisions — runs on the
-    ≤ \|langs\|·{k}-row head frame. Zero row-sized joins.
+    ≤ |langs|·{k}-row head frame. Zero row-sized joins.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("lang", F.explode(F.split("text", " ")).alias("w"))

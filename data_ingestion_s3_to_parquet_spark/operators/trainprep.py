@@ -2235,6 +2235,216 @@ FROM a2
 """
 
 
+# --------------------------------------------------------------------
+# sample_alloc_executed
+# --------------------------------------------------------------------
+
+
+# cents → micro-dollar mean, the house half-up form (the relational9
+# _PT_U_EXPR shape, local to avoid a trainprep ↔ relational9 cycle).
+_SAE_MEAN_EXPR = (
+    "CASE WHEN {n} = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE CAST((2 * CAST(10000 AS {big}) * CAST({s} AS {big}) + {n})"
+    " {div} (2 * CAST({n} AS {big})) AS BIGINT) END"
+)
+
+
+def q_sample_alloc_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Neyman allocation EXECUTED (SURVEY §19.4 candidate):
+    ``sample_alloc_neyman`` decides how many rows each stratum gets;
+    this lane actually draws them — exactly ``min(alloc, N_h)`` rows
+    per stratum, deterministically (the n_h smallest md5(orderkey)
+    values), and reports the drawn sample's mean against the
+    population mean so the allocation's fidelity is readable.
+
+    The scale mechanism is the TWO-PHASE EXACT-k ORDER STATISTIC:
+    a naive "rank every row by hash within its stratum and keep
+    rank ≤ n_h" is a full per-stratum window sort of the corpus. A
+    bounded histogram of 4-hex hash prefixes (≤ 65536 buckets per
+    stratum) locates, per stratum, the BOUNDARY prefix where the
+    cumulative count crosses n_h: every row hashing strictly below
+    it is in (no ranking needed), and only the boundary bucket —
+    ≈ N_h/65536 rows — is ranked exactly (by full hash, then key)
+    for the k_rem remainder. The draw is exact, layout-free, and
+    rerun-stable; at corpus sizes where N_h/65536 itself grows
+    uncomfortable the prefix widens to 6 hex (documented knob, same
+    machinery). Full-draw strata (alloc ≥ N_h — the small-SF regime)
+    take every row and the boundary logic degenerates harmlessly.
+
+    Exactness: counts and cent sums are exact; both means are the
+    pinned half-up micro division. ``n_drawn = min(alloc, N_h)`` is
+    pinned by pytest; the md5 order is the sample_split convention.
+
+    Scale shape: the planner's moments aggregate (broadcast |strata|
+    rows), ONE prefix-histogram combinable aggregate, bounded
+    cumulative windows on the histogram, one broadcast of the
+    boundary frame back onto the scan, ONE window over boundary-
+    bucket rows only, and one final combinable aggregate. No
+    corpus-wide sort ever happens.
+    """
+    alloc = q_sample_alloc_neyman(spark, sf_dir).select(
+        "status", "n_rows", "alloc"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderkey").alias("okey"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+    ).withColumn("pfx", F.substring("h", 1, 4))
+    hist = o.groupBy("status", "pfx").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("status")
+        .orderBy("pfx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hb = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .join(F.broadcast(alloc), "status")
+        .withColumn("k", F.expr("least(alloc, n_rows)"))
+        .where((F.col("cum") >= F.col("k")) & (F.col("k") > 0))
+        .groupBy("status", "k")
+        .agg(
+            F.min("pfx").alias("bpfx"),
+        )
+    )
+    bounds = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .join(F.broadcast(hb), "status")
+        .where(F.col("pfx") == F.col("bpfx"))
+        .select(
+            "status",
+            "k",
+            "bpfx",
+            (F.col("cum") - F.col("c")).alias("below_cnt"),
+            (F.col("k") - (F.col("cum") - F.col("c"))).alias("k_rem"),
+        )
+    )
+    j = o.join(F.broadcast(bounds), "status")
+    below = j.where(F.col("pfx") < F.col("bpfx")).select(
+        "status", "cents"
+    )
+    wrank = Window.partitionBy("status").orderBy("h", "okey")
+    edge = (
+        j.where(F.col("pfx") == F.col("bpfx"))
+        .withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= F.col("k_rem"))
+        .select("status", "cents")
+    )
+    drawn = below.unionByName(edge).groupBy("status").agg(
+        F.count("*").cast("long").alias("n_drawn"),
+        F.sum("cents").alias("drawn_sum_cents"),
+    )
+    pop = o.groupBy("status").agg(
+        F.sum("cents").alias("pop_sum_cents"),
+    )
+    dec = "decimal(38,0)"
+    smean = _SAE_MEAN_EXPR.format(
+        n="n_drawn", s="drawn_sum_cents", big=dec, div="div"
+    )
+    pmean = _SAE_MEAN_EXPR.format(
+        n="n_rows", s="pop_sum_cents", big=dec, div="div"
+    )
+    return (
+        alloc.join(drawn, "status", "left")
+        .join(F.broadcast(pop), "status")
+        .withColumn("n_drawn", F.coalesce(F.col("n_drawn"), F.lit(0)))
+        .withColumn(
+            "drawn_sum_cents",
+            F.coalesce(F.col("drawn_sum_cents"), F.lit(0)).cast("long"),
+        )
+        .select(
+            "status",
+            "n_rows",
+            "alloc",
+            "n_drawn",
+            "drawn_sum_cents",
+            F.expr(smean).alias("sample_mean_micro"),
+            F.expr(pmean).alias("pop_mean_micro"),
+        )
+    )
+
+
+def _sql_sample_alloc_executed() -> str:
+    smean = _SAE_MEAN_EXPR.format(
+        n="n_drawn", s="drawn_sum_cents", big="HUGEINT", div="//"
+    )
+    pmean = _SAE_MEAN_EXPR.format(
+        n="n_rows", s="pop_sum_cents", big="HUGEINT", div="//"
+    )
+    return f"""
+WITH alloc AS (
+  SELECT status, n_rows, alloc FROM ({SQL_SAMPLE_ALLOC_NEYMAN})
+),
+o AS (
+  SELECT o_orderstatus AS status, o_orderkey AS okey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         md5(CAST(o_orderkey AS VARCHAR)) AS h,
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS pfx
+  FROM orders
+),
+hist AS (
+  SELECT status, pfx, CAST(COUNT(*) AS BIGINT) AS c
+  FROM o GROUP BY status, pfx
+),
+cum AS (
+  SELECT status, pfx, c,
+         SUM(c) OVER (PARTITION BY status ORDER BY pfx
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM hist
+),
+hb AS (
+  SELECT cum.status, LEAST(alloc, n_rows) AS k, MIN(pfx) AS bpfx
+  FROM cum JOIN alloc ON cum.status = alloc.status
+  WHERE cum >= LEAST(alloc, n_rows) AND LEAST(alloc, n_rows) > 0
+  GROUP BY cum.status, LEAST(alloc, n_rows)
+),
+bounds AS (
+  SELECT cum.status, hb.k, hb.bpfx,
+         cum - c AS below_cnt, hb.k - (cum - c) AS k_rem
+  FROM cum JOIN hb ON cum.status = hb.status AND cum.pfx = hb.bpfx
+),
+below AS (
+  SELECT o.status, o.cents
+  FROM o JOIN bounds b ON o.status = b.status
+  WHERE o.pfx < b.bpfx
+),
+edge AS (
+  SELECT status, cents FROM (
+    SELECT o.status, o.cents, b.k_rem,
+           row_number() OVER (PARTITION BY o.status
+                              ORDER BY o.h, o.okey) AS rn
+    FROM o JOIN bounds b ON o.status = b.status
+    WHERE o.pfx = b.bpfx
+  ) WHERE rn <= k_rem
+),
+drawn AS (
+  SELECT status, CAST(COUNT(*) AS BIGINT) AS n_drawn,
+         CAST(SUM(cents) AS BIGINT) AS drawn_sum_cents
+  FROM (SELECT * FROM below UNION ALL SELECT * FROM edge)
+  GROUP BY status
+),
+pop AS (
+  SELECT status, CAST(SUM(cents) AS BIGINT) AS pop_sum_cents
+  FROM o GROUP BY status
+)
+SELECT a.status, a.n_rows, a.alloc,
+       COALESCE(d.n_drawn, 0) AS n_drawn,
+       CAST(COALESCE(d.drawn_sum_cents, 0) AS BIGINT)
+         AS drawn_sum_cents,
+       {smean} AS sample_mean_micro,
+       {pmean} AS pop_mean_micro
+FROM alloc a
+LEFT JOIN drawn d ON a.status = d.status
+JOIN pop p ON a.status = p.status
+"""
+
+
+SQL_SAMPLE_ALLOC_EXECUTED = _sql_sample_alloc_executed()
+
+
 QUERIES = [
     # NEW in round 8: graded immediately (retention_cohort and
     # corpus_report, green r6+r7, demoted from relational9 in

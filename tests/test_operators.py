@@ -828,6 +828,16 @@ def test_extra_lane_doc_counts_match_registry():
         178: "a hundred and seventy-eight",
         179: "a hundred and seventy-nine",
         180: "a hundred and eighty",
+        181: "a hundred and eighty-one",
+        182: "a hundred and eighty-two",
+        183: "a hundred and eighty-three",
+        184: "a hundred and eighty-four",
+        185: "a hundred and eighty-five",
+        186: "a hundred and eighty-six",
+        187: "a hundred and eighty-seven",
+        188: "a hundred and eighty-eight",
+        189: "a hundred and eighty-nine",
+        190: "a hundred and ninety",
     }
     expected = words[len(registry.EXTRA)]
     # exclude words embedded in the expected phrase itself: 114 spells
@@ -992,7 +1002,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 180
+    assert len(EXTRA) == 181
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1007,13 +1017,12 @@ def test_lane_counts_match_docs():
         "metric_cuped", "rank_test_u", "fdr_bh",
         "chisq_independence", "power_mde", "stream_srm",
         "eval_pass_at_k", "survival_km", "tokenizer_vocab_overlap",
-        "fdr_holm",
+        "fdr_holm", "sample_alloc_executed",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "sample_alloc_neyman",
         "perm_test_ratio", "bootstrap_ci_winsorized",
         "eval_mrr",
     ]
@@ -1036,11 +1045,11 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:85] == [
+    assert list(EXTRA)[:86] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
-        "eval_bradley_terry",
+        "eval_bradley_terry", "sample_alloc_neyman",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -10754,3 +10763,93 @@ def test_fdr_holm_planted_effect_at_bonferroni_edge(spark, tmp_path):
     for seg in segs[1:]:
         assert out[seg].p_adj_micro == 1_000_000
         assert not out[seg].rejected
+
+
+def test_sample_alloc_executed_matches_python_recompute(spark, sf_dir):
+    # the two-phase draw must equal the naive per-stratum
+    # "sort by (md5, key), take min(alloc, N_h)" recomputed in
+    # python — boundary-bucket ranking included — plus the pinned
+    # means and the n_drawn invariant.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_sample_alloc_executed,
+        q_sample_alloc_neyman,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    out = {r.status: r for r in q_sample_alloc_executed(spark, sf_dir).collect()}
+    alloc = {
+        r.status: r.alloc
+        for r in q_sample_alloc_neyman(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+    groups = {}
+    for r in orders:
+        groups.setdefault(r.o_orderstatus, []).append(
+            (
+                hashlib.md5(str(r.o_orderkey).encode()).hexdigest(),
+                r.o_orderkey,
+                int(round(r.o_totalprice * 100)),
+            )
+        )
+    for st, rows in groups.items():
+        rows.sort()
+        k = min(alloc[st], len(rows))
+        drawn = rows[:k]
+        row = out[st]
+        assert (row.n_rows, row.alloc, row.n_drawn) == (
+            len(rows), alloc[st], k,
+        )
+        ssum = sum(c for _, _, c in drawn)
+        assert row.drawn_sum_cents == ssum
+        assert row.sample_mean_micro == (2 * 10**4 * ssum + k) // (2 * k)
+        psum = sum(c for _, _, c in rows)
+        n = len(rows)
+        assert row.pop_mean_micro == (2 * 10**4 * psum + n) // (2 * n)
+
+
+def test_sample_alloc_executed_partial_draw_boundary(spark, tmp_path):
+    # a fixture big enough that the 10k budget forces PARTIAL draws
+    # (boundary-bucket logic exercised): 30k rows over 3 strata ->
+    # alloc < N_h somewhere, n_drawn == alloc exactly there, and the
+    # drawn set is the md5-order prefix (spot-checked per stratum).
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        NEYMAN_BUDGET,
+        q_sample_alloc_executed,
+    )
+
+    rows = [
+        (i, ["O", "F", "P"][i % 3], float(100 + (i * 37) % 9000) / 1.0)
+        for i in range(1, 30_001)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    out = {r.status: r for r in q_sample_alloc_executed(spark, str(tmp_path)).collect()}
+    assert sum(r.alloc for r in out.values()) == NEYMAN_BUDGET
+    partial = [st for st, r in out.items() if r.alloc < r.n_rows]
+    assert partial  # the budget is under the corpus: someone is partial
+    for st in partial:
+        r = out[st]
+        assert r.n_drawn == r.alloc  # exact-k, never over or under
+        # recompute the exact prefix sum for one stratum to pin the
+        # boundary-bucket tie-break end-to-end
+        members = sorted(
+            (
+                hashlib.md5(str(k).encode()).hexdigest(),
+                k,
+                int(round((float(100 + (k * 37) % 9000)) * 100)),
+            )
+            for k, stx, _ in [(i, ["O", "F", "P"][i % 3], 0)
+                              for i in range(1, 30_001)]
+            if ["O", "F", "P"][k % 3] == st
+        )
+        ssum = sum(c for _, _, c in members[: r.alloc])
+        assert r.drawn_sum_cents == ssum
+        break  # one stratum's full recompute is the pin

@@ -1876,6 +1876,24 @@ def test_fdr_holm_bounded_frame_shape(spark):
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
 
 
+def test_sample_alloc_executed_no_corpus_sort(spark):
+    # the two-phase draw must NOT sort the corpus per stratum: the
+    # only Window runs on boundary-bucket rows; the histogram and
+    # boundary frames broadcast back onto the scan
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        q_sample_alloc_executed,
+    )
+
+    plan = plan_of(q_sample_alloc_executed(spark, SF_SMOKE))
+    # exactly one data-side Window (the boundary-bucket rank)
+    assert plan.count("WindowGroupLimit") == 0
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) <= 1
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
