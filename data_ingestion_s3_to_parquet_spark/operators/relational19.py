@@ -121,15 +121,8 @@ QUERIES: list[Query] = [
     # round-14 tenth wave — fdr_holm took its graded slot)
     # (sample_alloc_neyman demoted to EXTRA_QUERIES below by the
     # round-14 eleventh wave — sample_alloc_executed took its slot)
-    # --- round-13 TWELFTH wave (never-graded; join_inner — r11 +
-    # r12 greens — demoted one-for-one to relational17's EXTRA,
-    # bench flag intact) ---
-    Query(
-        "perm_test_ratio",
-        q_perm_test_ratio,
-        SQL_PERM_TEST_RATIO,
-        ("relational", "statistics", "evaluation", "sampling"),
-    ),
+    # (perm_test_ratio demoted to EXTRA_QUERIES below by the
+    # round-14 twelfth wave — metric_did took its graded slot)
     # --- round-13 THIRTEENTH wave (never-graded; join_range — r11 +
     # r12 greens — demoted one-for-one to relational17's EXTRA,
     # bench flag intact) ---
@@ -226,6 +219,13 @@ EXTRA_QUERIES: list[Query] = [
         q_sample_alloc_neyman,
         SQL_SAMPLE_ALLOC_NEYMAN,
         ("relational", "statistics", "sampling", "pipeline"),
+    ),
+    # wave 12 demoted perm_test_ratio for metric_did.
+    Query(
+        "perm_test_ratio",
+        q_perm_test_ratio,
+        SQL_PERM_TEST_RATIO,
+        ("relational", "statistics", "evaluation", "sampling"),
     ),
     Query(
         "corpus_prep",

@@ -58,6 +58,7 @@ from .relational9 import (
     SQL_DATA_EXPECTATIONS,
     SQL_FDR_BH,
     SQL_FDR_HOLM,
+    SQL_METRIC_DID,
     SQL_POWER_MDE,
     SQL_FUZZY_MATCH_STRINGS,
     SQL_METRIC_CUPED,
@@ -65,6 +66,7 @@ from .relational9 import (
     q_data_expectations,
     q_fdr_bh,
     q_fdr_holm,
+    q_metric_did,
     q_power_mde,
     q_fuzzy_match_strings,
     q_metric_cuped,
@@ -177,6 +179,15 @@ QUERIES: list[Query] = [
         q_sample_alloc_executed,
         SQL_SAMPLE_ALLOC_EXECUTED,
         ("relational", "statistics", "sampling", "pipeline"),
+    ),
+    # --- round-14 TWELFTH wave (never-graded; perm_test_ratio —
+    # r13 single green — demoted one-for-one to relational19's
+    # EXTRA) ---
+    Query(
+        "metric_did",
+        q_metric_did,
+        SQL_METRIC_DID,
+        ("relational", "statistics", "evaluation", "pipeline"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

@@ -2234,6 +2234,27 @@ SIGNED_DIV_EXPR = (
 )
 
 
+def _period_unit_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer exact cent sums for the experiment (y) and
+    pre- (x) periods split at :data:`CUPED_SPLIT_DATE` — the shared
+    unit frame of the period-structured lanes (metric_cuped,
+    metric_did): one combinable groupBy(unit) over the orders scan,
+    zero for a unit silent in a period (the all-units frame)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("unit"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        (F.col("o_orderdate") < F.lit(CUPED_SPLIT_DATE).cast("date")).alias(
+            "pre"
+        ),
+    )
+    return o.groupBy("unit").agg(
+        F.sum(F.when(~F.col("pre"), F.col("cents")).otherwise(0)).alias("y"),
+        F.sum(F.when(F.col("pre"), F.col("cents")).otherwise(0)).alias("x"),
+    )
+
+
 def q_metric_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced arm means (Deng, Xu, Kohavi & Walker,
     WSDM 2013) for the A/B experiment's spend metric — the
@@ -2275,19 +2296,7 @@ def q_metric_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts — the suffstat shape every moments lane uses.
     """
     dec = "decimal(38,0)"
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("unit"),
-        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
-            "cents"
-        ),
-        (F.col("o_orderdate") < F.lit(CUPED_SPLIT_DATE).cast("date")).alias(
-            "pre"
-        ),
-    )
-    units = o.groupBy("unit").agg(
-        F.sum(F.when(~F.col("pre"), F.col("cents")).otherwise(0)).alias("y"),
-        F.sum(F.when(F.col("pre"), F.col("cents")).otherwise(0)).alias("x"),
-    )
+    units = _period_unit_sums(spark, sf_dir)
     from ..functions.numeric import exact_product_sum
 
     pooled = units.agg(
@@ -2415,6 +2424,141 @@ FROM m
 
 
 SQL_METRIC_CUPED = _sql_metric_cuped()
+
+
+# --------------------------------------------------------------------
+# metric_did
+# --------------------------------------------------------------------
+
+
+def q_metric_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the A/B arms across the
+    pre/experiment period split — the quasi-experimental readout the
+    platform falls back to when randomization is suspect (a failed
+    ``srm_check``, a staged rollout, a natural experiment): the
+    naive post-period B−A difference is confounded by any standing
+    level gap between the groups; DiD subtracts each arm's OWN
+    pre-period mean first, so time-invariant unit-level confounding
+    cancels and the estimate is the effect under the parallel-trends
+    assumption. The lane reports the naive diff NEXT TO the DiD so
+    the confounding itself is readable (their gap IS the pre-period
+    imbalance).
+
+    Shares :func:`_period_unit_sums` with ``metric_cuped`` — same
+    units, same split, same exact cent sums — but answers a
+    different question: CUPED uses the pre-period to shrink
+    VARIANCE under valid randomization; DiD uses it to remove BIAS
+    when randomization can't be trusted.
+
+    Exactness: the four cell means (arm × period) are pinned
+    half-up micro divisions on exact sums; both estimators are
+    exact integer differences of those micros — zero further
+    rounding. Scale shape: the shared combinable groupBy(unit),
+    one 2-row arm aggregate, constant arithmetic. Zero joins,
+    zero windows, zero broadcasts.
+    """
+    dec = "decimal(38,0)"
+    units = _period_unit_sums(spark, sf_dir)
+    arm = (
+        F.substring(F.md5(F.col("unit").cast("string")), 1, 4)
+        < AB_SPLIT_BOUND
+    )
+    g = units.groupBy(
+        F.when(arm, "A").otherwise("B").alias("arm")
+    ).agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("y").alias("sy"),
+        F.sum("x").alias("sx"),
+    )
+    my = _PT_U_EXPR.format(n="n_units", s="sy", big=dec, div="div")
+    mx = _PT_U_EXPR.format(n="n_units", s="sx", big=dec, div="div")
+    wide = (
+        g.withColumn("mean_post_micro", F.expr(my))
+        .withColumn("mean_pre_micro", F.expr(mx))
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("arm") == "A", F.col("n_units"))).alias("n_a"),
+            F.max(F.when(F.col("arm") == "B", F.col("n_units"))).alias("n_b"),
+            F.max(
+                F.when(F.col("arm") == "A", F.col("mean_pre_micro"))
+            ).alias("pre_a_micro"),
+            F.max(
+                F.when(F.col("arm") == "A", F.col("mean_post_micro"))
+            ).alias("post_a_micro"),
+            F.max(
+                F.when(F.col("arm") == "B", F.col("mean_pre_micro"))
+            ).alias("pre_b_micro"),
+            F.max(
+                F.when(F.col("arm") == "B", F.col("mean_post_micro"))
+            ).alias("post_b_micro"),
+        )
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        "pre_a_micro",
+        "post_a_micro",
+        "pre_b_micro",
+        "post_b_micro",
+        (F.col("post_b_micro") - F.col("post_a_micro")).alias(
+            "d_naive_micro"
+        ),
+        (
+            (F.col("post_b_micro") - F.col("pre_b_micro"))
+            - (F.col("post_a_micro") - F.col("pre_a_micro"))
+        ).alias("did_micro"),
+    )
+
+
+def _sql_metric_did() -> str:
+    my = _PT_U_EXPR.format(n="n_units", s="sy", big="HUGEINT", div="//")
+    mx = _PT_U_EXPR.format(n="n_units", s="sx", big="HUGEINT", div="//")
+    return f"""
+WITH o AS (
+  SELECT o_custkey AS unit,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderdate < DATE '{CUPED_SPLIT_DATE}' AS pre
+  FROM orders
+),
+units AS (
+  SELECT unit,
+         CAST(SUM(CASE WHEN pre THEN 0 ELSE cents END) AS BIGINT) AS y,
+         CAST(SUM(CASE WHEN pre THEN cents ELSE 0 END) AS BIGINT) AS x
+  FROM o GROUP BY unit
+),
+g AS (
+  SELECT CASE WHEN substr(md5(CAST(unit AS VARCHAR)), 1, 4)
+              < '{AB_SPLIT_BOUND}' THEN 'A' ELSE 'B' END AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x) AS BIGINT) AS sx
+  FROM units GROUP BY 1
+),
+m AS (
+  SELECT arm, n_units,
+         {my} AS mean_post_micro,
+         {mx} AS mean_pre_micro
+  FROM g
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 'A' THEN n_units END) AS n_a,
+    MAX(CASE WHEN arm = 'B' THEN n_units END) AS n_b,
+    MAX(CASE WHEN arm = 'A' THEN mean_pre_micro END) AS pre_a_micro,
+    MAX(CASE WHEN arm = 'A' THEN mean_post_micro END) AS post_a_micro,
+    MAX(CASE WHEN arm = 'B' THEN mean_pre_micro END) AS pre_b_micro,
+    MAX(CASE WHEN arm = 'B' THEN mean_post_micro END) AS post_b_micro
+  FROM m
+)
+SELECT n_a, n_b, pre_a_micro, post_a_micro, pre_b_micro, post_b_micro,
+       post_b_micro - post_a_micro AS d_naive_micro,
+       (post_b_micro - pre_b_micro) - (post_a_micro - pre_a_micro)
+         AS did_micro
+FROM wide
+"""
+
+
+SQL_METRIC_DID = _sql_metric_did()
 
 
 # --------------------------------------------------------------------

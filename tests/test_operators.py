@@ -1002,7 +1002,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 181
+    assert len(EXTRA) == 182
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1017,13 +1017,13 @@ def test_lane_counts_match_docs():
         "metric_cuped", "rank_test_u", "fdr_bh",
         "chisq_independence", "power_mde", "stream_srm",
         "eval_pass_at_k", "survival_km", "tokenizer_vocab_overlap",
-        "fdr_holm", "sample_alloc_executed",
+        "fdr_holm", "sample_alloc_executed", "metric_did",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "perm_test_ratio", "bootstrap_ci_winsorized",
+        "bootstrap_ci_winsorized",
         "eval_mrr",
     ]
     assert list(REGISTRY)[26:28] == [
@@ -1045,11 +1045,12 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:86] == [
+    assert list(EXTRA)[:87] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
+        "perm_test_ratio",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -10853,3 +10854,96 @@ def test_sample_alloc_executed_partial_draw_boundary(spark, tmp_path):
         ssum = sum(c for _, _, c in members[: r.alloc])
         assert r.drawn_sum_cents == ssum
         break  # one stratum's full recompute is the pin
+
+
+def test_metric_did_matches_python_recompute(spark, sf_dir):
+    # exact recompute of the four cell means and both estimators.
+    import datetime as dt
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        CUPED_SPLIT_DATE,
+        q_metric_did,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    row, = q_metric_did(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    split = dt.date.fromisoformat(CUPED_SPLIT_DATE)
+    units = {}
+    for r in orders:
+        cents = int(round(r.o_totalprice * 100))
+        y, x = units.setdefault(r.o_custkey, [0, 0])
+        od = r.o_orderdate
+        if hasattr(od, "date"):
+            od = od.date()
+        if od < split:
+            units[r.o_custkey][1] = x + cents
+        else:
+            units[r.o_custkey][0] = y + cents
+
+    def half_up(num, den):
+        return (2 * num + den) // (2 * den)
+
+    cells = {}
+    for arm_name in ("A", "B"):
+        mem = [
+            (y, x)
+            for u, (y, x) in units.items()
+            if (
+                hashlib.md5(str(u).encode()).hexdigest()[:4]
+                < AB_SPLIT_BOUND
+            )
+            == (arm_name == "A")
+        ]
+        n = len(mem)
+        cells[arm_name] = (
+            n,
+            half_up(10**4 * sum(y for y, _ in mem), n),
+            half_up(10**4 * sum(x for _, x in mem), n),
+        )
+    assert (row.n_a, row.post_a_micro, row.pre_a_micro) == cells["A"]
+    assert (row.n_b, row.post_b_micro, row.pre_b_micro) == cells["B"]
+    assert row.d_naive_micro == row.post_b_micro - row.post_a_micro
+    assert row.did_micro == (
+        (row.post_b_micro - row.pre_b_micro)
+        - (row.post_a_micro - row.pre_a_micro)
+    )
+
+
+def test_metric_did_planted_confounded_level(spark, tmp_path):
+    # arm B customers are planted with a +200.00 STANDING level gap
+    # in BOTH periods plus a +30.00 true experiment effect: the
+    # naive post diff reads ~230.00 (confounded); DiD cancels the
+    # level and recovers ~30.00 exactly.
+    import datetime as dt
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+        q_metric_did,
+    )
+
+    def arm_a(u):
+        return hashlib.md5(str(u).encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+
+    pre = dt.date(1996, 1, 1)
+    post = dt.date(1999, 1, 1)
+    rows = []
+    for u in range(1, 61):
+        base = 100.0 if arm_a(u) else 300.0  # standing level gap
+        eff = 0.0 if arm_a(u) else 30.0      # true effect, post only
+        rows.append((2 * u, u, base, pre))
+        rows.append((2 * u + 1, u, base + eff, post))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate date",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    row, = q_metric_did(spark, str(tmp_path)).collect()
+    assert row.d_naive_micro == 230_000_000  # level + effect, confounded
+    assert row.did_micro == 30_000_000       # the effect, exactly

@@ -1894,6 +1894,20 @@ def test_sample_alloc_executed_no_corpus_sort(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_metric_did_three_aggregate_shape(spark):
+    # shared unit groupBy, 2-row arm aggregate, 1-row pivot —
+    # three exchanges, nothing else
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_metric_did,
+    )
+
+    plan = plan_of(q_metric_did(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert "Join" not in plan and "Window" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
