@@ -123,15 +123,9 @@ QUERIES: list[Query] = [
     # round-14 eleventh wave — sample_alloc_executed took its slot)
     # (perm_test_ratio demoted to EXTRA_QUERIES below by the
     # round-14 twelfth wave — metric_did took its graded slot)
-    # --- round-13 THIRTEENTH wave (never-graded; join_range — r11 +
-    # r12 greens — demoted one-for-one to relational17's EXTRA,
-    # bench flag intact) ---
-    Query(
-        "bootstrap_ci_winsorized",
-        q_bootstrap_ci_winsorized,
-        SQL_BOOTSTRAP_CI_WINSORIZED,
-        ("relational", "statistics", "sampling", "quality"),
-    ),
+    # (bootstrap_ci_winsorized demoted to EXTRA_QUERIES below by the
+    # round-14 thirteenth wave — eval_lang_confusion took its slot;
+    # the full r13 first-timer cohort has now rotated back out)
 ]
 
 # The round-13 promotion cohort, demoted one-for-one by the round-14
@@ -220,12 +214,19 @@ EXTRA_QUERIES: list[Query] = [
         SQL_SAMPLE_ALLOC_NEYMAN,
         ("relational", "statistics", "sampling", "pipeline"),
     ),
-    # wave 12 demoted perm_test_ratio for metric_did.
+    # wave 12 demoted perm_test_ratio for metric_did; wave 13
+    # demoted bootstrap_ci_winsorized for eval_lang_confusion.
     Query(
         "perm_test_ratio",
         q_perm_test_ratio,
         SQL_PERM_TEST_RATIO,
         ("relational", "statistics", "evaluation", "sampling"),
+    ),
+    Query(
+        "bootstrap_ci_winsorized",
+        q_bootstrap_ci_winsorized,
+        SQL_BOOTSTRAP_CI_WINSORIZED,
+        ("relational", "statistics", "sampling", "quality"),
     ),
     Query(
         "corpus_prep",

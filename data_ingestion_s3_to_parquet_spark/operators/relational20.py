@@ -78,9 +78,11 @@ from .trainprep import (
 )
 from .textstats import (
     SQL_DOC_FINGERPRINT,
+    SQL_EVAL_LANG_CONFUSION,
     SQL_LANG_ID,
     SQL_TOKENIZER_VOCAB_OVERLAP,
     q_doc_fingerprint,
+    q_eval_lang_confusion,
     q_lang_id,
     q_tokenizer_vocab_overlap,
 )
@@ -188,6 +190,16 @@ QUERIES: list[Query] = [
         q_metric_did,
         SQL_METRIC_DID,
         ("relational", "statistics", "evaluation", "pipeline"),
+    ),
+    # --- round-14 THIRTEENTH wave (never-graded;
+    # bootstrap_ci_winsorized — r13 single green, the LAST of the
+    # thirteen r13 first-timers — demoted one-for-one to
+    # relational19's EXTRA) ---
+    Query(
+        "eval_lang_confusion",
+        q_eval_lang_confusion,
+        SQL_EVAL_LANG_CONFUSION,
+        ("llm", "evaluation", "text", "quality"),
     ),
     # --- the round-14 promotion cohort (oldest driver rows first:
     # the first twelve of the r6 cohort, alphabetical) ---

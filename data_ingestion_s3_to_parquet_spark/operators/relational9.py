@@ -2120,16 +2120,17 @@ def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 (marginals via window sums over the CELL frame, which is
     |types|×|buckets|-bounded — constant at any corpus scale, so the
     unpartitioned total window is a bounded-frame operation, not a
-    single-partition data pass). The per-cell statistic
-    (O·N − R·C)²/(N·R·C) is evaluated as a FIXED sequence of IEEE
-    double ops on exactly-representable integers (d ≤ ~1e10 < 2^53;
-    each multiply/divide correctly rounded ⇒ engine-identical), then
-    micro-quantized and summed exactly — the ``lm_unigram_score``
-    rule. Expected counts go through the midpoint-free fixed-point
-    quotient. One data-sized shuffle total (the cell count).
+    single-partition data pass). r14: the per-cell statistic runs
+    the capacity-bounded two-step integer sequence shared with
+    ``chisq_independence`` (SCALE.md §105) — e_u = half-up(1e6·R·C,
+    N), then dev²/e_u — exact to N ≈ 3·10¹² rows where the former
+    IEEE-double sequence was exact only below 2^53. The two lanes
+    are deliberate siblings: this one keeps the PER-CELL reliability
+    table on the events pair (type × hour); ``chisq_independence``
+    is the summary-row test with df and the critical-value verdict
+    on the orders pair. One data-sized shuffle total (the cell
+    count).
     """
-    from ..functions.numeric import fp_ratio
-
     e = load_table(spark, sf_dir, "events")
     cells = e.groupBy(
         "event_type",
@@ -2148,18 +2149,33 @@ def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_obs").over(wc).alias("c_tot"),
         F.sum("n_obs").over(wa).alias("n_tot"),
     )
-    d = (F.col("n_obs") * F.col("n_tot") - F.col("r_tot") * F.col("c_tot")).cast(
-        "double"
+    # r14 (the chisq_independence / SCALE.md §105 rule applied back):
+    # the per-cell term runs the capacity-bounded TWO-step integer
+    # sequence — e_u = half-up(1e6·R·C, N) then dev²/e_u — instead of
+    # the former fixed-order IEEE double sequence; exact to
+    # N ≈ 3·10¹² rows (the double form was exact only to d < 2^53,
+    # and the old fp_ratio numerator r·c·1e6 wrapped int64 at
+    # N ≈ 3·10⁶). expected is e_u itself projected to double — the
+    # identical integer the old fp_ratio produced.
+    dec = "decimal(38,0)"
+    e_u = F.expr(
+        f"CAST((2 * CAST(1000000 AS {dec}) * CAST(r_tot AS {dec})"
+        f" * CAST(c_tot AS {dec}) + n_tot)"
+        f" div (2 * CAST(n_tot AS {dec})) AS BIGINT)"
     )
-    den = (F.col("n_tot") * F.col("r_tot") * F.col("c_tot")).cast("double")
-    term_micro = F.round(d * d / den * 1_000_000, 0).cast("long")
+    m = m.withColumn("e_u", e_u).withColumn(
+        "dev", F.expr("CAST(1000000 AS BIGINT) * n_obs - e_u")
+    )
+    term_micro = F.expr(
+        f"CASE WHEN e_u = 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE CAST((2 * (CAST(dev AS {dec}) * CAST(dev AS {dec}))"
+        f" + e_u) div (2 * CAST(e_u AS {dec})) AS BIGINT) END"
+    )
     out = m.select(
         "event_type",
         "hour_bucket",
         "n_obs",
-        fp_ratio(
-            F.col("r_tot") * F.col("c_tot") * 1_000_000, F.col("n_tot"), 6
-        ).alias("expected"),
+        (F.col("e_u").cast("double") / 1e6).alias("expected"),
         (term_micro.cast("double") / 1e6).alias("chi2_term"),
         term_micro.alias("_tm"),
     )
@@ -2189,16 +2205,22 @@ m AS (
          CAST(SUM(n_obs) OVER () AS BIGINT) AS n_tot
   FROM cells
 ),
+t0 AS (
+  SELECT *,
+         CAST((2 * CAST(1000000 AS HUGEINT) * CAST(r_tot AS HUGEINT)
+               * CAST(c_tot AS HUGEINT) + n_tot)
+              // (2 * CAST(n_tot AS HUGEINT)) AS BIGINT) AS e_u
+  FROM m
+),
+t1 AS (SELECT *, CAST(1000000 AS BIGINT) * n_obs - e_u AS dev FROM t0),
 t AS (
   SELECT event_type, hour_bucket, n_obs,
-         CAST((2 * r_tot * c_tot * 1000000 + n_tot)
-              // (2 * n_tot) AS DOUBLE) / 1000000.0 AS expected,
-         CAST(ROUND(
-           CAST(n_obs * n_tot - r_tot * c_tot AS DOUBLE)
-           * CAST(n_obs * n_tot - r_tot * c_tot AS DOUBLE)
-           / CAST(n_tot * r_tot * c_tot AS DOUBLE) * 1000000, 0)
-         AS BIGINT) AS tm
-  FROM m
+         CAST(e_u AS DOUBLE) / 1000000.0 AS expected,
+         CASE WHEN e_u = 0 THEN NULL
+              ELSE CAST((2 * (CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT))
+                   + e_u) // (2 * CAST(e_u AS HUGEINT)) AS BIGINT) END
+           AS tm
+  FROM t1
 )
 SELECT event_type, hour_bucket, n_obs, expected,
        CAST(tm AS DOUBLE) / 1000000.0 AS chi2_term,
@@ -2926,7 +2948,10 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-df special case against a DESIGNED margin; here both margins
     are estimated and the question is whether the two categorical
     columns co-vary at all (the screening query every feature-audit
-    and leakage hunt runs).
+    and leakage hunt runs). Sibling: ``chi2_contingency`` (r4) keeps
+    the PER-CELL reliability table on the events pair and now shares
+    this lane's two-step arithmetic; this lane is the summary test
+    with df and the critical-value verdict.
 
     Exactness — the pinned TWO-step per-cell sequence (each step a
     midpoint-free half-up integer division, the anova_oneway

@@ -2535,6 +2535,194 @@ FROM j
 SQL_TOKENIZER_VOCAB_OVERLAP = _sql_tokenizer_vocab_overlap()
 
 
+# --------------------------------------------------------------------
+# eval_lang_confusion
+# --------------------------------------------------------------------
+
+
+def q_eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix evaluation of the marker-token language
+    identifier against the labeled ``lang`` column — the per-class
+    quality report a lang-ID gate needs before it routes documents
+    (aggregate accuracy hides exactly the minority-class failures
+    that matter; per-class recall is where a starved language shows
+    first). One row per TRUE class with exact counts, precision,
+    recall, F1, plus the corpus accuracy and macro-F1 repeated on
+    every row (the theta-on-both-rows convention).
+
+    Exactness: the confusion cells are ONE combinable
+    groupBy(truth, pred) — a bounded ≤ (\|langs\|+1)² frame (the
+    'und' fallback adds a predicted-only class); tp/fp/fn are exact
+    sums over that frame; precision, recall, and accuracy are ONE
+    pinned half-up micro division each, and F1 = 2tp/(2tp+fp+fn) is
+    computed as its OWN single pinned division — never composed
+    from the already-rounded P and R micros (double rounding is the
+    seam VERDICT r13 #5 closed; composing readouts would reopen
+    it). macro-F1 is the half-up mean of the per-class F1 micros
+    over the TRUE classes — a documented second-level division on
+    micro-quantized terms (the anova cross-group rule). A class
+    never predicted has precision NULL (0/0) and F1 0 when tp = 0.
+
+    Scale shape: one combinable aggregate to the bounded confusion
+    frame; margins and every division run on it. Zero data joins,
+    zero data windows.
+    """
+    dec = "decimal(38,0)"
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", lang_by_markers(F.col("text")).alias("pred")
+    )
+    cells = d.groupBy("lang", "pred").agg(F.count("*").alias("c"))
+    # margins from the bounded cell frame; TRUE classes whose
+    # diagonal cell is absent (tp = 0) still get rows via the
+    # truth-side base join
+    truth = (
+        cells.groupBy("lang").agg(F.sum("c").cast("long").alias("n_true"))
+    )
+    predm = (
+        cells.groupBy("pred").agg(F.sum("c").cast("long").alias("n_pred"))
+    )
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred"), F.col("c")).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
+    diag = (
+        cells.where(F.col("lang") == F.col("pred"))
+        .select("lang", F.col("c").cast("long").alias("tp"))
+    )
+    base = (
+        truth.join(
+            predm, truth.lang == predm.pred, "left"
+        )
+        .select("lang", "n_true", F.coalesce("n_pred", F.lit(0)).alias("n_pred"))
+        .join(diag, "lang", "left")
+        .withColumn("tp", F.coalesce(F.col("tp"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    prec = (
+        "CASE WHEN n_pred = 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE CAST((2 * CAST(1000000 AS {big}) * CAST(tp AS {big})"
+        " + n_pred) {div} (2 * CAST(n_pred AS {big})) AS BIGINT) END"
+    )
+    rec = (
+        "CASE WHEN n_true = 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE CAST((2 * CAST(1000000 AS {big}) * CAST(tp AS {big})"
+        " + n_true) {div} (2 * CAST(n_true AS {big})) AS BIGINT) END"
+    )
+    f1 = (
+        "CASE WHEN 2 * tp + (n_pred - tp) + (n_true - tp) = 0"
+        " THEN CAST(0 AS BIGINT)"
+        " ELSE CAST((2 * CAST(1000000 AS {big}) * CAST(2 * tp AS {big})"
+        " + (2 * tp + (n_pred - tp) + (n_true - tp)))"
+        " {div} (2 * CAST(2 * tp + (n_pred - tp) + (n_true - tp)"
+        " AS {big})) AS BIGINT) END"
+    )
+    acc = (
+        "CAST((2 * CAST(1000000 AS {big}) * CAST(n_correct AS {big})"
+        " + n_docs) {div} (2 * CAST(n_docs AS {big})) AS BIGINT)"
+    )
+    scored = (
+        base.withColumn("precision_micro", F.expr(prec.format(big=dec, div="div")))
+        .withColumn("recall_micro", F.expr(rec.format(big=dec, div="div")))
+        .withColumn("f1_micro", F.expr(f1.format(big=dec, div="div")))
+        .withColumn("accuracy_micro", F.expr(acc.format(big=dec, div="div")))
+        .withColumn(
+            "macro_f1_micro",
+            F.expr(
+                "CAST((2 * CAST(SUM(f1_micro) OVER () AS decimal(38,0))"
+                " + COUNT(*) OVER ())"
+                " div (2 * CAST(COUNT(*) OVER () AS decimal(38,0)))"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    return scored.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        "precision_micro",
+        "recall_micro",
+        "f1_micro",
+        "accuracy_micro",
+        "macro_f1_micro",
+    )
+
+
+def _sql_eval_lang_confusion() -> str:
+    prec = (
+        "CASE WHEN n_pred = 0 THEN NULL"
+        " ELSE CAST((2 * CAST(1000000 AS HUGEINT) * CAST(tp AS HUGEINT)"
+        " + n_pred) // (2 * CAST(n_pred AS HUGEINT)) AS BIGINT) END"
+    )
+    rec = (
+        "CASE WHEN n_true = 0 THEN NULL"
+        " ELSE CAST((2 * CAST(1000000 AS HUGEINT) * CAST(tp AS HUGEINT)"
+        " + n_true) // (2 * CAST(n_true AS HUGEINT)) AS BIGINT) END"
+    )
+    f1 = (
+        "CASE WHEN 2 * tp + (n_pred - tp) + (n_true - tp) = 0"
+        " THEN CAST(0 AS BIGINT)"
+        " ELSE CAST((2 * CAST(1000000 AS HUGEINT) * CAST(2 * tp AS HUGEINT)"
+        " + (2 * tp + (n_pred - tp) + (n_true - tp)))"
+        " // (2 * CAST(2 * tp + (n_pred - tp) + (n_true - tp)"
+        " AS HUGEINT)) AS BIGINT) END"
+    )
+    acc = (
+        "CAST((2 * CAST(1000000 AS HUGEINT) * CAST(n_correct AS HUGEINT)"
+        " + n_docs) // (2 * CAST(n_docs AS HUGEINT)) AS BIGINT)"
+    )
+    return f"""
+WITH p AS ({SQL_LANG_ID}),
+cells AS (
+  SELECT lang, pred_lang AS pred, CAST(COUNT(*) AS BIGINT) AS c
+  FROM p GROUP BY lang, pred_lang
+),
+truth AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_true FROM cells GROUP BY lang
+),
+predm AS (
+  SELECT pred, CAST(SUM(c) AS BIGINT) AS n_pred FROM cells GROUP BY pred
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN lang = pred THEN c ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM cells
+),
+diag AS (
+  SELECT lang, CAST(c AS BIGINT) AS tp FROM cells WHERE lang = pred
+),
+base AS (
+  SELECT t.lang, t.n_true, COALESCE(pm.n_pred, 0) AS n_pred,
+         COALESCE(d.tp, 0) AS tp, n_docs, n_correct
+  FROM truth t
+  LEFT JOIN predm pm ON t.lang = pm.pred
+  LEFT JOIN diag d ON t.lang = d.lang
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT lang, n_true, n_pred, tp,
+         {prec} AS precision_micro,
+         {rec} AS recall_micro,
+         {f1} AS f1_micro,
+         {acc} AS accuracy_micro
+  FROM base
+)
+SELECT lang, n_true, n_pred, tp, precision_micro, recall_micro,
+       f1_micro, accuracy_micro,
+       CAST((2 * CAST(SUM(f1_micro) OVER () AS HUGEINT)
+             + COUNT(*) OVER ())
+            // (2 * CAST(COUNT(*) OVER () AS HUGEINT)) AS BIGINT)
+         AS macro_f1_micro
+FROM scored
+"""
+
+
+SQL_EVAL_LANG_CONFUSION = _sql_eval_lang_confusion()
+
+
 QUERIES: list[Query] = []
 
 # Rotated to the EXTRA lane: quality_gopher / pii_redact in round 4

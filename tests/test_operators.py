@@ -1002,7 +1002,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 182
+    assert len(EXTRA) == 183
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1018,12 +1018,12 @@ def test_lane_counts_match_docs():
         "chisq_independence", "power_mde", "stream_srm",
         "eval_pass_at_k", "survival_km", "tokenizer_vocab_overlap",
         "fdr_holm", "sample_alloc_executed", "metric_did",
+        "eval_lang_confusion",
         "cdc_apply", "data_expectations", "doc_fingerprint",
         "fuzzy_match_strings", "higher_order_funcs",
         "interleave_mix", "join_bloom_prefilter", "json_variant",
         "knn_graph", "label_propagation", "lang_id",
         "lm_unigram_score",
-        "bootstrap_ci_winsorized",
         "eval_mrr",
     ]
     assert list(REGISTRY)[26:28] == [
@@ -1045,12 +1045,12 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:87] == [
+    assert list(EXTRA)[:88] == [
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
         "eval_bradley_terry", "sample_alloc_neyman",
-        "perm_test_ratio",
+        "perm_test_ratio", "bootstrap_ci_winsorized",
         "corpus_prep", "decontaminate", "dedup_fuzzy",
         "dedup_ngram_jaccard", "emb_centroids",
         "map_in_pandas_tokens", "sample_split", "sim_topk",
@@ -4047,9 +4047,9 @@ def test_session_paths_matches_python_recompute(spark, sf_dir):
 
 
 def test_chi2_contingency_matches_python_recompute(spark, sf_dir):
-    # exact marginals and the fixed-op-order IEEE statistic recomputed
-    # from the raw events; chi2_total must equal the sum of the
-    # micro-quantized terms
+    # exact marginals and the r14 capacity-bounded two-step integer
+    # statistic recomputed from the raw events; chi2_total must equal
+    # the sum of the micro-quantized terms
     from collections import Counter
 
     from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
@@ -4073,9 +4073,10 @@ def test_chi2_contingency_matches_python_recompute(spark, sf_dir):
     total_micro = 0
     terms = {}
     for (t, b), o in cells.items():
-        d = float(o * n_tot - r_tot[t] * c_tot[b])
-        den = float(n_tot * r_tot[t] * c_tot[b])
-        tm = round(d * d / den * 1_000_000)
+        rc = r_tot[t] * c_tot[b]
+        e_u = (2 * 10**6 * rc + n_tot) // (2 * n_tot)
+        dev = 10**6 * o - e_u
+        tm = (2 * dev * dev + e_u) // (2 * e_u)
         terms[(t, b)] = tm
         total_micro += tm
     for key, o in cells.items():
@@ -10947,3 +10948,102 @@ def test_metric_did_planted_confounded_level(spark, tmp_path):
     row, = q_metric_did(spark, str(tmp_path)).collect()
     assert row.d_naive_micro == 230_000_000  # level + effect, confounded
     assert row.did_micro == 30_000_000       # the effect, exactly
+
+
+def test_eval_lang_confusion_matches_python_recompute(spark, sf_dir):
+    # recompute the confusion cells with the marker rules, then every
+    # pinned division (P, R, the single-division F1, accuracy,
+    # macro-F1) exactly.
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_eval_lang_confusion,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    out = {r.lang: r for r in q_eval_lang_confusion(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "text"
+    ).collect()
+
+    def predict(text):
+        padded = f" {text} "
+        if " the " in padded:
+            return "en"
+        if " el " in padded:
+            return "es"
+        if " le " in padded:
+            return "fr"
+        if " der " in padded:
+            return "de"
+        if "的" in padded:
+            return "zh"
+        return "und"
+
+    cells = {}
+    for r in docs:
+        p = predict(r.text)
+        cells[(r.lang, p)] = cells.get((r.lang, p), 0) + 1
+    langs = sorted({l for l, _ in cells})
+    n_docs = len(docs)
+    n_correct = sum(v for (l, p), v in cells.items() if l == p)
+
+    def half_up(num, den):
+        return (2 * num + den) // (2 * den)
+
+    f1s = []
+    for lang in langs:
+        n_true = sum(v for (l, _), v in cells.items() if l == lang)
+        n_pred = sum(v for (_, p), v in cells.items() if p == lang)
+        tp = cells.get((lang, lang), 0)
+        row = out[lang]
+        assert (row.n_true, row.n_pred, row.tp) == (n_true, n_pred, tp)
+        if n_pred:
+            assert row.precision_micro == half_up(10**6 * tp, n_pred)
+        else:
+            assert row.precision_micro is None
+        assert row.recall_micro == half_up(10**6 * tp, n_true)
+        den = 2 * tp + (n_pred - tp) + (n_true - tp)
+        f1 = half_up(10**6 * 2 * tp, den) if den else 0
+        assert row.f1_micro == f1
+        f1s.append(f1)
+        assert row.accuracy_micro == half_up(10**6 * n_correct, n_docs)
+    macro = half_up(sum(f1s), len(f1s))
+    for lang in langs:
+        assert out[lang].macro_f1_micro == macro
+    # the marker rules genuinely discriminate on this fixture
+    assert out["en"].recall_micro > 500_000
+
+
+def test_eval_lang_confusion_planted_matrix(spark, tmp_path):
+    # a hand-built corpus with known confusions: en perfectly
+    # recalled; es half-confused into fr (the ' el '/' le ' rules);
+    # one lang never predicted (precision NULL, F1 from tp=0 is 0).
+    rows = [
+        (1, "a the b", "en", "s", 7),
+        (2, "c the d", "en", "s", 7),
+        (3, "x el y", "es", "s", 6),
+        (4, "x le y", "es", "s", 6),   # mislabeled -> predicted fr
+        (5, "pure text with nothing", "de", "s", 22),  # -> und
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_eval_lang_confusion,
+    )
+
+    out = {r.lang: r for r in q_eval_lang_confusion(spark, str(tmp_path)).collect()}
+    assert set(out) == {"en", "es", "de"}  # TRUE classes only
+    en = out["en"]
+    assert (en.tp, en.precision_micro, en.recall_micro, en.f1_micro) == (
+        2, 1_000_000, 1_000_000, 1_000_000,
+    )
+    es = out["es"]
+    assert (es.n_true, es.tp) == (2, 1)
+    assert es.recall_micro == 500_000
+    de = out["de"]
+    assert (de.tp, de.n_pred) == (0, 0)
+    assert de.precision_micro is None and de.f1_micro == 0
+    assert en.accuracy_micro == 600_000  # 3 of 5

@@ -1908,6 +1908,22 @@ def test_metric_did_three_aggregate_shape(spark):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_eval_lang_confusion_bounded_frame_shape(spark):
+    # one combinable aggregate to the bounded confusion frame;
+    # margins/joins/divisions all on it — no data-sized SMJ/SHJ,
+    # no Python
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.textstats import (
+        q_eval_lang_confusion,
+    )
+
+    plan = plan_of(q_eval_lang_confusion(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
