@@ -60,6 +60,7 @@ from .relational9 import (
     SQL_FDR_HOLM,
     SQL_METRIC_DID,
     SQL_POWER_MDE,
+    SQL_SAMPLE_SIZE_CALC,
     SQL_FUZZY_MATCH_STRINGS,
     SQL_METRIC_CUPED,
     q_chisq_independence,
@@ -68,6 +69,7 @@ from .relational9 import (
     q_fdr_holm,
     q_metric_did,
     q_power_mde,
+    q_sample_size_calc,
     q_fuzzy_match_strings,
     q_metric_cuped,
 )
@@ -268,4 +270,16 @@ QUERIES: list[Query] = [
     ),
 ]
 
-EXTRA_QUERIES: list[Query] = []
+# The round-15 never-graded pool: full-evidence lanes built at the
+# end of round 14, AFTER the graded 50 was already committed to the
+# thirteen r14 waves + the promotion cohort (every graded slot needs
+# its fresh row this round). They LEAD the EXTRA lane so the next
+# rotation promotes them first (never-graded-first).
+EXTRA_QUERIES: list[Query] = [
+    Query(
+        "sample_size_calc",
+        q_sample_size_calc,
+        SQL_SAMPLE_SIZE_CALC,
+        ("relational", "statistics", "evaluation", "pipeline"),
+    ),
+]

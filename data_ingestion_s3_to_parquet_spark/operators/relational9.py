@@ -3228,6 +3228,95 @@ FROM m
 SQL_POWER_MDE = _sql_power_mde()
 
 
+# --------------------------------------------------------------------
+# sample_size_calc
+# --------------------------------------------------------------------
+
+# target relative lifts the sizing table reports, in micro units
+SSC_TARGETS_MICRO = (50_000, 10_000)  # 5% and 1% of the mean
+
+
+def q_sample_size_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required per-arm sample size to detect a TARGET relative lift
+    (5% and 1% of the group mean) at 80% power / alpha 0.05 — the
+    inverse readout of ``power_mde`` and the question a launch
+    review actually asks ("how long must this run?"): since
+    MDE ∝ 1/sqrt(n), the n detecting relative lift t is
+    n_req = ceil(n · (mde_rel/t)²).
+
+    Exactness: composes power_mde's frame — n_req =
+    ceil(n · mde_rel_micro² / t_micro²) is pure integer arithmetic
+    on the already-micro-quantized relative MDE (a documented
+    second-level compose, the anova rule; intermediates ≤ n·10¹²
+    fit decimal(38,0) to n ≈ 10²⁶). A direct closed form
+    800·z²·V·n/((n−1)·Σy²) was REJECTED: its numerator compounds as
+    n³·max² and dies at n ≈ 200 in decimal — the §105 capacity rule
+    decides the op order again. Zero-variance groups need n_req = 0
+    (any n detects any effect on a constant metric — pinned).
+
+    Scale shape: identical to power_mde (one combinable moments
+    aggregate, |statuses| rows); the sizing columns are constant
+    arithmetic on that frame.
+    """
+    dec = "decimal(38,0)"
+    base = q_power_mde(spark, sf_dir)
+    out = base.select(
+        "status",
+        "n",
+        "mean_micro",
+        "sd_micro",
+        "mde_rel_micro",
+    )
+    for t in SSC_TARGETS_MICRO:
+        pct = t // 10_000
+        # ceil on NON-NEGATIVE operands via (x + t² − 1) div t² —
+        # the negate-floor-negate trick is a trap here: Spark `div`
+        # and DuckDB `//` both TRUNCATE toward zero on negatives
+        # (they only agree with floor on non-negative operands, the
+        # domain every house division sticks to).
+        out = out.withColumn(
+            f"n_arm_for_{pct}pct",
+            F.expr(
+                "CASE WHEN mde_rel_micro IS NULL THEN CAST(NULL AS BIGINT)"
+                " WHEN mde_rel_micro = 0 THEN CAST(0 AS BIGINT)"
+                f" ELSE CAST((CAST(n AS {dec})"
+                f" * CAST(mde_rel_micro AS {dec})"
+                f" * CAST(mde_rel_micro AS {dec})"
+                f" + {t * t - 1}) div CAST({t * t} AS {dec})"
+                " AS BIGINT) END"
+            ),
+        )
+    return out
+
+
+def _sql_sample_size_calc() -> str:
+    cols = []
+    for t in SSC_TARGETS_MICRO:
+        pct = t // 10_000
+        cols.append(
+            "CASE WHEN mde_rel_micro IS NULL THEN NULL"
+            " WHEN mde_rel_micro = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((CAST(n AS HUGEINT)"
+            " * CAST(mde_rel_micro AS HUGEINT)"
+            " * CAST(mde_rel_micro AS HUGEINT)"
+            f" + {t * t - 1}) // CAST({t * t} AS HUGEINT)"
+            " AS BIGINT) END"
+            f" AS n_arm_for_{pct}pct"
+        )
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+WITH base AS ({SQL_POWER_MDE})
+SELECT status, n, mean_micro, sd_micro, mde_rel_micro,
+       {cols_sql}
+FROM base
+"""
+
+
+SQL_SAMPLE_SIZE_CALC = _sql_sample_size_calc()
+
+
+
+
 QUERIES: list[Query] = []
 
 # Graded lane contribution after the round-7 wave-2 rotation: two

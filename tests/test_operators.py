@@ -1002,7 +1002,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 183
+    assert len(EXTRA) == 184
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1045,7 +1045,8 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:88] == [
+    assert list(EXTRA)[:89] == [
+        "sample_size_calc",
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
@@ -11047,3 +11048,40 @@ def test_eval_lang_confusion_planted_matrix(spark, tmp_path):
     assert (de.tp, de.n_pred) == (0, 0)
     assert de.precision_micro is None and de.f1_micro == 0
     assert en.accuracy_micro == 600_000  # 3 of 5
+
+
+def test_sample_size_calc_matches_python_recompute(spark, sf_dir):
+    # the sizing columns recomputed from power_mde's own outputs with
+    # exact ceil arithmetic, plus the 1%-needs-25x-5% invariant.
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_power_mde,
+        q_sample_size_calc,
+    )
+
+    mde = {r.status: r for r in q_power_mde(spark, sf_dir).collect()}
+    out = {r.status: r for r in q_sample_size_calc(spark, sf_dir).collect()}
+    assert set(out) == set(mde)
+    for st, r in out.items():
+        m = mde[st]
+        assert (r.n, r.mde_rel_micro) == (m.n, m.mde_rel_micro)
+        for t, col in ((50_000, "n_arm_for_5pct"), (10_000, "n_arm_for_1pct")):
+            x = m.n * m.mde_rel_micro * m.mde_rel_micro
+            want = (x + t * t - 1) // (t * t)
+            assert getattr(r, col) == want
+        # the 1% target needs exactly ~25x the 5% target (ceil-level)
+        assert r.n_arm_for_1pct >= 24 * r.n_arm_for_5pct
+
+
+def test_sample_size_calc_planted_zero_variance(spark, tmp_path):
+    # a constant metric sizes to 0 for any target (any n detects any
+    # effect when sd = 0)
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        q_sample_size_calc,
+    )
+
+    spark.createDataFrame(
+        [(i, "O", 42.0) for i in range(1, 31)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    r, = q_sample_size_calc(spark, str(tmp_path)).collect()
+    assert r.n_arm_for_5pct == 0 and r.n_arm_for_1pct == 0
