@@ -387,7 +387,7 @@ to the (status, b) counter monoid; type-1 rank-selected bounds;
 the plain winsorized mean matches metric_winsorized exactly,
 pinned), demoting join_range (r11 + r12 greens, bench flag intact).
 The EXTRA lane
-holds a hundred and eighty-four oracle-gated entries, every one with
+holds a hundred and eighty-five oracle-gated entries, every one with
 at least one prior green driver row — verified locally each
 round by tools/oracle_check.py. EXTRA is appended AFTER
 position 50: a 50-entry count cap ignores the tail harmlessly; a

@@ -1043,6 +1043,24 @@ def _km_chain_exprs(big: str, div: str) -> list[tuple[str, str]]:
     return out
 
 
+def _km_user_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (user_id, t0, terr, tl) exact-µs frame shared by the
+    survival lanes (survival_km, survival_logrank): first event,
+    first error, last event — one combinable groupBy(user)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        "event_type",
+    )
+    return e.groupBy("user_id").agg(
+        F.min("us").alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("us"))).alias(
+            "terr"
+        ),
+        F.max("us").alias("tl"),
+    )
+
+
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier product-limit survival of time-to-first-error per
     user (Kaplan & Meier 1958) over day buckets 0..7 — the
@@ -1073,19 +1091,7 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     dec = "decimal(38,0)"
     H = KM_HORIZON_DAYS
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
-        "event_type",
-    )
-    u = e.groupBy("user_id").agg(
-        F.min("us").alias("t0"),
-        F.min(F.when(F.col("event_type") == "error", F.col("us"))).alias(
-            "terr"
-        ),
-        F.max("us").alias("tl"),
-    )
-    per = u.select(
+    per = _km_user_frame(spark, sf_dir).select(
         F.expr(
             f"terr IS NOT NULL AND (terr - t0) div {_US_PER_DAY}"
             f" <= {H - 1}"
@@ -1188,6 +1194,255 @@ SELECT * FROM (
 
 
 SQL_SURVIVAL_KM = _sql_survival_km()
+
+
+# --------------------------------------------------------------------
+# survival_logrank
+# --------------------------------------------------------------------
+
+
+def _lr_chain_exprs(big: str, div: str) -> list[dict]:
+    """Per-bucket expressions of the two-group log-rank walk over the
+    fixed 8-bucket frame (the §109 wide-row trick with TWO at-risk
+    recursions): nA_0 = U_A, nA_{b+1} = nA_b − rA_b (same for B);
+    per bucket, with n_t = nA+nB and d_t = dA+dB,
+    e = half-up(1e6·d_t·nA, n_t) (expected A-deaths, micro),
+    diff = 1e6·dA − e (exact signed),
+    v1 = half-up(1e6·nA·nB, n_t²) (≤ 250000),
+    V = half-up(v1·d_t·(n_t−d_t), n_t−1) (micro) —
+    the §105 capacity split: the one-division hypergeometric form's
+    numerator nA·nB·d(n−d)·1e6 compounds as n⁴ (dead at N ≈ 5.6·10⁷)
+    while the split's largest intermediate is ≤ 6.25e4·n². Buckets
+    with n_t ≤ 1 or d_t = 0 contribute exact zeros."""
+    out = []
+    for b in range(KM_HORIZON_DAYS + 1):
+        na = "CAST(ua AS BIGINT)" if b == 0 else f"na{b - 1} - ra{b - 1}"
+        nb = "CAST(ub AS BIGINT)" if b == 0 else f"nb{b - 1} - rb{b - 1}"
+        pre = (
+            f"(na{b} + nb{b} <= 1 OR da{b} + db{b} = 0)"
+        )
+        e = (
+            f"CASE WHEN {pre} THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST((2 * CAST(1000000 AS {big})"
+            f" * CAST(da{b} + db{b} AS {big}) * na{b}"
+            f" + (na{b} + nb{b}))"
+            f" {div} (2 * CAST(na{b} + nb{b} AS {big})) AS BIGINT) END"
+        )
+        diff = (
+            f"CASE WHEN {pre} THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST(1000000 AS BIGINT) * da{b} - e{b} END"
+        )
+        v1 = (
+            f"CASE WHEN {pre} THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST((2 * CAST(1000000 AS {big}) * CAST(na{b} AS {big})"
+            f" * nb{b} + CAST(na{b} + nb{b} AS {big})"
+            f" * (na{b} + nb{b}))"
+            f" {div} (2 * CAST(na{b} + nb{b} AS {big})"
+            f" * (na{b} + nb{b})) AS BIGINT) END"
+        )
+        vv = (
+            f"CASE WHEN {pre} THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST((2 * CAST(v1_{b} AS {big})"
+            f" * (da{b} + db{b}) * (na{b} + nb{b} - da{b} - db{b})"
+            f" + (na{b} + nb{b} - 1))"
+            f" {div} (2 * CAST(na{b} + nb{b} - 1 AS {big}))"
+            f" AS BIGINT) END"
+        )
+        out.append(
+            {"na": na, "nb": nb, "e": e, "diff": diff, "v1": v1, "v": vv}
+        )
+    return out
+
+
+LOGRANK_CRIT_MICRO = 3_841_459  # chi-square(1 df) at alpha = 0.05
+
+
+def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966) of time-to-first-error
+    between the md5 A/B arms over the survival_km day buckets — the
+    censoring-aware answer to "does treatment change RELIABILITY?":
+    comparing arms on raw error rates ignores differing observation
+    windows exactly as the naive error share did in §109; the
+    log-rank statistic accumulates, per bucket, the observed-minus-
+    expected A-deaths under the hypergeometric null, normalized by
+    its exact variance.
+
+    Exactness: the usual counters (one groupBy(user), one single-row
+    wide aggregate — now 4 counters per bucket across two groups),
+    the per-bucket expected/variance as the §105-split pinned
+    divisions (see :func:`_lr_chain_exprs` — the one-shot
+    hypergeometric form compounds as n⁴), the O−E sum exact signed
+    micro, the variance sum exact over quantized terms (the anova
+    rule), chi² = (ΣO−E)²/ΣV as ONE final half-up division on the
+    micro pair, and the alpha = .05 verdict an integer compare
+    against the published chi²(1) critical value. ΣV = 0 (no
+    at-risk overlap) → NULL chi², documented.
+
+    Scale shape: identical to survival_km's two-exchange shape —
+    groupBy(user), single-row wide counters, constant chained
+    expressions. Zero joins, zero windows over data.
+    """
+    from .relational9 import AB_SPLIT_BOUND
+
+    dec = "decimal(38,0)"
+    H = KM_HORIZON_DAYS
+    u = _km_user_frame(spark, sf_dir)
+    per = u.select(
+        (
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4)
+            < AB_SPLIT_BOUND
+        ).alias("a"),
+        F.expr(
+            f"terr IS NOT NULL AND (terr - t0) div {_US_PER_DAY}"
+            f" <= {H - 1}"
+        ).alias("death"),
+        F.expr(
+            f"CASE WHEN terr IS NOT NULL AND (terr - t0) div"
+            f" {_US_PER_DAY} <= {H - 1}"
+            f" THEN (terr - t0) div {_US_PER_DAY}"
+            f" ELSE least((tl - t0) div {_US_PER_DAY},"
+            f" CAST({H} AS BIGINT)) END"
+        ).alias("b"),
+    )
+    aggs = [
+        F.sum(F.col("a").cast("long")).cast("long").alias("ua"),
+        F.sum((~F.col("a")).cast("long")).cast("long").alias("ub"),
+    ]
+    for b in range(H + 1):
+        for grp, cond in (("a", F.col("a")), ("b", ~F.col("a"))):
+            aggs.append(
+                F.sum(
+                    (cond & F.col("death") & (F.col("b") == b)).cast("long")
+                ).cast("long").alias(f"d{grp}{b}")
+            )
+            aggs.append(
+                F.sum((cond & (F.col("b") == b)).cast("long"))
+                .cast("long")
+                .alias(f"r{grp}{b}")
+            )
+    wide = per.agg(*aggs)
+    for b, ex in enumerate(_lr_chain_exprs(dec, "div")):
+        wide = (
+            wide.withColumn(f"na{b}", F.expr(ex["na"]))
+            .withColumn(f"nb{b}", F.expr(ex["nb"]))
+            .withColumn(f"e{b}", F.expr(ex["e"]))
+            .withColumn(f"diff{b}", F.expr(ex["diff"]))
+            .withColumn(f"v1_{b}", F.expr(ex["v1"]))
+            .withColumn(f"v{b}", F.expr(ex["v"]))
+        )
+    diff_sum = " + ".join(f"diff{b}" for b in range(H + 1))
+    v_sum = " + ".join(f"v{b}" for b in range(H + 1))
+    da_sum = " + ".join(f"da{b}" for b in range(H + 1))
+    db_sum = " + ".join(f"db{b}" for b in range(H + 1))
+    chi2 = (
+        f"CASE WHEN ({v_sum}) = 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE CAST((2 * (CAST({diff_sum} AS {dec})"
+        f" * CAST({diff_sum} AS {dec})) + ({v_sum}))"
+        f" div (2 * CAST({v_sum} AS {dec})) AS BIGINT) END"
+    )
+    return wide.select(
+        F.col("ua").alias("n_users_a"),
+        F.col("ub").alias("n_users_b"),
+        F.expr(f"CAST({da_sum} AS BIGINT)").alias("deaths_a"),
+        F.expr(f"CAST({db_sum} AS BIGINT)").alias("deaths_b"),
+        F.expr(f"CAST({diff_sum} AS BIGINT)").alias("o_minus_e_micro"),
+        F.expr(f"CAST({v_sum} AS BIGINT)").alias("var_micro"),
+        F.expr(chi2).alias("chi2_micro"),
+        F.lit(LOGRANK_CRIT_MICRO).cast("long").alias("crit_micro"),
+        F.expr(
+            f"({chi2}) > {LOGRANK_CRIT_MICRO}"
+        ).alias("different"),
+    )
+
+
+def _sql_survival_logrank() -> str:
+    from .relational9 import AB_SPLIT_BOUND
+
+    H = KM_HORIZON_DAYS
+    counters = ["CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ua",
+                "CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS ub"]
+    for b in range(H + 1):
+        counters.append(
+            f"CAST(SUM(CASE WHEN a AND death AND b = {b} THEN 1 ELSE 0"
+            f" END) AS BIGINT) AS da{b}"
+        )
+        counters.append(
+            f"CAST(SUM(CASE WHEN a AND b = {b} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS ra{b}"
+        )
+        counters.append(
+            f"CAST(SUM(CASE WHEN NOT a AND death AND b = {b} THEN 1"
+            f" ELSE 0 END) AS BIGINT) AS db{b}"
+        )
+        counters.append(
+            f"CAST(SUM(CASE WHEN NOT a AND b = {b} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS rb{b}"
+        )
+    ctes = []
+    prev = "wide"
+    for b, ex in enumerate(_lr_chain_exprs("HUGEINT", "//")):
+        ctes.append(
+            f"x{b} AS (SELECT *, {ex['na']} AS na{b}, {ex['nb']} AS nb{b}"
+            f" FROM {prev}),\n"
+            f"y{b} AS (SELECT *, {ex['e']} AS e{b} FROM x{b}),\n"
+            f"z{b} AS (SELECT *, {ex['diff']} AS diff{b},"
+            f" {ex['v1']} AS v1_{b} FROM y{b}),\n"
+            f"w{b} AS (SELECT *, {ex['v']} AS v{b} FROM z{b})"
+        )
+        prev = f"w{b}"
+    diff_sum = " + ".join(f"diff{b}" for b in range(H + 1))
+    v_sum = " + ".join(f"v{b}" for b in range(H + 1))
+    da_sum = " + ".join(f"da{b}" for b in range(H + 1))
+    db_sum = " + ".join(f"db{b}" for b in range(H + 1))
+    chi2 = (
+        f"CASE WHEN ({v_sum}) = 0 THEN NULL"
+        f" ELSE CAST((2 * (CAST({diff_sum} AS HUGEINT)"
+        f" * CAST({diff_sum} AS HUGEINT)) + ({v_sum}))"
+        f" // (2 * CAST({v_sum} AS HUGEINT)) AS BIGINT) END"
+    )
+    counters_sql = ",\n         ".join(counters)
+    ctes_sql = ",\n".join(ctes)
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+  FROM events
+),
+uu AS (
+  SELECT user_id, MIN(us) AS t0,
+         MIN(CASE WHEN event_type = 'error' THEN us END) AS terr,
+         MAX(us) AS tl
+  FROM e GROUP BY user_id
+),
+per AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+           < '{AB_SPLIT_BOUND}' AS a,
+         terr IS NOT NULL AND (terr - t0) // {_US_PER_DAY}
+           <= {H - 1} AS death,
+         CASE WHEN terr IS NOT NULL AND (terr - t0) // {_US_PER_DAY}
+                   <= {H - 1}
+              THEN (terr - t0) // {_US_PER_DAY}
+              ELSE LEAST((tl - t0) // {_US_PER_DAY},
+                         CAST({H} AS BIGINT)) END AS b
+  FROM uu
+),
+wide AS (
+  SELECT {counters_sql}
+  FROM per
+),
+{ctes_sql}
+SELECT ua AS n_users_a, ub AS n_users_b,
+       CAST({da_sum} AS BIGINT) AS deaths_a,
+       CAST({db_sum} AS BIGINT) AS deaths_b,
+       CAST({diff_sum} AS BIGINT) AS o_minus_e_micro,
+       CAST({v_sum} AS BIGINT) AS var_micro,
+       {chi2} AS chi2_micro,
+       CAST({LOGRANK_CRIT_MICRO} AS BIGINT) AS crit_micro,
+       ({chi2}) > {LOGRANK_CRIT_MICRO} AS different
+FROM {prev}
+"""
+
+
+SQL_SURVIVAL_LOGRANK = _sql_survival_logrank()
 
 
 # All five graded green in round 10 (single-green first-timers);

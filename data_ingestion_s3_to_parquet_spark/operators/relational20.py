@@ -49,8 +49,10 @@ from .relational8 import (
 from .relational15 import (
     SQL_RANK_TEST_U,
     SQL_SURVIVAL_KM,
+    SQL_SURVIVAL_LOGRANK,
     q_rank_test_u,
     q_survival_km,
+    q_survival_logrank,
 )
 from .relational16 import SQL_EVAL_PASS_AT_K, q_eval_pass_at_k
 from .relational9 import (
@@ -281,5 +283,11 @@ EXTRA_QUERIES: list[Query] = [
         q_sample_size_calc,
         SQL_SAMPLE_SIZE_CALC,
         ("relational", "statistics", "evaluation", "pipeline"),
+    ),
+    Query(
+        "survival_logrank",
+        q_survival_logrank,
+        SQL_SURVIVAL_LOGRANK,
+        ("relational", "statistics", "timeseries", "evaluation"),
     ),
 ]

@@ -185,7 +185,7 @@ REGISTRY: dict[str, Query] = _collect()
 # join_asof_nearest — for the five new round-10 operators plus the
 # twelve re-promoted round-3 relational-core veterans
 # (grade-freshness rotation, VERDICT r9 #1): this lane holds
-# a hundred and eighty-four entries after the round-14 rotation
+# a hundred and eighty-five entries after the round-14 rotation
 # and waves
 # (round 14 demoted the full round-13 promotion cohort —
 # corpus_prep, decontaminate, dedup_fuzzy, dedup_ngram_jaccard,

@@ -1002,7 +1002,7 @@ def test_lane_counts_match_docs():
     )
 
     assert len(REGISTRY) == 50
-    assert len(EXTRA) == 184
+    assert len(EXTRA) == 185
     assert len(BENCH_ONLY) == 7
     # round-14 rotation: the twelve-lane promotion cohort grades
     # immediately after ingest_parity — the MEASURED-oldest driver
@@ -1045,8 +1045,8 @@ def test_lane_counts_match_docs():
     # join_asof — relational17.EXTRA_QUERIES — and the wave-4/5
     # dedup_containment / gini_concentration leading
     # relational16's), ahead of the r10/r9 demotee cohorts
-    assert list(EXTRA)[:89] == [
-        "sample_size_calc",
+    assert list(EXTRA)[:90] == [
+        "sample_size_calc", "survival_logrank",
         "bootstrap_ci_quantile", "perm_test_diff", "stream_bootstrap",
         "bootstrap_ci_diff", "srm_check", "eval_win_rate",
         "metric_winsorized", "ngram_novelty", "eval_brier",
@@ -11085,3 +11085,132 @@ def test_sample_size_calc_planted_zero_variance(spark, tmp_path):
     ).write.parquet(f"{tmp_path}/orders.parquet")
     r, = q_sample_size_calc(spark, str(tmp_path)).collect()
     assert r.n_arm_for_5pct == 0 and r.n_arm_for_1pct == 0
+
+
+def test_survival_logrank_matches_python_recompute(spark, sf_dir):
+    # exact recompute of the two-group bucket counters, the at-risk
+    # recursions, the split pinned expected/variance sequence, and
+    # the final chi-square division + verdict.
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        KM_HORIZON_DAYS,
+        LOGRANK_CRIT_MICRO,
+        q_survival_logrank,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+    )
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    row, = q_survival_logrank(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "event_type",
+    ).collect()
+    users = {}
+    for r in ev:
+        t0, terr, tl = users.get(r.user_id, (None, None, None))
+        t0 = r.us if t0 is None else min(t0, r.us)
+        tl = r.us if tl is None else max(tl, r.us)
+        if r.event_type == "error":
+            terr = r.us if terr is None else min(terr, r.us)
+        users[r.user_id] = (t0, terr, tl)
+    H = KM_HORIZON_DAYS
+    US = 86_400_000_000
+    da = [0] * (H + 1)
+    ra = [0] * (H + 1)
+    db = [0] * (H + 1)
+    rb = [0] * (H + 1)
+    ua = ub = 0
+    for uid, (t0, terr, tl) in users.items():
+        is_a = hashlib.md5(str(uid).encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+        death = terr is not None and (terr - t0) // US <= H - 1
+        b = (terr - t0) // US if death else min((tl - t0) // US, H)
+        if is_a:
+            ua += 1
+            ra[b] += 1
+            da[b] += death
+        else:
+            ub += 1
+            rb[b] += 1
+            db[b] += death
+
+    def half_up(num, den):
+        return (2 * num + den) // (2 * den)
+
+    na, nb = ua, ub
+    diff_sum = v_sum = 0
+    for b in range(H + 1):
+        nt, dt = na + nb, da[b] + db[b]
+        if nt > 1 and dt > 0:
+            e = half_up(10**6 * dt * na, nt)
+            diff_sum += 10**6 * da[b] - e
+            v1 = half_up(10**6 * na * nb, nt * nt)
+            v_sum += half_up(v1 * dt * (nt - dt), nt - 1)
+        na -= ra[b]
+        nb -= rb[b]
+    chi2 = half_up(diff_sum * diff_sum, v_sum) if v_sum else None
+    assert (row.n_users_a, row.n_users_b) == (ua, ub)
+    assert (row.deaths_a, row.deaths_b) == (sum(da), sum(db))
+    assert row.o_minus_e_micro == diff_sum
+    assert row.var_micro == v_sum
+    assert row.chi2_micro == chi2
+    assert row.different == (chi2 is not None and chi2 > LOGRANK_CRIT_MICRO)
+
+
+def test_survival_logrank_planted_arm_effect(spark, tmp_path):
+    # arm A users error on day 1, arm B users never error (censored at
+    # the horizon): maximal separation, chi2 far above the critical
+    # value. And a no-difference fixture (both arms identical failure
+    # day) pins chi2 ~ 0 / not different.
+    import datetime as dt
+    import hashlib
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_survival_logrank,
+    )
+    from data_ingestion_s3_to_parquet_spark.operators.relational9 import (
+        AB_SPLIT_BOUND,
+    )
+
+    def arm_a(u):
+        return hashlib.md5(str(u).encode()).hexdigest()[:4] < AB_SPLIT_BOUND
+
+    base = dt.datetime(2024, 1, 1)
+
+    def build(effect, d):
+        rows, eid = [], 0
+        for u in range(1, 61):
+            eid += 1
+            rows.append((eid, base, u, "signup", 1.0))
+            eid += 1
+            if effect and arm_a(u):
+                rows.append(
+                    (eid, base + dt.timedelta(days=1), u, "error", 1.0)
+                )
+            elif effect:
+                rows.append(
+                    (eid, base + dt.timedelta(days=9), u, "click", 1.0)
+                )
+            else:
+                rows.append(
+                    (eid, base + dt.timedelta(days=1), u, "error", 1.0)
+                )
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double",
+        ).write.parquet(f"{d}/events.parquet")
+
+    build(True, f"{tmp_path}/eff")
+    r, = q_survival_logrank(spark, f"{tmp_path}/eff").collect()
+    assert r.deaths_b == 0 and r.deaths_a == r.n_users_a
+    assert r.different and r.chi2_micro > 10 * r.crit_micro
+
+    build(False, f"{tmp_path}/null")
+    r, = q_survival_logrank(spark, f"{tmp_path}/null").collect()
+    assert r.deaths_a == r.n_users_a and r.deaths_b == r.n_users_b
+    assert abs(r.o_minus_e_micro) <= 500_000  # quantization only
+    assert not r.different

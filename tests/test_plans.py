@@ -1924,6 +1924,21 @@ def test_eval_lang_confusion_bounded_frame_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_survival_logrank_two_aggregate_shape(spark):
+    # survival_km's shape with two at-risk recursions: groupBy(user)
+    # + single-row wide counters + constant chained expressions —
+    # two exchanges, no joins, no windows
+    import re
+
+    from data_ingestion_s3_to_parquet_spark.operators.relational15 import (
+        q_survival_logrank,
+    )
+
+    plan = plan_of(q_survival_logrank(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "Join" not in plan and "Window" not in plan
+
+
 def test_bootstrap_ci_winsorized_composed_shape(spark):
     # the composition keeps both components' scale shapes: the
     # histogram passes (bounded by the price domain), the broadcast
