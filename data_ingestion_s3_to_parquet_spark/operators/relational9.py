@@ -2185,8 +2185,14 @@ def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         "expected",
         "chi2_term",
+        # a NULL term (e_u = 0) must poison the total, not shrink it
         (
-            F.sum("_tm").over(Window.partitionBy()).cast("double") / 1e6
+            F.when(
+                F.count("_tm").over(Window.partitionBy())
+                == F.count(F.lit(1)).over(Window.partitionBy()),
+                F.sum("_tm").over(Window.partitionBy()),
+            ).cast("double")
+            / 1e6
         ).alias("chi2_total"),
     )
 
@@ -2224,7 +2230,8 @@ t AS (
 )
 SELECT event_type, hour_bucket, n_obs, expected,
        CAST(tm AS DOUBLE) / 1000000.0 AS chi2_term,
-       CAST(CAST(SUM(tm) OVER () AS BIGINT) AS DOUBLE) / 1000000.0
+       CAST(CAST(CASE WHEN COUNT(tm) OVER () = COUNT(*) OVER ()
+            THEN SUM(tm) OVER () END AS BIGINT) AS DOUBLE) / 1000000.0
          AS chi2_total
 FROM t
 """
@@ -3016,11 +3023,17 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("term_u", F.expr(term))
     )
+    # SUM skips NULLs silently — a dropped undefined cell (e_u = 0,
+    # reachable only when a singleton row+col pair meets N > ~2e12)
+    # must POISON chi2, not shrink it (r14 adversarial review).
     out = terms.agg(
         F.max("n_total").cast("long").alias("n_total"),
         F.countDistinct("pr").cast("long").alias("n_rows"),
         F.countDistinct("st").cast("long").alias("n_cols"),
-        F.sum("term_u").cast("long").alias("chi2_micro"),
+        F.when(
+            F.count("term_u") == F.count(F.lit(1)),
+            F.sum("term_u"),
+        ).cast("long").alias("chi2_micro"),
     ).withColumn(
         "df",
         ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long"),
@@ -3076,7 +3089,8 @@ agg AS (
   SELECT CAST(MAX(n_total) AS BIGINT) AS n_total,
          CAST(COUNT(DISTINCT pr) AS BIGINT) AS n_rows,
          CAST(COUNT(DISTINCT st) AS BIGINT) AS n_cols,
-         CAST(SUM(term_u) AS BIGINT) AS chi2_micro
+         CAST(CASE WHEN COUNT(term_u) = COUNT(*)
+              THEN SUM(term_u) END AS BIGINT) AS chi2_micro
   FROM t3
 ),
 d AS (
