@@ -1438,9 +1438,17 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python recompute, the media_decode convention.
     """
     from ..functions.hashing import hamming64
-    from ..sources.catalog import load_table
+    from ..sources.catalog import load_table, spread
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the fixture arrives as ONE parquet file = one partition,
+    # so the synth+encode+decode+dHash pandas stage — the lane's whole
+    # per-image cost — ran as a single serial Python task (measured
+    # 1.1 s of a 1.6 s lane wall at sf0.1, r14 stage profile). The
+    # round-robin shuffle of bare doc_ids is noise next to 32× decode
+    # parallelism; at real scale the media table has many splits and
+    # spread() is a no-op (guide §4: distribution is Spark's job, the
+    # batch work is the UDF's).
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.phash import (

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from ..artifacts import fixture_fingerprint
 from ..plans.spec import Query
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 
 # --------------------------------------------------------------------
 # orc_interop
@@ -121,6 +121,13 @@ def q_orc_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture-fingerprint-keyed temp dir (mode=overwrite), mirroring
     the artifact-identity discipline of :mod:`..artifacts`.
     """
+    # NOT spread(), although the ORC encode runs on only the scan's 3
+    # fixture partitions: measured at sf0.1 (r14, interleaved min-of-5)
+    # the round-robin widen makes the lane 1.62 s → 1.80 s — the
+    # repartition pass + exchange of every projected row costs more
+    # than the extra encode parallelism returns. At real scale the scan
+    # has many splits and per-task output files land in the 128 MB–1 GB
+    # band via the input split size (guide §6).
     li = load_table(spark, sf_dir, "lineitem").select(*ORC_COLS)
     out = _orc_path(sf_dir)
     li.write.mode("overwrite").orc(out)

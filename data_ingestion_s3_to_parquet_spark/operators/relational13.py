@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.spec import Query
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 from .relational12 import PSI_PIVOT_DATE
 
 # --------------------------------------------------------------------
@@ -409,6 +409,12 @@ def q_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     every rank the naive way (one plain window) so the decomposition
     is hash-checked, not argued.
     """
+    # NOT spread(), although the two selection passes run on only the
+    # scan's 3 fixture partitions: measured at sf0.1 (r14, interleaved
+    # min-of-5) the round-robin widen makes the lane 1.49 s → 2.50 s —
+    # the repartition's extra pass + exchange of every (f, cents) row
+    # costs more than the 3→32-task parallelism returns. At real scale
+    # the scan has many splits and the question disappears.
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("f"),
         F.expr(

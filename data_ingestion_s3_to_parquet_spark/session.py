@@ -45,6 +45,20 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing sizes partitions by BYTES, but several lanes have
+    # CPU-heavy narrow rows where bytes wildly understate work: the
+    # PPJoin verification probes two broadcast shingle maps and runs an
+    # array_intersect per candidate pair, yet its input is 16-byte
+    # (doc_a, doc_b) rows — at the default 1 MB floor, 310k candidates
+    # (sf0.1) coalesce to TWO tasks and the verify stage serializes
+    # (measured 2.7 s of a 5.6 s lane; min-of-4 lane time 3.97 s → 2.54 s
+    # with the 64k floor, r14). parallelismFirst (default true) already
+    # targets defaultParallelism-sized splits, so lowering the floor
+    # only affects shuffles in the ~128 KB–32 MB band — at production
+    # scale every real shuffle partition is far above ANY floor and
+    # this setting never binds; tiny control-flow shuffles (loop
+    # frames, model tables, < 2×64k) still coalesce to 1-2 tasks.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Arrow for any pandas-UDF / toPandas path; bigger batches amortize
     # the per-batch Python/Arrow round-trip on wide scans.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
