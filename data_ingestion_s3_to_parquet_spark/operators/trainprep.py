@@ -520,10 +520,23 @@ def _hot_covered_base(docs: DataFrame):
     base = docs.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
     # positional n-gram occurrences, 1-based start positions; the
     # slice(transform(...)) guard yields an EMPTY list for docs
-    # shorter than n (Spark's sequence(1, 0) would count DOWN)
+    # shorter than n (Spark's sequence(1, 0) would count DOWN).
+    # Grams are 64-bit xxhash64 of the n tokens (implicit seed 42), NOT
+    # n-gram strings (r14, guide §2.3 — narrower shuffle keys): downstream is
+    # equality-only (df count + hot semi-join), so the ~25-byte gram
+    # text only ever inflated the two gram-keyed exchanges ~3×. Same
+    # trade, convention, and collision arithmetic as
+    # dedup_ngram_jaccard's hashed shingles (the oracle keeps string
+    # grams; a cross-gram collision is ~N_grams²/2⁶⁵ ≈ 10⁻⁸ at 10⁶
+    # distinct grams, and scrub output equality string-vs-hash is
+    # pinned by pytest). Measured at sf0.1 min-of-5: scale lane
+    # 3.65 → 2.71 s, base lane 2.51 → 2.38 s, outputs identical.
+    _gram_args = ", ".join(
+        f"element_at(tk, i + {j})" for j in range(SCRUB_NGRAM_N)
+    )
     grams = F.expr(
         f"slice(transform(sequence(1, greatest(size(tk) - {SCRUB_NGRAM_N - 1}, 1)),"
-        f" i -> struct(i AS p, concat_ws(' ', slice(tk, i, {SCRUB_NGRAM_N})) AS g)),"
+        f" i -> struct(i AS p, xxhash64({_gram_args}) AS g)),"
         f" 1, greatest(size(tk) - {SCRUB_NGRAM_N - 1}, 0))"
     )
     occ = base.select("doc_id", F.explode(grams).alias("o")).select(

@@ -2709,6 +2709,57 @@ def test_passage_scrub_planted_boilerplate_recall(spark):
     assert all(r.n_scrubbed == 5 and r.scrubbed_text == "" for r in out)
 
 
+def test_passage_scrub_hashed_grams_match_string_grams(spark, sf_dir):
+    # r14 optimization: _hot_covered_base keys the hot-gram aggregation
+    # and semi-join on xxhash64(token n-gram) instead of the gram STRING
+    # (narrower shuffle keys — guide §2.3). Pin that the scrub output is
+    # bitwise what the string-gram formulation produces on the real
+    # fixture (the documented hashed-shingle trade: collisions are
+    # ~N²/2⁶⁵; the DuckDB oracle independently keeps string grams).
+    import pyspark.sql.functions as F
+
+    import data_ingestion_s3_to_parquet_spark.operators.trainprep as tp
+    from data_ingestion_s3_to_parquet_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = sorted(
+        tuple(r) for r in tp.passage_scrub(docs).collect()
+    )
+
+    def _string_gram_base(d):
+        base = d.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+        n = tp.SCRUB_NGRAM_N
+        grams = F.expr(
+            f"slice(transform(sequence(1, greatest(size(tk) - {n - 1}, 1)),"
+            f" i -> struct(i AS p, concat_ws(' ', slice(tk, i, {n})) AS g)),"
+            f" 1, greatest(size(tk) - {n - 1}, 0))"
+        )
+        occ = base.select("doc_id", F.explode(grams).alias("o")).select(
+            "doc_id", F.col("o.p").alias("p"), F.col("o.g").alias("g")
+        )
+        hot = (
+            occ.groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= tp.SCRUB_MIN_DOCS)
+            .select("g")
+            .hint("shuffle_hash")
+        )
+        starts = (
+            occ.join(hot, "g", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("p").alias("ps"))
+        )
+        return base, base.join(starts.hint("shuffle_hash"), "doc_id", "left")
+
+    orig = tp._hot_covered_base
+    tp._hot_covered_base = _string_gram_base
+    try:
+        want = sorted(tuple(r) for r in tp.passage_scrub(docs).collect())
+    finally:
+        tp._hot_covered_base = orig
+    assert got == want
+
+
 def test_emb_whiten_covariance_is_identity(spark, sf_dir):
     # the whitened corpus must have (near-)identity empirical
     # covariance — the defining property of ZCA — and preserve row
