@@ -223,7 +223,10 @@ def main() -> None:
     heavy_corridors = {
         "dedup_components": 3.2,
         "dedup_fuzzy": 2.7,
-        "graph_sssp": 1.32,
+        # re-floored r14 (optimization round): loop-frame sizing +
+        # observed frontier counts took the clean-host min to ~1.05,
+        # and a floor above the clean min would under-report inflation
+        "graph_sssp": 1.05,
     }
     heavy_inflation = {
         n: round(timings[n] / floor_s, 2)

@@ -21,7 +21,7 @@ rather than |D|².
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -842,16 +842,20 @@ def connected_components_auto(
             return vertex_map
         lu = node_map.select(F.col("vec_id").alias("u"), F.col("component").alias("cu"))
         lv = node_map.select(F.col("vec_id").alias("v"), F.col("component").alias("cv"))
+        # contracted-edge count observed on the checkpoint job (r14):
+        # the level's no-progress guard costs no extra count jobs
+        obs = Observation()
         contracted = (
             p.join(lu, "u")
             .join(lv, "v")
             .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("c"))
             .localCheckpoint()
         )
         reps = node_map.select(F.col("component").alias("vec_id")).distinct()
-        if level == MAX_CONTRACT_LEVELS or contracted.count() >= p.count():
+        if level == MAX_CONTRACT_LEVELS or obs.get["c"] >= p.count():
             roots, converged = connected_components_star(contracted, reps), True
         else:
             roots, converged = _hashmin_labels(contracted, reps, probe_rounds)
@@ -952,16 +956,19 @@ def _hashmin_labels(
     )
 
     labels = vertices.select("vec_id", F.col("vec_id").alias("component"))
-    labels = labels.repartition(n_part, "vec_id").localCheckpoint()
-    # Change detection by label-multiset signature (count + hash-sum,
-    # one tiny aggregate per round) instead of a new-vs-old join+count:
-    # labels move monotonically downward, so an unchanged signature ⟺
-    # a fixpoint — same trick as the star loop's edge signature, and
-    # half the per-round job count (VERDICT r2 #6). A signature match
-    # is then CONFIRMED by one exact changed-row join (ADVICE r3: a
-    # ~2^-64 hash-sum collision would otherwise silently return
-    # partial labels) — one extra job at convergence, not per round.
-    sig = _label_signature(labels)
+    # Change detection by label-multiset signature (count + hash-xor)
+    # instead of a new-vs-old join+count: labels move monotonically
+    # downward, so an unchanged signature ⟺ a fixpoint — same trick as
+    # the star loop's edge signature (VERDICT r2 #6). Since r14 the
+    # signature is an Observation on the checkpoint job itself
+    # (:func:`_ckpt_with_signature`), so it costs ZERO extra jobs per
+    # round. A signature match is then CONFIRMED by one exact
+    # changed-row join (ADVICE r3: a ~2^-64 hash collision would
+    # otherwise silently return partial labels) — one extra job at
+    # convergence, not per round.
+    labels, sig = _ckpt_with_signature(
+        labels.repartition(n_part, "vec_id"), "vec_id", "component"
+    )
     for rnd in range(max_iters):
         prev = labels
         if rnd == 0:
@@ -977,7 +984,7 @@ def _hashmin_labels(
             # ~0.8 s of task scheduling instead of ~0.1 s (measured —
             # the sized-loop-frame policy from the module docstring).
             nbr_min = edges.groupBy("u").agg(F.min("v").alias("nbr_component"))
-            labels = (
+            labels, new_sig = _ckpt_with_signature(
                 labels.join(nbr_min, labels.vec_id == nbr_min.u, "left")
                 .select(
                     "vec_id",
@@ -986,8 +993,9 @@ def _hashmin_labels(
                         F.coalesce(F.col("nbr_component"), F.col("component")),
                     ).alias("component"),
                 )
-                .repartition(n_part, "vec_id")
-                .localCheckpoint()
+                .repartition(n_part, "vec_id"),
+                "vec_id",
+                "component",
             )
         else:
             nbr_min = (
@@ -998,7 +1006,7 @@ def _hashmin_labels(
             jump = labels.select(
                 F.col("vec_id").alias("_jv"), F.col("component").alias("_jc")
             )
-            labels = (
+            labels, new_sig = _ckpt_with_signature(
                 labels.join(nbr_min, labels.vec_id == nbr_min.u, "left")
                 .join(jump, labels.component == F.col("_jv"))
                 .select(
@@ -1008,10 +1016,10 @@ def _hashmin_labels(
                         F.coalesce(F.col("nbr_component"), F.col("component")),
                         F.col("_jc"),
                     ).alias("component"),
-                )
-                .localCheckpoint()
+                ),
+                "vec_id",
+                "component",
             )
-        new_sig = _label_signature(labels)
         if new_sig == sig:
             changed = (
                 labels.alias("n")
@@ -1025,17 +1033,29 @@ def _hashmin_labels(
     return labels, False
 
 
-def _label_signature(labels: DataFrame) -> tuple:
-    # bit_xor, not sum: a raw xxhash64 sum overflows int64 and THROWS
-    # under an ANSI-enabled session (tune() forces ANSI off, but a
-    # foreign session that skipped it must not break the CC loop) —
-    # the same hardening artifacts.py got in round 8. XOR is equally
-    # order-insensitive and cannot overflow.
-    row = labels.agg(
-        F.count("*").alias("c"),
-        F.expr("bit_xor(xxhash64(vec_id, component))").alias("h"),
-    ).collect()[0]
-    return (row.c, row.h)
+def _ckpt_with_signature(
+    df: DataFrame, ca: str, cb: str
+) -> tuple[DataFrame, tuple]:
+    """localCheckpoint + the (count, bit_xor(xxhash64)) multiset
+    signature of (``ca``, ``cb``) in ONE job (r14): an ``Observation``
+    rides the checkpoint materialization, so per-round convergence
+    detection no longer costs a separate aggregate job — measured ~1
+    job per hash-min/star round, ~10 jobs per dedup_components run at
+    sf0.1 where scheduling is the dominant cost. bit_xor, not sum: a
+    raw xxhash64 sum overflows int64 and THROWS under an ANSI-enabled
+    session (tune() forces ANSI off, but a foreign session that
+    skipped it must not break the CC loop) — the round-8 hardening,
+    kept verbatim; XOR is order-insensitive and cannot overflow.
+    Works on empty frames (c=0, h=None — observed metrics are plain
+    aggregates over whatever the checkpoint materializes)."""
+    obs = Observation()
+    ck = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("c"),
+        F.expr(f"bit_xor(xxhash64({ca}, {cb}))").alias("h"),
+    ).localCheckpoint()
+    m = obs.get  # already materialized by the eager checkpoint
+    return ck, (m["c"], m["h"])
 
 
 MAX_STAR_ITERS = 40
@@ -1060,16 +1080,18 @@ def connected_components_star(
     Same contract as :func:`connected_components`: ``pairs`` (u, v)
     undirected edges, ``vertices`` one ``vec_id`` column; returns
     (vec_id, component = min reachable id). Convergence is detected by
-    an edge-multiset signature (count + hash-sum) staying fixed —
-    one tiny aggregate per round. ``localCheckpoint`` truncates
-    lineage every round, as in the hash-min loop.
+    an edge-multiset signature (count + hash-xor) staying fixed —
+    observed on the checkpoint job itself, zero extra jobs per round
+    (r14). ``localCheckpoint`` truncates lineage every round, as in
+    the hash-min loop.
     """
-    e = (
+    e, sig = _ckpt_with_signature(
         pairs.select("u", "v")
         .union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "u",
+        "v",
     )
 
     def large_star(edges: DataFrame) -> DataFrame:
@@ -1105,20 +1127,14 @@ def connected_components_star(
         )
         return out.where(F.col("u") != F.col("v")).distinct()
 
-    def signature(edges: DataFrame) -> tuple:
-        # bit_xor, not sum — see _label_signature: a raw xxhash64 sum
-        # throws under a foreign ANSI-on session.
-        row = edges.agg(
-            F.count("*").alias("c"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (row.c, row.h)
-
-    sig = signature(e)
+    # edge-multiset signature via _ckpt_with_signature: an Observation
+    # on the checkpoint job — zero extra jobs per round (r14); bit_xor
+    # keeps the round-8 ANSI hardening.
     converged = False
     for _ in range(MAX_STAR_ITERS):
-        e = small_star(large_star(e)).localCheckpoint()
-        new_sig = signature(e)
+        e, new_sig = _ckpt_with_signature(
+            small_star(large_star(e)), "u", "v"
+        )
         if new_sig == sig:
             converged = True
             break

@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.spec import Query
@@ -597,10 +597,20 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         1, min(und0.rdd.getNumPartitions(), -(-n_edges // 1_000_000))
     )
     und = und0.repartition(n_part).localCheckpoint()
-    alive = und.select(F.col("a").alias("node")).union(
-        und.select("b")
-    ).distinct()
-    n_alive = alive.count()
+    # survivor counts observed on each checkpoint job (r14): loop
+    # control no longer costs a separate count job per peel round
+    # (the CC-loop signature trick, dedup.py); the initial alive set
+    # is checkpointed too, so round 1 reads it instead of re-running
+    # the distinct.
+    obs0 = Observation()
+    alive = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select("b"))
+        .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    n_alive = obs0.get["c"]
     for _ in range(KCORE_ROUNDS):
         live_edges = und.join(
             alive.hint("shuffle_hash"), und.a == alive.node, "left_semi"
@@ -610,10 +620,14 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
+        obs = Observation()
         alive = (
-            deg.where(F.col("deg") >= KCORE_K).select("node").localCheckpoint()
+            deg.where(F.col("deg") >= KCORE_K)
+            .select("node")
+            .observe(obs, F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
         )
-        n_next = alive.count()
+        n_next = obs.get["c"]
         if n_next == n_alive:  # monotone ⇒ fixed point; extra rounds no-op
             break
         n_alive = n_next
@@ -739,7 +753,6 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layer, pure fixed overhead on the bench-dominating small-frame
     # rounds; the anti-join build side is the same union either way).
     layers = [frontier]
-    frontier.count()
     for _ in range(SSSP_ROUNDS):
         dist = reduce(DataFrame.unionAll, layers)
         step = (
@@ -751,11 +764,16 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").cast("int").alias("dist"))
         )
-        frontier = step.join(
-            dist.hint("shuffle_hash"), "node", "left_anti"
-        ).localCheckpoint()
-        n_new = frontier.count()
-        if n_new == 0:  # BFS layer empty ⇒ fixed point
+        # frontier size observed on the checkpoint job itself (r14):
+        # the loop-control count no longer costs a separate job per
+        # BFS layer (the CC-loop signature trick, dedup.py)
+        obs = Observation()
+        frontier = (
+            step.join(dist.hint("shuffle_hash"), "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
+        )
+        if obs.get["c"] == 0:  # BFS layer empty ⇒ fixed point
             break
         layers.append(frontier)
     return reduce(DataFrame.unionAll, layers)
