@@ -93,6 +93,46 @@ def main() -> None:
         if q.bench
     }
 
+    # Persisted-artifact setup pass (VERDICT r14 #2/#5): the six
+    # fingerprint-keyed derived tables (SCALE.md §30) are deleted and
+    # rebuilt FRESH here, timed, and reported in the sidecar as
+    # ``artifact_build_sec`` — so the lanes that consume them
+    # (pagerank, label_propagation, kcore_decompose, graph_sssp,
+    # dedup_fuzzy, dedup_semantic, quality_classifier, ...) are
+    # readable as query-only by construction, with the end-to-end
+    # build cost (compute + parquet write + checksum) on the record
+    # next to them instead of hidden outside the timed region. The
+    # stdout contract is unchanged — this runs BEFORE any timed lane
+    # and reports only to BENCH_SPREAD.json.
+    import shutil
+    import tempfile
+
+    from data_ingestion_s3_to_parquet_spark.operators import (
+        dedup as _dedup,
+        graph as _graph,
+        textstats as _textstats,
+    )
+
+    artifact_helpers = {
+        "refpairs": _dedup._ref_pairs,
+        "cosedges": _dedup._cosine_edges,
+        "whitened": _dedup._whitened,
+        "knn_edges": _graph._knn_edges,
+        "copurchase": _graph._copurchase_edges,
+        "qsignals": _textstats._quality_signals,
+    }
+    artifact_build_sec: dict[str, float] = {}
+    for ns, helper in artifact_helpers.items():
+        shutil.rmtree(
+            os.path.join(tempfile.gettempdir(), f"spark_graft_{ns}"),
+            ignore_errors=True,
+        )
+        spark.sparkContext.setJobDescription(f"artifact build: {ns}")
+        t0 = time.perf_counter()
+        helper(spark, sf_dir)  # persisted_frame builds eagerly
+        artifact_build_sec[ns] = round(time.perf_counter() - t0, 3)
+    spark.sparkContext.setJobDescription(None)
+
     # warm-up: JVM/codegen/parquet-footer caches AND shuffle/join/agg
     # machinery (merged lookup so the warm-up survives graded/EXTRA
     # rotations of any warm-up lane; see WARMUP_LANES)
@@ -112,21 +152,34 @@ def main() -> None:
     # honest — no run is ever faster than the real plan, see module
     # docstring on clearCache); the median rides along in ``spread``
     # so a wide min-med gap flags ambient noise (VERDICT r6 #3).
+    # Sub-second lanes get FIVE timed runs instead of three (VERDICT
+    # r14 #2): on this host min-of-3 is not noise-robust below ~1 s
+    # (same-code swings up to 3.7× across windows), and two extra
+    # cheap runs shrink the min's variance at ~0.5 s/lane cost. The
+    # warm-up run (untimed before, now timed only to pick the count)
+    # decides; the headline stays min-of-the-timed-runs either way.
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name in canonical_order(bench_queries):
         q = bench_queries[name]
         spark.catalog.clearCache()
+        t0 = time.perf_counter()
         materialize(q.fn(spark, sf_dir))
+        warm_sec = time.perf_counter() - t0
+        n_timed = 5 if warm_sec < 1.0 else 3
         runs: list[float] = []
-        for _ in range(3):
+        for _ in range(n_timed):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             materialize(q.fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         runs.sort()
         timings[name] = round(runs[0], 3)
-        spread[name] = {"min": round(runs[0], 3), "med": round(runs[1], 3)}
+        spread[name] = {
+            "min": round(runs[0], 3),
+            "med": round(runs[len(runs) // 2], 3),
+            "n_runs": n_timed,
+        }
 
     # the reference's canonical workload: scan -> project -> parquet
     # write (real sink I/O, not noop), per SURVEY.md §2A A3+A5+A6.
@@ -227,6 +280,14 @@ def main() -> None:
         # observed frontier counts took the clean-host min to ~1.05,
         # and a floor above the clean min would under-report inflation
         "graph_sssp": 1.05,
+        # added r15 (VERDICT r14 #2): the two lanes whose r14 driver
+        # readings diverged 2.8x between windows on unchanged code;
+        # floors are clean-host 32-core mins (dedup_semantic r13
+        # driver min; dedup_passages r13 min adjusted for the r14
+        # hashed-gram key narrowing, confirmed against this round's
+        # clean runs)
+        "dedup_semantic": 1.65,
+        "dedup_passages": 1.45,
     }
     heavy_inflation = {
         n: round(timings[n] / floor_s, 2)
@@ -251,6 +312,15 @@ def main() -> None:
                 "inflation_median": infl_median,
                 "ambient_verdict": ambient,
                 "heavy_lane_inflation": heavy_inflation,
+                # the floors themselves ride along (ADVICE r14: a
+                # re-floor redefines the inflation series; publishing
+                # the per-round floor values keeps BENCH_*.json
+                # comparable across rounds without archaeology)
+                "heavy_corridor_floors": heavy_corridors,
+                # end-to-end build cost of each persisted derived-table
+                # artifact, rebuilt fresh at suite start (VERDICT r14
+                # #2/#5) — lane times are query-only by construction
+                "artifact_build_sec": artifact_build_sec,
             },
             f,
             indent=1,

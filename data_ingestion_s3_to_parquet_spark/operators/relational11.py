@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from ..artifacts import fixture_fingerprint
 from ..plans.spec import Query
-from ..sources.catalog import load_table, spread
+from ..sources.catalog import load_table
 
 # --------------------------------------------------------------------
 # orc_interop

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.spec import Query
-from ..sources.catalog import load_table, spread
+from ..sources.catalog import load_table
 from .relational12 import PSI_PIVOT_DATE
 
 # --------------------------------------------------------------------

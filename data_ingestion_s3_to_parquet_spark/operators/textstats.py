@@ -2551,7 +2551,7 @@ def q_eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row (the theta-on-both-rows convention).
 
     Exactness: the confusion cells are ONE combinable
-    groupBy(truth, pred) — a bounded ≤ (\|langs\|+1)² frame (the
+    groupBy(truth, pred) — a bounded ≤ (n_langs+1)² frame (the
     'und' fallback adds a predicted-only class); tp/fp/fn are exact
     sums over that frame; precision, recall, and accuracy are ONE
     pinned half-up micro division each, and F1 = 2tp/(2tp+fp+fn) is

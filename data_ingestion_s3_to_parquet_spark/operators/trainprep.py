@@ -531,8 +531,15 @@ def _hot_covered_base(docs: DataFrame):
     # distinct grams, and scrub output equality string-vs-hash is
     # pinned by pytest). Measured at sf0.1 min-of-5: scale lane
     # 3.65 → 2.71 s, base lane 2.51 → 2.38 s, outputs identical.
+    # try_element_at, not element_at: the transform pads short docs
+    # with one i=1 entry whose i+j indexes past the array end before
+    # the outer slice discards it — element_at would throw
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under a foreign ANSI session
+    # (the Spark 4 default; ADVICE r14). try_element_at yields NULL
+    # there instead; those NULL-fed grams exist only on rows the slice
+    # guard drops, so output is unchanged (ANSI pytest pins it).
     _gram_args = ", ".join(
-        f"element_at(tk, i + {j})" for j in range(SCRUB_NGRAM_N)
+        f"try_element_at(tk, i + {j})" for j in range(SCRUB_NGRAM_N)
     )
     grams = F.expr(
         f"slice(transform(sequence(1, greatest(size(tk) - {SCRUB_NGRAM_N - 1}, 1)),"

@@ -45,20 +45,19 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # AQE coalescing sizes partitions by BYTES, but several lanes have
-    # CPU-heavy narrow rows where bytes wildly understate work: the
-    # PPJoin verification probes two broadcast shingle maps and runs an
-    # array_intersect per candidate pair, yet its input is 16-byte
-    # (doc_a, doc_b) rows — at the default 1 MB floor, 310k candidates
-    # (sf0.1) coalesce to TWO tasks and the verify stage serializes
-    # (measured 2.7 s of a 5.6 s lane; min-of-4 lane time 3.97 s → 2.54 s
-    # with the 64k floor, r14). parallelismFirst (default true) already
-    # targets defaultParallelism-sized splits, so lowering the floor
-    # only affects shuffles in the ~128 KB–32 MB band — at production
-    # scale every real shuffle partition is far above ANY floor and
-    # this setting never binds; tiny control-flow shuffles (loop
-    # frames, model tables, < 2×64k) still coalesce to 1-2 tasks.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # coalescePartitions.minPartitionSize stays at the Spark DEFAULT
+    # (1 MB). r14 lowered it to 64k on a sequential A/B that credited
+    # the floor with dedup_ngram_jaccard's verify-stage parallelism,
+    # but the driver's own r14 run regressed the whole LSH/banding
+    # family in lockstep (knn_graph_lsh 0.65x, sim_join_lsh 0.60x,
+    # dedup_semantic 0.73x, dedup_components_lsh 0.81x — VERDICT r14
+    # #1), and the r15 interleaved same-session A/B (8 reps, quiet
+    # host, min AND median) reads 1m equal-or-faster on every lane
+    # INCLUDING dedup_ngram_jaccard (min 2.18 vs 2.40 s, med 2.98 vs
+    # 3.51 s): the 64k floor's extra tasks cost more scheduling than
+    # their parallelism returns at any measured size. At 100 TB no
+    # real shuffle partition is near either floor, so the default is
+    # also the scale-neutral choice.
     # Arrow for any pandas-UDF / toPandas path; bigger batches amortize
     # the per-batch Python/Arrow round-trip on wide scans.
     "spark.sql.execution.arrow.pyspark.enabled": "true",

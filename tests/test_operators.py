@@ -2760,6 +2760,52 @@ def test_passage_scrub_hashed_grams_match_string_grams(spark, sf_dir):
     assert got == want
 
 
+def test_passage_scrub_survives_ansi_session(spark):
+    # ADVICE r14: the hashed-gram transform pads short docs with one
+    # i=1 entry whose i+j indexes past the token array before the
+    # outer slice discards it — element_at there threw
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under a foreign ANSI-on
+    # session (the Spark 4 default). try_element_at must keep the
+    # scrub running AND unchanged under ANSI, including on documents
+    # shorter than SCRUB_NGRAM_N tokens (the only rows that hit the
+    # out-of-bounds path). Mirrors
+    # test_connected_components_converges_under_ansi_session.
+    from data_ingestion_s3_to_parquet_spark.operators.trainprep import (
+        SCRUB_NGRAM_N,
+        passage_scrub,
+    )
+
+    assert SCRUB_NGRAM_N == 3  # the fixture below assumes n=3
+    docs = spark.createDataFrame(
+        [
+            (0, "a b"),          # shorter than n: pads an OOB gram entry
+            (1, "x"),            # 1 token: same
+            (2, "p q r s t"),
+            (3, "p q r s t"),    # hot grams shared with doc 2
+            (4, "u v w"),        # exactly n tokens, no hot grams
+        ],
+        "doc_id long, text string",
+    )
+
+    def run():
+        return sorted(tuple(r) for r in passage_scrub(docs).collect())
+
+    want = run()  # ANSI off (session default via tune())
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = run()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got == want
+    # tuples are (doc_id, n_tokens, n_scrubbed, scrubbed_text): short
+    # docs pass through unscrubbed; the duplicated passage is fully
+    # scrubbed in both sessions
+    by_id = {t[0]: t for t in got}
+    assert by_id[0][2] == 0 and by_id[1][2] == 0
+    assert by_id[2][2] == 5 and by_id[3][2] == 5
+
+
 def test_emb_whiten_covariance_is_identity(spark, sf_dir):
     # the whitened corpus must have (near-)identity empirical
     # covariance — the defining property of ZCA — and preserve row
