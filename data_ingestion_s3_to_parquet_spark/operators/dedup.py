@@ -919,13 +919,26 @@ def _hashmin_labels(
     O(log D) rounds, not O(D) — on a path graph, 4 plain hash-min
     rounds reach distance 4; with jumping they reach ~15 (measured on
     the sf0.1 similarity graph: 12 plain rounds across 3 contraction
-    levels → 5 jumped rounds, one level, ~-40% wall time). The jump
-    lookup is a labels⋈labels self-join on ``component == vec_id``;
-    every component value IS a vertex id, so the inner join is total.
-    Skew note for 100 TB: the jump join's build side keys on current
-    component values, whose multiplicity is the in-progress cluster
-    size — AQE's skew-join split handles a giant component, and the
-    frame carries two longs per row, nothing else.
+    levels → 5 jumped rounds, one level, ~-40% wall time).
+
+    Round shape (r15, guide §2.4): all three terms are LOOKUPS of the
+    current label table — neighbor min pulls ``labels[v]`` for every
+    edge (u, v), the jump pulls ``labels[component(u)]``, and the
+    identity term pulls ``labels[u]`` — so instead of the former three
+    joins per round (edges⋈labels, labels⋈nbr_min, labels⋈labels) the
+    round unions the three request frames ``(dst, key)`` and resolves
+    them with ONE join on ``key == vec_id`` plus ONE combinable
+    ``min`` by ``dst``. Every component value IS a vertex id and every
+    vertex requests itself, so the inner join is total and covers all
+    vertices — no left join, no coalesce. Measured at sf0.1
+    (interleaved min-of-5): dedup_components 3.24 → 2.92 s,
+    dedup_components_lsh 1.09 → 1.02 s, outputs identical; per round
+    the plan drops from 3 joins / ~5 exchanges to 1 join / 2
+    exchanges + 1 map-side-combinable aggregate. Shuffled bytes stay
+    ~(2|E| + 3|V|) longs per round. Skew note for 100 TB: request
+    keys repeat with the in-progress cluster size (the jump branch) —
+    AQE's skew split handles a giant component, and the frame carries
+    two longs per row, nothing else.
 
     Loop-frame layout: loop frames are repartitioned to ≈1M
     rows/partition — the iteration touches only (id, id) longs, so
@@ -972,54 +985,49 @@ def _hashmin_labels(
     for rnd in range(max_iters):
         prev = labels
         if rnd == 0:
-            # Round 1 runs on IDENTITY labels, so both joins collapse:
-            # component(v) = v makes the neighbor lookup a plain
-            # groupBy(u).min(v), and label-of-label = label makes the
-            # jump a no-op — a zero-join first round (one combinable
-            # aggregate + one left join onto the label frame), saving
-            # two shuffles per call (SURVEY §8 round-4 watchlist).
-            # The explicit repartition before the checkpoint is
-            # REQUIRED, not cosmetic: without it the round-1 output
-            # inherits the join's layout and every later round pays
-            # ~0.8 s of task scheduling instead of ~0.1 s (measured —
-            # the sized-loop-frame policy from the module docstring).
-            nbr_min = edges.groupBy("u").agg(F.min("v").alias("nbr_component"))
-            labels, new_sig = _ckpt_with_signature(
-                labels.join(nbr_min, labels.vec_id == nbr_min.u, "left")
-                .select(
-                    "vec_id",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nbr_component"), F.col("component")),
-                    ).alias("component"),
+            # Round 1 runs on IDENTITY labels, so the lookup resolves
+            # to its own key — component(key) = key — and the round
+            # needs NO join at all: min over {v ∈ N(u)} ∪ {u} is one
+            # combinable aggregate over edges ∪ identity-labels. The
+            # groupBy's own hash layout feeds the checkpoint; later
+            # rounds reshuffle everything through the request join
+            # regardless, so the former explicit repartition bought
+            # nothing (the r14 sized-loop-frame rationale applied to
+            # the 3-join form, whose rounds INHERITED layouts — the
+            # fused rounds never do).
+            nxt = (
+                edges.select(
+                    F.col("u").alias("vec_id"), F.col("v").alias("component")
                 )
-                .repartition(n_part, "vec_id"),
-                "vec_id",
-                "component",
+                .union(labels)
+                .groupBy("vec_id")
+                .agg(F.min("component").alias("component"))
             )
         else:
-            nbr_min = (
-                edges.join(labels, edges.v == labels.vec_id)
-                .groupBy("u")
-                .agg(F.min("component").alias("nbr_component"))
+            # one fused lookup: neighbor + jump + identity requests
+            # against the label table (docstring: round shape)
+            req = (
+                edges.select(F.col("u").alias("dst"), F.col("v").alias("key"))
+                .union(
+                    labels.select(
+                        F.col("vec_id").alias("dst"),
+                        F.col("component").alias("key"),
+                    )
+                )
+                .union(
+                    labels.select(
+                        F.col("vec_id").alias("dst"),
+                        F.col("vec_id").alias("key"),
+                    )
+                )
             )
-            jump = labels.select(
-                F.col("vec_id").alias("_jv"), F.col("component").alias("_jc")
+            nxt = (
+                req.join(labels, req.key == labels.vec_id)
+                .groupBy("dst")
+                .agg(F.min("component").alias("component"))
+                .select(F.col("dst").alias("vec_id"), "component")
             )
-            labels, new_sig = _ckpt_with_signature(
-                labels.join(nbr_min, labels.vec_id == nbr_min.u, "left")
-                .join(jump, labels.component == F.col("_jv"))
-                .select(
-                    "vec_id",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nbr_component"), F.col("component")),
-                        F.col("_jc"),
-                    ).alias("component"),
-                ),
-                "vec_id",
-                "component",
-            )
+        labels, new_sig = _ckpt_with_signature(nxt, "vec_id", "component")
         if new_sig == sig:
             changed = (
                 labels.alias("n")

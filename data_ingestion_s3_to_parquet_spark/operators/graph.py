@@ -142,27 +142,34 @@ def pagerank_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         edges.join(outdeg, "src").select("src", "dst", "outdeg").localCheckpoint()
     )
 
+    # The per-iteration "nodes ⟕ contrib" lookup is folded into the
+    # mass aggregate (r15, guide §2.4): a zero-contribution row per
+    # node rides the contribution union, so SUM over the group equals
+    # coalesce(mass, 0) exactly (integer sum, bit-exact — output
+    # proven identical at sf0.1) and every node appears exactly once —
+    # which deletes one node-table-sized join (and its exchange) from
+    # EVERY iteration: 5 fewer rank-sized joins per run at scale.
+    # Fixture-scale wall is join-count-bound, not byte-bound, so the
+    # interleaved A/B reads a small med win (1.435 → 1.403 s) with a
+    # visibly tighter tail.
+    zero = nodes.select("node", F.lit(0).cast("long").alias("c"))
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("prs"))
     for _ in range(PAGERANK_ITERS):
-        contrib = (
-            ranks.join(edge_c, ranks.node == edge_c.src)
-            .select(
-                "dst",
-                # round(prs / outdeg) half-up, integer-exact
-                F.expr("(2 * prs + outdeg) div (2 * outdeg)").alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("mass"))
+        contrib = ranks.join(edge_c, ranks.node == edge_c.src).select(
+            F.col("dst").alias("node"),
+            # round(prs / outdeg) half-up, integer-exact
+            F.expr("(2 * prs + outdeg) div (2 * outdeg)").alias("c"),
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            contrib.union(zero)
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
             .select(
                 "node",
                 (
                     F.lit(teleport)
                     + F.expr(
-                        f"(2 * {PAGERANK_DAMPING_NUM} * coalesce(mass, 0L) + 100) "
-                        "div 200"
+                        f"(2 * {PAGERANK_DAMPING_NUM} * mass + 100) div 200"
                     )
                 ).alias("prs"),
             )
