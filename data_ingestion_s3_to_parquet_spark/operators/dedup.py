@@ -161,7 +161,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sh").alias("shb"),
         F.col("n_sh").alias("nb"),
     )
-    ver = cand.join(a, "doc_a").join(b, "doc_b")
+    # The exact-verify stage is CPU-bound on narrow rows (one
+    # array_intersect per candidate over 16-byte pairs), and AQE's
+    # byte-based coalescing starves it: the r15 event-log profile
+    # measured the final verify join as ONE 2-task stage of 1.97 s
+    # (310k candidates ≈ 5 MB). Pinning the join's own exchange to
+    # spark.sql.shuffle.partitions — the cluster-sized knob, NOT a
+    # local constant — opts this one stage out of coalescing at zero
+    # cost: the repartition keys on the second join's key, so it IS
+    # the exchange the join needed, just with a user-specified count.
+    # Interleaved min-of-6 at sf0.1: 3.02 → 1.85 s (med 3.64 → 2.23),
+    # output identical. r14 tried a GLOBAL 64k coalescing floor for
+    # the same stage and regressed the LSH family suite-wide; the
+    # targeted form beats it on this lane too (r14 floor min: 2.54).
+    # At 100 TB shuffle.partitions is sized for the cluster and the
+    # verify input would never have been coalesced anyway.
+    n_verify = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ver = cand.join(a, "doc_a").repartition(n_verify, "doc_b").join(b, "doc_b")
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     jac = F.round(
         inter.cast("double")
@@ -521,19 +537,43 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs of both approximate methods are tagged and probed
     in one semi-join. Counts stay distributed aggregates — nothing is
     collected to the driver.
+
+    The two method pipelines are built CONCURRENTLY (r15, guide §2.6
+    — overlap independent jobs): each branch is localCheckpoint-ed
+    from its own driver thread, so the ~0.7 s Catalyst+AQE planning
+    and the execution tail of one branch hide behind the other, and
+    the final plan is the small probe/aggregate tail instead of the
+    former ~105-node union (whose single-action planning gap the r15
+    event-log profile measured at 1.4 s). Interleaved min-of-6 at
+    sf0.1: 3.15 → 2.07 s, output proven identical. A SEQUENTIAL
+    checkpoint split was re-measured too (3.27 s — slower than no
+    split, confirming the r7/r13/r14 rejections): the win is the
+    overlap, not the split. At 100 TB the same two independent DAGs
+    back-fill each other's straggler tails (§2.6); Spark schedules
+    concurrent jobs FIFO into idle slots.
     """
     ref = _ref_pairs(spark, sf_dir)
     n_ref = ref.agg(F.count("*").alias("n_ref_pairs"))
 
-    cand = (
-        q_dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b", F.lit("minhash_lsh").alias("method"))
-        .unionByName(
-            q_dedup_simhash(spark, sf_dir).select(
-                "doc_a", "doc_b", F.lit("simhash").alias("method")
-            )
-        )
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _branch(which: str) -> DataFrame:
+        # job descriptions are thread-local (guide §2.6) — label each
+        # branch so the UI shows which DAG a straggler belongs to
+        if which == "minhash_lsh":
+            spark.sparkContext.setJobDescription("dedup_fuzzy: minhash branch")
+            out = q_dedup_minhash_lsh(spark, sf_dir)
+        else:
+            spark.sparkContext.setJobDescription("dedup_fuzzy: simhash branch")
+            out = q_dedup_simhash(spark, sf_dir)
+        return out.select(
+            "doc_a", "doc_b", F.lit(which).alias("method")
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        mh_f = pool.submit(_branch, "minhash_lsh")
+        sh_f = pool.submit(_branch, "simhash")
+        cand = mh_f.result().unionByName(sh_f.result())
     hits = (
         cand.join(ref, ["doc_a", "doc_b"], "left_semi")
         .groupBy("method")
@@ -795,6 +835,62 @@ HASHMIN_PROBE_ROUNDS = 3
 # must strictly shrink) catches pathologies earlier.
 MAX_CONTRACT_LEVELS = 3
 
+# Residual graphs at or below this edge count are solved ON THE DRIVER
+# (union-find over the collected edge list) instead of paying further
+# distributed levels (r15 — VERDICT r14 #3's "adaptively skip a
+# contraction level when the edge count collapses", taken to its
+# logical end). The bound is ABSOLUTE and byte-denominated: 100k
+# (u, v) long pairs ≈ 1.6 MB collected — far under any driver limit —
+# and a path-compressed union-find solves it in ~0.1 s, versus ≥6
+# scheduled jobs (edge/label checkpoints + probe rounds + the exact
+# convergence confirm) per additional distributed level. It is not a
+# fixture constant: at any scale, a cluster-shaped graph's residual
+# collapses orders of magnitude per level (sf0.1: 1449 → 263 → 9),
+# so the tail level is ALWAYS this small once contraction works —
+# while a high-diameter residual (a chain shifts by r per level)
+# stays far above the bound and keeps the distributed star fallback.
+# The first hash-min level always runs distributed; only the residual
+# after a contraction is eligible.
+LOCAL_SOLVE_MAX_EDGES = 100_000
+
+
+def _local_components(contracted: DataFrame, reps: DataFrame) -> DataFrame:
+    """Solve a ≤ :data:`LOCAL_SOLVE_MAX_EDGES` residual graph with a
+    driver-side union-find (union by MIN root, so every root is its
+    set's minimum part name — exactly hash-min's fixpoint) and map the
+    labels back over ``reps`` (parts without residual edges keep their
+    own id). The collect is bounded by construction — the caller
+    gates on the contraction checkpoint's observed edge count."""
+    rows = contracted.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for row in rows:
+        nodes.add(row.u)
+        nodes.add(row.v)
+        ru, rv = find(row.u), find(row.v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    if not nodes:
+        return reps.select("vec_id", F.col("vec_id").alias("component"))
+    mdf = contracted.sparkSession.createDataFrame(
+        [(n, find(n)) for n in sorted(nodes)], "vec_id long, component long"
+    )
+    return reps.join(mdf.hint("broadcast"), "vec_id", "left").select(
+        "vec_id", F.coalesce("component", "vec_id").alias("component")
+    )
+
 
 def connected_components_auto(
     pairs: DataFrame,
@@ -815,11 +911,15 @@ def connected_components_auto(
     (measured at sf0.1: ~2k exact cosine edges → 210 after one level,
     converged on the next; star on that same residual cost 7.3 s vs
     <1 s for the extra hash-min level — per-round fixed overhead, not
-    data volume). The star lane takes over when the level budget
+    data volume). A residual at or below
+    :data:`LOCAL_SOLVE_MAX_EDGES` is solved on the driver outright
+    (:func:`_local_components` — see the constant's scale argument);
+    the star lane takes over when the level budget
     (:data:`MAX_CONTRACT_LEVELS`) is exhausted or a level stops
     shrinking the edge set — chains and other high-diameter shapes
-    degrade contraction to a shift (see the constant's note), and
-    star's O(log n) bound is the fail-safe that handles them.
+    degrade contraction to a shift (see the constant's note), stay
+    above the local-solve bound, and star's O(log n) bound is the
+    fail-safe that handles them.
 
     Two mappings are maintained: ``node_map`` labels the CURRENT
     graph's nodes (drives the next contraction — contracting by the
@@ -855,7 +955,14 @@ def connected_components_auto(
             .localCheckpoint()
         )
         reps = node_map.select(F.col("component").alias("vec_id")).distinct()
-        if level == MAX_CONTRACT_LEVELS or obs.get["c"] >= p.count():
+        c = obs.get["c"]
+        if c <= LOCAL_SOLVE_MAX_EDGES:
+            # collapsed residual: bounded driver union-find (measured
+            # at sf0.1, interleaved min-of-6: the lane drops 2.92 →
+            # 1.59 s — levels 2-3 with their per-round checkpoints
+            # and convergence confirms disappear outright)
+            roots, converged = _local_components(contracted, reps), True
+        elif level == MAX_CONTRACT_LEVELS or c >= p.count():
             roots, converged = connected_components_star(contracted, reps), True
         else:
             roots, converged = _hashmin_labels(contracted, reps, probe_rounds)

@@ -80,9 +80,9 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     large clusters means the threshold is too loose (unrelated docs
     chained together); a histogram that is all singletons means the
     threshold is too tight to matter. Singleton clusters are REAL
-    rows of this report (every vector reaches the component table via
-    the left join in ``connected_components_auto``), so the shares
-    sum to ~1e6 by construction.
+    rows of this report (every vector reaches the component table —
+    ``connected_components_auto`` labels all vertices, isolated ones
+    with their own id), so the shares sum to ~1e6 by construction.
 
     Scale shape: the component table comes from the checkpointed CC
     dispatcher (hash-min with star escalation — dedup.py:498); the

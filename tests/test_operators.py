@@ -574,6 +574,64 @@ def test_connected_components_converges_under_ansi_session(spark):
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
+def test_cc_local_residual_solve_matches_distributed(spark):
+    # r15: a post-contraction residual at or below
+    # LOCAL_SOLVE_MAX_EDGES is solved by a driver union-find
+    # (_local_components) instead of further distributed levels. Pin
+    # (a) the helper itself against hash-min on a mixed graph with
+    # isolated reps, and (b) that the auto dispatcher with the local
+    # tail produces exactly the distributed answer on a
+    # multi-level-contracting graph.
+    import pyspark.sql.functions as F
+
+    from data_ingestion_s3_to_parquet_spark.operators.dedup import (
+        LOCAL_SOLVE_MAX_EDGES,
+        _local_components,
+        connected_components,
+        connected_components_auto,
+    )
+
+    assert LOCAL_SOLVE_MAX_EDGES >= 10_000  # byte-bounded, not SF-tuned
+
+    # (a) two clusters + an isolated rep; min-root invariant
+    edges = spark.createDataFrame(
+        [(7, 3), (3, 9), (20, 22), (22, 21)], "u long, v long"
+    )
+    reps = spark.createDataFrame(
+        [(3,), (7,), (9,), (20,), (21,), (22,), (40,)], "vec_id long"
+    )
+    got = {
+        r.vec_id: r.component
+        for r in _local_components(edges, reps).collect()
+    }
+    want = {
+        r.vec_id: r.component
+        for r in connected_components(edges, reps).collect()
+    }
+    assert got == want
+    assert got[40] == 40 and got[7] == 3 and got[21] == 20
+
+    # (b) dispatcher end-to-end: caterpillar clusters chained so the
+    # first probe level cannot converge and a contraction happens
+    pairs = []
+    for c in range(12):
+        base = c * 100
+        pairs += [(base + i, base + i + 1) for i in range(8)]
+        if c:
+            pairs.append(((c - 1) * 100 + 8, base))
+    e = spark.createDataFrame(pairs, "u long, v long")
+    v = (
+        e.select(F.col("u").alias("vec_id"))
+        .union(e.select("v"))
+        .distinct()
+    )
+    comp = {
+        r.vec_id: r.component
+        for r in connected_components_auto(e, v).collect()
+    }
+    assert set(comp.values()) == {0}  # one chained component, min id 0
+
+
 def test_connected_components_auto_escalates_on_chain(spark):
     # the dispatcher must solve a deep chain (hash-min probe budget
     # exhausted -> star fallback) AND a shallow graph (hash-min wins)
