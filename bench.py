@@ -22,9 +22,9 @@ time with no code change; min-vs-med gap is the noise signature).
 Each query is fully materialized through the ``noop`` sink (forces
 end-to-end execution including shuffles, without paying sink I/O or
 driver collection). Each query gets one untimed warm-up run before
-three timed runs, so numbers reflect steady state rather than
-per-plan codegen compilation or a stray GC pause (fixed costs that
-vanish at scale). ``spark.catalog.clearCache()`` runs before EVERY run
+the timed runs (three; five for sub-second lanes — VERDICT r14 #2),
+so numbers reflect steady state rather than per-plan codegen
+compilation or a stray GC pause (fixed costs that vanish at scale). ``spark.catalog.clearCache()`` runs before EVERY run
 (warm-up and timed): any operator may ``.cache()`` a shared subtree,
 and Spark's CacheManager matches canonicalized plans — so without the
 clear, the warm-up would populate a cache the timed runs silently
@@ -141,7 +141,8 @@ def main() -> None:
         spark.catalog.clearCache()
         materialize(merged[wname].fn(spark, sf_dir))
 
-    # Per-query: one untimed warm-up run, then three timed runs. Warm
+    # Per-query: one warm-up run, then the timed runs (3, or 5 when
+    # the warm-up reads sub-second — see below). Warm
     # steady-state is the honest 100 TB proxy — whole-stage-codegen
     # compilation (1-3s per distinct plan) is a fixed cost amortized
     # over minutes of execution at scale, but at sf0.1 it would be
@@ -273,21 +274,32 @@ def main() -> None:
     # masquerade as host load and mask real regressions). Floors are
     # r12 clean-host min-of-3 (graph_sssp re-floored r14 after the
     # dist-union rewrite removed one materialization per BFS layer).
+    # Floors are clean-host 32-core mins of the CURRENT code; each
+    # re-floor is recorded here and the values are published in the
+    # sidecar (heavy_corridor_floors) so the inflation series stays
+    # readable across rounds (ADVICE r14).
     heavy_corridors = {
-        "dedup_components": 3.2,
-        "dedup_fuzzy": 2.7,
-        # re-floored r14 (optimization round): loop-frame sizing +
-        # observed frontier counts took the clean-host min to ~1.05,
-        # and a floor above the clean min would under-report inflation
-        "graph_sssp": 1.05,
-        # added r15 (VERDICT r14 #2): the two lanes whose r14 driver
-        # readings diverged 2.8x between windows on unchanged code;
-        # floors are clean-host 32-core mins (dedup_semantic r13
-        # driver min; dedup_passages r13 min adjusted for the r14
-        # hashed-gram key narrowing, confirmed against this round's
-        # clean runs)
+        # re-floored r15: the fused hash-min round (1 join/round) +
+        # the bounded driver solve of collapsed residuals took the
+        # clean min from ~3.2 to 1.59 (interleaved A/B) / 1.79
+        # (full-suite run); floor sits under both
+        "dedup_components": 1.55,
+        # re-floored r15: concurrent method-branch builds (guide
+        # §2.6) took the clean min from ~2.9 to 2.07 (A/B) / 2.23
+        # (full-suite)
+        "dedup_fuzzy": 2.0,
+        # re-floored r15: closing runs read 0.94-1.0 after the r14
+        # loop-frame sizing settled; the r14 floor (1.05) sat above
+        # the clean min
+        "graph_sssp": 0.9,
+        # added r15 (VERDICT r14 #2): the lanes whose r14 driver
+        # readings diverged most between windows on unchanged code.
+        # dedup_ngram_jaccard's same-code window spread is 2.2-3.5 s
+        # (measured this round, plan identical); its floor is the
+        # interleaved-A/B clean min
         "dedup_semantic": 1.65,
         "dedup_passages": 1.45,
+        "dedup_ngram_jaccard": 2.1,
     }
     heavy_inflation = {
         n: round(timings[n] / floor_s, 2)

@@ -161,23 +161,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sh").alias("shb"),
         F.col("n_sh").alias("nb"),
     )
-    # The exact-verify stage is CPU-bound on narrow rows (one
-    # array_intersect per candidate over 16-byte pairs), and AQE's
-    # byte-based coalescing starves it: the r15 event-log profile
-    # measured the final verify join as ONE 2-task stage of 1.97 s
-    # (310k candidates ≈ 5 MB). Pinning the join's own exchange to
-    # spark.sql.shuffle.partitions — the cluster-sized knob, NOT a
-    # local constant — opts this one stage out of coalescing at zero
-    # cost: the repartition keys on the second join's key, so it IS
-    # the exchange the join needed, just with a user-specified count.
-    # Interleaved min-of-6 at sf0.1: 3.02 → 1.85 s (med 3.64 → 2.23),
-    # output identical. r14 tried a GLOBAL 64k coalescing floor for
-    # the same stage and regressed the LSH family suite-wide; the
-    # targeted form beats it on this lane too (r14 floor min: 2.54).
-    # At 100 TB shuffle.partitions is sized for the cluster and the
-    # verify input would never have been coalesced anyway.
-    n_verify = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ver = cand.join(a, "doc_a").repartition(n_verify, "doc_b").join(b, "doc_b")
+    # NOT pinned (r15 — measured, REJECTED): the exact-verify join
+    # runs as a 2-task 1.97 s stage at sf0.1 (AQE coalesces 310k
+    # 16-byte candidate rows by BYTES while the work is per-row
+    # array_intersect CPU), and a user-specified
+    # .repartition(shuffle.partitions, "doc_b") between the joins
+    # reads 3.02 → 1.85 s interleaved min-of-6. But a user-specified
+    # repartition also DISABLES AQE's skew split on that exchange,
+    # and the 4× scale probe exposed it: duplicated docs make hot
+    # doc_b keys, t_4x 5.16 s (AQE-managed) → 19.96 s (pinned) —
+    # ratio 8.66, a failed guard. The starvation is a fixture-scale
+    # artifact (at volume the verify input is far past any coalesce
+    # floor and AQE both sizes and skew-splits it correctly), so the
+    # pin trades scale safety for a local[32] win — rejected, same
+    # verdict as r14's global 64k floor.
+    ver = cand.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     jac = F.round(
         inter.cast("double")
