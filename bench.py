@@ -153,12 +153,53 @@ def main() -> None:
     # honest — no run is ever faster than the real plan, see module
     # docstring on clearCache); the median rides along in ``spread``
     # so a wide min-med gap flags ambient noise (VERDICT r6 #3).
-    # Sub-second lanes get FIVE timed runs instead of three (VERDICT
-    # r14 #2): on this host min-of-3 is not noise-robust below ~1 s
-    # (same-code swings up to 3.7× across windows), and two extra
-    # cheap runs shrink the min's variance at ~0.5 s/lane cost. The
-    # warm-up run (untimed before, now timed only to pick the count)
-    # decides; the headline stays min-of-the-timed-runs either way.
+    # Heavy-lane corridor (VERDICT r13 #2): the expensive iterative
+    # lanes oscillated 3.2->4.4 s across r12/r13 on unchanged code
+    # while the trivial corridor read clean — their wall time is
+    # dominated by per-round fixed costs (checkpoint/scheduling jobs
+    # on small frames), which track JVM/JIT warmth, not CPU load, so
+    # the trivial-lane index cannot vouch for them. Their inflation is
+    # reported against clean-host floors SEPARATELY below (kept out of
+    # the ambient median on purpose: folding multi-second iterative
+    # lanes into the trivial-lane index would let heavy-lane JVM noise
+    # masquerade as host load and mask real regressions). Floors are
+    # clean-host 32-core mins of the CURRENT code; each re-floor is
+    # recorded here and the values are published in the sidecar
+    # (heavy_corridor_floors) so the inflation series stays readable
+    # across rounds (ADVICE r14). Defined before the timing loop
+    # because corridor lanes also get the 5-run protocol.
+    heavy_corridors = {
+        # re-floored r15: the fused hash-min round (1 join/round) +
+        # the bounded driver solve of collapsed residuals took the
+        # clean min from ~3.2 to 1.59 (interleaved A/B) / 1.79
+        # (full-suite run); floor sits under both
+        "dedup_components": 1.55,
+        # re-floored r15: concurrent method-branch builds (guide
+        # §2.6) took the clean min from ~2.9 to 2.07 (A/B) / 2.23
+        # (full-suite)
+        "dedup_fuzzy": 2.0,
+        # re-floored r15: closing runs read 0.94-1.0 after the r14
+        # loop-frame sizing settled; the r14 floor (1.05) sat above
+        # the clean min
+        "graph_sssp": 0.9,
+        # added r15 (VERDICT r14 #2): the lanes whose r14 driver
+        # readings diverged most between windows on unchanged code.
+        # dedup_ngram_jaccard's same-code window spread is 2.2-3.5 s
+        # (measured this round, plan identical); its floor is the
+        # interleaved-A/B clean min
+        "dedup_semantic": 1.6,
+        "dedup_passages": 1.45,
+        "dedup_ngram_jaccard": 2.1,
+    }
+
+    # Sub-second lanes AND the heavy-corridor lanes get FIVE timed
+    # runs instead of three (VERDICT r14 #2): on this host min-of-3
+    # is not noise-robust below ~1 s (same-code swings up to 3.7×
+    # across windows), and the corridor lanes are by definition the
+    # ones whose window noise has repeatedly read as regression. Two
+    # extra runs shrink the min's variance at a bounded wall cost.
+    # The warm-up run (untimed before, now timed only to pick the
+    # count) decides; the headline stays min-of-the-timed-runs.
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name in canonical_order(bench_queries):
@@ -167,7 +208,7 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(q.fn(spark, sf_dir))
         warm_sec = time.perf_counter() - t0
-        n_timed = 5 if warm_sec < 1.0 else 3
+        n_timed = 5 if (warm_sec < 1.0 or name in heavy_corridors) else 3
         runs: list[float] = []
         for _ in range(n_timed):
             spark.catalog.clearCache()
@@ -262,45 +303,6 @@ def main() -> None:
         if infl_median > 1.3 or n_hot >= 2
         else "clean"
     )
-    # Heavy-lane corridor (VERDICT r13 #2): the expensive iterative
-    # lanes oscillated 3.2->4.4 s across r12/r13 on unchanged code
-    # while the trivial corridor read clean — their wall time is
-    # dominated by per-round fixed costs (checkpoint/scheduling jobs
-    # on small frames), which track JVM/JIT warmth, not CPU load, so
-    # the trivial-lane index cannot vouch for them. Report their
-    # inflation against clean-host floors SEPARATELY (kept out of the
-    # ambient median on purpose: folding multi-second iterative lanes
-    # into the trivial-lane index would let heavy-lane JVM noise
-    # masquerade as host load and mask real regressions). Floors are
-    # r12 clean-host min-of-3 (graph_sssp re-floored r14 after the
-    # dist-union rewrite removed one materialization per BFS layer).
-    # Floors are clean-host 32-core mins of the CURRENT code; each
-    # re-floor is recorded here and the values are published in the
-    # sidecar (heavy_corridor_floors) so the inflation series stays
-    # readable across rounds (ADVICE r14).
-    heavy_corridors = {
-        # re-floored r15: the fused hash-min round (1 join/round) +
-        # the bounded driver solve of collapsed residuals took the
-        # clean min from ~3.2 to 1.59 (interleaved A/B) / 1.79
-        # (full-suite run); floor sits under both
-        "dedup_components": 1.55,
-        # re-floored r15: concurrent method-branch builds (guide
-        # §2.6) took the clean min from ~2.9 to 2.07 (A/B) / 2.23
-        # (full-suite)
-        "dedup_fuzzy": 2.0,
-        # re-floored r15: closing runs read 0.94-1.0 after the r14
-        # loop-frame sizing settled; the r14 floor (1.05) sat above
-        # the clean min
-        "graph_sssp": 0.9,
-        # added r15 (VERDICT r14 #2): the lanes whose r14 driver
-        # readings diverged most between windows on unchanged code.
-        # dedup_ngram_jaccard's same-code window spread is 2.2-3.5 s
-        # (measured this round, plan identical); its floor is the
-        # interleaved-A/B clean min
-        "dedup_semantic": 1.65,
-        "dedup_passages": 1.45,
-        "dedup_ngram_jaccard": 2.1,
-    }
     heavy_inflation = {
         n: round(timings[n] / floor_s, 2)
         for n, floor_s in heavy_corridors.items()
